@@ -1,0 +1,215 @@
+package graft.queries
+
+import graft.util.Tables
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+
+/** Deduplication family for training-data pipelines: exact, MinHash+LSH,
+  * SimHash, n-gram Jaccard, embedding cosine. All formulated as
+  * shuffle-bounded joins (bucket/candidate generation first, verification
+  * second) — the shapes that survive 100TB. Hashes are md5-based so the
+  * DuckDB oracle can reproduce them bit-for-bit.
+  */
+object Dedup {
+  type Q = (SparkSession, String) => DataFrame
+
+  private val NumHashes = 12
+  private val NumBands = 3 // 4 rows per band
+  private val RowsPerBand = NumHashes / NumBands
+
+  /** Whitespace tokens. */
+  private def toks(c: Column): Column = split(c, "\\s+")
+
+  /** Word 3-gram shingles; whole text if shorter than 3 words. */
+  private def shingles(w: Column): Column =
+    when(size(w) < 3, array(array_join(w, " ")))
+      .otherwise(transform(sequence(lit(1), size(w) - 2), i =>
+        concat_ws(" ", element_at(w, i), element_at(w, i + 1), element_at(w, i + 2))))
+
+  /** MinHash j = lexicographic min of md5(j ++ ":" ++ shingle) — a valid
+    * minhash family that both engines compute identically. */
+  private def minhashes(sh: Column): Column =
+    transform(sequence(lit(0), lit(NumHashes - 1)), j =>
+      array_min(transform(sh, sg => md5(concat(j.cast("string"), lit(":"), sg)))))
+
+  val queries: Map[String, Q] = Map(
+    // Exact dedup: content-hash grouping, min doc_id is the keeper.
+    "dedup_exact" -> { (s, dir) =>
+      val d = Tables(s, dir, "documents")
+      val w = Window.partitionBy(col("content_hash"))
+      d.withColumn("content_hash", md5(col("text")))
+        .withColumn("keeper_id", min(col("doc_id")).over(w))
+        .select(col("doc_id"), col("content_hash"), col("keeper_id"),
+          (col("doc_id") =!= col("keeper_id")).as("is_dup"))
+        .orderBy("doc_id")
+    },
+
+    // MinHash + LSH: shingle -> 12 minhashes -> 3 bands of 4 -> bucket join
+    // for candidates -> verify by minhash agreement >= 0.5. The band join is
+    // the only shuffle over pairs and is bounded by bucket size.
+    "dedup_minhash_lsh" -> { (s, dir) =>
+      val d = Tables(s, dir, "documents")
+        .select(col("doc_id"), minhashes(shingles(toks(col("text")))).as("mins"))
+      val bands = d.select(col("doc_id"), col("mins"),
+        explode(transform(sequence(lit(0), lit(NumBands - 1)), b =>
+          struct(b.as("band"), md5(concat_ws("|",
+            (0 until RowsPerBand).map(r =>
+              element_at(col("mins"), b * RowsPerBand + r + 1)): _*)).as("bkey"))))
+          .as("bk"))
+        .select(col("doc_id"), col("mins"),
+          col("bk.band").as("band"), col("bk.bkey").as("bkey"))
+      val a = bands.select(col("doc_id").as("doc_a"), col("mins").as("mins_a"),
+        col("band"), col("bkey"))
+      val b = bands.select(col("doc_id").as("doc_b"), col("mins").as("mins_b"),
+        col("band"), col("bkey"))
+      a.join(b, Seq("band", "bkey"))
+        .filter(col("doc_a") < col("doc_b"))
+        .select("doc_a", "doc_b", "mins_a", "mins_b").distinct()
+        .withColumn("sim_est",
+          size(filter(sequence(lit(1), lit(NumHashes)), i =>
+            element_at(col("mins_a"), i) === element_at(col("mins_b"), i)))
+            / lit(NumHashes.toDouble))
+        .filter(col("sim_est") >= 0.5)
+        .select("doc_a", "doc_b", "sim_est")
+        .orderBy("doc_a", "doc_b")
+    },
+
+    // SimHash: 32-bit fingerprint from md5 bits of each token occurrence.
+    "dedup_simhash" -> { (s, dir) =>
+      val d = Tables(s, dir, "documents")
+      val words = d.select(col("doc_id"),
+        explode(toks(col("text"))).as("word"))
+        .withColumn("hh", md5(col("word")))
+      val bits = words.select(col("doc_id"), col("hh"),
+        explode(sequence(lit(0), lit(31))).as("p"))
+        // hex digit p/4 of the md5, then bit p%4 of that digit
+        .withColumn("digit",
+          expr("CAST(conv(substr(hh, 1 + CAST(p / 4 AS INT), 1), 16, 10) AS BIGINT)"))
+        .withColumn("bit",
+          expr("(digit div CAST(pow(2, p % 4) AS BIGINT)) % 2"))
+        .withColumn("contrib", when(col("bit") === 1, 1).otherwise(-1))
+      val perBit = bits.groupBy("doc_id", "p")
+        .agg(sum(col("contrib")).as("s"))
+      val fp = perBit.groupBy("doc_id")
+        .agg(sum(when(col("s") >= 0, pow(lit(2.0), col("p")).cast("long"))
+          .otherwise(0L)).as("simhash"))
+      val w = Window.partitionBy(col("simhash"))
+      fp.withColumn("keeper_id", min(col("doc_id")).over(w))
+        .select(col("doc_id"), col("simhash"), col("keeper_id"),
+          (col("doc_id") =!= col("keeper_id")).as("is_dup"))
+        .orderBy("doc_id")
+    },
+
+    // n-gram Jaccard: candidate pairs via inverted index on distinct shingles
+    // (never all-pairs), exact set jaccard >= 0.8.
+    "dedup_ngram_jaccard" -> { (s, dir) =>
+      val d = Tables(s, dir, "documents")
+        .select(col("doc_id"), shingles(toks(col("text"))).as("sh"))
+      val t = d.select(col("doc_id"), explode(col("sh")).as("s")).distinct()
+      val sz = t.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      val pairs = t.as("x").join(t.as("y"),
+        col("x.s") === col("y.s") && col("x.doc_id") < col("y.doc_id"))
+        .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+        .agg(count(lit(1)).as("inter"))
+      pairs
+        .join(sz.select(col("doc_id").as("doc_a"), col("n").as("n_a")), "doc_a")
+        .join(sz.select(col("doc_id").as("doc_b"), col("n").as("n_b")), "doc_b")
+        .withColumn("jaccard",
+          col("inter") / (col("n_a") + col("n_b") - col("inter")).cast("double"))
+        .filter(col("jaccard") >= 0.8)
+        .select("doc_a", "doc_b", "inter", "n_a", "n_b", "jaccard")
+        .orderBy("doc_a", "doc_b")
+    },
+
+    // Embedding cosine near-dup, IVF-style: candidates restricted to the same
+    // coarse cell (label); dot/norm folded left-to-right in double so both
+    // engines produce identical bits.
+    "dedup_embedding" -> { (s, dir) =>
+      val e = Tables(s, dir, "embeddings")
+        .select(col("vec_id"), col("label"),
+          col("embedding").cast("array<double>").as("v"))
+      val a = e.select(col("vec_id").as("vec_a"), col("label"), col("v").as("va"))
+      val b = e.select(col("vec_id").as("vec_b"), col("label"), col("v").as("vb"))
+      a.join(b, Seq("label"))
+        .filter(col("vec_a") < col("vec_b"))
+        .withColumn("cosine", Similarity.cosine(col("va"), col("vb")))
+        .filter(col("cosine") >= 0.4)
+        .select("label", "vec_a", "vec_b", "cosine")
+        .orderBy("vec_a", "vec_b")
+    }
+  )
+
+  private val shinglesSql =
+    """SELECT doc_id, CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+      |  ELSE list_transform(range(1, len(w)-1), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]) END AS sh
+      |FROM (SELECT doc_id, string_split_regex(text, '\s+') AS w FROM documents)""".stripMargin
+
+  val oracle: Map[String, String] = Map(
+    "dedup_exact" ->
+      """SELECT doc_id, md5(text) AS content_hash,
+        |  min(doc_id) OVER (PARTITION BY md5(text)) AS keeper_id,
+        |  doc_id <> min(doc_id) OVER (PARTITION BY md5(text)) AS is_dup
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "dedup_minhash_lsh" ->
+      s"""WITH sh AS ($shinglesSql),
+         |mh AS (SELECT doc_id,
+         |  list_transform(range(0, 12), j ->
+         |    list_min(list_transform(sh, sg -> md5(j || ':' || sg)))) AS mins
+         |  FROM sh),
+         |bands AS (SELECT doc_id, mins, b,
+         |  md5(mins[4*b+1] || '|' || mins[4*b+2] || '|' || mins[4*b+3] || '|' || mins[4*b+4]) AS bkey
+         |  FROM mh, (SELECT unnest(range(0, 3)) AS b)),
+         |cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
+         |    x.mins AS mins_a, y.mins AS mins_b
+         |  FROM bands x JOIN bands y
+         |    ON x.b = y.b AND x.bkey = y.bkey AND x.doc_id < y.doc_id)
+         |SELECT doc_a, doc_b,
+         |  len(list_filter(range(1, 13), i -> mins_a[i] = mins_b[i])) / 12.0 AS sim_est
+         |FROM cand
+         |WHERE len(list_filter(range(1, 13), i -> mins_a[i] = mins_b[i])) / 12.0 >= 0.5
+         |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "dedup_simhash" ->
+      """WITH words AS (
+        |  SELECT doc_id, md5(unnest(string_split_regex(text, '\s+'))) AS hh
+        |  FROM documents),
+        |bits AS (
+        |  SELECT doc_id, p,
+        |    CASE WHEN ((instr('0123456789abcdef', substr(hh, 1 + p // 4, 1)) - 1)
+        |               // CAST(2 ** (p % 4) AS BIGINT)) % 2 = 1
+        |         THEN 1 ELSE -1 END AS contrib
+        |  FROM words, (SELECT unnest(range(0, 32)) AS p)),
+        |per_bit AS (SELECT doc_id, p, sum(contrib) AS s FROM bits GROUP BY 1, 2),
+        |fp AS (SELECT doc_id,
+        |  sum(CASE WHEN s >= 0 THEN CAST(2 ** p AS BIGINT) ELSE 0 END) AS simhash
+        |  FROM per_bit GROUP BY 1)
+        |SELECT doc_id, simhash,
+        |  min(doc_id) OVER (PARTITION BY simhash) AS keeper_id,
+        |  doc_id <> min(doc_id) OVER (PARTITION BY simhash) AS is_dup
+        |FROM fp ORDER BY doc_id""".stripMargin,
+
+    "dedup_ngram_jaccard" ->
+      s"""WITH sh AS ($shinglesSql),
+         |t AS (SELECT DISTINCT doc_id, unnest(sh) AS s FROM sh),
+         |sz AS (SELECT doc_id, count(*) AS n FROM t GROUP BY 1),
+         |pairs AS (SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, count(*) AS inter
+         |  FROM t x JOIN t y ON x.s = y.s AND x.doc_id < y.doc_id GROUP BY 1, 2)
+         |SELECT doc_a, doc_b, inter, sa.n AS n_a, sb.n AS n_b,
+         |  inter * 1.0 / (sa.n + sb.n - inter) AS jaccard
+         |FROM pairs
+         |JOIN sz sa ON doc_a = sa.doc_id
+         |JOIN sz sb ON doc_b = sb.doc_id
+         |WHERE inter * 1.0 / (sa.n + sb.n - inter) >= 0.8
+         |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "dedup_embedding" ->
+      s"""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+         |SELECT a.label AS label, a.vec_id AS vec_a, b.vec_id AS vec_b,
+         |  ${Similarity.cosineSql("a.v", "b.v")} AS cosine
+         |FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+         |WHERE ${Similarity.cosineSql("a.v", "b.v")} >= 0.4
+         |ORDER BY vec_a, vec_b""".stripMargin
+  )
+}

@@ -1,0 +1,266 @@
+package graft.queries
+
+import graft.exprs.functions._
+import graft.util.Tables
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** The reference's log algebra re-expressed over the `events` table
+  * (event_id ≙ version, event_type ≙ label, props ≙ payload JSON, ts ≙
+  * timestamp): forward/reverse scan with limit / skip_first, version-chain
+  * derivation via lag/lead (reference derives VersionNext at read time too —
+  * eventlog/file/file.go:293-295), version bounds, hex codec, validation,
+  * minification, RFC3339 rendering, checksums and the integrity job
+  * (eventlog/file/check_integrity.go:15-94).
+  *
+  * NOTE `ts` is LongType (ns since epoch) — see Tables.apply.
+  */
+object EventLogQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** events table projected into the event-log schema. */
+  private def log(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "events").select(
+      col("event_id").as("version"),
+      col("ts"),
+      col("event_type").as("label"),
+      col("props").as("payload"))
+
+  private val wVersion = Window.orderBy("version")
+
+  /** RFC3339 rendering of the ns-epoch `ts` column, second granularity
+    * (serve.go:227-230). Integer `div` — a double roundtrip would lose ns
+    * precision and can flip a second boundary. */
+  private def rfc3339(tsNsCol: String) =
+    concat(
+      date_format(timestamp_seconds(expr(s"$tsNsCol div 1000000000")),
+        "yyyy-MM-dd'T'HH:mm:ss"),
+      lit("Z"))
+
+  val queries: Map[String, Q] = Map(
+    // Scan(version=100, reverse=false, n=1000): chain links derived over the
+    // FULL log before the range filter, so the last batch row still points to
+    // its successor — matching the reference's read-time derivation.
+    "el_scan_forward" -> { (s, dir) =>
+      val chain = log(s, dir)
+        .withColumn("version_prev", lag(col("version"), 1, 0L).over(wVersion))
+        .withColumn("version_next", lead(col("version"), 1, 0L).over(wVersion))
+      chain.filter(col("version") >= 100)
+        .orderBy("version")
+        .limit(1000)
+        .select(
+          col("version"), hex_version(col("version")).as("version_hex"),
+          col("version_prev"), col("version_next"),
+          col("label"), col("payload"),
+          rfc3339("ts").as("time"))
+    },
+
+    // Scan(version=5000, reverse=true, n=500, skip_first=true)
+    "el_scan_reverse" -> { (s, dir) =>
+      val chain = log(s, dir)
+        .withColumn("version_prev", lag(col("version"), 1, 0L).over(wVersion))
+        .withColumn("version_next", lead(col("version"), 1, 0L).over(wVersion))
+      chain.filter(col("version") <= 5000)
+        .orderBy(col("version").desc)
+        .offset(1) // skip_first cursor resume (serve.go:213)
+        .limit(500)
+        .select("version", "version_prev", "version_next", "label")
+    },
+
+    // Version / VersionInitial point lookups (eventlog.go:132-140)
+    "el_version_bounds" -> { (s, dir) =>
+      log(s, dir).agg(
+        min(col("version")).as("version_initial"),
+        max(col("version")).as("version_latest"),
+        count(lit(1)).as("n_events"))
+        .select(
+          col("version_initial"), col("version_latest"), col("n_events"),
+          hex_version(col("version_initial")).as("initial_hex"),
+          hex_version(col("version_latest")).as("latest_hex"))
+    },
+
+    // Hex codec round-trip: encode via HexVersion, decode via ParseHexVersion
+    "el_hex_roundtrip" -> { (s, dir) =>
+      log(s, dir)
+        .select(col("version"), hex_version(col("version")).as("version_hex"))
+        .withColumn("parsed", parse_hex_version(col("version_hex")))
+        .orderBy("version")
+    },
+
+    // X3 byte-preserving JSON minification on ingestion (jsonminify.go)
+    "el_minify" -> { (s, dir) =>
+      log(s, dir)
+        .select(col("version"), minify_json(col("payload")).as("payload_min"))
+        .orderBy("version")
+    },
+
+    // V1 + X2 validation surface (validate_label.go / validate_payload_json.go)
+    "el_validate" -> { (s, dir) =>
+      log(s, dir).select(
+        col("version"),
+        label_is_valid(col("label")).as("label_ok"),
+        payload_is_valid(col("payload")).as("payload_ok"))
+        .orderBy("version")
+    },
+
+    // V7 RFC3339 time rendering (serve.go:227-230)
+    "el_rfc3339" -> { (s, dir) =>
+      log(s, dir)
+        .select(col("version"), rfc3339("ts").as("time_rfc3339"))
+        .orderBy("version")
+    },
+
+    // M1 integrity job as one window pass: chain continuity, time
+    // monotonicity, payload+label validity (check_integrity.go:15-94).
+    "el_integrity" -> { (s, dir) =>
+      val chain = log(s, dir)
+        .withColumn("prev_v", lag(col("version"), 1).over(wVersion))
+        .withColumn("prev_ts", lag(col("ts"), 1).over(wVersion))
+      chain.agg(
+        count(lit(1)).as("n"),
+        sum(when(col("prev_v").isNull || col("version") === col("prev_v") + 1, 0)
+          .otherwise(1)).as("chain_violations"),
+        sum(when(col("prev_ts").isNull || col("ts") >= col("prev_ts"), 0)
+          .otherwise(1)).as("time_violations"),
+        sum(when(payload_is_valid(col("payload")), 0).otherwise(1))
+          .as("payload_violations"),
+        sum(when(label_is_valid(col("label")), 0).otherwise(1))
+          .as("label_violations"))
+    },
+
+    // X1 checksum over the reference's LE layout (no cross-engine oracle:
+    // DuckDB has no XXH64-over-bytes — covered by fixture specs instead).
+    "el_checksum" -> { (s, dir) =>
+      val chain = log(s, dir)
+        .withColumn("version_prev", lag(col("version"), 1, 0L).over(wVersion))
+      chain.select(
+        col("version"),
+        event_checksum(
+          expr("ts div 1000000000"), // unix seconds (file.go:378)
+          col("label"),
+          minify_json(col("payload")),
+          col("version_prev")).as("checksum"))
+        .orderBy("version")
+    },
+
+    // Sessionization over the change stream: 30-minute inactivity gap.
+    "events_sessionize" -> { (s, dir) =>
+      val ev = Tables(s, dir, "events")
+      val wu = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val wrun = wu.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      ev.withColumn("prev_ts", lag(col("ts"), 1).over(wu))
+        .withColumn("is_new",
+          when(col("prev_ts").isNull
+            || col("ts") - col("prev_ts") > 1800000000000L, 1).otherwise(0))
+        .withColumn("session_id", sum(col("is_new")).over(wrun))
+        .groupBy("user_id", "session_id")
+        .agg(count(lit(1)).as("n_events"),
+          min(col("ts")).as("t_start"),
+          max(col("ts")).as("t_end"))
+        .orderBy("user_id", "session_id")
+    },
+
+    // Tumbling 1h event-time window aggregation (batch counterpart of the
+    // Structured Streaming path in graft.streaming).
+    "events_window_agg" -> { (s, dir) =>
+      Tables(s, dir, "events")
+        .groupBy(expr("ts div 3600000000000").as("hour_bucket"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,2)")).as("total_value"))
+        .orderBy("hour_bucket", "event_type")
+    }
+  )
+
+  private val chainSql =
+    """SELECT event_id AS version, ts, event_type AS label, props AS payload,
+      |  coalesce(lag(event_id) OVER (ORDER BY event_id), 0) AS version_prev,
+      |  coalesce(lead(event_id) OVER (ORDER BY event_id), 0) AS version_next
+      |FROM events""".stripMargin
+
+  val oracle: Map[String, String] = Map(
+    "el_scan_forward" ->
+      s"""SELECT version, printf('%x', version) AS version_hex,
+         |  version_prev, version_next, label, payload,
+         |  strftime(ts, '%Y-%m-%dT%H:%M:%S') || 'Z' AS time
+         |FROM ($chainSql) c
+         |WHERE version >= 100 ORDER BY version LIMIT 1000""".stripMargin,
+
+    "el_scan_reverse" ->
+      s"""SELECT version, version_prev, version_next, label
+         |FROM ($chainSql) c
+         |WHERE version <= 5000 ORDER BY version DESC LIMIT 500 OFFSET 1""".stripMargin,
+
+    "el_version_bounds" ->
+      """SELECT min(event_id) AS version_initial,
+        |  max(event_id) AS version_latest,
+        |  count(*) AS n_events,
+        |  printf('%x', min(event_id)) AS initial_hex,
+        |  printf('%x', max(event_id)) AS latest_hex
+        |FROM events""".stripMargin,
+
+    "el_hex_roundtrip" ->
+      """SELECT event_id AS version, printf('%x', event_id) AS version_hex,
+        |  event_id AS parsed
+        |FROM events ORDER BY version""".stripMargin,
+
+    // corpus-specific: props never contain spaces inside strings
+    "el_minify" ->
+      """SELECT event_id AS version, replace(props, ' ', '') AS payload_min
+        |FROM events ORDER BY version""".stripMargin,
+
+    "el_validate" ->
+      """SELECT event_id AS version,
+        |  (length(event_type) <= 65535
+        |   AND regexp_matches(event_type, '^[A-Za-z0-9_.~%-]*$')) AS label_ok,
+        |  (json_valid(props) AND regexp_matches(props, '^\s*\{')
+        |   AND NOT regexp_matches(props, '^\s*\{\s*\}\s*$')) AS payload_ok
+        |FROM events ORDER BY version""".stripMargin,
+
+    "el_rfc3339" ->
+      """SELECT event_id AS version,
+        |  strftime(ts, '%Y-%m-%dT%H:%M:%S') || 'Z' AS time_rfc3339
+        |FROM events ORDER BY version""".stripMargin,
+
+    "el_integrity" ->
+      """WITH chain AS (
+        |  SELECT event_id AS version, epoch_ns(ts) AS ts_ns,
+        |    event_type AS label, props AS payload,
+        |    lag(event_id) OVER (ORDER BY event_id) AS prev_v,
+        |    lag(epoch_ns(ts)) OVER (ORDER BY event_id) AS prev_ts
+        |  FROM events)
+        |SELECT count(*) AS n,
+        |  sum(CASE WHEN prev_v IS NULL OR version = prev_v + 1 THEN 0 ELSE 1 END) AS chain_violations,
+        |  sum(CASE WHEN prev_ts IS NULL OR ts_ns >= prev_ts THEN 0 ELSE 1 END) AS time_violations,
+        |  sum(CASE WHEN json_valid(payload) AND regexp_matches(payload, '^\s*\{')
+        |           AND NOT regexp_matches(payload, '^\s*\{\s*\}\s*$') THEN 0 ELSE 1 END) AS payload_violations,
+        |  sum(CASE WHEN length(label) <= 65535
+        |           AND regexp_matches(label, '^[A-Za-z0-9_.~%-]*$') THEN 0 ELSE 1 END) AS label_violations
+        |FROM chain""".stripMargin,
+
+    "events_sessionize" ->
+      """WITH g AS (
+        |  SELECT user_id, event_id, epoch_ns(ts) AS t,
+        |    lag(epoch_ns(ts)) OVER (PARTITION BY user_id ORDER BY epoch_ns(ts), event_id) AS prev_t
+        |  FROM events),
+        |m AS (
+        |  SELECT user_id, event_id, t,
+        |    CASE WHEN prev_t IS NULL OR t - prev_t > 1800000000000 THEN 1 ELSE 0 END AS is_new
+        |  FROM g),
+        |sess AS (
+        |  SELECT user_id, event_id, t,
+        |    sum(is_new) OVER (PARTITION BY user_id ORDER BY t, event_id
+        |                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |  FROM m)
+        |SELECT user_id, session_id, count(*) AS n_events,
+        |  min(t) AS t_start, max(t) AS t_end
+        |FROM sess GROUP BY user_id, session_id
+        |ORDER BY user_id, session_id""".stripMargin,
+
+    "events_window_agg" ->
+      """SELECT epoch_ns(ts) // 3600000000000 AS hour_bucket, event_type,
+        |  count(*) AS n,
+        |  sum(cast(value AS decimal(18,2))) AS total_value
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+  )
+}

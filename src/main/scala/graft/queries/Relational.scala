@@ -1,0 +1,318 @@
+package graft.queries
+
+import graft.util.Tables
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+
+/** Relational extension surface (SURVEY.md §2.9): joins, aggregations,
+  * windows, set ops, as-of join — all declarative DataFrame plans so Catalyst
+  * gets pushdown/pruning/join-reordering for free.
+  *
+  * Money sums are cast to decimal(18,2) per row BEFORE aggregation in both
+  * the Spark plan and the DuckDB oracle: decimal sums are exact, so results
+  * are bit-identical regardless of aggregation order / parallelism. Raw
+  * double arithmetic in row scope is fine (same per-row operands on both
+  * engines -> identical bits).
+  */
+object Relational {
+  type Q = (SparkSession, String) => DataFrame
+
+  private def dec(c: Column): Column = c.cast("decimal(18,2)")
+
+  val queries: Map[String, Q] = Map(
+    "q1_agg" -> { (s, dir) =>
+      val li = Tables(s, dir, "lineitem")
+      li.filter(col("l_shipdate") < lit("1998-12-01").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          sum(dec(col("l_quantity"))).as("sum_qty"),
+          sum(dec(col("l_extendedprice"))).as("sum_base_price"),
+          sum(dec(col("l_extendedprice") * (lit(1.0) - col("l_discount"))))
+            .as("sum_disc_price"),
+          sum(dec(col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+            * (lit(1.0) + col("l_tax")))).as("sum_charge"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")
+    },
+
+    "q3_topk_join" -> { (s, dir) =>
+      val c = Tables(s, dir, "customer")
+      val o = Tables(s, dir, "orders")
+        .filter(col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+      val li = Tables(s, dir, "lineitem")
+        .filter(col("l_shipdate") > lit("1998-01-01").cast("timestamp"))
+      li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .groupBy(col("l_orderkey"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("orderdate"))
+        .agg(sum(dec(col("l_extendedprice") * (lit(1.0) - col("l_discount"))))
+          .as("revenue"))
+        .orderBy(col("revenue").desc, col("l_orderkey"))
+        .limit(10)
+        .select("l_orderkey", "revenue", "orderdate")
+    },
+
+    "q5_multijoin" -> { (s, dir) =>
+      val c = Tables(s, dir, "customer")
+      val o = Tables(s, dir, "orders")
+        .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp"))
+        .filter(col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+      val li = Tables(s, dir, "lineitem")
+      val su = Tables(s, dir, "supplier")
+      val n = Tables(s, dir, "nation")
+      val r = Tables(s, dir, "region").filter(col("r_name") === "ASIA")
+      li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .join(broadcast(su),
+          li("l_suppkey") === su("s_suppkey")
+            && c("c_nationkey") === su("s_nationkey"))
+        .join(broadcast(n), su("s_nationkey") === n("n_nationkey"))
+        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .groupBy("n_name")
+        .agg(sum(dec(col("l_extendedprice") * (lit(1.0) - col("l_discount"))))
+          .as("revenue"))
+        .orderBy(col("revenue").desc, col("n_name"))
+    },
+
+    "join_semi" -> { (s, dir) =>
+      val c = Tables(s, dir, "customer")
+      val o = Tables(s, dir, "orders")
+        .filter(col("o_totalprice") > 100000.0)
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    },
+
+    "join_anti" -> { (s, dir) =>
+      val c = Tables(s, dir, "customer")
+      val o = Tables(s, dir, "orders")
+        .filter(col("o_totalprice") > 350000.0)
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    },
+
+    "window_rank" -> { (s, dir) =>
+      val o = Tables(s, dir, "orders")
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      o.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+        .orderBy("o_custkey", "rn")
+    },
+
+    "window_running" -> { (s, dir) =>
+      val li = Tables(s, dir, "lineitem").filter(col("l_suppkey") <= 5)
+      val w = Window.partitionBy(col("l_suppkey"))
+        .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      li.withColumn("running_qty", sum(dec(col("l_quantity"))).over(w))
+        .select("l_suppkey", "l_orderkey", "l_linenumber", "running_qty")
+        .orderBy("l_suppkey", "l_orderkey", "l_linenumber")
+    },
+
+    "agg_rollup" -> { (s, dir) =>
+      val c = Tables(s, dir, "customer")
+      val n = Tables(s, dir, "nation")
+      val r = Tables(s, dir, "region")
+      // ROLLUP goes through the SQL path: Spark 4's ambiguous-self-join
+      // detector false-positives on DataFrame rollup+select over the joined
+      // attrs, while the SQL resolver handles the same plan fine.
+      c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .select(col("r_name"), col("n_name"), col("c_acctbal"))
+        .createOrReplaceTempView("graft_rollup_src")
+      s.sql(
+        """SELECT coalesce(r_name, 'ALL') AS region_name,
+          |  coalesce(n_name, 'ALL') AS nation_name,
+          |  count(1) AS n_customers,
+          |  sum(cast(c_acctbal AS decimal(18,2))) AS total_bal
+          |FROM graft_rollup_src
+          |GROUP BY ROLLUP(r_name, n_name)
+          |ORDER BY region_name, nation_name""".stripMargin)
+    },
+
+    "set_ops" -> { (s, dir) =>
+      val n = Tables(s, dir, "nation")
+      val c = Tables(s, dir, "customer")
+      val su = Tables(s, dir, "supplier")
+      val custNations = n.join(c, c("c_nationkey") === n("n_nationkey"))
+        .select("n_name").distinct()
+      val suppNations = n.join(su, su("s_nationkey") === n("n_nationkey"))
+        .select("n_name").distinct()
+      val u = custNations.union(suppNations).distinct()
+        .select(lit("union").as("op"), col("n_name"))
+      val i = custNations.intersect(suppNations)
+        .select(lit("intersect").as("op"), col("n_name"))
+      val e = custNations.except(suppNations)
+        .select(lit("except").as("op"), col("n_name"))
+      u.union(i).union(e).orderBy("op", "n_name")
+    },
+
+    "agg_distinct" -> { (s, dir) =>
+      Tables(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          countDistinct(col("l_partkey")).as("distinct_parts"),
+          countDistinct(col("l_suppkey")).as("distinct_supps"),
+          count(lit(1)).as("n"))
+        .orderBy("l_returnflag")
+    },
+
+    // HyperLogLog sketch counterpart of agg_distinct; sketches differ across
+    // engines so the driver records a rows-only check (no oracle entry).
+    "agg_approx_distinct" -> { (s, dir) =>
+      Tables(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"))
+        .orderBy("l_returnflag")
+    },
+
+    // As-of join via union + window (single shuffle on the key; no range-join
+    // row blowup — the scalable formulation for 100TB). Oracle: DuckDB's
+    // native ASOF LEFT JOIN.
+    "asof_join" -> { (s, dir) =>
+      val ev = Tables(s, dir, "events")
+      val o = Tables(s, dir, "orders")
+      val wDedup = Window.partitionBy(col("o_custkey"), col("o_orderdate"))
+        .orderBy(col("o_orderkey").desc)
+      val o2 = o.withColumn("rn", row_number().over(wDedup))
+        .filter(col("rn") === 1)
+      val ordSide = o2.select(
+        col("o_custkey").as("k"),
+        // cast: parquet may carry TIMESTAMP_NTZ; session TZ is UTC so the
+        // NTZ->TZ cast is the identity on the wall clock.
+        (unix_micros(col("o_orderdate").cast("timestamp")) * 1000).as("t"),
+        lit(0).as("is_evt"),
+        col("o_orderkey").as("okey"),
+        col("o_totalprice").as("oprice"),
+        lit(null).cast("long").as("event_id"))
+      val evtSide = ev.select(
+        col("user_id").as("k"),
+        col("ts").as("t"), // ns epoch (LongType via nanosAsLong)
+        lit(1).as("is_evt"),
+        lit(null).cast("long").as("okey"),
+        lit(null).cast("double").as("oprice"),
+        col("event_id"))
+      val w = Window.partitionBy(col("k")).orderBy(col("t"), col("is_evt"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      ordSide.unionByName(evtSide)
+        .withColumn("last_orderkey", last(col("okey"), ignoreNulls = true).over(w))
+        .withColumn("last_totalprice", last(col("oprice"), ignoreNulls = true).over(w))
+        .filter(col("is_evt") === 1)
+        .select(col("event_id"), col("k").as("user_id"),
+          col("last_orderkey"), col("last_totalprice"))
+        .orderBy("event_id")
+    }
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  sum(cast(l_quantity AS decimal(18,2))) AS sum_qty,
+        |  sum(cast(l_extendedprice AS decimal(18,2))) AS sum_base_price,
+        |  sum(cast(l_extendedprice*(1.0-l_discount) AS decimal(18,2))) AS sum_disc_price,
+        |  sum(cast(l_extendedprice*(1.0-l_discount)*(1.0+l_tax) AS decimal(18,2))) AS sum_charge,
+        |  count(*) AS count_order
+        |FROM lineitem WHERE l_shipdate < timestamp '1998-12-01'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q3_topk_join" ->
+      """SELECT l_orderkey,
+        |  sum(cast(l_extendedprice*(1.0-l_discount) AS decimal(18,2))) AS revenue,
+        |  strftime(o_orderdate, '%Y-%m-%d') AS orderdate
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |WHERE o_orderdate < timestamp '1998-01-01'
+        |  AND l_shipdate > timestamp '1998-01-01'
+        |GROUP BY l_orderkey, o_orderdate
+        |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
+
+    "q5_multijoin" ->
+      """SELECT n_name,
+        |  sum(cast(l_extendedprice*(1.0-l_discount) AS decimal(18,2))) AS revenue
+        |FROM customer, orders, lineitem, supplier, nation, region
+        |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+        |  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+        |  AND r_name = 'ASIA'
+        |  AND o_orderdate >= timestamp '1996-01-01'
+        |  AND o_orderdate < timestamp '1998-01-01'
+        |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin,
+
+    "join_semi" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |              WHERE o_custkey = c_custkey AND o_totalprice > 100000.0)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "join_anti" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey AND o_totalprice > 350000.0)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "window_rank" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_custkey
+        |                       ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |  FROM orders) t
+        |WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin,
+
+    "window_running" ->
+      """SELECT l_suppkey, l_orderkey, l_linenumber,
+        |  sum(cast(l_quantity AS decimal(18,2))) OVER (
+        |    PARTITION BY l_suppkey
+        |    ORDER BY l_shipdate, l_orderkey, l_linenumber
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_qty
+        |FROM lineitem WHERE l_suppkey <= 5
+        |ORDER BY l_suppkey, l_orderkey, l_linenumber""".stripMargin,
+
+    "agg_rollup" ->
+      """SELECT coalesce(r_name, 'ALL') AS region_name,
+        |  coalesce(n_name, 'ALL') AS nation_name,
+        |  count(*) AS n_customers,
+        |  sum(cast(c_acctbal AS decimal(18,2))) AS total_bal
+        |FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY ROLLUP(r_name, n_name)
+        |ORDER BY region_name, nation_name""".stripMargin,
+
+    "set_ops" ->
+      """WITH cn AS (SELECT DISTINCT n_name FROM nation JOIN customer ON c_nationkey = n_nationkey),
+        |     sn AS (SELECT DISTINCT n_name FROM nation JOIN supplier ON s_nationkey = n_nationkey)
+        |SELECT 'union' AS op, n_name FROM (SELECT n_name FROM cn UNION SELECT n_name FROM sn) u
+        |UNION ALL
+        |SELECT 'intersect' AS op, n_name FROM (SELECT n_name FROM cn INTERSECT SELECT n_name FROM sn) i
+        |UNION ALL
+        |SELECT 'except' AS op, n_name FROM (SELECT n_name FROM cn EXCEPT SELECT n_name FROM sn) e
+        |ORDER BY op, n_name""".stripMargin,
+
+    "agg_distinct" ->
+      """SELECT l_returnflag,
+        |  count(DISTINCT l_partkey) AS distinct_parts,
+        |  count(DISTINCT l_suppkey) AS distinct_supps,
+        |  count(*) AS n
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "asof_join" ->
+      """WITH o2 AS (
+        |  SELECT * FROM (
+        |    SELECT o_custkey, o_orderdate, o_orderkey, o_totalprice,
+        |      row_number() OVER (PARTITION BY o_custkey, o_orderdate
+        |                         ORDER BY o_orderkey DESC) AS rn
+        |    FROM orders) t WHERE rn = 1)
+        |SELECT e.event_id, e.user_id,
+        |  o.o_orderkey AS last_orderkey, o.o_totalprice AS last_totalprice
+        |FROM events e
+        |ASOF LEFT JOIN o2 o
+        |  ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+        |ORDER BY e.event_id""".stripMargin
+  )
+}

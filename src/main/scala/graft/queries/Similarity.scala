@@ -1,0 +1,109 @@
+package graft.queries
+
+import graft.util.Tables
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+
+/** Similarity search over embeddings: brute-force cosine top-k baseline and
+  * an IVF-style pruned variant (coarse cell = `label`, i.e. probe-1). Both
+  * compute dot/norm as a LEFT fold in double precision so Spark and the
+  * DuckDB oracle produce bit-identical floats:
+  *   Spark  : aggregate(zip_with(a,b,(x,y)->x*y), 0d, (acc,x)->acc+x)
+  *   DuckDB : list_reduce(list_transform(range(...), i->a[i]*b[i]), (x,y)->x+y)
+  * (0.0 + e1 == e1 exactly, so the two folds match term for term.)
+  */
+object Similarity {
+  type Q = (SparkSession, String) => DataFrame
+
+  private val TopK = 5
+  private val NumQueries = 5
+
+  private def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  private def norm(a: Column): Column =
+    sqrt(aggregate(transform(a, x => x * x), lit(0.0), (acc, x) => acc + x))
+
+  /** Cosine similarity with deterministic fold order (arrays of double). */
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** DuckDB rendering of the same computation, same fold order. */
+  def cosineSql(a: String, b: String): String = {
+    def dotSql(x: String, y: String) =
+      s"list_reduce(list_transform(range(1, len($x) + 1), i -> $x[i] * $y[i]), (acc, v) -> acc + v)"
+    s"(${dotSql(a, b)} / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)})))"
+  }
+
+  val queries: Map[String, Q] = Map(
+    // Brute-force cosine top-k: broadcast the (small) query set, stream over
+    // all candidates — one pass, no shuffle of the big side.
+    "ann_cosine_topk" -> { (s, dir) =>
+      val e = Tables(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      val q = e.filter(col("vec_id") < NumQueries)
+        .select(col("vec_id").as("q_id"), col("v").as("qv"))
+      val w = Window.partitionBy(col("q_id"))
+        .orderBy(col("cosine").desc, col("n_id"))
+      e.select(col("vec_id").as("n_id"), col("v").as("nv"))
+        .crossJoin(broadcast(q))
+        .filter(col("n_id") =!= col("q_id"))
+        .withColumn("cosine", cosine(col("qv"), col("nv")))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= TopK)
+        .select("q_id", "n_id", "rank", "cosine")
+        .orderBy("q_id", "rank")
+    },
+
+    // IVF-style ANN: probe only the query's own coarse cell (label column as
+    // the IVF cell id) — the 100TB scale path: candidates shrink by the
+    // number of cells; recall trades against probes.
+    "ann_ivf_topk" -> { (s, dir) =>
+      val e = Tables(s, dir, "embeddings")
+        .select(col("vec_id"), col("label"),
+          col("embedding").cast("array<double>").as("v"))
+      val q = e.filter(col("vec_id") < NumQueries)
+        .select(col("vec_id").as("q_id"), col("label"), col("v").as("qv"))
+      val w = Window.partitionBy(col("q_id"))
+        .orderBy(col("cosine").desc, col("n_id"))
+      e.select(col("vec_id").as("n_id"), col("label"), col("v").as("nv"))
+        .join(broadcast(q), Seq("label"))
+        .filter(col("n_id") =!= col("q_id"))
+        .withColumn("cosine", cosine(col("qv"), col("nv")))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= TopK)
+        .select("q_id", "label", "n_id", "rank", "cosine")
+        .orderBy("q_id", "rank")
+    }
+  )
+
+  val oracle: Map[String, String] = Map(
+    "ann_cosine_topk" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < $NumQueries),
+         |scored AS (
+         |  SELECT q.q_id, e.vec_id AS n_id,
+         |    ${cosineSql("q.qv", "e.v")} AS cosine
+         |  FROM e CROSS JOIN q WHERE e.vec_id <> q.q_id),
+         |ranked AS (
+         |  SELECT q_id, n_id, cosine,
+         |    row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, n_id) AS rank
+         |  FROM scored)
+         |SELECT q_id, n_id, rank, cosine FROM ranked
+         |WHERE rank <= $TopK ORDER BY q_id, rank""".stripMargin,
+
+    "ann_ivf_topk" ->
+      s"""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |q AS (SELECT vec_id AS q_id, label, v AS qv FROM e WHERE vec_id < $NumQueries),
+         |scored AS (
+         |  SELECT q.q_id, q.label, e.vec_id AS n_id,
+         |    ${cosineSql("q.qv", "e.v")} AS cosine
+         |  FROM e JOIN q ON e.label = q.label WHERE e.vec_id <> q.q_id),
+         |ranked AS (
+         |  SELECT q_id, label, n_id, cosine,
+         |    row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, n_id) AS rank
+         |  FROM scored)
+         |SELECT q_id, label, n_id, rank, cosine FROM ranked
+         |WHERE rank <= $TopK ORDER BY q_id, rank""".stripMargin
+  )
+}

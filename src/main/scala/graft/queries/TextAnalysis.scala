@@ -1,0 +1,174 @@
+package graft.queries
+
+import graft.util.Tables
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+
+/** Text-analysis operators for training-data pipelines: language ID
+  * (marker-lexicon heuristic), quality scoring, token counting (whitespace +
+  * BPE-ish regex), and document fingerprinting via normalization + md5.
+  * Everything is int/string-exact or single-expression double math so the
+  * DuckDB oracle reproduces results bit-for-bit.
+  */
+object TextAnalysis {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Marker-word lexicon for the n-gram/stopword language-ID heuristic. */
+  private val Lexicon: Seq[(String, String)] = Seq(
+    "en" -> "the", "en" -> "a", "en" -> "fast", "en" -> "slow",
+    "es" -> "data", "es" -> "table", "es" -> "row",
+    "de" -> "group", "de" -> "sort", "de" -> "key",
+    "fr" -> "join", "fr" -> "merge", "fr" -> "filter",
+    "zh" -> "spark", "zh" -> "query", "zh" -> "stream")
+
+  private val Stopwords = Seq("the", "a", "of", "to", "in", "is", "and")
+
+  private def toks(c: Column): Column = split(c, "\\s+")
+
+  /** BPE-ish pre-tokenizer: letter runs, digit runs, single symbols. */
+  private val BpeRegex = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+
+  val queries: Map[String, Q] = Map(
+    // Language ID: count marker-lexicon hits per language, argmax with
+    // deterministic tie-break; 'und' when nothing matches. Lexicon join is a
+    // broadcast — no shuffle of the corpus.
+    "text_langid" -> { (s, dir) =>
+      import s.implicits._
+      val d = Tables(s, dir, "documents")
+      val lex = Lexicon.toDF("cand_lang", "marker")
+      val tokens = d.select(col("doc_id"), explode(toks(col("text"))).as("tok"))
+      val hits = tokens.join(broadcast(lex), col("tok") === col("marker"))
+        .groupBy("doc_id", "cand_lang")
+        .agg(count(lit(1)).as("cnt"))
+      val w = Window.partitionBy(col("doc_id"))
+        .orderBy(col("cnt").desc, col("cand_lang"))
+      val best = hits.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("doc_id"), col("cand_lang"), col("cnt"))
+      d.select(col("doc_id"), col("lang").as("declared_lang"))
+        .join(best, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("declared_lang"),
+          coalesce(col("cand_lang"), lit("und")).as("pred_lang"),
+          coalesce(col("cnt"), lit(0L)).as("marker_hits"))
+        .orderBy("doc_id")
+    },
+
+    // Quality scoring: structural counts + a deterministic combined score.
+    "text_quality" -> { (s, dir) =>
+      val d = Tables(s, dir, "documents")
+      val words = d.select(col("doc_id"), explode(toks(col("text"))).as("tok"))
+      val stops = words.groupBy("doc_id").agg(
+        count(lit(1)).as("n_words"),
+        sum(when(col("tok").isin(Stopwords: _*), 1).otherwise(0)).as("n_stop"))
+      d.select(col("doc_id"),
+        length(col("text")).as("n_chars"),
+        length(regexp_replace(col("text"), "[^.,;:!?]", "")).as("n_punct"))
+        .join(stops, "doc_id")
+        .withColumn("avg_word_len",
+          (col("n_chars") - (col("n_words") - 1)).cast("double") / col("n_words"))
+        .withColumn("stop_ratio", col("n_stop").cast("double") / col("n_words"))
+        .select("doc_id", "n_chars", "n_words", "n_punct", "n_stop",
+          "avg_word_len", "stop_ratio")
+        .orderBy("doc_id")
+    },
+
+    // Token counting: whitespace tokens + BPE-ish regex pre-tokens.
+    "text_tokens" -> { (s, dir) =>
+      val d = Tables(s, dir, "documents")
+      d.select(col("doc_id"),
+        size(toks(col("text"))).as("ws_tokens"),
+        size(regexp_extract_all(col("text"), lit(BpeRegex), lit(0))).as("bpe_tokens"))
+        .orderBy("doc_id")
+    },
+
+    // Fingerprinting: normalize (lowercase, strip punct, collapse ws) -> md5;
+    // 4-hex-char prefix as the shard bucket.
+    "text_fingerprint" -> { (s, dir) =>
+      val d = Tables(s, dir, "documents")
+      val normalized = trim(regexp_replace(
+        regexp_replace(lower(col("text")), "[^a-z0-9 ]", ""), " +", " "))
+      d.select(col("doc_id"),
+        md5(normalized).as("fingerprint"),
+        substring(md5(normalized), 1, 4).as("bucket"))
+        .orderBy("doc_id")
+    },
+
+    // Multimodal plumbing: opaque binary column + typed metadata extraction.
+    // The real decode would be a mapPartitions batch op over the binary
+    // column (see graft.multimodal.MultimodalPipeline); here the "decode" is
+    // the deterministic stub so the schema/plumbing is exercised end-to-end.
+    "multimodal_meta" -> { (s, dir) =>
+      val d = Tables(s, dir, "documents")
+      d.select(col("doc_id"), encode(col("text"), "utf-8").as("blob"),
+        col("source"))
+        .withColumn("n_bytes", length(col("blob")))
+        .withColumn("media_type",
+          when(col("n_bytes") % 3 === 0, "image")
+            .when(col("n_bytes") % 3 === 1, "audio")
+            .otherwise("video"))
+        // deterministic fake decode (no media libs in this environment):
+        .withColumn("width", (col("n_bytes") % 640).cast("int"))
+        .withColumn("height", ((col("n_bytes") * 7) % 480).cast("int"))
+        .select("doc_id", "source", "n_bytes", "media_type", "width", "height")
+        .orderBy("doc_id")
+    }
+  )
+
+  private val lexiconValues =
+    Lexicon.map { case (l, m) => s"('$l', '$m')" }.mkString(", ")
+
+  private val stopList = Stopwords.map(w => s"'$w'").mkString(", ")
+
+  val oracle: Map[String, String] = Map(
+    "text_langid" ->
+      s"""WITH lex(cand_lang, marker) AS (VALUES $lexiconValues),
+         |tokens AS (SELECT doc_id, unnest(string_split_regex(text, '\\s+')) AS tok FROM documents),
+         |hits AS (SELECT doc_id, cand_lang, count(*) AS cnt
+         |  FROM tokens JOIN lex ON tok = marker GROUP BY 1, 2),
+         |best AS (SELECT doc_id, cand_lang, cnt,
+         |    row_number() OVER (PARTITION BY doc_id ORDER BY cnt DESC, cand_lang) AS rn
+         |  FROM hits)
+         |SELECT d.doc_id, d.lang AS declared_lang,
+         |  coalesce(b.cand_lang, 'und') AS pred_lang,
+         |  coalesce(b.cnt, 0) AS marker_hits
+         |FROM documents d LEFT JOIN (SELECT * FROM best WHERE rn = 1) b
+         |  ON d.doc_id = b.doc_id
+         |ORDER BY d.doc_id""".stripMargin,
+
+    "text_quality" ->
+      s"""WITH words AS (SELECT doc_id, unnest(string_split_regex(text, '\\s+')) AS tok FROM documents),
+         |stops AS (SELECT doc_id, count(*) AS n_words,
+         |    sum(CASE WHEN tok IN ($stopList) THEN 1 ELSE 0 END) AS n_stop
+         |  FROM words GROUP BY 1)
+         |SELECT d.doc_id, length(d.text) AS n_chars,
+         |  length(regexp_replace(d.text, '[^.,;:!?]', '', 'g')) AS n_punct,
+         |  s.n_words, s.n_stop,
+         |  (length(d.text) - (s.n_words - 1)) * 1.0 / s.n_words AS avg_word_len,
+         |  s.n_stop * 1.0 / s.n_words AS stop_ratio
+         |FROM documents d JOIN stops s ON d.doc_id = s.doc_id
+         |ORDER BY d.doc_id""".stripMargin,
+
+    "text_tokens" ->
+      """SELECT doc_id,
+        |  len(string_split_regex(text, '\s+')) AS ws_tokens,
+        |  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS bpe_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "text_fingerprint" ->
+      """SELECT doc_id,
+        |  md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS fingerprint,
+        |  substr(md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))), 1, 4) AS bucket
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "multimodal_meta" ->
+      """SELECT doc_id, source,
+        |  octet_length(encode(text)) AS n_bytes,
+        |  CASE WHEN octet_length(encode(text)) % 3 = 0 THEN 'image'
+        |       WHEN octet_length(encode(text)) % 3 = 1 THEN 'audio'
+        |       ELSE 'video' END AS media_type,
+        |  CAST(octet_length(encode(text)) % 640 AS INT) AS width,
+        |  CAST((octet_length(encode(text)) * 7) % 480 AS INT) AS height
+        |FROM documents ORDER BY doc_id""".stripMargin
+  )
+}

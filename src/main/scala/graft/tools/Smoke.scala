@@ -1,0 +1,28 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** Dev-only smoke: print schemas of all testdata tables as Spark sees them. */
+object Smoke {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession
+      .builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val dir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.001"
+    for (t <- Seq("lineitem", "orders", "events", "documents", "embeddings")) {
+      try {
+        val df = spark.read.parquet(s"$dir/$t.parquet")
+        println(s"== $t: ${df.schema.simpleString}")
+        df.show(2, 60)
+      } catch {
+        case e: Throwable => println(s"== $t FAILED: ${e.getMessage.take(300)}")
+      }
+    }
+    spark.stop()
+  }
+}

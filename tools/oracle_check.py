@@ -1,0 +1,86 @@
+#!/usr/bin/env python3
+"""Local mimic of the driver's correctness gate.
+
+Usage: python3 tools/oracle_check.py <sfDir> <verifyOutDir> [query ...]
+
+Reads each <verifyOutDir>/<name> parquet (Spark result), runs the matching
+oracle SQL from <verifyOutDir>/oracle_sql.json in DuckDB with views named
+after the testdata tables, sorts columns by name and rows by all columns,
+and compares cell values.
+"""
+import sys, json, glob, os
+import duckdb
+import pandas as pd
+
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+def norm(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    for c in df.columns:
+        if pd.api.types.is_datetime64_any_dtype(df[c]):
+            df[c] = df[c].astype("datetime64[us]")
+        if pd.api.types.is_float_dtype(df[c]):
+            df[c] = df[c].round(9)
+        if df[c].dtype == object:
+            df[c] = df[c].map(lambda v: float(v) if type(v).__name__ == "Decimal" else v)
+            if pd.api.types.is_float_dtype(df[c]):
+                df[c] = df[c].round(9)
+    df = df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
+    return df
+
+def main():
+    sf_dir, out_dir = sys.argv[1], sys.argv[2]
+    only = set(sys.argv[3:])
+    con = duckdb.connect()
+    for t in TABLES:
+        p = f"{sf_dir}/{t}.parquet"
+        if os.path.exists(p):
+            con.sql(f"create view {t} as select * from read_parquet('{p}')")
+    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    n_pass = n_fail = n_noop = 0
+    # A query that failed in Verify writes no result dir — that's a FAIL,
+    # not a skip.
+    for name in sorted(oracle):
+        if (not only or name in only) and not os.path.isdir(os.path.join(out_dir, name)):
+            print(f"  X {name}: NO SPARK RESULT (query failed in Verify)")
+            n_fail += 1
+    for name in sorted(os.listdir(out_dir)):
+        d = os.path.join(out_dir, name)
+        if not os.path.isdir(d) or (only and name not in only):
+            continue
+        files = glob.glob(f"{d}/*.parquet")
+        got = pd.concat([pd.read_parquet(f) for f in files]) if files else pd.DataFrame()
+        if name not in oracle:
+            print(f"  ~ {name}: rows={len(got)} (no oracle, rows-only)")
+            n_noop += 1
+            continue
+        try:
+            exp = con.sql(oracle[name]).df()
+        except Exception as e:
+            print(f"  X {name}: ORACLE SQL ERROR: {str(e).splitlines()[0][:200]}")
+            n_fail += 1
+            continue
+        g, e = norm(got), norm(exp)
+        if list(g.columns) != list(e.columns):
+            print(f"  X {name}: COLUMNS spark={list(g.columns)} oracle={list(e.columns)}")
+            n_fail += 1
+            continue
+        if len(g) != len(e):
+            print(f"  X {name}: ROWS spark={len(g)} oracle={len(e)}")
+            n_fail += 1
+            continue
+        try:
+            pd.testing.assert_frame_equal(g, e, check_dtype=False, check_exact=False, rtol=1e-7, atol=1e-9)
+            print(f"  ✓ {name}: rows={len(g)}")
+            n_pass += 1
+        except AssertionError as ex:
+            print(f"  X {name}: VALUES differ: {str(ex).splitlines()[-1][:200]}")
+            diff = g.compare(e) if g.shape == e.shape else None
+            if diff is not None and len(diff):
+                print(diff.head(5).to_string()[:1500])
+            n_fail += 1
+    print(f"PASS={n_pass} FAIL={n_fail} ROWS_ONLY={n_noop}")
+    sys.exit(1 if n_fail else 0)
+
+if __name__ == "__main__":
+    main()
