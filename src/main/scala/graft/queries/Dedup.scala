@@ -21,17 +21,49 @@ object Dedup {
   /** Whitespace tokens. */
   private def toks(c: Column): Column = split(c, "\\s+")
 
-  /** Word 3-gram shingles; whole text if shorter than 3 words. */
-  private def shingles(w: Column): Column =
-    when(size(w) < 3, array(array_join(w, " ")))
-      .otherwise(transform(sequence(lit(1), size(w) - 2), i =>
-        concat_ws(" ", element_at(w, i), element_at(w, i + 1), element_at(w, i + 2))))
 
-  /** MinHash j = lexicographic min of md5(j ++ ":" ++ shingle) — a valid
-    * minhash family that both engines compute identically. */
-  private def minhashes(sh: Column): Column =
-    transform(sequence(lit(0), lit(NumHashes - 1)), j =>
-      array_min(transform(sh, sg => md5(concat(j.cast("string"), lit(":"), sg)))))
+  /** 32-bit shingle hash = first 8 hex digits of md5, one md5 per shingle.
+    * The 12 minhashes are affine maps ((2j+1)*h + j*C) mod p over it — a
+    * standard universal family both engines compute identically in int64. */
+  private def shingleHash(sg: Column): Column =
+    conv(substring(md5(sg), 1, 8), 16, 10).cast("long")
+
+  private val MinhashP = 2147483647L
+  private val MinhashC = 12582917L
+
+  /** Row-wise shingle table: (doc_id, s). Shingles are built with posexplode
+    * + lead windows instead of nested array lambdas — higher-order functions
+    * re-evaluate their captured subtrees per element (quadratic blowup) and
+    * fall out of whole-stage codegen, while this shape stays fully codegen'd
+    * and scales linearly: explode is narrow, the window shuffles once on
+    * doc_id. */
+  private def shingleRows(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables(s, dir, "documents")
+    val words = d.select(col("doc_id"),
+      posexplode(split(col("text"), "\\s+")).as(Seq("pos", "word")))
+    val wd = Window.partitionBy("doc_id").orderBy("pos")
+    val nw = Window.partitionBy("doc_id")
+    words
+      .withColumn("w1", lead(col("word"), 1).over(wd))
+      .withColumn("w2", lead(col("word"), 2).over(wd))
+      .withColumn("n", count(lit(1)).over(nw))
+      // n<3: single shingle = whole text (concat_ws skips the null leads)
+      .withColumn("s", concat_ws(" ", col("word"), col("w1"), col("w2")))
+      .filter((col("n") >= 3 && col("w2").isNotNull)
+        || (col("n") < 3 && col("pos") === 0))
+      .select(col("doc_id"), col("s"))
+  }
+
+  /** MinHash signature table: (doc_id, mins array<long>[12]) via 12 min-aggs
+    * over the per-shingle hash — partial (map-side) aggregation, one shuffle. */
+  private def minhashTable(s: SparkSession, dir: String): DataFrame = {
+    val hashed = shingleRows(s, dir)
+      .select(col("doc_id"), shingleHash(col("s")).as("h"))
+    hashed.groupBy("doc_id")
+      .agg(array((0 until NumHashes).map(j =>
+        min((col("h") * (j * 2 + 1) + lit(j.toLong * MinhashC)) % MinhashP)): _*)
+        .as("mins"))
+  }
 
   val queries: Map[String, Q] = Map(
     // Exact dedup: content-hash grouping, min doc_id is the keeper.
@@ -45,27 +77,29 @@ object Dedup {
         .orderBy("doc_id")
     },
 
-    // MinHash + LSH: shingle -> 12 minhashes -> 3 bands of 4 -> bucket join
-    // for candidates -> verify by minhash agreement >= 0.5. The band join is
-    // the only shuffle over pairs and is bounded by bucket size.
+    // MinHash + LSH: shingle -> one md5 -> 12 affine minhashes -> 3 bands of
+    // 4 -> bucket join for candidates -> verify by minhash agreement >= 0.5.
+    // The signature table is computed ONCE (tiny: one 12-long array per doc);
+    // the band join shuffles only (doc_id, band-key) pairs, and signatures
+    // are joined back onto the deduped candidate pairs — at 100TB the pair
+    // shuffle stays narrow and the signature table broadcasts.
     "dedup_minhash_lsh" -> { (s, dir) =>
-      val d = Tables(s, dir, "documents")
-        .select(col("doc_id"), minhashes(shingles(toks(col("text")))).as("mins"))
-      val bands = d.select(col("doc_id"), col("mins"),
+      val mins = minhashTable(s, dir)
+      val bands = mins.select(col("doc_id"),
         explode(transform(sequence(lit(0), lit(NumBands - 1)), b =>
-          struct(b.as("band"), md5(concat_ws("|",
+          struct(b.as("band"), concat_ws("|",
             (0 until RowsPerBand).map(r =>
-              element_at(col("mins"), b * RowsPerBand + r + 1)): _*)).as("bkey"))))
+              element_at(col("mins"), b * RowsPerBand + r + 1)): _*).as("bkey"))))
           .as("bk"))
-        .select(col("doc_id"), col("mins"),
-          col("bk.band").as("band"), col("bk.bkey").as("bkey"))
-      val a = bands.select(col("doc_id").as("doc_a"), col("mins").as("mins_a"),
-        col("band"), col("bkey"))
-      val b = bands.select(col("doc_id").as("doc_b"), col("mins").as("mins_b"),
-        col("band"), col("bkey"))
-      a.join(b, Seq("band", "bkey"))
+        .select(col("doc_id"), col("bk.band").as("band"), col("bk.bkey").as("bkey"))
+      val cand = bands.select(col("doc_id").as("doc_a"), col("band"), col("bkey"))
+        .join(bands.select(col("doc_id").as("doc_b"), col("band"), col("bkey")),
+          Seq("band", "bkey"))
         .filter(col("doc_a") < col("doc_b"))
-        .select("doc_a", "doc_b", "mins_a", "mins_b").distinct()
+        .select("doc_a", "doc_b").distinct()
+      cand
+        .join(broadcast(mins.select(col("doc_id").as("doc_a"), col("mins").as("mins_a"))), "doc_a")
+        .join(broadcast(mins.select(col("doc_id").as("doc_b"), col("mins").as("mins_b"))), "doc_b")
         .withColumn("sim_est",
           size(filter(sequence(lit(1), lit(NumHashes)), i =>
             element_at(col("mins_a"), i) === element_at(col("mins_b"), i)))
@@ -104,9 +138,7 @@ object Dedup {
     // n-gram Jaccard: candidate pairs via inverted index on distinct shingles
     // (never all-pairs), exact set jaccard >= 0.8.
     "dedup_ngram_jaccard" -> { (s, dir) =>
-      val d = Tables(s, dir, "documents")
-        .select(col("doc_id"), shingles(toks(col("text"))).as("sh"))
-      val t = d.select(col("doc_id"), explode(col("sh")).as("s")).distinct()
+      val t = shingleRows(s, dir).distinct()
       val sz = t.groupBy("doc_id").agg(count(lit(1)).as("n"))
       val pairs = t.as("x").join(t.as("y"),
         col("x.s") === col("y.s") && col("x.doc_id") < col("y.doc_id"))
@@ -156,19 +188,23 @@ object Dedup {
       s"""WITH sh AS ($shinglesSql),
          |mh AS (SELECT doc_id,
          |  list_transform(range(0, 12), j ->
-         |    list_min(list_transform(sh, sg -> md5(j || ':' || sg)))) AS mins
+         |    list_min(list_transform(sh, sg ->
+         |      ((j*2+1) * list_reduce(list_transform(range(1, 9),
+         |          i -> instr('0123456789abcdef', substr(md5(sg), i, 1)) - 1),
+         |        (a, b) -> a*16 + b) + j*12582917) % 2147483647))) AS mins
          |  FROM sh),
-         |bands AS (SELECT doc_id, mins, b,
-         |  md5(mins[4*b+1] || '|' || mins[4*b+2] || '|' || mins[4*b+3] || '|' || mins[4*b+4]) AS bkey
+         |bands AS (SELECT doc_id, b,
+         |  mins[4*b+1] || '|' || mins[4*b+2] || '|' || mins[4*b+3] || '|' || mins[4*b+4] AS bkey
          |  FROM mh, (SELECT unnest(range(0, 3)) AS b)),
-         |cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
-         |    x.mins AS mins_a, y.mins AS mins_b
+         |cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
          |  FROM bands x JOIN bands y
          |    ON x.b = y.b AND x.bkey = y.bkey AND x.doc_id < y.doc_id)
          |SELECT doc_a, doc_b,
-         |  len(list_filter(range(1, 13), i -> mins_a[i] = mins_b[i])) / 12.0 AS sim_est
+         |  len(list_filter(range(1, 13), i -> ma.mins[i] = mb.mins[i])) / 12.0 AS sim_est
          |FROM cand
-         |WHERE len(list_filter(range(1, 13), i -> mins_a[i] = mins_b[i])) / 12.0 >= 0.5
+         |JOIN mh ma ON cand.doc_a = ma.doc_id
+         |JOIN mh mb ON cand.doc_b = mb.doc_id
+         |WHERE len(list_filter(range(1, 13), i -> ma.mins[i] = mb.mins[i])) / 12.0 >= 0.5
          |ORDER BY doc_a, doc_b""".stripMargin,
 
     "dedup_simhash" ->
