@@ -1,0 +1,29 @@
+package graft.storage
+
+import graft.core.EventSchema
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import scala.collection.mutable.ArrayBuffer
+import scala.jdk.CollectionConverters._
+
+/** Volatile in-memory backend ≙ reference eventlog/inmem (inmem.go:33-50).
+  * Dev/test scale: the whole log lives on the driver; `snapshot()` hands it
+  * to Spark via createDataFrame. */
+final class InMemoryBackend(
+    spark: SparkSession,
+    override val metadata: Map[String, String] = Map.empty,
+    override val payloadLimit: Int = EventSchema.DefaultPayloadLimit)
+    extends SequencedBackend {
+
+  private val store = ArrayBuffer.empty[StoredEvent]
+
+  override protected def persist(events: Seq[StoredEvent]): Unit =
+    store ++= events
+
+  override def snapshot(): DataFrame = {
+    val rows = store.toList.map(_.toRow) // immutable copy = snapshot isolation
+    spark.createDataFrame(rows.asJava, EventSchema.schema)
+  }
+
+  override def close(): Unit = store.clear()
+}

@@ -1,0 +1,197 @@
+package graft.storage
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import graft.core._
+import graft.exprs.EventOps
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, max => smax}
+import org.apache.spark.unsafe.types.UTF8String
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Path, Paths, StandardCopyOption, StandardOpenOption}
+import scala.collection.mutable.ArrayBuffer
+import scala.jdk.CollectionConverters._
+
+/** Durable backend: append-only Parquet segments + an fsync'd JSON-lines
+  * commit log (≙ reference eventlog/file, re-architected for Spark).
+  *
+  * The reference fsyncs every append into one sequential file
+  * (file.go:68, write_event.go:100). Per-append Parquet files would be
+  * pathological (SURVEY.md §7.3), so the roles are split:
+  *
+  *  - `commits.jsonl` — the durability + atomicity point. One fsync'd line
+  *    per commit; a multi-append is one line, hence all-or-nothing.
+  *  - `segments/` — columnar home of compacted history; what scans read at
+  *    scale (parallel, prunable, column-projected).
+  *  - recent tail lives in memory and is unioned into snapshots until
+  *    [[compact]] rolls it into a segment.
+  *
+  * Recovery on open ≙ file.Open (file.go:67-125): max version found in
+  * segments, commit-log lines beyond it replayed into the tail, last
+  * entry's checksum re-verified (the reference's fast crash detection,
+  * file.go:107-122).
+  */
+final class ParquetLogBackend private (
+    spark: SparkSession,
+    dir: Path,
+    override val metadata: Map[String, String],
+    override val payloadLimit: Int,
+    compactThreshold: Int)
+    extends SequencedBackend {
+
+  private val commitLog = dir.resolve("commits.jsonl")
+  private val segmentsDir = dir.resolve("segments")
+  private val tail = ArrayBuffer.empty[StoredEvent]
+  private val tailLock = new Object
+  private var segmentMaxVersion = 0L
+
+  private val channel = java.nio.channels.FileChannel.open(
+    commitLog,
+    StandardOpenOption.CREATE,
+    StandardOpenOption.WRITE,
+    StandardOpenOption.APPEND)
+
+  override protected def persist(events: Seq[StoredEvent]): Unit = {
+    val line = ParquetLogBackend.encodeCommit(events)
+    channel.write(java.nio.ByteBuffer.wrap(line.getBytes(StandardCharsets.UTF_8)))
+    channel.force(true) // the durability point: one fsync per commit
+    tailLock.synchronized(tail ++= events)
+    if (tail.length >= compactThreshold) compact()
+  }
+
+  /** Roll the in-memory tail into a Parquet segment. Safe against concurrent
+    * appends: only the copied prefix is removed. Idempotent on crash —
+    * recovery always trusts max(version) actually present in segments. */
+  def compact(): Unit = {
+    val batch = tailLock.synchronized(tail.toList)
+    if (batch.isEmpty) return
+    spark
+      .createDataFrame(batch.map(_.toRow).asJava, EventSchema.schema)
+      .coalesce(1)
+      .write.mode("append")
+      .parquet(segmentsDir.toString)
+    tailLock.synchronized {
+      tail.dropInPlace(batch.length)
+      segmentMaxVersion = batch.last.version
+    }
+  }
+
+  override def snapshot(): DataFrame = {
+    val t = tailLock.synchronized(tail.toList)
+    val tailDf = spark.createDataFrame(t.map(_.toRow).asJava, EventSchema.schema)
+    if (Files.exists(segmentsDir)) {
+      val segs = spark.read.schema(EventSchema.schema).parquet(segmentsDir.toString)
+        .select(EventSchema.schema.fieldNames.map(col).toSeq: _*)
+      segs.union(tailDf)
+    } else tailDf
+  }
+
+  override def close(): Unit = channel.close()
+
+  private def recover(): Unit = {
+    if (Files.exists(segmentsDir)) {
+      val row = spark.read.parquet(segmentsDir.toString)
+        .agg(smax("version"), smax("timestamp")).head()
+      if (!row.isNullAt(0)) {
+        segmentMaxVersion = row.getLong(0)
+        restore(row.getLong(0), row.getLong(1))
+      }
+    }
+    if (Files.exists(commitLog)) {
+      Files.lines(commitLog).iterator().asScala.foreach { line =>
+        if (line.nonEmpty) {
+          val events = ParquetLogBackend.decodeCommit(line)
+            .filter(_.version > segmentMaxVersion)
+          if (events.nonEmpty) {
+            tail ++= events
+            restore(events.last.version, events.last.timestamp)
+          }
+        }
+      }
+      tail.lastOption.foreach { last => // open-time integrity of the tail entry
+        val cs = EventOps.checksum(
+          last.timestamp,
+          UTF8String.fromString(last.label),
+          UTF8String.fromString(last.payload),
+          last.versionPrevious)
+        if (cs != last.checksum)
+          throw new IllegalStateException(
+            s"corrupted log: checksum mismatch at version ${last.version}")
+      }
+    }
+  }
+}
+
+object ParquetLogBackend {
+  private val mapper = new ObjectMapper()
+
+  /** Create a new log directory (≙ file.Create, file.go:128-161). */
+  def create(
+      spark: SparkSession,
+      path: String,
+      metadata: Map[String, String] = Map.empty,
+      payloadLimit: Int = EventSchema.DefaultPayloadLimit,
+      compactThreshold: Int = 10000): ParquetLogBackend = {
+    val dir = Paths.get(path)
+    Files.createDirectories(dir)
+    val meta = mapper.createObjectNode()
+    meta.put("proto", 1)
+    meta.put("payloadLimit", payloadLimit)
+    val mm = meta.putObject("metadata")
+    metadata.foreach { case (k, v) => mm.put(k, v) }
+    val tmp = dir.resolve("meta.json.tmp")
+    Files.write(tmp, mapper.writeValueAsBytes(meta))
+    Files.move(tmp, dir.resolve("meta.json"),
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    open(spark, path, compactThreshold)
+  }
+
+  /** Open + recover an existing log directory (≙ file.Open, file.go:67-125). */
+  def open(
+      spark: SparkSession,
+      path: String,
+      compactThreshold: Int = 10000): ParquetLogBackend = {
+    val dir = Paths.get(path)
+    val metaFile = dir.resolve("meta.json")
+    if (!Files.exists(metaFile))
+      throw new IllegalStateException(s"not an event log directory: $path")
+    val meta = mapper.readTree(Files.readAllBytes(metaFile))
+    val proto = meta.get("proto").asInt()
+    if (proto != 1)
+      throw new IllegalStateException(s"unsupported log proto version: $proto")
+    val metadata = meta.get("metadata").properties().asScala
+      .map(e => e.getKey -> e.getValue.asText()).toMap
+    val b = new ParquetLogBackend(
+      spark, dir, metadata, meta.get("payloadLimit").asInt(), compactThreshold)
+    b.recover()
+    b
+  }
+
+  private def encodeCommit(events: Seq[StoredEvent]): String = {
+    val root = mapper.createObjectNode()
+    root.put("ts", events.head.timestamp)
+    root.put("vp", events.head.versionPrevious)
+    root.put("v", events.last.version)
+    val arr = root.putArray("events")
+    events.foreach { e =>
+      val n = arr.addObject()
+      n.put("l", e.label)
+      n.put("p", e.payload)
+      n.put("c", e.checksum)
+    }
+    mapper.writeValueAsString(root) + "\n"
+  }
+
+  private def decodeCommit(line: String): Seq[StoredEvent] = {
+    val root = mapper.readTree(line)
+    val ts = root.get("ts").asLong()
+    var vp = root.get("vp").asLong()
+    root.get("events").elements().asScala.map { n =>
+      val v = vp + 1
+      val se = StoredEvent(
+        v, vp, ts, n.get("l").asText(), n.get("p").asText(), n.get("c").asLong())
+      vp = v
+      se
+    }.toList
+  }
+}

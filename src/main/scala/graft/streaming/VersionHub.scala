@@ -1,0 +1,56 @@
+package graft.streaming
+
+import java.util.concurrent.{ArrayBlockingQueue, CopyOnWriteArrayList, TimeUnit}
+import scala.jdk.CollectionConverters._
+
+/** In-process change-feed hub ≙ reference internal/broadcast
+  * (broadcast.go:19-67): publishes the latest committed version to all
+  * subscribers with NON-BLOCKING sends — a slow subscriber's mailbox being
+  * full means that update is dropped for it, never that the writer blocks.
+  * The delivery contract is therefore at-most-once; consumers reconcile by
+  * re-scanning the log from their cursor (broadcast.go:24-28).
+  */
+final class VersionHub {
+  private val subs = new CopyOnWriteArrayList[VersionSubscription]()
+
+  /** Fan out a new high-watermark version; never blocks. */
+  def publish(version: Long): Unit =
+    subs.iterator().asScala.foreach(_.offer(version))
+
+  def subscribe(): VersionSubscription = {
+    val s = new VersionSubscription(this)
+    subs.add(s)
+    s
+  }
+
+  private[streaming] def remove(s: VersionSubscription): Unit = subs.remove(s)
+
+  def close(): Unit = {
+    subs.iterator().asScala.foreach(_.markClosed())
+    subs.clear()
+  }
+
+  def subscriberCount: Int = subs.size()
+}
+
+/** One subscriber mailbox: capacity 1, drop-newest-on-full (the exact
+  * semantics of Go's `select { case ch <- v: default: }`). */
+final class VersionSubscription private[streaming] (hub: VersionHub) {
+  private val box = new ArrayBlockingQueue[java.lang.Long](1)
+  @volatile private var closed = false
+
+  private[streaming] def offer(v: Long): Unit =
+    if (!closed) box.offer(v) // false (dropped) when the consumer lags
+
+  /** Blocking poll with timeout; None on timeout or after close. */
+  def poll(timeoutMs: Long): Option[Long] =
+    Option(box.poll(timeoutMs, TimeUnit.MILLISECONDS)).map(_.longValue())
+
+  def isClosed: Boolean = closed
+  private[streaming] def markClosed(): Unit = closed = true
+
+  def close(): Unit = {
+    closed = true
+    hub.remove(this)
+  }
+}
