@@ -1,0 +1,185 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal columns for training-data pipelines: media as opaque `binary`
+  * columns + typed metadata, with decode / feature-extract / resize /
+  * frame-sample as partition-local batch transforms.
+  *
+  * The Spark-side plumbing is real — schemas, encoders, iterator-based
+  * `mapPartitions` (never materializing a partition), and blob-aware
+  * repartitioning. The codec itself is pluggable; this environment ships no
+  * image/audio libraries, so [[MediaCodec.deterministic]] is a clearly-marked
+  * STUB standing in for a JNI/javax.imageio decoder. Swapping in a real
+  * codec changes no plan shape.
+  */
+object MultimodalPipeline {
+
+  /** A media row: opaque bytes + typed metadata. */
+  final case class MediaBlob(
+      id: Long,
+      mediaType: String, // "image" | "audio" | "video"
+      blob: Array[Byte],
+      meta: Map[String, String])
+
+  final case class DecodedImage(
+      id: Long,
+      width: Int,
+      height: Int,
+      channels: Int,
+      pixels: Array[Byte])
+
+  final case class AudioFeatures(
+      id: Long,
+      sampleRate: Int,
+      durationMs: Long,
+      embedding: Array[Float])
+
+  final case class VideoFrames(
+      id: Long,
+      frameIndexes: Array[Int],
+      frames: Array[Array[Byte]])
+
+  /** Decode interface a real implementation would satisfy (libjpeg/ffmpeg/
+    * javax.imageio behind JNI). Instantiated once per PARTITION, not per
+    * row — the shape that amortizes codec init at scale. */
+  trait MediaCodec extends Serializable {
+    def decodeImage(blob: Array[Byte]): (Int, Int, Int, Array[Byte])
+    def decodeAudio(blob: Array[Byte]): (Int, Long, Array[Float])
+    def frameAt(blob: Array[Byte], index: Int): Array[Byte]
+  }
+
+  object MediaCodec {
+    /** STUB codec — deterministic functions of the bytes, no media libs.
+      * Replace with a real decoder in production; everything downstream
+      * (schema, partitioning, batch shape) is unchanged. */
+    val deterministic: MediaCodec = new MediaCodec {
+      def decodeImage(blob: Array[Byte]): (Int, Int, Int, Array[Byte]) = {
+        val w = math.max(1, blob.length % 640)
+        val h = math.max(1, (blob.length * 7) % 480)
+        (w, h, 3, blob) // "pixels" = the raw bytes
+      }
+      def decodeAudio(blob: Array[Byte]): (Int, Long, Array[Float]) = {
+        val emb = Array.tabulate(8)(i =>
+          (if (blob.isEmpty) 0 else blob(i % blob.length).toInt) / 128.0f)
+        (16000, blob.length.toLong, emb)
+      }
+      def frameAt(blob: Array[Byte], index: Int): Array[Byte] =
+        blob.slice(index * 16, index * 16 + 16)
+    }
+  }
+
+  /** Lift a DataFrame with (id, blob binary, media_type, meta) into the typed
+    * media Dataset. */
+  def asMedia(df: DataFrame): Dataset[MediaBlob] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col("id"), col("media_type").as("mediaType"),
+      col("blob"), col("meta")).as[MediaBlob]
+  }
+
+  /** Size partitions by BLOB BYTES, not row count — media rows are wildly
+    * variable (a 4K frame vs an icon); row-count partitioning creates
+    * stragglers that stall a 1000-executor decode stage. */
+  def repartitionForDecode(
+      ds: Dataset[MediaBlob],
+      targetBytesPerPartition: Long = 128L << 20): Dataset[MediaBlob] = {
+    val total = ds.select(sum(length(col("blob")))).head().getLong(0)
+    val parts = math.max(1, math.ceil(total.toDouble / targetBytesPerPartition).toInt)
+    ds.repartition(parts)
+  }
+
+  /** Decode images partition-locally: codec constructed once per partition,
+    * rows streamed through the iterator (constant memory). */
+  def decodeImages(
+      ds: Dataset[MediaBlob],
+      codec: MediaCodec = MediaCodec.deterministic): Dataset[DecodedImage] = {
+    val spark = ds.sparkSession
+    import spark.implicits._
+    ds.filter(_.mediaType == "image").mapPartitions { it =>
+      it.map { m =>
+        val (w, h, c, px) = codec.decodeImage(m.blob)
+        DecodedImage(m.id, w, h, c, px)
+      }
+    }
+  }
+
+  /** Nearest-neighbor resize on decoded images — pure math over the pixel
+    * buffer, runs on real decoders unchanged. */
+  def resize(
+      ds: Dataset[DecodedImage],
+      outW: Int,
+      outH: Int): Dataset[DecodedImage] = {
+    val spark = ds.sparkSession
+    import spark.implicits._
+    ds.mapPartitions { it =>
+      it.map { img =>
+        val out = new Array[Byte](outW * outH * img.channels)
+        var y = 0
+        while (y < outH) {
+          val sy = math.min(img.height - 1, y * img.height / outH)
+          var x = 0
+          while (x < outW) {
+            val sx = math.min(img.width - 1, x * img.width / outW)
+            var ch = 0
+            while (ch < img.channels) {
+              val src = (sy * img.width + sx) * img.channels + ch
+              out((y * outW + x) * img.channels + ch) =
+                if (src < img.pixels.length) img.pixels(src) else 0
+              ch += 1
+            }
+            x += 1
+          }
+          y += 1
+        }
+        DecodedImage(img.id, outW, outH, img.channels, out)
+      }
+    }
+  }
+
+  /** Audio feature extraction (stub embedding; real MFCC/wav2vec drops in). */
+  def extractAudioFeatures(
+      ds: Dataset[MediaBlob],
+      codec: MediaCodec = MediaCodec.deterministic): Dataset[AudioFeatures] = {
+    val spark = ds.sparkSession
+    import spark.implicits._
+    ds.filter(_.mediaType == "audio").mapPartitions { it =>
+      it.map { m =>
+        val (sr, dur, emb) = codec.decodeAudio(m.blob)
+        AudioFeatures(m.id, sr, dur, emb)
+      }
+    }
+  }
+
+  /** Sample every `stride`-th frame up to `maxFrames` per video. */
+  def sampleFrames(
+      ds: Dataset[MediaBlob],
+      stride: Int = 8,
+      maxFrames: Int = 4,
+      codec: MediaCodec = MediaCodec.deterministic): Dataset[VideoFrames] = {
+    val spark = ds.sparkSession
+    import spark.implicits._
+    ds.filter(_.mediaType == "video").mapPartitions { it =>
+      it.map { m =>
+        val n = math.min(maxFrames, math.max(1, m.blob.length / (16 * stride)))
+        val idx = Array.tabulate(n)(_ * stride)
+        VideoFrames(m.id, idx, idx.map(codec.frameAt(m.blob, _)))
+      }
+    }
+  }
+
+  /** Demo source: documents table lifted into media blobs (text bytes as the
+    * opaque payload — the same deterministic fake the multimodal_meta oracle
+    * uses). */
+  def fromDocuments(spark: SparkSession, dir: String): Dataset[MediaBlob] = {
+    val d = spark.read.parquet(s"$dir/documents.parquet")
+    asMedia(d.select(
+      col("doc_id").as("id"),
+      encode(col("text"), "utf-8").as("blob"),
+      when(length(encode(col("text"), "utf-8")) % 3 === 0, "image")
+        .when(length(encode(col("text"), "utf-8")) % 3 === 1, "audio")
+        .otherwise("video").as("media_type"),
+      map(lit("source"), col("source")).as("meta")))
+  }
+}

@@ -134,6 +134,56 @@ object Relational {
           |ORDER BY region_name, nation_name""".stripMargin)
     },
 
+    "agg_cube" -> { (s, dir) =>
+      val c = Tables(s, dir, "customer")
+      val n = Tables(s, dir, "nation")
+      val r = Tables(s, dir, "region")
+      c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .select(col("r_name"), col("n_name"), col("c_acctbal"))
+        .createOrReplaceTempView("graft_cube_src")
+      s.sql(
+        """SELECT coalesce(r_name, 'ALL') AS region_name,
+          |  coalesce(n_name, 'ALL') AS nation_name,
+          |  count(1) AS n_customers,
+          |  sum(cast(c_acctbal AS decimal(18,2))) AS total_bal
+          |FROM graft_cube_src
+          |GROUP BY CUBE(r_name, n_name)
+          |ORDER BY region_name, nation_name""".stripMargin)
+    },
+
+    "agg_grouping_sets" -> { (s, dir) =>
+      val o = Tables(s, dir, "orders")
+      o.select(col("o_orderstatus"), col("o_orderpriority"), col("o_totalprice"))
+        .createOrReplaceTempView("graft_gs_src")
+      s.sql(
+        """SELECT coalesce(o_orderstatus, 'ALL') AS status,
+          |  coalesce(o_orderpriority, 'ALL') AS priority,
+          |  count(1) AS n_orders,
+          |  sum(cast(o_totalprice AS decimal(18,2))) AS total_price
+          |FROM graft_gs_src
+          |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+          |ORDER BY status, priority""".stripMargin)
+    },
+
+    // Range (interval) join against a small tier dimension — broadcast the
+    // dim so the range predicate never becomes a shuffled theta-join; at
+    // 100TB the fact side streams map-side through the 5-row broadcast.
+    "join_range" -> { (s, dir) =>
+      val o = Tables(s, dir, "orders")
+      val tiers = s.createDataFrame(Seq(
+        ("t1_low", 0.0, 50000.0),
+        ("t2_mid", 50000.0, 150000.0),
+        ("t3_high", 150000.0, 300000.0),
+        ("t4_top", 300000.0, 1e9))).toDF("tier", "lo", "hi")
+      o.join(broadcast(tiers),
+          col("o_totalprice") >= col("lo") && col("o_totalprice") < col("hi"))
+        .groupBy("tier")
+        .agg(count(lit(1)).as("n_orders"),
+          sum(dec(col("o_totalprice"))).as("total_price"))
+        .orderBy("tier")
+    },
+
     "set_ops" -> { (s, dir) =>
       val n = Tables(s, dir, "nation")
       val c = Tables(s, dir, "customer")
@@ -283,6 +333,37 @@ object Relational {
         |JOIN region ON n_regionkey = r_regionkey
         |GROUP BY ROLLUP(r_name, n_name)
         |ORDER BY region_name, nation_name""".stripMargin,
+
+    "agg_cube" ->
+      """SELECT coalesce(r_name, 'ALL') AS region_name,
+        |  coalesce(n_name, 'ALL') AS nation_name,
+        |  count(*) AS n_customers,
+        |  sum(cast(c_acctbal AS decimal(18,2))) AS total_bal
+        |FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY CUBE(r_name, n_name)
+        |ORDER BY region_name, nation_name""".stripMargin,
+
+    "agg_grouping_sets" ->
+      """SELECT coalesce(o_orderstatus, 'ALL') AS status,
+        |  coalesce(o_orderpriority, 'ALL') AS priority,
+        |  count(*) AS n_orders,
+        |  sum(cast(o_totalprice AS decimal(18,2))) AS total_price
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        |ORDER BY status, priority""".stripMargin,
+
+    "join_range" ->
+      """WITH tiers(tier, lo, hi) AS (VALUES
+        |  ('t1_low', 0.0, 50000.0),
+        |  ('t2_mid', 50000.0, 150000.0),
+        |  ('t3_high', 150000.0, 300000.0),
+        |  ('t4_top', 300000.0, 1e9))
+        |SELECT tier, count(*) AS n_orders,
+        |  sum(cast(o_totalprice AS decimal(18,2))) AS total_price
+        |FROM orders JOIN tiers ON o_totalprice >= lo AND o_totalprice < hi
+        |GROUP BY tier ORDER BY tier""".stripMargin,
 
     "set_ops" ->
       """WITH cn AS (SELECT DISTINCT n_name FROM nation JOIN customer ON c_nationkey = n_nationkey),

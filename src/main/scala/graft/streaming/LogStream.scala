@@ -1,0 +1,75 @@
+package graft.streaming
+
+import graft.core.EventSchema
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+
+/** Structured Streaming surface over a persistent log directory.
+  *
+  * The reference's subscription (serve.go:381-463 + broadcast.go) delivers
+  * only high-watermark version numbers; consumers re-scan to catch up. The
+  * Spark-native equivalent is a `readStream` over the segment directory —
+  * each micro-batch is the newly compacted slice of the log — with
+  * `foreachBatch` publishing the batch's max version to a [[VersionHub]].
+  * Micro-batch granularity (vs per-append) is allowed by the contract:
+  * notifications are at-most-once and carry only the watermark
+  * (broadcast.go:24-28), so coalescing is indistinguishable to a correct
+  * consumer.
+  */
+object LogStream {
+
+  /** Streaming view of a [[graft.storage.ParquetLogBackend]] directory.
+    * New events become visible to the stream as segments are compacted. */
+  def readStream(spark: SparkSession, logDir: String): DataFrame =
+    spark.readStream
+      .schema(EventSchema.schema)
+      .parquet(s"$logDir/segments")
+
+  /** Wire a streaming log into a hub: every micro-batch publishes its max
+    * version (the reference's per-append broadcast, coarsened to
+    * micro-batches). Returns the query for lifecycle control. */
+  def notify(
+      stream: DataFrame,
+      hub: VersionHub,
+      checkpointDir: String): StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val row = batch.agg(max("version")).head()
+        if (!row.isNullAt(0)) hub.publish(row.getLong(0))
+      }
+      .start()
+
+  /** Event-time tumbling/sliding window counts per label with a watermark —
+    * the standard streaming aggregation shape (extension surface; the
+    * reference has no event-time processing, SURVEY.md §2.5). `timestamp`
+    * is unix seconds in the log schema. */
+  def windowedCounts(
+      stream: DataFrame,
+      window_ : String = "10 minutes",
+      slide: Option[String] = None,
+      watermark: String = "30 minutes"): DataFrame = {
+    val ts = stream.withColumn("event_time", timestamp_seconds(col("timestamp")))
+      .withWatermark("event_time", watermark)
+    val w = slide.fold(window(col("event_time"), window_))(s =>
+      window(col("event_time"), window_, s))
+    ts.groupBy(w.as("win"), col("label"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("win.start").as("win_start"), col("win.end").as("win_end"),
+        col("label"), col("n"))
+  }
+
+  /** Session windows per label with an inactivity gap — stateful streaming
+    * the built-in way (`session_window`), no custom state store logic. */
+  def sessionCounts(
+      stream: DataFrame,
+      gap: String = "5 minutes",
+      watermark: String = "30 minutes"): DataFrame =
+    stream.withColumn("event_time", timestamp_seconds(col("timestamp")))
+      .withWatermark("event_time", watermark)
+      .groupBy(session_window(col("event_time"), gap).as("sess"), col("label"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("sess.start").as("sess_start"), col("sess.end").as("sess_end"),
+        col("label"), col("n"))
+}

@@ -1,0 +1,85 @@
+package graft
+
+import graft.core.EventData
+import graft.storage.ParquetLogBackend
+import graft.streaming.{LogStream, VersionHub}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.scalatest.funsuite.AnyFunSuite
+
+import java.nio.file.Files
+
+/** Structured Streaming surface: log readStream + hub notification
+  * (SURVEY.md §2.5 T1-T5) and the event-time extension operators. */
+class StreamingSpec extends AnyFunSuite {
+  private lazy val spark = SparkFixture.spark
+
+  // mirrors EventSchema for MemoryStream's product encoder
+  private case class Ev(
+      version: Long, version_previous: Long, timestamp: Long,
+      label: String, payload: String, checksum: Long)
+
+  private def ev(v: Long, ts: Long, label: String) =
+    Ev(v, v - 1, ts, label, s"""{"v":$v}""", 0L)
+
+  test("log readStream + foreachBatch publishes high-watermark to the hub") {
+    val dir = Files.createTempDirectory("graftstream").toString
+    val backend = ParquetLogBackend.create(spark, dir, compactThreshold = 2)
+    // two appends → first compaction creates segments/ before the stream starts
+    backend.append(EventData("a", """{"x":1}"""))
+    backend.append(EventData("b", """{"x":2}"""))
+
+    val hub = new VersionHub
+    val sub = hub.subscribe()
+    val q = LogStream.notify(
+      LogStream.readStream(spark, dir), hub,
+      Files.createTempDirectory("graftckpt").toString)
+    try {
+      q.processAllAvailable()
+      assert(sub.poll(5000).contains(2L))
+      // more appends crossing the compaction threshold → next micro-batch
+      backend.append(EventData("c", """{"x":3}"""))
+      backend.append(EventData("d", """{"x":4}"""))
+      q.processAllAvailable()
+      assert(sub.poll(5000).contains(4L))
+    } finally {
+      q.stop()
+      backend.close()
+    }
+  }
+
+  test("windowed counts with watermark over an event stream") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    // two 10-minute windows: ts 0..599 and 600..1199
+    mem.addData(ev(1, 10, "a"), ev(2, 20, "a"), ev(3, 30, "b"), ev(4, 700, "a"))
+    val q = LogStream.windowedCounts(mem.toDF(), "10 minutes")
+      .writeStream.format("memory").queryName("wincounts")
+      .outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("wincounts")
+        .selectExpr("unix_timestamp(win_start)", "label", "n")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+      assert(got == Set((0L, "a", 2L), (0L, "b", 1L), (600L, "a", 1L)))
+    } finally q.stop()
+  }
+
+  test("session windows close after the inactivity gap") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    // label a: events at 0s and 60s (one session, gap 5m), then 1000s (new session)
+    mem.addData(ev(1, 0, "a"), ev(2, 60, "a"), ev(3, 1000, "a"))
+    val q = LogStream.sessionCounts(mem.toDF(), gap = "5 minutes")
+      .writeStream.format("memory").queryName("sesscounts")
+      .outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("sesscounts")
+        .selectExpr("unix_timestamp(sess_start)", "unix_timestamp(sess_end)", "n")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(got == Set((0L, 360L, 2L), (1000L, 1300L, 1L)))
+    } finally q.stop()
+  }
+}
