@@ -1,0 +1,41 @@
+package graft.exprs
+
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{DataType, DoubleType}
+
+/** Native vector kernels. The HOF formulation
+  * `aggregate(zip_with(a,b,(x,y)->x*y), 0d, (acc,x)->acc+x)` materializes a
+  * product array per pair and stays out of whole-stage codegen; this
+  * expression is the same left-to-right fold (bit-identical doubles) as one
+  * fused codegen'd loop — the hot kernel of ANN / embedding-dedup at scale.
+  */
+object VectorOps {
+  /** Σ a(i)*b(i), accumulated left-to-right from 0.0 — exactly the fold
+    * order of the HOF version and the DuckDB list_reduce oracle. */
+  def dot(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      acc += a.getDouble(i) * b.getDouble(i)
+      i += 1
+    }
+    acc
+  }
+}
+
+/** Dot product over two array<double> columns (see [[VectorOps.dot]]). */
+case class DotProduct(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(a: Any, b: Any): Any =
+    VectorOps.dot(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.exprs.VectorOps.dot($a, $b)")
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): DotProduct =
+    copy(left = newLeft, right = newRight)
+  override def prettyName: String = "dot_product"
+}

@@ -25,6 +25,9 @@ object functions {
       Shim.expression(payload),
       Shim.expression(versionPrevious)))
 
+  def dot_product(a: Column, b: Column): Column =
+    Shim.column(DotProduct(Shim.expression(a), Shim.expression(b)))
+
   def parse_hex_version(c: Column): Column =
     Shim.column(ParseHexVersion(Shim.expression(c)))
 
@@ -39,6 +42,7 @@ object functions {
     Shim.register(spark, "event_checksum",
       es => EventChecksum(es(0), es(1), es(2), es(3)))
     Shim.register(spark, "parse_hex_version", es => ParseHexVersion(es.head))
+    Shim.register(spark, "dot_product", es => DotProduct(es(0), es(1)))
     Shim.register(spark, "hex_version", es => HexVersion(es.head))
   }
 }

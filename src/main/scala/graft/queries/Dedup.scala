@@ -85,9 +85,12 @@ object Dedup {
     // shuffle stays narrow and the signature table broadcasts.
     "dedup_minhash_lsh" -> { (s, dir) =>
       val mins = minhashTable(s, dir)
+      // band key = xxhash64 of the band's 4 minhashes: an 8-byte shuffle key
+      // instead of a concatenated string (same buckets; 64-bit collisions are
+      // ~n²/2⁶⁴ — negligible, and verification filters false candidates).
       val bands = mins.select(col("doc_id"),
         explode(transform(sequence(lit(0), lit(NumBands - 1)), b =>
-          struct(b.as("band"), concat_ws("|",
+          struct(b.as("band"), xxhash64(
             (0 until RowsPerBand).map(r =>
               element_at(col("mins"), b * RowsPerBand + r + 1)): _*).as("bkey"))))
           .as("bk"))
@@ -138,10 +141,14 @@ object Dedup {
     // n-gram Jaccard: candidate pairs via inverted index on distinct shingles
     // (never all-pairs), exact set jaccard >= 0.8.
     "dedup_ngram_jaccard" -> { (s, dir) =>
-      val t = shingleRows(s, dir).distinct()
+      // inverted index on the shingle's 64-bit hash: distinct, join, and
+      // count all shuffle 8-byte keys instead of shingle strings (same sets
+      // modulo ~2⁻⁶⁴ collisions).
+      val t = shingleRows(s, dir)
+        .select(col("doc_id"), xxhash64(col("s")).as("sh")).distinct()
       val sz = t.groupBy("doc_id").agg(count(lit(1)).as("n"))
       val pairs = t.as("x").join(t.as("y"),
-        col("x.s") === col("y.s") && col("x.doc_id") < col("y.doc_id"))
+        col("x.sh") === col("y.sh") && col("x.doc_id") < col("y.doc_id"))
         .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
         .agg(count(lit(1)).as("inter"))
       pairs
@@ -161,11 +168,15 @@ object Dedup {
       val e = Tables(s, dir, "embeddings")
         .select(col("vec_id"), col("label"),
           col("embedding").cast("array<double>").as("v"))
-      val a = e.select(col("vec_id").as("vec_a"), col("label"), col("v").as("va"))
-      val b = e.select(col("vec_id").as("vec_b"), col("label"), col("v").as("vb"))
+        .withColumn("nrm", Similarity.norm(col("v"))) // once per vector
+      val a = e.select(col("vec_id").as("vec_a"), col("label"),
+        col("v").as("va"), col("nrm").as("na"))
+      val b = e.select(col("vec_id").as("vec_b"), col("label"),
+        col("v").as("vb"), col("nrm").as("nb"))
       a.join(b, Seq("label"))
         .filter(col("vec_a") < col("vec_b"))
-        .withColumn("cosine", Similarity.cosine(col("va"), col("vb")))
+        .withColumn("cosine",
+          Similarity.cosinePre(col("va"), col("vb"), col("na"), col("nb")))
         .filter(col("cosine") >= 0.4)
         .select("label", "vec_a", "vec_b", "cosine")
         .orderBy("vec_a", "vec_b")

@@ -29,6 +29,23 @@ object EventLogQueries {
 
   private val wVersion = Window.orderBy("version")
 
+  /** Chain links via ARITHMETIC on dense versions + broadcast bounds —
+    * never a global `Window.orderBy(version)`, whose sort collapses the
+    * whole log into one partition at scale. Versions are dense by the
+    * engine's commit-sequencer contract (graft.core); lag/lead defaults
+    * (first prev = 0, last next = 0) are reproduced at the bounds. */
+  private def chain(s: SparkSession, dir: String): DataFrame = {
+    val l = log(s, dir)
+    val bounds = l.agg(
+      min(col("version")).as("vmin"), max(col("version")).as("vmax"))
+    l.crossJoin(broadcast(bounds))
+      .withColumn("version_prev",
+        when(col("version") === col("vmin"), 0L).otherwise(col("version") - 1L))
+      .withColumn("version_next",
+        when(col("version") === col("vmax"), 0L).otherwise(col("version") + 1L))
+      .drop("vmin", "vmax")
+  }
+
   /** RFC3339 rendering of the ns-epoch `ts` column, second granularity
     * (serve.go:227-230). Integer `div` — a double roundtrip would lose ns
     * precision and can flip a second boundary. */
@@ -43,10 +60,7 @@ object EventLogQueries {
     // FULL log before the range filter, so the last batch row still points to
     // its successor — matching the reference's read-time derivation.
     "el_scan_forward" -> { (s, dir) =>
-      val chain = log(s, dir)
-        .withColumn("version_prev", lag(col("version"), 1, 0L).over(wVersion))
-        .withColumn("version_next", lead(col("version"), 1, 0L).over(wVersion))
-      chain.filter(col("version") >= 100)
+      chain(s, dir).filter(col("version") >= 100)
         .orderBy("version")
         .limit(1000)
         .select(
@@ -58,10 +72,7 @@ object EventLogQueries {
 
     // Scan(version=5000, reverse=true, n=500, skip_first=true)
     "el_scan_reverse" -> { (s, dir) =>
-      val chain = log(s, dir)
-        .withColumn("version_prev", lag(col("version"), 1, 0L).over(wVersion))
-        .withColumn("version_next", lead(col("version"), 1, 0L).over(wVersion))
-      chain.filter(col("version") <= 5000)
+      chain(s, dir).filter(col("version") <= 5000)
         .orderBy(col("version").desc)
         .offset(1) // skip_first cursor resume (serve.go:213)
         .limit(500)
@@ -114,13 +125,19 @@ object EventLogQueries {
     // M1 integrity job as one window pass: chain continuity, time
     // monotonicity, payload+label validity (check_integrity.go:15-94).
     "el_integrity" -> { (s, dir) =>
-      val chain = log(s, dir)
-        .withColumn("prev_v", lag(col("version"), 1).over(wVersion))
-        .withColumn("prev_ts", lag(col("ts"), 1).over(wVersion))
-      chain.agg(
+      // predecessor via self-equi-join on the dense version (hash-partitioned
+      // both sides) instead of a single-partition lag window — the same
+      // reshaping as graft.core.EventLog.checkIntegrity.
+      val l = log(s, dir)
+      val prev = l.select((col("version") + 1L).as("version"),
+        col("version").as("prev_v"), col("ts").as("prev_ts"))
+      val bounds = l.agg(min(col("version")).as("vmin"))
+      l.join(prev, Seq("version"), "left")
+        .crossJoin(broadcast(bounds)).agg(
         count(lit(1)).as("n"),
-        sum(when(col("prev_v").isNull || col("version") === col("prev_v") + 1, 0)
-          .otherwise(1)).as("chain_violations"),
+        // a version (other than the first) with no predecessor = a chain gap
+        sum(when(col("version") =!= col("vmin") && col("prev_v").isNull, 1)
+          .otherwise(0)).as("chain_violations"),
         sum(when(col("prev_ts").isNull || col("ts") >= col("prev_ts"), 0)
           .otherwise(1)).as("time_violations"),
         sum(when(payload_is_valid(col("payload")), 0).otherwise(1))
@@ -132,9 +149,7 @@ object EventLogQueries {
     // X1 checksum over the reference's LE layout (no cross-engine oracle:
     // DuckDB has no XXH64-over-bytes — covered by fixture specs instead).
     "el_checksum" -> { (s, dir) =>
-      val chain = log(s, dir)
-        .withColumn("version_prev", lag(col("version"), 1, 0L).over(wVersion))
-      chain.select(
+      chain(s, dir).select(
         col("version"),
         event_checksum(
           expr("ts div 1000000000"), // unix seconds (file.go:378)

@@ -19,14 +19,21 @@ object Similarity {
   private val TopK = 5
   private val NumQueries = 5
 
+  /** Codegen'd fused-loop dot; same left fold as the SQL rendering. */
   private def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+    graft.exprs.functions.dot_product(a, b)
 
-  private def norm(a: Column): Column =
-    sqrt(aggregate(transform(a, x => x * x), lit(0.0), (acc, x) => acc + x))
+  /** Vector L2 norm — compute ONCE per vector and carry as a column; never
+    * re-derive inside a pairwise comparison. */
+  def norm(a: Column): Column = sqrt(dot(a, a))
 
   /** Cosine similarity with deterministic fold order (arrays of double). */
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Cosine from a pair dot and precomputed norms (identical bits to
+    * [[cosine]]: same values, same operation order). */
+  def cosinePre(a: Column, b: Column, normA: Column, normB: Column): Column =
+    dot(a, b) / (normA * normB)
 
   /** DuckDB rendering of the same computation, same fold order. */
   def cosineSql(a: String, b: String): String = {
@@ -41,14 +48,16 @@ object Similarity {
     "ann_cosine_topk" -> { (s, dir) =>
       val e = Tables(s, dir, "embeddings")
         .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+        .withColumn("nrm", norm(col("v"))) // once per vector, not per pair
       val q = e.filter(col("vec_id") < NumQueries)
-        .select(col("vec_id").as("q_id"), col("v").as("qv"))
+        .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qnrm"))
       val w = Window.partitionBy(col("q_id"))
         .orderBy(col("cosine").desc, col("n_id"))
-      e.select(col("vec_id").as("n_id"), col("v").as("nv"))
+      e.select(col("vec_id").as("n_id"), col("v").as("nv"), col("nrm"))
         .crossJoin(broadcast(q))
         .filter(col("n_id") =!= col("q_id"))
-        .withColumn("cosine", cosine(col("qv"), col("nv")))
+        .withColumn("cosine",
+          cosinePre(col("qv"), col("nv"), col("qnrm"), col("nrm")))
         .withColumn("rank", row_number().over(w))
         .filter(col("rank") <= TopK)
         .select("q_id", "n_id", "rank", "cosine")
@@ -62,14 +71,17 @@ object Similarity {
       val e = Tables(s, dir, "embeddings")
         .select(col("vec_id"), col("label"),
           col("embedding").cast("array<double>").as("v"))
+        .withColumn("nrm", norm(col("v")))
       val q = e.filter(col("vec_id") < NumQueries)
-        .select(col("vec_id").as("q_id"), col("label"), col("v").as("qv"))
+        .select(col("vec_id").as("q_id"), col("label"),
+          col("v").as("qv"), col("nrm").as("qnrm"))
       val w = Window.partitionBy(col("q_id"))
         .orderBy(col("cosine").desc, col("n_id"))
-      e.select(col("vec_id").as("n_id"), col("label"), col("v").as("nv"))
+      e.select(col("vec_id").as("n_id"), col("label"), col("v").as("nv"), col("nrm"))
         .join(broadcast(q), Seq("label"))
         .filter(col("n_id") =!= col("q_id"))
-        .withColumn("cosine", cosine(col("qv"), col("nv")))
+        .withColumn("cosine",
+          cosinePre(col("qv"), col("nv"), col("qnrm"), col("nrm")))
         .withColumn("rank", row_number().over(w))
         .filter(col("rank") <= TopK)
         .select("q_id", "label", "n_id", "rank", "cosine")

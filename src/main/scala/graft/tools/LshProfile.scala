@@ -3,7 +3,7 @@ package graft.tools
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
-/** Dev-only: stage-by-stage timing of the minhash-LSH pipeline. */
+/** Dev-only: stage-by-stage timing of the dedup pipelines at sf0.1. */
 object LshProfile {
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[32]")
@@ -16,31 +16,44 @@ object LshProfile {
       val t0 = System.nanoTime(); val r = f
       println(f"$name: ${(System.nanoTime() - t0) / 1e9}%.2f s"); r
     }
+    // warmup
+    spark.read.parquet(s"$dir/documents.parquet").count()
+
+    val q = graft.queries.Dedup.queries
+    t("warm lsh")(q("dedup_minhash_lsh")(spark, dir).count())
+    t("lsh again")(q("dedup_minhash_lsh")(spark, dir).count())
+    t("jaccard")(q("dedup_ngram_jaccard")(spark, dir).count())
+
+    // stages
     val d = spark.read.parquet(s"$dir/documents.parquet")
-    val w = split(col("text"), "\\s+")
-    val sh = when(size(w) < 3, array(array_join(w, " ")))
-      .otherwise(transform(sequence(lit(1), size(w) - 2), i =>
-        concat_ws(" ", element_at(w, i), element_at(w, i + 1), element_at(w, i + 2))))
-    val hs = transform(sh, sg => conv(substring(md5(sg), 1, 8), 16, 10).cast("long"))
-    val mins = transform(sequence(lit(0), lit(11)), j =>
-      array_min(transform(hs, h => ((j * 2 + 1) * h + j * 12582917L) % 2147483647L)))
-    t("shingles only")(d.select(col("doc_id"), sh.as("x")).agg(sum(size(col("x")))).collect())
-    t("hashes")(d.select(col("doc_id"), hs.as("x")).agg(sum(size(col("x")))).collect())
-    t("mins")(d.select(col("doc_id"), mins.as("x")).agg(sum(size(col("x")))).collect())
-    val minsDf = d.select(col("doc_id"), mins.as("mins"))
-    val bands = minsDf.select(col("doc_id"),
-      explode(transform(sequence(lit(0), lit(2)), b =>
-        struct(b.as("band"), concat_ws("|",
-          (0 until 4).map(r => element_at(col("mins"), b * 4 + r + 1)): _*).as("bkey"))))
-        .as("bk"))
-      .select(col("doc_id"), col("bk.band").as("band"), col("bk.bkey").as("bkey"))
-    t("bands")(bands.count())
-    val cand = bands.select(col("doc_id").as("doc_a"), col("band"), col("bkey"))
-      .join(bands.select(col("doc_id").as("doc_b"), col("band"), col("bkey")),
-        Seq("band", "bkey"))
-      .filter(col("doc_a") < col("doc_b"))
-      .select("doc_a", "doc_b").distinct()
-    t("cand")(cand.count())
+    val words = d.select(col("doc_id"),
+      posexplode(split(col("text"), "\\s+")).as(Seq("pos", "word")))
+    t("posexplode")(words.count())
+    import org.apache.spark.sql.expressions.Window
+    val wd = Window.partitionBy("doc_id").orderBy("pos")
+    val nw = Window.partitionBy("doc_id")
+    val sh = words
+      .withColumn("w1", lead(col("word"), 1).over(wd))
+      .withColumn("w2", lead(col("word"), 2).over(wd))
+      .withColumn("n", count(lit(1)).over(nw))
+      .withColumn("s", concat_ws(" ", col("word"), col("w1"), col("w2")))
+      .filter((col("n") >= 3 && col("w2").isNotNull)
+        || (col("n") < 3 && col("pos") === 0))
+      .select(col("doc_id"), col("s"))
+    t("shingleRows")(sh.count())
+    val hashed = sh.select(col("doc_id"),
+      conv(substring(md5(col("s")), 1, 8), 16, 10).cast("long").as("h"))
+    t("hashed")(hashed.count())
+    val mins = hashed.groupBy("doc_id")
+      .agg(array((0 until 12).map(j =>
+        min((col("h") * (j * 2 + 1) + lit(j.toLong * 12582917L)) % 2147483647L)): _*)
+        .as("mins"))
+    t("minhashTable")(mins.count())
+    t("distinct shingles")(sh.distinct().count())
+    val tt = sh.distinct()
+    t("inverted-index join")(
+      tt.as("x").join(tt.as("y"),
+        col("x.s") === col("y.s") && col("x.doc_id") < col("y.doc_id")).count())
     spark.stop()
   }
 }
