@@ -65,6 +65,15 @@ final class HttpApiServer(
           val fields = log.metadata.toSeq.sortBy(_._1)
             .map { case (k, v) => s"${jsonStr(k)}:${jsonStr(v)}" }
           respond(ex, 200, fields.mkString("{", ",", "}"))
+        case ("GET", "/subscription/poll") =>
+          // long-poll stand-in for the reference's WS push: block up to 30s
+          // for the next watermark; 204 on timeout. At-most-once, consumers
+          // re-scan from their cursor — same contract as broadcast.go:24-28.
+          val sub = log.subscribe()
+          try sub.poll(30000) match {
+            case Some(v) => respond(ex, 200, s"""{"version":"${hex(v)}"}""")
+            case None => respond(ex, 204, "")
+          } finally sub.close()
         case ("POST", p) if p.startsWith("/log/") => handleAppend(ex, p)
         case ("GET", p) if p.startsWith("/log/") => handleScan(ex, p)
         case _ => respond(ex, 404, "", "text/plain")

@@ -54,6 +54,25 @@ final class EventLog(backend: EventLogBackend) extends AutoCloseable {
     sys.error("unreachable")
   }
 
+  /** OCC retry loop for atomic multi-appends ≙ client.TryAppendMulti
+    * (client/client.go:198-246). */
+  def tryAppendMulti(
+      assumedVersion: Long,
+      transaction: Long => Seq[EventData],
+      maxRetries: Int = 16): AppendResult = {
+    var assumed = assumedVersion
+    var attempts = 0
+    while (true) {
+      try return appendCheckMulti(assumed, transaction(assumed))
+      catch {
+        case _: Errors.ErrMismatchingVersions if attempts < maxRetries =>
+          attempts += 1
+          assumed = backend.version
+      }
+    }
+    sys.error("unreachable")
+  }
+
   /** Validation + canonicalization on ingress (reference eventlog.go:163:
     * Validate() then jsonminify.Minify). */
   private def canonicalize(e: EventData): EventData = {

@@ -211,6 +211,18 @@ object Relational {
         .orderBy("l_returnflag")
     },
 
+    // Exact interpolated percentiles (single-pass sort-based aggregate).
+    "agg_percentile" -> { (s, dir) =>
+      Tables(s, dir, "orders")
+        .groupBy("o_orderstatus")
+        .agg(
+          expr("percentile(o_totalprice, 0.25)").as("p25"),
+          expr("percentile(o_totalprice, 0.5)").as("p50"),
+          expr("percentile(o_totalprice, 0.75)").as("p75"),
+          expr("percentile(o_totalprice, 0.95)").as("p95"))
+        .orderBy("o_orderstatus")
+    },
+
     // HyperLogLog sketch counterpart of agg_distinct; sketches differ across
     // engines so the driver records a rows-only check (no oracle entry).
     "agg_approx_distinct" -> { (s, dir) =>
@@ -381,6 +393,14 @@ object Relational {
         |  count(DISTINCT l_suppkey) AS distinct_supps,
         |  count(*) AS n
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "agg_percentile" ->
+      """SELECT o_orderstatus,
+        |  quantile_cont(o_totalprice, 0.25) AS p25,
+        |  quantile_cont(o_totalprice, 0.5) AS p50,
+        |  quantile_cont(o_totalprice, 0.75) AS p75,
+        |  quantile_cont(o_totalprice, 0.95) AS p95
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
 
     "asof_join" ->
       """WITH o2 AS (
