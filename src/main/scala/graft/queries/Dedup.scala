@@ -39,14 +39,16 @@ object Dedup {
     * doc_id. */
   private def shingleRows(s: SparkSession, dir: String): DataFrame = {
     val d = Tables(s, dir, "documents")
-    val words = d.select(col("doc_id"),
-      posexplode(split(col("text"), "\\s+")).as(Seq("pos", "word")))
+    // word count comes from the array BEFORE exploding — one window pass
+    // (the two leads share a spec), not a second count() window.
+    val words = d
+      .withColumn("w", split(col("text"), "\\s+"))
+      .select(col("doc_id"), size(col("w")).as("n"),
+        posexplode(col("w")).as(Seq("pos", "word")))
     val wd = Window.partitionBy("doc_id").orderBy("pos")
-    val nw = Window.partitionBy("doc_id")
     words
       .withColumn("w1", lead(col("word"), 1).over(wd))
       .withColumn("w2", lead(col("word"), 2).over(wd))
-      .withColumn("n", count(lit(1)).over(nw))
       // n<3: single shingle = whole text (concat_ws skips the null leads)
       .withColumn("s", concat_ws(" ", col("word"), col("w1"), col("w2")))
       .filter((col("n") >= 3 && col("w2").isNotNull)
@@ -79,30 +81,30 @@ object Dedup {
 
     // MinHash + LSH: shingle -> one md5 -> 12 affine minhashes -> 3 bands of
     // 4 -> bucket join for candidates -> verify by minhash agreement >= 0.5.
-    // The signature table is computed ONCE (tiny: one 12-long array per doc);
-    // the band join shuffles only (doc_id, band-key) pairs, and signatures
-    // are joined back onto the deduped candidate pairs — at 100TB the pair
-    // shuffle stays narrow and the signature table broadcasts.
+    // Signatures RIDE the band rows (~96 B per row) so the self-join's two
+    // sides are identical subplans — one signature computation via exchange
+    // reuse, and no extra shuffle joins to re-attach signatures to pairs (at
+    // 100TB the signature table is too big to broadcast and re-joining it
+    // would cost two more full shuffles).
     "dedup_minhash_lsh" -> { (s, dir) =>
       val mins = minhashTable(s, dir)
       // band key = xxhash64 of the band's 4 minhashes: an 8-byte shuffle key
       // instead of a concatenated string (same buckets; 64-bit collisions are
       // ~n²/2⁶⁴ — negligible, and verification filters false candidates).
-      val bands = mins.select(col("doc_id"),
+      val bands = mins.select(col("doc_id"), col("mins"),
         explode(transform(sequence(lit(0), lit(NumBands - 1)), b =>
           struct(b.as("band"), xxhash64(
             (0 until RowsPerBand).map(r =>
               element_at(col("mins"), b * RowsPerBand + r + 1)): _*).as("bkey"))))
           .as("bk"))
-        .select(col("doc_id"), col("bk.band").as("band"), col("bk.bkey").as("bkey"))
-      val cand = bands.select(col("doc_id").as("doc_a"), col("band"), col("bkey"))
-        .join(bands.select(col("doc_id").as("doc_b"), col("band"), col("bkey")),
-          Seq("band", "bkey"))
+        .select(col("doc_id"), col("mins"),
+          col("bk.band").as("band"), col("bk.bkey").as("bkey"))
+      bands.select(col("doc_id").as("doc_a"), col("mins").as("mins_a"),
+          col("band"), col("bkey"))
+        .join(bands.select(col("doc_id").as("doc_b"), col("mins").as("mins_b"),
+          col("band"), col("bkey")), Seq("band", "bkey"))
         .filter(col("doc_a") < col("doc_b"))
-        .select("doc_a", "doc_b").distinct()
-      cand
-        .join(broadcast(mins.select(col("doc_id").as("doc_a"), col("mins").as("mins_a"))), "doc_a")
-        .join(broadcast(mins.select(col("doc_id").as("doc_b"), col("mins").as("mins_b"))), "doc_b")
+        .select("doc_a", "doc_b", "mins_a", "mins_b").distinct()
         .withColumn("sim_est",
           size(filter(sequence(lit(1), lit(NumHashes)), i =>
             element_at(col("mins_a"), i) === element_at(col("mins_b"), i)))
