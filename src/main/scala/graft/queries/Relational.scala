@@ -184,6 +184,28 @@ object Relational {
         .orderBy("tier")
     },
 
+    // Salted join: the hand-rolled defense for hot keys that AQE's skew
+    // split can't touch (e.g. a pre-aggregation join). The dim side is
+    // replicated SALT ways; each fact row picks one deterministic replica,
+    // so a hot key's rows spread over SALT reducers. Result-identical to the
+    // plain join (oracle is the unsalted SQL).
+    "join_skew_salted" -> { (s, dir) =>
+      val Salt = 8
+      val ev = Tables(s, dir, "events")
+      val c = Tables(s, dir, "customer")
+      val salted = c.crossJoin(
+        s.range(0, Salt).select(col("id").cast("int").as("salt")))
+      val facts = ev.withColumn("salt",
+        pmod(xxhash64(col("event_id")), lit(Salt)).cast("int"))
+      facts.join(salted,
+          facts("user_id") === salted("c_custkey")
+            && facts("salt") === salted("salt"))
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("value").cast("decimal(18,2)")).as("total_value"))
+        .orderBy("c_mktsegment")
+    },
+
     "set_ops" -> { (s, dir) =>
       val n = Tables(s, dir, "nation")
       val c = Tables(s, dir, "customer")
@@ -376,6 +398,12 @@ object Relational {
         |  sum(cast(o_totalprice AS decimal(18,2))) AS total_price
         |FROM orders JOIN tiers ON o_totalprice >= lo AND o_totalprice < hi
         |GROUP BY tier ORDER BY tier""".stripMargin,
+
+    "join_skew_salted" ->
+      """SELECT c_mktsegment, count(*) AS n_events,
+        |  sum(cast(value AS decimal(18,2))) AS total_value
+        |FROM events JOIN customer ON user_id = c_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
 
     "set_ops" ->
       """WITH cn AS (SELECT DISTINCT n_name FROM nation JOIN customer ON c_nationkey = n_nationkey),
