@@ -29,6 +29,13 @@ final class HttpApiServer(
   private val rfc3339 = DateTimeFormatter.ofPattern("yyyy-MM-dd'T'HH:mm:ssXXX")
     .withZone(ZoneOffset.UTC)
   private val server = HttpServer.create(new InetSocketAddress(port), 0)
+  // the default executor dispatches on a single thread — a long-poll would
+  // block every other request (incl. the append that should resolve it)
+  server.setExecutor(java.util.concurrent.Executors.newCachedThreadPool { r =>
+    val t = new Thread(r, "graft-http")
+    t.setDaemon(true)
+    t
+  })
   server.createContext("/", (ex: HttpExchange) => route(ex))
 
   def start(): Int = {
