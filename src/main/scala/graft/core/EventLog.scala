@@ -4,7 +4,7 @@ import graft.exprs.EventOps
 import graft.exprs.functions._
 import graft.storage.EventLogBackend
 import graft.streaming.{VersionHub, VersionSubscription}
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -119,6 +119,25 @@ final class EventLog(backend: EventLogBackend) extends AutoCloseable {
 
   /** Full snapshot (no bounds requirement), for analytics over the log. */
   def toDF: DataFrame = backend.snapshot()
+
+  /** Typed scan for Scala consumers: same semantics as [[scan]], decoded
+    * into the [[Event]] case class via its product encoder. */
+  def scanTyped(
+      version: Long,
+      reverse: Boolean = false,
+      limit: Option[Int] = None,
+      skipFirst: Boolean = false): Dataset[Event] = {
+    val df = scan(version, reverse, limit, skipFirst)
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(
+      col("version"),
+      col("version_previous").as("versionPrevious"),
+      col("version_next").as("versionNext"),
+      col("timestamp"),
+      col("label"),
+      col("payload").as("payloadJson")).as[Event]
+  }
 
   def version: Long = backend.version
   def versionInitial: Long = backend.versionInitial

@@ -1,9 +1,9 @@
 package graft.streaming
 
 import graft.core.EventSchema
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.StreamingQuery
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery}
 
 /** Structured Streaming surface over a persistent log directory.
   *
@@ -17,6 +17,10 @@ import org.apache.spark.sql.streaming.StreamingQuery
   * (broadcast.go:24-28), so coalescing is indistinguishable to a correct
   * consumer.
   */
+/** Per-label running state carried across micro-batches by [[LogStream.labelStats]]. */
+final case class LabelStats(
+    label: String, n: Long, lastVersion: Long, regressions: Long)
+
 object LogStream {
 
   /** Streaming view of a [[graft.storage.ParquetLogBackend]] directory.
@@ -58,6 +62,35 @@ object LogStream {
       .agg(count(lit(1)).as("n"))
       .select(col("win.start").as("win_start"), col("win.end").as("win_end"),
         col("label"), col("n"))
+  }
+
+  /** Running per-label statistics kept in the state store across
+    * micro-batches — the custom-state shape
+    * (`KeyValueGroupedDataset.flatMapGroupsWithState`) for semantics the
+    * built-in windows can't express: here, total count + last-seen version
+    * + count of version regressions (out-of-order arrivals) per label,
+    * emitted on every update. */
+  def labelStats(stream: DataFrame): Dataset[LabelStats] = {
+    val spark = stream.sparkSession
+    import spark.implicits._
+    stream.select(col("label"), col("version"))
+      .as[(String, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (label: String, rows: Iterator[(String, Long)],
+         state: GroupState[LabelStats]) =>
+          val prev = state.getOption.getOrElse(LabelStats(label, 0L, 0L, 0L))
+          var (n, last, regress) = (prev.n, prev.lastVersion, prev.regressions)
+          rows.foreach { case (_, v) =>
+            n += 1
+            if (v < last) regress += 1
+            last = math.max(last, v)
+          }
+          val next = LabelStats(label, n, last, regress)
+          state.update(next)
+          Iterator.single(next)
+      }
   }
 
   /** Session windows per label with an inactivity gap — stateful streaming

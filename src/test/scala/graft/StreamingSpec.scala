@@ -65,6 +65,32 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("labelStats keeps custom state across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val q = LogStream.labelStats(mem.toDF())
+      .writeStream.format("memory").queryName("labelstats")
+      .outputMode("update").start()
+    try {
+      mem.addData(ev(1, 10, "a"), ev(2, 11, "a"), ev(7, 12, "a"), ev(3, 12, "b"))
+      q.processAllAvailable()
+      // batch 2: label a sees an out-of-order version (5 < state's last 7) —
+      // cross-batch so the check is independent of within-group row order
+      mem.addData(ev(5, 14, "a"))
+      q.processAllAvailable()
+      val last = spark.table("labelstats")
+        .groupBy("label").agg(
+          org.apache.spark.sql.functions.max("n").as("n"),
+          org.apache.spark.sql.functions.max("lastVersion").as("lastVersion"),
+          org.apache.spark.sql.functions.max("regressions").as("regressions"))
+        .collect().map(r => r.getString(0) ->
+          ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+      assert(last("a") == ((4L, 7L, 1L))) // 4 events, max v7, one regression
+      assert(last("b") == ((1L, 3L, 0L)))
+    } finally q.stop()
+  }
+
   test("session windows close after the inactivity gap") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
