@@ -71,6 +71,18 @@ class EventOpsSpec extends AnyFunSuite {
     assert(EventOps.minifyJson(u(in)).toString == in)
   }
 
+  test("minify at the 1 MiB payload bound (reference 1mb golden fixture scale)") {
+    // ~1 MiB document with known minified form, built from repeated entries
+    val n = 12000
+    val padded = (0 until n).map(i =>
+      s""" "key_$i" : [ 1 , 2.5 , "two words" , null ] """).mkString("{", ",", "}")
+    val minified = (0 until n).map(i =>
+      s""""key_$i":[1,2.5,"two words",null]""").mkString("{", ",", "}")
+    assert(padded.length > 500000)
+    assert(EventOps.minifyJson(u(padded)).toString == minified)
+    assert(EventOps.validatePayload(u(padded)))
+  }
+
   // ---- hex codec (reference internal/hex) ----
 
   test("hex: shortest-lowercase encode, decode roundtrip across magnitudes") {

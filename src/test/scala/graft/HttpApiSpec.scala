@@ -116,6 +116,18 @@ class HttpApiSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("large payload round-trips through append + scan intact") {
+    val big = (0 until 5000).map(i => s""""k$i": [$i, "v $i"]""")
+      .mkString("{ ", " , ", " }") // ~90 KiB, whitespace-padded
+    val r = post("/log/", MsgCodec.encode(Seq(EventData("big", big))))
+    assert(r.statusCode() == 200)
+    val v = r.body().split("\"")(3)
+    val scanned = get(s"/log/$v?n=1").body()
+    // payload comes back minified but value-identical
+    assert(scanned.contains(""""k4999":[4999,"v 4999"]"""))
+    assert(!scanned.contains("{ "))
+  }
+
   test("msgcodec round-trips multi-event frames") {
     val evs = Seq(
       EventData("", """{"empty_label":true}"""),
