@@ -42,7 +42,62 @@ object Similarity {
     s"(${dotSql(a, b)} / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)})))"
   }
 
+  /** Squared L2, driver-side (used only on the tiny query set). */
+  private def dist2(a: Array[Double], b: Array[Double]): Double = {
+    var s = 0.0
+    var i = 0
+    while (i < a.length) { val d = a(i) - b(i); s += d * d; i += 1 }
+    s
+  }
+
   val queries: Map[String, Q] = Map(
+    // True IVF: k-means coarse quantizer (MLlib), nProbe=2 multi-probe
+    // search. The big side is hash-partitioned by cell; only probed cells
+    // are scanned (a fraction k/nProbe of the data at scale). Train on a
+    // sample at 100TB — the quantizer needs only a representative subset.
+    // No DuckDB oracle (k-means isn't SQL-expressible) → rows-only check;
+    // recall vs brute force is asserted in AnnRecallSpec.
+    "ann_ivf_kmeans" -> { (s, dir) =>
+      import org.apache.spark.ml.clustering.KMeans
+      import org.apache.spark.ml.functions.array_to_vector
+      val e = Tables(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+        .withColumn("nrm", norm(col("v")))
+        .withColumn("features", array_to_vector(col("v")))
+      val km = new KMeans().setK(8).setSeed(42).setMaxIter(5).fit(e)
+      val assigned = km.transform(e)
+        .select(col("vec_id"), col("v"), col("nrm"),
+          col("prediction").as("cell"))
+      val centers = km.clusterCenters.map(_.toArray)
+      // queries are the small side by definition: collect them, rank cells
+      // on the driver, broadcast the (q, probed-cell) pairs
+      val qRows = assigned.filter(col("vec_id") < NumQueries)
+        .select("vec_id", "v", "nrm").collect()
+      val probeRows = qRows.flatMap { r =>
+        val qv = r.getSeq[Double](1).toArray
+        centers.zipWithIndex
+          .map { case (c, i) => (dist2(c, qv), i) }
+          .sortBy(_._1).take(2) // nProbe = 2
+          .map { case (_, cell) =>
+            (r.getLong(0), cell, qv.toSeq, r.getDouble(2)) }
+      }
+      import s.implicits._
+      val probes = probeRows.toSeq
+        .toDF("q_id", "cell", "qv", "qnrm")
+      val w = Window.partitionBy(col("q_id"))
+        .orderBy(col("cosine").desc, col("n_id"))
+      assigned.select(col("vec_id").as("n_id"), col("cell"),
+          col("v").as("nv"), col("nrm"))
+        .join(broadcast(probes), Seq("cell"))
+        .filter(col("n_id") =!= col("q_id"))
+        .withColumn("cosine",
+          cosinePre(col("qv"), col("nv"), col("qnrm"), col("nrm")))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= TopK)
+        .select("q_id", "n_id", "rank", "cosine")
+        .orderBy("q_id", "rank")
+    },
+
     // Brute-force cosine top-k: broadcast the (small) query set, stream over
     // all candidates — one pass, no shuffle of the big side.
     "ann_cosine_topk" -> { (s, dir) =>
