@@ -19,12 +19,16 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    // Warm the JVM + codegen + parquet footers so the first timed query
-    // isn't charged for session startup.
-    SparkEntry.queries.get("q1_agg").foreach(fn =>
-      try fn(spark, sfDir).count() catch { case _: Throwable => () })
+    // One untimed pass first: whole-stage codegen compilation + JIT warmup
+    // is a per-query constant (up to several seconds for window-heavy
+    // plans) that would otherwise dominate the small-SF numbers; the timed
+    // pass below measures the steady-state throughput that scales.
+    val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
+    ordered.foreach { case (_, fn) =>
+      try fn(spark, sfDir).count() catch { case _: Throwable => () }
+    }
 
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val results = ordered.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9

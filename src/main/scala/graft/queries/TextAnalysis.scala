@@ -94,6 +94,43 @@ object TextAnalysis {
         .orderBy("doc_id")
     },
 
+    // Winnowing fingerprints (rolling k-gram hashes, min per window of W) —
+    // the standard near-dup/plagiarism sketch: two documents share a
+    // fingerprint iff they share a k-gram that wins a window, robust to
+    // insertions. One explode (linear) + one per-doc window pass; at scale
+    // the fingerprint table is the join key for candidate pairing.
+    "text_winnow" -> { (s, dir) =>
+      val K = 8 // k-gram length (chars)
+      val W = 16 // winnow window (hashes)
+      val d = Tables(s, dir, "documents")
+      // explode POSITIONS and slice one gram per row — materializing a
+      // per-document array of n 8-char strings first would churn memory and
+      // fall out of codegen for the substring lambda. Slicing happens on the
+      // UTF-8 BYTES: string substring is O(pos) (UTF-8 char scan from the
+      // start → quadratic per document), binary substring is O(1). The
+      // corpus is ASCII so byte and char grams coincide with the oracle;
+      // md5(bytes) is the same either way.
+      val grams = d
+        .select(col("doc_id"),
+          encode(lower(regexp_replace(col("text"), "\\s+", " ")), "utf-8").as("t"))
+        .select(col("doc_id"), col("t"),
+          greatest(length(col("t")) - (K - 1), lit(1)).as("n"))
+        .select(col("doc_id"), col("t"), col("n"),
+          explode(sequence(lit(1), col("n"))).as("pos"))
+        .select(col("doc_id"), col("n"), col("pos"),
+          expr(s"substring(t, pos, $K)").as("g"))
+      val wspec = Window.partitionBy("doc_id").orderBy("pos")
+        .rowsBetween(Window.currentRow, W - 1)
+      grams
+        .withColumn("h", conv(substring(md5(col("g")), 1, 8), 16, 10).cast("long"))
+        .withColumn("wmin", min(col("h")).over(wspec))
+        // windows start at each 1-based pos up to n-W+1; the all-partial
+        // tail is excluded
+        .filter(col("pos") <= greatest(col("n") - (W - 1), lit(1)))
+        .select(col("doc_id"), col("wmin").as("fp")).distinct()
+        .orderBy("doc_id", "fp")
+    },
+
     // Multimodal plumbing: opaque binary column + typed metadata extraction.
     // The real decode would be a mapPartitions batch op over the binary
     // column (see graft.multimodal.MultimodalPipeline); here the "decode" is
@@ -160,6 +197,28 @@ object TextAnalysis {
         |  md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS fingerprint,
         |  substr(md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))), 1, 4) AS bucket
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "text_winnow" ->
+      """WITH t AS (
+        |  SELECT doc_id, lower(regexp_replace(text, '\s+', ' ', 'g')) AS t,
+        |    greatest(length(lower(regexp_replace(text, '\s+', ' ', 'g'))) - 7, 1) AS n
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, n, unnest(range(1, n + 1)) AS pos, t FROM t),
+        |h AS (
+        |  SELECT doc_id, n, pos,
+        |    list_reduce(list_transform(range(1, 9),
+        |      i -> instr('0123456789abcdef', substr(md5(substr(t, CAST(pos AS INT), 8)), i, 1)) - 1),
+        |      (a, b) -> a*16 + b) AS h
+        |  FROM g),
+        |w AS (
+        |  SELECT doc_id, n, pos,
+        |    min(h) OVER (PARTITION BY doc_id ORDER BY pos
+        |                 ROWS BETWEEN CURRENT ROW AND 15 FOLLOWING) AS wmin
+        |  FROM h)
+        |SELECT DISTINCT doc_id, wmin AS fp FROM w
+        |WHERE pos <= greatest(n - 15, 1)
+        |ORDER BY doc_id, fp""".stripMargin,
 
     "multimodal_meta" ->
       """SELECT doc_id, source,
