@@ -94,6 +94,40 @@ object TextAnalysis {
         .orderBy("doc_id")
     },
 
+    // End-to-end corpus cleaning — the composition the pipeline operators
+    // exist for: quality gate -> exact-dedup keepers -> language ID ->
+    // per-language corpus stats. One pass over tokens feeds both the gate
+    // and the language vote; everything downstream of the gate shrinks.
+    "pipeline_clean_corpus" -> { (s, dir) =>
+      import s.implicits._
+      val d = Tables(s, dir, "documents")
+      val words = d.select(col("doc_id"), explode(toks(col("text"))).as("tok"))
+      val stats = words.groupBy("doc_id").agg(
+        count(lit(1)).as("n_words"),
+        sum(when(col("tok").isin(Stopwords: _*), 1).otherwise(0)).as("n_stop"))
+      val quality = stats.filter(col("n_words") >= 20 && col("n_stop") > 0)
+      val keep = d.withColumn("h", md5(col("text")))
+        .withColumn("keeper",
+          min(col("doc_id")).over(Window.partitionBy("h")))
+        .filter(col("doc_id") === col("keeper"))
+        .select(col("doc_id"), col("text"))
+      val lex = Lexicon.toDF("cand_lang", "marker")
+      val hits = words.join(broadcast(lex), col("tok") === col("marker"))
+        .groupBy("doc_id", "cand_lang").agg(count(lit(1)).as("cnt"))
+      val wBest = Window.partitionBy(col("doc_id"))
+        .orderBy(col("cnt").desc, col("cand_lang"))
+      val best = hits.withColumn("rn", row_number().over(wBest))
+        .filter(col("rn") === 1).select(col("doc_id"), col("cand_lang"))
+      keep.join(quality, "doc_id")
+        .join(best, Seq("doc_id"), "left")
+        .withColumn("pred_lang", coalesce(col("cand_lang"), lit("und")))
+        .groupBy("pred_lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_words")).as("total_words"),
+          sum(length(col("text")).cast("long")).as("total_chars"))
+        .orderBy("pred_lang")
+    },
+
     // Winnowing fingerprints (rolling k-gram hashes, min per window of W) —
     // the standard near-dup/plagiarism sketch: two documents share a
     // fingerprint iff they share a k-gram that wins a window, robust to
@@ -197,6 +231,38 @@ object TextAnalysis {
         |  md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS fingerprint,
         |  substr(md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))), 1, 4) AS bucket
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "pipeline_clean_corpus" ->
+      s"""WITH words AS (
+         |  SELECT doc_id, unnest(string_split_regex(text, '\\s+')) AS tok
+         |  FROM documents),
+         |stats AS (
+         |  SELECT doc_id, count(*) AS n_words,
+         |    sum(CASE WHEN tok IN ($stopList) THEN 1 ELSE 0 END) AS n_stop
+         |  FROM words GROUP BY 1),
+         |quality AS (SELECT * FROM stats WHERE n_words >= 20 AND n_stop > 0),
+         |keep AS (
+         |  SELECT doc_id, text FROM (
+         |    SELECT doc_id, text,
+         |      min(doc_id) OVER (PARTITION BY md5(text)) AS keeper
+         |    FROM documents) t WHERE doc_id = keeper),
+         |lex(cand_lang, marker) AS (VALUES $lexiconValues),
+         |hits AS (
+         |  SELECT doc_id, cand_lang, count(*) AS cnt
+         |  FROM words JOIN lex ON tok = marker GROUP BY 1, 2),
+         |best AS (
+         |  SELECT doc_id, cand_lang FROM (
+         |    SELECT doc_id, cand_lang,
+         |      row_number() OVER (PARTITION BY doc_id
+         |                         ORDER BY cnt DESC, cand_lang) AS rn
+         |    FROM hits) h WHERE rn = 1)
+         |SELECT coalesce(b.cand_lang, 'und') AS pred_lang,
+         |  count(*) AS n_docs, sum(q.n_words) AS total_words,
+         |  sum(length(k.text)) AS total_chars
+         |FROM keep k
+         |JOIN quality q USING (doc_id)
+         |LEFT JOIN best b USING (doc_id)
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "text_winnow" ->
       """WITH t AS (
