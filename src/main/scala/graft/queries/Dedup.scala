@@ -67,6 +67,27 @@ object Dedup {
         .as("mins"))
   }
 
+  /** 32-bit SimHash per doc: md5-bit votes of every token occurrence. */
+  private def simhashTable(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables(s, dir, "documents")
+    val words = d.select(col("doc_id"),
+      explode(toks(col("text"))).as("word"))
+      .withColumn("hh", md5(col("word")))
+    val bits = words.select(col("doc_id"), col("hh"),
+      explode(sequence(lit(0), lit(31))).as("p"))
+      // hex digit p/4 of the md5, then bit p%4 of that digit
+      .withColumn("digit",
+        expr("CAST(conv(substr(hh, 1 + CAST(p / 4 AS INT), 1), 16, 10) AS BIGINT)"))
+      .withColumn("bit",
+        expr("(digit div CAST(pow(2, p % 4) AS BIGINT)) % 2"))
+      .withColumn("contrib", when(col("bit") === 1, 1).otherwise(-1))
+    bits.groupBy("doc_id", "p")
+      .agg(sum(col("contrib")).as("s"))
+      .groupBy("doc_id")
+      .agg(sum(when(col("s") >= 0, pow(lit(2.0), col("p")).cast("long"))
+        .otherwise(0L)).as("simhash"))
+  }
+
   val queries: Map[String, Q] = Map(
     // Exact dedup: content-hash grouping, min doc_id is the keeper.
     "dedup_exact" -> { (s, dir) =>
@@ -116,28 +137,33 @@ object Dedup {
 
     // SimHash: 32-bit fingerprint from md5 bits of each token occurrence.
     "dedup_simhash" -> { (s, dir) =>
-      val d = Tables(s, dir, "documents")
-      val words = d.select(col("doc_id"),
-        explode(toks(col("text"))).as("word"))
-        .withColumn("hh", md5(col("word")))
-      val bits = words.select(col("doc_id"), col("hh"),
-        explode(sequence(lit(0), lit(31))).as("p"))
-        // hex digit p/4 of the md5, then bit p%4 of that digit
-        .withColumn("digit",
-          expr("CAST(conv(substr(hh, 1 + CAST(p / 4 AS INT), 1), 16, 10) AS BIGINT)"))
-        .withColumn("bit",
-          expr("(digit div CAST(pow(2, p % 4) AS BIGINT)) % 2"))
-        .withColumn("contrib", when(col("bit") === 1, 1).otherwise(-1))
-      val perBit = bits.groupBy("doc_id", "p")
-        .agg(sum(col("contrib")).as("s"))
-      val fp = perBit.groupBy("doc_id")
-        .agg(sum(when(col("s") >= 0, pow(lit(2.0), col("p")).cast("long"))
-          .otherwise(0L)).as("simhash"))
+      val fp = simhashTable(s, dir)
       val w = Window.partitionBy(col("simhash"))
       fp.withColumn("keeper_id", min(col("doc_id")).over(w))
         .select(col("doc_id"), col("simhash"), col("keeper_id"),
           (col("doc_id") =!= col("keeper_id")).as("is_dup"))
         .orderBy("doc_id")
+    },
+
+    // SimHash near-dup via hamming distance: band the 32-bit fingerprint
+    // into 4 bytes — any pair within hamming distance 3 must agree on at
+    // least one whole band (pigeonhole), so the band join finds all such
+    // pairs without an all-pairs scan; bit_count(xor) verifies exactly.
+    "dedup_simhash_hamming" -> { (s, dir) =>
+      val fp = simhashTable(s, dir)
+      val bands = fp.select(col("doc_id"), col("simhash"),
+        explode(sequence(lit(0), lit(3))).as("b"))
+        .withColumn("bval", expr("(simhash div CAST(pow(2, b * 8) AS BIGINT)) % 256"))
+      bands.select(col("doc_id").as("doc_a"), col("simhash").as("fp_a"),
+          col("b"), col("bval"))
+        .join(bands.select(col("doc_id").as("doc_b"),
+          col("simhash").as("fp_b"), col("b"), col("bval")), Seq("b", "bval"))
+        .filter(col("doc_a") < col("doc_b"))
+        .select("doc_a", "doc_b", "fp_a", "fp_b").distinct()
+        .withColumn("hamming", expr("bit_count(fp_a ^ fp_b)"))
+        .filter(col("hamming") <= 3)
+        .select("doc_a", "doc_b", "hamming")
+        .orderBy("doc_a", "doc_b")
     },
 
     // n-gram Jaccard: candidate pairs via inverted index on distinct shingles
@@ -185,6 +211,21 @@ object Dedup {
     }
   )
 
+  private val simhashFpSql =
+    """words AS (
+      |  SELECT doc_id, md5(unnest(string_split_regex(text, '\s+'))) AS hh
+      |  FROM documents),
+      |bits AS (
+      |  SELECT doc_id, p,
+      |    CASE WHEN ((instr('0123456789abcdef', substr(hh, 1 + p // 4, 1)) - 1)
+      |               // CAST(2 ** (p % 4) AS BIGINT)) % 2 = 1
+      |         THEN 1 ELSE -1 END AS contrib
+      |  FROM words, (SELECT unnest(range(0, 32)) AS p)),
+      |per_bit AS (SELECT doc_id, p, sum(contrib) AS s FROM bits GROUP BY 1, 2),
+      |fp AS (SELECT doc_id,
+      |  sum(CASE WHEN s >= 0 THEN CAST(2 ** p AS BIGINT) ELSE 0 END) AS simhash
+      |  FROM per_bit GROUP BY 1)""".stripMargin
+
   private val shinglesSql =
     """SELECT doc_id, CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
       |  ELSE list_transform(range(1, len(w)-1), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]) END AS sh
@@ -221,23 +262,26 @@ object Dedup {
          |ORDER BY doc_a, doc_b""".stripMargin,
 
     "dedup_simhash" ->
-      """WITH words AS (
-        |  SELECT doc_id, md5(unnest(string_split_regex(text, '\s+'))) AS hh
-        |  FROM documents),
-        |bits AS (
-        |  SELECT doc_id, p,
-        |    CASE WHEN ((instr('0123456789abcdef', substr(hh, 1 + p // 4, 1)) - 1)
-        |               // CAST(2 ** (p % 4) AS BIGINT)) % 2 = 1
-        |         THEN 1 ELSE -1 END AS contrib
-        |  FROM words, (SELECT unnest(range(0, 32)) AS p)),
-        |per_bit AS (SELECT doc_id, p, sum(contrib) AS s FROM bits GROUP BY 1, 2),
-        |fp AS (SELECT doc_id,
-        |  sum(CASE WHEN s >= 0 THEN CAST(2 ** p AS BIGINT) ELSE 0 END) AS simhash
-        |  FROM per_bit GROUP BY 1)
-        |SELECT doc_id, simhash,
-        |  min(doc_id) OVER (PARTITION BY simhash) AS keeper_id,
-        |  doc_id <> min(doc_id) OVER (PARTITION BY simhash) AS is_dup
-        |FROM fp ORDER BY doc_id""".stripMargin,
+      s"""WITH $simhashFpSql
+         |SELECT doc_id, simhash,
+         |  min(doc_id) OVER (PARTITION BY simhash) AS keeper_id,
+         |  doc_id <> min(doc_id) OVER (PARTITION BY simhash) AS is_dup
+         |FROM fp ORDER BY doc_id""".stripMargin,
+
+    "dedup_simhash_hamming" ->
+      s"""WITH $simhashFpSql,
+         |bands AS (
+         |  SELECT doc_id, simhash, b,
+         |    (simhash // CAST(2 ** (b * 8) AS BIGINT)) % 256 AS bval
+         |  FROM fp, (SELECT unnest(range(0, 4)) AS b)),
+         |cand AS (
+         |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
+         |    x.simhash AS fp_a, y.simhash AS fp_b
+         |  FROM bands x JOIN bands y
+         |    ON x.b = y.b AND x.bval = y.bval AND x.doc_id < y.doc_id)
+         |SELECT doc_a, doc_b, bit_count(xor(fp_a, fp_b)) AS hamming
+         |FROM cand WHERE bit_count(xor(fp_a, fp_b)) <= 3
+         |ORDER BY doc_a, doc_b""".stripMargin,
 
     "dedup_ngram_jaccard" ->
       s"""WITH sh AS ($shinglesSql),
