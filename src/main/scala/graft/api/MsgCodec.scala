@@ -41,7 +41,11 @@ object MsgCodec {
       if (buf.remaining() < 6) throw new MalformedMessageException
       val labelLen = buf.getShort() & 0xffff
       val payloadLen = buf.getInt()
-      if (payloadLen < 0 || buf.remaining() < labelLen + payloadLen)
+      // compare each length separately: labelLen + payloadLen can overflow
+      // Int for a hostile payloadLen near Int.MaxValue, turning the bounds
+      // check into a huge-allocation DoS
+      if (payloadLen < 0 || labelLen > buf.remaining()
+        || payloadLen > buf.remaining() - labelLen)
         throw new MalformedMessageException
       val label = new Array[Byte](labelLen)
       buf.get(label)

@@ -98,7 +98,7 @@ final class ParquetLogBackend private (
       }
     }
     if (Files.exists(commitLog)) {
-      Files.lines(commitLog).iterator().asScala.foreach { line =>
+      scala.util.Using.resource(Files.lines(commitLog))(_.iterator().asScala.foreach { line =>
         if (line.nonEmpty) {
           val events = ParquetLogBackend.decodeCommit(line)
             .filter(_.version > segmentMaxVersion)
@@ -107,7 +107,7 @@ final class ParquetLogBackend private (
             restore(events.last.version, events.last.timestamp)
           }
         }
-      }
+      })
       tail.lastOption.foreach { last => // open-time integrity of the tail entry
         val cs = EventOps.checksum(
           last.timestamp,

@@ -136,5 +136,8 @@ class HttpApiSpec extends AnyFunSuite with BeforeAndAfterAll {
     intercept[MsgCodec.MalformedMessageException](MsgCodec.decode(Array.empty))
     intercept[MsgCodec.MalformedMessageException](
       MsgCodec.decode(Array[Byte](9, 0, 9, 0, 0, 0, 1)))
+    // hostile payloadLen near Int.MaxValue must not trigger an allocation
+    intercept[MsgCodec.MalformedMessageException](
+      MsgCodec.decode(Array[Byte](1, 0, -1, -1, -1, 0x7f, 'x')))
   }
 }
