@@ -68,6 +68,16 @@ object Bench {
       }
       val tOcc = (System.nanoTime() - t1) / 1e9
 
+      // batch ingest: 10 atomic multi-appends of 1000 events — one fsync per
+      // 1000 events, the shape bulk loaders use (vs fsync-per-event above)
+      val t3 = System.nanoTime()
+      var b = 0
+      while (b < 10) {
+        log.appendMulti((0 until 1000).map(j => EventData("BenchmarkEvent", payload(b * 1000 + j))))
+        b += 1
+      }
+      val tBatch = (System.nanoTime() - t3) / 1e9
+
       val t2 = System.nanoTime()
       val n = log.scan(1L, limit = Some(1000)).collect().length
       val tScan = (System.nanoTime() - t2) / 1e9
@@ -76,6 +86,7 @@ object Bench {
       Seq(
         "engine_append_1k" -> tAppend,
         "engine_occ_append_1k" -> tOcc,
+        "engine_append_batch_10k" -> tBatch,
         "engine_scan_1k" -> tScan)
     } finally log.close()
   }
