@@ -64,6 +64,13 @@ object LogStream {
         col("label"), col("n"))
   }
 
+  /** Stream-static enrichment: join the event stream against a static
+    * (batch) dimension on `label`. The static side is broadcast per
+    * micro-batch when it fits — the standard pattern for decorating a
+    * change stream with reference data without restarting the query. */
+  def enrich(stream: DataFrame, dim: DataFrame, key: String = "label"): DataFrame =
+    stream.join(broadcast(dim), Seq(key), "left")
+
   /** Running per-label statistics kept in the state store across
     * micro-batches — the custom-state shape
     * (`KeyValueGroupedDataset.flatMapGroupsWithState`) for semantics the

@@ -66,6 +66,18 @@ class EventOpsSpec extends AnyFunSuite {
       == """{"z":1.500,"a":"he said \"hi  there\"","n":-0E+2}""")
   }
 
+  test("minify replicates the reference's escaped-backslash quirk byte-for-byte") {
+    // jsonminify.go:17 checks only ONE preceding backslash, so a string
+    // ending in an escaped backslash (\\") mis-tracks the closing quote and
+    // whitespace after it survives. Byte-parity means we reproduce exactly
+    // that observable behavior (SURVEY.md §7.4).
+    val quirky = """{"k":"a\\" ,"b":2}"""
+    assert(EventOps.minifyJson(u(quirky)).toString == quirky) // space kept
+    // ...while a plain escaped quote tracks correctly and whitespace strips
+    assert(EventOps.minifyJson(u("""{"k":"a\"x" ,"b":2}""")).toString
+      == """{"k":"a\"x","b":2}""")
+  }
+
   test("minify is idempotent") {
     val in = """{"a":1,"b":"x y"}"""
     assert(EventOps.minifyJson(u(in)).toString == in)

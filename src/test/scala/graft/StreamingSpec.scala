@@ -65,6 +65,23 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-static enrichment broadcasts the dim per micro-batch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    mem.addData(ev(1, 10, "a"), ev(2, 20, "b"), ev(3, 30, "zz"))
+    val dim = Seq(("a", "alpha"), ("b", "beta")).toDF("label", "pretty")
+    val q = LogStream.enrich(mem.toDF(), dim)
+      .writeStream.format("memory").queryName("enriched")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("enriched").select("version", "pretty")
+        .collect().map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+      assert(got == Map(1L -> Some("alpha"), 2L -> Some("beta"), 3L -> None))
+    } finally q.stop()
+  }
+
   test("labelStats keeps custom state across micro-batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
