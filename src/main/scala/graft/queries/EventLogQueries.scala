@@ -176,6 +176,29 @@ object EventLogQueries {
         .orderBy("user_id", "session_id")
     },
 
+    // Ordered funnel: signup -> view -> purchase, each stage's first
+    // occurrence strictly after the previous stage's. Three per-user min
+    // aggregations + broadcast-joined stage frontiers — no window over the
+    // raw stream, so each stage is one shuffle on user_id and the data
+    // only shrinks stage over stage.
+    "events_funnel" -> { (s, dir) =>
+      val ev = Tables(s, dir, "events")
+      val s1 = ev.filter(col("event_type") === "signup")
+        .groupBy("user_id").agg(min(col("ts")).as("t_signup"))
+      val s2 = ev.filter(col("event_type") === "view")
+        .join(s1, "user_id").filter(col("ts") > col("t_signup"))
+        .groupBy("user_id").agg(min(col("ts")).as("t_view"))
+      val s3 = ev.filter(col("event_type") === "purchase")
+        .join(s2, "user_id").filter(col("ts") > col("t_view"))
+        .groupBy("user_id").agg(min(col("ts")).as("t_purchase"))
+      s1.agg(count(lit(1)).as("n_signup"))
+        .crossJoin(s2.agg(count(lit(1)).as("n_view_after_signup")))
+        .crossJoin(s3.agg(count(lit(1)).as("n_purchase_after_view")))
+        .select(lit("signup->view->purchase").as("funnel"),
+          col("n_signup"), col("n_view_after_signup"),
+          col("n_purchase_after_view"))
+    },
+
     // Tumbling 1h event-time window aggregation (batch counterpart of the
     // Structured Streaming path in graft.streaming).
     "events_window_agg" -> { (s, dir) =>
@@ -271,6 +294,25 @@ object EventLogQueries {
         |  min(t) AS t_start, max(t) AS t_end
         |FROM sess GROUP BY user_id, session_id
         |ORDER BY user_id, session_id""".stripMargin,
+
+    "events_funnel" ->
+      """WITH s1 AS (
+        |  SELECT user_id, min(epoch_ns(ts)) AS t_signup
+        |  FROM events WHERE event_type = 'signup' GROUP BY 1),
+        |s2 AS (
+        |  SELECT e.user_id, min(epoch_ns(e.ts)) AS t_view
+        |  FROM events e JOIN s1 ON e.user_id = s1.user_id
+        |  WHERE e.event_type = 'view' AND epoch_ns(e.ts) > s1.t_signup
+        |  GROUP BY 1),
+        |s3 AS (
+        |  SELECT e.user_id, min(epoch_ns(e.ts)) AS t_purchase
+        |  FROM events e JOIN s2 ON e.user_id = s2.user_id
+        |  WHERE e.event_type = 'purchase' AND epoch_ns(e.ts) > s2.t_view
+        |  GROUP BY 1)
+        |SELECT 'signup->view->purchase' AS funnel,
+        |  (SELECT count(*) FROM s1) AS n_signup,
+        |  (SELECT count(*) FROM s2) AS n_view_after_signup,
+        |  (SELECT count(*) FROM s3) AS n_purchase_after_view""".stripMargin,
 
     "events_window_agg" ->
       """SELECT epoch_ns(ts) // 3600000000000 AS hour_bucket, event_type,
