@@ -120,6 +120,15 @@ final class EventLog(backend: EventLogBackend) extends AutoCloseable {
   /** Full snapshot (no bounds requirement), for analytics over the log. */
   def toDF: DataFrame = backend.snapshot()
 
+  /** Time travel: the log as of `version` (inclusive) — an append-only log
+    * makes every historical state a version-range filter, which reaches the
+    * parquet scan as a pushed predicate. */
+  def snapshotAt(version: Long): DataFrame = {
+    val latest = backend.version
+    if (version < 1L || version > latest) throw new Errors.ErrInvalidVersion
+    backend.snapshot().filter(col("version") <= version)
+  }
+
   /** Typed scan for Scala consumers: same semantics as [[scan]], decoded
     * into the [[Event]] case class via its product encoder. */
   def scanTyped(

@@ -9,6 +9,19 @@ import org.scalatest.funsuite.AnyFunSuite
 class TypedApiSpec extends AnyFunSuite {
   private lazy val spark = SparkFixture.spark
 
+  test("snapshotAt time-travels to any historical version") {
+    val log = new EventLog(new InMemoryBackend(spark))
+    try {
+      (1 to 5).foreach(i => log.append(EventData(s"l$i", s"""{"i": $i}""")))
+      assert(log.snapshotAt(3L).count() == 3L)
+      assert(log.snapshotAt(3L).agg(org.apache.spark.sql.functions.max("version"))
+        .head().getLong(0) == 3L)
+      assert(log.snapshotAt(5L).count() == 5L)
+      intercept[graft.core.Errors.ErrInvalidVersion](log.snapshotAt(6L))
+      intercept[graft.core.Errors.ErrInvalidVersion](log.snapshotAt(0L))
+    } finally log.close()
+  }
+
   test("scanTyped yields Events with derived chain links") {
     val log = new EventLog(new InMemoryBackend(spark))
     try {
