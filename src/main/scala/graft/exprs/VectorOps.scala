@@ -1,9 +1,9 @@
 package graft.exprs
 
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ImplicitCastInputTypes}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{DataType, DoubleType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
 
 /** Native vector kernels. The HOF formulation
   * `aggregate(zip_with(a,b,(x,y)->x*y), 0d, (acc,x)->acc+x)` materializes a
@@ -28,7 +28,9 @@ object VectorOps {
 
 /** Dot product over two array<double> columns (see [[VectorOps.dot]]). */
 case class DotProduct(left: Expression, right: Expression)
-    extends BinaryExpression {
+    extends BinaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[org.apache.spark.sql.graftshim.Shim.AbstractType] =
+    Seq(ArrayType(DoubleType), ArrayType(DoubleType))
   override def dataType: DataType = DoubleType
   override def nullSafeEval(a: Any, b: Any): Any =
     VectorOps.dot(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])

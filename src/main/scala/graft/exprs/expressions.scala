@@ -11,7 +11,8 @@ import org.apache.spark.unsafe.types.UTF8String
   * calls so they stay inside whole-stage codegen (no CodegenFallback).
   */
 case class MinifyJson(child: Expression)
-    extends UnaryExpression {
+    extends UnaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[org.apache.spark.sql.graftshim.Shim.AbstractType] = Seq(StringType)
   override def dataType: DataType = StringType
   override def nullSafeEval(v: Any): Any =
     EventOps.minifyJson(v.asInstanceOf[UTF8String])
@@ -23,7 +24,8 @@ case class MinifyJson(child: Expression)
 }
 
 case class PayloadIsValid(child: Expression)
-    extends UnaryExpression {
+    extends UnaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[org.apache.spark.sql.graftshim.Shim.AbstractType] = Seq(StringType)
   override def dataType: DataType = BooleanType
   override def nullSafeEval(v: Any): Any =
     EventOps.validatePayload(v.asInstanceOf[UTF8String])
@@ -35,7 +37,8 @@ case class PayloadIsValid(child: Expression)
 }
 
 case class LabelIsValid(child: Expression)
-    extends UnaryExpression {
+    extends UnaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[org.apache.spark.sql.graftshim.Shim.AbstractType] = Seq(StringType)
   override def dataType: DataType = BooleanType
   override def nullSafeEval(v: Any): Any =
     EventOps.validateLabel(v.asInstanceOf[UTF8String])
@@ -54,7 +57,9 @@ case class EventChecksum(
     label: Expression,
     payload: Expression,
     versionPrevious: Expression)
-    extends QuaternaryExpression {
+    extends QuaternaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[org.apache.spark.sql.graftshim.Shim.AbstractType] =
+    Seq(LongType, StringType, StringType, LongType)
   override def first: Expression = timestamp
   override def second: Expression = label
   override def third: Expression = payload
@@ -85,7 +90,8 @@ case class EventChecksum(
 /** Validating hex->long parse (reference internal/hex/readUint64.go): null on
   * empty, >16 digits, or non-hex chars — unlike conv() which silently wraps. */
 case class ParseHexVersion(child: Expression)
-    extends UnaryExpression {
+    extends UnaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[org.apache.spark.sql.graftshim.Shim.AbstractType] = Seq(StringType)
   override def dataType: DataType = LongType
   override def nullable: Boolean = true
   override def nullSafeEval(v: Any): Any =
@@ -106,7 +112,8 @@ case class ParseHexVersion(child: Expression)
 
 /** Shortest-lowercase-hex rendering of an (unsigned) long version. */
 case class HexVersion(child: Expression)
-    extends UnaryExpression {
+    extends UnaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[org.apache.spark.sql.graftshim.Shim.AbstractType] = Seq(LongType)
   override def dataType: DataType = StringType
   override def nullSafeEval(v: Any): Any =
     EventOps.hexEncode(v.asInstanceOf[Long])

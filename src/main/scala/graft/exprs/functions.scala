@@ -34,15 +34,11 @@ object functions {
   def hex_version(c: Column): Column =
     Shim.column(HexVersion(Shim.expression(c)))
 
-  /** Register all custom expressions for spark.sql(...) use. */
-  def registerAll(spark: SparkSession): Unit = {
-    Shim.register(spark, "minify_json", es => MinifyJson(es.head))
-    Shim.register(spark, "payload_is_valid", es => PayloadIsValid(es.head))
-    Shim.register(spark, "label_is_valid", es => LabelIsValid(es.head))
-    Shim.register(spark, "event_checksum",
-      es => EventChecksum(es(0), es(1), es(2), es(3)))
-    Shim.register(spark, "parse_hex_version", es => ParseHexVersion(es.head))
-    Shim.register(spark, "dot_product", es => DotProduct(es(0), es(1)))
-    Shim.register(spark, "hex_version", es => HexVersion(es.head))
-  }
+  /** Register all custom expressions for spark.sql(...) use on a live
+    * session; new sessions get the same set via
+    * `spark.sql.extensions=graft.exprs.GraftExtensions`. */
+  def registerAll(spark: SparkSession): Unit =
+    GraftExtensions.builders.foreach { case (name, b) =>
+      Shim.register(spark, name, b)
+    }
 }

@@ -9,6 +9,10 @@ import org.apache.spark.sql.{Column, SparkSession}
   * Lives under org.apache.spark.sql so the Scala access check passes.
   */
 object Shim {
+  /** Public alias for the private[sql] AbstractDataType, so expressions in
+    * graft.* can declare `inputTypes` (type coercion from SQL literals). */
+  type AbstractType = org.apache.spark.sql.types.AbstractDataType
+
   def column(e: Expression): Column = ExpressionUtils.column(e)
 
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
