@@ -150,15 +150,30 @@ final class HttpApiServer(
     val reverse = params.contains("reverse")
     val skipFirst = params.contains("skip_first")
     try {
-      val rows = log.scan(version, reverse,
+      // stream rows straight into a chunked response (no driver-side
+      // materialization of the batch — the reference's streaming
+      // serialization, serve.go:215-269). The scan itself must run before
+      // headers are committed so ErrInvalidVersion can still map to a 400.
+      val it = log.scan(version, reverse,
         if (limit > 0) Some(limit) else None, skipFirst)
         .select("version", "version_previous", "version_next",
           "timestamp", "label", "payload")
-        .collect()
-      val items = rows.iterator.map { r =>
-        s"""{"time":"${time(r.getLong(3))}","version":"${hex(r.getLong(0))}","version-previous":"${hex(r.getLong(1))}","version-next":"${hex(r.getLong(2))}","label":"${r.getString(4)}","payload":${r.getString(5)}}"""
+        .toLocalIterator()
+      ex.getResponseHeaders.set("Content-Type", "application/json")
+      ex.sendResponseHeaders(200, 0) // length 0 = chunked
+      Using.resource(ex.getResponseBody) { out =>
+        out.write('[')
+        var first = true
+        while (it.hasNext) {
+          val r = it.next()
+          if (!first) out.write(',')
+          first = false
+          out.write(
+            s"""{"time":"${time(r.getLong(3))}","version":"${hex(r.getLong(0))}","version-previous":"${hex(r.getLong(1))}","version-next":"${hex(r.getLong(2))}","label":"${r.getString(4)}","payload":${r.getString(5)}}"""
+              .getBytes(StandardCharsets.UTF_8))
+        }
+        out.write(']')
       }
-      respond(ex, 200, items.mkString("[", ",", "]"))
     } catch {
       case _: Errors.ErrInvalidVersion => bad(ex, "ErrInvalidVersion")
     }
