@@ -30,8 +30,11 @@ object Bench {
 
     val results = ordered.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val ok = try { fn(spark, sfDir).count(); true }
+        catch { case _: Throwable => false }
+      // -1 marks a failed query; recording its partial time would make a
+      // broken query look like a fast one
+      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }
 
     val engine = engineBench(spark)

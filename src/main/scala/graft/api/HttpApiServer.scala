@@ -142,7 +142,9 @@ final class HttpApiServer(
       }).toMap
     val n = params.get("n") match {
       case Some(s) =>
-        try s.toInt catch { case _: NumberFormatException =>
+        // negative n clamps like n=0 (deliberate hardening: the reference's
+        // signed Atoi lets a negative n disable the batch cap entirely)
+        try math.max(0, s.toInt) catch { case _: NumberFormatException =>
           return bad(ex, "ErrBadArgument") }
       case None => 0
     }
@@ -168,8 +170,11 @@ final class HttpApiServer(
           val r = it.next()
           if (!first) out.write(',')
           first = false
+          // jsonStr is a no-op for ingest-validated labels (their charset
+          // has no quotes/backslashes) but keeps the response well-formed
+          // if the log dir was written or damaged by other tooling
           out.write(
-            s"""{"time":"${time(r.getLong(3))}","version":"${hex(r.getLong(0))}","version-previous":"${hex(r.getLong(1))}","version-next":"${hex(r.getLong(2))}","label":"${r.getString(4)}","payload":${r.getString(5)}}"""
+            s"""{"time":"${time(r.getLong(3))}","version":"${hex(r.getLong(0))}","version-previous":"${hex(r.getLong(1))}","version-next":"${hex(r.getLong(2))}","label":${jsonStr(r.getString(4))},"payload":${r.getString(5)}}"""
               .getBytes(StandardCharsets.UTF_8))
         }
         out.write(']')

@@ -104,10 +104,16 @@ final class EventLog(backend: EventLogBackend) extends AutoCloseable {
       reverse: Boolean = false,
       limit: Option[Int] = None,
       skipFirst: Boolean = false): DataFrame = {
+    // snapshot BEFORE reading latest: a commit landing in between then only
+    // makes `latest` run ahead of the snapshot (version_next keeps pointing
+    // at versions that exist), never behind it — the reverse order would
+    // stamp rows past `latest` with version_next=0 and truncate cursor
+    // clients early.
+    val snap = backend.snapshot()
     val latest = backend.version
     if (latest == 0L || version < 1L || version > latest)
       throw new Errors.ErrInvalidVersion
-    val base = backend.snapshot()
+    val base = snap
       .withColumn("version_next",
         when(col("version") < latest, col("version") + 1L).otherwise(0L))
     val dir0 =

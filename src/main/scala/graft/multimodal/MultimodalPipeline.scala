@@ -85,7 +85,8 @@ object MultimodalPipeline {
   def repartitionForDecode(
       ds: Dataset[MediaBlob],
       targetBytesPerPartition: Long = 128L << 20): Dataset[MediaBlob] = {
-    val total = ds.select(sum(length(col("blob")))).head().getLong(0)
+    val total = ds.select(coalesce(sum(length(col("blob"))), lit(0L)))
+      .head().getLong(0)
     val parts = math.max(1, math.ceil(total.toDouble / targetBytesPerPartition).toInt)
     ds.repartition(parts)
   }

@@ -27,8 +27,6 @@ object EventLogQueries {
       col("event_type").as("label"),
       col("props").as("payload"))
 
-  private val wVersion = Window.orderBy("version")
-
   /** Chain links via ARITHMETIC on dense versions + broadcast bounds —
     * never a global `Window.orderBy(version)`, whose sort collapses the
     * whole log into one partition at scale. Versions are dense by the

@@ -17,13 +17,16 @@ final class InMemoryBackend(
 
   private val store = ArrayBuffer.empty[StoredEvent]
 
+  // persist runs under the sequencer lock, but readers call snapshot()
+  // from arbitrary threads (e.g. HTTP scans) — guard the buffer itself
   override protected def persist(events: Seq[StoredEvent]): Unit =
-    store ++= events
+    store.synchronized { store ++= events }
 
   override def snapshot(): DataFrame = {
-    val rows = store.toList.map(_.toRow) // immutable copy = snapshot isolation
+    // immutable copy = snapshot isolation
+    val rows = store.synchronized(store.toList).map(_.toRow)
     spark.createDataFrame(rows.asJava, EventSchema.schema)
   }
 
-  override def close(): Unit = store.clear()
+  override def close(): Unit = store.synchronized(store.clear())
 }

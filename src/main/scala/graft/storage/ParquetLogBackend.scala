@@ -42,42 +42,79 @@ final class ParquetLogBackend private (
   private val commitLog = dir.resolve("commits.jsonl")
   private val segmentsDir = dir.resolve("segments")
   private val tail = ArrayBuffer.empty[StoredEvent]
-  private val tailLock = new Object
+  // ioLock guards channel + tail + watermark (held briefly); compactLock
+  // serializes whole compactions (two concurrent compacts would both copy
+  // the same tail prefix → duplicated segment rows + a double drop that
+  // discards fresh appends)
+  private val ioLock = new Object
+  private val compactLock = new Object
   private var segmentMaxVersion = 0L
 
-  private val channel = java.nio.channels.FileChannel.open(
+  private var channel = java.nio.channels.FileChannel.open(
     commitLog,
     StandardOpenOption.CREATE,
     StandardOpenOption.WRITE,
     StandardOpenOption.APPEND)
 
   override protected def persist(events: Seq[StoredEvent]): Unit = {
-    val line = ParquetLogBackend.encodeCommit(events)
-    channel.write(java.nio.ByteBuffer.wrap(line.getBytes(StandardCharsets.UTF_8)))
-    channel.force(true) // the durability point: one fsync per commit
-    tailLock.synchronized(tail ++= events)
-    if (tail.length >= compactThreshold) compact()
+    val doCompact = ioLock.synchronized {
+      val line = ParquetLogBackend.encodeCommit(events)
+      channel.write(java.nio.ByteBuffer.wrap(line.getBytes(StandardCharsets.UTF_8)))
+      channel.force(true) // the durability point: one fsync per commit
+      tail ++= events
+      tail.length >= compactThreshold
+    }
+    if (doCompact) compact()
   }
 
-  /** Roll the in-memory tail into a Parquet segment. Safe against concurrent
-    * appends: only the copied prefix is removed. Idempotent on crash —
-    * recovery always trusts max(version) actually present in segments. */
-  def compact(): Unit = {
-    val batch = tailLock.synchronized(tail.toList)
+  /** Roll the in-memory tail into a Parquet segment and rotate the commit
+    * log. Appends stay concurrent with the (slow) segment write — only the
+    * copied prefix is dropped; the commit log retains exactly the commits
+    * past the new segment watermark, so it stays proportional to the tail
+    * instead of growing with the full history (and open() replays only
+    * those). Crash-safe: segments are append-only and the rotation is an
+    * atomic rename; recovery trusts max(version) actually in segments. */
+  def compact(): Unit = compactLock.synchronized {
+    val batch = ioLock.synchronized(tail.toList)
     if (batch.isEmpty) return
     spark
       .createDataFrame(batch.map(_.toRow).asJava, EventSchema.schema)
       .coalesce(1)
       .write.mode("append")
       .parquet(segmentsDir.toString)
-    tailLock.synchronized {
+    ioLock.synchronized {
       tail.dropInPlace(batch.length)
       segmentMaxVersion = batch.last.version
+      rotateCommitLog()
     }
   }
 
+  /** Drop commit-log lines fully covered by segments (last version <=
+    * watermark). Called under ioLock. */
+  private def rotateCommitLog(): Unit = {
+    val tmp = dir.resolve("commits.jsonl.tmp")
+    val retained = new java.io.ByteArrayOutputStream()
+    scala.util.Using.resource(Files.lines(commitLog))(_.iterator().asScala
+      .foreach { line =>
+        if (line.nonEmpty &&
+          ParquetLogBackend.commitLastVersion(line) > segmentMaxVersion) {
+          retained.write(line.getBytes(StandardCharsets.UTF_8))
+          retained.write('\n')
+        }
+      })
+    Files.write(tmp, retained.toByteArray)
+    channel.close()
+    Files.move(tmp, commitLog,
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    channel = java.nio.channels.FileChannel.open(
+      commitLog,
+      StandardOpenOption.CREATE,
+      StandardOpenOption.WRITE,
+      StandardOpenOption.APPEND)
+  }
+
   override def snapshot(): DataFrame = {
-    val t = tailLock.synchronized(tail.toList)
+    val t = ioLock.synchronized(tail.toList)
     val tailDf = spark.createDataFrame(t.map(_.toRow).asJava, EventSchema.schema)
     if (Files.exists(segmentsDir)) {
       val segs = spark.read.schema(EventSchema.schema).parquet(segmentsDir.toString)
@@ -86,7 +123,7 @@ final class ParquetLogBackend private (
     } else tailDf
   }
 
-  override def close(): Unit = channel.close()
+  override def close(): Unit = ioLock.synchronized(channel.close())
 
   private def recover(): Unit = {
     if (Files.exists(segmentsDir)) {
@@ -181,6 +218,10 @@ object ParquetLogBackend {
     }
     mapper.writeValueAsString(root) + "\n"
   }
+
+  /** Last (highest) version covered by a commit line. */
+  private[storage] def commitLastVersion(line: String): Long =
+    mapper.readTree(line).get("v").asLong()
 
   private def decodeCommit(line: String): Seq[StoredEvent] = {
     val root = mapper.readTree(line)

@@ -180,6 +180,28 @@ class EventLogBehaviorSpec extends AnyFunSuite {
     } finally reopened.close()
   }
 
+  test("parquet backend: commit log rotates at compaction, bounded by the tail") {
+    val dir = Files.createTempDirectory("graftrot").toString
+    val log = new EventLog(ParquetLogBackend.create(spark, dir,
+      compactThreshold = 2))
+    try {
+      (1 to 10).foreach(i => log.append(ev(i)))
+      // every 2nd append compacts + rotates: commits.jsonl holds only the
+      // commits past the segment watermark (here: none), not all history
+      val lines = java.nio.file.Files.readAllLines(
+        java.nio.file.Paths.get(dir, "commits.jsonl"))
+      assert(lines.size() <= 1, s"commit log not rotated: ${lines.size()} lines")
+      assert(log.toDF.count() == 10L) // nothing lost
+      assert(log.checkIntegrity().count() == 0L)
+    } finally log.close()
+    // rotation must not break recovery
+    val reopened = new EventLog(ParquetLogBackend.open(spark, dir))
+    try {
+      assert(reopened.version == 10L)
+      assert(reopened.append(ev(11)).version == 11L)
+    } finally reopened.close()
+  }
+
   test("subscription: appends publish high-watermark versions") {
     withLog { (name, log) =>
       val sub = log.subscribe()
