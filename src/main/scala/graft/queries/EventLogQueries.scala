@@ -174,6 +174,39 @@ object EventLogQueries {
         .orderBy("user_id", "session_id")
     },
 
+    // Typed access INTO the JSON payload (SURVEY §1.3: an extension, not a
+    // parity requirement — the reference stores payloads opaquely). from_json
+    // projects the schema once; the aggregate then runs on a typed column.
+    "el_payload_extract" -> { (s, dir) =>
+      log(s, dir)
+        .withColumn("k",
+          from_json(col("payload"),
+            org.apache.spark.sql.types.StructType.fromDDL("k INT"))
+            .getField("k"))
+        .groupBy("label")
+        .agg(count(lit(1)).as("n"),
+          sum(col("k").cast("long")).as("sum_k"),
+          min(col("k")).as("min_k"),
+          max(col("k")).as("max_k"))
+        .orderBy("label")
+    },
+
+    // Analytic window functions beyond ranking: lag/lead deltas, ntile
+    // bucketing, cumulative distribution — per-user partitions, so the
+    // window parallelizes by key.
+    "el_window_analytics" -> { (s, dir) =>
+      val ev = Tables(s, dir, "events")
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      ev.filter(col("user_id") <= 50)
+        .withColumn("prev_value", lag(col("value"), 1).over(w))
+        .withColumn("delta", col("value") - col("prev_value"))
+        .withColumn("quartile", ntile(4).over(w))
+        .withColumn("cume", cume_dist().over(w))
+        .select("user_id", "event_id", "value", "prev_value", "delta",
+          "quartile", "cume")
+        .orderBy("user_id", "event_id")
+    },
+
     // Ordered funnel: signup -> view -> purchase, each stage's first
     // occurrence strictly after the previous stage's. Three per-user min
     // aggregations + broadcast-joined stage frontiers — no window over the
@@ -292,6 +325,23 @@ object EventLogQueries {
         |  min(t) AS t_start, max(t) AS t_end
         |FROM sess GROUP BY user_id, session_id
         |ORDER BY user_id, session_id""".stripMargin,
+
+    "el_payload_extract" ->
+      """SELECT event_type AS label, count(*) AS n,
+        |  sum(CAST(props ->> 'k' AS BIGINT)) AS sum_k,
+        |  min(CAST(props ->> 'k' AS INT)) AS min_k,
+        |  max(CAST(props ->> 'k' AS INT)) AS max_k
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "el_window_analytics" ->
+      """SELECT user_id, event_id, value,
+        |  lag(value) OVER w AS prev_value,
+        |  value - lag(value) OVER w AS delta,
+        |  ntile(4) OVER w AS quartile,
+        |  cume_dist() OVER w AS cume
+        |FROM events WHERE user_id <= 50
+        |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ns(ts), event_id)
+        |ORDER BY user_id, event_id""".stripMargin,
 
     "events_funnel" ->
       """WITH s1 AS (
