@@ -67,25 +67,25 @@ object Dedup {
         .as("mins"))
   }
 
-  /** 32-bit SimHash per doc: md5-bit votes of every token occurrence. */
+  /** 32-bit SimHash per doc: md5-bit votes of every token occurrence.
+    * The 32 bit-votes are 32 conditional sums inside ONE map-side-combined
+    * groupBy — not an explode(32) into 32x the rows and a second shuffle;
+    * same math (bit p = bit p%4 of hex digit p/4 of the md5). */
   private def simhashTable(s: SparkSession, dir: String): DataFrame = {
     val d = Tables(s, dir, "documents")
     val words = d.select(col("doc_id"),
       explode(toks(col("text"))).as("word"))
       .withColumn("hh", md5(col("word")))
-    val bits = words.select(col("doc_id"), col("hh"),
-      explode(sequence(lit(0), lit(31))).as("p"))
-      // hex digit p/4 of the md5, then bit p%4 of that digit
-      .withColumn("digit",
-        expr("CAST(conv(substr(hh, 1 + CAST(p / 4 AS INT), 1), 16, 10) AS BIGINT)"))
-      .withColumn("bit",
-        expr("(digit div CAST(pow(2, p % 4) AS BIGINT)) % 2"))
-      .withColumn("contrib", when(col("bit") === 1, 1).otherwise(-1))
-    bits.groupBy("doc_id", "p")
-      .agg(sum(col("contrib")).as("s"))
-      .groupBy("doc_id")
-      .agg(sum(when(col("s") >= 0, pow(lit(2.0), col("p")).cast("long"))
-        .otherwise(0L)).as("simhash"))
+    def contrib(p: Int): Column = expr(
+      s"""CASE WHEN (CAST(conv(substr(hh, ${1 + p / 4}, 1), 16, 10) AS BIGINT)
+         |  div ${1L << (p % 4)}) % 2 = 1 THEN 1 ELSE -1 END""".stripMargin)
+    words.groupBy("doc_id")
+      .agg((0 until 32).map(p => sum(contrib(p)).as(s"s$p")).head,
+        (0 until 32).map(p => sum(contrib(p)).as(s"s$p")).tail: _*)
+      .select(col("doc_id"),
+        (0 until 32).map(p =>
+          when(col(s"s$p") >= 0, lit(1L << p)).otherwise(0L))
+          .reduce(_ + _).as("simhash"))
   }
 
   val queries: Map[String, Q] = Map(
