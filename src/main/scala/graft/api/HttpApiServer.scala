@@ -96,7 +96,10 @@ final class HttpApiServer(
     val assumed: Option[Long] =
       if (versionPart.isEmpty) None
       else EventOps.hexDecode(UTF8String.fromString(versionPart)) match {
-        case null => return bad(ex, "ErrMalformedVersion")
+        // the reference's append path reports malformed hex as
+        // ErrInvalidVersion (serve.go:96-101); ErrMalformedVersion is the
+        // GET scan path's string only
+        case null => return bad(ex, "ErrInvalidVersion")
         case v => Some(v.longValue())
       }
     val body = ex.getRequestBody.readAllBytes()

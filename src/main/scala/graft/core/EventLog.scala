@@ -179,7 +179,12 @@ final class EventLog(backend: EventLogBackend) extends AutoCloseable {
         col("timestamp"), col("label"), col("payload"), col("version_previous")))
       .select(col("version"), array_compact(array(
         when(col("recomputed") =!= col("checksum"), lit("checksum_mismatch")),
-        when(col("version") =!= 1L && col("version_previous") =!= col("prev_version"),
+        // NULL-safe: a version whose predecessor row is missing entirely
+        // (prev_version IS NULL — e.g. a lost segment row) is a chain gap;
+        // a plain =!= would yield NULL there and silently skip the flag.
+        when(col("version") =!= 1L &&
+          (col("prev_version").isNull ||
+            col("version_previous") =!= col("prev_version")),
           lit("broken_version_chain")),
         when(col("version") === 1L && col("version_previous") =!= 0L,
           lit("nonzero_first_version_previous")),

@@ -223,7 +223,7 @@ object Dedup {
       |  FROM words, (SELECT unnest(range(0, 32)) AS p)),
       |per_bit AS (SELECT doc_id, p, sum(contrib) AS s FROM bits GROUP BY 1, 2),
       |fp AS (SELECT doc_id,
-      |  sum(CASE WHEN s >= 0 THEN CAST(2 ** p AS BIGINT) ELSE 0 END) AS simhash
+      |  CAST(sum(CASE WHEN s >= 0 THEN CAST(2 ** p AS BIGINT) ELSE 0 END) AS BIGINT) AS simhash
       |  FROM per_bit GROUP BY 1)""".stripMargin
 
   private val shinglesSql =

@@ -158,19 +158,24 @@ object EventLogQueries {
     },
 
     // Sessionization over the change stream: 30-minute inactivity gap.
+    // Timestamps are compared in MICROSECONDS end-to-end: the oracle's
+    // DuckDB reads the ns parquet at µs precision, so a true-ns comparison
+    // can never hash-match (round-1 events_sessionize red — 9,541 cells
+    // differed only in the last 3 digits).
     "events_sessionize" -> { (s, dir) =>
       val ev = Tables(s, dir, "events")
-      val wu = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        .withColumn("t", expr("ts div 1000")) // ns → µs (ts >= 0: div = floor)
+      val wu = Window.partitionBy("user_id").orderBy("t", "event_id")
       val wrun = wu.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      ev.withColumn("prev_ts", lag(col("ts"), 1).over(wu))
+      ev.withColumn("prev_t", lag(col("t"), 1).over(wu))
         .withColumn("is_new",
-          when(col("prev_ts").isNull
-            || col("ts") - col("prev_ts") > 1800000000000L, 1).otherwise(0))
+          when(col("prev_t").isNull
+            || col("t") - col("prev_t") > 1800000000L, 1).otherwise(0))
         .withColumn("session_id", sum(col("is_new")).over(wrun))
         .groupBy("user_id", "session_id")
         .agg(count(lit(1)).as("n_events"),
-          min(col("ts")).as("t_start"),
-          max(col("ts")).as("t_end"))
+          min(col("t")).as("t_start"),
+          max(col("t")).as("t_end"))
         .orderBy("user_id", "session_id")
     },
 
@@ -233,10 +238,11 @@ object EventLogQueries {
     // Tumbling 1h event-time window aggregation (batch counterpart of the
     // Structured Streaming path in graft.streaming).
     "events_window_agg" -> { (s, dir) =>
+      // exact decimal sum surfaced as double — see Relational.window_running
       Tables(s, dir, "events")
         .groupBy(expr("ts div 3600000000000").as("hour_bucket"), col("event_type"))
         .agg(count(lit(1)).as("n"),
-          sum(col("value").cast("decimal(18,2)")).as("total_value"))
+          sum(col("value").cast("decimal(18,2)")).cast("double").as("total_value"))
         .orderBy("hour_bucket", "event_type")
     }
   )
@@ -299,27 +305,27 @@ object EventLogQueries {
         |    lag(epoch_ns(ts)) OVER (ORDER BY event_id) AS prev_ts
         |  FROM events)
         |SELECT count(*) AS n,
-        |  sum(CASE WHEN prev_v IS NULL OR version = prev_v + 1 THEN 0 ELSE 1 END) AS chain_violations,
-        |  sum(CASE WHEN prev_ts IS NULL OR ts_ns >= prev_ts THEN 0 ELSE 1 END) AS time_violations,
-        |  sum(CASE WHEN json_valid(payload) AND regexp_matches(payload, '^\s*\{')
-        |           AND NOT regexp_matches(payload, '^\s*\{\s*\}\s*$') THEN 0 ELSE 1 END) AS payload_violations,
-        |  sum(CASE WHEN length(label) <= 65535
-        |           AND regexp_matches(label, '^[A-Za-z0-9_.~%-]*$') THEN 0 ELSE 1 END) AS label_violations
+        |  CAST(sum(CASE WHEN prev_v IS NULL OR version = prev_v + 1 THEN 0 ELSE 1 END) AS BIGINT) AS chain_violations,
+        |  CAST(sum(CASE WHEN prev_ts IS NULL OR ts_ns >= prev_ts THEN 0 ELSE 1 END) AS BIGINT) AS time_violations,
+        |  CAST(sum(CASE WHEN json_valid(payload) AND regexp_matches(payload, '^\s*\{')
+        |           AND NOT regexp_matches(payload, '^\s*\{\s*\}\s*$') THEN 0 ELSE 1 END) AS BIGINT) AS payload_violations,
+        |  CAST(sum(CASE WHEN length(label) <= 65535
+        |           AND regexp_matches(label, '^[A-Za-z0-9_.~%-]*$') THEN 0 ELSE 1 END) AS BIGINT) AS label_violations
         |FROM chain""".stripMargin,
 
     "events_sessionize" ->
       """WITH g AS (
-        |  SELECT user_id, event_id, epoch_ns(ts) AS t,
-        |    lag(epoch_ns(ts)) OVER (PARTITION BY user_id ORDER BY epoch_ns(ts), event_id) AS prev_t
+        |  SELECT user_id, event_id, epoch_us(ts) AS t,
+        |    lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS prev_t
         |  FROM events),
         |m AS (
         |  SELECT user_id, event_id, t,
-        |    CASE WHEN prev_t IS NULL OR t - prev_t > 1800000000000 THEN 1 ELSE 0 END AS is_new
+        |    CASE WHEN prev_t IS NULL OR t - prev_t > 1800000000 THEN 1 ELSE 0 END AS is_new
         |  FROM g),
         |sess AS (
         |  SELECT user_id, event_id, t,
-        |    sum(is_new) OVER (PARTITION BY user_id ORDER BY t, event_id
-        |                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |    CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY t, event_id
+        |                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
         |  FROM m)
         |SELECT user_id, session_id, count(*) AS n_events,
         |  min(t) AS t_start, max(t) AS t_end
@@ -328,7 +334,7 @@ object EventLogQueries {
 
     "el_payload_extract" ->
       """SELECT event_type AS label, count(*) AS n,
-        |  sum(CAST(props ->> 'k' AS BIGINT)) AS sum_k,
+        |  CAST(sum(CAST(props ->> 'k' AS BIGINT)) AS BIGINT) AS sum_k,
         |  min(CAST(props ->> 'k' AS INT)) AS min_k,
         |  max(CAST(props ->> 'k' AS INT)) AS max_k
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
@@ -365,7 +371,7 @@ object EventLogQueries {
     "events_window_agg" ->
       """SELECT epoch_ns(ts) // 3600000000000 AS hour_bucket, event_type,
         |  count(*) AS n,
-        |  sum(cast(value AS decimal(18,2))) AS total_value
+        |  CAST(sum(cast(value AS decimal(18,2))) AS DOUBLE) AS total_value
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
   )
 }

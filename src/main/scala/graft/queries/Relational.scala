@@ -9,16 +9,42 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
   * windows, set ops, as-of join — all declarative DataFrame plans so Catalyst
   * gets pushdown/pruning/join-reordering for free.
   *
-  * Money sums are cast to decimal(18,2) per row BEFORE aggregation in both
-  * the Spark plan and the DuckDB oracle: decimal sums are exact, so results
-  * are bit-identical regardless of aggregation order / parallelism. Raw
-  * double arithmetic in row scope is fine (same per-row operands on both
-  * engines -> identical bits).
+  * Money math is done in DECIMAL from the BASE columns on both the Spark
+  * plan and the DuckDB oracle: base doubles carry clean 2-decimal values, so
+  * the base cast is engine-identical, and decimal×decimal products plus
+  * decimal sums are exact — bit-identical regardless of aggregation order /
+  * parallelism. Never cast a COMPUTED double mid-expression: the engines'
+  * double→decimal rounding differs on tie-ish products (round-1 q1_agg
+  * diverged by cents exactly this way).
+  *
+  * OUTPUT columns are always DOUBLE, never decimal: the exact decimal
+  * aggregate is cast once at the end (deterministic on both engines at any
+  * magnitude below 2^52 cents). Rationale: the driver's oracle bridge
+  * (duckdb .df()) surfaces every DECIMAL as float64 while Spark parquet
+  * surfaces Decimal objects, and its hash distinguishes Decimal('5.00')
+  * from 5.0 — round 1's five "bit-exact locally, hash-red at the driver"
+  * queries (cube/rollup/grouping_sets/window_running/events_window_agg) were
+  * exactly the ones whose results contained trailing-zero cents.
   */
 object Relational {
   type Q = (SparkSession, String) => DataFrame
 
   private def dec(c: Column): Column = c.cast("decimal(18,2)")
+
+  /** (1 - l_discount) and (1 + l_tax) as exact decimals from the base column. */
+  private val one = lit(1).cast("decimal(3,2)")
+  private def discMult: Column =
+    (one - col("l_discount").cast("decimal(4,2)")).cast("decimal(4,2)")
+  private def taxMult: Column =
+    (one + col("l_tax").cast("decimal(4,2)")).cast("decimal(4,2)")
+
+  /** Per-line extended price after discount (and tax), rounded to cents —
+    * an exact decimal product rounded HALF_UP, which Spark and DuckDB agree
+    * on (both round half away from zero for decimal→decimal). */
+  private def discPrice: Column =
+    (dec(col("l_extendedprice")) * discMult).cast("decimal(18,2)")
+  private def chargePrice: Column =
+    (dec(col("l_extendedprice")) * discMult * taxMult).cast("decimal(18,2)")
 
   val queries: Map[String, Q] = Map(
     "q1_agg" -> { (s, dir) =>
@@ -26,12 +52,10 @@ object Relational {
       li.filter(col("l_shipdate") < lit("1998-12-01").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-          sum(dec(col("l_quantity"))).as("sum_qty"),
-          sum(dec(col("l_extendedprice"))).as("sum_base_price"),
-          sum(dec(col("l_extendedprice") * (lit(1.0) - col("l_discount"))))
-            .as("sum_disc_price"),
-          sum(dec(col("l_extendedprice") * (lit(1.0) - col("l_discount"))
-            * (lit(1.0) + col("l_tax")))).as("sum_charge"),
+          sum(dec(col("l_quantity"))).cast("double").as("sum_qty"),
+          sum(dec(col("l_extendedprice"))).cast("double").as("sum_base_price"),
+          sum(discPrice).cast("double").as("sum_disc_price"),
+          sum(chargePrice).cast("double").as("sum_charge"),
           count(lit(1)).as("count_order"))
         .orderBy("l_returnflag", "l_linestatus")
     },
@@ -46,8 +70,7 @@ object Relational {
         .join(broadcast(c), o("o_custkey") === c("c_custkey"))
         .groupBy(col("l_orderkey"),
           date_format(col("o_orderdate"), "yyyy-MM-dd").as("orderdate"))
-        .agg(sum(dec(col("l_extendedprice") * (lit(1.0) - col("l_discount"))))
-          .as("revenue"))
+        .agg(sum(discPrice).cast("double").as("revenue"))
         .orderBy(col("revenue").desc, col("l_orderkey"))
         .limit(10)
         .select("l_orderkey", "revenue", "orderdate")
@@ -70,8 +93,7 @@ object Relational {
         .join(broadcast(n), su("s_nationkey") === n("n_nationkey"))
         .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
         .groupBy("n_name")
-        .agg(sum(dec(col("l_extendedprice") * (lit(1.0) - col("l_discount"))))
-          .as("revenue"))
+        .agg(sum(discPrice).cast("double").as("revenue"))
         .orderBy(col("revenue").desc, col("n_name"))
     },
 
@@ -108,7 +130,13 @@ object Relational {
       val w = Window.partitionBy(col("l_suppkey"))
         .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      li.withColumn("running_qty", sum(dec(col("l_quantity"))).over(w))
+      // the running sum is computed EXACTLY in decimal, then surfaced as
+      // double: decimal→double of an exact value is deterministic on both
+      // engines, removing the driver-hash sensitivity that round 1 hit on
+      // decimal-typed multi-row outputs (CORRECTNESS_r01: bit-exact locally,
+      // hash-red at the driver).
+      li.withColumn("running_qty",
+          sum(dec(col("l_quantity"))).over(w).cast("double"))
         .select("l_suppkey", "l_orderkey", "l_linenumber", "running_qty")
         .orderBy("l_suppkey", "l_orderkey", "l_linenumber")
     },
@@ -128,7 +156,7 @@ object Relational {
         """SELECT coalesce(r_name, 'ALL') AS region_name,
           |  coalesce(n_name, 'ALL') AS nation_name,
           |  count(1) AS n_customers,
-          |  sum(cast(c_acctbal AS decimal(18,2))) AS total_bal
+          |  CAST(sum(cast(c_acctbal AS decimal(18,2))) AS DOUBLE) AS total_bal
           |FROM graft_rollup_src
           |GROUP BY ROLLUP(r_name, n_name)
           |ORDER BY region_name, nation_name""".stripMargin)
@@ -146,7 +174,7 @@ object Relational {
         """SELECT coalesce(r_name, 'ALL') AS region_name,
           |  coalesce(n_name, 'ALL') AS nation_name,
           |  count(1) AS n_customers,
-          |  sum(cast(c_acctbal AS decimal(18,2))) AS total_bal
+          |  CAST(sum(cast(c_acctbal AS decimal(18,2))) AS DOUBLE) AS total_bal
           |FROM graft_cube_src
           |GROUP BY CUBE(r_name, n_name)
           |ORDER BY region_name, nation_name""".stripMargin)
@@ -160,7 +188,7 @@ object Relational {
         """SELECT coalesce(o_orderstatus, 'ALL') AS status,
           |  coalesce(o_orderpriority, 'ALL') AS priority,
           |  count(1) AS n_orders,
-          |  sum(cast(o_totalprice AS decimal(18,2))) AS total_price
+          |  CAST(sum(cast(o_totalprice AS decimal(18,2))) AS DOUBLE) AS total_price
           |FROM graft_gs_src
           |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
           |ORDER BY status, priority""".stripMargin)
@@ -180,7 +208,7 @@ object Relational {
           col("o_totalprice") >= col("lo") && col("o_totalprice") < col("hi"))
         .groupBy("tier")
         .agg(count(lit(1)).as("n_orders"),
-          sum(dec(col("o_totalprice"))).as("total_price"))
+          sum(dec(col("o_totalprice"))).cast("double").as("total_price"))
         .orderBy("tier")
     },
 
@@ -202,7 +230,7 @@ object Relational {
             && facts("salt") === salted("salt"))
         .groupBy("c_mktsegment")
         .agg(count(lit(1)).as("n_events"),
-          sum(col("value").cast("decimal(18,2)")).as("total_value"))
+          sum(col("value").cast("decimal(18,2)")).cast("double").as("total_value"))
         .orderBy("c_mktsegment")
     },
 
@@ -295,10 +323,15 @@ object Relational {
   val oracle: Map[String, String] = Map(
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
-        |  sum(cast(l_quantity AS decimal(18,2))) AS sum_qty,
-        |  sum(cast(l_extendedprice AS decimal(18,2))) AS sum_base_price,
-        |  sum(cast(l_extendedprice*(1.0-l_discount) AS decimal(18,2))) AS sum_disc_price,
-        |  sum(cast(l_extendedprice*(1.0-l_discount)*(1.0+l_tax) AS decimal(18,2))) AS sum_charge,
+        |  CAST(sum(cast(l_quantity AS decimal(18,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(sum(cast(l_extendedprice AS decimal(18,2))) AS DOUBLE) AS sum_base_price,
+        |  CAST(sum(cast(cast(l_extendedprice AS decimal(18,2))
+        |        * cast(1 - cast(l_discount AS decimal(4,2)) AS decimal(4,2))
+        |      AS decimal(18,2))) AS DOUBLE) AS sum_disc_price,
+        |  CAST(sum(cast(cast(l_extendedprice AS decimal(18,2))
+        |        * cast(1 - cast(l_discount AS decimal(4,2)) AS decimal(4,2))
+        |        * cast(1 + cast(l_tax AS decimal(4,2)) AS decimal(4,2))
+        |      AS decimal(18,2))) AS DOUBLE) AS sum_charge,
         |  count(*) AS count_order
         |FROM lineitem WHERE l_shipdate < timestamp '1998-12-01'
         |GROUP BY l_returnflag, l_linestatus
@@ -306,7 +339,9 @@ object Relational {
 
     "q3_topk_join" ->
       """SELECT l_orderkey,
-        |  sum(cast(l_extendedprice*(1.0-l_discount) AS decimal(18,2))) AS revenue,
+        |  CAST(sum(cast(cast(l_extendedprice AS decimal(18,2))
+        |        * cast(1 - cast(l_discount AS decimal(4,2)) AS decimal(4,2))
+        |      AS decimal(18,2))) AS DOUBLE) AS revenue,
         |  strftime(o_orderdate, '%Y-%m-%d') AS orderdate
         |FROM customer
         |JOIN orders ON c_custkey = o_custkey
@@ -318,7 +353,9 @@ object Relational {
 
     "q5_multijoin" ->
       """SELECT n_name,
-        |  sum(cast(l_extendedprice*(1.0-l_discount) AS decimal(18,2))) AS revenue
+        |  CAST(sum(cast(cast(l_extendedprice AS decimal(18,2))
+        |        * cast(1 - cast(l_discount AS decimal(4,2)) AS decimal(4,2))
+        |      AS decimal(18,2))) AS DOUBLE) AS revenue
         |FROM customer, orders, lineitem, supplier, nation, region
         |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
         |  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
@@ -350,10 +387,10 @@ object Relational {
 
     "window_running" ->
       """SELECT l_suppkey, l_orderkey, l_linenumber,
-        |  sum(cast(l_quantity AS decimal(18,2))) OVER (
+        |  CAST(sum(cast(l_quantity AS decimal(18,2))) OVER (
         |    PARTITION BY l_suppkey
         |    ORDER BY l_shipdate, l_orderkey, l_linenumber
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_qty
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_qty
         |FROM lineitem WHERE l_suppkey <= 5
         |ORDER BY l_suppkey, l_orderkey, l_linenumber""".stripMargin,
 
@@ -361,7 +398,7 @@ object Relational {
       """SELECT coalesce(r_name, 'ALL') AS region_name,
         |  coalesce(n_name, 'ALL') AS nation_name,
         |  count(*) AS n_customers,
-        |  sum(cast(c_acctbal AS decimal(18,2))) AS total_bal
+        |  CAST(sum(cast(c_acctbal AS decimal(18,2))) AS DOUBLE) AS total_bal
         |FROM customer
         |JOIN nation ON c_nationkey = n_nationkey
         |JOIN region ON n_regionkey = r_regionkey
@@ -372,7 +409,7 @@ object Relational {
       """SELECT coalesce(r_name, 'ALL') AS region_name,
         |  coalesce(n_name, 'ALL') AS nation_name,
         |  count(*) AS n_customers,
-        |  sum(cast(c_acctbal AS decimal(18,2))) AS total_bal
+        |  CAST(sum(cast(c_acctbal AS decimal(18,2))) AS DOUBLE) AS total_bal
         |FROM customer
         |JOIN nation ON c_nationkey = n_nationkey
         |JOIN region ON n_regionkey = r_regionkey
@@ -383,7 +420,7 @@ object Relational {
       """SELECT coalesce(o_orderstatus, 'ALL') AS status,
         |  coalesce(o_orderpriority, 'ALL') AS priority,
         |  count(*) AS n_orders,
-        |  sum(cast(o_totalprice AS decimal(18,2))) AS total_price
+        |  CAST(sum(cast(o_totalprice AS decimal(18,2))) AS DOUBLE) AS total_price
         |FROM orders
         |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
         |ORDER BY status, priority""".stripMargin,
@@ -395,13 +432,13 @@ object Relational {
         |  ('t3_high', 150000.0, 300000.0),
         |  ('t4_top', 300000.0, 1e9))
         |SELECT tier, count(*) AS n_orders,
-        |  sum(cast(o_totalprice AS decimal(18,2))) AS total_price
+        |  CAST(sum(cast(o_totalprice AS decimal(18,2))) AS DOUBLE) AS total_price
         |FROM orders JOIN tiers ON o_totalprice >= lo AND o_totalprice < hi
         |GROUP BY tier ORDER BY tier""".stripMargin,
 
     "join_skew_salted" ->
       """SELECT c_mktsegment, count(*) AS n_events,
-        |  sum(cast(value AS decimal(18,2))) AS total_value
+        |  CAST(sum(cast(value AS decimal(18,2))) AS DOUBLE) AS total_value
         |FROM events JOIN customer ON user_id = c_custkey
         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
 

@@ -61,9 +61,10 @@ object TextAnalysis {
       val stops = words.groupBy("doc_id").agg(
         count(lit(1)).as("n_words"),
         sum(when(col("tok").isin(Stopwords: _*), 1).otherwise(0)).as("n_stop"))
+      // counts surface as BIGINT to line up with DuckDB's length()/sum()
       d.select(col("doc_id"),
-        length(col("text")).as("n_chars"),
-        length(regexp_replace(col("text"), "[^.,;:!?]", "")).as("n_punct"))
+        length(col("text")).cast("long").as("n_chars"),
+        length(regexp_replace(col("text"), "[^.,;:!?]", "")).cast("long").as("n_punct"))
         .join(stops, "doc_id")
         .withColumn("avg_word_len",
           (col("n_chars") - (col("n_words") - 1)).cast("double") / col("n_words"))
@@ -210,7 +211,7 @@ object TextAnalysis {
     "text_quality" ->
       s"""WITH words AS (SELECT doc_id, unnest(string_split_regex(text, '\\s+')) AS tok FROM documents),
          |stops AS (SELECT doc_id, count(*) AS n_words,
-         |    sum(CASE WHEN tok IN ($stopList) THEN 1 ELSE 0 END) AS n_stop
+         |    CAST(sum(CASE WHEN tok IN ($stopList) THEN 1 ELSE 0 END) AS BIGINT) AS n_stop
          |  FROM words GROUP BY 1)
          |SELECT d.doc_id, length(d.text) AS n_chars,
          |  length(regexp_replace(d.text, '[^.,;:!?]', '', 'g')) AS n_punct,
@@ -257,8 +258,8 @@ object TextAnalysis {
          |                         ORDER BY cnt DESC, cand_lang) AS rn
          |    FROM hits) h WHERE rn = 1)
          |SELECT coalesce(b.cand_lang, 'und') AS pred_lang,
-         |  count(*) AS n_docs, sum(q.n_words) AS total_words,
-         |  sum(length(k.text)) AS total_chars
+         |  count(*) AS n_docs, CAST(sum(q.n_words) AS BIGINT) AS total_words,
+         |  CAST(sum(length(k.text)) AS BIGINT) AS total_chars
          |FROM keep k
          |JOIN quality q USING (doc_id)
          |LEFT JOIN best b USING (doc_id)

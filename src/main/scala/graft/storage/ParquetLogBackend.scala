@@ -102,10 +102,22 @@ final class ParquetLogBackend private (
           retained.write('\n')
         }
       })
-    Files.write(tmp, retained.toByteArray)
+    // fsync the tmp file BEFORE the rename and the directory AFTER it:
+    // without both, a power loss right after the atomic move can surface an
+    // empty/partial commits.jsonl, losing fsync-acknowledged commits.
+    scala.util.Using.resource(java.nio.channels.FileChannel.open(
+      tmp, StandardOpenOption.CREATE, StandardOpenOption.WRITE,
+      StandardOpenOption.TRUNCATE_EXISTING)) { ch =>
+      ch.write(java.nio.ByteBuffer.wrap(retained.toByteArray))
+      ch.force(true)
+    }
     channel.close()
     Files.move(tmp, commitLog,
       StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    // directory fsync so the rename itself is durable (Linux requires it)
+    scala.util.Using.resource(
+      java.nio.channels.FileChannel.open(dir, StandardOpenOption.READ))(
+      _.force(true))
     channel = java.nio.channels.FileChannel.open(
       commitLog,
       StandardOpenOption.CREATE,
@@ -114,10 +126,18 @@ final class ParquetLogBackend private (
   }
 
   override def snapshot(): DataFrame = {
-    val t = ioLock.synchronized(tail.toList)
+    // Capture tail AND watermark in ONE ioLock section: a concurrent
+    // compact() commits its parquet segment BEFORE dropping the copied tail
+    // prefix, so a snapshot taken between those steps would otherwise see the
+    // batch in both the segment read and the tail union (transient duplicate
+    // versions). Bounding the segment read by the captured watermark makes
+    // duplicates and gaps impossible regardless of compaction timing; the
+    // version predicate is pushed down to the parquet scan.
+    val (t, watermark) = ioLock.synchronized((tail.toList, segmentMaxVersion))
     val tailDf = spark.createDataFrame(t.map(_.toRow).asJava, EventSchema.schema)
-    if (Files.exists(segmentsDir)) {
+    if (Files.exists(segmentsDir) && watermark > 0L) {
       val segs = spark.read.schema(EventSchema.schema).parquet(segmentsDir.toString)
+        .filter(col("version") <= watermark)
         .select(EventSchema.schema.fieldNames.map(col).toSeq: _*)
       segs.union(tailDf)
     } else tailDf

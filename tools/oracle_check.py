@@ -1,12 +1,19 @@
 #!/usr/bin/env python3
 """Local mimic of the driver's correctness gate.
 
-Usage: python3 tools/oracle_check.py <sfDir> <verifyOutDir> [query ...]
+Usage: python3 tools/oracle_check.py [--exact] <sfDir> <verifyOutDir> [query ...]
 
 Reads each <verifyOutDir>/<name> parquet (Spark result), runs the matching
 oracle SQL from <verifyOutDir>/oracle_sql.json in DuckDB with views named
 after the testdata tables, sorts columns by name and rows by all columns,
 and compares cell values.
+
+--exact: the driver's hash is bit- and dtype-sensitive (round-1 lesson:
+the default rtol=1e-7 compare said PASS=44 while the driver recorded 13
+hash_match:false). Exact mode fails on ANY difference: column dtype
+(int64 vs float64 — DuckDB HUGEINT sums surface as float64), float bit
+patterns (compared via IEEE-754 hex), and Decimal scale (compared via
+str(), so Decimal('5.00') != Decimal('5.0000')).
 """
 import sys, json, glob, os
 import duckdb
@@ -28,9 +35,28 @@ def norm(df: pd.DataFrame) -> pd.DataFrame:
     df = df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
     return df
 
+def norm_exact(df: pd.DataFrame) -> pd.DataFrame:
+    """Sort columns/rows like the driver, then stringify every cell with its
+    Python type name so ANY value/scale/bit difference shows. Floats become
+    IEEE-754 hex (bit-exact; nan/inf safe)."""
+    df = df.reindex(sorted(df.columns), axis=1)
+    df = df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
+    out = pd.DataFrame(index=df.index)
+    for c in df.columns:
+        col = df[c]
+        if pd.api.types.is_float_dtype(col):
+            out[c] = col.map(lambda v: "float64|" + float(v).hex())
+        elif pd.api.types.is_datetime64_any_dtype(col):
+            out[c] = col.astype("datetime64[ns]").map(lambda v: f"ts|{v!r}")
+        else:
+            out[c] = col.map(lambda v: f"{type(v).__name__}|{v}")
+    return out
+
 def main():
-    sf_dir, out_dir = sys.argv[1], sys.argv[2]
-    only = set(sys.argv[3:])
+    argv = [a for a in sys.argv[1:] if a != "--exact"]
+    exact = "--exact" in sys.argv[1:]
+    sf_dir, out_dir = argv[0], argv[1]
+    only = set(argv[2:])
     con = duckdb.connect()
     for t in TABLES:
         p = f"{sf_dir}/{t}.parquet"
@@ -60,7 +86,7 @@ def main():
             print(f"  X {name}: ORACLE SQL ERROR: {str(e).splitlines()[0][:200]}")
             n_fail += 1
             continue
-        g, e = norm(got), norm(exp)
+        g, e = (norm_exact(got), norm_exact(exp)) if exact else (norm(got), norm(exp))
         if list(g.columns) != list(e.columns):
             print(f"  X {name}: COLUMNS spark={list(g.columns)} oracle={list(e.columns)}")
             n_fail += 1
@@ -70,7 +96,10 @@ def main():
             n_fail += 1
             continue
         try:
-            pd.testing.assert_frame_equal(g, e, check_dtype=False, check_exact=False, rtol=1e-7, atol=1e-9)
+            if exact:
+                pd.testing.assert_frame_equal(g, e, check_dtype=False, check_exact=True)
+            else:
+                pd.testing.assert_frame_equal(g, e, check_dtype=False, check_exact=False, rtol=1e-7, atol=1e-9)
             print(f"  ✓ {name}: rows={len(g)}")
             n_pass += 1
         except AssertionError as ex:
