@@ -18,6 +18,18 @@ object Dedup {
   private val NumBands = 3 // 4 rows per band
   private val RowsPerBand = NumHashes / NumBands
 
+  /** Hot-bucket caps: a candidate-generation bucket of size n yields n²/2
+    * pairs, so one pathological bucket (boilerplate shingle, giant duplicate
+    * cluster, degenerate LSH band) turns the verify join quadratic at scale.
+    * Buckets over the cap are DROPPED — the standard trade (e.g. shingle
+    * document-frequency caps in web-dedup pipelines): members of a giant
+    * cluster are still caught by exact dedup, and a shingle shared by >64
+    * docs carries no similarity signal. The oracle SQL applies the same cap,
+    * so results stay bit-identical. */
+  private val MaxBandBucket = 64 // LSH band bucket: docs per (band, key)
+  private val MaxShingleDf = 64 // inverted index: docs per distinct shingle
+  private val MaxCellSize = 65536 // embedding cosine: vectors per coarse cell
+
   /** Whitespace tokens. */
   private def toks(c: Column): Column = split(c, "\\s+")
 
@@ -120,9 +132,17 @@ object Dedup {
           .as("bk"))
         .select(col("doc_id"), col("mins"),
           col("bk.band").as("band"), col("bk.bkey").as("bkey"))
-      bands.select(col("doc_id").as("doc_a"), col("mins").as("mins_a"),
+      // Hot-band cap: the bucket-size count shuffles on (band, bkey) — the
+      // same keys the candidate self-join needs, so both join sides still
+      // collapse into one exchange via reuse.
+      val wb = Window.partitionBy(col("band"), col("bkey"))
+      val capped = bands
+        .withColumn("bsz", count(lit(1)).over(wb))
+        .filter(col("bsz") <= MaxBandBucket)
+        .drop("bsz")
+      capped.select(col("doc_id").as("doc_a"), col("mins").as("mins_a"),
           col("band"), col("bkey"))
-        .join(bands.select(col("doc_id").as("doc_b"), col("mins").as("mins_b"),
+        .join(capped.select(col("doc_id").as("doc_b"), col("mins").as("mins_b"),
           col("band"), col("bkey")), Seq("band", "bkey"))
         .filter(col("doc_a") < col("doc_b"))
         .select("doc_a", "doc_b", "mins_a", "mins_b").distinct()
@@ -172,8 +192,16 @@ object Dedup {
       // inverted index on the shingle's 64-bit hash: distinct, join, and
       // count all shuffle 8-byte keys instead of shingle strings (same sets
       // modulo ~2⁻⁶⁴ collisions).
-      val t = shingleRows(s, dir)
+      val t0 = shingleRows(s, dir)
         .select(col("doc_id"), xxhash64(col("s")).as("sh")).distinct()
+      // Document-frequency cap: a shingle present in >MaxShingleDf docs is
+      // boilerplate, not signal, and its inverted-index bucket would join
+      // quadratically. Sizes (n) are counted over the SAME filtered universe
+      // so jaccard stays a true set ratio.
+      val wdf = Window.partitionBy(col("sh"))
+      val t = t0.withColumn("df", count(lit(1)).over(wdf))
+        .filter(col("df") <= MaxShingleDf)
+        .drop("df")
       val sz = t.groupBy("doc_id").agg(count(lit(1)).as("n"))
       val pairs = t.as("x").join(t.as("y"),
         col("x.sh") === col("y.sh") && col("x.doc_id") < col("y.doc_id"))
@@ -193,10 +221,17 @@ object Dedup {
     // coarse cell (label); dot/norm folded left-to-right in double so both
     // engines produce identical bits.
     "dedup_embedding" -> { (s, dir) =>
-      val e = Tables(s, dir, "embeddings")
+      val e0 = Tables(s, dir, "embeddings")
         .select(col("vec_id"), col("label"),
           col("embedding").cast("array<double>").as("v"))
         .withColumn("nrm", Similarity.norm(col("v"))) // once per vector
+      // Oversized-cell cap: a coarse cell with c vectors costs c²/2 pairs;
+      // past MaxCellSize that single cell dominates the whole job, so it is
+      // dropped (it needs a finer quantizer, not a bigger join).
+      val wc = Window.partitionBy(col("label"))
+      val e = e0.withColumn("csz", count(lit(1)).over(wc))
+        .filter(col("csz") <= MaxCellSize)
+        .drop("csz")
       val a = e.select(col("vec_id").as("vec_a"), col("label"),
         col("v").as("va"), col("nrm").as("na"))
       val b = e.select(col("vec_id").as("vec_b"), col("label"),
@@ -250,8 +285,11 @@ object Dedup {
          |bands AS (SELECT doc_id, b,
          |  mins[4*b+1] || '|' || mins[4*b+2] || '|' || mins[4*b+3] || '|' || mins[4*b+4] AS bkey
          |  FROM mh, (SELECT unnest(range(0, 3)) AS b)),
+         |capped AS (SELECT doc_id, b, bkey FROM (
+         |  SELECT doc_id, b, bkey, count(*) OVER (PARTITION BY b, bkey) AS bsz
+         |  FROM bands) WHERE bsz <= $MaxBandBucket),
          |cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
-         |  FROM bands x JOIN bands y
+         |  FROM capped x JOIN capped y
          |    ON x.b = y.b AND x.bkey = y.bkey AND x.doc_id < y.doc_id)
          |SELECT doc_a, doc_b,
          |  len(list_filter(range(1, 13), i -> ma.mins[i] = mb.mins[i])) / 12.0 AS sim_est
@@ -285,7 +323,10 @@ object Dedup {
 
     "dedup_ngram_jaccard" ->
       s"""WITH sh AS ($shinglesSql),
-         |t AS (SELECT DISTINCT doc_id, unnest(sh) AS s FROM sh),
+         |t0 AS (SELECT DISTINCT doc_id, unnest(sh) AS s FROM sh),
+         |t AS (SELECT doc_id, s FROM (
+         |  SELECT doc_id, s, count(*) OVER (PARTITION BY s) AS df FROM t0)
+         |  WHERE df <= $MaxShingleDf),
          |sz AS (SELECT doc_id, count(*) AS n FROM t GROUP BY 1),
          |pairs AS (SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, count(*) AS inter
          |  FROM t x JOIN t y ON x.s = y.s AND x.doc_id < y.doc_id GROUP BY 1, 2)
@@ -298,7 +339,10 @@ object Dedup {
          |ORDER BY doc_a, doc_b""".stripMargin,
 
     "dedup_embedding" ->
-      s"""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+      s"""WITH e0 AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |e AS (SELECT vec_id, label, v FROM (
+         |  SELECT vec_id, label, v, count(*) OVER (PARTITION BY label) AS csz
+         |  FROM e0) WHERE csz <= $MaxCellSize)
          |SELECT a.label AS label, a.vec_id AS vec_a, b.vec_id AS vec_b,
          |  ${Similarity.cosineSql("a.v", "b.v")} AS cosine
          |FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id

@@ -38,9 +38,11 @@ object Relational {
   private def taxMult: Column =
     (one + col("l_tax").cast("decimal(4,2)")).cast("decimal(4,2)")
 
-  /** Per-line extended price after discount (and tax), rounded to cents —
-    * an exact decimal product rounded HALF_UP, which Spark and DuckDB agree
-    * on (both round half away from zero for decimal→decimal). */
+  /** Per-line extended price after discount (and tax), rounded to cents.
+    * Spark's decimal→decimal cast rounds HALF_UP; DuckDB's cast rounds
+    * half-to-even, so the oracle SQL wraps the product in round(expr, 2)
+    * (half away from zero — identical to HALF_UP for the positive money
+    * values here) before its decimal cast. */
   private def discPrice: Column =
     (dec(col("l_extendedprice")) * discMult).cast("decimal(18,2)")
   private def chargePrice: Column =
@@ -325,12 +327,12 @@ object Relational {
       """SELECT l_returnflag, l_linestatus,
         |  CAST(sum(cast(l_quantity AS decimal(18,2))) AS DOUBLE) AS sum_qty,
         |  CAST(sum(cast(l_extendedprice AS decimal(18,2))) AS DOUBLE) AS sum_base_price,
-        |  CAST(sum(cast(cast(l_extendedprice AS decimal(18,2))
-        |        * cast(1 - cast(l_discount AS decimal(4,2)) AS decimal(4,2))
+        |  CAST(sum(cast(round(cast(l_extendedprice AS decimal(18,2))
+        |        * cast(1 - cast(l_discount AS decimal(4,2)) AS decimal(4,2)), 2)
         |      AS decimal(18,2))) AS DOUBLE) AS sum_disc_price,
-        |  CAST(sum(cast(cast(l_extendedprice AS decimal(18,2))
+        |  CAST(sum(cast(round(cast(l_extendedprice AS decimal(18,2))
         |        * cast(1 - cast(l_discount AS decimal(4,2)) AS decimal(4,2))
-        |        * cast(1 + cast(l_tax AS decimal(4,2)) AS decimal(4,2))
+        |        * cast(1 + cast(l_tax AS decimal(4,2)) AS decimal(4,2)), 2)
         |      AS decimal(18,2))) AS DOUBLE) AS sum_charge,
         |  count(*) AS count_order
         |FROM lineitem WHERE l_shipdate < timestamp '1998-12-01'
@@ -339,8 +341,8 @@ object Relational {
 
     "q3_topk_join" ->
       """SELECT l_orderkey,
-        |  CAST(sum(cast(cast(l_extendedprice AS decimal(18,2))
-        |        * cast(1 - cast(l_discount AS decimal(4,2)) AS decimal(4,2))
+        |  CAST(sum(cast(round(cast(l_extendedprice AS decimal(18,2))
+        |        * cast(1 - cast(l_discount AS decimal(4,2)) AS decimal(4,2)), 2)
         |      AS decimal(18,2))) AS DOUBLE) AS revenue,
         |  strftime(o_orderdate, '%Y-%m-%d') AS orderdate
         |FROM customer
@@ -353,8 +355,8 @@ object Relational {
 
     "q5_multijoin" ->
       """SELECT n_name,
-        |  CAST(sum(cast(cast(l_extendedprice AS decimal(18,2))
-        |        * cast(1 - cast(l_discount AS decimal(4,2)) AS decimal(4,2))
+        |  CAST(sum(cast(round(cast(l_extendedprice AS decimal(18,2))
+        |        * cast(1 - cast(l_discount AS decimal(4,2)) AS decimal(4,2)), 2)
         |      AS decimal(18,2))) AS DOUBLE) AS revenue
         |FROM customer, orders, lineitem, supplier, nation, region
         |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey

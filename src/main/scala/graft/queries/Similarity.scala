@@ -64,7 +64,15 @@ object Similarity {
         .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
         .withColumn("nrm", norm(col("v")))
         .withColumn("features", array_to_vector(col("v")))
-      val km = new KMeans().setK(8).setSeed(42).setMaxIter(5).fit(e)
+      // The quantizer only needs a representative subset: train on a bounded
+      // sample (~TrainTarget rows) so the fit cost stays flat as the table
+      // grows — at 100TB a full-table k-means would dominate the query.
+      val TrainTarget = 4096.0
+      val n = e.count()
+      val train =
+        if (n <= TrainTarget) e
+        else e.sample(withReplacement = false, TrainTarget / n, seed = 42)
+      val km = new KMeans().setK(8).setSeed(42).setMaxIter(5).fit(train)
       val assigned = km.transform(e)
         .select(col("vec_id"), col("v"), col("nrm"),
           col("prediction").as("cell"))

@@ -85,44 +85,69 @@ final class ParquetLogBackend private (
     ioLock.synchronized {
       tail.dropInPlace(batch.length)
       segmentMaxVersion = batch.last.version
-      rotateCommitLog()
     }
+    rotateCommitLog()
   }
 
   /** Drop commit-log lines fully covered by segments (last version <=
-    * watermark). Called under ioLock. */
+    * watermark). Called under compactLock only. The filtered rewrite and its
+    * fsync run WITHOUT ioLock so concurrent appends aren't stalled for the
+    * rotation; ioLock is taken only to copy the suffix appended meanwhile
+    * and swap the file. */
   private def rotateCommitLog(): Unit = {
     val tmp = dir.resolve("commits.jsonl.tmp")
+    // Stable prefix boundary: len0 is captured under ioLock, so it sits on a
+    // commit-line boundary (persist writes a whole line under the lock).
+    val len0 = ioLock.synchronized(channel.size())
     val retained = new java.io.ByteArrayOutputStream()
-    scala.util.Using.resource(Files.lines(commitLog))(_.iterator().asScala
-      .foreach { line =>
-        if (line.nonEmpty &&
-          ParquetLogBackend.commitLastVersion(line) > segmentMaxVersion) {
-          retained.write(line.getBytes(StandardCharsets.UTF_8))
-          retained.write('\n')
+    scala.util.Using.resource(java.nio.channels.FileChannel.open(
+      commitLog, StandardOpenOption.READ)) { rc =>
+      val buf = java.nio.ByteBuffer.allocate(len0.toInt)
+      var n = 0
+      while (buf.hasRemaining && n >= 0) n = rc.read(buf)
+      new String(buf.array(), 0, buf.position(), StandardCharsets.UTF_8)
+        .split("\n", -1).foreach { line =>
+          if (line.nonEmpty &&
+            ParquetLogBackend.commitLastVersion(line) > segmentMaxVersion) {
+            retained.write(line.getBytes(StandardCharsets.UTF_8))
+            retained.write('\n')
+          }
         }
-      })
+    }
     // fsync the tmp file BEFORE the rename and the directory AFTER it:
     // without both, a power loss right after the atomic move can surface an
     // empty/partial commits.jsonl, losing fsync-acknowledged commits.
-    scala.util.Using.resource(java.nio.channels.FileChannel.open(
+    val tmpCh = java.nio.channels.FileChannel.open(
       tmp, StandardOpenOption.CREATE, StandardOpenOption.WRITE,
-      StandardOpenOption.TRUNCATE_EXISTING)) { ch =>
-      ch.write(java.nio.ByteBuffer.wrap(retained.toByteArray))
-      ch.force(true)
+      StandardOpenOption.TRUNCATE_EXISTING)
+    tmpCh.write(java.nio.ByteBuffer.wrap(retained.toByteArray))
+    tmpCh.force(true)
+    ioLock.synchronized {
+      // Commits appended during the rewrite are all > segmentMaxVersion by
+      // construction — copy them verbatim past the filtered prefix.
+      val len1 = channel.size()
+      if (len1 > len0)
+        scala.util.Using.resource(java.nio.channels.FileChannel.open(
+          commitLog, StandardOpenOption.READ))(
+          _.transferTo(len0, len1 - len0, tmpCh))
+      tmpCh.force(true)
+      tmpCh.close()
+      channel.close()
+      Files.move(tmp, commitLog,
+        StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+      // directory fsync so the rename itself is durable. Linux supports
+      // opening a directory for read+force; elsewhere it throws — degrade to
+      // best-effort rather than failing the rotation.
+      try scala.util.Using.resource(
+        java.nio.channels.FileChannel.open(dir, StandardOpenOption.READ))(
+        _.force(true))
+      catch { case _: java.io.IOException => () }
+      channel = java.nio.channels.FileChannel.open(
+        commitLog,
+        StandardOpenOption.CREATE,
+        StandardOpenOption.WRITE,
+        StandardOpenOption.APPEND)
     }
-    channel.close()
-    Files.move(tmp, commitLog,
-      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
-    // directory fsync so the rename itself is durable (Linux requires it)
-    scala.util.Using.resource(
-      java.nio.channels.FileChannel.open(dir, StandardOpenOption.READ))(
-      _.force(true))
-    channel = java.nio.channels.FileChannel.open(
-      commitLog,
-      StandardOpenOption.CREATE,
-      StandardOpenOption.WRITE,
-      StandardOpenOption.APPEND)
   }
 
   override def snapshot(): DataFrame = {

@@ -41,15 +41,30 @@ def norm_exact(df: pd.DataFrame) -> pd.DataFrame:
     IEEE-754 hex (bit-exact; nan/inf safe)."""
     df = df.reindex(sorted(df.columns), axis=1)
     df = df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
+
+    def cell(v):
+        # Per-value dispatch: object-dtype columns (DuckDB HUGEINT/DECIMAL
+        # surface that way) can hold floats/Decimals whose str() would mask
+        # bit/scale diffs the driver's hash catches.
+        t = type(v).__name__
+        if isinstance(v, float):
+            return "float64|" + v.hex()
+        if t == "Decimal":
+            return f"Decimal|{v}"  # str keeps scale: 5.00 != 5.0000
+        return f"{t}|{v}"
+
     out = pd.DataFrame(index=df.index)
     for c in df.columns:
         col = df[c]
         if pd.api.types.is_float_dtype(col):
             out[c] = col.map(lambda v: "float64|" + float(v).hex())
         elif pd.api.types.is_datetime64_any_dtype(col):
+            # tz-safe: astype('datetime64[ns]') raises on tz-aware columns.
+            if getattr(col.dtype, "tz", None) is not None:
+                col = col.dt.tz_convert("UTC").dt.tz_localize(None)
             out[c] = col.astype("datetime64[ns]").map(lambda v: f"ts|{v!r}")
         else:
-            out[c] = col.map(lambda v: f"{type(v).__name__}|{v}")
+            out[c] = col.map(cell)
     return out
 
 def main():
