@@ -7,11 +7,17 @@ import org.apache.spark.sql.SparkSession
 
 /** CLI ≙ reference cmd/eventlog (cli.go:23-129):
   *
-  *   inmem   [--http-port P] [-m key:value ...]      serve a volatile log
-  *   create  <dir> [-m key:value ...]                create a log directory
-  *   run     <dir> [--http-port P]                   serve a persistent log
+  *   inmem   [serve flags] [-m key:value ...]        serve a volatile log
+  *   create  <dir> [-m ...] [--max-payload-len N]    create a log directory
+  *   run     <dir> [serve flags]                     serve a persistent log
   *   check   <dir> [--quiet]                         integrity audit
-  *   version <url|dir>                               print latest version
+  *   version <url|file://dir|dir>                    print latest version
+  *
+  * Serve flags ≙ cli.go:203-233: `--http-port P`,
+  * `--http-read-timeout DUR` (Go duration, default 2s),
+  * `--http-max-scan-batch-size N` (default 1000); `inmem` also takes
+  * `--max-payload-len N`. `version` accepts http(s):// URLs, file:// log
+  * directories (main.go:151-170), or a bare directory path.
   */
 object Main {
   private def spark(): SparkSession = {
@@ -39,8 +45,37 @@ object Main {
       case Seq(`name`, v) => v.toInt
     }.getOrElse(default)
 
-  private def serve(log: EventLog, port: Int): Unit = {
-    val server = new HttpApiServer(log, port)
+  /** Go-style duration ("2s", "500ms", "1m30s" unsupported — single unit) →
+    * milliseconds; ≙ time.ParseDuration for the flag values the reference
+    * documents (cli.go:195). */
+  private[graft] def parseDurationMs(s: String): Long = {
+    val m = "^(\\d+(?:\\.\\d+)?)(ns|us|µs|ms|s|m|h)$".r.findFirstMatchIn(s)
+      .getOrElse(throw new IllegalArgumentException(s"invalid duration: $s"))
+    val n = m.group(1).toDouble
+    val unitMs = m.group(2) match {
+      case "ns" => 1e-6
+      case "us" | "µs" => 1e-3
+      case "ms" => 1.0
+      case "s" => 1000.0
+      case "m" => 60000.0
+      case "h" => 3600000.0
+    }
+    (n * unitMs).toLong
+  }
+
+  private def durFlag(args: Seq[String], name: String, defaultMs: Long): Long =
+    args.sliding(2).collectFirst {
+      case Seq(`name`, v) => parseDurationMs(v)
+    }.getOrElse(defaultMs)
+
+  private[graft] def buildServer(log: EventLog, rest: Seq[String]): HttpApiServer =
+    new HttpApiServer(log,
+      port = intFlag(rest, "--http-port", 8080),
+      maxReadBatchSize = intFlag(rest, "--http-max-scan-batch-size", 1000),
+      httpReadTimeoutMs = durFlag(rest, "--http-read-timeout", 2000))
+
+  private def serve(log: EventLog, rest: Seq[String]): Unit = {
+    val server = buildServer(log, rest)
     val actual = server.start()
     println(s"listening on :$actual")
     sys.addShutdownHook { server.stop(); log.close() }
@@ -49,16 +84,18 @@ object Main {
 
   def main(args: Array[String]): Unit = args.toSeq match {
     case "inmem" +: rest =>
-      serve(new EventLog(new InMemoryBackend(spark(), metaArgs(rest))),
-        intFlag(rest, "--http-port", 8080))
+      serve(new EventLog(new InMemoryBackend(spark(), metaArgs(rest),
+        intFlag(rest, "--max-payload-len",
+          graft.core.EventSchema.DefaultPayloadLimit))), rest)
 
     case "create" +: dir +: rest =>
-      ParquetLogBackend.create(spark(), dir, metaArgs(rest)).close()
+      ParquetLogBackend.create(spark(), dir, metaArgs(rest),
+        intFlag(rest, "--max-payload-len",
+          graft.core.EventSchema.DefaultPayloadLimit)).close()
       println(s"created event log at $dir")
 
     case "run" +: dir +: rest =>
-      serve(new EventLog(ParquetLogBackend.open(spark(), dir)),
-        intFlag(rest, "--http-port", 8080))
+      serve(new EventLog(ParquetLogBackend.open(spark(), dir)), rest)
 
     case "check" +: dir +: rest =>
       val log = new EventLog(ParquetLogBackend.open(spark(), dir))
@@ -78,7 +115,16 @@ object Main {
         .openStream().readAllBytes())
       println(body)
 
-    case Seq("version", dir) =>
+    // file:// scheme opens the log directory directly (main.go:159-165);
+    // a bare path is accepted as a convenience alias
+    case Seq("version", target) =>
+      val dir =
+        if (target.startsWith("file://")) target.stripPrefix("file://")
+        else if (target.contains("://")) {
+          System.err.println(
+            s"unsupported protocol: ${target.takeWhile(_ != ':')}")
+          sys.exit(2)
+        } else target
       val log = new EventLog(ParquetLogBackend.open(spark(), dir))
       try println(log.version) finally log.close()
 

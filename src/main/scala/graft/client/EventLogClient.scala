@@ -147,10 +147,62 @@ final class EventLogClient(baseUrl: String) {
     count
   }
 
-  /** Change-feed listener ≙ client Listen (http.go:524-585): long-poll loop
-    * invoking `onUpdate` with each hexadecimal watermark; returns a stop
-    * handle. Reconnects on timeout (204) like the WS retry loop. */
+  /** Change-feed listener ≙ client Listen (http.go:507-585): a WebSocket on
+    * `GET /subscription`, each binary frame carrying a shortest-hex
+    * watermark passed to `onUpdate`; reconnects on connection loss like the
+    * reference's retry loop. Returns a stop handle. */
   def listen(onUpdate: String => Unit): AutoCloseable = {
+    import java.net.http.WebSocket
+    val wsUri = URI.create(
+      baseUrl.replaceFirst("^http", "ws") + "/subscription")
+    @volatile var running = true
+    @volatile var current: WebSocket = null
+    val listener = new WebSocket.Listener {
+      private val buf = new java.io.ByteArrayOutputStream()
+      override def onOpen(ws: WebSocket): Unit = ws.request(1)
+      override def onBinary(ws: WebSocket, data: java.nio.ByteBuffer,
+          last: Boolean): java.util.concurrent.CompletionStage[_] = {
+        val b = new Array[Byte](data.remaining())
+        data.get(b)
+        buf.write(b, 0, b.length)
+        if (last) {
+          val v = buf.toString(java.nio.charset.StandardCharsets.US_ASCII)
+          buf.reset()
+          if (running) onUpdate(v)
+        }
+        ws.request(1)
+        null
+      }
+      override def onPing(ws: WebSocket, msg: java.nio.ByteBuffer)
+          : java.util.concurrent.CompletionStage[_] = {
+        ws.sendPong(msg) // keepalive reply to the server's 30s pings
+        ws.request(1)
+        null
+      }
+    }
+    val t = new Thread(() => {
+      while (running)
+        try {
+          val ws = http.newWebSocketBuilder()
+            .buildAsync(wsUri, listener).join()
+          current = ws
+          // block until this connection dies, then reconnect
+          while (running && !ws.isInputClosed) Thread.sleep(50)
+        } catch { case _: Exception => if (running) Thread.sleep(100) }
+    }, "graft-client-listen")
+    t.setDaemon(true)
+    t.start()
+    () => {
+      running = false
+      val ws = current
+      if (ws != null)
+        try ws.abort() catch { case _: Exception => () }
+    }
+  }
+
+  /** Long-poll rendering of [[listen]] against `GET /subscription/poll`,
+    * for WS-less consumers; same at-most-once watermark contract. */
+  def listenPoll(onUpdate: String => Unit): AutoCloseable = {
     @volatile var running = true
     val t = new Thread(() => {
       while (running)

@@ -202,6 +202,9 @@ final class EventLog(backend: EventLogBackend) extends AutoCloseable {
     * [[graft.streaming.VersionHub]]). */
   def subscribe(): VersionSubscription = hub.subscribe()
 
+  /** Live subscription count (diagnostics / leak tests). */
+  def subscriberCount: Int = hub.subscriberCount
+
   override def close(): Unit = {
     hub.close()
     backend.close()

@@ -9,10 +9,11 @@ import org.apache.spark.sql.functions._
   *
   * The Spark-side plumbing is real — schemas, encoders, iterator-based
   * `mapPartitions` (never materializing a partition), and blob-aware
-  * repartitioning. The codec itself is pluggable; this environment ships no
-  * image/audio libraries, so [[MediaCodec.deterministic]] is a clearly-marked
-  * STUB standing in for a JNI/javax.imageio decoder. Swapping in a real
-  * codec changes no plan shape.
+  * repartitioning. Codecs are pluggable: [[MediaCodec.imageio]] is a REAL
+  * decoder on JDK built-ins (javax.imageio images, javax.sound.sampled PCM
+  * audio); [[MediaCodec.deterministic]] is a clearly-marked STUB used by the
+  * oracle query (and for video, which needs ffmpeg). Swapping codecs changes
+  * no plan shape.
   */
 object MultimodalPipeline {
 
@@ -67,6 +68,75 @@ object MultimodalPipeline {
       }
       def frameAt(blob: Array[Byte], index: Int): Array[Byte] =
         blob.slice(index * 16, index * 16 + 16)
+    }
+
+    /** Real decoder on JDK built-ins, zero external deps: images via
+      * javax.imageio (PNG/JPEG/GIF/BMP → packed RGB bytes), audio via
+      * javax.sound.sampled (WAV/AIFF PCM → sample rate, duration, 8-band RMS
+      * energy embedding). Video still needs an external codec (ffmpeg) and
+      * delegates to the stub. */
+    val imageio: MediaCodec = new MediaCodec {
+      def decodeImage(blob: Array[Byte]): (Int, Int, Int, Array[Byte]) = {
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(blob))
+        require(img != null, "unsupported or corrupt image bytes")
+        val w = img.getWidth
+        val h = img.getHeight
+        val px = new Array[Byte](w * h * 3)
+        var y = 0
+        var i = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val rgb = img.getRGB(x, y)
+            px(i) = ((rgb >> 16) & 0xff).toByte
+            px(i + 1) = ((rgb >> 8) & 0xff).toByte
+            px(i + 2) = (rgb & 0xff).toByte
+            i += 3
+            x += 1
+          }
+          y += 1
+        }
+        (w, h, 3, px)
+      }
+
+      def decodeAudio(blob: Array[Byte]): (Int, Long, Array[Float]) = {
+        val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(blob))
+        try {
+          val fmt = ais.getFormat
+          require(fmt.getSampleSizeInBits == 16,
+            s"only 16-bit PCM supported, got ${fmt.getSampleSizeInBits}-bit")
+          val durationMs =
+            (ais.getFrameLength * 1000.0 / fmt.getFrameRate).toLong
+          val bytes = ais.readAllBytes()
+          val nSamples = bytes.length / 2
+          // 8-band RMS energy over the sample stream (channels interleaved —
+          // energy is channel-agnostic for a coarse fingerprint)
+          val emb = new Array[Float](8)
+          val counts = new Array[Int](8)
+          var i = 0
+          while (i + 1 < bytes.length) {
+            val s: Int =
+              if (fmt.isBigEndian) (bytes(i) << 8) | (bytes(i + 1) & 0xff)
+              else (bytes(i + 1) << 8) | (bytes(i) & 0xff)
+            val band = math.min(7, (i / 2) * 8 / math.max(1, nSamples))
+            val v = s / 32768.0f
+            emb(band) += v * v
+            counts(band) += 1
+            i += 2
+          }
+          var b = 0
+          while (b < 8) {
+            emb(b) = math.sqrt(emb(b) / math.max(1, counts(b))).toFloat
+            b += 1
+          }
+          (fmt.getSampleRate.toInt, durationMs, emb)
+        } finally ais.close()
+      }
+
+      def frameAt(blob: Array[Byte], index: Int): Array[Byte] =
+        deterministic.frameAt(blob, index)
     }
   }
 

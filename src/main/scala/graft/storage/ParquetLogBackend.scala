@@ -36,7 +36,8 @@ final class ParquetLogBackend private (
     dir: Path,
     override val metadata: Map[String, String],
     override val payloadLimit: Int,
-    compactThreshold: Int)
+    compactThreshold: Int,
+    compactIntervalMs: Long)
     extends SequencedBackend {
 
   private val commitLog = dir.resolve("commits.jsonl")
@@ -55,6 +56,28 @@ final class ParquetLogBackend private (
     StandardOpenOption.CREATE,
     StandardOpenOption.WRITE,
     StandardOpenOption.APPEND)
+
+  @volatile private var closed = false
+
+  // Timer compaction bounds how long an append can stay commit-log-only:
+  // out-of-process readers (LogStream.readStream watches segments/) see
+  // every append within compactIntervalMs even when the tail never reaches
+  // compactThreshold. 0 disables (size-triggered compaction only).
+  private val compactTimer =
+    if (compactIntervalMs > 0) {
+      val ex = java.util.concurrent.Executors.newSingleThreadScheduledExecutor { r =>
+        val t = new Thread(r, "graft-compact")
+        t.setDaemon(true)
+        t
+      }
+      ex.scheduleWithFixedDelay(
+        () => try {
+          if (!closed && ioLock.synchronized(tail.nonEmpty)) compact()
+        } catch { case _: Exception => () },
+        compactIntervalMs, compactIntervalMs,
+        java.util.concurrent.TimeUnit.MILLISECONDS)
+      Some(ex)
+    } else None
 
   override protected def persist(events: Seq[StoredEvent]): Unit = {
     val doCompact = ioLock.synchronized {
@@ -168,7 +191,11 @@ final class ParquetLogBackend private (
     } else tailDf
   }
 
-  override def close(): Unit = ioLock.synchronized(channel.close())
+  override def close(): Unit = {
+    closed = true
+    compactTimer.foreach(_.shutdownNow())
+    ioLock.synchronized(channel.close())
+  }
 
   private def recover(): Unit = {
     if (Files.exists(segmentsDir)) {
@@ -213,7 +240,8 @@ object ParquetLogBackend {
       path: String,
       metadata: Map[String, String] = Map.empty,
       payloadLimit: Int = EventSchema.DefaultPayloadLimit,
-      compactThreshold: Int = 10000): ParquetLogBackend = {
+      compactThreshold: Int = 10000,
+      compactIntervalMs: Long = 5000): ParquetLogBackend = {
     val dir = Paths.get(path)
     Files.createDirectories(dir)
     val meta = mapper.createObjectNode()
@@ -225,14 +253,15 @@ object ParquetLogBackend {
     Files.write(tmp, mapper.writeValueAsBytes(meta))
     Files.move(tmp, dir.resolve("meta.json"),
       StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
-    open(spark, path, compactThreshold)
+    open(spark, path, compactThreshold, compactIntervalMs)
   }
 
   /** Open + recover an existing log directory (≙ file.Open, file.go:67-125). */
   def open(
       spark: SparkSession,
       path: String,
-      compactThreshold: Int = 10000): ParquetLogBackend = {
+      compactThreshold: Int = 10000,
+      compactIntervalMs: Long = 5000): ParquetLogBackend = {
     val dir = Paths.get(path)
     val metaFile = dir.resolve("meta.json")
     if (!Files.exists(metaFile))
@@ -244,7 +273,8 @@ object ParquetLogBackend {
     val metadata = meta.get("metadata").properties().asScala
       .map(e => e.getKey -> e.getValue.asText()).toMap
     val b = new ParquetLogBackend(
-      spark, dir, metadata, meta.get("payloadLimit").asInt(), compactThreshold)
+      spark, dir, metadata, meta.get("payloadLimit").asInt(),
+      compactThreshold, compactIntervalMs)
     b.recover()
     b
   }

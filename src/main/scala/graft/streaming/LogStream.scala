@@ -24,7 +24,9 @@ final case class LabelStats(
 object LogStream {
 
   /** Streaming view of a [[graft.storage.ParquetLogBackend]] directory.
-    * New events become visible to the stream as segments are compacted. */
+    * New events become visible to the stream as segments are compacted —
+    * which the backend's timer compaction bounds to `compactIntervalMs`
+    * (default 5 s) even when the tail never reaches `compactThreshold`. */
   def readStream(spark: SparkSession, logDir: String): DataFrame =
     spark.readStream
       .schema(EventSchema.schema)

@@ -24,4 +24,42 @@ class CliSpec extends AnyFunSuite {
     // check passes on the healthy log
     graft.cli.Main.main(Array("check", dir, "--quiet"))
   }
+
+  test("--max-payload-len reaches the created backend") {
+    val dir = Files.createTempDirectory("graftcli").toString
+    graft.cli.Main.main(Array("create", dir, "--max-payload-len", "16"))
+    val log = new EventLog(ParquetLogBackend.open(spark, dir))
+    try {
+      log.append(EventData("ok", """{"a":1}"""))
+      intercept[graft.core.Errors.ErrPayloadSizeLimitExceeded] {
+        log.append(EventData("big", s"""{"k":"${"x" * 32}"}"""))
+      }
+    } finally log.close()
+  }
+
+  test("go-style duration parsing for --http-read-timeout") {
+    assert(graft.cli.Main.parseDurationMs("2s") == 2000L)
+    assert(graft.cli.Main.parseDurationMs("500ms") == 500L)
+    assert(graft.cli.Main.parseDurationMs("1.5s") == 1500L)
+    assert(graft.cli.Main.parseDurationMs("1m") == 60000L)
+    intercept[IllegalArgumentException](graft.cli.Main.parseDurationMs("2"))
+    intercept[IllegalArgumentException](graft.cli.Main.parseDurationMs("2x"))
+  }
+
+  test("serve flags reach the HTTP server config") {
+    val log = new EventLog(new graft.storage.InMemoryBackend(spark))
+    try {
+      val s = graft.cli.Main.buildServer(log, Seq(
+        "--http-max-scan-batch-size", "7", "--http-read-timeout", "750ms"))
+      assert(s.maxReadBatchSize == 7)
+      assert(s.httpReadTimeoutMs == 750L)
+    } finally log.close()
+  }
+
+  test("version accepts a file:// URL") {
+    val dir = Files.createTempDirectory("graftcli").toString
+    graft.cli.Main.main(Array("create", dir))
+    // must open the directory via the file scheme without error
+    graft.cli.Main.main(Array("version", s"file://$dir"))
+  }
 }

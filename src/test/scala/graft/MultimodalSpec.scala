@@ -60,6 +60,55 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("imageio codec decodes real PNG bytes through the Spark pipeline") {
+    import spark.implicits._
+    val img = new java.awt.image.BufferedImage(
+      4, 3, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 3; x <- 0 until 4)
+      img.setRGB(x, y, (x * 60 << 16) | (y * 80 << 8) | 0x10)
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", baos)
+    val ds = Seq(MediaBlob(1L, "image", baos.toByteArray, Map.empty)).toDS()
+    val out = decodeImages(ds, MediaCodec.imageio).collect().head
+    assert(out.width == 4 && out.height == 3 && out.channels == 3)
+    // PNG is lossless: every pixel must round-trip exactly (RGB order)
+    for (y <- 0 until 3; x <- 0 until 4) {
+      val i = (y * 4 + x) * 3
+      assert(out.pixels(i) == (x * 60).toByte, s"r($x,$y)")
+      assert(out.pixels(i + 1) == (y * 80).toByte, s"g($x,$y)")
+      assert(out.pixels(i + 2) == 0x10.toByte, s"b($x,$y)")
+    }
+    // and the pure-math resize runs unchanged on real decoded pixels
+    val small = resize(decodeImages(ds, MediaCodec.imageio), 2, 2).collect().head
+    assert(small.width == 2 && small.height == 2)
+    assert(small.pixels.length == 2 * 2 * 3)
+  }
+
+  test("imageio codec decodes real WAV PCM bytes") {
+    import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+    import spark.implicits._
+    val sampleRate = 16000
+    val nFrames = 1600 // 100 ms
+    val pcm = new Array[Byte](nFrames * 2)
+    for (i <- 0 until nFrames) { // full-scale square wave → RMS ≈ 1.0
+      val s = if (i % 2 == 0) 32767 else -32767
+      pcm(2 * i) = (s & 0xff).toByte
+      pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
+    }
+    val fmt = new AudioFormat(sampleRate.toFloat, 16, 1, true, false)
+    val baos = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(
+      new AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, nFrames.toLong),
+      AudioFileFormat.Type.WAVE, baos)
+    val ds = Seq(MediaBlob(7L, "audio", baos.toByteArray, Map.empty)).toDS()
+    val f = extractAudioFeatures(ds, MediaCodec.imageio).collect().head
+    assert(f.sampleRate == sampleRate)
+    assert(f.durationMs == 100L)
+    assert(f.embedding.length == 8)
+    f.embedding.foreach(e => assert(math.abs(e - 1.0f) < 0.01f, e.toString))
+  }
+
   test("repartitionForDecode sizes by blob bytes") {
     // tiny target → forces multiple partitions even at sf0.001
     val parts = repartitionForDecode(media, targetBytesPerPartition = 4096)

@@ -47,6 +47,40 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("timer compaction makes appends visible well before compactThreshold") {
+    val dir = Files.createTempDirectory("graftstream").toString
+    // threshold intentionally unreachable; only the 250ms timer compacts
+    val backend = ParquetLogBackend.create(
+      spark, dir, compactThreshold = 1000, compactIntervalMs = 250)
+    backend.append(EventData("seed", """{"x":0}"""))
+    val deadline = System.nanoTime() + 10000000000L
+    while (!Files.exists(java.nio.file.Paths.get(dir, "segments"))
+        && System.nanoTime() < deadline)
+      Thread.sleep(50)
+    val hub = new VersionHub
+    val sub = hub.subscribe()
+    val q = LogStream.notify(
+      LogStream.readStream(spark, dir), hub,
+      Files.createTempDirectory("graftckpt").toString)
+    try {
+      q.processAllAvailable()
+      assert(sub.poll(5000).contains(1L))
+      backend.append(EventData("live", """{"x":1}"""))
+      // the streaming query must see version 2 without 999 more appends:
+      // poll until the timer has compacted and the source picked it up
+      var seen = false
+      val end = System.nanoTime() + 10000000000L
+      while (!seen && System.nanoTime() < end) {
+        q.processAllAvailable()
+        seen = sub.poll(200).contains(2L)
+      }
+      assert(seen, "append stayed invisible to the stream (no timer compaction)")
+    } finally {
+      q.stop()
+      backend.close()
+    }
+  }
+
   test("windowed counts with watermark over an event stream") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
