@@ -5,6 +5,8 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 
+import java.nio.charset.StandardCharsets
+
 /** Deduplication family for training-data pipelines: exact, MinHash+LSH,
   * SimHash, n-gram Jaccard, embedding cosine. All formulated as
   * shuffle-bounded joins (bucket/candidate generation first, verification
@@ -29,6 +31,23 @@ object Dedup {
   private val MaxBandBucket = 64 // LSH band bucket: docs per (band, key)
   private val MaxShingleDf = 64 // inverted index: docs per distinct shingle
   private val MaxCellSize = 65536 // embedding cosine: vectors per coarse cell
+
+  // Random-hyperplane LSH (SimHash for vectors): 32 sign bits in 4 bands of
+  // 8. Bit agreement P = 1 - θ/π, so a cosine-0.8 pair collides in a band
+  // with P ≈ 0.16 and in ≥1 of 4 with P ≈ 0.5 — tunable recall, while
+  // unrelated pairs pass at ~4/256. The label-cell variant
+  // (dedup_embedding) needs a trustworthy coarse cell; this one needs none.
+  private val RhpPlanes = 32
+  private val RhpBands = 4
+  private val RhpDim = 64 // embeddings table dimensionality (TESTDATA.md)
+
+  /** ±1 Rademacher hyperplane weight, deterministically derived from md5
+    * parity so the DuckDB oracle inlines the IDENTICAL matrix. */
+  private def rhpSign(p: Int, i: Int): Double = {
+    val h = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"rhp_${p}_$i".getBytes(StandardCharsets.UTF_8))
+    if ((h(0) & 1) == 1) 1.0 else -1.0
+  }
 
   /** Whitespace tokens. */
   private def toks(c: Column): Column = split(c, "\\s+")
@@ -217,6 +236,44 @@ object Dedup {
         .orderBy("doc_a", "doc_b")
     },
 
+    // Embedding near-dup via random-hyperplane LSH — the no-prior-cells
+    // 100TB path: 32 sign-bit projections (one fused dot per plane), banded
+    // into 4 bytes, hot-band-capped candidate self-join, exact cosine
+    // verification (same 0.4 threshold as the cell variant). Approximate by design (banding trades recall for
+    // candidate volume); the oracle mirrors plane matrix, banding, and cap
+    // bit-for-bit, so the gate is exact.
+    "dedup_embedding_lsh" -> { (s, dir) =>
+      val e = Tables(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+        .withColumn("nrm", Similarity.norm(col("v")))
+      val sig = e.withColumn("sig",
+        (0 until RhpPlanes).map { p =>
+          val w = array((0 until RhpDim).map(i => lit(rhpSign(p, i))): _*)
+          when(graft.exprs.functions.dot_product(col("v"), w) >= 0d,
+            lit(1L << p)).otherwise(0L)
+        }.reduce(_ + _))
+      val bands = sig.select(col("vec_id"), col("v"), col("nrm"), col("sig"),
+        explode(sequence(lit(0), lit(RhpBands - 1))).as("b"))
+        .withColumn("bkey",
+          expr("(sig div CAST(pow(2, b * 8) AS BIGINT)) % 256"))
+      val wb = Window.partitionBy(col("b"), col("bkey"))
+      val capped = bands
+        .withColumn("bsz", count(lit(1)).over(wb))
+        .filter(col("bsz") <= MaxBandBucket)
+        .drop("bsz")
+      capped.select(col("vec_id").as("vec_a"), col("v").as("va"),
+          col("nrm").as("na"), col("b"), col("bkey"))
+        .join(capped.select(col("vec_id").as("vec_b"), col("v").as("vb"),
+          col("nrm").as("nb"), col("b"), col("bkey")), Seq("b", "bkey"))
+        .filter(col("vec_a") < col("vec_b"))
+        .select("vec_a", "vec_b", "va", "vb", "na", "nb").distinct()
+        .withColumn("cosine",
+          Similarity.cosinePre(col("va"), col("vb"), col("na"), col("nb")))
+        .filter(col("cosine") >= 0.4)
+        .select("vec_a", "vec_b", "cosine")
+        .orderBy("vec_a", "vec_b")
+    },
+
     // Embedding cosine near-dup, IVF-style: candidates restricted to the same
     // coarse cell (label); dot/norm folded left-to-right in double so both
     // engines produce identical bits.
@@ -260,6 +317,19 @@ object Dedup {
       |fp AS (SELECT doc_id,
       |  CAST(sum(CASE WHEN s >= 0 THEN CAST(2 ** p AS BIGINT) ELSE 0 END) AS BIGINT) AS simhash
       |  FROM per_bit GROUP BY 1)""".stripMargin
+
+  /** DuckDB rendering of the RHP signature: the identical ±1 plane matrix
+    * inlined as list literals, the same left-fold dot product, the same
+    * bit packing. */
+  private def rhpSigTermsSql: String =
+    (0 until RhpPlanes).map { p =>
+      val ws = (0 until RhpDim)
+        .map(i => if (rhpSign(p, i) > 0) "1.0" else "-1.0")
+        .mkString("[", ",", "]")
+      s"CASE WHEN list_reduce(list_transform(range(1, ${RhpDim + 1}), " +
+        s"i -> v[i] * ($ws)[i]), (acc, x) -> acc + x) >= 0 " +
+        s"THEN CAST(2 ** $p AS BIGINT) ELSE 0 END"
+    }.mkString("\n   + ")
 
   private val shinglesSql =
     """SELECT doc_id, CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
@@ -337,6 +407,25 @@ object Dedup {
          |JOIN sz sb ON doc_b = sb.doc_id
          |WHERE inter * 1.0 / (sa.n + sb.n - inter) >= 0.8
          |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "dedup_embedding_lsh" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |sig AS (SELECT vec_id, v,
+         |  ($rhpSigTermsSql) AS sig FROM e),
+         |bands AS (SELECT vec_id, v, b,
+         |    (sig // CAST(2 ** (b * 8) AS BIGINT)) % 256 AS bval
+         |  FROM sig, (SELECT unnest(range(0, $RhpBands)) AS b)),
+         |capped AS (SELECT vec_id, v, b, bval FROM (
+         |  SELECT vec_id, v, b, bval,
+         |    count(*) OVER (PARTITION BY b, bval) AS bsz FROM bands)
+         |  WHERE bsz <= $MaxBandBucket),
+         |cand AS (SELECT DISTINCT x.vec_id AS vec_a, y.vec_id AS vec_b,
+         |    x.v AS va, y.v AS vb
+         |  FROM capped x JOIN capped y
+         |    ON x.b = y.b AND x.bval = y.bval AND x.vec_id < y.vec_id)
+         |SELECT vec_a, vec_b, ${Similarity.cosineSql("va", "vb")} AS cosine
+         |FROM cand WHERE ${Similarity.cosineSql("va", "vb")} >= 0.4
+         |ORDER BY vec_a, vec_b""".stripMargin,
 
     "dedup_embedding" ->
       s"""WITH e0 AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),

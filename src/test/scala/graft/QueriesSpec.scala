@@ -13,7 +13,8 @@ class QueriesSpec extends AnyFunSuite {
   // Queries where an empty result at sf0.001 is legitimate (tiny data →
   // possibly no near-dup pairs / violations).
   private val mayBeEmpty = Set(
-    "dedup_minhash_lsh", "dedup_ngram_jaccard", "dedup_embedding", "join_anti")
+    "dedup_minhash_lsh", "dedup_ngram_jaccard", "dedup_embedding",
+    "dedup_embedding_lsh", "join_anti")
 
   SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
     test(s"query $name executes at sf0.001") {
