@@ -51,7 +51,9 @@ object Bench {
   private def engineBench(spark: SparkSession): Seq[(String, Double)] = {
     val dir = java.nio.file.Files.createTempDirectory("graftbench").toString
     val log = new EventLog(ParquetLogBackend.create(spark, dir,
-      compactThreshold = 100000)) // keep appends in the commit-log tail
+      // keep appends in the commit-log tail: no size- or timer-triggered
+      // compaction may fire mid-measurement
+      compactThreshold = 100000, compactIntervalMs = 0))
     def payload(i: Int) =
       s"""{ "key1": $i, "key2": "value $i", "key3": true, "key4": null, "key5": [1, 2, 3, $i] }"""
     try {

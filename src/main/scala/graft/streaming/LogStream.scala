@@ -1,6 +1,6 @@
 package graft.streaming
 
-import graft.core.EventSchema
+import graft.core.{EventData, EventLog, EventSchema}
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery}
@@ -44,6 +44,29 @@ object LogStream {
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val row = batch.agg(max("version")).head()
         if (!row.isNullAt(0)) hub.publish(row.getLong(0))
+      }
+      .start()
+
+  /** Streaming SINK: append a stream of (label, payload) rows into an
+    * [[EventLog]]. Each micro-batch lands as ONE atomic multi-append — one
+    * fsync, one contiguous version range, shared timestamp (the engine's
+    * bulk-ingest shape, ~50x the per-event append rate). The collect is
+    * inherent, not a bottleneck: the log's sequencer + fsync'd commit log
+    * are a single-writer surface by design (≙ the reference server's one
+    * writer goroutine), and micro-batches bound the driver memory. Failure
+    * recovery replays the batch → at-least-once end-to-end, like any
+    * non-idempotent foreachBatch sink. */
+  def appendSink(
+      stream: DataFrame,
+      log: EventLog,
+      checkpointDir: String): StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val events = batch.select(col("label"), col("payload")).collect()
+          .map(r => EventData(r.getString(0), r.getString(1))).toSeq
+        if (events.nonEmpty) log.appendMulti(events)
+        ()
       }
       .start()
 

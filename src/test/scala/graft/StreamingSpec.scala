@@ -81,6 +81,35 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("appendSink lands each micro-batch as one atomic multi-append") {
+    import org.apache.spark.sql.functions.col
+    val sparkS = spark
+    import sparkS.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val dir = Files.createTempDirectory("graftsink").toString
+    val backend = ParquetLogBackend.create(spark, dir, compactIntervalMs = 0)
+    val log = new graft.core.EventLog(backend)
+    val in = MemoryStream[(String, String)]
+    val q = LogStream.appendSink(
+      in.toDF().select(col("_1").as("label"), col("_2").as("payload")),
+      log, Files.createTempDirectory("graftsinkckpt").toString)
+    try {
+      in.addData(("alpha", """{"i":1}"""), ("beta", """{"i":2}"""))
+      q.processAllAvailable()
+      assert(log.version == 2L)
+      val batch1 = log.scan(1L).select("version_previous", "timestamp").collect()
+      // one atomic multi-append: shared timestamp, contiguous chain
+      assert(batch1.map(_.getLong(1)).distinct.length == 1)
+      in.addData(("gamma", """{"i":3}"""))
+      q.processAllAvailable()
+      assert(log.version == 3L)
+      assert(log.scan(3L).select("label").head().getString(0) == "gamma")
+    } finally {
+      q.stop()
+      log.close()
+    }
+  }
+
   test("windowed counts with watermark over an event stream") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
