@@ -87,13 +87,21 @@ final class HttpApiServer(
       header("connection").exists(_.toLowerCase.contains("close"))
   }
 
-  /** CRLF-terminated ISO-8859-1 line; None on EOF before any byte. */
+  // Untrusted-input bounds: a request that exceeds them is dropped (the
+  // connection closes) rather than allocated for.
+  private val MaxLineLen = 8192
+  private val MaxHeaders = 128
+  private val MaxBodyLen = 64 << 20
+
+  /** CRLF-terminated ISO-8859-1 line; None on EOF before any byte or when
+    * the line exceeds [[MaxLineLen]]. */
   private def readLine(in: InputStream): Option[String] = {
     val sb = new java.lang.StringBuilder(64)
     var c = in.read()
     if (c < 0) return None
     while (c >= 0 && c != '\n') {
       if (c != '\r') sb.append(c.toChar)
+      if (sb.length > MaxLineLen) return None
       c = in.read()
     }
     Some(sb.toString)
@@ -110,16 +118,20 @@ final class HttpApiServer(
       case Array(p) => (p, "")
       case Array(p, q) => (p, q)
     }
+    var headerCount = 0
     val headers = Iterator.continually(readLine(in).getOrElse(""))
-      .takeWhile(_.nonEmpty)
+      .takeWhile { l => headerCount += 1; l.nonEmpty && headerCount <= MaxHeaders }
       .flatMap { l =>
         l.split(":", 2) match {
           case Array(k, v) => Some(k.trim.toLowerCase -> v.trim)
           case _ => None
         }
       }.toMap
+    if (headerCount > MaxHeaders) return None
     val len = headers.get("content-length").flatMap(_.toIntOption).getOrElse(0)
+    if (len > MaxBodyLen) return None
     val body = if (len > 0) in.readNBytes(len) else Array.emptyByteArray
+    if (body.length < len) return None // truncated upload
     Some(Req(parts(0), path, rawQuery, headers, body))
   }
 

@@ -122,28 +122,45 @@ final class ParquetLogBackend private (
     // Stable prefix boundary: len0 is captured under ioLock, so it sits on a
     // commit-line boundary (persist writes a whole line under the lock).
     val len0 = ioLock.synchronized(channel.size())
-    val retained = new java.io.ByteArrayOutputStream()
-    scala.util.Using.resource(java.nio.channels.FileChannel.open(
-      commitLog, StandardOpenOption.READ)) { rc =>
-      val buf = java.nio.ByteBuffer.allocate(len0.toInt)
-      var n = 0
-      while (buf.hasRemaining && n >= 0) n = rc.read(buf)
-      new String(buf.array(), 0, buf.position(), StandardCharsets.UTF_8)
-        .split("\n", -1).foreach { line =>
-          if (line.nonEmpty &&
-            ParquetLogBackend.commitLastVersion(line) > segmentMaxVersion) {
-            retained.write(line.getBytes(StandardCharsets.UTF_8))
-            retained.write('\n')
-          }
-        }
-    }
     // fsync the tmp file BEFORE the rename and the directory AFTER it:
     // without both, a power loss right after the atomic move can surface an
     // empty/partial commits.jsonl, losing fsync-acknowledged commits.
     val tmpCh = java.nio.channels.FileChannel.open(
       tmp, StandardOpenOption.CREATE, StandardOpenOption.WRITE,
       StandardOpenOption.TRUNCATE_EXISTING)
-    tmpCh.write(java.nio.ByteBuffer.wrap(retained.toByteArray))
+    // Stream prefix → filter → tmp, O(1) memory: with large payloads the
+    // commit log can run to gigabytes between compactions.
+    val tmpOut = new java.io.BufferedOutputStream(
+      java.nio.channels.Channels.newOutputStream(tmpCh))
+    scala.util.Using.resource(java.nio.channels.FileChannel.open(
+      commitLog, StandardOpenOption.READ)) { rc =>
+      val raw = java.nio.channels.Channels.newInputStream(rc)
+      val bounded = new java.io.InputStream { // reads exactly [0, len0)
+        private var remaining = len0
+        override def read(): Int =
+          if (remaining <= 0) -1
+          else { val b = raw.read(); if (b >= 0) remaining -= 1; b }
+        override def read(b: Array[Byte], off: Int, l: Int): Int =
+          if (remaining <= 0) -1
+          else {
+            val n = raw.read(b, off, math.min(l.toLong, remaining).toInt)
+            if (n > 0) remaining -= n
+            n
+          }
+      }
+      val br = new java.io.BufferedReader(
+        new java.io.InputStreamReader(bounded, StandardCharsets.UTF_8))
+      var line = br.readLine()
+      while (line != null) {
+        if (line.nonEmpty &&
+          ParquetLogBackend.commitLastVersion(line) > segmentMaxVersion) {
+          tmpOut.write(line.getBytes(StandardCharsets.UTF_8))
+          tmpOut.write('\n')
+        }
+        line = br.readLine()
+      }
+    }
+    tmpOut.flush()
     tmpCh.force(true)
     ioLock.synchronized {
       // Commits appended during the rewrite are all > segmentMaxVersion by

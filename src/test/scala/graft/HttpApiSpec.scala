@@ -128,6 +128,26 @@ class HttpApiSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!scanned.contains("{ "))
   }
 
+  test("oversized request lines are dropped, not allocated for") {
+    val port = base.split(":").last.toInt
+    val sock = new java.net.Socket("127.0.0.1", port)
+    try {
+      val out = sock.getOutputStream
+      out.write("GET /".getBytes)
+      val junk = ("x" * 8192).getBytes
+      // server must cut the connection once the line passes its cap
+      intercept[java.io.IOException] {
+        var i = 0
+        while (i < 1000) { out.write(junk); out.flush(); i += 1 }
+        // if the write path never failed, the read side must see EOF
+        sock.setSoTimeout(5000)
+        if (sock.getInputStream.read() == -1) throw new java.io.EOFException
+      }
+    } finally sock.close()
+    // and the server still serves normal requests afterwards
+    assert(get("/version").statusCode() == 200)
+  }
+
   test("msgcodec round-trips multi-event frames") {
     val evs = Seq(
       EventData("", """{"empty_label":true}"""),
