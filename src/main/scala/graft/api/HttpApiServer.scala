@@ -118,21 +118,28 @@ final class HttpApiServer(
       case Array(p) => (p, "")
       case Array(p, q) => (p, q)
     }
+    val headers = Map.newBuilder[String, String]
     var headerCount = 0
-    val headers = Iterator.continually(readLine(in).getOrElse(""))
-      .takeWhile { l => headerCount += 1; l.nonEmpty && headerCount <= MaxHeaders }
-      .flatMap { l =>
-        l.split(":", 2) match {
-          case Array(k, v) => Some(k.trim.toLowerCase -> v.trim)
-          case _ => None
-        }
-      }.toMap
-    if (headerCount > MaxHeaders) return None
-    val len = headers.get("content-length").flatMap(_.toIntOption).getOrElse(0)
+    var terminated = false
+    while (!terminated) {
+      readLine(in) match {
+        case None => return None // EOF or oversized line: drop, don't desync
+        case Some("") => terminated = true
+        case Some(l) =>
+          headerCount += 1
+          if (headerCount > MaxHeaders) return None
+          l.split(":", 2) match {
+            case Array(k, v) => headers += k.trim.toLowerCase -> v.trim
+            case _ => ()
+          }
+      }
+    }
+    val hdrs = headers.result()
+    val len = hdrs.get("content-length").flatMap(_.toIntOption).getOrElse(0)
     if (len > MaxBodyLen) return None
     val body = if (len > 0) in.readNBytes(len) else Array.emptyByteArray
     if (body.length < len) return None // truncated upload
-    Some(Req(parts(0), path, rawQuery, headers, body))
+    Some(Req(parts(0), path, rawQuery, hdrs, body))
   }
 
   private def respond(out: OutputStream, code: Int, body: String,
@@ -159,6 +166,12 @@ final class HttpApiServer(
   private def bad(out: OutputStream, msg: String): Unit =
     respond(out, 400, msg, "text/plain")
 
+  /** Thrown once response bytes are committed and the stream can no longer
+    * carry a clean error: the only safe recovery is closing the connection
+    * (writing a second status line mid-body would desync the protocol). */
+  private final class ConnectionAbort(cause: Throwable)
+    extends RuntimeException(cause)
+
   private def hex(v: Long): String = EventOps.hexEncode(v).toString
   private def time(ts: Long): String = rfc3339.format(Instant.ofEpochSecond(ts))
 
@@ -182,6 +195,7 @@ final class HttpApiServer(
         }
       }
     } catch {
+      case _: ConnectionAbort => () // committed response failed: just close
       case _: Exception => ()
     } finally {
       if (!wsConns.contains(sock)) // WS cleanup owns its socket
@@ -229,6 +243,7 @@ final class HttpApiServer(
           false
       }
     } catch {
+      case abort: ConnectionAbort => throw abort // response already committed
       case t: Throwable =>
         try respond(out, 500, "internal error", "text/plain")
         catch { case _: Throwable => () }
@@ -309,30 +324,35 @@ final class HttpApiServer(
       out.write(("HTTP/1.1 200 OK\r\nContent-Type: application/json\r\n" +
         "Transfer-Encoding: chunked\r\nConnection: keep-alive\r\n\r\n")
         .getBytes(StandardCharsets.ISO_8859_1))
-      def chunk(s: String): Unit = {
-        val b = s.getBytes(StandardCharsets.UTF_8)
-        out.write(Integer.toHexString(b.length)
-          .getBytes(StandardCharsets.ISO_8859_1))
-        out.write('\r'); out.write('\n')
-        out.write(b)
-        out.write('\r'); out.write('\n')
-      }
-      chunk("[")
-      var first = true
-      while (it.hasNext) {
-        val r = it.next()
-        val sep = if (first) "" else ","
-        first = false
-        // jsonStr is a no-op for ingest-validated labels (their charset
-        // has no quotes/backslashes) but keeps the response well-formed
-        // if the log dir was written or damaged by other tooling
-        chunk(
-          s"""$sep{"time":"${time(r.getLong(3))}","version":"${hex(r.getLong(0))}","version-previous":"${hex(r.getLong(1))}","version-next":"${hex(r.getLong(2))}","label":${jsonStr(r.getString(4))},"payload":${r.getString(5)}}""")
-      }
-      chunk("]")
-      out.write("0\r\n\r\n".getBytes(StandardCharsets.ISO_8859_1))
-      out.flush()
+      // headers committed: any failure below aborts the connection (a 500
+      // status line injected into a chunked body would desync the stream)
+      try {
+        def chunk(s: String): Unit = {
+          val b = s.getBytes(StandardCharsets.UTF_8)
+          out.write(Integer.toHexString(b.length)
+            .getBytes(StandardCharsets.ISO_8859_1))
+          out.write('\r'); out.write('\n')
+          out.write(b)
+          out.write('\r'); out.write('\n')
+        }
+        chunk("[")
+        var first = true
+        while (it.hasNext) {
+          val r = it.next()
+          val sep = if (first) "" else ","
+          first = false
+          // jsonStr is a no-op for ingest-validated labels (their charset
+          // has no quotes/backslashes) but keeps the response well-formed
+          // if the log dir was written or damaged by other tooling
+          chunk(
+            s"""$sep{"time":"${time(r.getLong(3))}","version":"${hex(r.getLong(0))}","version-previous":"${hex(r.getLong(1))}","version-next":"${hex(r.getLong(2))}","label":${jsonStr(r.getString(4))},"payload":${r.getString(5)}}""")
+        }
+        chunk("]")
+        out.write("0\r\n\r\n".getBytes(StandardCharsets.ISO_8859_1))
+        out.flush()
+      } catch { case t: Throwable => throw new ConnectionAbort(t) }
     } catch {
+      case abort: ConnectionAbort => throw abort
       case _: Errors.ErrInvalidVersion => bad(out, "ErrInvalidVersion")
     }
   }
@@ -453,8 +473,11 @@ final class HttpApiServer(
       var i = 0
       while (i < 8) { len = (len << 8) | (in.read() & 0xff); i += 1 }
     }
-    // a client frame bigger than a control frame's max is already a
-    // violation of our read limit — bail before allocating
+    // RFC6455 §5.5: control frames carry at most 125 bytes — a violation
+    // fails the connection. (This also keeps the pong echo inside
+    // writeFrame's single-byte length encoding.) Data frames bigger than
+    // our read limit bail before allocating.
+    if (opcode >= 0x8 && len > 125) return None
     if (len > 1024) return None
     val mask = if (masked) in.readNBytes(4) else null
     val payload = in.readNBytes(len.toInt)

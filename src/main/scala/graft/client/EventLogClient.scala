@@ -157,7 +157,10 @@ final class EventLogClient(baseUrl: String) {
       baseUrl.replaceFirst("^http", "ws") + "/subscription")
     @volatile var running = true
     @volatile var current: WebSocket = null
-    val listener = new WebSocket.Listener {
+    // one listener per connection attempt: a partial frame left in the
+    // buffer by a dead connection must not prefix the next connection's
+    // first watermark
+    def newListener() = new WebSocket.Listener {
       private val buf = new java.io.ByteArrayOutputStream()
       override def onOpen(ws: WebSocket): Unit = ws.request(1)
       override def onBinary(ws: WebSocket, data: java.nio.ByteBuffer,
@@ -184,7 +187,7 @@ final class EventLogClient(baseUrl: String) {
       while (running)
         try {
           val ws = http.newWebSocketBuilder()
-            .buildAsync(wsUri, listener).join()
+            .buildAsync(wsUri, newListener()).join()
           current = ws
           // block until this connection dies, then reconnect
           while (running && !ws.isInputClosed) Thread.sleep(50)

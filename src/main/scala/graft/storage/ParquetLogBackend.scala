@@ -63,7 +63,12 @@ final class ParquetLogBackend private (
   // out-of-process readers (LogStream.readStream watches segments/) see
   // every append within compactIntervalMs even when the tail never reaches
   // compactThreshold. 0 disables (size-triggered compaction only).
-  private val compactTimer =
+  // Armed by open() AFTER recover() — the replay appends to `tail` outside
+  // ioLock and streams commits.jsonl, so a timer compaction racing it would
+  // corrupt both.
+  @volatile private var compactTimer: Option[java.util.concurrent.ScheduledExecutorService] = None
+
+  private def startCompactTimer(): Unit =
     if (compactIntervalMs > 0) {
       val ex = java.util.concurrent.Executors.newSingleThreadScheduledExecutor { r =>
         val t = new Thread(r, "graft-compact")
@@ -76,8 +81,8 @@ final class ParquetLogBackend private (
         } catch { case _: Exception => () },
         compactIntervalMs, compactIntervalMs,
         java.util.concurrent.TimeUnit.MILLISECONDS)
-      Some(ex)
-    } else None
+      compactTimer = Some(ex)
+    }
 
   override protected def persist(events: Seq[StoredEvent]): Unit = {
     val doCompact = ioLock.synchronized {
@@ -128,6 +133,26 @@ final class ParquetLogBackend private (
     val tmpCh = java.nio.channels.FileChannel.open(
       tmp, StandardOpenOption.CREATE, StandardOpenOption.WRITE,
       StandardOpenOption.TRUNCATE_EXISTING)
+    try rotateInto(tmpCh, len0)
+    catch {
+      case t: Throwable => // don't leak the fd/tmp on a failed rotation
+        try tmpCh.close() catch { case _: Exception => () }
+        try Files.deleteIfExists(tmp) catch { case _: Exception => () }
+        // a failure between channel.close() and the reopen must not leave
+        // the append channel closed forever
+        ioLock.synchronized {
+          if (!channel.isOpen)
+            channel = java.nio.channels.FileChannel.open(
+              commitLog, StandardOpenOption.CREATE,
+              StandardOpenOption.WRITE, StandardOpenOption.APPEND)
+        }
+        throw t
+    }
+  }
+
+  private def rotateInto(
+      tmpCh: java.nio.channels.FileChannel, len0: Long): Unit = {
+    val tmp = dir.resolve("commits.jsonl.tmp")
     // Stream prefix → filter → tmp, O(1) memory: with large payloads the
     // commit log can run to gigabytes between compactions.
     val tmpOut = new java.io.BufferedOutputStream(
@@ -165,11 +190,21 @@ final class ParquetLogBackend private (
     ioLock.synchronized {
       // Commits appended during the rewrite are all > segmentMaxVersion by
       // construction — copy them verbatim past the filtered prefix.
+      // transferTo may copy fewer bytes than asked (sendfile caps one call
+      // around 2 GB) — loop until every byte landed or commits are lost.
       val len1 = channel.size()
       if (len1 > len0)
         scala.util.Using.resource(java.nio.channels.FileChannel.open(
-          commitLog, StandardOpenOption.READ))(
-          _.transferTo(len0, len1 - len0, tmpCh))
+          commitLog, StandardOpenOption.READ)) { rc =>
+          var pos = len0
+          while (pos < len1) {
+            val n = rc.transferTo(pos, len1 - pos, tmpCh)
+            if (n <= 0)
+              throw new java.io.IOException(
+                s"commit-log suffix copy stalled at $pos/$len1")
+            pos += n
+          }
+        }
       tmpCh.force(true)
       tmpCh.close()
       channel.close()
@@ -293,6 +328,7 @@ object ParquetLogBackend {
       spark, dir, metadata, meta.get("payloadLimit").asInt(),
       compactThreshold, compactIntervalMs)
     b.recover()
+    b.startCompactTimer()
     b
   }
 

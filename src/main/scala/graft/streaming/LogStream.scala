@@ -55,15 +55,24 @@ object LogStream {
     * are a single-writer surface by design (≙ the reference server's one
     * writer goroutine), and micro-batches bound the driver memory. Failure
     * recovery replays the batch → at-least-once end-to-end, like any
-    * non-idempotent foreachBatch sink. */
+    * non-idempotent foreachBatch sink.
+    *
+    * Ordering: rows arrive in partition order, which for a multi-partition
+    * source is unrelated to event order — pass `orderBy` (e.g. an event-time
+    * column) to fix the within-batch version order; cross-batch order is
+    * micro-batch order by construction. */
   def appendSink(
       stream: DataFrame,
       log: EventLog,
-      checkpointDir: String): StreamingQuery =
+      checkpointDir: String,
+      orderBy: Seq[String] = Seq.empty): StreamingQuery =
     stream.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        val events = batch.select(col("label"), col("payload")).collect()
+        val ordered =
+          if (orderBy.isEmpty) batch
+          else batch.orderBy(orderBy.map(col): _*)
+        val events = ordered.select(col("label"), col("payload")).collect()
           .map(r => EventData(r.getString(0), r.getString(1))).toSeq
         if (events.nonEmpty) log.appendMulti(events)
         ()

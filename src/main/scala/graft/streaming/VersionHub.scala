@@ -39,18 +39,30 @@ final class VersionSubscription private[streaming] (hub: VersionHub) {
   private val box = new ArrayBlockingQueue[java.lang.Long](1)
   @volatile private var closed = false
 
+  // wakes a blocked poll on close so consumers (e.g. a WS writer thread
+  // parked for the 30s ping interval) release their thread immediately;
+  // versions are never negative, so the sentinel can't collide
+  private val Poison = java.lang.Long.valueOf(Long.MinValue)
+
   private[streaming] def offer(v: Long): Unit =
     if (!closed) box.offer(v) // false (dropped) when the consumer lags
 
   /** Blocking poll with timeout; None on timeout or after close. */
-  def poll(timeoutMs: Long): Option[Long] =
-    Option(box.poll(timeoutMs, TimeUnit.MILLISECONDS)).map(_.longValue())
+  def poll(timeoutMs: Long): Option[Long] = {
+    val v =
+      if (closed) box.poll()
+      else box.poll(timeoutMs, TimeUnit.MILLISECONDS)
+    Option(v).filter(_ ne Poison).map(_.longValue())
+  }
 
   def isClosed: Boolean = closed
-  private[streaming] def markClosed(): Unit = closed = true
+  private[streaming] def markClosed(): Unit = {
+    closed = true
+    box.offer(Poison) // no-op when a real value is pending — also fine
+  }
 
   def close(): Unit = {
-    closed = true
+    markClosed()
     hub.remove(this)
   }
 }
