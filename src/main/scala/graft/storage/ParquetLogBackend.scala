@@ -37,7 +37,8 @@ final class ParquetLogBackend private (
     override val metadata: Map[String, String],
     override val payloadLimit: Int,
     compactThreshold: Int,
-    compactIntervalMs: Long)
+    compactIntervalMs: Long,
+    maxSegmentFiles: Int = 256)
     extends SequencedBackend {
 
   private val commitLog = dir.resolve("commits.jsonl")
@@ -115,7 +116,52 @@ final class ParquetLogBackend private (
       segmentMaxVersion = batch.last.version
     }
     rotateCommitLog()
+    // file-count hygiene: timer compaction writes one small file per
+    // interval; unchecked, scan planning drowns in file metadata long
+    // before bytes are the problem
+    if (segmentFileCount() > maxSegmentFiles) coalesceSegments()
   }
+
+  private def segmentFileCount(): Int =
+    if (!Files.exists(segmentsDir)) 0
+    else scala.util.Using.resource(Files.list(segmentsDir))(
+      _.filter(p => p.toString.endsWith(".parquet")).count().toInt)
+
+  /** Rewrite the segment directory into ~`targetBytes` files. Crash-safe
+    * via a rename dance (`segments.rewrite` staged → `segments` moved to
+    * `segments.old` → staged promoted → old deleted); [[recover]] rolls an
+    * interrupted swap back to the old directory. In-flight lazy snapshot
+    * DataFrames race the swap window (~ms) like any file-level compaction —
+    * run from the maintenance path (or let [[compact]] trigger it), not
+    * concurrently with long scans. */
+  def coalesceSegments(targetBytes: Long = 128L << 20): Unit =
+    compactLock.synchronized {
+      if (!Files.exists(segmentsDir)) return
+      val totalBytes = scala.util.Using.resource(Files.list(segmentsDir))(
+        _.filter(_.toString.endsWith(".parquet"))
+          .mapToLong(Files.size(_)).sum())
+      val parts = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
+      val staging = dir.resolve("segments.rewrite")
+      deleteRecursively(staging)
+      spark.read.schema(EventSchema.schema).parquet(segmentsDir.toString)
+        .coalesce(parts)
+        .write.mode("overwrite")
+        .parquet(staging.toString)
+      val old = dir.resolve("segments.old")
+      deleteRecursively(old)
+      ioLock.synchronized {
+        Files.move(segmentsDir, old, StandardCopyOption.ATOMIC_MOVE)
+        Files.move(staging, segmentsDir, StandardCopyOption.ATOMIC_MOVE)
+      }
+      deleteRecursively(old)
+    }
+
+  private def deleteRecursively(p: Path): Unit =
+    if (Files.exists(p)) {
+      scala.util.Using.resource(Files.walk(p))(
+        _.sorted(java.util.Comparator.reverseOrder[Path]())
+          .forEach(f => Files.deleteIfExists(f)))
+    }
 
   /** Drop commit-log lines fully covered by segments (last version <=
     * watermark). Called under compactLock only. The filtered rewrite and its
@@ -250,6 +296,14 @@ final class ParquetLogBackend private (
   }
 
   private def recover(): Unit = {
+    // roll back an interrupted coalesceSegments swap: segments.old holds
+    // the complete pre-rewrite data; the staging dir is never trusted
+    val old = dir.resolve("segments.old")
+    if (Files.exists(old)) {
+      if (Files.exists(segmentsDir)) deleteRecursively(old) // swap completed
+      else Files.move(old, segmentsDir, StandardCopyOption.ATOMIC_MOVE)
+    }
+    deleteRecursively(dir.resolve("segments.rewrite"))
     if (Files.exists(segmentsDir)) {
       val row = spark.read.parquet(segmentsDir.toString)
         .agg(smax("version"), smax("timestamp")).head()
@@ -293,7 +347,8 @@ object ParquetLogBackend {
       metadata: Map[String, String] = Map.empty,
       payloadLimit: Int = EventSchema.DefaultPayloadLimit,
       compactThreshold: Int = 10000,
-      compactIntervalMs: Long = 5000): ParquetLogBackend = {
+      compactIntervalMs: Long = 5000,
+      maxSegmentFiles: Int = 256): ParquetLogBackend = {
     val dir = Paths.get(path)
     Files.createDirectories(dir)
     val meta = mapper.createObjectNode()
@@ -305,7 +360,7 @@ object ParquetLogBackend {
     Files.write(tmp, mapper.writeValueAsBytes(meta))
     Files.move(tmp, dir.resolve("meta.json"),
       StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
-    open(spark, path, compactThreshold, compactIntervalMs)
+    open(spark, path, compactThreshold, compactIntervalMs, maxSegmentFiles)
   }
 
   /** Open + recover an existing log directory (≙ file.Open, file.go:67-125). */
@@ -313,7 +368,8 @@ object ParquetLogBackend {
       spark: SparkSession,
       path: String,
       compactThreshold: Int = 10000,
-      compactIntervalMs: Long = 5000): ParquetLogBackend = {
+      compactIntervalMs: Long = 5000,
+      maxSegmentFiles: Int = 256): ParquetLogBackend = {
     val dir = Paths.get(path)
     val metaFile = dir.resolve("meta.json")
     if (!Files.exists(metaFile))
@@ -326,7 +382,7 @@ object ParquetLogBackend {
       .map(e => e.getKey -> e.getValue.asText()).toMap
     val b = new ParquetLogBackend(
       spark, dir, metadata, meta.get("payloadLimit").asInt(),
-      compactThreshold, compactIntervalMs)
+      compactThreshold, compactIntervalMs, maxSegmentFiles)
     b.recover()
     b.startCompactTimer()
     b
