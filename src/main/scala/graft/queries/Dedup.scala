@@ -190,9 +190,16 @@ object Dedup {
     // pairs without an all-pairs scan; bit_count(xor) verifies exactly.
     "dedup_simhash_hamming" -> { (s, dir) =>
       val fp = simhashTable(s, dir)
-      val bands = fp.select(col("doc_id"), col("simhash"),
+      val bands0 = fp.select(col("doc_id"), col("simhash"),
         explode(sequence(lit(0), lit(3))).as("b"))
         .withColumn("bval", expr("(simhash div CAST(pow(2, b * 8) AS BIGINT)) % 256"))
+      // same hot-bucket cap as the other candidate generators; the window
+      // count rides the (b, bval) exchange the join needs anyway
+      val wb = Window.partitionBy(col("b"), col("bval"))
+      val bands = bands0
+        .withColumn("bsz", count(lit(1)).over(wb))
+        .filter(col("bsz") <= MaxBandBucket)
+        .drop("bsz")
       bands.select(col("doc_id").as("doc_a"), col("simhash").as("fp_a"),
           col("b"), col("bval"))
         .join(bands.select(col("doc_id").as("doc_b"),
@@ -378,10 +385,14 @@ object Dedup {
 
     "dedup_simhash_hamming" ->
       s"""WITH $simhashFpSql,
-         |bands AS (
+         |bands0 AS (
          |  SELECT doc_id, simhash, b,
          |    (simhash // CAST(2 ** (b * 8) AS BIGINT)) % 256 AS bval
          |  FROM fp, (SELECT unnest(range(0, 4)) AS b)),
+         |bands AS (SELECT doc_id, simhash, b, bval FROM (
+         |  SELECT doc_id, simhash, b, bval,
+         |    count(*) OVER (PARTITION BY b, bval) AS bsz FROM bands0)
+         |  WHERE bsz <= $MaxBandBucket),
          |cand AS (
          |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
          |    x.simhash AS fp_a, y.simhash AS fp_b
