@@ -107,7 +107,7 @@ final class HttpApiServer(
     Some(sb.toString)
   }
 
-  private def readRequest(in: InputStream): Option[Req] = {
+  private def readRequest(in: InputStream, out: OutputStream): Option[Req] = {
     val start = readLine(in) match {
       case None | Some("") => return None
       case Some(l) => l
@@ -137,6 +137,13 @@ final class HttpApiServer(
     val hdrs = headers.result()
     val len = hdrs.get("content-length").flatMap(_.toIntOption).getOrElse(0)
     if (len > MaxBodyLen) return None
+    // curl sends Expect: 100-continue on large POSTs and stalls ~1s
+    // waiting for the interim response before uploading the body
+    if (hdrs.get("expect").exists(_.equalsIgnoreCase("100-continue"))) {
+      out.write("HTTP/1.1 100 Continue\r\n\r\n"
+        .getBytes(StandardCharsets.ISO_8859_1))
+      out.flush()
+    }
     val body = if (len > 0) in.readNBytes(len) else Array.emptyByteArray
     if (body.length < len) return None // truncated upload
     Some(Req(parts(0), path, rawQuery, hdrs, body))
@@ -187,7 +194,7 @@ final class HttpApiServer(
       val out = new BufferedOutputStream(sock.getOutputStream)
       var keepAlive = true
       while (keepAlive && running) {
-        readRequest(in) match {
+        readRequest(in, out) match {
           case None => keepAlive = false
           case Some(req) =>
             val upgraded = route(req, sock, in, out)

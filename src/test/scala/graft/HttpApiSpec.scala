@@ -148,6 +148,32 @@ class HttpApiSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(get("/version").statusCode() == 200)
   }
 
+  test("Expect: 100-continue gets the interim response before the body") {
+    val port = base.split(":").last.toInt
+    val sock = new java.net.Socket("127.0.0.1", port)
+    try {
+      sock.setSoTimeout(5000)
+      val out = sock.getOutputStream
+      val body = MsgCodec.encode(Seq(EventData("cont", """{"c":1}""")))
+      out.write((s"POST /log/ HTTP/1.1\r\nHost: x\r\nExpect: 100-continue\r\n" +
+        s"Content-Length: ${body.length}\r\n\r\n").getBytes)
+      out.flush()
+      val in = sock.getInputStream
+      val interim = new Array[Byte](25)
+      var read = 0
+      while (read < interim.length) // "HTTP/1.1 100 Continue\r\n\r\n"
+        read += math.max(0, in.read(interim, read, interim.length - read))
+      assert(new String(interim).startsWith("HTTP/1.1 100 Continue"))
+      out.write(body)
+      out.flush()
+      val resp = new Array[Byte](17)
+      read = 0
+      while (read < resp.length)
+        read += math.max(0, in.read(resp, read, resp.length - read))
+      assert(new String(resp).startsWith("HTTP/1.1 200"))
+    } finally sock.close()
+  }
+
   test("msgcodec round-trips multi-event frames") {
     val evs = Seq(
       EventData("", """{"empty_label":true}"""),
