@@ -32,5 +32,6 @@ object GraftExtensions {
     "event_checksum" -> (es => EventChecksum(es(0), es(1), es(2), es(3))),
     "parse_hex_version" -> (es => ParseHexVersion(es.head)),
     "hex_version" -> (es => HexVersion(es.head)),
-    "dot_product" -> (es => DotProduct(es(0), es(1))))
+    "dot_product" -> (es => DotProduct(es(0), es(1))),
+    "winnow_fps" -> (es => WinnowFingerprints(es.head)))
 }

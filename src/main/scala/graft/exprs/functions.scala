@@ -28,6 +28,9 @@ object functions {
   def dot_product(a: Column, b: Column): Column =
     Shim.column(DotProduct(Shim.expression(a), Shim.expression(b)))
 
+  def winnow_fps(c: Column): Column =
+    Shim.column(WinnowFingerprints(Shim.expression(c)))
+
   def parse_hex_version(c: Column): Column =
     Shim.column(ParseHexVersion(Shim.expression(c)))
 

@@ -135,34 +135,17 @@ object TextAnalysis {
     // insertions. One explode (linear) + one per-doc window pass; at scale
     // the fingerprint table is the join key for candidate pairing.
     "text_winnow" -> { (s, dir) =>
-      val K = 8 // k-gram length (chars)
-      val W = 16 // winnow window (hashes)
+      // one fused pass per document (graft.exprs.TextOps): k=8 byte grams,
+      // md5-prefix hashes, w=16 sliding min via a monotone deque, distinct.
+      // Replaces the round-1 row-per-byte explode + doc_id shuffle + window
+      // sort — the md5 work is identical (and so is the oracle, which still
+      // runs the relational formulation in DuckDB), but no row amplification
+      // reaches the engine. The corpus is ASCII so byte grams == char grams.
       val d = Tables(s, dir, "documents")
-      // explode POSITIONS and slice one gram per row — materializing a
-      // per-document array of n 8-char strings first would churn memory and
-      // fall out of codegen for the substring lambda. Slicing happens on the
-      // UTF-8 BYTES: string substring is O(pos) (UTF-8 char scan from the
-      // start → quadratic per document), binary substring is O(1). The
-      // corpus is ASCII so byte and char grams coincide with the oracle;
-      // md5(bytes) is the same either way.
-      val grams = d
-        .select(col("doc_id"),
-          encode(lower(regexp_replace(col("text"), "\\s+", " ")), "utf-8").as("t"))
-        .select(col("doc_id"), col("t"),
-          greatest(length(col("t")) - (K - 1), lit(1)).as("n"))
-        .select(col("doc_id"), col("t"), col("n"),
-          explode(sequence(lit(1), col("n"))).as("pos"))
-        .select(col("doc_id"), col("n"), col("pos"),
-          expr(s"substring(t, pos, $K)").as("g"))
-      val wspec = Window.partitionBy("doc_id").orderBy("pos")
-        .rowsBetween(Window.currentRow, W - 1)
-      grams
-        .withColumn("h", conv(substring(md5(col("g")), 1, 8), 16, 10).cast("long"))
-        .withColumn("wmin", min(col("h")).over(wspec))
-        // windows start at each 1-based pos up to n-W+1; the all-partial
-        // tail is excluded
-        .filter(col("pos") <= greatest(col("n") - (W - 1), lit(1)))
-        .select(col("doc_id"), col("wmin").as("fp")).distinct()
+      d.select(col("doc_id"),
+          explode(graft.exprs.functions.winnow_fps(
+            encode(lower(regexp_replace(col("text"), "\\s+", " ")), "utf-8")))
+            .as("fp"))
         .orderBy("doc_id", "fp")
     },
 
