@@ -33,5 +33,6 @@ object GraftExtensions {
     "parse_hex_version" -> (es => ParseHexVersion(es.head)),
     "hex_version" -> (es => HexVersion(es.head)),
     "dot_product" -> (es => DotProduct(es(0), es(1))),
-    "winnow_fps" -> (es => WinnowFingerprints(es.head)))
+    "winnow_fps" -> (es => WinnowFingerprints(es.head)),
+    "simhash32" -> (es => SimHash32(es.head)))
 }

@@ -28,6 +28,9 @@ object functions {
   def dot_product(a: Column, b: Column): Column =
     Shim.column(DotProduct(Shim.expression(a), Shim.expression(b)))
 
+  def simhash32(c: Column): Column =
+    Shim.column(SimHash32(Shim.expression(c)))
+
   def winnow_fps(c: Column): Column =
     Shim.column(WinnowFingerprints(Shim.expression(c)))
 

@@ -98,26 +98,15 @@ object Dedup {
         .as("mins"))
   }
 
-  /** 32-bit SimHash per doc: md5-bit votes of every token occurrence.
-    * The 32 bit-votes are 32 conditional sums inside ONE map-side-combined
-    * groupBy — not an explode(32) into 32x the rows and a second shuffle;
-    * same math (bit p = bit p%4 of hex digit p/4 of the md5). */
-  private def simhashTable(s: SparkSession, dir: String): DataFrame = {
-    val d = Tables(s, dir, "documents")
-    val words = d.select(col("doc_id"),
-      explode(toks(col("text"))).as("word"))
-      .withColumn("hh", md5(col("word")))
-    def contrib(p: Int): Column = expr(
-      s"""CASE WHEN (CAST(conv(substr(hh, ${1 + p / 4}, 1), 16, 10) AS BIGINT)
-         |  div ${1L << (p % 4)}) % 2 = 1 THEN 1 ELSE -1 END""".stripMargin)
-    words.groupBy("doc_id")
-      .agg((0 until 32).map(p => sum(contrib(p)).as(s"s$p")).head,
-        (0 until 32).map(p => sum(contrib(p)).as(s"s$p")).tail: _*)
-      .select(col("doc_id"),
-        (0 until 32).map(p =>
-          when(col(s"s$p") >= 0, lit(1L << p)).otherwise(0L))
-          .reduce(_ + _).as("simhash"))
-  }
+  /** 32-bit SimHash per doc: md5-bit votes of every token occurrence,
+    * computed by the fused [[graft.exprs.TextOps.simhash32]] kernel — one
+    * narrow pass per document, NO explode and NO groupBy shuffle (round 1
+    * used 32 conditional sums in a map-side-combined groupBy; the kernel
+    * removes even that exchange). Same math as the DuckDB oracle: bit p =
+    * bit p%4 of hex digit p/4 of each token's md5, set when votes >= 0. */
+  private def simhashTable(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "documents").select(col("doc_id"),
+      graft.exprs.functions.simhash32(toks(col("text"))).as("simhash"))
 
   val queries: Map[String, Q] = Map(
     // Exact dedup: content-hash grouping, min doc_id is the keeper.
