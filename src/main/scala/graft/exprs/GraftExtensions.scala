@@ -34,5 +34,7 @@ object GraftExtensions {
     "hex_version" -> (es => HexVersion(es.head)),
     "dot_product" -> (es => DotProduct(es(0), es(1))),
     "winnow_fps" -> (es => WinnowFingerprints(es.head)),
-    "simhash32" -> (es => SimHash32(es.head)))
+    "simhash32" -> (es => SimHash32(es.head)),
+    "ngram_shingles" -> (es => NgramShingles(es.head)),
+    "minhash12" -> (es => Minhash12(es.head)))
 }

@@ -56,6 +56,94 @@ object TextOps {
     fp
   }
 
+  /** Word-triple shingles of a token array, matching the relational
+    * formulation exactly: for n >= 3 tokens, one shingle per consecutive
+    * triple joined by single spaces; for n < 3, ONE shingle = all tokens
+    * joined (what `concat_ws` over the null leads produced). Tokens come
+    * pre-split so Spark's `split` semantics (empty leading fields, kept
+    * trailing fields) are inherited verbatim. */
+  def ngramShingles(tokens: ArrayData): ArrayData = {
+    val n = tokens.numElements()
+    val out =
+      if (n >= 3) {
+        val arr = new Array[org.apache.spark.unsafe.types.UTF8String](n - 2)
+        var i = 0
+        while (i < n - 2) {
+          arr(i) = org.apache.spark.unsafe.types.UTF8String.concatWs(
+            org.apache.spark.unsafe.types.UTF8String.fromString(" "),
+            tokens.getUTF8String(i), tokens.getUTF8String(i + 1),
+            tokens.getUTF8String(i + 2))
+          i += 1
+        }
+        arr
+      } else {
+        val all = new Array[org.apache.spark.unsafe.types.UTF8String](n)
+        var i = 0
+        while (i < n) { all(i) = tokens.getUTF8String(i); i += 1 }
+        Array(org.apache.spark.unsafe.types.UTF8String.concatWs(
+          org.apache.spark.unsafe.types.UTF8String.fromString(" "), all: _*))
+      }
+    new GenericArrayData(out.asInstanceOf[Array[Any]])
+  }
+
+  // the minhash affine family's modulus/stride — inlined as literals in the
+  // DuckDB oracle SQL (queries/Dedup.scala), so these must not drift
+  private val MinhashP = 2147483647L
+  private val MinhashC = 12582917L
+
+  /** 12 affine minhashes over the doc's shingle set in one pass: shingle →
+    * first-4-md5-bytes hash h (≙ conv(substring(md5(s),1,8),16,10)) →
+    * running min of ((2j+1)·h + j·C) mod P for j in 0..11. min() is
+    * duplicate-insensitive, so iterating occurrences equals iterating the
+    * distinct set; the md5 digests the exact joined-shingle bytes without
+    * materializing the string. Replaces the posexplode + two lead windows
+    * (a doc_id shuffle + sort) + 12-min groupBy (another shuffle) with a
+    * narrow per-document projection. */
+  def minhash12(tokens: ArrayData): ArrayData = {
+    val digest = md5.get()
+    val space = ' '.toByte
+    val n = tokens.numElements()
+    val mins = Array.fill(12)(Long.MaxValue)
+
+    def visit(h: Long): Unit = {
+      var j = 0
+      while (j < 12) {
+        val v = (h * (j * 2 + 1) + j * MinhashC) % MinhashP
+        if (v < mins(j)) mins(j) = v
+        j += 1
+      }
+    }
+    def hashOf(): Long = {
+      val d = digest.digest()
+      ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+        ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+    }
+
+    if (n >= 3) {
+      var i = 0
+      while (i < n - 2) {
+        digest.reset()
+        digest.update(tokens.getUTF8String(i).getBytes)
+        digest.update(space)
+        digest.update(tokens.getUTF8String(i + 1).getBytes)
+        digest.update(space)
+        digest.update(tokens.getUTF8String(i + 2).getBytes)
+        visit(hashOf())
+        i += 1
+      }
+    } else {
+      digest.reset()
+      var i = 0
+      while (i < n) {
+        if (i > 0) digest.update(space)
+        digest.update(tokens.getUTF8String(i).getBytes)
+        i += 1
+      }
+      visit(hashOf())
+    }
+    new GenericArrayData(mins)
+  }
+
   /** Distinct, sorted winnow fingerprints of a normalized UTF-8 byte
     * string. Hash = first 4 md5 bytes as unsigned big-endian (exactly
     * `conv(substring(md5(g),1,8),16,10)`); grams at the tail run short like
@@ -102,6 +190,37 @@ object TextOps {
     while (it.hasNext) { arr(i) = it.next(); i += 1 }
     new GenericArrayData(arr)
   }
+}
+
+/** `ngram_shingles(array<string>)` → word-triple shingle strings. */
+case class NgramShingles(child: Expression)
+    extends UnaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[org.apache.spark.sql.graftshim.Shim.AbstractType] =
+    Seq(ArrayType(org.apache.spark.sql.types.StringType))
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.StringType, containsNull = false)
+  override def nullSafeEval(v: Any): Any =
+    TextOps.ngramShingles(v.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.exprs.TextOps.ngramShingles($c)")
+  override protected def withNewChildInternal(
+      newChild: Expression): NgramShingles = copy(child = newChild)
+  override def prettyName: String = "ngram_shingles"
+}
+
+/** `minhash12(array<string>)` → the 12-long minhash signature. */
+case class Minhash12(child: Expression)
+    extends UnaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[org.apache.spark.sql.graftshim.Shim.AbstractType] =
+    Seq(ArrayType(org.apache.spark.sql.types.StringType))
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(v: Any): Any =
+    TextOps.minhash12(v.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.exprs.TextOps.minhash12($c)")
+  override protected def withNewChildInternal(
+      newChild: Expression): Minhash12 = copy(child = newChild)
+  override def prettyName: String = "minhash12"
 }
 
 /** `simhash32(array<string>)` → 32-bit SimHash fingerprint as long. */

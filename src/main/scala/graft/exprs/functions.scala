@@ -31,6 +31,12 @@ object functions {
   def simhash32(c: Column): Column =
     Shim.column(SimHash32(Shim.expression(c)))
 
+  def ngram_shingles(c: Column): Column =
+    Shim.column(NgramShingles(Shim.expression(c)))
+
+  def minhash12(c: Column): Column =
+    Shim.column(Minhash12(Shim.expression(c)))
+
   def winnow_fps(c: Column): Column =
     Shim.column(WinnowFingerprints(Shim.expression(c)))
 

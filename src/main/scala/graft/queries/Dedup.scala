@@ -53,50 +53,17 @@ object Dedup {
   private def toks(c: Column): Column = split(c, "\\s+")
 
 
-  /** 32-bit shingle hash = first 8 hex digits of md5, one md5 per shingle.
-    * The 12 minhashes are affine maps ((2j+1)*h + j*C) mod p over it — a
-    * standard universal family both engines compute identically in int64. */
-  private def shingleHash(sg: Column): Column =
-    conv(substring(md5(sg), 1, 8), 16, 10).cast("long")
-
-  private val MinhashP = 2147483647L
-  private val MinhashC = 12582917L
-
-  /** Row-wise shingle table: (doc_id, s). Shingles are built with posexplode
-    * + lead windows instead of nested array lambdas — higher-order functions
-    * re-evaluate their captured subtrees per element (quadratic blowup) and
-    * fall out of whole-stage codegen, while this shape stays fully codegen'd
-    * and scales linearly: explode is narrow, the window shuffles once on
-    * doc_id. */
-  private def shingleRows(s: SparkSession, dir: String): DataFrame = {
-    val d = Tables(s, dir, "documents")
-    // word count comes from the array BEFORE exploding — one window pass
-    // (the two leads share a spec), not a second count() window.
-    val words = d
-      .withColumn("w", split(col("text"), "\\s+"))
-      .select(col("doc_id"), size(col("w")).as("n"),
-        posexplode(col("w")).as(Seq("pos", "word")))
-    val wd = Window.partitionBy("doc_id").orderBy("pos")
-    words
-      .withColumn("w1", lead(col("word"), 1).over(wd))
-      .withColumn("w2", lead(col("word"), 2).over(wd))
-      // n<3: single shingle = whole text (concat_ws skips the null leads)
-      .withColumn("s", concat_ws(" ", col("word"), col("w1"), col("w2")))
-      .filter((col("n") >= 3 && col("w2").isNotNull)
-        || (col("n") < 3 && col("pos") === 0))
-      .select(col("doc_id"), col("s"))
-  }
-
-  /** MinHash signature table: (doc_id, mins array<long>[12]) via 12 min-aggs
-    * over the per-shingle hash — partial (map-side) aggregation, one shuffle. */
-  private def minhashTable(s: SparkSession, dir: String): DataFrame = {
-    val hashed = shingleRows(s, dir)
-      .select(col("doc_id"), shingleHash(col("s")).as("h"))
-    hashed.groupBy("doc_id")
-      .agg(array((0 until NumHashes).map(j =>
-        min((col("h") * (j * 2 + 1) + lit(j.toLong * MinhashC)) % MinhashP)): _*)
-        .as("mins"))
-  }
+  /** MinHash signature table: (doc_id, mins array<long>[12]) via the fused
+    * [[graft.exprs.TextOps.minhash12]] kernel — shingle triples, first-4-
+    * md5-bytes hashes, and the 12 affine mins ((2j+1)·h + j·C mod p, a
+    * standard universal family both engines compute identically in int64)
+    * all in ONE narrow pass per document. Round 1 built this relationally
+    * (posexplode + two lead windows + a 12-min groupBy = a doc_id shuffle,
+    * a sort, and a second shuffle); the kernel needs none of them — the
+    * signature is computed inside the scan stage. */
+  private def minhashTable(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "documents").select(col("doc_id"),
+      graft.exprs.functions.minhash12(toks(col("text"))).as("mins"))
 
   /** 32-bit SimHash per doc: md5-bit votes of every token occurrence,
     * computed by the fused [[graft.exprs.TextOps.simhash32]] kernel — one
@@ -207,7 +174,13 @@ object Dedup {
       // inverted index on the shingle's 64-bit hash: distinct, join, and
       // count all shuffle 8-byte keys instead of shingle strings (same sets
       // modulo ~2⁻⁶⁴ collisions).
-      val t0 = shingleRows(s, dir)
+      // shingle rows come from the fused kernel (one narrow pass + explode;
+      // no lead-window shuffle) — the inverted index still needs per-shingle
+      // ROWS, so the explode stays, but nothing shuffles before `distinct`
+      val t0 = Tables(s, dir, "documents")
+        .select(col("doc_id"),
+          explode(graft.exprs.functions.ngram_shingles(toks(col("text"))))
+            .as("s"))
         .select(col("doc_id"), xxhash64(col("s")).as("sh")).distinct()
       // Document-frequency cap: a shingle present in >MaxShingleDf docs is
       // boilerplate, not signal, and its inverted-index bucket would join
