@@ -19,6 +19,19 @@ object TextOps {
   private val K = 8 // k-gram length (bytes)
   private val W = 16 // winnow window (hashes)
 
+  private val Space =
+    org.apache.spark.unsafe.types.UTF8String.fromString(" ")
+  private val Empty =
+    org.apache.spark.unsafe.types.UTF8String.fromString("")
+
+  /** Null array elements (possible on arbitrary user arrays; `split` never
+    * produces them) are treated as empty strings rather than NPE-ing. */
+  private def tok(tokens: ArrayData, i: Int)
+      : org.apache.spark.unsafe.types.UTF8String = {
+    val s = tokens.getUTF8String(i)
+    if (s == null) Empty else s
+  }
+
   private val md5 = ThreadLocal.withInitial[java.security.MessageDigest](
     () => java.security.MessageDigest.getInstance("MD5"))
 
@@ -36,7 +49,7 @@ object TextOps {
     var i = 0
     while (i < n) {
       digest.reset()
-      val d = digest.digest(tokens.getUTF8String(i).getBytes)
+      val d = digest.digest(tok(tokens, i).getBytes)
       var p = 0
       while (p < 32) {
         val c = p / 4 // hex digit index (0-based) within the md5 hex string
@@ -70,18 +83,15 @@ object TextOps {
         var i = 0
         while (i < n - 2) {
           arr(i) = org.apache.spark.unsafe.types.UTF8String.concatWs(
-            org.apache.spark.unsafe.types.UTF8String.fromString(" "),
-            tokens.getUTF8String(i), tokens.getUTF8String(i + 1),
-            tokens.getUTF8String(i + 2))
+            Space, tok(tokens, i), tok(tokens, i + 1), tok(tokens, i + 2))
           i += 1
         }
         arr
       } else {
         val all = new Array[org.apache.spark.unsafe.types.UTF8String](n)
         var i = 0
-        while (i < n) { all(i) = tokens.getUTF8String(i); i += 1 }
-        Array(org.apache.spark.unsafe.types.UTF8String.concatWs(
-          org.apache.spark.unsafe.types.UTF8String.fromString(" "), all: _*))
+        while (i < n) { all(i) = tok(tokens, i); i += 1 }
+        Array(org.apache.spark.unsafe.types.UTF8String.concatWs(Space, all: _*))
       }
     new GenericArrayData(out.asInstanceOf[Array[Any]])
   }
@@ -123,11 +133,11 @@ object TextOps {
       var i = 0
       while (i < n - 2) {
         digest.reset()
-        digest.update(tokens.getUTF8String(i).getBytes)
+        digest.update(tok(tokens, i).getBytes)
         digest.update(space)
-        digest.update(tokens.getUTF8String(i + 1).getBytes)
+        digest.update(tok(tokens, i + 1).getBytes)
         digest.update(space)
-        digest.update(tokens.getUTF8String(i + 2).getBytes)
+        digest.update(tok(tokens, i + 2).getBytes)
         visit(hashOf())
         i += 1
       }
@@ -136,7 +146,7 @@ object TextOps {
       var i = 0
       while (i < n) {
         if (i > 0) digest.update(space)
-        digest.update(tokens.getUTF8String(i).getBytes)
+        digest.update(tok(tokens, i).getBytes)
         i += 1
       }
       visit(hashOf())

@@ -62,8 +62,10 @@ object Dedup {
     * a sort, and a second shuffle); the kernel needs none of them — the
     * signature is computed inside the scan stage. */
   private def minhashTable(s: SparkSession, dir: String): DataFrame =
-    Tables(s, dir, "documents").select(col("doc_id"),
-      graft.exprs.functions.minhash12(toks(col("text"))).as("mins"))
+    Tables(s, dir, "documents")
+      .filter(col("text").isNotNull) // explode() dropped null docs; keep parity
+      .select(col("doc_id"),
+        graft.exprs.functions.minhash12(toks(col("text"))).as("mins"))
 
   /** 32-bit SimHash per doc: md5-bit votes of every token occurrence,
     * computed by the fused [[graft.exprs.TextOps.simhash32]] kernel — one
@@ -72,8 +74,10 @@ object Dedup {
     * removes even that exchange). Same math as the DuckDB oracle: bit p =
     * bit p%4 of hex digit p/4 of each token's md5, set when votes >= 0. */
   private def simhashTable(s: SparkSession, dir: String): DataFrame =
-    Tables(s, dir, "documents").select(col("doc_id"),
-      graft.exprs.functions.simhash32(toks(col("text"))).as("simhash"))
+    Tables(s, dir, "documents")
+      .filter(col("text").isNotNull) // explode() dropped null docs; keep parity
+      .select(col("doc_id"),
+        graft.exprs.functions.simhash32(toks(col("text"))).as("simhash"))
 
   val queries: Map[String, Q] = Map(
     // Exact dedup: content-hash grouping, min doc_id is the keeper.
@@ -178,6 +182,7 @@ object Dedup {
       // no lead-window shuffle) — the inverted index still needs per-shingle
       // ROWS, so the explode stays, but nothing shuffles before `distinct`
       val t0 = Tables(s, dir, "documents")
+        .filter(col("text").isNotNull) // parity with the exploded form
         .select(col("doc_id"),
           explode(graft.exprs.functions.ngram_shingles(toks(col("text"))))
             .as("s"))

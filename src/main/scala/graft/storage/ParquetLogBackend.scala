@@ -38,7 +38,7 @@ final class ParquetLogBackend private (
     override val payloadLimit: Int,
     compactThreshold: Int,
     compactIntervalMs: Long,
-    maxSegmentFiles: Int = 256)
+    maxSegmentFiles: Int = 0)
     extends SequencedBackend {
 
   private val commitLog = dir.resolve("commits.jsonl")
@@ -118,8 +118,13 @@ final class ParquetLogBackend private (
     rotateCommitLog()
     // file-count hygiene: timer compaction writes one small file per
     // interval; unchecked, scan planning drowns in file metadata long
-    // before bytes are the problem
-    if (segmentFileCount() > maxSegmentFiles) coalesceSegments()
+    // before bytes are the problem. OPT-IN (maxSegmentFiles <= 0 default):
+    // rewriting history breaks the append-only assumption of file-stream
+    // readers (LogStream.readStream would re-deliver everything) and can
+    // fail in-flight lazy scans — enable only on logs without streaming
+    // consumers, or call coalesceSegments() from a maintenance window.
+    if (maxSegmentFiles > 0 && segmentFileCount() > maxSegmentFiles)
+      coalesceSegments()
   }
 
   private def segmentFileCount(): Int =
@@ -141,6 +146,11 @@ final class ParquetLogBackend private (
         _.filter(_.toString.endsWith(".parquet"))
           .mapToLong(Files.size(_)).sum())
       val parts = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
+      // already at (or past) the best achievable layout: rewriting the full
+      // history again would be O(history) I/O for no file-count gain —
+      // without this, a log bigger than maxSegmentFiles*targetBytes would
+      // re-rewrite everything on every compaction forever
+      if (parts >= segmentFileCount()) return
       val staging = dir.resolve("segments.rewrite")
       deleteRecursively(staging)
       spark.read.schema(EventSchema.schema).parquet(segmentsDir.toString)
@@ -348,7 +358,7 @@ object ParquetLogBackend {
       payloadLimit: Int = EventSchema.DefaultPayloadLimit,
       compactThreshold: Int = 10000,
       compactIntervalMs: Long = 5000,
-      maxSegmentFiles: Int = 256): ParquetLogBackend = {
+      maxSegmentFiles: Int = 0): ParquetLogBackend = {
     val dir = Paths.get(path)
     Files.createDirectories(dir)
     val meta = mapper.createObjectNode()
@@ -369,7 +379,7 @@ object ParquetLogBackend {
       path: String,
       compactThreshold: Int = 10000,
       compactIntervalMs: Long = 5000,
-      maxSegmentFiles: Int = 256): ParquetLogBackend = {
+      maxSegmentFiles: Int = 0): ParquetLogBackend = {
     val dir = Paths.get(path)
     val metaFile = dir.resolve("meta.json")
     if (!Files.exists(metaFile))

@@ -159,18 +159,22 @@ class HttpApiSpec extends AnyFunSuite with BeforeAndAfterAll {
         s"Content-Length: ${body.length}\r\n\r\n").getBytes)
       out.flush()
       val in = sock.getInputStream
-      val interim = new Array[Byte](25)
-      var read = 0
-      while (read < interim.length) // "HTTP/1.1 100 Continue\r\n\r\n"
-        read += math.max(0, in.read(interim, read, interim.length - read))
-      assert(new String(interim).startsWith("HTTP/1.1 100 Continue"))
+      def readFully(want: Int): String = {
+        val buf = new Array[Byte](want)
+        var read = 0
+        var n = 0
+        while (read < want && n >= 0) { // EOF must fail, not spin
+          n = in.read(buf, read, want - read)
+          if (n > 0) read += n
+        }
+        assert(read == want, s"connection closed after $read/$want bytes")
+        new String(buf)
+      }
+      // "HTTP/1.1 100 Continue\r\n\r\n"
+      assert(readFully(25).startsWith("HTTP/1.1 100 Continue"))
       out.write(body)
       out.flush()
-      val resp = new Array[Byte](17)
-      read = 0
-      while (read < resp.length)
-        read += math.max(0, in.read(resp, read, resp.length - read))
-      assert(new String(resp).startsWith("HTTP/1.1 200"))
+      assert(readFully(17).startsWith("HTTP/1.1 200"))
     } finally sock.close()
   }
 
