@@ -36,5 +36,6 @@ object GraftExtensions {
     "winnow_fps" -> (es => WinnowFingerprints(es.head)),
     "simhash32" -> (es => SimHash32(es.head)),
     "ngram_shingles" -> (es => NgramShingles(es.head)),
-    "minhash12" -> (es => Minhash12(es.head)))
+    "minhash12" -> (es => Minhash12(es.head)),
+    "token_stats" -> (es => TokenStats(es(0), es(1), es(2))))
 }

@@ -1,9 +1,10 @@
 package graft.exprs
 
+import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.expressions.{Expression, ImplicitCastInputTypes, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow, ImplicitCastInputTypes, TernaryExpression, UnaryExpression}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
-import org.apache.spark.sql.types.{ArrayType, BinaryType, DataType, LongType}
+import org.apache.spark.sql.types.{ArrayType, BinaryType, DataType, LongType, StringType, StructField, StructType}
 
 /** Winnowing document fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD'03)
   * as ONE pass per document. Semantically identical to the relational
@@ -154,6 +155,52 @@ object TextOps {
     new GenericArrayData(mins)
   }
 
+  /** Per-document token statistics in one pass: total token count, stopword
+    * hits, and one hit counter per marker word. Replaces the
+    * explode + groupBy(doc_id) shuffle (and, for language ID, the
+    * broadcast-join + second groupBy) that round 1 used — the counts are
+    * computed inside the scan stage, so `text_quality`, `text_langid`, and
+    * `pipeline_clean_corpus` need no exchange before their final (tiny)
+    * aggregation. Semantics match the relational form the DuckDB oracle
+    * still runs: n_words = count of split tokens, n_stop = tokens ∈ stops,
+    * hits(j) = occurrences of markers(j). Stop/marker lists are literal
+    * arrays of a few entries, so membership is a short linear scan. */
+  def tokenStats(
+      tokens: ArrayData,
+      stops: ArrayData,
+      markers: ArrayData): InternalRow = {
+    val ns = stops.numElements()
+    val nm = markers.numElements()
+    val stopW = new Array[org.apache.spark.unsafe.types.UTF8String](ns)
+    var j = 0
+    while (j < ns) { stopW(j) = tok(stops, j); j += 1 }
+    val markW = new Array[org.apache.spark.unsafe.types.UTF8String](nm)
+    j = 0
+    while (j < nm) { markW(j) = tok(markers, j); j += 1 }
+
+    val n = tokens.numElements()
+    val hits = new Array[Long](nm)
+    var nStop = 0L
+    var i = 0
+    while (i < n) {
+      val t = tok(tokens, i)
+      j = 0
+      var stopped = false
+      while (j < ns && !stopped) {
+        if (stopW(j).equals(t)) { nStop += 1L; stopped = true }
+        j += 1
+      }
+      j = 0
+      while (j < nm) {
+        if (markW(j).equals(t)) hits(j) += 1L
+        j += 1
+      }
+      i += 1
+    }
+    new GenericInternalRow(
+      Array[Any](n.toLong, nStop, new GenericArrayData(hits)))
+  }
+
   /** Distinct, sorted winnow fingerprints of a normalized UTF-8 byte
     * string. Hash = first 4 md5 bytes as unsigned big-endian (exactly
     * `conv(substring(md5(g),1,8),16,10)`); grams at the tail run short like
@@ -246,6 +293,30 @@ case class SimHash32(child: Expression)
   override protected def withNewChildInternal(
       newChild: Expression): SimHash32 = copy(child = newChild)
   override def prettyName: String = "simhash32"
+}
+
+/** `token_stats(tokens, stops, markers)` →
+  * struct(n_words long, n_stop long, hits array<long>[len(markers)]). */
+case class TokenStats(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[org.apache.spark.sql.graftshim.Shim.AbstractType] =
+    Seq(ArrayType(StringType), ArrayType(StringType), ArrayType(StringType))
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_words", LongType, nullable = false),
+    StructField("n_stop", LongType, nullable = false),
+    StructField("hits", ArrayType(LongType, containsNull = false),
+      nullable = false)))
+  override def nullSafeEval(t: Any, s: Any, m: Any): Any =
+    TextOps.tokenStats(t.asInstanceOf[ArrayData], s.asInstanceOf[ArrayData],
+      m.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (t, s, m) => s"graft.exprs.TextOps.tokenStats($t, $s, $m)")
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression,
+      newThird: Expression): TokenStats =
+    copy(first = newFirst, second = newSecond, third = newThird)
+  override def prettyName: String = "token_stats"
 }
 
 /** `winnow_fps(binary)` → sorted distinct array<long> of fingerprints. */

@@ -40,6 +40,11 @@ object functions {
   def winnow_fps(c: Column): Column =
     Shim.column(WinnowFingerprints(Shim.expression(c)))
 
+  def token_stats(tokens: Column, stops: Column, markers: Column): Column =
+    Shim.column(TokenStats(
+      Shim.expression(tokens), Shim.expression(stops),
+      Shim.expression(markers)))
+
   def parse_hex_version(c: Column): Column =
     Shim.column(ParseHexVersion(Shim.expression(c)))
 

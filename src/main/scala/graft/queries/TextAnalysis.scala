@@ -29,43 +29,66 @@ object TextAnalysis {
   /** BPE-ish pre-tokenizer: letter runs, digit runs, single symbols. */
   private val BpeRegex = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
 
+  // literal-array arguments for the fused token_stats kernel
+  private def stopsLit: Column = array(Stopwords.map(lit): _*)
+  private def markersLit: Column = array(Lexicon.map(m => lit(m._2)): _*)
+  private def noWords: Column = typedLit(Seq.empty[String])
+
+  private val LangsAsc: Seq[String] = Lexicon.map(_._1).distinct.sorted
+
+  /** Marker hits for one language: sum of the kernel's per-marker counters
+    * at that language's lexicon positions (element_at is 1-indexed). */
+  private def langCnt(st: Column, lang: String): Column =
+    Lexicon.zipWithIndex.collect { case ((l, _), i) if l == lang =>
+      element_at(st.getField("hits"), i + 1)
+    }.reduce(_ + _)
+
+  /** Per-document argmax over languages (cnt DESC, lang ASC — the same
+    * tie-break as the relational row_number form): a left fold in ascending
+    * language order where only a STRICTLY greater count replaces the
+    * incumbent, so ties keep the smaller language. Null token stats (null
+    * text) yield a null cnt, which every comparison rejects — callers map
+    * that to 'und'/0 exactly like the old left-join did. */
+  private def bestLang(st: Column): Column =
+    LangsAsc.map(l => struct(langCnt(st, l).as("cnt"), lit(l).as("lang")))
+      .reduce((acc, cand) =>
+        when(cand.getField("cnt") > acc.getField("cnt"), cand).otherwise(acc))
+
   val queries: Map[String, Q] = Map(
     // Language ID: count marker-lexicon hits per language, argmax with
-    // deterministic tie-break; 'und' when nothing matches. Lexicon join is a
-    // broadcast — no shuffle of the corpus.
+    // deterministic tie-break; 'und' when nothing matches. The fused
+    // token_stats kernel counts every marker inside the scan stage — no
+    // explode, no join, no groupBy: the only exchange left is the output
+    // sort. (Round 1: explode + broadcast-join + two shuffles.)
     "text_langid" -> { (s, dir) =>
-      import s.implicits._
       val d = Tables(s, dir, "documents")
-      val lex = Lexicon.toDF("cand_lang", "marker")
-      val tokens = d.select(col("doc_id"), explode(toks(col("text"))).as("tok"))
-      val hits = tokens.join(broadcast(lex), col("tok") === col("marker"))
-        .groupBy("doc_id", "cand_lang")
-        .agg(count(lit(1)).as("cnt"))
-      val w = Window.partitionBy(col("doc_id"))
-        .orderBy(col("cnt").desc, col("cand_lang"))
-      val best = hits.withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1)
-        .select(col("doc_id"), col("cand_lang"), col("cnt"))
-      d.select(col("doc_id"), col("lang").as("declared_lang"))
-        .join(best, Seq("doc_id"), "left")
+      d.select(col("doc_id"), col("lang").as("declared_lang"),
+          graft.exprs.functions.token_stats(
+            toks(col("text")), noWords, markersLit).as("st"))
+        .withColumn("best", bestLang(col("st")))
         .select(col("doc_id"), col("declared_lang"),
-          coalesce(col("cand_lang"), lit("und")).as("pred_lang"),
-          coalesce(col("cnt"), lit(0L)).as("marker_hits"))
+          when(col("best.cnt") > 0, col("best.lang"))
+            .otherwise(lit("und")).as("pred_lang"),
+          when(col("best.cnt") > 0, col("best.cnt"))
+            .otherwise(lit(0L)).as("marker_hits"))
         .orderBy("doc_id")
     },
 
     // Quality scoring: structural counts + a deterministic combined score.
+    // token_stats folds the old explode + groupBy(doc_id) + self-join into
+    // a pure projection; the isNotNull filter mirrors the inner join that
+    // dropped null-text docs (no token rows) in the relational form.
     "text_quality" -> { (s, dir) =>
-      val d = Tables(s, dir, "documents")
-      val words = d.select(col("doc_id"), explode(toks(col("text"))).as("tok"))
-      val stops = words.groupBy("doc_id").agg(
-        count(lit(1)).as("n_words"),
-        sum(when(col("tok").isin(Stopwords: _*), 1).otherwise(0)).as("n_stop"))
+      val d = Tables(s, dir, "documents").filter(col("text").isNotNull)
       // counts surface as BIGINT to line up with DuckDB's length()/sum()
       d.select(col("doc_id"),
         length(col("text")).cast("long").as("n_chars"),
-        length(regexp_replace(col("text"), "[^.,;:!?]", "")).cast("long").as("n_punct"))
-        .join(stops, "doc_id")
+        length(regexp_replace(col("text"), "[^.,;:!?]", "")).cast("long").as("n_punct"),
+        graft.exprs.functions.token_stats(
+          toks(col("text")), stopsLit, noWords).as("st"))
+        .select(col("doc_id"), col("n_chars"),
+          col("st.n_words").as("n_words"), col("n_punct"),
+          col("st.n_stop").as("n_stop"))
         .withColumn("avg_word_len",
           (col("n_chars") - (col("n_words") - 1)).cast("double") / col("n_words"))
         .withColumn("stop_ratio", col("n_stop").cast("double") / col("n_words"))
@@ -97,34 +120,28 @@ object TextAnalysis {
 
     // End-to-end corpus cleaning — the composition the pipeline operators
     // exist for: quality gate -> exact-dedup keepers -> language ID ->
-    // per-language corpus stats. One pass over tokens feeds both the gate
-    // and the language vote; everything downstream of the gate shrinks.
+    // per-language corpus stats. ONE token_stats call feeds both the gate
+    // (n_words/n_stop) and the language vote (marker hits), so the whole
+    // pipeline is: scan -> md5-keeper window -> filters -> 5-key groupBy.
+    // Two exchanges total, neither carrying exploded word rows. (Round 1:
+    // explode + three groupBy/window shuffles + three doc_id joins.)
     "pipeline_clean_corpus" -> { (s, dir) =>
-      import s.implicits._
       val d = Tables(s, dir, "documents")
-      val words = d.select(col("doc_id"), explode(toks(col("text"))).as("tok"))
-      val stats = words.groupBy("doc_id").agg(
-        count(lit(1)).as("n_words"),
-        sum(when(col("tok").isin(Stopwords: _*), 1).otherwise(0)).as("n_stop"))
-      val quality = stats.filter(col("n_words") >= 20 && col("n_stop") > 0)
-      val keep = d.withColumn("h", md5(col("text")))
+      d.select(col("doc_id"), col("text"),
+          graft.exprs.functions.token_stats(
+            toks(col("text")), stopsLit, markersLit).as("st"))
+        // keeper is min(doc_id) over the WHOLE corpus per content hash —
+        // computed before the quality gate, exactly like the old `keep` CTE
         .withColumn("keeper",
-          min(col("doc_id")).over(Window.partitionBy("h")))
+          min(col("doc_id")).over(Window.partitionBy(md5(col("text")))))
         .filter(col("doc_id") === col("keeper"))
-        .select(col("doc_id"), col("text"))
-      val lex = Lexicon.toDF("cand_lang", "marker")
-      val hits = words.join(broadcast(lex), col("tok") === col("marker"))
-        .groupBy("doc_id", "cand_lang").agg(count(lit(1)).as("cnt"))
-      val wBest = Window.partitionBy(col("doc_id"))
-        .orderBy(col("cnt").desc, col("cand_lang"))
-      val best = hits.withColumn("rn", row_number().over(wBest))
-        .filter(col("rn") === 1).select(col("doc_id"), col("cand_lang"))
-      keep.join(quality, "doc_id")
-        .join(best, Seq("doc_id"), "left")
-        .withColumn("pred_lang", coalesce(col("cand_lang"), lit("und")))
+        .filter(col("st.n_words") >= 20 && col("st.n_stop") > 0)
+        .withColumn("best", bestLang(col("st")))
+        .withColumn("pred_lang",
+          when(col("best.cnt") > 0, col("best.lang")).otherwise(lit("und")))
         .groupBy("pred_lang")
         .agg(count(lit(1)).as("n_docs"),
-          sum(col("n_words")).as("total_words"),
+          sum(col("st.n_words")).as("total_words"),
           sum(length(col("text")).cast("long")).as("total_chars"))
         .orderBy("pred_lang")
     },
