@@ -7,6 +7,9 @@ object Verify {
   def main(args: Array[String]): Unit = {
     val (sfDir, outDir) = (args(0), args(1))
     val only = args.drop(2).toSet // optional: restrict to these query names
+    val unknown = only.diff(SparkEntry.queries.keySet)
+    require(unknown.isEmpty, // a typo'd name would otherwise silently dump nothing
+      s"unknown query name(s): ${unknown.toSeq.sorted.mkString(", ")}")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       math.min(32, Runtime.getRuntime.availableProcessors).toString)
     val spark = SparkSession.builder()

@@ -155,6 +155,19 @@ object TextOps {
     new GenericArrayData(mins)
   }
 
+  /** Decode an ArrayData of strings into a plain UTF8String[] for repeated
+    * membership scans. [[TokenStats]] hoists this for foldable stop/marker
+    * literals — decoded once per expression, shipped as a reference object —
+    * so per-row work touches no ArrayData accessors for the lexicons. */
+  def decodeLexicon(a: ArrayData)
+      : Array[org.apache.spark.unsafe.types.UTF8String] = {
+    val n = a.numElements()
+    val out = new Array[org.apache.spark.unsafe.types.UTF8String](n)
+    var j = 0
+    while (j < n) { out(j) = tok(a, j); j += 1 }
+    out
+  }
+
   /** Per-document token statistics in one pass: total token count, stopword
     * hits, and one hit counter per marker word. Replaces the
     * explode + groupBy(doc_id) shuffle (and, for language ID, the
@@ -164,21 +177,18 @@ object TextOps {
     * aggregation. Semantics match the relational form the DuckDB oracle
     * still runs: n_words = count of split tokens, n_stop = tokens ∈ stops,
     * hits(j) = occurrences of markers(j). Stop/marker lists are literal
-    * arrays of a few entries, so membership is a short linear scan. */
-  def tokenStats(
+    * arrays of a few entries, so membership is a short linear scan.
+    *
+    * This overload takes pre-decoded lexicons — the foldable-literal fast
+    * path [[TokenStats]] compiles to. */
+  def tokenStatsPre(
       tokens: ArrayData,
-      stops: ArrayData,
-      markers: ArrayData): InternalRow = {
-    val ns = stops.numElements()
-    val nm = markers.numElements()
-    val stopW = new Array[org.apache.spark.unsafe.types.UTF8String](ns)
-    var j = 0
-    while (j < ns) { stopW(j) = tok(stops, j); j += 1 }
-    val markW = new Array[org.apache.spark.unsafe.types.UTF8String](nm)
-    j = 0
-    while (j < nm) { markW(j) = tok(markers, j); j += 1 }
-
+      stopW: Array[org.apache.spark.unsafe.types.UTF8String],
+      markW: Array[org.apache.spark.unsafe.types.UTF8String]): InternalRow = {
+    val ns = stopW.length
+    val nm = markW.length
     val n = tokens.numElements()
+    var j = 0
     val hits = new Array[Long](nm)
     var nStop = 0L
     var i = 0
@@ -200,6 +210,13 @@ object TextOps {
     new GenericInternalRow(
       Array[Any](n.toLong, nStop, new GenericArrayData(hits)))
   }
+
+  /** Generic path for non-foldable lexicons: decode per call. */
+  def tokenStats(
+      tokens: ArrayData,
+      stops: ArrayData,
+      markers: ArrayData): InternalRow =
+    tokenStatsPre(tokens, decodeLexicon(stops), decodeLexicon(markers))
 
   /** Distinct, sorted winnow fingerprints of a normalized UTF-8 byte
     * string. Hash = first 4 md5 bytes as unsigned big-endian (exactly
@@ -306,12 +323,42 @@ case class TokenStats(first: Expression, second: Expression, third: Expression)
     StructField("n_stop", LongType, nullable = false),
     StructField("hits", ArrayType(LongType, containsNull = false),
       nullable = false)))
+  // Every call site passes literal stop/marker lists; decode them ONCE at
+  // plan time instead of per row (the decoded arrays ride into generated
+  // code as reference objects). Null literals fall through to the generic
+  // path, whose null handling (nullSafeEval / codegen guards) is unchanged.
+  @transient private lazy val preDecoded: Option[
+      (Array[org.apache.spark.unsafe.types.UTF8String],
+       Array[org.apache.spark.unsafe.types.UTF8String])] =
+    if (second.foldable && third.foldable) {
+      (second.eval(null), third.eval(null)) match {
+        case (s: ArrayData, m: ArrayData) =>
+          Some((TextOps.decodeLexicon(s), TextOps.decodeLexicon(m)))
+        case _ => None
+      }
+    } else None
+
   override def nullSafeEval(t: Any, s: Any, m: Any): Any =
-    TextOps.tokenStats(t.asInstanceOf[ArrayData], s.asInstanceOf[ArrayData],
-      m.asInstanceOf[ArrayData])
+    preDecoded match {
+      case Some((stopW, markW)) =>
+        TextOps.tokenStatsPre(t.asInstanceOf[ArrayData], stopW, markW)
+      case None =>
+        TextOps.tokenStats(t.asInstanceOf[ArrayData],
+          s.asInstanceOf[ArrayData], m.asInstanceOf[ArrayData])
+    }
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev,
-      (t, s, m) => s"graft.exprs.TextOps.tokenStats($t, $s, $m)")
+    preDecoded match {
+      case Some((stopW, markW)) =>
+        val stopRef = ctx.addReferenceObj("stopW", stopW,
+          "org.apache.spark.unsafe.types.UTF8String[]")
+        val markRef = ctx.addReferenceObj("markW", markW,
+          "org.apache.spark.unsafe.types.UTF8String[]")
+        defineCodeGen(ctx, ev,
+          (t, _, _) => s"graft.exprs.TextOps.tokenStatsPre($t, $stopRef, $markRef)")
+      case None =>
+        defineCodeGen(ctx, ev,
+          (t, s, m) => s"graft.exprs.TextOps.tokenStats($t, $s, $m)")
+    }
   override protected def withNewChildrenInternal(
       newFirst: Expression, newSecond: Expression,
       newThird: Expression): TokenStats =

@@ -181,41 +181,40 @@ object Dedup {
       // shingle rows come from the fused kernel (one narrow pass + explode;
       // no lead-window shuffle) — the inverted index still needs per-shingle
       // ROWS, so the explode stays, but nothing shuffles before `distinct`.
-      // n0 = the doc's distinct-shingle count, computed in the same scan
-      // stage; it rides the (8-byte) index rows to power size-ratio pruning
-      // inside the self-join.
       val t0 = Tables(s, dir, "documents")
         .filter(col("text").isNotNull) // parity with the exploded form
         .select(col("doc_id"),
           graft.exprs.functions.ngram_shingles(toks(col("text"))).as("shingles"))
-        .select(col("doc_id"),
-          size(array_distinct(col("shingles"))).as("n0"),
-          explode(col("shingles")).as("s"))
-        .select(col("doc_id"), col("n0"), xxhash64(col("s")).as("sh")).distinct()
+        .select(col("doc_id"), explode(col("shingles")).as("s"))
+        .select(col("doc_id"), xxhash64(col("s")).as("sh")).distinct()
       // Document-frequency cap: a shingle present in >MaxShingleDf docs is
       // boilerplate, not signal, and its inverted-index bucket would join
       // quadratically. Sizes (n) are counted over the SAME filtered universe
       // so jaccard stays a true set ratio.
       val wdf = Window.partitionBy(col("sh"))
+      // n = the doc's POST-cap shingle count — the same size jaccard is
+      // computed over. It rides the (8-byte) index rows so the pair groupBy
+      // below can carry n_a/n_b as grouping keys (functional on the doc ids),
+      // replacing the two per-doc-size re-joins of earlier rounds.
       val t = t0.withColumn("df", count(lit(1)).over(wdf))
         .filter(col("df") <= MaxShingleDf)
         .drop("df")
-      val sz = t.groupBy("doc_id").agg(count(lit(1)).as("n"))
+        .withColumn("n", count(lit(1)).over(Window.partitionBy(col("doc_id"))))
       // Size-ratio pruning: jaccard >= 0.8 forces |A|/|B| ∈ [0.8, 1.25]
-      // (inter <= min, union >= max ⇒ J <= min/max), so candidate pairs
-      // whose raw shingle-set sizes violate 5·min >= 4·max can never verify.
-      // Checked INSIDE the join, before the pair-count aggregation — the
-      // verify groupBy (this query's dominant cost) only sees survivors.
-      // Exact integer arithmetic, mirrored verbatim in the oracle SQL.
-      val pairs = t.as("x").join(t.as("y"),
-        col("x.sh") === col("y.sh") && col("x.doc_id") < col("y.doc_id") &&
-          least(col("x.n0"), col("y.n0")) * 5 >=
-            greatest(col("x.n0"), col("y.n0")) * 4)
-        .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      // (inter <= min, union >= max ⇒ J <= min/max) — over the post-cap
+      // sizes, the same universe jaccard uses, so a pruned pair can truly
+      // never verify (pruning on PRE-cap sizes was lossy when the df cap
+      // removed boilerplate asymmetrically). Checked INSIDE the join, before
+      // the pair-count aggregation — the verify groupBy (this query's
+      // dominant cost) only sees survivors. Exact integer arithmetic,
+      // mirrored verbatim in the oracle SQL.
+      t.as("x").join(t.as("y"),
+          col("x.sh") === col("y.sh") && col("x.doc_id") < col("y.doc_id") &&
+            least(col("x.n"), col("y.n")) * 5 >=
+              greatest(col("x.n"), col("y.n")) * 4)
+        .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+          col("x.n").as("n_a"), col("y.n").as("n_b"))
         .agg(count(lit(1)).as("inter"))
-      pairs
-        .join(sz.select(col("doc_id").as("doc_a"), col("n").as("n_a")), "doc_a")
-        .join(sz.select(col("doc_id").as("doc_b"), col("n").as("n_b")), "doc_b")
         .withColumn("jaccard",
           col("inter") / (col("n_a") + col("n_b") - col("inter")).cast("double"))
         .filter(col("jaccard") >= 0.8)
@@ -384,22 +383,21 @@ object Dedup {
 
     "dedup_ngram_jaccard" ->
       s"""WITH sh AS ($shinglesSql),
-         |sh2 AS (SELECT doc_id, sh, len(list_distinct(sh)) AS n0 FROM sh),
-         |t0 AS (SELECT DISTINCT doc_id, n0, unnest(sh) AS s FROM sh2),
-         |t AS (SELECT doc_id, n0, s FROM (
-         |  SELECT doc_id, n0, s, count(*) OVER (PARTITION BY s) AS df FROM t0)
+         |t0 AS (SELECT DISTINCT doc_id, unnest(sh) AS s FROM sh),
+         |tc AS (SELECT doc_id, s FROM (
+         |  SELECT doc_id, s, count(*) OVER (PARTITION BY s) AS df FROM t0)
          |  WHERE df <= $MaxShingleDf),
-         |sz AS (SELECT doc_id, count(*) AS n FROM t GROUP BY 1),
-         |pairs AS (SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, count(*) AS inter
+         |t AS (SELECT doc_id, s,
+         |  count(*) OVER (PARTITION BY doc_id) AS n FROM tc),
+         |pairs AS (SELECT x.doc_id AS doc_a, y.doc_id AS doc_b,
+         |    x.n AS n_a, y.n AS n_b, count(*) AS inter
          |  FROM t x JOIN t y ON x.s = y.s AND x.doc_id < y.doc_id
-         |    AND 5 * least(x.n0, y.n0) >= 4 * greatest(x.n0, y.n0)
-         |  GROUP BY 1, 2)
-         |SELECT doc_a, doc_b, inter, sa.n AS n_a, sb.n AS n_b,
-         |  inter * 1.0 / (sa.n + sb.n - inter) AS jaccard
+         |    AND 5 * least(x.n, y.n) >= 4 * greatest(x.n, y.n)
+         |  GROUP BY 1, 2, 3, 4)
+         |SELECT doc_a, doc_b, inter, n_a, n_b,
+         |  inter * 1.0 / (n_a + n_b - inter) AS jaccard
          |FROM pairs
-         |JOIN sz sa ON doc_a = sa.doc_id
-         |JOIN sz sb ON doc_b = sb.doc_id
-         |WHERE inter * 1.0 / (sa.n + sb.n - inter) >= 0.8
+         |WHERE inter * 1.0 / (n_a + n_b - inter) >= 0.8
          |ORDER BY doc_a, doc_b""".stripMargin,
 
     "dedup_embedding_lsh" ->
