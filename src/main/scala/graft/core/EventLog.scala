@@ -34,6 +34,14 @@ final class EventLog(backend: EventLogBackend) extends AutoCloseable {
   def appendCheckMulti(assumedVersion: Long, es: Seq[EventData]): AppendResult =
     notify(backend.appendCheckMulti(assumedVersion, es.map(canonicalize)))
 
+  /** Idempotent multi-append keyed on (queryId, batchId) — the
+    * exactly-once primitive for streaming sinks (see
+    * [[graft.streaming.LogStream.appendSink]]). Replays return the
+    * originally recorded version range without appending. */
+  def appendMultiTxn(
+      queryId: String, batchId: Long, es: Seq[EventData]): AppendResult =
+    notify(backend.appendMultiTxn(queryId, batchId, es.map(canonicalize)))
+
   /** Client-side OCC retry loop ≙ reference client.TryAppend
     * (client/client.go:150-194): build the event against an assumed version,
     * attempt the conditional append, on mismatch re-sync and retry. */

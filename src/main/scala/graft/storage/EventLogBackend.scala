@@ -31,6 +31,14 @@ trait EventLogBackend extends AutoCloseable {
   /** OCC multi-append. */
   def appendCheckMulti(assumedVersion: Long, es: Seq[EventData]): AppendResult
 
+  /** Idempotent multi-append for exactly-once streaming sinks. The commit
+    * is tagged with (queryId, batchId); replaying a batch already committed
+    * for that query (batchId <= the highest recorded) returns the recorded
+    * version range instead of appending again. Durable backends persist the
+    * tag with the commit itself, so idempotence survives crash + reopen. */
+  def appendMultiTxn(
+      queryId: String, batchId: Long, es: Seq[EventData]): AppendResult
+
   /** Latest committed version; 0 when empty. */
   def version: Long
 

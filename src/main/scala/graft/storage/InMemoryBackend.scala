@@ -18,8 +18,11 @@ final class InMemoryBackend(
   private val store = ArrayBuffer.empty[StoredEvent]
 
   // persist runs under the sequencer lock, but readers call snapshot()
-  // from arbitrary threads (e.g. HTTP scans) — guard the buffer itself
-  override protected def persist(events: Seq[StoredEvent]): Unit =
+  // from arbitrary threads (e.g. HTTP scans) — guard the buffer itself.
+  // Txn tags need no storage here: the in-memory ledger in SequencedBackend
+  // lives exactly as long as this volatile log does.
+  override protected def persist(
+      events: Seq[StoredEvent], tag: Option[CommitTag]): Unit =
     store.synchronized { store ++= events }
 
   override def snapshot(): DataFrame = {

@@ -85,9 +85,10 @@ final class ParquetLogBackend private (
       compactTimer = Some(ex)
     }
 
-  override protected def persist(events: Seq[StoredEvent]): Unit = {
+  override protected def persist(
+      events: Seq[StoredEvent], tag: Option[CommitTag]): Unit = {
     val doCompact = ioLock.synchronized {
-      val line = ParquetLogBackend.encodeCommit(events)
+      val line = ParquetLogBackend.encodeCommit(events, tag)
       channel.write(java.nio.ByteBuffer.wrap(line.getBytes(StandardCharsets.UTF_8)))
       channel.force(true) // the durability point: one fsync per commit
       tail ++= events
@@ -231,14 +232,36 @@ final class ParquetLogBackend private (
       }
       val br = new java.io.BufferedReader(
         new java.io.InputStreamReader(bounded, StandardCharsets.UTF_8))
+      // Txn tags on lines being dropped (events fully in segments) must
+      // outlive the line — condensed to one marker per queryId, keeping the
+      // HIGHEST batchId (the only one replay detection compares against).
+      // Bounded by the number of distinct streaming queries, not history.
+      val droppedTxns = scala.collection.mutable.HashMap
+        .empty[String, (Long, Long, Long, Long)] // q -> (b, ts, vp, v)
       var line = br.readLine()
       while (line != null) {
-        if (line.nonEmpty &&
-          ParquetLogBackend.commitLastVersion(line) > segmentMaxVersion) {
-          tmpOut.write(line.getBytes(StandardCharsets.UTF_8))
-          tmpOut.write('\n')
+        if (line.nonEmpty) {
+          val root = ParquetLogBackend.mapper.readTree(line)
+          if (root.get("v").asLong() > segmentMaxVersion) {
+            tmpOut.write(line.getBytes(StandardCharsets.UTF_8))
+            tmpOut.write('\n')
+          } else {
+            val q = root.get("q")
+            if (q != null) {
+              val b = root.get("b").asLong()
+              droppedTxns.updateWith(q.asText()) {
+                case some @ Some((prev, _, _, _)) if prev >= b => some
+                case _ => Some((b, root.get("ts").asLong(),
+                  root.get("vp").asLong(), root.get("v").asLong()))
+              }
+            }
+          }
         }
         line = br.readLine()
+      }
+      droppedTxns.foreach { case (q, (b, ts, vp, v)) =>
+        tmpOut.write(ParquetLogBackend.encodeTxnMarker(q, b, ts, vp, v)
+          .getBytes(StandardCharsets.UTF_8))
       }
     }
     tmpOut.flush()
@@ -325,11 +348,19 @@ final class ParquetLogBackend private (
     if (Files.exists(commitLog)) {
       scala.util.Using.resource(Files.lines(commitLog))(_.iterator().asScala.foreach { line =>
         if (line.nonEmpty) {
-          val events = ParquetLogBackend.decodeCommit(line)
+          val root = ParquetLogBackend.mapper.readTree(line)
+          val events = ParquetLogBackend.decodeCommitEvents(root)
             .filter(_.version > segmentMaxVersion)
           if (events.nonEmpty) {
             tail ++= events
             restore(events.last.version, events.last.timestamp)
+          }
+          val q = root.get("q") // transactional tag (inline or marker line)
+          if (q != null) {
+            val vp = root.get("vp").asLong()
+            restoreTxn(q.asText(), root.get("b").asLong(),
+              AppendResult(vp, vp + 1, root.get("v").asLong(),
+                root.get("ts").asLong()))
           }
         }
       })
@@ -398,11 +429,20 @@ object ParquetLogBackend {
     b
   }
 
-  private def encodeCommit(events: Seq[StoredEvent]): String = {
+  private def encodeCommit(
+      events: Seq[StoredEvent], tag: Option[CommitTag]): String = {
     val root = mapper.createObjectNode()
     root.put("ts", events.head.timestamp)
     root.put("vp", events.head.versionPrevious)
     root.put("v", events.last.version)
+    // transactional tag (exactly-once streaming sinks): rides the SAME
+    // fsync'd line as the data, so "committed" and "recorded as committed"
+    // are one atomic durability event — no window where a crash could
+    // replay an already-appended micro-batch
+    tag.foreach { t =>
+      root.put("q", t.queryId)
+      root.put("b", t.batchId)
+    }
     val arr = root.putArray("events")
     events.foreach { e =>
       val n = arr.addObject()
@@ -413,12 +453,23 @@ object ParquetLogBackend {
     mapper.writeValueAsString(root) + "\n"
   }
 
-  /** Last (highest) version covered by a commit line. */
-  private[storage] def commitLastVersion(line: String): Long =
-    mapper.readTree(line).get("v").asLong()
+  /** Condensed record of a compacted-away transactional commit: the events
+    * now live in segments, but the (queryId, batchId) → version-range fact
+    * must stay durable for replay detection. */
+  private def encodeTxnMarker(
+      q: String, b: Long, ts: Long, vp: Long, v: Long): String = {
+    val root = mapper.createObjectNode()
+    root.put("ts", ts)
+    root.put("vp", vp)
+    root.put("v", v)
+    root.put("q", q)
+    root.put("b", b)
+    root.putArray("events")
+    mapper.writeValueAsString(root) + "\n"
+  }
 
-  private def decodeCommit(line: String): Seq[StoredEvent] = {
-    val root = mapper.readTree(line)
+  private def decodeCommitEvents(
+      root: com.fasterxml.jackson.databind.JsonNode): Seq[StoredEvent] = {
     val ts = root.get("ts").asLong()
     var vp = root.get("vp").asLong()
     root.get("events").elements().asScala.map { n =>

@@ -17,6 +17,10 @@ final case class StoredEvent(
     Row(version, versionPrevious, timestamp, label, payload, checksum)
 }
 
+/** Transactional tag for exactly-once streaming sinks: identifies one
+  * micro-batch of one streaming query. Persisted with the commit it tags. */
+final case class CommitTag(queryId: String, batchId: Long)
+
 /** Shared single-writer commit sequencer: version assignment, OCC check,
   * monotone timestamps, checksum computation, atomic multi-append.
   *
@@ -31,15 +35,32 @@ abstract class SequencedBackend extends EventLogBackend {
   protected var latest: Long = 0L
   protected var lastTimestamp: Long = 0L
 
-  /** Durably persist one atomic commit. Called inside the critical section;
-    * must be all-or-nothing (throw → nothing is visible). */
-  protected def persist(events: Seq[StoredEvent]): Unit
+  // highest committed (batchId, result) per streaming queryId — the
+  // idempotence ledger for appendMultiTxn. Durable backends rebuild it on
+  // open from the tags persisted in their commit records.
+  private val txns =
+    scala.collection.mutable.HashMap.empty[String, (Long, AppendResult)]
+
+  /** Durably persist one atomic commit, including its transactional tag
+    * when present. Called inside the critical section; must be
+    * all-or-nothing (throw → nothing is visible). */
+  protected def persist(events: Seq[StoredEvent], tag: Option[CommitTag]): Unit
 
   /** Test seam / deterministic-replay hook: unix seconds "now". */
   protected def clock(): Long = System.currentTimeMillis() / 1000L
 
-  private def commit(es: Seq[EventData], check: Option[Long]): AppendResult =
+  private def commit(
+      es: Seq[EventData],
+      check: Option[Long],
+      tag: Option[CommitTag] = None): AppendResult =
     lock.synchronized {
+      // Replay check FIRST (before OCC): a re-delivered micro-batch must get
+      // its recorded result back, not an ErrMismatchingVersions.
+      tag.foreach { t =>
+        txns.get(t.queryId).foreach { case (bid, res) =>
+          if (t.batchId <= bid) return res
+        }
+      }
       check.foreach { assumed =>
         if (assumed != latest) throw new Errors.ErrMismatchingVersions
       }
@@ -62,10 +83,12 @@ abstract class SequencedBackend extends EventLogBackend {
         vp = v
         se
       }
-      persist(stored) // throws → latest/lastTimestamp untouched (rollback)
+      persist(stored, tag) // throws → latest/lastTimestamp untouched (rollback)
       latest = vp
       lastTimestamp = ts
-      AppendResult(versionPrevious, stored.head.version, latest, ts)
+      val res = AppendResult(versionPrevious, stored.head.version, latest, ts)
+      tag.foreach(t => txns(t.queryId) = (t.batchId, res))
+      res
     }
 
   override def append(e: EventData): AppendResult = commit(Seq(e), None)
@@ -74,6 +97,9 @@ abstract class SequencedBackend extends EventLogBackend {
     commit(Seq(e), Some(assumedVersion))
   override def appendCheckMulti(assumedVersion: Long, es: Seq[EventData]): AppendResult =
     commit(es, Some(assumedVersion))
+  override def appendMultiTxn(
+      queryId: String, batchId: Long, es: Seq[EventData]): AppendResult =
+    commit(es, None, Some(CommitTag(queryId, batchId)))
 
   override def version: Long = lock.synchronized(latest)
   override def versionInitial: Long =
@@ -84,5 +110,16 @@ abstract class SequencedBackend extends EventLogBackend {
     lock.synchronized {
       latest = latestVersion
       lastTimestamp = timestamp
+    }
+
+  /** Restore one persisted transactional tag during recovery; keeps the
+    * highest batchId per query (lines replay in commit order). */
+  protected final def restoreTxn(
+      queryId: String, batchId: Long, res: AppendResult): Unit =
+    lock.synchronized {
+      txns.get(queryId) match {
+        case Some((bid, _)) if bid >= batchId => ()
+        case _ => txns(queryId) = (batchId, res)
+      }
     }
 }

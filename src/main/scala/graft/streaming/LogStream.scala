@@ -53,9 +53,14 @@ object LogStream {
     * bulk-ingest shape, ~50x the per-event append rate). The collect is
     * inherent, not a bottleneck: the log's sequencer + fsync'd commit log
     * are a single-writer surface by design (≙ the reference server's one
-    * writer goroutine), and micro-batches bound the driver memory. Failure
-    * recovery replays the batch → at-least-once end-to-end, like any
-    * non-idempotent foreachBatch sink.
+    * writer goroutine), and micro-batches bound the driver memory.
+    *
+    * EXACTLY-ONCE: each batch commits via [[EventLog.appendMultiTxn]] tagged
+    * (queryId, batchId); the tag rides the same fsync'd commit line as the
+    * data, so a crashed-and-replayed micro-batch finds its recorded version
+    * range and appends nothing — no duplicate versions, across restarts.
+    * `queryId` defaults to the checkpoint directory, which already IS the
+    * stable per-query identity; override it only if checkpoints move.
     *
     * Ordering: rows arrive in partition order, which for a multi-partition
     * source is unrelated to event order — pass `orderBy` (e.g. an event-time
@@ -65,19 +70,22 @@ object LogStream {
       stream: DataFrame,
       log: EventLog,
       checkpointDir: String,
-      orderBy: Seq[String] = Seq.empty): StreamingQuery =
+      orderBy: Seq[String] = Seq.empty,
+      queryId: Option[String] = None): StreamingQuery = {
+    val qid = queryId.getOrElse(s"appendSink:$checkpointDir")
     stream.writeStream
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val ordered =
           if (orderBy.isEmpty) batch
           else batch.orderBy(orderBy.map(col): _*)
         val events = ordered.select(col("label"), col("payload")).collect()
           .map(r => EventData(r.getString(0), r.getString(1))).toSeq
-        if (events.nonEmpty) log.appendMulti(events)
+        if (events.nonEmpty) log.appendMultiTxn(qid, batchId, events)
         ()
       }
       .start()
+  }
 
   /** Event-time tumbling/sliding window counts per label with a watermark —
     * the standard streaming aggregation shape (extension surface; the

@@ -31,6 +31,8 @@ class IntegritySpec extends AnyFunSuite {
     override def appendMulti(es: Seq[EventData]): AppendResult = ???
     override def appendCheck(v: Long, e: EventData): AppendResult = ???
     override def appendCheckMulti(v: Long, es: Seq[EventData]): AppendResult = ???
+    override def appendMultiTxn(
+        q: String, b: Long, es: Seq[EventData]): AppendResult = ???
     override def close(): Unit = ()
   }
 

@@ -8,15 +8,19 @@ import org.scalatest.funsuite.AnyFunSuite
 
 import java.nio.file.Files
 
+/** Mirrors EventSchema for MemoryStream's product encoder. Top-level on
+  * purpose: nested inside the suite, Spark's generated encoder code fails
+  * to compile (outer-pointer capture) and silently falls back to
+  * interpreted mode — fine for a test, but the CompileException noise in
+  * the log would mask real codegen regressions. */
+final case class Ev(
+    version: Long, version_previous: Long, timestamp: Long,
+    label: String, payload: String, checksum: Long)
+
 /** Structured Streaming surface: log readStream + hub notification
   * (SURVEY.md §2.5 T1-T5) and the event-time extension operators. */
 class StreamingSpec extends AnyFunSuite {
   private lazy val spark = SparkFixture.spark
-
-  // mirrors EventSchema for MemoryStream's product encoder
-  private case class Ev(
-      version: Long, version_previous: Long, timestamp: Long,
-      label: String, payload: String, checksum: Long)
 
   private def ev(v: Long, ts: Long, label: String) =
     Ev(v, v - 1, ts, label, s"""{"v":$v}""", 0L)
@@ -106,6 +110,80 @@ class StreamingSpec extends AnyFunSuite {
       assert(log.scan(3L).select("label").head().getString(0) == "gamma")
     } finally {
       q.stop()
+      log.close()
+    }
+  }
+
+  test("transactional appends replay idempotently across reopen and rotation") {
+    val dir = Files.createTempDirectory("grafttxn").toString
+    var backend = ParquetLogBackend.create(
+      spark, dir, compactThreshold = 1000, compactIntervalMs = 0)
+    var log = new graft.core.EventLog(backend)
+    val r1 = log.appendMultiTxn("q1", 0L,
+      Seq(EventData("a", """{"i":1}"""), EventData("b", """{"i":2}""")))
+    // same (queryId, batchId) → recorded result, no new versions
+    val replay = log.appendMultiTxn("q1", 0L,
+      Seq(EventData("a", """{"i":1}"""), EventData("b", """{"i":2}""")))
+    assert(replay == r1)
+    assert(log.version == 2L)
+    val r2 = log.appendMultiTxn("q1", 1L, Seq(EventData("c", """{"i":3}""")))
+    assert(r2.versionFirst == 3L && log.version == 3L)
+    // an independent query's ledger is independent
+    val other = log.appendMultiTxn("q2", 0L, Seq(EventData("d", """{"i":4}""")))
+    assert(other.versionFirst == 4L)
+    log.close()
+
+    // reopen: the ledger is rebuilt from the tags on the commit lines
+    backend = ParquetLogBackend.open(spark, dir, compactIntervalMs = 0)
+    log = new graft.core.EventLog(backend)
+    val replay2 = log.appendMultiTxn("q1", 1L, Seq(EventData("c", """{"i":3}""")))
+    assert(replay2 == r2 && log.version == 4L)
+
+    // compaction rotates the commit log away — the condensed txn markers
+    // must keep replay detection durable
+    backend.compact()
+    log.close()
+    backend = ParquetLogBackend.open(spark, dir, compactIntervalMs = 0)
+    log = new graft.core.EventLog(backend)
+    val replay3 = log.appendMultiTxn("q1", 1L, Seq(EventData("c", """{"i":3}""")))
+    assert(replay3.version == 3L && log.version == 4L)
+    assert(log.checkIntegrity().count() == 0L)
+    log.close()
+  }
+
+  test("appendSink replays a crashed micro-batch without duplicate versions") {
+    import org.apache.spark.sql.functions.col
+    val sparkS = spark
+    import sparkS.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val dir = Files.createTempDirectory("graftsink2").toString
+    val ckpt = Files.createTempDirectory("graftsink2ckpt").toString
+    val backend = ParquetLogBackend.create(spark, dir, compactIntervalMs = 0)
+    val log = new graft.core.EventLog(backend)
+    val in = MemoryStream[(String, String)]
+    val src = in.toDF().select(col("_1").as("label"), col("_2").as("payload"))
+    val q = LogStream.appendSink(src, log, ckpt)
+    try {
+      in.addData(("alpha", """{"i":1}"""), ("beta", """{"i":2}"""))
+      q.processAllAvailable()
+      assert(log.version == 2L)
+    } finally q.stop()
+    // Simulate a crash between the log append and Spark's batch commit:
+    // drop the epoch-0 commit marker so the restarted query re-runs batch 0
+    // against the SAME source offsets.
+    Files.delete(java.nio.file.Paths.get(ckpt, "commits", "0"))
+    Files.deleteIfExists(java.nio.file.Paths.get(ckpt, "commits", ".0.crc"))
+    val q2 = LogStream.appendSink(src, log, ckpt)
+    try {
+      q2.processAllAvailable()
+      assert(log.version == 2L) // replay appended nothing
+      assert(log.checkIntegrity().count() == 0L)
+      // and the stream keeps making progress after the replay
+      in.addData(("gamma", """{"i":3}"""))
+      q2.processAllAvailable()
+      assert(log.version == 3L)
+    } finally {
+      q2.stop()
       log.close()
     }
   }
