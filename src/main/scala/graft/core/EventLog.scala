@@ -116,8 +116,12 @@ final class EventLog(backend: EventLogBackend) extends AutoCloseable {
     // makes `latest` run ahead of the snapshot (version_next keeps pointing
     // at versions that exist), never behind it — the reverse order would
     // stamp rows past `latest` with version_next=0 and truncate cursor
-    // clients early.
-    val snap = backend.snapshot()
+    // clients early. The range bounds let the backend prune whole segment
+    // files at plan time (superset contract — the exact filters below
+    // still apply).
+    val snap =
+      if (reverse) backend.snapshotRange(1L, version)
+      else backend.snapshotRange(version, Long.MaxValue)
     val latest = backend.version
     if (latest == 0L || version < 1L || version > latest)
       throw new Errors.ErrInvalidVersion
@@ -140,7 +144,7 @@ final class EventLog(backend: EventLogBackend) extends AutoCloseable {
   def snapshotAt(version: Long): DataFrame = {
     val latest = backend.version
     if (version < 1L || version > latest) throw new Errors.ErrInvalidVersion
-    backend.snapshot().filter(col("version") <= version)
+    backend.snapshotRange(1L, version).filter(col("version") <= version)
   }
 
   /** Typed scan for Scala consumers: same semantics as [[scan]], decoded

@@ -53,6 +53,13 @@ trait EventLogBackend extends AutoCloseable {
     * later appends don't mutate it). */
   def snapshot(): DataFrame
 
+  /** Version-bounded snapshot: contains AT LEAST every committed event with
+    * version in [minVersion, maxVersion], possibly more — pruning is
+    * file-granular, so callers still apply their exact predicates. Backends
+    * with segment statistics use the bounds to skip whole files at plan
+    * time; the default is the full snapshot. */
+  def snapshotRange(minVersion: Long, maxVersion: Long): DataFrame = snapshot()
+
   /** Payload byte-size limit enforced on append. */
   def payloadLimit: Int
 

@@ -44,6 +44,15 @@ final class ParquetLogBackend private (
   private val commitLog = dir.resolve("commits.jsonl")
   private val segmentsDir = dir.resolve("segments")
   private val tail = ArrayBuffer.empty[StoredEvent]
+  // Segment manifest: (absolute file path, min version, max version) per
+  // parquet file, in commit order. THE planning surface: snapshots hand
+  // Spark an explicit file list (version-pruned for bounded scans), so at
+  // no point after open() does query planning list segments/ or read
+  // footers — at 100TB / years of history, directory listing would
+  // dominate planning long before data bytes matter. Rebuilt at open from
+  // one listing (ranges parsed from the self-describing file names, one
+  // footer job only for legacy unnamed files); guarded by ioLock.
+  private val manifest = ArrayBuffer.empty[(String, Long, Long)]
   // ioLock guards channel + tail + watermark (held briefly); compactLock
   // serializes whole compactions (two concurrent compacts would both copy
   // the same tail prefix → duplicated segment rows + a double drop that
@@ -107,15 +116,34 @@ final class ParquetLogBackend private (
   def compact(): Unit = compactLock.synchronized {
     val batch = ioLock.synchronized(tail.toList)
     if (batch.isEmpty) return
+    // Stage the segment in a scratch dir, then move the part file into
+    // segments/ under a self-describing name carrying its version range.
+    // The name IS the durable statistic: it travels atomically with the
+    // file (no manifest-file/datafile crash window), and open() rebuilds
+    // the in-memory manifest from names alone — no footer reads.
+    val scratch = dir.resolve(
+      s"segments.write-${java.util.UUID.randomUUID().toString.take(8)}")
     spark
       .createDataFrame(batch.map(_.toRow).asJava, EventSchema.schema)
       .coalesce(1)
-      .write.mode("append")
-      .parquet(segmentsDir.toString)
+      .write.mode("overwrite")
+      .parquet(scratch.toString)
+    val part = scala.util.Using.resource(Files.list(scratch))(
+      _.filter(_.toString.endsWith(".parquet")).findFirst().orElseThrow(() =>
+        new IllegalStateException(s"no parquet part written in $scratch")))
+    Files.createDirectories(segmentsDir)
+    val (v0, v1) = (batch.head.version, batch.last.version)
+    val target = segmentsDir.resolve(ParquetLogBackend.segmentName(v0, v1))
+    // ONE lock section moves the file in, registers it, and drops the tail
+    // prefix — snapshots (which capture manifest + tail under the same
+    // lock) can never see a batch in both places or in neither.
     ioLock.synchronized {
+      Files.move(part, target, StandardCopyOption.ATOMIC_MOVE)
+      manifest += ((target.toString, v0, v1))
       tail.dropInPlace(batch.length)
-      segmentMaxVersion = batch.last.version
+      segmentMaxVersion = v1
     }
+    deleteRecursively(scratch)
     rotateCommitLog()
     // file-count hygiene: timer compaction writes one small file per
     // interval; unchecked, scan planning drowns in file metadata long
@@ -154,15 +182,34 @@ final class ParquetLogBackend private (
       if (parts >= segmentFileCount()) return
       val staging = dir.resolve("segments.rewrite")
       deleteRecursively(staging)
+      // Range-partition on version (vs plain coalesce): the rewritten files
+      // get DISJOINT version ranges, so the manifest prunes bounded scans to
+      // exactly the overlapping files even after history is rewritten.
       spark.read.schema(EventSchema.schema).parquet(segmentsDir.toString)
-        .coalesce(parts)
+        .repartitionByRange(parts, col("version"))
         .write.mode("overwrite")
         .parquet(staging.toString)
+      // one stats job over the staging output → self-describing names
+      import org.apache.spark.sql.functions.{input_file_name, min => smin}
+      val ranges = spark.read.schema(EventSchema.schema).parquet(staging.toString)
+        .groupBy(input_file_name().as("f"))
+        .agg(smin("version").as("v0"), smax("version").as("v1"))
+        .collect()
+        .map { r =>
+          val src = Paths.get(java.net.URI.create(r.getString(0)).getPath)
+          val name = ParquetLogBackend.segmentName(r.getLong(1), r.getLong(2))
+          Files.move(src, staging.resolve(name), StandardCopyOption.ATOMIC_MOVE)
+          (name, r.getLong(1), r.getLong(2))
+        }
       val old = dir.resolve("segments.old")
       deleteRecursively(old)
       ioLock.synchronized {
         Files.move(segmentsDir, old, StandardCopyOption.ATOMIC_MOVE)
         Files.move(staging, segmentsDir, StandardCopyOption.ATOMIC_MOVE)
+        manifest.clear()
+        ranges.foreach { case (name, v0, v1) =>
+          manifest += ((segmentsDir.resolve(name).toString, v0, v1))
+        }
       }
       deleteRecursively(old)
     }
@@ -304,18 +351,28 @@ final class ParquetLogBackend private (
     }
   }
 
-  override def snapshot(): DataFrame = {
-    // Capture tail AND watermark in ONE ioLock section: a concurrent
-    // compact() commits its parquet segment BEFORE dropping the copied tail
-    // prefix, so a snapshot taken between those steps would otherwise see the
-    // batch in both the segment read and the tail union (transient duplicate
-    // versions). Bounding the segment read by the captured watermark makes
-    // duplicates and gaps impossible regardless of compaction timing; the
-    // version predicate is pushed down to the parquet scan.
-    val (t, watermark) = ioLock.synchronized((tail.toList, segmentMaxVersion))
+  override def snapshot(): DataFrame = snapshotRange(1L, Long.MaxValue)
+
+  /** Version-pruned snapshot off the manifest. Tail, watermark, and file
+    * list are captured in ONE ioLock section — compact() moves a segment
+    * in, registers it, and drops the tail prefix under the same lock, so a
+    * snapshot can never see a batch twice (file + tail) or not at all.
+    * Files whose [min,max] version range misses [minVersion,maxVersion]
+    * never reach Spark's planner: no directory listing, no footer reads,
+    * no per-file tasks — the row-level predicate stays the caller's job
+    * (file granularity returns a superset). */
+  override def snapshotRange(minVersion: Long, maxVersion: Long): DataFrame = {
+    val (t, watermark, files) = ioLock.synchronized(
+      (tail.toList, segmentMaxVersion,
+        manifest.collect {
+          case (f, v0, v1) if v1 >= minVersion && v0 <= maxVersion => f
+        }.toList))
     val tailDf = spark.createDataFrame(t.map(_.toRow).asJava, EventSchema.schema)
-    if (Files.exists(segmentsDir) && watermark > 0L) {
-      val segs = spark.read.schema(EventSchema.schema).parquet(segmentsDir.toString)
+    if (files.nonEmpty) {
+      // watermark bound kept defensively (pushed to row-group stats, free):
+      // manifest and watermark are captured atomically so it's a no-op in
+      // normal operation, but it hard-bounds any file landed out-of-band.
+      val segs = spark.read.schema(EventSchema.schema).parquet(files: _*)
         .filter(col("version") <= watermark)
         .select(EventSchema.schema.fieldNames.map(col).toSeq: _*)
       segs.union(tailDf)
@@ -328,6 +385,35 @@ final class ParquetLogBackend private (
     ioLock.synchronized(channel.close())
   }
 
+  /** One listing of segments/ (open-time only), ranges from the
+    * self-describing names; legacy files without one get their range from
+    * a single footer-stat job and keep working. */
+  private def rebuildManifest(): Unit = {
+    manifest.clear()
+    if (!Files.exists(segmentsDir)) return
+    val parquetFiles = scala.util.Using.resource(Files.list(segmentsDir))(
+      _.iterator().asScala.filter(_.toString.endsWith(".parquet")).toList)
+    val legacy = ArrayBuffer.empty[String]
+    parquetFiles.foreach { p =>
+      p.getFileName.toString match {
+        case ParquetLogBackend.SegmentName(v0, v1) =>
+          manifest += ((p.toString, v0.toLong, v1.toLong))
+        case _ => legacy += p.toString
+      }
+    }
+    if (legacy.nonEmpty) {
+      import org.apache.spark.sql.functions.{input_file_name, min => smin}
+      spark.read.schema(EventSchema.schema).parquet(legacy.toSeq: _*)
+        .groupBy(input_file_name().as("f"))
+        .agg(smin("version").as("v0"), smax("version").as("v1"))
+        .collect()
+        .foreach { r =>
+          val path = Paths.get(java.net.URI.create(r.getString(0)).getPath)
+          manifest += ((path.toString, r.getLong(1), r.getLong(2)))
+        }
+    }
+  }
+
   private def recover(): Unit = {
     // roll back an interrupted coalesceSegments swap: segments.old holds
     // the complete pre-rewrite data; the staging dir is never trusted
@@ -337,13 +423,16 @@ final class ParquetLogBackend private (
       else Files.move(old, segmentsDir, StandardCopyOption.ATOMIC_MOVE)
     }
     deleteRecursively(dir.resolve("segments.rewrite"))
-    if (Files.exists(segmentsDir)) {
-      val row = spark.read.parquet(segmentsDir.toString)
+    rebuildManifest()
+    if (manifest.nonEmpty) {
+      segmentMaxVersion = manifest.map(_._3).max
+      // the recovery timestamp lives at the max version; timestamps are
+      // monotone in version, so reading ONLY the file holding it suffices —
+      // open cost is one small file, not a full-history scan
+      val lastFile = manifest.maxBy(_._3)._1
+      val row = spark.read.schema(EventSchema.schema).parquet(lastFile)
         .agg(smax("version"), smax("timestamp")).head()
-      if (!row.isNullAt(0)) {
-        segmentMaxVersion = row.getLong(0)
-        restore(row.getLong(0), row.getLong(1))
-      }
+      restore(segmentMaxVersion, row.getLong(1))
     }
     if (Files.exists(commitLog)) {
       scala.util.Using.resource(Files.lines(commitLog))(_.iterator().asScala.foreach { line =>
@@ -380,6 +469,14 @@ final class ParquetLogBackend private (
 
 object ParquetLogBackend {
   private val mapper = new ObjectMapper()
+
+  /** Self-describing segment file name: zero-padded min/max version (so
+    * names sort in version order) + a random suffix (uniqueness across
+    * rewrites of the same range). */
+  private def segmentName(v0: Long, v1: Long): String =
+    f"seg-$v0%019d-$v1%019d-${java.util.UUID.randomUUID().toString.take(8)}.parquet"
+
+  private val SegmentName = """seg-(\d{19})-(\d{19})-[0-9a-f]{8}\.parquet""".r
 
   /** Create a new log directory (≙ file.Create, file.go:128-161). */
   def create(

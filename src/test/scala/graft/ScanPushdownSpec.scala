@@ -42,6 +42,62 @@ class ScanPushdownSpec extends AnyFunSuite {
     } finally log.close()
   }
 
+  test("version-bounded scans read only the overlapping segment files") {
+    val dir = Files.createTempDirectory("graftmanifest").toString
+    val backend = ParquetLogBackend.create(spark, dir,
+      compactThreshold = 1000, compactIntervalMs = 0)
+    val log = new EventLog(backend)
+    try {
+      // three segments with known version ranges: [1,10] [11,20] [21,30]
+      (1 to 3).foreach { seg =>
+        (1 to 10).foreach(i =>
+          log.append(EventData(s"s$seg", s"""{"i":$i}""")))
+        backend.compact()
+      }
+      def segFiles(df: org.apache.spark.sql.DataFrame): Set[String] =
+        df.inputFiles.map(f => f.substring(f.lastIndexOf('/') + 1)).toSet
+      val all = segFiles(log.toDF)
+      assert(all.size == 3 && all.forall(_.startsWith("seg-")), all)
+      // forward scan from v25 → only the [21,30] file is planned
+      val fwd = segFiles(log.scan(25L))
+      assert(fwd.size == 1 && fwd.head.contains("0000000000000000021"), fwd)
+      // reverse scan from v15 → [1,10] and [11,20], never [21,30]
+      val rev = segFiles(log.scan(15L, reverse = true))
+      assert(rev.size == 2 && !rev.exists(_.contains("0000000000000000021")), rev)
+      // time travel to v10 → only the first file
+      val tt = segFiles(log.snapshotAt(10L))
+      assert(tt.size == 1 && tt.head.contains("0000000000000000001-0000000000000000010"), tt)
+      // and pruning must not change results
+      assert(log.scan(25L).count() == 6L)
+      assert(log.scan(15L, reverse = true).count() == 15L)
+    } finally log.close()
+  }
+
+  test("manifest pruning survives reopen and segment coalescing") {
+    val dir = Files.createTempDirectory("graftmanifest2").toString
+    var backend = ParquetLogBackend.create(spark, dir,
+      compactThreshold = 1000, compactIntervalMs = 0)
+    var log = new EventLog(backend)
+    try {
+      (1 to 3).foreach { seg =>
+        (1 to 10).foreach(i => log.append(EventData(s"s$seg", s"""{"i":$i}""")))
+        backend.compact()
+      }
+      log.close()
+      // reopen: manifest rebuilt from file names (no footer job needed)
+      backend = ParquetLogBackend.open(spark, dir, compactIntervalMs = 0)
+      log = new EventLog(backend)
+      assert(log.version == 30L)
+      assert(log.scan(25L).inputFiles.length == 1)
+      // coalesce history into one file: ranges re-derived, results intact
+      backend.coalesceSegments(targetBytes = 1L << 40)
+      val files = log.scan(25L).inputFiles
+      assert(files.length == 1 && files.head.contains("seg-"), files.toSeq)
+      assert(log.toDF.count() == 30L)
+      assert(log.checkIntegrity().count() == 0L)
+    } finally log.close()
+  }
+
   test("tryAppendMulti retries through version races") {
     val log = new EventLog(
       new graft.storage.InMemoryBackend(spark))
