@@ -150,7 +150,8 @@ final class HttpApiServer(
   }
 
   private def respond(out: OutputStream, code: Int, body: String,
-      contentType: String = "application/json"): Unit = {
+      contentType: String = "application/json",
+      headOnly: Boolean = false): Unit = {
     val b = body.getBytes(StandardCharsets.UTF_8)
     val status = code match {
       case 200 => "200 OK"
@@ -166,12 +167,15 @@ final class HttpApiServer(
         .append("Content-Length: ").append(b.length).append("\r\n")
     head.append("Connection: keep-alive\r\n\r\n")
     out.write(head.toString.getBytes(StandardCharsets.ISO_8859_1))
-    out.write(b)
+    // HEAD: same status + headers (incl. the Content-Length GET would
+    // send), no body — RFC 7231 §4.3.2
+    if (!headOnly) out.write(b)
     out.flush()
   }
 
-  private def bad(out: OutputStream, msg: String): Unit =
-    respond(out, 400, msg, "text/plain")
+  private def bad(out: OutputStream, msg: String,
+      headOnly: Boolean = false): Unit =
+    respond(out, 400, msg, "text/plain", headOnly)
 
   /** Thrown once response bytes are committed and the stream can no longer
     * carry a clean error: the only safe recovery is closing the connection
@@ -212,30 +216,43 @@ final class HttpApiServer(
 
   /** Returns true when the connection was consumed (WS upgrade). */
   private def route(req: Req, sock: Socket, in: InputStream,
-      out: OutputStream): Boolean =
+      out: OutputStream): Boolean = {
+    // HEAD runs the matching GET handler with the body suppressed (same
+    // status, headers, Content-Length) — what fasthttp gives the
+    // reference for free (RFC 7231 §4.3.2). Applies to error responses
+    // too: a body on a HEAD response would desync keep-alive framing.
+    val headOnly = req.method == "HEAD"
+    val method = if (headOnly) "GET" else req.method
     try {
-      (req.method, req.path) match {
+      (method, req.path) match {
         case ("GET", "/version") =>
-          respond(out, 200, s"""{"version":"${hex(log.version)}"}""")
+          respond(out, 200, s"""{"version":"${hex(log.version)}"}""",
+            headOnly = headOnly)
           false
         case ("GET", "/version/initial") =>
           respond(out, 200,
-            s"""{"version-initial":"${hex(log.versionInitial)}"}""")
+            s"""{"version-initial":"${hex(log.versionInitial)}"}""",
+            headOnly = headOnly)
           false
         case ("GET", "/meta") =>
           val fields = log.metadata.toSeq.sortBy(_._1)
             .map { case (k, v) => s"${jsonStr(k)}:${jsonStr(v)}" }
-          respond(out, 200, fields.mkString("{", ",", "}"))
+          respond(out, 200, fields.mkString("{", ",", "}"),
+            headOnly = headOnly)
           false
         case ("GET", "/subscription") =>
-          handleSubscription(req, sock, in, out)
+          if (headOnly) { // an upgrade cannot be HEAD-probed
+            bad(out, "websocket upgrade required", headOnly)
+            false
+          } else handleSubscription(req, sock, in, out)
         case ("GET", "/subscription/poll") =>
           // long-poll rendering of the same feed: block up to 30s for the
           // next watermark; 204 on timeout. At-most-once, consumers re-scan
           // from their cursor — same contract as broadcast.go:24-28.
           val sub = log.subscribe()
           try sub.poll(30000) match {
-            case Some(v) => respond(out, 200, s"""{"version":"${hex(v)}"}""")
+            case Some(v) => respond(out, 200,
+              s"""{"version":"${hex(v)}"}""", headOnly = headOnly)
             case None => respond(out, 204, "")
           } finally sub.close()
           false
@@ -243,19 +260,20 @@ final class HttpApiServer(
           handleAppend(req, out, p)
           false
         case ("GET", p) if p.startsWith("/log/") =>
-          handleScan(req, out, p)
+          handleScan(req, out, p, headOnly)
           false
         case _ =>
-          respond(out, 404, "", "text/plain")
+          respond(out, 404, "", "text/plain", headOnly)
           false
       }
     } catch {
       case abort: ConnectionAbort => throw abort // response already committed
       case t: Throwable =>
-        try respond(out, 500, "internal error", "text/plain")
+        try respond(out, 500, "internal error", "text/plain", headOnly)
         catch { case _: Throwable => () }
         false
     }
+  }
 
   private def handleAppend(req: Req, out: OutputStream, path: String): Unit = {
     val versionPart = path.stripPrefix("/log/")
@@ -296,10 +314,11 @@ final class HttpApiServer(
     }
   }
 
-  private def handleScan(req: Req, out: OutputStream, path: String): Unit = {
+  private def handleScan(req: Req, out: OutputStream, path: String,
+      headOnly: Boolean = false): Unit = {
     val version = EventOps.hexDecode(
       UTF8String.fromString(path.stripPrefix("/log/"))) match {
-      case null => return bad(out, "ErrMalformedVersion")
+      case null => return bad(out, "ErrMalformedVersion", headOnly)
       case v => v.longValue()
     }
     val params = req.rawQuery.split("&").filter(_.nonEmpty)
@@ -312,7 +331,7 @@ final class HttpApiServer(
         // negative n clamps like n=0 (deliberate hardening: the reference's
         // signed Atoi lets a negative n disable the batch cap entirely)
         try math.max(0, s.toInt) catch { case _: NumberFormatException =>
-          return bad(out, "ErrBadArgument") }
+          return bad(out, "ErrBadArgument", headOnly) }
       case None => 0
     }
     val limit = HttpApiServer.adjustBatchSize(n, maxReadBatchSize)
@@ -323,8 +342,18 @@ final class HttpApiServer(
       // materialization of the batch — the reference's streaming
       // serialization, serve.go:215-269). The scan itself must run before
       // headers are committed so ErrInvalidVersion can still map to a 400.
-      val it = log.scan(version, reverse,
+      val scan = log.scan(version, reverse,
         if (limit > 0) Some(limit) else None, skipFirst)
+      if (headOnly) {
+        // bounds already validated above (the log.scan call throws on a bad
+        // version); HEAD reports the same headers without executing the scan
+        out.write(("HTTP/1.1 200 OK\r\nContent-Type: application/json\r\n" +
+          "Transfer-Encoding: chunked\r\nConnection: keep-alive\r\n\r\n")
+          .getBytes(StandardCharsets.ISO_8859_1))
+        out.flush()
+        return
+      }
+      val it = scan
         .select("version", "version_previous", "version_next",
           "timestamp", "label", "payload")
         .toLocalIterator()
@@ -360,7 +389,7 @@ final class HttpApiServer(
       } catch { case t: Throwable => throw new ConnectionAbort(t) }
     } catch {
       case abort: ConnectionAbort => throw abort
-      case _: Errors.ErrInvalidVersion => bad(out, "ErrInvalidVersion")
+      case _: Errors.ErrInvalidVersion => bad(out, "ErrInvalidVersion", headOnly)
     }
   }
 
@@ -455,8 +484,14 @@ final class HttpApiServer(
             case Ws.Ping => writeFrame(Ws.Pong, payload)
             case Ws.Pong => ()
             case _ =>
-              // data frame: read limit 1 ≙ conn.SetReadLimit(1)
-              if (payload.length > 1) done = true
+              // data frame: read limit 1 ≙ conn.SetReadLimit(1); fail the
+              // connection CLEANLY with 1009 (message too big) so a
+              // conforming client sees why, rather than a bare TCP close
+              if (payload.length > 1) {
+                try writeFrame(Ws.Close, Array(0x03.toByte, 0xf1.toByte))
+                catch { case _: Exception => () }
+                done = true
+              }
           }
         }
       }

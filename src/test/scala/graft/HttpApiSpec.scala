@@ -39,6 +39,10 @@ class HttpApiSpec extends AnyFunSuite with BeforeAndAfterAll {
     client.send(HttpRequest.newBuilder(URI.create(base + path))
       .POST(BodyPublishers.ofByteArray(body)).build(), BodyHandlers.ofString())
 
+  private def head(path: String): HttpResponse[String] =
+    client.send(HttpRequest.newBuilder(URI.create(base + path))
+      .method("HEAD", BodyPublishers.noBody()).build(), BodyHandlers.ofString())
+
   test("append single → version/version-previous/time document") {
     val r = post("/log/", MsgCodec.encode(Seq(EventData("first", """{"x":1}"""))))
     assert(r.statusCode() == 200)
@@ -176,6 +180,28 @@ class HttpApiSpec extends AnyFunSuite with BeforeAndAfterAll {
       out.flush()
       assert(readFully(17).startsWith("HTTP/1.1 200"))
     } finally sock.close()
+  }
+
+  test("HEAD mirrors GET status + headers with no body on every route") {
+    post("/log/", MsgCodec.encode(Seq(EventData("hd", """{"h":1}"""))))
+    // document routes: same status, same Content-Length GET would send
+    for (p <- Seq("/version", "/version/initial", "/meta")) {
+      val (g, h) = (get(p), head(p))
+      assert(h.statusCode() == 200, p)
+      assert(h.body().isEmpty, p)
+      assert(h.headers().firstValue("Content-Length").map(_.toInt).orElse(-1)
+        == g.body().getBytes("UTF-8").length, p)
+    }
+    // scan route: 200 + chunked headers, still no body
+    val hs = head("/log/1")
+    assert(hs.statusCode() == 200 && hs.body().isEmpty)
+    // error contract carries over (no body either)
+    assert(head("/log/zz").statusCode() == 400)
+    assert(head("/log/zz").body().isEmpty)
+    assert(head("/nope").statusCode() == 404)
+    // and the connection stays usable for a normal request afterwards
+    // (a body leaked on a HEAD response would desync keep-alive framing)
+    assert(get("/version").statusCode() == 200)
   }
 
   test("msgcodec round-trips multi-event frames") {

@@ -57,6 +57,14 @@ class WebSocketSpec extends AnyFunSuite with BeforeAndAfterAll {
       ws.request(1)
       null
     }
+    val closeLatch = new CountDownLatch(1)
+    @volatile var closeCode = -1
+    override def onClose(ws: WebSocket, statusCode: Int, reason: String)
+        : java.util.concurrent.CompletionStage[_] = {
+      closeCode = statusCode
+      closeLatch.countDown()
+      null
+    }
   }
 
   private def connect(c: Collector): WebSocket =
@@ -111,6 +119,12 @@ class WebSocketSpec extends AnyFunSuite with BeforeAndAfterAll {
     val c = new Collector
     val ws = connect(c)
     ws.sendClose(WebSocket.NORMAL_CLOSURE, "").join()
+    // clean close handshake: the server echoes the close (same 1000 status)
+    // before dropping the TCP connection — the JDK client surfaces the echo
+    // as onClose
+    assert(c.closeLatch.await(5, TimeUnit.SECONDS),
+      "no close echo from the server")
+    assert(c.closeCode == WebSocket.NORMAL_CLOSURE, s"echoed ${c.closeCode}")
     // server must unsubscribe: subsequent appends go to zero subscribers
     val deadline = System.nanoTime() + 5000000000L
     while (log.subscriberCount > 0 && System.nanoTime() < deadline)
