@@ -50,6 +50,55 @@ object Similarity {
     s
   }
 
+  /** Scored IVF k-means candidates (q_id, n_id, cosine) for the NumQueries
+    * query vectors probing their `nProbe` nearest of 8 cells — the
+    * parameterized core of `ann_ivf_kmeans`, exposed so the recall/probe
+    * trade-off is sweepable (AnnRecallSpec covers nProbe ∈ {1,2,4}). */
+  def ivfKmeansCandidates(
+      s: SparkSession, dir: String, nProbe: Int): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val e = Tables(s, dir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("nrm", norm(col("v")))
+      .withColumn("features", array_to_vector(col("v")))
+    // The quantizer only needs a representative subset: train on a bounded
+    // sample (~TrainTarget rows) so the fit cost stays flat as the table
+    // grows — at 100TB a full-table k-means would dominate the query.
+    val TrainTarget = 4096.0
+    val n = e.count()
+    val train =
+      if (n <= TrainTarget) e
+      else e.sample(withReplacement = false, TrainTarget / n, seed = 42)
+    val km = new KMeans().setK(8).setSeed(42).setMaxIter(5).fit(train)
+    val assigned = km.transform(e)
+      .select(col("vec_id"), col("v"), col("nrm"),
+        col("prediction").as("cell"))
+    val centers = km.clusterCenters.map(_.toArray)
+    // queries are the small side by definition: collect them, rank cells
+    // on the driver, broadcast the (q, probed-cell) pairs
+    val qRows = assigned.filter(col("vec_id") < NumQueries)
+      .select("vec_id", "v", "nrm").collect()
+    val probeRows = qRows.flatMap { r =>
+      val qv = r.getSeq[Double](1).toArray
+      centers.zipWithIndex
+        .map { case (c, i) => (dist2(c, qv), i) }
+        .sortBy(_._1).take(nProbe)
+        .map { case (_, cell) =>
+          (r.getLong(0), cell, qv.toSeq, r.getDouble(2)) }
+    }
+    import s.implicits._
+    val probes = probeRows.toSeq
+      .toDF("q_id", "cell", "qv", "qnrm")
+    assigned.select(col("vec_id").as("n_id"), col("cell"),
+        col("v").as("nv"), col("nrm"))
+      .join(broadcast(probes), Seq("cell"))
+      .filter(col("n_id") =!= col("q_id"))
+      .withColumn("cosine",
+        cosinePre(col("qv"), col("nv"), col("qnrm"), col("nrm")))
+      .select("q_id", "n_id", "cosine")
+  }
+
   val queries: Map[String, Q] = Map(
     // True IVF: k-means coarse quantizer (MLlib), nProbe=2 multi-probe
     // search. The big side is hash-partitioned by cell; only probed cells
@@ -58,48 +107,9 @@ object Similarity {
     // No DuckDB oracle (k-means isn't SQL-expressible) → rows-only check;
     // recall vs brute force is asserted in AnnRecallSpec.
     "ann_ivf_kmeans" -> { (s, dir) =>
-      import org.apache.spark.ml.clustering.KMeans
-      import org.apache.spark.ml.functions.array_to_vector
-      val e = Tables(s, dir, "embeddings")
-        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-        .withColumn("nrm", norm(col("v")))
-        .withColumn("features", array_to_vector(col("v")))
-      // The quantizer only needs a representative subset: train on a bounded
-      // sample (~TrainTarget rows) so the fit cost stays flat as the table
-      // grows — at 100TB a full-table k-means would dominate the query.
-      val TrainTarget = 4096.0
-      val n = e.count()
-      val train =
-        if (n <= TrainTarget) e
-        else e.sample(withReplacement = false, TrainTarget / n, seed = 42)
-      val km = new KMeans().setK(8).setSeed(42).setMaxIter(5).fit(train)
-      val assigned = km.transform(e)
-        .select(col("vec_id"), col("v"), col("nrm"),
-          col("prediction").as("cell"))
-      val centers = km.clusterCenters.map(_.toArray)
-      // queries are the small side by definition: collect them, rank cells
-      // on the driver, broadcast the (q, probed-cell) pairs
-      val qRows = assigned.filter(col("vec_id") < NumQueries)
-        .select("vec_id", "v", "nrm").collect()
-      val probeRows = qRows.flatMap { r =>
-        val qv = r.getSeq[Double](1).toArray
-        centers.zipWithIndex
-          .map { case (c, i) => (dist2(c, qv), i) }
-          .sortBy(_._1).take(2) // nProbe = 2
-          .map { case (_, cell) =>
-            (r.getLong(0), cell, qv.toSeq, r.getDouble(2)) }
-      }
-      import s.implicits._
-      val probes = probeRows.toSeq
-        .toDF("q_id", "cell", "qv", "qnrm")
       val w = Window.partitionBy(col("q_id"))
         .orderBy(col("cosine").desc, col("n_id"))
-      assigned.select(col("vec_id").as("n_id"), col("cell"),
-          col("v").as("nv"), col("nrm"))
-        .join(broadcast(probes), Seq("cell"))
-        .filter(col("n_id") =!= col("q_id"))
-        .withColumn("cosine",
-          cosinePre(col("qv"), col("nv"), col("qnrm"), col("nrm")))
+      ivfKmeansCandidates(s, dir, nProbe = 2)
         .withColumn("rank", row_number().over(w))
         .filter(col("rank") <= TopK)
         .select("q_id", "n_id", "rank", "cosine")
