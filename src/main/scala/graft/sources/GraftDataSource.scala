@@ -1,0 +1,333 @@
+package graft.sources
+
+import graft.core.EventSchema
+import graft.storage.{ParquetLogBackend, StoredEvent}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.sources._
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+import java.util
+import scala.jdk.CollectionConverters._
+
+/** DataSource V2 for event-log directories: `spark.read.format("graft")
+  * .load(dir)` and `spark.readStream.format("graft").load(dir)`.
+  *
+  * This is the SURVEY.md §4.1 "log as a DataSource V2" direction, for
+  * readers that don't hold the writer's [[ParquetLogBackend]] handle (a
+  * separate analytics job, another cluster): planning runs off the
+  * self-describing segment names + the commit-log tail
+  * ([[ParquetLogBackend.readView]]) — no directory-listing-driven file
+  * source, no footer reads, and the not-yet-compacted tail is visible
+  * immediately (the parquet file source only sees compacted segments).
+  *
+  * Scale shape: one input partition per segment file; `version` range
+  * predicates prune files at plan time (file-granular, so the predicates
+  * are also kept as Spark-side residuals) and row groups at read time
+  * (parquet stats filter). Column pruning reaches the parquet reader via
+  * the requested projection.
+  *
+  * The STREAMING side is the reference's subscription contract
+  * (serve.go:381-463) made exact: offsets ARE log versions (dense, gap
+  * free), so each micro-batch is precisely the events in
+  * `(startOffset, endOffset]` — pair with [[graft.streaming.LogStream
+  * .appendSink]]'s tagged commits for exactly-once end-to-end pipelines.
+  *
+  * No write path by design: appends must pass the single-writer commit
+  * sequencer (validation, version assignment, OCC, fsync atomicity — ≙ the
+  * reference's one writer, file.go:396-407). A distributed V2 write would
+  * bypass all of it; use [[graft.core.EventLog]] / the HTTP API / the
+  * streaming sink instead.
+  */
+final class GraftDataSource extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "graft"
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    EventSchema.schema
+
+  override def getTable(
+      schema: StructType,
+      partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table =
+    new GraftTable(GraftDataSource.pathOf(properties))
+
+  override def supportsExternalMetadata(): Boolean = false
+}
+
+object GraftDataSource {
+  private def pathOf(properties: util.Map[String, String]): String = {
+    val p = properties.get("path")
+    require(p != null && p.nonEmpty,
+      "graft source requires a path: spark.read.format(\"graft\").load(dir)")
+    p
+  }
+}
+
+final class GraftTable(path: String) extends Table with SupportsRead {
+  override def name(): String = s"graft.`$path`"
+  override def schema(): StructType = EventSchema.schema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new GraftScanBuilder(path, options)
+}
+
+/** Collects `version` bounds for plan-time file pruning. ALL filters are
+  * returned as residuals — pruning is file/row-group granular, so Spark
+  * must still apply the exact row predicate (mirrors what the parquet file
+  * source does with its pushed filters). */
+final class GraftScanBuilder(path: String, options: CaseInsensitiveStringMap)
+    extends ScanBuilder
+    with SupportsPushDownFilters
+    with SupportsPushDownRequiredColumns {
+
+  private var required: StructType = EventSchema.schema
+  private var minV: Long = 1L
+  private var maxV: Long = Long.MaxValue
+  private var pushed: Array[Filter] = Array.empty
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    def lit(v: Any): Option[Long] = v match {
+      case n: Number => Some(n.longValue)
+      case _ => None
+    }
+    pushed = filters.filter {
+      case GreaterThanOrEqual("version", v) =>
+        lit(v).exists { x => minV = math.max(minV, x); true }
+      case GreaterThan("version", v) =>
+        lit(v).exists { x => minV = math.max(minV, x + 1); true }
+      case LessThanOrEqual("version", v) =>
+        lit(v).exists { x => maxV = math.min(maxV, x); true }
+      case LessThan("version", v) =>
+        lit(v).exists { x => maxV = math.min(maxV, x - 1); true }
+      case EqualTo("version", v) =>
+        lit(v).exists { x =>
+          minV = math.max(minV, x); maxV = math.min(maxV, x); true
+        }
+      case _ => false
+    }
+    filters
+  }
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  override def build(): Scan = new GraftScan(path, required, minV, maxV,
+    options.getLong("startVersion", 0L))
+}
+
+final class GraftScan(
+    path: String,
+    required: StructType,
+    minV: Long,
+    maxV: Long,
+    streamStartVersion: Long) extends Scan {
+
+  override def readSchema(): StructType = required
+  override def description(): String =
+    s"GraftLogScan path=$path, versions=[$minV, " +
+      s"${if (maxV == Long.MaxValue) "∞" else maxV}], " +
+      s"columns=[${required.fieldNames.mkString(", ")}]"
+
+  override def toBatch: Batch = new GraftBatch(path, required, minV, maxV)
+
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+    new GraftMicroBatchStream(path, required, streamStartVersion)
+}
+
+final class GraftBatch(
+    path: String, required: StructType, minV: Long, maxV: Long) extends Batch {
+
+  override def planInputPartitions(): Array[InputPartition] =
+    GraftPartitions.plan(path, minV, maxV)
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new GraftReaderFactory(required)
+}
+
+object GraftPartitions {
+  /** One partition per version-overlapping segment file + at most one for
+    * the commit-log tail. File ranges come from the segment names; nothing
+    * here opens a data file. */
+  def plan(path: String, minV: Long, maxV: Long): Array[InputPartition] = {
+    if (maxV < minV) return Array.empty
+    val (segs, tail) = ParquetLogBackend.readView(path)
+    val files: Seq[InputPartition] = segs.collect {
+      case (f, v0, v1) if v1 >= minV && v0 <= maxV =>
+        GraftFilePartition(f, math.max(minV, v0), math.min(maxV, v1))
+    }
+    val t = tail.filter(e => e.version >= minV && e.version <= maxV)
+    (files ++ (if (t.nonEmpty) Seq(GraftTailPartition(t.toArray)) else Nil))
+      .toArray
+  }
+}
+
+final case class GraftFilePartition(file: String, minV: Long, maxV: Long)
+    extends InputPartition
+final case class GraftTailPartition(events: Array[StoredEvent])
+    extends InputPartition
+
+final class GraftReaderFactory(required: StructType)
+    extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+    p match {
+      case GraftFilePartition(f, lo, hi) =>
+        new GraftSegmentReader(f, lo, hi, required)
+      case GraftTailPartition(events) =>
+        new GraftTailReader(events, required)
+    }
+}
+
+/** Reads one segment file with parquet-hadoop: requested projection =
+  * required columns (+ `version` when a bound needs row-filtering), and a
+  * stats filter on `version` so non-overlapping row groups are skipped
+  * without decoding. Row-level exactness matters for the STREAMING path —
+  * a micro-batch must contain exactly its offset range, there is no Spark
+  * residual filter there. */
+final class GraftSegmentReader(
+    file: String, lo: Long, hi: Long, required: StructType)
+    extends PartitionReader[InternalRow] {
+  import org.apache.parquet.filter2.compat.FilterCompat
+  import org.apache.parquet.filter2.predicate.FilterApi
+  import org.apache.parquet.hadoop.ParquetReader
+  import org.apache.parquet.hadoop.api.ReadSupport
+  import org.apache.parquet.hadoop.example.GroupReadSupport
+
+  private val bounded = lo > 1L || hi < Long.MaxValue
+  // the reader-internal schema: required columns, plus version for the
+  // range check when it was pruned away
+  private val readFields =
+    if (!bounded || required.fieldNames.contains("version")) required
+    else StructType(StructField("version", LongType, nullable = false) +:
+      required.fields)
+
+  private val reader: ParquetReader[org.apache.parquet.example.data.Group] = {
+    val conf = new org.apache.hadoop.conf.Configuration()
+    conf.set(ReadSupport.PARQUET_READ_SCHEMA, projectionMessage)
+    var b = ParquetReader
+      .builder(new GroupReadSupport(), new org.apache.hadoop.fs.Path(file))
+      .withConf(conf)
+    if (bounded) {
+      val c = FilterApi.longColumn("version")
+      b = b.withFilter(FilterCompat.get(FilterApi.and(
+        FilterApi.gtEq(c, java.lang.Long.valueOf(lo)),
+        FilterApi.ltEq(c, java.lang.Long.valueOf(hi)))))
+    }
+    b.build()
+  }
+
+  private def projectionMessage: String =
+    readFields.fields.map { f =>
+      f.dataType match {
+        case LongType => s"  required int64 ${f.name};"
+        case _ => s"  required binary ${f.name} (UTF8);"
+      }
+    }.mkString("message event {\n", "\n", "\n}")
+
+  private var row: InternalRow = _
+
+  override def next(): Boolean = {
+    var g = reader.read()
+    // stats filter is row-group/page granular; enforce the bound per row
+    while (g != null && bounded && {
+      val v = g.getLong("version", 0); v < lo || v > hi
+    }) g = reader.read()
+    if (g == null) { row = null; false }
+    else {
+      val values = new Array[Any](required.length)
+      var i = 0
+      while (i < required.length) {
+        val f = required.fields(i)
+        values(i) = f.dataType match {
+          case LongType => g.getLong(f.name, 0)
+          case _ => UTF8String.fromBytes(g.getBinary(f.name, 0).getBytes)
+        }
+        i += 1
+      }
+      row = new GenericInternalRow(values)
+      true
+    }
+  }
+  override def get(): InternalRow = row
+  override def close(): Unit = reader.close()
+}
+
+/** Tail events travel IN the partition (they only exist in the driver-read
+  * commit log); bounded by the backend's compact threshold, the same way
+  * the in-memory tail bounds the writer. */
+final class GraftTailReader(events: Array[StoredEvent], required: StructType)
+    extends PartitionReader[InternalRow] {
+  private var i = -1
+  override def next(): Boolean = { i += 1; i < events.length }
+  override def get(): InternalRow = {
+    val e = events(i)
+    new GenericInternalRow(required.fields.map { f =>
+      (f.name match {
+        case "version" => e.version
+        case "version_previous" => e.versionPrevious
+        case "timestamp" => e.timestamp
+        case "label" => UTF8String.fromString(e.label)
+        case "payload" => UTF8String.fromString(e.payload)
+        case "checksum" => e.checksum
+      }): Any
+    })
+  }
+  override def close(): Unit = ()
+}
+
+/** Micro-batch streaming over the log: offsets are VERSIONS. Dense version
+  * assignment makes the offset algebra exact — batch (a, b] is precisely
+  * versions a+1..b, every event delivered exactly once across restarts
+  * (the checkpoint stores plain version numbers). `latestOffset` costs one
+  * segment-name listing + the post-rotation commit-log tail, both bounded
+  * by the compact threshold, not by history size. */
+final class GraftMicroBatchStream(
+    path: String, required: StructType, startVersion: Long)
+    extends MicroBatchStream {
+
+  override def initialOffset(): Offset = GraftOffset(startVersion)
+
+  override def latestOffset(): Offset = {
+    val (segs, tail) = ParquetLogBackend.readView(path)
+    val segMax = if (segs.isEmpty) 0L else segs.map(_._3).max
+    val v = tail.lastOption.map(_.version).getOrElse(segMax)
+    GraftOffset(math.max(startVersion, v))
+  }
+
+  override def planInputPartitions(
+      start: Offset, end: Offset): Array[InputPartition] =
+    GraftPartitions.plan(path,
+      GraftOffset.version(start) + 1L, GraftOffset.version(end))
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new GraftReaderFactory(required)
+
+  override def deserializeOffset(json: String): Offset =
+    GraftOffset(GraftOffset.parse(json))
+
+  override def commit(end: Offset): Unit = () // log is append-only; nothing to release
+  override def stop(): Unit = ()
+}
+
+final case class GraftOffset(version: Long) extends Offset {
+  override def json(): String = s"""{"version":$version}"""
+}
+
+object GraftOffset {
+  private val Json = """\{"version":\s*(\d+)\s*\}""".r
+  def parse(json: String): Long = json.trim match {
+    case Json(v) => v.toLong
+    case other => throw new IllegalArgumentException(s"bad graft offset: $other")
+  }
+  def version(o: Offset): Long = o match {
+    case GraftOffset(v) => v
+    case other => parse(other.json())
+  }
+}

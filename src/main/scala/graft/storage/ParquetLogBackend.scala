@@ -478,6 +478,65 @@ object ParquetLogBackend {
 
   private val SegmentName = """seg-(\d{19})-(\d{19})-[0-9a-f]{8}\.parquet""".r
 
+  /** Read-only point-in-time view of a log directory for out-of-process
+    * readers (the `graft` DataSource V2): the segment files with their
+    * version ranges (parsed from the self-describing names — no footer
+    * reads, no Spark job) plus the commit-log tail past the segment
+    * watermark. The commit log is read BEFORE the segment listing: a
+    * compaction racing this call can only move events from the already-read
+    * tail into a segment we then also list — removed by the watermark
+    * filter — never hide them (listing first would race rotation, which
+    * deletes compacted lines). Files predating self-describing names get
+    * their range from a driver-side footer-stats read (no data pages). */
+  private[graft] def readView(
+      path: String): (Seq[(String, Long, Long)], Seq[StoredEvent]) = {
+    val dir = Paths.get(path)
+    if (!Files.exists(dir.resolve("meta.json")))
+      throw new IllegalStateException(s"not an event log directory: $path")
+    val commitLog = dir.resolve("commits.jsonl")
+    val tail = ArrayBuffer.empty[StoredEvent]
+    if (Files.exists(commitLog))
+      scala.util.Using.resource(Files.lines(commitLog))(
+        _.iterator().asScala.foreach { line =>
+          if (line.nonEmpty)
+            tail ++= decodeCommitEvents(mapper.readTree(line))
+        })
+    val segsDir = dir.resolve("segments")
+    val segs =
+      if (!Files.exists(segsDir)) Nil
+      else scala.util.Using.resource(Files.list(segsDir))(
+        _.iterator().asScala
+          .filter(_.toString.endsWith(".parquet"))
+          .map { p =>
+            p.getFileName.toString match {
+              case SegmentName(v0, v1) => (p.toString, v0.toLong, v1.toLong)
+              case _ =>
+                val (v0, v1) = footerVersionRange(p.toString)
+                (p.toString, v0, v1)
+            }
+          }.toList)
+    val watermark = if (segs.isEmpty) 0L else segs.map(_._3).max
+    (segs, tail.filter(_.version > watermark).toList)
+  }
+
+  /** min/max of the `version` column from parquet footer statistics —
+    * legacy-segment fallback only; reads footers, never data pages. */
+  private def footerVersionRange(file: String): (Long, Long) = {
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    val in = HadoopInputFile.fromPath(
+      new org.apache.hadoop.fs.Path(file),
+      new org.apache.hadoop.conf.Configuration())
+    scala.util.Using.resource(ParquetFileReader.open(in)) { r =>
+      val stats = r.getFooter.getBlocks.asScala.flatMap(
+        _.getColumns.asScala.find(_.getPath.toDotString == "version")
+          .map(_.getStatistics))
+      require(stats.nonEmpty, s"no version statistics in $file")
+      (stats.map(_.genericGetMin.asInstanceOf[java.lang.Long].longValue).min,
+        stats.map(_.genericGetMax.asInstanceOf[java.lang.Long].longValue).max)
+    }
+  }
+
   /** Create a new log directory (≙ file.Create, file.go:128-161). */
   def create(
       spark: SparkSession,

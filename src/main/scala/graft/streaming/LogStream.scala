@@ -1,6 +1,6 @@
 package graft.streaming
 
-import graft.core.{EventData, EventLog, EventSchema}
+import graft.core.{EventData, EventLog}
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery}
@@ -23,14 +23,14 @@ final case class LabelStats(
 
 object LogStream {
 
-  /** Streaming view of a [[graft.storage.ParquetLogBackend]] directory.
-    * New events become visible to the stream as segments are compacted —
-    * which the backend's timer compaction bounds to `compactIntervalMs`
-    * (default 5 s) even when the tail never reaches `compactThreshold`. */
+  /** Streaming view of a [[graft.storage.ParquetLogBackend]] directory,
+    * via the `graft` DataSource V2 ([[graft.sources.GraftDataSource]]):
+    * offsets are log VERSIONS, so micro-batches are exact version ranges
+    * (exactly-once across restarts), commit-log-tail events are visible
+    * without waiting for a compaction, and planning never lists the
+    * segment directory. */
   def readStream(spark: SparkSession, logDir: String): DataFrame =
-    spark.readStream
-      .schema(EventSchema.schema)
-      .parquet(s"$logDir/segments")
+    spark.readStream.format("graft").load(logDir)
 
   /** Wire a streaming log into a hub: every micro-batch publishes its max
     * version (the reference's per-append broadcast, coarsened to

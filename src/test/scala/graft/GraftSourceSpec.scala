@@ -1,0 +1,120 @@
+package graft
+
+import graft.core.EventData
+import graft.sources.{GraftFilePartition, GraftOffset, GraftPartitions, GraftTailPartition}
+import graft.storage.ParquetLogBackend
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.scalatest.funsuite.AnyFunSuite
+
+import java.nio.file.Files
+
+/** The `graft` DataSource V2: batch reads (segments + commit-log tail),
+  * plan-time file pruning from version predicates, column pruning, and the
+  * version-offset micro-batch stream (exactly-once across restarts). */
+class GraftSourceSpec extends AnyFunSuite {
+  private lazy val spark = SparkFixture.spark
+
+  /** A log with 3 compacted segments (versions 1..30) + 5 tail events. */
+  private def mkLog(): String = {
+    val dir = Files.createTempDirectory("graftdsv2").toString
+    val b = ParquetLogBackend.create(spark, dir,
+      compactThreshold = 1000, compactIntervalMs = 0)
+    try {
+      (1 to 3).foreach { s =>
+        b.appendMulti((1 to 10).map(i =>
+          EventData(s"seg$s", s"""{"i":${(s - 1) * 10 + i}}""")))
+        b.compact()
+      }
+      b.appendMulti((1 to 5).map(i => EventData("tail", s"""{"t":$i}""")))
+    } finally b.close()
+    dir
+  }
+
+  test("batch read = segments + uncompacted tail, all columns intact") {
+    val dir = mkLog()
+    val df = spark.read.format("graft").load(dir)
+    assert(df.count() === 35)
+    assert(df.schema === graft.core.EventSchema.schema)
+    val rows = df.orderBy("version").collect()
+    assert(rows.map(_.getLong(0)).toSeq === (1L to 35L))
+    assert(rows.map(_.getLong(1)).toSeq === (0L to 34L)) // dense chain
+    assert(rows.last.getString(3) === "tail")
+    assert(rows.last.getString(4) === """{"t":5}""")
+  }
+
+  test("version predicates prune segment files at plan time") {
+    val dir = mkLog()
+    // only versions 12..18 → exactly one of the three segment files
+    val parts = GraftPartitions.plan(dir, 12L, 18L)
+    assert(parts.length === 1, parts.toSeq)
+    assert(parts.head.isInstanceOf[GraftFilePartition])
+    // bounded to the tail only → no file partitions at all
+    val tailOnly = GraftPartitions.plan(dir, 31L, Long.MaxValue)
+    assert(tailOnly.length === 1)
+    assert(tailOnly.head.isInstanceOf[GraftTailPartition])
+    // empty range → nothing
+    assert(GraftPartitions.plan(dir, 100L, 50L).isEmpty)
+
+    // end-to-end: the pushed bound shows in the plan and results are exact
+    val df = spark.read.format("graft").load(dir)
+      .filter(col("version") >= 12 && col("version") <= 18)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("GraftLogScan"), plan)
+    assert(df.select("version").collect().map(_.getLong(0)).sorted.toSeq
+      === (12L to 18L))
+  }
+
+  test("column pruning reaches the scan") {
+    val dir = mkLog()
+    val df = spark.read.format("graft").load(dir).select("label")
+    val desc = df.queryExecution.executedPlan.toString
+    assert(desc.contains("columns=[label]"), desc)
+    assert(df.distinct().collect().map(_.getString(0)).sorted.toSeq
+      === Seq("seg1", "seg2", "seg3", "tail"))
+    // pruned projection + row-filtering bound: version is re-read internally
+    val one = spark.read.format("graft").load(dir)
+      .filter(col("version") === 17).select("payload")
+    assert(one.collect().map(_.getString(0)).toSeq === Seq("""{"i":17}"""))
+  }
+
+  test("micro-batch stream delivers exact version ranges, exactly once") {
+    val dir = Files.createTempDirectory("graftdsv2s").toString
+    val ckpt = Files.createTempDirectory("graftdsv2c").toString
+    val b = ParquetLogBackend.create(spark, dir,
+      compactThreshold = 1000, compactIntervalMs = 0)
+    try {
+      b.appendMulti((1 to 10).map(i => EventData("a", s"""{"i":$i}""")))
+      b.compact()
+      b.appendMulti((1 to 5).map(i => EventData("b", s"""{"i":$i}""")))
+
+      val seen = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+      def runOnce(): Unit = {
+        val q = spark.readStream.format("graft").load(dir)
+          .writeStream
+          .option("checkpointLocation", ckpt)
+          .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+            batch.select("version").collect().foreach(r => seen.add(r.getLong(0)))
+            ()
+          }
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      runOnce() // versions 1..15
+      // more appends, spanning a compaction boundary
+      b.appendMulti((1 to 5).map(i => EventData("c", s"""{"i":$i}""")))
+      b.compact()
+      b.appendMulti((1 to 3).map(i => EventData("d", s"""{"i":$i}""")))
+      runOnce() // restart from checkpoint → versions 16..23 only
+      import scala.jdk.CollectionConverters._
+      val got = seen.asScala.toSeq.sorted
+      assert(got === (1L to 23L), "duplicates or gaps across restarts")
+    } finally b.close()
+  }
+
+  test("offset json round-trips") {
+    assert(GraftOffset.parse(GraftOffset(42L).json()) === 42L)
+    intercept[IllegalArgumentException](GraftOffset.parse("""{"v":1}"""))
+  }
+}
