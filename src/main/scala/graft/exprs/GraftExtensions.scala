@@ -37,5 +37,6 @@ object GraftExtensions {
     "simhash32" -> (es => SimHash32(es.head)),
     "ngram_shingles" -> (es => NgramShingles(es.head)),
     "minhash12" -> (es => Minhash12(es.head)),
-    "token_stats" -> (es => TokenStats(es(0), es(1), es(2))))
+    "token_stats" -> (es => TokenStats(es(0), es(1), es(2))),
+    "repetition_stats" -> (es => RepetitionStats(es.head)))
 }

@@ -218,6 +218,43 @@ object TextOps {
       markers: ArrayData): InternalRow =
     tokenStatsPre(tokens, decodeLexicon(stops), decodeLexicon(markers))
 
+  /** Per-document repetition statistics in ONE pass: token count, distinct
+    * tokens, the top token's occurrence count, bigram count, and distinct
+    * consecutive bigrams (pair identity = the two tokens joined with a
+    * single space — unambiguous because whitespace-split tokens contain no
+    * spaces). Replaces the relational form's double explode + two
+    * groupBy(doc_id [, token]) shuffles (which the DuckDB oracle still
+    * runs verbatim): Gopher-style repetition filters read these ratios to
+    * drop boilerplate-heavy documents, and at corpus scale the counts must
+    * come out of the scan stage, not out of exchanges over word rows. */
+  def repetitionStats(tokens: ArrayData): InternalRow = {
+    val n = tokens.numElements()
+    val uni = new java.util.HashMap[
+      org.apache.spark.unsafe.types.UTF8String, Array[Long]](
+      math.max(16, n * 2))
+    var top = 0L
+    var i = 0
+    while (i < n) {
+      val t = tok(tokens, i)
+      var c = uni.get(t)
+      if (c == null) { c = Array(0L); uni.put(t, c) }
+      c(0) += 1L
+      if (c(0) > top) top = c(0)
+      i += 1
+    }
+    val bigrams = new java.util.HashSet[
+      org.apache.spark.unsafe.types.UTF8String](math.max(16, n * 2))
+    i = 0
+    while (i < n - 1) {
+      bigrams.add(org.apache.spark.unsafe.types.UTF8String.concat(
+        tok(tokens, i), Space, tok(tokens, i + 1)))
+      i += 1
+    }
+    new GenericInternalRow(Array[Any](
+      n.toLong, uni.size.toLong, top,
+      math.max(n - 1, 0).toLong, bigrams.size.toLong))
+  }
+
   /** Distinct, sorted winnow fingerprints of a normalized UTF-8 byte
     * string. Hash = first 4 md5 bytes as unsigned big-endian (exactly
     * `conv(substring(md5(g),1,8),16,10)`); grams at the tail run short like
@@ -364,6 +401,27 @@ case class TokenStats(first: Expression, second: Expression, third: Expression)
       newThird: Expression): TokenStats =
     copy(first = newFirst, second = newSecond, third = newThird)
   override def prettyName: String = "token_stats"
+}
+
+/** `repetition_stats(array<string>)` → struct(n_tokens, n_distinct,
+  * top_cnt, n_bigrams, n_distinct_bigrams — all long). */
+case class RepetitionStats(child: Expression)
+    extends UnaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[org.apache.spark.sql.graftshim.Shim.AbstractType] =
+    Seq(ArrayType(StringType))
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_tokens", LongType, nullable = false),
+    StructField("n_distinct", LongType, nullable = false),
+    StructField("top_cnt", LongType, nullable = false),
+    StructField("n_bigrams", LongType, nullable = false),
+    StructField("n_distinct_bigrams", LongType, nullable = false)))
+  override def nullSafeEval(v: Any): Any =
+    TextOps.repetitionStats(v.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.exprs.TextOps.repetitionStats($c)")
+  override protected def withNewChildInternal(
+      newChild: Expression): RepetitionStats = copy(child = newChild)
+  override def prettyName: String = "repetition_stats"
 }
 
 /** `winnow_fps(binary)` → sorted distinct array<long> of fingerprints. */

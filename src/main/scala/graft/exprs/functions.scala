@@ -40,6 +40,9 @@ object functions {
   def winnow_fps(c: Column): Column =
     Shim.column(WinnowFingerprints(Shim.expression(c)))
 
+  def repetition_stats(tokens: Column): Column =
+    Shim.column(RepetitionStats(Shim.expression(tokens)))
+
   def token_stats(tokens: Column, stops: Column, markers: Column): Column =
     Shim.column(TokenStats(
       Shim.expression(tokens), Shim.expression(stops),

@@ -106,6 +106,54 @@ object TextAnalysis {
         .orderBy("doc_id")
     },
 
+    // Gopher-style repetition statistics: top-token fraction and duplicate
+    // consecutive-bigram fraction — the ratios repetition quality filters
+    // gate on. The fused repetition_stats kernel computes all five counts
+    // inside the scan stage; the relational form (double explode + two
+    // groupBy shuffles over word rows) survives only in the DuckDB oracle.
+    "text_repetition" -> { (s, dir) =>
+      val d = Tables(s, dir, "documents").filter(col("text").isNotNull)
+      d.select(col("doc_id"),
+          graft.exprs.functions.repetition_stats(toks(col("text"))).as("r"))
+        .select(col("doc_id"),
+          col("r.n_tokens").as("n_tokens"),
+          col("r.n_distinct").as("n_distinct"),
+          col("r.top_cnt").as("top_cnt"),
+          col("r.n_bigrams").as("n_bigrams"),
+          col("r.n_distinct_bigrams").as("n_distinct_bigrams"))
+        .withColumn("top_frac",
+          col("top_cnt").cast("double") / col("n_tokens").cast("double"))
+        // formula kept CHARACTER-identical to the oracle (1.0 - d/n): a
+        // re-association would change float bits and fail the hash gate
+        .withColumn("dup_bigram_frac",
+          when(col("n_bigrams") > 0,
+            lit(1.0) - col("n_distinct_bigrams").cast("double") /
+              col("n_bigrams").cast("double"))
+            .otherwise(lit(0.0)))
+        .orderBy("doc_id")
+    },
+
+    // PII scrubbing: chained regexp_replace masking emails, IPv4 addresses,
+    // and numeric identifiers, with per-category hit counts — pure
+    // projection, codegen'd, zero exchanges beyond the output sort. The
+    // patterns stay in the Java-regex ∩ RE2 subset (no backrefs, no
+    // lookaround) so the DuckDB oracle replays them byte-for-byte. Runs on
+    // events.props, the one column in the testdata with id-like content.
+    "text_pii_scrub" -> { (s, dir) =>
+      val e = Tables(s, dir, "events")
+      e.select(col("event_id"), col("props"))
+        .withColumn("scrubbed",
+          regexp_replace(regexp_replace(regexp_replace(col("props"),
+            PiiEmail, "<email>"), PiiIp, "<ip>"), PiiNum, "<num>"))
+        .withColumn("n_email",
+          size(regexp_extract_all(col("props"), lit(PiiEmail), lit(0))).cast("long"))
+        .withColumn("n_ip",
+          size(regexp_extract_all(col("props"), lit(PiiIp), lit(0))).cast("long"))
+        .withColumn("n_num",
+          size(regexp_extract_all(col("props"), lit(PiiNum), lit(0))).cast("long"))
+        .orderBy("event_id")
+    },
+
     // Fingerprinting: normalize (lowercase, strip punct, collapse ws) -> md5;
     // 4-hex-char prefix as the shard bucket.
     "text_fingerprint" -> { (s, dir) =>
@@ -187,6 +235,12 @@ object TextAnalysis {
     }
   )
 
+  // PII patterns — shared between the Spark query and the DuckDB oracle;
+  // restricted to the Java-regex ∩ RE2 common subset
+  private val PiiEmail = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private val PiiIp = "([0-9]{1,3}\\.){3}[0-9]{1,3}"
+  private val PiiNum = "[0-9]+"
+
   private val lexiconValues =
     Lexicon.map { case (l, m) => s"('$l', '$m')" }.mkString(", ")
 
@@ -226,6 +280,45 @@ object TextAnalysis {
         |  len(string_split_regex(text, '\s+')) AS ws_tokens,
         |  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS bpe_tokens
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "text_repetition" ->
+      s"""WITH tokens AS (
+         |  SELECT doc_id, unnest(string_split_regex(text, '\\s+')) AS tok,
+         |    generate_subscripts(string_split_regex(text, '\\s+'), 1) AS ord
+         |  FROM documents WHERE text IS NOT NULL),
+         |uni AS (SELECT doc_id, tok, count(*) AS c FROM tokens GROUP BY 1, 2),
+         |ustats AS (
+         |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+         |    count(*) AS n_distinct, CAST(max(c) AS BIGINT) AS top_cnt
+         |  FROM uni GROUP BY 1),
+         |bigr AS (
+         |  SELECT doc_id,
+         |    tok || ' ' || lead(tok) OVER (PARTITION BY doc_id ORDER BY ord) AS bg
+         |  FROM tokens),
+         |bstats AS (
+         |  SELECT doc_id, count(*) AS n_bigrams,
+         |    count(DISTINCT bg) AS n_distinct_bigrams
+         |  FROM bigr WHERE bg IS NOT NULL GROUP BY 1)
+         |SELECT u.doc_id, u.n_tokens, u.n_distinct, u.top_cnt,
+         |  coalesce(b.n_bigrams, 0) AS n_bigrams,
+         |  coalesce(b.n_distinct_bigrams, 0) AS n_distinct_bigrams,
+         |  CAST(u.top_cnt AS DOUBLE) / CAST(u.n_tokens AS DOUBLE) AS top_frac,
+         |  CASE WHEN coalesce(b.n_bigrams, 0) > 0
+         |    THEN 1.0 - CAST(b.n_distinct_bigrams AS DOUBLE) / CAST(b.n_bigrams AS DOUBLE)
+         |    ELSE 0.0 END AS dup_bigram_frac
+         |FROM ustats u LEFT JOIN bstats b USING (doc_id)
+         |ORDER BY u.doc_id""".stripMargin,
+
+    "text_pii_scrub" ->
+      s"""SELECT event_id, props,
+         |  regexp_replace(regexp_replace(regexp_replace(props,
+         |    '$PiiEmail', '<email>', 'g'),
+         |    '$PiiIp', '<ip>', 'g'),
+         |    '$PiiNum', '<num>', 'g') AS scrubbed,
+         |  len(regexp_extract_all(props, '$PiiEmail')) AS n_email,
+         |  len(regexp_extract_all(props, '$PiiIp')) AS n_ip,
+         |  len(regexp_extract_all(props, '$PiiNum')) AS n_num
+         |FROM events ORDER BY event_id""".stripMargin,
 
     "text_fingerprint" ->
       """SELECT doc_id,
