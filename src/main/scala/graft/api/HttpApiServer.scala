@@ -249,12 +249,18 @@ final class HttpApiServer(
           // long-poll rendering of the same feed: block up to 30s for the
           // next watermark; 204 on timeout. At-most-once, consumers re-scan
           // from their cursor — same contract as broadcast.go:24-28.
-          val sub = log.subscribe()
-          try sub.poll(30000) match {
-            case Some(v) => respond(out, 200,
-              s"""{"version":"${hex(v)}"}""", headOnly = headOnly)
-            case None => respond(out, 204, "")
-          } finally sub.close()
+          // HEAD answers immediately (route-exists probe): parking a pool
+          // thread for 30s per health check would starve real clients.
+          if (headOnly) respond(out, 200,
+            s"""{"version":"${hex(log.version)}"}""", headOnly = true)
+          else {
+            val sub = log.subscribe()
+            try sub.poll(30000) match {
+              case Some(v) => respond(out, 200,
+                s"""{"version":"${hex(v)}"}""", headOnly = headOnly)
+              case None => respond(out, 204, "")
+            } finally sub.close()
+          }
           false
         case ("POST", p) if p.startsWith("/log/") =>
           handleAppend(req, out, p)
@@ -338,21 +344,26 @@ final class HttpApiServer(
     val reverse = params.contains("reverse")
     val skipFirst = params.contains("skip_first")
     try {
-      // stream rows straight into a chunked response (no driver-side
-      // materialization of the batch — the reference's streaming
-      // serialization, serve.go:215-269). The scan itself must run before
-      // headers are committed so ErrInvalidVersion can still map to a 400.
-      val scan = log.scan(version, reverse,
-        if (limit > 0) Some(limit) else None, skipFirst)
       if (headOnly) {
-        // bounds already validated above (the log.scan call throws on a bad
-        // version); HEAD reports the same headers without executing the scan
+        // HEAD needs only the status: run the same bounds check log.scan
+        // performs (an O(1) sequencer read) without building the scan
+        // DataFrame — snapshotRange's file-index planning is real driver
+        // work on a many-segment log, all discarded for a probe.
+        val latest = log.version
+        if (latest == 0L || version < 1L || version > latest)
+          throw new Errors.ErrInvalidVersion
         out.write(("HTTP/1.1 200 OK\r\nContent-Type: application/json\r\n" +
           "Transfer-Encoding: chunked\r\nConnection: keep-alive\r\n\r\n")
           .getBytes(StandardCharsets.ISO_8859_1))
         out.flush()
         return
       }
+      // stream rows straight into a chunked response (no driver-side
+      // materialization of the batch — the reference's streaming
+      // serialization, serve.go:215-269). The scan itself must run before
+      // headers are committed so ErrInvalidVersion can still map to a 400.
+      val scan = log.scan(version, reverse,
+        if (limit > 0) Some(limit) else None, skipFirst)
       val it = scan
         .select("version", "version_previous", "version_next",
           "timestamp", "label", "payload")

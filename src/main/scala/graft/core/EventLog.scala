@@ -36,8 +36,10 @@ final class EventLog(backend: EventLogBackend) extends AutoCloseable {
 
   /** Idempotent multi-append keyed on (queryId, batchId) — the
     * exactly-once primitive for streaming sinks (see
-    * [[graft.streaming.LogStream.appendSink]]). Replays return the
-    * originally recorded version range without appending. */
+    * [[graft.streaming.LogStream.appendSink]]). Replaying the latest
+    * committed batch returns its recorded version range without appending;
+    * an older batchId throws (see
+    * [[graft.storage.EventLogBackend.appendMultiTxn]]). */
   def appendMultiTxn(
       queryId: String, batchId: Long, es: Seq[EventData]): AppendResult =
     notify(backend.appendMultiTxn(queryId, batchId, es.map(canonicalize)))

@@ -161,7 +161,12 @@ object GraftPartitions {
     val (segs, tail) = ParquetLogBackend.readView(path)
     val files: Seq[InputPartition] = segs.collect {
       case (f, v0, v1) if v1 >= minV && v0 <= maxV =>
-        GraftFilePartition(f, math.max(minV, v0), math.min(maxV, v1))
+        // carry a bound only when it actually cuts into this file's own
+        // range — a fully-covered file then reads unbounded: no forced
+        // version projection, no parquet filter, no per-row range check
+        GraftFilePartition(f,
+          if (minV > v0) minV else 1L,
+          if (maxV < v1) maxV else Long.MaxValue)
     }
     val t = tail.filter(e => e.version >= minV && e.version <= maxV)
     (files ++ (if (t.nonEmpty) Seq(GraftTailPartition(t.toArray)) else Nil))

@@ -32,10 +32,14 @@ trait EventLogBackend extends AutoCloseable {
   def appendCheckMulti(assumedVersion: Long, es: Seq[EventData]): AppendResult
 
   /** Idempotent multi-append for exactly-once streaming sinks. The commit
-    * is tagged with (queryId, batchId); replaying a batch already committed
-    * for that query (batchId <= the highest recorded) returns the recorded
-    * version range instead of appending again. Durable backends persist the
-    * tag with the commit itself, so idempotence survives crash + reopen. */
+    * is tagged with (queryId, batchId); replaying the LATEST committed
+    * batch for that query returns its recorded version range instead of
+    * appending again (Spark re-runs at most the last uncommitted
+    * micro-batch, so that is the whole replay surface). A batchId BELOW
+    * the latest recorded one throws: its range is no longer recorded, and
+    * returning the newest batch's range would silently mislabel versions.
+    * Durable backends persist the tag with the commit itself, so
+    * idempotence survives crash + reopen. */
   def appendMultiTxn(
       queryId: String, batchId: Long, es: Seq[EventData]): AppendResult
 

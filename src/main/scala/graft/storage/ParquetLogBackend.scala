@@ -423,6 +423,12 @@ final class ParquetLogBackend private (
       else Files.move(old, segmentsDir, StandardCopyOption.ATOMIC_MOVE)
     }
     deleteRecursively(dir.resolve("segments.rewrite"))
+    // scratch dirs from compactions that crashed between the segment write
+    // and the atomic move: their batches are still wholly in the commit log
+    // (rotation happens after the move), so the copies are pure leaks
+    scala.util.Using.resource(
+      Files.newDirectoryStream(dir, "segments.write-*"))(
+      _.iterator().asScala.toList.foreach(deleteRecursively))
     rebuildManifest()
     if (manifest.nonEmpty) {
       segmentMaxVersion = manifest.map(_._3).max
@@ -495,16 +501,24 @@ object ParquetLogBackend {
       throw new IllegalStateException(s"not an event log directory: $path")
     val commitLog = dir.resolve("commits.jsonl")
     val tail = ArrayBuffer.empty[StoredEvent]
-    if (Files.exists(commitLog))
-      scala.util.Using.resource(Files.lines(commitLog))(
-        _.iterator().asScala.foreach { line =>
-          if (line.nonEmpty)
-            tail ++= decodeCommitEvents(mapper.readTree(line))
-        })
-    val segsDir = dir.resolve("segments")
-    val segs =
-      if (!Files.exists(segsDir)) Nil
-      else scala.util.Using.resource(Files.list(segsDir))(
+    if (Files.exists(commitLog)) {
+      // A live writer may be mid-append: a torn FINAL line is the normal
+      // concurrent-read artifact (the commit simply isn't part of this
+      // snapshot yet) and is dropped; a malformed line FOLLOWED by valid
+      // ones is real corruption and still throws.
+      val lines = scala.util.Using.resource(Files.lines(commitLog))(
+        _.iterator().asScala.filter(_.nonEmpty).toList)
+      lines.zipWithIndex.foreach { case (line, i) =>
+        try tail ++= decodeCommitEvents(mapper.readTree(line))
+        catch {
+          case _: com.fasterxml.jackson.core.JacksonException
+              if i == lines.length - 1 => ()
+          case _: NullPointerException if i == lines.length - 1 => ()
+        }
+      }
+    }
+    def list(d: Path): Seq[(String, Long, Long)] =
+      scala.util.Using.resource(Files.list(d))(
         _.iterator().asScala
           .filter(_.toString.endsWith(".parquet"))
           .map { p =>
@@ -515,6 +529,24 @@ object ParquetLogBackend {
                 (p.toString, v0, v1)
             }
           }.toList)
+    // A coalesceSegments swap (segments -> segments.old, staging ->
+    // segments) has a window where segments/ does not exist; segments.old
+    // holds the COMPLETE pre-rewrite history then, so falling back to it
+    // keeps this view exact instead of silently tail-only. The listing
+    // itself can also race the first move — retry covers it.
+    val segsDir = dir.resolve("segments")
+    val oldDir = dir.resolve("segments.old")
+    def listSegments(attempt: Int = 0): Seq[(String, Long, Long)] =
+      try {
+        if (Files.exists(segsDir)) list(segsDir)
+        else if (Files.exists(oldDir)) list(oldDir)
+        else Nil
+      } catch {
+        case _: java.io.UncheckedIOException | _: java.nio.file.NoSuchFileException
+            if attempt < 3 =>
+          listSegments(attempt + 1)
+      }
+    val segs = listSegments()
     val watermark = if (segs.isEmpty) 0L else segs.map(_._3).max
     (segs, tail.filter(_.version > watermark).toList)
   }

@@ -58,7 +58,17 @@ abstract class SequencedBackend extends EventLogBackend {
       // its recorded result back, not an ErrMismatchingVersions.
       tag.foreach { t =>
         txns.get(t.queryId).foreach { case (bid, res) =>
-          if (t.batchId <= bid) return res
+          // Only the LATEST batch's result is recorded (Spark replays at
+          // most the last uncommitted micro-batch, so deeper history is
+          // dead weight). An older batchId means the caller's checkpoint
+          // went backwards — returning the newest range would silently
+          // hand it another batch's versions, so refuse loudly instead.
+          if (t.batchId == bid) return res
+          if (t.batchId < bid)
+            throw new IllegalStateException(
+              s"batch ${t.batchId} of query '${t.queryId}' precedes the " +
+                s"latest recorded batch $bid; its version range is no " +
+                "longer recorded")
         }
       }
       check.foreach { assumed =>

@@ -113,6 +113,36 @@ class GraftSourceSpec extends AnyFunSuite {
     } finally b.close()
   }
 
+  test("a torn trailing commit line is dropped; a torn middle line throws") {
+    val dir = mkLog()
+    val commits = java.nio.file.Paths.get(dir, "commits.jsonl")
+    // simulate reading mid-append: half a JSON line at the end
+    Files.writeString(commits,
+      """{"ts":123,"vp":35,"v":36,"events":[{"l":"x","p":""",
+      java.nio.file.StandardOpenOption.APPEND)
+    val df = spark.read.format("graft").load(dir)
+    assert(df.count() === 35) // the torn commit is simply not visible yet
+    // but a malformed line FOLLOWED by a valid one is corruption
+    Files.writeString(commits, "\n", java.nio.file.StandardOpenOption.APPEND)
+    val valid = """{"ts":124,"vp":36,"v":37,"events":[{"l":"y","p":"{}","c":0}]}""" + "\n"
+    Files.writeString(commits, valid, java.nio.file.StandardOpenOption.APPEND)
+    intercept[Exception] {
+      spark.read.format("graft").load(dir).count()
+    }
+  }
+
+  test("readers fall back to segments.old mid-coalesce swap") {
+    val dir = mkLog()
+    // simulate the window inside coalesceSegments between the two moves:
+    // segments/ renamed away, replacement not yet in place
+    val segs = java.nio.file.Paths.get(dir, "segments")
+    val old = java.nio.file.Paths.get(dir, "segments.old")
+    Files.move(segs, old)
+    val df = spark.read.format("graft").load(dir)
+    assert(df.count() === 35, "view must not silently drop segment history")
+    Files.move(old, segs) // restore for temp-dir hygiene
+  }
+
   test("offset json round-trips") {
     assert(GraftOffset.parse(GraftOffset(42L).json()) === 42L)
     intercept[IllegalArgumentException](GraftOffset.parse("""{"v":1}"""))

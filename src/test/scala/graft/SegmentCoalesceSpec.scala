@@ -78,4 +78,21 @@ class SegmentCoalesceSpec extends AnyFunSuite {
       assert(log.scan(1L).count() == 6L)
     } finally log.close()
   }
+
+  test("open() sweeps scratch dirs from crashed compactions") {
+    val dir = Files.createTempDirectory("graftseg").toString
+    val b = ParquetLogBackend.create(spark, dir, compactIntervalMs = 0)
+    val log = new EventLog(b)
+    log.append(EventData("e", """{"i":1}"""))
+    log.close()
+    // a compact() that died between the segment write and the atomic move
+    val stranded = Paths.get(dir, "segments.write-deadbeef")
+    Files.createDirectories(stranded)
+    Files.writeString(stranded.resolve("part-0.parquet"), "junk")
+    val reopened = ParquetLogBackend.open(spark, dir, compactIntervalMs = 0)
+    try {
+      assert(!Files.exists(stranded), "crashed-compaction scratch must be swept")
+      assert(reopened.snapshot().count() == 1L)
+    } finally reopened.close()
+  }
 }

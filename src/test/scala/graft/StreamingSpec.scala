@@ -147,6 +147,11 @@ class StreamingSpec extends AnyFunSuite {
     log = new graft.core.EventLog(backend)
     val replay3 = log.appendMultiTxn("q1", 1L, Seq(EventData("c", """{"i":3}""")))
     assert(replay3.version == 3L && log.version == 4L)
+    // a batchId BELOW the latest recorded one has no recorded range left —
+    // refusing beats silently returning another batch's versions
+    intercept[IllegalStateException] {
+      log.appendMultiTxn("q1", 0L, Seq(EventData("a", """{"i":1}""")))
+    }
     assert(log.checkIntegrity().count() == 0L)
     log.close()
   }
