@@ -85,12 +85,15 @@ final class GraftTable(path: String) extends Table with SupportsRead {
 final class GraftScanBuilder(path: String, options: CaseInsensitiveStringMap)
     extends ScanBuilder
     with SupportsPushDownFilters
-    with SupportsPushDownRequiredColumns {
+    with SupportsPushDownRequiredColumns
+    with SupportsPushDownLimit {
 
   private var required: StructType = EventSchema.schema
   private var minV: Long = 1L
   private var maxV: Long = Long.MaxValue
   private var pushed: Array[Filter] = Array.empty
+  private var nonVersionFilter = false
+  private var limit: Int = -1
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     def lit(v: Any): Option[Long] = v match {
@@ -110,7 +113,7 @@ final class GraftScanBuilder(path: String, options: CaseInsensitiveStringMap)
         lit(v).exists { x =>
           minV = math.max(minV, x); maxV = math.min(maxV, x); true
         }
-      case _ => false
+      case _ => nonVersionFilter = true; false
     }
     filters
   }
@@ -119,8 +122,17 @@ final class GraftScanBuilder(path: String, options: CaseInsensitiveStringMap)
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
+  /** PARTIAL limit pushdown (returns false — Spark keeps its own Limit):
+    * dense versions make per-file row counts exact, so planning can stop
+    * adding files once the limit is covered. Safe only when every filter
+    * was a version bound (rows in planned files then all survive the
+    * residual re-check); any other predicate disables it. */
+  override def pushLimit(l: Int): Boolean = { limit = l; false }
+
   override def build(): Scan = new GraftScan(path, required, minV, maxV,
-    options.getLong("startVersion", 0L))
+    if (nonVersionFilter) -1 else limit,
+    options.getLong("startVersion", 0L),
+    options.getLong("maxVersionsPerTrigger", 0L))
 }
 
 final class GraftScan(
