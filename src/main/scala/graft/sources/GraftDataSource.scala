@@ -7,13 +7,14 @@ import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, ReadMaxRows, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.sources._
 import org.apache.spark.sql.types.{LongType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
 
 import java.util
+import scala.collection.mutable.ArrayBuffer
 import scala.jdk.CollectionConverters._
 
 /** DataSource V2 for event-log directories: `spark.read.format("graft")
@@ -140,25 +141,30 @@ final class GraftScan(
     required: StructType,
     minV: Long,
     maxV: Long,
-    streamStartVersion: Long) extends Scan {
+    limit: Int,
+    streamStartVersion: Long,
+    maxVersionsPerTrigger: Long) extends Scan {
 
   override def readSchema(): StructType = required
   override def description(): String =
     s"GraftLogScan path=$path, versions=[$minV, " +
       s"${if (maxV == Long.MaxValue) "∞" else maxV}], " +
+      s"${if (limit >= 0) s"limit=$limit, " else ""}" +
       s"columns=[${required.fieldNames.mkString(", ")}]"
 
-  override def toBatch: Batch = new GraftBatch(path, required, minV, maxV)
+  override def toBatch: Batch = new GraftBatch(path, required, minV, maxV, limit)
 
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-    new GraftMicroBatchStream(path, required, streamStartVersion)
+    new GraftMicroBatchStream(path, required, streamStartVersion,
+      maxVersionsPerTrigger)
 }
 
 final class GraftBatch(
-    path: String, required: StructType, minV: Long, maxV: Long) extends Batch {
+    path: String, required: StructType, minV: Long, maxV: Long, limit: Int)
+    extends Batch {
 
   override def planInputPartitions(): Array[InputPartition] =
-    GraftPartitions.plan(path, minV, maxV)
+    GraftPartitions.plan(path, minV, maxV, limit)
 
   override def createReaderFactory(): PartitionReaderFactory =
     new GraftReaderFactory(required)
@@ -167,21 +173,41 @@ final class GraftBatch(
 object GraftPartitions {
   /** One partition per version-overlapping segment file + at most one for
     * the commit-log tail. File ranges come from the segment names; nothing
-    * here opens a data file. */
-  def plan(path: String, minV: Long, maxV: Long): Array[InputPartition] = {
+    * here opens a data file.
+    *
+    * `limit >= 0` (only set when every pushed filter was a version bound)
+    * stops adding files once the planned rows cover the limit: versions are
+    * dense, so a file clipped to [minV, maxV] contributes EXACTLY
+    * `min(maxV,v1) - max(minV,v0) + 1` surviving rows — a `.limit(k)` on a
+    * 10-year log plans ⌈k-covering⌉ files, not the whole history. Spark
+    * still applies its own Limit on top (pushLimit returned false), so
+    * over-planning the last file is fine; under-planning is what this
+    * guards against. */
+  def plan(
+      path: String, minV: Long, maxV: Long, limit: Int = -1)
+      : Array[InputPartition] = {
     if (maxV < minV) return Array.empty
     val (segs, tail) = ParquetLogBackend.readView(path)
-    val files: Seq[InputPartition] = segs.collect {
-      case (f, v0, v1) if v1 >= minV && v0 <= maxV =>
-        // carry a bound only when it actually cuts into this file's own
-        // range — a fully-covered file then reads unbounded: no forced
-        // version projection, no parquet filter, no per-row range check
-        GraftFilePartition(f,
-          if (minV > v0) minV else 1L,
-          if (maxV < v1) maxV else Long.MaxValue)
+    val overlapping = segs
+      .filter { case (_, v0, v1) => v1 >= minV && v0 <= maxV }
+      .sortBy(_._2)
+    var covered = 0L
+    val files = ArrayBuffer.empty[InputPartition]
+    val it = overlapping.iterator
+    while (it.hasNext && (limit < 0 || covered < limit)) {
+      val (f, v0, v1) = it.next()
+      // carry a bound only when it actually cuts into this file's own
+      // range — a fully-covered file then reads unbounded: no forced
+      // version projection, no parquet filter, no per-row range check
+      files += GraftFilePartition(f,
+        if (minV > v0) minV else 1L,
+        if (maxV < v1) maxV else Long.MaxValue)
+      covered += math.min(maxV, v1) - math.max(minV, v0) + 1L
     }
-    val t = tail.filter(e => e.version >= minV && e.version <= maxV)
-    (files ++ (if (t.nonEmpty) Seq(GraftTailPartition(t.toArray)) else Nil))
+    val t =
+      if (limit >= 0 && covered >= limit) Nil
+      else tail.filter(e => e.version >= minV && e.version <= maxV)
+    (files.toSeq ++ (if (t.nonEmpty) Seq(GraftTailPartition(t.toArray)) else Nil))
       .toArray
   }
 }
@@ -304,19 +330,62 @@ final class GraftTailReader(events: Array[StoredEvent], required: StructType)
   * versions a+1..b, every event delivered exactly once across restarts
   * (the checkpoint stores plain version numbers). `latestOffset` costs one
   * segment-name listing + the post-rotation commit-log tail, both bounded
-  * by the compact threshold, not by history size. */
+  * by the compact threshold, not by history size.
+  *
+  * Admission control: `maxVersionsPerTrigger` (> 0) caps each micro-batch
+  * at that many versions via [[SupportsAdmissionControl]] — after downtime
+  * a backlog of N versions drains in ⌈N/cap⌉ exact contiguous batches
+  * instead of one unbounded catch-up batch (versions ≡ rows, so the cap is
+  * expressed as `ReadLimit.maxRows`). Spark's rate-limit plumbing keeps
+  * `reportLatestOffset` (the true tip) separate for lag metrics.
+  * [[SupportsTriggerAvailableNow]] is implemented natively — without it,
+  * Spark's wrapper drains `Trigger.AvailableNow` runs in ONE unbounded
+  * batch, defeating the cap exactly when it matters most (catch-up). */
 final class GraftMicroBatchStream(
-    path: String, required: StructType, startVersion: Long)
-    extends MicroBatchStream {
+    path: String,
+    required: StructType,
+    startVersion: Long,
+    maxVersionsPerTrigger: Long)
+    extends MicroBatchStream with SupportsTriggerAvailableNow {
 
   override def initialOffset(): Offset = GraftOffset(startVersion)
 
-  override def latestOffset(): Offset = {
+  // Trigger.AvailableNow freezes the tip at query start: batches drain up
+  // to exactly this point and the query stops, even if a writer keeps
+  // appending concurrently.
+  private var frozenTip: Long = -1L
+
+  private def tipVersion(): Long = {
     val (segs, tail) = ParquetLogBackend.readView(path)
     val segMax = if (segs.isEmpty) 0L else segs.map(_._3).max
     val v = tail.lastOption.map(_.version).getOrElse(segMax)
-    GraftOffset(math.max(startVersion, v))
+    math.max(startVersion, v)
   }
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    frozenTip = tipVersion()
+
+  override def getDefaultReadLimit: ReadLimit =
+    if (maxVersionsPerTrigger > 0L) ReadLimit.maxRows(maxVersionsPerTrigger)
+    else ReadLimit.allAvailable()
+
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val from = GraftOffset.version(start)
+    val tip = if (frozenTip >= 0L) frozenTip else tipVersion()
+    val capped = limit match {
+      case r: ReadMaxRows => math.min(tip, from + r.maxRows())
+      case _ => tip
+    }
+    GraftOffset(math.max(from, capped))
+  }
+
+  override def reportLatestOffset(): Offset = GraftOffset(tipVersion())
+
+  // Spark calls the admission-control overload when the interface is
+  // implemented; this one must not be reachable.
+  override def latestOffset(): Offset =
+    throw new UnsupportedOperationException(
+      "latestOffset(start, limit) is used via SupportsAdmissionControl")
 
   override def planInputPartitions(
       start: Offset, end: Offset): Array[InputPartition] =

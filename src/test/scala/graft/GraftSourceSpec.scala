@@ -147,4 +147,78 @@ class GraftSourceSpec extends AnyFunSuite {
     assert(GraftOffset.parse(GraftOffset(42L).json()) === 42L)
     intercept[IllegalArgumentException](GraftOffset.parse("""{"v":1}"""))
   }
+
+  test("limit pushdown stops adding segment files once covered") {
+    val dir = mkLog() // 3 segments × 10 versions + 5 tail events
+    // limit 5 < first file's 10 rows → one file, no tail
+    assert(GraftPartitions.plan(dir, 1L, Long.MaxValue, limit = 5).length === 1)
+    // limit 10 is exactly covered by the first file
+    assert(GraftPartitions.plan(dir, 1L, Long.MaxValue, limit = 10).length === 1)
+    // limit 15 needs two files
+    assert(GraftPartitions.plan(dir, 1L, Long.MaxValue, limit = 15).length === 2)
+    // limit 31 spills past all 30 segment rows into the tail
+    val p31 = GraftPartitions.plan(dir, 1L, Long.MaxValue, limit = 31)
+    assert(p31.length === 4 && p31.last.isInstanceOf[GraftTailPartition])
+    // a version bound composes: [12, ∞) with limit 5 → only segment 2
+    val bounded = GraftPartitions.plan(dir, 12L, Long.MaxValue, limit = 5)
+    assert(bounded.length === 1)
+    assert(bounded.head.asInstanceOf[GraftFilePartition].minV === 12L)
+
+    // end-to-end through the scan builder: df.limit(k) plans ⌈k-covering⌉
+    // files and still returns exactly k rows (Spark's own Limit on top)
+    val df = spark.read.format("graft").load(dir).limit(5)
+    val scans = df.queryExecution.executedPlan.collectLeaves()
+      .map(_.toString).filter(_.contains("GraftLogScan"))
+    assert(scans.exists(_.contains("limit=5")), scans)
+    assert(df.count() === 5)
+    // a non-version predicate disables the file-stop (residual filtering
+    // may discard planned rows, so coverage arithmetic no longer holds)
+    val filtered = spark.read.format("graft").load(dir)
+      .filter(col("label") =!= "seg1").limit(5)
+    assert(filtered.collect().length === 5)
+  }
+
+  test("maxVersionsPerTrigger drains a backlog in exact contiguous batches") {
+    val dir = Files.createTempDirectory("graftmvpt").toString
+    val ckpt = Files.createTempDirectory("graftmvptc").toString
+    val b = ParquetLogBackend.create(spark, dir,
+      compactThreshold = 1000, compactIntervalMs = 0)
+    try {
+      b.appendMulti((1 to 17).map(i => EventData("a", s"""{"i":$i}""")))
+      b.compact()
+      b.appendMulti((1 to 5).map(i => EventData("b", s"""{"i":$i}""")))
+
+      val batches =
+        new java.util.concurrent.ConcurrentLinkedQueue[Seq[Long]]()
+      def runOnce(): Unit = {
+        val q = spark.readStream.format("graft")
+          .option("maxVersionsPerTrigger", 7L).load(dir)
+          .writeStream
+          .option("checkpointLocation", ckpt)
+          .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+            batches.add(
+              batch.select("version").collect().map(_.getLong(0)).sorted.toSeq)
+            ()
+          }
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      runOnce() // 22-version backlog, cap 7 → ⌈22/7⌉ = 4 batches
+      import scala.jdk.CollectionConverters._
+      val got = batches.asScala.toSeq
+      assert(got.map(_.length) === Seq(7, 7, 7, 1), got)
+      // each batch is an exact contiguous version range, no gaps/dupes
+      assert(got.flatten === (1L to 22L))
+      got.foreach(bt => assert(bt === (bt.head to bt.last)))
+
+      // a restart resumes from the checkpoint with the same cap semantics
+      batches.clear()
+      b.appendMulti((1 to 10).map(i => EventData("c", s"""{"i":$i}""")))
+      runOnce()
+      val after = batches.asScala.toSeq
+      assert(after.map(_.length) === Seq(7, 3), after)
+      assert(after.flatten === (23L to 32L))
+    } finally b.close()
+  }
 }
