@@ -77,6 +77,23 @@ object EventLogQueries {
         .select("version", "version_prev", "version_next", "label")
     },
 
+    // §4.1 V2 source: the whole log scanned via format("graft") — exercises
+    // the columnar vectorized read path end-to-end (segments + tail planned
+    // from readView, not a directory-listing file source). The log is the
+    // events table replayed through the real commit sequencer
+    // (GraftLogCache), so the oracle runs on the same parquet.
+    "graft_scan_forward" -> { (s, dir) =>
+      val logDir = graft.sources.GraftLogCache.ensure(s, dir)
+      s.read.format("graft").load(logDir)
+        .groupBy(col("label"))
+        .agg(
+          count(lit(1)).as("n_events"),
+          sum(col("version")).as("sum_version"),
+          min(col("version")).as("min_version"),
+          max(col("version")).as("max_version"),
+          sum(length(col("payload"))).as("payload_chars"))
+    },
+
     // Version / VersionInitial point lookups (eventlog.go:132-140)
     "el_version_bounds" -> { (s, dir) =>
       log(s, dir).agg(
@@ -265,6 +282,16 @@ object EventLogQueries {
       s"""SELECT version, version_prev, version_next, label
          |FROM ($chainSql) c
          |WHERE version <= 5000 ORDER BY version DESC LIMIT 500 OFFSET 1""".stripMargin,
+
+    // log versions are 1-based (commit sequencer), event_id is 0-based
+    "graft_scan_forward" ->
+      """SELECT event_type AS label,
+        |  count(*) AS n_events,
+        |  CAST(sum(event_id + 1) AS BIGINT) AS sum_version,
+        |  min(event_id) + 1 AS min_version,
+        |  max(event_id) + 1 AS max_version,
+        |  CAST(sum(length(props)) AS BIGINT) AS payload_chars
+        |FROM events GROUP BY 1""".stripMargin,
 
     "el_version_bounds" ->
       """SELECT min(event_id) AS version_initial,

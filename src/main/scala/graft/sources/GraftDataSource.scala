@@ -11,6 +11,7 @@ import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, 
 import org.apache.spark.sql.sources._
 import org.apache.spark.sql.types.{LongType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.sql.vectorized.ColumnarBatch
 import org.apache.spark.unsafe.types.UTF8String
 
 import java.util
@@ -199,7 +200,7 @@ object GraftPartitions {
       // carry a bound only when it actually cuts into this file's own
       // range — a fully-covered file then reads unbounded: no forced
       // version projection, no parquet filter, no per-row range check
-      files += GraftFilePartition(f,
+      files += GraftFilePartition(f, v0, v1,
         if (minV > v0) minV else 1L,
         if (maxV < v1) maxV else Long.MaxValue)
       covered += math.min(maxV, v1) - math.max(minV, v0) + 1L
@@ -212,20 +213,151 @@ object GraftPartitions {
   }
 }
 
-final case class GraftFilePartition(file: String, minV: Long, maxV: Long)
+/** `v0`/`v1` are the file's own (dense) version range from its segment
+  * name; `minV`/`maxV` are the scan bounds, kept at 1/MaxValue when they
+  * don't cut into this file. */
+final case class GraftFilePartition(
+    file: String, v0: Long, v1: Long, minV: Long, maxV: Long)
     extends InputPartition
 final case class GraftTailPartition(events: Array[StoredEvent])
     extends InputPartition
 
+/** All partitions read COLUMNAR: segment files through Spark's vectorized
+  * parquet reader (the same decoder the built-in file source uses — batch
+  * pass-through, no per-row materialization), the commit-log tail as one
+  * built [[ColumnarBatch]]. The row-based readers below remain as the
+  * non-columnar fallback path. */
 final class GraftReaderFactory(required: StructType)
     extends PartitionReaderFactory {
+
+  override def supportColumnarReads(p: InputPartition): Boolean = true
+
+  override def createColumnarReader(
+      p: InputPartition): PartitionReader[ColumnarBatch] =
+    p match {
+      case GraftFilePartition(f, v0, v1, lo, hi) =>
+        new GraftColumnarSegmentReader(f, v0, v1, lo, hi, required)
+      case GraftTailPartition(events) =>
+        new GraftColumnarTailReader(events, required)
+    }
+
   override def createReader(p: InputPartition): PartitionReader[InternalRow] =
     p match {
-      case GraftFilePartition(f, lo, hi) =>
+      case GraftFilePartition(f, _, _, lo, hi) =>
         new GraftSegmentReader(f, lo, hi, required)
       case GraftTailPartition(events) =>
         new GraftTailReader(events, required)
     }
+}
+
+/** Vectorized columnar read of one segment file. Version bounds never
+  * touch data: versions are dense within a segment (commit-sequencer
+  * contract), so the surviving rows are exactly the global row range
+  * `[lo-v0, min(hi,v1)-v0]` — fully-covered batches pass through with zero
+  * copies, the at-most-two clipped edge batches are slice-copied, and the
+  * version column is never required for filtering. */
+final class GraftColumnarSegmentReader(
+    file: String, fileV0: Long, fileV1: Long, lo: Long, hi: Long,
+    required: StructType)
+    extends PartitionReader[ColumnarBatch] {
+  import org.apache.spark.sql.execution.datasources.parquet.VectorizedParquetRecordReader
+  import org.apache.spark.sql.execution.vectorized.OnHeapColumnVector
+
+  private val startRow: Long = math.max(0L, lo - fileV0)
+  private val endRow: Long = math.min(hi, fileV1) - fileV0
+
+  private val reader = new VectorizedParquetRecordReader(false, 4096)
+  reader.initialize(file, util.Arrays.asList(required.fieldNames: _*))
+  reader.enableReturningBatches()
+
+  private var rowsSeen = 0L
+  private var batch: ColumnarBatch = _
+
+  override def next(): Boolean = {
+    while (reader.nextKeyValue()) {
+      val b = reader.getCurrentValue.asInstanceOf[ColumnarBatch]
+      val n = b.numRows()
+      val s = rowsSeen
+      rowsSeen += n
+      if (n > 0 && s <= endRow && s + n - 1 >= startRow) {
+        batch =
+          if (s >= startRow && s + n - 1 <= endRow) b
+          else slice(b,
+            (math.max(startRow, s) - s).toInt,
+            (math.min(endRow, s + n - 1) - s).toInt)
+        return true
+      }
+    }
+    batch = null
+    false
+  }
+
+  private def slice(b: ColumnarBatch, from: Int, to: Int): ColumnarBatch = {
+    val len = to - from + 1
+    val out = OnHeapColumnVector.allocateColumns(len, required)
+    var c = 0
+    while (c < required.length) {
+      val src = b.column(c)
+      val dst = out(c)
+      required.fields(c).dataType match {
+        case LongType =>
+          var i = 0
+          while (i < len) { dst.putLong(i, src.getLong(from + i)); i += 1 }
+        case _ =>
+          var i = 0
+          while (i < len) {
+            dst.putByteArray(i, src.getUTF8String(from + i).getBytes)
+            i += 1
+          }
+      }
+      c += 1
+    }
+    new ColumnarBatch(
+      out.asInstanceOf[Array[org.apache.spark.sql.vectorized.ColumnVector]],
+      len)
+  }
+
+  override def get(): ColumnarBatch = batch
+  override def close(): Unit = reader.close()
+}
+
+/** The commit-log tail as a single built columnar batch (tail size is
+  * bounded by the compact threshold). */
+final class GraftColumnarTailReader(
+    events: Array[StoredEvent], required: StructType)
+    extends PartitionReader[ColumnarBatch] {
+  import org.apache.spark.sql.execution.vectorized.OnHeapColumnVector
+
+  private var emitted = false
+
+  override def next(): Boolean = !emitted && { emitted = true; true }
+
+  override def get(): ColumnarBatch = {
+    val out = OnHeapColumnVector.allocateColumns(events.length, required)
+    var c = 0
+    while (c < required.length) {
+      val dst = out(c)
+      val name = required.fields(c).name
+      var i = 0
+      while (i < events.length) {
+        val e = events(i)
+        name match {
+          case "version" => dst.putLong(i, e.version)
+          case "version_previous" => dst.putLong(i, e.versionPrevious)
+          case "timestamp" => dst.putLong(i, e.timestamp)
+          case "label" => dst.putByteArray(i, e.label.getBytes("UTF-8"))
+          case "payload" => dst.putByteArray(i, e.payload.getBytes("UTF-8"))
+          case "checksum" => dst.putLong(i, e.checksum)
+        }
+        i += 1
+      }
+      c += 1
+    }
+    new ColumnarBatch(
+      out.asInstanceOf[Array[org.apache.spark.sql.vectorized.ColumnVector]],
+      events.length)
+  }
+  override def close(): Unit = ()
 }
 
 /** Reads one segment file with parquet-hadoop: requested projection =

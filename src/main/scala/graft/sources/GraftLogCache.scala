@@ -1,0 +1,63 @@
+package graft.sources
+
+import graft.core.EventData
+import graft.storage.ParquetLogBackend
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.col
+
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+
+/** Builds — once per testdata dir — an on-disk event log mirroring the
+  * `events` table (version = event_id + 1, label = event_type, payload =
+  * props, appended in event_id order through the real commit sequencer),
+  * so `format("graft")` scans can be oracle-checked and benched against
+  * the same parquet the relational queries read.
+  *
+  * Cached under the JVM temp dir keyed by the testdata path; built into a
+  * staging directory and atomically renamed, so concurrent builders race
+  * benignly (the loser discards its identical staging copy) and a crashed
+  * build can never be mistaken for a complete log. */
+object GraftLogCache {
+  def ensure(spark: SparkSession, sfDir: String): String = synchronized {
+    val key = java.security.MessageDigest.getInstance("MD5")
+      .digest(sfDir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
+    val base = Paths.get(
+      sys.props.getOrElse("java.io.tmpdir", "/tmp"), s"graft-logcache-$key")
+    if (Files.exists(base.resolve("meta.json"))) return base.toString
+
+    val staging = Paths.get(
+      base.toString + ".build-" + java.util.UUID.randomUUID().toString.take(8))
+    val b = ParquetLogBackend.create(spark, staging.toString,
+      compactThreshold = 1000000, compactIntervalMs = 0)
+    try {
+      // single-writer ingest (the commit sequencer is the documented write
+      // surface); bounded — the events table tops out at 100k rows (sf0.1)
+      val rows = graft.util.Tables(spark, sfDir, "events")
+        .select(col("event_id"), col("event_type"), col("props"))
+        .orderBy("event_id")
+        .collect()
+      rows.grouped(10000).zipWithIndex.foreach { case (batch, i) =>
+        b.appendMulti(
+          batch.toSeq.map(r => EventData(r.getString(1), r.getString(2))))
+        if (i % 2 == 1) b.compact() // ~20k-row segments
+      }
+      b.compact()
+    } finally b.close()
+
+    try Files.move(staging, base, StandardCopyOption.ATOMIC_MOVE)
+    catch {
+      case _: java.nio.file.FileAlreadyExistsException |
+          _: java.nio.file.DirectoryNotEmptyException |
+          _: java.nio.file.AccessDeniedException =>
+        deleteRecursively(staging) // another process won; copies are identical
+    }
+    base.toString
+  }
+
+  private def deleteRecursively(p: Path): Unit = {
+    import scala.jdk.CollectionConverters._
+    scala.util.Using.resource(Files.walk(p))(
+      _.sorted(java.util.Comparator.reverseOrder()).iterator().asScala
+        .foreach(Files.delete))
+  }
+}

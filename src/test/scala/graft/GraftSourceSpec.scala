@@ -143,6 +143,20 @@ class GraftSourceSpec extends AnyFunSuite {
     Files.move(old, segs) // restore for temp-dir hygiene
   }
 
+  test("batch scans execute columnar (vectorized reader, not row-by-row)") {
+    val dir = mkLog()
+    val df = spark.read.format("graft").load(dir)
+      .filter(col("version") >= 12 && col("version") <= 33) // clips 2 files
+    val plan = df.queryExecution.executedPlan
+    // a columnar V2 scan surfaces through a ColumnarToRow transition
+    assert(plan.exists(
+      _.isInstanceOf[org.apache.spark.sql.execution.ColumnarToRowExec]),
+      plan.toString)
+    // and clipped edge batches + tail batch are still row-exact
+    assert(df.select("version").collect().map(_.getLong(0)).sorted.toSeq
+      === (12L to 33L))
+  }
+
   test("offset json round-trips") {
     assert(GraftOffset.parse(GraftOffset(42L).json()) === 42L)
     intercept[IllegalArgumentException](GraftOffset.parse("""{"v":1}"""))
