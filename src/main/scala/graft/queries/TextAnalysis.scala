@@ -141,16 +141,7 @@ object TextAnalysis {
     // events.props, the one column in the testdata with id-like content.
     "text_pii_scrub" -> { (s, dir) =>
       val e = Tables(s, dir, "events")
-      e.select(col("event_id"), col("props"))
-        .withColumn("scrubbed",
-          regexp_replace(regexp_replace(regexp_replace(col("props"),
-            PiiEmail, "<email>"), PiiIp, "<ip>"), PiiNum, "<num>"))
-        .withColumn("n_email",
-          size(regexp_extract_all(col("props"), lit(PiiEmail), lit(0))).cast("long"))
-        .withColumn("n_ip",
-          size(regexp_extract_all(col("props"), lit(PiiIp), lit(0))).cast("long"))
-        .withColumn("n_num",
-          size(regexp_extract_all(col("props"), lit(PiiNum), lit(0))).cast("long"))
+      e.select(col("event_id") +: col("props") +: piiColumns(col("props")): _*)
         .orderBy("event_id")
     },
 
@@ -236,10 +227,23 @@ object TextAnalysis {
   )
 
   // PII patterns — shared between the Spark query and the DuckDB oracle;
-  // restricted to the Java-regex ∩ RE2 common subset
+  // restricted to the Java-regex ∩ RE2 common subset. PiiCorpusSpec pins
+  // the edge-case behavior (adjacent matches, digits inside IPs, '+' in
+  // email local parts) to values verified against DuckDB.
   private val PiiEmail = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
   private val PiiIp = "([0-9]{1,3}\\.){3}[0-9]{1,3}"
   private val PiiNum = "[0-9]+"
+
+  /** The text_pii_scrub projection over any text column — one shared
+    * definition so the query and its corpus spec can never drift. */
+  private[graft] def piiColumns(text: Column): Seq[Column] = Seq(
+    regexp_replace(regexp_replace(regexp_replace(text,
+      PiiEmail, "<email>"), PiiIp, "<ip>"), PiiNum, "<num>").as("scrubbed"),
+    size(regexp_extract_all(text, lit(PiiEmail), lit(0))).cast("long")
+      .as("n_email"),
+    size(regexp_extract_all(text, lit(PiiIp), lit(0))).cast("long").as("n_ip"),
+    size(regexp_extract_all(text, lit(PiiNum), lit(0))).cast("long")
+      .as("n_num"))
 
   private val lexiconValues =
     Lexicon.map { case (l, m) => s"('$l', '$m')" }.mkString(", ")

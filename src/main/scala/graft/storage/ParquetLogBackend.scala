@@ -525,7 +525,7 @@ object ParquetLogBackend {
             p.getFileName.toString match {
               case SegmentName(v0, v1) => (p.toString, v0.toLong, v1.toLong)
               case _ =>
-                val (v0, v1) = footerVersionRange(p.toString)
+                val (v0, v1) = cachedFooterRange(p)
                 (p.toString, v0, v1)
             }
           }.toList)
@@ -549,6 +549,22 @@ object ParquetLogBackend {
     val segs = listSegments()
     val watermark = if (segs.isEmpty) 0L else segs.map(_._3).max
     (segs, tail.filter(_.version > watermark).toList)
+  }
+
+  /** Footer-derived ranges for legacy unnamed segment files, cached by
+    * (path, size, mtime): segments are immutable once written, but the
+    * streaming path calls readView at least twice per trigger — without
+    * this, a log with legacy files pays repeated per-trigger footer I/O.
+    * Bounded: entries exist only for pre-self-describing-name files. */
+  private val footerRangeCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, Long, Long), (Long, Long)]()
+
+  private def cachedFooterRange(p: Path): (Long, Long) = {
+    val attrs = Files.readAttributes(p,
+      classOf[java.nio.file.attribute.BasicFileAttributes])
+    footerRangeCache.computeIfAbsent(
+      (p.toString, attrs.size(), attrs.lastModifiedTime().toMillis),
+      _ => footerVersionRange(p.toString))
   }
 
   /** min/max of the `version` column from parquet footer statistics —
