@@ -31,6 +31,7 @@ object Dedup {
   private val MaxBandBucket = 64 // LSH band bucket: docs per (band, key)
   private val MaxShingleDf = 64 // inverted index: docs per distinct shingle
   private val MaxCellSize = 65536 // embedding cosine: vectors per coarse cell
+  private val MaxCcIterations = 25 // dedup_clusters label-propagation cap
 
   // Random-hyperplane LSH (SimHash for vectors): 32 sign bits in 4 bands of
   // 8. Bit agreement P = 1 - θ/π, so a cosine-0.8 pair collides in a band
@@ -79,6 +80,48 @@ object Dedup {
       .select(col("doc_id"),
         graft.exprs.functions.simhash32(toks(col("text"))).as("simhash"))
 
+  /** MinHash+LSH verified candidate pairs (doc_a < doc_b, sim_est >= 0.5) —
+    * shared by dedup_minhash_lsh and dedup_clusters. Signatures RIDE the
+    * band rows (~96 B per row) so the self-join's two sides are identical
+    * subplans — one signature computation via exchange reuse, and no extra
+    * shuffle joins to re-attach signatures to pairs (at 100TB the signature
+    * table is too big to broadcast and re-joining it would cost two more
+    * full shuffles). */
+  private def minhashPairs(s: SparkSession, dir: String): DataFrame = {
+    val mins = minhashTable(s, dir)
+    // band key = xxhash64 of the band's 4 minhashes: an 8-byte shuffle key
+    // instead of a concatenated string (same buckets; 64-bit collisions are
+    // ~n²/2⁶⁴ — negligible, and verification filters false candidates).
+    val bands = mins.select(col("doc_id"), col("mins"),
+      explode(transform(sequence(lit(0), lit(NumBands - 1)), b =>
+        struct(b.as("band"), xxhash64(
+          (0 until RowsPerBand).map(r =>
+            element_at(col("mins"), b * RowsPerBand + r + 1)): _*).as("bkey"))))
+        .as("bk"))
+      .select(col("doc_id"), col("mins"),
+        col("bk.band").as("band"), col("bk.bkey").as("bkey"))
+    // Hot-band cap: the bucket-size count shuffles on (band, bkey) — the
+    // same keys the candidate self-join needs, so both join sides still
+    // collapse into one exchange via reuse.
+    val wb = Window.partitionBy(col("band"), col("bkey"))
+    val capped = bands
+      .withColumn("bsz", count(lit(1)).over(wb))
+      .filter(col("bsz") <= MaxBandBucket)
+      .drop("bsz")
+    capped.select(col("doc_id").as("doc_a"), col("mins").as("mins_a"),
+        col("band"), col("bkey"))
+      .join(capped.select(col("doc_id").as("doc_b"), col("mins").as("mins_b"),
+        col("band"), col("bkey")), Seq("band", "bkey"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b", "mins_a", "mins_b").distinct()
+      .withColumn("sim_est",
+        size(filter(sequence(lit(1), lit(NumHashes)), i =>
+          element_at(col("mins_a"), i) === element_at(col("mins_b"), i)))
+          / lit(NumHashes.toDouble))
+      .filter(col("sim_est") >= 0.5)
+      .select("doc_a", "doc_b", "sim_est")
+  }
+
   val queries: Map[String, Q] = Map(
     // Exact dedup: content-hash grouping, min doc_id is the keeper.
     "dedup_exact" -> { (s, dir) =>
@@ -92,46 +135,59 @@ object Dedup {
     },
 
     // MinHash + LSH: shingle -> one md5 -> 12 affine minhashes -> 3 bands of
-    // 4 -> bucket join for candidates -> verify by minhash agreement >= 0.5.
-    // Signatures RIDE the band rows (~96 B per row) so the self-join's two
-    // sides are identical subplans — one signature computation via exchange
-    // reuse, and no extra shuffle joins to re-attach signatures to pairs (at
-    // 100TB the signature table is too big to broadcast and re-joining it
-    // would cost two more full shuffles).
+    // 4 -> bucket join for candidates -> verify by minhash agreement >= 0.5
+    // (scale shape documented on minhashPairs).
     "dedup_minhash_lsh" -> { (s, dir) =>
-      val mins = minhashTable(s, dir)
-      // band key = xxhash64 of the band's 4 minhashes: an 8-byte shuffle key
-      // instead of a concatenated string (same buckets; 64-bit collisions are
-      // ~n²/2⁶⁴ — negligible, and verification filters false candidates).
-      val bands = mins.select(col("doc_id"), col("mins"),
-        explode(transform(sequence(lit(0), lit(NumBands - 1)), b =>
-          struct(b.as("band"), xxhash64(
-            (0 until RowsPerBand).map(r =>
-              element_at(col("mins"), b * RowsPerBand + r + 1)): _*).as("bkey"))))
-          .as("bk"))
-        .select(col("doc_id"), col("mins"),
-          col("bk.band").as("band"), col("bk.bkey").as("bkey"))
-      // Hot-band cap: the bucket-size count shuffles on (band, bkey) — the
-      // same keys the candidate self-join needs, so both join sides still
-      // collapse into one exchange via reuse.
-      val wb = Window.partitionBy(col("band"), col("bkey"))
-      val capped = bands
-        .withColumn("bsz", count(lit(1)).over(wb))
-        .filter(col("bsz") <= MaxBandBucket)
-        .drop("bsz")
-      capped.select(col("doc_id").as("doc_a"), col("mins").as("mins_a"),
-          col("band"), col("bkey"))
-        .join(capped.select(col("doc_id").as("doc_b"), col("mins").as("mins_b"),
-          col("band"), col("bkey")), Seq("band", "bkey"))
-        .filter(col("doc_a") < col("doc_b"))
-        .select("doc_a", "doc_b", "mins_a", "mins_b").distinct()
-        .withColumn("sim_est",
-          size(filter(sequence(lit(1), lit(NumHashes)), i =>
-            element_at(col("mins_a"), i) === element_at(col("mins_b"), i)))
-            / lit(NumHashes.toDouble))
-        .filter(col("sim_est") >= 0.5)
-        .select("doc_a", "doc_b", "sim_est")
-        .orderBy("doc_a", "doc_b")
+      minhashPairs(s, dir).orderBy("doc_a", "doc_b")
+    },
+
+    // Transitive dedup clustering: near-dup PAIRS don't say what to drop
+    // when A~B and B~C but A≁C — training pipelines need one cluster id per
+    // document. Connected components over the minhash-LSH pair graph via
+    // min-label propagation: each round, every doc takes the smallest label
+    // in its neighborhood; rounds = label-propagation radius (near-dup
+    // clusters are dense, so a handful in practice; a convergence require()
+    // guards the cap rather than silently mis-clustering). Each round is
+    // one shuffle of the edge list + one of the label table — the same
+    // iterate-to-fixpoint shape GraphX/GraphFrames CC uses at cluster
+    // scale; lineage is truncated per round so plans stay flat.
+    "dedup_clusters" -> { (s, dir) =>
+      val pairs = minhashPairs(s, dir).select("doc_a", "doc_b")
+      val docs = Tables(s, dir, "documents").select(col("doc_id"))
+      val edges = pairs
+        .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+        .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+        .localCheckpoint(true)
+      var labels = docs
+        .select(col("doc_id"), col("doc_id").as("cluster_id"))
+        .localCheckpoint(true)
+      var converged = false
+      var iter = 0
+      while (!converged && iter < MaxCcIterations) {
+        val nbrMin = edges
+          .join(labels, edges("src") === labels("doc_id"))
+          .groupBy(col("dst")).agg(min(col("cluster_id")).as("nbr_min"))
+        val next = labels
+          .join(nbrMin, labels("doc_id") === nbrMin("dst"), "left")
+          .select(labels("doc_id"),
+            least(col("cluster_id"), coalesce(col("nbr_min"), col("cluster_id")))
+              .as("cluster_id"))
+          .localCheckpoint(true)
+        converged = next
+          .join(labels.withColumnRenamed("cluster_id", "prev"), "doc_id")
+          .filter(col("cluster_id") =!= col("prev"))
+          .isEmpty
+        labels = next
+        iter += 1
+      }
+      require(converged,
+        s"dedup_clusters: not converged after $MaxCcIterations rounds")
+      val wc = Window.partitionBy(col("cluster_id"))
+      labels
+        .withColumn("cluster_size", count(lit(1)).over(wc))
+        .select(col("doc_id"), col("cluster_id"), col("cluster_size"),
+          (col("doc_id") =!= col("cluster_id")).as("is_dup"))
+        .orderBy("doc_id")
     },
 
     // SimHash: 32-bit fingerprint from md5 bits of each token occurrence.
@@ -322,6 +378,33 @@ object Dedup {
       |  ELSE list_transform(range(1, len(w)-1), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]) END AS sh
       |FROM (SELECT doc_id, string_split_regex(text, '\s+') AS w FROM documents)""".stripMargin
 
+  /** DuckDB mirror of [[minhashPairs]]: CTE chain ending in
+    * `pairs(doc_a, doc_b, sim_est)`. */
+  private def minhashPairsSqlCtes: String =
+    s"""sh AS ($shinglesSql),
+       |mh AS (SELECT doc_id,
+       |  list_transform(range(0, 12), j ->
+       |    list_min(list_transform(sh, sg ->
+       |      ((j*2+1) * list_reduce(list_transform(range(1, 9),
+       |          i -> instr('0123456789abcdef', substr(md5(sg), i, 1)) - 1),
+       |        (a, b) -> a*16 + b) + j*12582917) % 2147483647))) AS mins
+       |  FROM sh),
+       |bands AS (SELECT doc_id, b,
+       |  mins[4*b+1] || '|' || mins[4*b+2] || '|' || mins[4*b+3] || '|' || mins[4*b+4] AS bkey
+       |  FROM mh, (SELECT unnest(range(0, 3)) AS b)),
+       |capped AS (SELECT doc_id, b, bkey FROM (
+       |  SELECT doc_id, b, bkey, count(*) OVER (PARTITION BY b, bkey) AS bsz
+       |  FROM bands) WHERE bsz <= $MaxBandBucket),
+       |cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+       |  FROM capped x JOIN capped y
+       |    ON x.b = y.b AND x.bkey = y.bkey AND x.doc_id < y.doc_id),
+       |pairs AS (SELECT doc_a, doc_b,
+       |  len(list_filter(range(1, 13), i -> ma.mins[i] = mb.mins[i])) / 12.0 AS sim_est
+       |  FROM cand
+       |  JOIN mh ma ON cand.doc_a = ma.doc_id
+       |  JOIN mh mb ON cand.doc_b = mb.doc_id
+       |  WHERE len(list_filter(range(1, 13), i -> ma.mins[i] = mb.mins[i])) / 12.0 >= 0.5)""".stripMargin
+
   val oracle: Map[String, String] = Map(
     "dedup_exact" ->
       """SELECT doc_id, md5(text) AS content_hash,
@@ -330,30 +413,28 @@ object Dedup {
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     "dedup_minhash_lsh" ->
-      s"""WITH sh AS ($shinglesSql),
-         |mh AS (SELECT doc_id,
-         |  list_transform(range(0, 12), j ->
-         |    list_min(list_transform(sh, sg ->
-         |      ((j*2+1) * list_reduce(list_transform(range(1, 9),
-         |          i -> instr('0123456789abcdef', substr(md5(sg), i, 1)) - 1),
-         |        (a, b) -> a*16 + b) + j*12582917) % 2147483647))) AS mins
-         |  FROM sh),
-         |bands AS (SELECT doc_id, b,
-         |  mins[4*b+1] || '|' || mins[4*b+2] || '|' || mins[4*b+3] || '|' || mins[4*b+4] AS bkey
-         |  FROM mh, (SELECT unnest(range(0, 3)) AS b)),
-         |capped AS (SELECT doc_id, b, bkey FROM (
-         |  SELECT doc_id, b, bkey, count(*) OVER (PARTITION BY b, bkey) AS bsz
-         |  FROM bands) WHERE bsz <= $MaxBandBucket),
-         |cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
-         |  FROM capped x JOIN capped y
-         |    ON x.b = y.b AND x.bkey = y.bkey AND x.doc_id < y.doc_id)
-         |SELECT doc_a, doc_b,
-         |  len(list_filter(range(1, 13), i -> ma.mins[i] = mb.mins[i])) / 12.0 AS sim_est
-         |FROM cand
-         |JOIN mh ma ON cand.doc_a = ma.doc_id
-         |JOIN mh mb ON cand.doc_b = mb.doc_id
-         |WHERE len(list_filter(range(1, 13), i -> ma.mins[i] = mb.mins[i])) / 12.0 >= 0.5
+      s"""WITH $minhashPairsSqlCtes
+         |SELECT doc_a, doc_b, sim_est FROM pairs
          |ORDER BY doc_a, doc_b""".stripMargin,
+
+    // connected components as a recursive min-reachability closure: lab
+    // walks every edge path, so min(lab) per doc is exactly the component
+    // minimum the Spark-side label propagation converges to
+    "dedup_clusters" ->
+      s"""WITH RECURSIVE $minhashPairsSqlCtes,
+         |edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+         |  UNION SELECT doc_b, doc_a FROM pairs),
+         |reach AS (
+         |  SELECT doc_id AS id, doc_id AS lab FROM documents
+         |  UNION
+         |  SELECT e.v AS id, r.lab AS lab
+         |  FROM reach r JOIN edges e ON e.u = r.id),
+         |cl AS (SELECT id AS doc_id, min(lab) AS cluster_id
+         |  FROM reach GROUP BY id)
+         |SELECT doc_id, cluster_id,
+         |  count(*) OVER (PARTITION BY cluster_id) AS cluster_size,
+         |  doc_id <> cluster_id AS is_dup
+         |FROM cl ORDER BY doc_id""".stripMargin,
 
     "dedup_simhash" ->
       s"""WITH $simhashFpSql

@@ -23,6 +23,7 @@ object TextAnalysis {
     "zh" -> "spark", "zh" -> "query", "zh" -> "stream")
 
   private val Stopwords = Seq("the", "a", "of", "to", "in", "is", "and")
+  private val SamplePerStratum = 20 // sample_stratified: docs kept per lang
 
   private def toks(c: Column): Column = split(c, "\\s+")
 
@@ -143,6 +144,23 @@ object TextAnalysis {
       val e = Tables(s, dir, "events")
       e.select(col("event_id") +: col("props") +: piiColumns(col("props")): _*)
         .orderBy("event_id")
+    },
+
+    // Deterministic stratified sampling: k docs per language, ordered by a
+    // content-independent hash of the id (md5) — a uniform-without-
+    // replacement sample that is reproducible across runs, engines, and
+    // cluster sizes (no rand(), no seed plumbing). The rank window is
+    // per-stratum — parallel by construction; at 100 TB a hot stratum
+    // pre-filters cheaply on a hash threshold (md5 < bound covers k with
+    // high probability) before the exact rank, same hash, same sample.
+    "sample_stratified" -> { (s, dir) =>
+      val d = Tables(s, dir, "documents")
+      val w = Window.partitionBy(col("lang"))
+        .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+      d.select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+        .withColumn("rk", row_number().over(w).cast("long"))
+        .filter(col("rk") <= SamplePerStratum)
+        .orderBy("doc_id")
     },
 
     // Fingerprinting: normalize (lowercase, strip punct, collapse ws) -> md5;
@@ -323,6 +341,14 @@ object TextAnalysis {
          |  len(regexp_extract_all(props, '$PiiIp')) AS n_ip,
          |  len(regexp_extract_all(props, '$PiiNum')) AS n_num
          |FROM events ORDER BY event_id""".stripMargin,
+
+    "sample_stratified" ->
+      s"""SELECT doc_id, lang, source, n_chars, rk FROM (
+         |  SELECT doc_id, lang, source, n_chars,
+         |    row_number() OVER (PARTITION BY lang
+         |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+         |  FROM documents)
+         |WHERE rk <= $SamplePerStratum ORDER BY doc_id""".stripMargin,
 
     "text_fingerprint" ->
       """SELECT doc_id,
