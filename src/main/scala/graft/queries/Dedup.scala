@@ -143,45 +143,15 @@ object Dedup {
 
     // Transitive dedup clustering: near-dup PAIRS don't say what to drop
     // when A~B and B~C but A≁C — training pipelines need one cluster id per
-    // document. Connected components over the minhash-LSH pair graph via
-    // min-label propagation: each round, every doc takes the smallest label
-    // in its neighborhood; rounds = label-propagation radius (near-dup
-    // clusters are dense, so a handful in practice; a convergence require()
-    // guards the cap rather than silently mis-clustering). Each round is
-    // one shuffle of the edge list + one of the label table — the same
-    // iterate-to-fixpoint shape GraphX/GraphFrames CC uses at cluster
-    // scale; lineage is truncated per round so plans stay flat.
+    // document. Connected components over the minhash-LSH pair graph
+    // (min-label propagation; scale shape and convergence contract on
+    // [[graft.operators.ConnectedComponents]]).
     "dedup_clusters" -> { (s, dir) =>
       val pairs = minhashPairs(s, dir).select("doc_a", "doc_b")
       val docs = Tables(s, dir, "documents").select(col("doc_id"))
-      val edges = pairs
-        .select(col("doc_a").as("src"), col("doc_b").as("dst"))
-        .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-        .localCheckpoint(true)
-      var labels = docs
-        .select(col("doc_id"), col("doc_id").as("cluster_id"))
-        .localCheckpoint(true)
-      var converged = false
-      var iter = 0
-      while (!converged && iter < MaxCcIterations) {
-        val nbrMin = edges
-          .join(labels, edges("src") === labels("doc_id"))
-          .groupBy(col("dst")).agg(min(col("cluster_id")).as("nbr_min"))
-        val next = labels
-          .join(nbrMin, labels("doc_id") === nbrMin("dst"), "left")
-          .select(labels("doc_id"),
-            least(col("cluster_id"), coalesce(col("nbr_min"), col("cluster_id")))
-              .as("cluster_id"))
-          .localCheckpoint(true)
-        converged = next
-          .join(labels.withColumnRenamed("cluster_id", "prev"), "doc_id")
-          .filter(col("cluster_id") =!= col("prev"))
-          .isEmpty
-        labels = next
-        iter += 1
-      }
-      require(converged,
-        s"dedup_clusters: not converged after $MaxCcIterations rounds")
+      val labels = graft.operators.ConnectedComponents
+        .run(docs, pairs, MaxCcIterations)
+        .select(col("id").as("doc_id"), col("component").as("cluster_id"))
       val wc = Window.partitionBy(col("cluster_id"))
       labels
         .withColumn("cluster_size", count(lit(1)).over(wc))

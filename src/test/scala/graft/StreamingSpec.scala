@@ -2,7 +2,7 @@ package graft
 
 import graft.core.EventData
 import graft.storage.ParquetLogBackend
-import graft.streaming.{LogStream, VersionHub}
+import graft.streaming.{LogStream, StreamOps, VersionHub}
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -208,6 +208,34 @@ class StreamingSpec extends AnyFunSuite {
         .selectExpr("unix_timestamp(win_start)", "label", "n")
         .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
       assert(got == Set((0L, "a", 2L), (0L, "b", 1L), (600L, "a", 1L)))
+    } finally q.stop()
+  }
+
+  test("streaming exact dedup keeps first occurrence, expires by watermark") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(java.sql.Timestamp, String)]
+    def ts(s: Long) = new java.sql.Timestamp(s * 1000L)
+    val q = StreamOps
+      .dedupExact(mem.toDF().toDF("ts", "text"), "ts", "text", "10 seconds")
+      .writeStream.format("memory").queryName("sdedup")
+      .outputMode("append").start()
+    try {
+      mem.addData((ts(10), "aaa"), (ts(11), "bbb"), (ts(12), "aaa"))
+      q.processAllAvailable() // one aaa + one bbb emitted
+      mem.addData((ts(13), "aaa")) // within the dedup window → dropped
+      q.processAllAvailable()
+      assert(spark.table("sdedup").select("text").collect()
+        .map(_.getString(0)).sorted.toSeq === Seq("aaa", "bbb"))
+      // advance the watermark far past aaa's event time + delay: the
+      // hash's state is expired, a re-occurrence is a NEW document
+      mem.addData((ts(100), "ccc"))
+      q.processAllAvailable()
+      mem.addData((ts(101), "aaa"))
+      q.processAllAvailable()
+      assert(spark.table("sdedup").select("text").collect()
+        .map(_.getString(0)).sorted.toSeq
+        === Seq("aaa", "aaa", "bbb", "ccc"))
     } finally q.stop()
   }
 
