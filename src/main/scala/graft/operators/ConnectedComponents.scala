@@ -29,30 +29,46 @@ object ConnectedComponents {
       .union(edges
         .select(col(edges.columns(1)).as("src"), col(edges.columns(0)).as("dst")))
       .localCheckpoint(true)
-    var labels = vertices
+    // ckpt holds the checkpointed plan (releasable); labels is the 2-column
+    // view of it the next round consumes
+    var ckpt = vertices
       .select(col(idCol).as("id"), col(idCol).as("component"))
       .localCheckpoint(true)
+    var labels = ckpt
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
       val nbrMin = sym
         .join(labels, sym("src") === labels("id"))
         .groupBy(col("dst")).agg(min(col("component")).as("nbr_min"))
+      // prev rides along so convergence is a filter on `next` itself — no
+      // second full join of the label table per round
       val next = labels
         .join(nbrMin, labels("id") === nbrMin("dst"), "left")
         .select(labels("id"),
           least(col("component"), coalesce(col("nbr_min"), col("component")))
-            .as("component"))
+            .as("component"),
+          col("component").as("prev"))
         .localCheckpoint(true)
-      converged = next
-        .join(labels.withColumnRenamed("component", "prev"), "id")
-        .filter(col("component") =!= col("prev"))
-        .isEmpty
-      labels = next
+      converged = next.filter(col("component") =!= col("prev")).isEmpty
+      release(ckpt)
+      ckpt = next
+      labels = next.select("id", "component")
       iter += 1
     }
     require(converged,
       s"ConnectedComponents: not converged after $maxIter rounds")
-    labels
+    val out = labels
+    release(sym)
+    out
   }
+
+  /** Free a superseded localCheckpoint's cached blocks eagerly instead of
+    * waiting for the ContextCleaner: up to maxIter label-table copies
+    * would otherwise sit in executor storage until GC. */
+  private def release(df: DataFrame): Unit =
+    df.queryExecution.optimizedPlan match {
+      case r: org.apache.spark.sql.execution.LogicalRDD => r.rdd.unpersist(false)
+      case _ => () // not a checkpointed plan (or internals changed): let GC handle it
+    }
 }

@@ -200,7 +200,7 @@ object GraftPartitions {
       // carry a bound only when it actually cuts into this file's own
       // range — a fully-covered file then reads unbounded: no forced
       // version projection, no parquet filter, no per-row range check
-      files += GraftFilePartition(f, v0, v1,
+      files += GraftFilePartition(f,
         if (minV > v0) minV else 1L,
         if (maxV < v1) maxV else Long.MaxValue)
       covered += math.min(maxV, v1) - math.max(minV, v0) + 1L
@@ -213,20 +213,19 @@ object GraftPartitions {
   }
 }
 
-/** `v0`/`v1` are the file's own (dense) version range from its segment
-  * name; `minV`/`maxV` are the scan bounds, kept at 1/MaxValue when they
-  * don't cut into this file. */
-final case class GraftFilePartition(
-    file: String, v0: Long, v1: Long, minV: Long, maxV: Long)
+final case class GraftFilePartition(file: String, minV: Long, maxV: Long)
     extends InputPartition
 final case class GraftTailPartition(events: Array[StoredEvent])
     extends InputPartition
 
-/** All partitions read COLUMNAR: segment files through Spark's vectorized
-  * parquet reader (the same decoder the built-in file source uses — batch
-  * pass-through, no per-row materialization), the commit-log tail as one
-  * built [[ColumnarBatch]]. The row-based readers below remain as the
-  * non-columnar fallback path. */
+/** All partitions read COLUMNAR. Fully-covered segment files go through
+  * Spark's vectorized parquet reader (the same decoder the built-in file
+  * source uses — zero-copy batch pass-through). Version-BOUNDED reads (the
+  * streaming micro-batch shape, the ≤2 clipped edge files of a range scan)
+  * go through the row reader — whose parquet stats filter SKIPS
+  * non-overlapping row groups without decoding, keeping a capped
+  * micro-batch O(cap) instead of O(segment) — packed into columnar
+  * batches. The commit-log tail arrives as one built [[ColumnarBatch]]. */
 final class GraftReaderFactory(required: StructType)
     extends PartitionReaderFactory {
 
@@ -235,90 +234,84 @@ final class GraftReaderFactory(required: StructType)
   override def createColumnarReader(
       p: InputPartition): PartitionReader[ColumnarBatch] =
     p match {
-      case GraftFilePartition(f, v0, v1, lo, hi) =>
-        new GraftColumnarSegmentReader(f, v0, v1, lo, hi, required)
+      case GraftFilePartition(f, lo, hi)
+          if lo <= 1L && hi == Long.MaxValue =>
+        new GraftColumnarSegmentReader(f, required)
+      case GraftFilePartition(f, lo, hi) =>
+        new GraftPackedColumnarReader(
+          new GraftSegmentReader(f, lo, hi, required), required)
       case GraftTailPartition(events) =>
         new GraftColumnarTailReader(events, required)
     }
 
   override def createReader(p: InputPartition): PartitionReader[InternalRow] =
     p match {
-      case GraftFilePartition(f, _, _, lo, hi) =>
+      case GraftFilePartition(f, lo, hi) =>
         new GraftSegmentReader(f, lo, hi, required)
       case GraftTailPartition(events) =>
         new GraftTailReader(events, required)
     }
 }
 
-/** Vectorized columnar read of one segment file. Version bounds never
-  * touch data: versions are dense within a segment (commit-sequencer
-  * contract), so the surviving rows are exactly the global row range
-  * `[lo-v0, min(hi,v1)-v0]` — fully-covered batches pass through with zero
-  * copies, the at-most-two clipped edge batches are slice-copied, and the
-  * version column is never required for filtering. */
-final class GraftColumnarSegmentReader(
-    file: String, fileV0: Long, fileV1: Long, lo: Long, hi: Long,
-    required: StructType)
+/** Vectorized columnar read of one FULLY-covered segment file: every batch
+  * passes through with zero copies and no per-row work at all. */
+final class GraftColumnarSegmentReader(file: String, required: StructType)
     extends PartitionReader[ColumnarBatch] {
   import org.apache.spark.sql.execution.datasources.parquet.VectorizedParquetRecordReader
-  import org.apache.spark.sql.execution.vectorized.OnHeapColumnVector
-
-  private val startRow: Long = math.max(0L, lo - fileV0)
-  private val endRow: Long = math.min(hi, fileV1) - fileV0
 
   private val reader = new VectorizedParquetRecordReader(false, 4096)
   reader.initialize(file, util.Arrays.asList(required.fieldNames: _*))
   reader.enableReturningBatches()
 
-  private var rowsSeen = 0L
+  override def next(): Boolean = reader.nextKeyValue()
+  override def get(): ColumnarBatch =
+    reader.getCurrentValue.asInstanceOf[ColumnarBatch]
+  override def close(): Unit = reader.close()
+}
+
+/** Adapts a row [[PartitionReader]] to the columnar contract by packing
+  * rows into [[ColumnarBatch]]es. Used for version-bounded segment reads,
+  * which are small by construction (micro-batch caps, clipped range-scan
+  * edges) — the win of the row path's row-group stats skipping outweighs
+  * per-row materialization there. */
+final class GraftPackedColumnarReader(
+    rows: PartitionReader[InternalRow], required: StructType)
+    extends PartitionReader[ColumnarBatch] {
+  import org.apache.spark.sql.execution.vectorized.OnHeapColumnVector
+
+  private val Cap = 4096
+  private var pending = false // rows.get() holds an unpacked row
   private var batch: ColumnarBatch = _
 
   override def next(): Boolean = {
-    while (reader.nextKeyValue()) {
-      val b = reader.getCurrentValue.asInstanceOf[ColumnarBatch]
-      val n = b.numRows()
-      val s = rowsSeen
-      rowsSeen += n
-      if (n > 0 && s <= endRow && s + n - 1 >= startRow) {
-        batch =
-          if (s >= startRow && s + n - 1 <= endRow) b
-          else slice(b,
-            (math.max(startRow, s) - s).toInt,
-            (math.min(endRow, s + n - 1) - s).toInt)
-        return true
-      }
-    }
-    batch = null
-    false
-  }
-
-  private def slice(b: ColumnarBatch, from: Int, to: Int): ColumnarBatch = {
-    val len = to - from + 1
-    val out = OnHeapColumnVector.allocateColumns(len, required)
-    var c = 0
-    while (c < required.length) {
-      val src = b.column(c)
-      val dst = out(c)
-      required.fields(c).dataType match {
-        case LongType =>
-          var i = 0
-          while (i < len) { dst.putLong(i, src.getLong(from + i)); i += 1 }
-        case _ =>
-          var i = 0
-          while (i < len) {
-            dst.putByteArray(i, src.getUTF8String(from + i).getBytes)
-            i += 1
+    if (!pending && !rows.next()) { batch = null; false }
+    else {
+      val out = OnHeapColumnVector.allocateColumns(Cap, required)
+      var n = 0
+      var more = true
+      while (more && n < Cap) {
+        val r = rows.get()
+        var c = 0
+        while (c < required.length) {
+          required.fields(c).dataType match {
+            case LongType => out(c).putLong(n, r.getLong(c))
+            case _ => out(c).putByteArray(n, r.getUTF8String(c).getBytes)
           }
+          c += 1
+        }
+        n += 1
+        more = rows.next()
       }
-      c += 1
+      pending = more
+      batch = new ColumnarBatch(
+        out.asInstanceOf[Array[org.apache.spark.sql.vectorized.ColumnVector]],
+        n)
+      true
     }
-    new ColumnarBatch(
-      out.asInstanceOf[Array[org.apache.spark.sql.vectorized.ColumnVector]],
-      len)
   }
 
   override def get(): ColumnarBatch = batch
-  override def close(): Unit = reader.close()
+  override def close(): Unit = rows.close()
 }
 
 /** The commit-log tail as a single built columnar batch (tail size is
@@ -505,7 +498,9 @@ final class GraftMicroBatchStream(
     val from = GraftOffset.version(start)
     val tip = if (frozenTip >= 0L) frozenTip else tipVersion()
     val capped = limit match {
-      case r: ReadMaxRows => math.min(tip, from + r.maxRows())
+      // saturating: maxRows near Long.MaxValue must mean "unbounded", not
+      // overflow into a negative end offset that stalls the stream
+      case r: ReadMaxRows if r.maxRows() < tip - from => from + r.maxRows()
       case _ => tip
     }
     GraftOffset(math.max(from, capped))

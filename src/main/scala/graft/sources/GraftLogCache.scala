@@ -13,14 +13,28 @@ import java.nio.file.{Files, Path, Paths, StandardCopyOption}
   * so `format("graft")` scans can be oracle-checked and benched against
   * the same parquet the relational queries read.
   *
-  * Cached under the JVM temp dir keyed by the testdata path; built into a
-  * staging directory and atomically renamed, so concurrent builders race
-  * benignly (the loser discards its identical staging copy) and a crashed
-  * build can never be mistaken for a complete log. */
+  * Cached under the JVM temp dir keyed by the testdata path AND the events
+  * parquet's size/mtime fingerprint — a regenerated table at the same path
+  * gets a fresh log instead of a silently stale one (the oracle reads the
+  * parquet directly, so staleness here would surface as a hash mismatch).
+  * Built into a staging directory and atomically renamed, so concurrent
+  * builders race benignly (the loser discards its identical staging copy)
+  * and a crashed build can never be mistaken for a complete log. */
 object GraftLogCache {
   def ensure(spark: SparkSession, sfDir: String): String = synchronized {
+    val src = Paths.get(sfDir, "events.parquet")
+    val fingerprint = {
+      import scala.jdk.CollectionConverters._
+      val files = scala.util.Using.resource(Files.walk(src))(
+        _.iterator().asScala.filter(Files.isRegularFile(_)).toList)
+      val size = files.map(Files.size).sum
+      val mtime =
+        (0L +: files.map(Files.getLastModifiedTime(_).toMillis)).max
+      s"$size-$mtime"
+    }
     val key = java.security.MessageDigest.getInstance("MD5")
-      .digest(sfDir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
+      .digest(s"$sfDir|$fingerprint".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.take(12)
     val base = Paths.get(
       sys.props.getOrElse("java.io.tmpdir", "/tmp"), s"graft-logcache-$key")
     if (Files.exists(base.resolve("meta.json"))) return base.toString
@@ -49,15 +63,9 @@ object GraftLogCache {
       case _: java.nio.file.FileAlreadyExistsException |
           _: java.nio.file.DirectoryNotEmptyException |
           _: java.nio.file.AccessDeniedException =>
-        deleteRecursively(staging) // another process won; copies are identical
+        // another process won the race; its copy is identical
+        ParquetLogBackend.deleteRecursively(staging)
     }
     base.toString
-  }
-
-  private def deleteRecursively(p: Path): Unit = {
-    import scala.jdk.CollectionConverters._
-    scala.util.Using.resource(Files.walk(p))(
-      _.sorted(java.util.Comparator.reverseOrder()).iterator().asScala
-        .foreach(Files.delete))
   }
 }

@@ -215,11 +215,7 @@ final class ParquetLogBackend private (
     }
 
   private def deleteRecursively(p: Path): Unit =
-    if (Files.exists(p)) {
-      scala.util.Using.resource(Files.walk(p))(
-        _.sorted(java.util.Comparator.reverseOrder[Path]())
-          .forEach(f => Files.deleteIfExists(f)))
-    }
+    ParquetLogBackend.deleteRecursively(p)
 
   /** Drop commit-log lines fully covered by segments (last version <=
     * watermark). Called under compactLock only. The filtered rewrite and its
@@ -550,6 +546,13 @@ object ParquetLogBackend {
     val watermark = if (segs.isEmpty) 0L else segs.map(_._3).max
     (segs, tail.filter(_.version > watermark).toList)
   }
+
+  private[graft] def deleteRecursively(p: Path): Unit =
+    if (Files.exists(p)) {
+      scala.util.Using.resource(Files.walk(p))(
+        _.sorted(java.util.Comparator.reverseOrder[Path]())
+          .forEach(f => Files.deleteIfExists(f)))
+    }
 
   /** Footer-derived ranges for legacy unnamed segment files, cached by
     * (path, size, mtime): segments are immutable once written, but the
