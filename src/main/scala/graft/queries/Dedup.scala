@@ -80,6 +80,44 @@ object Dedup {
       .select(col("doc_id"),
         graft.exprs.functions.simhash32(toks(col("text"))).as("simhash"))
 
+  /** Random-hyperplane-LSH verified embedding pairs (vec_a < vec_b, cosine
+    * >= 0.4) — shared by dedup_embedding_lsh and dedup_clusters_embedding.
+    * 32 sign-bit projections (one fused dot per plane), banded into 4
+    * bytes, hot-band-capped candidate self-join, exact cosine verification.
+    * Approximate by design (banding trades recall for candidate volume);
+    * the oracle mirrors plane matrix, banding, and cap bit-for-bit, so the
+    * gate is exact. */
+  private def rhpPairs(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables(s, dir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("nrm", Similarity.norm(col("v")))
+    val sig = e.withColumn("sig",
+      (0 until RhpPlanes).map { p =>
+        val w = array((0 until RhpDim).map(i => lit(rhpSign(p, i))): _*)
+        when(graft.exprs.functions.dot_product(col("v"), w) >= 0d,
+          lit(1L << p)).otherwise(0L)
+      }.reduce(_ + _))
+    val bands = sig.select(col("vec_id"), col("v"), col("nrm"), col("sig"),
+      explode(sequence(lit(0), lit(RhpBands - 1))).as("b"))
+      .withColumn("bkey",
+        expr("(sig div CAST(pow(2, b * 8) AS BIGINT)) % 256"))
+    val wb = Window.partitionBy(col("b"), col("bkey"))
+    val capped = bands
+      .withColumn("bsz", count(lit(1)).over(wb))
+      .filter(col("bsz") <= MaxBandBucket)
+      .drop("bsz")
+    capped.select(col("vec_id").as("vec_a"), col("v").as("va"),
+        col("nrm").as("na"), col("b"), col("bkey"))
+      .join(capped.select(col("vec_id").as("vec_b"), col("v").as("vb"),
+        col("nrm").as("nb"), col("b"), col("bkey")), Seq("b", "bkey"))
+      .filter(col("vec_a") < col("vec_b"))
+      .select("vec_a", "vec_b", "va", "vb", "na", "nb").distinct()
+      .withColumn("cosine",
+        Similarity.cosinePre(col("va"), col("vb"), col("na"), col("nb")))
+      .filter(col("cosine") >= 0.4)
+      .select("vec_a", "vec_b", "cosine")
+  }
+
   /** MinHash+LSH verified candidate pairs (doc_a < doc_b, sim_est >= 0.5) —
     * shared by dedup_minhash_lsh and dedup_clusters. Signatures RIDE the
     * band rows (~96 B per row) so the self-join's two sides are identical
@@ -249,41 +287,27 @@ object Dedup {
     },
 
     // Embedding near-dup via random-hyperplane LSH — the no-prior-cells
-    // 100TB path: 32 sign-bit projections (one fused dot per plane), banded
-    // into 4 bytes, hot-band-capped candidate self-join, exact cosine
-    // verification (same 0.4 threshold as the cell variant). Approximate by design (banding trades recall for
-    // candidate volume); the oracle mirrors plane matrix, banding, and cap
-    // bit-for-bit, so the gate is exact.
+    // 100TB path (scale shape documented on rhpPairs; same 0.4 threshold
+    // as the cell variant).
     "dedup_embedding_lsh" -> { (s, dir) =>
-      val e = Tables(s, dir, "embeddings")
-        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-        .withColumn("nrm", Similarity.norm(col("v")))
-      val sig = e.withColumn("sig",
-        (0 until RhpPlanes).map { p =>
-          val w = array((0 until RhpDim).map(i => lit(rhpSign(p, i))): _*)
-          when(graft.exprs.functions.dot_product(col("v"), w) >= 0d,
-            lit(1L << p)).otherwise(0L)
-        }.reduce(_ + _))
-      val bands = sig.select(col("vec_id"), col("v"), col("nrm"), col("sig"),
-        explode(sequence(lit(0), lit(RhpBands - 1))).as("b"))
-        .withColumn("bkey",
-          expr("(sig div CAST(pow(2, b * 8) AS BIGINT)) % 256"))
-      val wb = Window.partitionBy(col("b"), col("bkey"))
-      val capped = bands
-        .withColumn("bsz", count(lit(1)).over(wb))
-        .filter(col("bsz") <= MaxBandBucket)
-        .drop("bsz")
-      capped.select(col("vec_id").as("vec_a"), col("v").as("va"),
-          col("nrm").as("na"), col("b"), col("bkey"))
-        .join(capped.select(col("vec_id").as("vec_b"), col("v").as("vb"),
-          col("nrm").as("nb"), col("b"), col("bkey")), Seq("b", "bkey"))
-        .filter(col("vec_a") < col("vec_b"))
-        .select("vec_a", "vec_b", "va", "vb", "na", "nb").distinct()
-        .withColumn("cosine",
-          Similarity.cosinePre(col("va"), col("vb"), col("na"), col("nb")))
-        .filter(col("cosine") >= 0.4)
-        .select("vec_a", "vec_b", "cosine")
-        .orderBy("vec_a", "vec_b")
+      rhpPairs(s, dir).orderBy("vec_a", "vec_b")
+    },
+
+    // Transitive clustering over the EMBEDDING near-dup graph — same CC
+    // operator as dedup_clusters, different candidate generator: semantic
+    // near-dups chain just like textual ones (A≈B≈C with A≉C).
+    "dedup_clusters_embedding" -> { (s, dir) =>
+      val pairs = rhpPairs(s, dir).select("vec_a", "vec_b")
+      val vecs = Tables(s, dir, "embeddings").select(col("vec_id"))
+      val labels = graft.operators.ConnectedComponents
+        .run(vecs, pairs, MaxCcIterations)
+        .select(col("id").as("vec_id"), col("component").as("cluster_id"))
+      val wc = Window.partitionBy(col("cluster_id"))
+      labels
+        .withColumn("cluster_size", count(lit(1)).over(wc))
+        .select(col("vec_id"), col("cluster_id"), col("cluster_size"),
+          (col("vec_id") =!= col("cluster_id")).as("is_dup"))
+        .orderBy("vec_id")
     },
 
     // Embedding cosine near-dup, IVF-style: candidates restricted to the same
@@ -347,6 +371,28 @@ object Dedup {
     """SELECT doc_id, CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
       |  ELSE list_transform(range(1, len(w)-1), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]) END AS sh
       |FROM (SELECT doc_id, string_split_regex(text, '\s+') AS w FROM documents)""".stripMargin
+
+  /** DuckDB mirror of [[rhpPairs]]: CTE chain ending in
+    * `vpairs(vec_a, vec_b, cosine)` (named to avoid colliding with the
+    * minhash chain's `pairs` when both appear in one statement). */
+  private def rhpPairsSqlCtes: String =
+    s"""e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |sig AS (SELECT vec_id, v,
+       |  ($rhpSigTermsSql) AS sig FROM e),
+       |bands AS (SELECT vec_id, v, b,
+       |    (sig // CAST(2 ** (b * 8) AS BIGINT)) % 256 AS bval
+       |  FROM sig, (SELECT unnest(range(0, $RhpBands)) AS b)),
+       |capped AS (SELECT vec_id, v, b, bval FROM (
+       |  SELECT vec_id, v, b, bval,
+       |    count(*) OVER (PARTITION BY b, bval) AS bsz FROM bands)
+       |  WHERE bsz <= $MaxBandBucket),
+       |cand AS (SELECT DISTINCT x.vec_id AS vec_a, y.vec_id AS vec_b,
+       |    x.v AS va, y.v AS vb
+       |  FROM capped x JOIN capped y
+       |    ON x.b = y.b AND x.bval = y.bval AND x.vec_id < y.vec_id),
+       |vpairs AS (SELECT vec_a, vec_b,
+       |  ${Similarity.cosineSql("va", "vb")} AS cosine
+       |  FROM cand WHERE ${Similarity.cosineSql("va", "vb")} >= 0.4)""".stripMargin
 
   /** DuckDB mirror of [[minhashPairs]]: CTE chain ending in
     * `pairs(doc_a, doc_b, sim_est)`. */
@@ -452,23 +498,25 @@ object Dedup {
          |ORDER BY doc_a, doc_b""".stripMargin,
 
     "dedup_embedding_lsh" ->
-      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-         |sig AS (SELECT vec_id, v,
-         |  ($rhpSigTermsSql) AS sig FROM e),
-         |bands AS (SELECT vec_id, v, b,
-         |    (sig // CAST(2 ** (b * 8) AS BIGINT)) % 256 AS bval
-         |  FROM sig, (SELECT unnest(range(0, $RhpBands)) AS b)),
-         |capped AS (SELECT vec_id, v, b, bval FROM (
-         |  SELECT vec_id, v, b, bval,
-         |    count(*) OVER (PARTITION BY b, bval) AS bsz FROM bands)
-         |  WHERE bsz <= $MaxBandBucket),
-         |cand AS (SELECT DISTINCT x.vec_id AS vec_a, y.vec_id AS vec_b,
-         |    x.v AS va, y.v AS vb
-         |  FROM capped x JOIN capped y
-         |    ON x.b = y.b AND x.bval = y.bval AND x.vec_id < y.vec_id)
-         |SELECT vec_a, vec_b, ${Similarity.cosineSql("va", "vb")} AS cosine
-         |FROM cand WHERE ${Similarity.cosineSql("va", "vb")} >= 0.4
+      s"""WITH $rhpPairsSqlCtes
+         |SELECT vec_a, vec_b, cosine FROM vpairs
          |ORDER BY vec_a, vec_b""".stripMargin,
+
+    "dedup_clusters_embedding" ->
+      s"""WITH RECURSIVE $rhpPairsSqlCtes,
+         |eg AS (SELECT vec_a AS u, vec_b AS v FROM vpairs
+         |  UNION SELECT vec_b, vec_a FROM vpairs),
+         |reach AS (
+         |  SELECT vec_id AS id, vec_id AS lab FROM embeddings
+         |  UNION
+         |  SELECT eg.v AS id, r.lab AS lab
+         |  FROM reach r JOIN eg ON eg.u = r.id),
+         |cl AS (SELECT id AS vec_id, min(lab) AS cluster_id
+         |  FROM reach GROUP BY id)
+         |SELECT vec_id, cluster_id,
+         |  count(*) OVER (PARTITION BY cluster_id) AS cluster_size,
+         |  vec_id <> cluster_id AS is_dup
+         |FROM cl ORDER BY vec_id""".stripMargin,
 
     "dedup_embedding" ->
       s"""WITH e0 AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
