@@ -118,6 +118,17 @@ object Dedup {
       .select("vec_a", "vec_b", "cosine")
   }
 
+  /** (doc_id, cluster_id) labels from connected components over the
+    * minhash-LSH pair graph — shared by dedup_clusters and
+    * pipeline_dedup_corpus. */
+  private def clusterLabels(s: SparkSession, dir: String): DataFrame = {
+    val pairs = minhashPairs(s, dir).select("doc_a", "doc_b")
+    val docs = Tables(s, dir, "documents").select(col("doc_id"))
+    graft.operators.ConnectedComponents
+      .run(docs, pairs, MaxCcIterations)
+      .select(col("id").as("doc_id"), col("component").as("cluster_id"))
+  }
+
   /** MinHash+LSH verified candidate pairs (doc_a < doc_b, sim_est >= 0.5) —
     * shared by dedup_minhash_lsh and dedup_clusters. Signatures RIDE the
     * band rows (~96 B per row) so the self-join's two sides are identical
@@ -185,17 +196,31 @@ object Dedup {
     // (min-label propagation; scale shape and convergence contract on
     // [[graft.operators.ConnectedComponents]]).
     "dedup_clusters" -> { (s, dir) =>
-      val pairs = minhashPairs(s, dir).select("doc_a", "doc_b")
-      val docs = Tables(s, dir, "documents").select(col("doc_id"))
-      val labels = graft.operators.ConnectedComponents
-        .run(docs, pairs, MaxCcIterations)
-        .select(col("id").as("doc_id"), col("component").as("cluster_id"))
+      val labels = clusterLabels(s, dir)
       val wc = Window.partitionBy(col("cluster_id"))
       labels
         .withColumn("cluster_size", count(lit(1)).over(wc))
         .select(col("doc_id"), col("cluster_id"), col("cluster_size"),
           (col("doc_id") =!= col("cluster_id")).as("is_dup"))
         .orderBy("doc_id")
+    },
+
+    // The composition transitive dedup exists for: cluster keepers (one doc
+    // per near-dup component) -> quality gate -> per-language corpus stats.
+    // The cluster-based sibling of pipeline_clean_corpus (whose keeper is
+    // exact-hash): this one also drops reworded near-copies that hash
+    // differently.
+    "pipeline_dedup_corpus" -> { (s, dir) =>
+      val d = Tables(s, dir, "documents")
+      d.join(clusterLabels(s, dir), "doc_id")
+        .filter(col("doc_id") === col("cluster_id")) // cluster keeper
+        .withColumn("n_words", size(split(col("text"), "\\s+")).cast("long"))
+        .filter(col("n_chars") >= 100 && col("n_words") >= 20)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_words")).as("total_words"),
+          sum(length(col("text")).cast("long")).as("total_chars"))
+        .orderBy("lang")
     },
 
     // SimHash: 32-bit fingerprint from md5 bits of each token occurrence.
@@ -432,6 +457,28 @@ object Dedup {
       s"""WITH $minhashPairsSqlCtes
          |SELECT doc_a, doc_b, sim_est FROM pairs
          |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "pipeline_dedup_corpus" ->
+      s"""WITH RECURSIVE $minhashPairsSqlCtes,
+         |edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+         |  UNION SELECT doc_b, doc_a FROM pairs),
+         |reach AS (
+         |  SELECT doc_id AS id, doc_id AS lab FROM documents
+         |  UNION
+         |  SELECT e.v AS id, r.lab AS lab
+         |  FROM reach r JOIN edges e ON e.u = r.id),
+         |cl AS (SELECT id AS doc_id, min(lab) AS cluster_id
+         |  FROM reach GROUP BY id),
+         |q AS (
+         |  SELECT d.lang, d.text,
+         |    len(string_split_regex(d.text, '\\s+')) AS n_words
+         |  FROM documents d JOIN cl USING (doc_id)
+         |  WHERE d.doc_id = cl.cluster_id AND d.n_chars >= 100
+         |    AND len(string_split_regex(d.text, '\\s+')) >= 20)
+         |SELECT lang, count(*) AS n_docs,
+         |  CAST(sum(n_words) AS BIGINT) AS total_words,
+         |  CAST(sum(length(text)) AS BIGINT) AS total_chars
+         |FROM q GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // connected components as a recursive min-reachability closure: lab
     // walks every edge path, so min(lab) per doc is exactly the component

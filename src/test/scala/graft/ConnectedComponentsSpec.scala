@@ -47,4 +47,34 @@ class ConnectedComponentsSpec extends AnyFunSuite {
       cc((1L to 12L), (1L to 11L).map(i => (13L - i, 12L - i)), maxIter = 3)
     }
   }
+
+  test("random graphs match a union-find reference") {
+    val rnd = new scala.util.Random(42)
+    (1 to 8).foreach { _ =>
+      val n = 5 + rnd.nextInt(40)
+      val vs = (1L to n.toLong)
+      val es = Seq.fill(rnd.nextInt(2 * n))(
+        (1L + rnd.nextInt(n), 1L + rnd.nextInt(n)))
+        .filter { case (a, b) => a != b }
+      // driver-side union-find as the independent reference
+      val parent = Array.tabulate(n + 1)(identity)
+      def find(x: Int): Int = {
+        var r = x
+        while (parent(r) != r) r = parent(r)
+        var c = x
+        while (parent(c) != c) { val p = parent(c); parent(c) = r; c = p }
+        r
+      }
+      es.foreach { case (a, b) =>
+        val (ra, rb) = (find(a.toInt), find(b.toInt))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val want = vs.map(v => v -> {
+        // component id = min member; find() roots at the min because unions
+        // always attach the larger root under the smaller
+        find(v.toInt).toLong
+      }).toMap
+      assert(cc(vs, es) === want, s"n=$n edges=$es")
+    }
+  }
 }
