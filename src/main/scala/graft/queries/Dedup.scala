@@ -32,6 +32,7 @@ object Dedup {
   private val MaxShingleDf = 64 // inverted index: docs per distinct shingle
   private val MaxCellSize = 65536 // embedding cosine: vectors per coarse cell
   private val MaxCcIterations = 25 // dedup_clusters label-propagation cap
+  private val BenchmarkMod = 97 // decontaminate: doc_id % mod = 0 ⇒ benchmark
 
   // Random-hyperplane LSH (SimHash for vectors): 32 sign bits in 4 bands of
   // 8. Bit agreement P = 1 - θ/π, so a cosine-0.8 pair collides in a band
@@ -361,6 +362,43 @@ object Dedup {
         .filter(col("cosine") >= 0.4)
         .select("label", "vec_a", "vec_b", "cosine")
         .orderBy("vec_a", "vec_b")
+    },
+
+    // Test-set decontamination: flag corpus documents that share any word
+    // 3-gram with the held-out benchmark split (doc_id % BenchmarkMod = 0
+    // stands in for the eval set). The canonical pre-training hygiene op:
+    // n-gram overlap against benchmarks, per-doc contaminated-shingle
+    // counts for thresholded filtering downstream.
+    //
+    // Scale shape: the benchmark side is an EVAL SET — tiny and fixed
+    // relative to the corpus — so its distinct shingle hashes broadcast
+    // (at 100 TB: broadcast a Bloom filter of the same hashes and make
+    // this a pre-filter; the exact count below is then the verify pass
+    // over the ~0 surviving docs). The corpus side never shuffles shingle
+    // STRINGS: the join key is the 8-byte xxhash64, same trick as
+    // dedup_ngram_jaccard (equal sets modulo ~2⁻⁶⁴ collisions; the oracle
+    // joins the strings themselves).
+    "decontaminate_ngram" -> { (s, dir) =>
+      val sh = Tables(s, dir, "documents")
+        .filter(col("text").isNotNull)
+        .select(col("doc_id"),
+          explode(graft.exprs.functions.ngram_shingles(toks(col("text"))))
+            .as("sng"))
+        .select(col("doc_id"), xxhash64(col("sng")).as("sh")).distinct()
+        .withColumn("n_shingles",
+          count(lit(1)).over(Window.partitionBy(col("doc_id"))))
+      val bench = sh.filter(col("doc_id") % BenchmarkMod === 0)
+        .select("sh").distinct()
+      sh.filter(col("doc_id") % BenchmarkMod =!= 0)
+        .join(broadcast(bench), "sh")
+        // n_shingles is functional on doc_id — riding it as a grouping key
+        // (the dedup_ngram_jaccard trick) saves the per-doc-size re-join
+        .groupBy("doc_id", "n_shingles")
+        .agg(count(lit(1)).as("n_contaminated"))
+        .withColumn("contam_frac",
+          col("n_contaminated").cast("double") / col("n_shingles"))
+        .select("doc_id", "n_shingles", "n_contaminated", "contam_frac")
+        .orderBy("doc_id")
     }
   )
 
@@ -574,6 +612,18 @@ object Dedup {
          |  ${Similarity.cosineSql("a.v", "b.v")} AS cosine
          |FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
          |WHERE ${Similarity.cosineSql("a.v", "b.v")} >= 0.4
-         |ORDER BY vec_a, vec_b""".stripMargin
+         |ORDER BY vec_a, vec_b""".stripMargin,
+
+    "decontaminate_ngram" ->
+      s"""WITH sh AS ($shinglesSql),
+         |t0 AS (SELECT DISTINCT doc_id, unnest(sh) AS s FROM sh),
+         |t AS (SELECT doc_id, s,
+         |  count(*) OVER (PARTITION BY doc_id) AS n_shingles FROM t0),
+         |bench AS (SELECT DISTINCT s FROM t0 WHERE doc_id % $BenchmarkMod = 0)
+         |SELECT doc_id, n_shingles, count(*) AS n_contaminated,
+         |  count(*) * 1.0 / n_shingles AS contam_frac
+         |FROM t JOIN bench USING (s)
+         |WHERE doc_id % $BenchmarkMod <> 0
+         |GROUP BY 1, 2 ORDER BY doc_id""".stripMargin
   )
 }

@@ -24,6 +24,9 @@ object TextAnalysis {
 
   private val Stopwords = Seq("the", "a", "of", "to", "in", "is", "and")
   private val SamplePerStratum = 20 // sample_stratified: docs kept per lang
+  private val VocabTopK = 100 // text_vocab: tokens reported
+  private val RareTf = 2 // text_rarity: corpus frequency ≤ this ⇒ rare
+  private val CommonTf = 1000 // text_rarity: corpus frequency ≥ this ⇒ common
 
   private def toks(c: Column): Column = split(c, "\\s+")
 
@@ -160,6 +163,51 @@ object TextAnalysis {
       d.select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
         .withColumn("rk", row_number().over(w).cast("long"))
         .filter(col("rk") <= SamplePerStratum)
+        .orderBy("doc_id")
+    },
+
+    // Corpus vocabulary: top-K tokens by occurrence count, with document
+    // frequency. The canonical "what is this corpus made of" profile (and
+    // the input to stopword/boilerplate lists). Scale shape: explode is
+    // linear, the groupBy partial-aggregates map-side (hot tokens collapse
+    // to one row per partition before the exchange), and the top-K is
+    // TakeOrderedAndProject — per-partition heaps, never a global sort.
+    // Deterministic through the cut: ties break on token ASC.
+    "text_vocab" -> { (s, dir) =>
+      val d = Tables(s, dir, "documents").filter(col("text").isNotNull)
+      d.select(col("doc_id"), explode(toks(col("text"))).as("token"))
+        .groupBy("token")
+        .agg(count(lit(1)).as("n_occurrences"),
+          count_distinct(col("doc_id")).as("n_docs"))
+        .orderBy(col("n_occurrences").desc, col("token"))
+        .limit(VocabTopK)
+    },
+
+    // Lexical rarity profile: per-document counts of corpus-rare tokens
+    // (frequency ≤ RareTf — misspellings, junk, OCR noise) and corpus-common
+    // tokens (≥ CommonTf) — the Zipf-tail signals rare-token quality filters
+    // gate on. Two-pass by nature (corpus frequencies, then per-doc re-scan).
+    // Scale shape: duplicate tokens collapse per (doc, token) BEFORE any
+    // join; the tag join is keyed on the token and left to the planner —
+    // the tag side is small here (broadcast), and at 100 TB a shuffled join
+    // on token stays safe because tags carry one row per token (no
+    // amplification; AQE splits the hot-token partitions).
+    "text_rarity" -> { (s, dir) =>
+      val d = Tables(s, dir, "documents").filter(col("text").isNotNull)
+      val docTok = d
+        .select(col("doc_id"), explode(toks(col("text"))).as("token"))
+        .groupBy("doc_id", "token").agg(count(lit(1)).as("c"))
+      val freq = docTok.groupBy("token").agg(sum(col("c")).as("tf"))
+      val tags = freq.filter(col("tf") <= RareTf || col("tf") >= CommonTf)
+      docTok.join(tags, Seq("token"), "left")
+        .groupBy("doc_id")
+        .agg(sum(col("c")).as("n_tokens"),
+          sum(when(col("tf") <= RareTf, col("c")).otherwise(lit(0L)))
+            .as("n_rare"),
+          sum(when(col("tf") >= CommonTf, col("c")).otherwise(lit(0L)))
+            .as("n_common"))
+        .withColumn("rare_frac",
+          col("n_rare").cast("double") / col("n_tokens"))
         .orderBy("doc_id")
     },
 
@@ -349,6 +397,31 @@ object TextAnalysis {
          |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
          |  FROM documents)
          |WHERE rk <= $SamplePerStratum ORDER BY doc_id""".stripMargin,
+
+    "text_vocab" ->
+      s"""WITH tokens AS (SELECT doc_id,
+         |    unnest(string_split_regex(text, '\\s+')) AS tok
+         |  FROM documents WHERE text IS NOT NULL)
+         |SELECT tok AS token, count(*) AS n_occurrences,
+         |  count(DISTINCT doc_id) AS n_docs
+         |FROM tokens GROUP BY 1
+         |ORDER BY n_occurrences DESC, token LIMIT $VocabTopK""".stripMargin,
+
+    "text_rarity" ->
+      s"""WITH tokens AS (SELECT doc_id,
+         |    unnest(string_split_regex(text, '\\s+')) AS tok
+         |  FROM documents WHERE text IS NOT NULL),
+         |dt AS (SELECT doc_id, tok, count(*) AS c FROM tokens GROUP BY 1, 2),
+         |freq AS (SELECT tok, CAST(sum(c) AS BIGINT) AS tf FROM dt GROUP BY 1)
+         |SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+         |  CAST(sum(CASE WHEN tf <= $RareTf THEN c ELSE 0 END) AS BIGINT)
+         |    AS n_rare,
+         |  CAST(sum(CASE WHEN tf >= $CommonTf THEN c ELSE 0 END) AS BIGINT)
+         |    AS n_common,
+         |  CAST(sum(CASE WHEN tf <= $RareTf THEN c ELSE 0 END) AS BIGINT)
+         |    * 1.0 / CAST(sum(c) AS BIGINT) AS rare_frac
+         |FROM dt JOIN freq USING (tok)
+         |GROUP BY 1 ORDER BY doc_id""".stripMargin,
 
     "text_fingerprint" ->
       """SELECT doc_id,
