@@ -391,10 +391,13 @@ object Dedup {
         .select("sh").distinct()
       sh.filter(col("doc_id") % BenchmarkMod =!= 0)
         .join(broadcast(bench), "sh")
-        // n_shingles is functional on doc_id — riding it as a grouping key
-        // (the dedup_ngram_jaccard trick) saves the per-doc-size re-join
-        .groupBy("doc_id", "n_shingles")
-        .agg(count(lit(1)).as("n_contaminated"))
+        // group on doc_id ALONE: the stream side still carries the window's
+        // doc_id hash partitioning through the broadcast join, so this
+        // aggregation is exchange-free; n_shingles (functional on doc_id)
+        // rides along as max()
+        .groupBy("doc_id")
+        .agg(max(col("n_shingles")).as("n_shingles"),
+          count(lit(1)).as("n_contaminated"))
         .withColumn("contam_frac",
           col("n_contaminated").cast("double") / col("n_shingles"))
         .select("doc_id", "n_shingles", "n_contaminated", "contam_frac")
