@@ -1,7 +1,17 @@
 package graft.streaming
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** A streaming near-dup emission: `doc_b` arrived while `doc_a`'s band
+  * state was live and their minhash signatures agree at `sim_est`.
+  * Top-level so the product encoder resolves. */
+final case class NearDupHit(doc_a: Long, doc_b: Long, sim_est: Double)
+
+/** State for one LSH band bucket: (doc_id, signature, event-time ms) of
+  * the documents currently holding the bucket. */
+final case class BandBucket(entries: Seq[(Long, Seq[Long], Long)])
 
 /** Streaming transforms for a continuously-ingesting training-data
   * pipeline (the streaming counterparts of the batch `queries/` operators). */
@@ -31,4 +41,116 @@ object StreamOps {
       .withColumn("content_hash", md5(col(textCol)))
       .withWatermark(tsCol, delay)
       .dropDuplicatesWithinWatermark("content_hash")
+
+  // Same MinHash family as the batch dedup_minhash_lsh (Dedup.scala): 12
+  // affine minhashes, 3 bands of 4 — a band key collides iff all 4 of its
+  // signature rows agree.
+  private val NumHashes = 12
+  private val NumBands = 3
+  private val RowsPerBand = NumHashes / NumBands
+
+  /** Band-bucket state cap: a boilerplate band (degenerate shingle set)
+    * would otherwise accrete state and compare quadratically — the
+    * streaming analog of the batch MaxBandBucket hot-bucket cap. Docs
+    * past the cap still COMPARE against the held entries (they can be
+    * flagged); they just don't extend the bucket. */
+  private val MaxBucketState = 16
+
+  /** Streaming NEAR-dup detection: the batch dedup_minhash_lsh made
+    * incremental. Each document's minhash signature is banded exactly like
+    * the batch operator; band keys shard the state store, and a document
+    * that lands in a live bucket is verified against the bucket's held
+    * signatures (agreement ≥ `simThreshold` ⇒ emit a [[NearDupHit]] with
+    * the earlier document's id first).
+    *
+    * Custom state (`flatMapGroupsWithState`) rather than a built-in,
+    * because the semantics are "join this row against a decaying set keyed
+    * by an LSH bucket" — not expressible as a windowed aggregation.
+    *
+    * Scale + correctness contract:
+    *  - State is bounded two ways: event-time timeout expires a bucket
+    *    `delay` after its last activity (state ∝ ingest rate × window,
+    *    like dedupExact), and [[MaxBucketState]] caps any single bucket.
+    *  - Emission is AT-LEAST-ONCE per near-dup pair: a pair agreeing in
+    *    more than one band emits once per agreeing band (buckets are
+    *    independent shards and share no state). Downstream consumers
+    *    needing exactly-one-row-per-pair run `dropDuplicates("doc_a",
+    *    "doc_b")` per micro-batch; the batch clusters job is the
+    *    system-of-record either way.
+    *  - Within a micro-batch, rows are processed in (event time, doc_id)
+    *    order, so doc_a < doc_b by arrival deterministically.
+    *
+    * @param docs         streaming DataFrame
+    * @param tsCol        event-time column (becomes the watermark column)
+    * @param idCol        long document id column
+    * @param textCol      document text (whitespace-tokenized, same
+    *                     tokenization as the batch operator)
+    * @param delay        watermark delay AND bucket inactivity TTL,
+    *                     e.g. "10 minutes"
+    * @param simThreshold minimum signature-agreement fraction to emit
+    */
+  def dedupNearMinhash(
+      docs: DataFrame,
+      tsCol: String,
+      idCol: String,
+      textCol: String,
+      delay: String,
+      simThreshold: Double = 0.5): Dataset[NearDupHit] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+
+    val iv = org.apache.spark.sql.catalyst.util.IntervalUtils.stringToInterval(
+      org.apache.spark.unsafe.types.UTF8String.fromString(delay))
+    require(iv.months == 0, s"month-based delays are ambiguous in ms: $delay")
+    val delayMs = iv.days * 86400000L + iv.microseconds / 1000L
+
+    val banded = docs
+      .select(col(tsCol).cast("timestamp").as("ts"),
+        col(idCol).cast("long").as("doc_id"),
+        graft.exprs.functions.minhash12(split(col(textCol), "\\s+")).as("sig"))
+      .withWatermark("ts", delay)
+      .select(col("ts"), col("doc_id"), col("sig"),
+        explode(sequence(lit(0), lit(NumBands - 1))).as("band"))
+      .withColumn("bkey", concat_ws(":", col("band") +:
+        (0 until RowsPerBand).map(i =>
+          element_at(col("sig"), col("band") * RowsPerBand + lit(i + 1))): _*))
+      .select(col("ts"), col("doc_id"), col("sig"), col("bkey"))
+      .as[(java.sql.Timestamp, Long, Seq[Long], String)]
+
+    banded
+      .groupByKey(_._4)
+      .flatMapGroupsWithState(
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (_: String,
+         rows: Iterator[(java.sql.Timestamp, Long, Seq[Long], String)],
+         state: GroupState[BandBucket]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val batch = rows.toSeq.sortBy(r => (r._1.getTime, r._2))
+            var entries = state.getOption.map(_.entries.toList).getOrElse(Nil)
+            val hits = List.newBuilder[NearDupHit]
+            batch.foreach { case (t, id, sig, _) =>
+              entries.foreach { case (eid, esig, _) =>
+                if (eid != id) {
+                  var agree = 0
+                  var i = 0
+                  while (i < NumHashes) {
+                    if (esig(i) == sig(i)) agree += 1
+                    i += 1
+                  }
+                  val sim = agree.toDouble / NumHashes
+                  if (sim >= simThreshold) hits += NearDupHit(eid, id, sim)
+                }
+              }
+              if (entries.size < MaxBucketState && !entries.exists(_._1 == id))
+                entries = entries :+ ((id, sig, t.getTime))
+            }
+            state.update(BandBucket(entries))
+            val lastActivity = (batch.map(_._1.getTime) ++
+              entries.map(_._3)).max
+            state.setTimeoutTimestamp(lastActivity + delayMs)
+            hits.result().iterator
+          }
+      }
+  }
 }

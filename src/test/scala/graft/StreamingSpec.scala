@@ -299,4 +299,43 @@ class StreamingSpec extends AnyFunSuite {
       assert(got == Set((0L, 360L, 2L), (1000L, 1300L, 1L)))
     } finally q.stop()
   }
+
+  test("streaming minhash near-dup flags live-bucket matches, expires state") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(java.sql.Timestamp, Long, String)]
+    def ts(s: Long) = new java.sql.Timestamp(s * 1000L)
+    // the DedupCapSpec near-dup pair: 28 of 29 shingles shared — known to
+    // collide in at least one LSH band under the shared minhash family
+    val stem = (0 until 30).map(i => s"tok$i").mkString(" ")
+    val q = StreamOps.dedupNearMinhash(
+        mem.toDF().toDF("ts", "doc_id", "text"),
+        "ts", "doc_id", "text", "10 seconds")
+      .writeStream.format("memory").queryName("neardup")
+      .outputMode("append").start()
+    try {
+      mem.addData((ts(10), 1L, s"$stem kappa"))
+      q.processAllAvailable()
+      mem.addData((ts(11), 2L, s"$stem lambda"),
+        (ts(11), 3L, "totally different content entirely unrelated words"))
+      q.processAllAvailable()
+      val hits = spark.table("neardup").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      assert(hits.nonEmpty, "near-dup pair must collide in some live band")
+      assert(hits.forall { case (a, b, s) => a == 1L && b == 2L && s >= 0.5 },
+        s"only (1, 2) may be flagged: ${hits.mkString(", ")}")
+      val n0 = spark.table("neardup").count()
+      // push the watermark past every bucket's last activity + delay, with
+      // a second batch so the timed-out groups are actually swept
+      mem.addData((ts(100), 8L, "zz yy xx ww vv uu"))
+      q.processAllAvailable()
+      mem.addData((ts(150), 9L, "pp qq rr ss tt"))
+      q.processAllAvailable()
+      // identical to doc 1, but its buckets expired: a NEW bucket, no hit
+      mem.addData((ts(151), 4L, s"$stem kappa"))
+      q.processAllAvailable()
+      assert(spark.table("neardup").count() === n0,
+        "expired state must not produce hits")
+    } finally q.stop()
+  }
 }
