@@ -19,6 +19,22 @@ object Similarity {
   private val TopK = 5
   private val NumQueries = 5
 
+  // emb_project: Johnson–Lindenstrauss Rademacher projection 64 → 8 dims.
+  private val EmbDim = 64 // embeddings table dimensionality (TESTDATA.md)
+  private val RpDim = 8
+  /** 1/√k JL scaling, inlined as the SAME double literal in both engines
+    * (Scala's shortest-round-trip toString parses back bit-identically). */
+  private val RpScale: Double = 1.0 / math.sqrt(RpDim)
+
+  /** ±1 Rademacher weight from md5 parity — deterministic, so the DuckDB
+    * oracle inlines the IDENTICAL matrix (the rhpSign trick, its own seed
+    * family). */
+  private def rpSign(j: Int, i: Int): Double = {
+    val h = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"rp_${j}_$i".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    if ((h(0) & 1) == 1) 1.0 else -1.0
+  }
+
   /** Codegen'd fused-loop dot; same left fold as the SQL rendering. */
   private def dot(a: Column, b: Column): Column =
     graft.exprs.functions.dot_product(a, b)
@@ -159,6 +175,25 @@ object Similarity {
         .filter(col("rank") <= TopK)
         .select("q_id", "label", "n_id", "rank", "cosine")
         .orderBy("q_id", "rank")
+    },
+
+    // Johnson–Lindenstrauss random projection: 64-d embeddings down to 8
+    // dims via a deterministic ±1 Rademacher matrix, scaled 1/√k — the
+    // standard dimensionality-reduction pre-step for ANN indexing and
+    // coarse clustering (pairwise distances preserved within 1±ε whp;
+    // EmbProjectSpec asserts the preservation empirically). Scale shape: a
+    // pure codegen projection — 8 fused dot folds per row inside the scan
+    // stage, no exchange but the output sort; at 100 TB this runs at scan
+    // throughput and cuts every downstream pairwise op's work 8×.
+    "emb_project" -> { (s, dir) =>
+      val e = Tables(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      val projected = (0 until RpDim).map { j =>
+        (dot(col("v"),
+          array((0 until EmbDim).map(i => lit(rpSign(j, i))): _*))
+          * lit(RpScale)).as(s"p$j")
+      }
+      e.select(col("vec_id") +: projected: _*).orderBy("vec_id")
     }
   )
 
@@ -189,6 +224,20 @@ object Similarity {
          |    row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, n_id) AS rank
          |  FROM scored)
          |SELECT q_id, label, n_id, rank, cosine FROM ranked
-         |WHERE rank <= $TopK ORDER BY q_id, rank""".stripMargin
+         |WHERE rank <= $TopK ORDER BY q_id, rank""".stripMargin,
+
+    "emb_project" -> {
+      val terms = (0 until RpDim).map { j =>
+        val ws = (0 until EmbDim)
+          .map(i => if (rpSign(j, i) > 0) "1.0" else "-1.0")
+          .mkString("[", ",", "]")
+        s"list_reduce(list_transform(range(1, ${EmbDim + 1}), " +
+          s"i -> v[i] * ($ws)[i]), (acc, x) -> acc + x) * $RpScale AS p$j"
+      }
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+         |SELECT vec_id,
+         |  ${terms.mkString(",\n  ")}
+         |FROM e ORDER BY vec_id""".stripMargin
+    }
   )
 }
