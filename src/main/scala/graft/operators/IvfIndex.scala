@@ -1,0 +1,128 @@
+package graft.operators
+
+import graft.queries.Similarity
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** A persisted IVF (inverted-file) ANN index over an embedding table:
+  * a k-means coarse quantizer plus the table partitioned BY CELL on disk.
+  *
+  * The lifecycle a 100 TB ANN deployment actually needs — build once,
+  * save, load from any job, probe many times — instead of re-fitting the
+  * quantizer inside every query (what `ann_ivf_kmeans` does, fine for a
+  * one-shot query, wasteful as a serving path).
+  *
+  * Scale shape:
+  *  - build: the k-means fit sees only a bounded sample (quantizer needs a
+  *    representative subset, not the table); assignment is one scan.
+  *  - save: `partitionBy(cell)` — probing reads ONLY the probed cells'
+  *    files via static partition pruning, so a probe touches ~nProbe/k of
+  *    the data no matter how large the table (the on-disk analog of
+  *    IVF's inverted lists).
+  *  - probe: queries are the small side by contract — collected, ranked
+  *    against the k centroids driver-side, broadcast into the cell join.
+  *  - norms are computed once at build time and persisted with the
+  *    vectors, never re-derived per pair.
+  */
+final class IvfIndex private[operators] (
+    val centroids: Array[Array[Double]], // k × dim, cell id = array index
+    val assignments: DataFrame) { // (vec_id, v, nrm, cell)
+
+  def k: Int = centroids.length
+
+  /** Persist as `dir/centroids` (k rows) + `dir/cells` (partitioned by
+    * cell — the inverted lists). */
+  def save(dir: String): Unit = {
+    val spark = assignments.sparkSession
+    import spark.implicits._
+    assignments.write.mode("overwrite")
+      .partitionBy("cell").parquet(s"$dir/cells")
+    centroids.zipWithIndex
+      .map { case (c, i) => (i, c.toSeq) }.toSeq
+      .toDF("cell", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/centroids")
+  }
+}
+
+object IvfIndex {
+
+  /** Fit the coarse quantizer on a bounded sample and assign every vector
+    * to its cell. `emb` must carry (`vec_id`, `v: array<double>`). */
+  def build(
+      emb: DataFrame,
+      k: Int = 8,
+      maxIter: Int = 5,
+      trainTarget: Int = 4096,
+      seed: Long = 42L): IvfIndex = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val e = emb.select(col("vec_id"), col("v"))
+      .withColumn("nrm", Similarity.norm(col("v")))
+      .withColumn("features", array_to_vector(col("v")))
+    val n = e.count()
+    val train =
+      if (n <= trainTarget) e
+      else e.sample(withReplacement = false, trainTarget.toDouble / n, seed)
+    val km = new KMeans().setK(k).setSeed(seed).setMaxIter(maxIter).fit(train)
+    val assigned = km.transform(e)
+      .select(col("vec_id"), col("v"), col("nrm"),
+        col("prediction").as("cell"))
+    new IvfIndex(km.clusterCenters.map(_.toArray), assigned)
+  }
+
+  def load(spark: SparkSession, dir: String): IvfIndex = {
+    val centroids = spark.read.parquet(s"$dir/centroids")
+      .collect()
+      .map(r => r.getInt(0) -> r.getSeq[Double](1).toArray)
+      .sortBy(_._1).map(_._2)
+    new IvfIndex(centroids, spark.read.parquet(s"$dir/cells"))
+  }
+
+  /** Top-`topK` cosine neighbors per query over the `nProbe` nearest
+    * cells. `queries` carries (`q_id`, `qv: array<double>`) and is small
+    * by contract. The probed-cell filter is a LITERAL `isin` — static
+    * partition pruning at the parquet scan, not a runtime join filter. */
+  def probe(
+      idx: IvfIndex,
+      queries: DataFrame,
+      nProbe: Int,
+      topK: Int): DataFrame = {
+    val spark = queries.sparkSession
+    import spark.implicits._
+    val qRows = queries
+      .select(col("q_id"), col("qv"))
+      .withColumn("qnrm", Similarity.norm(col("qv")))
+      .collect()
+    val probePairs = qRows.flatMap { r =>
+      val qv = r.getSeq[Double](1).toArray
+      idx.centroids.zipWithIndex
+        .map { case (c, i) => (dist2(c, qv), i) }
+        .sortBy(_._1).take(nProbe)
+        .map { case (_, cell) =>
+          (r.getLong(0), cell, qv.toSeq, r.getDouble(2)) }
+    }
+    val probedCells = probePairs.map(_._2).distinct.toSeq
+    val probes = probePairs.toSeq.toDF("q_id", "cell", "qv", "qnrm")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id"))
+      .orderBy(col("cosine").desc, col("n_id"))
+    idx.assignments
+      .filter(col("cell").isin(probedCells: _*))
+      .select(col("vec_id").as("n_id"), col("cell"),
+        col("v").as("nv"), col("nrm"))
+      .join(broadcast(probes), Seq("cell"))
+      .filter(col("n_id") =!= col("q_id"))
+      .withColumn("cosine",
+        Similarity.cosinePre(col("qv"), col("nv"), col("qnrm"), col("nrm")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topK)
+      .select("q_id", "n_id", "rank", "cosine")
+  }
+
+  private def dist2(a: Array[Double], b: Array[Double]): Double = {
+    var s = 0.0
+    var i = 0
+    while (i < a.length) { val d = a(i) - b(i); s += d * d; i += 1 }
+    s
+  }
+}

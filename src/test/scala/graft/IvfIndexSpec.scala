@@ -1,0 +1,77 @@
+package graft
+
+import graft.operators.IvfIndex
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Persisted-IVF lifecycle: build → save → load round-trips the quantizer
+  * and the cell-partitioned lists; an exhaustive probe (nProbe = k) must
+  * equal brute force exactly; a selective probe must prune partitions at
+  * the scan (the property that makes probes O(nProbe/k) of the data).
+  */
+class IvfIndexSpec extends AnyFunSuite {
+  private lazy val spark = SparkFixture.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  private def emb = graft.util.Tables(spark, dir, "embeddings")
+    .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+
+  private lazy val saved: (IvfIndex, String) = {
+    val idxDir = java.nio.file.Files
+      .createTempDirectory("graft-ivfspec").toString
+    IvfIndex.build(emb, k = 8).save(idxDir)
+    (IvfIndex.load(spark, idxDir), idxDir)
+  }
+
+  test("save/load round-trips centroids and the partitioned lists") {
+    val (idx, idxDir) = saved
+    assert(idx.k === 8)
+    assert(idx.centroids.forall(_.length === 64))
+    assert(idx.assignments.count() === emb.count())
+    val cellDirs = new java.io.File(s"$idxDir/cells")
+      .listFiles().filter(_.getName.startsWith("cell="))
+    assert(cellDirs.length === idx.assignments
+      .select("cell").distinct().count().toInt,
+      "one partition directory per occupied cell")
+  }
+
+  test("exhaustive probe equals brute force exactly") {
+    val (idx, _) = saved
+    val q = emb.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"))
+    val got = IvfIndex.probe(idx, q, nProbe = idx.k, topK = 5)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(2), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(_._3).toSeq).toMap
+
+    val all = emb.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var (d, na, nb) = (0.0, 0.0, 0.0)
+      var i = 0
+      while (i < a.length) {
+        d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
+      }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    (0L until 3L).foreach { qid =>
+      val brute = all.toSeq.filter(_._1 != qid)
+        .map { case (id, v) => (id, cos(all(qid), v)) }
+        .sortBy { case (id, c) => (-c, id) }.take(5).map(_._1)
+      assert(got(qid) === brute, s"query $qid full probe != brute force")
+    }
+  }
+
+  test("selective probe prunes unprobed cells at the scan") {
+    val (idx, _) = saved
+    val q = emb.filter(col("vec_id") < 1)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"))
+    val probed = IvfIndex.probe(idx, q, nProbe = 1, topK = 5)
+    val scans = probed.queryExecution.executedPlan.collectLeaves()
+      .map(_.toString).filter(_.contains("cells"))
+    assert(scans.nonEmpty)
+    assert(scans.exists(s =>
+      s.contains("PartitionFilters") && s.contains("cell")),
+      s"cell filter must reach PartitionFilters:\n${scans.mkString("\n")}")
+  }
+}
