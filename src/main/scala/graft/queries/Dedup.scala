@@ -33,6 +33,7 @@ object Dedup {
   private val MaxCellSize = 65536 // embedding cosine: vectors per coarse cell
   private val MaxCcIterations = 25 // dedup_clusters label-propagation cap
   private val BenchmarkMod = 97 // decontaminate: doc_id % mod = 0 ⇒ benchmark
+  private val SpanTokens = 16 // dedup_span_exact: tokens per hashed chunk
 
   // Random-hyperplane LSH (SimHash for vectors): 32 sign bits in 4 bands of
   // 8. Bit agreement P = 1 - θ/π, so a cosine-0.8 pair collides in a band
@@ -182,6 +183,34 @@ object Dedup {
         .select(col("doc_id"), col("content_hash"), col("keeper_id"),
           (col("doc_id") =!= col("keeper_id")).as("is_dup"))
         .orderBy("doc_id")
+    },
+
+    // Repeated-span detection ("Deduplicating Training Data Makes Language
+    // Models Better", Lee et al. 2022 — the ExactSubstr signal, at chunk
+    // granularity): slice each document into non-overlapping SpanTokens-token
+    // chunks, hash each chunk, report every chunk occurring more than once
+    // across the corpus. Scale shape: row growth is n_tokens/SpanTokens
+    // (linear, bounded), the groupBy partial-aggregates map-side, and the
+    // duplicate filter runs post-aggregate — no self-join, no all-pairs; at
+    // 100 TB the chunk-hash exchange is the only shuffle and AQE splits any
+    // hot hash (identical boilerplate chunks) across reducers.
+    "dedup_span_exact" -> { (s, dir) =>
+      val d = Tables(s, dir, "documents").filter(col("text").isNotNull)
+      d.select(col("doc_id"), split(col("text"), "\\s+").as("toks"))
+        .filter(size(col("toks")) >= SpanTokens)
+        .select(col("doc_id"), col("toks"),
+          explode(sequence(lit(0),
+            expr(s"size(toks) DIV $SpanTokens") - 1)).as("ci"))
+        .select(col("doc_id"),
+          md5(concat_ws(" ",
+            slice(col("toks"), col("ci") * SpanTokens + 1, lit(SpanTokens))))
+            .as("chunk_hash"))
+        .groupBy("chunk_hash")
+        .agg(count(lit(1)).as("n_occurrences"),
+          count_distinct(col("doc_id")).as("n_docs"),
+          min(col("doc_id")).as("example_doc"))
+        .filter(col("n_occurrences") > 1)
+        .orderBy("chunk_hash")
     },
 
     // MinHash + LSH: shingle -> one md5 -> 12 affine minhashes -> 3 bands of
@@ -493,6 +522,25 @@ object Dedup {
         |  min(doc_id) OVER (PARTITION BY md5(text)) AS keeper_id,
         |  doc_id <> min(doc_id) OVER (PARTITION BY md5(text)) AS is_dup
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "dedup_span_exact" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, string_split_regex(text, '\\s+') AS toks
+         |  FROM documents WHERE text IS NOT NULL),
+         |c AS (
+         |  SELECT doc_id, toks,
+         |    unnest(range(0, len(toks) // $SpanTokens)) AS ci
+         |  FROM t WHERE len(toks) >= $SpanTokens),
+         |h AS (
+         |  SELECT doc_id,
+         |    md5(array_to_string(list_slice(toks,
+         |      ci * $SpanTokens + 1, ci * $SpanTokens + $SpanTokens), ' '))
+         |      AS chunk_hash
+         |  FROM c)
+         |SELECT chunk_hash, count(*) AS n_occurrences,
+         |  count(DISTINCT doc_id) AS n_docs, min(doc_id) AS example_doc
+         |FROM h GROUP BY 1 HAVING count(*) > 1
+         |ORDER BY chunk_hash""".stripMargin,
 
     "dedup_minhash_lsh" ->
       s"""WITH $minhashPairsSqlCtes

@@ -27,6 +27,9 @@ object TextAnalysis {
   private val VocabTopK = 100 // text_vocab: tokens reported
   private val RareTf = 2 // text_rarity: corpus frequency ≤ this ⇒ rare
   private val CommonTf = 1000 // text_rarity: corpus frequency ≥ this ⇒ common
+  private val PackBuckets = 32 // pack_sequences: independent pack streams
+  private val PackBudget = 512 // pack_sequences: tokens per training sequence
+  private val NllScale = 1000000L // text_perplexity: fixed-point ln scale
 
   private def toks(c: Column): Column = split(c, "\\s+")
 
@@ -208,6 +211,95 @@ object TextAnalysis {
             .as("n_common"))
         .withColumn("rare_frac",
           col("n_rare").cast("double") / col("n_tokens"))
+        .orderBy("doc_id")
+    },
+
+    // Training-sequence packing, concat-and-chunk discipline: documents are
+    // hashed into independent pack streams, deterministically ordered within
+    // each stream (content-independent md5 shuffle, like sample_stratified),
+    // concatenated, and sliced into fixed PackBudget-token sequences — the
+    // standard GPT-style pretraining pack where documents may straddle
+    // sequence boundaries. Output maps every document to its token offset
+    // and the sequence range it lands in. Scale shape: one window cumsum per
+    // bucket (PackBuckets-way parallel, no global order), all-BIGINT math;
+    // at 100 TB buckets are the shuffle key and each stream packs
+    // independently — adding executors adds buckets, never a global sort.
+    "pack_sequences" -> { (s, dir) =>
+      val d = Tables(s, dir, "documents").filter(col("text").isNotNull)
+      val w = Window.partitionBy(col("bucket"))
+        .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+      d.select(col("doc_id"),
+          pmod(col("doc_id"), lit(PackBuckets.toLong)).as("bucket"),
+          size(toks(col("text"))).cast("long").as("n_tokens"))
+        .withColumn("cum", sum(col("n_tokens")).over(w))
+        .withColumn("start_off", col("cum") - col("n_tokens"))
+        .withColumn("seq_first", expr(s"start_off DIV $PackBudget"))
+        .withColumn("seq_last", expr(s"(cum - 1) DIV $PackBudget"))
+        .withColumn("n_seqs_spanned", col("seq_last") - col("seq_first") + 1)
+        .select("doc_id", "bucket", "n_tokens", "start_off",
+          "seq_first", "seq_last", "n_seqs_spanned")
+        .orderBy("doc_id")
+    },
+
+    // Unigram-LM negative log-likelihood scoring — the CCNet/Gopher-style
+    // "perplexity" quality signal, here against the corpus's own unigram
+    // model. Float-sum order is engine-dependent, so the per-token
+    // -ln(tf/N) is quantized to fixed-point (floor at 1e-6 resolution) and
+    // summed as exact BIGINTs — associative, bit-stable across engines and
+    // partitionings; only the final per-doc average divides in double.
+    // Scale shape: the unigram model is vocab-sized (broadcast); per-doc
+    // counts collapse map-side before the join, like text_rarity.
+    "text_perplexity" -> { (s, dir) =>
+      val d = Tables(s, dir, "documents").filter(col("text").isNotNull)
+      val docTok = d
+        .select(col("doc_id"), explode(toks(col("text"))).as("token"))
+        .groupBy("doc_id", "token").agg(count(lit(1)).as("c"))
+      val freq = docTok.groupBy("token").agg(sum(col("c")).as("tf"))
+      val model = freq.crossJoin(
+          freq.agg(sum(col("tf")).as("n_corpus")))
+        .select(col("token"),
+          floor(-log(col("tf").cast("double") / col("n_corpus").cast("double"))
+            * NllScale).cast("long").as("nll_tok"))
+      docTok.join(model, Seq("token"))
+        .groupBy("doc_id")
+        .agg(sum(col("c")).as("n_tokens"),
+          sum(col("c") * col("nll_tok")).as("nll_scaled"))
+        .withColumn("avg_nll",
+          col("nll_scaled").cast("double") / NllScale.toDouble
+            / col("n_tokens").cast("double"))
+        .select("doc_id", "n_tokens", "nll_scaled", "avg_nll")
+        .orderBy("doc_id")
+    },
+
+    // Gopher-style composite quality gate (Rae et al. 2021 §A1.1 subset):
+    // word count, mean word length, stop-word ratio, top-token fraction,
+    // duplicate-bigram fraction — each surfaced as its value plus the final
+    // keep verdict, so downstream pipelines can re-threshold without a
+    // re-scan. The two fused kernels compute every signal inside the scan
+    // stage: a pure projection, zero exchanges beyond the output sort.
+    "pipeline_gopher_filter" -> { (s, dir) =>
+      val d = Tables(s, dir, "documents").filter(col("text").isNotNull)
+      d.select(col("doc_id"),
+          length(col("text")).cast("long").as("n_chars"),
+          graft.exprs.functions.token_stats(
+            toks(col("text")), stopsLit, noWords).as("st"),
+          graft.exprs.functions.repetition_stats(toks(col("text"))).as("r"))
+        .select(col("doc_id"),
+          col("st.n_words").as("n_words"),
+          ((col("n_chars") - (col("st.n_words") - 1)).cast("double")
+            / col("st.n_words")).as("avg_word_len"),
+          (col("st.n_stop").cast("double") / col("st.n_words"))
+            .as("stop_ratio"),
+          (col("r.top_cnt").cast("double") / col("r.n_tokens").cast("double"))
+            .as("top_frac"),
+          when(col("r.n_bigrams") > 0,
+            lit(1.0) - col("r.n_distinct_bigrams").cast("double") /
+              col("r.n_bigrams").cast("double"))
+            .otherwise(lit(0.0)).as("dup_bigram_frac"))
+        .withColumn("keep",
+          col("n_words") >= 20 && col("avg_word_len") >= 3.0 &&
+            col("avg_word_len") <= 10.0 && col("stop_ratio") >= 0.05 &&
+            col("top_frac") <= 0.2 && col("dup_bigram_frac") <= 0.3)
         .orderBy("doc_id")
     },
 
@@ -422,6 +514,87 @@ object TextAnalysis {
          |    * 1.0 / CAST(sum(c) AS BIGINT) AS rare_frac
          |FROM dt JOIN freq USING (tok)
          |GROUP BY 1 ORDER BY doc_id""".stripMargin,
+
+    "pack_sequences" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, doc_id % $PackBuckets AS bucket,
+         |    CAST(len(string_split_regex(text, '\\s+')) AS BIGINT) AS n_tokens
+         |  FROM documents WHERE text IS NOT NULL),
+         |c AS (
+         |  SELECT doc_id, bucket, n_tokens,
+         |    CAST(sum(n_tokens) OVER (PARTITION BY bucket
+         |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS cum
+         |  FROM d)
+         |SELECT doc_id, bucket, n_tokens, cum - n_tokens AS start_off,
+         |  (cum - n_tokens) // $PackBudget AS seq_first,
+         |  (cum - 1) // $PackBudget AS seq_last,
+         |  (cum - 1) // $PackBudget - (cum - n_tokens) // $PackBudget + 1
+         |    AS n_seqs_spanned
+         |FROM c ORDER BY doc_id""".stripMargin,
+
+    "text_perplexity" ->
+      s"""WITH tokens AS (SELECT doc_id,
+         |    unnest(string_split_regex(text, '\\s+')) AS tok
+         |  FROM documents WHERE text IS NOT NULL),
+         |dt AS (SELECT doc_id, tok, count(*) AS c FROM tokens GROUP BY 1, 2),
+         |freq AS (SELECT tok, CAST(sum(c) AS BIGINT) AS tf FROM dt GROUP BY 1),
+         |model AS (
+         |  SELECT tok, CAST(floor(-ln(CAST(tf AS DOUBLE)
+         |    / CAST((SELECT sum(tf) FROM freq) AS DOUBLE)) * $NllScale)
+         |    AS BIGINT) AS nll_tok
+         |  FROM freq)
+         |SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+         |  CAST(sum(c * nll_tok) AS BIGINT) AS nll_scaled,
+         |  CAST(sum(c * nll_tok) AS BIGINT) * 1.0 / $NllScale
+         |    / CAST(sum(c) AS BIGINT) AS avg_nll
+         |FROM dt JOIN model USING (tok)
+         |GROUP BY 1 ORDER BY doc_id""".stripMargin,
+
+    "pipeline_gopher_filter" ->
+      s"""WITH tokens AS (
+         |  SELECT doc_id, unnest(string_split_regex(text, '\\s+')) AS tok,
+         |    generate_subscripts(string_split_regex(text, '\\s+'), 1) AS ord
+         |  FROM documents WHERE text IS NOT NULL),
+         |stats AS (
+         |  SELECT doc_id, count(*) AS n_words,
+         |    CAST(sum(CASE WHEN tok IN ($stopList) THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS n_stop
+         |  FROM tokens GROUP BY 1),
+         |uni AS (SELECT doc_id, tok, count(*) AS c FROM tokens GROUP BY 1, 2),
+         |ustats AS (
+         |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+         |    CAST(max(c) AS BIGINT) AS top_cnt
+         |  FROM uni GROUP BY 1),
+         |bigr AS (
+         |  SELECT doc_id,
+         |    tok || ' ' || lead(tok) OVER (PARTITION BY doc_id ORDER BY ord)
+         |      AS bg
+         |  FROM tokens),
+         |bstats AS (
+         |  SELECT doc_id, count(*) AS n_bigrams,
+         |    count(DISTINCT bg) AS n_distinct_bigrams
+         |  FROM bigr WHERE bg IS NOT NULL GROUP BY 1),
+         |sig AS (
+         |  SELECT d.doc_id, s.n_words,
+         |    (length(d.text) - (s.n_words - 1)) * 1.0 / s.n_words
+         |      AS avg_word_len,
+         |    s.n_stop * 1.0 / s.n_words AS stop_ratio,
+         |    CAST(u.top_cnt AS DOUBLE) / CAST(u.n_tokens AS DOUBLE)
+         |      AS top_frac,
+         |    CASE WHEN coalesce(b.n_bigrams, 0) > 0
+         |      THEN 1.0 - CAST(b.n_distinct_bigrams AS DOUBLE)
+         |        / CAST(b.n_bigrams AS DOUBLE)
+         |      ELSE 0.0 END AS dup_bigram_frac
+         |  FROM documents d
+         |  JOIN stats s USING (doc_id) JOIN ustats u USING (doc_id)
+         |  LEFT JOIN bstats b USING (doc_id)
+         |  WHERE d.text IS NOT NULL)
+         |SELECT doc_id, n_words, avg_word_len, stop_ratio, top_frac,
+         |  dup_bigram_frac,
+         |  (n_words >= 20 AND avg_word_len >= 3.0 AND avg_word_len <= 10.0
+         |    AND stop_ratio >= 0.05 AND top_frac <= 0.2
+         |    AND dup_bigram_frac <= 0.3) AS keep
+         |FROM sig ORDER BY doc_id""".stripMargin,
 
     "text_fingerprint" ->
       """SELECT doc_id,

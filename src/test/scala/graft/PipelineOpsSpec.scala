@@ -1,0 +1,102 @@
+package graft
+
+import graft.queries.{Dedup, TextAnalysis}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Semantic checks for the round-6 pipeline operators on crafted corpora:
+  * concat-and-chunk sequence packing, repeated-span detection, unigram-LM
+  * perplexity scoring, and the Gopher-style composite quality gate. The
+  * DuckDB oracle pins bit-exactness on the synthetic tables; these pin the
+  * SEMANTICS on documents with known structure.
+  */
+class PipelineOpsSpec extends AnyFunSuite {
+  private lazy val spark = SparkFixture.spark
+
+  private def corpus(docs: Seq[(Long, String)]): String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft-pipeops").toString
+    import spark.implicits._
+    docs.toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  test("pack_sequences tiles each bucket's token stream exactly") {
+    // doc_ids 0/32/64/96 share bucket 0; 1/33 share bucket 1
+    val dir = corpus(Seq(
+      0L -> Seq.fill(300)("tok").mkString(" "), // 300 tokens
+      32L -> Seq.fill(400)("tok").mkString(" "), // straddles the 512 boundary
+      64L -> Seq.fill(100)("tok").mkString(" "),
+      96L -> Seq.fill(600)("tok").mkString(" "), // longer than one sequence
+      1L -> Seq.fill(10)("tok").mkString(" "),
+      33L -> Seq.fill(20)("tok").mkString(" ")))
+    val out = TextAnalysis.queries("pack_sequences")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))
+    assert(out.length === 6)
+    // within each bucket the [start_off, start_off + n_tokens) intervals
+    // tile [0, total) with no gaps or overlaps, in SOME deterministic order
+    for ((_, docs) <- out.groupBy(_._2)) {
+      val sorted = docs.sortBy(_._4)
+      assert(sorted.head._4 === 0L, "first doc starts at offset 0")
+      for (Array(a, b) <- sorted.sliding(2))
+        assert(b._4 === a._4 + a._3, "contiguous token stream")
+    }
+    for ((_, _, n, start, first, last, spanned) <- out) {
+      assert(first === start / 512)
+      assert(last === (start + n - 1) / 512)
+      assert(spanned === last - first + 1)
+    }
+    // 1400 tokens in bucket 0 ⇒ some doc must straddle a sequence boundary
+    assert(out.filter(_._2 == 0L).exists(_._7 >= 2))
+  }
+
+  test("dedup_span_exact finds the shared 16-token chunk and nothing else") {
+    def words(prefix: String, n: Int): String =
+      (0 until n).map(i => s"$prefix$i").mkString(" ")
+    val shared = words("p", 16)
+    val dir = corpus(Seq(
+      1L -> (shared + " " + words("a", 16)), // chunk 0 shared, chunk 1 unique
+      2L -> (shared + " " + words("b", 16)),
+      3L -> words("c", 32), // all chunks unique
+      4L -> words("d", 10))) // too short: no full chunk
+    val out = Dedup.queries("dedup_span_exact")(spark, dir).collect()
+    assert(out.length === 1, "exactly one repeated chunk across the corpus")
+    val r = out.head
+    assert(r.getLong(1) === 2L, "two occurrences")
+    assert(r.getLong(2) === 2L, "in two distinct docs")
+    assert(r.getLong(3) === 1L, "example is the smallest doc_id")
+  }
+
+  test("text_perplexity scores a uniform corpus uniformly, rare above common") {
+    // x,y,z each appear twice: p = 1/3, nll_tok = floor(-ln(1/3)*1e6)
+    val uniform = corpus(Seq(1L -> "x x y", 2L -> "y z z"))
+    val u = TextAnalysis.queries("text_perplexity")(spark, uniform).collect()
+    val perTok = math.floor(-math.log(1.0 / 3.0) * 1e6).toLong
+    for (r <- u) {
+      assert(r.getLong(1) === 3L)
+      assert(r.getLong(2) === 3L * perTok)
+      assert(math.abs(r.getDouble(3) - perTok / 1e6) < 1e-9)
+    }
+    // a doc made of corpus-rare tokens scores a higher avg NLL than one
+    // made of the dominant token
+    val skewed = corpus(Seq(
+      10L -> Seq.fill(50)("common").mkString(" "),
+      11L -> "rareone raretwo rarethree"))
+    val s = TextAnalysis.queries("text_perplexity")(spark, skewed).collect()
+      .map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(s(11L) > s(10L))
+  }
+
+  test("pipeline_gopher_filter keeps clean prose, rejects degenerate docs") {
+    val clean = ("the quick brown fox jumps over lazy dogs and then some " +
+      "more words appear here today while the sun shines bright above")
+    val dir = corpus(Seq(
+      1L -> clean, // 21 words, stopwords present, varied
+      2L -> Seq.fill(30)("word").mkString(" "), // top_frac = 1.0
+      3L -> "too short to pass", // n_words < 20
+      4L -> (1 to 25).map(i => s"unique$i").mkString(" "))) // no stopwords
+    val out = TextAnalysis.queries("pipeline_gopher_filter")(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(6)).toMap
+    assert(out === Map(1L -> true, 2L -> false, 3L -> false, 4L -> false))
+  }
+}
