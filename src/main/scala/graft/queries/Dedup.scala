@@ -431,6 +431,53 @@ object Dedup {
           col("n_contaminated").cast("double") / col("n_shingles"))
         .select("doc_id", "n_shingles", "n_contaminated", "contam_frac")
         .orderBy("doc_id")
+    },
+
+    // Bloom-filter decontamination — the scale path for the same check:
+    // broadcasting the exact benchmark shingle set stops working when the
+    // benchmark suite is billions of shingles, but a fixed-size Bloom
+    // filter (here 2^20 bits, 2 hash functions from md5 slices) stays
+    // broadcast-able forever. The filter is built WITHOUT a driver
+    // collect: set bits live in a <=16384-row (word -> bit_or mask)
+    // relation — the broadcast IS the bitmap — and each probe is two
+    // broadcast-hash lookups plus bit tests, exchange-free on the stream
+    // side. Collisions make this a SUPERSET of decontaminate_ngram
+    // (asserted by PipelineOpsSpec); the oracle reproduces the identical
+    // math through position-set joins, false positives included.
+    "decontaminate_bloom" -> { (s, dir) =>
+      val sh = Tables(s, dir, "documents")
+        .filter(col("text").isNotNull)
+        .select(col("doc_id"),
+          explode(graft.exprs.functions.ngram_shingles(toks(col("text"))))
+            .as("sng"))
+        .distinct()
+        .withColumn("h", md5(col("sng")))
+        .withColumn("p1", conv(substring(col("h"), 1, 5), 16, 10).cast("long"))
+        .withColumn("p2", conv(substring(col("h"), 6, 5), 16, 10).cast("long"))
+        .withColumn("n_shingles",
+          count(lit(1)).over(Window.partitionBy(col("doc_id"))))
+      val benchBits = sh.filter(col("doc_id") % BenchmarkMod === 0)
+        .select(explode(array(col("p1"), col("p2"))).as("p")).distinct()
+        .select(expr("p DIV 64").as("word"),
+          expr("shiftleft(1L, CAST(p % 64 AS INT))").as("m"))
+        .groupBy("word").agg(expr("bit_or(m)").as("mask"))
+      sh.filter(col("doc_id") % BenchmarkMod =!= 0)
+        .withColumn("w1", expr("p1 DIV 64"))
+        .withColumn("w2", expr("p2 DIV 64"))
+        .join(broadcast(benchBits.select(col("word").as("w1"),
+          col("mask").as("mask1"))), Seq("w1"), "left")
+        .join(broadcast(benchBits.select(col("word").as("w2"),
+          col("mask").as("mask2"))), Seq("w2"), "left")
+        .filter(
+          expr("coalesce(shiftright(mask1, CAST(p1 % 64 AS INT)) & 1, 0L) = 1")
+            && expr("coalesce(shiftright(mask2, CAST(p2 % 64 AS INT)) & 1, 0L) = 1"))
+        .groupBy("doc_id")
+        .agg(max(col("n_shingles")).as("n_shingles"),
+          count(lit(1)).as("n_flagged"))
+        .withColumn("flagged_frac",
+          col("n_flagged").cast("double") / col("n_shingles"))
+        .select("doc_id", "n_shingles", "n_flagged", "flagged_frac")
+        .orderBy("doc_id")
     }
   )
 
@@ -675,6 +722,31 @@ object Dedup {
          |  count(*) * 1.0 / n_shingles AS contam_frac
          |FROM t JOIN bench USING (s)
          |WHERE doc_id % $BenchmarkMod <> 0
+         |GROUP BY 1, 2 ORDER BY doc_id""".stripMargin,
+
+    "decontaminate_bloom" ->
+      s"""WITH sh AS ($shinglesSql),
+         |t0 AS (SELECT DISTINCT doc_id, unnest(sh) AS s FROM sh),
+         |pos AS (SELECT doc_id, s,
+         |  list_reduce(list_transform(range(1, 6),
+         |    i -> instr('0123456789abcdef', substr(md5(s), i, 1)) - 1),
+         |    (a, b) -> a*16 + b) AS p1,
+         |  list_reduce(list_transform(range(6, 11),
+         |    i -> instr('0123456789abcdef', substr(md5(s), i, 1)) - 1),
+         |    (a, b) -> a*16 + b) AS p2,
+         |  count(*) OVER (PARTITION BY doc_id) AS n_shingles
+         |  FROM t0),
+         |bbits AS (SELECT DISTINCT p FROM (
+         |  SELECT p1 AS p FROM pos WHERE doc_id % $BenchmarkMod = 0
+         |  UNION SELECT p2 FROM pos WHERE doc_id % $BenchmarkMod = 0)),
+         |flagged AS (
+         |  SELECT doc_id, n_shingles FROM pos
+         |  JOIN bbits b1 ON pos.p1 = b1.p
+         |  JOIN bbits b2 ON pos.p2 = b2.p
+         |  WHERE doc_id % $BenchmarkMod <> 0)
+         |SELECT doc_id, n_shingles, count(*) AS n_flagged,
+         |  count(*) * 1.0 / n_shingles AS flagged_frac
+         |FROM flagged
          |GROUP BY 1, 2 ORDER BY doc_id""".stripMargin
   )
 }

@@ -87,6 +87,18 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(s(11L) > s(10L))
   }
 
+  test("decontaminate_bloom is a superset of the exact ngram check") {
+    val dir = "/root/testdata/sf0.001"
+    val exact = Dedup.queries("decontaminate_ngram")(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val bloom = Dedup.queries("decontaminate_bloom")(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(exact.keySet.subsetOf(bloom.keySet),
+      "every exactly-contaminated doc must be bloom-flagged")
+    for ((doc, n) <- exact)
+      assert(bloom(doc) >= n, s"doc $doc: bloom count below exact count")
+  }
+
   test("pipeline_gopher_filter keeps clean prose, rejects degenerate docs") {
     val clean = ("the quick brown fox jumps over lazy dogs and then some " +
       "more words appear here today while the sun shines bright above")
