@@ -260,7 +260,10 @@ object TextAnalysis {
         .select(col("token"),
           floor(-log(col("tf").cast("double") / col("n_corpus").cast("double"))
             * NllScale).cast("long").as("nll_tok"))
-      docTok.join(model, Seq("token"))
+      // pin the build side: the model is vocab-sized (broadcast-able at any
+      // corpus scale), while docTok grows with the corpus — size stats at
+      // tiny SF would otherwise flip the broadcast onto the doc side
+      docTok.join(broadcast(model), Seq("token"))
         .groupBy("doc_id")
         .agg(sum(col("c")).as("n_tokens"),
           sum(col("c") * col("nll_tok")).as("nll_scaled"))
