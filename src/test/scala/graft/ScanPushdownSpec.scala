@@ -98,6 +98,29 @@ class ScanPushdownSpec extends AnyFunSuite {
     } finally log.close()
   }
 
+  test("pipeline operators keep their audited exchange shapes") {
+    val dir = "/root/testdata/sf0.001"
+    def q(n: String) = graft.SparkEntry.queries(n)(spark, dir)
+    def shuffles(p: String): Int =
+      "Exchange hashpartitioning".r.findAllIn(p).length
+    // Gopher gate: pure kernel projection — no explode, no hash exchange
+    val gopher = plan(q("pipeline_gopher_filter"))
+    assert(shuffles(gopher) == 0 && !gopher.contains("Generate"), gopher.take(2000))
+    // packing: token COUNTS only (no explode), one per-bucket window exchange
+    val pack = plan(q("pack_sequences"))
+    assert(shuffles(pack) == 1 && !pack.contains("Generate"), pack.take(2000))
+    // span dedup: duplicates come from a groupBy, never a self-join
+    val span = plan(q("dedup_span_exact"))
+    assert(!span.contains("Join"), span.take(2000))
+    // bloom probe: two broadcast word-mask lookups, no shuffled join
+    val bloom = plan(q("decontaminate_bloom"))
+    assert("BroadcastExchange".r.findAllIn(bloom).length == 2 &&
+      !bloom.contains("SortMergeJoin"), bloom.take(3000))
+    // perplexity: the model side must be the broadcast build side
+    val ppx = plan(q("text_perplexity"))
+    assert(ppx.contains("BuildRight"), ppx.take(3000))
+  }
+
   test("tryAppendMulti retries through version races") {
     val log = new EventLog(
       new graft.storage.InMemoryBackend(spark))
