@@ -30,6 +30,8 @@ object TextAnalysis {
   private val PackBuckets = 32 // pack_sequences: independent pack streams
   private val PackBudget = 512 // pack_sequences: tokens per training sequence
   private val NllScale = 1000000L // text_perplexity: fixed-point ln scale
+  private val CmDepth = 3 // text_vocab_sketch: hash rows
+  private val CmWidth = 1024 // text_vocab_sketch: buckets per row
 
   private def toks(c: Column): Column = split(c, "\\s+")
 
@@ -183,6 +185,45 @@ object TextAnalysis {
         .agg(count(lit(1)).as("n_occurrences"),
           count_distinct(col("doc_id")).as("n_docs"))
         .orderBy(col("n_occurrences").desc, col("token"))
+        .limit(VocabTopK)
+    },
+
+    // Count-min-sketch vocabulary: the bounded-memory path for corpus
+    // frequency profiling. The exact text_vocab aggregate carries one row
+    // per distinct token through the shuffle; the sketch carries AT MOST
+    // CmDepth*CmWidth rows no matter how large the vocabulary grows —
+    // that's what survives a 100 TB corpus with a web-scale token tail.
+    // Each token increments CmDepth buckets (md5-slice hashes); a point
+    // estimate is the min over its rows, a guaranteed OVERESTIMATE
+    // (asserted in PipelineOpsSpec). Output: the true top-K tokens with
+    // their exact count, sketch estimate, and whether the sketch was
+    // collision-free — the accuracy audit a real pipeline runs before
+    // trusting the sketch at full scale. Oracle-exact: both engines
+    // compute identical bucket sums and mins.
+    "text_vocab_sketch" -> { (s, dir) =>
+      val d = Tables(s, dir, "documents").filter(col("text").isNotNull)
+      val freq = d
+        .select(explode(toks(col("text"))).as("token"))
+        .groupBy("token").agg(count(lit(1)).as("tf"))
+      val withPos = freq.select(col("token") +: col("tf") +:
+        (0 until CmDepth).map(i =>
+          (conv(substring(md5(col("token")), 1 + 4 * i, 4), 16, 10)
+            .cast("long") % CmWidth).as(s"b$i")): _*)
+      val sketch = withPos
+        .select(col("tf"), explode(array((0 until CmDepth).map(i =>
+          struct(lit(i).as("row"), col(s"b$i").as("bucket"))): _*)).as("rb"))
+        .groupBy(col("rb.row").as("row"), col("rb.bucket").as("bucket"))
+        .agg(sum(col("tf")).as("cnt"))
+      val probed = (0 until CmDepth).foldLeft(withPos) { (acc, i) =>
+        acc.join(broadcast(sketch
+          .filter(col("row") === i)
+          .select(col("bucket").as(s"b$i"), col("cnt").as(s"c$i"))), s"b$i")
+      }
+      probed
+        .withColumn("cm_est", least((0 until CmDepth).map(i => col(s"c$i")): _*))
+        .withColumn("is_exact", col("cm_est") === col("tf"))
+        .select("token", "tf", "cm_est", "is_exact")
+        .orderBy(col("tf").desc, col("token"))
         .limit(VocabTopK)
     },
 
@@ -501,6 +542,27 @@ object TextAnalysis {
          |  count(DISTINCT doc_id) AS n_docs
          |FROM tokens GROUP BY 1
          |ORDER BY n_occurrences DESC, token LIMIT $VocabTopK""".stripMargin,
+
+    "text_vocab_sketch" ->
+      s"""WITH tokens AS (SELECT unnest(string_split_regex(text, '\\s+')) AS tok
+         |  FROM documents WHERE text IS NOT NULL),
+         |freq AS (SELECT tok AS token, count(*) AS tf FROM tokens GROUP BY 1),
+         |pos AS (SELECT token, tf,
+         |  list_transform(range(0, $CmDepth), i ->
+         |    list_reduce(list_transform(range(1 + 4*i, 5 + 4*i),
+         |      j -> instr('0123456789abcdef',
+         |        substr(md5(token), CAST(j AS INT), 1)) - 1),
+         |      (a, b) -> a*16 + b) % $CmWidth) AS bs
+         |  FROM freq),
+         |rb AS (
+         |  SELECT p.token, p.tf, r.i AS row, p.bs[CAST(r.i AS INT) + 1] AS bucket
+         |  FROM pos p, (SELECT unnest(range(0, $CmDepth)) AS i) r),
+         |sketch AS (SELECT row, bucket, CAST(sum(tf) AS BIGINT) AS cnt
+         |  FROM rb GROUP BY 1, 2),
+         |est AS (SELECT r.token, r.tf, min(s.cnt) AS cm_est
+         |  FROM rb r JOIN sketch s USING (row, bucket) GROUP BY 1, 2)
+         |SELECT token, tf, cm_est, cm_est = tf AS is_exact
+         |FROM est ORDER BY tf DESC, token LIMIT $VocabTopK""".stripMargin,
 
     "text_rarity" ->
       s"""WITH tokens AS (SELECT doc_id,

@@ -99,6 +99,20 @@ class PipelineOpsSpec extends AnyFunSuite {
       assert(bloom(doc) >= n, s"doc $doc: bloom count below exact count")
   }
 
+  test("text_vocab_sketch never underestimates and matches exact top counts") {
+    val dir = "/root/testdata/sf0.001"
+    val sk = TextAnalysis.queries("text_vocab_sketch")(spark, dir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getBoolean(3)))
+    val exact = TextAnalysis.queries("text_vocab")(spark, dir).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(sk.nonEmpty)
+    for ((tok, (tf, est, isExact)) <- sk) {
+      assert(est >= tf, s"$tok: count-min must overestimate, got $est < $tf")
+      assert(isExact === (est == tf))
+      assert(exact(tok) === tf, s"$tok: true count disagrees with text_vocab")
+    }
+  }
+
   test("pipeline_gopher_filter keeps clean prose, rejects degenerate docs") {
     val clean = ("the quick brown fox jumps over lazy dogs and then some " +
       "more words appear here today while the sun shines bright above")
