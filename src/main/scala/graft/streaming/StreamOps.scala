@@ -13,6 +13,16 @@ final case class NearDupHit(doc_a: Long, doc_b: Long, sim_est: Double)
   * the documents currently holding the bucket. */
 final case class BandBucket(entries: Seq[(Long, Seq[Long], Long)])
 
+/** A streaming pack assignment: where `doc_id` landed in its bucket's
+  * concat-and-chunk token stream (same output contract as the batch
+  * `pack_sequences`). Top-level so the product encoder resolves. */
+final case class PackAssign(
+    doc_id: Long, bucket: Long, n_tokens: Long, start_off: Long,
+    seq_first: Long, seq_last: Long, n_seqs_spanned: Long)
+
+/** State for one pack stream: the bucket's next free token offset. */
+final case class PackOffset(offset: Long)
+
 /** Streaming transforms for a continuously-ingesting training-data
   * pipeline (the streaming counterparts of the batch `queries/` operators). */
 object StreamOps {
@@ -151,6 +161,66 @@ object StreamOps {
             state.setTimeoutTimestamp(lastActivity + delayMs)
             hits.result().iterator
           }
+      }
+  }
+
+  /** Streaming sequence packing: the batch `pack_sequences` discipline made
+    * incremental. Each bucket's token stream keeps extending as documents
+    * arrive — a document is assigned the bucket's current offset and the
+    * offset advances by its token count, so training sequences fill
+    * continuously across micro-batches (concat-and-chunk, documents may
+    * straddle sequence boundaries).
+    *
+    * Differences from the batch operator, by design:
+    *  - Order is ARRIVAL order (event time, then doc_id within a
+    *    micro-batch), not the batch md5 shuffle — a stream has no corpus
+    *    to pre-shuffle. Replay from a checkpoint reprocesses whole
+    *    micro-batches, which re-sorts identically, so assignments are
+    *    deterministic per (checkpoint, input) pair.
+    *  - State is ONE Long per bucket (`PackOffset`) — bounded by
+    *    `buckets` forever, no watermark needed, which is why this uses
+    *    NoTimeout: packing state must never expire or offsets would
+    *    collide.
+    *
+    * @param docs    streaming DataFrame
+    * @param tsCol   event-time column (micro-batch sort key)
+    * @param idCol   long document id column (bucket = pmod(id, buckets))
+    * @param textCol document text (whitespace-tokenized)
+    * @param buckets independent pack streams (batch default: 32)
+    * @param budget  tokens per training sequence (batch default: 512)
+    */
+  def packSequences(
+      docs: DataFrame,
+      tsCol: String,
+      idCol: String,
+      textCol: String,
+      buckets: Int = 32,
+      budget: Int = 512): Dataset[PackAssign] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs
+      .select(col(tsCol).cast("timestamp").as("ts"),
+        col(idCol).cast("long").as("doc_id"),
+        pmod(col(idCol).cast("long"), lit(buckets.toLong)).as("bucket"),
+        size(split(col(textCol), "\\s+")).cast("long").as("n_tokens"))
+      .as[(java.sql.Timestamp, Long, Long, Long)]
+      .groupByKey(_._3)
+      .flatMapGroupsWithState(
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (bucket: Long,
+         rows: Iterator[(java.sql.Timestamp, Long, Long, Long)],
+         state: GroupState[PackOffset]) =>
+          var off = state.getOption.map(_.offset).getOrElse(0L)
+          val out = rows.toSeq.sortBy(r => (r._1.getTime, r._2)).map {
+            case (_, id, _, n) =>
+              val start = off
+              off += n
+              PackAssign(id, bucket, n, start,
+                start / budget, (off - 1) / budget,
+                (off - 1) / budget - start / budget + 1)
+          }
+          state.update(PackOffset(off))
+          out.iterator
       }
   }
 }

@@ -300,6 +300,38 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming pack offsets continue across micro-batches per bucket") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(java.sql.Timestamp, Long, String)]
+    def ts(s: Long) = new java.sql.Timestamp(s * 1000L)
+    def words(n: Int) = Seq.fill(n)("w").mkString(" ")
+    val q = StreamOps.packSequences(
+        mem.toDF().toDF("ts", "doc_id", "text"),
+        "ts", "doc_id", "text", buckets = 4, budget = 100)
+      .writeStream.format("memory").queryName("packseq")
+      .outputMode("append").start()
+    try {
+      // bucket 0: docs 0 (30 toks) then 4 (80 toks); bucket 1: doc 1
+      mem.addData((ts(1), 0L, words(30)), (ts(2), 4L, words(80)),
+        (ts(1), 1L, words(250)))
+      q.processAllAvailable()
+      // second micro-batch must resume bucket 0 at offset 110
+      mem.addData((ts(3), 8L, words(15)))
+      q.processAllAvailable()
+      val got = spark.table("packseq").collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(3), r.getLong(4),
+          r.getLong(5), r.getLong(6))).toMap
+      assert(got(0L) === ((0L, 0L, 0L, 0L, 1L)))
+      // doc 4 starts at 30, ends at token 109: straddles sequences 0 and 1
+      assert(got(4L) === ((0L, 30L, 0L, 1L, 2L)))
+      // doc 1 alone fills sequences 0..2 of its own bucket
+      assert(got(1L) === ((1L, 0L, 0L, 2L, 3L)))
+      // batch 2, bucket 0 resumes at 110 (sequence 1)
+      assert(got(8L) === ((0L, 110L, 1L, 1L, 1L)))
+    } finally q.stop()
+  }
+
   test("streaming minhash near-dup flags live-bucket matches, expires state") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
