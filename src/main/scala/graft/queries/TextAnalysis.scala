@@ -387,6 +387,37 @@ object TextAnalysis {
         .orderBy("pred_lang")
     },
 
+    // The end-to-end pretraining data job: exact-dedup keepers -> quality
+    // gate -> sequence packing. What a training-data team actually ships:
+    // documents that survive dedup and the gate land, deterministically
+    // shuffled, in fixed-budget training sequences. One token_stats kernel
+    // feeds the gate; three exchanges total (keeper hash, pack bucket,
+    // output sort), none carrying exploded token rows.
+    "pipeline_pack_corpus" -> { (s, dir) =>
+      val d = Tables(s, dir, "documents")
+      val kept = d.select(col("doc_id"), col("text"),
+          graft.exprs.functions.token_stats(
+            toks(col("text")), stopsLit, noWords).as("st"))
+        .withColumn("keeper",
+          min(col("doc_id")).over(Window.partitionBy(md5(col("text")))))
+        .filter(col("doc_id") === col("keeper"))
+        .filter(col("st.n_words") >= 20 && col("st.n_stop") > 0)
+        .select(col("doc_id"),
+          pmod(col("doc_id"), lit(PackBuckets.toLong)).as("bucket"),
+          col("st.n_words").as("n_tokens"))
+      val w = Window.partitionBy(col("bucket"))
+        .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+      kept
+        .withColumn("cum", sum(col("n_tokens")).over(w))
+        .withColumn("start_off", col("cum") - col("n_tokens"))
+        .withColumn("seq_first", expr(s"start_off DIV $PackBudget"))
+        .withColumn("seq_last", expr(s"(cum - 1) DIV $PackBudget"))
+        .withColumn("n_seqs_spanned", col("seq_last") - col("seq_first") + 1)
+        .select("doc_id", "bucket", "n_tokens", "start_off",
+          "seq_first", "seq_last", "n_seqs_spanned")
+        .orderBy("doc_id")
+    },
+
     // Winnowing fingerprints (rolling k-gram hashes, min per window of W) —
     // the standard near-dup/plagiarism sketch: two documents share a
     // fingerprint iff they share a k-gram that wins a window, robust to
@@ -698,6 +729,35 @@ object TextAnalysis {
          |JOIN quality q USING (doc_id)
          |LEFT JOIN best b USING (doc_id)
          |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "pipeline_pack_corpus" ->
+      s"""WITH words AS (
+         |  SELECT doc_id, unnest(string_split_regex(text, '\\s+')) AS tok
+         |  FROM documents),
+         |stats AS (
+         |  SELECT doc_id, count(*) AS n_words,
+         |    sum(CASE WHEN tok IN ($stopList) THEN 1 ELSE 0 END) AS n_stop
+         |  FROM words GROUP BY 1),
+         |keep AS (
+         |  SELECT doc_id FROM (
+         |    SELECT doc_id, min(doc_id) OVER (PARTITION BY md5(text)) AS keeper
+         |    FROM documents) t WHERE doc_id = keeper),
+         |kept AS (
+         |  SELECT s.doc_id, s.doc_id % $PackBuckets AS bucket,
+         |    CAST(s.n_words AS BIGINT) AS n_tokens
+         |  FROM stats s JOIN keep USING (doc_id)
+         |  WHERE s.n_words >= 20 AND s.n_stop > 0),
+         |c AS (
+         |  SELECT doc_id, bucket, n_tokens,
+         |    CAST(sum(n_tokens) OVER (PARTITION BY bucket
+         |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS cum
+         |  FROM kept)
+         |SELECT doc_id, bucket, n_tokens, cum - n_tokens AS start_off,
+         |  (cum - n_tokens) // $PackBudget AS seq_first,
+         |  (cum - 1) // $PackBudget AS seq_last,
+         |  (cum - 1) // $PackBudget - (cum - n_tokens) // $PackBudget + 1
+         |    AS n_seqs_spanned
+         |FROM c ORDER BY doc_id""".stripMargin,
 
     "text_winnow" ->
       """WITH t AS (

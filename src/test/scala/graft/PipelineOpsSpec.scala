@@ -87,6 +87,18 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(s(11L) > s(10L))
   }
 
+  test("pipeline_pack_corpus packs only deduped, gate-passing docs") {
+    val clean = ("the quick brown fox jumps over lazy dogs and then some " +
+      "more words appear here today while the sun shines bright above")
+    val dir = corpus(Seq(
+      1L -> clean,
+      2L -> clean, // exact dup of 1: dropped by the keeper rule
+      3L -> "too short")) // fails the n_words >= 20 gate
+    val out = TextAnalysis.queries("pipeline_pack_corpus")(spark, dir).collect()
+    assert(out.length === 1 && out.head.getLong(0) === 1L)
+    assert(out.head.getLong(3) === 0L, "sole doc starts its bucket at 0")
+  }
+
   test("decontaminate_bloom is a superset of the exact ngram check") {
     val dir = "/root/testdata/sf0.001"
     val exact = Dedup.queries("decontaminate_ngram")(spark, dir).collect()
