@@ -261,6 +261,26 @@ object EventLogQueries {
         .agg(count(lit(1)).as("n"),
           sum(col("value").cast("decimal(18,2)")).cast("double").as("total_value"))
         .orderBy("hour_bucket", "event_type")
+    },
+
+    // Cohort retention: users grouped by first-activity day, counted once
+    // per (cohort, days-since-cohort) cell — the standard product-analytics
+    // triangle. The cohort day comes from a window min (ONE user_id
+    // exchange, no aggregate+self-join); the per-day dedup then groups on a
+    // superset of the window's partitioning, so it reuses that exchange,
+    // and only the final small (cohort, offset) aggregate reshuffles. All
+    // integer day arithmetic on the ns-epoch ts.
+    "events_retention" -> { (s, dir) =>
+      val ev = Tables(s, dir, "events")
+        .select(col("user_id"), expr("ts div 86400000000000").as("day"))
+      val wu = Window.partitionBy("user_id")
+      ev.withColumn("cohort_day", min(col("day")).over(wu))
+        .select(col("cohort_day"),
+          (col("day") - col("cohort_day")).as("day_offset"), col("user_id"))
+        .distinct()
+        .groupBy("cohort_day", "day_offset")
+        .agg(count(lit(1)).as("n_users"))
+        .orderBy("cohort_day", "day_offset")
     }
   )
 
@@ -399,6 +419,16 @@ object EventLogQueries {
       """SELECT epoch_ns(ts) // 3600000000000 AS hour_bucket, event_type,
         |  count(*) AS n,
         |  CAST(sum(cast(value AS decimal(18,2))) AS DOUBLE) AS total_value
-        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "events_retention" ->
+      """WITH ev AS (
+        |  SELECT user_id, epoch_ns(ts) // 86400000000000 AS day FROM events),
+        |c AS (SELECT user_id, day,
+        |  min(day) OVER (PARTITION BY user_id) AS cohort_day FROM ev),
+        |d AS (SELECT DISTINCT cohort_day, day - cohort_day AS day_offset,
+        |  user_id FROM c)
+        |SELECT cohort_day, day_offset, count(*) AS n_users
+        |FROM d GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
   )
 }
