@@ -253,6 +253,37 @@ object Similarity {
           * lit(RpScale)).as(s"p$j")
       }
       e.select(col("vec_id") +: projected: _*).orderBy("vec_id")
+    },
+
+    // Scalar int8 quantization — the compression step an embedding-serving
+    // tier runs before shipping vectors to an index: per-dimension min/max
+    // (a 64-row broadcast at any corpus size), then q = floor((x-lo)/
+    // (hi-lo)*255). Output is the per-dimension quantization audit (range +
+    // exact BIGINT moments of the quantized codes), which pins every single
+    // code bit-for-bit against the oracle without materializing the n×64
+    // code table into the result. Scale shape: posexplode is linear, the
+    // range aggregate partial-aggregates map-side to 64 rows, the re-join
+    // is broadcast, and the final aggregate reuses the explode's
+    // partitioning story — all-int sums are order-independent.
+    "emb_quantize" -> { (s, dir) =>
+      val e = Tables(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      val dims = e.select(col("vec_id"),
+        posexplode(col("v")).as(Seq("dim", "x")))
+        .withColumn("dim", col("dim").cast("long"))
+      val ranges = dims.groupBy("dim")
+        .agg(min(col("x")).as("lo"), max(col("x")).as("hi"))
+      dims.join(broadcast(ranges), "dim")
+        .withColumn("q",
+          when(col("hi") === col("lo"), lit(0L))
+            .otherwise(floor((col("x") - col("lo")) / (col("hi") - col("lo"))
+              * 255).cast("long")))
+        .groupBy("dim")
+        .agg(min(col("lo")).as("lo"), min(col("hi")).as("hi"),
+          count(lit(1)).as("n"),
+          sum(col("q")).as("sum_q"),
+          sum(col("q") * col("q")).as("sum_q2"))
+        .orderBy("dim")
     }
   )
 
@@ -297,6 +328,22 @@ object Similarity {
          |SELECT vec_id,
          |  ${terms.mkString(",\n  ")}
          |FROM e ORDER BY vec_id""".stripMargin
-    }
+    },
+
+    "emb_quantize" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |d AS (SELECT vec_id, generate_subscripts(v, 1) - 1 AS dim,
+        |  unnest(v) AS x FROM e),
+        |r AS (SELECT dim, min(x) AS lo, max(x) AS hi FROM d GROUP BY 1),
+        |q AS (SELECT d.vec_id, d.dim,
+        |  CASE WHEN r.hi = r.lo THEN 0
+        |    ELSE CAST(floor((d.x - r.lo) / (r.hi - r.lo) * 255) AS BIGINT)
+        |  END AS q
+        |  FROM d JOIN r USING (dim))
+        |SELECT dim, min(r.lo) AS lo, min(r.hi) AS hi, count(*) AS n,
+        |  CAST(sum(q.q) AS BIGINT) AS sum_q,
+        |  CAST(sum(q.q * q.q) AS BIGINT) AS sum_q2
+        |FROM q JOIN r USING (dim)
+        |GROUP BY dim ORDER BY dim""".stripMargin
   )
 }

@@ -125,6 +125,22 @@ class PipelineOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("emb_quantize maps ranges to full-scale int8 codes, constants to 0") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-quant").toString
+    import spark.implicits._
+    Seq((1L, Seq(0f, 10f)), (2L, Seq(5f, 10f)), (3L, Seq(10f, 10f)))
+      .toDF("vec_id", "embedding")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val out = graft.queries.Similarity.queries("emb_quantize")(spark, dir)
+      .collect().map(r => r.getLong(0) ->
+        (r.getDouble(1), r.getDouble(2), r.getLong(3), r.getLong(4),
+          r.getLong(5))).toMap
+    // dim 0 spans [0,10]: codes 0, floor(127.5)=127, 255
+    assert(out(0L) === ((0.0, 10.0, 3L, 382L, 127L * 127 + 255L * 255)))
+    // dim 1 is constant: hi == lo collapses every code to 0
+    assert(out(1L) === ((10.0, 10.0, 3L, 0L, 0L)))
+  }
+
   test("pipeline_gopher_filter keeps clean prose, rejects degenerate docs") {
     val clean = ("the quick brown fox jumps over lazy dogs and then some " +
       "more words appear here today while the sun shines bright above")
