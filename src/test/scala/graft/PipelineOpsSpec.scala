@@ -50,6 +50,33 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(out.filter(_._2 == 0L).exists(_._7 >= 2))
   }
 
+  test("pack_sequences invariants hold on a randomized corpus") {
+    // deterministic pseudo-random doc sizes: every bucket gets a mix of
+    // tiny, boundary-straddling, and multi-sequence docs
+    val rng = new scala.util.Random(42)
+    val docs = (0 until 200).map { i =>
+      val id = rng.nextInt(100000).toLong * 200 + i // sparse, collision-free
+      id -> Seq.fill(1 + rng.nextInt(1200))("t").mkString(" ")
+    }
+    val dir = corpus(docs)
+    val out = TextAnalysis.queries("pack_sequences")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))
+    assert(out.length === docs.length)
+    for ((id, bucket, n, start, first, last, spanned) <- out) {
+      assert(bucket === id % 32)
+      assert(first === start / 512 && last === (start + n - 1) / 512)
+      assert(spanned === last - first + 1 && n >= 1)
+    }
+    for ((_, bDocs) <- out.groupBy(_._2)) {
+      val sorted = bDocs.sortBy(_._4)
+      assert(sorted.head._4 === 0L)
+      for (Array(a, b) <- sorted.sliding(2))
+        assert(b._4 === a._4 + a._3,
+          s"gap/overlap in bucket ${a._2} at offset ${b._4}")
+    }
+  }
+
   test("dedup_span_exact finds the shared 16-token chunk and nothing else") {
     def words(prefix: String, n: Int): String =
       (0 until n).map(i => s"$prefix$i").mkString(" ")
