@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
@@ -162,6 +162,62 @@ object StreamOps {
             hits.result().iterator
           }
       }
+  }
+
+  /** Streaming benchmark decontamination: drop documents sharing any 3-gram
+    * shingle with a STATIC benchmark corpus, as a stateless projection — the
+    * batch `decontaminate_bloom` made streaming. The benchmark compiles ONCE
+    * at query definition into a 2^20-bit Bloom bitmap (two md5-slice hashes
+    * per shingle, 32-bit words so every bit test is exact positive-integer
+    * arithmetic) embedded as an array literal: each micro-batch row probes
+    * the filter inside codegen — no join, no state, no watermark, and the
+    * filter ships to every task like any other literal. False positives
+    * (standard Bloom semantics) drop a clean document; false negatives
+    * cannot happen, which is the correct failure direction for
+    * decontamination.
+    *
+    * @param docs         streaming DataFrame
+    * @param textCol      document text column (whitespace-tokenized)
+    * @param benchmark    STATIC benchmark corpus
+    * @param benchTextCol benchmark text column
+    */
+  def decontaminateStream(
+      docs: DataFrame, textCol: String,
+      benchmark: DataFrame, benchTextCol: String): DataFrame = {
+    val WordBits = 32
+    val Words = (1 << 20) / WordBits
+    def pos1(h: Column) = conv(substring(h, 1, 5), 16, 10).cast("long")
+    def pos2(h: Column) = conv(substring(h, 6, 5), 16, 10).cast("long")
+    // sketch build: bounded at `Words` rows whatever the benchmark size
+    // (collecting a fixed-size sketch is the documented exception to the
+    // no-collect rule — it IS the broadcast)
+    val masks = benchmark
+      .select(explode(graft.exprs.functions.ngram_shingles(
+        split(col(benchTextCol), "\\s+"))).as("sng"))
+      .distinct()
+      .withColumn("h", md5(col("sng")))
+      .select(explode(array(pos1(col("h")), pos2(col("h")))).as("p"))
+      .distinct()
+      .select(expr(s"p DIV $WordBits").as("word"),
+        expr(s"shiftleft(1L, CAST(p % $WordBits AS INT))").as("m"))
+      .groupBy("word").agg(expr("bit_or(m)").as("mask"))
+      .collect()
+    val bitmap = new Array[Long](Words)
+    masks.foreach(r => bitmap(r.getLong(0).toInt) = r.getLong(1))
+    val bm = typedLit(bitmap.toSeq)
+    // 32-bit words keep every mask positive, so the bit test is exact
+    // double-free-of-rounding arithmetic: floor(mask / 2^bit) % 2
+    def bitSet(p: Column): Column = {
+      val mask = element_at(bm, floor(p / WordBits).cast("int") + 1)
+      val bit = pow(lit(2.0), pmod(p, lit(WordBits.toLong))).cast("long")
+      pmod(floor(mask / bit).cast("long"), lit(2L)) === 1L
+    }
+    docs.filter(!exists(
+      graft.exprs.functions.ngram_shingles(split(col(textCol), "\\s+")),
+      s => {
+        val h = md5(s)
+        bitSet(pos1(h)) && bitSet(pos2(h))
+      }))
   }
 
   /** Streaming sequence packing: the batch `pack_sequences` discipline made

@@ -300,6 +300,26 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming decontamination drops benchmark-overlapping docs statelessly") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val bench = Seq("alpha beta gamma delta epsilon").toDF("text")
+    val mem = MemoryStream[(Long, String)]
+    val q = StreamOps.decontaminateStream(
+        mem.toDF().toDF("doc_id", "text"), "text", bench, "text")
+      .writeStream.format("memory").queryName("decontam")
+      .outputMode("append").start()
+    try {
+      mem.addData(
+        (1L, "alpha beta gamma totally new suffix"), // shares a 3-gram
+        (2L, "completely unrelated clean words here"),
+        (3L, "beta gamma delta another overlap case")) // interior 3-gram
+      q.processAllAvailable()
+      val kept = spark.table("decontam").collect().map(_.getLong(0)).toSet
+      assert(kept === Set(2L), s"only the clean doc survives: $kept")
+    } finally q.stop()
+  }
+
   test("streaming pack offsets continue across micro-batches per bucket") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
