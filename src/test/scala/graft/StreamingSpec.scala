@@ -38,13 +38,26 @@ class StreamingSpec extends AnyFunSuite {
       LogStream.readStream(spark, dir), hub,
       Files.createTempDirectory("graftckpt").toString)
     try {
+      // the hub is at-most-once with a capacity-1 drop-on-full mailbox
+      // (broadcast.go:24-28 semantics): if processAllAvailable splits into
+      // two micro-batches, the second publish is LEGALLY dropped. The
+      // documented consumer pattern is notification → re-read the log, so
+      // that is what the test asserts — not exact per-version delivery.
       q.processAllAvailable()
-      assert(sub.poll(5000).contains(2L))
+      val n1 = sub.poll(5000)
+      assert(n1.exists(v => v >= 1L && v <= 2L), s"notification: $n1")
+      assert(backend.version == 2L)
+      // drain any second-batch publish so phase 2 starts with an empty
+      // mailbox (a stale value would otherwise occupy the capacity-1 box
+      // and legally drop the phase-2 notification)
+      while (sub.poll(200).nonEmpty) {}
       // more appends crossing the compaction threshold → next micro-batch
       backend.append(EventData("c", """{"x":3}"""))
       backend.append(EventData("d", """{"x":4}"""))
       q.processAllAvailable()
-      assert(sub.poll(5000).contains(4L))
+      val n2 = sub.poll(5000)
+      assert(n2.exists(v => v >= 3L && v <= 4L), s"notification: $n2")
+      assert(backend.version == 4L)
     } finally {
       q.stop()
       backend.close()
