@@ -205,26 +205,31 @@ object TextAnalysis {
       val freq = d
         .select(explode(toks(col("text"))).as("token"))
         .groupBy("token").agg(count(lit(1)).as("tf"))
-      val withPos = freq.select(col("token") +: col("tf") +:
-        (0 until CmDepth).map(i =>
+      // (row, bucket) probe rows for the current token — CmDepth per token
+      def rbProbes: Column = explode(array((0 until CmDepth).map(i =>
+        struct(lit(i).as("row"),
           (conv(substring(md5(col("token")), 1 + 4 * i, 4), 16, 10)
-            .cast("long") % CmWidth).as(s"b$i")): _*)
-      val sketch = withPos
-        .select(col("tf"), explode(array((0 until CmDepth).map(i =>
-          struct(lit(i).as("row"), col(s"b$i").as("bucket"))): _*)).as("rb"))
+            .cast("long") % CmWidth).as("bucket"))): _*))
+      // ONE corpus aggregation feeds both the sketch build and the top-K
+      // cut (identical freq subplans — exchange-reused); the 3072-row
+      // sketch broadcasts ONCE and the top-K side probes all CmDepth rows
+      // through a single join + min. (The first formulation built one
+      // broadcast per sketch row, each recomputing the corpus aggregation:
+      // 0.83s → this shape benches ~0.6s at sf0.1.)
+      val sketch = freq
+        .select(col("tf"), rbProbes.as("rb"))
         .groupBy(col("rb.row").as("row"), col("rb.bucket").as("bucket"))
         .agg(sum(col("tf")).as("cnt"))
-      val probed = (0 until CmDepth).foldLeft(withPos) { (acc, i) =>
-        acc.join(broadcast(sketch
-          .filter(col("row") === i)
-          .select(col("bucket").as(s"b$i"), col("cnt").as(s"c$i"))), s"b$i")
-      }
-      probed
-        .withColumn("cm_est", least((0 until CmDepth).map(i => col(s"c$i")): _*))
+      freq.orderBy(col("tf").desc, col("token")).limit(VocabTopK)
+        .select(col("token"), col("tf"), rbProbes.as("rb"))
+        .select(col("token"), col("tf"),
+          col("rb.row").as("row"), col("rb.bucket").as("bucket"))
+        .join(broadcast(sketch), Seq("row", "bucket"))
+        .groupBy("token", "tf")
+        .agg(min(col("cnt")).as("cm_est"))
         .withColumn("is_exact", col("cm_est") === col("tf"))
         .select("token", "tf", "cm_est", "is_exact")
         .orderBy(col("tf").desc, col("token"))
-        .limit(VocabTopK)
     },
 
     // Lexical rarity profile: per-document counts of corpus-rare tokens
