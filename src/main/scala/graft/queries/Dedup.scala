@@ -445,22 +445,25 @@ object Dedup {
     // (asserted by PipelineOpsSpec); the oracle reproduces the identical
     // math through position-set joins, false positives included.
     "decontaminate_bloom" -> { (s, dir) =>
+      import graft.operators.BloomSketch
+      // hash BEFORE the distinct, so the dedup and window exchanges carry
+      // 32-hex-char digests instead of arbitrary-length shingle strings —
+      // the same hash-first shuffle discipline decontaminate_ngram uses
+      // (md5 collisions merging two shingles are accepted Bloom semantics,
+      // and the oracle applies the identical distinct-on-md5)
       val sh = Tables(s, dir, "documents")
         .filter(col("text").isNotNull)
         .select(col("doc_id"),
           explode(graft.exprs.functions.ngram_shingles(toks(col("text"))))
             .as("sng"))
+        .select(col("doc_id"), md5(col("sng")).as("h"))
         .distinct()
-        .withColumn("h", md5(col("sng")))
-        .withColumn("p1", conv(substring(col("h"), 1, 5), 16, 10).cast("long"))
-        .withColumn("p2", conv(substring(col("h"), 6, 5), 16, 10).cast("long"))
+        .withColumn("p1", BloomSketch.pos1(col("h")))
+        .withColumn("p2", BloomSketch.pos2(col("h")))
         .withColumn("n_shingles",
           count(lit(1)).over(Window.partitionBy(col("doc_id"))))
-      val benchBits = sh.filter(col("doc_id") % BenchmarkMod === 0)
-        .select(explode(array(col("p1"), col("p2"))).as("p")).distinct()
-        .select(expr("p DIV 64").as("word"),
-          expr("shiftleft(1L, CAST(p % 64 AS INT))").as("m"))
-        .groupBy("word").agg(expr("bit_or(m)").as("mask"))
+      val benchBits = BloomSketch.maskRelation(
+        sh.filter(col("doc_id") % BenchmarkMod === 0).select("h"), 64)
       sh.filter(col("doc_id") % BenchmarkMod =!= 0)
         .withColumn("w1", expr("p1 DIV 64"))
         .withColumn("w2", expr("p2 DIV 64"))
@@ -726,13 +729,13 @@ object Dedup {
 
     "decontaminate_bloom" ->
       s"""WITH sh AS ($shinglesSql),
-         |t0 AS (SELECT DISTINCT doc_id, unnest(sh) AS s FROM sh),
-         |pos AS (SELECT doc_id, s,
+         |t0 AS (SELECT DISTINCT doc_id, md5(unnest(sh)) AS hx FROM sh),
+         |pos AS (SELECT doc_id,
          |  list_reduce(list_transform(range(1, 6),
-         |    i -> instr('0123456789abcdef', substr(md5(s), i, 1)) - 1),
+         |    i -> instr('0123456789abcdef', substr(hx, i, 1)) - 1),
          |    (a, b) -> a*16 + b) AS p1,
          |  list_reduce(list_transform(range(6, 11),
-         |    i -> instr('0123456789abcdef', substr(md5(s), i, 1)) - 1),
+         |    i -> instr('0123456789abcdef', substr(hx, i, 1)) - 1),
          |    (a, b) -> a*16 + b) AS p2,
          |  count(*) OVER (PARTITION BY doc_id) AS n_shingles
          |  FROM t0),

@@ -63,6 +63,39 @@ object TextAnalysis {
       .reduce((acc, cand) =>
         when(cand.getField("cnt") > acc.getField("cnt"), cand).otherwise(acc))
 
+  /** Concat-and-chunk assignment over a (doc_id, bucket, n_tokens) relation
+    * — ONE definition of the packing discipline, shared by pack_sequences
+    * and pipeline_pack_corpus (packTailSql is its DuckDB mirror; editing
+    * one without the other diverges the composite pipeline silently). */
+  private def packAssignments(kept: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("bucket"))
+      .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+    kept
+      .withColumn("cum", sum(col("n_tokens")).over(w))
+      .withColumn("start_off", col("cum") - col("n_tokens"))
+      .withColumn("seq_first", expr(s"start_off DIV $PackBudget"))
+      .withColumn("seq_last", expr(s"(cum - 1) DIV $PackBudget"))
+      .withColumn("n_seqs_spanned", col("seq_last") - col("seq_first") + 1)
+      .select("doc_id", "bucket", "n_tokens", "start_off",
+        "seq_first", "seq_last", "n_seqs_spanned")
+      .orderBy("doc_id")
+  }
+
+  /** DuckDB mirror of [[packAssignments]] over a CTE named `src` with
+    * columns (doc_id, bucket, n_tokens). */
+  private def packTailSql(src: String): String =
+    s"""c AS (
+       |  SELECT doc_id, bucket, n_tokens,
+       |    CAST(sum(n_tokens) OVER (PARTITION BY bucket
+       |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS cum
+       |  FROM $src)
+       |SELECT doc_id, bucket, n_tokens, cum - n_tokens AS start_off,
+       |  (cum - n_tokens) // $PackBudget AS seq_first,
+       |  (cum - 1) // $PackBudget AS seq_last,
+       |  (cum - 1) // $PackBudget - (cum - n_tokens) // $PackBudget + 1
+       |    AS n_seqs_spanned
+       |FROM c ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
     // Language ID: count marker-lexicon hits per language, argmax with
     // deterministic tie-break; 'und' when nothing matches. The fused
@@ -272,27 +305,21 @@ object TextAnalysis {
     // independently — adding executors adds buckets, never a global sort.
     "pack_sequences" -> { (s, dir) =>
       val d = Tables(s, dir, "documents").filter(col("text").isNotNull)
-      val w = Window.partitionBy(col("bucket"))
-        .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
-      d.select(col("doc_id"),
-          pmod(col("doc_id"), lit(PackBuckets.toLong)).as("bucket"),
-          size(toks(col("text"))).cast("long").as("n_tokens"))
-        .withColumn("cum", sum(col("n_tokens")).over(w))
-        .withColumn("start_off", col("cum") - col("n_tokens"))
-        .withColumn("seq_first", expr(s"start_off DIV $PackBudget"))
-        .withColumn("seq_last", expr(s"(cum - 1) DIV $PackBudget"))
-        .withColumn("n_seqs_spanned", col("seq_last") - col("seq_first") + 1)
-        .select("doc_id", "bucket", "n_tokens", "start_off",
-          "seq_first", "seq_last", "n_seqs_spanned")
-        .orderBy("doc_id")
+      packAssignments(d.select(col("doc_id"),
+        (col("doc_id") % PackBuckets).as("bucket"),
+        size(toks(col("text"))).cast("long").as("n_tokens")))
     },
 
     // Unigram-LM negative log-likelihood scoring — the CCNet/Gopher-style
     // "perplexity" quality signal, here against the corpus's own unigram
     // model. Float-sum order is engine-dependent, so the per-token
     // -ln(tf/N) is quantized to fixed-point (floor at 1e-6 resolution) and
-    // summed as exact BIGINTs — associative, bit-stable across engines and
-    // partitionings; only the final per-doc average divides in double.
+    // summed as exact BIGINTs — the SUM is associative and partition-
+    // independent; only the final per-doc average divides in double.
+    // Honest caveat: ln() itself is each engine's libm, so a value landing
+    // within ~1 ulp of an integer boundary could floor apart — probability
+    // ~1e-10 per DISTINCT token (not per row), re-checked by the oracle
+    // gate at every SF rather than assumed away.
     // Scale shape: the unigram model is vocab-sized (broadcast); per-doc
     // counts collapse map-side before the join, like text_rarity.
     "text_perplexity" -> { (s, dir) =>
@@ -329,13 +356,18 @@ object TextAnalysis {
     "pipeline_gopher_filter" -> { (s, dir) =>
       val d = Tables(s, dir, "documents").filter(col("text").isNotNull)
       d.select(col("doc_id"),
-          length(col("text")).cast("long").as("n_chars"),
+          // exact sum of token lengths — NOT the (n_chars - separators)
+          // shortcut text_quality reports, which assumes single-space
+          // separators; this value GATES keep, so whitespace formatting
+          // must not be able to flip it
+          aggregate(toks(col("text")), lit(0L),
+            (acc, t) => acc + length(t)).as("n_token_chars"),
           graft.exprs.functions.token_stats(
             toks(col("text")), stopsLit, noWords).as("st"),
           graft.exprs.functions.repetition_stats(toks(col("text"))).as("r"))
         .select(col("doc_id"),
           col("st.n_words").as("n_words"),
-          ((col("n_chars") - (col("st.n_words") - 1)).cast("double")
+          (col("n_token_chars").cast("double")
             / col("st.n_words")).as("avg_word_len"),
           (col("st.n_stop").cast("double") / col("st.n_words"))
             .as("stop_ratio"),
@@ -400,7 +432,7 @@ object TextAnalysis {
     // output sort), none carrying exploded token rows.
     "pipeline_pack_corpus" -> { (s, dir) =>
       val d = Tables(s, dir, "documents")
-      val kept = d.select(col("doc_id"), col("text"),
+      packAssignments(d.select(col("doc_id"), col("text"),
           graft.exprs.functions.token_stats(
             toks(col("text")), stopsLit, noWords).as("st"))
         .withColumn("keeper",
@@ -408,19 +440,8 @@ object TextAnalysis {
         .filter(col("doc_id") === col("keeper"))
         .filter(col("st.n_words") >= 20 && col("st.n_stop") > 0)
         .select(col("doc_id"),
-          pmod(col("doc_id"), lit(PackBuckets.toLong)).as("bucket"),
-          col("st.n_words").as("n_tokens"))
-      val w = Window.partitionBy(col("bucket"))
-        .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
-      kept
-        .withColumn("cum", sum(col("n_tokens")).over(w))
-        .withColumn("start_off", col("cum") - col("n_tokens"))
-        .withColumn("seq_first", expr(s"start_off DIV $PackBudget"))
-        .withColumn("seq_last", expr(s"(cum - 1) DIV $PackBudget"))
-        .withColumn("n_seqs_spanned", col("seq_last") - col("seq_first") + 1)
-        .select("doc_id", "bucket", "n_tokens", "start_off",
-          "seq_first", "seq_last", "n_seqs_spanned")
-        .orderBy("doc_id")
+          (col("doc_id") % PackBuckets).as("bucket"),
+          col("st.n_words").as("n_tokens")))
     },
 
     // Winnowing fingerprints (rolling k-gram hashes, min per window of W) —
@@ -621,17 +642,7 @@ object TextAnalysis {
          |  SELECT doc_id, doc_id % $PackBuckets AS bucket,
          |    CAST(len(string_split_regex(text, '\\s+')) AS BIGINT) AS n_tokens
          |  FROM documents WHERE text IS NOT NULL),
-         |c AS (
-         |  SELECT doc_id, bucket, n_tokens,
-         |    CAST(sum(n_tokens) OVER (PARTITION BY bucket
-         |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS cum
-         |  FROM d)
-         |SELECT doc_id, bucket, n_tokens, cum - n_tokens AS start_off,
-         |  (cum - n_tokens) // $PackBudget AS seq_first,
-         |  (cum - 1) // $PackBudget AS seq_last,
-         |  (cum - 1) // $PackBudget - (cum - n_tokens) // $PackBudget + 1
-         |    AS n_seqs_spanned
-         |FROM c ORDER BY doc_id""".stripMargin,
+         |${packTailSql("d")}""".stripMargin,
 
     "text_perplexity" ->
       s"""WITH tokens AS (SELECT doc_id,
@@ -658,6 +669,7 @@ object TextAnalysis {
          |  FROM documents WHERE text IS NOT NULL),
          |stats AS (
          |  SELECT doc_id, count(*) AS n_words,
+         |    CAST(sum(length(tok)) AS BIGINT) AS n_token_chars,
          |    CAST(sum(CASE WHEN tok IN ($stopList) THEN 1 ELSE 0 END)
          |      AS BIGINT) AS n_stop
          |  FROM tokens GROUP BY 1),
@@ -677,8 +689,7 @@ object TextAnalysis {
          |  FROM bigr WHERE bg IS NOT NULL GROUP BY 1),
          |sig AS (
          |  SELECT d.doc_id, s.n_words,
-         |    (length(d.text) - (s.n_words - 1)) * 1.0 / s.n_words
-         |      AS avg_word_len,
+         |    s.n_token_chars * 1.0 / s.n_words AS avg_word_len,
          |    s.n_stop * 1.0 / s.n_words AS stop_ratio,
          |    CAST(u.top_cnt AS DOUBLE) / CAST(u.n_tokens AS DOUBLE)
          |      AS top_frac,
@@ -752,17 +763,7 @@ object TextAnalysis {
          |    CAST(s.n_words AS BIGINT) AS n_tokens
          |  FROM stats s JOIN keep USING (doc_id)
          |  WHERE s.n_words >= 20 AND s.n_stop > 0),
-         |c AS (
-         |  SELECT doc_id, bucket, n_tokens,
-         |    CAST(sum(n_tokens) OVER (PARTITION BY bucket
-         |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS cum
-         |  FROM kept)
-         |SELECT doc_id, bucket, n_tokens, cum - n_tokens AS start_off,
-         |  (cum - n_tokens) // $PackBudget AS seq_first,
-         |  (cum - 1) // $PackBudget AS seq_last,
-         |  (cum - 1) // $PackBudget - (cum - n_tokens) // $PackBudget + 1
-         |    AS n_seqs_spanned
-         |FROM c ORDER BY doc_id""".stripMargin,
+         |${packTailSql("kept")}""".stripMargin,
 
     "text_winnow" ->
       """WITH t AS (

@@ -184,24 +184,20 @@ object StreamOps {
   def decontaminateStream(
       docs: DataFrame, textCol: String,
       benchmark: DataFrame, benchTextCol: String): DataFrame = {
+    import graft.operators.BloomSketch
     val WordBits = 32
-    val Words = (1 << 20) / WordBits
-    def pos1(h: Column) = conv(substring(h, 1, 5), 16, 10).cast("long")
-    def pos2(h: Column) = conv(substring(h, 6, 5), 16, 10).cast("long")
+    val Words = BloomSketch.Bits / WordBits
     // sketch build: bounded at `Words` rows whatever the benchmark size
     // (collecting a fixed-size sketch is the documented exception to the
-    // no-collect rule — it IS the broadcast)
-    val masks = benchmark
-      .select(explode(graft.exprs.functions.ngram_shingles(
-        split(col(benchTextCol), "\\s+"))).as("sng"))
-      .distinct()
-      .withColumn("h", md5(col("sng")))
-      .select(explode(array(pos1(col("h")), pos2(col("h")))).as("p"))
-      .distinct()
-      .select(expr(s"p DIV $WordBits").as("word"),
-        expr(s"shiftleft(1L, CAST(p % $WordBits AS INT))").as("m"))
-      .groupBy("word").agg(expr("bit_or(m)").as("mask"))
-      .collect()
+    // no-collect rule — it IS the broadcast); hash slicing and bit layout
+    // shared with the batch decontaminate_bloom via BloomSketch
+    val masks = BloomSketch.maskRelation(
+      benchmark
+        .select(explode(graft.exprs.functions.ngram_shingles(
+          split(col(benchTextCol), "\\s+"))).as("sng"))
+        .select(md5(col("sng")).as("h"))
+        .distinct(),
+      WordBits).collect()
     val bitmap = new Array[Long](Words)
     masks.foreach(r => bitmap(r.getLong(0).toInt) = r.getLong(1))
     val bm = typedLit(bitmap.toSeq)
@@ -212,12 +208,15 @@ object StreamOps {
       val bit = pow(lit(2.0), pmod(p, lit(WordBits.toLong))).cast("long")
       pmod(floor(mask / bit).cast("long"), lit(2L)) === 1L
     }
-    docs.filter(!exists(
+    // coalesce(…, false): a null text has no shingles and CANNOT be
+    // contaminated — without the guard the null predicate would silently
+    // drop exactly the rows the filter has no evidence against
+    docs.filter(!coalesce(exists(
       graft.exprs.functions.ngram_shingles(split(col(textCol), "\\s+")),
       s => {
         val h = md5(s)
-        bitSet(pos1(h)) && bitSet(pos2(h))
-      }))
+        bitSet(BloomSketch.pos1(h)) && bitSet(BloomSketch.pos2(h))
+      }), lit(false)))
   }
 
   /** Streaming sequence packing: the batch `pack_sequences` discipline made
@@ -257,7 +256,9 @@ object StreamOps {
     docs
       .select(col(tsCol).cast("timestamp").as("ts"),
         col(idCol).cast("long").as("doc_id"),
-        pmod(col(idCol).cast("long"), lit(buckets.toLong)).as("bucket"),
+        // sign-preserving % (not pmod), matching the batch pack_sequences
+        // and its oracle's convention for the bucket key
+        (col(idCol).cast("long") % buckets).as("bucket"),
         size(split(col(textCol), "\\s+")).cast("long").as("n_tokens"))
       .as[(java.sql.Timestamp, Long, Long, Long)]
       .groupByKey(_._3)

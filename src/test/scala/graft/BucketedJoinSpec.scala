@@ -59,8 +59,16 @@ class BucketedJoinSpec extends AnyFunSuite {
       assert(a.sameElements(b), "bucketed layout must not change results")
     } finally {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      // the tables are EXTERNAL (explicit path): DROP removes metadata
+      // only, so the staged parquet needs deleting too
       spark.sql("DROP TABLE IF EXISTS orders_b")
       spark.sql("DROP TABLE IF EXISTS lineitem_b")
+      def rm(p: java.nio.file.Path): Unit = {
+        if (java.nio.file.Files.isDirectory(p))
+          java.nio.file.Files.list(p).forEach(rm(_))
+        java.nio.file.Files.deleteIfExists(p)
+      }
+      rm(java.nio.file.Paths.get(wh))
     }
   }
 }

@@ -326,10 +326,11 @@ class StreamingSpec extends AnyFunSuite {
       mem.addData(
         (1L, "alpha beta gamma totally new suffix"), // shares a 3-gram
         (2L, "completely unrelated clean words here"),
-        (3L, "beta gamma delta another overlap case")) // interior 3-gram
+        (3L, "beta gamma delta another overlap case"), // interior 3-gram
+        (4L, null)) // no shingles ⇒ CANNOT be contaminated ⇒ must survive
       q.processAllAvailable()
       val kept = spark.table("decontam").collect().map(_.getLong(0)).toSet
-      assert(kept === Set(2L), s"only the clean doc survives: $kept")
+      assert(kept === Set(2L, 4L), s"clean + null-text docs survive: $kept")
     } finally q.stop()
   }
 
