@@ -359,9 +359,12 @@ object TextAnalysis {
           // exact sum of token lengths — NOT the (n_chars - separators)
           // shortcut text_quality reports, which assumes single-space
           // separators; this value GATES keep, so whitespace formatting
-          // must not be able to flip it
-          aggregate(toks(col("text")), lit(0L),
-            (acc, t) => acc + length(t)).as("n_token_chars"),
+          // must not be able to flip it. Computed as length(text minus all
+          // whitespace): identical to summing split-token lengths, but a
+          // pure codegen string op instead of an interpreted aggregate()
+          // lambda (ArrayAggregate is CodegenFallback).
+          length(regexp_replace(col("text"), "\\s+", "")).cast("long")
+            .as("n_token_chars"),
           graft.exprs.functions.token_stats(
             toks(col("text")), stopsLit, noWords).as("st"),
           graft.exprs.functions.repetition_stats(toks(col("text"))).as("r"))
