@@ -219,6 +219,41 @@ object StreamOps {
       }), lit(false)))
   }
 
+  /** The streaming pretraining intake — the composition the streaming
+    * operators exist for: Gopher-style quality gate (stateless kernel
+    * projection, cheapest first so later stages see less volume) →
+    * watermark-bounded exact dedup → benchmark decontamination (stateless
+    * Bloom probe). Everything upstream of model training, as one streaming
+    * transform; near-dup detection stays a separate emission stream
+    * ([[dedupNearMinhash]]) because it flags pairs rather than filtering.
+    *
+    * @param docs         streaming DataFrame
+    * @param tsCol        event-time column (watermark for the dedup stage)
+    * @param textCol      document text column
+    * @param benchmark    STATIC benchmark corpus to decontaminate against
+    * @param benchTextCol benchmark text column
+    * @param delay        dedup watermark delay, e.g. "10 minutes"
+    */
+  def cleanStream(
+      docs: DataFrame, tsCol: String, textCol: String,
+      benchmark: DataFrame, benchTextCol: String, delay: String): DataFrame = {
+    val t = split(col(textCol), "\\s+")
+    val st = graft.exprs.functions.token_stats(t,
+      array(Seq("the", "a", "of", "to", "in", "is", "and").map(lit): _*),
+      typedLit(Seq.empty[String]))
+    val r = graft.exprs.functions.repetition_stats(t)
+    val gated = docs
+      .filter(col(textCol).isNotNull)
+      .withColumn("_st", st).withColumn("_r", r)
+      .filter(col("_st.n_words") >= 20 &&
+        col("_st.n_stop").cast("double") / col("_st.n_words") >= 0.05 &&
+        col("_r.top_cnt").cast("double") / col("_r.n_tokens") <= 0.2)
+      .drop("_st", "_r")
+    decontaminateStream(
+      dedupExact(gated, tsCol, textCol, delay),
+      textCol, benchmark, benchTextCol)
+  }
+
   /** Streaming sequence packing: the batch `pack_sequences` discipline made
     * incremental. Each bucket's token stream keeps extending as documents
     * arrive — a document is assigned the bucket's current offset and the

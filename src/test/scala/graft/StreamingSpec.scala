@@ -334,6 +334,34 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("cleanStream composes gate, dedup, and decontamination") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val bench = Seq("alpha beta gamma delta epsilon").toDF("text")
+    val mem = MemoryStream[(java.sql.Timestamp, Long, String)]
+    def ts(s: Long) = new java.sql.Timestamp(s * 1000L)
+    // 22 varied words incl. stopwords: passes every gate signal
+    val clean = "the quick brown fox jumps over lazy dogs and then some " +
+      "more words appear here today while the sun shines bright above"
+    val q = StreamOps.cleanStream(
+        mem.toDF().toDF("ts", "doc_id", "text"),
+        "ts", "text", bench, "text", "10 seconds")
+      .writeStream.format("memory").queryName("cleanstream")
+      .outputMode("append").start()
+    try {
+      mem.addData(
+        (ts(1), 1L, clean),
+        (ts(2), 2L, clean), // exact dup within the watermark: dropped
+        (ts(3), 3L, "too short to pass"), // gate: n_words < 20
+        (ts(4), 4L, Seq.fill(30)("word").mkString(" ")), // gate: top_frac
+        (ts(5), 5L, clean + " alpha beta gamma")) // contaminated
+      q.processAllAvailable()
+      val kept = spark.table("cleanstream").collect()
+        .map(_.getLong(1)).toSet
+      assert(kept === Set(1L), s"only the first clean doc survives: $kept")
+    } finally q.stop()
+  }
+
   test("streaming pack offsets continue across micro-batches per bucket") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
