@@ -144,7 +144,8 @@ final class GraftScan(
     maxV: Long,
     limit: Int,
     streamStartVersion: Long,
-    maxVersionsPerTrigger: Long) extends Scan {
+    maxVersionsPerTrigger: Long)
+    extends Scan with SupportsReportStatistics {
 
   override def readSchema(): StructType = required
   override def description(): String =
@@ -152,6 +153,47 @@ final class GraftScan(
       s"${if (maxV == Long.MaxValue) "∞" else maxV}], " +
       s"${if (limit >= 0) s"limit=$limit, " else ""}" +
       s"columns=[${required.fieldNames.mkString(", ")}]"
+
+  /** Dense versions make row counts EXACT from segment names alone (no
+    * file opens): without reported statistics a version-bounded log scan
+    * inherits spark.sql.defaultSizeInBytes and can never be the broadcast
+    * side of a join — precisely the shape "join a small recent window of
+    * the log against a big table" produces. Bytes are the planned files'
+    * sizes scaled by the clipped row fraction and the pruned column
+    * fraction; pushed limits cap both. */
+  override def estimateStatistics(): Statistics = {
+    val (segs, tail) = graft.storage.ParquetLogBackend.readView(path)
+    val fullWidth = math.max(EventSchema.schema.size, 1)
+    var rows = 0L
+    var bytes = 0L
+    segs.foreach { case (f, v0, v1) =>
+      if (v1 >= minV && v0 <= maxV && maxV >= minV) {
+        val r = math.min(maxV, v1) - math.max(minV, v0) + 1L
+        rows += r
+        val sz =
+          try java.nio.file.Files.size(java.nio.file.Paths.get(f))
+          catch { case _: Exception => r * 64L }
+        bytes += sz * r / (v1 - v0 + 1L)
+      }
+    }
+    val tailRows =
+      tail.count(e => e.version >= minV && e.version <= maxV).toLong
+    rows += tailRows
+    bytes += tailRows * 128L
+    if (limit >= 0 && rows > limit) {
+      bytes = if (rows > 0) bytes * limit / rows else bytes
+      rows = limit.toLong
+    }
+    val prunedBytes =
+      math.max(bytes * math.max(required.size, 1) / fullWidth, 1L)
+    val (nr, sb) = (rows, prunedBytes)
+    new Statistics {
+      override def sizeInBytes(): java.util.OptionalLong =
+        java.util.OptionalLong.of(sb)
+      override def numRows(): java.util.OptionalLong =
+        java.util.OptionalLong.of(nr)
+    }
+  }
 
   override def toBatch: Batch = new GraftBatch(path, required, minV, maxV, limit)
 

@@ -157,6 +157,33 @@ class GraftSourceSpec extends AnyFunSuite {
       === (12L to 33L))
   }
 
+  test("reported statistics are exact and let a bounded scan broadcast") {
+    val dir = mkLog()
+    // direct: dense versions make the estimate exact (28..35 = 3 segment
+    // rows clipped from [21,30] + 5 tail rows)
+    val stats = new graft.sources.GraftScan(dir,
+      graft.core.EventSchema.schema, 28L, Long.MaxValue, -1, 0L, 0L)
+      .estimateStatistics()
+    assert(stats.numRows().getAsLong === 8L)
+    assert(stats.sizeInBytes().getAsLong > 0L)
+    // end-to-end: with a small broadcast threshold, the version-bounded
+    // scan (8 rows) must still broadcast — possible only because the scan
+    // reports its size (the V2 fallback is defaultSizeInBytes = huge)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10KB")
+      val big = spark.range(200000).selectExpr("id as version", "id * 2 as x")
+      val bounded = spark.read.format("graft").load(dir)
+        .filter(col("version") >= 28)
+      val joined = big.join(bounded, "version")
+      assert(joined.count() === 8L)
+      val p = joined.queryExecution.executedPlan.toString
+      assert(p.contains("BroadcastHashJoin"),
+        s"bounded graft scan must be broadcast-able:\n${p.take(3000)}")
+    } finally
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("offset json round-trips") {
     assert(GraftOffset.parse(GraftOffset(42L).json()) === 42L)
     intercept[IllegalArgumentException](GraftOffset.parse("""{"v":1}"""))
