@@ -1,0 +1,113 @@
+package graft
+
+import graft.core.{EventData, EventLog}
+import graft.sources.NativeLog
+import graft.storage.InMemoryBackend
+import org.apache.spark.unsafe.types.UTF8String
+import org.scalatest.funsuite.AnyFunSuite
+
+import java.io.{FileOutputStream, RandomAccessFile}
+import java.nio.{ByteBuffer, ByteOrder}
+import java.nio.file.Files
+
+/** The reference's native binary file format, decoded: golden files are
+  * composed here byte-for-byte from the documented layout (SURVEY.md §1.4;
+  * write_event.go:58-101, write_file_header.go:36-61) with checksums from
+  * the SHARED EventOps.checksum — so a real file written by the Go
+  * implementation decodes identically.
+  */
+class NativeLogSpec extends AnyFunSuite {
+  private lazy val spark = SparkFixture.spark
+
+  private def cks(ts: Long, label: String, payload: String, prev: Long): Long =
+    graft.exprs.EventOps.checksum(ts,
+      UTF8String.fromString(label), UTF8String.fromString(payload), prev)
+
+  private def entry(ts: Long, label: String, payload: String, prev: Long)
+      : Array[Byte] = {
+    val lb = label.getBytes("UTF-8")
+    val pb = payload.getBytes("UTF-8")
+    val buf = ByteBuffer.allocate(8 + 8 + 2 + 4 + lb.length + pb.length + 8)
+      .order(ByteOrder.LITTLE_ENDIAN)
+    buf.putLong(cks(ts, label, payload, prev))
+    buf.putLong(ts)
+    buf.putShort(lb.length.toShort)
+    buf.putInt(pb.length)
+    buf.put(lb)
+    buf.put(pb)
+    buf.putLong(prev)
+    buf.array()
+  }
+
+  /** proto header + metadata pseudo-event + the given events, chained by
+    * byte-offset versions exactly like file.go:330. */
+  private def writeNative(
+      meta: String, events: Seq[(Long, String, String)]): String = {
+    val f = Files.createTempFile("graft-native", ".eventlog").toString
+    val out = new FileOutputStream(f)
+    try {
+      val proto = ByteBuffer.allocate(4).order(ByteOrder.LITTLE_ENDIAN)
+        .putInt(5).array()
+      out.write(proto)
+      var offset = 4L
+      val header = entry(1700000000L, "", meta, 0L)
+      out.write(header)
+      var prev = 0L // first real event's versionPrevious is 0 (sentinel)
+      offset += header.length
+      events.foreach { case (ts, label, payload) =>
+        val e = entry(ts, label, payload, prev)
+        out.write(e)
+        prev = offset // this entry's version = its byte offset
+        offset += e.length
+      }
+      f
+    } finally out.close()
+  }
+
+  private val sample = Seq(
+    (1700000001L, "user_created", """{"id":42}"""),
+    (1700000002L, "order_placed", """{"id":42,"sku":"a"}"""),
+    (1700000003L, "order_paid", """{"id":42}"""))
+
+  test("decodes a golden native file: versions, chain, payloads, meta") {
+    val f = writeNative("""{"app":"orders","env":"prod"}""", sample)
+    assert(NativeLog.readMeta(f) === Map("app" -> "orders", "env" -> "prod"))
+    val rows = NativeLog.read(spark, Seq(f)).orderBy("version").collect()
+    assert(rows.length === 3)
+    // versions are byte offsets; each entry's version_previous points to
+    // the prior entry's offset (0 for the first)
+    assert(rows.map(_.getLong(1)).toSeq ===
+      Seq(0L, rows(0).getLong(0), rows(1).getLong(0)))
+    assert(rows.map(_.getString(3)).toSeq === sample.map(_._2))
+    assert(rows.map(_.getString(4)).toSeq === sample.map(_._3))
+    assert(rows.map(_.getLong(2)).toSeq === sample.map(_._1))
+  }
+
+  test("a flipped payload byte surfaces as ErrInvalidVersion") {
+    val f = writeNative("""{"a":"b"}""", sample)
+    val raf = new RandomAccessFile(f, "rw")
+    try {
+      raf.seek(raf.length() - 12) // inside the last entry's payload
+      val b = raf.read()
+      raf.seek(raf.length() - 12)
+      raf.write(b ^ 0x01)
+    } finally raf.close()
+    intercept[graft.core.Errors.ErrInvalidVersion] {
+      NativeLog.decodeFile(f)
+    }
+  }
+
+  test("importInto replays a native log through the commit sequencer") {
+    val f = writeNative("""{"a":"b"}""", sample)
+    val log = new EventLog(new InMemoryBackend(spark))
+    try {
+      assert(NativeLog.importInto(log, f) === 3L)
+      assert(log.version === 3L)
+      val got = log.scan(1L).orderBy("version")
+        .select("label", "payload").collect()
+        .map(r => (r.getString(0), r.getString(1)))
+      assert(got.toSeq === sample.map(e => (e._2, e._3)))
+      assert(log.checkIntegrity().count() === 0L)
+    } finally log.close()
+  }
+}
