@@ -12,6 +12,8 @@ import org.apache.spark.sql.SparkSession
   *   run     <dir> [serve flags]                     serve a persistent log
   *   check   <dir> [--quiet]                         integrity audit
   *   version <url|file://dir|dir>                    print latest version
+  *   import  <nativefile> <dir>                      migrate a Go-written
+  *                                                   .eventlog (extension)
   *
   * Serve flags ≙ cli.go:203-233: `--http-port P`,
   * `--http-read-timeout DUR` (Go duration, default 2s),
@@ -128,9 +130,27 @@ object Main {
       val log = new EventLog(ParquetLogBackend.open(spark(), dir))
       try println(log.version) finally log.close()
 
+    // extension (no reference analog): migrate a native .eventlog file
+    // written by the original Go implementation into an engine log
+    case Seq("import", nativeFile, dir) =>
+      val s = spark()
+      val backend =
+        if (java.nio.file.Files.exists(
+            java.nio.file.Paths.get(dir, "meta.json")))
+          ParquetLogBackend.open(s, dir)
+        else ParquetLogBackend.create(s, dir,
+          graft.sources.NativeLog.readMeta(nativeFile))
+      val log = new EventLog(backend)
+      try {
+        val n = graft.sources.NativeLog.importInto(log, nativeFile)
+        println(s"imported $n events from $nativeFile into $dir " +
+          s"(latest version ${log.version})")
+      } finally log.close()
+
     case _ =>
       System.err.println(
-        "usage: inmem|create <dir>|run <dir>|check <dir> [--quiet]|version <url|dir>")
+        "usage: inmem|create <dir>|run <dir>|check <dir> [--quiet]|" +
+          "version <url|dir>|import <nativefile> <dir>")
       sys.exit(2)
   }
 }

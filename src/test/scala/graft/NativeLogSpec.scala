@@ -97,6 +97,19 @@ class NativeLogSpec extends AnyFunSuite {
     }
   }
 
+  test("cli import creates the target log carrying the native metadata") {
+    val f = writeNative("""{"app":"legacy"}""", sample)
+    val dir = Files.createTempDirectory("graft-import").toString + "/migrated"
+    graft.cli.Main.main(Array("import", f, dir))
+    val log = new EventLog(
+      graft.storage.ParquetLogBackend.open(spark, dir))
+    try {
+      assert(log.version === 3L)
+      assert(log.metadata === Map("app" -> "legacy"))
+      assert(log.checkIntegrity().count() === 0L)
+    } finally log.close()
+  }
+
   test("importInto replays a native log through the commit sequencer") {
     val f = writeNative("""{"a":"b"}""", sample)
     val log = new EventLog(new InMemoryBackend(spark))
