@@ -69,6 +69,64 @@ object NativeLog {
     n
   }
 
+  /** Export an engine log to the reference's native format — the inverse
+    * migration (and the round-trip harness for both codecs): events stream
+    * through `toLocalIterator` in version order and are re-chained on
+    * BYTE-OFFSET versions (the native format's semantics) with checksums
+    * recomputed for the new chain. Timestamps and label/payload bytes are
+    * preserved. Sequential single-file write by format necessity — the
+    * reference's own writer is too (write_event.go). */
+  def export(
+      log: EventLog, path: String, meta: Map[String, String] = Map.empty)
+      : Long = {
+    val out = new java.io.BufferedOutputStream(
+      new java.io.FileOutputStream(path), 64 * 1024)
+    try {
+      val metaJson =
+        if (meta.isEmpty) "{}"
+        else meta.map { case (k, v) => s""""${k}":"${v}"""" }
+          .mkString("{", ",", "}")
+      out.write(u32LE(SupportedProtoVersion))
+      var offset = 4L
+      val header = encodeEntry(
+        System.currentTimeMillis() / 1000L, "", metaJson, 0L)
+      out.write(header)
+      offset += header.length
+      var prev = 0L
+      var n = 0L
+      val it = log.toDF.orderBy("version")
+        .select("timestamp", "label", "payload").toLocalIterator()
+      while (it.hasNext) {
+        val r = it.next()
+        val e = encodeEntry(r.getLong(0), r.getString(1), r.getString(2), prev)
+        out.write(e)
+        prev = offset
+        offset += e.length
+        n += 1L
+      }
+      n
+    } finally out.close()
+  }
+
+  private def encodeEntry(
+      ts: Long, label: String, payload: String, prev: Long): Array[Byte] = {
+    val lb = label.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val pb = payload.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val cks = graft.exprs.EventOps.checksum(ts,
+      UTF8String.fromBytes(lb), UTF8String.fromBytes(pb), prev)
+    val buf = java.nio.ByteBuffer
+      .allocate(8 + 8 + 2 + 4 + lb.length + pb.length + 8)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.putLong(cks).putLong(ts)
+      .putShort(lb.length.toShort).putInt(pb.length)
+      .put(lb).put(pb).putLong(prev)
+    buf.array()
+  }
+
+  private def u32LE(v: Long): Array[Byte] =
+    java.nio.ByteBuffer.allocate(4).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .putInt(v.toInt).array()
+
   /** Decode + checksum-verify a whole file. Corruption surfaces as
     * `ErrInvalidVersion` with the failing byte offset, mirroring the
     * reference's scan behavior (read_event.go:135-139). */

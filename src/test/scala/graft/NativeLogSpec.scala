@@ -97,6 +97,29 @@ class NativeLogSpec extends AnyFunSuite {
     }
   }
 
+  test("export → decode round-trips the engine log bit-for-bit") {
+    val log = new EventLog(new InMemoryBackend(spark, Map("env" -> "rt")))
+    try {
+      sample.foreach { case (_, l, p) => log.append(EventData(l, p)) }
+      val f = Files.createTempFile("graft-export", ".eventlog").toString
+      assert(NativeLog.export(log, f, log.metadata) === 3L)
+      // the exported file is a VALID native log: decodes checksum-clean,
+      // preserves metadata, labels, payloads, and chain structure
+      val d = NativeLog.decodeFile(f)
+      assert(d.meta === Map("env" -> "rt"))
+      assert(d.events.map(e => (e._4, e._5)) === sample.map(e => (e._2, e._3)))
+      assert(d.events.head._2 === 0L, "first event's previous is 0")
+      assert(d.events.map(_._1).toSet.size === 3, "distinct offset versions")
+      // and it imports back into a fresh engine log losslessly
+      val back = new EventLog(new InMemoryBackend(spark))
+      try {
+        NativeLog.importInto(back, f)
+        assert(back.scan(1L).select("label", "payload").collect().toSeq ===
+          log.scan(1L).select("label", "payload").collect().toSeq)
+      } finally back.close()
+    } finally log.close()
+  }
+
   test("cli import creates the target log carrying the native metadata") {
     val f = writeNative("""{"app":"legacy"}""", sample)
     val dir = Files.createTempDirectory("graft-import").toString + "/migrated"
