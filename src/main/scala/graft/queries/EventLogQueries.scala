@@ -263,6 +263,36 @@ object EventLogQueries {
         .orderBy("hour_bucket", "event_type")
     },
 
+    // Per-type z-score anomaly detection over event values. Cross-engine
+    // float determinism without quantization tricks: values are 2-decimal,
+    // so v*100 rounds to EXACT BIGINTs; per-type moments (n, Σv, Σv²) are
+    // integer sums; and z = (v·n − Σv) / sqrt(n·Σv² − (Σv)²) · sqrt(n) ...
+    // algebra folded so the ONLY float ops are one division and sqrt —
+    // which IEEE-754 requires to be correctly rounded (unlike ln/exp), so
+    // both engines produce identical bits from identical integers. Scale
+    // shape: one groupBy to type-level moments (tiny), broadcast back,
+    // pure projection per event.
+    "events_anomaly" -> { (s, dir) =>
+      val e = Tables(s, dir, "events")
+        .withColumn("v100", round(col("value") * 100).cast("long"))
+      val m = e.groupBy("event_type").agg(
+        count(lit(1)).as("n"),
+        sum(col("v100")).as("s1"),
+        sum(col("v100") * col("v100")).as("s2"))
+      e.join(broadcast(m), "event_type")
+        .withColumn("a", col("v100") * col("n") - col("s1"))
+        .withColumn("var_n2", col("n") * col("s2") - col("s1") * col("s1"))
+        // z = a / sqrt(var_n2): numerator and σ both carry the n·100
+        // scaling, so it cancels — (v − mean)/σ exactly
+        .withColumn("z",
+          when(col("var_n2") > 0,
+            col("a").cast("double") / sqrt(col("var_n2").cast("double")))
+            .otherwise(lit(0.0)))
+        .withColumn("is_outlier", abs(col("z")) > 3.0)
+        .select("event_id", "event_type", "value", "z", "is_outlier")
+        .orderBy("event_id")
+    },
+
     // Cohort retention: users grouped by first-activity day, counted once
     // per (cohort, days-since-cohort) cell — the standard product-analytics
     // triangle. The cohort day comes from a window min (ONE user_id
@@ -420,6 +450,29 @@ object EventLogQueries {
         |  count(*) AS n,
         |  CAST(sum(cast(value AS decimal(18,2))) AS DOUBLE) AS total_value
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "events_anomaly" ->
+      """WITH e AS (
+        |  SELECT event_id, event_type, value,
+        |    CAST(round(value * 100) AS BIGINT) AS v100 FROM events),
+        |m AS (
+        |  SELECT event_type, count(*) AS n,
+        |    CAST(sum(v100) AS BIGINT) AS s1,
+        |    CAST(sum(v100 * v100) AS BIGINT) AS s2
+        |  FROM e GROUP BY 1),
+        |j AS (
+        |  SELECT e.event_id, e.event_type, e.value,
+        |    e.v100 * m.n - m.s1 AS a,
+        |    m.n * m.s2 - m.s1 * m.s1 AS var_n2
+        |  FROM e JOIN m USING (event_type))
+        |SELECT event_id, event_type, value,
+        |  CASE WHEN var_n2 > 0
+        |    THEN CAST(a AS DOUBLE) / sqrt(CAST(var_n2 AS DOUBLE))
+        |    ELSE 0.0 END AS z,
+        |  CASE WHEN var_n2 > 0
+        |    THEN abs(CAST(a AS DOUBLE) / sqrt(CAST(var_n2 AS DOUBLE))) > 3.0
+        |    ELSE FALSE END AS is_outlier
+        |FROM j ORDER BY event_id""".stripMargin,
 
     "events_retention" ->
       """WITH ev AS (
