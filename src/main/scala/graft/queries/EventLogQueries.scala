@@ -273,14 +273,19 @@ object EventLogQueries {
     // shape: one groupBy to type-level moments (tiny), broadcast back,
     // pure projection per event.
     "events_anomaly" -> { (s, dir) =>
+      // moments in decimal(38,0) (DuckDB side: HUGEINT): s1² for a type
+      // with n=1e6 events at value~250 is ~6e20, past BIGINT — Spark would
+      // wrap silently and zero every z while DuckDB throws; 128-bit
+      // integers keep the math exact at any realistic type cardinality
       val e = Tables(s, dir, "events")
         .withColumn("v100", round(col("value") * 100).cast("long"))
       val m = e.groupBy("event_type").agg(
         count(lit(1)).as("n"),
-        sum(col("v100")).as("s1"),
-        sum(col("v100") * col("v100")).as("s2"))
+        sum(col("v100").cast("decimal(38,0)")).as("s1"),
+        sum((col("v100") * col("v100")).cast("decimal(38,0)")).as("s2"))
       e.join(broadcast(m), "event_type")
-        .withColumn("a", col("v100") * col("n") - col("s1"))
+        .withColumn("a",
+          col("v100").cast("decimal(38,0)") * col("n") - col("s1"))
         .withColumn("var_n2", col("n") * col("s2") - col("s1") * col("s1"))
         // z = a / sqrt(var_n2): numerator and σ both carry the n·100
         // scaling, so it cancels — (v − mean)/σ exactly
@@ -457,8 +462,8 @@ object EventLogQueries {
         |    CAST(round(value * 100) AS BIGINT) AS v100 FROM events),
         |m AS (
         |  SELECT event_type, count(*) AS n,
-        |    CAST(sum(v100) AS BIGINT) AS s1,
-        |    CAST(sum(v100 * v100) AS BIGINT) AS s2
+        |    CAST(sum(v100) AS HUGEINT) AS s1,
+        |    CAST(sum(v100 * v100) AS HUGEINT) AS s2
         |  FROM e GROUP BY 1),
         |j AS (
         |  SELECT e.event_id, e.event_type, e.value,

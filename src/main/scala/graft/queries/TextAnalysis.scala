@@ -22,7 +22,8 @@ object TextAnalysis {
     "fr" -> "join", "fr" -> "merge", "fr" -> "filter",
     "zh" -> "spark", "zh" -> "query", "zh" -> "stream")
 
-  private val Stopwords = Seq("the", "a", "of", "to", "in", "is", "and")
+  // shared with StreamOps.cleanStream — ONE stopword list for both gates
+  private[graft] val Stopwords = Seq("the", "a", "of", "to", "in", "is", "and")
   private val SamplePerStratum = 20 // sample_stratified: docs kept per lang
   private val VocabTopK = 100 // text_vocab: tokens reported
   private val RareTf = 2 // text_rarity: corpus frequency ≤ this ⇒ rare

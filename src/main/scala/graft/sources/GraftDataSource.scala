@@ -168,7 +168,7 @@ final class GraftScan(
     var bytes = 0L
     segs.foreach { case (f, v0, v1) =>
       if (v1 >= minV && v0 <= maxV && maxV >= minV) {
-        val r = math.min(maxV, v1) - math.max(minV, v0) + 1L
+        val r = GraftPartitions.clippedRows(v0, v1, minV, maxV)
         rows += r
         val sz =
           try java.nio.file.Files.size(java.nio.file.Paths.get(f))
@@ -214,6 +214,14 @@ final class GraftBatch(
 }
 
 object GraftPartitions {
+  /** Surviving rows of a [v0, v1] segment clipped to [minV, maxV] — exact
+    * under dense versions. ONE definition shared by the file planner and
+    * GraftScan.estimateStatistics so the planner's and the statistics'
+    * notion of "rows in range" cannot drift. */
+  private[sources] def clippedRows(
+      v0: Long, v1: Long, minV: Long, maxV: Long): Long =
+    math.min(maxV, v1) - math.max(minV, v0) + 1L
+
   /** One partition per version-overlapping segment file + at most one for
     * the commit-log tail. File ranges come from the segment names; nothing
     * here opens a data file.
@@ -245,7 +253,7 @@ object GraftPartitions {
       files += GraftFilePartition(f,
         if (minV > v0) minV else 1L,
         if (maxV < v1) maxV else Long.MaxValue)
-      covered += math.min(maxV, v1) - math.max(minV, v0) + 1L
+      covered += clippedRows(v0, v1, minV, maxV)
     }
     val t =
       if (limit >= 0 && covered >= limit) Nil

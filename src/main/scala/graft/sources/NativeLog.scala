@@ -5,12 +5,12 @@ import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.unsafe.types.UTF8String
 
 import java.io.{BufferedInputStream, DataInputStream, EOFException, FileInputStream}
-import scala.collection.mutable.ArrayBuffer
+import java.nio.charset.StandardCharsets
 
-/** Reader for the REFERENCE's native binary log file format — the
-  * migration path for an existing romshark/eventlog deployment: open the
-  * `.eventlog` file it wrote, get the same DataFrame every other source
-  * here produces, checksum-verified.
+/** Reader/writer for the REFERENCE's native binary log file format — the
+  * migration path for an existing romshark/eventlog deployment, in BOTH
+  * directions: open the `.eventlog` file it wrote (checksum- and
+  * chain-verified) or produce one from an engine log.
   *
   * On-disk layout (reference, proto version 5): `u32 LE protoVersion`,
   * then entries back to back, the FIRST being the metadata pseudo-event
@@ -22,47 +22,55 @@ import scala.collection.mutable.ArrayBuffer
   *   | label | payload | versionPrevious u64 }}}
   *
   * all little-endian; an entry's VERSION is its byte offset in the file
-  * (file.go:330), and the checksum is XXH64(seed 0) over everything after
-  * itself (checksum.go:9-67) — the exact function
+  * (file.go:330), the first entry's `versionPrevious` is the 0 sentinel,
+  * and the checksum is XXH64(seed 0) over everything after itself
+  * (checksum.go:9-67) — the exact function
   * [[graft.exprs.EventOps.checksum]] already implements for the engine's
-  * own integrity column, so both sides share one definition.
+  * own integrity column, so both sides share one definition. Decoding
+  * verifies BOTH the per-entry checksum and the version chain (entry N's
+  * `versionPrevious` = entry N-1's offset) — spliced files with
+  * self-consistent entries are rejected, not just bit flips.
   *
   * Scale shape: the format is inherently sequential WITHIN a file
   * (variable-length records, no sync markers), so one file = one task —
   * matching the single-node reference that wrote it; parallelism comes
-  * from reading many files at once. Each is decoded streaming (64 KiB
-  * buffer), never materialized whole.
+  * from reading many files at once. Decoding is a streaming Iterator over
+  * a 64 KiB buffered stream — a file is never materialized whole.
   */
 object NativeLog {
   final val SupportedProtoVersion = 5L
 
-  /** Decoded native log: events (with byte-offset versions, exactly as the
-    * reference reports them) + the creation metadata. */
-  final case class Decoded(
-      meta: Map[String, String],
-      events: Seq[(Long, Long, Long, String, String, Long)])
+  /** (version, version_previous, timestamp, label, payload, checksum). */
+  private type Ev = (Long, Long, Long, String, String, Long)
+
+  /** Decoded native log (tests / small files — materializes the events;
+    * the scale paths below stay on the iterator). */
+  final case class Decoded(meta: Map[String, String], events: Seq[Ev])
 
   /** Read one or more native log files as a DataFrame in [[EventSchema]]
     * (versions are the reference's byte offsets). Many files decode in
-    * parallel, one task each. */
+    * parallel, one streaming task each. */
   def read(spark: SparkSession, paths: Seq[String]): DataFrame = {
     val rows = spark.sparkContext
       .parallelize(paths, math.max(paths.size, 1))
-      .flatMap(p => decodeFile(p).events.map(Row.fromTuple))
+      .flatMap(p => openEvents(p)._2.map(Row.fromTuple))
     spark.createDataFrame(rows, EventSchema.schema)
   }
 
-  /** Metadata of a native log (the header pseudo-event's JSON payload). */
-  def readMeta(path: String): Map[String, String] = decodeFile(path).meta
+  /** Metadata of a native log — reads ONLY the header pseudo-event. */
+  def readMeta(path: String): Map[String, String] = {
+    val in = openStream(path)
+    try readHeader(in)._1 finally in.close()
+  }
 
-  /** Migrate a native log into an engine log: events re-append through the
-    * commit sequencer in order, preserving label/payload bytes; versions
-    * and timestamps are REASSIGNED (the engine's dense versions replace
-    * the reference's byte offsets — record the mapping downstream if you
-    * need to translate old cursors). */
+  /** Migrate a native log into an engine log: events stream through the
+    * commit sequencer in order. Versions and timestamps are REASSIGNED
+    * (dense engine versions replace byte offsets), and payloads pass the
+    * engine's standard append canonicalization (minify) — a NO-OP for
+    * files the reference wrote, since it minified at original append. */
   def importInto(log: EventLog, path: String, batch: Int = 1000): Long = {
     var n = 0L
-    decodeFile(path).events.grouped(batch).foreach { g =>
+    openEvents(path)._2.grouped(batch).foreach { g =>
       log.appendMulti(g.map(e => EventData(e._4, e._5)))
       n += g.size
     }
@@ -82,10 +90,13 @@ object NativeLog {
     val out = new java.io.BufferedOutputStream(
       new java.io.FileOutputStream(path), 64 * 1024)
     try {
-      val metaJson =
-        if (meta.isEmpty) "{}"
-        else meta.map { case (k, v) => s""""${k}":"${v}"""" }
-          .mkString("{", ",", "}")
+      // Jackson (sorted keys): correct escaping for any metadata content
+      val metaJson = {
+        val m = new java.util.TreeMap[String, String]()
+        meta.foreach { case (k, v) => m.put(k, v) }
+        new com.fasterxml.jackson.databind.ObjectMapper()
+          .writeValueAsString(m)
+      }
       out.write(u32LE(SupportedProtoVersion))
       var offset = 4L
       val header = encodeEntry(
@@ -110,8 +121,8 @@ object NativeLog {
 
   private def encodeEntry(
       ts: Long, label: String, payload: String, prev: Long): Array[Byte] = {
-    val lb = label.getBytes(java.nio.charset.StandardCharsets.UTF_8)
-    val pb = payload.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val lb = label.getBytes(StandardCharsets.UTF_8)
+    val pb = payload.getBytes(StandardCharsets.UTF_8)
     val cks = graft.exprs.EventOps.checksum(ts,
       UTF8String.fromBytes(lb), UTF8String.fromBytes(pb), prev)
     val buf = java.nio.ByteBuffer
@@ -127,54 +138,103 @@ object NativeLog {
     java.nio.ByteBuffer.allocate(4).order(java.nio.ByteOrder.LITTLE_ENDIAN)
       .putInt(v.toInt).array()
 
-  /** Decode + checksum-verify a whole file. Corruption surfaces as
-    * `ErrInvalidVersion` with the failing byte offset, mirroring the
-    * reference's scan behavior (read_event.go:135-139). */
+  /** Decode + verify a whole file into memory (tests / metadata). */
   private[graft] def decodeFile(path: String): Decoded = {
-    val in = new DataInputStream(
-      new BufferedInputStream(new FileInputStream(path), 64 * 1024))
-    try {
-      val proto = readU32LE(in)
-      require(proto == SupportedProtoVersion,
-        s"unsupported proto version $proto (supported: $SupportedProtoVersion)")
-      var offset = 4L
-      var first = true
-      var meta = Map.empty[String, String]
-      val out = ArrayBuffer.empty[(Long, Long, Long, String, String, Long)]
-      var prevVersion = 0L
-      var done = false
-      while (!done) {
-        readEntry(in, offset) match {
-          case None => done = true
-          case Some((stored, ts, label, payload, verPrev, entryLen)) =>
-            val computed = graft.exprs.EventOps.checksum(
-              ts, UTF8String.fromString(label), UTF8String.fromString(payload),
-              verPrev)
-            if (computed != stored)
-              throw new graft.core.Errors.ErrInvalidVersion()
-            if (first) {
-              // header pseudo-event: metadata JSON, not a log event
-              meta = parseMeta(payload)
-              first = false
-            } else {
-              out += ((offset, verPrev, ts, label, payload, stored))
-              prevVersion = offset
-            }
-            offset += entryLen
-        }
-      }
-      Decoded(meta, out.toSeq)
-    } finally in.close()
+    val (meta, it) = openEvents(path)
+    Decoded(meta, it.toSeq)
   }
 
-  /** None at clean EOF (the loop's only exit); a PARTIAL entry throws. */
+  private def openStream(path: String): DataInputStream =
+    new DataInputStream(
+      new BufferedInputStream(new FileInputStream(path), 64 * 1024))
+
+  /** Read proto gate + header pseudo-event; returns (meta, headerEnd). */
+  private def readHeader(in: DataInputStream): (Map[String, String], Long) = {
+    val proto = readU32LE(in)
+    require(proto == SupportedProtoVersion,
+      s"unsupported proto version $proto (supported: $SupportedProtoVersion)")
+    readEntry(in, 4L) match {
+      case None =>
+        throw new IllegalStateException("native log has no header entry")
+      case Some((stored, ts, lb, pb, verPrev, len)) =>
+        verifyEntry(stored, ts, lb, pb, verPrev, 4L)
+        if (verPrev != 0L)
+          throw new IllegalStateException(
+            "header pseudo-event must carry versionPrevious 0")
+        (parseMeta(new String(pb, StandardCharsets.UTF_8)), 4L + len)
+    }
+  }
+
+  /** Streaming decode: (metadata, verified event iterator). The stream
+    * closes when the iterator exhausts (or on a decode error); an
+    * abandoned iterator leaks one fd until GC — acceptable for a
+    * migration reader, noted here deliberately. */
+  private def openEvents(path: String): (Map[String, String], Iterator[Ev]) = {
+    val in = openStream(path)
+    try {
+      val (meta, headerEnd) = readHeader(in)
+      val it = new Iterator[Ev] {
+        private var offset = headerEnd
+        private var prevVersion = 0L // 0 sentinel: first event's `previous`
+        private var nextEv: Option[Ev] = None
+        private var open = true
+        advance()
+        private def advance(): Unit = {
+          if (!open) { nextEv = None; return }
+          try {
+            readEntry(in, offset) match {
+              case None =>
+                nextEv = None
+                open = false
+                in.close()
+              case Some((stored, ts, lb, pb, verPrev, len)) =>
+                verifyEntry(stored, ts, lb, pb, verPrev, offset)
+                if (verPrev != prevVersion)
+                  throw new IllegalStateException(
+                    s"broken version chain at offset $offset: " +
+                      s"versionPrevious=$verPrev, expected $prevVersion")
+                nextEv = Some((offset, verPrev, ts,
+                  new String(lb, StandardCharsets.UTF_8),
+                  new String(pb, StandardCharsets.UTF_8), stored))
+                prevVersion = offset
+                offset += len
+            }
+          } catch {
+            case e: Throwable =>
+              open = false
+              try in.close() catch { case _: Exception => () }
+              throw e
+          }
+        }
+        override def hasNext: Boolean = nextEv.isDefined
+        override def next(): Ev = {
+          val e = nextEv.getOrElse(throw new NoSuchElementException)
+          advance()
+          e
+        }
+      }
+      (meta, it)
+    } catch { case e: Throwable => in.close(); throw e }
+  }
+
+  /** Checksum over the RAW bytes (exactly what the file contains — the
+    * String round-trip would substitute U+FFFD for invalid UTF-8 and hash
+    * different bytes than stored). */
+  private def verifyEntry(
+      stored: Long, ts: Long, lb: Array[Byte], pb: Array[Byte],
+      verPrev: Long, offset: Long): Unit = {
+    val computed = graft.exprs.EventOps.checksum(
+      ts, UTF8String.fromBytes(lb), UTF8String.fromBytes(pb), verPrev)
+    if (computed != stored)
+      throw new graft.core.Errors.ErrInvalidVersion()
+  }
+
+  /** None at clean EOF (the loop's only exit); a PARTIAL entry throws.
+    * Returns raw label/payload BYTES plus the entry's total length. */
   private def readEntry(in: DataInputStream, offset: Long)
-      : Option[(Long, Long, String, String, Long, Long)] = {
+      : Option[(Long, Long, Array[Byte], Array[Byte], Long, Long)] = {
     val first = in.read()
     if (first < 0) return None
-    def fail(what: String): Nothing =
-      throw new IllegalStateException(
-        s"truncated entry at offset $offset: $what")
     try {
       val checksum = readU64LEFirst(in, first)
       val ts = readU64LE(in)
@@ -185,11 +245,13 @@ object NativeLog {
       val pb = new Array[Byte](payloadLen)
       in.readFully(pb)
       val verPrev = readU64LE(in)
-      Some((checksum, ts,
-        new String(lb, java.nio.charset.StandardCharsets.UTF_8),
-        new String(pb, java.nio.charset.StandardCharsets.UTF_8),
-        verPrev, 8L + 8L + 2L + 4L + labelLen + payloadLen + 8L))
-    } catch { case _: EOFException => fail("EOF inside entry") }
+      Some((checksum, ts, lb, pb, verPrev,
+        8L + 8L + 2L + 4L + labelLen + payloadLen + 8L))
+    } catch {
+      case _: EOFException =>
+        throw new IllegalStateException(
+          s"truncated entry at offset $offset: EOF inside entry")
+    }
   }
 
   private def parseMeta(json: String): Map[String, String] = {

@@ -239,7 +239,7 @@ object StreamOps {
       benchmark: DataFrame, benchTextCol: String, delay: String): DataFrame = {
     val t = split(col(textCol), "\\s+")
     val st = graft.exprs.functions.token_stats(t,
-      array(Seq("the", "a", "of", "to", "in", "is", "and").map(lit): _*),
+      array(graft.queries.TextAnalysis.Stopwords.map(lit): _*),
       typedLit(Seq.empty[String]))
     val r = graft.exprs.functions.repetition_stats(t)
     val gated = docs
@@ -250,7 +250,9 @@ object StreamOps {
         col("_r.top_cnt").cast("double") / col("_r.n_tokens") <= 0.2)
       .drop("_st", "_r")
     decontaminateStream(
-      dedupExact(gated, tsCol, textCol, delay),
+      // drop dedupExact's internal helper column: the intake's output
+      // schema is the caller's schema, nothing more
+      dedupExact(gated, tsCol, textCol, delay).drop("content_hash"),
       textCol, benchmark, benchTextCol)
   }
 

@@ -97,6 +97,35 @@ class NativeLogSpec extends AnyFunSuite {
     }
   }
 
+  test("a spliced entry with a valid checksum still fails the chain check") {
+    // entry checksums are self-consistent, but the second event's
+    // versionPrevious points at an offset from a DIFFERENT file layout —
+    // per-entry verification alone cannot catch this; the chain rule must
+    val f = Files.createTempFile("graft-splice", ".eventlog").toString
+    val out = new FileOutputStream(f)
+    try {
+      out.write(ByteBuffer.allocate(4).order(ByteOrder.LITTLE_ENDIAN)
+        .putInt(5).array())
+      val header = entry(1700000000L, "", """{"a":"b"}""", 0L)
+      out.write(header)
+      out.write(entry(1700000001L, "ok", """{"i":1}""", 0L))
+      // verPrev = 9999: checksum-valid for its own fields, chain-invalid
+      out.write(entry(1700000002L, "spliced", """{"i":2}""", 9999L))
+    } finally out.close()
+    val ex = intercept[IllegalStateException](NativeLog.decodeFile(f))
+    assert(ex.getMessage.contains("broken version chain"))
+  }
+
+  test("export escapes metadata that would break naive JSON concatenation") {
+    val log = new EventLog(new InMemoryBackend(spark))
+    try {
+      log.append(EventData("e", """{"a":1}"""))
+      val f = Files.createTempFile("graft-exportmeta", ".eventlog").toString
+      NativeLog.export(log, f, Map("desc" -> "say \"hi\"\\now"))
+      assert(NativeLog.readMeta(f) === Map("desc" -> "say \"hi\"\\now"))
+    } finally log.close()
+  }
+
   test("export → decode round-trips the engine log bit-for-bit") {
     val log = new EventLog(new InMemoryBackend(spark, Map("env" -> "rt")))
     try {
