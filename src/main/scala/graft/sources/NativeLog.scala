@@ -119,7 +119,7 @@ object NativeLog {
     } finally out.close()
   }
 
-  private def encodeEntry(
+  private[graft] def encodeEntry(
       ts: Long, label: String, payload: String, prev: Long): Array[Byte] = {
     val lb = label.getBytes(StandardCharsets.UTF_8)
     val pb = payload.getBytes(StandardCharsets.UTF_8)
@@ -231,7 +231,7 @@ object NativeLog {
 
   /** None at clean EOF (the loop's only exit); a PARTIAL entry throws.
     * Returns raw label/payload BYTES plus the entry's total length. */
-  private def readEntry(in: DataInputStream, offset: Long)
+  private[graft] def readEntry(in: DataInputStream, offset: Long)
       : Option[(Long, Long, Array[Byte], Array[Byte], Long, Long)] = {
     val first = in.read()
     if (first < 0) return None

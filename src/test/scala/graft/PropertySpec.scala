@@ -102,6 +102,32 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("native entry codec round-trips arbitrary events byte-exactly") {
+    val gen = for {
+      ts <- Gen.choose(0L, 4102444800L) // sane unix-seconds range
+      label <- Gen.listOf(Gen.oneOf(
+        Gen.alphaNumChar, Gen.oneOf('_', '-', '.', '~', '%'))).map(_.mkString)
+      payload <- Gen.oneOf(
+        Gen.alphaNumStr.map(s => s"""{"k":"$s"}"""),
+        Gen.const("""{"寿":"司","emoji":"🍣"}"""), // multi-byte UTF-8
+        Gen.choose(0, 500).map(n => s"""{"big":"${"x" * n}"}"""))
+      prev <- Gen.choose(0L, Long.MaxValue / 2)
+    } yield (ts, label, payload, prev)
+    forAll(gen) { case (ts, label, payload, prev) =>
+      val bytes = graft.sources.NativeLog.encodeEntry(ts, label, payload, prev)
+      val in = new java.io.DataInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      val Some((cks, ts2, lb, pb, prev2, len)) =
+        graft.sources.NativeLog.readEntry(in, 0L)
+      assert(ts2 == ts && prev2 == prev && len == bytes.length)
+      assert(new String(lb, "UTF-8") == label)
+      assert(new String(pb, "UTF-8") == payload)
+      // stored checksum must verify against the decoded raw bytes
+      assert(cks == graft.exprs.EventOps.checksum(ts,
+        UTF8String.fromBytes(lb), UTF8String.fromBytes(pb), prev))
+    }
+  }
+
   test("label validation agrees with the charset definition on arbitrary strings") {
     val legal = (('a' to 'z') ++ ('A' to 'Z') ++ ('0' to '9') ++ "_-.~%").toSet
     forAll(Arbitrary.arbitrary[String]) { s =>
