@@ -388,6 +388,33 @@ object TextAnalysis {
         .orderBy("doc_id")
     },
 
+    // Deterministic data mixing with fractional upsampling — the Pile/
+    // Dolma-style "source weights" step: each source carries a sampling
+    // weight (derived here from the source id so both engines inline the
+    // identical table; production passes a real weight map), a document
+    // appears floor(w) times plus one more iff its content-independent
+    // hash fraction falls under frac(w) — deterministic across runs,
+    // engines, and cluster sizes, integer math throughout (weights in
+    // halves, hash threshold at 32768/65536). Scale shape: pure projection
+    // + explode bounded by ceil(w) — no shuffle except the output sort;
+    // expected copies per source converge to weight × n_docs (spec-checked).
+    "mix_corpus" -> { (s, dir) =>
+      val d = Tables(s, dir, "documents")
+      d.select(col("doc_id"), col("source"),
+          (lit(1) + expr("CAST(substring(source, 4, 10) AS INT) % 4"))
+            .as("w2"),
+          conv(substring(md5(col("doc_id").cast("string")), 1, 4), 16, 10)
+            .cast("long").as("hex16"))
+        .withColumn("n_copies", expr("w2 DIV 2") +
+          when(col("w2") % 2 === 1 && col("hex16") < 32768L, 1L)
+            .otherwise(0L))
+        .filter(col("n_copies") > 0)
+        .select(col("doc_id"), col("source"),
+          (col("w2") / lit(2.0)).as("weight"), col("n_copies"),
+          explode(sequence(lit(0L), col("n_copies") - 1)).as("copy_idx"))
+        .orderBy("doc_id", "copy_idx")
+    },
+
     // Fingerprinting: normalize (lowercase, strip punct, collapse ws) -> md5;
     // 4-hex-char prefix as the shard bucket.
     "text_fingerprint" -> { (s, dir) =>
@@ -711,6 +738,24 @@ object TextAnalysis {
          |    AND stop_ratio >= 0.05 AND top_frac <= 0.2
          |    AND dup_bigram_frac <= 0.3) AS keep
          |FROM sig ORDER BY doc_id""".stripMargin,
+
+    "mix_corpus" ->
+      """WITH d AS (
+        |  SELECT doc_id, source,
+        |    1 + CAST(substr(source, 4) AS INT) % 4 AS w2,
+        |    list_reduce(list_transform(range(1, 5),
+        |      i -> instr('0123456789abcdef',
+        |        substr(md5(CAST(doc_id AS VARCHAR)), CAST(i AS INT), 1)) - 1),
+        |      (a, b) -> a*16 + b) AS hex16
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, source, w2,
+        |    CAST(w2 // 2 + CASE WHEN w2 % 2 = 1 AND hex16 < 32768
+        |      THEN 1 ELSE 0 END AS BIGINT) AS n_copies
+        |  FROM d)
+        |SELECT doc_id, source, w2 / 2.0 AS weight, n_copies,
+        |  CAST(unnest(range(0, n_copies)) AS BIGINT) AS copy_idx
+        |FROM c WHERE n_copies > 0 ORDER BY doc_id, copy_idx""".stripMargin,
 
     "text_fingerprint" ->
       """SELECT doc_id,

@@ -138,6 +138,32 @@ class PipelineOpsSpec extends AnyFunSuite {
       assert(bloom(doc) >= n, s"doc $doc: bloom count below exact count")
   }
 
+  test("mix_corpus upsampling converges to the source weights") {
+    val dir = "/root/testdata/sf0.01" // 25 docs per source
+    val out = TextAnalysis.queries("mix_corpus")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2), r.getLong(3)))
+    // copies per doc are bounded by ceil(weight) and floor(weight)
+    for ((_, _, w, n) <- out)
+      assert(n >= math.floor(w).toLong && n <= math.ceil(w).toLong)
+    // per source, total copies land within the hash-fraction tolerance of
+    // weight × n_docs (exactly n·floor(w) plus a Binomial(n, frac) tail)
+    for ((src, docs) <- out.groupBy(_._2)) {
+      val w = docs.head._3
+      val total = docs.map(_._1).distinct.length match {
+        case nDocs =>
+          val copies = docs.groupBy(_._1).map(_._2.head._4).sum
+          assert(math.abs(copies - w * 25) <= 10,
+            s"$src: $copies copies for weight $w over 25 docs")
+          nDocs
+      }
+      assert(total <= 25)
+    }
+    // deterministic: a second run produces the identical expansion
+    val again = TextAnalysis.queries("mix_corpus")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2), r.getLong(3)))
+    assert(again.toSeq === out.toSeq)
+  }
+
   test("text_vocab_sketch never underestimates and matches exact top counts") {
     val dir = "/root/testdata/sf0.001"
     val sk = TextAnalysis.queries("text_vocab_sketch")(spark, dir).collect()
