@@ -401,8 +401,9 @@ object TextAnalysis {
     "mix_corpus" -> { (s, dir) =>
       val d = Tables(s, dir, "documents")
       d.select(col("doc_id"), col("source"),
-          (lit(1) + expr("CAST(substring(source, 4, 10) AS INT) % 4"))
-            .as("w2"),
+          // 2-arg substring (to end of string): same parse as the
+          // oracle's substr(source, 4) for ANY suffix length
+          (lit(1) + expr("CAST(substring(source, 4) AS INT) % 4")).as("w2"),
           conv(substring(md5(col("doc_id").cast("string")), 1, 4), 16, 10)
             .cast("long").as("hex16"))
         .withColumn("n_copies", expr("w2 DIV 2") +

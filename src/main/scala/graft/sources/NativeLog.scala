@@ -239,7 +239,15 @@ object NativeLog {
       val checksum = readU64LEFirst(in, first)
       val ts = readU64LE(in)
       val labelLen = readU16LE(in)
-      val payloadLen = readU32LE(in).toInt
+      val payloadLenRaw = readU32LE(in)
+      // the format's own payload ceiling (file.go:33) — a length past it is
+      // corruption; without the guard a u32 near 2^31 would turn into a
+      // negative/2 GiB allocation BEFORE any checksum ran
+      if (payloadLenRaw > EventSchema.DefaultPayloadLimit)
+        throw new IllegalStateException(
+          s"corrupt entry at offset $offset: payload length $payloadLenRaw " +
+            s"exceeds the format maximum ${EventSchema.DefaultPayloadLimit}")
+      val payloadLen = payloadLenRaw.toInt
       val lb = new Array[Byte](labelLen)
       in.readFully(lb)
       val pb = new Array[Byte](payloadLen)
