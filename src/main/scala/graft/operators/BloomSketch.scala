@@ -13,14 +13,25 @@ import org.apache.spark.sql.functions._
   * arithmetic), so it is a parameter, not a fork.
   */
 object BloomSketch {
-  /** Filter size in bits (2^20): 5 hex chars per position. */
-  val Bits: Int = 1 << 20
+  /** Filter size in bits — THE scaling knob (SCALING.md): a 10^9-shingle
+    * benchmark wants 2^34 for ~1% FP. Must be a power of 16 so positions
+    * slice whole hex digits; everything below derives from it. */
+  val Bits: Long = 1L << 20
 
-  /** First hash position of an md5 hex column: bits 0..19 of the digest. */
-  def pos1(h: Column): Column = conv(substring(h, 1, 5), 16, 10).cast("long")
+  /** Hex digits per position (= log16 Bits). */
+  private[graft] val HexChars: Int = {
+    val h = java.lang.Long.numberOfTrailingZeros(Bits) / 4
+    require(1L << (h * 4) == Bits, "BloomSketch.Bits must be a power of 16")
+    h
+  }
 
-  /** Second hash position: the next 20 digest bits. */
-  def pos2(h: Column): Column = conv(substring(h, 6, 5), 16, 10).cast("long")
+  /** First hash position of an md5 hex column: digest bits 0..log2(Bits). */
+  def pos1(h: Column): Column =
+    conv(substring(h, 1, HexChars), 16, 10).cast("long")
+
+  /** Second hash position: the next log2(Bits) digest bits. */
+  def pos2(h: Column): Column =
+    conv(substring(h, 1 + HexChars, HexChars), 16, 10).cast("long")
 
   /** (word, mask) relation of the set bits for the given md5-hex keys:
     * at most Bits/wordBits rows whatever the input size. */

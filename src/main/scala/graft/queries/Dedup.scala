@@ -34,6 +34,9 @@ object Dedup {
   private val MaxCcIterations = 25 // dedup_clusters label-propagation cap
   private val BenchmarkMod = 97 // decontaminate: doc_id % mod = 0 ⇒ benchmark
   private val SpanTokens = 16 // dedup_span_exact: tokens per hashed chunk
+  // oracle-side mirror of the bloom position slicing — derived from the
+  // SAME constant so raising BloomSketch.Bits re-derives both engines
+  private val BloomHex = graft.operators.BloomSketch.HexChars
 
   // Random-hyperplane LSH (SimHash for vectors): 32 sign bits in 4 bands of
   // 8. Bit agreement P = 1 - θ/π, so a cosine-0.8 pair collides in a band
@@ -731,10 +734,10 @@ object Dedup {
       s"""WITH sh AS ($shinglesSql),
          |t0 AS (SELECT DISTINCT doc_id, md5(unnest(sh)) AS hx FROM sh),
          |pos AS (SELECT doc_id,
-         |  list_reduce(list_transform(range(1, 6),
+         |  list_reduce(list_transform(range(1, ${BloomHex + 1}),
          |    i -> instr('0123456789abcdef', substr(hx, i, 1)) - 1),
          |    (a, b) -> a*16 + b) AS p1,
-         |  list_reduce(list_transform(range(6, 11),
+         |  list_reduce(list_transform(range(${BloomHex + 1}, ${2 * BloomHex + 1}),
          |    i -> instr('0123456789abcdef', substr(hx, i, 1)) - 1),
          |    (a, b) -> a*16 + b) AS p2,
          |  count(*) OVER (PARTITION BY doc_id) AS n_shingles

@@ -186,7 +186,7 @@ object StreamOps {
       benchmark: DataFrame, benchTextCol: String): DataFrame = {
     import graft.operators.BloomSketch
     val WordBits = 32
-    val Words = BloomSketch.Bits / WordBits
+    val Words = (BloomSketch.Bits / WordBits).toInt
     // sketch build: bounded at `Words` rows whatever the benchmark size
     // (collecting a fixed-size sketch is the documented exception to the
     // no-collect rule — it IS the broadcast); hash slicing and bit layout
