@@ -88,11 +88,36 @@ object Bench {
       val tScan = (System.nanoTime() - t2) / 1e9
       require(n == 1000, s"scan returned $n")
 
+      // HTTP-level versions of the same workloads — the EXACT shape of
+      // the reference harness (bench/bench_test.go:78-183 benches
+      // fasthttp over a listener, not the backend API): full server
+      // routing + wire codec + client on loopback, batch cap 1000.
+      val server = new graft.api.HttpApiServer(log, port = 0)
+      val port = server.start()
+      val (tHttpAppend, tHttpScan) =
+        try {
+          val c = new graft.client.EventLogClient(s"http://127.0.0.1:$port")
+          val h0 = System.nanoTime()
+          var k = 0
+          while (k < 1000) {
+            c.append(EventData("BenchmarkEvent", payload(k)))
+            k += 1
+          }
+          val ta = (System.nanoTime() - h0) / 1e9
+          val h1 = System.nanoTime()
+          val cnt = c.scan("1", batchSize = 1000, limit = 1000)(_ => ())
+          val ts = (System.nanoTime() - h1) / 1e9
+          require(cnt == 1000, s"http scan returned $cnt")
+          (ta, ts)
+        } finally server.stop()
+
       Seq(
         "engine_append_1k" -> tAppend,
         "engine_occ_append_1k" -> tOcc,
         "engine_append_batch_10k" -> tBatch,
-        "engine_scan_1k" -> tScan)
+        "engine_scan_1k" -> tScan,
+        "engine_http_append_1k" -> tHttpAppend,
+        "engine_http_scan_1k" -> tHttpScan)
     } finally log.close()
   }
 }
