@@ -19,6 +19,10 @@ import org.apache.spark.sql.functions._
   * @param vertices one column: the vertex id (any orderable numeric)
   * @param edges    two columns: `src`, `dst` — ONE row per undirected edge
   *                 (symmetrization happens here)
+  * @param maxIter  ceiling on PROPAGATION STEPS (graph-radius hops), not on
+  *                 materialization rounds — each round runs two steps and
+  *                 counts as two, so the contract is stable against the
+  *                 internal batching factor
   * @return (id, component) where component = min vertex id reachable
   */
 object ConnectedComponents {
@@ -63,10 +67,11 @@ object ConnectedComponents {
       release(ckpt)
       ckpt = next
       labels = next.select("id", "component")
-      iter += 1
+      iter += 2 // two propagation steps ran, so two against the ceiling
     }
     require(converged,
-      s"ConnectedComponents: not converged after $maxIter rounds")
+      s"ConnectedComponents: not converged after $iter propagation steps" +
+        s" (maxIter=$maxIter)")
     val out = labels
     release(sym)
     out

@@ -173,7 +173,11 @@ final class GraftScan(
         val sz =
           try java.nio.file.Files.size(java.nio.file.Paths.get(f))
           catch { case _: Exception => r * 64L }
-        bytes += sz * r / (v1 - v0 + 1L)
+        // ratio-first in double: `sz * r` in Long overflows for multi-GB
+        // segments × large clipped row counts, and a wrapped-negative
+        // estimate would read as "tiny" and invite a broadcast of a huge
+        // scan; doubles lose ulps, not the magnitude (it's an estimate)
+        bytes += (sz.toDouble * r / (v1 - v0 + 1L)).toLong
       }
     }
     val tailRows =
@@ -181,11 +185,13 @@ final class GraftScan(
     rows += tailRows
     bytes += tailRows * 128L
     if (limit >= 0 && rows > limit) {
-      bytes = if (rows > 0) bytes * limit / rows else bytes
+      // same overflow shape as above: `bytes * limit` with a ~2^31 pushed
+      // limit wraps long before the division rescues it
+      bytes = if (rows > 0) (bytes.toDouble * limit / rows).toLong else bytes
       rows = limit.toLong
     }
-    val prunedBytes =
-      math.max(bytes * math.max(required.size, 1) / fullWidth, 1L)
+    val prunedBytes = math.max(
+      (bytes.toDouble * math.max(required.size, 1) / fullWidth).toLong, 1L)
     val (nr, sb) = (rows, prunedBytes)
     new Statistics {
       override def sizeInBytes(): java.util.OptionalLong =

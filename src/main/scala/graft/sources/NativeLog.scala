@@ -40,6 +40,22 @@ import java.nio.charset.StandardCharsets
 object NativeLog {
   final val SupportedProtoVersion = 5L
 
+  /** The FILE format's label ceiling (reference file.go:42) — stricter than
+    * the engine/wire cap of 65535 (internal.go:5): the reference sizes its
+    * pooled read buffers as `MaxPayloadLen + MaxLabelLen + 8` (file.go:84),
+    * so a longer label overruns them on read. Enforced symmetrically here:
+    * `readEntry` treats a longer length as corruption and `export` refuses
+    * to produce a file the reference could not open. */
+  final val MaxFileLabelLen = 256
+
+  /** Header metadata written when the caller supplies none. The reference
+    * enforces `MinPayloadLen = 7` on EVERY entry at READ time including the
+    * header pseudo-event (file.go:36, read_event.go:108) but not at write
+    * time, so an empty-meta header (`{}`, 2 bytes) would produce a file the
+    * reference itself can never reopen. Any non-empty map encodes to ≥ 8
+    * bytes, so only the empty map needs the fill. */
+  final val DefaultExportMeta: Map[String, String] = Map("exporter" -> "graft")
+
   /** (version, version_previous, timestamp, label, payload, checksum). */
   private type Ev = (Long, Long, Long, String, String, Long)
 
@@ -92,10 +108,17 @@ object NativeLog {
     try {
       // Jackson (sorted keys): correct escaping for any metadata content
       val metaJson = {
+        val filled = if (meta.isEmpty) DefaultExportMeta else meta
         val m = new java.util.TreeMap[String, String]()
-        meta.foreach { case (k, v) => m.put(k, v) }
-        new com.fasterxml.jackson.databind.ObjectMapper()
+        filled.foreach { case (k, v) => m.put(k, v) }
+        val json = new com.fasterxml.jackson.databind.ObjectMapper()
           .writeValueAsString(m)
+        require(json.getBytes(StandardCharsets.UTF_8).length >=
+          EventSchema.MinPayloadLen,
+          s"metadata JSON shorter than the format minimum " +
+            s"${EventSchema.MinPayloadLen} — the reference could not reopen " +
+            "the file (read_event.go:108)")
+        json
       }
       out.write(u32LE(SupportedProtoVersion))
       var offset = 4L
@@ -109,6 +132,12 @@ object NativeLog {
         .select("timestamp", "label", "payload").toLocalIterator()
       while (it.hasNext) {
         val r = it.next()
+        val labelBytes =
+          r.getString(1).getBytes(StandardCharsets.UTF_8).length
+        require(labelBytes <= MaxFileLabelLen,
+          s"label of $labelBytes bytes exceeds the native format's " +
+            s"$MaxFileLabelLen-byte ceiling (file.go:42) — the reference " +
+            "could not read the exported file")
         val e = encodeEntry(r.getLong(0), r.getString(1), r.getString(2), prev)
         out.write(e)
         prev = offset
@@ -240,13 +269,22 @@ object NativeLog {
       val ts = readU64LE(in)
       val labelLen = readU16LE(in)
       val payloadLenRaw = readU32LE(in)
-      // the format's own payload ceiling (file.go:33) — a length past it is
-      // corruption; without the guard a u32 near 2^31 would turn into a
-      // negative/2 GiB allocation BEFORE any checksum ran
-      if (payloadLenRaw > EventSchema.DefaultPayloadLimit)
+      // the format's own payload bounds (file.go:33-36, read_event.go:108) —
+      // a length outside them is corruption, and both sides matter: past the
+      // ceiling a u32 near 2^31 would turn into a negative/2 GiB allocation
+      // BEFORE any checksum ran; under MinPayloadLen the reference's own
+      // reader returns ErrInvalidVersion, so accepting it here would make
+      // the importer take files the reference refuses
+      if (payloadLenRaw > EventSchema.DefaultPayloadLimit ||
+          payloadLenRaw < EventSchema.MinPayloadLen)
         throw new IllegalStateException(
           s"corrupt entry at offset $offset: payload length $payloadLenRaw " +
-            s"exceeds the format maximum ${EventSchema.DefaultPayloadLimit}")
+            s"outside the format bounds [${EventSchema.MinPayloadLen}, " +
+            s"${EventSchema.DefaultPayloadLimit}]")
+      if (labelLen > MaxFileLabelLen)
+        throw new IllegalStateException(
+          s"corrupt entry at offset $offset: label length $labelLen " +
+            s"exceeds the format maximum $MaxFileLabelLen (file.go:42)")
       val payloadLen = payloadLenRaw.toInt
       val lb = new Array[Byte](labelLen)
       in.readFully(lb)

@@ -126,6 +126,46 @@ class NativeLogSpec extends AnyFunSuite {
     } finally log.close()
   }
 
+  test("export with empty metadata stays reference-openable (MinPayloadLen)") {
+    // "{}" (2 bytes) would violate the reference's MinPayloadLen=7 read
+    // gate (read_event.go:108) — the default arg must fill, not pass through
+    val log = new EventLog(new InMemoryBackend(spark))
+    try {
+      log.append(EventData("e", """{"a":1}"""))
+      val f = Files.createTempFile("graft-emptymeta", ".eventlog").toString
+      assert(NativeLog.export(log, f) === 1L)
+      val d = NativeLog.decodeFile(f) // reader enforces the same bound
+      assert(d.meta === NativeLog.DefaultExportMeta)
+      assert(d.events.map(e => (e._4, e._5)) === Seq(("e", """{"a":1}""")))
+    } finally log.close()
+  }
+
+  test("export refuses labels over the file format's 256-byte ceiling") {
+    val log = new EventLog(new InMemoryBackend(spark))
+    try {
+      log.append(EventData("x" * 300, """{"a":1}""")) // engine allows ≤65535
+      val f = Files.createTempFile("graft-longlabel", ".eventlog").toString
+      val ex = intercept[IllegalArgumentException](NativeLog.export(log, f))
+      assert(ex.getMessage.contains("256"))
+    } finally log.close()
+  }
+
+  test("an entry with payload under MinPayloadLen is rejected as corrupt") {
+    // the reference's reader refuses payloadLen < 7 (read_event.go:108);
+    // the importer must not accept files the reference itself would refuse
+    val f = writeNative("""{"a":"b"}""",
+      Seq((1700000001L, "tiny", """{"i"""))) // 4-byte payload, valid checksum
+    val ex = intercept[IllegalStateException](NativeLog.decodeFile(f))
+    assert(ex.getMessage.contains("outside the format bounds"))
+  }
+
+  test("an entry with a label length over 256 is rejected as corrupt") {
+    val f = writeNative("""{"a":"b"}""",
+      Seq((1700000001L, "L" * 300, """{"i":1}""")))
+    val ex = intercept[IllegalStateException](NativeLog.decodeFile(f))
+    assert(ex.getMessage.contains("label length"))
+  }
+
   test("export → decode round-trips the engine log bit-for-bit") {
     val log = new EventLog(new InMemoryBackend(spark, Map("env" -> "rt")))
     try {
