@@ -216,6 +216,41 @@ object Dedup {
         .orderBy("chunk_hash")
     },
 
+    // The TRUE ExactSubstr signal (Lee et al. 2022): OVERLAPPING stride-1
+    // SpanTokens-token windows, so a duplicated passage is caught at ANY
+    // phase — dedup_span_exact's fixed chunk grid misses a copy that
+    // straddles its boundaries with different alignment per document
+    // (every boilerplate header in a real pretraining crawl does this).
+    // Scale shape: ~SpanTokens× the hashed token volume of the chunked
+    // variant (each token now rides in up to 16 windows) but still LINEAR
+    // in corpus size — one explode, one projection, one hash exchange; no
+    // self-join. explode + codegen'd slice/md5 projection fuse into one
+    // WholeStageCodegen span (deliberately NOT transform(): higher-order
+    // lambdas are CodegenFallback), the groupBy partial-aggregates
+    // map-side BEFORE the exchange (identical spans within one document
+    // collapse locally — a long repeated run is the common case), and at
+    // 100 TB AQE skew-split spreads pathological boilerplate hashes across
+    // reducers. Run AFTER document-level dedup (pipeline order mitigation:
+    // exact + near-dup first cuts the span volume by the dup rate);
+    // SCALING.md prices the 16× arithmetic.
+    "dedup_span_overlap" -> { (s, dir) =>
+      val d = Tables(s, dir, "documents").filter(col("text").isNotNull)
+      d.select(col("doc_id"), split(col("text"), "\\s+").as("toks"))
+        .filter(size(col("toks")) >= SpanTokens)
+        .select(col("doc_id"), col("toks"),
+          explode(sequence(lit(0), size(col("toks")) - SpanTokens)).as("pos"))
+        .select(col("doc_id"),
+          md5(concat_ws(" ",
+            slice(col("toks"), col("pos") + 1, lit(SpanTokens))))
+            .as("span_hash"))
+        .groupBy("span_hash")
+        .agg(count(lit(1)).as("n_occurrences"),
+          count_distinct(col("doc_id")).as("n_docs"),
+          min(col("doc_id")).as("example_doc"))
+        .filter(col("n_occurrences") > 1)
+        .orderBy("span_hash")
+    },
+
     // MinHash + LSH: shingle -> one md5 -> 12 affine minhashes -> 3 bands of
     // 4 -> bucket join for candidates -> verify by minhash agreement >= 0.5
     // (scale shape documented on minhashPairs).
@@ -594,6 +629,24 @@ object Dedup {
          |  count(DISTINCT doc_id) AS n_docs, min(doc_id) AS example_doc
          |FROM h GROUP BY 1 HAVING count(*) > 1
          |ORDER BY chunk_hash""".stripMargin,
+
+    "dedup_span_overlap" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, string_split_regex(text, '\\s+') AS toks
+         |  FROM documents WHERE text IS NOT NULL),
+         |c AS (
+         |  SELECT doc_id, toks,
+         |    unnest(range(0, len(toks) - ${SpanTokens - 1})) AS pos
+         |  FROM t WHERE len(toks) >= $SpanTokens),
+         |h AS (
+         |  SELECT doc_id,
+         |    md5(array_to_string(list_slice(toks,
+         |      pos + 1, pos + $SpanTokens), ' ')) AS span_hash
+         |  FROM c)
+         |SELECT span_hash, count(*) AS n_occurrences,
+         |  count(DISTINCT doc_id) AS n_docs, min(doc_id) AS example_doc
+         |FROM h GROUP BY 1 HAVING count(*) > 1
+         |ORDER BY span_hash""".stripMargin,
 
     "dedup_minhash_lsh" ->
       s"""WITH $minhashPairsSqlCtes

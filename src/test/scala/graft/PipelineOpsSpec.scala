@@ -94,6 +94,25 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(r.getLong(3) === 1L, "example is the smallest doc_id")
   }
 
+  test("dedup_span_overlap catches a passage the chunk grid misses") {
+    def words(prefix: String, n: Int): String =
+      (0 until n).map(i => s"$prefix$i").mkString(" ")
+    // the same 16-token passage, at offset 0 in doc 1 but offset 5 in
+    // doc 2: the non-overlapping chunk grid hashes it at DIFFERENT phase
+    // in each doc (chunk 0 = p0..p15 vs e0..e4 p0..p10), so span_exact is
+    // blind to it; stride-1 windows align on it regardless of phase
+    val shared = words("p", 16)
+    val dir = corpus(Seq(
+      1L -> (shared + " " + words("a", 16)),
+      2L -> (words("e", 5) + " " + shared + " " + words("b", 11))))
+    assert(Dedup.queries("dedup_span_exact")(spark, dir).collect().isEmpty,
+      "the chunk grid must NOT see the phase-shifted copy (that's the gap)")
+    val out = Dedup.queries("dedup_span_overlap")(spark, dir).collect()
+    assert(out.length === 1, "exactly one repeated stride-1 span")
+    val r = out.head
+    assert(r.getLong(1) === 2L && r.getLong(2) === 2L && r.getLong(3) === 1L)
+  }
+
   test("text_perplexity scores a uniform corpus uniformly, rare above common") {
     // x,y,z each appear twice: p = 1/3, nll_tok = floor(-ln(1/3)*1e6)
     val uniform = corpus(Seq(1L -> "x x y", 2L -> "y z z"))

@@ -112,6 +112,8 @@ class ScanPushdownSpec extends AnyFunSuite {
     // span dedup: duplicates come from a groupBy, never a self-join
     val span = plan(q("dedup_span_exact"))
     assert(!span.contains("Join"), span.take(2000))
+    val spanO = plan(q("dedup_span_overlap"))
+    assert(!spanO.contains("Join"), spanO.take(2000))
     // bloom probe: two broadcast word-mask lookups, no shuffled join
     val bloom = plan(q("decontaminate_bloom"))
     assert("BroadcastExchange".r.findAllIn(bloom).length == 2 &&
