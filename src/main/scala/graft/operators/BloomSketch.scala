@@ -4,41 +4,60 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Shared Bloom-filter construction for the decontamination operators
-  * (batch `decontaminate_bloom`, streaming `decontaminateStream`): 2^20
-  * bits, two hash positions per key from md5 slices, masks aggregated per
-  * word with `bit_or`. One definition so the batch and streaming filters
-  * can never drift in hash slicing or bit layout; word size is the ONE
-  * intentional difference (batch joins 64-bit masks; streaming embeds a
-  * literal and uses 32-bit words so every bit test stays exact positive
-  * arithmetic), so it is a parameter, not a fork.
+  * (batch `decontaminate_bloom`, streaming `decontaminateStream`): two
+  * hash positions per key from md5 slices, masks aggregated per word with
+  * `bit_or`. One definition so the batch and streaming filters can never
+  * drift in hash slicing or bit layout; word size is the ONE intentional
+  * difference (batch joins 64-bit masks; streaming embeds a literal and
+  * uses 32-bit words so every bit test stays exact positive arithmetic),
+  * so it is a parameter, not a fork.
+  *
+  * Capacity is a RUNTIME parameter (`bits`), not a compile-time constant:
+  * a 10^9-shingle benchmark wants 2^34 bits for ~1% FP (SCALING.md) and
+  * "recompile to resize" is not a deployable operator. Every position
+  * width derives from the one value, and because positions are hex-PREFIX
+  * slices of the same digest, growing `bits` only extends each position —
+  * a collision at a larger filter is always a collision at a smaller one,
+  * so flagged sets shrink monotonically as capacity grows (spec-asserted).
   */
 object BloomSketch {
-  /** Filter size in bits — THE scaling knob (SCALING.md): a 10^9-shingle
-    * benchmark wants 2^34 for ~1% FP. Must be a power of 16 so positions
-    * slice whole hex digits; everything below derives from it. */
-  val Bits: Long = 1L << 20
+  /** Default filter size in bits: 2^20 ≈ 131 KiB — comfortably broadcast-
+    * and literal-embeddable, ~0.04% FP at 10^4 benchmark shingles. */
+  val DefaultBits: Long = 1L << 20
 
-  /** Hex digits per position (= log16 Bits). */
-  private[graft] val HexChars: Int = {
-    val h = java.lang.Long.numberOfTrailingZeros(Bits) / 4
-    require(1L << (h * 4) == Bits, "BloomSketch.Bits must be a power of 16")
+  /** Hex digits per position (= log16 bits). Powers of 16 only, so
+    * positions slice whole hex digits; ceiling 16^12 = 2^48 keeps a
+    * position comfortably inside a Long AND inside the exact-integer
+    * range of the oracle's double fold (a*16+b over ≤12 digits < 2^53),
+    * while two positions use ≤24 of md5's 32 hex chars. */
+  def hexChars(bits: Long): Int = {
+    val h = java.lang.Long.numberOfTrailingZeros(bits) / 4
+    require(h >= 1 && h <= 12 && (1L << (h * 4)) == bits,
+      s"Bloom bits must be a power of 16 in [16, 16^12]; got $bits")
     h
   }
 
-  /** First hash position of an md5 hex column: digest bits 0..log2(Bits). */
-  def pos1(h: Column): Column =
-    conv(substring(h, 1, HexChars), 16, 10).cast("long")
+  /** Default-capacity hex width (oracle-side mirrors derive from this). */
+  val HexChars: Int = hexChars(DefaultBits)
 
-  /** Second hash position: the next log2(Bits) digest bits. */
-  def pos2(h: Column): Column =
-    conv(substring(h, 1 + HexChars, HexChars), 16, 10).cast("long")
+  /** First hash position of an md5 hex column: digest bits 0..log2(bits). */
+  def pos1(h: Column, bits: Long = DefaultBits): Column =
+    conv(substring(h, 1, hexChars(bits)), 16, 10).cast("long")
+
+  /** Second hash position: the next log2(bits) digest bits. */
+  def pos2(h: Column, bits: Long = DefaultBits): Column = {
+    val hc = hexChars(bits)
+    conv(substring(h, 1 + hc, hc), 16, 10).cast("long")
+  }
 
   /** (word, mask) relation of the set bits for the given md5-hex keys:
-    * at most Bits/wordBits rows whatever the input size. */
-  def maskRelation(md5Keys: DataFrame, wordBits: Int): DataFrame = {
+    * at most bits/wordBits rows whatever the input size. */
+  def maskRelation(
+      md5Keys: DataFrame, wordBits: Int,
+      bits: Long = DefaultBits): DataFrame = {
     val h = md5Keys.columns.head
     md5Keys
-      .select(explode(array(pos1(col(h)), pos2(col(h)))).as("p"))
+      .select(explode(array(pos1(col(h), bits), pos2(col(h), bits))).as("p"))
       .distinct()
       .select(expr(s"p DIV $wordBits").as("word"),
         expr(s"shiftleft(1L, CAST(p % $wordBits AS INT))").as("m"))

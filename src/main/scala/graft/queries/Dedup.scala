@@ -34,9 +34,6 @@ object Dedup {
   private val MaxCcIterations = 25 // dedup_clusters label-propagation cap
   private val BenchmarkMod = 97 // decontaminate: doc_id % mod = 0 ⇒ benchmark
   private val SpanTokens = 16 // dedup_span_exact: tokens per hashed chunk
-  // oracle-side mirror of the bloom position slicing — derived from the
-  // SAME constant so raising BloomSketch.Bits re-derives both engines
-  private val BloomHex = graft.operators.BloomSketch.HexChars
 
   // Random-hyperplane LSH (SimHash for vectors): 32 sign bits in 4 bands of
   // 8. Bit agreement P = 1 - θ/π, so a cosine-0.8 pair collides in a band
@@ -483,44 +480,54 @@ object Dedup {
     // (asserted by PipelineOpsSpec); the oracle reproduces the identical
     // math through position-set joins, false positives included.
     "decontaminate_bloom" -> { (s, dir) =>
-      import graft.operators.BloomSketch
-      // hash BEFORE the distinct, so the dedup and window exchanges carry
-      // 32-hex-char digests instead of arbitrary-length shingle strings —
-      // the same hash-first shuffle discipline decontaminate_ngram uses
-      // (md5 collisions merging two shingles are accepted Bloom semantics,
-      // and the oracle applies the identical distinct-on-md5)
-      val sh = Tables(s, dir, "documents")
-        .filter(col("text").isNotNull)
-        .select(col("doc_id"),
-          explode(graft.exprs.functions.ngram_shingles(toks(col("text"))))
-            .as("sng"))
-        .select(col("doc_id"), md5(col("sng")).as("h"))
-        .distinct()
-        .withColumn("p1", BloomSketch.pos1(col("h")))
-        .withColumn("p2", BloomSketch.pos2(col("h")))
-        .withColumn("n_shingles",
-          count(lit(1)).over(Window.partitionBy(col("doc_id"))))
-      val benchBits = BloomSketch.maskRelation(
-        sh.filter(col("doc_id") % BenchmarkMod === 0).select("h"), 64)
-      sh.filter(col("doc_id") % BenchmarkMod =!= 0)
-        .withColumn("w1", expr("p1 DIV 64"))
-        .withColumn("w2", expr("p2 DIV 64"))
-        .join(broadcast(benchBits.select(col("word").as("w1"),
-          col("mask").as("mask1"))), Seq("w1"), "left")
-        .join(broadcast(benchBits.select(col("word").as("w2"),
-          col("mask").as("mask2"))), Seq("w2"), "left")
-        .filter(
-          expr("coalesce(shiftright(mask1, CAST(p1 % 64 AS INT)) & 1, 0L) = 1")
-            && expr("coalesce(shiftright(mask2, CAST(p2 % 64 AS INT)) & 1, 0L) = 1"))
-        .groupBy("doc_id")
-        .agg(max(col("n_shingles")).as("n_shingles"),
-          count(lit(1)).as("n_flagged"))
-        .withColumn("flagged_frac",
-          col("n_flagged").cast("double") / col("n_shingles"))
-        .select("doc_id", "n_shingles", "n_flagged", "flagged_frac")
-        .orderBy("doc_id")
+      decontaminateBloom(s, dir, graft.operators.BloomSketch.DefaultBits)
     }
   )
+
+  /** The decontaminate_bloom body with the filter capacity as the runtime
+    * knob it has to be for deployment (a 10^9-shingle benchmark wants 2^34
+    * bits — SCALING.md). All position widths derive from `bits` inside
+    * [[graft.operators.BloomSketch]]; the registered query uses
+    * DefaultBits so the generated oracle stays in lockstep. */
+  def decontaminateBloom(
+      s: SparkSession, dir: String, bits: Long): DataFrame = {
+    import graft.operators.BloomSketch
+    // hash BEFORE the distinct, so the dedup and window exchanges carry
+    // 32-hex-char digests instead of arbitrary-length shingle strings —
+    // the same hash-first shuffle discipline decontaminate_ngram uses
+    // (md5 collisions merging two shingles are accepted Bloom semantics,
+    // and the oracle applies the identical distinct-on-md5)
+    val sh = Tables(s, dir, "documents")
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"),
+        explode(graft.exprs.functions.ngram_shingles(toks(col("text"))))
+          .as("sng"))
+      .select(col("doc_id"), md5(col("sng")).as("h"))
+      .distinct()
+      .withColumn("p1", BloomSketch.pos1(col("h"), bits))
+      .withColumn("p2", BloomSketch.pos2(col("h"), bits))
+      .withColumn("n_shingles",
+        count(lit(1)).over(Window.partitionBy(col("doc_id"))))
+    val benchBits = BloomSketch.maskRelation(
+      sh.filter(col("doc_id") % BenchmarkMod === 0).select("h"), 64, bits)
+    sh.filter(col("doc_id") % BenchmarkMod =!= 0)
+      .withColumn("w1", expr("p1 DIV 64"))
+      .withColumn("w2", expr("p2 DIV 64"))
+      .join(broadcast(benchBits.select(col("word").as("w1"),
+        col("mask").as("mask1"))), Seq("w1"), "left")
+      .join(broadcast(benchBits.select(col("word").as("w2"),
+        col("mask").as("mask2"))), Seq("w2"), "left")
+      .filter(
+        expr("coalesce(shiftright(mask1, CAST(p1 % 64 AS INT)) & 1, 0L) = 1")
+          && expr("coalesce(shiftright(mask2, CAST(p2 % 64 AS INT)) & 1, 0L) = 1"))
+      .groupBy("doc_id")
+      .agg(max(col("n_shingles")).as("n_shingles"),
+        count(lit(1)).as("n_flagged"))
+      .withColumn("flagged_frac",
+        col("n_flagged").cast("double") / col("n_shingles"))
+      .select("doc_id", "n_shingles", "n_flagged", "flagged_frac")
+      .orderBy("doc_id")
+  }
 
   private val simhashFpSql =
     """words AS (
@@ -784,28 +791,38 @@ object Dedup {
          |GROUP BY 1, 2 ORDER BY doc_id""".stripMargin,
 
     "decontaminate_bloom" ->
-      s"""WITH sh AS ($shinglesSql),
-         |t0 AS (SELECT DISTINCT doc_id, md5(unnest(sh)) AS hx FROM sh),
-         |pos AS (SELECT doc_id,
-         |  list_reduce(list_transform(range(1, ${BloomHex + 1}),
-         |    i -> instr('0123456789abcdef', substr(hx, i, 1)) - 1),
-         |    (a, b) -> a*16 + b) AS p1,
-         |  list_reduce(list_transform(range(${BloomHex + 1}, ${2 * BloomHex + 1}),
-         |    i -> instr('0123456789abcdef', substr(hx, i, 1)) - 1),
-         |    (a, b) -> a*16 + b) AS p2,
-         |  count(*) OVER (PARTITION BY doc_id) AS n_shingles
-         |  FROM t0),
-         |bbits AS (SELECT DISTINCT p FROM (
-         |  SELECT p1 AS p FROM pos WHERE doc_id % $BenchmarkMod = 0
-         |  UNION SELECT p2 FROM pos WHERE doc_id % $BenchmarkMod = 0)),
-         |flagged AS (
-         |  SELECT doc_id, n_shingles FROM pos
-         |  JOIN bbits b1 ON pos.p1 = b1.p
-         |  JOIN bbits b2 ON pos.p2 = b2.p
-         |  WHERE doc_id % $BenchmarkMod <> 0)
-         |SELECT doc_id, n_shingles, count(*) AS n_flagged,
-         |  count(*) * 1.0 / n_shingles AS flagged_frac
-         |FROM flagged
-         |GROUP BY 1, 2 ORDER BY doc_id""".stripMargin
+      bloomOracleSql(graft.operators.BloomSketch.DefaultBits)
   )
+
+  /** decontaminate_bloom's oracle, generated from the SAME capacity knob
+    * the engine consumes — the hex position widths below derive from
+    * `bits` exactly as [[graft.operators.BloomSketch.pos1]] does, so a
+    * deployment running a resized filter regenerates its oracle by
+    * calling this with the same value. */
+  def bloomOracleSql(bits: Long): String = {
+    val hc = graft.operators.BloomSketch.hexChars(bits)
+    s"""WITH sh AS ($shinglesSql),
+       |t0 AS (SELECT DISTINCT doc_id, md5(unnest(sh)) AS hx FROM sh),
+       |pos AS (SELECT doc_id,
+       |  list_reduce(list_transform(range(1, ${hc + 1}),
+       |    i -> instr('0123456789abcdef', substr(hx, i, 1)) - 1),
+       |    (a, b) -> a*16 + b) AS p1,
+       |  list_reduce(list_transform(range(${hc + 1}, ${2 * hc + 1}),
+       |    i -> instr('0123456789abcdef', substr(hx, i, 1)) - 1),
+       |    (a, b) -> a*16 + b) AS p2,
+       |  count(*) OVER (PARTITION BY doc_id) AS n_shingles
+       |  FROM t0),
+       |bbits AS (SELECT DISTINCT p FROM (
+       |  SELECT p1 AS p FROM pos WHERE doc_id % $BenchmarkMod = 0
+       |  UNION SELECT p2 FROM pos WHERE doc_id % $BenchmarkMod = 0)),
+       |flagged AS (
+       |  SELECT doc_id, n_shingles FROM pos
+       |  JOIN bbits b1 ON pos.p1 = b1.p
+       |  JOIN bbits b2 ON pos.p2 = b2.p
+       |  WHERE doc_id % $BenchmarkMod <> 0)
+       |SELECT doc_id, n_shingles, count(*) AS n_flagged,
+       |  count(*) * 1.0 / n_shingles AS flagged_frac
+       |FROM flagged
+       |GROUP BY 1, 2 ORDER BY doc_id""".stripMargin
+  }
 }

@@ -27,6 +27,10 @@ final case class PackOffset(offset: Long)
   * pipeline (the streaming counterparts of the batch `queries/` operators). */
 object StreamOps {
 
+  /** Ceiling for [[decontaminateStream]]'s embedded-literal bitmap:
+    * 2^24 bits = 512 KiB of Longs in the serialized plan. */
+  val MaxStreamBloomBits: Long = 1L << 24
+
   /** Streaming exact dedup: keep the FIRST document per content hash,
     * emitting survivors immediately (append mode, no watermark hold-back).
     *
@@ -183,10 +187,21 @@ object StreamOps {
     */
   def decontaminateStream(
       docs: DataFrame, textCol: String,
-      benchmark: DataFrame, benchTextCol: String): DataFrame = {
+      benchmark: DataFrame, benchTextCol: String,
+      bits: Long = graft.operators.BloomSketch.DefaultBits): DataFrame = {
     import graft.operators.BloomSketch
+    BloomSketch.hexChars(bits) // validate the shape early
+    // The streaming probe EMBEDS the bitmap as a plan literal (below) —
+    // that stops being sane when the array itself is megabytes riding
+    // every task's serialized plan. 2^24 bits = 512 KiB of Longs is the
+    // documented ceiling; beyond it, use the batch mask-relation join
+    // (decontaminate_bloom) whose broadcast scales independently.
+    require(bits <= MaxStreamBloomBits,
+      s"decontaminateStream embeds the filter as a $bits-bit literal; " +
+        s"the ceiling is $MaxStreamBloomBits bits — use the batch " +
+        "mask-relation path (decontaminateBloom) for larger filters")
     val WordBits = 32
-    val Words = (BloomSketch.Bits / WordBits).toInt
+    val Words = (bits / WordBits).toInt
     // sketch build: bounded at `Words` rows whatever the benchmark size
     // (collecting a fixed-size sketch is the documented exception to the
     // no-collect rule — it IS the broadcast); hash slicing and bit layout
@@ -197,7 +212,7 @@ object StreamOps {
           split(col(benchTextCol), "\\s+"))).as("sng"))
         .select(md5(col("sng")).as("h"))
         .distinct(),
-      WordBits).collect()
+      WordBits, bits).collect()
     val bitmap = new Array[Long](Words)
     masks.foreach(r => bitmap(r.getLong(0).toInt) = r.getLong(1))
     val bm = typedLit(bitmap.toSeq)
@@ -215,7 +230,7 @@ object StreamOps {
       graft.exprs.functions.ngram_shingles(split(col(textCol), "\\s+")),
       s => {
         val h = md5(s)
-        bitSet(BloomSketch.pos1(h)) && bitSet(BloomSketch.pos2(h))
+        bitSet(BloomSketch.pos1(h, bits)) && bitSet(BloomSketch.pos2(h, bits))
       }), lit(false)))
   }
 

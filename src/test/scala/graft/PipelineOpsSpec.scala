@@ -157,6 +157,37 @@ class PipelineOpsSpec extends AnyFunSuite {
       assert(bloom(doc) >= n, s"doc $doc: bloom count below exact count")
   }
 
+  test("bloom capacity is a runtime knob with prefix-monotone flagging") {
+    // positions are hex-PREFIX slices of one digest, so a collision at a
+    // bigger filter is always a collision at a smaller one: as capacity
+    // grows the flagged set can only shrink, and it never shrinks past
+    // the exact ngram answer. Running 2^20 and 2^24 over the same corpus
+    // pins all of that (and that both sizes WORK without a recompile).
+    val dir = "/root/testdata/sf0.001"
+    val exact = Dedup.queries("decontaminate_ngram")(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val b20 = Dedup.decontaminateBloom(spark, dir, 1L << 20).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val b24 = Dedup.decontaminateBloom(spark, dir, 1L << 24).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(exact.keySet.subsetOf(b24.keySet) &&
+      b24.keySet.subsetOf(b20.keySet),
+      "exact ⊆ flagged@2^24 ⊆ flagged@2^20")
+    for ((doc, n) <- exact) {
+      assert(b24(doc) >= n && b20(doc) >= b24(doc),
+        s"doc $doc: per-doc counts must be monotone in capacity")
+    }
+    // default-capacity entry point and the explicit default agree exactly
+    assert(Dedup.queries("decontaminate_bloom")(spark, dir).collect().toSeq
+      === Dedup.decontaminateBloom(
+        spark, dir, graft.operators.BloomSketch.DefaultBits).collect().toSeq)
+    // malformed capacities fail fast, not wrong
+    intercept[IllegalArgumentException](
+      Dedup.decontaminateBloom(spark, dir, (1L << 20) + 16))
+    intercept[IllegalArgumentException](
+      Dedup.decontaminateBloom(spark, dir, 1L << 34)) // not a power of 16
+  }
+
   test("mix_corpus upsampling converges to the source weights") {
     val dir = "/root/testdata/sf0.01" // 25 docs per source
     val out = TextAnalysis.queries("mix_corpus")(spark, dir).collect()

@@ -334,6 +334,34 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming decontamination takes a capacity knob and refuses huge ones") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val bench = Seq("alpha beta gamma delta epsilon").toDF("text")
+    // the literal-bitmap path has a documented embed ceiling: beyond it
+    // the user must take the batch mask-relation join instead
+    intercept[IllegalArgumentException] {
+      StreamOps.decontaminateStream(
+        Seq((1L, "x")).toDF("doc_id", "text"), "text", bench, "text",
+        bits = 1L << 28)
+    }
+    // at the ceiling itself the knob works end-to-end
+    val mem = MemoryStream[(Long, String)]
+    val q = StreamOps.decontaminateStream(
+        mem.toDF().toDF("doc_id", "text"), "text", bench, "text",
+        bits = StreamOps.MaxStreamBloomBits)
+      .writeStream.format("memory").queryName("decontam24")
+      .outputMode("append").start()
+    try {
+      mem.addData(
+        (1L, "alpha beta gamma totally new suffix"),
+        (2L, "completely unrelated clean words here"))
+      q.processAllAvailable()
+      val kept = spark.table("decontam24").collect().map(_.getLong(0)).toSet
+      assert(kept === Set(2L))
+    } finally q.stop()
+  }
+
   test("cleanStream composes gate, dedup, and decontamination") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
