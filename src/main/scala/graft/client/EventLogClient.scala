@@ -5,9 +5,7 @@ import graft.api.MsgCodec
 import graft.core.{Errors, EventData}
 
 import java.net.URI
-import java.net.http.{HttpClient, HttpRequest, HttpResponse}
-import java.net.http.HttpRequest.BodyPublishers
-import java.net.http.HttpResponse.BodyHandlers
+import java.net.http.HttpClient
 import scala.jdk.CollectionConverters._
 
 /** HTTP client library ≙ reference client package (client/client.go +
@@ -16,10 +14,18 @@ import scala.jdk.CollectionConverters._
   * retry helper (client.go:150-246), and a change-feed listen loop
   * (http.go:507-585 — long-poll here, WS there; same at-most-once
   * watermark contract).
+  *
+  * Request transport is [[HttpTransport]] (pooled blocking keep-alive
+  * sockets ≙ fasthttp.Client — http.go:37); the JDK HttpClient remains
+  * only for the WebSocket listen path, built lazily so request-only
+  * clients never pay for it.
   */
-final class EventLogClient(baseUrl: String) {
-  private val http = HttpClient.newHttpClient()
+final class EventLogClient(baseUrl: String) extends AutoCloseable {
+  private val transport = new HttpTransport(baseUrl)
+  private lazy val http = HttpClient.newHttpClient()
   private val mapper = new ObjectMapper()
+
+  override def close(): Unit = transport.close()
 
   final case class AppendResult(
       version: String, versionPrevious: String,
@@ -29,9 +35,8 @@ final class EventLogClient(baseUrl: String) {
       time: String, version: String, versionPrevious: String,
       versionNext: String, label: String, payloadJson: String)
 
-  private def get(path: String): HttpResponse[String] =
-    http.send(HttpRequest.newBuilder(URI.create(baseUrl + path)).GET().build(),
-      BodyHandlers.ofString())
+  private def get(path: String): (Int, String) =
+    transport.request("GET", path)
 
   private def fail(body: String): Nothing = body match {
     case "ErrMismatchingVersions" => throw new Errors.ErrMismatchingVersions
@@ -44,12 +49,9 @@ final class EventLogClient(baseUrl: String) {
   }
 
   private def postEvents(path: String, events: Seq[EventData]): AppendResult = {
-    val r = http.send(
-      HttpRequest.newBuilder(URI.create(baseUrl + path))
-        .POST(BodyPublishers.ofByteArray(MsgCodec.encode(events))).build(),
-      BodyHandlers.ofString())
-    if (r.statusCode() != 200) fail(r.body())
-    val n = mapper.readTree(r.body())
+    val (code, body) = transport.request("POST", path, MsgCodec.encode(events))
+    if (code != 200) fail(body)
+    val n = mapper.readTree(body)
     AppendResult(
       n.get("version").asText(),
       n.get("version-previous").asText(),
@@ -83,19 +85,19 @@ final class EventLogClient(baseUrl: String) {
   }
 
   def version(): String =
-    mapper.readTree(ok(get("/version")).body()).get("version").asText()
+    mapper.readTree(ok(get("/version"))).get("version").asText()
 
   def versionInitial(): String =
-    mapper.readTree(ok(get("/version/initial")).body())
+    mapper.readTree(ok(get("/version/initial")))
       .get("version-initial").asText()
 
   def metadata(): Map[String, String] = {
-    val n = mapper.readTree(ok(get("/meta")).body())
+    val n = mapper.readTree(ok(get("/meta")))
     n.properties().asScala.map(e => e.getKey -> e.getValue.asText()).toMap
   }
 
-  private def ok(r: HttpResponse[String]): HttpResponse[String] =
-    if (r.statusCode() == 200) r else fail(r.body())
+  private def ok(r: (Int, String)): String =
+    if (r._1 == 200) r._2 else fail(r._2)
 
   private def scanPage(version: String, n: Int, reverse: Boolean,
       skipFirst: Boolean): Seq[ClientEvent] = {
@@ -104,7 +106,7 @@ final class EventLogClient(baseUrl: String) {
       if (reverse) Some("reverse") else None,
       if (skipFirst) Some("skip_first") else None).flatten
     val q = if (params.isEmpty) "" else params.mkString("?", "&", "")
-    val body = ok(get(s"/log/$version$q")).body()
+    val body = ok(get(s"/log/$version$q"))
     mapper.readTree(body).elements().asScala.map { e =>
       ClientEvent(
         e.get("time").asText(), e.get("version").asText(),
@@ -210,9 +212,9 @@ final class EventLogClient(baseUrl: String) {
     val t = new Thread(() => {
       while (running)
         try {
-          val r = get("/subscription/poll")
-          if (running && r.statusCode() == 200)
-            onUpdate(mapper.readTree(r.body()).get("version").asText())
+          val (code, body) = get("/subscription/poll")
+          if (running && code == 200)
+            onUpdate(mapper.readTree(body).get("version").asText())
         } catch { case _: Exception => if (running) Thread.sleep(100) }
     }, "graft-client-listen")
     t.setDaemon(true)

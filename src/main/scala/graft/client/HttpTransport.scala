@@ -1,0 +1,179 @@
+package graft.client
+
+import java.io.{BufferedInputStream, BufferedOutputStream, IOException, InputStream}
+import java.net.{InetSocketAddress, Socket, URI}
+import java.nio.charset.StandardCharsets
+import java.util.concurrent.ConcurrentLinkedQueue
+
+/** Minimal blocking HTTP/1.1 transport with keep-alive connection pooling —
+  * the client-side counterpart of the reference's `fasthttp.Client`
+  * (client/http.go:34-39): one pooled socket per in-flight request, reused
+  * across requests, no per-request executor hops. The JDK's
+  * `java.net.http.HttpClient` routes every synchronous send through its
+  * async machinery (selector thread + CompletableFuture handoffs) at
+  * ~1.2 ms per loopback request — 10× the engine's entire append path —
+  * which is why this exists (measured in BENCH_TREND.md r07).
+  *
+  * Framing handled: Content-Length bodies, chunked transfer encoding (the
+  * scan response), and header-only 204s. Pool discipline: connections idle
+  * longer than `idleExpiryMs` are discarded on borrow (the server reaps
+  * idle keep-alives at its 2 s read timeout; expiring EARLIER on the
+  * client side keeps the send-into-closing-socket race rare), and one
+  * retry on a fresh connection covers the residue — safe against
+  * double-apply because the server parses a request only after fully
+  * reading it: a connection it closed mid-timeout consumed none of the
+  * request (the timeout fires only in the blocking first read).
+  */
+private[client] final class HttpTransport(
+    baseUrl: String,
+    readTimeoutMs: Int = 40000,
+    idleExpiryMs: Long = 1000) {
+
+  private val uri = URI.create(baseUrl)
+  private val host = uri.getHost
+  private val port = if (uri.getPort > 0) uri.getPort else 80
+
+  private final class Conn(val sock: Socket) {
+    val in = new BufferedInputStream(sock.getInputStream)
+    val out = new BufferedOutputStream(sock.getOutputStream)
+    var lastUsed: Long = System.nanoTime()
+  }
+
+  private val pool = new ConcurrentLinkedQueue[Conn]()
+
+  private def connect(): Conn = {
+    val s = new Socket()
+    s.setTcpNoDelay(true)
+    s.connect(new InetSocketAddress(host, port), 5000)
+    s.setSoTimeout(readTimeoutMs)
+    new Conn(s)
+  }
+
+  private def borrow(): (Conn, Boolean) = {
+    var c = pool.poll()
+    while (c != null) {
+      if ((System.nanoTime() - c.lastUsed) / 1000000L <= idleExpiryMs &&
+          !c.sock.isClosed) return (c, true)
+      try c.sock.close() catch { case _: Exception => () }
+      c = pool.poll()
+    }
+    (connect(), false)
+  }
+
+  def close(): Unit = {
+    var c = pool.poll()
+    while (c != null) {
+      try c.sock.close() catch { case _: Exception => () }
+      c = pool.poll()
+    }
+  }
+
+  /** One request; returns (status, body). Thread-safe: each call owns a
+    * pooled connection for its duration. */
+  def request(method: String, pathQuery: String,
+      body: Array[Byte] = null): (Int, String) = {
+    val (conn, reused) = borrow()
+    try {
+      val r = roundTrip(conn, method, pathQuery, body)
+      conn.lastUsed = System.nanoTime()
+      pool.offer(conn)
+      r
+    } catch {
+      case e: IOException =>
+        try conn.sock.close() catch { case _: Exception => () }
+        // retry once iff the failed connection was a REUSED keep-alive:
+        // the server reaps idle connections, and a reaped socket consumed
+        // none of our bytes (see class doc) — a fresh-connection failure
+        // is a real error and propagates
+        if (!reused) throw e
+        val fresh = connect()
+        try {
+          val r = roundTrip(fresh, method, pathQuery, body)
+          fresh.lastUsed = System.nanoTime()
+          pool.offer(fresh)
+          r
+        } catch {
+          case e2: Throwable =>
+            try fresh.sock.close() catch { case _: Exception => () }
+            throw e2
+        }
+    }
+  }
+
+  private def roundTrip(conn: Conn, method: String, pathQuery: String,
+      body: Array[Byte]): (Int, String) = {
+    val out = conn.out
+    val head = new java.lang.StringBuilder(128)
+      .append(method).append(' ').append(pathQuery).append(" HTTP/1.1\r\n")
+      .append("Host: ").append(host).append("\r\n")
+    if (body != null)
+      head.append("Content-Length: ").append(body.length).append("\r\n")
+    head.append("\r\n")
+    out.write(head.toString.getBytes(StandardCharsets.ISO_8859_1))
+    if (body != null) out.write(body)
+    out.flush()
+    readResponse(conn.in)
+  }
+
+  private def readLine(in: InputStream): String = {
+    val sb = new java.lang.StringBuilder(64)
+    var c = in.read()
+    if (c < 0) throw new IOException("EOF before response")
+    while (c >= 0 && c != '\n') {
+      if (c != '\r') sb.append(c.toChar)
+      c = in.read()
+    }
+    if (c < 0) throw new IOException("EOF inside response head")
+    sb.toString
+  }
+
+  private def readResponse(in: InputStream): (Int, String) = {
+    val status = readLine(in)
+    val sp = status.indexOf(' ')
+    val code = status.substring(sp + 1, sp + 4).toInt
+    var contentLength = -1
+    var chunked = false
+    var line = readLine(in)
+    while (line.nonEmpty) {
+      val ci = line.indexOf(':')
+      if (ci > 0) {
+        val k = line.substring(0, ci).trim.toLowerCase
+        val v = line.substring(ci + 1).trim
+        if (k == "content-length") contentLength = v.toInt
+        else if (k == "transfer-encoding" &&
+          v.toLowerCase.contains("chunked")) chunked = true
+      }
+      line = readLine(in)
+    }
+    val body =
+      if (chunked) readChunked(in)
+      else if (contentLength > 0) {
+        val b = in.readNBytes(contentLength)
+        if (b.length < contentLength)
+          throw new IOException("truncated response body")
+        b
+      } else Array.emptyByteArray // 204 / explicit zero length
+    (code, new String(body, StandardCharsets.UTF_8))
+  }
+
+  private def readChunked(in: InputStream): Array[Byte] = {
+    val buf = new java.io.ByteArrayOutputStream(1024)
+    var done = false
+    while (!done) {
+      val sizeLine = readLine(in)
+      val size = Integer.parseInt(sizeLine.split(";")(0).trim, 16)
+      if (size == 0) done = true
+      else {
+        val b = in.readNBytes(size)
+        if (b.length < size) throw new IOException("truncated chunk")
+        buf.write(b)
+        if (in.read() != '\r' || in.read() != '\n')
+          throw new IOException("missing chunk CRLF")
+      }
+    }
+    // trailer section: zero or more trailer lines, then the blank line
+    var t = readLine(in)
+    while (t.nonEmpty) t = readLine(in)
+    buf.toByteArray
+  }
+}
