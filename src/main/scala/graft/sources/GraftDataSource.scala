@@ -92,7 +92,16 @@ final class GraftScanBuilder(path: String, options: CaseInsensitiveStringMap)
 
   private var required: StructType = EventSchema.schema
   private var minV: Long = 1L
-  private var maxV: Long = Long.MaxValue
+  // time travel ≙ the engine facade's snapshotAt (EventLog.scala): an
+  // inclusive version ceiling, which is EXACTLY what the existing maxV
+  // machinery prunes on — files at plan time, row groups at read time,
+  // the row-level residual re-check at execution
+  private val versionAsOf: Long = {
+    val v = options.getLong("versionAsOf", Long.MaxValue)
+    require(v >= 1L, s"versionAsOf must be >= 1; got $v")
+    v
+  }
+  private var maxV: Long = versionAsOf
   private var pushed: Array[Filter] = Array.empty
   private var nonVersionFilter = false
   private var limit: Int = -1
@@ -134,7 +143,8 @@ final class GraftScanBuilder(path: String, options: CaseInsensitiveStringMap)
   override def build(): Scan = new GraftScan(path, required, minV, maxV,
     if (nonVersionFilter) -1 else limit,
     options.getLong("startVersion", 0L),
-    options.getLong("maxVersionsPerTrigger", 0L))
+    options.getLong("maxVersionsPerTrigger", 0L),
+    versionAsOf != Long.MaxValue)
 }
 
 final class GraftScan(
@@ -144,7 +154,8 @@ final class GraftScan(
     maxV: Long,
     limit: Int,
     streamStartVersion: Long,
-    maxVersionsPerTrigger: Long)
+    maxVersionsPerTrigger: Long,
+    timeTravel: Boolean = false)
     extends Scan with SupportsReportStatistics {
 
   override def readSchema(): StructType = required
@@ -203,9 +214,14 @@ final class GraftScan(
 
   override def toBatch: Batch = new GraftBatch(path, required, minV, maxV, limit)
 
-  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream = {
+    // a stream pinned to a historical snapshot is a contradiction — fail
+    // loudly instead of silently ignoring the ceiling
+    require(!timeTravel,
+      "versionAsOf is a batch read option; for streams use startVersion")
     new GraftMicroBatchStream(path, required, streamStartVersion,
       maxVersionsPerTrigger)
+  }
 }
 
 final class GraftBatch(

@@ -65,6 +65,39 @@ class GraftSourceSpec extends AnyFunSuite {
       === (12L to 18L))
   }
 
+  test("versionAsOf time-travels the batch read with file-level pruning") {
+    val dir = mkLog()
+    // ceiling inside segment 2 → segment 3 and the tail never get planned
+    val df = spark.read.format("graft").option("versionAsOf", 15).load(dir)
+    val desc = df.queryExecution.executedPlan.toString
+    assert(desc.contains("versions=[1, 15]"), desc)
+    assert(df.select("version").collect().map(_.getLong(0)).sorted.toSeq
+      === (1L to 15L))
+    // the option composes with pushed predicates (tightest bound wins)
+    val both = spark.read.format("graft").option("versionAsOf", 15).load(dir)
+      .filter(col("version") >= 12 && col("version") <= 25)
+    assert(both.select("version").collect().map(_.getLong(0)).sorted.toSeq
+      === (12L to 15L))
+    // same answer as the engine facade's snapshotAt
+    val back = new graft.core.EventLog(ParquetLogBackend.open(spark, dir))
+    try assert(
+      back.snapshotAt(15L).select("version", "label", "payload")
+        .collect().map(_.toSeq).sortBy(_.head.asInstanceOf[Long].longValue).toSeq
+        === df.select("version", "label", "payload")
+          .collect().map(_.toSeq).sortBy(_.head.asInstanceOf[Long].longValue).toSeq)
+    finally back.close()
+    // nonsense values fail fast; streams reject the option outright
+    intercept[IllegalArgumentException] {
+      spark.read.format("graft").option("versionAsOf", 0).load(dir).count()
+    }
+    intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      val q = spark.readStream.format("graft")
+        .option("versionAsOf", 15).load(dir)
+        .writeStream.format("memory").queryName("asofstream").start()
+      try q.processAllAvailable() finally q.stop()
+    }
+  }
+
   test("column pruning reaches the scan") {
     val dir = mkLog()
     val df = spark.read.format("graft").load(dir).select("label")
