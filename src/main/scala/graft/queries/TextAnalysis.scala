@@ -514,6 +514,41 @@ object TextAnalysis {
         .withColumn("height", ((col("n_bytes") * 7) % 480).cast("int"))
         .select("doc_id", "source", "n_bytes", "media_type", "width", "height")
         .orderBy("doc_id")
+    },
+
+    // The ACTUAL MultimodalPipeline transforms under the correctness gate
+    // (not just the inline projection above): each runs the typed Dataset +
+    // mapPartitions path with the deterministic codec, whose outputs are
+    // pure arithmetic over the blob bytes — i.e., expressible in the
+    // oracle's SQL. Swapping in a real codec changes none of this plumbing
+    // (MultimodalSpec pins the real imageio/WAV codecs against golden
+    // fixtures; DuckDB can't decode PNG, so that half lives in specs).
+    "multimodal_decode" -> { (s, dir) =>
+      import graft.multimodal.MultimodalPipeline
+      MultimodalPipeline.decodeImages(MultimodalPipeline.fromDocuments(s, dir))
+        .select(col("id"), col("width"), col("height"), col("channels"),
+          length(col("pixels")).as("n_pixels"))
+        .orderBy("id")
+    },
+
+    "multimodal_frames" -> { (s, dir) =>
+      import graft.multimodal.MultimodalPipeline
+      MultimodalPipeline.sampleFrames(MultimodalPipeline.fromDocuments(s, dir))
+        .select(col("id"),
+          size(col("frameIndexes")).as("n_frames"),
+          expr("aggregate(transform(frames, f -> length(f)), 0L," +
+            " (a, b) -> a + CAST(b AS BIGINT))").as("total_frame_bytes"))
+        .orderBy("id")
+    },
+
+    "multimodal_audio" -> { (s, dir) =>
+      import graft.multimodal.MultimodalPipeline
+      val f = MultimodalPipeline.extractAudioFeatures(
+        MultimodalPipeline.fromDocuments(s, dir))
+      f.select(Seq(col("id"), col("sampleRate").as("sample_rate"),
+        col("durationMs").as("duration_ms")) ++
+        (0 until 8).map(i => element_at(col("embedding"), i + 1).as(s"e$i")): _*)
+        .orderBy("id")
     }
   )
 
@@ -845,6 +880,58 @@ object TextAnalysis {
         |       ELSE 'video' END AS media_type,
         |  CAST(octet_length(encode(text)) % 640 AS INT) AS width,
         |  CAST((octet_length(encode(text)) * 7) % 480 AS INT) AS height
-        |FROM documents ORDER BY doc_id""".stripMargin
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // deterministic-codec arithmetic (MultimodalPipeline.MediaCodec
+    // .deterministic): width/height/pixels are pure functions of blob size
+    "multimodal_decode" ->
+      """WITH t AS (SELECT doc_id, octet_length(encode(text)) AS len
+        |  FROM documents WHERE octet_length(encode(text)) % 3 = 0)
+        |SELECT doc_id AS id,
+        |  CAST(GREATEST(1, len % 640) AS INT) AS width,
+        |  CAST(GREATEST(1, (len * 7) % 480) AS INT) AS height,
+        |  3 AS channels, CAST(len AS INT) AS n_pixels
+        |FROM t ORDER BY id""".stripMargin,
+
+    // frameAt(blob, k*8) slices [k*128, k*128+16): per-frame byte count is
+    // min(16, max(0, len - k*128)); n = min(4, max(1, len/128))
+    "multimodal_frames" ->
+      """WITH t AS (SELECT doc_id, octet_length(encode(text)) AS len
+        |  FROM documents WHERE octet_length(encode(text)) % 3 = 2),
+        |n AS (SELECT doc_id, len,
+        |  LEAST(4, GREATEST(1, len // 128)) AS n_frames FROM t),
+        |f AS (SELECT doc_id, n_frames, len,
+        |  unnest(range(0, n_frames)) AS k FROM n)
+        |SELECT doc_id AS id, CAST(n_frames AS INT) AS n_frames,
+        |  CAST(sum(LEAST(16, GREATEST(0, len - k * 128))) AS BIGINT)
+        |    AS total_frame_bytes
+        |FROM f GROUP BY doc_id, n_frames ORDER BY id""".stripMargin,
+
+    // stub decodeAudio: emb[i] = signedByte(blob[i % len]) / 128.0 — byte
+    // values recovered from the hex rendering of the utf-8 blob
+    "multimodal_audio" -> {
+      def byteExpr(i: Int): String = {
+        val pos = s"2 * (($i) % len) + 1"
+        s"""(instr('0123456789ABCDEF', substr(hx, $pos, 1)) - 1) * 16
+           | + (instr('0123456789ABCDEF', substr(hx, $pos + 1, 1)) - 1)"""
+          .stripMargin.replace("\n", "")
+      }
+      val embCols = (0 until 8).map { i =>
+        s"""  CAST((CASE WHEN b$i >= 128 THEN b$i - 256 ELSE b$i END)
+           | / 128.0 AS DOUBLE) AS e$i""".stripMargin.replace("\n", "")
+      }.mkString(",\n")
+      val byteCols = (0 until 8).map(i => s"  ${byteExpr(i)} AS b$i")
+        .mkString(",\n")
+      s"""WITH t AS (SELECT doc_id, octet_length(encode(text)) AS len,
+         |  hex(encode(text)) AS hx
+         |  FROM documents WHERE octet_length(encode(text)) % 3 = 1),
+         |b AS (SELECT doc_id, len,
+         |$byteCols
+         |FROM t)
+         |SELECT doc_id AS id, 16000 AS sample_rate,
+         |  CAST(len AS BIGINT) AS duration_ms,
+         |$embCols
+         |FROM b ORDER BY id""".stripMargin
+    }
   )
 }
