@@ -390,6 +390,83 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("cleanStream→appendSink recovers a mid-backlog crash exactly-once") {
+    // The COMPOSED recovery path: graft micro-batch source (admission
+    // control) → cleanStream (gate + stateful dedup + decontamination) →
+    // appendSink (transactional appends), killed with an uncommitted
+    // micro-batch and a 30-event backlog, then restarted on the same
+    // checkpoint. The output log must come back gap-free and
+    // duplicate-free, with dedup state intact across the restart.
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val srcDir = Files.createTempDirectory("graftcrashsrc").toString
+    val outDir = Files.createTempDirectory("graftcrashout").toString
+    val ckpt = Files.createTempDirectory("graftcrashckpt").toString
+    val srcB = ParquetLogBackend.create(spark, srcDir, compactIntervalMs = 0)
+    val outLog = new graft.core.EventLog(
+      ParquetLogBackend.create(spark, outDir, compactIntervalMs = 0))
+    val bench = Seq("alpha beta gamma delta epsilon").toDF("text")
+    val clean = "the quick brown fox jumps over lazy dogs and then some " +
+      "more words appear here today while the sun shines bright above"
+    def textFor(i: Int): String = (i % 4) match {
+      case 1 if i == 21 => clean + " extra token1" // dup of PRE-crash doc 1
+      case 1 => clean + s" extra token$i" // unique survivor
+      case 2 if i == 22 => clean + " extra token1" // also dups pre-crash
+      case 2 => clean + s" extra token${i - 1}" // dup of the previous one
+      case 3 => clean + " alpha beta gamma" // contaminated
+      case _ => "too short" // fails the n_words gate
+    }
+    def payloadFor(i: Int) = s"""{"id":$i,"text":"${textFor(i)}"}"""
+    def startQ() = {
+      val src = spark.readStream.format("graft")
+        .option("maxVersionsPerTrigger", 5L).load(srcDir)
+        .select(col("version").as("doc_id"),
+          col("timestamp").cast("timestamp").as("ts"),
+          get_json_object(col("payload"), "$.text").as("text"),
+          col("payload"))
+      val cleaned = StreamOps.cleanStream(
+          src, "ts", "text", bench, "text", "10 minutes")
+        .select(lit("kept").as("label"), col("payload"), col("doc_id"))
+      LogStream.appendSink(cleaned, outLog, ckpt, orderBy = Seq("doc_id"))
+    }
+    try {
+      srcB.appendMulti((1 to 10).map(i => EventData("doc", payloadFor(i))))
+      val q = startQ()
+      try q.processAllAvailable() finally q.stop()
+      // crash simulation: the LAST micro-batch's commit marker never hit
+      // disk, so the restart must re-run it (appendMultiTxn replay) …
+      val commits = java.nio.file.Paths.get(ckpt, "commits")
+      val last = {
+        import scala.jdk.CollectionConverters._
+        Files.list(commits).iterator().asScala
+          .map(_.getFileName.toString).filter(_.forall(_.isDigit))
+          .map(_.toLong).max
+      }
+      Files.delete(commits.resolve(last.toString))
+      Files.deleteIfExists(commits.resolve(s".$last.crc"))
+      // … while a backlog accumulated during the outage
+      srcB.appendMulti((11 to 40).map(i => EventData("doc", payloadFor(i))))
+      val q2 = startQ()
+      try q2.processAllAvailable() finally q2.stop()
+
+      val out = outLog.scan(1L)
+        .select("version", "payload").collect()
+        .map(r => (r.getLong(0),
+          r.getString(1).replaceAll(""".*"id":(\d+).*""", "$1").toLong))
+      // survivors: i % 4 == 1 minus doc 21 (its text duplicates doc 1 from
+      // BEFORE the crash — only recovered dedup state can know that)
+      val expected = (1 to 40).filter(_ % 4 == 1).filterNot(_ == 21)
+      assert(out.map(_._2).sorted.toSeq === expected.map(_.toLong),
+        "kept exactly the gated/deduped/clean survivors, no replays")
+      assert(out.map(_._1).sorted.toSeq === (1L to expected.length),
+        "output versions are dense — no gaps, no duplicate appends")
+      assert(outLog.checkIntegrity().count() === 0L)
+    } finally {
+      srcB.close()
+      outLog.close()
+    }
+  }
+
   test("streaming pack offsets continue across micro-batches per bucket") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
