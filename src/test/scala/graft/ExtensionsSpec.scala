@@ -34,6 +34,25 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(r.getDouble(9) == 11.0)
   }
 
+  test("agg_approx_distinct HLL stays within its advertised relative error") {
+    // the one no_oracle query without a hard local gate: sketches differ
+    // across engines (no DuckDB compare), so pin it to the EXACT distinct
+    // count instead. approx_count_distinct's default rsd is 0.05; the
+    // estimate is deterministic for fixed data, and 2×rsd gives headroom
+    // for per-dataset deviation without ever tolerating a broken sketch.
+    val dir = "/root/testdata/sf0.001"
+    val approx = graft.queries.Relational.queries("agg_approx_distinct")(
+      spark, dir).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = graft.queries.Relational.queries("agg_distinct")(spark, dir)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(approx.keySet === exact.keySet)
+    for ((flag, ex) <- exact) {
+      val relErr = math.abs(approx(flag) - ex).toDouble / ex
+      assert(relErr <= 0.10, s"$flag: approx=${approx(flag)} exact=$ex")
+    }
+  }
+
   test("GraftExtensions injects the full function set") {
     val ext = new SparkSessionExtensions
     new GraftExtensions().apply(ext)
