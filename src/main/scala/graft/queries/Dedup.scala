@@ -231,21 +231,7 @@ object Dedup {
     // exact + near-dup first cuts the span volume by the dup rate);
     // SCALING.md prices the 16× arithmetic.
     "dedup_span_overlap" -> { (s, dir) =>
-      val d = Tables(s, dir, "documents").filter(col("text").isNotNull)
-      d.select(col("doc_id"), split(col("text"), "\\s+").as("toks"))
-        .filter(size(col("toks")) >= SpanTokens)
-        .select(col("doc_id"), col("toks"),
-          explode(sequence(lit(0), size(col("toks")) - SpanTokens)).as("pos"))
-        .select(col("doc_id"),
-          md5(concat_ws(" ",
-            slice(col("toks"), col("pos") + 1, lit(SpanTokens))))
-            .as("span_hash"))
-        .groupBy("span_hash")
-        .agg(count(lit(1)).as("n_occurrences"),
-          count_distinct(col("doc_id")).as("n_docs"),
-          min(col("doc_id")).as("example_doc"))
-        .filter(col("n_occurrences") > 1)
-        .orderBy("span_hash")
+      spanOverlapDedup(s, dir, SpanTokens)
     },
 
     // MinHash + LSH: shingle -> one md5 -> 12 affine minhashes -> 3 bands of
@@ -484,6 +470,50 @@ object Dedup {
     }
   )
 
+  /** The dedup_span_overlap body with the window width as a runtime knob:
+    * Lee et al. 2022 ship 50-token spans, the default here is 16, and a
+    * deployment must be able to pick without recompiling — span width is
+    * the #1 volume lever (positions scale 1:1 with it inversely, distinct
+    * spans faster; SCALING.md). [[spanOverlapOracleSql]] regenerates the
+    * oracle from the same value. */
+  def spanOverlapDedup(s: SparkSession, dir: String, span: Int): DataFrame = {
+    require(span >= 2, s"span width must be >= 2 tokens; got $span")
+    val d = Tables(s, dir, "documents").filter(col("text").isNotNull)
+    d.select(col("doc_id"), split(col("text"), "\\s+").as("toks"))
+      .filter(size(col("toks")) >= span)
+      .select(col("doc_id"), col("toks"),
+        explode(sequence(lit(0), size(col("toks")) - span)).as("pos"))
+      .select(col("doc_id"),
+        md5(concat_ws(" ", slice(col("toks"), col("pos") + 1, lit(span))))
+          .as("span_hash"))
+      .groupBy("span_hash")
+      .agg(count(lit(1)).as("n_occurrences"),
+        count_distinct(col("doc_id")).as("n_docs"),
+        min(col("doc_id")).as("example_doc"))
+      .filter(col("n_occurrences") > 1)
+      .orderBy("span_hash")
+  }
+
+  /** dedup_span_overlap's oracle as a function of the same span width the
+    * engine consumes. */
+  def spanOverlapOracleSql(span: Int): String =
+    s"""WITH t AS (
+       |  SELECT doc_id, string_split_regex(text, '\\s+') AS toks
+       |  FROM documents WHERE text IS NOT NULL),
+       |c AS (
+       |  SELECT doc_id, toks,
+       |    unnest(range(0, len(toks) - ${span - 1})) AS pos
+       |  FROM t WHERE len(toks) >= $span),
+       |h AS (
+       |  SELECT doc_id,
+       |    md5(array_to_string(list_slice(toks,
+       |      pos + 1, pos + $span), ' ')) AS span_hash
+       |  FROM c)
+       |SELECT span_hash, count(*) AS n_occurrences,
+       |  count(DISTINCT doc_id) AS n_docs, min(doc_id) AS example_doc
+       |FROM h GROUP BY 1 HAVING count(*) > 1
+       |ORDER BY span_hash""".stripMargin
+
   /** The decontaminate_bloom body with the filter capacity as the runtime
     * knob it has to be for deployment (a 10^9-shingle benchmark wants 2^34
     * bits — SCALING.md). All position widths derive from `bits` inside
@@ -637,23 +667,7 @@ object Dedup {
          |FROM h GROUP BY 1 HAVING count(*) > 1
          |ORDER BY chunk_hash""".stripMargin,
 
-    "dedup_span_overlap" ->
-      s"""WITH t AS (
-         |  SELECT doc_id, string_split_regex(text, '\\s+') AS toks
-         |  FROM documents WHERE text IS NOT NULL),
-         |c AS (
-         |  SELECT doc_id, toks,
-         |    unnest(range(0, len(toks) - ${SpanTokens - 1})) AS pos
-         |  FROM t WHERE len(toks) >= $SpanTokens),
-         |h AS (
-         |  SELECT doc_id,
-         |    md5(array_to_string(list_slice(toks,
-         |      pos + 1, pos + $SpanTokens), ' ')) AS span_hash
-         |  FROM c)
-         |SELECT span_hash, count(*) AS n_occurrences,
-         |  count(DISTINCT doc_id) AS n_docs, min(doc_id) AS example_doc
-         |FROM h GROUP BY 1 HAVING count(*) > 1
-         |ORDER BY span_hash""".stripMargin,
+    "dedup_span_overlap" -> spanOverlapOracleSql(SpanTokens),
 
     "dedup_minhash_lsh" ->
       s"""WITH $minhashPairsSqlCtes

@@ -157,6 +157,25 @@ class PipelineOpsSpec extends AnyFunSuite {
       assert(bloom(doc) >= n, s"doc $doc: bloom count below exact count")
   }
 
+  test("span width is a runtime knob: wider spans flag strictly less") {
+    def words(prefix: String, n: Int): String =
+      (0 until n).map(i => s"$prefix$i").mkString(" ")
+    // docs share a 20-token passage at different phases: 16-token windows
+    // find 5 repeated spans (positions 0..4 of the passage), 20-token
+    // windows exactly 1, 24-token windows none
+    val shared = words("p", 20)
+    val dir = corpus(Seq(
+      1L -> (shared + " " + words("a", 10)),
+      2L -> (words("e", 7) + " " + shared + " " + words("b", 3))))
+    assert(Dedup.spanOverlapDedup(spark, dir, 16).collect().length === 5)
+    assert(Dedup.spanOverlapDedup(spark, dir, 20).collect().length === 1)
+    assert(Dedup.spanOverlapDedup(spark, dir, 24).collect().isEmpty)
+    // default entry point and explicit default agree; junk widths fail fast
+    assert(Dedup.queries("dedup_span_overlap")(spark, dir).collect().toSeq
+      === Dedup.spanOverlapDedup(spark, dir, 16).collect().toSeq)
+    intercept[IllegalArgumentException](Dedup.spanOverlapDedup(spark, dir, 1))
+  }
+
   test("bloom capacity is a runtime knob with prefix-monotone flagging") {
     // positions are hex-PREFIX slices of one digest, so a collision at a
     // bigger filter is always a collision at a smaller one: as capacity
