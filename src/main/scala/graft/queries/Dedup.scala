@@ -234,6 +234,58 @@ object Dedup {
       spanOverlapDedup(s, dir, SpanTokens)
     },
 
+    // The SECOND half of ExactSubstr (Lee et al. 2022 don't just flag
+    // duplicated spans — they CUT them): every token covered by a
+    // NON-FIRST occurrence of a globally-repeated stride-1 window is
+    // removed, the rest re-joined in order. The first occurrence (min
+    // (doc_id, position) per span hash) keeps its text — the paper's
+    // remove-all-but-one policy, so repeated boilerplate survives exactly
+    // once in the corpus instead of vanishing. Scale shape: the token
+    // explode is the corpus itself (linear, the same order as the span
+    // hashing it follows); the keeper window function and the coverage
+    // explode run over FLAGGED windows only (duplicate-rate-bounded, not
+    // corpus-bounded); all joins are hash-partitioned equi-joins with no
+    // quadratic shape. The ordered rebuild is per-document (collect_list
+    // + array_sort inside one reduce group), never a global sort.
+    // Whitespace is normalized by construction (tokens re-joined with
+    // ' ') — the oracle applies the identical normalization.
+    "pipeline_span_scrub" -> { (s, dir) =>
+      val d = Tables(s, dir, "documents").filter(col("text").isNotNull)
+      val t = d.select(col("doc_id"), split(col("text"), "\\s+").as("toks"))
+      val windows = t.filter(size(col("toks")) >= SpanTokens)
+        .select(col("doc_id"), col("toks"),
+          explode(sequence(lit(0), size(col("toks")) - SpanTokens)).as("k"))
+        .select(col("doc_id"), col("k"),
+          md5(concat_ws(" ",
+            slice(col("toks"), col("k") + 1, lit(SpanTokens))))
+            .as("span_hash"))
+      val dupHashes = windows.groupBy("span_hash")
+        .agg(count(lit(1)).as("cnt")).filter(col("cnt") > 1)
+        .select("span_hash")
+      val covered = windows.join(dupHashes, "span_hash")
+        .withColumn("rn", row_number().over(Window.partitionBy("span_hash")
+          .orderBy(col("doc_id"), col("k"))))
+        .filter(col("rn") > 1) // the first occurrence keeps its text
+        .select(col("doc_id"),
+          explode(sequence(col("k"), col("k") + (SpanTokens - 1))).as("pos"))
+        .distinct()
+      val tokens = t.select(col("doc_id"),
+        posexplode(col("toks")).as(Seq("pos", "tok")))
+      val kept = tokens.join(covered, Seq("doc_id", "pos"), "left_anti")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_kept"),
+          expr("array_join(transform(array_sort(collect_list(" +
+            "struct(pos, tok))), x -> x.tok), ' ')").as("scrubbed_text"))
+      t.select(col("doc_id"), size(col("toks")).cast("long").as("n_tokens"))
+        .join(kept, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_tokens"),
+          coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+          (col("n_tokens") - coalesce(col("n_kept"), lit(0L)))
+            .as("n_removed"),
+          coalesce(col("scrubbed_text"), lit("")).as("scrubbed_text"))
+        .orderBy("doc_id")
+    },
+
     // MinHash + LSH: shingle -> one md5 -> 12 affine minhashes -> 3 bands of
     // 4 -> bucket join for candidates -> verify by minhash agreement >= 0.5
     // (scale shape documented on minhashPairs).
@@ -668,6 +720,47 @@ object Dedup {
          |ORDER BY chunk_hash""".stripMargin,
 
     "dedup_span_overlap" -> spanOverlapOracleSql(SpanTokens),
+
+    "pipeline_span_scrub" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, string_split_regex(text, '\\s+') AS toks
+         |  FROM documents WHERE text IS NOT NULL),
+         |w AS (
+         |  SELECT doc_id, toks,
+         |    unnest(range(0, len(toks) - ${SpanTokens - 1})) AS k
+         |  FROM t WHERE len(toks) >= $SpanTokens),
+         |h AS (
+         |  SELECT doc_id, k,
+         |    md5(array_to_string(list_slice(toks,
+         |      k + 1, k + $SpanTokens), ' ')) AS span_hash
+         |  FROM w),
+         |d AS (SELECT span_hash FROM h GROUP BY 1 HAVING count(*) > 1),
+         |f AS (
+         |  SELECT h.doc_id, h.k,
+         |    row_number() OVER (PARTITION BY h.span_hash
+         |      ORDER BY h.doc_id, h.k) AS rn
+         |  FROM h JOIN d USING (span_hash)),
+         |cov AS (
+         |  SELECT DISTINCT f.doc_id, f.k + u.u AS pos
+         |  FROM f, (SELECT unnest(range(0, $SpanTokens)) AS u) u
+         |  WHERE f.rn > 1),
+         |tok AS (
+         |  SELECT doc_id, unnest(toks) AS tok,
+         |    unnest(range(0, len(toks))) AS pos
+         |  FROM t),
+         |kept AS (
+         |  SELECT tok.doc_id, count(*) AS n_kept,
+         |    string_agg(tok.tok, ' ' ORDER BY tok.pos) AS scrubbed_text
+         |  FROM tok LEFT JOIN cov
+         |    ON tok.doc_id = cov.doc_id AND tok.pos = cov.pos
+         |  WHERE cov.pos IS NULL
+         |  GROUP BY 1)
+         |SELECT t.doc_id, CAST(len(t.toks) AS BIGINT) AS n_tokens,
+         |  CAST(coalesce(kept.n_kept, 0) AS BIGINT) AS n_kept,
+         |  CAST(len(t.toks) - coalesce(kept.n_kept, 0) AS BIGINT)
+         |    AS n_removed,
+         |  coalesce(kept.scrubbed_text, '') AS scrubbed_text
+         |FROM t LEFT JOIN kept USING (doc_id) ORDER BY doc_id""".stripMargin,
 
     "dedup_minhash_lsh" ->
       s"""WITH $minhashPairsSqlCtes

@@ -157,6 +157,25 @@ class PipelineOpsSpec extends AnyFunSuite {
       assert(bloom(doc) >= n, s"doc $doc: bloom count below exact count")
   }
 
+  test("pipeline_span_scrub cuts repeated passages but keeps one copy") {
+    def words(prefix: String, n: Int): String =
+      (0 until n).map(i => s"$prefix$i").mkString(" ")
+    val shared = words("p", 20)
+    val dir = corpus(Seq(
+      1L -> (shared + " " + words("a", 10)), // first occurrence: keeper
+      2L -> (words("e", 7) + " " + shared + " " + words("b", 3)),
+      3L -> words("c", 10))) // short doc: passes through untouched
+    val out = Dedup.queries("pipeline_span_scrub")(spark, dir).collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4))).toMap
+    // doc 1 holds every span's first occurrence → loses nothing
+    assert(out(1L) === ((30L, 30L, 0L, shared + " " + words("a", 10))))
+    // doc 2's copy of the passage is cut; its unique tokens survive
+    assert(out(2L) === ((30L, 10L, 20L, words("e", 7) + " " + words("b", 3))))
+    // sub-window docs have no spans and pass through (normalized join)
+    assert(out(3L) === ((10L, 10L, 0L, words("c", 10))))
+  }
+
   test("span width is a runtime knob: wider spans flag strictly less") {
     def words(prefix: String, n: Int): String =
       (0 until n).map(i => s"$prefix$i").mkString(" ")
