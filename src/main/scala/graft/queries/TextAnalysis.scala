@@ -26,6 +26,10 @@ object TextAnalysis {
   private[graft] val Stopwords = Seq("the", "a", "of", "to", "in", "is", "and")
   private val SamplePerStratum = 20 // sample_stratified: docs kept per lang
   private val VocabTopK = 100 // text_vocab: tokens reported
+  // split_corpus: 8/1/1 thresholds on the 16-bit md5 slice (0..65535)
+  private val SplitTrainMax = 52429 // floor(0.8 * 65536) rounded up
+  private val SplitValMax = 58982 // train + floor(0.1 * 65536)
+  private val ShuffleShards = 8 // shuffle_corpus: parallel output streams
   private val RareTf = 2 // text_rarity: corpus frequency ≤ this ⇒ rare
   private val CommonTf = 1000 // text_rarity: corpus frequency ≥ this ⇒ common
   private val PackBuckets = 32 // pack_sequences: independent pack streams
@@ -202,6 +206,44 @@ object TextAnalysis {
       d.select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
         .withColumn("rk", row_number().over(w).cast("long"))
         .filter(col("rk") <= SamplePerStratum)
+        .orderBy("doc_id")
+    },
+
+    // Deterministic train/val/test split — the leakage-safe corpus cut
+    // every training run starts with: the split is a pure function of a
+    // 16-bit md5 slice of doc_id, so it is stable under repartitioning,
+    // re-runs, and engine changes (the oracle reproduces it bit-for-bit),
+    // and a document can never migrate between splits as the corpus grows.
+    // Zero-exchange projection (the output sort is the driver compare's).
+    // 8/1/1 via integer thresholds on the 16-bit value.
+    "split_corpus" -> { (s, dir) =>
+      val d = Tables(s, dir, "documents")
+      val v = conv(substring(md5(col("doc_id").cast("string")), 1, 4), 16, 10)
+        .cast("long")
+      d.select(col("doc_id"), col("lang"), v.as("bucket"))
+        .withColumn("split",
+          when(col("bucket") < SplitTrainMax, "train")
+            .when(col("bucket") < SplitValMax, "val")
+            .otherwise("test"))
+        .orderBy("doc_id")
+    },
+
+    // Deterministic corpus shuffle + sharding — the "global shuffle before
+    // training" step done scalably: assign each document a shard by hash
+    // and a position by per-shard hash rank. No global sort exists at any
+    // scale: ordering is per-shard (window over the shard partition), and
+    // shards are written in parallel. Reading shards round-robin yields
+    // the same training order on any cluster size.
+    "shuffle_corpus" -> { (s, dir) =>
+      val d = Tables(s, dir, "documents")
+      val h = md5(concat(lit("shuf:"), col("doc_id").cast("string")))
+      val w = Window.partitionBy(col("shard")).orderBy(col("h"), col("doc_id"))
+      d.select(col("doc_id"), h.as("h"))
+        .withColumn("shard",
+          (conv(substring(col("h"), 1, 4), 16, 10) % ShuffleShards)
+            .cast("long"))
+        .withColumn("pos_in_shard", row_number().over(w).cast("long"))
+        .select("doc_id", "shard", "pos_in_shard")
         .orderBy("doc_id")
     },
 
@@ -657,6 +699,32 @@ object TextAnalysis {
          |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
          |  FROM documents)
          |WHERE rk <= $SamplePerStratum ORDER BY doc_id""".stripMargin,
+
+    "split_corpus" ->
+      s"""WITH b AS (SELECT doc_id, lang,
+         |  list_reduce(list_transform(range(1, 5),
+         |    i -> instr('0123456789abcdef',
+         |      substr(md5(CAST(doc_id AS VARCHAR)), i, 1)) - 1),
+         |    (a, b) -> a * 16 + b) AS bucket
+         |  FROM documents)
+         |SELECT doc_id, lang, CAST(bucket AS BIGINT) AS bucket,
+         |  CASE WHEN bucket < $SplitTrainMax THEN 'train'
+         |       WHEN bucket < $SplitValMax THEN 'val'
+         |       ELSE 'test' END AS split
+         |FROM b ORDER BY doc_id""".stripMargin,
+
+    "shuffle_corpus" ->
+      s"""WITH h AS (SELECT doc_id,
+         |  md5('shuf:' || CAST(doc_id AS VARCHAR)) AS h FROM documents),
+         |sh AS (SELECT doc_id, h,
+         |  list_reduce(list_transform(range(1, 5),
+         |    i -> instr('0123456789abcdef', substr(h, i, 1)) - 1),
+         |    (a, b) -> a * 16 + b) % $ShuffleShards AS shard
+         |  FROM h)
+         |SELECT doc_id, CAST(shard AS BIGINT) AS shard,
+         |  CAST(row_number() OVER (PARTITION BY shard ORDER BY h, doc_id)
+         |    AS BIGINT) AS pos_in_shard
+         |FROM sh ORDER BY doc_id""".stripMargin,
 
     "text_vocab" ->
       s"""WITH tokens AS (SELECT doc_id,

@@ -226,6 +226,33 @@ class PipelineOpsSpec extends AnyFunSuite {
       Dedup.decontaminateBloom(spark, dir, 1L << 34)) // not a power of 16
   }
 
+  test("split_corpus is a stable partition near the 8/1/1 target") {
+    val dir = "/root/testdata/sf0.001"
+    val rows = graft.queries.TextAnalysis.queries("split_corpus")(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getString(3))
+    assert(rows.map(_._1).distinct.length === rows.length, "a partition")
+    val frac = rows.groupBy(_._2).view.mapValues(_.length.toDouble / rows.length)
+    assert(frac("train") > 0.7 && frac("train") < 0.9, frac.toMap.toString)
+    assert(frac("val") > 0.05 && frac("val") < 0.15)
+    assert(frac("test") > 0.05 && frac("test") < 0.15)
+    // deterministic: a re-run assigns identically (hash of doc_id only)
+    val again = graft.queries.TextAnalysis.queries("split_corpus")(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getString(3))
+    assert(rows.toSeq === again.toSeq)
+  }
+
+  test("shuffle_corpus shards cover the corpus with dense positions") {
+    val dir = "/root/testdata/sf0.001"
+    val rows = graft.queries.TextAnalysis.queries("shuffle_corpus")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.map(_._1).distinct.length === rows.length)
+    for ((shard, docs) <- rows.groupBy(_._2)) {
+      assert(docs.map(_._3).sorted.toSeq === (1L to docs.length),
+        s"shard $shard positions must be dense from 1")
+    }
+    assert(rows.map(_._2).distinct.length === 8, "all shards populated")
+  }
+
   test("mix_corpus upsampling converges to the source weights") {
     val dir = "/root/testdata/sf0.01" // 25 docs per source
     val out = TextAnalysis.queries("mix_corpus")(spark, dir).collect()
