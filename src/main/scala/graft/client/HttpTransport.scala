@@ -19,10 +19,10 @@ import java.util.concurrent.ConcurrentLinkedQueue
   * longer than `idleExpiryMs` are discarded on borrow (the server reaps
   * idle keep-alives at its 2 s read timeout; expiring EARLIER on the
   * client side keeps the send-into-closing-socket race rare), and one
-  * retry on a fresh connection covers the residue — safe against
-  * double-apply because the server parses a request only after fully
-  * reading it: a connection it closed mid-timeout consumed none of the
-  * request (the timeout fires only in the blocking first read).
+  * retry on a fresh connection covers the residue — with the double-apply
+  * guard documented on [[request]]: only send-phase failures and
+  * idempotent methods retry; a POST that failed after the request was
+  * fully delivered propagates, because the server may have applied it.
   */
 private[client] final class HttpTransport(
     baseUrl: String,
@@ -32,6 +32,9 @@ private[client] final class HttpTransport(
   private val uri = URI.create(baseUrl)
   private val host = uri.getHost
   private val port = if (uri.getPort > 0) uri.getPort else 80
+  // honor a path prefix in baseUrl (reverse-proxy mounts): the request
+  // line is prefix + path, same as the replaced URI-concatenating client
+  private val pathPrefix = uri.getPath.stripSuffix("/")
 
   private final class Conn(val sock: Socket) {
     val in = new BufferedInputStream(sock.getInputStream)
@@ -68,8 +71,23 @@ private[client] final class HttpTransport(
     }
   }
 
+  /** Marks an IOException raised while SENDING the request (before the
+    * flush returned): the server cannot have processed a request it never
+    * fully received (its parser drops truncated requests), so a resend is
+    * safe even for non-idempotent methods. */
+  private final class SendFailed(val cause: IOException)
+    extends Exception(cause)
+
   /** One request; returns (status, body). Thread-safe: each call owns a
-    * pooled connection for its duration. */
+    * pooled connection for its duration.
+    *
+    * Retry policy (the double-apply guard): a failure on a reused
+    * keep-alive connection retries once on a fresh socket ONLY when it is
+    * provably safe — the failure happened while WRITING the request
+    * (server never had the full request; the stale-keep-alive race lands
+    * here), or the method is idempotent (GET). A POST that fails in the
+    * RESPONSE phase propagates instead: the server may have applied it,
+    * and a blind resend could append twice. */
   def request(method: String, pathQuery: String,
       body: Array[Byte] = null): (Int, String) = {
     val (conn, reused) = borrow()
@@ -79,13 +97,14 @@ private[client] final class HttpTransport(
       pool.offer(conn)
       r
     } catch {
-      case e: IOException =>
+      case e @ (_: SendFailed | _: IOException) =>
         try conn.sock.close() catch { case _: Exception => () }
-        // retry once iff the failed connection was a REUSED keep-alive:
-        // the server reaps idle connections, and a reaped socket consumed
-        // none of our bytes (see class doc) — a fresh-connection failure
-        // is a real error and propagates
-        if (!reused) throw e
+        val (ioe, sendPhase) = e match {
+          case sf: SendFailed => (sf.cause, true)
+          case io: IOException => (io, false)
+        }
+        val retriable = reused && (sendPhase || method == "GET")
+        if (!retriable) throw ioe
         val fresh = connect()
         try {
           val r = roundTrip(fresh, method, pathQuery, body)
@@ -93,6 +112,9 @@ private[client] final class HttpTransport(
           pool.offer(fresh)
           r
         } catch {
+          case sf: SendFailed =>
+            try fresh.sock.close() catch { case _: Exception => () }
+            throw sf.cause
           case e2: Throwable =>
             try fresh.sock.close() catch { case _: Exception => () }
             throw e2
@@ -104,14 +126,17 @@ private[client] final class HttpTransport(
       body: Array[Byte]): (Int, String) = {
     val out = conn.out
     val head = new java.lang.StringBuilder(128)
-      .append(method).append(' ').append(pathQuery).append(" HTTP/1.1\r\n")
+      .append(method).append(' ').append(pathPrefix).append(pathQuery)
+      .append(" HTTP/1.1\r\n")
       .append("Host: ").append(host).append("\r\n")
     if (body != null)
       head.append("Content-Length: ").append(body.length).append("\r\n")
     head.append("\r\n")
-    out.write(head.toString.getBytes(StandardCharsets.ISO_8859_1))
-    if (body != null) out.write(body)
-    out.flush()
+    try {
+      out.write(head.toString.getBytes(StandardCharsets.ISO_8859_1))
+      if (body != null) out.write(body)
+      out.flush()
+    } catch { case e: IOException => throw new SendFailed(e) }
     readResponse(conn.in)
   }
 

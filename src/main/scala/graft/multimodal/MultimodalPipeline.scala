@@ -244,7 +244,12 @@ object MultimodalPipeline {
     * opaque payload — the same deterministic fake the multimodal_meta oracle
     * uses). */
   def fromDocuments(spark: SparkSession, dir: String): Dataset[MediaBlob] = {
+    // NULL text would otherwise land in "video" with a NULL blob (every
+    // when() condition is null) and NPE inside the decode mapPartitions;
+    // the oracles' octet_length(...) % 3 predicates exclude NULLs the
+    // same way
     val d = spark.read.parquet(s"$dir/documents.parquet")
+      .filter(col("text").isNotNull)
     asMedia(d.select(
       col("doc_id").as("id"),
       encode(col("text"), "utf-8").as("blob"),

@@ -13,7 +13,8 @@ import org.apache.spark.sql.functions._
   * so it is a parameter, not a fork.
   *
   * Capacity is a RUNTIME parameter (`bits`), not a compile-time constant:
-  * a 10^9-shingle benchmark wants 2^34 bits for ~1% FP (SCALING.md) and
+  * a 10^9-shingle benchmark wants 16^9 = 2^36 bits for ~1% FP (SCALING.md;
+  * capacities are powers of 16, so 2^36 is the first admissible size) and
   * "recompile to resize" is not a deployable operator. Every position
   * width derives from the one value, and because positions are hex-PREFIX
   * slices of the same digest, growing `bits` only extends each position —

@@ -31,7 +31,11 @@ object Dedup {
   private val MaxBandBucket = 64 // LSH band bucket: docs per (band, key)
   private val MaxShingleDf = 64 // inverted index: docs per distinct shingle
   private val MaxCellSize = 65536 // embedding cosine: vectors per coarse cell
-  private val MaxCcIterations = 25 // dedup_clusters label-propagation cap
+  // dedup_clusters label-propagation cap, in PROPAGATION STEPS (the
+  // ConnectedComponents.maxIter contract): 50 preserves the capacity the
+  // callers had when maxIter counted double-step rounds (25 rounds = 50
+  // hops) — a long near-dup chain that converged before keeps converging
+  private val MaxCcIterations = 50
   private val BenchmarkMod = 97 // decontaminate: doc_id % mod = 0 ⇒ benchmark
   private val SpanTokens = 16 // dedup_span_exact: tokens per hashed chunk
 
@@ -567,8 +571,8 @@ object Dedup {
        |ORDER BY span_hash""".stripMargin
 
   /** The decontaminate_bloom body with the filter capacity as the runtime
-    * knob it has to be for deployment (a 10^9-shingle benchmark wants 2^34
-    * bits — SCALING.md). All position widths derive from `bits` inside
+    * knob it has to be for deployment (a 10^9-shingle benchmark wants
+    * 16^9 = 2^36 bits — SCALING.md). All position widths derive from `bits` inside
     * [[graft.operators.BloomSketch]]; the registered query uses
     * DefaultBits so the generated oracle stays in lockstep. */
   def decontaminateBloom(

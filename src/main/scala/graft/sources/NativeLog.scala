@@ -138,6 +138,17 @@ object NativeLog {
           s"label of $labelBytes bytes exceeds the native format's " +
             s"$MaxFileLabelLen-byte ceiling (file.go:42) — the reference " +
             "could not read the exported file")
+        // same asymmetry guard as the header: the engine accepts payloads
+        // the file format's READ gate refuses (e.g. the 6-byte {"":1} —
+        // valid non-empty JSON under MinPayloadLen=7), and writing one
+        // would produce a file neither the reference nor our own importer
+        // can reopen
+        val payloadBytes =
+          r.getString(2).getBytes(StandardCharsets.UTF_8).length
+        require(payloadBytes >= EventSchema.MinPayloadLen,
+          s"payload of $payloadBytes bytes is under the native format's " +
+            s"${EventSchema.MinPayloadLen}-byte read minimum " +
+            "(read_event.go:108) — the exported file would be unreadable")
         val e = encodeEntry(r.getLong(0), r.getString(1), r.getString(2), prev)
         out.write(e)
         prev = offset

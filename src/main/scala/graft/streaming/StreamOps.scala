@@ -28,7 +28,8 @@ final case class PackOffset(offset: Long)
 object StreamOps {
 
   /** Ceiling for [[decontaminateStream]]'s embedded-literal bitmap:
-    * 2^24 bits = 512 KiB of Longs in the serialized plan. */
+    * 2^24 bits / 32 per word = 2^19 Longs ≈ 4 MiB in the serialized plan
+    * (each Long carries 32 used bits). */
   val MaxStreamBloomBits: Long = 1L << 24
 
   /** Streaming exact dedup: keep the FIRST document per content hash,
@@ -193,13 +194,15 @@ object StreamOps {
     BloomSketch.hexChars(bits) // validate the shape early
     // The streaming probe EMBEDS the bitmap as a plan literal (below) —
     // that stops being sane when the array itself is megabytes riding
-    // every task's serialized plan. 2^24 bits = 512 KiB of Longs is the
-    // documented ceiling; beyond it, use the batch mask-relation join
-    // (decontaminate_bloom) whose broadcast scales independently.
-    require(bits <= MaxStreamBloomBits,
+    // every task's serialized plan. 2^24 bits (= 2^19 Longs ≈ 4 MiB) is
+    // the documented ceiling; beyond it, use the batch mask-relation join
+    // (decontaminate_bloom) whose broadcast scales independently. The
+    // floor exists because the bitmap is indexed in 32-bit words: 16 bits
+    // (the smallest power of 16) would allocate ZERO words.
+    require(bits >= 256 && bits <= MaxStreamBloomBits,
       s"decontaminateStream embeds the filter as a $bits-bit literal; " +
-        s"the ceiling is $MaxStreamBloomBits bits — use the batch " +
-        "mask-relation path (decontaminateBloom) for larger filters")
+        s"supported range is [256, $MaxStreamBloomBits] bits — use the " +
+        "batch mask-relation path (decontaminateBloom) for larger filters")
     val WordBits = 32
     val Words = (bits / WordBits).toInt
     // sketch build: bounded at `Words` rows whatever the benchmark size

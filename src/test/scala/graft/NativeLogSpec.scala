@@ -140,6 +140,19 @@ class NativeLogSpec extends AnyFunSuite {
     } finally log.close()
   }
 
+  test("export refuses payloads under the format's 7-byte read minimum") {
+    // {"":1} is a valid non-empty JSON object the ENGINE accepts at
+    // 6 bytes — but the file format's read gate (read_event.go:108)
+    // would refuse the written file, so export must reject it up front
+    val log = new EventLog(new InMemoryBackend(spark))
+    try {
+      log.append(EventData("e", """{"":1}"""))
+      val f = Files.createTempFile("graft-shortpayload", ".eventlog").toString
+      val ex = intercept[IllegalArgumentException](NativeLog.export(log, f))
+      assert(ex.getMessage.contains("read minimum"))
+    } finally log.close()
+  }
+
   test("export refuses labels over the file format's 256-byte ceiling") {
     val log = new EventLog(new InMemoryBackend(spark))
     try {

@@ -345,6 +345,13 @@ class StreamingSpec extends AnyFunSuite {
         Seq((1L, "x")).toDF("doc_id", "text"), "text", bench, "text",
         bits = 1L << 28)
     }
+    // and the floor: 16 bits passes the power-of-16 shape but would
+    // allocate zero 32-bit words — must fail fast, not AIOOBE later
+    intercept[IllegalArgumentException] {
+      StreamOps.decontaminateStream(
+        Seq((1L, "x")).toDF("doc_id", "text"), "text", bench, "text",
+        bits = 16L)
+    }
     // at the ceiling itself the knob works end-to-end
     val mem = MemoryStream[(Long, String)]
     val q = StreamOps.decontaminateStream(
