@@ -119,6 +119,11 @@ private[client] final class HttpTransport(
             try fresh.sock.close() catch { case _: Exception => () }
             throw e2
         }
+      case e: Throwable =>
+        // non-IO failure (e.g. a malformed status line): the connection's
+        // framing state is unknown — close it rather than repool it
+        try conn.sock.close() catch { case _: Exception => () }
+        throw e
     }
   }
 

@@ -67,6 +67,37 @@ class ClientSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r.version == "8")
   }
 
+  test("pooled transport survives concurrent appends and scans") {
+    // 8 threads hammer one client: the connection pool must hand each
+    // in-flight request its own socket (no response interleaving), and
+    // every append must land exactly once (versions stay dense).
+    val before = log.version
+    val threads = 8
+    val perThread = 25
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(threads)
+    try {
+      val tasks = (0 until threads).map { t =>
+        val job: java.util.concurrent.Callable[Unit] = () => {
+          try {
+            var i = 0
+            while (i < perThread) {
+              client.append(EventData("conc", s"""{"t":$t,"i":$i}"""))
+              client.version() // interleave GETs through the same pool
+              i += 1
+            }
+          } catch { case e: Throwable => errs.add(e) }
+        }
+        pool.submit(job)
+      }
+      tasks.foreach(_.get(60, TimeUnit.SECONDS))
+    } finally pool.shutdownNow()
+    assert(errs.isEmpty, s"concurrent failures: ${errs.peek()}")
+    assert(log.version === before + threads * perThread,
+      "every append applied exactly once")
+    assert(log.checkIntegrity().count() === 0L)
+  }
+
   test("listen loop receives append watermarks") {
     val got = new CountDownLatch(1)
     @volatile var watermark = ""
