@@ -97,18 +97,20 @@ object Bench {
       val (tHttpAppend, tHttpScan) =
         try {
           val c = new graft.client.EventLogClient(s"http://127.0.0.1:$port")
-          val h0 = System.nanoTime()
-          var k = 0
-          while (k < 1000) {
-            c.append(EventData("BenchmarkEvent", payload(k)))
-            k += 1
-          }
-          val ta = (System.nanoTime() - h0) / 1e9
-          val h1 = System.nanoTime()
-          val cnt = c.scan("1", batchSize = 1000, limit = 1000)(_ => ())
-          val ts = (System.nanoTime() - h1) / 1e9
-          require(cnt == 1000, s"http scan returned $cnt")
-          (ta, ts)
+          try {
+            val h0 = System.nanoTime()
+            var k = 0
+            while (k < 1000) {
+              c.append(EventData("BenchmarkEvent", payload(k)))
+              k += 1
+            }
+            val ta = (System.nanoTime() - h0) / 1e9
+            val h1 = System.nanoTime()
+            val cnt = c.scan("1", batchSize = 1000, limit = 1000)(_ => ())
+            val ts = (System.nanoTime() - h1) / 1e9
+            require(cnt == 1000, s"http scan returned $cnt")
+            (ta, ts)
+          } finally c.close()
         } finally server.stop()
 
       Seq(

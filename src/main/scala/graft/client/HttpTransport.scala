@@ -4,6 +4,7 @@ import java.io.{BufferedInputStream, BufferedOutputStream, IOException, InputStr
 import java.net.{InetSocketAddress, Socket, URI}
 import java.nio.charset.StandardCharsets
 import java.util.concurrent.ConcurrentLinkedQueue
+import javax.net.ssl.SSLSocketFactory
 
 /** Minimal blocking HTTP/1.1 transport with keep-alive connection pooling —
   * the client-side counterpart of the reference's `fasthttp.Client`
@@ -15,7 +16,12 @@ import java.util.concurrent.ConcurrentLinkedQueue
   * which is why this exists (measured in BENCH_TREND.md r07).
   *
   * Framing handled: Content-Length bodies, chunked transfer encoding (the
-  * scan response), and header-only 204s. Pool discipline: connections idle
+  * scan response), header-only 204s, EOF-delimited bodies on
+  * `Connection: close` responses (HTTP/1.0-style proxies), and https
+  * (TLS layered via SSLSocketFactory over the same timed connect). A
+  * response carrying `Connection: close` — or an unframed body — closes
+  * the socket instead of repooling it, so stale bytes can never be
+  * attributed to the next request. Pool discipline: connections idle
   * longer than `idleExpiryMs` are discarded on borrow (the server reaps
   * idle keep-alives at its 2 s read timeout; expiring EARLIER on the
   * client side keeps the send-into-closing-socket race rare), and one
@@ -30,8 +36,15 @@ private[client] final class HttpTransport(
     idleExpiryMs: Long = 1000) {
 
   private val uri = URI.create(baseUrl)
+  private val tls = uri.getScheme match {
+    case "http" => false
+    case "https" => true
+    case s => throw new IllegalArgumentException(
+      s"unsupported scheme '$s' in $baseUrl (http or https)")
+  }
   private val host = uri.getHost
-  private val port = if (uri.getPort > 0) uri.getPort else 80
+  private val port =
+    if (uri.getPort > 0) uri.getPort else if (tls) 443 else 80
   // honor a path prefix in baseUrl (reverse-proxy mounts): the request
   // line is prefix + path, same as the replaced URI-concatenating client
   private val pathPrefix = uri.getPath.stripSuffix("/")
@@ -43,16 +56,26 @@ private[client] final class HttpTransport(
   }
 
   private val pool = new ConcurrentLinkedQueue[Conn]()
+  @volatile private var closed = false
 
   private def connect(): Conn = {
     val s = new Socket()
     s.setTcpNoDelay(true)
     s.connect(new InetSocketAddress(host, port), 5000)
     s.setSoTimeout(readTimeoutMs)
-    new Conn(s)
+    val sock =
+      if (!tls) s
+      else { // TLS layered over the already-timed TCP connect
+        val ssl = SSLSocketFactory.getDefault.asInstanceOf[SSLSocketFactory]
+          .createSocket(s, host, port, true)
+        ssl.setSoTimeout(readTimeoutMs)
+        ssl
+      }
+    new Conn(sock)
   }
 
   private def borrow(): (Conn, Boolean) = {
+    if (closed) throw new IllegalStateException("transport is closed")
     var c = pool.poll()
     while (c != null) {
       if ((System.nanoTime() - c.lastUsed) / 1000000L <= idleExpiryMs &&
@@ -63,7 +86,17 @@ private[client] final class HttpTransport(
     (connect(), false)
   }
 
+  /** Return a healthy connection to the pool — unless the transport shut
+    * down while this request was in flight (the close() race): then the
+    * socket is closed instead of parked forever. */
+  private def repool(conn: Conn): Unit = {
+    conn.lastUsed = System.nanoTime()
+    pool.offer(conn)
+    if (closed) close() // drain again: covers offers racing with close()
+  }
+
   def close(): Unit = {
+    closed = true
     var c = pool.poll()
     while (c != null) {
       try c.sock.close() catch { case _: Exception => () }
@@ -92,10 +125,10 @@ private[client] final class HttpTransport(
       body: Array[Byte] = null): (Int, String) = {
     val (conn, reused) = borrow()
     try {
-      val r = roundTrip(conn, method, pathQuery, body)
-      conn.lastUsed = System.nanoTime()
-      pool.offer(conn)
-      r
+      val (code, bodyStr, keepAlive) = roundTrip(conn, method, pathQuery, body)
+      if (keepAlive) repool(conn)
+      else conn.sock.close()
+      (code, bodyStr)
     } catch {
       case e @ (_: SendFailed | _: IOException) =>
         try conn.sock.close() catch { case _: Exception => () }
@@ -107,10 +140,11 @@ private[client] final class HttpTransport(
         if (!retriable) throw ioe
         val fresh = connect()
         try {
-          val r = roundTrip(fresh, method, pathQuery, body)
-          fresh.lastUsed = System.nanoTime()
-          pool.offer(fresh)
-          r
+          val (code, bodyStr, keepAlive) =
+            roundTrip(fresh, method, pathQuery, body)
+          if (keepAlive) repool(fresh)
+          else fresh.sock.close()
+          (code, bodyStr)
         } catch {
           case sf: SendFailed =>
             try fresh.sock.close() catch { case _: Exception => () }
@@ -127,8 +161,9 @@ private[client] final class HttpTransport(
     }
   }
 
+  /** (status, body, connection-reusable). */
   private def roundTrip(conn: Conn, method: String, pathQuery: String,
-      body: Array[Byte]): (Int, String) = {
+      body: Array[Byte]): (Int, String, Boolean) = {
     val out = conn.out
     val head = new java.lang.StringBuilder(128)
       .append(method).append(' ').append(pathPrefix).append(pathQuery)
@@ -157,12 +192,13 @@ private[client] final class HttpTransport(
     sb.toString
   }
 
-  private def readResponse(in: InputStream): (Int, String) = {
+  private def readResponse(in: InputStream): (Int, String, Boolean) = {
     val status = readLine(in)
     val sp = status.indexOf(' ')
     val code = status.substring(sp + 1, sp + 4).toInt
     var contentLength = -1
     var chunked = false
+    var connClose = false
     var line = readLine(in)
     while (line.nonEmpty) {
       val ci = line.indexOf(':')
@@ -172,9 +208,12 @@ private[client] final class HttpTransport(
         if (k == "content-length") contentLength = v.toInt
         else if (k == "transfer-encoding" &&
           v.toLowerCase.contains("chunked")) chunked = true
+        else if (k == "connection" && v.toLowerCase.contains("close"))
+          connClose = true
       }
       line = readLine(in)
     }
+    val bodyless = code == 204 || code == 304 || code / 100 == 1
     val body =
       if (chunked) readChunked(in)
       else if (contentLength > 0) {
@@ -182,8 +221,10 @@ private[client] final class HttpTransport(
         if (b.length < contentLength)
           throw new IOException("truncated response body")
         b
-      } else Array.emptyByteArray // 204 / explicit zero length
-    (code, new String(body, StandardCharsets.UTF_8))
+      } else if (contentLength == 0 || bodyless) Array.emptyByteArray
+      else if (connClose) in.readAllBytes() // EOF-delimited (HTTP/1.0 style)
+      else Array.emptyByteArray // keep-alive with no framing: no body
+    (code, new String(body, StandardCharsets.UTF_8), !connClose)
   }
 
   private def readChunked(in: InputStream): Array[Byte] = {

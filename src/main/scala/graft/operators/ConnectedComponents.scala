@@ -22,11 +22,14 @@ import org.apache.spark.sql.functions._
   * @param maxIter  ceiling on PROPAGATION STEPS (graph-radius hops), not on
   *                 materialization rounds — each round runs two steps and
   *                 counts as two, so the contract is stable against the
-  *                 internal batching factor
+  *                 internal batching factor; an odd ceiling rounds DOWN
+  *                 (the loop never starts a round it can't finish inside
+  *                 the budget). Default 50 = the 25 double-step rounds
+  *                 this operator always allowed.
   * @return (id, component) where component = min vertex id reachable
   */
 object ConnectedComponents {
-  def run(vertices: DataFrame, edges: DataFrame, maxIter: Int = 25): DataFrame = {
+  def run(vertices: DataFrame, edges: DataFrame, maxIter: Int = 50): DataFrame = {
     val idCol = vertices.columns.head
     val sym = edges
       .select(col(edges.columns(0)).as("src"), col(edges.columns(1)).as("dst"))
@@ -54,7 +57,7 @@ object ConnectedComponents {
             .as("component"),
           l("prev"))
     }
-    while (!converged && iter < maxIter) {
+    while (!converged && iter + 2 <= maxIter) {
       // TWO steps per materialization round: the checkpoint + convergence
       // action is the per-round fixed cost, and labels are MONOTONE
       // non-increasing under min-propagation, so "no change across the

@@ -103,8 +103,31 @@ object NativeLog {
   def export(
       log: EventLog, path: String, meta: Map[String, String] = Map.empty)
       : Long = {
+    // Validate EVERY row's format bounds BEFORE the first byte is
+    // written: the native format has no trailer, so a file abandoned
+    // mid-write at an entry boundary would read back as a valid, SHORTER
+    // log — silent data loss for any tooling that trusts file existence.
+    // One aggregate pass beats that failure mode.
+    {
+      import org.apache.spark.sql.functions.{col, max, min, octet_length}
+      val b = log.toDF
+        .agg(max(octet_length(col("label"))).as("maxLabel"),
+          min(octet_length(col("payload"))).as("minPayload"))
+        .head()
+      if (!b.isNullAt(0)) {
+        require(b.getInt(0) <= MaxFileLabelLen,
+          s"a label of ${b.getInt(0)} bytes exceeds the native format's " +
+            s"$MaxFileLabelLen-byte ceiling (file.go:42) — the reference " +
+            "could not read the exported file")
+        require(b.getInt(1) >= EventSchema.MinPayloadLen,
+          s"a payload of ${b.getInt(1)} bytes is under the native " +
+            s"format's ${EventSchema.MinPayloadLen}-byte read minimum " +
+            "(read_event.go:108) — the exported file would be unreadable")
+      }
+    }
     val out = new java.io.BufferedOutputStream(
       new java.io.FileOutputStream(path), 64 * 1024)
+    var failed = false
     try {
       // Jackson (sorted keys): correct escaping for any metadata content
       val metaJson = {
@@ -132,23 +155,6 @@ object NativeLog {
         .select("timestamp", "label", "payload").toLocalIterator()
       while (it.hasNext) {
         val r = it.next()
-        val labelBytes =
-          r.getString(1).getBytes(StandardCharsets.UTF_8).length
-        require(labelBytes <= MaxFileLabelLen,
-          s"label of $labelBytes bytes exceeds the native format's " +
-            s"$MaxFileLabelLen-byte ceiling (file.go:42) — the reference " +
-            "could not read the exported file")
-        // same asymmetry guard as the header: the engine accepts payloads
-        // the file format's READ gate refuses (e.g. the 6-byte {"":1} —
-        // valid non-empty JSON under MinPayloadLen=7), and writing one
-        // would produce a file neither the reference nor our own importer
-        // can reopen
-        val payloadBytes =
-          r.getString(2).getBytes(StandardCharsets.UTF_8).length
-        require(payloadBytes >= EventSchema.MinPayloadLen,
-          s"payload of $payloadBytes bytes is under the native format's " +
-            s"${EventSchema.MinPayloadLen}-byte read minimum " +
-            "(read_event.go:108) — the exported file would be unreadable")
         val e = encodeEntry(r.getLong(0), r.getString(1), r.getString(2), prev)
         out.write(e)
         prev = offset
@@ -156,7 +162,17 @@ object NativeLog {
         n += 1L
       }
       n
-    } finally out.close()
+    } catch {
+      case t: Throwable => failed = true; throw t
+    } finally {
+      out.close()
+      // belt-and-braces for mid-write I/O failures: never leave a
+      // truncated-but-decodable file behind
+      if (failed) {
+        try java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(path))
+        catch { case _: Exception => () }
+      }
+    }
   }
 
   private[graft] def encodeEntry(

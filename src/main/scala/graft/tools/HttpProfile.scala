@@ -41,7 +41,7 @@ object HttpProfile {
     c.append(EventData("E", payload(0))) // warm
     timed("httpclient_append_1k")(
       (0 until 1000).foreach(i => c.append(EventData("E", payload(i)))))
-    srv2.stop(); log2.close()
+    c.close(); srv2.stop(); log2.close()
 
     // raw socket keep-alive
     val log3 = new EventLog(new InMemoryBackend(spark))

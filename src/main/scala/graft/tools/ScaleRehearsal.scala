@@ -38,7 +38,7 @@ object ScaleRehearsal {
         .write.mode("overwrite").parquet(s"$out/documents.parquet")
     }
 
-    val worst = Seq( // the five worst shuffles per SCALING.md + VERDICT r06
+    val worst = Seq( // the six worst shuffles per SCALING.md + VERDICT r06
       "dedup_span_exact", "dedup_span_overlap", "dedup_minhash_lsh",
       "dedup_ngram_jaccard", "dedup_clusters", "pack_sequences")
     val all = graft.SparkEntry.queries

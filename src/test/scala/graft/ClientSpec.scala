@@ -27,6 +27,7 @@ class ClientSpec extends AnyFunSuite with BeforeAndAfterAll {
   }
 
   override def afterAll(): Unit = {
+    client.close()
     server.stop()
     log.close()
   }
