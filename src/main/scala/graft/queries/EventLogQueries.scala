@@ -94,6 +94,23 @@ object EventLogQueries {
           sum(length(col("payload"))).as("payload_chars"))
     },
 
+    // Time travel on the V2 source: versionAsOf pins the read to a
+    // historical snapshot (inclusive ceiling, file-level pruned — the
+    // same maxV machinery version predicates use). Same aggregate shape
+    // as graft_scan_forward so the oracle is the events table under the
+    // equivalent version bound.
+    "graft_time_travel" -> { (s, dir) =>
+      val logDir = graft.sources.GraftLogCache.ensure(s, dir)
+      s.read.format("graft").option("versionAsOf", 500L).load(logDir)
+        .groupBy(col("label"))
+        .agg(
+          count(lit(1)).as("n_events"),
+          sum(col("version")).as("sum_version"),
+          min(col("version")).as("min_version"),
+          max(col("version")).as("max_version"),
+          sum(length(col("payload"))).as("payload_chars"))
+    },
+
     // Version / VersionInitial point lookups (eventlog.go:132-140)
     "el_version_bounds" -> { (s, dir) =>
       log(s, dir).agg(
@@ -347,6 +364,15 @@ object EventLogQueries {
         |  max(event_id) + 1 AS max_version,
         |  CAST(sum(length(props)) AS BIGINT) AS payload_chars
         |FROM events GROUP BY 1""".stripMargin,
+
+    "graft_time_travel" ->
+      """SELECT event_type AS label,
+        |  count(*) AS n_events,
+        |  CAST(sum(event_id + 1) AS BIGINT) AS sum_version,
+        |  min(event_id) + 1 AS min_version,
+        |  max(event_id) + 1 AS max_version,
+        |  CAST(sum(length(props)) AS BIGINT) AS payload_chars
+        |FROM events WHERE event_id + 1 <= 500 GROUP BY 1""".stripMargin,
 
     "el_version_bounds" ->
       """SELECT min(event_id) AS version_initial,
