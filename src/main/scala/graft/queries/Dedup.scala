@@ -330,6 +330,49 @@ object Dedup {
         .orderBy("lang")
     },
 
+    // The FULL composed pretraining intake, end to end as ONE declarative
+    // plan — the flagship composition every piece above exists for:
+    // near-dup cluster keepers (minhash-LSH + connected components) →
+    // quality gate → benchmark decontamination (drop the benchmark split
+    // AND every doc sharing a 3-gram with it) → deterministic train/val/
+    // test split → per-(split, lang) corpus stats. Each stage is
+    // individually oracle-gated elsewhere; this entry pins the
+    // COMPOSITION (stage order and interaction) against one recursive-CTE
+    // oracle. Scale shape: nothing new — the stages keep their audited
+    // shapes (bounded LSH buckets, per-round-bounded CC, broadcast
+    // benchmark hashes, projection-only split), and the gate runs before
+    // the shingle join's stream side would need them.
+    "pipeline_pretrain_corpus" -> { (s, dir) =>
+      val d = Tables(s, dir, "documents")
+      val keepers = d.join(clusterLabels(s, dir), "doc_id")
+        .filter(col("doc_id") === col("cluster_id"))
+        .withColumn("n_words", size(toks(col("text"))).cast("long"))
+        .filter(col("n_chars") >= 100 && col("n_words") >= 20)
+      val sh = d.filter(col("text").isNotNull)
+        .select(col("doc_id"),
+          explode(graft.exprs.functions.ngram_shingles(toks(col("text"))))
+            .as("sng"))
+        .select(col("doc_id"), xxhash64(col("sng")).as("sh")).distinct()
+      val bench = sh.filter(col("doc_id") % BenchmarkMod === 0)
+        .select("sh").distinct()
+      val contaminated = sh.filter(col("doc_id") % BenchmarkMod =!= 0)
+        .join(broadcast(bench), "sh").select("doc_id").distinct()
+      val bucket = conv(
+        substring(md5(col("doc_id").cast("string")), 1, 4), 16, 10)
+        .cast("long")
+      keepers
+        .filter(col("doc_id") % BenchmarkMod =!= 0) // benchmark split out
+        .join(contaminated, Seq("doc_id"), "left_anti")
+        .withColumn("split",
+          when(bucket < TextAnalysis.SplitTrainMax, "train")
+            .when(bucket < TextAnalysis.SplitValMax, "val")
+            .otherwise("test"))
+        .groupBy("split", "lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_words")).as("total_words"))
+        .orderBy("split", "lang")
+    },
+
     // SimHash: 32-bit fingerprint from md5 bits of each token occurrence.
     "dedup_simhash" -> { (s, dir) =>
       val fp = simhashTable(s, dir)
@@ -792,6 +835,43 @@ object Dedup {
          |  CAST(sum(n_words) AS BIGINT) AS total_words,
          |  CAST(sum(length(text)) AS BIGINT) AS total_chars
          |FROM q GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "pipeline_pretrain_corpus" ->
+      s"""WITH RECURSIVE $minhashPairsSqlCtes,
+         |edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+         |  UNION SELECT doc_b, doc_a FROM pairs),
+         |reach AS (
+         |  SELECT doc_id AS id, doc_id AS lab FROM documents
+         |  UNION
+         |  SELECT e.v AS id, r.lab AS lab
+         |  FROM reach r JOIN edges e ON e.u = r.id),
+         |cl AS (SELECT id AS doc_id, min(lab) AS cluster_id
+         |  FROM reach GROUP BY id),
+         |shx AS ($shinglesSql),
+         |t0 AS (SELECT DISTINCT doc_id, unnest(sh) AS s FROM shx),
+         |bench AS (SELECT DISTINCT s FROM t0 WHERE doc_id % $BenchmarkMod = 0),
+         |contam AS (SELECT DISTINCT t0.doc_id FROM t0 JOIN bench USING (s)
+         |  WHERE doc_id % $BenchmarkMod <> 0),
+         |q AS (
+         |  SELECT d.doc_id, d.lang,
+         |    len(string_split_regex(d.text, '\\s+')) AS n_words
+         |  FROM documents d JOIN cl USING (doc_id)
+         |  WHERE d.doc_id = cl.cluster_id AND d.n_chars >= 100
+         |    AND len(string_split_regex(d.text, '\\s+')) >= 20
+         |    AND d.doc_id % $BenchmarkMod <> 0
+         |    AND d.doc_id NOT IN (SELECT doc_id FROM contam)),
+         |b AS (SELECT doc_id, lang, n_words,
+         |  list_reduce(list_transform(range(1, 5),
+         |    i -> instr('0123456789abcdef',
+         |      substr(md5(CAST(doc_id AS VARCHAR)), i, 1)) - 1),
+         |    (a, b) -> a * 16 + b) AS bucket
+         |  FROM q)
+         |SELECT CASE WHEN bucket < ${TextAnalysis.SplitTrainMax} THEN 'train'
+         |       WHEN bucket < ${TextAnalysis.SplitValMax} THEN 'val'
+         |       ELSE 'test' END AS split,
+         |  lang, count(*) AS n_docs,
+         |  CAST(sum(n_words) AS BIGINT) AS total_words
+         |FROM b GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     // connected components as a recursive min-reachability closure: lab
     // walks every edge path, so min(lab) per doc is exactly the component

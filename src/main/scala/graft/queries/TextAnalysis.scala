@@ -26,9 +26,11 @@ object TextAnalysis {
   private[graft] val Stopwords = Seq("the", "a", "of", "to", "in", "is", "and")
   private val SamplePerStratum = 20 // sample_stratified: docs kept per lang
   private val VocabTopK = 100 // text_vocab: tokens reported
-  // split_corpus: 8/1/1 thresholds on the 16-bit md5 slice (0..65535)
-  private val SplitTrainMax = 52429 // floor(0.8 * 65536) rounded up
-  private val SplitValMax = 58982 // train + floor(0.1 * 65536)
+  // split_corpus: 8/1/1 thresholds on the 16-bit md5 slice (0..65535);
+  // shared with Dedup.pipeline_pretrain_corpus so the composed pipeline
+  // and the standalone operator can never disagree on an assignment
+  private[queries] val SplitTrainMax = 52429 // floor(0.8 * 65536) rounded up
+  private[queries] val SplitValMax = 58982 // train + floor(0.1 * 65536)
   private val ShuffleShards = 8 // shuffle_corpus: parallel output streams
   private val RareTf = 2 // text_rarity: corpus frequency ≤ this ⇒ rare
   private val CommonTf = 1000 // text_rarity: corpus frequency ≥ this ⇒ common
