@@ -38,9 +38,11 @@ object ScaleRehearsal {
         .write.mode("overwrite").parquet(s"$out/documents.parquet")
     }
 
-    val worst = Seq( // the six worst shuffles per SCALING.md + VERDICT r06
+    val worst = Seq( // the worst shuffles per SCALING.md + VERDICT r06,
+      // plus the composed pipeline (the heaviest chain in the repo)
       "dedup_span_exact", "dedup_span_overlap", "dedup_minhash_lsh",
-      "dedup_ngram_jaccard", "dedup_clusters", "pack_sequences")
+      "dedup_ngram_jaccard", "dedup_clusters", "pack_sequences",
+      "pipeline_span_scrub", "pipeline_pretrain_corpus")
     val all = graft.SparkEntry.queries
 
     def timeAt(dir: String, name: String): Double = {
