@@ -125,8 +125,8 @@ object Dedup {
   }
 
   /** (doc_id, cluster_id) labels from connected components over the
-    * minhash-LSH pair graph — shared by dedup_clusters and
-    * pipeline_dedup_corpus. */
+    * minhash-LSH pair graph — shared by dedup_clusters,
+    * pipeline_dedup_corpus, and pipeline_pretrain_corpus. */
   private def clusterLabels(s: SparkSession, dir: String): DataFrame = {
     val pairs = minhashPairs(s, dir).select("doc_a", "doc_b")
     val docs = Tables(s, dir, "documents").select(col("doc_id"))
@@ -134,6 +134,18 @@ object Dedup {
       .run(docs, pairs, MaxCcIterations)
       .select(col("id").as("doc_id"), col("component").as("cluster_id"))
   }
+
+  /** Distinct (doc_id, sh) 3-gram shingle xxhash64 hashes — shared by
+    * decontaminate_ngram and pipeline_pretrain_corpus so the composed
+    * pipeline's contamination check can never diverge from the standalone
+    * operator's (oracle mirror: [[shinglesSql]] unnested). */
+  private def shingleHashes(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "documents")
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"),
+        explode(graft.exprs.functions.ngram_shingles(toks(col("text"))))
+          .as("sng"))
+      .select(col("doc_id"), xxhash64(col("sng")).as("sh")).distinct()
 
   /** MinHash+LSH verified candidate pairs (doc_a < doc_b, sim_est >= 0.5) —
     * shared by dedup_minhash_lsh and dedup_clusters. Signatures RIDE the
@@ -348,25 +360,15 @@ object Dedup {
         .filter(col("doc_id") === col("cluster_id"))
         .withColumn("n_words", size(toks(col("text"))).cast("long"))
         .filter(col("n_chars") >= 100 && col("n_words") >= 20)
-      val sh = d.filter(col("text").isNotNull)
-        .select(col("doc_id"),
-          explode(graft.exprs.functions.ngram_shingles(toks(col("text"))))
-            .as("sng"))
-        .select(col("doc_id"), xxhash64(col("sng")).as("sh")).distinct()
+      val sh = shingleHashes(s, dir)
       val bench = sh.filter(col("doc_id") % BenchmarkMod === 0)
         .select("sh").distinct()
       val contaminated = sh.filter(col("doc_id") % BenchmarkMod =!= 0)
         .join(broadcast(bench), "sh").select("doc_id").distinct()
-      val bucket = conv(
-        substring(md5(col("doc_id").cast("string")), 1, 4), 16, 10)
-        .cast("long")
       keepers
         .filter(col("doc_id") % BenchmarkMod =!= 0) // benchmark split out
         .join(contaminated, Seq("doc_id"), "left_anti")
-        .withColumn("split",
-          when(bucket < TextAnalysis.SplitTrainMax, "train")
-            .when(bucket < TextAnalysis.SplitValMax, "val")
-            .otherwise("test"))
+        .withColumn("split", TextAnalysis.splitOf(TextAnalysis.splitBucket))
         .groupBy("split", "lang")
         .agg(count(lit(1)).as("n_docs"),
           sum(col("n_words")).as("total_words"))
@@ -528,12 +530,7 @@ object Dedup {
     // dedup_ngram_jaccard (equal sets modulo ~2⁻⁶⁴ collisions; the oracle
     // joins the strings themselves).
     "decontaminate_ngram" -> { (s, dir) =>
-      val sh = Tables(s, dir, "documents")
-        .filter(col("text").isNotNull)
-        .select(col("doc_id"),
-          explode(graft.exprs.functions.ngram_shingles(toks(col("text"))))
-            .as("sng"))
-        .select(col("doc_id"), xxhash64(col("sng")).as("sh")).distinct()
+      val sh = shingleHashes(s, dir)
         .withColumn("n_shingles",
           count(lit(1)).over(Window.partitionBy(col("doc_id"))))
       val bench = sh.filter(col("doc_id") % BenchmarkMod === 0)
@@ -847,8 +844,7 @@ object Dedup {
          |  FROM reach r JOIN edges e ON e.u = r.id),
          |cl AS (SELECT id AS doc_id, min(lab) AS cluster_id
          |  FROM reach GROUP BY id),
-         |shx AS ($shinglesSql),
-         |t0 AS (SELECT DISTINCT doc_id, unnest(sh) AS s FROM shx),
+         |t0 AS (SELECT DISTINCT doc_id, unnest(sh) AS s FROM sh),
          |bench AS (SELECT DISTINCT s FROM t0 WHERE doc_id % $BenchmarkMod = 0),
          |contam AS (SELECT DISTINCT t0.doc_id FROM t0 JOIN bench USING (s)
          |  WHERE doc_id % $BenchmarkMod <> 0),
@@ -861,14 +857,9 @@ object Dedup {
          |    AND d.doc_id % $BenchmarkMod <> 0
          |    AND d.doc_id NOT IN (SELECT doc_id FROM contam)),
          |b AS (SELECT doc_id, lang, n_words,
-         |  list_reduce(list_transform(range(1, 5),
-         |    i -> instr('0123456789abcdef',
-         |      substr(md5(CAST(doc_id AS VARCHAR)), i, 1)) - 1),
-         |    (a, b) -> a * 16 + b) AS bucket
+         |  ${TextAnalysis.SplitBucketSql} AS bucket
          |  FROM q)
-         |SELECT CASE WHEN bucket < ${TextAnalysis.SplitTrainMax} THEN 'train'
-         |       WHEN bucket < ${TextAnalysis.SplitValMax} THEN 'val'
-         |       ELSE 'test' END AS split,
+         |SELECT ${TextAnalysis.splitCaseSql("bucket")} AS split,
          |  lang, count(*) AS n_docs,
          |  CAST(sum(n_words) AS BIGINT) AS total_words
          |FROM b GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,

@@ -27,10 +27,37 @@ object TextAnalysis {
   private val SamplePerStratum = 20 // sample_stratified: docs kept per lang
   private val VocabTopK = 100 // text_vocab: tokens reported
   // split_corpus: 8/1/1 thresholds on the 16-bit md5 slice (0..65535);
-  // shared with Dedup.pipeline_pretrain_corpus so the composed pipeline
-  // and the standalone operator can never disagree on an assignment
+  // the WHOLE derivation (bucket expression + thresholds, Spark AND
+  // oracle-SQL forms) is shared with Dedup.pipeline_pretrain_corpus so
+  // the composed pipeline and the standalone operator can never disagree
+  // on an assignment
   private[queries] val SplitTrainMax = 52429 // floor(0.8 * 65536) rounded up
   private[queries] val SplitValMax = 58982 // train + floor(0.1 * 65536)
+
+  /** 16-bit split bucket of doc_id (0..65535): first 4 hex chars of
+    * md5(doc_id) — stable under repartitioning, re-runs, corpus growth. */
+  private[queries] def splitBucket: Column =
+    conv(substring(md5(col("doc_id").cast("string")), 1, 4), 16, 10)
+      .cast("long")
+
+  /** train/val/test assignment from a [[splitBucket]] value. */
+  private[queries] def splitOf(bucket: Column): Column =
+    when(bucket < SplitTrainMax, "train")
+      .when(bucket < SplitValMax, "val")
+      .otherwise("test")
+
+  /** DuckDB form of [[splitBucket]] (md5 hex fold to the same integer). */
+  private[queries] val SplitBucketSql: String =
+    """list_reduce(list_transform(range(1, 5),
+      |    i -> instr('0123456789abcdef',
+      |      substr(md5(CAST(doc_id AS VARCHAR)), i, 1)) - 1),
+      |    (a, b) -> a * 16 + b)""".stripMargin
+
+  /** DuckDB form of [[splitOf]] over a bucket column reference. */
+  private[queries] def splitCaseSql(bucketRef: String): String =
+    s"""CASE WHEN $bucketRef < $SplitTrainMax THEN 'train'
+       |       WHEN $bucketRef < $SplitValMax THEN 'val'
+       |       ELSE 'test' END""".stripMargin
   private val ShuffleShards = 8 // shuffle_corpus: parallel output streams
   private val RareTf = 2 // text_rarity: corpus frequency ≤ this ⇒ rare
   private val CommonTf = 1000 // text_rarity: corpus frequency ≥ this ⇒ common
@@ -220,13 +247,8 @@ object TextAnalysis {
     // 8/1/1 via integer thresholds on the 16-bit value.
     "split_corpus" -> { (s, dir) =>
       val d = Tables(s, dir, "documents")
-      val v = conv(substring(md5(col("doc_id").cast("string")), 1, 4), 16, 10)
-        .cast("long")
-      d.select(col("doc_id"), col("lang"), v.as("bucket"))
-        .withColumn("split",
-          when(col("bucket") < SplitTrainMax, "train")
-            .when(col("bucket") < SplitValMax, "val")
-            .otherwise("test"))
+      d.select(col("doc_id"), col("lang"), splitBucket.as("bucket"))
+        .withColumn("split", splitOf(col("bucket")))
         .orderBy("doc_id")
     },
 
@@ -704,15 +726,10 @@ object TextAnalysis {
 
     "split_corpus" ->
       s"""WITH b AS (SELECT doc_id, lang,
-         |  list_reduce(list_transform(range(1, 5),
-         |    i -> instr('0123456789abcdef',
-         |      substr(md5(CAST(doc_id AS VARCHAR)), i, 1)) - 1),
-         |    (a, b) -> a * 16 + b) AS bucket
+         |  $SplitBucketSql AS bucket
          |  FROM documents)
          |SELECT doc_id, lang, CAST(bucket AS BIGINT) AS bucket,
-         |  CASE WHEN bucket < $SplitTrainMax THEN 'train'
-         |       WHEN bucket < $SplitValMax THEN 'val'
-         |       ELSE 'test' END AS split
+         |  ${splitCaseSql("bucket")} AS split
          |FROM b ORDER BY doc_id""".stripMargin,
 
     "shuffle_corpus" ->

@@ -53,11 +53,11 @@ object ScaleRehearsal {
 
     // one untimed warmup per query (codegen + JIT), then the timed pass
     worst.foreach { q => timeAt(base, q); timeAt(out, q) }
-    println(f"${"query"}%-22s ${"sf0.1"}%8s ${"sf1"}%8s  ratio (10x rows)")
+    println(f"${"query"}%-24s ${"sf0.1"}%8s ${"sf1"}%8s  ratio (10x rows)")
     worst.foreach { q =>
       val a = timeAt(base, q)
       val b = timeAt(out, q)
-      println(f"$q%-22s $a%8.2f $b%8.2f  ${b / a}%5.1fx")
+      println(f"$q%-24s $a%8.2f $b%8.2f  ${b / a}%5.1fx")
     }
     spark.stop()
   }

@@ -305,6 +305,42 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(out(1L) === ((10.0, 10.0, 3L, 0L, 0L)))
   }
 
+  test("pipeline_pretrain_corpus composes keeper/gate/decontaminate/stats") {
+    // one doc per exclusion path, two survivors with distinct langs so the
+    // aggregated output pins per-doc membership without depending on the
+    // (separately oracle-gated) split assignment
+    val cluster = ("apple banana cherry date elder fig grape honey iris " +
+      "jade kiwi lemon mango nectar olive peach quince rose straw tomato " +
+      "ugli vine wheat xray yam") // 25 words, >100 chars
+    val unique = ("zebra yak wolf viper tiger snake rhino puma otter newt " +
+      "mole lynx koala jackal ibex heron gecko ferret eagle dingo crane " +
+      "bison") // 22 words, >100 chars
+    val contaminated = ("this long document quotes the secret eval answer " +
+      "verbatim along with twenty or so other perfectly ordinary filler " +
+      "words stretched out to pass both quality thresholds easily") // 27 w
+    val docs = Seq(
+      (1L, contaminated, "en"), // gated in, but shares a 3-gram with doc 97
+      (2L, cluster, "en"), // near-dup cluster keeper (min id) — survives
+      (3L, cluster, "en"), // cluster duplicate — dropped
+      (4L, cluster, "en"), // cluster duplicate — dropped
+      (5L, unique, "fr"), // unique, clean — survives
+      (6L, "too short to pass the gate", "en"), // fails n_words >= 20
+      (97L, "the secret eval answer is forty two", "en")) // benchmark split
+    val dir = java.nio.file.Files.createTempDirectory("graft-ppc").toString
+    import spark.implicits._
+    docs.toDF("doc_id", "text", "lang")
+      .withColumn("n_chars",
+        org.apache.spark.sql.functions.length($"text").cast("long"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = Dedup.queries("pipeline_pretrain_corpus")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getString(1),
+        r.getLong(2), r.getLong(3)))
+    // exactly the two survivors, one per lang, whatever their splits
+    assert(out.map(_._3).sum === 2L, out.toSeq)
+    assert(out.filter(_._2 == "en").map(_._4).sum === 25L, out.toSeq)
+    assert(out.filter(_._2 == "fr").map(_._4).sum === 22L, out.toSeq)
+  }
+
   test("pipeline_gopher_filter keeps clean prose, rejects degenerate docs") {
     val clean = ("the quick brown fox jumps over lazy dogs and then some " +
       "more words appear here today while the sun shines bright above")

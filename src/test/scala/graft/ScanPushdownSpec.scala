@@ -121,6 +121,13 @@ class ScanPushdownSpec extends AnyFunSuite {
     // perplexity: the model side must be the broadcast build side
     val ppx = plan(q("text_perplexity"))
     assert(ppx.contains("BuildRight"), ppx.take(3000))
+    // composed intake: every join broadcasts (bench shingles, contaminated
+    // id anti-join, keeper labels at this SF) — no shuffled or cartesian
+    // join anywhere in the composition (EXPLAIN.md's claim, pinned)
+    val ppc = plan(q("pipeline_pretrain_corpus"))
+    assert(ppc.contains("LeftAnti, BuildRight"), ppc.take(3000))
+    assert(!ppc.contains("SortMergeJoin") && !ppc.contains("CartesianProduct"),
+      ppc.take(3000))
   }
 
   test("tryAppendMulti retries through version races") {
