@@ -53,12 +53,55 @@ object TextAnalysis {
       |      substr(md5(CAST(doc_id AS VARCHAR)), i, 1)) - 1),
       |    (a, b) -> a * 16 + b)""".stripMargin
 
+  /** DuckDB mirror of train_bpe: BpeMerges chained CTE rounds (pair count
+    * → deterministic argmax → greedy left-to-right replace), generated
+    * from the same constants the Spark side consumes. */
+  private def trainBpeSql: String = {
+    val s0 =
+      s"""s0 AS (SELECT freq, array_to_string(list_transform(
+         |    range(1, length(word) + 1), i -> substr(word, i, 1)), ' ')
+         |    AS syms
+         |  FROM (SELECT word, count(*) AS freq
+         |    FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z]+'))
+         |        AS word FROM documents WHERE text IS NOT NULL)
+         |    WHERE length(word) BETWEEN 2 AND $BpeMaxWordLen
+         |    GROUP BY word))""".stripMargin
+    val rounds = (1 to BpeMerges).map { k =>
+      s"""p$k AS (SELECT pr[1] AS l, pr[2] AS r,
+         |    CAST(sum(freq) AS BIGINT) AS c
+         |  FROM (SELECT freq, unnest(list_transform(range(1, len(sy)),
+         |      i -> [sy[i], sy[i + 1]])) AS pr
+         |    FROM (SELECT freq, string_split(syms, ' ') AS sy FROM s${k - 1}))
+         |  GROUP BY 1, 2),
+         |b$k AS (SELECT $k AS round, l, r, c FROM p$k
+         |  ORDER BY c DESC, l, r LIMIT 1),
+         |s$k AS (SELECT s${k - 1}.freq,
+         |    trim(replace(replace(
+         |      ' ' || replace(s${k - 1}.syms, ' ', '  ') || ' ',
+         |      ' ' || b$k.l || '  ' || b$k.r || ' ',
+         |      ' ' || b$k.l || b$k.r || ' '), '  ', ' ')) AS syms
+         |  FROM s${k - 1}, b$k)""".stripMargin
+    }
+    val union = (1 to BpeMerges)
+      .map(k => s"SELECT * FROM b$k").mkString("\n  UNION ALL ")
+    s"""WITH $s0,
+       |${rounds.mkString(",\n")}
+       |SELECT CAST(round AS BIGINT) AS round, l AS lhs, r AS rhs,
+       |  l || r AS merged, c AS pair_freq
+       |FROM ($union)
+       |ORDER BY round""".stripMargin
+  }
+
   /** DuckDB form of [[splitOf]] over a bucket column reference. */
   private[queries] def splitCaseSql(bucketRef: String): String =
     s"""CASE WHEN $bucketRef < $SplitTrainMax THEN 'train'
        |       WHEN $bucketRef < $SplitValMax THEN 'val'
        |       ELSE 'test' END""".stripMargin
   private val ShuffleShards = 8 // shuffle_corpus: parallel output streams
+  private val CapPerSource = 15 // cap_per_source: max docs kept per source
+  private val TokenBudgetPerLang = 2500 // sample_token_budget: tokens/lang
+  private val BpeMerges = 8 // train_bpe: merge rounds learned
+  private val BpeMaxWordLen = 16 // train_bpe: word-length bound on the vocab
   private val RareTf = 2 // text_rarity: corpus frequency ≤ this ⇒ rare
   private val CommonTf = 1000 // text_rarity: corpus frequency ≥ this ⇒ common
   private val PackBuckets = 32 // pack_sequences: independent pack streams
@@ -236,6 +279,105 @@ object TextAnalysis {
         .withColumn("rk", row_number().over(w).cast("long"))
         .filter(col("rk") <= SamplePerStratum)
         .orderBy("doc_id")
+    },
+
+    // Per-source (domain) capping — the C4/RefinedWeb anti-boilerplate
+    // step: no single domain may contribute more than CapPerSource docs.
+    // Kept subset is hash-ranked (same content-independent md5 order as
+    // sample_stratified) so the cap is reproducible as the corpus grows.
+    // One shuffle on source for both windows (count + rank share the
+    // partitioning). At 100 TB a hot domain makes the per-source rank sort
+    // the skew risk — mitigation as sample_stratified: pre-filter the
+    // stratum on a hash threshold that covers the cap with high
+    // probability, then exact-rank only the survivors (same hash ⇒ same
+    // kept set).
+    "cap_per_source" -> { (s, dir) =>
+      val d = Tables(s, dir, "documents")
+      val bySrc = Window.partitionBy(col("source"))
+      val w = bySrc.orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+      d.select(col("doc_id"), col("source"))
+        .withColumn("src_n", count(lit(1)).over(bySrc))
+        .withColumn("rk", row_number().over(w).cast("long"))
+        .withColumn("kept", col("rk") <= CapPerSource)
+        .orderBy("doc_id")
+    },
+
+    // Token-budget sampling — "give me ~N tokens per language", the unit
+    // data-mixing actually works in: docs are taken in deterministic hash
+    // order until the running token total reaches the budget (the doc that
+    // crosses the boundary is included, so the budget is a lower bound).
+    // One per-lang window cumsum, same shape as pack_sequences; the
+    // kept set is a deterministic prefix — stable under re-runs and
+    // engine changes, and growing the corpus only APPENDS candidates after
+    // the prefix (docs already inside the budget stay inside it unless new
+    // docs hash ahead of them — the same stability contract as
+    // sample_stratified, not row-order dependence).
+    "sample_token_budget" -> { (s, dir) =>
+      val d = Tables(s, dir, "documents").filter(col("text").isNotNull)
+      val w = Window.partitionBy(col("lang"))
+        .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      d.select(col("doc_id"), col("lang"),
+          size(toks(col("text"))).cast("long").as("n_tokens"))
+        .withColumn("cum_before",
+          coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+        .filter(col("cum_before") < TokenBudgetPerLang)
+        .orderBy("doc_id")
+    },
+
+    // BPE tokenizer-vocabulary training — the scalable shape real trainers
+    // (SentencePiece, HF tokenizers) use: merges are learned on the WORD-
+    // FREQUENCY table, not the raw corpus, so the corpus is scanned exactly
+    // once (the word count) and every round after that runs on a
+    // vocab-sized cached table (≤ ~10⁷ rows at 100 TB — megabytes). Each
+    // round: count adjacent symbol pairs weighted by word freq (one tiny
+    // shuffle), pick the argmax with a deterministic (freq desc, pair asc)
+    // tie-break — a 1-row bounded collect, the same contract as IvfIndex's
+    // centroids: the collect IS the merge decision — then apply the merge
+    // as a left-to-right string replace over a DOUBLED-separator encoding
+    // (tokens joined by two spaces): each boundary belongs to both of its
+    // neighbours, so the pattern's trailing space never consumes the next
+    // pair's leading one and a chain 'a a a a' merges to 'aa aa' in one
+    // pass — exactly BPE's greedy non-overlapping merge step. (A single-
+    // space replace silently skips every second chained occurrence.)
+    // Output: the learned merge table, BpeMerges rows.
+    "train_bpe" -> { (s, dir) =>
+      val words = Tables(s, dir, "documents")
+        .filter(col("text").isNotNull)
+        .select(explode(
+          expr("regexp_extract_all(lower(text), '([a-z]+)', 1)")).as("word"))
+        .filter(length(col("word")).between(2, BpeMaxWordLen))
+        .groupBy("word").agg(count(lit(1)).as("freq"))
+        .withColumn("syms", concat_ws(" ",
+          expr("transform(sequence(1, length(word)), i -> substring(word, i, 1))")))
+        .select("freq", "syms")
+        .cache()
+      var cur = words.toDF()
+      val merges = Seq.newBuilder[(Long, String, String, String, Long)]
+      for (round <- 1 to BpeMerges) {
+        val a = split(col("syms"), " ")
+        val best = cur
+          .select(col("freq"), explode(zip_with(
+            slice(a, lit(1), size(a) - 1), slice(a, lit(2), size(a) - 1),
+            (x, y) => struct(x.as("l"), y.as("r")))).as("p"))
+          .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+          .agg(sum(col("freq")).as("c"))
+          .orderBy(col("c").desc, col("l").asc, col("r").asc)
+          .limit(1).collect()(0)
+        val l = best.getString(0)
+        val r = best.getString(1)
+        val c = best.getLong(2)
+        merges += ((round.toLong, l, r, l + r, c))
+        val enc = concat(lit(" "),
+          replace(col("syms"), lit(" "), lit("  ")), lit(" "))
+        cur = cur.withColumn("syms",
+          trim(replace(replace(enc, lit(s" $l  $r "), lit(s" $l$r ")),
+            lit("  "), lit(" "))))
+      }
+      words.unpersist()
+      import s.implicits._
+      merges.result().toDF("round", "lhs", "rhs", "merged", "pair_freq")
+        .orderBy("round")
     },
 
     // Deterministic train/val/test split — the leakage-safe corpus cut
@@ -723,6 +865,29 @@ object TextAnalysis {
          |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
          |  FROM documents)
          |WHERE rk <= $SamplePerStratum ORDER BY doc_id""".stripMargin,
+
+    "cap_per_source" ->
+      s"""SELECT doc_id, source, src_n, rk,
+         |  rk <= $CapPerSource AS kept FROM (
+         |  SELECT doc_id, source,
+         |    count(*) OVER (PARTITION BY source) AS src_n,
+         |    row_number() OVER (PARTITION BY source
+         |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+         |  FROM documents) ORDER BY doc_id""".stripMargin,
+
+    "sample_token_budget" ->
+      s"""SELECT doc_id, lang, n_tokens, cum_before FROM (
+         |  SELECT doc_id, lang, CAST(n_tokens AS BIGINT) AS n_tokens,
+         |    CAST(COALESCE(sum(n_tokens) OVER (PARTITION BY lang
+         |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |      AS BIGINT) AS cum_before
+         |  FROM (SELECT doc_id, lang,
+         |      len(string_split_regex(text, '\\s+')) AS n_tokens
+         |    FROM documents WHERE text IS NOT NULL))
+         |WHERE cum_before < $TokenBudgetPerLang ORDER BY doc_id""".stripMargin,
+
+    "train_bpe" -> trainBpeSql,
 
     "split_corpus" ->
       s"""WITH b AS (SELECT doc_id, lang,

@@ -57,4 +57,67 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(out(11L) === ((3L, 2L, 1L, 2.0 / 3.0)))
     assert(out(12L) === ((3L, 0L, 0L, 0.0)), "tf=3 is neither rare nor common")
   }
+
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+
+  test("cap_per_source keeps the 15-doc hash prefix of each source") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-cap").toString
+    import spark.implicits._
+    val docs = (1L to 20L).map(i => (i, "hot")) ++
+      (100L to 102L).map(i => (i, "cold"))
+    docs.toDF("doc_id", "source")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = TextAnalysis.queries("cap_per_source")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getBoolean(4)))
+    assert(out.count(t => t._2 == "hot" && t._5) === 15)
+    assert(out.filter(_._2 == "cold").forall(t => t._5 && t._3 == 3L))
+    // the kept set is exactly the md5-order prefix — reproducible capping
+    val expected = (1L to 20L)
+      .sortBy(i => (md5hex(i.toString), i)).take(15).toSet
+    assert(out.filter(t => t._2 == "hot" && t._5).map(_._1).toSet === expected)
+  }
+
+  test("sample_token_budget fills the budget and keeps the crossing doc") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-budget").toString
+    import spark.implicits._
+    // four 1000-token docs: greedy md5-order prefix keeps exactly three
+    // (cum_before 0/1000/2000 < 2500) — the third CROSSES the budget
+    val docs = (1L to 4L).map(i => (i, Seq.fill(1000)("t").mkString(" "), "en"))
+    docs.toDF("doc_id", "text", "lang")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = TextAnalysis.queries("sample_token_budget")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3)))
+    assert(out.length === 3)
+    val expected = (1L to 4L).sortBy(i => (md5hex(i.toString), i)).take(3)
+    assert(out.map(_._1).toSet === expected.toSet)
+    assert(out.map(_._3).sorted.toSeq === Seq(0L, 1000L, 2000L))
+  }
+
+  test("train_bpe merges greedily left-to-right with deterministic ties") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-bpe").toString
+    import spark.implicits._
+    // 'aaaa' x2 pins greedy overlap handling: ' a a a a ' must merge to
+    // 'aa aa' (left-to-right non-overlapping), then to 'aaaa'. The long
+    // word supplies freq-1 pairs for the remaining rounds, which must
+    // resolve by the (freq desc, pair asc) tie-break: (b,c), then the
+    // merged symbol chains ((bc,d), (bcd,e), ...) because 'bc' < 'd'.
+    Seq((1L, "aaaa aaaa bcdefghijklmnopq"))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = TextAnalysis.queries("train_bpe")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getLong(4)))
+    assert(out.toSeq === Seq(
+      (1L, "a", "a", "aa", 6L),
+      (2L, "aa", "aa", "aaaa", 2L),
+      (3L, "b", "c", "bc", 1L),
+      (4L, "bc", "d", "bcd", 1L),
+      (5L, "bcd", "e", "bcde", 1L),
+      (6L, "bcde", "f", "bcdef", 1L),
+      (7L, "bcdef", "g", "bcdefg", 1L),
+      (8L, "bcdefg", "h", "bcdefgh", 1L)))
+  }
 }
