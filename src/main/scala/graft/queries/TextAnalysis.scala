@@ -53,10 +53,11 @@ object TextAnalysis {
       |      substr(md5(CAST(doc_id AS VARCHAR)), i, 1)) - 1),
       |    (a, b) -> a * 16 + b)""".stripMargin
 
-  /** DuckDB mirror of train_bpe: BpeMerges chained CTE rounds (pair count
-    * → deterministic argmax → greedy left-to-right replace), generated
-    * from the same constants the Spark side consumes. */
-  private def trainBpeSql: String = {
+  /** Shared CTE prefix for the BPE oracles: word-frequency table s0, then
+    * BpeMerges chained rounds (pair count p_k → deterministic argmax b_k →
+    * greedy doubled-separator replace s_k), generated from the same
+    * constants the Spark side consumes. */
+  private def bpeCtes: String = {
     val s0 =
       s"""s0 AS (SELECT freq, array_to_string(list_transform(
          |    range(1, length(word) + 1), i -> substr(word, i, 1)), ' ')
@@ -82,14 +83,45 @@ object TextAnalysis {
          |      ' ' || b$k.l || b$k.r || ' '), '  ', ' ')) AS syms
          |  FROM s${k - 1}, b$k)""".stripMargin
     }
+    s"$s0,\n${rounds.mkString(",\n")}"
+  }
+
+  /** DuckDB mirror of train_bpe: project the per-round argmax rows. */
+  private def trainBpeSql: String = {
     val union = (1 to BpeMerges)
       .map(k => s"SELECT * FROM b$k").mkString("\n  UNION ALL ")
-    s"""WITH $s0,
-       |${rounds.mkString(",\n")}
+    s"""WITH $bpeCtes
        |SELECT CAST(round AS BIGINT) AS round, l AS lhs, r AS rhs,
        |  l || r AS merged, c AS pair_freq
        |FROM ($union)
        |ORDER BY round""".stripMargin
+  }
+
+  /** DuckDB mirror of tokenize_bpe: tokenize the distinct-word vocabulary
+    * through the learned merges (v_k chain, same doubled-separator
+    * encoding), then join token lengths back to per-document word counts. */
+  private def tokenizeBpeSql: String = {
+    val vRounds = (1 to BpeMerges).map { k =>
+      s"""v$k AS (SELECT word, trim(replace(replace(
+         |    ' ' || replace(v${k - 1}.syms, ' ', '  ') || ' ',
+         |    ' ' || b$k.l || '  ' || b$k.r || ' ',
+         |    ' ' || b$k.l || b$k.r || ' '), '  ', ' ')) AS syms
+         |  FROM v${k - 1}, b$k)""".stripMargin
+    }
+    s"""WITH $bpeCtes,
+       |dw AS (SELECT doc_id, word, count(*) AS n
+       |  FROM (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+'))
+       |      AS word FROM documents WHERE text IS NOT NULL)
+       |  GROUP BY 1, 2),
+       |v0 AS (SELECT word, array_to_string(list_transform(
+       |    range(1, length(word) + 1), i -> substr(word, i, 1)), ' ')
+       |    AS syms FROM (SELECT DISTINCT word FROM dw)),
+       |${vRounds.mkString(",\n")}
+       |SELECT dw.doc_id, CAST(sum(dw.n) AS BIGINT) AS n_words,
+       |  CAST(sum(dw.n * len(string_split(v$BpeMerges.syms, ' ')))
+       |    AS BIGINT) AS n_bpe_tokens
+       |FROM dw JOIN v$BpeMerges USING (word)
+       |GROUP BY 1 ORDER BY doc_id""".stripMargin
   }
 
   /** DuckDB form of [[splitOf]] over a bucket column reference. */
@@ -111,6 +143,58 @@ object TextAnalysis {
   private val CmWidth = 1024 // text_vocab_sketch: buckets per row
 
   private def toks(c: Column): Column = split(c, "\\s+")
+
+  /** One greedy BPE merge step over a space-joined symbol string, via a
+    * DOUBLED-separator encoding (tokens joined by two spaces): each
+    * boundary belongs to both of its neighbours, so the pattern's trailing
+    * space never consumes the next pair's leading one and a chain
+    * 'a a a a' merges to 'aa aa' in one pass — exactly BPE's greedy
+    * left-to-right non-overlapping merge. (A single-space replace would
+    * silently skip every second chained occurrence.) Shared by train_bpe
+    * and tokenize_bpe; the oracle SQL applies the identical encoding. */
+  private def applyBpeMerge(syms: Column, l: String, r: String): Column = {
+    val enc = concat(lit(" "), replace(syms, lit(" "), lit("  ")), lit(" "))
+    trim(replace(replace(enc, lit(s" $l  $r "), lit(s" $l$r ")),
+      lit("  "), lit(" ")))
+  }
+
+  /** The BpeMerges training rounds on the word-frequency table (see
+    * train_bpe's comment for the scaling argument). Each round's argmax is
+    * a 1-row bounded collect — the collect IS the merge decision, the same
+    * contract as IvfIndex's centroids. Returns
+    * (round, lhs, rhs, merged, pair_freq) in learned order. */
+  private def learnBpeMerges(s: SparkSession, dir: String)
+      : Seq[(Long, String, String, String, Long)] = {
+    val words = Tables(s, dir, "documents")
+      .filter(col("text").isNotNull)
+      .select(explode(
+        expr("regexp_extract_all(lower(text), '([a-z]+)', 1)")).as("word"))
+      .filter(length(col("word")).between(2, BpeMaxWordLen))
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+      .withColumn("syms", concat_ws(" ",
+        expr("transform(sequence(1, length(word)), i -> substring(word, i, 1))")))
+      .select("freq", "syms")
+      .cache()
+    var cur = words.toDF()
+    val merges = Seq.newBuilder[(Long, String, String, String, Long)]
+    for (round <- 1 to BpeMerges) {
+      val a = split(col("syms"), " ")
+      val best = cur
+        .select(col("freq"), explode(zip_with(
+          slice(a, lit(1), size(a) - 1), slice(a, lit(2), size(a) - 1),
+          (x, y) => struct(x.as("l"), y.as("r")))).as("p"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum(col("freq")).as("c"))
+        .orderBy(col("c").desc, col("l").asc, col("r").asc)
+        .limit(1).collect()(0)
+      val l = best.getString(0)
+      val r = best.getString(1)
+      merges += ((round.toLong, l, r, l + r, best.getLong(2)))
+      cur = cur.withColumn("syms", applyBpeMerge(col("syms"), l, r))
+    }
+    words.unpersist()
+    merges.result()
+  }
 
   /** BPE-ish pre-tokenizer: letter runs, digit runs, single symbols. */
   private val BpeRegex = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
@@ -332,52 +416,44 @@ object TextAnalysis {
     // vocab-sized cached table (≤ ~10⁷ rows at 100 TB — megabytes). Each
     // round: count adjacent symbol pairs weighted by word freq (one tiny
     // shuffle), pick the argmax with a deterministic (freq desc, pair asc)
-    // tie-break — a 1-row bounded collect, the same contract as IvfIndex's
-    // centroids: the collect IS the merge decision — then apply the merge
-    // as a left-to-right string replace over a DOUBLED-separator encoding
-    // (tokens joined by two spaces): each boundary belongs to both of its
-    // neighbours, so the pattern's trailing space never consumes the next
-    // pair's leading one and a chain 'a a a a' merges to 'aa aa' in one
-    // pass — exactly BPE's greedy non-overlapping merge step. (A single-
-    // space replace silently skips every second chained occurrence.)
-    // Output: the learned merge table, BpeMerges rows.
+    // tie-break, apply the merge greedily left-to-right (see
+    // [[applyBpeMerge]] for why the doubled-separator encoding is
+    // load-bearing). Output: the learned merge table, BpeMerges rows.
     "train_bpe" -> { (s, dir) =>
-      val words = Tables(s, dir, "documents")
+      import s.implicits._
+      learnBpeMerges(s, dir)
+        .toDF("round", "lhs", "rhs", "merged", "pair_freq")
+        .orderBy("round")
+    },
+
+    // BPE tokenization — applies the learned merge table in the shape that
+    // scales: the VOCABULARY is tokenized (the chained literal replaces run
+    // over DISTINCT words — vocab-sized, not corpus-sized), then per-
+    // document token counts are one word-keyed join + sum. The merge rounds
+    // re-run here so the query is self-contained; a production pipeline
+    // persists train_bpe's table instead. The word→token-length table is
+    // explicitly broadcast (vocab-sized — megabytes at 100 TB per
+    // train_bpe's arithmetic), so the per-document side never shuffles on
+    // word; the only corpus-scale exchange is the (doc_id, word) count.
+    "tokenize_bpe" -> { (s, dir) =>
+      val merges = learnBpeMerges(s, dir)
+      val dw = Tables(s, dir, "documents")
         .filter(col("text").isNotNull)
-        .select(explode(
+        .select(col("doc_id"), explode(
           expr("regexp_extract_all(lower(text), '([a-z]+)', 1)")).as("word"))
-        .filter(length(col("word")).between(2, BpeMaxWordLen))
-        .groupBy("word").agg(count(lit(1)).as("freq"))
+        .groupBy("doc_id", "word").agg(count(lit(1)).as("n"))
+      var v = dw.select("word").distinct()
         .withColumn("syms", concat_ws(" ",
           expr("transform(sequence(1, length(word)), i -> substring(word, i, 1))")))
-        .select("freq", "syms")
-        .cache()
-      var cur = words.toDF()
-      val merges = Seq.newBuilder[(Long, String, String, String, Long)]
-      for (round <- 1 to BpeMerges) {
-        val a = split(col("syms"), " ")
-        val best = cur
-          .select(col("freq"), explode(zip_with(
-            slice(a, lit(1), size(a) - 1), slice(a, lit(2), size(a) - 1),
-            (x, y) => struct(x.as("l"), y.as("r")))).as("p"))
-          .groupBy(col("p.l").as("l"), col("p.r").as("r"))
-          .agg(sum(col("freq")).as("c"))
-          .orderBy(col("c").desc, col("l").asc, col("r").asc)
-          .limit(1).collect()(0)
-        val l = best.getString(0)
-        val r = best.getString(1)
-        val c = best.getLong(2)
-        merges += ((round.toLong, l, r, l + r, c))
-        val enc = concat(lit(" "),
-          replace(col("syms"), lit(" "), lit("  ")), lit(" "))
-        cur = cur.withColumn("syms",
-          trim(replace(replace(enc, lit(s" $l  $r "), lit(s" $l$r ")),
-            lit("  "), lit(" "))))
-      }
-      words.unpersist()
-      import s.implicits._
-      merges.result().toDF("round", "lhs", "rhs", "merged", "pair_freq")
-        .orderBy("round")
+      for ((_, l, r, _, _) <- merges)
+        v = v.withColumn("syms", applyBpeMerge(col("syms"), l, r))
+      val wtok = v.select(col("word"),
+        size(split(col("syms"), " ")).cast("long").as("w_tokens"))
+      dw.join(broadcast(wtok), "word")
+        .groupBy("doc_id")
+        .agg(sum(col("n")).as("n_words"),
+          sum(col("n") * col("w_tokens")).as("n_bpe_tokens"))
+        .orderBy("doc_id")
     },
 
     // Deterministic train/val/test split — the leakage-safe corpus cut
@@ -888,6 +964,8 @@ object TextAnalysis {
          |WHERE cum_before < $TokenBudgetPerLang ORDER BY doc_id""".stripMargin,
 
     "train_bpe" -> trainBpeSql,
+
+    "tokenize_bpe" -> tokenizeBpeSql,
 
     "split_corpus" ->
       s"""WITH b AS (SELECT doc_id, lang,

@@ -120,4 +120,21 @@ class CorpusOpsSpec extends AnyFunSuite {
       (7L, "bcdef", "g", "bcdefg", 1L),
       (8L, "bcdefg", "h", "bcdefgh", 1L)))
   }
+
+  test("tokenize_bpe counts tokens under the learned merges") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-tokbpe").toString
+    import spark.implicits._
+    // Training corpus (both docs): word freqs aaaa=3, aa=1, zz=1, plus the
+    // freq-1 long word ⇒ merges (a,a) c=10, (aa,aa) c=3, then (b,c)…
+    // (bcdefg,h) by the pair-asc tie-break ('b…' < 'z'), so zz NEVER
+    // merges. Tokens: aaaa→1, aa→1, zz→2, q→1 (len-1, outside the
+    // training vocab but still tokenized), bcdefghijklmnopq→bcdefgh+9
+    // singles=10.
+    Seq((1L, "aaaa aaaa bcdefghijklmnopq"), (2L, "aa q zz aaaa"))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = TextAnalysis.queries("tokenize_bpe")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSeq === Seq((1L, 3L, 12L), (2L, 4L, 5L)))
+  }
 }
