@@ -83,7 +83,10 @@ object ConnectedComponents {
   /** Free a superseded localCheckpoint's cached blocks eagerly instead of
     * waiting for the ContextCleaner: up to maxIter label-table copies
     * would otherwise sit in executor storage until GC. */
-  private def release(df: DataFrame): Unit =
+  /** Unpersist a localCheckpoint'ed plan's backing RDD (shared with the
+    * BPE merge loop, which uses the same materialize-and-release round
+    * pattern). */
+  private[graft] def release(df: DataFrame): Unit =
     df.queryExecution.optimizedPlan match {
       case r: org.apache.spark.sql.execution.LogicalRDD => r.rdd.unpersist(false)
       case _ => () // not a checkpointed plan (or internals changed): let GC handle it

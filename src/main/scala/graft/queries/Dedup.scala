@@ -136,9 +136,10 @@ object Dedup {
   }
 
   /** Distinct (doc_id, sh) 3-gram shingle xxhash64 hashes — shared by
-    * decontaminate_ngram and pipeline_pretrain_corpus so the composed
-    * pipeline's contamination check can never diverge from the standalone
-    * operator's (oracle mirror: [[shinglesSql]] unnested). */
+    * dedup_ngram_jaccard, decontaminate_ngram, and pipeline_pretrain_corpus
+    * so the composed pipeline's contamination check (and jaccard's
+    * candidate universe) can never diverge from the standalone operator's
+    * (oracle mirror: [[shinglesSql]] unnested). */
   private def shingleHashes(s: SparkSession, dir: String): DataFrame =
     Tables(s, dir, "documents")
       .filter(col("text").isNotNull)
@@ -416,18 +417,14 @@ object Dedup {
     // n-gram Jaccard: candidate pairs via inverted index on distinct shingles
     // (never all-pairs), exact set jaccard >= 0.8.
     "dedup_ngram_jaccard" -> { (s, dir) =>
-      // inverted index on the shingle's 64-bit hash: distinct, join, and
-      // count all shuffle 8-byte keys instead of shingle strings (same sets
-      // modulo ~2⁻⁶⁴ collisions).
-      // shingle rows come from the fused kernel (one narrow pass + explode;
-      // no lead-window shuffle) — the inverted index still needs per-shingle
-      // ROWS, so the explode stays, but nothing shuffles before `distinct`.
-      val t0 = Tables(s, dir, "documents")
-        .filter(col("text").isNotNull) // parity with the exploded form
-        .select(col("doc_id"),
-          graft.exprs.functions.ngram_shingles(toks(col("text"))).as("shingles"))
-        .select(col("doc_id"), explode(col("shingles")).as("s"))
-        .select(col("doc_id"), xxhash64(col("s")).as("sh")).distinct()
+      // inverted index on the shingle's 64-bit hash (the shared
+      // shingleHashes relation): distinct, join, and count all shuffle
+      // 8-byte keys instead of shingle strings (same sets modulo ~2⁻⁶⁴
+      // collisions). Shingle rows come from the fused kernel (one narrow
+      // pass + explode; no lead-window shuffle) — the inverted index still
+      // needs per-shingle ROWS, so the explode stays, but nothing shuffles
+      // before `distinct`.
+      val t0 = shingleHashes(s, dir)
       // Document-frequency cap: a shingle present in >MaxShingleDf docs is
       // boilerplate, not signal, and its inverted-index bucket would join
       // quadratically. Sizes (n) are counted over the SAME filtered universe

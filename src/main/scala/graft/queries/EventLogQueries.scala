@@ -44,6 +44,30 @@ object EventLogQueries {
       .drop("vmin", "vmax")
   }
 
+  /** Per-label scan-parity aggregate shared by graft_scan_forward and
+    * graft_time_travel, so the time-travel gate always tests the exact
+    * shape the scan gate does (oracle mirror: [[graftScanSql]]). */
+  private def graftScanAgg(df: DataFrame): DataFrame =
+    df.groupBy(col("label"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("version")).as("sum_version"),
+        min(col("version")).as("min_version"),
+        max(col("version")).as("max_version"),
+        sum(length(col("payload"))).as("payload_chars"))
+
+  /** DuckDB mirror of [[graftScanAgg]] over the events table; log versions
+    * are 1-based (commit sequencer), event_id is 0-based. */
+  private def graftScanSql(where: String): String =
+    s"""SELECT event_type AS label,
+       |  count(*) AS n_events,
+       |  CAST(sum(event_id + 1) AS BIGINT) AS sum_version,
+       |  min(event_id) + 1 AS min_version,
+       |  max(event_id) + 1 AS max_version,
+       |  CAST(sum(length(props)) AS BIGINT) AS payload_chars
+       |FROM events${if (where.isEmpty) "" else " " + where}
+       |GROUP BY 1""".stripMargin
+
   /** RFC3339 rendering of the ns-epoch `ts` column, second granularity
     * (serve.go:227-230). Integer `div` — a double roundtrip would lose ns
     * precision and can flip a second boundary. */
@@ -84,31 +108,16 @@ object EventLogQueries {
     // (GraftLogCache), so the oracle runs on the same parquet.
     "graft_scan_forward" -> { (s, dir) =>
       val logDir = graft.sources.GraftLogCache.ensure(s, dir)
-      s.read.format("graft").load(logDir)
-        .groupBy(col("label"))
-        .agg(
-          count(lit(1)).as("n_events"),
-          sum(col("version")).as("sum_version"),
-          min(col("version")).as("min_version"),
-          max(col("version")).as("max_version"),
-          sum(length(col("payload"))).as("payload_chars"))
+      graftScanAgg(s.read.format("graft").load(logDir))
     },
 
     // Time travel on the V2 source: versionAsOf pins the read to a
     // historical snapshot (inclusive ceiling, file-level pruned — the
-    // same maxV machinery version predicates use). Same aggregate shape
-    // as graft_scan_forward so the oracle is the events table under the
-    // equivalent version bound.
+    // same maxV machinery version predicates use).
     "graft_time_travel" -> { (s, dir) =>
       val logDir = graft.sources.GraftLogCache.ensure(s, dir)
-      s.read.format("graft").option("versionAsOf", 500L).load(logDir)
-        .groupBy(col("label"))
-        .agg(
-          count(lit(1)).as("n_events"),
-          sum(col("version")).as("sum_version"),
-          min(col("version")).as("min_version"),
-          max(col("version")).as("max_version"),
-          sum(length(col("payload"))).as("payload_chars"))
+      graftScanAgg(
+        s.read.format("graft").option("versionAsOf", 500L).load(logDir))
     },
 
     // Version / VersionInitial point lookups (eventlog.go:132-140)
@@ -355,24 +364,9 @@ object EventLogQueries {
          |FROM ($chainSql) c
          |WHERE version <= 5000 ORDER BY version DESC LIMIT 500 OFFSET 1""".stripMargin,
 
-    // log versions are 1-based (commit sequencer), event_id is 0-based
-    "graft_scan_forward" ->
-      """SELECT event_type AS label,
-        |  count(*) AS n_events,
-        |  CAST(sum(event_id + 1) AS BIGINT) AS sum_version,
-        |  min(event_id) + 1 AS min_version,
-        |  max(event_id) + 1 AS max_version,
-        |  CAST(sum(length(props)) AS BIGINT) AS payload_chars
-        |FROM events GROUP BY 1""".stripMargin,
+    "graft_scan_forward" -> graftScanSql(""),
 
-    "graft_time_travel" ->
-      """SELECT event_type AS label,
-        |  count(*) AS n_events,
-        |  CAST(sum(event_id + 1) AS BIGINT) AS sum_version,
-        |  min(event_id) + 1 AS min_version,
-        |  max(event_id) + 1 AS max_version,
-        |  CAST(sum(length(props)) AS BIGINT) AS payload_chars
-        |FROM events WHERE event_id + 1 <= 500 GROUP BY 1""".stripMargin,
+    "graft_time_travel" -> graftScanSql("WHERE event_id + 1 <= 500"),
 
     "el_version_bounds" ->
       """SELECT min(event_id) AS version_initial,

@@ -101,12 +101,16 @@ object TextAnalysis {
     * through the learned merges (v_k chain, same doubled-separator
     * encoding), then join token lengths back to per-document word counts. */
   private def tokenizeBpeSql: String = {
+    // LEFT JOIN + coalesce (not a cross join): once merges exhaust, b_k is
+    // empty and the round must be an IDENTITY pass over v_{k-1} — exactly
+    // the engine's early stop — not an empty relation.
     val vRounds = (1 to BpeMerges).map { k =>
-      s"""v$k AS (SELECT word, trim(replace(replace(
+      s"""v$k AS (SELECT word, coalesce(trim(replace(replace(
          |    ' ' || replace(v${k - 1}.syms, ' ', '  ') || ' ',
          |    ' ' || b$k.l || '  ' || b$k.r || ' ',
-         |    ' ' || b$k.l || b$k.r || ' '), '  ', ' ')) AS syms
-         |  FROM v${k - 1}, b$k)""".stripMargin
+         |    ' ' || b$k.l || b$k.r || ' '), '  ', ' ')),
+         |    v${k - 1}.syms) AS syms
+         |  FROM v${k - 1} LEFT JOIN b$k ON TRUE)""".stripMargin
     }
     s"""WITH $bpeCtes,
        |dw AS (SELECT doc_id, word, count(*) AS n
@@ -175,9 +179,16 @@ object TextAnalysis {
         expr("transform(sequence(1, length(word)), i -> substring(word, i, 1))")))
       .select("freq", "syms")
       .cache()
+    // Round k applies exactly ONE merge to round k-1's MATERIALIZED table
+    // (localCheckpoint + release, the ConnectedComponents round pattern)
+    // rather than replaying the whole replace chain over the base: without
+    // it round k replans k-1 nested replaces — O(rounds²) string work and
+    // an expression tree that outgrows codegen at a realistic merge count.
     var cur = words.toDF()
+    var ckpt: DataFrame = null
     val merges = Seq.newBuilder[(Long, String, String, String, Long)]
-    for (round <- 1 to BpeMerges) {
+    var exhausted = false
+    for (round <- 1 to BpeMerges if !exhausted) {
       val a = split(col("syms"), " ")
       val best = cur
         .select(col("freq"), explode(zip_with(
@@ -186,12 +197,27 @@ object TextAnalysis {
         .groupBy(col("p.l").as("l"), col("p.r").as("r"))
         .agg(sum(col("freq")).as("c"))
         .orderBy(col("c").desc, col("l").asc, col("r").asc)
-        .limit(1).collect()(0)
-      val l = best.getString(0)
-      val r = best.getString(1)
-      merges += ((round.toLong, l, r, l + r, best.getLong(2)))
-      cur = cur.withColumn("syms", applyBpeMerge(col("syms"), l, r))
+        .limit(1).collect()
+      if (best.isEmpty) {
+        // The corpus ran out of adjacent pairs (every vocab word fully
+        // merged, or the eligible vocab was empty): stop with a shorter
+        // merge table. The oracle truncates identically — its empty b_k
+        // empties every later round's CTE chain.
+        exhausted = true
+      } else {
+        val l = best(0).getString(0)
+        val r = best(0).getString(1)
+        merges += ((round.toLong, l, r, l + r, best(0).getLong(2)))
+        val next = cur.withColumn("syms", applyBpeMerge(col("syms"), l, r))
+          .localCheckpoint(true)
+        if (ckpt != null) graft.operators.ConnectedComponents.release(ckpt)
+        ckpt = next
+        cur = next
+      }
     }
+    // Nothing consumes the symbol table after the loop — only the merge
+    // list escapes — so the last round's checkpoint is releasable too.
+    if (ckpt != null) graft.operators.ConnectedComponents.release(ckpt)
     words.unpersist()
     merges.result()
   }

@@ -137,4 +137,20 @@ class CorpusOpsSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
     assert(out.toSeq === Seq((1L, 3L, 12L), (2L, 4L, 5L)))
   }
+
+  test("bpe stops with a shorter merge table when pairs run out") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-bpex").toString
+    import spark.implicits._
+    // one 2-char word: round 1 merges (a,b), round 2 finds zero adjacent
+    // pairs — the loop must stop (not crash) and tokenization must apply
+    // just the one merge
+    Seq((1L, "ab ab")).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val tr = TextAnalysis.queries("train_bpe")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(3), r.getLong(4)))
+    assert(tr.toSeq === Seq((1L, "ab", 2L)))
+    val tok = TextAnalysis.queries("tokenize_bpe")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(tok.toSeq === Seq((1L, 2L, 2L)))
+  }
 }
