@@ -153,4 +153,20 @@ class CorpusOpsSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
     assert(tok.toSeq === Seq((1L, 2L, 2L)))
   }
+
+  test("bpe merge cache never serves stale merges after an overwrite") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-bpec").toString
+    import spark.implicits._
+    Seq((1L, "ab ab")).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val first = TextAnalysis.queries("train_bpe")(spark, dir).collect()
+      .map(_.getString(3))
+    assert(first.toSeq === Seq("ab"))
+    // same path, new corpus: the size+mtime fingerprint must miss
+    Seq((1L, "xy xy")).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val second = TextAnalysis.queries("train_bpe")(spark, dir).collect()
+      .map(_.getString(3))
+    assert(second.toSeq === Seq("xy"))
+  }
 }
