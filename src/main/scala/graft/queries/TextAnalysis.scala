@@ -135,6 +135,7 @@ object TextAnalysis {
        |       ELSE 'test' END""".stripMargin
   private val ShuffleShards = 8 // shuffle_corpus: parallel output streams
   private val CapPerSource = 15 // cap_per_source: max docs kept per source
+  private val SampleFixedN = 60 // sample_fixed: global sample size
   private val TokenBudgetPerLang = 2500 // sample_token_budget: tokens/lang
   private val BpeMerges = 8 // train_bpe: merge rounds learned
   private val BpeMaxWordLen = 16 // train_bpe: word-length bound on the vocab
@@ -415,6 +416,24 @@ object TextAnalysis {
       d.select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
         .withColumn("rk", row_number().over(w).cast("long"))
         .filter(col("rk") <= SamplePerStratum)
+        .orderBy("doc_id")
+    },
+
+    // Fixed-size global sample — "give me exactly N docs from the whole
+    // corpus", deterministically: the N smallest in content-independent
+    // md5 order. NOT a window (a single global partition would serialize
+    // the corpus through one reducer): orderBy+limit plans as
+    // TakeOrderedAndProject — per-partition top-N heaps merged at the
+    // driver, so the wire carries executors×N rows and nothing shuffles.
+    // The kept set is a stable hash prefix: re-runs and repartitioning
+    // can't change it, and growing the corpus only evicts from the
+    // boundary (same contract as sample_stratified/cap_per_source).
+    "sample_fixed" -> { (s, dir) =>
+      val d = Tables(s, dir, "documents")
+      d.select(col("doc_id"), col("lang"), col("source"),
+          md5(col("doc_id").cast("string")).as("rank_key"))
+        .orderBy(col("rank_key"), col("doc_id"))
+        .limit(SampleFixedN)
         .orderBy("doc_id")
     },
 
@@ -994,6 +1013,14 @@ object TextAnalysis {
          |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
          |  FROM documents)
          |WHERE rk <= $SamplePerStratum ORDER BY doc_id""".stripMargin,
+
+    "sample_fixed" ->
+      s"""SELECT * FROM (
+         |  SELECT doc_id, lang, source,
+         |    md5(CAST(doc_id AS VARCHAR)) AS rank_key
+         |  FROM documents
+         |  ORDER BY rank_key, doc_id LIMIT $SampleFixedN)
+         |ORDER BY doc_id""".stripMargin,
 
     "cap_per_source" ->
       s"""SELECT doc_id, source, src_n, rk,

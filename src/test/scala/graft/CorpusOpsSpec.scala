@@ -154,6 +154,21 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(tok.toSeq === Seq((1L, 2L, 2L)))
   }
 
+  test("sample_fixed keeps the global md5 prefix via TakeOrdered") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-sfix").toString
+    import spark.implicits._
+    (1L to 100L).map(i => (i, "en", "web")).toDF("doc_id", "lang", "source")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val df = TextAnalysis.queries("sample_fixed")(spark, dir)
+    // the scale contract: per-partition top-N heaps, no global sort shuffle
+    assert(df.queryExecution.executedPlan.toString
+      .contains("TakeOrderedAndProject"))
+    val out = df.collect().map(_.getLong(0))
+    val expected = (1L to 100L)
+      .sortBy(i => (md5hex(i.toString), i)).take(60).sorted
+    assert(out.toSeq === expected)
+  }
+
   test("bpe merge cache never serves stale merges after an overwrite") {
     val dir = java.nio.file.Files.createTempDirectory("graft-bpec").toString
     import spark.implicits._
