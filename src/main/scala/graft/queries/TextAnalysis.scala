@@ -97,6 +97,67 @@ object TextAnalysis {
        |ORDER BY round""".stripMargin
   }
 
+  /** DuckDB mirror of train_bpe_batched, generated from the same constants:
+    * per super-round, rank pairs (bq), keep the conflict-free prefix (bg —
+    * the NOT EXISTS is over ALL higher-ranked candidates, matching the
+    * engine), pivot the ≤K survivors to one row (bm — aggregates over an
+    * empty bg yield NULLs, coalesced to a '#' sentinel no [a-z]+ symbol can
+    * match, so the round degrades to identity exactly like the engine's
+    * stop), and apply them as K nested single-merge cycles — the same
+    * composition as the engine's chained [[applyBpeMerge]] folds. */
+  private def trainBpeBatchedSql: String = {
+    def cyc(x: String, l: String, r: String): String =
+      s"""trim(replace(replace(' ' || replace($x, ' ', '  ') || ' ',
+         |      ' ' || $l || '  ' || $r || ' ',
+         |      ' ' || $l || $r || ' '), '  ', ' '))""".stripMargin
+    val t0 =
+      s"""t0 AS (SELECT freq, array_to_string(list_transform(
+         |    range(1, length(word) + 1), i -> substr(word, i, 1)), ' ')
+         |    AS syms
+         |  FROM (SELECT word, count(*) AS freq
+         |    FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z]+'))
+         |        AS word FROM documents WHERE text IS NOT NULL)
+         |    WHERE length(word) BETWEEN 2 AND $BpeMaxWordLen
+         |    GROUP BY word))""".stripMargin
+    val rounds = (1 to BpeBatchRounds).map { k =>
+      val applied = (1 to BpeBatchK).foldLeft(s"t${k - 1}.syms") { (acc, j) =>
+        cyc(acc, s"coalesce(bm$k.l$j, '#')", s"coalesce(bm$k.r$j, '#')")
+      }
+      val mCols = (1 to BpeBatchK).map(j =>
+        s"""max(CASE WHEN sel = $j THEN l END) AS l$j,
+           |    max(CASE WHEN sel = $j THEN r END) AS r$j""".stripMargin)
+        .mkString(",\n    ")
+      s"""bp$k AS (SELECT pr[1] AS l, pr[2] AS r,
+         |    CAST(sum(freq) AS BIGINT) AS c
+         |  FROM (SELECT freq, unnest(list_transform(range(1, len(sy)),
+         |      i -> [sy[i], sy[i + 1]])) AS pr
+         |    FROM (SELECT freq, string_split(syms, ' ') AS sy FROM t${k - 1}))
+         |  GROUP BY 1, 2),
+         |bq$k AS (SELECT * FROM (SELECT l, r, c,
+         |    row_number() OVER (ORDER BY c DESC, l, r) AS rk FROM bp$k)
+         |  WHERE rk <= $BpeBatchCand),
+         |bg$k AS (SELECT * FROM (SELECT a.l, a.r, a.c,
+         |    row_number() OVER (ORDER BY a.rk) AS sel
+         |  FROM bq$k a
+         |  WHERE NOT EXISTS (SELECT 1 FROM bq$k b WHERE b.rk < a.rk
+         |    AND (b.l = a.l OR b.l = a.r OR b.r = a.l OR b.r = a.r)))
+         |  WHERE sel <= $BpeBatchK),
+         |bm$k AS (SELECT $mCols FROM bg$k),
+         |t$k AS (SELECT t${k - 1}.freq, $applied AS syms
+         |  FROM t${k - 1}, bm$k)""".stripMargin
+    }
+    val union = (1 to BpeBatchRounds)
+      .map(k => s"SELECT $k AS round, sel, l, r, c FROM bg$k")
+      .mkString("\n  UNION ALL ")
+    s"""WITH $t0,
+       |${rounds.mkString(",\n")}
+       |SELECT CAST(round AS BIGINT) AS round,
+       |  CAST(row_number() OVER (ORDER BY round, sel) AS BIGINT) AS seq,
+       |  l AS lhs, r AS rhs, l || r AS merged, c AS pair_freq
+       |FROM ($union)
+       |ORDER BY seq""".stripMargin
+  }
+
   /** DuckDB mirror of tokenize_bpe: tokenize the distinct-word vocabulary
     * through the learned merges (v_k chain, same doubled-separator
     * encoding), then join token lengths back to per-document word counts. */
@@ -139,6 +200,9 @@ object TextAnalysis {
   private val TokenBudgetPerLang = 2500 // sample_token_budget: tokens/lang
   private val BpeMerges = 8 // train_bpe: merge rounds learned
   private val BpeMaxWordLen = 16 // train_bpe: word-length bound on the vocab
+  private val BpeBatchRounds = 3 // train_bpe_batched: super-rounds run
+  private val BpeBatchK = 4 // train_bpe_batched: max merges applied per round
+  private val BpeBatchCand = 12 // train_bpe_batched: candidate ranking window
   private val RareTf = 2 // text_rarity: corpus frequency ≤ this ⇒ rare
   private val CommonTf = 1000 // text_rarity: corpus frequency ≥ this ⇒ common
   private val PackBuckets = 32 // pack_sequences: independent pack streams
@@ -195,9 +259,11 @@ object TextAnalysis {
     * a 1-row bounded collect — the collect IS the merge decision, the same
     * contract as IvfIndex's centroids. Returns
     * (round, lhs, rhs, merged, pair_freq) in learned order. */
-  private def learnBpeMerges(s: SparkSession, dir: String)
-      : Seq[(Long, String, String, String, Long)] = {
-    val words = Tables(s, dir, "documents")
+  /** The (freq, syms) word-frequency symbol table both BPE trainers start
+    * from: distinct [a-z]+ words with corpus frequencies, symbols = the
+    * space-joined character split. Vocab-sized, never corpus-sized. */
+  private def bpeWordTable(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "documents")
       .filter(col("text").isNotNull)
       .select(explode(
         expr("regexp_extract_all(lower(text), '([a-z]+)', 1)")).as("word"))
@@ -206,7 +272,22 @@ object TextAnalysis {
       .withColumn("syms", concat_ws(" ",
         expr("transform(sequence(1, length(word)), i -> substring(word, i, 1))")))
       .select("freq", "syms")
-      .cache()
+
+  /** Adjacent-symbol pair counts weighted by word frequency — one tiny
+    * shuffle over the vocab-sized table. Shared by both trainers. */
+  private def bpePairCounts(cur: DataFrame): DataFrame = {
+    val a = split(col("syms"), " ")
+    cur
+      .select(col("freq"), explode(zip_with(
+        slice(a, lit(1), size(a) - 1), slice(a, lit(2), size(a) - 1),
+        (x, y) => struct(x.as("l"), y.as("r")))).as("p"))
+      .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+      .agg(sum(col("freq")).as("c"))
+  }
+
+  private def learnBpeMerges(s: SparkSession, dir: String)
+      : Seq[(Long, String, String, String, Long)] = {
+    val words = bpeWordTable(s, dir).cache()
     // Round k applies exactly ONE merge to round k-1's MATERIALIZED table
     // (localCheckpoint + release, the ConnectedComponents round pattern)
     // rather than replaying the whole replace chain over the base: without
@@ -217,13 +298,7 @@ object TextAnalysis {
     val merges = Seq.newBuilder[(Long, String, String, String, Long)]
     var exhausted = false
     for (round <- 1 to BpeMerges if !exhausted) {
-      val a = split(col("syms"), " ")
-      val best = cur
-        .select(col("freq"), explode(zip_with(
-          slice(a, lit(1), size(a) - 1), slice(a, lit(2), size(a) - 1),
-          (x, y) => struct(x.as("l"), y.as("r")))).as("p"))
-        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
-        .agg(sum(col("freq")).as("c"))
+      val best = bpePairCounts(cur)
         .orderBy(col("c").desc, col("l").asc, col("r").asc)
         .limit(1).collect()
       if (best.isEmpty) {
@@ -248,6 +323,90 @@ object TextAnalysis {
     if (ckpt != null) graft.operators.ConnectedComponents.release(ckpt)
     words.unpersist()
     merges.result()
+  }
+
+  private val batchedMergeCache = new java.util.concurrent.ConcurrentHashMap[
+    String, Seq[(Long, Long, String, String, String, Long)]]()
+
+  private def learnBpeBatchedCached(s: SparkSession, dir: String)
+      : Seq[(Long, Long, String, String, String, Long)] =
+    try {
+      val src = java.nio.file.Paths.get(dir, "documents.parquet")
+      import scala.jdk.CollectionConverters._
+      val files = scala.util.Using.resource(java.nio.file.Files.walk(src))(
+        _.iterator().asScala
+          .filter(java.nio.file.Files.isRegularFile(_)).toList)
+      val size = files.map(java.nio.file.Files.size).sum
+      val mtime = (0L +: files.map(
+        java.nio.file.Files.getLastModifiedTime(_).toMillis)).max
+      batchedMergeCache.computeIfAbsent(s"$dir|$size-$mtime",
+        _ => learnBpeBatched(s, dir))
+    } catch {
+      case scala.util.control.NonFatal(_) => learnBpeBatched(s, dir)
+    }
+
+  /** Batched BPE trainer — the refinement SCALING.md prices: at a realistic
+    * 32k-merge vocabulary the sequential trainer pays 32k tiny Spark rounds
+    * of fixed stage-launch cost, so real trainers learn several merges per
+    * round. Per super-round: rank pairs by (freq DESC, l, r), keep the
+    * CONFLICT-FREE PREFIX of the top-[[BpeBatchCand]] candidates — a
+    * candidate survives iff it shares NO symbol with ANY higher-ranked
+    * candidate (selected or not; the rule must not depend on selection
+    * order, so engine and oracle compute it identically as a rank-window
+    * anti-join) — and apply up to [[BpeBatchK]] survivors in rank order.
+    * Symbol-disjoint merges cannot overlap in any word, so one pass over
+    * the vocabulary applies them all; driver rounds drop ~K-fold. Rank-1
+    * always survives (vacuous prefix), so round 1's first merge equals the
+    * sequential trainer's first merge; later picks may diverge from
+    * sequential greedy BPE where a merge would have changed the ranking —
+    * the standard batching trade, here made deterministic and mirrored
+    * exactly by the oracle. Returns (round, seq, lhs, rhs, merged, freq). */
+  private def learnBpeBatched(s: SparkSession, dir: String)
+      : Seq[(Long, Long, String, String, String, Long)] = {
+    val words = bpeWordTable(s, dir).cache()
+    var cur = words.toDF()
+    var ckpt: DataFrame = null
+    val out = Seq.newBuilder[(Long, Long, String, String, String, Long)]
+    var seq = 0L
+    var exhausted = false
+    for (round <- 1 to BpeBatchRounds if !exhausted) {
+      // bounded collect: the candidate window IS the batch decision, the
+      // same contract as the sequential trainer's 1-row argmax
+      val cand = bpePairCounts(cur)
+        .orderBy(col("c").desc, col("l").asc, col("r").asc)
+        .limit(BpeBatchCand).collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      val keep = scala.collection.mutable.ArrayBuffer[(String, String, Long)]()
+      for (i <- cand.indices if keep.size < BpeBatchK) {
+        val (l, r, _) = cand(i)
+        val clear = (0 until i).forall { j =>
+          val (l2, r2, _) = cand(j)
+          l2 != l && l2 != r && r2 != l && r2 != r
+        }
+        if (clear) keep += cand(i)
+      }
+      if (keep.isEmpty) {
+        // no adjacent pairs left anywhere: nothing a later round could
+        // find either (merging only removes pairs), stop like the oracle's
+        // naturally-empty CTE chain does
+        exhausted = true
+      } else {
+        for ((l, r, c) <- keep) {
+          seq += 1
+          out += ((round.toLong, seq, l, r, l + r, c))
+        }
+        val next = keep
+          .foldLeft(cur)((df, m) =>
+            df.withColumn("syms", applyBpeMerge(col("syms"), m._1, m._2)))
+          .localCheckpoint(true)
+        if (ckpt != null) graft.operators.ConnectedComponents.release(ckpt)
+        ckpt = next
+        cur = next
+      }
+    }
+    if (ckpt != null) graft.operators.ConnectedComponents.release(ckpt)
+    words.unpersist()
+    out.result()
   }
 
   /** BPE-ish pre-tokenizer: letter runs, digit runs, single symbols. */
@@ -496,6 +655,20 @@ object TextAnalysis {
       learnBpeMergesCached(s, dir)
         .toDF("round", "lhs", "rhs", "merged", "pair_freq")
         .orderBy("round")
+    },
+
+    // Batched BPE training — same word-frequency table, but each driver
+    // round learns up to BpeBatchK symbol-disjoint merges from a ranked
+    // candidate window instead of one argmax (see [[learnBpeBatched]] for
+    // the conflict-free-prefix rule and the determinism argument). This is
+    // the shape that makes a 32k-merge vocabulary tractable on a cluster:
+    // round count — and with it the fixed stage-launch cost SCALING.md
+    // prices as the trainer's true bottleneck — drops ~K-fold.
+    "train_bpe_batched" -> { (s, dir) =>
+      import s.implicits._
+      learnBpeBatchedCached(s, dir)
+        .toDF("round", "seq", "lhs", "rhs", "merged", "pair_freq")
+        .orderBy("seq")
     },
 
     // BPE tokenization — applies the learned merge table in the shape that
@@ -1044,6 +1217,8 @@ object TextAnalysis {
          |WHERE cum_before < $TokenBudgetPerLang ORDER BY doc_id""".stripMargin,
 
     "train_bpe" -> trainBpeSql,
+
+    "train_bpe_batched" -> trainBpeBatchedSql,
 
     "tokenize_bpe" -> tokenizeBpeSql,
 

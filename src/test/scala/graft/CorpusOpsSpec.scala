@@ -154,6 +154,55 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(tok.toSeq === Seq((1L, 2L, 2L)))
   }
 
+  test("train_bpe_batched applies symbol-disjoint merges K-wide per round") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-bpeb1").toString
+    import spark.implicits._
+    // five fully disjoint pairs with strictly ordered freqs: round 1 must
+    // batch the top K=4 in one pass, round 2 picks up the leftover
+    Seq((1L, "ab ab ab ab ab cd cd cd cd ef ef ef gh gh ij"))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = TextAnalysis.queries("train_bpe_batched")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getString(3),
+        r.getString(4), r.getLong(5)))
+    assert(out.toSeq === Seq(
+      (1L, 1L, "a", "b", "ab", 5L),
+      (1L, 2L, "c", "d", "cd", 4L),
+      (1L, 3L, "e", "f", "ef", 3L),
+      (1L, 4L, "g", "h", "gh", 2L),
+      (2L, 5L, "i", "j", "ij", 1L)))
+  }
+
+  test("train_bpe_batched excludes candidates conflicting with higher ranks") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-bpeb2").toString
+    import spark.implicits._
+    // the sequential trainer's chain corpus: after (a,a) and (b,c), every
+    // remaining candidate shares a symbol with its higher-ranked neighbour
+    // ((c,d) with (b,c), (d,e) with the EXCLUDED (c,d) — the rule is over
+    // all higher-ranked candidates, not just selected ones), so each round
+    // keeps exactly the head of each disjoint chain
+    Seq((1L, "aaaa aaaa bcdefghijklmnopq"))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = TextAnalysis.queries("train_bpe_batched")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getString(3),
+        r.getString(4), r.getLong(5)))
+    assert(out.toSeq === Seq(
+      (1L, 1L, "a", "a", "aa", 6L),
+      (1L, 2L, "b", "c", "bc", 1L),
+      (2L, 3L, "aa", "aa", "aaaa", 2L),
+      (2L, 4L, "bc", "d", "bcd", 1L),
+      (3L, 5L, "bcd", "e", "bcde", 1L)))
+    // invariant behind the one-pass apply: within a round, kept merges are
+    // pairwise symbol-disjoint
+    out.groupBy(_._1).foreach { case (_, ms) =>
+      val syms = ms.flatMap(m => Seq(m._3, m._4))
+      assert(syms.distinct.length === syms.length ||
+        ms.exists(m => m._3 == m._4), // (x,x) self-pairs are fine
+        s"round merges share symbols: ${ms.toSeq}")
+    }
+  }
+
   test("sample_fixed keeps the global md5 prefix via TakeOrdered") {
     val dir = java.nio.file.Files.createTempDirectory("graft-sfix").toString
     import spark.implicits._
