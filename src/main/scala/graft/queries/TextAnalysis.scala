@@ -208,6 +208,8 @@ object TextAnalysis {
   private val PackBuckets = 32 // pack_sequences: independent pack streams
   private val PackBudget = 512 // pack_sequences: tokens per training sequence
   private val NllScale = 1000000L // text_perplexity: fixed-point ln scale
+  private val NbScale = 1000000L // classify_quality_nb: fixed-point ln scale
+  private val NbStopPct = 6 // classify_quality_nb: weak-label stop-ratio %
   private val CmDepth = 3 // text_vocab_sketch: hash rows
   private val CmWidth = 1024 // text_vocab_sketch: buckets per row
 
@@ -877,6 +879,70 @@ object TextAnalysis {
         .orderBy("doc_id")
     },
 
+    // MODEL-BASED quality classifier — the CCNet/GPT-3-style learned filter
+    // (a linear classifier over token features), here trained end-to-end
+    // inside the engine as multinomial Naive Bayes with Laplace smoothing:
+    // weak labels come from a deterministic heuristic (stop-word ratio ≥
+    // NbStopPct% — the integer form 100·n_stop ≥ NbStopPct·n_tokens, exact
+    // in both engines), class-conditional token counts give per-token
+    // log-odds weights, and scoring is a broadcast join + BIGINT sum.
+    // Floats are handled exactly like text_perplexity: each weight
+    // floor-quantizes (ln((c1+1)/(N1+V)) − ln((c0+1)/(N0+V)))·NbScale to a
+    // BIGINT once per DISTINCT token, so the per-doc score SUM is
+    // associative and partition-independent; the ~1-ulp ln boundary caveat
+    // (see text_perplexity's note) applies per distinct token and is
+    // re-checked by the oracle gate at every SF.
+    // Scale shape: the model (weights + prior) is vocab-sized and
+    // broadcast; per-doc token counts collapse map-side before every join;
+    // the class-count aggregation is one tiny (token → 2 longs) shuffle.
+    // The docTok subtree appears in both the train and score paths with
+    // identical canonical form; AQE runtime stage reuse collapses its
+    // seven logical appearances to TWO physical corpus scans (executed
+    // isFinalPlan=true dump: ReusedExchange ×8, Scan parquet ×2) — the
+    // inherent train-pass + score-pass floor of any learned filter.
+    "classify_quality_nb" -> { (s, dir) =>
+      val d = Tables(s, dir, "documents").filter(col("text").isNotNull)
+      val docTok = d
+        .select(col("doc_id"), explode(toks(col("text"))).as("token"))
+        .groupBy("doc_id", "token").agg(count(lit(1)).as("c"))
+      val docLab = docTok.groupBy("doc_id")
+        .agg(sum(col("c")).as("n_tokens"),
+          sum(when(col("token").isin(Stopwords: _*), col("c"))
+            .otherwise(lit(0L))).as("n_stop"))
+        .withColumn("label",
+          (col("n_stop") * 100 >= col("n_tokens") * NbStopPct).cast("int"))
+        .select("doc_id", "n_tokens", "label")
+      val cls = docTok.join(docLab.select("doc_id", "label"), Seq("doc_id"))
+        .groupBy("token")
+        .agg(sum(when(col("label") === 1, col("c")).otherwise(lit(0L)))
+            .as("c1"),
+          sum(when(col("label") === 0, col("c")).otherwise(lit(0L)))
+            .as("c0"))
+      val tot = cls.agg(sum(col("c1")).as("n1"), sum(col("c0")).as("n0"),
+        count(lit(1)).as("v"))
+      val weights = cls.crossJoin(tot)
+        .select(col("token"),
+          floor((log((col("c1") + 1).cast("double")
+              / (col("n1") + col("v")).cast("double"))
+            - log((col("c0") + 1).cast("double")
+              / (col("n0") + col("v")).cast("double")))
+            * NbScale).cast("long").as("w"))
+      val prior = docLab
+        .agg(sum(col("label")).as("d1"),
+          sum(lit(1) - col("label")).as("d0"))
+        .select(floor((log((col("d1") + 1).cast("double"))
+            - log((col("d0") + 1).cast("double")))
+          * NbScale).cast("long").as("prior"))
+      docTok.join(broadcast(weights), Seq("token"))
+        .groupBy("doc_id").agg(sum(col("c") * col("w")).as("w_sum"))
+        .crossJoin(broadcast(prior))
+        .join(docLab, Seq("doc_id"))
+        .select(col("doc_id"), col("label"), col("n_tokens"),
+          (col("w_sum") + col("prior")).as("score_scaled"),
+          (col("w_sum") + col("prior") > 0).cast("int").as("pred"))
+        .orderBy("doc_id")
+    },
+
     // Gopher-style composite quality gate (Rae et al. 2021 §A1.1 subset):
     // word count, mean word length, stop-word ratio, top-token fraction,
     // duplicate-bigram fraction — each surfaced as its value plus the final
@@ -1313,6 +1379,40 @@ object TextAnalysis {
          |    / CAST(sum(c) AS BIGINT) AS avg_nll
          |FROM dt JOIN model USING (tok)
          |GROUP BY 1 ORDER BY doc_id""".stripMargin,
+
+    "classify_quality_nb" ->
+      s"""WITH tokens AS (SELECT doc_id,
+         |    unnest(string_split_regex(text, '\\s+')) AS token
+         |  FROM documents WHERE text IS NOT NULL),
+         |dt AS (SELECT doc_id, token, count(*) AS c FROM tokens GROUP BY 1, 2),
+         |lab AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+         |    CASE WHEN sum(CASE WHEN token IN ($stopList) THEN c ELSE 0 END)
+         |        * 100 >= sum(c) * $NbStopPct THEN 1 ELSE 0 END AS label
+         |  FROM dt GROUP BY 1),
+         |cls AS (SELECT token,
+         |    CAST(sum(CASE WHEN label = 1 THEN c ELSE 0 END) AS BIGINT) AS c1,
+         |    CAST(sum(CASE WHEN label = 0 THEN c ELSE 0 END) AS BIGINT) AS c0
+         |  FROM dt JOIN lab USING (doc_id) GROUP BY 1),
+         |tot AS (SELECT CAST(sum(c1) AS BIGINT) AS n1,
+         |    CAST(sum(c0) AS BIGINT) AS n0, CAST(count(*) AS BIGINT) AS v
+         |  FROM cls),
+         |wts AS (SELECT token, CAST(floor(
+         |      (ln(CAST(c1 + 1 AS DOUBLE) / CAST(n1 + v AS DOUBLE))
+         |     - ln(CAST(c0 + 1 AS DOUBLE) / CAST(n0 + v AS DOUBLE)))
+         |      * $NbScale) AS BIGINT) AS w
+         |  FROM cls, tot),
+         |pri AS (SELECT CAST(floor(
+         |      (ln(CAST(sum(label) + 1 AS DOUBLE))
+         |     - ln(CAST(sum(1 - label) + 1 AS DOUBLE))) * $NbScale)
+         |    AS BIGINT) AS prior
+         |  FROM lab),
+         |sc AS (SELECT doc_id, CAST(sum(c * w) AS BIGINT) AS w_sum
+         |  FROM dt JOIN wts USING (token) GROUP BY 1)
+         |SELECT l.doc_id, l.label, l.n_tokens,
+         |  sc.w_sum + pri.prior AS score_scaled,
+         |  CASE WHEN sc.w_sum + pri.prior > 0 THEN 1 ELSE 0 END AS pred
+         |FROM sc JOIN lab l USING (doc_id), pri
+         |ORDER BY doc_id""".stripMargin,
 
     "pipeline_gopher_filter" ->
       s"""WITH tokens AS (

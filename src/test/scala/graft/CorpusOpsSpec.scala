@@ -233,4 +233,34 @@ class CorpusOpsSpec extends AnyFunSuite {
       .map(_.getString(3))
     assert(second.toSeq === Seq("xy"))
   }
+
+  test("classify_quality_nb separates a cleanly split corpus") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-nb").toString
+    import spark.implicits._
+    // docs 1-4: pure stop-word text (ratio 1.0 → label 1); docs 5-8: pure
+    // content text (ratio 0 → label 0); doc 9 sits EXACTLY on the 6%
+    // threshold (3 stops / 50 tokens) and pins the >= inclusivity
+    val stopDoc = "the a of to in is and the a of"
+    val contentDoc = "quick brown fox jumps over lazy dog runs far away"
+    val boundary = (Seq.fill(3)("the") ++ Seq.fill(47)("word")).mkString(" ")
+    ((1L to 4L).map((_, stopDoc)) ++ (5L to 8L).map((_, contentDoc)) ++
+      Seq((9L, boundary)))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = TextAnalysis.queries("classify_quality_nb")(spark, dir)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3),
+        r.getInt(4)))
+    assert(out.map(x => (x._1, x._2)).toSeq ===
+      (1L to 4L).map((_, 1)) ++ (5L to 8L).map((_, 0)) :+ (9L -> 1))
+    // stop tokens only occur in class 1, content tokens only in class 0:
+    // every clean doc must score on its own side
+    out.filter(_._1 <= 8L).foreach { case (id, label, _, score, pred) =>
+      assert(pred === label, s"doc $id mispredicted (score=$score)")
+      assert((score > 0) === (label == 1), s"doc $id score sign")
+    }
+    // NB trained on its own labels must beat the majority baseline here
+    val acc = out.count(x => x._5 == x._2).toDouble / out.length
+    assert(acc >= 8.0 / 9.0, s"training accuracy $acc")
+  }
 }
