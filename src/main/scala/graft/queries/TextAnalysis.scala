@@ -57,16 +57,29 @@ object TextAnalysis {
     * BpeMerges chained rounds (pair count p_k → deterministic argmax b_k →
     * greedy doubled-separator replace s_k), generated from the same
     * constants the Spark side consumes. */
+  /** The (freq, syms) word-frequency CTE every BPE oracle starts from —
+    * ONE definition, parameterized by CTE name, so the trainers' SQL can
+    * never silently disagree about the shared vocabulary (word bound,
+    * [a-z]+ extraction, symbol split). Mirrors [[bpeWordTable]]. */
+  private def wordTableCte(name: String): String =
+    s"""$name AS (SELECT freq, array_to_string(list_transform(
+       |    range(1, length(word) + 1), i -> substr(word, i, 1)), ' ')
+       |    AS syms
+       |  FROM (SELECT word, count(*) AS freq
+       |    FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z]+'))
+       |        AS word FROM documents WHERE text IS NOT NULL)
+       |    WHERE length(word) BETWEEN 2 AND $BpeMaxWordLen
+       |    GROUP BY word))""".stripMargin
+
+  /** SQL form of [[applyBpeMerge]]'s doubled-separator merge cycle — the
+    * load-bearing encoding, defined once and shared by every BPE oracle
+    * (train, batched train, tokenize). */
+  private def mergeCycleSql(x: String, l: String, r: String): String =
+    s"""trim(replace(replace(' ' || replace($x, ' ', '  ') || ' ',
+       |      ' ' || $l || '  ' || $r || ' ',
+       |      ' ' || $l || $r || ' '), '  ', ' '))""".stripMargin
+
   private def bpeCtes: String = {
-    val s0 =
-      s"""s0 AS (SELECT freq, array_to_string(list_transform(
-         |    range(1, length(word) + 1), i -> substr(word, i, 1)), ' ')
-         |    AS syms
-         |  FROM (SELECT word, count(*) AS freq
-         |    FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z]+'))
-         |        AS word FROM documents WHERE text IS NOT NULL)
-         |    WHERE length(word) BETWEEN 2 AND $BpeMaxWordLen
-         |    GROUP BY word))""".stripMargin
     val rounds = (1 to BpeMerges).map { k =>
       s"""p$k AS (SELECT pr[1] AS l, pr[2] AS r,
          |    CAST(sum(freq) AS BIGINT) AS c
@@ -77,13 +90,10 @@ object TextAnalysis {
          |b$k AS (SELECT $k AS round, l, r, c FROM p$k
          |  ORDER BY c DESC, l, r LIMIT 1),
          |s$k AS (SELECT s${k - 1}.freq,
-         |    trim(replace(replace(
-         |      ' ' || replace(s${k - 1}.syms, ' ', '  ') || ' ',
-         |      ' ' || b$k.l || '  ' || b$k.r || ' ',
-         |      ' ' || b$k.l || b$k.r || ' '), '  ', ' ')) AS syms
+         |    ${mergeCycleSql(s"s${k - 1}.syms", s"b$k.l", s"b$k.r")} AS syms
          |  FROM s${k - 1}, b$k)""".stripMargin
     }
-    s"$s0,\n${rounds.mkString(",\n")}"
+    s"${wordTableCte("s0")},\n${rounds.mkString(",\n")}"
   }
 
   /** DuckDB mirror of train_bpe: project the per-round argmax rows. */
@@ -106,22 +116,10 @@ object TextAnalysis {
     * stop), and apply them as K nested single-merge cycles — the same
     * composition as the engine's chained [[applyBpeMerge]] folds. */
   private def trainBpeBatchedSql: String = {
-    def cyc(x: String, l: String, r: String): String =
-      s"""trim(replace(replace(' ' || replace($x, ' ', '  ') || ' ',
-         |      ' ' || $l || '  ' || $r || ' ',
-         |      ' ' || $l || $r || ' '), '  ', ' '))""".stripMargin
-    val t0 =
-      s"""t0 AS (SELECT freq, array_to_string(list_transform(
-         |    range(1, length(word) + 1), i -> substr(word, i, 1)), ' ')
-         |    AS syms
-         |  FROM (SELECT word, count(*) AS freq
-         |    FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z]+'))
-         |        AS word FROM documents WHERE text IS NOT NULL)
-         |    WHERE length(word) BETWEEN 2 AND $BpeMaxWordLen
-         |    GROUP BY word))""".stripMargin
     val rounds = (1 to BpeBatchRounds).map { k =>
       val applied = (1 to BpeBatchK).foldLeft(s"t${k - 1}.syms") { (acc, j) =>
-        cyc(acc, s"coalesce(bm$k.l$j, '#')", s"coalesce(bm$k.r$j, '#')")
+        mergeCycleSql(acc,
+          s"coalesce(bm$k.l$j, '#')", s"coalesce(bm$k.r$j, '#')")
       }
       val mCols = (1 to BpeBatchK).map(j =>
         s"""max(CASE WHEN sel = $j THEN l END) AS l$j,
@@ -149,7 +147,7 @@ object TextAnalysis {
     val union = (1 to BpeBatchRounds)
       .map(k => s"SELECT $k AS round, sel, l, r, c FROM bg$k")
       .mkString("\n  UNION ALL ")
-    s"""WITH $t0,
+    s"""WITH ${wordTableCte("t0")},
        |${rounds.mkString(",\n")}
        |SELECT CAST(round AS BIGINT) AS round,
        |  CAST(row_number() OVER (ORDER BY round, sel) AS BIGINT) AS seq,
@@ -166,10 +164,8 @@ object TextAnalysis {
     // empty and the round must be an IDENTITY pass over v_{k-1} — exactly
     // the engine's early stop — not an empty relation.
     val vRounds = (1 to BpeMerges).map { k =>
-      s"""v$k AS (SELECT word, coalesce(trim(replace(replace(
-         |    ' ' || replace(v${k - 1}.syms, ' ', '  ') || ' ',
-         |    ' ' || b$k.l || '  ' || b$k.r || ' ',
-         |    ' ' || b$k.l || b$k.r || ' '), '  ', ' ')),
+      s"""v$k AS (SELECT word, coalesce(
+         |    ${mergeCycleSql(s"v${k - 1}.syms", s"b$k.l", s"b$k.r")},
          |    v${k - 1}.syms) AS syms
          |  FROM v${k - 1} LEFT JOIN b$k ON TRUE)""".stripMargin
     }
@@ -232,29 +228,31 @@ object TextAnalysis {
   /** train_bpe and tokenize_bpe share one training run per corpus within a
     * process (the bench/verify shape) — the in-process stand-in for
     * "persist train_bpe's table" in a production pipeline. Keyed on the
-    * corpus files' size+mtime fingerprint (the GraftLogCache contract), so
-    * an overwritten documents.parquet — the specs' temp dirs — can never
-    * serve stale merges; a corpus the local fingerprint can't see (remote
-    * fs) just learns uncached. */
+    * corpus files' name+size+mtime fingerprint
+    * ([[graft.sources.GraftLogCache.corpusFingerprint]]), so an overwritten
+    * documents.parquet — the specs' temp dirs — can never serve stale
+    * merges; a corpus the local fingerprint can't see (remote fs) just
+    * learns uncached. The catch covers ONLY the fingerprint I/O: a genuine
+    * training failure must propagate once, not silently retrain. */
+  private def cachedByCorpus[T](
+      cache: java.util.concurrent.ConcurrentHashMap[String, T],
+      s: SparkSession, dir: String)(train: (SparkSession, String) => T): T = {
+    val fp =
+      try Some(graft.sources.GraftLogCache
+        .corpusFingerprint(dir, "documents.parquet"))
+      catch { case scala.util.control.NonFatal(_) => None }
+    fp match {
+      case Some(f) => cache.computeIfAbsent(s"$dir|$f", _ => train(s, dir))
+      case None => train(s, dir)
+    }
+  }
+
   private val mergeCache = new java.util.concurrent.ConcurrentHashMap[
     String, Seq[(Long, String, String, String, Long)]]()
 
   private def learnBpeMergesCached(s: SparkSession, dir: String)
       : Seq[(Long, String, String, String, Long)] =
-    try {
-      val src = java.nio.file.Paths.get(dir, "documents.parquet")
-      import scala.jdk.CollectionConverters._
-      val files = scala.util.Using.resource(java.nio.file.Files.walk(src))(
-        _.iterator().asScala
-          .filter(java.nio.file.Files.isRegularFile(_)).toList)
-      val size = files.map(java.nio.file.Files.size).sum
-      val mtime = (0L +: files.map(
-        java.nio.file.Files.getLastModifiedTime(_).toMillis)).max
-      mergeCache.computeIfAbsent(s"$dir|$size-$mtime",
-        _ => learnBpeMerges(s, dir))
-    } catch {
-      case scala.util.control.NonFatal(_) => learnBpeMerges(s, dir)
-    }
+    cachedByCorpus(mergeCache, s, dir)(learnBpeMerges)
 
   /** The BpeMerges training rounds on the word-frequency table (see
     * train_bpe's comment for the scaling argument). Each round's argmax is
@@ -332,20 +330,7 @@ object TextAnalysis {
 
   private def learnBpeBatchedCached(s: SparkSession, dir: String)
       : Seq[(Long, Long, String, String, String, Long)] =
-    try {
-      val src = java.nio.file.Paths.get(dir, "documents.parquet")
-      import scala.jdk.CollectionConverters._
-      val files = scala.util.Using.resource(java.nio.file.Files.walk(src))(
-        _.iterator().asScala
-          .filter(java.nio.file.Files.isRegularFile(_)).toList)
-      val size = files.map(java.nio.file.Files.size).sum
-      val mtime = (0L +: files.map(
-        java.nio.file.Files.getLastModifiedTime(_).toMillis)).max
-      batchedMergeCache.computeIfAbsent(s"$dir|$size-$mtime",
-        _ => learnBpeBatched(s, dir))
-    } catch {
-      case scala.util.control.NonFatal(_) => learnBpeBatched(s, dir)
-    }
+    cachedByCorpus(batchedMergeCache, s, dir)(learnBpeBatched)
 
   /** Batched BPE trainer — the refinement SCALING.md prices: at a realistic
     * 32k-merge vocabulary the sequential trainer pays 32k tiny Spark rounds
@@ -356,8 +341,13 @@ object TextAnalysis {
     * candidate (selected or not; the rule must not depend on selection
     * order, so engine and oracle compute it identically as a rank-window
     * anti-join) — and apply up to [[BpeBatchK]] survivors in rank order.
-    * Symbol-disjoint merges cannot overlap in any word, so one pass over
-    * the vocabulary applies them all; driver rounds drop ~K-fold. Rank-1
+    * APPLICATION ORDER IS SEMANTIC: the conflict rule only makes survivors
+    * disjoint as COUNTED — a merge's output symbol can still feed a later
+    * survivor's occurrences (e.g. (ab,a) creating fresh 'aba' runs that an
+    * (x,aba) merge then consumes) — so both engine and oracle fold the
+    * survivors in rank order within ONE materialization per round, and
+    * pair_freq records each pair's pre-round count, not the applied count.
+    * Driver rounds still drop ~K-fold, the point of batching. Rank-1
     * always survives (vacuous prefix), so round 1's first merge equals the
     * sequential trainer's first merge; later picks may diverge from
     * sequential greedy BPE where a merge would have changed the ranking —

@@ -14,24 +14,38 @@ import java.nio.file.{Files, Path, Paths, StandardCopyOption}
   * the same parquet the relational queries read.
   *
   * Cached under the JVM temp dir keyed by the testdata path AND the events
-  * parquet's size/mtime fingerprint — a regenerated table at the same path
+  * parquet's name+size+mtime fingerprint — a regenerated table at the same path
   * gets a fresh log instead of a silently stale one (the oracle reads the
   * parquet directly, so staleness here would surface as a hash mismatch).
   * Built into a staging directory and atomically renamed, so concurrent
   * builders race benignly (the loser discards its identical staging copy)
   * and a crashed build can never be mistaken for a complete log. */
 object GraftLogCache {
+
+  /** Fingerprint of every regular file under `dir/table`: relative NAME +
+    * size + mtime per file, md5'd. File names matter — Spark randomizes
+    * part-file names on every write, so an overwrite with equal total
+    * bytes landing in the same millisecond (dictionary-encoded same-shape
+    * corpora do collide on size) still changes the key; size+mtime alone
+    * does not guarantee that. Shared by every corpus-keyed cache in the
+    * engine; throws if the directory is unreadable — callers that can fall
+    * back to uncached work catch around THIS call only. */
+  def corpusFingerprint(dir: String, table: String): String = {
+    import scala.jdk.CollectionConverters._
+    val src = Paths.get(dir, table)
+    val files = scala.util.Using.resource(Files.walk(src))(
+      _.iterator().asScala.filter(Files.isRegularFile(_)).toList)
+    val entries = files.map { f =>
+      s"${src.relativize(f)}:${Files.size(f)}:" +
+        s"${Files.getLastModifiedTime(f).toMillis}"
+    }.sorted
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(entries.mkString("\n").getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+  }
+
   def ensure(spark: SparkSession, sfDir: String): String = synchronized {
-    val src = Paths.get(sfDir, "events.parquet")
-    val fingerprint = {
-      import scala.jdk.CollectionConverters._
-      val files = scala.util.Using.resource(Files.walk(src))(
-        _.iterator().asScala.filter(Files.isRegularFile(_)).toList)
-      val size = files.map(Files.size).sum
-      val mtime =
-        (0L +: files.map(Files.getLastModifiedTime(_).toMillis)).max
-      s"$size-$mtime"
-    }
+    val fingerprint = corpusFingerprint(sfDir, "events.parquet")
     val key = java.security.MessageDigest.getInstance("MD5")
       .digest(s"$sfDir|$fingerprint".getBytes("UTF-8"))
       .map("%02x".format(_)).mkString.take(12)

@@ -9,11 +9,14 @@ object ExplainAudit {
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val dir = if (args.length > 1) args(1) else "/root/testdata/sf0.01"
-    val names = if (args.nonEmpty) args(0).split(",").toSeq
-      else Seq("q1_agg", "q3_topk_join")
+    // flags first, then positional (names, dir) — so "--executed" anywhere
+    // never shadows the names list or get mistaken for the data dir
     val executed = args.contains("--executed")
-    names.filterNot(_ == "--executed").foreach { q =>
+    val pos = args.filterNot(_.startsWith("--"))
+    val dir = if (pos.length > 1) pos(1) else "/root/testdata/sf0.01"
+    val names = if (pos.nonEmpty) pos(0).split(",").toSeq
+      else Seq("q1_agg", "q3_topk_join")
+    names.foreach { q =>
       println(s"===== $q")
       val df = graft.SparkEntry.queries(q)(spark, dir)
       if (executed) {

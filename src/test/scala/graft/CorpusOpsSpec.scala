@@ -193,13 +193,15 @@ class CorpusOpsSpec extends AnyFunSuite {
       (2L, 3L, "aa", "aa", "aaaa", 2L),
       (2L, 4L, "bc", "d", "bcd", 1L),
       (3L, 5L, "bcd", "e", "bcde", 1L)))
-    // invariant behind the one-pass apply: within a round, kept merges are
-    // pairwise symbol-disjoint
-    out.groupBy(_._1).foreach { case (_, ms) =>
-      val syms = ms.flatMap(m => Seq(m._3, m._4))
-      assert(syms.distinct.length === syms.length ||
-        ms.exists(m => m._3 == m._4), // (x,x) self-pairs are fine
-        s"round merges share symbols: ${ms.toSeq}")
+    // the conflict-rule invariant: within a round, kept merges are
+    // pairwise symbol-disjoint (a self-pair (x,x) contributes the single
+    // symbol x, so it conflicts with any other merge touching x but not
+    // with itself)
+    out.groupBy(_._1).foreach { case (round, ms) =>
+      val sets = ms.map(m => Set(m._3, m._4))
+      for (i <- sets.indices; j <- sets.indices if i < j)
+        assert((sets(i) & sets(j)).isEmpty,
+          s"round $round merges share symbols: ${ms.toSeq}")
     }
   }
 
@@ -226,7 +228,7 @@ class CorpusOpsSpec extends AnyFunSuite {
     val first = TextAnalysis.queries("train_bpe")(spark, dir).collect()
       .map(_.getString(3))
     assert(first.toSeq === Seq("ab"))
-    // same path, new corpus: the size+mtime fingerprint must miss
+    // same path, new corpus: the name+size+mtime fingerprint must miss
     Seq((1L, "xy xy")).toDF("doc_id", "text")
       .write.mode("overwrite").parquet(s"$dir/documents.parquet")
     val second = TextAnalysis.queries("train_bpe")(spark, dir).collect()
