@@ -234,31 +234,41 @@ object TextAnalysis {
     * merges; a corpus the local fingerprint can't see (remote fs) just
     * learns uncached. The catch covers ONLY the fingerprint I/O: a genuine
     * training failure must propagate once, not silently retrain. */
+  /** Lazily-trained cache cell: computeIfAbsent installs only the cell
+    * (cheap, per ConcurrentHashMap's short-mapping-function contract — the
+    * map's bin lock is never held across a Spark job), and the training
+    * runs under the cell's own lazy-val lock: same-corpus callers share
+    * one run, different corpora never serialize on a shared hash bin. A
+    * failed training propagates to its caller uncached (lazy vals retry
+    * initialization), so errors surface once with the original trace. */
+  private final class Memo[T](thunk: () => T) { lazy val value: T = thunk() }
+
   private def cachedByCorpus[T](
-      cache: java.util.concurrent.ConcurrentHashMap[String, T],
+      cache: java.util.concurrent.ConcurrentHashMap[String, Memo[T]],
       s: SparkSession, dir: String)(train: (SparkSession, String) => T): T = {
     val fp =
       try Some(graft.sources.GraftLogCache
         .corpusFingerprint(dir, "documents.parquet"))
       catch { case scala.util.control.NonFatal(_) => None }
     fp match {
-      case Some(f) => cache.computeIfAbsent(s"$dir|$f", _ => train(s, dir))
+      case Some(f) =>
+        val key = s"$dir|$f"
+        // an overwritten corpus leaves its previous key dead — drop other
+        // keys for the same dir so long-lived JVMs (bench loops, spec
+        // temp-dir reuse) hold at most one merge table per corpus path
+        cache.keySet.removeIf(k => k.startsWith(s"$dir|") && k != key)
+        cache.computeIfAbsent(key, _ => new Memo(() => train(s, dir))).value
       case None => train(s, dir)
     }
   }
 
   private val mergeCache = new java.util.concurrent.ConcurrentHashMap[
-    String, Seq[(Long, String, String, String, Long)]]()
+    String, Memo[Seq[(Long, String, String, String, Long)]]]()
 
   private def learnBpeMergesCached(s: SparkSession, dir: String)
       : Seq[(Long, String, String, String, Long)] =
     cachedByCorpus(mergeCache, s, dir)(learnBpeMerges)
 
-  /** The BpeMerges training rounds on the word-frequency table (see
-    * train_bpe's comment for the scaling argument). Each round's argmax is
-    * a 1-row bounded collect — the collect IS the merge decision, the same
-    * contract as IvfIndex's centroids. Returns
-    * (round, lhs, rhs, merged, pair_freq) in learned order. */
   /** The (freq, syms) word-frequency symbol table both BPE trainers start
     * from: distinct [a-z]+ words with corpus frequencies, symbols = the
     * space-joined character split. Vocab-sized, never corpus-sized. */
@@ -285,6 +295,11 @@ object TextAnalysis {
       .agg(sum(col("freq")).as("c"))
   }
 
+  /** The BpeMerges training rounds on the word-frequency table (see
+    * train_bpe's comment for the scaling argument). Each round's argmax is
+    * a 1-row bounded collect — the collect IS the merge decision, the same
+    * contract as IvfIndex's centroids. Returns
+    * (round, lhs, rhs, merged, pair_freq) in learned order. */
   private def learnBpeMerges(s: SparkSession, dir: String)
       : Seq[(Long, String, String, String, Long)] = {
     val words = bpeWordTable(s, dir).cache()
@@ -326,7 +341,7 @@ object TextAnalysis {
   }
 
   private val batchedMergeCache = new java.util.concurrent.ConcurrentHashMap[
-    String, Seq[(Long, Long, String, String, String, Long)]]()
+    String, Memo[Seq[(Long, Long, String, String, String, Long)]]]()
 
   private def learnBpeBatchedCached(s: SparkSession, dir: String)
       : Seq[(Long, Long, String, String, String, Long)] =

@@ -10,9 +10,13 @@ object ExplainAudit {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     // flags first, then positional (names, dir) — so "--executed" anywhere
-    // never shadows the names list or get mistaken for the data dir
-    val executed = args.contains("--executed")
-    val pos = args.filterNot(_.startsWith("--"))
+    // never shadows the names list or gets mistaken for the data dir;
+    // unknown flags fail loudly (a typo'd --executed would otherwise
+    // silently dump the WRONG, pre-execution plan)
+    val (flags, pos) = args.partition(_.startsWith("--"))
+    val unknown = flags.filterNot(_ == "--executed")
+    require(unknown.isEmpty, s"unknown flags: ${unknown.mkString(", ")}")
+    val executed = flags.contains("--executed")
     val dir = if (pos.length > 1) pos(1) else "/root/testdata/sf0.01"
     val names = if (pos.nonEmpty) pos(0).split(",").toSeq
       else Seq("q1_agg", "q3_topk_join")
