@@ -49,6 +49,12 @@ object MultimodalPipeline {
     def decodeImage(blob: Array[Byte]): (Int, Int, Int, Array[Byte])
     def decodeAudio(blob: Array[Byte]): (Int, Long, Array[Float])
     def frameAt(blob: Array[Byte], index: Int): Array[Byte]
+
+    /** Number of frames the container holds. Default mirrors the
+      * deterministic stub's 16-byte slicing; real codecs override with the
+      * container's actual frame count (see [[MediaCodec.imageio]] for
+      * multi-frame GIF). */
+    def frameCount(blob: Array[Byte]): Int = math.max(1, blob.length / 16)
   }
 
   object MediaCodec {
@@ -73,13 +79,13 @@ object MultimodalPipeline {
     /** Real decoder on JDK built-ins, zero external deps: images via
       * javax.imageio (PNG/JPEG/GIF/BMP → packed RGB bytes), audio via
       * javax.sound.sampled (WAV/AIFF PCM → sample rate, duration, 8-band RMS
-      * energy embedding). Video still needs an external codec (ffmpeg) and
-      * delegates to the stub. */
+      * energy embedding), and multi-frame video via ImageIO's sequence
+      * readers — animated GIF decodes for real ([[frameCount]]/[[frameAt]]
+      * return the container's frames as packed RGB). Codecs ImageIO can't
+      * read (MP4/H.264 need ffmpeg) are rejected with a clear error rather
+      * than silently stubbed. */
     val imageio: MediaCodec = new MediaCodec {
-      def decodeImage(blob: Array[Byte]): (Int, Int, Int, Array[Byte]) = {
-        val img = javax.imageio.ImageIO.read(
-          new java.io.ByteArrayInputStream(blob))
-        require(img != null, "unsupported or corrupt image bytes")
+      private def packRgb(img: java.awt.image.BufferedImage): Array[Byte] = {
         val w = img.getWidth
         val h = img.getHeight
         val px = new Array[Byte](w * h * 3)
@@ -97,7 +103,33 @@ object MultimodalPipeline {
           }
           y += 1
         }
-        (w, h, 3, px)
+        px
+      }
+
+      /** ImageReader over in-memory bytes; caller must run `dispose()` via
+        * the passed function. One reader per blob — codec-level init is per
+        * partition, reader init is per row, which is the granularity a
+        * container parse needs anyway. */
+      private def withReader[A](blob: Array[Byte])(
+          f: javax.imageio.ImageReader => A): A = {
+        val iis = javax.imageio.ImageIO.createImageInputStream(
+          new java.io.ByteArrayInputStream(blob))
+        val readers = javax.imageio.ImageIO.getImageReaders(iis)
+        require(readers.hasNext, "unsupported or corrupt media container")
+        val r = readers.next()
+        r.setInput(iis)
+        try f(r)
+        finally {
+          r.dispose()
+          iis.close()
+        }
+      }
+
+      def decodeImage(blob: Array[Byte]): (Int, Int, Int, Array[Byte]) = {
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(blob))
+        require(img != null, "unsupported or corrupt image bytes")
+        (img.getWidth, img.getHeight, 3, packRgb(img))
       }
 
       def decodeAudio(blob: Array[Byte]): (Int, Long, Array[Float]) = {
@@ -135,8 +167,19 @@ object MultimodalPipeline {
         } finally ais.close()
       }
 
+      /** Frame `index` of a multi-frame container (animated GIF) as packed
+        * RGB — the raw frame raster as stored, not composited against prior
+        * frames (fingerprinting wants the per-frame signal; a player would
+        * composite). A single-frame container yields its one image at
+        * index 0. */
       def frameAt(blob: Array[Byte], index: Int): Array[Byte] =
-        deterministic.frameAt(blob, index)
+        withReader(blob)(r => packRgb(r.read(index)))
+
+      override def frameCount(blob: Array[Byte]): Int =
+        withReader(blob) { r =>
+          // allowSearch=true walks the container for an exact count
+          math.max(1, r.getNumImages(true))
+        }
     }
   }
 
@@ -223,7 +266,11 @@ object MultimodalPipeline {
     }
   }
 
-  /** Sample every `stride`-th frame up to `maxFrames` per video. */
+  /** Sample every `stride`-th frame up to `maxFrames` per video. The frame
+    * budget derives from the codec's [[MediaCodec.frameCount]], so a real
+    * container (animated GIF under [[MediaCodec.imageio]]) is sampled by its
+    * ACTUAL frame count; the stub's default (`blob.length / 16`) reproduces
+    * the prior slicing arithmetic exactly (`⌊⌊L/16⌋/s⌋ = ⌊L/16s⌋`). */
   def sampleFrames(
       ds: Dataset[MediaBlob],
       stride: Int = 8,
@@ -233,9 +280,55 @@ object MultimodalPipeline {
     import spark.implicits._
     ds.filter(_.mediaType == "video").mapPartitions { it =>
       it.map { m =>
-        val n = math.min(maxFrames, math.max(1, m.blob.length / (16 * stride)))
+        val fc = codec.frameCount(m.blob)
+        // (n-1)*stride < fc by construction: every sampled index is a real
+        // frame for a frame-count-honest codec
+        val n = math.min(maxFrames, math.max(1, fc / stride))
         val idx = Array.tabulate(n)(_ * stride)
         VideoFrames(m.id, idx, idx.map(codec.frameAt(m.blob, _)))
+      }
+    }
+  }
+
+  final case class ImageHash(id: Long, phash: Long)
+
+  /** 64-bit difference hash (dHash) — the standard perceptual image
+    * fingerprint: nearest-neighbor resize to 9×8 (via [[resize]], the same
+    * kernel the golden fixtures pin), integer grayscale
+    * `(299r + 587g + 114b) / 1000`, bit `y*8+x` set when
+    * `gray(x,y) > gray(x+1,y)`. Robust to re-encoding (PNG vs BMP of the
+    * same pixels hash identically — MultimodalSpec pins it) and to
+    * small-amplitude pixel noise; exact-equal or low-Hamming hashes flag
+    * near-duplicate images. Partition-local and collect-free: the 100 TB
+    * shape is decode → 72-byte thumbnail → 8-byte hash, so everything after
+    * the decode stage shuffles 8 bytes per image. */
+  def perceptualHash(ds: Dataset[DecodedImage]): Dataset[ImageHash] = {
+    val spark = ds.sparkSession
+    import spark.implicits._
+    resize(ds, 9, 8).mapPartitions { it =>
+      it.map { img =>
+        require(img.channels == 3, s"dHash expects RGB, got ${img.channels}")
+        val g = new Array[Int](72)
+        var i = 0
+        while (i < 72) {
+          val base = i * 3
+          val r = img.pixels(base) & 0xff
+          val gg = img.pixels(base + 1) & 0xff
+          val b = img.pixels(base + 2) & 0xff
+          g(i) = (299 * r + 587 * gg + 114 * b) / 1000
+          i += 1
+        }
+        var acc = 0L
+        var y = 0
+        while (y < 8) {
+          var x = 0
+          while (x < 8) {
+            if (g(y * 9 + x) > g(y * 9 + x + 1)) acc |= 1L << (y * 8 + x)
+            x += 1
+          }
+          y += 1
+        }
+        ImageHash(img.id, acc)
       }
     }
   }

@@ -38,6 +38,10 @@ object Dedup {
   private val MaxCcIterations = 50
   private val BenchmarkMod = 97 // decontaminate: doc_id % mod = 0 ⇒ benchmark
   private val SpanTokens = 16 // dedup_span_exact: tokens per hashed chunk
+  // dedup_phash_hamming: 8 byte-bands over the 64-bit dHash catch every
+  // pair within hamming 7 by pigeonhole — the usual near-identical-image
+  // threshold for dHash
+  private val MaxPhashHamming = 7
 
   // Random-hyperplane LSH (SimHash for vectors): 32 sign bits in 4 bands of
   // 8. Bit agreement P = 1 - θ/π, so a cosine-0.8 pair collides in a band
@@ -122,6 +126,32 @@ object Dedup {
         Similarity.cosinePre(col("va"), col("vb"), col("na"), col("nb")))
       .filter(col("cosine") >= 0.4)
       .select("vec_a", "vec_b", "cosine")
+  }
+
+  /** (doc_id, phash) 64-bit perceptual dHash per image-typed media row —
+    * the typed [[graft.multimodal.MultimodalPipeline]] path (decode → 9×8
+    * resize → gradient bits) on the deterministic codec, so the DuckDB
+    * oracle recomputes the hash bit-for-bit from the blob bytes. The REAL
+    * imageio decoder runs the identical plumbing (MultimodalSpec pins its
+    * cross-format fixtures). */
+  private def phashTable(s: SparkSession, dir: String): DataFrame = {
+    import graft.multimodal.MultimodalPipeline
+    MultimodalPipeline.perceptualHash(
+      MultimodalPipeline.decodeImages(
+        MultimodalPipeline.fromDocuments(s, dir)))
+      .toDF("doc_id", "phash")
+  }
+
+  /** Distinct (doc_id, fp) fingerprints of each video's sampled frames (hex
+    * of the frame bytes — a frame IS already a fixed 16-byte sketch under
+    * the deterministic codec; a real codec would hash the packed RGB). */
+  private def videoFrameFps(s: SparkSession, dir: String): DataFrame = {
+    import graft.multimodal.MultimodalPipeline
+    MultimodalPipeline.sampleFrames(MultimodalPipeline.fromDocuments(s, dir))
+      .toDF()
+      .select(col("id").as("doc_id"), explode(col("frames")).as("frame"))
+      .select(col("doc_id"), hex(col("frame")).as("fp"))
+      .distinct()
   }
 
   /** (doc_id, cluster_id) labels from connected components over the
@@ -414,6 +444,76 @@ object Dedup {
         .orderBy("doc_a", "doc_b")
     },
 
+    // Perceptual image dedup: 64-bit dHash (decode → 9×8 thumbnail →
+    // row-gradient bits) over the image-typed media rows, exact-equal
+    // grouping. Scale shape: the hash rides the decode stage's
+    // mapPartitions, so everything AFTER decode shuffles 8 bytes per image
+    // — near-dup detection over petabytes of pixels at the cost of a
+    // bigint groupBy. Deterministic codec here so the oracle recomputes
+    // the identical hash from the blob bytes; the real imageio decoder is
+    // pinned by MultimodalSpec's cross-format (PNG = BMP) fixture.
+    "dedup_phash" -> { (s, dir) =>
+      val fp = phashTable(s, dir)
+      val w = Window.partitionBy(col("phash"))
+      fp.withColumn("keeper_id", min(col("doc_id")).over(w))
+        .select(col("doc_id"), col("phash"), col("keeper_id"),
+          (col("doc_id") =!= col("keeper_id")).as("is_dup"))
+        .orderBy("doc_id")
+    },
+
+    // Perceptual near-dup via hamming distance on the dHash: band the 64
+    // bits into 8 bytes — any pair within hamming 7 must agree on at least
+    // one whole band (pigeonhole), so the (band, value) join finds all such
+    // pairs without an all-pairs scan; bit_count(xor) verifies exactly.
+    // Same hot-bucket cap as every other candidate generator.
+    "dedup_phash_hamming" -> { (s, dir) =>
+      val fp = phashTable(s, dir)
+      val bands0 = fp.select(col("doc_id"), col("phash"),
+        explode(sequence(lit(0), lit(7))).as("b"))
+        .withColumn("bval", expr("shiftrightunsigned(phash, b * 8) % 256"))
+      val wb = Window.partitionBy(col("b"), col("bval"))
+      val bands = bands0
+        .withColumn("bsz", count(lit(1)).over(wb))
+        .filter(col("bsz") <= MaxBandBucket)
+        .drop("bsz")
+      bands.select(col("doc_id").as("doc_a"), col("phash").as("fp_a"),
+          col("b"), col("bval"))
+        .join(bands.select(col("doc_id").as("doc_b"),
+          col("phash").as("fp_b"), col("b"), col("bval")), Seq("b", "bval"))
+        .filter(col("doc_a") < col("doc_b"))
+        .select("doc_a", "doc_b", "fp_a", "fp_b").distinct()
+        .withColumn("hamming", expr("bit_count(fp_a ^ fp_b)"))
+        .filter(col("hamming") <= MaxPhashHamming)
+        .select("doc_a", "doc_b", "hamming")
+        .orderBy("doc_a", "doc_b")
+    },
+
+    // Video near-dup: Jaccard over each video's SAMPLED-frame fingerprint
+    // set — the frame-sketch shape for video-level dedup at scale, where
+    // comparing payloads is impossible but a handful of sampled frames
+    // almost always agree between re-uploads of the same clip. Candidates
+    // via inverted index on the fingerprint (never all-pairs), with the
+    // same df-cap + post-cap set sizes as dedup_ngram_jaccard.
+    "dedup_video_frames" -> { (s, dir) =>
+      val f0 = videoFrameFps(s, dir)
+      val wdf = Window.partitionBy(col("fp"))
+      val fc = f0.withColumn("df", count(lit(1)).over(wdf))
+        .filter(col("df") <= MaxShingleDf).drop("df")
+      val wn = Window.partitionBy(col("doc_id"))
+      val t = fc.withColumn("n", count(lit(1)).over(wn))
+      t.select(col("doc_id").as("doc_a"), col("n").as("n_a"), col("fp"))
+        .join(t.select(col("doc_id").as("doc_b"), col("n").as("n_b"),
+          col("fp")), Seq("fp"))
+        .filter(col("doc_a") < col("doc_b"))
+        .groupBy("doc_a", "doc_b", "n_a", "n_b")
+        .agg(count(lit(1)).as("inter"))
+        .withColumn("jaccard",
+          col("inter") / (col("n_a") + col("n_b") - col("inter")))
+        .filter(col("jaccard") >= 0.5)
+        .select("doc_a", "doc_b", "inter", "n_a", "n_b", "jaccard")
+        .orderBy("doc_a", "doc_b")
+    },
+
     // n-gram Jaccard: candidate pairs via inverted index on distinct shingles
     // (never all-pairs), exact set jaccard >= 0.8.
     "dedup_ngram_jaccard" -> { (s, dir) =>
@@ -685,6 +785,70 @@ object Dedup {
       |  ELSE list_transform(range(1, len(w)-1), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]) END AS sh
       |FROM (SELECT doc_id, string_split_regex(text, '\s+') AS w FROM documents)""".stripMargin
 
+  // ---- perceptual-hash oracle fragments ---------------------------------
+  // The deterministic codec's decode is pure arithmetic over the blob bytes
+  // (pixels = blob, w = len%640, h = 7·len%480), so the ENTIRE dHash — NN
+  // resize to 9×8, integer grayscale, gradient bits — is expressible in
+  // DuckDB over hex(encode(text)), the same byte-extraction trick the
+  // multimodal_audio oracle uses. Every constant below (grid, BT.601
+  // weights, zero-pad guard) mirrors MultimodalPipeline.perceptualHash +
+  // resize line for line.
+
+  /** Byte at 0-based offset `i` (a SQL expr) of the blob via its hex form. */
+  private def hexByteSql(i: String): String =
+    s"((instr('0123456789ABCDEF', substr(hx, 2 * ($i) + 1, 1)) - 1) * 16" +
+      s" + instr('0123456789ABCDEF', substr(hx, 2 * ($i) + 2, 1)) - 1)"
+
+  /** Zero-padded byte read — resize's `src < pixels.length` guard. */
+  private def paddedByteSql(i: String): String =
+    s"(CASE WHEN ($i) < len THEN ${hexByteSql(i)} ELSE 0 END)"
+
+  /** Grayscale of thumbnail cell (x, y): nearest-neighbor source pixel +
+    * BT.601 integer weights, identical to [[graft.multimodal
+    * .MultimodalPipeline.perceptualHash]]. */
+  private def phashGraySql(x: Int, y: Int): String = {
+    val sx = s"LEAST(w - 1, ($x * w) // 9)"
+    val sy = s"LEAST(h - 1, ($y * h) // 8)"
+    val base = s"(($sy) * w + $sx) * 3"
+    s"((299 * ${paddedByteSql(base)} + 587 * ${paddedByteSql(s"($base) + 1")}" +
+      s" + 114 * ${paddedByteSql(s"($base) + 2")}) // 1000)"
+  }
+
+  private def phashBitSql(x: Int, y: Int, v: String): String =
+    s"CASE WHEN g${y * 9 + x} > g${y * 9 + x + 1} THEN $v ELSE 0 END"
+
+  /** Shared t/g/fp CTEs: per image-typed doc its 64-bit dHash plus the 8
+    * byte-bands (band b = bits 8b..8b+7 = thumbnail row b's gradient byte —
+    * the same value Spark's `shiftrightunsigned(phash, b*8) % 256` reads). */
+  private lazy val phashSqlCtes: String = {
+    val cells = (for (y <- 0 until 8; x <- 0 until 9)
+      yield s"  ${phashGraySql(x, y)} AS g${y * 9 + x}").mkString(",\n")
+    // bit 63 as (-MAX-1): a bare -9223372036854775808 literal would parse
+    // as HUGEINT in DuckDB before negation
+    val phash = (for (y <- 0 until 8; x <- 0 until 8) yield {
+      val k = y * 8 + x
+      val v = if (k == 63) "(-9223372036854775807 - 1)" else (1L << k).toString
+      phashBitSql(x, y, v)
+    }).mkString("\n   + ")
+    val bandCols = (0 until 8).map { b =>
+      val terms = (0 until 8)
+        .map(x => phashBitSql(x, b, (1L << x).toString)).mkString(" + ")
+      s"  CAST($terms AS BIGINT) AS b$b"
+    }.mkString(",\n")
+    s"""t AS (SELECT doc_id, octet_length(encode(text)) AS len,
+       |  hex(encode(text)) AS hx,
+       |  GREATEST(1, octet_length(encode(text)) % 640) AS w,
+       |  GREATEST(1, (octet_length(encode(text)) * 7) % 480) AS h
+       |  FROM documents WHERE octet_length(encode(text)) % 3 = 0),
+       |g AS (SELECT doc_id,
+       |$cells
+       |FROM t),
+       |pfp AS (SELECT doc_id,
+       |  CAST($phash AS BIGINT) AS phash,
+       |$bandCols
+       |FROM g)""".stripMargin
+  }
+
   /** DuckDB mirror of [[rhpPairs]]: CTE chain ending in
     * `vpairs(vec_a, vec_b, cosine)` (named to avoid colliding with the
     * minhash chain's `pairs` when both appear in one statement). */
@@ -904,6 +1068,58 @@ object Dedup {
          |    ON x.b = y.b AND x.bval = y.bval AND x.doc_id < y.doc_id)
          |SELECT doc_a, doc_b, bit_count(xor(fp_a, fp_b)) AS hamming
          |FROM cand WHERE bit_count(xor(fp_a, fp_b)) <= 3
+         |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "dedup_phash" ->
+      s"""WITH $phashSqlCtes
+         |SELECT doc_id, phash,
+         |  min(doc_id) OVER (PARTITION BY phash) AS keeper_id,
+         |  doc_id <> min(doc_id) OVER (PARTITION BY phash) AS is_dup
+         |FROM pfp ORDER BY doc_id""".stripMargin,
+
+    "dedup_phash_hamming" ->
+      s"""WITH $phashSqlCtes,
+         |bands0 AS (SELECT doc_id, phash, b,
+         |    CASE b WHEN 0 THEN b0 WHEN 1 THEN b1 WHEN 2 THEN b2
+         |      WHEN 3 THEN b3 WHEN 4 THEN b4 WHEN 5 THEN b5
+         |      WHEN 6 THEN b6 ELSE b7 END AS bval
+         |  FROM pfp, (SELECT unnest(range(0, 8)) AS b)),
+         |bands AS (SELECT doc_id, phash, b, bval FROM (
+         |  SELECT doc_id, phash, b, bval,
+         |    count(*) OVER (PARTITION BY b, bval) AS bsz FROM bands0)
+         |  WHERE bsz <= $MaxBandBucket),
+         |cand AS (
+         |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
+         |    x.phash AS fp_a, y.phash AS fp_b
+         |  FROM bands x JOIN bands y
+         |    ON x.b = y.b AND x.bval = y.bval AND x.doc_id < y.doc_id)
+         |SELECT doc_a, doc_b, bit_count(xor(fp_a, fp_b)) AS hamming
+         |FROM cand WHERE bit_count(xor(fp_a, fp_b)) <= $MaxPhashHamming
+         |ORDER BY doc_a, doc_b""".stripMargin,
+
+    // frames of video-typed docs are byte windows [k*128, k*128+16) of the
+    // blob (sampleFrames stride 8 × frameAt's 16-byte slices), i.e. 32 hex
+    // chars at offset k*256 of the hex rendering; n = min(4, max(1, len//128))
+    "dedup_video_frames" ->
+      s"""WITH t AS (SELECT doc_id, octet_length(encode(text)) AS len,
+         |  hex(encode(text)) AS hx
+         |  FROM documents WHERE octet_length(encode(text)) % 3 = 2),
+         |nf AS (SELECT doc_id, hx,
+         |  LEAST(4, GREATEST(1, len // 128)) AS n_frames FROM t),
+         |f0 AS (SELECT DISTINCT doc_id, substr(hx, k * 256 + 1, 32) AS fp
+         |  FROM (SELECT doc_id, hx, unnest(range(0, n_frames)) AS k FROM nf)),
+         |fdf AS (SELECT doc_id, fp FROM (
+         |  SELECT doc_id, fp, count(*) OVER (PARTITION BY fp) AS df FROM f0)
+         |  WHERE df <= $MaxShingleDf),
+         |f AS (SELECT doc_id, fp,
+         |  count(*) OVER (PARTITION BY doc_id) AS n FROM fdf),
+         |pairs AS (SELECT x.doc_id AS doc_a, y.doc_id AS doc_b,
+         |    x.n AS n_a, y.n AS n_b, count(*) AS inter
+         |  FROM f x JOIN f y ON x.fp = y.fp AND x.doc_id < y.doc_id
+         |  GROUP BY 1, 2, 3, 4)
+         |SELECT doc_a, doc_b, inter, n_a, n_b,
+         |  inter * 1.0 / (n_a + n_b - inter) AS jaccard
+         |FROM pairs WHERE inter * 1.0 / (n_a + n_b - inter) >= 0.5
          |ORDER BY doc_a, doc_b""".stripMargin,
 
     "dedup_ngram_jaccard" ->
