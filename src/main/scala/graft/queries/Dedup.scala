@@ -154,6 +154,28 @@ object Dedup {
       .distinct()
   }
 
+  /** Verified video near-dup pairs (doc_a < doc_b, frame-set Jaccard ≥ 0.5)
+    * — shared by dedup_video_frames and pipeline_media_dedup. Inverted
+    * index on the frame fingerprint with the ngram family's df-cap; set
+    * sizes counted post-cap so Jaccard stays a true set ratio. */
+  private def videoFramePairs(s: SparkSession, dir: String): DataFrame = {
+    val f0 = videoFrameFps(s, dir)
+    val wdf = Window.partitionBy(col("fp"))
+    val fc = f0.withColumn("df", count(lit(1)).over(wdf))
+      .filter(col("df") <= MaxShingleDf).drop("df")
+    val wn = Window.partitionBy(col("doc_id"))
+    val t = fc.withColumn("n", count(lit(1)).over(wn))
+    t.select(col("doc_id").as("doc_a"), col("n").as("n_a"), col("fp"))
+      .join(t.select(col("doc_id").as("doc_b"), col("n").as("n_b"),
+        col("fp")), Seq("fp"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b", "n_a", "n_b")
+      .agg(count(lit(1)).as("inter"))
+      .withColumn("jaccard",
+        col("inter") / (col("n_a") + col("n_b") - col("inter")))
+      .filter(col("jaccard") >= 0.5)
+  }
+
   /** (doc_id, cluster_id) labels from connected components over the
     * minhash-LSH pair graph — shared by dedup_clusters,
     * pipeline_dedup_corpus, and pipeline_pretrain_corpus. */
@@ -495,23 +517,48 @@ object Dedup {
     // via inverted index on the fingerprint (never all-pairs), with the
     // same df-cap + post-cap set sizes as dedup_ngram_jaccard.
     "dedup_video_frames" -> { (s, dir) =>
-      val f0 = videoFrameFps(s, dir)
-      val wdf = Window.partitionBy(col("fp"))
-      val fc = f0.withColumn("df", count(lit(1)).over(wdf))
-        .filter(col("df") <= MaxShingleDf).drop("df")
-      val wn = Window.partitionBy(col("doc_id"))
-      val t = fc.withColumn("n", count(lit(1)).over(wn))
-      t.select(col("doc_id").as("doc_a"), col("n").as("n_a"), col("fp"))
-        .join(t.select(col("doc_id").as("doc_b"), col("n").as("n_b"),
-          col("fp")), Seq("fp"))
-        .filter(col("doc_a") < col("doc_b"))
-        .groupBy("doc_a", "doc_b", "n_a", "n_b")
-        .agg(count(lit(1)).as("inter"))
-        .withColumn("jaccard",
-          col("inter") / (col("n_a") + col("n_b") - col("inter")))
-        .filter(col("jaccard") >= 0.5)
+      videoFramePairs(s, dir)
         .select("doc_a", "doc_b", "inter", "n_a", "n_b", "jaccard")
         .orderBy("doc_a", "doc_b")
+    },
+
+    // The composed media-hygiene pass — what the perceptual family exists
+    // for: ONE keeper decision per media row, by the right signal for each
+    // modality (images: perceptual phash groups; videos: connected
+    // components over frame-Jaccard pairs, so transitively-similar
+    // re-uploads collapse to one; audio: exact content hash), then
+    // per-modality survival stats. The modality branches are independent
+    // sub-DAGs over disjoint row sets, so Spark schedules them in
+    // parallel; each keeps its own audited shape.
+    "pipeline_media_dedup" -> { (s, dir) =>
+      val d = Tables(s, dir, "documents").filter(col("text").isNotNull)
+        .withColumn("n_bytes", length(encode(col("text"), "utf-8")))
+        .withColumn("media_type",
+          when(col("n_bytes") % 3 === 0, "image")
+            .when(col("n_bytes") % 3 === 1, "audio")
+            .otherwise("video"))
+      val imgKeep = phashTable(s, dir)
+        .withColumn("k",
+          min(col("doc_id")).over(Window.partitionBy(col("phash"))))
+        .filter(col("doc_id") === col("k")).select("doc_id")
+      val audKeep = d.filter(col("media_type") === "audio")
+        .withColumn("hsh", md5(col("text")))
+        .withColumn("k",
+          min(col("doc_id")).over(Window.partitionBy(col("hsh"))))
+        .filter(col("doc_id") === col("k")).select("doc_id")
+      val vids = d.filter(col("media_type") === "video").select(col("doc_id"))
+      val vidKeep = graft.operators.ConnectedComponents
+        .run(vids, videoFramePairs(s, dir).select("doc_a", "doc_b"),
+          MaxCcIterations)
+        .filter(col("id") === col("component"))
+        .select(col("id").as("doc_id"))
+      val keep = imgKeep.union(audKeep).union(vidKeep)
+        .withColumn("is_k", lit(1))
+      d.select("doc_id", "media_type")
+        .join(keep, Seq("doc_id"), "left")
+        .groupBy("media_type")
+        .agg(count(lit(1)).as("n_docs"), count(col("is_k")).as("n_keepers"))
+        .orderBy("media_type")
     },
 
     // n-gram Jaccard: candidate pairs via inverted index on distinct shingles
@@ -849,6 +896,35 @@ object Dedup {
        |FROM g)""".stripMargin
   }
 
+  /** DuckDB mirror of [[videoFramePairs]]: CTE chain ending in
+    * `fpairs(doc_a, doc_b, inter, n_a, n_b, jaccard)`. Frames of
+    * video-typed docs are byte windows [k*128, k*128+16) of the blob
+    * (sampleFrames stride 8 × frameAt's 16-byte slices), i.e. 32 hex chars
+    * at offset k*256 of the hex rendering; n = min(4, max(1, len//128)).
+    * CTE names are v-prefixed so the chain composes with the phash chain
+    * in one statement. */
+  private lazy val videoPairsSqlCtes: String =
+    s"""vt AS (SELECT doc_id, octet_length(encode(text)) AS len,
+       |  hex(encode(text)) AS hx
+       |  FROM documents WHERE octet_length(encode(text)) % 3 = 2),
+       |vnf AS (SELECT doc_id, hx,
+       |  LEAST(4, GREATEST(1, len // 128)) AS n_frames FROM vt),
+       |vf0 AS (SELECT DISTINCT doc_id, substr(hx, k * 256 + 1, 32) AS fp
+       |  FROM (SELECT doc_id, hx, unnest(range(0, n_frames)) AS k FROM vnf)),
+       |vfdf AS (SELECT doc_id, fp FROM (
+       |  SELECT doc_id, fp, count(*) OVER (PARTITION BY fp) AS df FROM vf0)
+       |  WHERE df <= $MaxShingleDf),
+       |vf AS (SELECT doc_id, fp,
+       |  count(*) OVER (PARTITION BY doc_id) AS n FROM vfdf),
+       |vpairs_all AS (SELECT x.doc_id AS doc_a, y.doc_id AS doc_b,
+       |    x.n AS n_a, y.n AS n_b, count(*) AS inter
+       |  FROM vf x JOIN vf y ON x.fp = y.fp AND x.doc_id < y.doc_id
+       |  GROUP BY 1, 2, 3, 4),
+       |fpairs AS (SELECT doc_a, doc_b, inter, n_a, n_b,
+       |    inter * 1.0 / (n_a + n_b - inter) AS jaccard
+       |  FROM vpairs_all
+       |  WHERE inter * 1.0 / (n_a + n_b - inter) >= 0.5)""".stripMargin
+
   /** DuckDB mirror of [[rhpPairs]]: CTE chain ending in
     * `vpairs(vec_a, vec_b, cosine)` (named to avoid colliding with the
     * minhash chain's `pairs` when both appear in one statement). */
@@ -1097,30 +1173,48 @@ object Dedup {
          |FROM cand WHERE bit_count(xor(fp_a, fp_b)) <= $MaxPhashHamming
          |ORDER BY doc_a, doc_b""".stripMargin,
 
-    // frames of video-typed docs are byte windows [k*128, k*128+16) of the
-    // blob (sampleFrames stride 8 × frameAt's 16-byte slices), i.e. 32 hex
-    // chars at offset k*256 of the hex rendering; n = min(4, max(1, len//128))
     "dedup_video_frames" ->
-      s"""WITH t AS (SELECT doc_id, octet_length(encode(text)) AS len,
-         |  hex(encode(text)) AS hx
-         |  FROM documents WHERE octet_length(encode(text)) % 3 = 2),
-         |nf AS (SELECT doc_id, hx,
-         |  LEAST(4, GREATEST(1, len // 128)) AS n_frames FROM t),
-         |f0 AS (SELECT DISTINCT doc_id, substr(hx, k * 256 + 1, 32) AS fp
-         |  FROM (SELECT doc_id, hx, unnest(range(0, n_frames)) AS k FROM nf)),
-         |fdf AS (SELECT doc_id, fp FROM (
-         |  SELECT doc_id, fp, count(*) OVER (PARTITION BY fp) AS df FROM f0)
-         |  WHERE df <= $MaxShingleDf),
-         |f AS (SELECT doc_id, fp,
-         |  count(*) OVER (PARTITION BY doc_id) AS n FROM fdf),
-         |pairs AS (SELECT x.doc_id AS doc_a, y.doc_id AS doc_b,
-         |    x.n AS n_a, y.n AS n_b, count(*) AS inter
-         |  FROM f x JOIN f y ON x.fp = y.fp AND x.doc_id < y.doc_id
-         |  GROUP BY 1, 2, 3, 4)
-         |SELECT doc_a, doc_b, inter, n_a, n_b,
-         |  inter * 1.0 / (n_a + n_b - inter) AS jaccard
-         |FROM pairs WHERE inter * 1.0 / (n_a + n_b - inter) >= 0.5
+      s"""WITH $videoPairsSqlCtes
+         |SELECT doc_a, doc_b, inter, n_a, n_b, jaccard FROM fpairs
          |ORDER BY doc_a, doc_b""".stripMargin,
+
+    // the composed media-hygiene pass: keeper per modality (image = min
+    // doc per phash, video = min doc per frame-pair component via the
+    // recursive closure, audio = min doc per exact md5), then per-modality
+    // survival counts
+    "pipeline_media_dedup" ->
+      s"""WITH RECURSIVE $phashSqlCtes,
+         |$videoPairsSqlCtes,
+         |vedges AS (SELECT doc_a AS u, doc_b AS v FROM fpairs
+         |  UNION SELECT doc_b, doc_a FROM fpairs),
+         |vreach AS (
+         |  SELECT doc_id AS id, doc_id AS lab FROM vt
+         |  UNION
+         |  SELECT e.v AS id, r.lab AS lab
+         |  FROM vreach r JOIN vedges e ON e.u = r.id),
+         |vcl AS (SELECT id AS doc_id, min(lab) AS cluster_id
+         |  FROM vreach GROUP BY id),
+         |img_keep AS (SELECT doc_id FROM (
+         |  SELECT doc_id, min(doc_id) OVER (PARTITION BY phash) AS k
+         |  FROM pfp) WHERE doc_id = k),
+         |aud AS (SELECT doc_id, md5(text) AS hsh FROM documents
+         |  WHERE octet_length(encode(text)) % 3 = 1),
+         |aud_keep AS (SELECT doc_id FROM (
+         |  SELECT doc_id, min(doc_id) OVER (PARTITION BY hsh) AS k
+         |  FROM aud) WHERE doc_id = k),
+         |vid_keep AS (SELECT doc_id FROM vcl WHERE doc_id = cluster_id),
+         |keep AS (SELECT doc_id FROM img_keep
+         |  UNION ALL SELECT doc_id FROM aud_keep
+         |  UNION ALL SELECT doc_id FROM vid_keep),
+         |base AS (SELECT doc_id,
+         |  CASE WHEN octet_length(encode(text)) % 3 = 0 THEN 'image'
+         |       WHEN octet_length(encode(text)) % 3 = 1 THEN 'audio'
+         |       ELSE 'video' END AS media_type
+         |  FROM documents WHERE text IS NOT NULL)
+         |SELECT base.media_type, count(*) AS n_docs,
+         |  count(k.doc_id) AS n_keepers
+         |FROM base LEFT JOIN keep k ON base.doc_id = k.doc_id
+         |GROUP BY base.media_type ORDER BY base.media_type""".stripMargin,
 
     "dedup_ngram_jaccard" ->
       s"""WITH sh AS ($shinglesSql),

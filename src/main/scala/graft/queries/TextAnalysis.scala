@@ -26,6 +26,12 @@ object TextAnalysis {
   private[graft] val Stopwords = Seq("the", "a", "of", "to", "in", "is", "and")
   private val SamplePerStratum = 20 // sample_stratified: docs kept per lang
   private val VocabTopK = 100 // text_vocab: tokens reported
+  // chunk_documents: context-window chunking with overlap — the standard
+  // long-doc → training-sequence / RAG-passage splitter. Stride < window ⇒
+  // consecutive chunks overlap by (window - stride) tokens so no span is
+  // ever split across a boundary without appearing whole in some chunk.
+  private val ChunkTokens = 128 // tokens per chunk
+  private val ChunkStride = 96 // tokens between chunk starts (overlap 32)
   // split_corpus: 8/1/1 thresholds on the 16-bit md5 slice (0..65535);
   // the WHOLE derivation (bucket expression + thresholds, Spark AND
   // oracle-SQL forms) is shared with Dedup.pipeline_pretrain_corpus so
@@ -847,6 +853,36 @@ object TextAnalysis {
         size(toks(col("text"))).cast("long").as("n_tokens")))
     },
 
+    // Context-window chunking: split each document into overlapping
+    // token windows (ChunkTokens wide, ChunkStride apart — the long-doc →
+    // training-sequence / RAG-passage splitter that complements
+    // pack_sequences' short-doc packing). Pure per-document projection:
+    // one Generate over chunk starts, slice + concat from the SAME token
+    // array — no shuffle except the output sort; chunk count is integer
+    // arithmetic (ceil via (n-W+S-1) div S) so the oracle agrees exactly.
+    // At 100 TB the explode multiplies rows by ~n/S but each output chunk
+    // is emitted by its own document's partition — linear, no exchange.
+    "chunk_documents" -> { (s, dir) =>
+      val d = Tables(s, dir, "documents").filter(col("text").isNotNull)
+      val t = d.select(col("doc_id"), toks(col("text")).as("w"))
+        .withColumn("n", size(col("w")))
+      t.withColumn("n_chunks",
+          when(col("n") <= ChunkTokens, lit(1)).otherwise(
+            expr(s"CAST((n - $ChunkTokens + ${ChunkStride - 1})" +
+              s" DIV $ChunkStride AS INT) + 1")))
+        .select(col("doc_id"), col("w"), col("n"),
+          explode(sequence(lit(0), col("n_chunks") - 1)).as("k"))
+        .select(col("doc_id"),
+          col("k").cast("long").as("chunk_idx"),
+          (col("k") * ChunkStride).cast("long").as("start_tok"),
+          least(col("n") - col("k") * ChunkStride, lit(ChunkTokens))
+            .cast("long").as("chunk_tokens"),
+          concat_ws(" ",
+            slice(col("w"), col("k") * ChunkStride + 1, lit(ChunkTokens)))
+            .as("chunk_text"))
+        .orderBy("doc_id", "chunk_idx")
+    },
+
     // Unigram-LM negative log-likelihood scoring — the CCNet/Gopher-style
     // "perplexity" quality signal, here against the corpus's own unigram
     // model. Float-sum order is engine-dependent, so the per-token
@@ -1366,6 +1402,25 @@ object TextAnalysis {
          |    CAST(len(string_split_regex(text, '\\s+')) AS BIGINT) AS n_tokens
          |  FROM documents WHERE text IS NOT NULL),
          |${packTailSql("d")}""".stripMargin,
+
+    // chunk grid mirrors the Spark constants: W tokens per chunk, starts S
+    // apart, tail chunk shorter; single-chunk docs for n <= W
+    "chunk_documents" ->
+      s"""WITH t AS (SELECT doc_id, string_split_regex(text, '\\s+') AS w
+         |  FROM documents WHERE text IS NOT NULL),
+         |n AS (SELECT doc_id, w, len(w) AS n FROM t),
+         |c AS (SELECT doc_id, w, n,
+         |  CASE WHEN n <= $ChunkTokens THEN 1
+         |       ELSE (n - $ChunkTokens + ${ChunkStride - 1}) // $ChunkStride + 1
+         |  END AS n_chunks FROM n),
+         |e AS (SELECT doc_id, w, n, unnest(range(0, n_chunks)) AS k FROM c)
+         |SELECT doc_id, CAST(k AS BIGINT) AS chunk_idx,
+         |  CAST(k * $ChunkStride AS BIGINT) AS start_tok,
+         |  CAST(LEAST(n - k * $ChunkStride, $ChunkTokens) AS BIGINT)
+         |    AS chunk_tokens,
+         |  array_to_string(list_slice(w, k * $ChunkStride + 1,
+         |    k * $ChunkStride + $ChunkTokens), ' ') AS chunk_text
+         |FROM e ORDER BY doc_id, chunk_idx""".stripMargin,
 
     "text_perplexity" ->
       s"""WITH tokens AS (SELECT doc_id,

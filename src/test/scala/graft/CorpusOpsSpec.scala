@@ -29,6 +29,27 @@ class CorpusOpsSpec extends AnyFunSuite {
     dir
   }
 
+  test("chunk_documents splits long docs into overlapping windows") {
+    // the driver corpus's docs are all <= 99 tokens (single-chunk), so the
+    // multi-chunk grid is pinned here: doc 10 has 1000 tokens →
+    // (1000-128+95)//96 + 1 = 11 chunks, starts 96 apart, 40-token tail
+    val all = TextAnalysis.queries("chunk_documents")(spark, corpusDir)
+      .collect()
+    val long = all.filter(_.getLong(0) == 10L)
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))
+    assert(long.length == 11)
+    long.foreach { case (k, start, nt, txt) =>
+      assert(start == 96 * k)
+      assert(nt == (if (k == 10) 40L else 128L), s"chunk $k token count")
+      assert(txt.split(" ").length.toLong == nt, s"chunk $k text length")
+    }
+    // short docs yield exactly one chunk covering the whole text
+    val short = all.filter(_.getLong(0) == 2L)
+    assert(short.length == 1)
+    assert(short.head.getLong(3) == 4L)
+    assert(short.head.getString(4) == "completely different words here")
+  }
+
   test("decontaminate_ngram flags only docs sharing a 3-gram with benchmark") {
     val out = Dedup.queries("decontaminate_ngram")(spark, corpusDir).collect()
     assert(out.length === 1, "only doc 1 overlaps the benchmark split")

@@ -182,4 +182,16 @@ class PerceptualDedupSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
     assert(out.contains((10L, 11L, 0)))
   }
+
+  test("pipeline_media_dedup counts one keeper per duplicate group") {
+    val out = Dedup.queries("pipeline_media_dedup")(spark, corpusDir)
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // images: 10/11 identical + 12 distinct → 3 docs, 2 keepers
+    assert(out("image") == ((3L, 2L)))
+    // videos: {1,2} one frame-Jaccard component; 3 and 4 standalone (4's
+    // 1/3 jaccard with 1/2 is below threshold so it keeps itself) →
+    // 4 docs, 3 keepers
+    assert(out("video") == ((4L, 3L)))
+  }
 }
