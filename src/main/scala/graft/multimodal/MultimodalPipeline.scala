@@ -55,6 +55,18 @@ object MultimodalPipeline {
       * container's actual frame count (see [[MediaCodec.imageio]] for
       * multi-frame GIF). */
     def frameCount(blob: Array[Byte]): Int = math.max(1, blob.length / 16)
+
+    /** Decode the frames `pick(frameCount)` selects, in ONE container
+      * session: returns (frameCount, frames-in-pick-order). The default
+      * composes [[frameCount]] + [[frameAt]]; container-parsing codecs
+      * override so a k-frame sample costs one parse, not k+1
+      * ([[MediaCodec.imageio]] reads ascending indexes off a single
+      * reader). */
+    def framesAt(blob: Array[Byte],
+        pick: Int => Array[Int]): (Int, Array[Array[Byte]]) = {
+      val fc = frameCount(blob)
+      (fc, pick(fc).map(frameAt(blob, _)))
+    }
   }
 
   object MediaCodec {
@@ -114,13 +126,18 @@ object MultimodalPipeline {
           f: javax.imageio.ImageReader => A): A = {
         val iis = javax.imageio.ImageIO.createImageInputStream(
           new java.io.ByteArrayInputStream(blob))
-        val readers = javax.imageio.ImageIO.getImageReaders(iis)
-        require(readers.hasNext, "unsupported or corrupt media container")
-        val r = readers.next()
-        r.setInput(iis)
-        try f(r)
-        finally {
-          r.dispose()
+        var r: javax.imageio.ImageReader = null
+        // iis must close even when no reader matches or setInput throws —
+        // per-row catch-and-skip callers would otherwise leak a
+        // MemoryCacheImageInputStream per corrupt blob
+        try {
+          val readers = javax.imageio.ImageIO.getImageReaders(iis)
+          require(readers.hasNext, "unsupported or corrupt media container")
+          r = readers.next()
+          r.setInput(iis)
+          f(r)
+        } finally {
+          if (r != null) r.dispose()
           iis.close()
         }
       }
@@ -179,6 +196,15 @@ object MultimodalPipeline {
         withReader(blob) { r =>
           // allowSearch=true walks the container for an exact count
           math.max(1, r.getNumImages(true))
+        }
+
+      override def framesAt(blob: Array[Byte],
+          pick: Int => Array[Int]): (Int, Array[Array[Byte]]) =
+        withReader(blob) { r =>
+          val fc = math.max(1, r.getNumImages(true))
+          // ascending reads reuse the reader's incremental decode state —
+          // one container parse for the whole sample
+          (fc, pick(fc).map(i => packRgb(r.read(i))))
         }
     }
   }
@@ -278,14 +304,16 @@ object MultimodalPipeline {
       codec: MediaCodec = MediaCodec.deterministic): Dataset[VideoFrames] = {
     val spark = ds.sparkSession
     import spark.implicits._
+    // (n-1)*stride < fc by construction: every sampled index is a real
+    // frame for a frame-count-honest codec
+    def pick(fc: Int): Array[Int] = {
+      val n = math.min(maxFrames, math.max(1, fc / stride))
+      Array.tabulate(n)(_ * stride)
+    }
     ds.filter(_.mediaType == "video").mapPartitions { it =>
       it.map { m =>
-        val fc = codec.frameCount(m.blob)
-        // (n-1)*stride < fc by construction: every sampled index is a real
-        // frame for a frame-count-honest codec
-        val n = math.min(maxFrames, math.max(1, fc / stride))
-        val idx = Array.tabulate(n)(_ * stride)
-        VideoFrames(m.id, idx, idx.map(codec.frameAt(m.blob, _)))
+        val (fc, frames) = codec.framesAt(m.blob, pick)
+        VideoFrames(m.id, pick(fc), frames)
       }
     }
   }
@@ -333,6 +361,16 @@ object MultimodalPipeline {
     }
   }
 
+  /** Canonical demo modality derivation (blob bytes % 3 → image / audio /
+    * video) — the ONE definition [[fromDocuments]] and every query that
+    * subsets documents by modality (pipeline_media_dedup's base table)
+    * must share, so keeper rows always join back to base rows. */
+  def mediaTypeOf(nBytes: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column =
+    when(nBytes % 3 === 0, "image")
+      .when(nBytes % 3 === 1, "audio")
+      .otherwise("video")
+
   /** Demo source: documents table lifted into media blobs (text bytes as the
     * opaque payload — the same deterministic fake the multimodal_meta oracle
     * uses). */
@@ -346,9 +384,7 @@ object MultimodalPipeline {
     asMedia(d.select(
       col("doc_id").as("id"),
       encode(col("text"), "utf-8").as("blob"),
-      when(length(encode(col("text"), "utf-8")) % 3 === 0, "image")
-        .when(length(encode(col("text"), "utf-8")) % 3 === 1, "audio")
-        .otherwise("video").as("media_type"),
+      mediaTypeOf(length(encode(col("text"), "utf-8"))).as("media_type"),
       map(lit("source"), col("source")).as("meta")))
   }
 }

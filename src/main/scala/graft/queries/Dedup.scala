@@ -43,6 +43,15 @@ object Dedup {
   // threshold for dHash
   private val MaxPhashHamming = 7
 
+  /** Band b (0..7) of a 64-bit phash as an UNSIGNED byte 0..255. Must be
+    * `& 255`, NOT `% 256`: band 0's shift is zero, so a phash with bit 63
+    * set reaches `%` still negative and Spark's sign-following remainder
+    * would yield -255..-1 — diverging from the oracle's 0..255 bands and
+    * silently splitting bucket-cap counts (simhash32 never hits this
+    * because it packs only 32 bits). Exposed for the spec that pins the
+    * negative-phash case. */
+  private[graft] val PhashBandExpr = "shiftrightunsigned(phash, b * 8) & 255"
+
   // Random-hyperplane LSH (SimHash for vectors): 32 sign bits in 4 bands of
   // 8. Bit agreement P = 1 - θ/π, so a cosine-0.8 pair collides in a band
   // with P ≈ 0.16 and in ≥1 of 4 with P ≈ 0.5 — tunable recall, while
@@ -492,7 +501,7 @@ object Dedup {
       val fp = phashTable(s, dir)
       val bands0 = fp.select(col("doc_id"), col("phash"),
         explode(sequence(lit(0), lit(7))).as("b"))
-        .withColumn("bval", expr("shiftrightunsigned(phash, b * 8) % 256"))
+        .withColumn("bval", expr(PhashBandExpr))
       val wb = Window.partitionBy(col("b"), col("bval"))
       val bands = bands0
         .withColumn("bsz", count(lit(1)).over(wb))
@@ -533,10 +542,10 @@ object Dedup {
     "pipeline_media_dedup" -> { (s, dir) =>
       val d = Tables(s, dir, "documents").filter(col("text").isNotNull)
         .withColumn("n_bytes", length(encode(col("text"), "utf-8")))
+        // the ONE modality definition fromDocuments uses — keeper rows
+        // (derived through fromDocuments) always join back to base rows
         .withColumn("media_type",
-          when(col("n_bytes") % 3 === 0, "image")
-            .when(col("n_bytes") % 3 === 1, "audio")
-            .otherwise("video"))
+          graft.multimodal.MultimodalPipeline.mediaTypeOf(col("n_bytes")))
       val imgKeep = phashTable(s, dir)
         .withColumn("k",
           min(col("doc_id")).over(Window.partitionBy(col("phash"))))

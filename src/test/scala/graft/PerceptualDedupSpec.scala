@@ -183,6 +183,22 @@ class PerceptualDedupSpec extends AnyFunSuite {
     assert(out.contains((10L, 11L, 0)))
   }
 
+  test("phash band extraction stays unsigned when bit 63 is set") {
+    import spark.implicits._
+    // band 0's shift is zero, so a negative phash reaches the byte mask
+    // unshifted — `& 255` must still give 0..255 (a sign-following % 256
+    // would emit -255..-1 and silently miss oracle pairs)
+    val bands = Seq(-1L, java.lang.Long.MIN_VALUE, 0x8040201008040201L)
+      .toDF("phash")
+      .select(col("phash"), explode(sequence(lit(0), lit(7))).as("b"))
+      .withColumn("bval", expr(Dedup.PhashBandExpr))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(bands.nonEmpty)
+    bands.foreach { case (p, b, v) =>
+      assert(v == ((p >>> (b * 8)) & 255L) && v >= 0, s"phash $p band $b")
+    }
+  }
+
   test("pipeline_media_dedup counts one keeper per duplicate group") {
     val out = Dedup.queries("pipeline_media_dedup")(spark, corpusDir)
       .collect()
