@@ -57,15 +57,21 @@ object MultimodalPipeline {
     def frameCount(blob: Array[Byte]): Int = math.max(1, blob.length / 16)
 
     /** Decode the frames `pick(frameCount)` selects, in ONE container
-      * session: returns (frameCount, frames-in-pick-order). The default
-      * composes [[frameCount]] + [[frameAt]]; container-parsing codecs
-      * override so a k-frame sample costs one parse, not k+1
+      * session: returns (pickedIndexes, frames-in-pick-order) — the
+      * indexes actually decoded, so callers never re-derive them. The
+      * count probe is capped at `maxNeeded`: the CALLER guarantees
+      * `pick(fc)` is invariant for all fc ≥ maxNeeded, which lets a
+      * container codec stop parsing at the sample horizon instead of
+      * walking a 10k-frame clip to sample 4 frames. The default composes
+      * [[frameCount]] + [[frameAt]]; container-parsing codecs override so
+      * a k-frame sample costs one bounded parse, not k+1 full ones
       * ([[MediaCodec.imageio]] reads ascending indexes off a single
       * reader). */
-    def framesAt(blob: Array[Byte],
-        pick: Int => Array[Int]): (Int, Array[Array[Byte]]) = {
-      val fc = frameCount(blob)
-      (fc, pick(fc).map(frameAt(blob, _)))
+    def framesAt(blob: Array[Byte], maxNeeded: Int,
+        pick: Int => Array[Int]): (Array[Int], Array[Array[Byte]]) = {
+      val fc = math.min(frameCount(blob), maxNeeded)
+      val idx = pick(fc)
+      (idx, idx.map(frameAt(blob, _)))
     }
   }
 
@@ -76,7 +82,9 @@ object MultimodalPipeline {
     val deterministic: MediaCodec = new MediaCodec {
       def decodeImage(blob: Array[Byte]): (Int, Int, Int, Array[Byte]) = {
         val w = math.max(1, blob.length % 640)
-        val h = math.max(1, (blob.length * 7) % 480)
+        // ×7 in Long: an Int product overflows for blobs over ~306 MB and
+        // would diverge from the oracle's BIGINT arithmetic
+        val h = math.max(1, ((blob.length.toLong * 7) % 480).toInt)
         (w, h, 3, blob) // "pixels" = the raw bytes
       }
       def decodeAudio(blob: Array[Byte]): (Int, Long, Array[Float]) = {
@@ -198,13 +206,30 @@ object MultimodalPipeline {
           math.max(1, r.getNumImages(true))
         }
 
-      override def framesAt(blob: Array[Byte],
-          pick: Int => Array[Int]): (Int, Array[Array[Byte]]) =
+      /** Frame count, but never parsing past `cap` frames: uses the
+        * container's cheap count when it knows one, else probes frame
+        * HEADERS (getWidth, no pixel decode) up to the cap. */
+      private def boundedFrameCount(
+          r: javax.imageio.ImageReader, cap: Int): Int = {
+        val known = r.getNumImages(false) // -1 when a search would be needed
+        if (known >= 0) math.min(known, cap)
+        else {
+          var c = 0
+          while (c < cap && (try { r.getWidth(c); true } catch {
+              case _: IndexOutOfBoundsException => false
+            })) c += 1
+          c
+        }
+      }
+
+      override def framesAt(blob: Array[Byte], maxNeeded: Int,
+          pick: Int => Array[Int]): (Array[Int], Array[Array[Byte]]) =
         withReader(blob) { r =>
-          val fc = math.max(1, r.getNumImages(true))
+          val fc = math.max(1, boundedFrameCount(r, maxNeeded))
+          val idx = pick(fc)
           // ascending reads reuse the reader's incremental decode state —
-          // one container parse for the whole sample
-          (fc, pick(fc).map(i => packRgb(r.read(i))))
+          // one container parse, bounded by the sample horizon
+          (idx, idx.map(i => packRgb(r.read(i))))
         }
     }
   }
@@ -305,15 +330,17 @@ object MultimodalPipeline {
     val spark = ds.sparkSession
     import spark.implicits._
     // (n-1)*stride < fc by construction: every sampled index is a real
-    // frame for a frame-count-honest codec
+    // frame for a frame-count-honest codec. pick(fc) is invariant for
+    // fc >= maxFrames*stride (n saturates at maxFrames), which is the
+    // contract that lets framesAt cap its count probe there.
     def pick(fc: Int): Array[Int] = {
       val n = math.min(maxFrames, math.max(1, fc / stride))
       Array.tabulate(n)(_ * stride)
     }
     ds.filter(_.mediaType == "video").mapPartitions { it =>
       it.map { m =>
-        val (fc, frames) = codec.framesAt(m.blob, pick)
-        VideoFrames(m.id, pick(fc), frames)
+        val (idx, frames) = codec.framesAt(m.blob, maxFrames * stride, pick)
+        VideoFrames(m.id, idx, frames)
       }
     }
   }
@@ -325,7 +352,7 @@ object MultimodalPipeline {
     * kernel the golden fixtures pin), integer grayscale
     * `(299r + 587g + 114b) / 1000`, bit `y*8+x` set when
     * `gray(x,y) > gray(x+1,y)`. Robust to re-encoding (PNG vs BMP of the
-    * same pixels hash identically — MultimodalSpec pins it) and to
+    * same pixels hash identically — PerceptualDedupSpec pins it) and to
     * small-amplitude pixel noise; exact-equal or low-Hamming hashes flag
     * near-duplicate images. Partition-local and collect-free: the 100 TB
     * shape is decode → 72-byte thumbnail → 8-byte hash, so everything after

@@ -141,7 +141,7 @@ object Dedup {
     * the typed [[graft.multimodal.MultimodalPipeline]] path (decode → 9×8
     * resize → gradient bits) on the deterministic codec, so the DuckDB
     * oracle recomputes the hash bit-for-bit from the blob bytes. The REAL
-    * imageio decoder runs the identical plumbing (MultimodalSpec pins its
+    * imageio decoder runs the identical plumbing (PerceptualDedupSpec pins its
     * cross-format fixtures). */
   private def phashTable(s: SparkSession, dir: String): DataFrame = {
     import graft.multimodal.MultimodalPipeline
@@ -482,7 +482,7 @@ object Dedup {
     // — near-dup detection over petabytes of pixels at the cost of a
     // bigint groupBy. Deterministic codec here so the oracle recomputes
     // the identical hash from the blob bytes; the real imageio decoder is
-    // pinned by MultimodalSpec's cross-format (PNG = BMP) fixture.
+    // pinned by PerceptualDedupSpec's cross-format (PNG = BMP) fixture.
     "dedup_phash" -> { (s, dir) =>
       val fp = phashTable(s, dir)
       val w = Window.partitionBy(col("phash"))
@@ -850,14 +850,10 @@ object Dedup {
   // weights, zero-pad guard) mirrors MultimodalPipeline.perceptualHash +
   // resize line for line.
 
-  /** Byte at 0-based offset `i` (a SQL expr) of the blob via its hex form. */
-  private def hexByteSql(i: String): String =
-    s"((instr('0123456789ABCDEF', substr(hx, 2 * ($i) + 1, 1)) - 1) * 16" +
-      s" + instr('0123456789ABCDEF', substr(hx, 2 * ($i) + 2, 1)) - 1)"
-
-  /** Zero-padded byte read — resize's `src < pixels.length` guard. */
+  /** Zero-padded byte read ([[MediaSql.hexByte]] under resize's
+    * `src < pixels.length` guard). */
   private def paddedByteSql(i: String): String =
-    s"(CASE WHEN ($i) < len THEN ${hexByteSql(i)} ELSE 0 END)"
+    s"(CASE WHEN ($i) < len THEN ${MediaSql.hexByte(i)} ELSE 0 END)"
 
   /** Grayscale of thumbnail cell (x, y): nearest-neighbor source pixel +
     * BT.601 integer weights, identical to [[graft.multimodal
@@ -875,7 +871,9 @@ object Dedup {
 
   /** Shared t/g/fp CTEs: per image-typed doc its 64-bit dHash plus the 8
     * byte-bands (band b = bits 8b..8b+7 = thumbnail row b's gradient byte —
-    * the same value Spark's `shiftrightunsigned(phash, b*8) % 256` reads). */
+    * the same unsigned 0..255 value Spark's [[PhashBandExpr]]
+    * `shiftrightunsigned(phash, b*8) & 255` reads; see that constant for
+    * why it must NOT be `% 256`). */
   private lazy val phashSqlCtes: String = {
     val cells = (for (y <- 0 until 8; x <- 0 until 9)
       yield s"  ${phashGraySql(x, y)} AS g${y * 9 + x}").mkString(",\n")
@@ -891,11 +889,11 @@ object Dedup {
         .map(x => phashBitSql(x, b, (1L << x).toString)).mkString(" + ")
       s"  CAST($terms AS BIGINT) AS b$b"
     }.mkString(",\n")
-    s"""t AS (SELECT doc_id, octet_length(encode(text)) AS len,
+    s"""t AS (SELECT doc_id, ${MediaSql.NBytes} AS len,
        |  hex(encode(text)) AS hx,
-       |  GREATEST(1, octet_length(encode(text)) % 640) AS w,
-       |  GREATEST(1, (octet_length(encode(text)) * 7) % 480) AS h
-       |  FROM documents WHERE octet_length(encode(text)) % 3 = 0),
+       |  GREATEST(1, ${MediaSql.NBytes} % 640) AS w,
+       |  GREATEST(1, (${MediaSql.NBytes} * 7) % 480) AS h
+       |  FROM documents WHERE ${MediaSql.isType(0)}),
        |g AS (SELECT doc_id,
        |$cells
        |FROM t),
@@ -913,9 +911,9 @@ object Dedup {
     * CTE names are v-prefixed so the chain composes with the phash chain
     * in one statement. */
   private lazy val videoPairsSqlCtes: String =
-    s"""vt AS (SELECT doc_id, octet_length(encode(text)) AS len,
+    s"""vt AS (SELECT doc_id, ${MediaSql.NBytes} AS len,
        |  hex(encode(text)) AS hx
-       |  FROM documents WHERE octet_length(encode(text)) % 3 = 2),
+       |  FROM documents WHERE ${MediaSql.isType(2)}),
        |vnf AS (SELECT doc_id, hx,
        |  LEAST(4, GREATEST(1, len // 128)) AS n_frames FROM vt),
        |vf0 AS (SELECT DISTINCT doc_id, substr(hx, k * 256 + 1, 32) AS fp
@@ -1207,7 +1205,7 @@ object Dedup {
          |  SELECT doc_id, min(doc_id) OVER (PARTITION BY phash) AS k
          |  FROM pfp) WHERE doc_id = k),
          |aud AS (SELECT doc_id, md5(text) AS hsh FROM documents
-         |  WHERE octet_length(encode(text)) % 3 = 1),
+         |  WHERE ${MediaSql.isType(1)}),
          |aud_keep AS (SELECT doc_id FROM (
          |  SELECT doc_id, min(doc_id) OVER (PARTITION BY hsh) AS k
          |  FROM aud) WHERE doc_id = k),
@@ -1215,10 +1213,7 @@ object Dedup {
          |keep AS (SELECT doc_id FROM img_keep
          |  UNION ALL SELECT doc_id FROM aud_keep
          |  UNION ALL SELECT doc_id FROM vid_keep),
-         |base AS (SELECT doc_id,
-         |  CASE WHEN octet_length(encode(text)) % 3 = 0 THEN 'image'
-         |       WHEN octet_length(encode(text)) % 3 = 1 THEN 'audio'
-         |       ELSE 'video' END AS media_type
+         |base AS (SELECT doc_id, ${MediaSql.TypeCase} AS media_type
          |  FROM documents WHERE text IS NOT NULL)
          |SELECT base.media_type, count(*) AS n_docs,
          |  count(k.doc_id) AS n_keepers

@@ -1147,7 +1147,10 @@ object TextAnalysis {
             .otherwise("video"))
         // deterministic fake decode (no media libs in this environment):
         .withColumn("width", (col("n_bytes") % 640).cast("int"))
-        .withColumn("height", ((col("n_bytes") * 7) % 480).cast("int"))
+        // ×7 in long — the int product overflows past ~306 MB blobs while
+        // the oracle computes in BIGINT
+        .withColumn("height",
+          ((col("n_bytes").cast("long") * 7) % 480).cast("int"))
         .select("doc_id", "source", "n_bytes", "media_type", "width", "height")
         .orderBy("doc_id")
     },
@@ -1617,59 +1620,54 @@ object TextAnalysis {
         |WHERE pos <= greatest(n - 15, 1)
         |ORDER BY doc_id, fp""".stripMargin,
 
+    // modality CASE and byte arithmetic from the shared MediaSql fragments
+    // (the oracle twin of MultimodalPipeline.mediaTypeOf)
     "multimodal_meta" ->
-      """SELECT doc_id, source,
-        |  octet_length(encode(text)) AS n_bytes,
-        |  CASE WHEN octet_length(encode(text)) % 3 = 0 THEN 'image'
-        |       WHEN octet_length(encode(text)) % 3 = 1 THEN 'audio'
-        |       ELSE 'video' END AS media_type,
-        |  CAST(octet_length(encode(text)) % 640 AS INT) AS width,
-        |  CAST((octet_length(encode(text)) * 7) % 480 AS INT) AS height
-        |FROM documents ORDER BY doc_id""".stripMargin,
+      s"""SELECT doc_id, source,
+         |  ${MediaSql.NBytes} AS n_bytes,
+         |  ${MediaSql.TypeCase} AS media_type,
+         |  CAST(${MediaSql.NBytes} % 640 AS INT) AS width,
+         |  CAST((${MediaSql.NBytes} * 7) % 480 AS INT) AS height
+         |FROM documents ORDER BY doc_id""".stripMargin,
 
     // deterministic-codec arithmetic (MultimodalPipeline.MediaCodec
     // .deterministic): width/height/pixels are pure functions of blob size
     "multimodal_decode" ->
-      """WITH t AS (SELECT doc_id, octet_length(encode(text)) AS len
-        |  FROM documents WHERE octet_length(encode(text)) % 3 = 0)
-        |SELECT doc_id AS id,
-        |  CAST(GREATEST(1, len % 640) AS INT) AS width,
-        |  CAST(GREATEST(1, (len * 7) % 480) AS INT) AS height,
-        |  3 AS channels, CAST(len AS INT) AS n_pixels
-        |FROM t ORDER BY id""".stripMargin,
+      s"""WITH t AS (SELECT doc_id, ${MediaSql.NBytes} AS len
+         |  FROM documents WHERE ${MediaSql.isType(0)})
+         |SELECT doc_id AS id,
+         |  CAST(GREATEST(1, len % 640) AS INT) AS width,
+         |  CAST(GREATEST(1, (len * 7) % 480) AS INT) AS height,
+         |  3 AS channels, CAST(len AS INT) AS n_pixels
+         |FROM t ORDER BY id""".stripMargin,
 
     // frameAt(blob, k*8) slices [k*128, k*128+16): per-frame byte count is
     // min(16, max(0, len - k*128)); n = min(4, max(1, len/128))
     "multimodal_frames" ->
-      """WITH t AS (SELECT doc_id, octet_length(encode(text)) AS len
-        |  FROM documents WHERE octet_length(encode(text)) % 3 = 2),
-        |n AS (SELECT doc_id, len,
-        |  LEAST(4, GREATEST(1, len // 128)) AS n_frames FROM t),
-        |f AS (SELECT doc_id, n_frames, len,
-        |  unnest(range(0, n_frames)) AS k FROM n)
-        |SELECT doc_id AS id, CAST(n_frames AS INT) AS n_frames,
-        |  CAST(sum(LEAST(16, GREATEST(0, len - k * 128))) AS BIGINT)
-        |    AS total_frame_bytes
-        |FROM f GROUP BY doc_id, n_frames ORDER BY id""".stripMargin,
+      s"""WITH t AS (SELECT doc_id, ${MediaSql.NBytes} AS len
+         |  FROM documents WHERE ${MediaSql.isType(2)}),
+         |n AS (SELECT doc_id, len,
+         |  LEAST(4, GREATEST(1, len // 128)) AS n_frames FROM t),
+         |f AS (SELECT doc_id, n_frames, len,
+         |  unnest(range(0, n_frames)) AS k FROM n)
+         |SELECT doc_id AS id, CAST(n_frames AS INT) AS n_frames,
+         |  CAST(sum(LEAST(16, GREATEST(0, len - k * 128))) AS BIGINT)
+         |    AS total_frame_bytes
+         |FROM f GROUP BY doc_id, n_frames ORDER BY id""".stripMargin,
 
     // stub decodeAudio: emb[i] = signedByte(blob[i % len]) / 128.0 — byte
-    // values recovered from the hex rendering of the utf-8 blob
+    // values recovered via the shared hex-decode fragment, wrapped at len
     "multimodal_audio" -> {
-      def byteExpr(i: Int): String = {
-        val pos = s"2 * (($i) % len) + 1"
-        s"""(instr('0123456789ABCDEF', substr(hx, $pos, 1)) - 1) * 16
-           | + (instr('0123456789ABCDEF', substr(hx, $pos + 1, 1)) - 1)"""
-          .stripMargin.replace("\n", "")
-      }
       val embCols = (0 until 8).map { i =>
         s"""  CAST((CASE WHEN b$i >= 128 THEN b$i - 256 ELSE b$i END)
            | / 128.0 AS DOUBLE) AS e$i""".stripMargin.replace("\n", "")
       }.mkString(",\n")
-      val byteCols = (0 until 8).map(i => s"  ${byteExpr(i)} AS b$i")
+      val byteCols = (0 until 8)
+        .map(i => s"  ${MediaSql.hexByte(s"($i) % len")} AS b$i")
         .mkString(",\n")
-      s"""WITH t AS (SELECT doc_id, octet_length(encode(text)) AS len,
+      s"""WITH t AS (SELECT doc_id, ${MediaSql.NBytes} AS len,
          |  hex(encode(text)) AS hx
-         |  FROM documents WHERE octet_length(encode(text)) % 3 = 1),
+         |  FROM documents WHERE ${MediaSql.isType(1)}),
          |b AS (SELECT doc_id, len,
          |$byteCols
          |FROM t)
