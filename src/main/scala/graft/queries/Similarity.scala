@@ -99,6 +99,43 @@ object Similarity {
       base.toString
     }
 
+  // text_hash_embed: hashing-trick featurizer dimensionality. 16 buckets =
+  // one hex digit of md5(token), so the bucket function costs a single
+  // digest slice and the oracle can mirror it with one instr() lookup.
+  private val HashDim = 16
+
+  /** Hashing-trick document embedding (feature hashing, Weinberger et al.
+    * 2009): token → md5 → bucket (first hex digit), per-doc bucket counts,
+    * L2-normalized — a model-free text featurizer that gives every document
+    * a dense vector for clustering / similarity / quality probes without an
+    * embedding model in the loop. Scale shape: explode is linear, the ONE
+    * exchange is a groupBy(doc_id) whose partial-aggregation state is 16
+    * longs per doc (map-side combine collapses each task to its distinct
+    * doc set), and the normalize is a pure codegen projection — no HOFs
+    * (ArrayTransform/ArrayAggregate are CodegenFallback; the 16 explicit
+    * sum/divide columns stay inside whole-stage codegen). Bit-exactness vs
+    * the oracle: counts are exact integers in double, the norm is the SAME
+    * left-assoc sum of squares both sides, and each element divides by that
+    * one norm — every operation has a bit-identical DuckDB twin. */
+  def hashEmbed(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables(s, dir, "documents").filter(col("text").isNotNull)
+    val buckets = d
+      .select(col("doc_id"), explode(split(col("text"), "\\s+")).as("tok"))
+      .select(col("doc_id"),
+        conv(substring(md5(col("tok")), 1, 1), 16, 10).cast("int").as("b"))
+    val counted = buckets.groupBy("doc_id").agg(
+      sum(when(col("b") === 0, 1L).otherwise(0L)).cast("double").as("c0"),
+      (1 until HashDim).map(i =>
+        sum(when(col("b") === i, 1L).otherwise(0L)).cast("double")
+          .as(s"c$i")): _*)
+    val sumSq = (0 until HashDim).map(i => col(s"c$i") * col(s"c$i"))
+      .reduceLeft(_ + _) // left-assoc, same order as the oracle's + chain
+    counted.withColumn("nrm", sqrt(sumSq))
+      .select(col("doc_id"),
+        array((0 until HashDim).map(i => col(s"c$i") / col("nrm")): _*)
+          .as("emb"))
+  }
+
   /** Squared L2, driver-side (used only on the tiny query set). */
   private def dist2(a: Array[Double], b: Array[Double]): Double = {
     var s = 0.0
@@ -284,6 +321,41 @@ object Similarity {
           sum(col("q")).as("sum_q"),
           sum(col("q") * col("q")).as("sum_q2"))
         .orderBy("dim")
+    },
+
+    // Hashing-trick document embeddings (see [[hashEmbed]]) — the
+    // model-free text→vector bridge between the text family and the
+    // ANN/dedup embedding family. Output is flattened to scalar columns
+    // (the emb_project precedent) so the driver's column-sorted hash
+    // compares cell scalars, not array renderings.
+    "text_hash_embed" -> { (s, dir) =>
+      val e = hashEmbed(s, dir)
+      e.select(col("doc_id") +:
+        (0 until HashDim).map(i =>
+          element_at(col("emb"), i + 1).as(s"e$i")): _*)
+        .orderBy("doc_id")
+    },
+
+    // Text-to-text similarity search with NO embedding model: hash-embed
+    // every document, broadcast the (tiny) query set, brute-force cosine
+    // top-k in one pass over the corpus — same plan shape as
+    // ann_cosine_topk (broadcast small side, stream the big side, no
+    // shuffle of the corpus until the per-query top-k window). The vectors
+    // are unit-norm by construction, so the dot IS the cosine.
+    "ann_text_topk" -> { (s, dir) =>
+      val e = hashEmbed(s, dir)
+      val q = e.filter(col("doc_id") < NumQueries)
+        .select(col("doc_id").as("q_id"), col("emb").as("qv"))
+      val w = Window.partitionBy(col("q_id"))
+        .orderBy(col("cosine").desc, col("n_id"))
+      e.select(col("doc_id").as("n_id"), col("emb").as("nv"))
+        .crossJoin(broadcast(q))
+        .filter(col("n_id") =!= col("q_id"))
+        .withColumn("cosine", dot(col("qv"), col("nv")))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= TopK)
+        .select("q_id", "n_id", "rank", "cosine")
+        .orderBy("q_id", "rank")
     }
   )
 
@@ -344,6 +416,54 @@ object Similarity {
         |  CAST(sum(q.q) AS BIGINT) AS sum_q,
         |  CAST(sum(q.q * q.q) AS BIGINT) AS sum_q2
         |FROM q JOIN r USING (dim)
-        |GROUP BY dim ORDER BY dim""".stripMargin
+        |GROUP BY dim ORDER BY dim""".stripMargin,
+
+    "text_hash_embed" -> {
+      val cols = (0 until HashDim)
+        .map(i => s"c[${i + 1}] / nrm AS e$i").mkString(",\n  ")
+      s"""WITH $hashEmbedCte
+         |SELECT doc_id,
+         |  $cols
+         |FROM n ORDER BY doc_id""".stripMargin
+    },
+
+    "ann_text_topk" -> {
+      def dotSql(x: String, y: String) =
+        s"list_reduce(list_transform(range(1, ${HashDim + 1}), " +
+          s"i -> $x[i] * $y[i]), (acc, x) -> acc + x)"
+      s"""WITH $hashEmbedCte,
+         |v AS (SELECT doc_id, $hashEmbedDivs AS emb FROM n),
+         |q AS (SELECT doc_id AS q_id, emb AS qv FROM v
+         |  WHERE doc_id < $NumQueries),
+         |scored AS (
+         |  SELECT q.q_id, v.doc_id AS n_id,
+         |    ${dotSql("q.qv", "v.emb")} AS cosine
+         |  FROM v CROSS JOIN q WHERE v.doc_id <> q.q_id),
+         |ranked AS (
+         |  SELECT q_id, n_id, cosine,
+         |    row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, n_id) AS rank
+         |  FROM scored)
+         |SELECT q_id, n_id, rank, cosine FROM ranked
+         |WHERE rank <= $TopK ORDER BY q_id, rank""".stripMargin
+    }
   )
+
+  /** DuckDB CTE chain mirroring [[hashEmbed]] bit-for-bit: tokens → first
+    * md5 hex digit as bucket → 16 count_if counts as doubles → the same
+    * left-assoc sum-of-squares norm. Ends at CTE `n` (doc_id, c, nrm). */
+  private def hashEmbedCte: String = {
+    val counts = (0 until HashDim)
+      .map(i => s"CAST(count_if(b = $i) AS DOUBLE)").mkString("[", ", ", "]")
+    val sumSq = (1 to HashDim).map(i => s"c[$i] * c[$i]").mkString(" + ")
+    s"""t AS (SELECT doc_id, unnest(string_split_regex(text, '\\s+')) AS tok
+       |  FROM documents WHERE text IS NOT NULL),
+       |bk AS (SELECT doc_id,
+       |  instr('0123456789abcdef', substr(md5(tok), 1, 1)) - 1 AS b FROM t),
+       |cnt AS (SELECT doc_id, $counts AS c FROM bk GROUP BY doc_id),
+       |n AS (SELECT doc_id, c, sqrt($sumSq) AS nrm FROM cnt)""".stripMargin
+  }
+
+  /** The normalized-embedding list literal over [[hashEmbedCte]]'s `n`. */
+  private def hashEmbedDivs: String =
+    (1 to HashDim).map(i => s"c[$i] / nrm").mkString("[", ", ", "]")
 }

@@ -1188,6 +1188,30 @@ object TextAnalysis {
         col("durationMs").as("duration_ms")) ++
         (0 until 8).map(i => element_at(col("embedding"), i + 1).as(s"e$i")): _*)
         .orderBy("id")
+    },
+
+    // Data-card report: the per-(source, lang) corpus summary every intake
+    // run publishes next to its output — volume (docs/tokens/chars), length
+    // range, and exact-dup pressure (distinct md5(text) vs doc count).
+    // Scale shape: hash BEFORE the aggregate so the shuffle carries 32-hex
+    // digests, one groupBy whose non-distinct aggregates partial-aggregate
+    // map-side and whose count_distinct runs Spark's standard two-phase
+    // partial-distinct; output is one row per (source, lang) — a broadcast-
+    // sized data card at any corpus size. All-integer → exact vs oracle.
+    "corpus_report" -> { (s, dir) =>
+      val d = Tables(s, dir, "documents").filter(col("text").isNotNull)
+        .select(col("source"), col("lang"),
+          size(toks(col("text"))).cast("long").as("n_toks"),
+          col("n_chars"), md5(col("text")).as("hsh"))
+      d.groupBy("source", "lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_toks")).as("n_tokens"),
+          min(col("n_toks")).as("min_toks"),
+          max(col("n_toks")).as("max_toks"),
+          sum(col("n_chars")).as("sum_chars"),
+          count_distinct(col("hsh")).as("n_unique"),
+          (count(lit(1)) - count_distinct(col("hsh"))).as("n_exact_dups"))
+        .orderBy("source", "lang")
     }
   )
 
@@ -1675,6 +1699,20 @@ object TextAnalysis {
          |  CAST(len AS BIGINT) AS duration_ms,
          |$embCols
          |FROM b ORDER BY id""".stripMargin
-    }
+    },
+
+    "corpus_report" ->
+      """SELECT source, lang, count(*) AS n_docs,
+        |  CAST(sum(len(string_split_regex(text, '\s+'))) AS BIGINT)
+        |    AS n_tokens,
+        |  CAST(min(len(string_split_regex(text, '\s+'))) AS BIGINT)
+        |    AS min_toks,
+        |  CAST(max(len(string_split_regex(text, '\s+'))) AS BIGINT)
+        |    AS max_toks,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |  count(DISTINCT md5(text)) AS n_unique,
+        |  count(*) - count(DISTINCT md5(text)) AS n_exact_dups
+        |FROM documents WHERE text IS NOT NULL
+        |GROUP BY source, lang ORDER BY source, lang""".stripMargin
   )
 }
