@@ -335,4 +335,48 @@ object StreamOps {
           out.iterator
       }
   }
+
+  /** Streaming data card: the batch `corpus_report` made incremental — a
+    * watermark-windowed (source, lang) aggregate, so a continuously-
+    * ingesting intake publishes its volume / length-range / dup-pressure
+    * card per event-time window instead of once per batch run. All the
+    * sum/min/max/count columns are the exact batch semantics per window;
+    * the ONE deviation is dup pressure: exact `count_distinct` needs
+    * unbounded per-group state in a stream, so this uses
+    * `approx_count_distinct` (HLL, ~2% default error) and names the
+    * column `n_unique_approx` to say so — the batch operator remains the
+    * exact record. State: one aggregate row per (window, source, lang),
+    * expired by the watermark — bounded by card width × live windows, not
+    * by stream volume.
+    *
+    * @param docs    streaming DataFrame
+    * @param tsCol   event-time column
+    * @param textCol document text column
+    * @param srcCol  source/domain column
+    * @param langCol language column
+    * @param win     event-time window width, e.g. "1 hour"
+    * @param delay   watermark delay (allowed lateness)
+    */
+  def corpusReportStream(
+      docs: DataFrame, tsCol: String, textCol: String,
+      srcCol: String, langCol: String,
+      win: String, delay: String): DataFrame = {
+    val t = split(col(textCol), "\\s+")
+    docs.filter(col(textCol).isNotNull)
+      .select(col(tsCol), col(srcCol), col(langCol),
+        size(t).cast("long").as("n_toks"),
+        length(col(textCol)).cast("long").as("n_chars"),
+        md5(col(textCol)).as("hsh"))
+      .withWatermark(tsCol, delay)
+      .groupBy(window(col(tsCol), win), col(srcCol), col(langCol))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_toks")).as("n_tokens"),
+        min(col("n_toks")).as("min_toks"),
+        max(col("n_toks")).as("max_toks"),
+        sum(col("n_chars")).as("sum_chars"),
+        approx_count_distinct(col("hsh")).as("n_unique_approx"))
+      .select(col("window.start").as("win_start"), col(srcCol),
+        col(langCol), col("n_docs"), col("n_tokens"), col("min_toks"),
+        col("max_toks"), col("sum_chars"), col("n_unique_approx"))
+  }
 }

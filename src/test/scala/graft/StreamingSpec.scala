@@ -544,4 +544,43 @@ class StreamingSpec extends AnyFunSuite {
         "expired state must not produce hits")
     } finally q.stop()
   }
+
+  test("corpusReportStream emits the per-window data card on watermark close") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(java.sql.Timestamp, String, String, String)]
+    def ts(s: Long) = new java.sql.Timestamp(s * 1000L)
+    val q = StreamOps.corpusReportStream(
+      mem.toDF().toDF("ts", "text", "source", "lang"),
+      "ts", "text", "source", "lang", "10 seconds", "5 seconds")
+      .writeStream.format("memory").queryName("scard")
+      .outputMode("append").start()
+    try {
+      // window [0, 10): web/en has an exact-dup pair + a distinct doc;
+      // books/en has one doc
+      mem.addData(
+        (ts(1), "aa bb cc", "web", "en"),
+        (ts(2), "aa bb cc", "web", "en"),
+        (ts(3), "dd ee", "web", "en"),
+        (ts(4), "ff gg hh ii", "books", "en"))
+      q.processAllAvailable()
+      // nothing emits until the watermark passes the window end
+      assert(spark.table("scard").count() === 0)
+      mem.addData((ts(30), "zz", "web", "en"))
+      q.processAllAvailable()
+      val got = spark.table("scard")
+        .selectExpr("unix_timestamp(win_start)", "source", "lang",
+          "n_docs", "n_tokens", "min_toks", "max_toks", "sum_chars",
+          "n_unique_approx")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2),
+          r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6),
+          r.getLong(7), r.getLong(8))).toSet
+      // HLL at these cardinalities is exact in practice, but only the
+      // exact columns are load-bearing assertions
+      assert(got == Set(
+        (0L, "web", "en", 3L, 8L, 2L, 3L, 21L, 2L),
+        (0L, "books", "en", 1L, 4L, 4L, 4L, 11L, 1L)),
+        s"got $got")
+    } finally q.stop()
+  }
 }
