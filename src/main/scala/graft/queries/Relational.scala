@@ -305,7 +305,7 @@ object Relational {
         lit(null).cast("long").as("event_id"))
       val evtSide = ev.select(
         col("user_id").as("k"),
-        col("ts").as("t"), // ns epoch (LongType via nanosAsLong)
+        col("ts").as("t"), // ns epoch (LongType — Tables.apply's contract)
         lit(1).as("is_evt"),
         lit(null).cast("long").as("okey"),
         lit(null).cast("double").as("oprice"),

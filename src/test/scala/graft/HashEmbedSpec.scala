@@ -18,10 +18,12 @@ class HashEmbedSpec extends AnyFunSuite {
       .map("%02x".format(_)).mkString
 
   /** Reference featurizer: token → first md5 hex digit → count → L2 norm.
-    * Same left-assoc fold order as the engine, so doubles match bitwise. */
+    * Same left-assoc fold order as the engine, so doubles match bitwise.
+    * split limit -1 keeps trailing empty tokens — the engine's Spark
+    * `split` and the oracle's `string_split_regex` both do. */
   private def embed(text: String): Array[Double] = {
     val counts = new Array[Double](16)
-    text.split("\\s+").foreach { tok =>
+    text.split("\\s+", -1).foreach { tok =>
       counts(Integer.parseInt(md5Hex(tok).substring(0, 1), 16)) += 1.0
     }
     var ss = 0.0
@@ -37,9 +39,10 @@ class HashEmbedSpec extends AnyFunSuite {
     s
   }
 
+  // null-text docs are out of scope by the same filter the engine applies
   private lazy val docs: Map[Long, String] =
     spark.read.parquet(s"$sfDir/documents.parquet")
-      .select("doc_id", "text").collect()
+      .select("doc_id", "text").where("text IS NOT NULL").collect()
       .map(r => r.getLong(0) -> r.getString(1)).toMap
 
   test("text_hash_embed matches the driver-side recompute bit-for-bit") {

@@ -568,19 +568,26 @@ class StreamingSpec extends AnyFunSuite {
       assert(spark.table("scard").count() === 0)
       mem.addData((ts(30), "zz", "web", "en"))
       q.processAllAvailable()
-      val got = spark.table("scard")
+      val rows = spark.table("scard")
         .selectExpr("unix_timestamp(win_start)", "source", "lang",
           "n_docs", "n_tokens", "min_toks", "max_toks", "sum_chars",
           "n_unique_approx")
-        .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2),
-          r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6),
-          r.getLong(7), r.getLong(8))).toSet
-      // HLL at these cardinalities is exact in practice, but only the
-      // exact columns are load-bearing assertions
-      assert(got == Set(
-        (0L, "web", "en", 3L, 8L, 2L, 3L, 21L, 2L),
-        (0L, "books", "en", 1L, 4L, 4L, 4L, 11L, 1L)),
-        s"got $got")
+        .collect()
+      val exact = rows.map(r => (r.getLong(0), r.getString(1),
+        r.getString(2), r.getLong(3), r.getLong(4), r.getLong(5),
+        r.getLong(6), r.getLong(7))).toSet
+      assert(exact == Set(
+        (0L, "web", "en", 3L, 8L, 2L, 3L, 21L),
+        (0L, "books", "en", 1L, 4L, 4L, 4L, 11L)),
+        s"got $exact")
+      // the dup-pressure column is HLL-approximate BY CONTRACT — bound it
+      // (true distincts: web/en 2, books/en 1), don't pin implementation
+      // bits that a Spark upgrade may shift
+      rows.foreach { r =>
+        val (src, nDocs, uniq) = (r.getString(1), r.getLong(3), r.getLong(8))
+        assert(uniq >= 1 && uniq <= nDocs,
+          s"$src n_unique_approx=$uniq outside [1, $nDocs]")
+      }
     } finally q.stop()
   }
 }
