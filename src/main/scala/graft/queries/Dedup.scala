@@ -716,6 +716,36 @@ object Dedup {
     // math through position-set joins, false positives included.
     "decontaminate_bloom" -> { (s, dir) =>
       decontaminateBloom(s, dir, graft.operators.BloomSketch.DefaultBits)
+    },
+
+    // Split-leakage audit: the QA gate behind split_corpus's "leakage-safe"
+    // claim. A random-by-document split is only leakage-safe if no NEAR-
+    // duplicate pair straddles the train/val/test boundary — near-dup
+    // copies of one document landing in train AND val is benchmark
+    // contamination the split itself manufactured. This reports, per
+    // unordered split-pair class, how many verified minhash near-dup pairs
+    // (sim_est >= 0.5) land there and how severe the worst one is; the
+    // `crosses=true` rows are the leakage. Composes the SHARED
+    // [[minhashPairs]] derivation with the SHARED split assignment
+    // (TextAnalysis.splitBucketOf/splitOf), so the audit can never
+    // disagree with the dedup family or with split_corpus about either
+    // input. Scale shape: everything rides minhashPairs' existing
+    // exchanges; the split labels are pure projections on the pair rows
+    // and the final aggregate is ≤9 rows with map-side partials.
+    "split_leakage_audit" -> { (s, dir) =>
+      def splitCol(id: Column): Column =
+        TextAnalysis.splitOf(TextAnalysis.splitBucketOf(id))
+      minhashPairs(s, dir)
+        .withColumn("split_a", splitCol(col("doc_a")))
+        .withColumn("split_b", splitCol(col("doc_b")))
+        .select(
+          least(col("split_a"), col("split_b")).as("split_lo"),
+          greatest(col("split_a"), col("split_b")).as("split_hi"),
+          (col("split_a") =!= col("split_b")).as("crosses"),
+          col("sim_est"))
+        .groupBy("split_lo", "split_hi", "crosses")
+        .agg(count(lit(1)).as("n_pairs"), max(col("sim_est")).as("max_sim"))
+        .orderBy("split_lo", "split_hi")
     }
   )
 
@@ -1284,7 +1314,22 @@ object Dedup {
          |GROUP BY 1, 2 ORDER BY doc_id""".stripMargin,
 
     "decontaminate_bloom" ->
-      bloomOracleSql(graft.operators.BloomSketch.DefaultBits)
+      bloomOracleSql(graft.operators.BloomSketch.DefaultBits),
+
+    "split_leakage_audit" -> {
+      def splitSql(idRef: String) = TextAnalysis.splitCaseSql(
+        s"(${TextAnalysis.splitBucketSqlFor(idRef)})")
+      s"""WITH $minhashPairsSqlCtes,
+         |lab AS (SELECT sim_est,
+         |  ${splitSql("doc_a")} AS split_a,
+         |  ${splitSql("doc_b")} AS split_b
+         |  FROM pairs)
+         |SELECT least(split_a, split_b) AS split_lo,
+         |  greatest(split_a, split_b) AS split_hi,
+         |  least(split_a, split_b) <> greatest(split_a, split_b) AS crosses,
+         |  count(*) AS n_pairs, max(sim_est) AS max_sim
+         |FROM lab GROUP BY 1, 2, 3 ORDER BY 1, 2""".stripMargin
+    }
   )
 
   /** decontaminate_bloom's oracle, generated from the SAME capacity knob

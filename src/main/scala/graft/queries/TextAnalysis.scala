@@ -40,11 +40,13 @@ object TextAnalysis {
   private[queries] val SplitTrainMax = 52429 // floor(0.8 * 65536) rounded up
   private[queries] val SplitValMax = 58982 // train + floor(0.1 * 65536)
 
-  /** 16-bit split bucket of doc_id (0..65535): first 4 hex chars of
-    * md5(doc_id) — stable under repartitioning, re-runs, corpus growth. */
-  private[queries] def splitBucket: Column =
-    conv(substring(md5(col("doc_id").cast("string")), 1, 4), 16, 10)
-      .cast("long")
+  /** 16-bit split bucket of a document id (0..65535): first 4 hex chars
+    * of md5(id) — stable under repartitioning, re-runs, corpus growth. */
+  private[queries] def splitBucketOf(id: Column): Column =
+    conv(substring(md5(id.cast("string")), 1, 4), 16, 10).cast("long")
+
+  /** [[splitBucketOf]] of the `doc_id` column. */
+  private[queries] def splitBucket: Column = splitBucketOf(col("doc_id"))
 
   /** train/val/test assignment from a [[splitBucket]] value. */
   private[queries] def splitOf(bucket: Column): Column =
@@ -52,12 +54,15 @@ object TextAnalysis {
       .when(bucket < SplitValMax, "val")
       .otherwise("test")
 
+  /** DuckDB form of [[splitBucketOf]] over an id column reference. */
+  private[queries] def splitBucketSqlFor(idRef: String): String =
+    s"""list_reduce(list_transform(range(1, 5),
+       |    i -> instr('0123456789abcdef',
+       |      substr(md5(CAST($idRef AS VARCHAR)), i, 1)) - 1),
+       |    (a, b) -> a * 16 + b)""".stripMargin
+
   /** DuckDB form of [[splitBucket]] (md5 hex fold to the same integer). */
-  private[queries] val SplitBucketSql: String =
-    """list_reduce(list_transform(range(1, 5),
-      |    i -> instr('0123456789abcdef',
-      |      substr(md5(CAST(doc_id AS VARCHAR)), i, 1)) - 1),
-      |    (a, b) -> a * 16 + b)""".stripMargin
+  private[queries] val SplitBucketSql: String = splitBucketSqlFor("doc_id")
 
   /** Shared CTE prefix for the BPE oracles: word-frequency table s0, then
     * BpeMerges chained rounds (pair count p_k → deterministic argmax b_k →

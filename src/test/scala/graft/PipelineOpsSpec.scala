@@ -353,4 +353,20 @@ class PipelineOpsSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getBoolean(6)).toMap
     assert(out === Map(1L -> true, 2L -> false, 3L -> false, 4L -> false))
   }
+
+  test("split_leakage_audit accounts for every minhash near-dup pair") {
+    val sfDir = "/root/testdata/sf0.001"
+    val audit = Dedup.queries("split_leakage_audit")(spark, sfDir).collect()
+    val nPairs = Dedup.queries("dedup_minhash_lsh")(spark, sfDir).count()
+    // the audit is a PARTITION of the pair set by split class: totals match
+    assert(audit.map(_.getLong(3)).sum === nPairs,
+      "audit pair totals must equal the dedup_minhash_lsh pair count")
+    audit.foreach { r =>
+      val (lo, hi, crosses) = (r.getString(0), r.getString(1), r.getBoolean(2))
+      assert(crosses === (lo != hi), s"crosses flag wrong for ($lo, $hi)")
+      assert(lo <= hi, s"split class not canonicalized: ($lo, $hi)")
+      val maxSim = r.getDouble(4)
+      assert(maxSim >= 0.5 && maxSim <= 1.0, s"max_sim $maxSim out of range")
+    }
+  }
 }
