@@ -6,6 +6,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.expressions.aggregate
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, ReadMaxRows, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.sources._
@@ -80,15 +81,21 @@ final class GraftTable(path: String) extends Table with SupportsRead {
     new GraftScanBuilder(path, options)
 }
 
-/** Collects `version` bounds for plan-time file pruning. ALL filters are
-  * returned as residuals — pruning is file/row-group granular, so Spark
-  * must still apply the exact row predicate (mirrors what the parquet file
-  * source does with its pushed filters). */
+/** Collects `version` bounds for plan-time file pruning. Version-bound
+  * filters are accepted FULLY (no Spark residual): the source enforces
+  * them exactly — fully-covered segments need no check, clipped segments
+  * go through the row reader's per-row range check (the same exactness the
+  * streaming path already depends on, where no residual exists), and the
+  * commit-log tail is filtered at plan time. Full acceptance is what lets
+  * a bounded MIN/MAX/COUNT push all the way down (Spark refuses aggregate
+  * pushdown under a residual Filter). Everything else is returned as a
+  * residual for Spark to apply. */
 final class GraftScanBuilder(path: String, options: CaseInsensitiveStringMap)
     extends ScanBuilder
     with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns
-    with SupportsPushDownLimit {
+    with SupportsPushDownLimit
+    with SupportsPushDownAggregates {
 
   private var required: StructType = EventSchema.schema
   private var minV: Long = 1L
@@ -126,7 +133,8 @@ final class GraftScanBuilder(path: String, options: CaseInsensitiveStringMap)
         }
       case _ => nonVersionFilter = true; false
     }
-    filters
+    // residuals = only what the source does NOT enforce exactly
+    filters.filterNot(pushed.contains)
   }
   override def pushedFilters(): Array[Filter] = pushed
 
@@ -140,11 +148,120 @@ final class GraftScanBuilder(path: String, options: CaseInsensitiveStringMap)
     * residual re-check); any other predicate disables it. */
   override def pushLimit(l: Int): Boolean = { limit = l; false }
 
-  override def build(): Scan = new GraftScan(path, required, minV, maxV,
-    if (nonVersionFilter) -1 else limit,
-    options.getLong("startVersion", 0L),
-    options.getLong("maxVersionsPerTrigger", 0L),
-    versionAsOf != Long.MaxValue)
+  // ---- aggregate pushdown: O(1) MIN/MAX/COUNT from the commit log ----
+  // Versions are DENSE (the sequencer's invariant), so over any clipped
+  // range [lo, hi] of the log: min(version)=lo, max(version)=hi,
+  // count(*)=hi-lo+1 — all derivable from segment names + the commit-log
+  // tail without opening one data file. This is the reference's O(1)
+  // Version/VersionInitial (R7) surfaced through Spark's native DSv2
+  // aggregate pushdown: `spark.read.format("graft").load(dir).agg(...)`
+  // plans a ONE-ROW scan instead of a full-history read. Pushdown is
+  // COMPLETE (no partial-merge pass) and engages only when it is exactly
+  // answerable: no group-by, no non-version residual filter (a residual
+  // would drop rows the arithmetic can't see), and every aggregate is
+  // min/max/count over `version` or count(*).
+  private var aggTags: Seq[String] = Nil
+
+  private def versionRef(
+      e: org.apache.spark.sql.connector.expressions.Expression): Boolean =
+    e match {
+      case r: org.apache.spark.sql.connector.expressions.NamedReference =>
+        r.fieldNames.sameElements(Array("version"))
+      case _ => false
+    }
+
+  private def tagOf(f: aggregate.AggregateFunc): Option[String] = f match {
+    case m: aggregate.Min if versionRef(m.column) => Some("min")
+    case m: aggregate.Max if versionRef(m.column) => Some("max")
+    case _: aggregate.CountStar => Some("count")
+    // count(version): version is non-null by schema, so = count(*)
+    case c: aggregate.Count if !c.isDistinct && versionRef(c.column) =>
+      Some("count")
+    case _ => None
+  }
+
+  private def canPush(agg: aggregate.Aggregation): Boolean =
+    !nonVersionFilter && agg.groupByExpressions.isEmpty &&
+      agg.aggregateExpressions.nonEmpty &&
+      agg.aggregateExpressions.forall(f => tagOf(f).isDefined)
+
+  override def supportCompletePushDown(agg: aggregate.Aggregation): Boolean =
+    canPush(agg)
+
+  override def pushAggregation(agg: aggregate.Aggregation): Boolean = {
+    if (!canPush(agg)) return false
+    aggTags = agg.aggregateExpressions.toSeq.map(f => tagOf(f).get)
+    true
+  }
+
+  override def build(): Scan =
+    if (aggTags.nonEmpty) new GraftAggScan(path, minV, maxV, aggTags)
+    else new GraftScan(path, required, minV, maxV,
+      if (nonVersionFilter) -1 else limit,
+      options.getLong("startVersion", 0L),
+      options.getLong("maxVersionsPerTrigger", 0L),
+      versionAsOf != Long.MaxValue)
+}
+
+/** The one-row scan a completely-pushed MIN/MAX/COUNT aggregate plans:
+  * values are computed at PLANNING time from [[ParquetLogBackend.readView]]
+  * (segment-name version ranges + the commit-log tail — no data-file
+  * opens), shipped in the single [[InputPartition]]. An empty clipped
+  * range yields SQL semantics: count 0, min/max NULL. */
+final class GraftAggScan(
+    path: String, minV: Long, maxV: Long, tags: Seq[String]) extends Scan {
+
+  override def readSchema(): StructType =
+    StructType(tags.zipWithIndex.map { case (t, i) =>
+      StructField(s"${t}_$i", LongType, nullable = t != "count")
+    })
+
+  override def description(): String =
+    s"GraftLogAggScan path=$path, versions=[$minV, " +
+      s"${if (maxV == Long.MaxValue) "∞" else maxV}], " +
+      s"pushedAggregates=[${tags.mkString(", ")}] (O(1), no file reads)"
+
+  override def toBatch: Batch = new Batch {
+    override def planInputPartitions(): Array[InputPartition] = {
+      val (segs, tail) = ParquetLogBackend.readView(path)
+      val versions = segs.map(_._2) ++ tail.map(_.version)
+      val lo = (segs.map(_._2) ++ tail.map(_.version))
+        .foldLeft(Long.MaxValue)(math.min).max(minV)
+      val hi = (segs.map(_._3) ++ tail.map(_.version))
+        .foldLeft(Long.MinValue)(math.max).min(maxV)
+      val empty = versions.isEmpty || hi < lo
+      val values: Array[java.lang.Long] = tags.map {
+        case "count" => java.lang.Long.valueOf(if (empty) 0L else hi - lo + 1L)
+        case "min" => if (empty) null else java.lang.Long.valueOf(lo)
+        case "max" => if (empty) null else java.lang.Long.valueOf(hi)
+      }.toArray
+      Array(GraftAggPartition(values))
+    }
+
+    override def createReaderFactory(): PartitionReaderFactory =
+      new GraftAggReaderFactory
+  }
+}
+
+final case class GraftAggPartition(values: Array[java.lang.Long])
+    extends InputPartition
+
+final class GraftAggReaderFactory extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+    new PartitionReader[InternalRow] {
+      private val values = p.asInstanceOf[GraftAggPartition].values
+      private var emitted = false
+      override def next(): Boolean = !emitted && { emitted = true; true }
+      override def get(): InternalRow = {
+        val row = new GenericInternalRow(values.length)
+        values.zipWithIndex.foreach {
+          case (null, i) => row.setNullAt(i)
+          case (v, i) => row.setLong(i, v.longValue)
+        }
+        row
+      }
+      override def close(): Unit = ()
+    }
 }
 
 final class GraftScan(

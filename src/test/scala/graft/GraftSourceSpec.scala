@@ -295,4 +295,52 @@ class GraftSourceSpec extends AnyFunSuite {
       assert(after.flatten === (23L to 32L))
     } finally b.close()
   }
+
+  test("min/max/count aggregates push down to an O(1) one-row scan") {
+    val dir = mkLog() // versions 1..35 (30 in segments + 5 tail)
+    val df = spark.read.format("graft").load(dir)
+      .agg(min("version"), max("version"), count(lit(1)))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("GraftLogAggScan"), plan)
+    assert(plan.contains("no file reads"), plan)
+    assert(!plan.contains("GraftLogScan path"), plan)
+    val r = df.collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) === ((1L, 35L, 35L)))
+
+    // version bounds clip the arithmetic, still no file reads
+    val bounded = spark.read.format("graft").load(dir)
+      .filter(col("version") >= 12 && col("version") <= 18)
+      .agg(count(lit(1)), min("version"))
+    assert(bounded.queryExecution.executedPlan.toString
+      .contains("GraftLogAggScan"), "bounded agg must stay pushed")
+    val br = bounded.collect().head
+    assert((br.getLong(0), br.getLong(1)) === ((7L, 12L)))
+
+    // versionAsOf composes: the ceiling is just a maxV clamp
+    val asOf = spark.read.format("graft").option("versionAsOf", 15)
+      .load(dir).agg(max("version"), count(lit(1))).collect().head
+    assert((asOf.getLong(0), asOf.getLong(1)) === ((15L, 15L)))
+
+    // an empty clipped range has SQL semantics: count 0, min NULL
+    val empty = spark.read.format("graft").load(dir)
+      .filter(col("version") > 100).agg(count(lit(1)), min("version"))
+      .collect().head
+    assert(empty.getLong(0) === 0L)
+    assert(empty.isNullAt(1))
+
+    // a non-version residual filter DISABLES pushdown (the arithmetic
+    // can't see dropped rows) — falls back to the real scan, same answer
+    val residual = spark.read.format("graft").load(dir)
+      .filter(col("label") === "tail").agg(count(lit(1)))
+    assert(!residual.queryExecution.executedPlan.toString
+      .contains("GraftLogAggScan"), "residual filter must block pushdown")
+    assert(residual.collect().head.getLong(0) === 5L)
+
+    // group-by aggregates are NOT pushed (not derivable from bounds)
+    val grouped = spark.read.format("graft").load(dir)
+      .groupBy("label").count()
+    assert(!grouped.queryExecution.executedPlan.toString
+      .contains("GraftLogAggScan"), "group-by must block pushdown")
+    assert(grouped.count() === 4L) // seg1 seg2 seg3 tail
+  }
 }
