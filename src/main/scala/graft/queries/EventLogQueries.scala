@@ -120,6 +120,20 @@ object EventLogQueries {
         s.read.format("graft").option("versionAsOf", 500L).load(logDir))
     },
 
+    // The V2 source's O(1) aggregate pushdown under the driver gate: a
+    // bounded MIN/MAX/COUNT over the log plans as a one-row
+    // GraftLogAggScan (values from segment names + commit-log tail —
+    // zero data-file opens; plan shape asserted in GraftSourceSpec, the
+    // VALUES pinned here against the DuckDB oracle).
+    "graft_version_stats" -> { (s, dir) =>
+      val logDir = graft.sources.GraftLogCache.ensure(s, dir)
+      s.read.format("graft").load(logDir)
+        .filter(col("version") >= 100L)
+        .agg(min(col("version")).as("version_lo"),
+          max(col("version")).as("version_hi"),
+          count(lit(1)).as("n_versions"))
+    },
+
     // Version / VersionInitial point lookups (eventlog.go:132-140)
     "el_version_bounds" -> { (s, dir) =>
       log(s, dir).agg(
@@ -367,6 +381,13 @@ object EventLogQueries {
     "graft_scan_forward" -> graftScanSql(""),
 
     "graft_time_travel" -> graftScanSql("WHERE event_id + 1 <= 500"),
+
+    // log versions are event_id + 1 (GraftLogCache's mapping)
+    "graft_version_stats" ->
+      """SELECT min(event_id + 1) AS version_lo,
+        |  max(event_id + 1) AS version_hi,
+        |  count(*) AS n_versions
+        |FROM events WHERE event_id + 1 >= 100""".stripMargin,
 
     "el_version_bounds" ->
       """SELECT min(event_id) AS version_initial,
