@@ -5,7 +5,7 @@ import graft.storage.{ParquetLogBackend, StoredEvent}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
-import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.expressions.{SortOrder, Transform}
 import org.apache.spark.sql.connector.expressions.aggregate
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, ReadMaxRows, SupportsTriggerAvailableNow}
@@ -95,6 +95,7 @@ final class GraftScanBuilder(path: String, options: CaseInsensitiveStringMap)
     with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns
     with SupportsPushDownLimit
+    with SupportsPushDownTopN
     with SupportsPushDownAggregates {
 
   private var required: StructType = EventSchema.schema
@@ -148,6 +149,37 @@ final class GraftScanBuilder(path: String, options: CaseInsensitiveStringMap)
     * residual re-check); any other predicate disables it. */
   override def pushLimit(l: Int): Boolean = { limit = l; false }
 
+  // ---- topN pushdown: plan from the RIGHT END of the log ----
+  // `orderBy(version).limit(k)` already stops planning after ⌈k⌉-covering
+  // files (the limit machinery above); the DESCENDING twin — "the last k
+  // events", the reference's reverse scan and THE ops query on any log —
+  // would read every file without this: a plain limit can only stop from
+  // the low-version end. TopN pushdown tells the planner the direction,
+  // so a tail query on a 10-year log plans the commit-log tail + the
+  // newest file(s), never the history. PARTIAL push (isPartiallyPushed):
+  // Spark keeps the authoritative Sort+Limit; the source only chooses
+  // which files can possibly contribute — exact under dense versions,
+  // and declined when a non-version residual could drop planned rows.
+  private var limitDesc = false
+
+  override def pushTopN(orders: Array[SortOrder], n: Int): Boolean = {
+    if (nonVersionFilter || orders.length != 1) return false
+    val o = orders.head
+    val onVersion = o.expression() match {
+      case r: org.apache.spark.sql.connector.expressions.NamedReference =>
+        r.fieldNames.sameElements(Array("version"))
+      case _ => false
+    }
+    if (!onVersion) return false
+    limitDesc =
+      o.direction() == org.apache.spark.sql.connector.expressions
+        .SortDirection.DESCENDING
+    limit = n
+    true
+  }
+
+  override def isPartiallyPushed(): Boolean = true
+
   // ---- aggregate pushdown: O(1) MIN/MAX/COUNT from the commit log ----
   // Versions are DENSE (the sequencer's invariant), so over any clipped
   // range [lo, hi] of the log: min(version)=lo, max(version)=hi,
@@ -200,7 +232,8 @@ final class GraftScanBuilder(path: String, options: CaseInsensitiveStringMap)
       if (nonVersionFilter) -1 else limit,
       options.getLong("startVersion", 0L),
       options.getLong("maxVersionsPerTrigger", 0L),
-      versionAsOf != Long.MaxValue)
+      versionAsOf != Long.MaxValue,
+      limitDesc)
 }
 
 /** The one-row scan a completely-pushed MIN/MAX/COUNT aggregate plans:
@@ -272,14 +305,16 @@ final class GraftScan(
     limit: Int,
     streamStartVersion: Long,
     maxVersionsPerTrigger: Long,
-    timeTravel: Boolean = false)
+    timeTravel: Boolean = false,
+    limitDesc: Boolean = false)
     extends Scan with SupportsReportStatistics {
 
   override def readSchema(): StructType = required
   override def description(): String =
     s"GraftLogScan path=$path, versions=[$minV, " +
       s"${if (maxV == Long.MaxValue) "∞" else maxV}], " +
-      s"${if (limit >= 0) s"limit=$limit, " else ""}" +
+      s"${if (limit >= 0) s"limit=$limit${if (limitDesc) " desc" else ""}, "
+      else ""}" +
       s"columns=[${required.fieldNames.mkString(", ")}]"
 
   /** Dense versions make row counts EXACT from segment names alone (no
@@ -329,7 +364,8 @@ final class GraftScan(
     }
   }
 
-  override def toBatch: Batch = new GraftBatch(path, required, minV, maxV, limit)
+  override def toBatch: Batch =
+    new GraftBatch(path, required, minV, maxV, limit, limitDesc)
 
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream = {
     // a stream pinned to a historical snapshot is a contradiction — fail
@@ -342,11 +378,12 @@ final class GraftScan(
 }
 
 final class GraftBatch(
-    path: String, required: StructType, minV: Long, maxV: Long, limit: Int)
+    path: String, required: StructType, minV: Long, maxV: Long, limit: Int,
+    limitDesc: Boolean = false)
     extends Batch {
 
   override def planInputPartitions(): Array[InputPartition] =
-    GraftPartitions.plan(path, minV, maxV, limit)
+    GraftPartitions.plan(path, minV, maxV, limit, limitDesc)
 
   override def createReaderFactory(): PartitionReaderFactory =
     new GraftReaderFactory(required)
@@ -374,13 +411,35 @@ object GraftPartitions {
     * over-planning the last file is fine; under-planning is what this
     * guards against. */
   def plan(
-      path: String, minV: Long, maxV: Long, limit: Int = -1)
-      : Array[InputPartition] = {
+      path: String, minV: Long, maxV: Long, limit: Int = -1,
+      desc: Boolean = false): Array[InputPartition] = {
     if (maxV < minV) return Array.empty
     val (segs, tail) = ParquetLogBackend.readView(path)
     val overlapping = segs
       .filter { case (_, v0, v1) => v1 >= minV && v0 <= maxV }
       .sortBy(_._2)
+    val inRangeTail = tail.filter(e => e.version >= minV && e.version <= maxV)
+    if (desc && limit >= 0) {
+      // "last k" (pushed TopN on version DESC): coverage accumulates from
+      // the HIGH end — the commit-log tail is the newest slice, then
+      // segment files newest-first; a tail query on a 10-year log plans
+      // the tail + the newest file(s), never the history. Spark's own
+      // Sort+Limit on top makes over-planning harmless (partial push);
+      // under-planning is impossible because clipped row counts are exact
+      // under dense versions.
+      var covered = inRangeTail.length.toLong
+      val files = ArrayBuffer.empty[InputPartition]
+      val it = overlapping.reverseIterator
+      while (it.hasNext && covered < limit) {
+        val (f, v0, v1) = it.next()
+        files += GraftFilePartition(f,
+          if (minV > v0) minV else 1L,
+          if (maxV < v1) maxV else Long.MaxValue)
+        covered += clippedRows(v0, v1, minV, maxV)
+      }
+      return (files.toSeq ++ (if (inRangeTail.nonEmpty)
+        Seq(GraftTailPartition(inRangeTail.toArray)) else Nil)).toArray
+    }
     var covered = 0L
     val files = ArrayBuffer.empty[InputPartition]
     val it = overlapping.iterator
@@ -396,7 +455,7 @@ object GraftPartitions {
     }
     val t =
       if (limit >= 0 && covered >= limit) Nil
-      else tail.filter(e => e.version >= minV && e.version <= maxV)
+      else inRangeTail
     (files.toSeq ++ (if (t.nonEmpty) Seq(GraftTailPartition(t.toArray)) else Nil))
       .toArray
   }

@@ -343,4 +343,41 @@ class GraftSourceSpec extends AnyFunSuite {
       .contains("GraftLogAggScan"), "group-by must block pushdown")
     assert(grouped.count() === 4L) // seg1 seg2 seg3 tail
   }
+
+  test("topN on version desc plans only the newest files (tail of the log)") {
+    val dir = mkLog() // 3 segments of 10 + 5 tail events = versions 1..35
+    // last 8 = tail (5) + 3 from segment 3: plan must touch ONE file
+    val parts = GraftPartitions.plan(dir, 1L, Long.MaxValue, 8, desc = true)
+    assert(parts.count(_.isInstanceOf[GraftFilePartition]) === 1, parts.toSeq)
+    assert(parts.count(_.isInstanceOf[GraftTailPartition]) === 1, parts.toSeq)
+    // last 3 = tail only: zero file partitions on any log size
+    val tailOnly = GraftPartitions.plan(dir, 1L, Long.MaxValue, 3, desc = true)
+    assert(tailOnly.forall(_.isInstanceOf[GraftTailPartition]), tailOnly.toSeq)
+
+    // end-to-end: pushed direction shows in the plan, results exact
+    val df = spark.read.format("graft").load(dir)
+      .orderBy(col("version").desc).limit(8)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("limit=8 desc"), plan)
+    assert(df.select("version").collect().map(_.getLong(0)).toSeq
+      === (35L to 28L by -1))
+
+    // ascending topN keeps the existing low-end file-stop
+    val asc = spark.read.format("graft").load(dir)
+      .orderBy("version").limit(12)
+    assert(asc.queryExecution.executedPlan.toString.contains("limit=12"),
+      "asc topN must push as a planning limit")
+    assert(asc.select("version").collect().map(_.getLong(0)).toSeq
+      === (1L to 12L))
+
+    // a non-version residual blocks the file-stop (correctness over
+    // cleverness: the residual could drop planned rows)
+    val residual = spark.read.format("graft").load(dir)
+      .filter(col("label") === "seg1")
+      .orderBy(col("version").desc).limit(2)
+    assert(!residual.queryExecution.executedPlan.toString
+      .contains("desc"), "residual filter must block topN push")
+    assert(residual.select("version").collect().map(_.getLong(0)).toSeq
+      === Seq(10L, 9L))
+  }
 }
