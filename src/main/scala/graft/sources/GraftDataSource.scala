@@ -122,12 +122,26 @@ final class GraftScanBuilder(path: String, options: CaseInsensitiveStringMap)
     pushed = filters.filter {
       case GreaterThanOrEqual("version", v) =>
         lit(v).exists { x => minV = math.max(minV, x); true }
+      // strict bounds saturate instead of wrapping: with no Spark residual
+      // on accepted version filters, `version > Long.MaxValue` via a
+      // wrapped `x + 1` would read the WHOLE log instead of nothing — the
+      // degenerate literal must force a provably-empty range (maxV < minV)
       case GreaterThan("version", v) =>
-        lit(v).exists { x => minV = math.max(minV, x + 1); true }
+        lit(v).exists { x =>
+          if (x == Long.MaxValue) {
+            minV = Long.MaxValue; maxV = math.min(maxV, Long.MaxValue - 1)
+          } else minV = math.max(minV, x + 1)
+          true
+        }
       case LessThanOrEqual("version", v) =>
         lit(v).exists { x => maxV = math.min(maxV, x); true }
       case LessThan("version", v) =>
-        lit(v).exists { x => maxV = math.min(maxV, x - 1); true }
+        lit(v).exists { x =>
+          // minV starts at 1, so maxV = MinValue alone makes the range empty
+          if (x == Long.MinValue) maxV = Long.MinValue
+          else maxV = math.min(maxV, x - 1)
+          true
+        }
       case EqualTo("version", v) =>
         lit(v).exists { x =>
           minV = math.max(minV, x); maxV = math.min(maxV, x); true
@@ -165,12 +179,7 @@ final class GraftScanBuilder(path: String, options: CaseInsensitiveStringMap)
   override def pushTopN(orders: Array[SortOrder], n: Int): Boolean = {
     if (nonVersionFilter || orders.length != 1) return false
     val o = orders.head
-    val onVersion = o.expression() match {
-      case r: org.apache.spark.sql.connector.expressions.NamedReference =>
-        r.fieldNames.sameElements(Array("version"))
-      case _ => false
-    }
-    if (!onVersion) return false
+    if (!versionRef(o.expression())) return false
     limitDesc =
       o.direction() == org.apache.spark.sql.connector.expressions
         .SortDirection.DESCENDING
@@ -257,12 +266,12 @@ final class GraftAggScan(
   override def toBatch: Batch = new Batch {
     override def planInputPartitions(): Array[InputPartition] = {
       val (segs, tail) = ParquetLogBackend.readView(path)
-      val versions = segs.map(_._2) ++ tail.map(_.version)
-      val lo = (segs.map(_._2) ++ tail.map(_.version))
-        .foldLeft(Long.MaxValue)(math.min).max(minV)
-      val hi = (segs.map(_._3) ++ tail.map(_.version))
-        .foldLeft(Long.MinValue)(math.max).min(maxV)
-      val empty = versions.isEmpty || hi < lo
+      // log bounds from segment-name ranges + the tail; NOT all versions
+      val starts = segs.map(_._2) ++ tail.map(_.version)
+      val ends = segs.map(_._3) ++ tail.map(_.version)
+      val lo = starts.foldLeft(Long.MaxValue)(math.min).max(minV)
+      val hi = ends.foldLeft(Long.MinValue)(math.max).min(maxV)
+      val empty = starts.isEmpty || hi < lo
       val values: Array[java.lang.Long] = tags.map {
         case "count" => java.lang.Long.valueOf(if (empty) 0L else hi - lo + 1L)
         case "min" => if (empty) null else java.lang.Long.valueOf(lo)
@@ -419,6 +428,25 @@ object GraftPartitions {
       .filter { case (_, v0, v1) => v1 >= minV && v0 <= maxV }
       .sortBy(_._2)
     val inRangeTail = tail.filter(e => e.version >= minV && e.version <= maxV)
+    // ONE clip rule + ONE coverage loop for both directions: carry a bound
+    // only when it actually cuts into the file's own range — a fully-
+    // covered file then reads unbounded (no forced version projection, no
+    // parquet filter, no per-row range check). Returns the planned files
+    // and the rows they cover (exact under dense versions).
+    def takeCovering(
+        it: Iterator[(String, Long, Long)],
+        already: Long): (Seq[InputPartition], Long) = {
+      var covered = already
+      val files = ArrayBuffer.empty[InputPartition]
+      while (it.hasNext && (limit < 0 || covered < limit)) {
+        val (f, v0, v1) = it.next()
+        files += GraftFilePartition(f,
+          if (minV > v0) minV else 1L,
+          if (maxV < v1) maxV else Long.MaxValue)
+        covered += clippedRows(v0, v1, minV, maxV)
+      }
+      (files.toSeq, covered)
+    }
     if (desc && limit >= 0) {
       // "last k" (pushed TopN on version DESC): coverage accumulates from
       // the HIGH end — the commit-log tail is the newest slice, then
@@ -427,37 +455,18 @@ object GraftPartitions {
       // Sort+Limit on top makes over-planning harmless (partial push);
       // under-planning is impossible because clipped row counts are exact
       // under dense versions.
-      var covered = inRangeTail.length.toLong
-      val files = ArrayBuffer.empty[InputPartition]
-      val it = overlapping.reverseIterator
-      while (it.hasNext && covered < limit) {
-        val (f, v0, v1) = it.next()
-        files += GraftFilePartition(f,
-          if (minV > v0) minV else 1L,
-          if (maxV < v1) maxV else Long.MaxValue)
-        covered += clippedRows(v0, v1, minV, maxV)
-      }
-      return (files.toSeq ++ (if (inRangeTail.nonEmpty)
+      val (files, _) =
+        takeCovering(overlapping.reverseIterator, inRangeTail.length.toLong)
+      (files ++ (if (inRangeTail.nonEmpty)
         Seq(GraftTailPartition(inRangeTail.toArray)) else Nil)).toArray
+    } else {
+      val (files, covered) = takeCovering(overlapping.iterator, 0L)
+      val t =
+        if (limit >= 0 && covered >= limit) Nil
+        else inRangeTail
+      (files ++ (if (t.nonEmpty) Seq(GraftTailPartition(t.toArray)) else Nil))
+        .toArray
     }
-    var covered = 0L
-    val files = ArrayBuffer.empty[InputPartition]
-    val it = overlapping.iterator
-    while (it.hasNext && (limit < 0 || covered < limit)) {
-      val (f, v0, v1) = it.next()
-      // carry a bound only when it actually cuts into this file's own
-      // range — a fully-covered file then reads unbounded: no forced
-      // version projection, no parquet filter, no per-row range check
-      files += GraftFilePartition(f,
-        if (minV > v0) minV else 1L,
-        if (maxV < v1) maxV else Long.MaxValue)
-      covered += clippedRows(v0, v1, minV, maxV)
-    }
-    val t =
-      if (limit >= 0 && covered >= limit) Nil
-      else inRangeTail
-    (files.toSeq ++ (if (t.nonEmpty) Seq(GraftTailPartition(t.toArray)) else Nil))
-      .toArray
   }
 }
 

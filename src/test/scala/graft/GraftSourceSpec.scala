@@ -380,4 +380,22 @@ class GraftSourceSpec extends AnyFunSuite {
     assert(residual.select("version").collect().map(_.getLong(0)).toSeq
       === Seq(10L, 9L))
   }
+
+  test("strict bounds at Long extremes saturate to an empty range") {
+    // with version filters fully accepted (no Spark residual), a wrapped
+    // `x + 1` on `version > Long.MaxValue` would read the WHOLE log —
+    // these must return nothing / SQL empty-aggregate semantics
+    val dir = mkLog()
+    val gt = spark.read.format("graft").load(dir)
+      .filter(col("version") > Long.MaxValue)
+    assert(gt.count() === 0L)
+    val agg = spark.read.format("graft").load(dir)
+      .filter(col("version") > Long.MaxValue)
+      .agg(count(lit(1)), min("version")).collect().head
+    assert(agg.getLong(0) === 0L)
+    assert(agg.isNullAt(1))
+    val lt = spark.read.format("graft").load(dir)
+      .filter(col("version") < Long.MinValue)
+    assert(lt.count() === 0L)
+  }
 }
