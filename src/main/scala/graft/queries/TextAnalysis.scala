@@ -196,6 +196,62 @@ object TextAnalysis {
        |GROUP BY 1 ORDER BY doc_id""".stripMargin
   }
 
+  /** DuckDB mirror of [[tokenIdsOf]], appended after [[bpeCtes]]: mt maps
+    * merge outputs to ids (keep-first = min round, matching the Scala map
+    * build), the v-chain tokenizes the distinct ordered-word vocabulary
+    * (identity LEFT JOIN when a round is exhausted, as tokenizeBpeSql),
+    * wid maps each word's symbols to id lists in symbol order, and di
+    * flattens word id-lists back into per-document sequences via the
+    * zipped-unnest position. Ends with `di(doc_id, tids)`. */
+  private def tokenIdCtes: String = {
+    val vRounds = (1 to BpeMerges).map { k =>
+      s"""v$k AS (SELECT word, coalesce(
+         |    ${mergeCycleSql(s"v${k - 1}.syms", s"b$k.l", s"b$k.r")},
+         |    v${k - 1}.syms) AS syms
+         |  FROM v${k - 1} LEFT JOIN b$k ON TRUE)""".stripMargin
+    }
+    val mtUnion = (1 to BpeMerges)
+      .map(k => s"SELECT round, l || r AS merged FROM b$k")
+      .mkString("\n  UNION ALL ")
+    s"""mt AS (SELECT merged, CAST(25 + min(round) AS INT) AS id
+       |  FROM ($mtUnion) GROUP BY merged),
+       |ow AS (SELECT doc_id, unnest(ws) AS word, unnest(range(len(ws))) AS pos
+       |  FROM (SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS ws
+       |    FROM documents WHERE text IS NOT NULL)),
+       |v0 AS (SELECT word, array_to_string(list_transform(
+       |    range(1, length(word) + 1), i -> substr(word, i, 1)), ' ')
+       |    AS syms FROM (SELECT DISTINCT word FROM ow)),
+       |${vRounds.mkString(",\n")},
+       |sy AS (SELECT word, unnest(sl) AS sym, unnest(range(len(sl))) AS sp
+       |  FROM (SELECT word, string_split(syms, ' ') AS sl FROM v$BpeMerges)),
+       |wid AS (SELECT word, list(CASE WHEN length(sym) = 1
+       |      THEN ascii(sym) - 97 ELSE mt.id END ORDER BY sp) AS ids
+       |  FROM sy LEFT JOIN mt ON mt.merged = sy.sym GROUP BY word),
+       |di AS (SELECT ow.doc_id, flatten(list(wid.ids ORDER BY ow.pos)) AS tids
+       |  FROM ow JOIN wid USING (word) GROUP BY ow.doc_id)""".stripMargin
+  }
+
+  /** Packing CTEs over `di` — DuckDB mirror of [[packTokenIds]]; ends with
+    * `pq(bucket, seq_id, n_real, n_pad, ids)`. */
+  private def packTokenIdCtes: String =
+    s"""de AS (SELECT doc_id, doc_id % $PackBuckets AS bucket,
+       |    list_concat(tids, [$BpeEosId]) AS ids FROM di),
+       |toff AS (SELECT doc_id, bucket, ids, len(ids) AS n,
+       |    sum(len(ids)) OVER (PARTITION BY bucket
+       |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS cum FROM de),
+       |tst AS (SELECT bucket, (cum - n + p) AS gpos, id
+       |  FROM (SELECT bucket, cum, n, unnest(ids) AS id,
+       |      unnest(range(len(ids))) AS p FROM toff)),
+       |tsq AS (SELECT bucket, gpos // $TokenSeqLen AS seq_id,
+       |    list(id ORDER BY gpos) AS real_ids
+       |  FROM tst GROUP BY 1, 2),
+       |pq AS (SELECT bucket, seq_id,
+       |    CAST(len(real_ids) AS BIGINT) AS n_real,
+       |    CAST($TokenSeqLen - len(real_ids) AS BIGINT) AS n_pad,
+       |    list_concat(real_ids, list_transform(
+       |      range($TokenSeqLen - len(real_ids)), x -> $BpePadId)) AS ids
+       |  FROM tsq)""".stripMargin
+
   /** DuckDB form of [[splitOf]] over a bucket column reference. */
   private[queries] def splitCaseSql(bucketRef: String): String =
     s"""CASE WHEN $bucketRef < $SplitTrainMax THEN 'train'
@@ -207,6 +263,17 @@ object TextAnalysis {
   private val TokenBudgetPerLang = 2500 // sample_token_budget: tokens/lang
   private val BpeMerges = 8 // train_bpe: merge rounds learned
   private val BpeMaxWordLen = 16 // train_bpe: word-length bound on the vocab
+  // token-id scheme (tokenize_bpe_ids / pack_token_sequences): the base
+  // alphabet 'a'..'z' owns ids 0..25, merge round k's output token owns
+  // 25+k (merge order IS the id order, the GPT-2 byte-alphabet-then-merges
+  // convention), and the two specials sit at the fixed end of the id
+  // space — fixed because they derive from the BpeMerges CONSTANT, not
+  // the learned merge count, so an early-exhausted trainer still yields
+  // the same special ids and the oracle agrees without knowing how many
+  // rounds actually ran.
+  private val BpeEosId = 26 + BpeMerges // end-of-document separator token
+  private val BpePadId = 27 + BpeMerges // tail-sequence padding token
+  private val TokenSeqLen = 128 // pack_token_sequences: ids per training row
   private val BpeBatchRounds = 3 // train_bpe_batched: super-rounds run
   private val BpeBatchK = 4 // train_bpe_batched: max merges applied per round
   private val BpeBatchCand = 12 // train_bpe_batched: candidate ranking window
@@ -425,6 +492,130 @@ object TextAnalysis {
     if (ckpt != null) graft.operators.ConnectedComponents.release(ckpt)
     words.unpersist()
     out.result()
+  }
+
+  /** merged-token → id literal map for [[tokenIdsOf]]. Two different merge
+    * rounds CAN concatenate to the same string (e.g. (a,bc) and (ab,c) both
+    * yield "abc"); the vocabulary is keyed by string, so the FIRST round
+    * wins — mirrored in SQL as `25 + min(round)`. Empty merge list gets an
+    * unmatchable sentinel key so element_at stays well-typed. */
+  private def mergeIdMapCol(
+      merges: Seq[(Long, String, String, String, Long)]): Column = {
+    val m = scala.collection.mutable.LinkedHashMap[String, Int]()
+    for ((round, _, _, merged, _) <- merges if !m.contains(merged))
+      m += merged -> (25 + round.toInt)
+    if (m.isEmpty) map_from_arrays(array(lit(" ")), array(lit(-1)))
+    else map_from_arrays(
+      array(m.keys.map(lit).toSeq: _*), array(m.values.map(lit).toSeq: _*))
+  }
+
+  /** Per-document token-id SEQUENCES — the artifact a training job consumes
+    * (tokenize_bpe stops at counts; this emits the ids, in document order).
+    *
+    * Scale shape, same discipline as tokenize_bpe: the merge chain runs
+    * over the DISTINCT-word vocabulary (vocab-sized, never corpus-sized),
+    * the word → id-array table is broadcast (megabytes at any corpus
+    * size), and the corpus-scale work is one (doc_id, pos, word) explode
+    * joined against that broadcast plus one doc_id re-group — shuffle
+    * volume ≈ the tokenized corpus itself (~4 B/token), paid exactly once,
+    * which is the floor for materializing token ids at all. Word order is
+    * preserved via posexplode position, restored with a per-doc
+    * sort_array over (pos, ids) structs — a per-group sort of an
+    * already-partitioned aggregate, not a global sort. */
+  private def tokenIdsOf(s: SparkSession, dir: String,
+      merges: Seq[(Long, String, String, String, Long)]): DataFrame = {
+    val ow = Tables(s, dir, "documents")
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), posexplode(
+        expr("regexp_extract_all(lower(text), '([a-z]+)', 1)"))
+        .as(Seq("pos", "word")))
+    var v = ow.select("word").distinct()
+      .withColumn("syms", concat_ws(" ",
+        expr("transform(sequence(1, length(word)), i -> substring(word, i, 1))")))
+    for ((_, l, r, _, _) <- merges)
+      v = v.withColumn("syms", applyBpeMerge(col("syms"), l, r))
+    val mid = mergeIdMapCol(merges)
+    // every symbol is either a single base char (ascii arithmetic) or some
+    // merge round's output (map hit by construction) — no null path
+    val wids = v.select(col("word"),
+      transform(split(col("syms"), " "), sym =>
+        when(length(sym) === 1, ascii(sym) - 97)
+          .otherwise(element_at(mid, sym)).cast("int")).as("ids"))
+    ow.join(broadcast(wids), "word")
+      .groupBy("doc_id")
+      .agg(sort_array(collect_list(struct(col("pos"), col("ids")))).as("a"))
+      .select(col("doc_id"),
+        flatten(expr("transform(a, x -> x.ids)")).as("token_ids"))
+  }
+
+  /** Pack per-document token-id sequences into fixed-[[TokenSeqLen]]
+    * training rows — the REAL-id twin of [[packAssignments]]'s count-only
+    * discipline, and the last link between the tokenizer and a trainer:
+    * each document's ids plus an explicit [[BpeEosId]] boundary are
+    * concatenated per hash bucket in the same deterministic md5 order as
+    * pack_sequences, the concatenated stream is sliced every TokenSeqLen
+    * ids (documents straddle row boundaries, GPT-style), and ONLY the
+    * bucket-tail sequence is padded with [[BpePadId]].
+    *
+    * Scale shape: the window cumsum runs on doc-level rows (one row per
+    * document); the per-TOKEN work is one posexplode → (bucket, seq_id)
+    * re-group — shuffle volume ≈ 4 B/token + row overhead, the corpus
+    * itself once, which SCALING.md prices as the floor for this operator
+    * class. Buckets are independent streams: adding executors adds
+    * buckets, no global order exists anywhere. */
+  private def packTokenIds(ids: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("bucket"))
+      .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+    val stream = ids.select(col("doc_id"),
+        (col("doc_id") % PackBuckets).as("bucket"),
+        concat(col("token_ids"), array(lit(BpeEosId))).as("ids"))
+      .withColumn("n", size(col("ids")).cast("long"))
+      .withColumn("start_off", sum(col("n")).over(w) - col("n"))
+      .select(col("bucket"), col("start_off"),
+        posexplode(col("ids")).as(Seq("p", "id")))
+      .withColumn("gpos", col("start_off") + col("p"))
+    stream
+      .withColumn("seq_id", expr(s"gpos DIV $TokenSeqLen"))
+      .withColumn("spos", (col("gpos") % TokenSeqLen).cast("int"))
+      .groupBy("bucket", "seq_id")
+      .agg(sort_array(collect_list(struct(col("spos"), col("id")))).as("a"))
+      .withColumn("n_real", size(col("a")).cast("long"))
+      .withColumn("n_pad", lit(TokenSeqLen.toLong) - col("n_real"))
+      .withColumn("token_ids", concat(expr("transform(a, x -> x.id)"),
+        array_repeat(lit(BpePadId), col("n_pad").cast("int"))))
+      .withColumn("ids_md5",
+        md5(concat_ws(",", col("token_ids").cast("array<string>"))))
+      .select("bucket", "seq_id", "n_real", "n_pad", "token_ids", "ids_md5")
+  }
+
+  /** The PERSISTED-model path for the composed tokenize pipeline: train
+    * once (in-process cache), publish as a versioned
+    * [[graft.operators.BpeModel]] parquet artifact keyed by the corpus
+    * fingerprint, and read the pipeline's merges back FROM THE ARTIFACT —
+    * so the composed query exercises the same save → load lifecycle a
+    * production pipeline relies on (the in-process cache is only the
+    * trainer's memo, never the cross-job contract). Fingerprint-unreadable
+    * corpora (remote fs) fall back to the in-memory table. */
+  private def persistedMerges(s: SparkSession, dir: String)
+      : Seq[(Long, String, String, String, Long)] = {
+    import graft.operators.BpeModel
+    val fp =
+      try Some(graft.sources.GraftLogCache
+        .corpusFingerprint(dir, "documents.parquet"))
+      catch { case scala.util.control.NonFatal(_) => None }
+    fp match {
+      case Some(f) =>
+        val key = java.security.MessageDigest.getInstance("MD5")
+          .digest(s"$dir|$f".getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString.take(12)
+        val root = java.nio.file.Paths.get(
+          sys.props.getOrElse("java.io.tmpdir", "/tmp"),
+          s"graft-bpemodel-$key").toString
+        if (BpeModel.versions(root).isEmpty)
+          BpeModel.save(s, learnBpeMergesCached(s, dir), root)
+        BpeModel.load(s, root)
+      case None => learnBpeMergesCached(s, dir)
+    }
   }
 
   /** BPE-ish pre-tokenizer: letter runs, digit runs, single symbols. */
@@ -717,6 +908,58 @@ object TextAnalysis {
         .agg(sum(col("n")).as("n_words"),
           sum(col("n") * col("w_tokens")).as("n_bpe_tokens"))
         .orderBy("doc_id")
+    },
+
+    // Per-document token-id SEQUENCES — the end-to-end tokenizer output a
+    // trainer actually consumes (tokenize_bpe's counts prove the merge
+    // chain; this emits the real ids in document order — see [[tokenIdsOf]]
+    // for the id scheme and the broadcast-vocabulary scale shape). The
+    // audit projection pins every id bit-for-bit without shipping the
+    // variable-length arrays through the driver compare (the emb_quantize
+    // precedent): md5 over the comma-joined ids IS the sequence.
+    "tokenize_bpe_ids" -> { (s, dir) =>
+      tokenIdsOf(s, dir, learnBpeMergesCached(s, dir))
+        .select(col("doc_id"),
+          size(col("token_ids")).cast("long").as("n_ids"),
+          expr("aggregate(token_ids, CAST(0 AS BIGINT), (a, x) -> a + x)")
+            .as("sum_ids"),
+          md5(concat_ws(",", col("token_ids").cast("array<string>")))
+            .as("ids_md5"))
+        .orderBy("doc_id")
+    },
+
+    // Fixed-length training rows of REAL token ids — the missing link
+    // between tokenize_bpe_ids and a training job: EOS document
+    // boundaries, TokenSeqLen-id rows, PAD only on each bucket's tail
+    // sequence (see [[packTokenIds]]). Output audit row per sequence; the
+    // md5 pins the full id content of every training row.
+    "pack_token_sequences" -> { (s, dir) =>
+      packTokenIds(tokenIdsOf(s, dir, learnBpeMergesCached(s, dir)))
+        .select("bucket", "seq_id", "n_real", "n_pad", "ids_md5")
+        .orderBy("bucket", "seq_id")
+    },
+
+    // The composed tokenizer pipeline: train (cached) → PERSIST the merge
+    // table as a versioned BpeModel parquet artifact → load it back →
+    // tokenize to ids → pack into training rows — i.e. the full
+    // tokenizer-to-trainer path run through the on-disk model, not the
+    // in-process cache (see [[persistedMerges]]). Output: one data-card
+    // row per pack bucket, with a bucket_md5 folding every sequence's
+    // content hash in seq order — the whole packed corpus pinned in
+    // PackBuckets rows.
+    "pipeline_tokenize_corpus" -> { (s, dir) =>
+      packTokenIds(tokenIdsOf(s, dir, persistedMerges(s, dir)))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n_seqs"),
+          sum(col("n_real")).as("n_real_tokens"),
+          sum(col("n_pad")).as("n_pad_tokens"),
+          sort_array(collect_list(struct(col("seq_id"), col("ids_md5"))))
+            .as("sh"))
+        .select(col("bucket"), col("n_seqs"), col("n_real_tokens"),
+          col("n_pad_tokens"),
+          md5(concat_ws(",", expr("transform(sh, x -> x.ids_md5)")))
+            .as("bucket_md5"))
+        .orderBy("bucket")
     },
 
     // Deterministic train/val/test split — the leakage-safe corpus cut
@@ -1360,6 +1603,36 @@ object TextAnalysis {
     "train_bpe_batched" -> trainBpeBatchedSql,
 
     "tokenize_bpe" -> tokenizeBpeSql,
+
+    "tokenize_bpe_ids" ->
+      s"""WITH $bpeCtes,
+         |$tokenIdCtes
+         |SELECT doc_id, CAST(len(tids) AS BIGINT) AS n_ids,
+         |  CAST(list_sum(tids) AS BIGINT) AS sum_ids,
+         |  md5(array_to_string(tids, ',')) AS ids_md5
+         |FROM di ORDER BY doc_id""".stripMargin,
+
+    "pack_token_sequences" ->
+      s"""WITH $bpeCtes,
+         |$tokenIdCtes,
+         |$packTokenIdCtes
+         |SELECT CAST(bucket AS BIGINT) AS bucket,
+         |  CAST(seq_id AS BIGINT) AS seq_id, n_real, n_pad,
+         |  md5(array_to_string(ids, ',')) AS ids_md5
+         |FROM pq ORDER BY bucket, seq_id""".stripMargin,
+
+    "pipeline_tokenize_corpus" ->
+      s"""WITH $bpeCtes,
+         |$tokenIdCtes,
+         |$packTokenIdCtes,
+         |ph AS (SELECT bucket, seq_id, n_real, n_pad,
+         |    md5(array_to_string(ids, ',')) AS h FROM pq)
+         |SELECT CAST(bucket AS BIGINT) AS bucket,
+         |  CAST(count(*) AS BIGINT) AS n_seqs,
+         |  CAST(sum(n_real) AS BIGINT) AS n_real_tokens,
+         |  CAST(sum(n_pad) AS BIGINT) AS n_pad_tokens,
+         |  md5(string_agg(h, ',' ORDER BY seq_id)) AS bucket_md5
+         |FROM ph GROUP BY bucket ORDER BY bucket""".stripMargin,
 
     "split_corpus" ->
       s"""WITH b AS (SELECT doc_id, lang,

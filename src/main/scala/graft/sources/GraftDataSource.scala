@@ -115,8 +115,16 @@ final class GraftScanBuilder(path: String, options: CaseInsensitiveStringMap)
   private var limit: Int = -1
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    // Version filters are accepted FULLY (no Spark residual re-check), so
+    // this conversion is load-bearing: a lossy narrowing (Double/Decimal →
+    // Long) would silently enforce the WRONG predicate. Accept only the
+    // integral literal types Catalyst can actually deliver for a LongType
+    // comparison; anything else stays a residual for Spark to evaluate.
     def lit(v: Any): Option[Long] = v match {
-      case n: Number => Some(n.longValue)
+      case n: java.lang.Long => Some(n.longValue)
+      case n: java.lang.Integer => Some(n.longValue)
+      case n: java.lang.Short => Some(n.longValue)
+      case n: java.lang.Byte => Some(n.longValue)
       case _ => None
     }
     pushed = filters.filter {
@@ -269,6 +277,26 @@ final class GraftAggScan(
       // log bounds from segment-name ranges + the tail; NOT all versions
       val starts = segs.map(_._2) ++ tail.map(_.version)
       val ends = segs.map(_._3) ++ tail.map(_.version)
+      // count = hi-lo+1 assumes the union is GAPLESS (the sequencer's
+      // density invariant). If history is damaged — a segment file gone,
+      // a hole in the tail — the arithmetic would silently diverge from
+      // what the row-scan path returns over the same log. Assert
+      // contiguity at planning time (cheap: O(files log files), no data
+      // reads) and fail loudly instead. Overlap is fine (a compaction
+      // racing readView can list an event in both tail and a new segment
+      // — the row path watermark-filters it); only a GAP is corruption.
+      val ranges = (segs.map(s => (s._2, s._3)) ++
+        tail.map(e => (e.version, e.version))).sortBy(_._1)
+      // running-max end, not previous range's end: a sub-range contained
+      // in an earlier segment (tail/segment overlap) must not read as a gap
+      ranges.foldLeft(Long.MinValue) { case (cover, (s, e)) =>
+        if (cover != Long.MinValue && s > cover + 1L)
+          throw new IllegalStateException(
+            s"gapped log history at $path: versions ${cover + 1}..${s - 1} " +
+              "missing; pushed-aggregate arithmetic would misreport — " +
+              "repair the log or read without aggregate pushdown")
+        math.max(cover, e)
+      }
       val lo = starts.foldLeft(Long.MaxValue)(math.min).max(minV)
       val hi = ends.foldLeft(Long.MinValue)(math.max).min(maxV)
       val empty = starts.isEmpty || hi < lo

@@ -349,23 +349,36 @@ object StreamOps {
     * expired by the watermark — bounded by card width × live windows, not
     * by stream volume.
     *
-    * @param docs    streaming DataFrame
-    * @param tsCol   event-time column
-    * @param textCol document text column
-    * @param srcCol  source/domain column
-    * @param langCol language column
-    * @param win     event-time window width, e.g. "1 hour"
-    * @param delay   watermark delay (allowed lateness)
+    * Char counting: by default `sum_chars` is Spark's `length(textCol)`
+    * — UTF-16 code units, NOT bytes and NOT codepoints. If the batch
+    * table carries a precomputed `n_chars` column under a different
+    * definition (the driver's tables do), pass it via `nCharsCol` so the
+    * streaming card sums the SAME values the batch `corpus_report` reads;
+    * otherwise the two cards can deviate on non-BMP text.
+    *
+    * @param docs      streaming DataFrame
+    * @param tsCol     event-time column
+    * @param textCol   document text column
+    * @param srcCol    source/domain column
+    * @param langCol   language column
+    * @param win       event-time window width, e.g. "1 hour"
+    * @param delay     watermark delay (allowed lateness)
+    * @param nCharsCol precomputed char-count column to sum instead of
+    *                  `length(textCol)` (match the batch table's own
+    *                  n_chars definition)
     */
   def corpusReportStream(
       docs: DataFrame, tsCol: String, textCol: String,
       srcCol: String, langCol: String,
-      win: String, delay: String): DataFrame = {
+      win: String, delay: String,
+      nCharsCol: Option[String] = None): DataFrame = {
     val t = split(col(textCol), "\\s+")
+    val nChars = nCharsCol.map(c => col(c).cast("long"))
+      .getOrElse(length(col(textCol)).cast("long"))
     docs.filter(col(textCol).isNotNull)
       .select(col(tsCol), col(srcCol), col(langCol),
         size(t).cast("long").as("n_toks"),
-        length(col(textCol)).cast("long").as("n_chars"),
+        nChars.as("n_chars"),
         md5(col(textCol)).as("hsh"))
       .withWatermark(tsCol, delay)
       .groupBy(window(col(tsCol), win), col(srcCol), col(langCol))
