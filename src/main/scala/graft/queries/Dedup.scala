@@ -37,6 +37,7 @@ object Dedup {
   // hops) — a long near-dup chain that converged before keeps converging
   private val MaxCcIterations = 50
   private val BenchmarkMod = 97 // decontaminate: doc_id % mod = 0 ⇒ benchmark
+  private val LeakGateSim = 0.5 // pipeline_pretrain_gated: gate threshold
   private val SpanTokens = 16 // dedup_span_exact: tokens per hashed chunk
   // dedup_phash_hamming: 8 byte-bands over the 64-bit dHash catch every
   // pair within hamming 7 by pigeonhole — the usual near-identical-image
@@ -194,6 +195,55 @@ object Dedup {
     graft.operators.ConnectedComponents
       .run(docs, pairs, MaxCcIterations)
       .select(col("id").as("doc_id"), col("component").as("cluster_id"))
+  }
+
+  /** The pretrain pipeline's surviving documents with split labels —
+    * cluster keepers → quality gate → benchmark decontamination → split —
+    * shared by pipeline_pretrain_corpus and pipeline_pretrain_gated so the
+    * gated twin can never drift from the audited composition. */
+  private def pretrainSurvivors(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables(s, dir, "documents")
+    val keepers = d.join(clusterLabels(s, dir), "doc_id")
+      .filter(col("doc_id") === col("cluster_id"))
+      .withColumn("n_words", size(toks(col("text"))).cast("long"))
+      .filter(col("n_chars") >= 100 && col("n_words") >= 20)
+    val sh = shingleHashes(s, dir)
+    val bench = sh.filter(col("doc_id") % BenchmarkMod === 0)
+      .select("sh").distinct()
+    val contaminated = sh.filter(col("doc_id") % BenchmarkMod =!= 0)
+      .join(broadcast(bench), "sh").select("doc_id").distinct()
+    keepers
+      .filter(col("doc_id") % BenchmarkMod =!= 0) // benchmark split out
+      .join(contaminated, Seq("doc_id"), "left_anti")
+      .withColumn("split", TextAnalysis.splitOf(TextAnalysis.splitBucket))
+  }
+
+  /** split_leakage_audit turned into a GATE: count verified near-dup pairs
+    * (sim_est >= simThreshold) whose endpoints BOTH survive the pipeline
+    * and land in DIFFERENT splits, and fail loudly when any exist —
+    * a training run must never start on a corpus whose val/test sets
+    * contain near-duplicates of training documents. `kept` carries
+    * (doc_id, split). Returns the crossing count (0 on success) so the
+    * caller can surface it as evidence. The count is the gate DECISION —
+    * a 1-number bounded action, the same contract as the BPE argmax; the
+    * pair side rides minhashPairs' existing exchanges and the kept side
+    * is two hash joins on doc id. By construction the pipeline's CC stage
+    * collapses every minhash pair into one cluster (one keeper survives),
+    * so a nonzero count here means the COMPOSITION is broken (e.g. a
+    * stage reordered to split before dedup) — exactly what a gate is for. */
+  private[graft] def assertNoSplitLeakage(
+      kept: DataFrame, pairs: DataFrame, simThreshold: Double): Long = {
+    val a = kept.select(col("doc_id").as("doc_a"), col("split").as("split_a"))
+    val b = kept.select(col("doc_id").as("doc_b"), col("split").as("split_b"))
+    val n = pairs.filter(col("sim_est") >= simThreshold)
+      .join(a, "doc_a").join(b, "doc_b")
+      .filter(col("split_a") =!= col("split_b"))
+      .count()
+    if (n > 0) throw new IllegalStateException(
+      s"split leakage gate: $n verified near-dup pair(s) with sim_est >= " +
+        s"$simThreshold cross split boundaries among surviving documents — " +
+        "refusing to emit a leaky training corpus")
+    n
   }
 
   /** Distinct (doc_id, sh) 3-gram shingle xxhash64 hashes — shared by
@@ -417,23 +467,33 @@ object Dedup {
     // benchmark hashes, projection-only split), and the gate runs before
     // the shingle join's stream side would need them.
     "pipeline_pretrain_corpus" -> { (s, dir) =>
-      val d = Tables(s, dir, "documents")
-      val keepers = d.join(clusterLabels(s, dir), "doc_id")
-        .filter(col("doc_id") === col("cluster_id"))
-        .withColumn("n_words", size(toks(col("text"))).cast("long"))
-        .filter(col("n_chars") >= 100 && col("n_words") >= 20)
-      val sh = shingleHashes(s, dir)
-      val bench = sh.filter(col("doc_id") % BenchmarkMod === 0)
-        .select("sh").distinct()
-      val contaminated = sh.filter(col("doc_id") % BenchmarkMod =!= 0)
-        .join(broadcast(bench), "sh").select("doc_id").distinct()
-      keepers
-        .filter(col("doc_id") % BenchmarkMod =!= 0) // benchmark split out
-        .join(contaminated, Seq("doc_id"), "left_anti")
-        .withColumn("split", TextAnalysis.splitOf(TextAnalysis.splitBucket))
+      pretrainSurvivors(s, dir)
         .groupBy("split", "lang")
         .agg(count(lit(1)).as("n_docs"),
           sum(col("n_words")).as("total_words"))
+        .orderBy("split", "lang")
+    },
+
+    // The pretrain pipeline with the split-leakage audit wired in as an
+    // ASSERTION stage ([[assertNoSplitLeakage]]): the composed query
+    // REFUSES to emit its corpus card when any verified near-dup pair
+    // above the sim threshold crosses split boundaries among surviving
+    // documents. The crossing count is also emitted as the `leak_pairs`
+    // evidence column (its zero is pinned by the oracle, which computes
+    // the same count from the same pair CTEs — the gate's measurement is
+    // oracle-checked, not just its pass/fail). Survivors are materialized
+    // once (localCheckpoint) and feed both the gate and the card — the
+    // expensive CC sub-DAG runs once, not twice.
+    "pipeline_pretrain_gated" -> { (s, dir) =>
+      val kept = pretrainSurvivors(s, dir)
+        .select("doc_id", "split", "lang", "n_words")
+        .localCheckpoint(true)
+      val leak = assertNoSplitLeakage(
+        kept.select("doc_id", "split"), minhashPairs(s, dir), LeakGateSim)
+      kept.groupBy("split", "lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_words")).as("total_words"))
+        .withColumn("leak_pairs", lit(leak))
         .orderBy("split", "lang")
     },
 
@@ -1136,6 +1196,48 @@ object Dedup {
          |SELECT ${TextAnalysis.splitCaseSql("bucket")} AS split,
          |  lang, count(*) AS n_docs,
          |  CAST(sum(n_words) AS BIGINT) AS total_words
+         |FROM b GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // the gated twin: same composition + the leakage count computed from
+    // the SAME pair CTEs the Spark gate consumes — pins the gate's
+    // measurement (zero by construction when the composition is intact)
+    "pipeline_pretrain_gated" ->
+      s"""WITH RECURSIVE $minhashPairsSqlCtes,
+         |edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+         |  UNION SELECT doc_b, doc_a FROM pairs),
+         |reach AS (
+         |  SELECT doc_id AS id, doc_id AS lab FROM documents
+         |  UNION
+         |  SELECT e.v AS id, r.lab AS lab
+         |  FROM reach r JOIN edges e ON e.u = r.id),
+         |cl AS (SELECT id AS doc_id, min(lab) AS cluster_id
+         |  FROM reach GROUP BY id),
+         |t0 AS (SELECT DISTINCT doc_id, unnest(sh) AS s FROM sh),
+         |bench AS (SELECT DISTINCT s FROM t0 WHERE doc_id % $BenchmarkMod = 0),
+         |contam AS (SELECT DISTINCT t0.doc_id FROM t0 JOIN bench USING (s)
+         |  WHERE doc_id % $BenchmarkMod <> 0),
+         |q AS (
+         |  SELECT d.doc_id, d.lang,
+         |    len(string_split_regex(d.text, '\\s+')) AS n_words
+         |  FROM documents d JOIN cl USING (doc_id)
+         |  WHERE d.doc_id = cl.cluster_id AND d.n_chars >= 100
+         |    AND len(string_split_regex(d.text, '\\s+')) >= 20
+         |    AND d.doc_id % $BenchmarkMod <> 0
+         |    AND d.doc_id NOT IN (SELECT doc_id FROM contam)),
+         |b AS (SELECT doc_id, lang, n_words,
+         |  ${TextAnalysis.SplitBucketSql} AS bucket
+         |  FROM q),
+         |sp AS (SELECT doc_id,
+         |  ${TextAnalysis.splitCaseSql("bucket")} AS split FROM b),
+         |leak AS (SELECT CAST(count(*) AS BIGINT) AS leak_pairs
+         |  FROM pairs p
+         |  JOIN sp sa ON sa.doc_id = p.doc_a
+         |  JOIN sp sb ON sb.doc_id = p.doc_b
+         |  WHERE p.sim_est >= $LeakGateSim AND sa.split <> sb.split)
+         |SELECT ${TextAnalysis.splitCaseSql("bucket")} AS split,
+         |  lang, count(*) AS n_docs,
+         |  CAST(sum(n_words) AS BIGINT) AS total_words,
+         |  (SELECT leak_pairs FROM leak) AS leak_pairs
          |FROM b GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     // connected components as a recursive min-reachability closure: lab
