@@ -21,6 +21,17 @@ object Similarity {
 
   // emb_project: Johnson–Lindenstrauss Rademacher projection 64 → 8 dims.
   private val EmbDim = 64 // embeddings table dimensionality (TESTDATA.md)
+  // IVF-PQ: the textbook 8 sub-quantizers × 256 centroids over 8-dim
+  // sub-vectors (one byte per code). The sub-fits degrade k gracefully
+  // when the corpus has fewer distinct sub-vectors than 256.
+  private val PqM = 8
+  private val PqDsub = EmbDim / PqM
+  private val PqK = 256
+  // emb_pq_codes (the bit-exact oracle entry) uses a small SAMPLED
+  // codebook — the first PqSeedK vec_ids' sub-vectors — because a trained
+  // codebook isn't SQL-expressible; the assignment arithmetic it pins is
+  // the same code path the trained quantizer runs.
+  private val PqSeedK = 16
   private val RpDim = 8
   /** 1/√k JL scaling, inlined as the SAME double literal in both engines
     * (Scala's shortest-round-trip toString parses back bit-identically). */
@@ -273,6 +284,58 @@ object Similarity {
         .orderBy("q_id", "rank")
     },
 
+    // IVF-PQ ([[graft.operators.PqIndex]]): the memory-bounded ANN rung —
+    // coarse cells + residual-quantized codes (PqM bytes/vector), ADC
+    // lookup-table scan that never reads a float vector, then an exact
+    // re-rank of the 4×TopK ADC shortlist (the FAISS serving shape; the
+    // synthetic embeddings' top-5 cosine margins are SMALLER than any
+    // 8-byte quantizer's noise floor, so the shortlist-contains /
+    // rerank-orders split is what makes 8-byte codes usable at all). No
+    // DuckDB oracle (two layers of k-means) → rows-only; recall@5 vs
+    // brute force is asserted in AnnPqSpec, and the CODE-ASSIGNMENT
+    // arithmetic is oracle-pinned bit-exactly by emb_pq_codes below.
+    "ann_ivf_pq" -> { (s, dir) =>
+      val e = Tables(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      val idx = graft.operators.PqIndex.build(e, m = PqM, kCodes = PqK)
+      val q = e.filter(col("vec_id") < NumQueries)
+        .select(col("vec_id").as("q_id"), col("v").as("qv"))
+      graft.operators.PqIndex
+        .adcProbe(idx, q, nProbe = 2, topK = TopK, rerank = 4 * TopK)
+        .orderBy("q_id", "rank")
+    },
+
+    // PQ code assignment with a DETERMINISTIC sampled codebook (the
+    // k-means-free init every PQ trainer starts from: codebook = the
+    // sub-vectors of the first PqK vec_ids): nearest-codebook-entry
+    // assignment per sub-space, argmin by (d2 asc, code asc). This pins
+    // the ENCODE arithmetic — sub-vector slicing, the left-fold squared
+    // distance, the tie-break — bit-for-bit against DuckDB, which the
+    // k-means-fit path (ann_ivf_pq) then reuses unchanged. Same explode →
+    // broadcast-join → partial-argmin shape as the real encoder.
+    "emb_pq_codes" -> { (s, dir) =>
+      val e = Tables(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      val sv = e.select(col("vec_id"), posexplode(
+          transform(sequence(lit(0), lit(PqM - 1)),
+            mm => slice(col("v"), mm * PqDsub + 1, lit(PqDsub))))
+          .as(Seq("sub", "sv")))
+      val seeds = sv.filter(col("vec_id") < PqSeedK)
+        .withColumn("code", (row_number().over(
+          Window.partitionBy(col("sub")).orderBy(col("vec_id"))) - 1)
+          .cast("long"))
+        .select(col("sub"), col("sv").as("cv"), col("code"))
+      sv.join(broadcast(seeds), "sub")
+        .withColumn("d2",
+          aggregate(zip_with(col("sv"), col("cv"),
+            (x, y) => (x - y) * (x - y)), lit(0.0), (acc, x) => acc + x))
+        .groupBy("vec_id", "sub")
+        .agg(min(struct(col("d2"), col("code"))).as("best"))
+        .select(col("vec_id"), col("sub").cast("long").as("sub"),
+          col("best.code").as("code"))
+        .orderBy("vec_id", "sub")
+    },
+
     // Johnson–Lindenstrauss random projection: 64-d embeddings down to 8
     // dims via a deterministic ±1 Rademacher matrix, scaled 1/√k — the
     // standard dimensionality-reduction pre-step for ANN indexing and
@@ -387,6 +450,26 @@ object Similarity {
          |  FROM scored)
          |SELECT q_id, label, n_id, rank, cosine FROM ranked
          |WHERE rank <= $TopK ORDER BY q_id, rank""".stripMargin,
+
+    "emb_pq_codes" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |sv AS (SELECT vec_id, m,
+         |    list_slice(v, m * $PqDsub + 1, m * $PqDsub + $PqDsub) AS s
+         |  FROM e, (SELECT unnest(range(0, $PqM)) AS m)),
+         |cbi AS (SELECT m, s AS c,
+         |    CAST(row_number() OVER (PARTITION BY m ORDER BY vec_id) - 1
+         |      AS BIGINT) AS code
+         |  FROM sv WHERE vec_id < $PqSeedK),
+         |d AS (SELECT sv.vec_id, sv.m, cbi.code,
+         |    list_reduce(list_transform(range(1, ${PqDsub + 1}),
+         |      i -> (sv.s[i] - cbi.c[i]) * (sv.s[i] - cbi.c[i])),
+         |      (acc, x) -> acc + x) AS d2
+         |  FROM sv JOIN cbi ON sv.m = cbi.m)
+         |SELECT vec_id, CAST(m AS BIGINT) AS sub, code FROM (
+         |  SELECT vec_id, m, code,
+         |    row_number() OVER (PARTITION BY vec_id, m ORDER BY d2, code) AS rk
+         |  FROM d)
+         |WHERE rk = 1 ORDER BY vec_id, sub""".stripMargin,
 
     "emb_project" -> {
       val terms = (0 until RpDim).map { j =>

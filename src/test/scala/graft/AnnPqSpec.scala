@@ -1,0 +1,92 @@
+package graft
+
+import graft.operators.PqIndex
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** IVF-PQ has no SQL oracle (two k-means layers); its correctness claims
+  * are (a) recall against the brute-force scan, (b) the encode arithmetic
+  * pinned bit-exactly by the emb_pq_codes oracle entry, and (c) the
+  * save/load lifecycle reproducing the built index's answers exactly. */
+class AnnPqSpec extends AnyFunSuite {
+  private lazy val spark = SparkFixture.spark
+  private val sfDir = "/root/testdata/sf0.001"
+
+  private def topk(name: String): Map[Long, Set[Long]] =
+    SparkEntry.queries(name)(spark, sfDir)
+      .select("q_id", "n_id").collect()
+      .groupBy(_.getLong(0))
+      .view.mapValues(_.map(_.getLong(1)).toSet).toMap
+
+  private def emb = graft.util.Tables(spark, sfDir, "embeddings")
+    .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+
+  test("ann_ivf_pq recall@5 vs brute force despite 8-byte codes") {
+    val exact = topk("ann_cosine_topk")
+    val pq = topk("ann_ivf_pq")
+    assert(pq.keySet == exact.keySet)
+    val recalls = exact.map { case (q, truth) =>
+      pq(q).intersect(truth).size.toDouble / truth.size
+    }
+    val mean = recalls.sum / recalls.size
+    // with the exact re-rank of the ADC shortlist, the only loss left is
+    // the nProbe=2/8 cell pruning — the same floor AnnRecallSpec holds
+    // the raw IVF to (measured: PQ+rerank exactly matches the exact-in-
+    // probed-cells ceiling, 0.64 on this corpus)
+    assert(mean >= 0.5, s"mean recall $mean, per-query $recalls")
+  }
+
+  test("exhaustive probes + deep rerank recover brute-force exactly") {
+    // nProbe = all cells and a 50-deep shortlist: the ADC pass may ORDER
+    // candidates noisily, but the true top-5 must be CONTAINED in the
+    // shortlist, and the exact re-rank then reproduces brute force 1:1 —
+    // the contains/orders split that makes 8-byte codes servable
+    val exact = topk("ann_cosine_topk")
+    val idx = PqIndex.build(emb, m = 8, kCodes = 256)
+    val q = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"))
+    val got = PqIndex.adcProbe(idx, q, nProbe = 8, topK = 5, rerank = 50)
+      .select("q_id", "n_id").collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    assert(got == exact)
+  }
+
+  test("save/load round-trips the index and reproduces probe answers") {
+    val idx = PqIndex.build(emb, m = 8, kCodes = 16)
+    val dir = java.nio.file.Files.createTempDirectory("graft-pq").toString
+    idx.save(dir)
+    val loaded = PqIndex.load(spark, dir)
+    assert(loaded.m == idx.m && loaded.kCodes == idx.kCodes)
+    // codebooks bit-identical
+    for (s <- 0 until idx.m; c <- 0 until idx.kCodes)
+      assert(loaded.codebooks(s)(c).sameElements(idx.codebooks(s)(c)),
+        s"codebook ($s,$c)")
+    // codes table identical
+    def codeMap(i: PqIndex) = i.codes
+      .select(col("vec_id"), col("codes")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Int](1).toList).toMap
+    assert(codeMap(loaded) == codeMap(idx))
+    // probing the loaded index answers exactly like the built one
+    val q = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"))
+    def answers(i: PqIndex) =
+      PqIndex.adcProbe(i, q, nProbe = 2, topK = 5)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+        .toSet
+    assert(answers(loaded) == answers(idx))
+  }
+
+  test("ADC with exhaustive probes ranks like exact cosine on coarse codes") {
+    // nProbe = all cells removes the IVF loss: what remains is pure
+    // quantization error, so the ADC top-1 must sit inside the exact
+    // top-5 for most queries (top-1 is the most quantization-robust rank)
+    val idx = PqIndex.build(emb, m = 8, kCodes = 256)
+    val q = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"))
+    val adc1 = PqIndex.adcProbe(idx, q, nProbe = 8, topK = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val exact = topk("ann_cosine_topk")
+    val hits = adc1.count { case (qid, n1) => exact(qid).contains(n1) }
+    assert(hits >= 3, s"only $hits/5 ADC top-1 in exact top-5: $adc1")
+  }
+}
