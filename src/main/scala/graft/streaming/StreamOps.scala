@@ -13,6 +13,16 @@ final case class NearDupHit(doc_a: Long, doc_b: Long, sim_est: Double)
   * the documents currently holding the bucket. */
 final case class BandBucket(entries: Seq[(Long, Seq[Long], Long)])
 
+/** A streaming cluster-membership emission: `doc_id`'s current cluster
+  * label (the smallest doc_id it is known to be connected to through this
+  * band's collision history). Labels only ever DECREASE for a given doc;
+  * the consumer's current label for a doc is the MIN over all emissions. */
+final case class ClusterLabel(doc_id: Long, cluster: Long)
+
+/** State for one label-propagating band bucket: (doc_id, signature,
+  * event-time ms, current label) per held document. */
+final case class LabelBucket(entries: Seq[(Long, Seq[Long], Long, Long)])
+
 /** A streaming pack assignment: where `doc_id` landed in its bucket's
   * concat-and-chunk token stream (same output contract as the batch
   * `pack_sequences`). Top-level so the product encoder resolves. */
@@ -113,26 +123,8 @@ object StreamOps {
       simThreshold: Double = 0.5): Dataset[NearDupHit] = {
     val spark = docs.sparkSession
     import spark.implicits._
-
-    val iv = org.apache.spark.sql.catalyst.util.IntervalUtils.stringToInterval(
-      org.apache.spark.unsafe.types.UTF8String.fromString(delay))
-    require(iv.months == 0, s"month-based delays are ambiguous in ms: $delay")
-    val delayMs = iv.days * 86400000L + iv.microseconds / 1000L
-
-    val banded = docs
-      .select(col(tsCol).cast("timestamp").as("ts"),
-        col(idCol).cast("long").as("doc_id"),
-        graft.exprs.functions.minhash12(split(col(textCol), "\\s+")).as("sig"))
-      .withWatermark("ts", delay)
-      .select(col("ts"), col("doc_id"), col("sig"),
-        explode(sequence(lit(0), lit(NumBands - 1))).as("band"))
-      .withColumn("bkey", concat_ws(":", col("band") +:
-        (0 until RowsPerBand).map(i =>
-          element_at(col("sig"), col("band") * RowsPerBand + lit(i + 1))): _*))
-      .select(col("ts"), col("doc_id"), col("sig"), col("bkey"))
-      .as[(java.sql.Timestamp, Long, Seq[Long], String)]
-
-    banded
+    val delayMs = parseDelayMs(delay)
+    bandedSigs(docs, tsCol, idCol, textCol, delay)
       .groupByKey(_._4)
       .flatMapGroupsWithState(
         OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
@@ -165,6 +157,144 @@ object StreamOps {
               entries.map(_._3)).max
             state.setTimeoutTimestamp(lastActivity + delayMs)
             hits.result().iterator
+          }
+      }
+  }
+
+  /** Watermark-delay string → milliseconds (months rejected: ambiguous). */
+  private def parseDelayMs(delay: String): Long = {
+    val iv = org.apache.spark.sql.catalyst.util.IntervalUtils.stringToInterval(
+      org.apache.spark.unsafe.types.UTF8String.fromString(delay))
+    require(iv.months == 0, s"month-based delays are ambiguous in ms: $delay")
+    iv.days * 86400000L + iv.microseconds / 1000L
+  }
+
+  /** The shared banding front half of the streaming near-dup operators:
+    * minhash-12 signature, watermark, one row per LSH band with the band's
+    * bucket key. Identical family and banding as the batch
+    * dedup_minhash_lsh, so streaming and batch agree on what collides. */
+  private def bandedSigs(
+      docs: DataFrame, tsCol: String, idCol: String, textCol: String,
+      delay: String): Dataset[(java.sql.Timestamp, Long, Seq[Long], String)] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs
+      .select(col(tsCol).cast("timestamp").as("ts"),
+        col(idCol).cast("long").as("doc_id"),
+        graft.exprs.functions.minhash12(split(col(textCol), "\\s+")).as("sig"))
+      .withWatermark("ts", delay)
+      .select(col("ts"), col("doc_id"), col("sig"),
+        explode(sequence(lit(0), lit(NumBands - 1))).as("band"))
+      .withColumn("bkey", concat_ws(":", col("band") +:
+        (0 until RowsPerBand).map(i =>
+          element_at(col("sig"), col("band") * RowsPerBand + lit(i + 1))): _*))
+      .select(col("ts"), col("doc_id"), col("sig"), col("bkey"))
+      .as[(java.sql.Timestamp, Long, Seq[Long], String)]
+  }
+
+  /** Streaming CLUSTER MEMBERSHIP: the batch dedup_clusters made
+    * incremental — each document gets a cluster label (the min doc_id of
+    * its near-dup group) as it arrives, instead of waiting for a batch
+    * connected-components job over the full pair graph.
+    *
+    * Mechanism — a banded-state union-find approximation:
+    *  - Band buckets shard the state store exactly like
+    *    [[dedupNearMinhash]]; each bucket holds (id, sig, ts, label) per
+    *    live document.
+    *  - On arrival, the document is verified against the bucket's held
+    *    signatures; the linked group's labels are UNIONED to their min
+    *    (min of the arriving id and every linked entry's label), and the
+    *    merge propagates through the bucket by label equality — within one
+    *    bucket this is a true union-find over the collision history.
+    *  - Every arrival emits its current label (singletons emit
+    *    `(id, id)`), and any held entry whose label decreases re-emits.
+    *    Labels are monotone non-increasing per (bucket, doc): the
+    *    consumer's view is `min(cluster) GROUP BY doc_id` over the
+    *    changelog — the natural upsert into a KV store (keep the smaller).
+    *
+    * Approximation contract (vs batch connected components):
+    *  - EXACT for clique-shaped duplicate groups that share at least one
+    *    band bucket — the dominant near-dup shape at high thresholds
+    *    (copies of one source document all collide pairwise). The
+    *    StreamingSpec replay proves partition agreement with the batch CC
+    *    on such a corpus.
+    *  - Chain-shaped components (A~B, B~C, A≁C) whose links land in
+    *    DIFFERENT buckets may split across labels: buckets share no state,
+    *    and there is no feedback edge in a streaming DAG to re-propagate a
+    *    cross-bucket merge. The batch dedup_clusters job remains the
+    *    system-of-record; this operator is the low-latency view.
+    *  - State is bounded exactly like [[dedupNearMinhash]]: event-time
+    *    timeout per bucket + [[MaxBucketState]] cap. Docs beyond the cap
+    *    still RECEIVE labels (they compare against held entries); they
+    *    just don't extend the bucket.
+    *
+    * @param docs         streaming DataFrame
+    * @param tsCol        event-time column (becomes the watermark column)
+    * @param idCol        long document id column
+    * @param textCol      document text (whitespace-tokenized, same
+    *                     tokenization as the batch operator)
+    * @param delay        watermark delay AND bucket inactivity TTL
+    * @param simThreshold minimum signature-agreement fraction to link
+    */
+  def clusterLabelsStream(
+      docs: DataFrame,
+      tsCol: String,
+      idCol: String,
+      textCol: String,
+      delay: String,
+      simThreshold: Double = 0.5): Dataset[ClusterLabel] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val delayMs = parseDelayMs(delay)
+    bandedSigs(docs, tsCol, idCol, textCol, delay)
+      .groupByKey(_._4)
+      .flatMapGroupsWithState(
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (_: String,
+         rows: Iterator[(java.sql.Timestamp, Long, Seq[Long], String)],
+         state: GroupState[LabelBucket]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val batch = rows.toSeq.sortBy(r => (r._1.getTime, r._2))
+            var entries = state.getOption.map(_.entries.toList).getOrElse(Nil)
+            val out = List.newBuilder[ClusterLabel]
+            batch.foreach { case (t, id, sig, _) =>
+              val linked = entries.filter { case (eid, esig, _, _) =>
+                eid != id && {
+                  var agree = 0; var i = 0
+                  while (i < NumHashes) {
+                    if (esig(i) == sig(i)) agree += 1; i += 1
+                  }
+                  agree.toDouble / NumHashes >= simThreshold
+                }
+              }
+              val selfLabel = entries.collectFirst {
+                case (eid, _, _, l) if eid == id => l
+              }.getOrElse(id)
+              val merged = if (linked.isEmpty) selfLabel
+                else math.min(selfLabel, linked.map(_._4).min)
+              // union by label equality: every entry sharing a linked
+              // label was merged with that group earlier — pull it too
+              val mergedLabels = (linked.map(_._4).toSet + selfLabel)
+              entries = entries.map { case e @ (eid, esig, ets, el) =>
+                val touch = eid == id || (linked.nonEmpty && mergedLabels(el))
+                if (touch && el != merged) {
+                  out += ClusterLabel(eid, merged)
+                  (eid, esig, ets, merged)
+                } else e
+              }
+              // the arriving doc always reports membership (even singleton)
+              out += ClusterLabel(id, merged)
+              if (entries.size < MaxBucketState && !entries.exists(_._1 == id))
+                entries = entries :+ ((id, sig, t.getTime, merged))
+            }
+            state.update(LabelBucket(entries))
+            val lastActivity = (batch.map(_._1.getTime) ++
+              entries.map(_._3)).max
+            state.setTimeoutTimestamp(lastActivity + delayMs)
+            // one emission per (doc, label): monotone labels make earlier
+            // duplicates within the batch redundant
+            out.result().distinct.iterator
           }
       }
   }

@@ -545,6 +545,64 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("clusterLabelsStream partition agrees with batch connected components") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(java.sql.Timestamp, Long, String)]
+    def ts(s: Long) = new java.sql.Timestamp(s * 1000L)
+    def stem(tag: String) = (0 until 30).map(i => s"$tag$i").mkString(" ")
+    // two near-dup cliques + two singletons; group A arrives in DESCENDING
+    // id order so the eventual min (20) forces a re-label of 21 and 22
+    val corpus: Seq[(Long, String)] = Seq(
+      22L -> s"${stem("a")} x22", 21L -> s"${stem("a")} x21",
+      20L -> s"${stem("a")} x20",
+      5L -> s"${stem("b")} y5", 30L -> s"${stem("b")} y30",
+      7L -> "completely different words about fish and rivers here",
+      9L -> "another unrelated text on metallurgy and furnaces today")
+
+    val q = StreamOps.clusterLabelsStream(
+        mem.toDF().toDF("ts", "doc_id", "text"),
+        "ts", "doc_id", "text", "10 minutes")
+      .writeStream.format("memory").queryName("clabels")
+      .outputMode("append").start()
+    try {
+      // replay across three micro-batches, all inside the watermark
+      mem.addData(corpus.take(2).map { case (id, t) => (ts(10), id, t) }: _*)
+      q.processAllAvailable()
+      mem.addData(corpus.slice(2, 5).map { case (id, t) => (ts(11), id, t) }: _*)
+      q.processAllAvailable()
+      mem.addData(corpus.drop(5).map { case (id, t) => (ts(12), id, t) }: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("clabels").groupBy("doc_id")
+        .agg(min("cluster").as("cluster")).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+      // batch ground truth: same minhash family + banding, pairwise-link
+      // buckets at the same threshold, transitive closure via the batch CC
+      val sigs = corpus.toDF("doc_id", "text")
+        .select(col("doc_id"),
+          graft.exprs.functions.minhash12(split(col("text"), "\\s+")).as("sig"))
+        .as[(Long, Seq[Long])].collect()
+      val pairs = (for {
+        band <- 0 until 3
+        bucket <- sigs.groupBy(_._2.slice(band * 4, band * 4 + 4)).values
+        Array(a, b) <- bucket.sortBy(_._1).combinations(2)
+        if a._2.zip(b._2).count { case (x, y) => x == y } / 12.0 >= 0.5
+      } yield (a._1, b._1)).distinct
+      val batch = graft.operators.ConnectedComponents
+        .run(corpus.map(_._1).toDF("doc_id"), pairs.toDF("src", "dst"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+      assert(streamed.keySet === corpus.map(_._1).toSet,
+        "every replayed doc must receive a membership label")
+      assert(streamed === batch,
+        s"stream/batch partition mismatch: $streamed vs $batch")
+      // the replay really exercised both shapes
+      assert(batch(21L) === 20L && batch(30L) === 5L && batch(7L) === 7L)
+    } finally q.stop()
+  }
+
   test("corpusReportStream emits the per-window data card on watermark close") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
