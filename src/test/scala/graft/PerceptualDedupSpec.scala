@@ -83,6 +83,91 @@ class PerceptualDedupSpec extends AnyFunSuite {
       (p(0) & 0xff) == 0 && (p(1) & 0xff) == 255 && (p(2) & 0xff) == 0))
   }
 
+  // ---------------------------------------------- ffmpeg external codec --
+
+  test("parsePpmFrames parses a concatenated P6 stream with comments") {
+    def p6(w: Int, h: Int, fill: Byte): Array[Byte] = {
+      val header = s"P6\n# a comment line\n$w $h\n255\n".getBytes("US-ASCII")
+      header ++ Array.fill(w * h * 3)(fill)
+    }
+    val frames = MediaCodec.parsePpmFrames(p6(3, 2, 7) ++ p6(2, 2, 9))
+    assert(frames.length == 2)
+    assert(frames(0)._1 == 3 && frames(0)._2 == 2 &&
+      frames(0)._3.forall(_ == 7) && frames(0)._3.length == 18)
+    assert(frames(1)._1 == 2 && frames(1)._3.forall(_ == 9))
+    intercept[IllegalArgumentException] {
+      MediaCodec.parsePpmFrames("P5\n2 2\n255\n".getBytes ++ new Array[Byte](4))
+    }
+    intercept[IllegalArgumentException] { // truncated payload
+      MediaCodec.parsePpmFrames(p6(4, 4, 1).dropRight(5))
+    }
+  }
+
+  test("auto codec resolves by binary availability") {
+    if (MediaCodec.ffmpegAvailable()) assert(MediaCodec.auto ne MediaCodec.imageio)
+    else assert(MediaCodec.auto eq MediaCodec.imageio)
+  }
+
+  /** A tiny real MP4 (H.264 or mpeg4, whatever the build carries) rendered
+    * by ffmpeg itself from lavfi testsrc — `sec` shifts the start second so
+    * two clips can be made identical or different. */
+  private def mp4Of(sec: Int, frames: Int): Array[Byte] = {
+    val tmp = java.nio.file.Files.createTempFile("graftmp4", ".mp4")
+    try {
+      val cmd = Seq("ffmpeg", "-y", "-v", "error", "-f", "lavfi",
+        "-i", s"testsrc=size=64x48:rate=4:start=$sec", "-frames:v",
+        frames.toString, "-pix_fmt", "yuv420p", tmp.toString)
+      val p = new ProcessBuilder(cmd: _*)
+        .redirectErrorStream(true).start()
+      p.getInputStream.readAllBytes()
+      assert(p.waitFor() == 0, "fixture render failed")
+      java.nio.file.Files.readAllBytes(tmp)
+    } finally java.nio.file.Files.deleteIfExists(tmp)
+  }
+
+  test("ffmpeg codec: real MP4 decode drives the video-frame dedup join") {
+    assume(MediaCodec.ffmpegAvailable() && MediaCodec.ffmpegAvailable("ffprobe"),
+      "ffmpeg/ffprobe not on PATH")
+    import spark.implicits._
+    val codec = MediaCodec.ffmpeg()
+
+    // bounded decode honors the sample horizon on a non-GIF container
+    val clip = mp4Of(sec = 0, frames = 6)
+    val (w, h, _, px) = codec.decodeImage(clip)
+    assert(w == 64 && h == 48 && px.length == 64 * 48 * 3)
+    assert(codec.frameCount(clip) == 6)
+    val (idx, frames) = codec.framesAt(clip, 3, fc => Array.range(0, fc))
+    assert(idx.toSeq == Seq(0, 1, 2) &&
+      frames.forall(_.length == 64 * 48 * 3))
+
+    // dedup_video_frames' shape on REAL decodes: same-rendered clips must
+    // share every sampled-frame fingerprint; a shifted clip shares none
+    val dup = mp4Of(sec = 0, frames = 6)
+    val other = mp4Of(sec = 60, frames = 6)
+    val ds = Seq(
+      MediaBlob(1L, "video", clip, Map.empty),
+      MediaBlob(2L, "video", dup, Map.empty),
+      MediaBlob(3L, "video", other, Map.empty)).toDS()
+    val fps = sampleFrames(ds, stride = 1, maxFrames = 4, codec = codec)
+      .toDF()
+      .select(col("id").as("doc_id"), explode(col("frames")).as("frame"))
+      .select(col("doc_id"), md5(col("frame")).as("fp")).distinct()
+    val t = fps.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      .join(fps, "doc_id")
+    val pairs = t.select(col("doc_id").as("doc_a"), col("n").as("n_a"), col("fp"))
+      .join(t.select(col("doc_id").as("doc_b"), col("n").as("n_b"), col("fp")),
+        Seq("fp"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b", "n_a", "n_b")
+      .agg(count(lit(1)).as("inter"))
+      .withColumn("jaccard",
+        col("inter") / (col("n_a") + col("n_b") - col("inter")))
+      .filter(col("jaccard") >= 0.5)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.toSeq == Seq((1L, 2L)),
+      s"identical renders must be the only verified pair: ${pairs.toSeq}")
+  }
+
   test("single-frame containers report frameCount 1") {
     val png = encodeAs("png", rgbImage(2, 2)((_, _) => 0x123456))
     assert(MediaCodec.imageio.frameCount(png) == 1)
