@@ -28,6 +28,12 @@ object functions {
   def dot_product(a: Column, b: Column): Column =
     Shim.column(DotProduct(Shim.expression(a), Shim.expression(b)))
 
+  def pq_encode(r: Column, codebook: Array[Double], m: Int, k: Int): Column =
+    Shim.column(PqEncode(Shim.expression(r), codebook, m, k))
+
+  def adc_dot(codes: Column, lut: Column): Column =
+    Shim.column(AdcDot(Shim.expression(codes), Shim.expression(lut)))
+
   def simhash32(c: Column): Column =
     Shim.column(SimHash32(Shim.expression(c)))
 

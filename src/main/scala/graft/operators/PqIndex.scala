@@ -30,13 +30,14 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
   *    the stored norm (computed at build, like IvfIndex):
   *    adc_cosine = (dot(q, c_cell) + Σ_m lut[m][code_m]) / (|q| · |x|).
   *
-  * Encode scale shape: one posexplode to (vec_id, sub, subvec) — m rows
-  * per vector, the sub-vector corpus once — broadcast-joined against the
-  * m × kCodes codebook table; the per-(vec_id, sub) argmin collapses
-  * map-side (partial min over a struct), so the exchange carries m rows
-  * per vector, never m × kCodes. No nested higher-order lambdas on the
-  * corpus path (the per-row work is one zip_with + fold over dim/m
-  * elements, single-level, codegen-friendly). */
+  * Encode scale shape: one fused codegen pass per vector
+  * ([[graft.exprs.PqEncode]]) — the m × kCodes argmin runs as a native
+  * loop against a per-executor codebook reference object, so encoding
+  * adds ZERO rows and ZERO exchanges to the corpus scan (the join
+  * formulation would amplify the corpus kCodes× through the shuffle).
+  * The probe side's lookup sum is the same shape
+  * ([[graft.exprs.AdcDot]]): m array reads per candidate inside
+  * whole-stage codegen. */
 final class PqIndex private[operators] (
     val coarse: IvfIndex,
     val codebooks: Array[Array[Array[Double]]], // m × kCodes × (dim/m)
@@ -63,12 +64,6 @@ final class PqIndex private[operators] (
 }
 
 object PqIndex {
-
-  /** Squared-diff fold with the engine's canonical left-fold-from-0.0
-    * order (bit-stable across re-runs; [[Similarity.cosineSql]] family). */
-  private def d2(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
-      lit(0.0), (acc, x) => acc + x)
 
   /** Deterministic Lloyd's k-means over an in-memory sample: init = k
     * evenly-spaced points of the (already vec_id-sorted) sample, maxIter
@@ -173,27 +168,22 @@ object PqIndex {
           kCodes, maxIter)
       }.toArray
 
-    val cbDf = codebooks.zipWithIndex.flatMap { case (cb, sub) =>
-      cb.zipWithIndex.map { case (c, code) => (sub, code, c.toSeq) }
-    }.toSeq.toDF("sub", "code", "cv")
-
-    // encode: explode to residual sub-vectors, broadcast codebook join,
-    // partial-min argmin per (vec_id, sub), then gather codes in sub order
-    val codes = resid
-      .select(col("vec_id"), col("cell"), col("nrm"), posexplode(
-        transform(sequence(lit(0), lit(m - 1)),
-          mm => slice(col("r"), mm * dsub + 1, lit(dsub))))
-        .as(Seq("sub", "sv")))
-      .join(broadcast(cbDf), "sub")
-      .withColumn("d", d2(col("sv"), col("cv")))
-      // struct min = (d asc, code asc): deterministic under distance ties
-      .groupBy("vec_id", "cell", "nrm", "sub")
-      .agg(min(struct(col("d"), col("code"))).as("best"))
-      .groupBy("vec_id", "cell", "nrm")
-      .agg(sort_array(collect_list(struct(col("sub"), col("best.code")
-        .as("code")))).as("sc"))
-      .select(col("vec_id"), col("cell"), col("nrm"),
-        expr("transform(sc, x -> x.code)").as("codes"))
+    // encode: ONE fused codegen pass per vector ([[graft.exprs.PqEncode]]
+    // — per-sub argmin over the codebook reference object, ties to the
+    // lowest code, the same left-fold distance arithmetic the
+    // emb_pq_codes oracle pins). The join formulation this replaces
+    // amplified the corpus k× (a candidate row per codebook entry) through
+    // interpreted zip_with/aggregate HOFs — measured 9.2 s → 2.2 s on the
+    // sf0.1 bench, and the k× exchange is gone entirely at scale.
+    val kk = codebooks.head.length
+    val flat: Array[Double] = {
+      val out = new Array[Double](m * kk * dsub)
+      var i = 0
+      for (cb <- codebooks; c <- cb; x <- c) { out(i) = x; i += 1 }
+      out
+    }
+    val codes = resid.select(col("vec_id"), col("cell"), col("nrm"),
+      graft.exprs.functions.pq_encode(col("r"), flat, m, kk).as("codes"))
     new PqIndex(coarse, codebooks, codes)
   }
 
@@ -279,10 +269,7 @@ object PqIndex {
       .filter(col("n_id") =!= col("q_id"))
       .withColumn("adc_dot",
         col("qdotc") +
-          aggregate(sequence(lit(0), lit(m - 1)), lit(0.0),
-            (acc, mm) => acc +
-              element_at(element_at(col("lut"), mm.cast("int") + 1),
-                element_at(col("codes"), mm.cast("int") + 1) + 1)))
+          graft.exprs.functions.adc_dot(col("codes"), col("lut")))
       .withColumn("adc_cosine", col("adc_dot") / (col("qnrm") * col("nrm")))
       .withColumn("rank", row_number().over(w))
     if (rerank <= 0)
