@@ -438,3 +438,103 @@ case class WinnowFingerprints(child: Expression)
       newChild: Expression): WinnowFingerprints = copy(child = newChild)
   override def prettyName: String = "winnow_fps"
 }
+
+/** Compiled BPE merge table for [[BpeEncodeIds]]: the learned merges as
+  * parallel arrays in application order, plus the merged-symbol id map
+  * under the engine's id scheme (base chars a-z → 0-25, round-r merge →
+  * 25 + r, FIRST round wins for a re-learned symbol — the exact contract
+  * of the batch tokenizer's mergeIdMapCol). One instance rides the
+  * expression as a codegen reference object: per-executor, never
+  * per-row. */
+final class BpeMergeTable(
+    val lhs: Array[String],
+    val rhs: Array[String],
+    val merged: Array[String],
+    val mergedIds: java.util.HashMap[String, Integer]) extends Serializable
+
+object BpeMergeTable {
+  /** From `(round, lhs, rhs, merged, pair_freq)` rows in learned order —
+    * `train_bpe`'s output schema and [[graft.operators.BpeModel]]'s
+    * on-disk artifact. */
+  def apply(merges: Seq[(Long, String, String, String, Long)]): BpeMergeTable = {
+    val ids = new java.util.HashMap[String, Integer]()
+    for ((round, _, _, m, _) <- merges if !ids.containsKey(m))
+      ids.put(m, Integer.valueOf(25 + round.toInt))
+    new BpeMergeTable(
+      merges.map(_._2).toArray, merges.map(_._3).toArray,
+      merges.map(_._4).toArray, ids)
+  }
+}
+
+object BpeEncode {
+  private val Word = java.util.regex.Pattern.compile("[a-z]+")
+
+  /** text → BPE token ids in document order, one fused pass: lowercase
+    * (UTF8String.toLowerCase — bit-identical to Spark's `lower` under the
+    * default collation), `[a-z]+` word extraction (the tokenizer family's
+    * `regexp_extract_all` contract), then per word the merge chain with
+    * applyBpeMerge's exact semantics — each round is ONE leftmost
+    * non-overlapping left-to-right pass whose output never re-pairs
+    * within the round (the doubled-space string rewrite, replayed as an
+    * index scan). The batch path amortizes the chain over a broadcast
+    * DISTINCT-word vocabulary (right for throughput over repetitive
+    * corpora); this kernel is the per-row twin for streaming latency and
+    * vocabulary-free contexts — same ids, different amortization. */
+  def encodeIds(
+      text: org.apache.spark.unsafe.types.UTF8String,
+      mt: BpeMergeTable): ArrayData = {
+    val lower = text.toLowerCase.toString
+    val out = new scala.collection.mutable.ArrayBuffer[Int](lower.length / 4)
+    val m = Word.matcher(lower)
+    while (m.find()) {
+      val word = m.group()
+      var syms = new Array[String](word.length)
+      var i = 0
+      while (i < word.length) { syms(i) = word.substring(i, i + 1); i += 1 }
+      var j = 0
+      while (j < mt.lhs.length) {
+        val l = mt.lhs(j); val r = mt.rhs(j)
+        if (syms.length > 1) {
+          val next = new scala.collection.mutable.ArrayBuffer[String](syms.length)
+          var i2 = 0
+          while (i2 < syms.length) {
+            if (i2 + 1 < syms.length && syms(i2) == l && syms(i2 + 1) == r) {
+              next += mt.merged(j); i2 += 2
+            } else { next += syms(i2); i2 += 1 }
+          }
+          syms = next.toArray
+        }
+        j += 1
+      }
+      var k = 0
+      while (k < syms.length) {
+        val s = syms(k)
+        out += (if (s.length == 1) s.charAt(0) - 'a'
+          else mt.mergedIds.get(s).intValue)
+        k += 1
+      }
+    }
+    new GenericArrayData(out.toArray)
+  }
+}
+
+/** `bpe_encode_ids(text)` → array<int> BPE token ids (see
+  * [[BpeEncode.encodeIds]]). */
+case class BpeEncodeIds(child: Expression, table: BpeMergeTable)
+    extends UnaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[org.apache.spark.sql.graftshim.Shim.AbstractType] =
+    Seq(StringType)
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.IntegerType, containsNull = false)
+  override def nullSafeEval(v: Any): Any =
+    BpeEncode.encodeIds(
+      v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], table)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val tRef = ctx.addReferenceObj("bpeTable", table,
+      classOf[BpeMergeTable].getName)
+    defineCodeGen(ctx, ev, c => s"graft.exprs.BpeEncode.encodeIds($c, $tRef)")
+  }
+  override protected def withNewChildInternal(
+      newChild: Expression): BpeEncodeIds = copy(child = newChild)
+  override def prettyName: String = "bpe_encode_ids"
+}

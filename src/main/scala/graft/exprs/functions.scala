@@ -46,6 +46,10 @@ object functions {
   def winnow_fps(c: Column): Column =
     Shim.column(WinnowFingerprints(Shim.expression(c)))
 
+  def bpe_encode_ids(
+      text: Column, merges: Seq[(Long, String, String, String, Long)]): Column =
+    Shim.column(BpeEncodeIds(Shim.expression(text), BpeMergeTable(merges)))
+
   def repetition_stats(tokens: Column): Column =
     Shim.column(RepetitionStats(Shim.expression(tokens)))
 

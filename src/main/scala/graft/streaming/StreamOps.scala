@@ -299,6 +299,35 @@ object StreamOps {
       }
   }
 
+  /** Streaming BPE tokenization: per-document token-id sequences from the
+    * PERSISTED merge-table artifact ([[graft.operators.BpeModel]]) — the
+    * batch tokenize_bpe_ids made incremental, and the natural consumer of
+    * train_bpe's saved model: train once in batch, tokenize the live
+    * stream forever.
+    *
+    * Stateless projection — no watermark, no state store: the model loads
+    * ONCE at query definition (model-sized: one row per learned merge)
+    * and rides the plan as a codegen reference object
+    * ([[graft.exprs.BpeEncodeIds]] — the same lowercase → `[a-z]+` →
+    * merge-chain → id-scheme contract as the batch path, fused into one
+    * native pass per row). Latency is per-row compute only, which is what
+    * a tokenizing ingest tier needs; the batch path keeps its
+    * distinct-vocabulary broadcast amortization for backfills.
+    *
+    * @param docs     streaming DataFrame
+    * @param textCol  document text column
+    * @param modelDir [[graft.operators.BpeModel]] artifact dir (latest
+    *                 version wins, matching BpeModel.load)
+    */
+  def tokenizeBpeStream(
+      docs: DataFrame, textCol: String, modelDir: String): DataFrame = {
+    val merges = graft.operators.BpeModel.load(docs.sparkSession, modelDir)
+    docs
+      .withColumn("token_ids",
+        graft.exprs.functions.bpe_encode_ids(col(textCol), merges))
+      .withColumn("n_ids", size(col("token_ids")).cast("long"))
+  }
+
   /** Streaming benchmark decontamination: drop documents sharing any 3-gram
     * shingle with a STATIC benchmark corpus, as a stateless projection — the
     * batch `decontaminate_bloom` made streaming. The benchmark compiles ONCE

@@ -53,26 +53,29 @@ object ScaleRehearsal {
       (System.nanoTime() - t0) / 1e9
     }
 
-    // warm shared machinery once (codegen caches, FS metadata, BPE model
-    // for the base dir) with the cheapest scan, then time one pass per
-    // scale per query: sf0.1 first (acts as that query's plan warmup),
-    // then sf1 — the ratio compares a warm plan against a warm plan.
-    timeAt(base, "q1_agg"); timeAt(out, "q1_agg")
-    println(f"${"query"}%-28s ${"sf0.1"}%8s ${"sf1"}%8s  ratio (10x rows)")
+    // two timed passes per scale; the SLOPE reads warm-vs-warm so it
+    // measures data-volume scaling, not plan compilation or one-time
+    // artifact builds (log ingest for graft_*, IVF persist, BPE training
+    // — those land in the cold column, reported separately: they're
+    // amortized builds at 100 TB, not per-query cost).
+    println(f"${"query"}%-28s ${"sf0.1"}%8s ${"sf1cold"}%8s ${"sf1"}%8s  ratio (10x rows, warm)")
     val rows = names.map { q =>
       val r = try {
+        timeAt(base, q)
         val a = timeAt(base, q)
+        val bCold = timeAt(out, q)
         val b = timeAt(out, q)
-        (q, a, b, b / a, "")
+        (q, a, bCold, b, b / a, "")
       } catch { case e: Exception =>
-        (q, Double.NaN, Double.NaN, Double.NaN, e.getClass.getSimpleName)
+        (q, Double.NaN, Double.NaN, Double.NaN, Double.NaN,
+          e.getClass.getSimpleName)
       }
-      println(f"${r._1}%-28s ${r._2}%8.2f ${r._3}%8.2f  ${r._4}%5.1fx ${r._5}")
+      println(f"${r._1}%-28s ${r._2}%8.2f ${r._3}%8.2f ${r._4}%8.2f  ${r._5}%5.1fx ${r._6}")
       r
     }
-    val js = rows.map { case (q, a, b, ratio, err) =>
+    val js = rows.map { case (q, a, bCold, b, ratio, err) =>
       if (err.nonEmpty) s""""$q":{"err":"$err"}"""
-      else f""""$q":{"sf01":$a%.3f,"sf1":$b%.3f,"ratio":$ratio%.2f}"""
+      else f""""$q":{"sf01":$a%.3f,"sf1_cold":$bCold%.3f,"sf1":$b%.3f,"ratio":$ratio%.2f}"""
     }.mkString(",")
     println(s"""{"rehearsal":"sf1-full","queries":{$js}}""")
     spark.stop()
