@@ -436,6 +436,24 @@ object Dedup {
         .orderBy("doc_id")
     },
 
+    // Leakage-safe splitting — the PREVENTIVE twin of split_leakage_audit:
+    // the split assignment hashes the near-dup CLUSTER id, not the doc id,
+    // so a component can never straddle train/val/test (the audit detects
+    // crossings after the fact; this makes them impossible by
+    // construction — Lee et al. 2022's recommendation operationalized).
+    // Bucket derivation and thresholds are the SAME shared helpers as
+    // split_corpus, so singleton documents (cluster_id = doc_id) receive
+    // identical assignments to the doc-hash split — only near-dup group
+    // members move, and they move TOGETHER to their keeper's split.
+    "split_by_cluster" -> { (s, dir) =>
+      val labels = clusterLabels(s, dir)
+      labels
+        .withColumn("bucket", TextAnalysis.splitBucketOf(col("cluster_id")))
+        .withColumn("split", TextAnalysis.splitOf(col("bucket")))
+        .select(col("doc_id"), col("cluster_id"), col("bucket"), col("split"))
+        .orderBy("doc_id")
+    },
+
     // The composition transitive dedup exists for: cluster keepers (one doc
     // per near-dup component) -> quality gate -> per-language corpus stats.
     // The cluster-based sibling of pipeline_clean_corpus (whose keeper is
@@ -1258,6 +1276,23 @@ object Dedup {
          |  count(*) OVER (PARTITION BY cluster_id) AS cluster_size,
          |  doc_id <> cluster_id AS is_dup
          |FROM cl ORDER BY doc_id""".stripMargin,
+
+    "split_by_cluster" ->
+      s"""WITH RECURSIVE $minhashPairsSqlCtes,
+         |edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+         |  UNION SELECT doc_b, doc_a FROM pairs),
+         |reach AS (
+         |  SELECT doc_id AS id, doc_id AS lab FROM documents
+         |  UNION
+         |  SELECT e.v AS id, r.lab AS lab
+         |  FROM reach r JOIN edges e ON e.u = r.id),
+         |cl AS (SELECT id AS doc_id, min(lab) AS cluster_id
+         |  FROM reach GROUP BY id),
+         |b AS (SELECT doc_id, cluster_id,
+         |  ${TextAnalysis.splitBucketSqlFor("cluster_id")} AS bucket FROM cl)
+         |SELECT doc_id, cluster_id, CAST(bucket AS BIGINT) AS bucket,
+         |  ${TextAnalysis.splitCaseSql("bucket")} AS split
+         |FROM b ORDER BY doc_id""".stripMargin,
 
     "dedup_simhash" ->
       s"""WITH $simhashFpSql

@@ -120,6 +120,33 @@ object EventLogQueries {
         s.read.format("graft").option("versionAsOf", 500L).load(logDir))
     },
 
+    // Corpus DRIFT between two log snapshots: the per-label data card at
+    // version 800 vs version 300, diffed — "what changed in the corpus
+    // since the last training run" answered from ONE immutable log via two
+    // versionAsOf reads (each file-level pruned to its ceiling, so the lo
+    // read touches only the log's first segments at any scale). The log is
+    // append-only, so lo's labels ⊆ hi's and a left join is exact.
+    "graft_version_diff" -> { (s, dir) =>
+      val logDir = graft.sources.GraftLogCache.ensure(s, dir)
+      def card(v: Long): DataFrame =
+        s.read.format("graft").option("versionAsOf", v).load(logDir)
+          .groupBy(col("label"))
+          .agg(count(lit(1)).as("n"),
+            sum(length(col("payload"))).as("chars"))
+      card(800L)
+        .select(col("label"), col("n").as("n_hi"), col("chars").as("chars_hi"))
+        .join(card(300L)
+          .select(col("label"), col("n").as("n_lo"),
+            col("chars").as("chars_lo")), Seq("label"), "left")
+        .select(col("label"),
+          coalesce(col("n_lo"), lit(0L)).as("n_lo"), col("n_hi"),
+          (col("n_hi") - coalesce(col("n_lo"), lit(0L))).as("n_delta"),
+          coalesce(col("chars_lo"), lit(0L)).as("chars_lo"), col("chars_hi"),
+          (col("chars_hi") - coalesce(col("chars_lo"), lit(0L)))
+            .as("chars_delta"))
+        .orderBy("label")
+    },
+
     // The V2 source's O(1) aggregate pushdown under the driver gate: a
     // bounded MIN/MAX/COUNT over the log plans as a one-row
     // GraftLogAggScan (values from segment names + commit-log tail —
@@ -381,6 +408,19 @@ object EventLogQueries {
     "graft_scan_forward" -> graftScanSql(""),
 
     "graft_time_travel" -> graftScanSql("WHERE event_id + 1 <= 500"),
+
+    "graft_version_diff" ->
+      """WITH lo AS (SELECT event_type AS label, count(*) AS n,
+        |    CAST(sum(length(props)) AS BIGINT) AS chars
+        |  FROM events WHERE event_id + 1 <= 300 GROUP BY 1),
+        |hi AS (SELECT event_type AS label, count(*) AS n,
+        |    CAST(sum(length(props)) AS BIGINT) AS chars
+        |  FROM events WHERE event_id + 1 <= 800 GROUP BY 1)
+        |SELECT h.label, COALESCE(l.n, 0) AS n_lo, h.n AS n_hi,
+        |  h.n - COALESCE(l.n, 0) AS n_delta,
+        |  COALESCE(l.chars, 0) AS chars_lo, h.chars AS chars_hi,
+        |  h.chars - COALESCE(l.chars, 0) AS chars_delta
+        |FROM hi h LEFT JOIN lo l USING (label) ORDER BY label""".stripMargin,
 
     // log versions are event_id + 1 (GraftLogCache's mapping)
     "graft_version_stats" ->

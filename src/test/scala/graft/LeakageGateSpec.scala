@@ -47,4 +47,25 @@ class LeakageGateSpec extends AnyFunSuite {
     val i = rows.head.fieldIndex("leak_pairs")
     rows.foreach(r => assert(r.getLong(i) == 0L))
   }
+  test("split_by_cluster: no near-dup component straddles splits; singletons match split_corpus") {
+    val dir = "/root/testdata/sf0.001"
+    val rows = SparkEntry.queries("split_by_cluster")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(3)))
+    // the invariant the operator exists for: one split per cluster
+    rows.groupBy(_._2).foreach { case (c, ms) =>
+      assert(ms.map(_._3).distinct.length == 1, s"cluster $c straddles splits")
+    }
+    // singleton components (cluster_id = doc_id) must agree with the
+    // doc-hash split_corpus assignment — only group members ever move
+    val docSplit = SparkEntry.queries("split_corpus")(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getString(3)).toMap
+    rows.filter(r => r._1 == r._2).foreach { case (d, _, s) =>
+      assert(docSplit(d) == s, s"singleton $d moved: $s vs ${docSplit(d)}")
+    }
+    // and the crafted non-singleton case: every member takes the KEEPER's
+    // doc-hash split, verified against the cluster id directly
+    rows.filter(r => r._1 != r._2).foreach { case (d, c, s) =>
+      assert(docSplit(c) == s, s"member $d of $c not on keeper's split")
+    }
+  }
 }
