@@ -125,3 +125,136 @@ case class AdcDot(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
   override def prettyName: String = "adc_dot"
 }
+
+/** Compiled PQ scoring state for the streaming probe expressions: coarse
+  * centroids + flattened sub-codebooks, shipped once per executor as a
+  * codegen reference object. */
+final class PqScoreTable(
+    val centroids: Array[Array[Double]], // coarseK × dim
+    val codebook: Array[Double],         // m × k × (dim/m), flattened
+    val m: Int,
+    val k: Int) extends Serializable {
+  def dim: Int = centroids.head.length
+  def dsub: Int = dim / m
+}
+
+object PqScore {
+  /** nProbe nearest coarse cells of a query vector by L2, ascending
+    * distance, ties to the lower cell id (insertion sort over k ≤ 64
+    * cells — selection, not a full sort). */
+  def nearestCells(qv: ArrayData, t: PqScoreTable, nProbe: Int): ArrayData = {
+    val kk = t.centroids.length
+    val n = math.min(nProbe, kk)
+    val dist = new Array[Double](kk)
+    var c = 0
+    while (c < kk) {
+      val cen = t.centroids(c)
+      var s = 0.0
+      var i = 0
+      while (i < cen.length) {
+        val d = qv.getDouble(i) - cen(i); s += d * d; i += 1
+      }
+      dist(c) = s
+      c += 1
+    }
+    val out = new Array[Int](n)
+    val used = new Array[Boolean](kk)
+    var j = 0
+    while (j < n) {
+      var best = -1
+      var bestD = Double.MaxValue
+      c = 0
+      while (c < kk) {
+        if (!used(c) && dist(c) < bestD) { bestD = dist(c); best = c }
+        c += 1
+      }
+      used(best) = true
+      out(j) = best
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** ADC cosine of (query, candidate codes) under the residual scheme:
+    * (dot(q, c_cell) + Σ_sub dot(q_sub, codebook[sub][code])) /
+    * (|q| · nrm). Identical fold orders to the batch LUT construction
+    * ([[graft.operators.PqIndex.adcProbe]] builds lut[sub][code] with the
+    * same per-sub left-to-right dot and sums subs left-to-right), so
+    * streaming and batch scores are bit-identical. LUT-free: ~2·dim flops
+    * per candidate instead of m lookups — right for a streaming probe
+    * where queries are transient; the batch path amortizes its LUT over
+    * the whole candidate scan. */
+  def adcCosine(
+      qv: ArrayData, cell: Int, codes: ArrayData, nrm: Double,
+      t: PqScoreTable): Double = {
+    val cen = t.centroids(cell)
+    var qc = 0.0
+    var i = 0
+    while (i < cen.length) { qc += qv.getDouble(i) * cen(i); i += 1 }
+    // the sub sums fold into their OWN accumulator first (the batch path
+    // is `qdotc + adcDot(...)` — one addition of the completed Σ_sub);
+    // folding each s into qc directly re-associates and drifts an ulp
+    val dsub = t.dsub
+    var acc = 0.0
+    var sub = 0
+    while (sub < t.m) {
+      val off = (sub * t.k + codes.getInt(sub)) * dsub
+      var s = 0.0
+      var j = 0
+      while (j < dsub) { s += qv.getDouble(sub * dsub + j) * t.codebook(off + j); j += 1 }
+      acc += s
+      sub += 1
+    }
+    var qn = 0.0
+    i = 0
+    val d = t.dim
+    while (i < d) { val x = qv.getDouble(i); qn += x * x; i += 1 }
+    (qc + acc) / (math.sqrt(qn) * nrm)
+  }
+}
+
+/** `ivf_nearest_cells(qv)` → array<int> of the nProbe nearest coarse
+  * cells (see [[PqScore.nearestCells]]). */
+case class IvfNearestCells(child: Expression, table: PqScoreTable, nProbe: Int)
+    extends UnaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[org.apache.spark.sql.graftshim.Shim.AbstractType] =
+    Seq(ArrayType(DoubleType))
+  override def dataType: DataType =
+    ArrayType(IntegerType, containsNull = false)
+  override def nullSafeEval(v: Any): Any =
+    PqScore.nearestCells(v.asInstanceOf[ArrayData], table, nProbe)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val tRef = ctx.addReferenceObj("pqScoreTable", table,
+      classOf[PqScoreTable].getName)
+    defineCodeGen(ctx, ev,
+      c => s"graft.exprs.PqScore.nearestCells($c, $tRef, $nProbe)")
+  }
+  override protected def withNewChildInternal(
+      newChild: Expression): IvfNearestCells = copy(child = newChild)
+  override def prettyName: String = "ivf_nearest_cells"
+}
+
+/** `pq_adc_cosine(qv, cell, codes, nrm)` → double (see
+  * [[PqScore.adcCosine]]). */
+case class PqAdcCosine(
+    first: Expression, second: Expression, third: Expression,
+    fourth: Expression, table: PqScoreTable)
+    extends org.apache.spark.sql.catalyst.expressions.QuaternaryExpression
+    with ImplicitCastInputTypes {
+  override def inputTypes: Seq[org.apache.spark.sql.graftshim.Shim.AbstractType] =
+    Seq(ArrayType(DoubleType), IntegerType, ArrayType(IntegerType), DoubleType)
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(a: Any, b: Any, c: Any, d: Any): Any =
+    PqScore.adcCosine(a.asInstanceOf[ArrayData], b.asInstanceOf[Int],
+      c.asInstanceOf[ArrayData], d.asInstanceOf[Double], table)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val tRef = ctx.addReferenceObj("pqScoreTable", table,
+      classOf[PqScoreTable].getName)
+    defineCodeGen(ctx, ev, (a, b, c, d) =>
+      s"graft.exprs.PqScore.adcCosine($a, $b, $c, $d, $tRef)")
+  }
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression, q: Expression): PqAdcCosine =
+    copy(first = f, second = s, third = t, fourth = q)
+  override def prettyName: String = "pq_adc_cosine"
+}

@@ -34,6 +34,14 @@ object functions {
   def adc_dot(codes: Column, lut: Column): Column =
     Shim.column(AdcDot(Shim.expression(codes), Shim.expression(lut)))
 
+  def ivf_nearest_cells(qv: Column, table: PqScoreTable, nProbe: Int): Column =
+    Shim.column(IvfNearestCells(Shim.expression(qv), table, nProbe))
+
+  def pq_adc_cosine(qv: Column, cell: Column, codes: Column, nrm: Column,
+      table: PqScoreTable): Column =
+    Shim.column(PqAdcCosine(Shim.expression(qv), Shim.expression(cell),
+      Shim.expression(codes), Shim.expression(nrm), table))
+
   def simhash32(c: Column): Column =
     Shim.column(SimHash32(Shim.expression(c)))
 

@@ -46,6 +46,18 @@ final class PqIndex private[operators] (
   def m: Int = codebooks.length
   def kCodes: Int = codebooks.head.length
 
+  /** The index's scoring state packed for the per-row streaming probe
+    * expressions ([[graft.exprs.IvfNearestCells]] /
+    * [[graft.exprs.PqAdcCosine]]) — centroids + flattened codebooks as
+    * one serializable reference object. */
+  def scoreTable: graft.exprs.PqScoreTable = {
+    val dsub = codebooks.head.head.length
+    val flat = new Array[Double](m * kCodes * dsub)
+    var i = 0
+    for (cb <- codebooks; c <- cb; x <- c) { flat(i) = x; i += 1 }
+    new graft.exprs.PqScoreTable(coarse.centroids, flat, m, kCodes)
+  }
+
   /** Persist: coarse index (centroids + cell-partitioned lists via
     * [[IvfIndex.save]]) + `dir/pq_codebooks` + `dir/pq_codes`
     * (cell-partitioned like the lists, so a probe's code scan is

@@ -299,6 +299,73 @@ object StreamOps {
       }
   }
 
+  /** Streaming ANN serving: a stream of query vectors probed against a
+    * PERSISTED IVF-PQ index ([[graft.operators.PqIndex]]) — approximate
+    * top-k retrieval as a STREAM-STATIC join, the online half of the
+    * batch ann_ivf_pq path.
+    *
+    * Shape, sized for a 100 TB index:
+    *  - per query row, the nProbe nearest coarse cells come from ONE
+    *    fused expression over the centroid reference object (no
+    *    broadcast-join against a centroid table), then explode to
+    *    (query, cell) rows;
+    *  - the stream-static inner join on `cell` is STATELESS (no
+    *    watermark state: the static side is just re-read per
+    *    micro-batch) and partition-prunes a loaded index (pq_codes is
+    *    cell-partitioned on disk), so each micro-batch reads only the
+    *    probed cells' codes;
+    *  - scoring reads CODES ONLY: [[graft.exprs.PqAdcCosine]] computes
+    *    the residual ADC cosine in one codegen pass — fold orders
+    *    identical to the batch LUT path, so stream and batch scores are
+    *    bit-identical (spec-pinned);
+    *  - per-query top-k is a windowed aggregate (sort_array + slice over
+    *    the collected candidate structs, score desc / n_id asc — the
+    *    batch rank order), emitted on watermark close in append mode.
+    *    Candidate volume per query is bounded by the probed cells' list
+    *    sizes, the same bound the batch probe carries.
+    *
+    * @param queries   streaming DataFrame of (event-time, id, vector)
+    * @param tsCol     event-time column
+    * @param idCol     long query id column
+    * @param vecCol    array<double> query vector column
+    * @param idx       built or loaded PQ index (static side)
+    * @param nProbe    coarse cells probed per query
+    * @param topK      neighbors returned per query
+    * @param windowLen tumbling-window length, e.g. "10 seconds"
+    * @param delay     watermark delay
+    */
+  def annProbeStream(
+      queries: DataFrame,
+      tsCol: String,
+      idCol: String,
+      vecCol: String,
+      idx: graft.operators.PqIndex,
+      nProbe: Int,
+      topK: Int,
+      windowLen: String,
+      delay: String): DataFrame = {
+    val t = idx.scoreTable
+    val probes = queries
+      .select(col(tsCol).cast("timestamp").as("ts"),
+        col(idCol).cast("long").as("q_id"),
+        col(vecCol).cast("array<double>").as("qv"))
+      .withWatermark("ts", delay)
+      .withColumn("cell",
+        explode(graft.exprs.functions.ivf_nearest_cells(col("qv"), t, nProbe)))
+    val cand = idx.codes.select(col("vec_id").as("n_id"), col("cell"),
+      col("nrm"), col("codes"))
+    probes.join(cand, Seq("cell"))
+      .filter(col("n_id") =!= col("q_id"))
+      .withColumn("adc_cosine", graft.exprs.functions.pq_adc_cosine(
+        col("qv"), col("cell"), col("codes"), col("nrm"), t))
+      .groupBy(window(col("ts"), windowLen), col("q_id"))
+      .agg(slice(sort_array(collect_list(struct(
+        (-col("adc_cosine")).as("neg"), col("n_id")))), 1, topK).as("top"))
+      .select(col("window"), col("q_id"),
+        expr("transform(top, x -> x.n_id)").as("top_ids"),
+        expr("transform(top, x -> -x.neg)").as("top_scores"))
+  }
+
   /** Streaming BPE tokenization: per-document token-id sequences from the
     * PERSISTED merge-table artifact ([[graft.operators.BpeModel]]) — the
     * batch tokenize_bpe_ids made incremental, and the natural consumer of

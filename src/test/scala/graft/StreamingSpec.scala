@@ -603,6 +603,58 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("annProbeStream reproduces the batch ADC probe over a persisted index") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    implicit val sqlCtx = spark.sqlContext
+    val sfDir = "/root/testdata/sf0.001"
+    val emb = graft.util.Tables(spark, sfDir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val built = graft.operators.PqIndex.build(emb, m = 8, kCodes = 16)
+    // through the FULL persisted lifecycle: the serving tier loads, never builds
+    val dir = java.nio.file.Files.createTempDirectory("graft-annstream").toString
+    built.save(dir)
+    val idx = graft.operators.PqIndex.load(spark, dir)
+
+    val qRows = emb.filter(col("vec_id") < 6)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"))
+    val batch = graft.operators.PqIndex
+      .adcProbe(idx, qRows, nProbe = 2, topK = 5)
+      .orderBy("q_id", "rank")
+      .collect().groupBy(_.getLong(0))
+      .view.mapValues(_.sortBy(_.getInt(2)).map(r =>
+        (r.getLong(1), r.getDouble(3))).toSeq).toMap
+
+    val qLocal = qRows.collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1))).toSeq
+    val mem = MemoryStream[(java.sql.Timestamp, Long, Seq[Double])]
+    def ts(s: Long) = new java.sql.Timestamp(s * 1000L)
+    val q = StreamOps.annProbeStream(
+        mem.toDF().toDF("ts", "q_id", "qv"),
+        "ts", "q_id", "qv", idx, nProbe = 2, topK = 5,
+        windowLen = "10 seconds", delay = "5 seconds")
+      .writeStream.format("memory").queryName("annstream")
+      .outputMode("append").start()
+    try {
+      mem.addData(qLocal.map { case (id, v) => (ts(3), id, v) }: _*)
+      q.processAllAvailable()
+      // advance the watermark past the window so the aggregate emits
+      mem.addData((ts(60), 999L, qLocal.head._2))
+      q.processAllAvailable()
+      val got = spark.table("annstream")
+        .filter(col("q_id") < 6)
+        .select("q_id", "top_ids", "top_scores").collect()
+        .map(r => r.getLong(0) ->
+          r.getSeq[Long](1).zip(r.getSeq[Double](2)).toSeq).toMap
+      assert(got.keySet === batch.keySet)
+      // ids, ORDER, and bit-identical scores — stream serves exactly what
+      // the batch probe computes
+      batch.foreach { case (qid, exp) =>
+        assert(got(qid) == exp, s"query $qid: ${got(qid)} != $exp")
+      }
+    } finally q.stop()
+  }
+
   test("tokenizeBpeStream matches batch tokenize_bpe_ids via the persisted model") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
