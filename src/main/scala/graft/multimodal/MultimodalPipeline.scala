@@ -119,7 +119,10 @@ object MultimodalPipeline {
         val s: Int =
           if (bigEndian) (bytes(i) << 8) | (bytes(i + 1) & 0xff)
           else (bytes(i + 1) << 8) | (bytes(i) & 0xff)
-        val band = math.min(7, (i / 2) * 8 / math.max(1, nSamples))
+        // ×8 in Long: an Int product wraps negative past 512 MB of PCM
+        // (reachable via ffmpeg decodeAudio on hours-long recordings)
+        val band = math.min(7L,
+          (i / 2).toLong * 8 / math.max(1, nSamples)).toInt
         val v = s / 32768.0f
         emb(band) += v * v
         counts(band) += 1
@@ -387,8 +390,8 @@ object MultimodalPipeline {
             // one decode run bounded by the sample horizon: ffmpeg stops
             // at maxNeeded frames; fewer back means that IS the count
             val frames = decodeFrames(path, maxNeeded)
-            val fc = math.max(1, frames.length)
-            val idx = pick(math.min(fc, maxNeeded))
+            require(frames.nonEmpty, "ffmpeg produced no frames")
+            val idx = pick(math.min(frames.length, maxNeeded))
             (idx, idx.map(i => frames(i)._3))
           }
       }

@@ -71,7 +71,12 @@ object BpeModel {
             StandardCopyOption.ATOMIC_MOVE)
           done = attempt
         } catch {
-          case _: java.nio.file.FileAlreadyExistsException =>
+          // a lost cross-JVM race surfaces as EEXIST when the target is a
+          // file/empty dir, but on Linux as ENOTEMPTY
+          // (DirectoryNotEmptyException) when renaming onto the winner's
+          // populated v=N directory — both mean "taken, try the next"
+          case _: java.nio.file.FileAlreadyExistsException |
+              _: java.nio.file.DirectoryNotEmptyException =>
             deleteRecursively(staging)
             attempt += 1
         }

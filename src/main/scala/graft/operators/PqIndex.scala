@@ -50,13 +50,9 @@ final class PqIndex private[operators] (
     * expressions ([[graft.exprs.IvfNearestCells]] /
     * [[graft.exprs.PqAdcCosine]]) — centroids + flattened codebooks as
     * one serializable reference object. */
-  def scoreTable: graft.exprs.PqScoreTable = {
-    val dsub = codebooks.head.head.length
-    val flat = new Array[Double](m * kCodes * dsub)
-    var i = 0
-    for (cb <- codebooks; c <- cb; x <- c) { flat(i) = x; i += 1 }
-    new graft.exprs.PqScoreTable(coarse.centroids, flat, m, kCodes)
-  }
+  def scoreTable: graft.exprs.PqScoreTable =
+    new graft.exprs.PqScoreTable(
+      coarse.centroids, PqIndex.flatten(codebooks), m, kCodes)
 
   /** Persist: coarse index (centroids + cell-partitioned lists via
     * [[IvfIndex.save]]) + `dir/pq_codebooks` + `dir/pq_codes`
@@ -76,6 +72,19 @@ final class PqIndex private[operators] (
 }
 
 object PqIndex {
+
+  /** Codebooks flattened to the (sub*k + code)*dsub offset convention the
+    * PqEncode/PqScore kernels index — the ONE place the layout lives. */
+  private[operators] def flatten(
+      codebooks: Array[Array[Array[Double]]]): Array[Double] = {
+    val m = codebooks.length
+    val k = codebooks.head.length
+    val dsub = codebooks.head.head.length
+    val out = new Array[Double](m * k * dsub)
+    var i = 0
+    for (cb <- codebooks; c <- cb; x <- c) { out(i) = x; i += 1 }
+    out
+  }
 
   /** Deterministic Lloyd's k-means over an in-memory sample: init = k
     * evenly-spaced points of the (already vec_id-sorted) sample, maxIter
@@ -188,14 +197,9 @@ object PqIndex {
     // interpreted zip_with/aggregate HOFs — measured 9.2 s → 2.2 s on the
     // sf0.1 bench, and the k× exchange is gone entirely at scale.
     val kk = codebooks.head.length
-    val flat: Array[Double] = {
-      val out = new Array[Double](m * kk * dsub)
-      var i = 0
-      for (cb <- codebooks; c <- cb; x <- c) { out(i) = x; i += 1 }
-      out
-    }
     val codes = resid.select(col("vec_id"), col("cell"), col("nrm"),
-      graft.exprs.functions.pq_encode(col("r"), flat, m, kk).as("codes"))
+      graft.exprs.functions.pq_encode(col("r"), flatten(codebooks), m, kk)
+        .as("codes"))
     new PqIndex(coarse, codebooks, codes)
   }
 

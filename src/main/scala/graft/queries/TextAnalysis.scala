@@ -321,16 +321,22 @@ object TextAnalysis {
     * initialization), so errors surface once with the original trace. */
   private final class Memo[T](thunk: () => T) { lazy val value: T = thunk() }
 
+  /** The corpus cache key: dir + documents-file fingerprint, or None when
+    * the fingerprint is unreadable (remote fs) — the ONE derivation every
+    * corpus-keyed cache (in-process memo, persisted BpeModel root) shares,
+    * so the two paths can never key the same corpus differently. The
+    * catch covers ONLY the fingerprint I/O. */
+  private def corpusKey(dir: String): Option[String] =
+    (try Some(graft.sources.GraftLogCache
+      .corpusFingerprint(dir, "documents.parquet"))
+    catch { case scala.util.control.NonFatal(_) => None })
+      .map(f => s"$dir|$f")
+
   private def cachedByCorpus[T](
       cache: java.util.concurrent.ConcurrentHashMap[String, Memo[T]],
       s: SparkSession, dir: String)(train: (SparkSession, String) => T): T = {
-    val fp =
-      try Some(graft.sources.GraftLogCache
-        .corpusFingerprint(dir, "documents.parquet"))
-      catch { case scala.util.control.NonFatal(_) => None }
-    fp match {
-      case Some(f) =>
-        val key = s"$dir|$f"
+    corpusKey(dir) match {
+      case Some(key) =>
         // an overwritten corpus leaves its previous key dead — drop other
         // keys for the same dir so long-lived JVMs (bench loops, spec
         // temp-dir reuse) hold at most one merge table per corpus path
@@ -599,14 +605,10 @@ object TextAnalysis {
   private def persistedMerges(s: SparkSession, dir: String)
       : Seq[(Long, String, String, String, Long)] = {
     import graft.operators.BpeModel
-    val fp =
-      try Some(graft.sources.GraftLogCache
-        .corpusFingerprint(dir, "documents.parquet"))
-      catch { case scala.util.control.NonFatal(_) => None }
-    fp match {
-      case Some(f) =>
+    corpusKey(dir) match {
+      case Some(ck) =>
         val key = java.security.MessageDigest.getInstance("MD5")
-          .digest(s"$dir|$f".getBytes("UTF-8"))
+          .digest(ck.getBytes("UTF-8"))
           .map("%02x".format(_)).mkString.take(12)
         val root = java.nio.file.Paths.get(
           sys.props.getOrElse("java.io.tmpdir", "/tmp"),

@@ -274,32 +274,40 @@ final class GraftAggScan(
   override def toBatch: Batch = new Batch {
     override def planInputPartitions(): Array[InputPartition] = {
       val (segs, tail) = ParquetLogBackend.readView(path)
-      // log bounds from segment-name ranges + the tail; NOT all versions
-      val starts = segs.map(_._2) ++ tail.map(_.version)
-      val ends = segs.map(_._3) ++ tail.map(_.version)
-      // count = hi-lo+1 assumes the union is GAPLESS (the sequencer's
-      // density invariant). If history is damaged — a segment file gone,
-      // a hole in the tail — the arithmetic would silently diverge from
-      // what the row-scan path returns over the same log. Assert
+      // count = hi-lo+1 assumes the QUERIED window is GAPLESS (the
+      // sequencer's density invariant). If history is damaged — a segment
+      // file gone, a hole in the tail — the arithmetic would silently
+      // diverge from what the row-scan path returns over the same log.
+      // Ranges are CLIPPED to [minV, maxV] first: damage outside the
+      // window must not fail a pinned-version read of an intact prefix
+      // (versionAsOf over old state is exactly the read you want against
+      // a damaged log), and bounds derived from the clipped set stay
+      // exact even when minV/maxV fall inside a hole. Then assert
       // contiguity at planning time (cheap: O(files log files), no data
       // reads) and fail loudly instead. Overlap is fine (a compaction
       // racing readView can list an event in both tail and a new segment
       // — the row path watermark-filters it); only a GAP is corruption.
-      val ranges = (segs.map(s => (s._2, s._3)) ++
-        tail.map(e => (e.version, e.version))).sortBy(_._1)
+      val clipped = (segs.map(s => (s._2, s._3)) ++
+        tail.map(e => (e.version, e.version)))
+        .flatMap { case (s, e) =>
+          val cs = math.max(s, minV)
+          val ce = math.min(e, maxV)
+          if (cs <= ce) Some((cs, ce)) else None
+        }.sortBy(_._1)
       // running-max end, not previous range's end: a sub-range contained
       // in an earlier segment (tail/segment overlap) must not read as a gap
-      ranges.foldLeft(Long.MinValue) { case (cover, (s, e)) =>
+      clipped.foldLeft(Long.MinValue) { case (cover, (s, e)) =>
         if (cover != Long.MinValue && s > cover + 1L)
           throw new IllegalStateException(
             s"gapped log history at $path: versions ${cover + 1}..${s - 1} " +
-              "missing; pushed-aggregate arithmetic would misreport — " +
+              s"missing inside the queried window [$minV, $maxV]; " +
+              "pushed-aggregate arithmetic would misreport — " +
               "repair the log or read without aggregate pushdown")
         math.max(cover, e)
       }
-      val lo = starts.foldLeft(Long.MaxValue)(math.min).max(minV)
-      val hi = ends.foldLeft(Long.MinValue)(math.max).min(maxV)
-      val empty = starts.isEmpty || hi < lo
+      val empty = clipped.isEmpty
+      val lo = if (empty) 0L else clipped.iterator.map(_._1).min
+      val hi = if (empty) 0L else clipped.iterator.map(_._2).max
       val values: Array[java.lang.Long] = tags.map {
         case "count" => java.lang.Long.valueOf(if (empty) 0L else hi - lo + 1L)
         case "min" => if (empty) null else java.lang.Long.valueOf(lo)

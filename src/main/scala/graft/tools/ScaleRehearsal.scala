@@ -88,12 +88,14 @@ object ScaleRehearsal {
       df.agg(max(col(key))).head().getLong(0) + 1L
     def cp(df: DataFrame): DataFrame = df.crossJoin(
       spark.range(10).toDF("cp"))
-    def write(df: DataFrame, n: String): Unit = {
+    def write(df: => DataFrame, n: String): Unit = {
       val f = new java.io.File(s"$out/$n.parquet")
       if (!f.exists())
         df.repartition(32).write.mode("overwrite").parquet(f.toString)
     }
-    def shifted(n: String, shifts: (String, Long)*): Unit = {
+    // `shifts` is by-name: the existence check must run before any stride
+    // scan is forced, so a warm re-run costs zero Spark jobs here
+    def shifted(n: String)(shifts: => Seq[(String, Long)]): Unit = {
       val f = new java.io.File(s"$out/$n.parquet")
       if (f.exists()) return
       val d = tbl(n)
@@ -119,20 +121,23 @@ object ScaleRehearsal {
         "documents")
     }
 
-    val sO = stride(tbl("orders"), "o_orderkey")
-    val sC = stride(tbl("customer"), "c_custkey")
-    val sS = stride(tbl("supplier"), "s_suppkey")
-    val sP = stride(tbl("part"), "p_partkey")
-    shifted("lineitem", "l_orderkey" -> sO, "l_partkey" -> sP,
-      "l_suppkey" -> sS)
-    shifted("orders", "o_orderkey" -> sO, "o_custkey" -> sC)
-    shifted("customer", "c_custkey" -> sC)
-    shifted("supplier", "s_suppkey" -> sS)
-    shifted("part", "p_partkey" -> sP)
-    shifted("events",
+    // strides are lazy so a warm re-run (all outputs exist) runs ZERO
+    // stride scans — shifted() returns before forcing any of them
+    lazy val sO = stride(tbl("orders"), "o_orderkey")
+    lazy val sC = stride(tbl("customer"), "c_custkey")
+    lazy val sS = stride(tbl("supplier"), "s_suppkey")
+    lazy val sP = stride(tbl("part"), "p_partkey")
+    shifted("lineitem")(Seq("l_orderkey" -> sO, "l_partkey" -> sP,
+      "l_suppkey" -> sS))
+    shifted("orders")(Seq("o_orderkey" -> sO, "o_custkey" -> sC))
+    shifted("customer")(Seq("c_custkey" -> sC))
+    shifted("supplier")(Seq("s_suppkey" -> sS))
+    shifted("part")(Seq("p_partkey" -> sP))
+    shifted("events")(Seq(
       "event_id" -> stride(tbl("events"), "event_id"),
-      "user_id" -> stride(tbl("events"), "user_id"))
-    shifted("embeddings", "vec_id" -> stride(tbl("embeddings"), "vec_id"))
+      "user_id" -> stride(tbl("events"), "user_id")))
+    shifted("embeddings")(Seq(
+      "vec_id" -> stride(tbl("embeddings"), "vec_id")))
     Seq("nation", "region").foreach(n => write(tbl(n), n))
   }
 }

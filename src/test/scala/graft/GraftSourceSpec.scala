@@ -344,6 +344,42 @@ class GraftSourceSpec extends AnyFunSuite {
     assert(grouped.count() === 4L) // seg1 seg2 seg3 tail
   }
 
+  test("pushed aggregates: gap inside the window fails loudly, damage beyond a pinned ceiling does not") {
+    import scala.jdk.CollectionConverters._
+    val dir = mkLog() // segments 1-10, 11-20, 21-30 + tail 31-35
+    // damage the log: delete the MIDDLE segment (versions 11-20)
+    val segs = scala.util.Using.resource(
+      Files.list(java.nio.file.Paths.get(dir, "segments")))(
+      _.iterator().asScala.toList)
+    val victim = segs.find(_.getFileName.toString.contains("00011")).orElse(
+      segs.sortBy(_.getFileName.toString).drop(1).headOption).get
+    Files.delete(victim)
+
+    // a whole-log pushed aggregate must FAIL, not report arithmetic counts
+    // diverging from what the row scan would return
+    val e = intercept[IllegalStateException] {
+      spark.read.format("graft").load(dir)
+        .agg(count(lit(1)), min("version")).collect()
+    }
+    assert(e.getMessage.contains("gapped log history"),
+      s"wrong failure: ${e.getMessage}")
+
+    // but time travel to the intact prefix is EXACTLY the read you want
+    // against a damaged log — the contiguity check clips to the window
+    val pinned = spark.read.format("graft").option("versionAsOf", 10)
+      .load(dir).agg(count(lit(1)), min("version"), max("version"))
+    assert(pinned.queryExecution.executedPlan.toString
+      .contains("GraftLogAggScan"), "pinned agg must stay pushed")
+    val pr = pinned.collect().head
+    assert((pr.getLong(0), pr.getLong(1), pr.getLong(2)) === ((10L, 1L, 10L)))
+
+    // bounds entirely ABOVE the hole also work (21..35 is contiguous)
+    val above = spark.read.format("graft").load(dir)
+      .filter(col("version") >= 21).agg(count(lit(1)), min("version"))
+      .collect().head
+    assert((above.getLong(0), above.getLong(1)) === ((15L, 21L)))
+  }
+
   test("topN on version desc plans only the newest files (tail of the log)") {
     val dir = mkLog() // 3 segments of 10 + 5 tail events = versions 1..35
     // last 8 = tail (5) + 3 from segment 3: plan must touch ONE file
