@@ -78,6 +78,44 @@ object IvfIndex {
     new IvfIndex(centroids, spark.read.parquet(s"$dir/cells"))
   }
 
+  /** Assign vectors to their nearest EXISTING centroid — one fused
+    * codegen pass per row ([[graft.exprs.IvfNearestCells]] at nProbe=1,
+    * ties to the lower cell id), no join against a centroid table.
+    * Returns the same (vec_id, v, nrm, cell) shape build produces. */
+  private[operators] def assignTo(
+      centroids: Array[Array[Double]], emb: DataFrame): DataFrame = {
+    val t = new graft.exprs.PqScoreTable(
+      centroids, Array.empty[Double], 1, 1) // codebook unused by cell ranking
+    emb.select(col("vec_id"), col("v"))
+      .withColumn("nrm", Similarity.norm(col("v")))
+      .withColumn("cell", element_at(
+        graft.exprs.functions.ivf_nearest_cells(col("v"), t, 1), 1))
+  }
+
+  /** INCREMENTAL index maintenance: append new vectors to a PERSISTED
+    * index without refitting the quantizer — the upsert move a
+    * continuously-ingesting corpus needs between periodic re-builds.
+    *
+    * New rows are assigned to the EXISTING nearest centroid and appended
+    * as new files into the cell-partitioned lists (`mode("append")` under
+    * `partitionBy(cell)`) — a parquet reader sees whole files or not at
+    * all, so a concurrent probe reads the index before or after the
+    * upsert, never a torn state. The quantizer itself never changes here:
+    * cell ids, centroid geometry, and every existing row stay untouched,
+    * so probe answers over OLD vectors are bit-identical pre/post.
+    * Quantizer drift as the corpus grows is real and is healed by the
+    * periodic re-BUILD batch job — the standard IVF maintenance split
+    * (cheap upserts between expensive refits).
+    *
+    * @return the number of vectors appended */
+  def appendVectors(spark: SparkSession, dir: String, emb: DataFrame): Long = {
+    val idx = load(spark, dir)
+    val assigned = assignTo(idx.centroids, emb)
+    val n = assigned.count()
+    assigned.write.mode("append").partitionBy("cell").parquet(s"$dir/cells")
+    n
+  }
+
   /** Top-`topK` cosine neighbors per query over the `nProbe` nearest
     * cells. `queries` carries (`q_id`, `qv: array<double>`) and is small
     * by contract. The probed-cell filter is a LITERAL `isin` — static

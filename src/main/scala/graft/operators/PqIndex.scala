@@ -203,6 +203,33 @@ object PqIndex {
     new PqIndex(coarse, codebooks, codes)
   }
 
+  /** INCREMENTAL maintenance for the PQ tier: the [[IvfIndex.appendVectors]]
+    * contract extended to codes — new vectors are assigned to their
+    * existing cell, residual-encoded with the EXISTING codebooks (the
+    * fused [[graft.exprs.PqEncode]] pass), and appended to BOTH
+    * `pq_codes` and the coarse cells (the rerank path reads raw vectors
+    * from there). Codebooks and centroids never change; drift is healed
+    * by periodic re-build, exactly as on the coarse tier.
+    *
+    * @return the number of vectors appended */
+  def appendVectors(spark: SparkSession, dir: String, emb: DataFrame): Long = {
+    val idx = load(spark, dir)
+    import spark.implicits._
+    val assigned = IvfIndex.assignTo(idx.coarse.centroids, emb)
+    val n = assigned.count()
+    val centDf = idx.coarse.centroids.zipWithIndex
+      .map { case (c, i) => (i, c.toSeq) }.toSeq.toDF("cell", "cvec")
+    val codes = assigned
+      .join(broadcast(centDf), "cell")
+      .withColumn("r", zip_with(col("v"), col("cvec"), (a, b) => a - b))
+      .select(col("vec_id"), col("cell"), col("nrm"),
+        graft.exprs.functions.pq_encode(
+          col("r"), flatten(idx.codebooks), idx.m, idx.kCodes).as("codes"))
+    codes.write.mode("append").partitionBy("cell").parquet(s"$dir/pq_codes")
+    assigned.write.mode("append").partitionBy("cell").parquet(s"$dir/cells")
+    n
+  }
+
   def load(spark: SparkSession, dir: String): PqIndex = {
     val coarse = IvfIndex.load(spark, dir)
     val cb = spark.read.parquet(s"$dir/pq_codebooks").collect()

@@ -89,4 +89,33 @@ class AnnPqSpec extends AnyFunSuite {
     val hits = adc1.count { case (qid, n1) => exact(qid).contains(n1) }
     assert(hits >= 3, s"only $hits/5 ADC top-1 in exact top-5: $adc1")
   }
+
+  test("PqIndex.appendVectors: upserted codes + raw rows serve probes and rerank") {
+    val half = emb.filter(col("vec_id") % 2 === 0)
+    val rest = emb.filter(col("vec_id") % 2 === 1)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-pqupsert").toString
+    PqIndex.build(half, m = 8, kCodes = 256).save(dir)
+    assert(PqIndex.appendVectors(spark, dir, rest) ===
+      rest.count())
+    val idx = PqIndex.load(spark, dir)
+    assert(idx.codes.count() === emb.count(), "codes cover the union")
+    assert(idx.coarse.assignments.count() === emb.count(),
+      "raw rows (rerank path) cover the union")
+
+    // exhaustive probes + deep rerank over the upserted index = brute
+    // force over the union — the same contract the built index carries
+    val exact = topk("ann_cosine_topk")
+    val q = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"))
+    // codebooks here were trained on HALF the corpus (the upsert premise),
+    // so the ADC ordering is noisier than the full-build test's — the
+    // containment shortlist must be deeper for the exact re-rank to see
+    // the true top-5 (150 of 499: still code-only scanning + 150 point
+    // reads, the serving economics are unchanged)
+    val got = PqIndex.adcProbe(idx, q, nProbe = 8, topK = 5, rerank = 150)
+      .select("q_id", "n_id").collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    assert(got == exact)
+  }
 }

@@ -74,4 +74,46 @@ class IvfIndexSpec extends AnyFunSuite {
       s.contains("PartitionFilters") && s.contains("cell")),
       s"cell filter must reach PartitionFilters:\n${scans.mkString("\n")}")
   }
+
+  test("appendVectors: upsert without refit; exhaustive probe = brute force over the union") {
+    val half = emb.filter(col("vec_id") % 2 === 0)
+    val rest = emb.filter(col("vec_id") % 2 === 1)
+    val idxDir = java.nio.file.Files
+      .createTempDirectory("graft-ivfupsert").toString
+    IvfIndex.build(half, k = 8).save(idxDir)
+
+    val q = emb.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"))
+    def answers(): Map[Long, Seq[Long]] =
+      IvfIndex.probe(IvfIndex.load(spark, idxDir), q,
+        nProbe = 8, topK = 5).collect()
+        .map(r => (r.getLong(0), r.getInt(2), r.getLong(1)))
+        .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(_._3).toSeq).toMap
+    val before = answers()
+
+    assert(IvfIndex.appendVectors(spark, idxDir, rest) === rest.count())
+    val after = answers()
+
+    // upserted rows are probable: exhaustive probe over the UNION equals
+    // driver brute force over the union (quantizer geometry unchanged)
+    val all = emb.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var (d, na, nb) = (0.0, 0.0, 0.0)
+      var i = 0
+      while (i < a.length) {
+        d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
+      }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    (0L until 3L).foreach { qid =>
+      val brute = all.toSeq.filter(_._1 != qid)
+        .map { case (id, v) => (id, cos(all(qid), v)) }
+        .sortBy { case (id, c) => (-c, id) }.take(5).map(_._1)
+      assert(after(qid) === brute, s"query $qid after upsert")
+    }
+    // and the upsert is append-only: the old half's rows are intact
+    assert(IvfIndex.load(spark, idxDir).assignments.count() === emb.count())
+    assert(before.keySet === after.keySet)
+  }
 }
