@@ -23,6 +23,16 @@ final case class ClusterLabel(doc_id: Long, cluster: Long)
   * event-time ms, current label) per held document. */
 final case class LabelBucket(entries: Seq[(Long, Seq[Long], Long, Long)])
 
+/** A COMPLETED fixed-length training row from [[StreamOps.packTokenIdsStream]]:
+  * `ids` is exactly seqLen token ids; `n_real`/`n_pad` follow the batch
+  * pack_token_sequences accounting (pad only on a timeout-flushed tail). */
+final case class PackedTokenSeq(
+    bucket: Long, seq_id: Long, n_real: Long, n_pad: Long, ids: Seq[Int])
+
+/** State for one token-id pack stream: the bucket's next sequence id and
+  * the current PARTIAL sequence (< seqLen ids — the hard state bound). */
+final case class PackIdBuf(seqId: Long, buf: Seq[Int])
+
 /** A streaming pack assignment: where `doc_id` landed in its bucket's
   * concat-and-chunk token stream (same output contract as the batch
   * `pack_sequences`). Top-level so the product encoder resolves. */
@@ -295,6 +305,99 @@ object StreamOps {
             // one emission per (doc, label): monotone labels make earlier
             // duplicates within the batch redundant
             out.result().distinct.iterator
+          }
+      }
+  }
+
+  /** Streaming token-id packing: COMPLETED fixed-length training rows of
+    * REAL BPE ids materialize continuously as documents arrive — the
+    * batch pack_token_sequences made incremental, and the composition of
+    * [[tokenizeBpeStream]] (stateless encode from the persisted model)
+    * with the pack state machine. A trainer can tail the output sink;
+    * every emitted row is final and exactly `seqLen` ids.
+    *
+    * Semantics vs batch (deliberate, documented divergence): the batch
+    * operator orders each bucket by a deterministic md5 shuffle of the
+    * WHOLE corpus; a stream cannot know the corpus, so packing order is
+    * ARRIVAL order ((event time, doc_id) within a micro-batch — the
+    * operator is deterministic under replay of the same stream). Fixed
+    * row length, EOS-after-every-document, and pad-only-on-the-tail are
+    * the invariants shared with batch; the tail here is a bucket that
+    * TIMES OUT (watermark passes its last activity + delay): its partial
+    * sequence flushes once, padded with `padId`, and the bucket's state
+    * is freed — a quiet bucket costs nothing forever.
+    *
+    * State bound: ONE partial sequence (< seqLen ints) + one Long per
+    * live bucket — seqLen × 4 bytes × buckets, regardless of how many
+    * documents ever flowed through.
+    *
+    * @param docs     streaming DataFrame
+    * @param tsCol    event-time column (watermark + timeout clock)
+    * @param idCol    long document id (bucket = id % buckets, the batch rule)
+    * @param textCol  document text
+    * @param modelDir persisted [[graft.operators.BpeModel]] artifact
+    * @param buckets  independent pack streams (batch default 32)
+    * @param seqLen   ids per training row (batch default 128)
+    * @param eosId    end-of-document id appended after every document
+    * @param padId    tail-flush padding id
+    * @param delay    watermark delay AND bucket inactivity TTL
+    */
+  def packTokenIdsStream(
+      docs: DataFrame,
+      tsCol: String,
+      idCol: String,
+      textCol: String,
+      modelDir: String,
+      buckets: Int = 32,
+      seqLen: Int = 128,
+      eosId: Int = 34,
+      padId: Int = 35,
+      delay: String = "10 minutes"): Dataset[PackedTokenSeq] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val delayMs = parseDelayMs(delay)
+    val tokenized = tokenizeBpeStream(docs, textCol, modelDir)
+      .select(col(tsCol).cast("timestamp").as("ts"),
+        col(idCol).cast("long").as("doc_id"),
+        (col(idCol).cast("long") % buckets).as("bucket"),
+        col("token_ids"))
+      .withWatermark("ts", delay)
+      .as[(java.sql.Timestamp, Long, Long, Seq[Int])]
+    tokenized
+      .groupByKey(_._3)
+      .flatMapGroupsWithState(
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (bucket: Long,
+         rows: Iterator[(java.sql.Timestamp, Long, Long, Seq[Int])],
+         state: GroupState[PackIdBuf]) =>
+          if (state.hasTimedOut) {
+            // tail flush: the ONLY place padding exists (batch invariant)
+            val out = state.getOption.filter(_.buf.nonEmpty).map { st =>
+              PackedTokenSeq(bucket, st.seqId, st.buf.length.toLong,
+                (seqLen - st.buf.length).toLong,
+                st.buf ++ Seq.fill(seqLen - st.buf.length)(padId))
+            }
+            state.remove()
+            out.iterator
+          } else {
+            val batch = rows.toSeq.sortBy(r => (r._1.getTime, r._2))
+            var st = state.getOption.getOrElse(PackIdBuf(0L, Vector.empty))
+            var buf = st.buf.toVector
+            var seqId = st.seqId
+            val out = List.newBuilder[PackedTokenSeq]
+            batch.foreach { case (_, _, _, ids) =>
+              buf = buf ++ ids :+ eosId
+              while (buf.length >= seqLen) {
+                out += PackedTokenSeq(
+                  bucket, seqId, seqLen.toLong, 0L, buf.take(seqLen))
+                buf = buf.drop(seqLen)
+                seqId += 1
+              }
+            }
+            state.update(PackIdBuf(seqId, buf))
+            state.setTimeoutTimestamp(
+              batch.map(_._1.getTime).max + delayMs)
+            out.result().iterator
           }
       }
   }

@@ -603,6 +603,58 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("packTokenIdsStream emits fixed-length id rows; pad only on timeout flush") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    implicit val sqlCtx = spark.sqlContext
+    // an EMPTY merge model: ids are pure char ids (a=0 … z=25) — the pack
+    // mechanics under test are independent of learned merges
+    val modelDir =
+      java.nio.file.Files.createTempDirectory("graft-packstream").toString
+    graft.operators.BpeModel.save(spark,
+      Seq.empty[(Long, String, String, String, Long)], modelDir)
+
+    val mem = MemoryStream[(java.sql.Timestamp, Long, String)]
+    def ts(s: Long) = new java.sql.Timestamp(s * 1000L)
+    val q = StreamOps.packTokenIdsStream(
+        mem.toDF().toDF("ts", "doc_id", "text"),
+        "ts", "doc_id", "text", modelDir,
+        buckets = 2, seqLen = 8, eosId = 98, padId = 99,
+        delay = "10 seconds")
+      .writeStream.format("memory").queryName("packids")
+      .outputMode("append").start()
+    try {
+      // bucket 0: doc 0 "abc abc" → 6 ids + EOS = 7 (< 8: held in state)
+      mem.addData((ts(10), 0L, "abc abc"))
+      q.processAllAvailable()
+      assert(spark.table("packids").count() === 0, "partial must not emit")
+      // doc 2 (bucket 0) "dd" → +3 = 10 → one COMPLETED row, 2 held
+      // doc 1 (bucket 1) "abcdefgh" → 8 + EOS = 9 → one completed, 1 held
+      mem.addData((ts(11), 2L, "dd"), (ts(11), 1L, "abcdefgh"))
+      q.processAllAvailable()
+      val full = spark.table("packids").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getSeq[Int](4)))
+      assert(full.length === 2, s"got ${full.toSeq}")
+      val b0 = full.find(_._1 == 0L).get
+      assert(b0 === ((0L, 0L, 8L, 0L, Seq(0, 1, 2, 0, 1, 2, 98, 3))),
+        "arrival-order concat, EOS inside, NO pad on a completed row")
+      assert(full.find(_._1 == 1L).get._5 === (0 to 7).toSeq)
+
+      // watermark sweep: bucket 0 expires → its tail [3, EOS] flushes PADDED
+      mem.addData((ts(100), 1L, "zz"))
+      q.processAllAvailable()
+      mem.addData((ts(150), 1L, "yy"))
+      q.processAllAvailable()
+      val tail = spark.table("packids").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getSeq[Int](4)))
+        .find(r => r._1 == 0L && r._2 == 1L)
+      assert(tail.contains((0L, 1L, 2L, 6L,
+        Seq(3, 98) ++ Seq.fill(6)(99))), s"tail flush: $tail")
+    } finally q.stop()
+  }
+
   test("annProbeStream reproduces the batch ADC probe over a persisted index") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
