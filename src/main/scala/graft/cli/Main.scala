@@ -130,6 +130,31 @@ object Main {
       val log = new EventLog(ParquetLogBackend.open(spark(), dir))
       try println(log.version) finally log.close()
 
+    // extension (no reference analog): per-label corpus drift between two
+    // log snapshots — graft_version_diff as an operational command. Both
+    // reads are versionAsOf-pruned scans of the one immutable log.
+    case Seq("diff", dir, vLo, vHi) =>
+      val s = spark()
+      import org.apache.spark.sql.functions._
+      def card(v: Long) = s.read.format("graft")
+        .option("versionAsOf", v).load(dir)
+        .groupBy(col("label"))
+        .agg(count(lit(1)).as("n"), sum(length(col("payload"))).as("chars"))
+      val rows = card(vHi.toLong)
+        .select(col("label"), col("n").as("n_hi"), col("chars").as("c_hi"))
+        .join(card(vLo.toLong)
+          .select(col("label"), col("n").as("n_lo"),
+            col("chars").as("c_lo")), Seq("label"), "left")
+        .select(col("label"),
+          coalesce(col("n_lo"), lit(0L)).as("n_lo"), col("n_hi"),
+          coalesce(col("c_lo"), lit(0L)).as("c_lo"), col("c_hi"))
+        .orderBy("label").collect()
+      println(f"${"label"}%-24s ${"n@" + vLo}%10s ${"n@" + vHi}%10s ${"+n"}%8s ${"+chars"}%10s")
+      rows.foreach { r =>
+        println(f"${r.getString(0)}%-24s ${r.getLong(1)}%10d ${r.getLong(2)}%10d " +
+          f"${r.getLong(2) - r.getLong(1)}%8d ${r.getLong(4) - r.getLong(3)}%10d")
+      }
+
     // extension (no reference analog): migrate a native .eventlog file
     // written by the original Go implementation into an engine log
     case Seq("import", nativeFile, dir) =>
@@ -150,7 +175,8 @@ object Main {
     case _ =>
       System.err.println(
         "usage: inmem|create <dir>|run <dir>|check <dir> [--quiet]|" +
-          "version <url|dir>|import <nativefile> <dir>")
+          "version <url|dir>|diff <dir> <vLo> <vHi>|" +
+          "import <nativefile> <dir>")
       sys.exit(2)
   }
 }

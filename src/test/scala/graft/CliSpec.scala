@@ -62,4 +62,30 @@ class CliSpec extends AnyFunSuite {
     // must open the directory via the file scheme without error
     graft.cli.Main.main(Array("version", s"file://$dir"))
   }
+
+  test("diff prints per-label deltas between two snapshots") {
+    val dir = Files.createTempDirectory("graftclidiff").toString
+    graft.cli.Main.main(Array("create", dir))
+    val log = new EventLog(ParquetLogBackend.open(spark, dir))
+    try {
+      // versions 1-3: two a's + one b; versions 4-6: one more a, two c's
+      log.append(EventData("a", """{"x":1}"""))
+      log.append(EventData("a", """{"x":2}"""))
+      log.append(EventData("b", """{"x":3}"""))
+      log.append(EventData("a", """{"x":4}"""))
+      log.append(EventData("c", """{"x":5}"""))
+      log.append(EventData("c", """{"x":6}"""))
+    } finally log.close()
+    val out = new java.io.ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(out)) {
+      graft.cli.Main.main(Array("diff", dir, "3", "6"))
+    }
+    val lines = out.toString.split("\n").filter(_.nonEmpty)
+    def row(label: String): Array[String] =
+      lines.find(_.startsWith(label)).get.trim.split("\\s+")
+    assert(row("a").toSeq.tail.take(3) === Seq("2", "3", "1"))
+    assert(row("b").toSeq.tail.take(3) === Seq("1", "1", "0"))
+    assert(row("c").toSeq.tail.take(3) === Seq("0", "2", "2"),
+      "a label born after vLo must read n_lo = 0")
+  }
 }
