@@ -650,6 +650,41 @@ object Dedup {
 
     // n-gram Jaccard: candidate pairs via inverted index on distinct shingles
     // (never all-pairs), exact set jaccard >= 0.8.
+    // MOSS-style near-dup: Jaccard over WINNOW fingerprints (Schleimer et
+    // al. 2003) — the third independent near-dup candidate family after
+    // token shingles and minhash bands: position-sampled SUBSTRING
+    // fingerprints, which guarantee any shared run of ≥ k+w-1 bytes
+    // contributes at least one shared fingerprint. Catches long verbatim
+    // spans (boilerplate, licenses, quotations) at ~2/(w+1) of the index
+    // volume of stride-1 byte grams; the fingerprints come from the fused
+    // winnow kernel (no row amplification before the explode), and the
+    // inverted index carries the ngram family's df-cap + size-ratio prune
+    // inside the join. J ≥ 0.5 ⇒ min/max ≥ 0.5 ⇒ 2·min ≥ max.
+    "dedup_winnow" -> { (s, dir) =>
+      val d = Tables(s, dir, "documents")
+      val fps = d.select(col("doc_id"),
+        explode(graft.exprs.functions.winnow_fps(
+          encode(lower(regexp_replace(col("text"), "\\s+", " ")), "utf-8")))
+          .as("fp"))
+      val wdf = Window.partitionBy(col("fp"))
+      val t = fps.withColumn("df", count(lit(1)).over(wdf))
+        .filter(col("df") <= MaxShingleDf).drop("df")
+        .withColumn("n",
+          count(lit(1)).over(Window.partitionBy(col("doc_id"))))
+      t.as("x").join(t.as("y"),
+          col("x.fp") === col("y.fp") && col("x.doc_id") < col("y.doc_id") &&
+            least(col("x.n"), col("y.n")) * 2 >=
+              greatest(col("x.n"), col("y.n")))
+        .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+          col("x.n").as("n_a"), col("y.n").as("n_b"))
+        .agg(count(lit(1)).as("inter"))
+        .withColumn("jaccard",
+          col("inter") / (col("n_a") + col("n_b") - col("inter")))
+        .filter(col("jaccard") >= 0.5)
+        .select("doc_a", "doc_b", "inter", "n_a", "n_b", "jaccard")
+        .orderBy("doc_a", "doc_b")
+    },
+
     "dedup_ngram_jaccard" -> { (s, dir) =>
       // inverted index on the shingle's 64-bit hash (the shared
       // shingleHashes relation): distinct, join, and count all shuffle
@@ -1386,6 +1421,24 @@ object Dedup {
          |  count(k.doc_id) AS n_keepers
          |FROM base LEFT JOIN keep k ON base.doc_id = k.doc_id
          |GROUP BY base.media_type ORDER BY base.media_type""".stripMargin,
+
+    "dedup_winnow" ->
+      s"""WITH ${TextAnalysis.WinnowFpsSqlCtes},
+         |fc AS (SELECT doc_id, fp FROM (
+         |  SELECT doc_id, fp, count(*) OVER (PARTITION BY fp) AS df FROM wf)
+         |  WHERE df <= $MaxShingleDf),
+         |tw AS (SELECT doc_id, fp,
+         |  count(*) OVER (PARTITION BY doc_id) AS n FROM fc),
+         |pairs AS (SELECT x.doc_id AS doc_a, y.doc_id AS doc_b,
+         |    x.n AS n_a, y.n AS n_b, count(*) AS inter
+         |  FROM tw x JOIN tw y ON x.fp = y.fp AND x.doc_id < y.doc_id
+         |    AND 2 * least(x.n, y.n) >= greatest(x.n, y.n)
+         |  GROUP BY 1, 2, 3, 4)
+         |SELECT doc_a, doc_b, inter, n_a, n_b,
+         |  inter * 1.0 / (n_a + n_b - inter) AS jaccard
+         |FROM pairs
+         |WHERE inter * 1.0 / (n_a + n_b - inter) >= 0.5
+         |ORDER BY doc_a, doc_b""".stripMargin,
 
     "dedup_ngram_jaccard" ->
       s"""WITH sh AS ($shinglesSql),

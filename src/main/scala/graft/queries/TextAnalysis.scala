@@ -252,6 +252,30 @@ object TextAnalysis {
        |      range($TokenSeqLen - len(real_ids)), x -> $BpePadId)) AS ids
        |  FROM tsq)""".stripMargin
 
+  /** DuckDB CTEs producing the (doc_id, fp) winnow-fingerprint relation
+    * `wf` — shared by text_winnow and Dedup.dedup_winnow so the two
+    * oracles can never drift from one fingerprint definition. */
+  private[queries] val WinnowFpsSqlCtes: String =
+    """t AS (
+      |  SELECT doc_id, lower(regexp_replace(text, '\s+', ' ', 'g')) AS t,
+      |    greatest(length(lower(regexp_replace(text, '\s+', ' ', 'g'))) - 7, 1) AS n
+      |  FROM documents),
+      |g AS (
+      |  SELECT doc_id, n, unnest(range(1, n + 1)) AS pos, t FROM t),
+      |h AS (
+      |  SELECT doc_id, n, pos,
+      |    list_reduce(list_transform(range(1, 9),
+      |      i -> instr('0123456789abcdef', substr(md5(substr(t, CAST(pos AS INT), 8)), i, 1)) - 1),
+      |      (a, b) -> a*16 + b) AS h
+      |  FROM g),
+      |w AS (
+      |  SELECT doc_id, n, pos,
+      |    min(h) OVER (PARTITION BY doc_id ORDER BY pos
+      |                 ROWS BETWEEN CURRENT ROW AND 15 FOLLOWING) AS wmin
+      |  FROM h),
+      |wf AS (SELECT DISTINCT doc_id, wmin AS fp FROM w
+      |  WHERE pos <= greatest(n - 15, 1))""".stripMargin
+
   /** DuckDB form of [[splitOf]] over a bucket column reference. */
   private[queries] def splitCaseSql(bucketRef: String): String =
     s"""CASE WHEN $bucketRef < $SplitTrainMax THEN 'train'
@@ -1903,25 +1927,8 @@ object TextAnalysis {
          |${packTailSql("kept")}""".stripMargin,
 
     "text_winnow" ->
-      """WITH t AS (
-        |  SELECT doc_id, lower(regexp_replace(text, '\s+', ' ', 'g')) AS t,
-        |    greatest(length(lower(regexp_replace(text, '\s+', ' ', 'g'))) - 7, 1) AS n
-        |  FROM documents),
-        |g AS (
-        |  SELECT doc_id, n, unnest(range(1, n + 1)) AS pos, t FROM t),
-        |h AS (
-        |  SELECT doc_id, n, pos,
-        |    list_reduce(list_transform(range(1, 9),
-        |      i -> instr('0123456789abcdef', substr(md5(substr(t, CAST(pos AS INT), 8)), i, 1)) - 1),
-        |      (a, b) -> a*16 + b) AS h
-        |  FROM g),
-        |w AS (
-        |  SELECT doc_id, n, pos,
-        |    min(h) OVER (PARTITION BY doc_id ORDER BY pos
-        |                 ROWS BETWEEN CURRENT ROW AND 15 FOLLOWING) AS wmin
-        |  FROM h)
-        |SELECT DISTINCT doc_id, wmin AS fp FROM w
-        |WHERE pos <= greatest(n - 15, 1)
+      s"""WITH $WinnowFpsSqlCtes
+        |SELECT doc_id, fp FROM wf
         |ORDER BY doc_id, fp""".stripMargin,
 
     // modality CASE and byte arithmetic from the shared MediaSql fragments
