@@ -311,6 +311,10 @@ object TextAnalysis {
   private val CmDepth = 3 // text_vocab_sketch: hash rows
   private val CmWidth = 1024 // text_vocab_sketch: buckets per row
 
+  // search_tfidf: the literal query-term set (present in the synthetic
+  // corpus; any term set works — the plan shape is term-count-independent)
+  private val SearchTerms = Seq("vector", "stream", "window", "merge")
+
   private def toks(c: Column): Column = split(c, "\\s+")
 
   /** One greedy BPE merge step over a space-joined symbol string, via a
@@ -1028,6 +1032,34 @@ object TextAnalysis {
     // to one row per partition before the exchange), and the top-K is
     // TakeOrderedAndProject — per-partition heaps, never a global sort.
     // Deterministic through the cut: ties break on token ASC.
+    // Ranked lexical retrieval: per-document TF-IDF for a literal query
+    // term set, top-20 by score — classic keyword search as one
+    // declarative plan. IDF is fixed-point quantized (floor at 1e-6, the
+    // text_perplexity discipline) so scores sum as exact BIGINTs and the
+    // driver hash-compare holds. Scale shape: the isin filter cuts the
+    // token explode to MATCHED rows before anything shuffles (predicate
+    // inside the generate stage), per-(doc, term) counts collapse
+    // map-side, and the idf model is query-term-sized — broadcast at any
+    // corpus scale. Top-20 is a TakeOrdered, never a global sort.
+    "search_tfidf" -> { (s, dir) =>
+      val d = Tables(s, dir, "documents").filter(col("text").isNotNull)
+      val tf = d
+        .select(col("doc_id"), explode(toks(col("text"))).as("tok"))
+        .filter(col("tok").isin(SearchTerms: _*))
+        .groupBy("doc_id", "tok").agg(count(lit(1)).as("cnt"))
+      val idf = tf.groupBy("tok")
+        .agg(countDistinct(col("doc_id")).as("df"))
+        .crossJoin(d.agg(count(lit(1)).as("n")))
+        .select(col("tok"),
+          floor(log(col("n").cast("double") / col("df").cast("double"))
+            * 1000000L).cast("long").as("idf_q6"))
+      tf.join(broadcast(idf), "tok")
+        .groupBy("doc_id")
+        .agg(sum(col("cnt") * col("idf_q6")).as("score"))
+        .orderBy(col("score").desc, col("doc_id")).limit(20)
+        .select("doc_id", "score")
+    },
+
     "text_vocab" -> { (s, dir) =>
       val d = Tables(s, dir, "documents").filter(col("text").isNotNull)
       d.select(col("doc_id"), explode(toks(col("text"))).as("token"))
@@ -1680,6 +1712,23 @@ object TextAnalysis {
          |  CAST(row_number() OVER (PARTITION BY shard ORDER BY h, doc_id)
          |    AS BIGINT) AS pos_in_shard
          |FROM sh ORDER BY doc_id""".stripMargin,
+
+    "search_tfidf" ->
+      s"""WITH tok AS (SELECT doc_id,
+         |    unnest(string_split_regex(text, '\\s+')) AS tok
+         |  FROM documents WHERE text IS NOT NULL),
+         |tf AS (SELECT doc_id, tok, count(*) AS cnt FROM tok
+         |  WHERE tok IN (${SearchTerms.map(t => s"'$t'").mkString(", ")})
+         |  GROUP BY 1, 2),
+         |nn AS (SELECT count(*) AS n FROM documents WHERE text IS NOT NULL),
+         |idf AS (SELECT tok,
+         |    CAST(floor(ln(n * 1.0 / count(DISTINCT doc_id)) * 1000000)
+         |      AS BIGINT) AS idf_q6
+         |  FROM tf, nn GROUP BY tok, n),
+         |sc AS (SELECT doc_id, CAST(sum(cnt * idf_q6) AS BIGINT) AS score
+         |  FROM tf JOIN idf USING (tok) GROUP BY 1)
+         |SELECT doc_id, score FROM sc
+         |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
 
     "text_vocab" ->
       s"""WITH tokens AS (SELECT doc_id,
