@@ -1226,6 +1226,44 @@ object TextAnalysis {
         .orderBy("doc_id")
     },
 
+    // Bigram-LM perplexity: conditional add-1-smoothed bigram NLL —
+    // the unigram operator's sequel, sensitive to word ORDER (scrambled
+    // text scores near-vocabulary-uniform here while unigram can't tell).
+    // Same fixed-point discipline (floor at 1e-6, exact BIGINT sums).
+    // Scale shape: bigrams come from one zipped-slice projection (no
+    // per-token window, no lag shuffle); the model is distinct-bigram-
+    // sized — bigger than the unigram vocab, so the model join is LEFT to
+    // Catalyst/AQE (broadcast while it fits, shuffled-hash beyond) rather
+    // than force-broadcast.
+    "text_perplexity_bigram" -> { (s, dir) =>
+      val d = Tables(s, dir, "documents").filter(col("text").isNotNull)
+      val bg = d.select(col("doc_id"), toks(col("text")).as("a"))
+        .filter(size(col("a")) >= 2)
+        .select(col("doc_id"), explode(expr(
+          "transform(sequence(1, size(a) - 1), i -> concat(a[i-1], ' ', a[i]))"))
+          .as("bg"))
+      val dbg = bg.groupBy("doc_id", "bg").agg(count(lit(1)).as("c"))
+      val cnt = dbg.groupBy("bg").agg(sum(col("c")).as("cbg"))
+        .withColumn("w1", substring_index(col("bg"), " ", 1))
+      val w1tot = cnt.groupBy("w1").agg(sum(col("cbg")).as("cw1"))
+      val vocab = d.select(explode(toks(col("text"))).as("t"))
+        .agg(countDistinct(col("t")).as("v"))
+      val model = cnt.join(w1tot, "w1").crossJoin(vocab)
+        .select(col("bg"),
+          floor(-log((col("cbg") + 1).cast("double")
+            / (col("cw1") + col("v")).cast("double")) * NllScale)
+            .cast("long").as("nll_bg"))
+      dbg.join(model, "bg")
+        .groupBy("doc_id")
+        .agg(sum(col("c")).as("n_bigrams"),
+          sum(col("c") * col("nll_bg")).as("nll_scaled"))
+        .withColumn("avg_nll",
+          col("nll_scaled").cast("double") / NllScale.toDouble
+            / col("n_bigrams").cast("double"))
+        .select("doc_id", "n_bigrams", "nll_scaled", "avg_nll")
+        .orderBy("doc_id")
+    },
+
     // MODEL-BASED quality classifier — the CCNet/GPT-3-style learned filter
     // (a linear classifier over token features), here trained end-to-end
     // inside the engine as multinomial Naive Bayes with Laplace smoothing:
@@ -1818,6 +1856,31 @@ object TextAnalysis {
          |  CAST(sum(c * nll_tok) AS BIGINT) * 1.0 / $NllScale
          |    / CAST(sum(c) AS BIGINT) AS avg_nll
          |FROM dt JOIN model USING (tok)
+         |GROUP BY 1 ORDER BY doc_id""".stripMargin,
+
+    "text_perplexity_bigram" ->
+      s"""WITH ta AS (SELECT doc_id, string_split_regex(text, '\\s+') AS a
+         |  FROM documents WHERE text IS NOT NULL),
+         |bgx AS (SELECT doc_id, unnest(list_transform(range(1, len(a)),
+         |    i -> a[CAST(i AS INT)] || ' ' || a[CAST(i AS INT) + 1])) AS bg
+         |  FROM ta WHERE len(a) >= 2),
+         |dbg AS (SELECT doc_id, bg, count(*) AS c FROM bgx GROUP BY 1, 2),
+         |cnt AS (SELECT bg, CAST(sum(c) AS BIGINT) AS cbg,
+         |    string_split(bg, ' ')[1] AS w1 FROM dbg GROUP BY 1),
+         |w1tot AS (SELECT w1, CAST(sum(cbg) AS BIGINT) AS cw1
+         |  FROM cnt GROUP BY 1),
+         |vv AS (SELECT count(DISTINCT tok) AS v FROM (
+         |  SELECT unnest(string_split_regex(text, '\\s+')) AS tok
+         |  FROM documents WHERE text IS NOT NULL)),
+         |model AS (SELECT bg,
+         |    CAST(floor(-ln((cbg + 1) * 1.0 / (cw1 + vv.v)) * $NllScale)
+         |      AS BIGINT) AS nll_bg
+         |  FROM cnt JOIN w1tot USING (w1), vv)
+         |SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bigrams,
+         |  CAST(sum(c * nll_bg) AS BIGINT) AS nll_scaled,
+         |  CAST(sum(c * nll_bg) AS BIGINT) * 1.0 / $NllScale
+         |    / CAST(sum(c) AS BIGINT) AS avg_nll
+         |FROM dbg JOIN model USING (bg)
          |GROUP BY 1 ORDER BY doc_id""".stripMargin,
 
     "classify_quality_nb" ->
