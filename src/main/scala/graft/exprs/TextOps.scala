@@ -538,3 +538,55 @@ case class BpeEncodeIds(child: Expression, table: BpeMergeTable)
       newChild: Expression): BpeEncodeIds = copy(child = newChild)
   override def prettyName: String = "bpe_encode_ids"
 }
+
+/** Compiled Naive-Bayes quality model for per-row streaming inference:
+  * token → fixed-point log-odds weight (the batch trainer's output,
+  * |w|-top-K capped) + the class prior. One instance per executor via the
+  * codegen reference mechanism. */
+final class NbModelTable(
+    val weights: java.util.HashMap[String, java.lang.Long],
+    val prior: Long) extends Serializable
+
+object NbScore {
+  /** text → (n_tokens, score_scaled): whitespace-split exactly like the
+    * batch `toks` (`split(text, "\\s+")`, limit -1 — leading/trailing
+    * empties preserved), n_tokens counts EVERY split token (the weak-label
+    * denominator's contract), and the score is prior + Σ weight(token)
+    * with unseen tokens contributing 0 — the batch inner join's
+    * semantics. Exact BIGINT arithmetic end to end. */
+  def score(
+      text: org.apache.spark.unsafe.types.UTF8String,
+      mt: NbModelTable): InternalRow = {
+    val tokens = text.toString.split("\\s+", -1)
+    var s = mt.prior
+    var i = 0
+    while (i < tokens.length) {
+      val w = mt.weights.get(tokens(i))
+      if (w != null) s += w.longValue
+      i += 1
+    }
+    new GenericInternalRow(Array[Any](tokens.length.toLong, s))
+  }
+}
+
+/** `nb_quality_score(text)` → struct(n_tokens long, score_scaled long)
+  * (see [[NbScore.score]]). */
+case class NbQualityScore(child: Expression, table: NbModelTable)
+    extends UnaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[org.apache.spark.sql.graftshim.Shim.AbstractType] =
+    Seq(StringType)
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_tokens", LongType, nullable = false),
+    StructField("score_scaled", LongType, nullable = false)))
+  override def nullSafeEval(v: Any): Any =
+    NbScore.score(
+      v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], table)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val tRef = ctx.addReferenceObj("nbModel", table,
+      classOf[NbModelTable].getName)
+    defineCodeGen(ctx, ev, c => s"graft.exprs.NbScore.score($c, $tRef)")
+  }
+  override protected def withNewChildInternal(
+      newChild: Expression): NbQualityScore = copy(child = newChild)
+  override def prettyName: String = "nb_quality_score"
+}

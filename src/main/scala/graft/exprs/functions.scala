@@ -54,6 +54,9 @@ object functions {
   def winnow_fps(c: Column): Column =
     Shim.column(WinnowFingerprints(Shim.expression(c)))
 
+  def nb_quality_score(text: Column, table: NbModelTable): Column =
+    Shim.column(NbQualityScore(Shim.expression(text), table))
+
   def bpe_encode_ids(
       text: Column, merges: Seq[(Long, String, String, String, Long)]): Column =
     Shim.column(BpeEncodeIds(Shim.expression(text), BpeMergeTable(merges)))

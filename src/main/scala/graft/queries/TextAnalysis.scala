@@ -317,6 +317,63 @@ object TextAnalysis {
 
   private def toks(c: Column): Column = split(c, "\\s+")
 
+  /** The Naive-Bayes quality model's three relations from per-(doc, token)
+    * counts: weak labels, per-token fixed-point weights, and the class
+    * prior — factored so the batch query and the streaming per-row twin
+    * ([[nbQualityModelTable]]) can never train differently. */
+  private def nbModelParts(
+      docTok: DataFrame): (DataFrame, DataFrame, DataFrame) = {
+    val docLab = docTok.groupBy("doc_id")
+      .agg(sum(col("c")).as("n_tokens"),
+        sum(when(col("token").isin(Stopwords: _*), col("c"))
+          .otherwise(lit(0L))).as("n_stop"))
+      .withColumn("label",
+        (col("n_stop") * 100 >= col("n_tokens") * NbStopPct).cast("int"))
+      .select("doc_id", "n_tokens", "label")
+    val cls = docTok.join(docLab.select("doc_id", "label"), Seq("doc_id"))
+      .groupBy("token")
+      .agg(sum(when(col("label") === 1, col("c")).otherwise(lit(0L)))
+          .as("c1"),
+        sum(when(col("label") === 0, col("c")).otherwise(lit(0L)))
+          .as("c0"))
+    val tot = cls.agg(sum(col("c1")).as("n1"), sum(col("c0")).as("n0"),
+      count(lit(1)).as("v"))
+    val weights = cls.crossJoin(tot)
+      .select(col("token"),
+        floor((log((col("c1") + 1).cast("double")
+            / (col("n1") + col("v")).cast("double"))
+          - log((col("c0") + 1).cast("double")
+            / (col("n0") + col("v")).cast("double")))
+          * NbScale).cast("long").as("w"))
+    val prior = docLab
+      .agg(sum(col("label")).as("d1"),
+        sum(lit(1) - col("label")).as("d0"))
+      .select(floor((log((col("d1") + 1).cast("double"))
+          - log((col("d0") + 1).cast("double")))
+        * NbScale).cast("long").as("prior"))
+    (docLab, weights, prior)
+  }
+
+  /** Train the NB quality model on `dir`'s corpus and pack it for per-row
+    * streaming inference ([[graft.exprs.NbQualityScore]]): token → weight
+    * map capped to the `topK` largest-|w| tokens (model compression — the
+    * tail of near-zero weights moves no prediction), plus the prior.
+    * Vocab-sized collect by construction (≤ topK rows). */
+  def nbQualityModelTable(
+      s: SparkSession, dir: String,
+      topK: Int = 1 << 16): graft.exprs.NbModelTable = {
+    val d = Tables(s, dir, "documents").filter(col("text").isNotNull)
+    val docTok = d
+      .select(col("doc_id"), explode(toks(col("text"))).as("token"))
+      .groupBy("doc_id", "token").agg(count(lit(1)).as("c"))
+    val (_, weights, prior) = nbModelParts(docTok)
+    val map = new java.util.HashMap[String, java.lang.Long]()
+    weights.orderBy(abs(col("w")).desc, col("token")).limit(topK)
+      .collect()
+      .foreach(r => map.put(r.getString(0), java.lang.Long.valueOf(r.getLong(1))))
+    new graft.exprs.NbModelTable(map, prior.head().getLong(0))
+  }
+
   /** One greedy BPE merge step over a space-joined symbol string, via a
     * DOUBLED-separator encoding (tokens joined by two spaces): each
     * boundary belongs to both of its neighbours, so the pattern's trailing
@@ -1290,34 +1347,7 @@ object TextAnalysis {
       val docTok = d
         .select(col("doc_id"), explode(toks(col("text"))).as("token"))
         .groupBy("doc_id", "token").agg(count(lit(1)).as("c"))
-      val docLab = docTok.groupBy("doc_id")
-        .agg(sum(col("c")).as("n_tokens"),
-          sum(when(col("token").isin(Stopwords: _*), col("c"))
-            .otherwise(lit(0L))).as("n_stop"))
-        .withColumn("label",
-          (col("n_stop") * 100 >= col("n_tokens") * NbStopPct).cast("int"))
-        .select("doc_id", "n_tokens", "label")
-      val cls = docTok.join(docLab.select("doc_id", "label"), Seq("doc_id"))
-        .groupBy("token")
-        .agg(sum(when(col("label") === 1, col("c")).otherwise(lit(0L)))
-            .as("c1"),
-          sum(when(col("label") === 0, col("c")).otherwise(lit(0L)))
-            .as("c0"))
-      val tot = cls.agg(sum(col("c1")).as("n1"), sum(col("c0")).as("n0"),
-        count(lit(1)).as("v"))
-      val weights = cls.crossJoin(tot)
-        .select(col("token"),
-          floor((log((col("c1") + 1).cast("double")
-              / (col("n1") + col("v")).cast("double"))
-            - log((col("c0") + 1).cast("double")
-              / (col("n0") + col("v")).cast("double")))
-            * NbScale).cast("long").as("w"))
-      val prior = docLab
-        .agg(sum(col("label")).as("d1"),
-          sum(lit(1) - col("label")).as("d0"))
-        .select(floor((log((col("d1") + 1).cast("double"))
-            - log((col("d0") + 1).cast("double")))
-          * NbScale).cast("long").as("prior"))
+      val (docLab, weights, prior) = nbModelParts(docTok)
       docTok.join(broadcast(weights), Seq("token"))
         .groupBy("doc_id").agg(sum(col("c") * col("w")).as("w_sum"))
         .crossJoin(broadcast(prior))

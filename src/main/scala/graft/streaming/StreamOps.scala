@@ -469,6 +469,24 @@ object StreamOps {
         expr("transform(top, x -> -x.neg)").as("top_scores"))
   }
 
+  /** Streaming quality classification: the batch classify_quality_nb's
+    * learned model applied per row — train once in batch
+    * ([[graft.queries.TextAnalysis.nbQualityModelTable]]), score the live
+    * stream forever. Stateless: the |w|-top-K weight map + prior ride the
+    * plan as one reference object ([[graft.exprs.NbQualityScore]] — the
+    * same tokenization, unseen-token, and fixed-point contracts as the
+    * batch scorer, spec-pinned to bit equality on the training corpus). */
+  def classifyQualityStream(
+      docs: DataFrame, textCol: String,
+      model: graft.exprs.NbModelTable): DataFrame =
+    docs
+      .withColumn("nb",
+        graft.exprs.functions.nb_quality_score(col(textCol), model))
+      .withColumn("n_tokens", col("nb.n_tokens"))
+      .withColumn("score_scaled", col("nb.score_scaled"))
+      .withColumn("pred", (col("score_scaled") > 0).cast("int"))
+      .drop("nb")
+
   /** Streaming BPE tokenization: per-document token-id sequences from the
     * PERSISTED merge-table artifact ([[graft.operators.BpeModel]]) — the
     * batch tokenize_bpe_ids made incremental, and the natural consumer of

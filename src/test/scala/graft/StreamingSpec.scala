@@ -655,6 +655,39 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("classifyQualityStream scores bit-identically to the batch classifier") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    implicit val sqlCtx = spark.sqlContext
+    val sfDir = "/root/testdata/sf0.001"
+    val model = graft.queries.TextAnalysis.nbQualityModelTable(spark, sfDir)
+    val batch = SparkEntry.queries("classify_quality_nb")(spark, sfDir)
+      .select("doc_id", "n_tokens", "score_scaled", "pred").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getInt(3))))
+      .toMap
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .filter(col("text").isNotNull)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+
+    val mem = MemoryStream[(Long, String)]
+    val q = StreamOps.classifyQualityStream(
+        mem.toDF().toDF("doc_id", "text"), "text", model)
+      .select("doc_id", "n_tokens", "score_scaled", "pred")
+      .writeStream.format("memory").queryName("nbstream")
+      .outputMode("append").start()
+    try {
+      mem.addData(docs: _*)
+      q.processAllAvailable()
+      val got = spark.table("nbstream").collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getInt(3))))
+        .toMap
+      assert(got === batch)
+      // both classes actually occur, or the parity proves nothing
+      assert(got.values.map(_._3).toSet === Set(0, 1))
+    } finally q.stop()
+  }
+
   test("annProbeStream reproduces the batch ADC probe over a persisted index") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
