@@ -315,6 +315,26 @@ object TextAnalysis {
   // corpus; any term set works — the plan shape is term-count-independent)
   private val SearchTerms = Seq("vector", "stream", "window", "merge")
 
+  /** The search_tfidf DuckDB mirror — shared verbatim by the persisted-
+    * index twin (identical arithmetic from precomputed postings). */
+  private lazy val SearchTfidfSql: String =
+    s"""WITH tok AS (SELECT doc_id,
+         |    unnest(string_split_regex(text, '\\s+')) AS tok
+         |  FROM documents WHERE text IS NOT NULL),
+         |tf AS (SELECT doc_id, tok, count(*) AS cnt FROM tok
+         |  WHERE tok IN (${SearchTerms.map(t => s"'$t'").mkString(", ")})
+         |  GROUP BY 1, 2),
+         |nn AS (SELECT count(*) AS n FROM documents WHERE text IS NOT NULL),
+         |idf AS (SELECT tok,
+         |    CAST(floor(ln(n * 1.0 / count(DISTINCT doc_id)) * 1000000)
+         |      AS BIGINT) AS idf_q6
+         |  FROM tf, nn GROUP BY tok, n),
+         |sc AS (SELECT doc_id, CAST(sum(cnt * idf_q6) AS BIGINT) AS score
+         |  FROM tf JOIN idf USING (tok) GROUP BY 1)
+         |SELECT doc_id, score FROM sc
+         |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin
+
+
   private def toks(c: Column): Column = split(c, "\\s+")
 
   /** The Naive-Bayes quality model's three relations from per-(doc, token)
@@ -353,6 +373,35 @@ object TextAnalysis {
         * NbScale).cast("long").as("prior"))
     (docLab, weights, prior)
   }
+
+  /** Build-and-save the persisted lexical index once per corpus dir
+    * (corpus-fingerprint keyed, staging + atomic rename — the shared
+    * artifact-cache discipline). */
+  private def ensureSearchIndex(s: SparkSession, dir: String): String =
+    synchronized {
+      import java.nio.file.{Files, Paths, StandardCopyOption}
+      val ck = corpusKey(dir).getOrElse(s"$dir|nofp")
+      val key = java.security.MessageDigest.getInstance("MD5")
+        .digest(ck.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(12)
+      val base = Paths.get(
+        sys.props.getOrElse("java.io.tmpdir", "/tmp"), s"graft-searchidx-$key")
+      if (Files.isDirectory(base.resolve("postings"))) return base.toString
+      val staging = Paths.get(
+        base.toString + ".build-" +
+          java.util.UUID.randomUUID().toString.take(8))
+      graft.operators.SearchIndex.build(
+        Tables(s, dir, "documents").select(col("doc_id"), col("text")))
+        .save(staging.toString)
+      try Files.move(staging, base, StandardCopyOption.ATOMIC_MOVE)
+      catch {
+        case _: java.nio.file.FileAlreadyExistsException |
+            _: java.nio.file.DirectoryNotEmptyException |
+            _: java.nio.file.AccessDeniedException =>
+          graft.storage.ParquetLogBackend.deleteRecursively(staging)
+      }
+      base.toString
+    }
 
   /** Train the NB quality model on `dir`'s corpus and pack it for per-row
     * streaming inference ([[graft.exprs.NbQualityScore]]): token → weight
@@ -1089,6 +1138,18 @@ object TextAnalysis {
     // to one row per partition before the exchange), and the top-K is
     // TakeOrderedAndProject — per-partition heaps, never a global sort.
     // Deterministic through the cut: ties break on token ASC.
+    // The PERSISTED lexical index ([[graft.operators.SearchIndex]]): the
+    // serving path — load the token-bucket-partitioned postings from disk
+    // and answer the same query search_tfidf computes ad-hoc, with ZERO
+    // corpus rescan and the scan statically pruned to the query terms'
+    // buckets. Build+save once per corpus (fingerprint cache); the
+    // measured query is load + search. Identical fixed-point arithmetic
+    // ⇒ the search_tfidf oracle gates it bit-for-bit.
+    "search_index_persisted" -> { (s, dir) =>
+      val idx = graft.operators.SearchIndex.load(s, ensureSearchIndex(s, dir))
+      graft.operators.SearchIndex.search(idx, SearchTerms, 20)
+    },
+
     // Ranked lexical retrieval: per-document TF-IDF for a literal query
     // term set, top-20 by score — classic keyword search as one
     // declarative plan. IDF is fixed-point quantized (floor at 1e-6, the
@@ -1781,22 +1842,10 @@ object TextAnalysis {
          |    AS BIGINT) AS pos_in_shard
          |FROM sh ORDER BY doc_id""".stripMargin,
 
-    "search_tfidf" ->
-      s"""WITH tok AS (SELECT doc_id,
-         |    unnest(string_split_regex(text, '\\s+')) AS tok
-         |  FROM documents WHERE text IS NOT NULL),
-         |tf AS (SELECT doc_id, tok, count(*) AS cnt FROM tok
-         |  WHERE tok IN (${SearchTerms.map(t => s"'$t'").mkString(", ")})
-         |  GROUP BY 1, 2),
-         |nn AS (SELECT count(*) AS n FROM documents WHERE text IS NOT NULL),
-         |idf AS (SELECT tok,
-         |    CAST(floor(ln(n * 1.0 / count(DISTINCT doc_id)) * 1000000)
-         |      AS BIGINT) AS idf_q6
-         |  FROM tf, nn GROUP BY tok, n),
-         |sc AS (SELECT doc_id, CAST(sum(cnt * idf_q6) AS BIGINT) AS score
-         |  FROM tf JOIN idf USING (tok) GROUP BY 1)
-         |SELECT doc_id, score FROM sc
-         |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
+    "search_tfidf" -> SearchTfidfSql,
+    // the persisted index computes the identical arithmetic from its
+    // precomputed postings — same oracle, full hash gate
+    "search_index_persisted" -> SearchTfidfSql,
 
     "text_vocab" ->
       s"""WITH tokens AS (SELECT doc_id,
