@@ -487,6 +487,52 @@ object StreamOps {
       .withColumn("pred", (col("score_scaled") > 0).cast("int"))
       .drop("nb")
 
+  /** Streaming lexical search: a stream of keyword queries served from the
+    * PERSISTED [[graft.operators.SearchIndex]] — the lexical twin of
+    * [[annProbeStream]]. Each query row's text splits to terms, the
+    * stream-static join reads the postings (token-keyed; the static side
+    * re-reads per micro-batch, no watermark state on the join), and two
+    * CHAINED windowed aggregations — per-(query, doc) score sum, then
+    * per-query top-k — emit on watermark close. Scores are the exact
+    * BIGINT `Σ cnt × idf_q6` the batch search computes, so stream and
+    * batch answers are identical for the same terms (spec-pinned).
+    *
+    * @param queries   streaming DataFrame of (event-time, id, query text)
+    * @param tsCol     event-time column
+    * @param idCol     long query id column
+    * @param qCol      whitespace-separated query terms column
+    * @param idx       loaded [[graft.operators.SearchIndex]]
+    * @param topK      documents returned per query
+    * @param windowLen tumbling-window length
+    * @param delay     watermark delay
+    */
+  def searchStream(
+      queries: DataFrame,
+      tsCol: String,
+      idCol: String,
+      qCol: String,
+      idx: graft.operators.SearchIndex,
+      topK: Int,
+      windowLen: String,
+      delay: String): DataFrame = {
+    val terms = queries
+      .select(col(tsCol).cast("timestamp").as("ts"),
+        col(idCol).cast("long").as("q_id"),
+        explode(split(col(qCol), "\\s+")).as("token"))
+      .withWatermark("ts", delay)
+    terms
+      .join(idx.postings
+        .select("token", "doc_id", "cnt", "idf_q6"), Seq("token"))
+      .groupBy(window(col("ts"), windowLen), col("q_id"), col("doc_id"))
+      .agg(sum(col("cnt") * col("idf_q6")).as("score"))
+      .groupBy(col("window"), col("q_id"))
+      .agg(slice(sort_array(collect_list(struct(
+        (-col("score")).as("neg"), col("doc_id")))), 1, topK).as("top"))
+      .select(col("window"), col("q_id"),
+        expr("transform(top, x -> x.doc_id)").as("top_ids"),
+        expr("transform(top, x -> -x.neg)").as("top_scores"))
+  }
+
   /** Streaming BPE tokenization: per-document token-id sequences from the
     * PERSISTED merge-table artifact ([[graft.operators.BpeModel]]) — the
     * batch tokenize_bpe_ids made incremental, and the natural consumer of
