@@ -116,6 +116,34 @@ object IvfIndex {
     n
   }
 
+  /** Compact the cell partitions after a run of [[appendVectors]]: each
+    * upsert adds new files to the touched cells, and a long run of small
+    * upserts leaves per-cell file counts that drown probe planning (the
+    * same file-count pathology the log's segment coalescing exists for).
+    * Rewrites every cell into ~one file (repartition BY cell → one task
+    * writes one cell) via a staged dir + two renames — the
+    * ParquetLogBackend swap dance: a reader racing the swap retries into
+    * `cells.old`, which holds the COMPLETE pre-rewrite data until the
+    * delete. Content is byte-equal input rows; quantizer untouched. */
+  def compact(spark: SparkSession, dir: String): Unit =
+    compactRelation(spark, java.nio.file.Paths.get(dir, "cells"))
+
+  private[operators] def compactRelation(
+      spark: SparkSession, target: java.nio.file.Path): Unit = {
+    import java.nio.file.{Files, StandardCopyOption}
+    val staging = target.resolveSibling(
+      target.getFileName.toString + ".compact-" +
+        java.util.UUID.randomUUID().toString.take(8))
+    spark.read.parquet(target.toString)
+      .repartition(col("cell"))
+      .write.partitionBy("cell").parquet(staging.toString)
+    val old = target.resolveSibling(target.getFileName.toString + ".old")
+    graft.storage.ParquetLogBackend.deleteRecursively(old)
+    Files.move(target, old, StandardCopyOption.ATOMIC_MOVE)
+    Files.move(staging, target, StandardCopyOption.ATOMIC_MOVE)
+    graft.storage.ParquetLogBackend.deleteRecursively(old)
+  }
+
   /** Top-`topK` cosine neighbors per query over the `nProbe` nearest
     * cells. `queries` carries (`q_id`, `qv: array<double>`) and is small
     * by contract. The probed-cell filter is a LITERAL `isin` — static

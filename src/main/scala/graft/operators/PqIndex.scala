@@ -230,6 +230,14 @@ object PqIndex {
     n
   }
 
+  /** [[IvfIndex.compact]] extended to the PQ tier: both the raw cells
+    * (rerank path) and the code lists rewrite to ~one file per cell. */
+  def compact(spark: SparkSession, dir: String): Unit = {
+    IvfIndex.compact(spark, dir)
+    IvfIndex.compactRelation(spark,
+      java.nio.file.Paths.get(dir, "pq_codes"))
+  }
+
   def load(spark: SparkSession, dir: String): PqIndex = {
     val coarse = IvfIndex.load(spark, dir)
     val cb = spark.read.parquet(s"$dir/pq_codebooks").collect()

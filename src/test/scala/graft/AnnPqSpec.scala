@@ -117,5 +117,14 @@ class AnnPqSpec extends AnyFunSuite {
       .select("q_id", "n_id").collect()
       .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
     assert(got == exact)
+
+    // compaction rewrites both tiers (codes + raw cells) and answers hold
+    PqIndex.compact(spark, dir)
+    val after = PqIndex.load(spark, dir)
+    assert(after.codes.count() === emb.count())
+    val got2 = PqIndex.adcProbe(after, q, nProbe = 8, topK = 5, rerank = 150)
+      .select("q_id", "n_id").collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    assert(got2 == exact)
   }
 }

@@ -116,4 +116,38 @@ class IvfIndexSpec extends AnyFunSuite {
     assert(IvfIndex.load(spark, idxDir).assignments.count() === emb.count())
     assert(before.keySet === after.keySet)
   }
+
+  test("compact rewrites upserted cells to one file each; answers unchanged") {
+    val part = (m: Int) => emb.filter(col("vec_id") % 3 === m)
+    val idxDir = java.nio.file.Files
+      .createTempDirectory("graft-ivfcompact").toString
+    IvfIndex.build(part(0), k = 8).save(idxDir)
+    IvfIndex.appendVectors(spark, idxDir, part(1))
+    IvfIndex.appendVectors(spark, idxDir, part(2))
+
+    def cellFiles(): Map[String, Int] =
+      new java.io.File(s"$idxDir/cells").listFiles()
+        .filter(_.getName.startsWith("cell="))
+        .map(d => d.getName ->
+          d.listFiles().count(_.getName.endsWith(".parquet"))).toMap
+    assert(cellFiles().values.exists(_ > 1),
+      "two upserts must leave multi-file cells for the test to mean anything")
+
+    val q = emb.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"))
+    def answers(): Seq[(Long, Int, Long)] =
+      IvfIndex.probe(IvfIndex.load(spark, idxDir), q, nProbe = 8, topK = 5)
+        .collect().map(r => (r.getLong(0), r.getInt(2), r.getLong(1))).toSeq
+        .sorted
+    val before = answers()
+    val nBefore = IvfIndex.load(spark, idxDir).assignments.count()
+
+    IvfIndex.compact(spark, idxDir)
+    assert(cellFiles().values.forall(_ == 1),
+      s"every cell must compact to one file: ${cellFiles()}")
+    assert(!new java.io.File(s"$idxDir/cells.old").exists(),
+      "the pre-rewrite copy must be cleaned up")
+    assert(IvfIndex.load(spark, idxDir).assignments.count() === nBefore)
+    assert(answers() === before)
+  }
 }
