@@ -44,6 +44,36 @@ object EventLogQueries {
       .drop("vmin", "vmax")
   }
 
+  /** Per-type integer moments of the 2-decimal value (×100 as exact
+    * BIGINTs) — the anomaly BASELINE, shared by the batch events_anomaly
+    * and the streaming twin so the two can never score differently.
+    * Moments in decimal(38,0) (DuckDB side: HUGEINT): s1² for a type with
+    * n=1e6 events at value~250 is ~6e20, past BIGINT — Spark would wrap
+    * silently and zero every z while DuckDB throws; 128-bit integers keep
+    * the math exact at any realistic type cardinality. */
+  def anomalyBaseline(e100: DataFrame): DataFrame =
+    e100.groupBy("event_type").agg(
+      count(lit(1)).as("n"),
+      sum(col("v100").cast("decimal(38,0)")).as("s1"),
+      sum((col("v100") * col("v100")).cast("decimal(38,0)")).as("s2"))
+
+  /** The z projection over rows joined with the baseline. Cross-engine
+    * float determinism without quantization tricks: the algebra is folded
+    * so the ONLY float ops are one division and sqrt — which IEEE-754
+    * requires to be correctly rounded (unlike ln/exp), so both engines
+    * produce identical bits from identical integers.
+    * z = (v·n − Σv) / sqrt(n·Σv² − (Σv)²) — the n·100 scaling cancels. */
+  def withAnomalyZ(joined: DataFrame): DataFrame =
+    joined
+      .withColumn("a",
+        col("v100").cast("decimal(38,0)") * col("n") - col("s1"))
+      .withColumn("var_n2", col("n") * col("s2") - col("s1") * col("s1"))
+      .withColumn("z",
+        when(col("var_n2") > 0,
+          col("a").cast("double") / sqrt(col("var_n2").cast("double")))
+          .otherwise(lit(0.0)))
+      .withColumn("is_outlier", abs(col("z")) > 3.0)
+
   /** Per-label scan-parity aggregate shared by graft_scan_forward and
     * graft_time_travel, so the time-travel gate always tests the exact
     * shape the scan gate does (oracle mirror: [[graftScanSql]]). */
@@ -340,27 +370,9 @@ object EventLogQueries {
     // shape: one groupBy to type-level moments (tiny), broadcast back,
     // pure projection per event.
     "events_anomaly" -> { (s, dir) =>
-      // moments in decimal(38,0) (DuckDB side: HUGEINT): s1² for a type
-      // with n=1e6 events at value~250 is ~6e20, past BIGINT — Spark would
-      // wrap silently and zero every z while DuckDB throws; 128-bit
-      // integers keep the math exact at any realistic type cardinality
       val e = Tables(s, dir, "events")
         .withColumn("v100", round(col("value") * 100).cast("long"))
-      val m = e.groupBy("event_type").agg(
-        count(lit(1)).as("n"),
-        sum(col("v100").cast("decimal(38,0)")).as("s1"),
-        sum((col("v100") * col("v100")).cast("decimal(38,0)")).as("s2"))
-      e.join(broadcast(m), "event_type")
-        .withColumn("a",
-          col("v100").cast("decimal(38,0)") * col("n") - col("s1"))
-        .withColumn("var_n2", col("n") * col("s2") - col("s1") * col("s1"))
-        // z = a / sqrt(var_n2): numerator and σ both carry the n·100
-        // scaling, so it cancels — (v − mean)/σ exactly
-        .withColumn("z",
-          when(col("var_n2") > 0,
-            col("a").cast("double") / sqrt(col("var_n2").cast("double")))
-            .otherwise(lit(0.0)))
-        .withColumn("is_outlier", abs(col("z")) > 3.0)
+      withAnomalyZ(e.join(broadcast(anomalyBaseline(e)), "event_type"))
         .select("event_id", "event_type", "value", "z", "is_outlier")
         .orderBy("event_id")
     },

@@ -487,6 +487,30 @@ object StreamOps {
       .withColumn("pred", (col("score_scaled") > 0).cast("int"))
       .drop("nb")
 
+  /** Streaming anomaly scoring: the batch events_anomaly's per-type
+    * z-score applied to a LIVE event stream against a STATIC baseline —
+    * per-type integer moments computed by a batch job over history
+    * ([[graft.queries.EventLogQueries.anomalyBaseline]]), broadcast into
+    * a stateless stream-static join, scored by the SAME folded-algebra
+    * projection ([[graft.queries.EventLogQueries.withAnomalyZ]] — one
+    * correctly-rounded division + sqrt, so stream and batch z-scores are
+    * bit-identical for the same baseline, spec-pinned). Baseline drift is
+    * the batch job's cadence decision, exactly like the NB classifier and
+    * the PQ codebooks: train/fit on history, serve the stream, refresh
+    * periodically.
+    *
+    * @param events   streaming DataFrame with the value column
+    * @param valueCol 2-decimal numeric column (×100 is exact in BIGINT)
+    * @param baseline static (event_type, n, s1, s2) moments
+    */
+  def anomalyStream(
+      events: DataFrame, valueCol: String, baseline: DataFrame): DataFrame =
+    graft.queries.EventLogQueries.withAnomalyZ(
+      events
+        .withColumn("v100", round(col(valueCol) * 100).cast("long"))
+        .join(broadcast(baseline), "event_type"))
+      .drop("v100", "a", "var_n2", "n", "s1", "s2")
+
   /** Streaming lexical search: a stream of keyword queries served from the
     * PERSISTED [[graft.operators.SearchIndex]] — the lexical twin of
     * [[annProbeStream]]. Each query row's text splits to terms, the

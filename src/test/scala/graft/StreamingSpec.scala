@@ -688,6 +688,38 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("anomalyStream z-scores bit-identically to the batch query") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    implicit val sqlCtx = spark.sqlContext
+    val sfDir = "/root/testdata/sf0.001"
+    val batch = SparkEntry.queries("events_anomaly")(spark, sfDir)
+      .select("event_id", "z", "is_outlier").collect()
+      .map(r => r.getLong(0) -> ((r.getDouble(1), r.getBoolean(2)))).toMap
+
+    val e = graft.util.Tables(spark, sfDir, "events")
+      .withColumn("v100", round(col("value") * 100).cast("long"))
+    val baseline = graft.queries.EventLogQueries.anomalyBaseline(e)
+    val rows = e.select("event_id", "event_type", "value").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSeq
+
+    val mem = MemoryStream[(Long, String, Double)]
+    val q = StreamOps.anomalyStream(
+        mem.toDF().toDF("event_id", "event_type", "value"),
+        "value", baseline)
+      .select("event_id", "z", "is_outlier")
+      .writeStream.format("memory").queryName("anomstream")
+      .outputMode("append").start()
+    try {
+      mem.addData(rows: _*)
+      q.processAllAvailable()
+      val got = spark.table("anomstream").collect()
+        .map(r => r.getLong(0) -> ((r.getDouble(1), r.getBoolean(2)))).toMap
+      assert(got === batch)
+      assert(got.values.exists(_._2), "corpus must contain real outliers")
+    } finally q.stop()
+  }
+
   test("searchStream serves the persisted index with batch-identical scores") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
