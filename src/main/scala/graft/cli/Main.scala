@@ -134,25 +134,14 @@ object Main {
     // log snapshots — graft_version_diff as an operational command. Both
     // reads are versionAsOf-pruned scans of the one immutable log.
     case Seq("diff", dir, vLo, vHi) =>
-      val s = spark()
-      import org.apache.spark.sql.functions._
-      def card(v: Long) = s.read.format("graft")
-        .option("versionAsOf", v).load(dir)
-        .groupBy(col("label"))
-        .agg(count(lit(1)).as("n"), sum(length(col("payload"))).as("chars"))
-      val rows = card(vHi.toLong)
-        .select(col("label"), col("n").as("n_hi"), col("chars").as("c_hi"))
-        .join(card(vLo.toLong)
-          .select(col("label"), col("n").as("n_lo"),
-            col("chars").as("c_lo")), Seq("label"), "left")
-        .select(col("label"),
-          coalesce(col("n_lo"), lit(0L)).as("n_lo"), col("n_hi"),
-          coalesce(col("c_lo"), lit(0L)).as("c_lo"), col("c_hi"))
-        .orderBy("label").collect()
+      val rows = graft.queries.EventLogQueries
+        .versionDiffCard(spark(), dir, vLo.toLong, vHi.toLong)
+        .select("label", "n_lo", "n_hi", "n_delta", "chars_delta")
+        .collect()
       println(f"${"label"}%-24s ${"n@" + vLo}%10s ${"n@" + vHi}%10s ${"+n"}%8s ${"+chars"}%10s")
       rows.foreach { r =>
         println(f"${r.getString(0)}%-24s ${r.getLong(1)}%10d ${r.getLong(2)}%10d " +
-          f"${r.getLong(2) - r.getLong(1)}%8d ${r.getLong(4) - r.getLong(3)}%10d")
+          f"${r.getLong(3)}%8d ${r.getLong(4)}%10d")
       }
 
     // extension (no reference analog): migrate a native .eventlog file

@@ -71,6 +71,7 @@ object IvfIndex {
   }
 
   def load(spark: SparkSession, dir: String): IvfIndex = {
+    recoverSwap(java.nio.file.Paths.get(dir, "cells"))
     val centroids = spark.read.parquet(s"$dir/centroids")
       .collect()
       .map(r => r.getInt(0) -> r.getSeq[Double](1).toArray)
@@ -108,29 +109,55 @@ object IvfIndex {
     * (cheap upserts between expensive refits).
     *
     * @return the number of vectors appended */
-  def appendVectors(spark: SparkSession, dir: String, emb: DataFrame): Long = {
-    val idx = load(spark, dir)
-    val assigned = assignTo(idx.centroids, emb)
-    val n = assigned.count()
-    assigned.write.mode("append").partitionBy("cell").parquet(s"$dir/cells")
-    n
-  }
+  def appendVectors(spark: SparkSession, dir: String, emb: DataFrame): Long =
+    synchronized {
+      val idx = load(spark, dir)
+      // pinned: count and write must see the SAME rows even when `emb` is
+      // non-deterministic (a sampled source re-evaluates per action)
+      val assigned = assignTo(idx.centroids, emb).persist()
+      try {
+        val n = assigned.count()
+        assigned.write.mode("append").partitionBy("cell")
+          .parquet(s"$dir/cells")
+        n
+      } finally assigned.unpersist()
+    }
 
   /** Compact the cell partitions after a run of [[appendVectors]]: each
     * upsert adds new files to the touched cells, and a long run of small
     * upserts leaves per-cell file counts that drown probe planning (the
     * same file-count pathology the log's segment coalescing exists for).
     * Rewrites every cell into ~one file (repartition BY cell → one task
-    * writes one cell) via a staged dir + two renames — the
-    * ParquetLogBackend swap dance: a reader racing the swap retries into
-    * `cells.old`, which holds the COMPLETE pre-rewrite data until the
-    * delete. Content is byte-equal input rows; quantizer untouched. */
-  def compact(spark: SparkSession, dir: String): Unit =
+    * writes one cell) via a staged dir + two renames.
+    *
+    * Crash safety: a death between the two renames leaves the complete
+    * pre-rewrite data in `cells.old`; [[recoverSwap]] — run at every
+    * [[load]], [[appendVectors]], and compact entry — rolls it back, so
+    * the torn state heals on next touch instead of needing a human.
+    * Concurrency: maintenance (upsert/compact) is SERIALIZED in-JVM on
+    * this object's lock — a compact racing an upsert would otherwise
+    * delete the upsert's freshly appended files with `cells.old`. Across
+    * JVMs the single-maintainer contract is the deployment's (same as the
+    * log's single-writer commit sequencer); concurrent READERS are safe
+    * on either side of a rename. Content is byte-equal input rows;
+    * quantizer untouched. */
+  def compact(spark: SparkSession, dir: String): Unit = synchronized {
     compactRelation(spark, java.nio.file.Paths.get(dir, "cells"))
+  }
+
+  /** Roll back a swap that died between renames: `target` missing but
+    * `target.old` present ⇒ the old dir IS the data — restore it. */
+  private[operators] def recoverSwap(target: java.nio.file.Path): Unit = {
+    import java.nio.file.{Files, StandardCopyOption}
+    val old = target.resolveSibling(target.getFileName.toString + ".old")
+    if (!Files.exists(target) && Files.isDirectory(old))
+      Files.move(old, target, StandardCopyOption.ATOMIC_MOVE)
+  }
 
   private[operators] def compactRelation(
       spark: SparkSession, target: java.nio.file.Path): Unit = {
     import java.nio.file.{Files, StandardCopyOption}
+    recoverSwap(target)
     val staging = target.resolveSibling(
       target.getFileName.toString + ".compact-" +
         java.util.UUID.randomUUID().toString.take(8))

@@ -212,33 +212,48 @@ object PqIndex {
     * by periodic re-build, exactly as on the coarse tier.
     *
     * @return the number of vectors appended */
-  def appendVectors(spark: SparkSession, dir: String, emb: DataFrame): Long = {
-    val idx = load(spark, dir)
-    import spark.implicits._
-    val assigned = IvfIndex.assignTo(idx.coarse.centroids, emb)
-    val n = assigned.count()
-    val centDf = idx.coarse.centroids.zipWithIndex
-      .map { case (c, i) => (i, c.toSeq) }.toSeq.toDF("cell", "cvec")
-    val codes = assigned
-      .join(broadcast(centDf), "cell")
-      .withColumn("r", zip_with(col("v"), col("cvec"), (a, b) => a - b))
-      .select(col("vec_id"), col("cell"), col("nrm"),
-        graft.exprs.functions.pq_encode(
-          col("r"), flatten(idx.codebooks), idx.m, idx.kCodes).as("codes"))
-    codes.write.mode("append").partitionBy("cell").parquet(s"$dir/pq_codes")
-    assigned.write.mode("append").partitionBy("cell").parquet(s"$dir/cells")
-    n
-  }
+  def appendVectors(spark: SparkSession, dir: String, emb: DataFrame): Long =
+    IvfIndex.synchronized {
+      val idx = load(spark, dir)
+      import spark.implicits._
+      // pinned: the same rows must feed count, codes, AND cells even when
+      // `emb` is non-deterministic — three actions over an unpinned plan
+      // could write codes and raw vectors for DIFFERENT row sets
+      val assigned = IvfIndex.assignTo(idx.coarse.centroids, emb).persist()
+      try {
+        val n = assigned.count()
+        val centDf = idx.coarse.centroids.zipWithIndex
+          .map { case (c, i) => (i, c.toSeq) }.toSeq.toDF("cell", "cvec")
+        val codes = assigned
+          .join(broadcast(centDf), "cell")
+          .withColumn("r", zip_with(col("v"), col("cvec"), (a, b) => a - b))
+          .select(col("vec_id"), col("cell"), col("nrm"),
+            graft.exprs.functions.pq_encode(
+              col("r"), flatten(idx.codebooks), idx.m, idx.kCodes)
+              .as("codes"))
+        // cells FIRST: an extra raw row is never probed (codes drive the
+        // shortlist), but a code without its raw row would silently drop
+        // from the rerank join — so a crash between the writes must only
+        // ever leave the harmless direction
+        assigned.write.mode("append").partitionBy("cell")
+          .parquet(s"$dir/cells")
+        codes.write.mode("append").partitionBy("cell")
+          .parquet(s"$dir/pq_codes")
+        n
+      } finally assigned.unpersist()
+    }
 
   /** [[IvfIndex.compact]] extended to the PQ tier: both the raw cells
     * (rerank path) and the code lists rewrite to ~one file per cell. */
-  def compact(spark: SparkSession, dir: String): Unit = {
-    IvfIndex.compact(spark, dir)
-    IvfIndex.compactRelation(spark,
-      java.nio.file.Paths.get(dir, "pq_codes"))
-  }
+  def compact(spark: SparkSession, dir: String): Unit =
+    IvfIndex.synchronized {
+      IvfIndex.compact(spark, dir)
+      IvfIndex.compactRelation(spark,
+        java.nio.file.Paths.get(dir, "pq_codes"))
+    }
 
   def load(spark: SparkSession, dir: String): PqIndex = {
+    IvfIndex.recoverSwap(java.nio.file.Paths.get(dir, "pq_codes"))
     val coarse = IvfIndex.load(spark, dir)
     val cb = spark.read.parquet(s"$dir/pq_codebooks").collect()
       .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toArray))

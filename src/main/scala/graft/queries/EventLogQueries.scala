@@ -74,6 +74,33 @@ object EventLogQueries {
           .otherwise(lit(0.0)))
       .withColumn("is_outlier", abs(col("z")) > 3.0)
 
+  /** Per-label corpus drift between two log snapshots — two versionAsOf
+    * reads of one immutable log, each file-pruned to its ceiling, diffed
+    * on the label-cardinality join. Shared by the graft_version_diff
+    * query (fixed 300/800 for the oracle) and the CLI `diff` command
+    * (user-supplied versions), so the two can never drift. Append-only
+    * log ⇒ lo's labels ⊆ hi's ⇒ the left join is exact. */
+  def versionDiffCard(
+      s: SparkSession, logDir: String, vLo: Long, vHi: Long): DataFrame = {
+    def card(v: Long): DataFrame =
+      s.read.format("graft").option("versionAsOf", v).load(logDir)
+        .groupBy(col("label"))
+        .agg(count(lit(1)).as("n"),
+          sum(length(col("payload"))).as("chars"))
+    card(vHi)
+      .select(col("label"), col("n").as("n_hi"), col("chars").as("chars_hi"))
+      .join(card(vLo)
+        .select(col("label"), col("n").as("n_lo"),
+          col("chars").as("chars_lo")), Seq("label"), "left")
+      .select(col("label"),
+        coalesce(col("n_lo"), lit(0L)).as("n_lo"), col("n_hi"),
+        (col("n_hi") - coalesce(col("n_lo"), lit(0L))).as("n_delta"),
+        coalesce(col("chars_lo"), lit(0L)).as("chars_lo"), col("chars_hi"),
+        (col("chars_hi") - coalesce(col("chars_lo"), lit(0L)))
+          .as("chars_delta"))
+      .orderBy("label")
+  }
+
   /** Per-label scan-parity aggregate shared by graft_scan_forward and
     * graft_time_travel, so the time-travel gate always tests the exact
     * shape the scan gate does (oracle mirror: [[graftScanSql]]). */
@@ -157,24 +184,8 @@ object EventLogQueries {
     // read touches only the log's first segments at any scale). The log is
     // append-only, so lo's labels ⊆ hi's and a left join is exact.
     "graft_version_diff" -> { (s, dir) =>
-      val logDir = graft.sources.GraftLogCache.ensure(s, dir)
-      def card(v: Long): DataFrame =
-        s.read.format("graft").option("versionAsOf", v).load(logDir)
-          .groupBy(col("label"))
-          .agg(count(lit(1)).as("n"),
-            sum(length(col("payload"))).as("chars"))
-      card(800L)
-        .select(col("label"), col("n").as("n_hi"), col("chars").as("chars_hi"))
-        .join(card(300L)
-          .select(col("label"), col("n").as("n_lo"),
-            col("chars").as("chars_lo")), Seq("label"), "left")
-        .select(col("label"),
-          coalesce(col("n_lo"), lit(0L)).as("n_lo"), col("n_hi"),
-          (col("n_hi") - coalesce(col("n_lo"), lit(0L))).as("n_delta"),
-          coalesce(col("chars_lo"), lit(0L)).as("chars_lo"), col("chars_hi"),
-          (col("chars_hi") - coalesce(col("chars_lo"), lit(0L)))
-            .as("chars_delta"))
-        .orderBy("label")
+      versionDiffCard(s, graft.sources.GraftLogCache.ensure(s, dir),
+        vLo = 300L, vHi = 800L)
     },
 
     // The V2 source's O(1) aggregate pushdown under the driver gate: a

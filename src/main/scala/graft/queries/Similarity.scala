@@ -102,10 +102,13 @@ object Similarity {
       graft.operators.IvfIndex.build(emb).save(staging.toString)
       try Files.move(staging, base, StandardCopyOption.ATOMIC_MOVE)
       catch {
-        case _: java.nio.file.FileAlreadyExistsException |
+        case e @ (_: java.nio.file.FileAlreadyExistsException |
             _: java.nio.file.DirectoryNotEmptyException |
-            _: java.nio.file.AccessDeniedException =>
+            _: java.nio.file.AccessDeniedException) =>
           graft.storage.ParquetLogBackend.deleteRecursively(staging)
+          // a lost race must leave the winner's copy; a permission
+          // failure has no winner and must surface
+          if (!Files.isDirectory(base.resolve("centroids"))) throw e
       }
       base.toString
     }

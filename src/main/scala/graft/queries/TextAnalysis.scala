@@ -395,10 +395,14 @@ object TextAnalysis {
         .save(staging.toString)
       try Files.move(staging, base, StandardCopyOption.ATOMIC_MOVE)
       catch {
-        case _: java.nio.file.FileAlreadyExistsException |
+        case e @ (_: java.nio.file.FileAlreadyExistsException |
             _: java.nio.file.DirectoryNotEmptyException |
-            _: java.nio.file.AccessDeniedException =>
+            _: java.nio.file.AccessDeniedException) =>
           graft.storage.ParquetLogBackend.deleteRecursively(staging)
+          // "lost the race" is only true if the winner's copy exists —
+          // a genuine permission failure must surface, not masquerade as
+          // a cache hit pointing at a path that was never created
+          if (!Files.isDirectory(base.resolve("postings"))) throw e
       }
       base.toString
     }

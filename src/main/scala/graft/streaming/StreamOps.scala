@@ -371,13 +371,23 @@ object StreamOps {
          rows: Iterator[(java.sql.Timestamp, Long, Long, Seq[Int])],
          state: GroupState[PackIdBuf]) =>
           if (state.hasTimedOut) {
-            // tail flush: the ONLY place padding exists (batch invariant)
+            // tail flush: the ONLY place padding exists (batch invariant).
+            // The sequence COUNTER survives the flush — state.remove()
+            // would restart seq_id at 0 on revival and duplicate
+            // (bucket, seq_id) keys at the sink. Keeping the emptied
+            // state is free: groups number at most `buckets` by
+            // construction (bucket = id % buckets), so boundedness never
+            // depended on the TTL — only the flush semantics do.
             val out = state.getOption.filter(_.buf.nonEmpty).map { st =>
+              state.update(PackIdBuf(st.seqId + 1, Vector.empty))
               PackedTokenSeq(bucket, st.seqId, st.buf.length.toLong,
                 (seqLen - st.buf.length).toLong,
                 st.buf ++ Seq.fill(seqLen - st.buf.length)(padId))
             }
-            state.remove()
+            // park the timeout one delay ahead — the stale timestamp is
+            // already past the watermark and would re-fire every batch
+            state.setTimeoutTimestamp(
+              state.getCurrentWatermarkMs() + delayMs)
             out.iterator
           } else {
             val batch = rows.toSeq.sortBy(r => (r._1.getTime, r._2))
@@ -542,7 +552,10 @@ object StreamOps {
     val terms = queries
       .select(col(tsCol).cast("timestamp").as("ts"),
         col(idCol).cast("long").as("q_id"),
-        explode(split(col(qCol), "\\s+")).as("token"))
+        // distinct BEFORE exploding: the batch search's isin filter
+        // inherently dedups repeated query terms — "vector vector" must
+        // not double-count, or the batch-identical-scores contract breaks
+        explode(array_distinct(split(col(qCol), "\\s+"))).as("token"))
       .withWatermark("ts", delay)
     terms
       .join(idx.postings
