@@ -150,4 +150,20 @@ class IvfIndexSpec extends AnyFunSuite {
     assert(IvfIndex.load(spark, idxDir).assignments.count() === nBefore)
     assert(answers() === before)
   }
+
+  test("a swap torn between renames heals on next load") {
+    val idxDir = java.nio.file.Files
+      .createTempDirectory("graft-ivftorn").toString
+    IvfIndex.build(emb.filter(col("vec_id") < 100), k = 4).save(idxDir)
+    val before = IvfIndex.load(spark, idxDir).assignments.count()
+    // simulate a compact that died between the two renames: cells moved
+    // to cells.old, the staged copy never landed
+    java.nio.file.Files.move(
+      java.nio.file.Paths.get(idxDir, "cells"),
+      java.nio.file.Paths.get(idxDir, "cells.old"))
+    val healed = IvfIndex.load(spark, idxDir)
+    assert(healed.assignments.count() === before,
+      "load must roll the .old dir back instead of failing forever")
+    assert(!new java.io.File(s"$idxDir/cells.old").exists())
+  }
 }
