@@ -495,7 +495,10 @@ object TextAnalysis {
     * from: distinct [a-z]+ words with corpus frequencies, symbols = the
     * space-joined character split. Vocab-sized, never corpus-sized. */
   private def bpeWordTable(s: SparkSession, dir: String): DataFrame =
-    Tables(s, dir, "documents")
+    bpeWordTableOf(Tables(s, dir, "documents"))
+
+  private def bpeWordTableOf(docs: DataFrame): DataFrame =
+    docs
       .filter(col("text").isNotNull)
       .select(explode(
         expr("regexp_extract_all(lower(text), '([a-z]+)', 1)")).as("word"))
@@ -523,8 +526,16 @@ object TextAnalysis {
     * contract as IvfIndex's centroids. Returns
     * (round, lhs, rhs, merged, pair_freq) in learned order. */
   private def learnBpeMerges(s: SparkSession, dir: String)
+      : Seq[(Long, String, String, String, Long)] =
+    trainBpeOn(Tables(s, dir, "documents"), BpeMerges)
+
+  /** Train BPE merges on an ARBITRARY (…, text) DataFrame — the library
+    * entry point for corpora that don't live in a testdata dir (a log
+    * read through the V2 source, an external table). Same trainer as the
+    * train_bpe query (that path routes through here). */
+  def trainBpeOn(docs: DataFrame, rounds: Int = BpeMerges)
       : Seq[(Long, String, String, String, Long)] = {
-    val words = bpeWordTable(s, dir).cache()
+    val words = bpeWordTableOf(docs).cache()
     // Round k applies exactly ONE merge to round k-1's MATERIALIZED table
     // (localCheckpoint + release, the ConnectedComponents round pattern)
     // rather than replaying the whole replace chain over the base: without
@@ -534,7 +545,7 @@ object TextAnalysis {
     var ckpt: DataFrame = null
     val merges = Seq.newBuilder[(Long, String, String, String, Long)]
     var exhausted = false
-    for (round <- 1 to BpeMerges if !exhausted) {
+    for (round <- 1 to rounds if !exhausted) {
       val best = bpePairCounts(cur)
         .orderBy(col("c").desc, col("l").asc, col("r").asc)
         .limit(1).collect()
