@@ -761,6 +761,64 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("packTokenIdsStream: seq ids and partial buffers survive a restart") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val srcDir = Files.createTempDirectory("graftpacksrc").toString
+    val outDir = Files.createTempDirectory("graftpackout").toString
+    val ckpt = Files.createTempDirectory("graftpackckpt").toString
+    val modelDir = Files.createTempDirectory("graftpackmodel").toString
+    graft.operators.BpeModel.save(spark,
+      Seq.empty[(Long, String, String, String, Long)], modelDir)
+    val srcB = ParquetLogBackend.create(spark, srcDir, compactIntervalMs = 0)
+
+    // doc i: i%2 picks the bucket (doc_id = version = i), text = 5 chars
+    // of a single letter → ids are 5 copies of (letter - 'a') + EOS = 6
+    def textFor(i: Int): String = ("" + ('a' + (i % 26)).toChar) * 5
+    def startQ() = {
+      val src = spark.readStream.format("graft")
+        .option("maxVersionsPerTrigger", 3L).load(srcDir)
+        .select(col("version").as("doc_id"),
+          col("timestamp").cast("timestamp").as("ts"),
+          get_json_object(col("payload"), "$.t").as("text"))
+      StreamOps.packTokenIdsStream(src, "ts", "doc_id", "text", modelDir,
+          buckets = 2, seqLen = 8, eosId = 98, padId = 99,
+          delay = "10 minutes")
+        .toDF()
+        .writeStream.format("parquet")
+        .option("path", outDir).option("checkpointLocation", ckpt)
+        .outputMode("append").start()
+    }
+    def appendDocs(r: Range): Unit = srcB.appendMulti(
+      r.map(i => EventData("doc", s"""{"t":"${textFor(i)}"}""")))
+
+    try {
+      appendDocs(1 to 4)
+      val q1 = startQ()
+      try q1.processAllAvailable() finally q1.stop()
+      appendDocs(5 to 10)
+      val q2 = startQ()
+      try q2.processAllAvailable() finally q2.stop()
+
+      val got = spark.read.parquet(outDir)
+        .select("bucket", "seq_id", "n_real", "n_pad", "ids").collect()
+        .map(r => ((r.getLong(0), r.getLong(1)),
+          (r.getLong(2), r.getLong(3), r.getSeq[Int](4).toList))).toMap
+
+      // simulate the packer over all 10 docs in version order per bucket
+      val expected = (0 to 1).flatMap { b =>
+        val stream = (1 to 10).filter(_ % 2 == b).flatMap(i =>
+          List.fill(5)(('a' + (i % 26)).toChar - 'a') :+ 98)
+        stream.grouped(8).filter(_.length == 8).zipWithIndex.map {
+          case (ids, s) => (b.toLong, s.toLong) -> ((8L, 0L, ids.toList))
+        }
+      }.toMap
+      assert(got === expected,
+        "completed rows across the restart must be the single uninterrupted " +
+          s"pack stream per bucket: got ${got.keys.toSeq.sorted}")
+    } finally srcB.close()
+  }
+
   test("annProbeStream reproduces the batch ADC probe over a persisted index") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
