@@ -603,6 +603,45 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("clusterLabelsStream: the final partition is arrival-order invariant") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def stem(tag: String) = (0 until 30).map(i => s"$tag$i").mkString(" ")
+    val corpus: Seq[(Long, String)] = Seq(
+      11L -> s"${stem("p")} a11", 4L -> s"${stem("p")} a4",
+      9L -> s"${stem("p")} a9",
+      30L -> s"${stem("q")} b30", 2L -> s"${stem("q")} b2",
+      17L -> "unrelated solitary content entirely different")
+    def ts(s: Long) = new java.sql.Timestamp(s * 1000L)
+
+    def replay(order: Seq[(Long, String)], name: String): Map[Long, Long] = {
+      val mem = MemoryStream[(java.sql.Timestamp, Long, String)]
+      val q = StreamOps.clusterLabelsStream(
+          mem.toDF().toDF("ts", "doc_id", "text"),
+          "ts", "doc_id", "text", "10 minutes")
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+      try {
+        // one doc per micro-batch: the strictest interleaving
+        order.zipWithIndex.foreach { case ((id, t), i) =>
+          mem.addData((ts(10 + i), id, t))
+          q.processAllAvailable()
+        }
+        spark.table(name).groupBy("doc_id")
+          .agg(org.apache.spark.sql.functions.min("cluster").as("c"))
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      } finally q.stop()
+    }
+
+    val expected = Map(11L -> 4L, 4L -> 4L, 9L -> 4L,
+      30L -> 2L, 2L -> 2L, 17L -> 17L)
+    assert(replay(corpus, "inv1") === expected)
+    assert(replay(corpus.reverse, "inv2") === expected,
+      "reversed arrival must converge to the same min-label partition")
+    assert(replay(corpus.sortBy(_._1), "inv3") === expected,
+      "ascending-id arrival must converge too")
+  }
+
   test("packTokenIdsStream emits fixed-length id rows; pad only on timeout flush") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
