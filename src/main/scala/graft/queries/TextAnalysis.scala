@@ -42,14 +42,14 @@ object TextAnalysis {
 
   /** 16-bit split bucket of a document id (0..65535): first 4 hex chars
     * of md5(id) — stable under repartitioning, re-runs, corpus growth. */
-  private[queries] def splitBucketOf(id: Column): Column =
+  def splitBucketOf(id: Column): Column =
     conv(substring(md5(id.cast("string")), 1, 4), 16, 10).cast("long")
 
   /** [[splitBucketOf]] of the `doc_id` column. */
-  private[queries] def splitBucket: Column = splitBucketOf(col("doc_id"))
+  def splitBucket: Column = splitBucketOf(col("doc_id"))
 
   /** train/val/test assignment from a [[splitBucket]] value. */
-  private[queries] def splitOf(bucket: Column): Column =
+  def splitOf(bucket: Column): Column =
     when(bucket < SplitTrainMax, "train")
       .when(bucket < SplitValMax, "val")
       .otherwise("test")

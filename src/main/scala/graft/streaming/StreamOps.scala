@@ -479,6 +479,45 @@ object StreamOps {
         expr("transform(top, x -> -x.neg)").as("top_scores"))
   }
 
+  /** Streaming train/val/test assignment: the batch split_corpus made
+    * incremental — STATELESS, because the assignment is a pure
+    * content-independent hash of the id (the same shared
+    * [[graft.queries.TextAnalysis.splitBucketOf]]/`splitOf` derivation,
+    * so a doc gets the identical split whether it flows through the
+    * stream or a batch backfill — the property that makes the split safe
+    * to compute in two places at all). */
+  def splitStream(docs: DataFrame, idCol: String): DataFrame =
+    docs
+      .withColumn("bucket",
+        graft.queries.TextAnalysis.splitBucketOf(col(idCol)))
+      .withColumn("split",
+        graft.queries.TextAnalysis.splitOf(col("bucket")))
+
+  /** Streaming source-weight mixing: the batch mix_corpus made
+    * incremental — stateless fractional upsampling, `floor(w)` copies
+    * plus one more iff the id's hash fraction falls under `frac(w)`
+    * (weights in HALVES, integer math, the batch operator's exact
+    * arithmetic). Deterministic across runs and engines: a replayed
+    * document emits the same copies.
+    *
+    * @param weightHalves integer column of 2× the source weight (e.g. 3
+    *                     ⇒ weight 1.5: one copy always, a second for the
+    *                     half of id-space under the hash threshold) */
+  def mixStream(
+      docs: DataFrame, idCol: String, weightHalves: Column): DataFrame =
+    docs
+      .withColumn("w2", weightHalves)
+      .withColumn("hex16",
+        conv(substring(md5(col(idCol).cast("string")), 1, 4), 16, 10)
+          .cast("long"))
+      .withColumn("n_copies", expr("w2 DIV 2") +
+        when(col("w2") % 2 === 1 && col("hex16") < 32768L, 1L)
+          .otherwise(0L))
+      .filter(col("n_copies") > 0)
+      .withColumn("copy_idx",
+        explode(sequence(lit(0L), col("n_copies") - 1)))
+      .drop("w2", "hex16")
+
   /** Streaming quality classification: the batch classify_quality_nb's
     * learned model applied per row — train once in batch
     * ([[graft.queries.TextAnalysis.nbQualityModelTable]]), score the live

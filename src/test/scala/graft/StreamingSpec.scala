@@ -603,6 +603,45 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("splitStream and mixStream assign identically to their batch queries") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    implicit val sqlCtx = spark.sqlContext
+    val sfDir = "/root/testdata/sf0.001"
+    val batchSplit = SparkEntry.queries("split_corpus")(spark, sfDir)
+      .select("doc_id", "bucket", "split").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2)))).toMap
+    val batchMix = SparkEntry.queries("mix_corpus")(spark, sfDir)
+      .select("doc_id", "copy_idx").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "source").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    val mem = MemoryStream[(Long, String)]
+    val sq = StreamOps.splitStream(
+        mem.toDF().toDF("doc_id", "source"), "doc_id")
+      .writeStream.format("memory").queryName("splitst")
+      .outputMode("append").start()
+    val mq = StreamOps.mixStream(
+        mem.toDF().toDF("doc_id", "source"), "doc_id",
+        lit(1) + expr("CAST(substring(source, 4) AS INT) % 4"))
+      .writeStream.format("memory").queryName("mixst")
+      .outputMode("append").start()
+    try {
+      mem.addData(docs: _*)
+      sq.processAllAvailable(); mq.processAllAvailable()
+      val gotSplit = spark.table("splitst")
+        .select("doc_id", "bucket", "split").collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2)))).toMap
+      assert(gotSplit === batchSplit)
+      val gotMix = spark.table("mixst")
+        .select("doc_id", "copy_idx").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+      assert(gotMix === batchMix)
+    } finally { sq.stop(); mq.stop() }
+  }
+
   test("clusterLabelsStream: the final partition is arrival-order invariant") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
