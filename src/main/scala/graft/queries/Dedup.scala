@@ -816,6 +816,34 @@ object Dedup {
         .orderBy("doc_id")
     },
 
+    // The REVERSE contamination report: per BENCHMARK item, how much of
+    // it leaked into the training corpus — which eval rows are burned and
+    // how badly ("n_contaminated_docs" convicts the corpus side;
+    // "burned_frac" tells you whether the item itself is still usable).
+    // decontaminate_ngram answers "which training docs to drop"; this
+    // answers "which benchmark numbers to distrust" — same shingle
+    // relation, opposite grouping. Scale shape: the benchmark side is
+    // small by definition and broadcasts; the corpus-side index streams
+    // through once.
+    "decontaminate_report" -> { (s, dir) =>
+      val sh = shingleHashes(s, dir)
+      val bench = sh.filter(col("doc_id") % BenchmarkMod === 0)
+        .withColumn("n_shingles",
+          count(lit(1)).over(Window.partitionBy(col("doc_id"))))
+        .select(col("doc_id").as("bench_id"), col("sh"), col("n_shingles"))
+      val corpus = sh.filter(col("doc_id") % BenchmarkMod =!= 0)
+        .select(col("doc_id").as("corpus_id"), col("sh"))
+      corpus.join(broadcast(bench), "sh")
+        .groupBy("bench_id", "n_shingles")
+        .agg(countDistinct(col("corpus_id")).as("n_contaminated_docs"),
+          countDistinct(col("sh")).as("n_burned_shingles"))
+        .withColumn("burned_frac",
+          col("n_burned_shingles").cast("double") / col("n_shingles"))
+        .select("bench_id", "n_shingles", "n_contaminated_docs",
+          "n_burned_shingles", "burned_frac")
+        .orderBy("bench_id")
+    },
+
     // Bloom-filter decontamination — the scale path for the same check:
     // broadcasting the exact benchmark shingle set stops working when the
     // benchmark suite is billions of shingles, but a fixed-size Bloom
@@ -1502,6 +1530,21 @@ object Dedup {
          |FROM t JOIN bench USING (s)
          |WHERE doc_id % $BenchmarkMod <> 0
          |GROUP BY 1, 2 ORDER BY doc_id""".stripMargin,
+
+    "decontaminate_report" ->
+      s"""WITH sh AS ($shinglesSql),
+         |t0 AS (SELECT DISTINCT doc_id, unnest(sh) AS s FROM sh),
+         |bn AS (SELECT doc_id AS bench_id, s,
+         |    count(*) OVER (PARTITION BY doc_id) AS n_shingles
+         |  FROM t0 WHERE doc_id % $BenchmarkMod = 0),
+         |corpus AS (SELECT doc_id AS corpus_id, s FROM t0
+         |  WHERE doc_id % $BenchmarkMod <> 0)
+         |SELECT bench_id, n_shingles,
+         |  count(DISTINCT corpus_id) AS n_contaminated_docs,
+         |  count(DISTINCT s) AS n_burned_shingles,
+         |  count(DISTINCT s) * 1.0 / n_shingles AS burned_frac
+         |FROM bn JOIN corpus USING (s)
+         |GROUP BY 1, 2 ORDER BY bench_id""".stripMargin,
 
     "decontaminate_bloom" ->
       bloomOracleSql(graft.operators.BloomSketch.DefaultBits),
