@@ -436,6 +436,50 @@ object Dedup {
         .orderBy("doc_id")
     },
 
+    // The per-document DEDUP SIGNAL CARD: one row per doc unifying the
+    // verdicts of three independent dedup families — exact content hash,
+    // transitive near-dup cluster membership, and repeated-span
+    // involvement. This is the decision record a curation pipeline stores
+    // next to the corpus: "why did/should this document go", answerable
+    // without re-running any detector. Scale shape: each signal keeps its
+    // own audited sub-DAG (priced separately in SCALING.md); the card
+    // adds two doc_id-keyed left joins over doc-level rows.
+    "dedup_signal_card" -> { (s, dir) =>
+      val d = Tables(s, dir, "documents")
+      val exact = d.select(col("doc_id"), md5(col("text")).as("h"))
+        .withColumn("g", count(lit(1)).over(Window.partitionBy(col("h"))))
+        .select(col("doc_id"), (col("g") > 1).as("is_exact_dup"))
+      val near = clusterLabels(s, dir)
+        .withColumn("near_cluster_size",
+          count(lit(1)).over(Window.partitionBy(col("cluster_id"))))
+        .select(col("doc_id"), col("cluster_id"), col("near_cluster_size"))
+      // spans repeated CORPUS-wide (the dedup_span_exact signal), counted
+      // back per involved document
+      val spansPerDoc = d.filter(col("text").isNotNull)
+        .select(col("doc_id"), split(col("text"), "\\s+").as("toks"))
+        .filter(size(col("toks")) >= SpanTokens)
+        .select(col("doc_id"), explode(sequence(lit(0),
+          expr(s"size(toks) DIV $SpanTokens") - 1)).as("ci"),
+          col("toks"))
+        .select(col("doc_id"), md5(concat_ws(" ",
+          slice(col("toks"), col("ci") * SpanTokens + 1, lit(SpanTokens))))
+          .as("chunk_hash"))
+      val repeated = spansPerDoc.groupBy("chunk_hash")
+        .agg(count(lit(1)).as("occ")).filter(col("occ") > 1)
+      val spanCounts = spansPerDoc.join(repeated, "chunk_hash")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_repeated_spans"))
+      exact
+        .join(near, Seq("doc_id"), "left")
+        .join(spanCounts, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("is_exact_dup"),
+          col("cluster_id"), col("near_cluster_size"),
+          coalesce(col("n_repeated_spans"), lit(0L)).as("n_repeated_spans"),
+          (col("is_exact_dup") || col("near_cluster_size") > 1 ||
+            coalesce(col("n_repeated_spans"), lit(0L)) > 0).as("any_signal"))
+        .orderBy("doc_id")
+    },
+
     // Leakage-safe splitting — the PREVENTIVE twin of split_leakage_audit:
     // the split assignment hashes the near-dup CLUSTER id, not the doc id,
     // so a component can never straddle train/val/test (the audit detects
@@ -1339,6 +1383,46 @@ object Dedup {
          |  count(*) OVER (PARTITION BY cluster_id) AS cluster_size,
          |  doc_id <> cluster_id AS is_dup
          |FROM cl ORDER BY doc_id""".stripMargin,
+
+    "dedup_signal_card" ->
+      s"""WITH RECURSIVE $minhashPairsSqlCtes,
+         |edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+         |  UNION SELECT doc_b, doc_a FROM pairs),
+         |reach AS (
+         |  SELECT doc_id AS id, doc_id AS lab FROM documents
+         |  UNION
+         |  SELECT e.v AS id, r.lab AS lab
+         |  FROM reach r JOIN edges e ON e.u = r.id),
+         |cl AS (SELECT id AS doc_id, min(lab) AS cluster_id
+         |  FROM reach GROUP BY id),
+         |ncl AS (SELECT doc_id, cluster_id,
+         |  count(*) OVER (PARTITION BY cluster_id) AS near_cluster_size
+         |  FROM cl),
+         |ex AS (SELECT doc_id,
+         |  count(*) OVER (PARTITION BY md5(text)) > 1 AS is_exact_dup
+         |  FROM documents),
+         |st AS (SELECT doc_id, string_split_regex(text, '\\s+') AS toks
+         |  FROM documents WHERE text IS NOT NULL),
+         |sc AS (SELECT doc_id, toks,
+         |    unnest(range(0, len(toks) // $SpanTokens)) AS ci
+         |  FROM st WHERE len(toks) >= $SpanTokens),
+         |shh AS (SELECT doc_id,
+         |    md5(array_to_string(list_slice(toks,
+         |      ci * $SpanTokens + 1, ci * $SpanTokens + $SpanTokens), ' '))
+         |      AS chunk_hash
+         |  FROM sc),
+         |rep AS (SELECT chunk_hash FROM shh
+         |  GROUP BY 1 HAVING count(*) > 1),
+         |spc AS (SELECT doc_id, count(*) AS n_repeated_spans
+         |  FROM shh JOIN rep USING (chunk_hash) GROUP BY 1)
+         |SELECT ex.doc_id, ex.is_exact_dup, ncl.cluster_id,
+         |  ncl.near_cluster_size,
+         |  COALESCE(spc.n_repeated_spans, 0) AS n_repeated_spans,
+         |  (ex.is_exact_dup OR ncl.near_cluster_size > 1 OR
+         |    COALESCE(spc.n_repeated_spans, 0) > 0) AS any_signal
+         |FROM ex LEFT JOIN ncl USING (doc_id)
+         |  LEFT JOIN spc USING (doc_id)
+         |ORDER BY ex.doc_id""".stripMargin,
 
     "split_by_cluster" ->
       s"""WITH RECURSIVE $minhashPairsSqlCtes,
