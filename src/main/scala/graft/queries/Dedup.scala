@@ -138,6 +138,22 @@ object Dedup {
       .select("vec_a", "vec_b", "cosine")
   }
 
+  /** (doc_id, chunk_hash) per SpanTokens-aligned chunk — the span-dedup
+    * chunk relation, shared by dedup_span_exact and dedup_signal_card so
+    * the card's span verdict can never diverge from the standalone
+    * operator's. */
+  private def spanChunkHashes(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "documents").filter(col("text").isNotNull)
+      .select(col("doc_id"), split(col("text"), "\\s+").as("toks"))
+      .filter(size(col("toks")) >= SpanTokens)
+      .select(col("doc_id"), col("toks"),
+        explode(sequence(lit(0),
+          expr(s"size(toks) DIV $SpanTokens") - 1)).as("ci"))
+      .select(col("doc_id"),
+        md5(concat_ws(" ",
+          slice(col("toks"), col("ci") * SpanTokens + 1, lit(SpanTokens))))
+          .as("chunk_hash"))
+
   /** (doc_id, phash) 64-bit perceptual dHash per image-typed media row —
     * the typed [[graft.multimodal.MultimodalPipeline]] path (decode → 9×8
     * resize → gradient bits) on the deterministic codec, so the DuckDB
@@ -323,16 +339,7 @@ object Dedup {
     // 100 TB the chunk-hash exchange is the only shuffle and AQE splits any
     // hot hash (identical boilerplate chunks) across reducers.
     "dedup_span_exact" -> { (s, dir) =>
-      val d = Tables(s, dir, "documents").filter(col("text").isNotNull)
-      d.select(col("doc_id"), split(col("text"), "\\s+").as("toks"))
-        .filter(size(col("toks")) >= SpanTokens)
-        .select(col("doc_id"), col("toks"),
-          explode(sequence(lit(0),
-            expr(s"size(toks) DIV $SpanTokens") - 1)).as("ci"))
-        .select(col("doc_id"),
-          md5(concat_ws(" ",
-            slice(col("toks"), col("ci") * SpanTokens + 1, lit(SpanTokens))))
-            .as("chunk_hash"))
+      spanChunkHashes(s, dir)
         .groupBy("chunk_hash")
         .agg(count(lit(1)).as("n_occurrences"),
           count_distinct(col("doc_id")).as("n_docs"),
@@ -443,7 +450,8 @@ object Dedup {
     // next to the corpus: "why did/should this document go", answerable
     // without re-running any detector. Scale shape: each signal keeps its
     // own audited sub-DAG (priced separately in SCALING.md); the card
-    // adds two doc_id-keyed left joins over doc-level rows.
+    // adds one chunk_hash window pass plus two doc_id-keyed left joins
+    // over doc-level rows.
     "dedup_signal_card" -> { (s, dir) =>
       val d = Tables(s, dir, "documents")
       val exact = d.select(col("doc_id"), md5(col("text")).as("h"))
@@ -453,20 +461,14 @@ object Dedup {
         .withColumn("near_cluster_size",
           count(lit(1)).over(Window.partitionBy(col("cluster_id"))))
         .select(col("doc_id"), col("cluster_id"), col("near_cluster_size"))
-      // spans repeated CORPUS-wide (the dedup_span_exact signal), counted
-      // back per involved document
-      val spansPerDoc = d.filter(col("text").isNotNull)
-        .select(col("doc_id"), split(col("text"), "\\s+").as("toks"))
-        .filter(size(col("toks")) >= SpanTokens)
-        .select(col("doc_id"), explode(sequence(lit(0),
-          expr(s"size(toks) DIV $SpanTokens") - 1)).as("ci"),
-          col("toks"))
-        .select(col("doc_id"), md5(concat_ws(" ",
-          slice(col("toks"), col("ci") * SpanTokens + 1, lit(SpanTokens))))
-          .as("chunk_hash"))
-      val repeated = spansPerDoc.groupBy("chunk_hash")
-        .agg(count(lit(1)).as("occ")).filter(col("occ") > 1)
-      val spanCounts = spansPerDoc.join(repeated, "chunk_hash")
+      // spans repeated CORPUS-wide (the SHARED dedup_span_exact chunk
+      // relation), counted back per involved document — a window count
+      // over chunk_hash, one shuffle, no self-join (the span family's
+      // documented shape)
+      val spanCounts = spanChunkHashes(s, dir)
+        .withColumn("occ",
+          count(lit(1)).over(Window.partitionBy(col("chunk_hash"))))
+        .filter(col("occ") > 1)
         .groupBy("doc_id")
         .agg(count(lit(1)).as("n_repeated_spans"))
       exact

@@ -508,8 +508,7 @@ object StreamOps {
     docs
       .withColumn("w2", weightHalves)
       .withColumn("hex16",
-        conv(substring(md5(col(idCol).cast("string")), 1, 4), 16, 10)
-          .cast("long"))
+        graft.queries.TextAnalysis.splitBucketOf(col(idCol)))
       .withColumn("n_copies", expr("w2 DIV 2") +
         when(col("w2") % 2 === 1 && col("hex16") < 32768L, 1L)
           .otherwise(0L))

@@ -19,9 +19,11 @@ class Round8PlanSpec extends AnyFunSuite {
     assert(!p.contains("Window"), p.take(1500))
     assert(p.contains("TakeOrderedAndProject"),
       "top-20 must be TakeOrdered, never a global sort: " + p.take(1500))
-    // the isin filter must appear (cutting the explode before any shuffle)
-    assert(p.contains("vector") && p.contains("INSET") ||
-      p.contains("vector"), p.take(2000))
+    // the matched-terms filter must exist as a real Filter over the
+    // exploded tokens (cutting rows before any shuffle) — accept either
+    // rendering (IN-list or the optimizer's INSET conversion)
+    assert(p.contains(" IN (") || p.contains("INSET") ||
+      p.contains("isin"), "no matched-terms filter in plan: " + p.take(2000))
   }
 
   test("text_perplexity_bigram: bigrams come from zipped slices, not a lag Window") {

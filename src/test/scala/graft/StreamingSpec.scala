@@ -618,18 +618,22 @@ class StreamingSpec extends AnyFunSuite {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
       .select("doc_id", "source").collect()
       .map(r => (r.getLong(0), r.getString(1))).toSeq
-    val mem = MemoryStream[(Long, String)]
+    // one MemoryStream per query: the source is single-consumer (a
+    // commit from one query trims batches the other may not have read)
+    val memS = MemoryStream[(Long, String)]
+    val memM = MemoryStream[(Long, String)]
     val sq = StreamOps.splitStream(
-        mem.toDF().toDF("doc_id", "source"), "doc_id")
+        memS.toDF().toDF("doc_id", "source"), "doc_id")
       .writeStream.format("memory").queryName("splitst")
       .outputMode("append").start()
     val mq = StreamOps.mixStream(
-        mem.toDF().toDF("doc_id", "source"), "doc_id",
+        memM.toDF().toDF("doc_id", "source"), "doc_id",
         lit(1) + expr("CAST(substring(source, 4) AS INT) % 4"))
       .writeStream.format("memory").queryName("mixst")
       .outputMode("append").start()
     try {
-      mem.addData(docs: _*)
+      memS.addData(docs: _*)
+      memM.addData(docs: _*)
       sq.processAllAvailable(); mq.processAllAvailable()
       val gotSplit = spark.table("splitst")
         .select("doc_id", "bucket", "split").collect()
