@@ -335,6 +335,8 @@ object TextAnalysis {
          |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin
 
 
+  private val MinColloc = 5 // text_collocations: min bigram count
+
   private def toks(c: Column): Column = split(c, "\\s+")
 
   /** The Naive-Bayes quality model's three relations from per-(doc, token)
@@ -1397,6 +1399,47 @@ object TextAnalysis {
         .orderBy("doc_id")
     },
 
+    // Corpus collocations: top bigrams by pointwise mutual information —
+    // the "which adjacent words belong together" profile a tokenizer/
+    // vocab-curation pass reads (merge candidates, multi-word entities).
+    // PMI = ln(p(ab) / (p(a)·p(b))) with unigram probabilities over the
+    // token stream and the bigram probability over the bigram stream; the
+    // ratio is computed as ONE pinned chain of correctly-rounded double
+    // ops ((c_ab·N/c_a)·(N/c_b)/N_bg — identical parenthesization in the
+    // oracle) and only the final ln is quantized (floor at 1e-6, the
+    // perplexity discipline). Rare-pair noise is cut by MinColloc.
+    // Scale shape: zipped-slice bigrams (no window), two vocab-sized
+    // aggregates, TakeOrdered top-K.
+    "text_collocations" -> { (s, dir) =>
+      val d = Tables(s, dir, "documents").filter(col("text").isNotNull)
+      val toksDf = d.select(explode(toks(col("text"))).as("t"))
+      val uni = toksDf.groupBy("t").agg(count(lit(1)).as("c"))
+      val totals = toksDf.agg(count(lit(1)).as("n_tok"))
+      val bg = d.select(toks(col("text")).as("a"))
+        .filter(size(col("a")) >= 2)
+        .select(explode(expr(
+          "transform(sequence(1, size(a) - 1), i -> concat(a[i-1], ' ', a[i]))"))
+          .as("bg"))
+        .groupBy("bg").agg(count(lit(1)).as("c_ab"))
+        .filter(col("c_ab") >= MinColloc)
+        .withColumn("w1", substring_index(col("bg"), " ", 1))
+        .withColumn("w2", substring_index(col("bg"), " ", -1))
+      val nBg = d.select(toks(col("text")).as("a"))
+        .filter(size(col("a")) >= 2)
+        .agg(sum(size(col("a")) - 1).as("n_bg"))
+      bg.join(uni.select(col("t").as("w1"), col("c").as("c_a")), "w1")
+        .join(uni.select(col("t").as("w2"), col("c").as("c_b")), "w2")
+        .crossJoin(totals).crossJoin(nBg)
+        .withColumn("pmi_q6",
+          floor(log(
+            col("c_ab").cast("double") * col("n_tok") / col("c_a")
+              * (col("n_tok").cast("double") / col("c_b"))
+              / col("n_bg")) * 1000000L).cast("long"))
+        .select(col("bg").as("bigram"), col("c_ab"), col("c_a"), col("c_b"),
+          col("pmi_q6"))
+        .orderBy(col("pmi_q6").desc, col("bigram")).limit(50)
+    },
+
     // MODEL-BASED quality classifier — the CCNet/GPT-3-style learned filter
     // (a linear classifier over token features), here trained end-to-end
     // inside the engine as multinomial Naive Bayes with Laplace smoothing:
@@ -1976,6 +2019,32 @@ object TextAnalysis {
          |    / CAST(sum(c) AS BIGINT) AS avg_nll
          |FROM dbg JOIN model USING (bg)
          |GROUP BY 1 ORDER BY doc_id""".stripMargin,
+
+    "text_collocations" ->
+      s"""WITH tk AS (SELECT unnest(string_split_regex(text, '\\s+')) AS t
+         |  FROM documents WHERE text IS NOT NULL),
+         |uni AS (SELECT t, count(*) AS c FROM tk GROUP BY 1),
+         |tot AS (SELECT count(*) AS n_tok FROM tk),
+         |ta AS (SELECT string_split_regex(text, '\\s+') AS a
+         |  FROM documents WHERE text IS NOT NULL),
+         |bgx AS (SELECT unnest(list_transform(range(1, len(a)),
+         |    i -> a[CAST(i AS INT)] || ' ' || a[CAST(i AS INT) + 1])) AS bg
+         |  FROM ta WHERE len(a) >= 2),
+         |bgc AS (SELECT bg, count(*) AS c_ab FROM bgx GROUP BY 1
+         |  HAVING count(*) >= $MinColloc),
+         |nbg AS (SELECT CAST(sum(len(a) - 1) AS BIGINT) AS n_bg
+         |  FROM ta WHERE len(a) >= 2),
+         |j AS (SELECT bg, c_ab,
+         |    string_split(bg, ' ')[1] AS w1, string_split(bg, ' ')[-1] AS w2
+         |  FROM bgc)
+         |SELECT j.bg AS bigram, j.c_ab, ua.c AS c_a, ub.c AS c_b,
+         |  CAST(floor(ln(
+         |    CAST(j.c_ab AS DOUBLE) * tot.n_tok / ua.c
+         |      * (CAST(tot.n_tok AS DOUBLE) / ub.c)
+         |      / nbg.n_bg) * 1000000) AS BIGINT) AS pmi_q6
+         |FROM j JOIN uni ua ON ua.t = j.w1
+         |  JOIN uni ub ON ub.t = j.w2, tot, nbg
+         |ORDER BY pmi_q6 DESC, bigram LIMIT 50""".stripMargin,
 
     "classify_quality_nb" ->
       s"""WITH tokens AS (SELECT doc_id,
