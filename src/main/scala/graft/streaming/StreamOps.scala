@@ -43,6 +43,9 @@ final case class PackAssign(
 /** State for one pack stream: the bucket's next free token offset. */
 final case class PackOffset(offset: Long)
 
+/** State for one source's admission counter ([[StreamOps.capPerSourceStream]]). */
+final case class SourceCount(n: Long)
+
 /** Streaming transforms for a continuously-ingesting training-data
   * pipeline (the streaming counterparts of the batch `queries/` operators). */
 object StreamOps {
@@ -477,6 +480,43 @@ object StreamOps {
       .select(col("window"), col("q_id"),
         expr("transform(top, x -> x.n_id)").as("top_ids"),
         expr("transform(top, x -> -x.neg)").as("top_scores"))
+  }
+
+  /** Streaming per-source admission cap: keep the FIRST `cap` documents
+    * per source, drop the rest — the batch cap_per_source's intent under
+    * streaming constraints. Selection necessarily diverges from batch
+    * (documented): the batch operator keeps a deterministic HASH-ranked
+    * top-N over the whole corpus (order-free, replayable); a stream
+    * cannot rank what hasn't arrived, so it admits by ARRIVAL order —
+    * deterministic under replay of the same stream, and the right
+    * semantics for an ingest quota ("stop taking from this crawl after
+    * N"). State: ONE Long per live source, no timeout needed — state is
+    * bounded by source cardinality, not corpus size.
+    *
+    * @param cap max documents admitted per source value */
+  def capPerSourceStream(
+      docs: DataFrame, tsCol: String, idCol: String, sourceCol: String,
+      cap: Long): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs
+      .select(col(tsCol).cast("timestamp").as("ts"),
+        col(idCol).cast("long").as("doc_id"),
+        col(sourceCol).cast("string").as("source"))
+      .as[(java.sql.Timestamp, Long, String)]
+      .groupByKey(_._3)
+      .flatMapGroupsWithState(
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (source: String,
+         rows: Iterator[(java.sql.Timestamp, Long, String)],
+         state: GroupState[SourceCount]) =>
+          val batch = rows.toSeq.sortBy(r => (r._1.getTime, r._2))
+          var n = state.getOption.map(_.n).getOrElse(0L)
+          val kept = batch.takeWhile { _ => n < cap && { n += 1; true } }
+          state.update(SourceCount(n))
+          kept.map { case (ts, id, _) => (id, source, ts) }.iterator
+      }
+      .toDF("doc_id", "source", "ts")
   }
 
   /** Streaming train/val/test assignment: the batch split_corpus made

@@ -603,6 +603,31 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("capPerSourceStream admits first-N per source across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(java.sql.Timestamp, Long, String)]
+    def ts(s: Long) = new java.sql.Timestamp(s * 1000L)
+    val q = StreamOps.capPerSourceStream(
+        mem.toDF().toDF("ts", "doc_id", "source"),
+        "ts", "doc_id", "source", cap = 2L)
+      .writeStream.format("memory").queryName("capsrc")
+      .outputMode("append").start()
+    try {
+      mem.addData((ts(1), 1L, "web"), (ts(1), 2L, "web"),
+        (ts(1), 10L, "books"))
+      q.processAllAvailable()
+      // the counter must survive into the next micro-batch
+      mem.addData((ts(2), 3L, "web"), (ts(2), 11L, "books"),
+        (ts(2), 12L, "books"))
+      q.processAllAvailable()
+      val kept = spark.table("capsrc").collect()
+        .map(r => r.getLong(0)).toSet
+      assert(kept === Set(1L, 2L, 10L, 11L),
+        s"web capped at 2 (doc 3 dropped), books at 2 (doc 12 dropped): $kept")
+    } finally q.stop()
+  }
+
   test("splitStream and mixStream assign identically to their batch queries") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
