@@ -590,3 +590,53 @@ case class NbQualityScore(child: Expression, table: NbModelTable)
       newChild: Expression): NbQualityScore = copy(child = newChild)
   override def prettyName: String = "nb_quality_score"
 }
+
+/** Compiled bigram-NLL model for per-row streaming inference: bigram →
+  * fixed-point add-1 NLL (the batch trainer's output, frequency-top-K
+  * capped). Unseen bigrams contribute 0 — the batch inner join's
+  * seen-only scoring, preserved. */
+final class BigramNllTable(
+    val nll: java.util.HashMap[String, java.lang.Long]) extends Serializable
+
+object BigramNll {
+  /** text → (n_bigrams_seen, nll_scaled): whitespace tokens in order
+    * (split limit -1, the `toks` contract), adjacent pairs joined with
+    * one space (the batch bigram key), summed over pairs present in the
+    * model. Exact BIGINT arithmetic. */
+  def score(
+      text: org.apache.spark.unsafe.types.UTF8String,
+      mt: BigramNllTable): InternalRow = {
+    val tokens = text.toString.split("\\s+", -1)
+    var seen = 0L
+    var s = 0L
+    var i = 0
+    while (i + 1 < tokens.length) {
+      val w = mt.nll.get(tokens(i) + " " + tokens(i + 1))
+      if (w != null) { seen += 1; s += w.longValue }
+      i += 1
+    }
+    new GenericInternalRow(Array[Any](seen, s))
+  }
+}
+
+/** `bigram_nll_score(text)` → struct(n_bigrams long, nll_scaled long)
+  * (see [[BigramNll.score]]). */
+case class BigramNllScore(child: Expression, table: BigramNllTable)
+    extends UnaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[org.apache.spark.sql.graftshim.Shim.AbstractType] =
+    Seq(StringType)
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_bigrams", LongType, nullable = false),
+    StructField("nll_scaled", LongType, nullable = false)))
+  override def nullSafeEval(v: Any): Any =
+    BigramNll.score(
+      v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], table)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val tRef = ctx.addReferenceObj("bigramNll", table,
+      classOf[BigramNllTable].getName)
+    defineCodeGen(ctx, ev, c => s"graft.exprs.BigramNll.score($c, $tRef)")
+  }
+  override protected def withNewChildInternal(
+      newChild: Expression): BigramNllScore = copy(child = newChild)
+  override def prettyName: String = "bigram_nll_score"
+}

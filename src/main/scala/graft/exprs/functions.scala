@@ -54,6 +54,9 @@ object functions {
   def winnow_fps(c: Column): Column =
     Shim.column(WinnowFingerprints(Shim.expression(c)))
 
+  def bigram_nll_score(text: Column, table: BigramNllTable): Column =
+    Shim.column(BigramNllScore(Shim.expression(text), table))
+
   def nb_quality_score(text: Column, table: NbModelTable): Column =
     Shim.column(NbQualityScore(Shim.expression(text), table))
 

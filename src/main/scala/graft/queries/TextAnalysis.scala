@@ -409,6 +409,46 @@ object TextAnalysis {
       base.toString
     }
 
+  /** The add-1 smoothed bigram NLL model from per-(doc, bigram) counts —
+    * factored so the batch text_perplexity_bigram and the streaming
+    * per-row scorer ([[bigramNllTable]]) can never train differently. */
+  private def bigramNllModel(d: DataFrame, dbg: DataFrame): DataFrame = {
+    val cnt = dbg.groupBy("bg").agg(sum(col("c")).as("cbg"))
+      .withColumn("w1", substring_index(col("bg"), " ", 1))
+    val w1tot = cnt.groupBy("w1").agg(sum(col("cbg")).as("cw1"))
+    val vocab = d.select(explode(toks(col("text"))).as("t"))
+      .agg(countDistinct(col("t")).as("v"))
+    cnt.join(w1tot, "w1").crossJoin(vocab)
+      .select(col("bg"),
+        floor(-log((col("cbg") + 1).cast("double")
+          / (col("cw1") + col("v")).cast("double")) * NllScale)
+          .cast("long").as("nll_bg"))
+  }
+
+  /** Train the bigram LM on `dir`'s corpus and pack it for per-row
+    * streaming inference ([[graft.exprs.BigramNllScore]]): bigram →
+    * fixed-point NLL, capped to the `topK` most frequent bigrams (the
+    * tail is rare by construction; unseen bigrams score 0, mirroring the
+    * batch inner join that only scores SEEN bigrams). */
+  def bigramNllTable(
+      s: SparkSession, dir: String,
+      topK: Int = 1 << 18): graft.exprs.BigramNllTable = {
+    val d = Tables(s, dir, "documents").filter(col("text").isNotNull)
+    val dbg = d.select(col("doc_id"), toks(col("text")).as("a"))
+      .filter(size(col("a")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(a) - 1), i -> concat(a[i-1], ' ', a[i]))"))
+        .as("bg"))
+      .groupBy("doc_id", "bg").agg(count(lit(1)).as("c"))
+    val withFreq = bigramNllModel(d, dbg)
+      .join(dbg.groupBy("bg").agg(sum(col("c")).as("cbg")), "bg")
+    val map = new java.util.HashMap[String, java.lang.Long]()
+    withFreq.orderBy(col("cbg").desc, col("bg")).limit(topK)
+      .select("bg", "nll_bg").collect()
+      .foreach(r => map.put(r.getString(0), java.lang.Long.valueOf(r.getLong(1))))
+    new graft.exprs.BigramNllTable(map)
+  }
+
   /** Train the NB quality model on `dir`'s corpus and pack it for per-row
     * streaming inference ([[graft.exprs.NbQualityScore]]): token → weight
     * map capped to the `topK` largest-|w| tokens (model compression — the
@@ -1378,16 +1418,7 @@ object TextAnalysis {
           "transform(sequence(1, size(a) - 1), i -> concat(a[i-1], ' ', a[i]))"))
           .as("bg"))
       val dbg = bg.groupBy("doc_id", "bg").agg(count(lit(1)).as("c"))
-      val cnt = dbg.groupBy("bg").agg(sum(col("c")).as("cbg"))
-        .withColumn("w1", substring_index(col("bg"), " ", 1))
-      val w1tot = cnt.groupBy("w1").agg(sum(col("cbg")).as("cw1"))
-      val vocab = d.select(explode(toks(col("text"))).as("t"))
-        .agg(countDistinct(col("t")).as("v"))
-      val model = cnt.join(w1tot, "w1").crossJoin(vocab)
-        .select(col("bg"),
-          floor(-log((col("cbg") + 1).cast("double")
-            / (col("cw1") + col("v")).cast("double")) * NllScale)
-            .cast("long").as("nll_bg"))
+      val model = bigramNllModel(d, dbg)
       dbg.join(model, "bg")
         .groupBy("doc_id")
         .agg(sum(col("c")).as("n_bigrams"),

@@ -557,6 +557,31 @@ object StreamOps {
         explode(sequence(lit(0L), col("n_copies") - 1)))
       .drop("w2", "hex16")
 
+  /** Streaming perplexity filtering (the CCNet-style LM filter in the
+    * ingest tier): the batch text_perplexity_bigram's model applied per
+    * row — train on trusted history
+    * ([[graft.queries.TextAnalysis.bigramNllTable]]), score the live
+    * stream, threshold on avg_nll downstream. Stateless: the bigram→NLL
+    * map rides the plan as one reference object
+    * ([[graft.exprs.BigramNllScore]] — same tokenization, bigram key,
+    * seen-only scoring, and fixed-point contracts as the batch query,
+    * bit-parity spec'd). Scores are comparable across batch and stream
+    * by construction, so ONE threshold governs both tiers. */
+  def perplexityStream(
+      docs: DataFrame, textCol: String,
+      model: graft.exprs.BigramNllTable): DataFrame =
+    docs
+      .withColumn("pp",
+        graft.exprs.functions.bigram_nll_score(col(textCol), model))
+      .withColumn("n_bigrams", col("pp.n_bigrams"))
+      .withColumn("nll_scaled", col("pp.nll_scaled"))
+      .withColumn("avg_nll",
+        when(col("n_bigrams") > 0,
+          col("nll_scaled").cast("double") / 1000000.0
+            / col("n_bigrams").cast("double"))
+          .otherwise(lit(0.0)))
+      .drop("pp")
+
   /** Streaming quality classification: the batch classify_quality_nb's
     * learned model applied per row — train once in batch
     * ([[graft.queries.TextAnalysis.nbQualityModelTable]]), score the live

@@ -603,6 +603,43 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("perplexityStream scores bit-identically to the batch bigram LM") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    implicit val sqlCtx = spark.sqlContext
+    val sfDir = "/root/testdata/sf0.001"
+    val model = graft.queries.TextAnalysis.bigramNllTable(spark, sfDir)
+    val batch = SparkEntry.queries("text_perplexity_bigram")(spark, sfDir)
+      .select("doc_id", "n_bigrams", "nll_scaled", "avg_nll").collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .filter(col("text").isNotNull)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+
+    val mem = MemoryStream[(Long, String)]
+    val q = StreamOps.perplexityStream(
+        mem.toDF().toDF("doc_id", "text"), "text", model)
+      .select("doc_id", "n_bigrams", "nll_scaled", "avg_nll")
+      .writeStream.format("memory").queryName("ppstream")
+      .outputMode("append").start()
+    try {
+      mem.addData(docs: _*)
+      q.processAllAvailable()
+      val got = spark.table("ppstream").collect()
+        .map(r => r.getLong(0) ->
+          ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+      // batch emits only docs with >= 2 tokens (its size filter); the
+      // stream scores everything — compare on the batch's universe
+      batch.foreach { case (d, v) =>
+        assert(got.get(d).contains(v), s"doc $d: ${got.get(d)} != $v")
+      }
+      assert((got.keySet -- batch.keySet)
+        .forall(d => got(d)._1 == 0L), "extra docs must be bigram-free")
+    } finally q.stop()
+  }
+
   test("capPerSourceStream admits first-N per source across micro-batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
