@@ -134,8 +134,28 @@ object Main {
     // log snapshots — graft_version_diff as an operational command. Both
     // reads are versionAsOf-pruned scans of the one immutable log.
     case Seq("diff", dir, vLo, vHi) =>
+      // versionDiffCard's left join reads from the HI side, which is only
+      // exact when vLo <= vHi — swapped arguments would silently DROP
+      // labels present only at the larger version instead of erroring.
+      // Range-check both against the log so a typo'd version fails loudly
+      // instead of diffing against a silently-clamped snapshot.
+      val (lo, hi) = (vLo.toLong, vHi.toLong)
+      if (lo > hi) {
+        System.err.println(s"diff: vLo ($lo) must be <= vHi ($hi)")
+        sys.exit(2)
+      }
+      val latest = {
+        val log = new EventLog(ParquetLogBackend.open(spark(), dir))
+        try log.version finally log.close()
+      }
+      if (lo < 1 || hi > latest) {
+        System.err.println(
+          s"diff: versions must lie within the log's range [1, $latest]; " +
+            s"got vLo=$lo vHi=$hi")
+        sys.exit(2)
+      }
       val rows = graft.queries.EventLogQueries
-        .versionDiffCard(spark(), dir, vLo.toLong, vHi.toLong)
+        .versionDiffCard(spark(), dir, lo, hi)
         .select("label", "n_lo", "n_hi", "n_delta", "chars_delta")
         .collect()
       println(f"${"label"}%-24s ${"n@" + vLo}%10s ${"n@" + vHi}%10s ${"+n"}%8s ${"+chars"}%10s")

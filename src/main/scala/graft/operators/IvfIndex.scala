@@ -70,13 +70,31 @@ object IvfIndex {
     new IvfIndex(km.clusterCenters.map(_.toArray), assigned)
   }
 
+  /** Load for READING. Deliberately does NOT run [[recoverSwap]]: a plain
+    * reader that lands inside compact's two-rename window (target moved to
+    * `.old`, staging not yet renamed in) must not move `.old` back — that
+    * mutation races the in-flight compact, whose second rename would then
+    * fail and strand the staging dir. Recovery runs only from the
+    * SYNCHRONIZED maintenance entry points (appendVectors / compact);
+    * a reader inside the window just reads the intact pre-swap data at
+    * `.old`, read-only ([[readMaybeOld]]). */
   def load(spark: SparkSession, dir: String): IvfIndex = {
-    recoverSwap(java.nio.file.Paths.get(dir, "cells"))
     val centroids = spark.read.parquet(s"$dir/centroids")
       .collect()
       .map(r => r.getInt(0) -> r.getSeq[Double](1).toArray)
       .sortBy(_._1).map(_._2)
-    new IvfIndex(centroids, spark.read.parquet(s"$dir/cells"))
+    new IvfIndex(centroids,
+      readMaybeOld(spark, java.nio.file.Paths.get(dir, "cells")))
+  }
+
+  /** Read a swap-managed relation without mutating swap state: the target
+    * dir if present, else the complete pre-swap data at `<target>.old`
+    * (the window between compact's two renames). */
+  private[operators] def readMaybeOld(
+      spark: SparkSession, target: java.nio.file.Path): org.apache.spark.sql.DataFrame = {
+    val old = target.resolveSibling(target.getFileName.toString + ".old")
+    val p = if (java.nio.file.Files.exists(target)) target else old
+    spark.read.parquet(p.toString)
   }
 
   /** Assign vectors to their nearest EXISTING centroid — one fused
@@ -111,6 +129,9 @@ object IvfIndex {
     * @return the number of vectors appended */
   def appendVectors(spark: SparkSession, dir: String, emb: DataFrame): Long =
     synchronized {
+      // maintenance entry: heal a torn swap BEFORE reading (under the same
+      // lock compact holds, so this can never race compact's rename pair)
+      recoverSwap(java.nio.file.Paths.get(dir, "cells"))
       val idx = load(spark, dir)
       // pinned: count and write must see the SAME rows even when `emb` is
       // non-deterministic (a sampled source re-evaluates per action)

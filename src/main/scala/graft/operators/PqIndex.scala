@@ -214,6 +214,9 @@ object PqIndex {
     * @return the number of vectors appended */
   def appendVectors(spark: SparkSession, dir: String, emb: DataFrame): Long =
     IvfIndex.synchronized {
+      // maintenance entry: heal torn swaps under the maintenance lock
+      IvfIndex.recoverSwap(java.nio.file.Paths.get(dir, "cells"))
+      IvfIndex.recoverSwap(java.nio.file.Paths.get(dir, "pq_codes"))
       val idx = load(spark, dir)
       import spark.implicits._
       // pinned: the same rows must feed count, codes, AND cells even when
@@ -252,15 +255,19 @@ object PqIndex {
         java.nio.file.Paths.get(dir, "pq_codes"))
     }
 
+  /** Load for READING — like [[IvfIndex.load]], deliberately does NOT run
+    * [[IvfIndex.recoverSwap]] (readers must not mutate swap state while a
+    * compact's rename pair may be in flight); falls back to the `.old`
+    * pre-swap dir read-only. Recovery runs only from the synchronized
+    * maintenance entry points. */
   def load(spark: SparkSession, dir: String): PqIndex = {
-    IvfIndex.recoverSwap(java.nio.file.Paths.get(dir, "pq_codes"))
     val coarse = IvfIndex.load(spark, dir)
     val cb = spark.read.parquet(s"$dir/pq_codebooks").collect()
       .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toArray))
     val codebooks = cb.groupBy(_._1).toSeq.sortBy(_._1).map(_._2
       .sortBy(_._2).map(_._3)).toArray
     new PqIndex(coarse, codebooks,
-      spark.read.parquet(s"$dir/pq_codes"))
+      IvfIndex.readMaybeOld(spark, java.nio.file.Paths.get(dir, "pq_codes")))
   }
 
   /** ADC top-`topK` per query over the `nProbe` nearest cells' CODES.

@@ -305,8 +305,11 @@ object TextAnalysis {
   private val CommonTf = 1000 // text_rarity: corpus frequency ≥ this ⇒ common
   private val PackBuckets = 32 // pack_sequences: independent pack streams
   private val PackBudget = 512 // pack_sequences: tokens per training sequence
-  private val NllScale = 1000000L // text_perplexity: fixed-point ln scale
-  private val NbScale = 1000000L // classify_quality_nb: fixed-point ln scale
+  // fixed-point ln scales, shared with the streaming twins
+  // (StreamOps.perplexityStream / classifyQualityStream) so the two tiers
+  // can never quantize differently — reference THESE, never the literal
+  private[graft] val NllScale = 1000000L // text_perplexity
+  private[graft] val NbScale = 1000000L // classify_quality_nb
   private val NbStopPct = 6 // classify_quality_nb: weak-label stop-ratio %
   private val CmDepth = 3 // text_vocab_sketch: hash rows
   private val CmWidth = 1024 // text_vocab_sketch: buckets per row
@@ -443,11 +446,28 @@ object TextAnalysis {
     val withFreq = bigramNllModel(d, dbg)
       .join(dbg.groupBy("bg").agg(sum(col("c")).as("cbg")), "bg")
     val map = new java.util.HashMap[String, java.lang.Long]()
-    withFreq.orderBy(col("cbg").desc, col("bg")).limit(topK)
+    // collect topK+1 rows: the extra row is pure truncation DETECTION —
+    // without it a vocab exactly at / beyond the cap would silently void
+    // the "one threshold governs both tiers" bit-parity contract
+    val rows = withFreq.orderBy(col("cbg").desc, col("bg")).limit(topK + 1)
       .select("bg", "nll_bg").collect()
+    if (rows.length > topK)
+      warnTruncated("bigramNllTable", topK,
+        "streaming avg_nll diverges from batch for documents whose " +
+          "bigrams fell outside the cap")
+    rows.take(topK)
       .foreach(r => map.put(r.getString(0), java.lang.Long.valueOf(r.getLong(1))))
     new graft.exprs.BigramNllTable(map)
   }
+
+  /** Model-cap truncation warning — the per-row streaming scorers promise
+    * bit-parity with batch, which only holds while the whole model fits
+    * under the collect cap; when it doesn't, say so at train time instead
+    * of letting stream scores drift silently. */
+  private def warnTruncated(what: String, topK: Int, consequence: String): Unit =
+    org.slf4j.LoggerFactory.getLogger("graft.queries.TextAnalysis").warn(
+      s"$what: model exceeds the topK=$topK cap and was TRUNCATED — $consequence; " +
+        "raise topK (the collect is model-sized) or accept the documented divergence")
 
   /** Train the NB quality model on `dir`'s corpus and pack it for per-row
     * streaming inference ([[graft.exprs.NbQualityScore]]): token → weight
@@ -463,8 +483,13 @@ object TextAnalysis {
       .groupBy("doc_id", "token").agg(count(lit(1)).as("c"))
     val (_, weights, prior) = nbModelParts(docTok)
     val map = new java.util.HashMap[String, java.lang.Long]()
-    weights.orderBy(abs(col("w")).desc, col("token")).limit(topK)
-      .collect()
+    val rows = weights.orderBy(abs(col("w")).desc, col("token"))
+      .limit(topK + 1).collect()
+    if (rows.length > topK)
+      warnTruncated("nbQualityModelTable", topK,
+        "streaming NB scores diverge from batch for documents carrying " +
+          "the dropped near-zero-weight tokens")
+    rows.take(topK)
       .foreach(r => map.put(r.getString(0), java.lang.Long.valueOf(r.getLong(1))))
     new graft.exprs.NbModelTable(map, prior.head().getLong(0))
   }

@@ -577,7 +577,8 @@ object StreamOps {
       .withColumn("nll_scaled", col("pp.nll_scaled"))
       .withColumn("avg_nll",
         when(col("n_bigrams") > 0,
-          col("nll_scaled").cast("double") / 1000000.0
+          col("nll_scaled").cast("double")
+            / graft.queries.TextAnalysis.NllScale.toDouble
             / col("n_bigrams").cast("double"))
           .otherwise(lit(0.0)))
       .drop("pp")

@@ -151,7 +151,7 @@ class IvfIndexSpec extends AnyFunSuite {
     assert(answers() === before)
   }
 
-  test("a swap torn between renames heals on next load") {
+  test("a swap torn between renames: readers fall back read-only, maintenance heals") {
     val idxDir = java.nio.file.Files
       .createTempDirectory("graft-ivftorn").toString
     IvfIndex.build(emb.filter(col("vec_id") < 100), k = 4).save(idxDir)
@@ -161,9 +161,17 @@ class IvfIndexSpec extends AnyFunSuite {
     java.nio.file.Files.move(
       java.nio.file.Paths.get(idxDir, "cells"),
       java.nio.file.Paths.get(idxDir, "cells.old"))
-    val healed = IvfIndex.load(spark, idxDir)
-    assert(healed.assignments.count() === before,
-      "load must roll the .old dir back instead of failing forever")
+    // a plain READER must not mutate swap state (it could be racing a
+    // live compact's rename pair): it reads the intact pre-swap data
+    // through the .old fallback and leaves the dirs alone
+    val reader = IvfIndex.load(spark, idxDir)
+    assert(reader.assignments.count() === before,
+      "load must read through the .old fallback instead of failing")
+    assert(new java.io.File(s"$idxDir/cells.old").exists(),
+      "a read-only load must NOT move swap dirs")
+    // a MAINTENANCE entry (serialized on the lock) heals the torn swap
+    IvfIndex.compact(spark, idxDir)
     assert(!new java.io.File(s"$idxDir/cells.old").exists())
+    assert(IvfIndex.load(spark, idxDir).assignments.count() === before)
   }
 }
