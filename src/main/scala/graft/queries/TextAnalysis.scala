@@ -502,7 +502,7 @@ object TextAnalysis {
     * left-to-right non-overlapping merge. (A single-space replace would
     * silently skip every second chained occurrence.) Shared by train_bpe
     * and tokenize_bpe; the oracle SQL applies the identical encoding. */
-  private def applyBpeMerge(syms: Column, l: String, r: String): Column = {
+  private[graft] def applyBpeMerge(syms: Column, l: String, r: String): Column = {
     val enc = concat(lit(" "), replace(syms, lit(" "), lit("  ")), lit(" "))
     trim(replace(replace(enc, lit(s" $l  $r "), lit(s" $l$r ")),
       lit("  "), lit(" ")))
@@ -587,19 +587,55 @@ object TextAnalysis {
       .agg(sum(col("freq")).as("c"))
   }
 
-  /** The BpeMerges training rounds on the word-frequency table (see
-    * train_bpe's comment for the scaling argument). Each round's argmax is
-    * a 1-row bounded collect — the collect IS the merge decision, the same
-    * contract as IvfIndex's centroids. Returns
+  /** The BpeMerges training rounds — routed through the VOCAB-SCALE
+    * trainer ([[trainBpeFast]]): Spark does the corpus-scale word-frequency
+    * aggregate once, the merge decisions run driver-side with exact
+    * delta-maintained pair counts. Bit-identical to the per-round Spark
+    * trainer ([[trainBpeOn]], kept as the reference implementation) — the
+    * parity is spec-pinned at 500+ merges (BpeFastTrainerSpec) AND
+    * re-proven by the train_bpe oracle at every SF. Returns
     * (round, lhs, rhs, merged, pair_freq) in learned order. */
   private def learnBpeMerges(s: SparkSession, dir: String)
       : Seq[(Long, String, String, String, Long)] =
-    trainBpeOn(Tables(s, dir, "documents"), BpeMerges)
+    trainBpeFast(Tables(s, dir, "documents"), BpeMerges)
 
-  /** Train BPE merges on an ARBITRARY (…, text) DataFrame — the library
-    * entry point for corpora that don't live in a testdata dir (a log
-    * read through the V2 source, an external table). Same trainer as the
-    * train_bpe query (that path routes through here). */
+  /** Vocab-scale BPE training over an arbitrary (…, text) DataFrame — the
+    * library entry point a production tokenizer build uses. ONE Spark job
+    * (the distinct-word frequency aggregate, corpus-scale, shuffled once)
+    * feeds [[graft.operators.BpeTrainer]]'s driver-side incremental
+    * trainer, so a 30k-merge vocabulary costs 30k in-process argmax
+    * decisions instead of 30k Spark stage launches — the sequential
+    * trainer's true bottleneck at production vocab sizes (SCALING.md).
+    *
+    * The collected word table is VOCAB-sized (distinct `[a-z]{2,}` words
+    * with frequencies — the bounded-collect contract class of the model
+    * tables, not corpus data). `maxVocab` caps it defensively: a cap hit
+    * logs a loud warning and deterministically keeps the most frequent
+    * words (freq DESC, syms ASC), because a silently truncated vocabulary
+    * would train different merges than the Spark reference. */
+  def trainBpeFast(docs: DataFrame, rounds: Int = BpeMerges,
+      maxVocab: Int = 1 << 22): Seq[(Long, String, String, String, Long)] = {
+    val base = bpeWordTableOf(docs)
+    var rows = base.limit(maxVocab + 1).collect()
+    if (rows.length > maxVocab) {
+      org.slf4j.LoggerFactory.getLogger("graft.queries.TextAnalysis").warn(
+        s"trainBpeFast: distinct-word vocabulary exceeds maxVocab=$maxVocab " +
+          "and was truncated to the most frequent words — the learned " +
+          "merges may differ from an uncapped train; raise maxVocab " +
+          "(the collect is vocab-sized) if driver memory allows")
+      rows = base.orderBy(col("freq").desc, col("syms"))
+        .limit(maxVocab).collect()
+    }
+    graft.operators.BpeTrainer.train(
+      rows.map(r => (r.getLong(0), r.getString(1).split(" "))), rounds)
+  }
+
+  /** Per-round Spark BPE trainer — the REFERENCE implementation
+    * [[trainBpeFast]] is spec-pinned against (each round: one pair-count
+    * aggregate + a 1-row argmax collect + one materialization). Right when
+    * the vocabulary itself is too large to collect; for everything else
+    * prefer [[trainBpeFast]], which learns the identical merges without
+    * per-round stage launches. */
   def trainBpeOn(docs: DataFrame, rounds: Int = BpeMerges)
       : Seq[(Long, String, String, String, Long)] = {
     val words = bpeWordTableOf(docs).cache()
@@ -716,21 +752,6 @@ object TextAnalysis {
     out.result()
   }
 
-  /** merged-token → id literal map for [[tokenIdsOf]]. Two different merge
-    * rounds CAN concatenate to the same string (e.g. (a,bc) and (ab,c) both
-    * yield "abc"); the vocabulary is keyed by string, so the FIRST round
-    * wins — mirrored in SQL as `25 + min(round)`. Empty merge list gets an
-    * unmatchable sentinel key so element_at stays well-typed. */
-  private def mergeIdMapCol(
-      merges: Seq[(Long, String, String, String, Long)]): Column = {
-    val m = scala.collection.mutable.LinkedHashMap[String, Int]()
-    for ((round, _, _, merged, _) <- merges if !m.contains(merged))
-      m += merged -> (25 + round.toInt)
-    if (m.isEmpty) map_from_arrays(array(lit(" ")), array(lit(-1)))
-    else map_from_arrays(
-      array(m.keys.map(lit).toSeq: _*), array(m.values.map(lit).toSeq: _*))
-  }
-
   /** Per-document token-id SEQUENCES — the artifact a training job consumes
     * (tokenize_bpe stops at counts; this emits the ids, in document order).
     *
@@ -751,18 +772,19 @@ object TextAnalysis {
       .select(col("doc_id"), posexplode(
         expr("regexp_extract_all(lower(text), '([a-z]+)', 1)"))
         .as(Seq("pos", "word")))
-    var v = ow.select("word").distinct()
-      .withColumn("syms", concat_ws(" ",
-        expr("transform(sequence(1, length(word)), i -> substring(word, i, 1))")))
-    for ((_, l, r, _, _) <- merges)
-      v = v.withColumn("syms", applyBpeMerge(col("syms"), l, r))
-    val mid = mergeIdMapCol(merges)
-    // every symbol is either a single base char (ascii arithmetic) or some
-    // merge round's output (map hit by construction) — no null path
-    val wids = v.select(col("word"),
-      transform(split(col("syms"), " "), sym =>
-        when(length(sym) === 1, ascii(sym) - 97)
-          .otherwise(element_at(mid, sym)).cast("int")).as("ids"))
+    // FUSED vocabulary encode ([[graft.exprs.BpeEncodeIds]]): the whole
+    // merge table rides the plan as ONE codegen reference object, so plan
+    // depth is CONSTANT in vocab size — the per-merge column-rewrite chain
+    // this replaces grew two nested `replace` expressions per learned
+    // merge, which at a production 30k-merge vocab outgrows codegen (and
+    // the analyzer) long before the data does. Same ids bit-for-bit: the
+    // kernel replays applyBpeMerge's doubled-space round semantics and the
+    // first-round-wins id scheme (BpeKernelParitySpec pins chain-vs-kernel
+    // equality at hundreds of synthetic merges; the streaming twin already
+    // encoded this way — batch and stream now share the one kernel).
+    val wids = ow.select("word").distinct()
+      .select(col("word"),
+        graft.exprs.functions.bpe_encode_ids(col("word"), merges).as("ids"))
     ow.join(broadcast(wids), "word")
       .groupBy("doc_id")
       .agg(sort_array(collect_list(struct(col("pos"), col("ids")))).as("a"))
@@ -1099,7 +1121,7 @@ object TextAnalysis {
     },
 
     // BPE tokenization — applies the learned merge table in the shape that
-    // scales: the VOCABULARY is tokenized (the chained literal replaces run
+    // scales: the VOCABULARY is tokenized (the fused BpeEncodeIds kernel
     // over DISTINCT words — vocab-sized, not corpus-sized), then per-
     // document token counts are one word-keyed join + sum. The merge rounds
     // re-run here so the query is self-contained; a production pipeline
@@ -1114,13 +1136,13 @@ object TextAnalysis {
         .select(col("doc_id"), explode(
           expr("regexp_extract_all(lower(text), '([a-z]+)', 1)")).as("word"))
         .groupBy("doc_id", "word").agg(count(lit(1)).as("n"))
-      var v = dw.select("word").distinct()
-        .withColumn("syms", concat_ws(" ",
-          expr("transform(sequence(1, length(word)), i -> substring(word, i, 1))")))
-      for ((_, l, r, _, _) <- merges)
-        v = v.withColumn("syms", applyBpeMerge(col("syms"), l, r))
-      val wtok = v.select(col("word"),
-        size(split(col("syms"), " ")).cast("long").as("w_tokens"))
+      // fused-kernel vocab encode (see [[tokenIdsOf]]): token count per
+      // word = the encoded id array's length — one expression, plan depth
+      // constant in merge count
+      val wtok = dw.select("word").distinct()
+        .select(col("word"),
+          size(graft.exprs.functions.bpe_encode_ids(col("word"), merges))
+            .cast("long").as("w_tokens"))
       dw.join(broadcast(wtok), "word")
         .groupBy("doc_id")
         .agg(sum(col("n")).as("n_words"),
