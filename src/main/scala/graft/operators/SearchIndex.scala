@@ -1,41 +1,88 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+import java.nio.file.{Files, Paths, StandardCopyOption}
+
 /** A persisted LEXICAL search index: the inverted (token → postings)
-  * relation with precomputed fixed-point IDF — the text analog of
-  * [[IvfIndex]]'s build-once / load-anywhere / query-many lifecycle, so a
-  * serving tier never rescans the corpus (`search_tfidf` is the ad-hoc
-  * one-shot; this is the artifact).
+  * relation — the text analog of [[IvfIndex]]'s build-once /
+  * load-anywhere / query-many lifecycle, now with the same INCREMENTAL
+  * maintenance contract the vector indexes carry (appendDocs / compact /
+  * crash-safe commit), plus BM25 scoring next to TF-IDF.
   *
-  * Scale shape:
-  *  - build: one corpus scan — token explode, per-(doc, token) counts
-  *    collapse map-side, one df aggregate joined back for idf. The
-  *    postings relation is corpus-sized (Σ distinct (doc, token)); the
-  *    idf rides each posting as a precomputed fixed-point weight so query
-  *    time does ZERO model work.
-  *  - save: `partitionBy(tbucket)` where tbucket = xxhash64(token) mod
-  *    [[SearchIndex.TokenBuckets]] — a query's terms map to bucket
-  *    literals driver-side, so the scan statically prunes to the probed
-  *    buckets' files: a k-term query touches ≤ k/64 of the index however
-  *    large the corpus (the inverted-list property, on disk).
-  *  - search: terms filter inside the pruned scan, per-doc score is one
-  *    map-side partial sum of `cnt × idf_q6` (exact BIGINTs, the
-  *    search_tfidf discipline), top-k is TakeOrdered — never a global
-  *    sort.
+  * Layout (the log-segment discipline applied to an index):
+  *  - `dir/postings/batch=<id>/tbucket=<b>/…` — postings partitioned by
+  *    BATCH and token-hash bucket. A batch is one append's rows; buckets
+  *    make a k-term query statically prune to ≤ k/[[TokenBuckets]] of the
+  *    files at any corpus size (the inverted-list property, on disk).
+  *  - `dir/meta/<id>/…` — one row per COMMITTED batch
+  *    (batch, n_docs, n_tokens, supersedes, source_fp). The meta dir is
+  *    staged and atomically renamed in: it IS the commit marker. Postings
+  *    always write BEFORE their meta, so a crash strands an invisible
+  *    orphan batch (readers' `batch IN (committed)` partition filter
+  *    plan-time-prunes it; the next compact garbage-collects it) — never
+  *    a torn visible state.
+  *
+  * Staleness is designed OUT of the hot path: postings carry NO
+  * precomputed IDF. Document frequency is recomputed at query time from
+  * the pruned scan itself (all of a token's postings live in its bucket,
+  * so the pruned scan SEES the full df), and corpus totals (n_docs,
+  * n_tokens for BM25's avgdl) are exact sums over the active batches'
+  * meta rows — an append can therefore never leave stale weights behind,
+  * which is what made the round-8 build/save/load-only index a rebuild-
+  * the-world design. The extra query-time work is one aggregate over the
+  * already-pruned rows (query-terms-sized, never index-sized).
+  *
+  * Concurrency: maintenance (appendDocs / compact) is serialized in-JVM
+  * on this object's lock; cross-JVM the single-maintainer contract is the
+  * deployment's (the IvfIndex/log contract). Concurrent READERS are
+  * always safe: they see the committed-batch set at load time and
+  * plan-time-prune everything else.
+  *
+  * Staleness METADATA (not silently ignored): each batch records the
+  * corpus fingerprint it was built from (`source_fp`, optional); a loaded
+  * index exposes the set so a caller holding a newer corpus fingerprint
+  * can detect a stale artifact instead of silently serving it
+  * (SearchIndexSpec pins the contract).
   */
 final class SearchIndex private[operators] (
-    val postings: DataFrame, // (token, tbucket, doc_id, cnt, idf_q6)
-    val nDocs: Long) {
+    val postings: DataFrame, // (token, tbucket, doc_id, cnt, dl [, batch])
+    val nDocs: Long,
+    val nTokens: Long,
+    val sourceFps: Seq[String]) {
 
-  def save(dir: String): Unit = {
+  /** BM25's average document length — exact division of two exact
+    * integers, the same double in any engine. */
+  def avgdl: Double = nTokens.toDouble / nDocs.toDouble
+
+  /** Persist as the index's FIRST batch (overwrite semantics: `dir` must
+    * not already hold an index). `fingerprint` stamps the batch with the
+    * corpus identity it was built from (staleness detection). */
+  def save(dir: String, fingerprint: Option[String] = None): Unit = {
     val spark = postings.sparkSession
-    import spark.implicits._
-    postings.write.mode("overwrite")
-      .partitionBy("tbucket").parquet(s"$dir/postings")
-    Seq(nDocs).toDF("n_docs")
-      .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")
+    val batch = SearchIndex.newBatchId()
+    postings
+      .withColumn("batch", lit(batch))
+      .write.mode("append").partitionBy("batch", "tbucket")
+      .parquet(s"$dir/postings")
+    SearchIndex.commitMeta(spark, dir, batch, nDocs, nTokens,
+      Seq.empty, fingerprint)
+  }
+
+  /** The postings with query-time-exact fixed-point TF-IDF weights —
+    * (token, tbucket, doc_id, cnt, idf_q6). This is a derived MODEL (one
+    * df aggregate over the whole index), sized like the vocabulary;
+    * consumers that serve it repeatedly (the streaming search twin)
+    * should persist the snapshot. */
+  def scoredPostings: DataFrame = {
+    val idf = postings.groupBy("token")
+      .agg(count(lit(1)).as("df"))
+      .select(col("token"),
+        floor(log(lit(nDocs).cast("double") / col("df").cast("double"))
+          * 1000000L).cast("long").as("idf_q6"))
+    postings.join(idf, "token")
+      .select("token", "tbucket", "doc_id", "cnt", "idf_q6")
   }
 }
 
@@ -46,40 +93,164 @@ object SearchIndex {
     * still prunes 63/64 of the index. */
   val TokenBuckets = 64
 
-  private def bucketOf(token: org.apache.spark.sql.Column) =
+  private def bucketOf(token: Column) =
     pmod(xxhash64(token), lit(TokenBuckets.toLong))
 
-  /** Build from (doc_id, text): whitespace tokens (the text family's
-    * `split("\\s+")` contract), IDF = floor(ln(nDocs/df) · 1e6) — the
-    * exact search_tfidf arithmetic, precomputed per token. */
-  def build(docs: DataFrame): SearchIndex = {
+  private[operators] def newBatchId(): String =
+    "b" + java.util.UUID.randomUUID().toString.replace("-", "").take(16)
+
+  /** The (token, tbucket, doc_id, cnt, dl) relation of a document set:
+    * whitespace tokens (the text family's `split("\\s+")` contract),
+    * per-(doc, token) counts, per-doc total length. ONE definition shared
+    * by build and appendDocs so a batch can never tokenize differently. */
+  private def postingsOf(docs: DataFrame): DataFrame = {
     val d = docs.filter(col("text").isNotNull)
       .select(col("doc_id"), col("text"))
-    val nDocs = d.count()
     val tf = d.select(col("doc_id"),
         explode(split(col("text"), "\\s+")).as("token"))
       .groupBy("doc_id", "token").agg(count(lit(1)).as("cnt"))
-    val idf = tf.groupBy("token")
-      .agg(countDistinct(col("doc_id")).as("df"))
-      .select(col("token"),
-        floor(log(lit(nDocs).cast("double") / col("df").cast("double"))
-          * 1000000L).cast("long").as("idf_q6"))
-    val postings = tf.join(idf, "token")
+    tf.withColumn("dl", sum(col("cnt")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))))
       .select(col("token"), bucketOf(col("token")).as("tbucket"),
-        col("doc_id"), col("cnt"), col("idf_q6"))
-    new SearchIndex(postings, nDocs)
+        col("doc_id"), col("cnt"), col("dl"))
   }
 
+  /** Build an in-memory index from (doc_id, text). */
+  def build(docs: DataFrame): SearchIndex = {
+    val d = docs.filter(col("text").isNotNull)
+    val nDocs = d.count()
+    val p = postingsOf(docs)
+    val nTokens = p.agg(coalesce(sum(col("cnt")), lit(0L))).head().getLong(0)
+    new SearchIndex(p, nDocs, nTokens, Seq.empty)
+  }
+
+  /** INCREMENTAL maintenance: index `docs` as a NEW batch appended to a
+    * persisted index. `docs` must carry doc_ids not already indexed (a
+    * re-appended doc_id would double-count its term frequencies — the
+    * caller's contract, as with the vector upserts). Because df and
+    * corpus totals are query-time-exact (see class doc), the appended
+    * documents are fully weighted into every subsequent search with NO
+    * stale-IDF window and NO rebuild.
+    *
+    * Crash safety: postings write first, the meta commit marker renames
+    * in last — a crash strands an invisible orphan batch, healed by the
+    * next [[compact]].
+    *
+    * @return the number of documents appended */
+  def appendDocs(
+      spark: SparkSession, dir: String, docs: DataFrame,
+      fingerprint: Option[String] = None): Long = synchronized {
+    val batch = newBatchId()
+    val p = postingsOf(docs).withColumn("batch", lit(batch)).persist()
+    try {
+      val nDocs = p.select(col("doc_id")).distinct().count()
+      val nTokens =
+        p.agg(coalesce(sum(col("cnt")), lit(0L))).head().getLong(0)
+      p.write.mode("append").partitionBy("batch", "tbucket")
+        .parquet(s"$dir/postings")
+      commitMeta(spark, dir, batch, nDocs, nTokens, Seq.empty, fingerprint)
+      nDocs
+    } finally p.unpersist()
+  }
+
+  /** Rewrite the active batches into ONE batch (~one file per bucket) and
+    * garbage-collect superseded and orphan batch dirs. A long run of
+    * small appends otherwise leaves per-bucket file counts that drown
+    * probe planning — the segment-coalescing pathology, on an index.
+    *
+    * Crash windows, all safe: (1) new postings without meta → orphan,
+    * old state intact; (2) new meta committed, old dirs not yet deleted →
+    * loads already exclude the superseded batches (the new meta's
+    * `supersedes` list is the exclusion, so visibility flips atomically
+    * with the rename); (3) partial deletion → remaining garbage is
+    * invisible and collected by the next compact. */
+  def compact(spark: SparkSession, dir: String): Unit = synchronized {
+    val idx = load(spark, dir)
+    val active = activeMetas(spark, dir).map(_.batch)
+    val batch = newBatchId()
+    idx.postings
+      .select("token", "tbucket", "doc_id", "cnt", "dl")
+      .withColumn("batch", lit(batch))
+      .repartition(col("tbucket"))
+      .write.mode("append").partitionBy("batch", "tbucket")
+      .parquet(s"$dir/postings")
+    commitMeta(spark, dir, batch, idx.nDocs, idx.nTokens,
+      active, Some(idx.sourceFps.mkString(",")).filter(_.nonEmpty))
+    // gc: every batch dir not committed-and-active is garbage now —
+    // superseded by the row above, or orphaned by a crashed append.
+    // Maintenance is serialized, so no live append can be collected.
+    val keep = Set(batch)
+    val postRoot = Paths.get(dir, "postings")
+    listDirs(postRoot).foreach { p =>
+      val name = p.getFileName.toString
+      if (name.startsWith("batch=") && !keep(name.stripPrefix("batch=")))
+        graft.storage.ParquetLogBackend.deleteRecursively(p)
+    }
+    val metaRoot = Paths.get(dir, "meta")
+    listDirs(metaRoot).foreach { p =>
+      if (!keep(p.getFileName.toString))
+        graft.storage.ParquetLogBackend.deleteRecursively(p)
+    }
+  }
+
+  private case class Meta(
+      batch: String, nDocs: Long, nTokens: Long,
+      supersedes: Seq[String], sourceFp: Option[String])
+
+  private def listDirs(root: java.nio.file.Path): Seq[java.nio.file.Path] = {
+    if (!Files.isDirectory(root)) return Seq.empty
+    import scala.jdk.CollectionConverters._
+    scala.util.Using.resource(Files.list(root))(
+      _.iterator().asScala.toList)
+      .filter(p => Files.isDirectory(p) &&
+        !p.getFileName.toString.startsWith("."))
+  }
+
+  /** Committed batches minus everything a committed batch supersedes. */
+  private def activeMetas(spark: SparkSession, dir: String): Seq[Meta] = {
+    val dirs = listDirs(Paths.get(dir, "meta"))
+    require(dirs.nonEmpty, s"no search index committed under $dir")
+    val rows = spark.read.parquet(dirs.map(_.toString): _*)
+      .select("batch", "n_docs", "n_tokens", "supersedes", "source_fp")
+      .collect()
+      .map(r => Meta(r.getString(0), r.getLong(1), r.getLong(2),
+        Option(r.getSeq[String](3)).getOrElse(Seq.empty),
+        Option(r.getString(4)).filter(_.nonEmpty)))
+    val superseded = rows.flatMap(_.supersedes).toSet
+    rows.filterNot(m => superseded(m.batch)).sortBy(_.batch).toSeq
+  }
+
+  private[operators] def commitMeta(
+      spark: SparkSession, dir: String, batch: String,
+      nDocs: Long, nTokens: Long, supersedes: Seq[String],
+      fingerprint: Option[String]): Unit = {
+    import spark.implicits._
+    val metaRoot = Paths.get(dir, "meta")
+    Files.createDirectories(metaRoot)
+    val staging = metaRoot.resolve(s".staging-$batch")
+    Seq((batch, nDocs, nTokens, supersedes, fingerprint.getOrElse("")))
+      .toDF("batch", "n_docs", "n_tokens", "supersedes", "source_fp")
+      .coalesce(1).write.mode("overwrite").parquet(staging.toString)
+    Files.move(staging, metaRoot.resolve(batch),
+      StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  /** Load the committed index state: postings plan-time-pruned to the
+    * active batches, corpus totals summed from their meta rows. Read-only
+    * (no swap recovery to run — commits are append-only + gc). */
   def load(spark: SparkSession, dir: String): SearchIndex = {
-    val n = spark.read.parquet(s"$dir/meta").head().getLong(0)
-    new SearchIndex(spark.read.parquet(s"$dir/postings"), n)
+    val metas = activeMetas(spark, dir)
+    val postings = spark.read.parquet(s"$dir/postings")
+      .filter(col("batch").isin(metas.map(_.batch): _*))
+      .select("token", "tbucket", "doc_id", "cnt", "dl", "batch")
+    new SearchIndex(postings, metas.map(_.nDocs).sum,
+      metas.map(_.nTokens).sum,
+      metas.flatMap(_.sourceFp).flatMap(_.split(",")).distinct)
   }
 
-  /** Top-`topK` documents for `terms` by summed TF-IDF. The bucket
-    * literals are computed DRIVER-side so the postings scan partition-
-    * prunes before the token filter runs. */
-  def search(
-      idx: SearchIndex, terms: Seq[String], topK: Int): DataFrame = {
+  /** The query-term postings, statically pruned: bucket literals computed
+    * DRIVER-side so the scan partition-prunes before the token filter. */
+  private def pruned(idx: SearchIndex, terms: Seq[String]): DataFrame = {
     val buckets = terms.map { t =>
       // mirror xxhash64(token) % TokenBuckets driver-side
       val h = org.apache.spark.sql.catalyst.expressions.XXH64
@@ -90,8 +261,61 @@ object SearchIndex {
     idx.postings
       .filter(col("tbucket").isin(buckets: _*))
       .filter(col("token").isin(terms: _*))
+  }
+
+  /** Per-token df over the pruned scan — exact by construction: ALL of a
+    * token's postings live in its bucket, and doc_ids are unique per
+    * (batch-append contract), so the row count IS the document
+    * frequency. */
+  private def dfOf(t: DataFrame): DataFrame =
+    t.groupBy("token").agg(count(lit(1)).as("df"))
+
+  /** Top-`topK` documents for `terms` by summed fixed-point TF-IDF
+    * (`Σ cnt × floor(ln(nDocs/df)·1e6)` — exact BIGINTs, the search_tfidf
+    * arithmetic, IDF recomputed query-time-exact). */
+  def search(
+      idx: SearchIndex, terms: Seq[String], topK: Int): DataFrame = {
+    val t = pruned(idx, terms)
+    val idf = dfOf(t)
+      .select(col("token"),
+        floor(log(lit(idx.nDocs).cast("double") / col("df").cast("double"))
+          * 1000000L).cast("long").as("idf_q6"))
+    t.join(broadcast(idf), "token")
       .groupBy("doc_id")
       .agg(sum(col("cnt") * col("idf_q6")).as("score"))
+      .orderBy(col("score").desc, col("doc_id")).limit(topK)
+      .select("doc_id", "score")
+  }
+
+  /** Top-`topK` documents by BM25 (k1 = 1.2, b = 0.75, the Robertson/
+    * Lucene idf `ln((N − df + 0.5)/(df + 0.5) + 1)`), fixed-point with
+    * the engine's quantization discipline: the idf is floor-quantized at
+    * 1e-6 per DISTINCT token (the one ln per token — the accepted libm
+    * divergence class), every other operand is an exact integer in
+    * double, and the per-(doc, term) contribution is floor-quantized then
+    * summed as exact BIGINTs. The saturation term's parenthesization is
+    * PINNED — `idf · ((cnt·2.2) / (cnt + (1.2·(0.25 + (0.75·(dl/avgdl))))))`
+    * — and mirrored verbatim in the DuckDB oracle, so both engines fold
+    * identical IEEE doubles. */
+  def searchBm25(
+      idx: SearchIndex, terms: Seq[String], topK: Int): DataFrame = {
+    val t = pruned(idx, terms)
+    val n = lit(idx.nDocs).cast("double")
+    val idf = dfOf(t)
+      .select(col("token"),
+        floor(log((((n - col("df").cast("double")) + lit(0.5))
+            / (col("df").cast("double") + lit(0.5))) + lit(1.0))
+          * 1000000L).cast("long").as("idf_q6"))
+    t.join(broadcast(idf), "token")
+      .withColumn("contrib",
+        floor(col("idf_q6").cast("double") *
+          ((col("cnt").cast("double") * lit(2.2)) /
+            (col("cnt").cast("double") +
+              (lit(1.2) * (lit(0.25) +
+                (lit(0.75) * (col("dl").cast("double") / lit(idx.avgdl))))))))
+          .cast("long"))
+      .groupBy("doc_id")
+      .agg(sum(col("contrib")).as("score"))
       .orderBy(col("score").desc, col("doc_id")).limit(topK)
       .select("doc_id", "score")
   }

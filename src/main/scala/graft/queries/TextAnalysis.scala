@@ -338,6 +338,40 @@ object TextAnalysis {
          |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin
 
 
+  /** The search_bm25 DuckDB mirror — Robertson idf + the PINNED
+    * saturation parenthesization (see SearchIndex.searchBm25: every
+    * non-ln operand is an exact integer in IEEE doubles, so matching the
+    * expression tree verbatim makes both engines fold identical bits). */
+  private lazy val SearchBm25Sql: String =
+    s"""WITH tok AS (SELECT doc_id,
+       |    unnest(string_split_regex(text, '\\s+')) AS tok
+       |  FROM documents WHERE text IS NOT NULL),
+       |dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl
+       |  FROM tok GROUP BY 1),
+       |nn AS (SELECT CAST(count(*) AS BIGINT) AS n,
+       |    (SELECT CAST(count(*) AS DOUBLE) FROM tok)
+       |      / CAST(count(*) AS DOUBLE) AS avgdl
+       |  FROM documents WHERE text IS NOT NULL),
+       |tf AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS cnt FROM tok
+       |  WHERE tok IN (${SearchTerms.map(t => s"'$t'").mkString(", ")})
+       |  GROUP BY 1, 2),
+       |idf AS (SELECT tok,
+       |    CAST(floor(ln((((CAST(n AS DOUBLE)
+       |        - CAST(count(DISTINCT doc_id) AS DOUBLE)) + 0.5)
+       |      / (CAST(count(DISTINCT doc_id) AS DOUBLE) + 0.5)) + 1.0)
+       |      * 1000000) AS BIGINT) AS idf_q6
+       |  FROM tf, nn GROUP BY tok, n),
+       |sc AS (SELECT tf.doc_id,
+       |    CAST(sum(CAST(floor(CAST(idf_q6 AS DOUBLE) *
+       |      ((CAST(cnt AS DOUBLE) * 2.2) /
+       |       (CAST(cnt AS DOUBLE) + (1.2 * (0.25 +
+       |         (0.75 * (CAST(dl.dl AS DOUBLE) / nn.avgdl)))))))
+       |      AS BIGINT)) AS BIGINT) AS score
+       |  FROM tf JOIN idf USING (tok) JOIN dl USING (doc_id), nn
+       |  GROUP BY 1)
+       |SELECT doc_id, score FROM sc
+       |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin
+
   private val MinColloc = 5 // text_collocations: min bigram count
 
   private def toks(c: Column): Column = split(c, "\\s+")
@@ -389,15 +423,18 @@ object TextAnalysis {
       val key = java.security.MessageDigest.getInstance("MD5")
         .digest(ck.getBytes("UTF-8"))
         .map("%02x".format(_)).mkString.take(12)
+      // searchidx2: the round-9 batch-manifest layout (dl column, meta
+      // commit markers, no precomputed idf) — the bumped prefix orphans
+      // any cached round-8-layout index instead of misreading it
       val base = Paths.get(
-        sys.props.getOrElse("java.io.tmpdir", "/tmp"), s"graft-searchidx-$key")
+        sys.props.getOrElse("java.io.tmpdir", "/tmp"), s"graft-searchidx2-$key")
       if (Files.isDirectory(base.resolve("postings"))) return base.toString
       val staging = Paths.get(
         base.toString + ".build-" +
           java.util.UUID.randomUUID().toString.take(8))
       graft.operators.SearchIndex.build(
         Tables(s, dir, "documents").select(col("doc_id"), col("text")))
-        .save(staging.toString)
+        .save(staging.toString, fingerprint = Some(ck))
       try Files.move(staging, base, StandardCopyOption.ATOMIC_MOVE)
       catch {
         case e @ (_: java.nio.file.FileAlreadyExistsException |
@@ -1254,6 +1291,20 @@ object TextAnalysis {
       graft.operators.SearchIndex.search(idx, SearchTerms, 20)
     },
 
+    // BM25 retrieval from the SAME persisted index (k1=1.2, b=0.75,
+    // Robertson idf) — what a serving tier actually ranks with: TF
+    // saturation plus length normalization, which plain TF-IDF lacks.
+    // Fixed-point discipline unchanged: one quantized ln per distinct
+    // term, every other operand an exact integer in IEEE doubles with
+    // PINNED parenthesization (mirrored verbatim in the oracle), floor
+    // per (doc, term), exact BIGINT sums. Same pruned-scan shape as the
+    // TF-IDF path; dl rides each posting, avgdl comes from the meta
+    // totals, so the length normalization costs no extra scan.
+    "search_bm25" -> { (s, dir) =>
+      val idx = graft.operators.SearchIndex.load(s, ensureSearchIndex(s, dir))
+      graft.operators.SearchIndex.searchBm25(idx, SearchTerms, 20)
+    },
+
     // Ranked lexical retrieval: per-document TF-IDF for a literal query
     // term set, top-20 by score — classic keyword search as one
     // declarative plan. IDF is fixed-point quantized (floor at 1e-6, the
@@ -1982,6 +2033,8 @@ object TextAnalysis {
     // the persisted index computes the identical arithmetic from its
     // precomputed postings — same oracle, full hash gate
     "search_index_persisted" -> SearchTfidfSql,
+
+    "search_bm25" -> SearchBm25Sql,
 
     "text_vocab" ->
       s"""WITH tokens AS (SELECT doc_id,

@@ -628,12 +628,19 @@ object StreamOps {
   /** Streaming lexical search: a stream of keyword queries served from the
     * PERSISTED [[graft.operators.SearchIndex]] — the lexical twin of
     * [[annProbeStream]]. Each query row's text splits to terms, the
-    * stream-static join reads the postings (token-keyed; the static side
-    * re-reads per micro-batch, no watermark state on the join), and two
+    * stream-static join reads the postings (token-keyed), and two
     * CHAINED windowed aggregations — per-(query, doc) score sum, then
     * per-query top-k — emit on watermark close. Scores are the exact
     * BIGINT `Σ cnt × idf_q6` the batch search computes, so stream and
     * batch answers are identical for the same terms (spec-pinned).
+    *
+    * SNAPSHOT semantics: the index stores no precomputed IDF (df and
+    * corpus totals are query-time-exact in batch), so the scored postings
+    * here are a derived model — computed once at query definition and
+    * PERSISTED, each micro-batch joining against the cached snapshot.
+    * Documents appended to the index after the stream starts are served
+    * after a stream restart (the same refresh cadence as the NB/PQ model
+    * snapshots); the batch search is always exact.
     *
     * @param queries   streaming DataFrame of (event-time, id, query text)
     * @param tsCol     event-time column
@@ -662,8 +669,8 @@ object StreamOps {
         explode(array_distinct(split(col(qCol), "\\s+"))).as("token"))
       .withWatermark("ts", delay)
     terms
-      .join(idx.postings
-        .select("token", "doc_id", "cnt", "idf_q6"), Seq("token"))
+      .join(idx.scoredPostings
+        .select("token", "doc_id", "cnt", "idf_q6").persist(), Seq("token"))
       .groupBy(window(col("ts"), windowLen), col("q_id"), col("doc_id"))
       .agg(sum(col("cnt") * col("idf_q6")).as("score"))
       .groupBy(col("window"), col("q_id"))

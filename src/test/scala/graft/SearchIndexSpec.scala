@@ -7,29 +7,47 @@ import org.scalatest.funsuite.AnyFunSuite
 /** Persisted lexical index lifecycle: build → save → load answers match
   * the ad-hoc search_tfidf query bit-for-bit (the oracle also gates the
   * query entry), the driver-side bucket mirror agrees with the engine's
-  * xxhash64, and the postings scan statically prunes to the query terms'
-  * buckets — the property that makes a k-term query touch ~k/64 of the
-  * index at any corpus size. */
+  * xxhash64, the postings scan statically prunes to the query terms'
+  * buckets, and — round 9 — the INCREMENTAL contract: appendDocs makes an
+  * upserted index answer exactly like a fresh build over the union (df
+  * and corpus totals are query-time-exact, so there is no stale-IDF
+  * window), compact round-trips the answers while collapsing batches and
+  * collecting orphans, and the staleness fingerprints surface. */
 class SearchIndexSpec extends AnyFunSuite {
   private lazy val spark = SparkFixture.spark
   private val sfDir = "/root/testdata/sf0.001"
+  private val Terms = Seq("vector", "stream", "window", "merge")
 
   private def docs = graft.util.Tables(spark, sfDir, "documents")
     .select(col("doc_id"), col("text"))
 
+  private def tmp(): String = java.nio.file.Files
+    .createTempDirectory("graft-searchspec").toString
+
+  private def answers(idx: SearchIndex): (Seq[(Long, Long)], Seq[(Long, Long)]) = (
+    SearchIndex.search(idx, Terms, 20)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq,
+    SearchIndex.searchBm25(idx, Terms, 20)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq)
+
   private lazy val saved: (SearchIndex, String) = {
-    val dir = java.nio.file.Files
-      .createTempDirectory("graft-searchspec").toString
-    SearchIndex.build(docs).save(dir)
+    val dir = tmp()
+    SearchIndex.build(docs).save(dir, fingerprint = Some("fp-full"))
     (SearchIndex.load(spark, dir), dir)
   }
 
-  test("save/load round-trips postings and doc count") {
+  test("save/load round-trips postings, totals, and fingerprint") {
     val (idx, dir) = saved
     assert(idx.nDocs === docs.filter(col("text").isNotNull).count())
+    assert(idx.nTokens === docs.filter(col("text").isNotNull)
+      .select(explode(split(col("text"), "\\s+"))).count())
     assert(idx.postings.count() > 0)
-    val buckets = new java.io.File(s"$dir/postings")
-      .listFiles().filter(_.getName.startsWith("tbucket="))
+    assert(idx.sourceFps === Seq("fp-full"))
+    val batches = new java.io.File(s"$dir/postings")
+      .listFiles().filter(_.getName.startsWith("batch="))
+    assert(batches.length === 1)
+    val buckets = batches.head.listFiles()
+      .filter(_.getName.startsWith("tbucket="))
     assert(buckets.nonEmpty && buckets.length <= SearchIndex.TokenBuckets)
   }
 
@@ -49,20 +67,94 @@ class SearchIndexSpec extends AnyFunSuite {
     val (idx, _) = saved
     val adHoc = SparkEntry.queries("search_tfidf")(spark, sfDir)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
-    val served = SearchIndex
-      .search(idx, Seq("vector", "stream", "window", "merge"), 20)
+    val served = SearchIndex.search(idx, Terms, 20)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
     assert(served === adHoc)
   }
 
-  test("the postings scan prunes to the query terms' buckets") {
+  test("the postings scan prunes to the query terms' buckets AND the active batches") {
     val (idx, _) = saved
     val q = SearchIndex.search(idx, Seq("vector"), 5)
     val scans = q.queryExecution.executedPlan.collectLeaves()
       .map(_.toString).filter(_.contains("postings"))
     assert(scans.nonEmpty)
     assert(scans.exists(s =>
-      s.contains("PartitionFilters") && s.contains("tbucket")),
-      s"tbucket filter must reach PartitionFilters:\n${scans.mkString("\n")}")
+      s.contains("PartitionFilters") && s.contains("tbucket") &&
+        s.contains("batch")),
+      s"tbucket+batch filters must reach PartitionFilters:\n${scans.mkString("\n")}")
+  }
+
+  test("appendDocs: upserted index answers EXACTLY like a fresh build over the union") {
+    val half1 = docs.filter(col("doc_id") % 2 === 0)
+    val half2 = docs.filter(col("doc_id") % 2 === 1)
+    val dir = tmp()
+    SearchIndex.build(half1).save(dir, fingerprint = Some("fp-h1"))
+    val n = SearchIndex.appendDocs(spark, dir, half2,
+      fingerprint = Some("fp-h2"))
+    assert(n === half2.filter(col("text").isNotNull).count())
+
+    val upserted = SearchIndex.load(spark, dir)
+    assert(upserted.sourceFps.sorted === Seq("fp-h1", "fp-h2"))
+    val fresh = SearchIndex.build(docs)
+    assert(upserted.nDocs === fresh.nDocs)
+    assert(upserted.nTokens === fresh.nTokens)
+    // no stale-IDF window: df/totals are query-time-exact, so TF-IDF and
+    // BM25 must be BIT-identical to the never-upserted index
+    assert(answers(upserted) === answers(fresh))
+  }
+
+  test("compact: one batch, answers unchanged, superseded and orphan batches collected") {
+    val half1 = docs.filter(col("doc_id") % 2 === 0)
+    val half2 = docs.filter(col("doc_id") % 2 === 1)
+    val dir = tmp()
+    SearchIndex.build(half1).save(dir)
+    SearchIndex.appendDocs(spark, dir, half2)
+    // simulate a CRASHED append: postings batch on disk, no meta commit —
+    // must be invisible now and garbage-collected by compact
+    docs.limit(3).filter(col("text").isNotNull)
+      .select(lit("zzz").as("token"), lit(0L).as("tbucket"),
+        col("doc_id"), lit(1L).as("cnt"), lit(1L).as("dl"),
+        lit("borphan0000000000").as("batch"))
+      .write.mode("append").partitionBy("batch", "tbucket")
+      .parquet(s"$dir/postings")
+    val before = answers(SearchIndex.load(spark, dir))
+    assert(SearchIndex.load(spark, dir).postings
+      .filter(col("token") === "zzz").count() === 0L,
+      "an uncommitted batch must be invisible to readers")
+
+    SearchIndex.compact(spark, dir)
+    val after = SearchIndex.load(spark, dir)
+    assert(answers(after) === before)
+    val batches = new java.io.File(s"$dir/postings")
+      .listFiles().filter(_.getName.startsWith("batch="))
+    assert(batches.length === 1, "compact must leave exactly one batch dir")
+    assert(new java.io.File(s"$dir/meta").listFiles()
+      .count(f => f.isDirectory && !f.getName.startsWith(".")) === 1)
+    // a second compact is a no-op round-trip
+    SearchIndex.compact(spark, dir)
+    assert(answers(SearchIndex.load(spark, dir)) === before)
+  }
+
+  test("staleness contract: a grown corpus is DETECTABLE against the index's fingerprints") {
+    val dir = tmp()
+    SearchIndex.build(docs.limit(50)).save(dir, fingerprint = Some("fp-old"))
+    val idx = SearchIndex.load(spark, dir)
+    // the caller's side of the contract (ensureSearchIndex does exactly
+    // this comparison via its cache key): a corpus whose fingerprint is
+    // not among the index's source fingerprints means the artifact is
+    // stale — serve-or-rebuild is an explicit decision, never silent
+    val currentFp = "fp-new-after-growth"
+    assert(!idx.sourceFps.contains(currentFp))
+    assert(idx.sourceFps === Seq("fp-old"))
+  }
+
+  test("bm25 ranks by saturated tf + length normalization (sane, not degenerate)") {
+    val (idx, _) = saved
+    val bm = SearchIndex.searchBm25(idx, Terms, 20).collect()
+    assert(bm.nonEmpty)
+    // scores strictly ordered desc by construction of the sort
+    val scores = bm.map(_.getLong(1)).toSeq
+    assert(scores === scores.sorted(Ordering[Long].reverse))
+    assert(scores.head > 0L)
   }
 }
