@@ -270,6 +270,72 @@ object PqIndex {
       IvfIndex.readMaybeOld(spark, java.nio.file.Paths.get(dir, "pq_codes")))
   }
 
+  /** Executor-side BATCH ADC probe: every row of `queries` scored against
+    * the index with NO driver-side materialization — `queries` may be
+    * CORPUS-scale (the adcProbe serving path collects queries to build
+    * per-query LUTs, which caps it at driver memory; this path is what a
+    * corpus-vs-corpus pass like dedup_semantic_pq needs).
+    *
+    * Shape — the streaming probe's per-row expressions, batch-planned:
+    *  - nProbe nearest cells per query from ONE fused pass over the
+    *    centroid reference object ([[graft.exprs.IvfNearestCells]]), then
+    *    explode to (query, cell) rows;
+    *  - a hash join on `cell` against the CODES relation (8 B/vector) —
+    *    candidate volume is Σ_cells |queries probing c| × |list c|, the
+    *    IVF probe cost; at corpus scale the coarse k must grow ~√n (the
+    *    standard IVF sizing) or the few-distinct-values join key skews —
+    *    AQE's skew split handles the residual imbalance;
+    *  - residual ADC cosine per candidate in one codegen pass
+    *    ([[graft.exprs.PqAdcCosine]] — fold orders identical to the LUT
+    *    path, so batch, serving, and streaming scores are bit-identical);
+    *  - per-query top-k by window (score desc, n_id asc — the adcProbe
+    *    rank order); `rerank > 0` re-ranks the ADC shortlist by exact
+    *    cosine from the raw cell lists, exactly like adcProbe.
+    *
+    * AnnPqSpec pins probeAll ≡ adcProbe on the same queries, and the
+    * plan-shape spec pins the no-driver-LUT property (no LocalTableScan
+    * against a loaded index). */
+  def probeAll(
+      idx: PqIndex,
+      queries: DataFrame,
+      nProbe: Int,
+      topK: Int,
+      rerank: Int = 0): DataFrame = {
+    val t = idx.scoreTable
+    val probes = queries.select(col("q_id"), col("qv"))
+      .withColumn("cell",
+        explode(graft.exprs.functions.ivf_nearest_cells(col("qv"), t, nProbe)))
+    val cand = idx.codes.select(col("vec_id").as("n_id"), col("cell"),
+      col("nrm"), col("codes"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("adc_cosine").desc, col("n_id"))
+    val adcRanked = probes.join(cand, Seq("cell"))
+      .filter(col("n_id") =!= col("q_id"))
+      .withColumn("adc_cosine", graft.exprs.functions.pq_adc_cosine(
+        col("qv"), col("cell"), col("codes"), col("nrm"), t))
+      .withColumn("rank", row_number().over(w))
+    if (rerank <= 0)
+      adcRanked.filter(col("rank") <= topK)
+        .select("q_id", "n_id", "rank", "adc_cosine")
+    else {
+      val shortlist = adcRanked.filter(col("rank") <= rerank)
+        .select("q_id", "n_id")
+      val qv = queries.select(col("q_id"), col("qv"))
+        .withColumn("qnrm", Similarity.norm(col("qv")))
+      val wx = Window.partitionBy(col("q_id"))
+        .orderBy(col("cosine").desc, col("n_id"))
+      idx.coarse.assignments
+        .select(col("vec_id").as("n_id"), col("v").as("nv"), col("nrm"))
+        .join(shortlist, Seq("n_id"))
+        .join(qv, Seq("q_id"))
+        .withColumn("cosine",
+          Similarity.cosinePre(col("qv"), col("nv"), col("qnrm"), col("nrm")))
+        .withColumn("rank", row_number().over(wx))
+        .filter(col("rank") <= topK)
+        .select("q_id", "n_id", "rank", "cosine")
+    }
+  }
+
   /** ADC top-`topK` per query over the `nProbe` nearest cells' CODES.
     * `queries` carries (`q_id`, `qv: array<double>`), small by contract
     * (collected; the per-query LUT is m × kCodes doubles).

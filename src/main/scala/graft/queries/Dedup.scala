@@ -827,6 +827,38 @@ object Dedup {
         .orderBy("vec_a", "vec_b")
     },
 
+    // SEMANTIC near-dup at index scale: corpus-vs-corpus ADC probe through
+    // the IVF-PQ index — every vector is a query against the 8-byte code
+    // lists ([[graft.operators.PqIndex.probeAll]], the executor-side batch
+    // probe: fused nearest-cells + per-candidate ADC cosine, NO driver
+    // LUT), shortlists re-ranked by EXACT cosine, pairs kept at the
+    // dedup_embedding threshold (0.4). This is the 100 TB shape for
+    // embedding dedup when no prior cell column exists and RHP-LSH recall
+    // isn't enough: candidate volume is the IVF probe cost (queries ×
+    // nProbe × list size; coarse k grows ~√n at scale), the scan side
+    // reads codes only, and the exact re-rank touches `rerank` raw rows
+    // per query. Per-query topK caps emitted pairs (a hub document flags
+    // its K nearest, not its entire neighborhood — the bounded-output
+    // property the banded families share). Approximate by construction
+    // (cell recall, shortlist depth) → rows-only; precision is EXACT
+    // (pairs carry true cosine ≥ threshold, re-ranked from raw vectors),
+    // and recall vs dedup_embedding is spec-gated (AnnPqSpec).
+    "dedup_semantic_pq" -> { (s, dir) =>
+      val e = Tables(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      val idx = graft.operators.PqIndex.build(e, m = 8, kCodes = 256)
+      val q = e.select(col("vec_id").as("q_id"), col("v").as("qv"))
+      graft.operators.PqIndex
+        .probeAll(idx, q, nProbe = 2, topK = 8, rerank = 32)
+        .filter(col("cosine") >= 0.4)
+        .select(least(col("q_id"), col("n_id")).as("vec_a"),
+          greatest(col("q_id"), col("n_id")).as("vec_b"), col("cosine"))
+        // a pair can surface from either endpoint's probe; cosine is
+        // fold-order-identical in both directions, so max = the value
+        .groupBy("vec_a", "vec_b").agg(max(col("cosine")).as("cosine"))
+        .orderBy("vec_a", "vec_b")
+    },
+
     // Test-set decontamination: flag corpus documents that share any word
     // 3-gram with the held-out benchmark split (doc_id % BenchmarkMod = 0
     // stands in for the eval set). The canonical pre-training hygiene op:

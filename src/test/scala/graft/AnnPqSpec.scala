@@ -127,4 +127,62 @@ class AnnPqSpec extends AnyFunSuite {
       .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
     assert(got2 == exact)
   }
+
+  test("probeAll (executor-side) answers identically to adcProbe (driver-LUT serving path)") {
+    val idx = PqIndex.build(emb, m = 8, kCodes = 16)
+    val q = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("q_id", "n_id", "rank", "cosine").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
+        .sortBy(t => (t._1, t._3)).toSeq
+    // with rerank (exact cosine output) and without (pure ADC ranks)
+    val a1 = rows(PqIndex.adcProbe(idx, q, nProbe = 2, topK = 5, rerank = 20))
+    val b1 = rows(PqIndex.probeAll(idx, q, nProbe = 2, topK = 5, rerank = 20))
+    assert(b1 === a1)
+    def adcRows(df: org.apache.spark.sql.DataFrame) =
+      df.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
+        .sortBy(t => (t._1, t._3)).toSeq
+    val a2 = adcRows(PqIndex.adcProbe(idx, q, nProbe = 2, topK = 5))
+    val b2 = adcRows(PqIndex.probeAll(idx, q, nProbe = 2, topK = 5))
+    // the streaming/batch per-row kernel promises BIT-identical ADC scores
+    // to the LUT construction — checked here via exact tuple equality
+    assert(b2 === a2)
+  }
+
+  test("dedup_semantic_pq: exact precision at the threshold, bounded recall vs dedup_embedding") {
+    val sem = SparkEntry.queries("dedup_semantic_pq")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(sem.nonEmpty, "the synthetic corpus has near-dup embeddings")
+    // PRECISION is exact by construction: every emitted cosine is the
+    // true cosine (re-ranked from raw vectors) and above the threshold
+    sem.foreach { case (a, b, c) =>
+      assert(c >= 0.4, s"pair ($a,$b) below threshold: $c")
+    }
+    // spot-verify the cosines against a direct computation
+    val byPair = sem.map { case (a, b, c) => (a, b) -> c }.toMap
+    val vecs = emb.filter(col("vec_id").isin(
+        byPair.keys.take(5).flatMap(p => Seq(p._1, p._2)).toSeq: _*))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    byPair.keys.take(5).foreach { case (a, b) =>
+      val (va, vb) = (vecs(a), vecs(b))
+      def dot(x: Array[Double], y: Array[Double]) =
+        x.zip(y).foldLeft(0.0)((acc, p) => acc + p._1 * p._2)
+      val want = dot(va, vb) / (math.sqrt(dot(va, va)) * math.sqrt(dot(vb, vb)))
+      assert(math.abs(byPair((a, b)) - want) < 1e-12)
+    }
+    // RECALL vs the exact same-cell operator: different candidate
+    // generators (trained k-means cells vs the label column), so the
+    // gate is a floor, not equality
+    val exact = SparkEntry.queries("dedup_embedding")(spark, sfDir)
+      .select("vec_a", "vec_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    if (exact.nonEmpty) {
+      val got = sem.map(t => (t._1, t._2)).toSet
+      val recall = exact.intersect(got).size.toDouble / exact.size
+      assert(recall >= 0.5,
+        s"semantic recall $recall over ${exact.size} exact pairs")
+    }
+  }
 }

@@ -30,4 +30,30 @@ class Round9PlanSpec extends AnyFunSuite {
     assert(p.contains("bpe_encode_ids"), p.take(1500))
     assert(!p.contains("replace("), p.take(1500))
   }
+
+  test("probeAll over a LOADED index: fused kernels in-plan, zero driver materialization") {
+    import org.apache.spark.sql.functions._
+    val e = graft.util.Tables(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val idxDir = java.nio.file.Files
+      .createTempDirectory("graft-pq-planpin").toString
+    graft.operators.PqIndex.build(e, m = 8, kCodes = 16).save(idxDir)
+    val idx = graft.operators.PqIndex.load(spark, idxDir)
+    val q = e.select(col("vec_id").as("q_id"), col("v").as("qv"))
+    val p = graft.operators.PqIndex
+      .probeAll(idx, q, nProbe = 2, topK = 5, rerank = 20)
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(p.contains("ivf_nearest_cells"), p.take(2000))
+    assert(p.contains("pq_adc_cosine"), p.take(2000))
+    // the serving adcProbe materializes a (q, cell, LUT) local relation
+    // driver-side; the batch probe must not — everything is a scan or a
+    // derived relation of one
+    assert(!p.contains("LocalTableScan"),
+      "driver-side LUT/probe materialization leaked into probeAll: " +
+        p.take(2000))
+    assert(!p.contains("adc_dot"),
+      "the LUT-lookup expression belongs to the serving path only: " +
+        p.take(2000))
+  }
 }
