@@ -38,7 +38,8 @@ object Dedup {
   private val MaxCcIterations = 50
   private val BenchmarkMod = 97 // decontaminate: doc_id % mod = 0 ⇒ benchmark
   private val LeakGateSim = 0.5 // pipeline_pretrain_gated: gate threshold
-  private val SpanTokens = 16 // dedup_span_exact: tokens per hashed chunk
+  // shared with the streaming span-dedup twin (StreamOps.spanDedupStream)
+  private[graft] val SpanTokens = 16 // dedup_span_exact: tokens per hashed chunk
   // dedup_phash_hamming: 8 byte-bands over the 64-bit dHash catch every
   // pair within hamming 7 by pigeonhole — the usual near-identical-image
   // threshold for dHash

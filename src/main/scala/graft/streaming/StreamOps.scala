@@ -33,6 +33,16 @@ final case class PackedTokenSeq(
   * the current PARTIAL sequence (< seqLen ids — the hard state bound). */
 final case class PackIdBuf(seqId: Long, buf: Seq[Int])
 
+/** A streaming repeated-span emission ([[StreamOps.spanDedupStream]]):
+  * `doc_id` carried a [[graft.queries.Dedup.SpanTokens]]-token chunk whose
+  * hash the stream's own history (probably) already contains. */
+final case class SpanDupFlag(doc_id: Long, chunk_hash: String)
+
+/** State for one span-hash shard: a FIXED-size Bloom bitmap over every
+  * chunk hash the shard has ever admitted — the hard state bound that
+  * makes the span twin runnable forever. */
+final case class SpanBloom(words: Seq[Long])
+
 /** A streaming pack assignment: where `doc_id` landed in its bucket's
   * concat-and-chunk token stream (same output contract as the batch
   * `pack_sequences`). Top-level so the product encoder resolves. */
@@ -776,6 +786,97 @@ object StreamOps {
         val h = md5(s)
         bitSet(BloomSketch.pos1(h, bits)) && bitSet(BloomSketch.pos2(h, bits))
       }), lit(false)))
+  }
+
+  /** Streaming SPAN dedup — the last batch/stream asymmetry closed: the
+    * batch dedup_span_exact needs corpus-wide chunk counts, which no
+    * bounded stream state can hold exactly, so the twin flags repeated
+    * spans AT INGEST through a Bloom filter over the stream's OWN chunk
+    * history (decontaminateStream's machinery pointed inward).
+    *
+    * Chunking is the batch operator's exact grid: non-overlapping
+    * [[graft.queries.Dedup.SpanTokens]]-token chunks of the whitespace
+    * tokens, md5 over the space-joined slice — so stream and batch agree
+    * on what a span IS. Each chunk routes to a shard by hash prefix; the
+    * shard's state is one FIXED-size bitmap (bits/shard × shards total,
+    * forever — state does not grow with stream volume). A chunk whose two
+    * Bloom positions (the BloomSketch hex-prefix slices) are already set
+    * emits a [[SpanDupFlag]]; then its bits are set.
+    *
+    * Guarantee direction (the one that matters for hygiene, and the spec
+    * gate): NO false negatives — a chunk hash seen before is ALWAYS
+    * flagged on re-occurrence, so the stream's flagged-hash set is a
+    * SUPERSET of the batch operator's duplicated-chunk set over the same
+    * data (StreamingSpec replays a corpus and asserts it). False
+    * positives flag a clean first occurrence (standard Bloom semantics);
+    * saturation of the fixed bitmap RAISES the FP rate but can never
+    * create a false negative. The batch job stays the system-of-record;
+    * a long-running intake rotates state by restarting on a fresh
+    * checkpoint at its batch-reconciliation cadence.
+    *
+    * @param docs       streaming DataFrame
+    * @param tsCol      event-time column (micro-batch ordering key)
+    * @param idCol      long document id column
+    * @param textCol    document text (whitespace-tokenized)
+    * @param spanTokens tokens per chunk (default: the batch SpanTokens)
+    * @param bloomBits  bits per shard bitmap — BloomSketch's power-of-16
+    *                   contract; capacity scales as shards × bloomBits
+    * @param shards     state shards (parallelism × capacity fan-out) */
+  def spanDedupStream(
+      docs: DataFrame,
+      tsCol: String,
+      idCol: String,
+      textCol: String,
+      spanTokens: Int = graft.queries.Dedup.SpanTokens,
+      bloomBits: Long = 1L << 16,
+      shards: Int = 64): Dataset[SpanDupFlag] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val hc = graft.operators.BloomSketch.hexChars(bloomBits)
+    val words = (bloomBits / 64L).toInt
+    val chunks = docs
+      .select(col(tsCol).cast("timestamp").as("ts"),
+        col(idCol).cast("long").as("doc_id"),
+        split(col(textCol), "\\s+").as("toks"))
+      .filter(size(col("toks")) >= spanTokens)
+      .select(col("ts"), col("doc_id"), col("toks"),
+        explode(sequence(lit(0),
+          expr(s"size(toks) DIV $spanTokens") - 1)).as("ci"))
+      .select(col("ts"), col("doc_id"), col("ci").cast("int").as("ci"),
+        md5(concat_ws(" ",
+          slice(col("toks"), (col("ci") * spanTokens + 1).cast("int"),
+            lit(spanTokens))))
+          .as("chunk_hash"))
+      .withColumn("shard",
+        (conv(substring(col("chunk_hash"), 1, 4), 16, 10)
+          % shards).cast("long"))
+      .as[(java.sql.Timestamp, Long, Int, String, Long)]
+    chunks
+      .groupByKey(_._5)
+      .flatMapGroupsWithState(
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (_: Long,
+         rows: Iterator[(java.sql.Timestamp, Long, Int, String, Long)],
+         state: GroupState[SpanBloom]) =>
+          val bm: Array[Long] = state.getOption
+            .map(_.words.toArray).getOrElse(new Array[Long](words))
+          val out = List.newBuilder[SpanDupFlag]
+          // deterministic replay order: (event time, doc, chunk index)
+          rows.toSeq.sortBy(r => (r._1.getTime, r._2, r._3)).foreach {
+            case (_, id, _, h, _) =>
+              // the BloomSketch position discipline: two hex-PREFIX
+              // slices of the digest (the chunk hash IS an md5 hex)
+              val p1 = java.lang.Long.parseLong(h.substring(0, hc), 16)
+              val p2 = java.lang.Long.parseLong(h.substring(hc, 2 * hc), 16)
+              def isSet(p: Long): Boolean =
+                ((bm((p / 64L).toInt) >>> (p % 64L)) & 1L) == 1L
+              if (isSet(p1) && isSet(p2)) out += SpanDupFlag(id, h)
+              bm((p1 / 64L).toInt) |= 1L << (p1 % 64L)
+              bm((p2 / 64L).toInt) |= 1L << (p2 % 64L)
+          }
+          state.update(SpanBloom(bm.toSeq))
+          out.result().iterator
+      }
   }
 
   /** The streaming pretraining intake — the composition the streaming

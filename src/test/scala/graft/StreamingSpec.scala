@@ -1109,4 +1109,64 @@ class StreamingSpec extends AnyFunSuite {
       }
     } finally q.stop()
   }
+
+  test("spanDedupStream flags exactly the repeated chunks on a controlled corpus") {
+    val sparkS = spark
+    import sparkS.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val span = (1 to 16).map(i => s"tok$i").mkString(" ")
+    val other = (101 to 116).map(i => s"tok$i").mkString(" ")
+    val mem = MemoryStream[(java.sql.Timestamp, Long, String)]
+    val q = StreamOps.spanDedupStream(
+        mem.toDF().toDF("ts", "doc_id", "text"), "ts", "doc_id", "text")
+      .writeStream.format("memory").queryName("spanflags")
+      .outputMode("append").start()
+    try {
+      val t = new java.sql.Timestamp(1000L)
+      mem.addData((t, 1L, span), (t, 2L, other))
+      q.processAllAvailable()
+      assert(spark.table("spanflags").count() === 0L,
+        "first occurrences must not flag")
+      // doc 3 repeats doc 1's span; doc 4 holds the same span TWICE
+      // (within-doc repeats count, the batch n_occurrences semantics)
+      mem.addData((t, 3L, span), (t, 4L, s"$span $span"))
+      q.processAllAvailable()
+      val flags = spark.table("spanflags")
+        .select("doc_id").collect().map(_.getLong(0)).sorted
+      assert(flags.toSeq === Seq(3L, 4L, 4L))
+    } finally q.stop()
+  }
+
+  test("spanDedupStream: replayed corpus flags a SUPERSET of the batch duplicated-chunk set") {
+    val sparkS = spark
+    import sparkS.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val sfDir = "/root/testdata/sf0.001"
+    import org.apache.spark.sql.functions._
+    val docs = graft.util.Tables(spark, sfDir, "documents")
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (new java.sql.Timestamp(1000L), r.getLong(0), r.getString(1)))
+    val mem = MemoryStream[(java.sql.Timestamp, Long, String)]
+    val q = StreamOps.spanDedupStream(
+        mem.toDF().toDF("ts", "doc_id", "text"), "ts", "doc_id", "text")
+      .writeStream.format("memory").queryName("spanflags2")
+      .outputMode("append").start()
+    try {
+      // two micro-batches: duplicates must be caught across batch
+      // boundaries through the persisted shard state, not just within one
+      val (h1, h2) = docs.splitAt(docs.length / 2)
+      mem.addData(h1.toIndexedSeq); q.processAllAvailable()
+      mem.addData(h2.toIndexedSeq); q.processAllAvailable()
+      val flagged = spark.table("spanflags2")
+        .select("chunk_hash").distinct().collect()
+        .map(_.getString(0)).toSet
+      val batchDups = SparkEntry.queries("dedup_span_exact")(spark, sfDir)
+        .select("chunk_hash").collect().map(_.getString(0)).toSet
+      assert(batchDups.nonEmpty, "testdata has duplicated spans")
+      val missed = batchDups.diff(flagged)
+      assert(missed.isEmpty,
+        s"no-false-negative contract broken: ${missed.take(3)}")
+    } finally q.stop()
+  }
 }
