@@ -73,11 +73,51 @@ object Bench {
 
     def obj(kvs: Seq[(String, Double)]): String =
       kvs.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
+
+    // ---- OFFICIAL sf1 column (round 9): the slope audit promoted from a
+    // manual rehearsal to part of every bench run, so a superlinear
+    // regression trips the same per-round gate the sf0.1 numbers have.
+    // Runs only for the driver's sf0.1 shape (a custom SF dir benches
+    // itself alone); SPARK_GRAFT_SF1=0 disables, SPARK_GRAFT_SF1_DIR
+    // relocates. The 10× database builds once (ScaleRehearsal.buildSf1 is
+    // per-table idempotent — warm rounds pay zero build jobs); one-time
+    // artifact fits (BPE model, IVF/search indexes, log ingest) land in
+    // the cold column, medians carry the steady state. Engine workloads
+    // are SF-independent and not repeated here.
+    val sf1Enabled = sys.env.getOrElse("SPARK_GRAFT_SF1", "1") != "0" &&
+      sfDir.replaceAll("/+$", "").endsWith("sf0.1")
+    val sf1Block =
+      if (!sf1Enabled) ""
+      else try {
+        val sf1Dir = sys.env.getOrElse("SPARK_GRAFT_SF1_DIR", "/tmp/graft_sf1")
+        graft.tools.ScaleRehearsal.buildSf1(spark, sfDir, sf1Dir)
+        val reps = sys.env.getOrElse(
+          "SPARK_GRAFT_SF1_REPS", MedianReps.toString).toInt
+        val r1 = ordered.map { case (name, fn) =>
+          def once(): Double = {
+            val t0 = System.nanoTime()
+            val ok = try { fn(spark, sf1Dir).count(); true }
+              catch { case _: Throwable => false }
+            if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
+          }
+          val cold = once()
+          val med = if (cold < 0) -1.0 else median(Seq.fill(reps)(once()))
+          (name, cold, med)
+        }
+        s""","queries_sf1":${obj(r1.map(r => r._1 -> r._2))}""" +
+          s""","queries_sf1_median":${obj(r1.map(r => r._1 -> r._3))}""" +
+          s""","total_sf1":${r1.map(_._2).sum}""" +
+          s""","total_sf1_median":${r1.map(_._3).sum}"""
+      } catch {
+        case e: Throwable =>
+          s""","sf1_error":"${e.getClass.getSimpleName}""""
+      }
+
     val qs = obj(results.map(r => r._1 -> r._2) ++ engineCold)
     val qsMed = obj(results.map(r => r._1 -> r._3) ++ engineMed)
     val total = results.map(_._2).sum
     val totalMed = results.map(_._3).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","total_median":$totalMed,"median_reps":$MedianReps,"queries":$qs,"queries_median":$qsMed,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","total_median":$totalMed,"median_reps":$MedianReps,"queries":$qs,"queries_median":$qsMed$sf1Block,"sf":"$sfDir"}""")
     spark.stop()
   }
 
