@@ -52,8 +52,19 @@ object BpeModel {
     * a half-written model, and two racing writers get distinct versions
     * (the JVM-level lock serializes the local case; cross-JVM races are
     * resolved by the rename failing on an existing target, retried with
-    * the next number). */
-  def save(s: SparkSession, merges: Merges, dir: String): Long =
+    * the next number).
+    *
+    * `fingerprint` stamps the version with the identity of the corpus it
+    * was trained from (written as a `_fingerprint` file INSIDE the staged
+    * dir, so it commits atomically with the model and parquet readers —
+    * which skip underscore files — never see it as data). A consumer
+    * holding the current corpus fingerprint compares it against
+    * [[fingerprintOf]] to detect a STALE artifact instead of silently
+    * tokenizing with yesterday's merges — the staleness contract
+    * BpeModelStalenessSpec pins. */
+  def save(
+      s: SparkSession, merges: Merges, dir: String,
+      fingerprint: Option[String] = None): Long =
     synchronized {
       val root = Paths.get(dir)
       Files.createDirectories(root)
@@ -66,6 +77,9 @@ object BpeModel {
         val staging = root.resolve(
           s"staging-${java.util.UUID.randomUUID().toString.take(8)}")
         df.coalesce(1).write.mode("overwrite").parquet(staging.toString)
+        fingerprint.foreach(fp => Files.write(
+          staging.resolve("_fingerprint"),
+          fp.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
         try {
           Files.move(staging, root.resolve(s"v=$attempt"),
             StandardCopyOption.ATOMIC_MOVE)
@@ -83,6 +97,18 @@ object BpeModel {
       }
       done
     }
+
+  /** The corpus fingerprint version `version` was trained from, or None
+    * for a version saved without one (pre-staleness-contract artifacts —
+    * their staleness is UNKNOWN, which callers must treat as their own
+    * policy decision, not as fresh). */
+  def fingerprintOf(dir: String, version: Long): Option[String] = {
+    val f = Paths.get(dir, s"v=$version", "_fingerprint")
+    if (Files.isRegularFile(f))
+      Some(new String(Files.readAllBytes(f),
+        java.nio.charset.StandardCharsets.UTF_8))
+    else None
+  }
 
   /** Load the latest version; throws if no model has been saved. */
   def load(s: SparkSession, dir: String): Merges = {

@@ -877,21 +877,45 @@ object TextAnalysis {
     * production pipeline relies on (the in-process cache is only the
     * trainer's memo, never the cross-job contract). Fingerprint-unreadable
     * corpora (remote fs) fall back to the in-memory table. */
-  private def persistedMerges(s: SparkSession, dir: String)
+  /** The artifact root for `dir`'s corpus (fingerprint-keyed), or None
+    * when the fingerprint is unreadable. Package-visible so the staleness
+    * spec can place a stale model at the EXACT root the pipeline will
+    * read. */
+  private[graft] def bpeModelRoot(s: SparkSession, dir: String): Option[String] =
+    corpusKey(dir).map { ck =>
+      val key = java.security.MessageDigest.getInstance("MD5")
+        .digest(ck.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(12)
+      java.nio.file.Paths.get(
+        sys.props.getOrElse("java.io.tmpdir", "/tmp"),
+        s"graft-bpemodel-$key").toString
+    }
+
+  /** STALENESS CONTRACT (BpeModelStalenessSpec pins both halves):
+    *  1. the root is keyed by the corpus fingerprint, so a grown or
+    *     overwritten corpus keys a DIFFERENT root and trains fresh —
+    *     rebuild-on-fingerprint-change, never silent staleness;
+    *  2. the artifact itself carries the fingerprint it was trained from
+    *     ([[graft.operators.BpeModel.fingerprintOf]]), and the latest
+    *     version is VERIFIED against the current corpus before serving —
+    *     a stale or foreign model at the right path (a restored backup, a
+    *     copied tmpdir) is detected and superseded by a freshly-trained
+    *     version instead of silently tokenizing with the wrong merges.
+    *     Versions saved without a fingerprint (pre-contract artifacts)
+    *     are accepted as-is — their age is unknowable, and retraining on
+    *     every call would defeat the artifact. */
+  private[graft] def persistedMerges(s: SparkSession, dir: String)
       : Seq[(Long, String, String, String, Long)] = {
     import graft.operators.BpeModel
-    corpusKey(dir) match {
-      case Some(ck) =>
-        val key = java.security.MessageDigest.getInstance("MD5")
-          .digest(ck.getBytes("UTF-8"))
-          .map("%02x".format(_)).mkString.take(12)
-        val root = java.nio.file.Paths.get(
-          sys.props.getOrElse("java.io.tmpdir", "/tmp"),
-          s"graft-bpemodel-$key").toString
-        if (BpeModel.versions(root).isEmpty)
-          BpeModel.save(s, learnBpeMergesCached(s, dir), root)
+    (corpusKey(dir), bpeModelRoot(s, dir)) match {
+      case (Some(ck), Some(root)) =>
+        val latestTrusted = BpeModel.versions(root).lastOption.exists { v =>
+          BpeModel.fingerprintOf(root, v).forall(_ == ck)
+        }
+        if (!latestTrusted)
+          BpeModel.save(s, learnBpeMergesCached(s, dir), root, Some(ck))
         BpeModel.load(s, root)
-      case None => learnBpeMergesCached(s, dir)
+      case _ => learnBpeMergesCached(s, dir)
     }
   }
 
