@@ -84,6 +84,26 @@ final class SearchIndex private[operators] (
     postings.join(idf, "token")
       .select("token", "tbucket", "doc_id", "cnt", "idf_q6")
   }
+
+  /** The postings with PRECOMPUTED per-posting BM25 contributions —
+    * (token, tbucket, doc_id, contrib). BM25's per-(doc, term) term
+    * depends only on (cnt, dl, df, N, avgdl), all fixed for a snapshot,
+    * so the whole contribution precomputes per posting row and a query's
+    * score is a plain SUM over its terms' rows — the streaming twin's
+    * model, bit-identical to [[SearchIndex.searchBm25]] by construction
+    * (the same pinned expression over the same values). Same derived-
+    * model/persist-the-snapshot contract as [[scoredPostings]]. */
+  def scoredPostingsBm25: DataFrame = {
+    val idf = postings.groupBy("token")
+      .agg(count(lit(1)).as("df"))
+      .select(col("token"),
+        SearchIndex.bm25IdfQ6(lit(nDocs).cast("double"), col("df"))
+          .as("idf_q6"))
+    postings.join(idf, "token")
+      .select(col("token"), col("tbucket"), col("doc_id"),
+        SearchIndex.bm25Contrib(col("idf_q6"), col("cnt"), col("dl"),
+          avgdl).as("contrib"))
+  }
 }
 
 object SearchIndex {
@@ -300,23 +320,35 @@ object SearchIndex {
   def searchBm25(
       idx: SearchIndex, terms: Seq[String], topK: Int): DataFrame = {
     val t = pruned(idx, terms)
-    val n = lit(idx.nDocs).cast("double")
     val idf = dfOf(t)
       .select(col("token"),
-        floor(log((((n - col("df").cast("double")) + lit(0.5))
-            / (col("df").cast("double") + lit(0.5))) + lit(1.0))
-          * 1000000L).cast("long").as("idf_q6"))
+        bm25IdfQ6(lit(idx.nDocs).cast("double"), col("df")).as("idf_q6"))
     t.join(broadcast(idf), "token")
       .withColumn("contrib",
-        floor(col("idf_q6").cast("double") *
-          ((col("cnt").cast("double") * lit(2.2)) /
-            (col("cnt").cast("double") +
-              (lit(1.2) * (lit(0.25) +
-                (lit(0.75) * (col("dl").cast("double") / lit(idx.avgdl))))))))
-          .cast("long"))
+        bm25Contrib(col("idf_q6"), col("cnt"), col("dl"), idx.avgdl))
       .groupBy("doc_id")
       .agg(sum(col("contrib")).as("score"))
       .orderBy(col("score").desc, col("doc_id")).limit(topK)
       .select("doc_id", "score")
   }
+
+  /** Robertson idf, floor-quantized at 1e-6 — the ONE ln per distinct
+    * token. Shared by the batch search and the precomputed streaming
+    * model so the two can never quantize differently. */
+  private[operators] def bm25IdfQ6(n: Column, df: Column): Column =
+    floor(log((((n - df.cast("double")) + lit(0.5))
+        / (df.cast("double") + lit(0.5))) + lit(1.0))
+      * 1000000L).cast("long")
+
+  /** The pinned-parenthesization BM25 per-(doc, term) contribution
+    * (k1 = 1.2, b = 0.75), floor-quantized to an exact BIGINT. Mirrored
+    * verbatim in the search_bm25 oracle SQL — edit both or neither. */
+  private[operators] def bm25Contrib(
+      idfQ6: Column, cnt: Column, dl: Column, avgdl: Double): Column =
+    floor(idfQ6.cast("double") *
+      ((cnt.cast("double") * lit(2.2)) /
+        (cnt.cast("double") +
+          (lit(1.2) * (lit(0.25) +
+            (lit(0.75) * (dl.cast("double") / lit(avgdl))))))))
+      .cast("long")
 }

@@ -660,6 +660,11 @@ object StreamOps {
     * @param topK      documents returned per query
     * @param windowLen tumbling-window length
     * @param delay     watermark delay
+    * @param scoring   "tfidf" (default) or "bm25" — BM25's per-(doc,
+    *                  term) contribution is fully precomputable for a
+    *                  snapshot ([[graft.operators.SearchIndex.scoredPostingsBm25]]),
+    *                  so both modes are one join + exact BIGINT sums and
+    *                  both match their batch search bit-for-bit
     */
   def searchStream(
       queries: DataFrame,
@@ -669,7 +674,8 @@ object StreamOps {
       idx: graft.operators.SearchIndex,
       topK: Int,
       windowLen: String,
-      delay: String): DataFrame = {
+      delay: String,
+      scoring: String = "tfidf"): DataFrame = {
     val terms = queries
       .select(col(tsCol).cast("timestamp").as("ts"),
         col(idCol).cast("long").as("q_id"),
@@ -678,11 +684,19 @@ object StreamOps {
         // not double-count, or the batch-identical-scores contract breaks
         explode(array_distinct(split(col(qCol), "\\s+"))).as("token"))
       .withWatermark("ts", delay)
+    val scored = scoring match {
+      case "tfidf" => idx.scoredPostings
+        .select(col("token"), col("doc_id"),
+          (col("cnt") * col("idf_q6")).as("contrib"))
+      case "bm25" => idx.scoredPostingsBm25
+        .select("token", "doc_id", "contrib")
+      case other => throw new IllegalArgumentException(
+        s"scoring must be tfidf or bm25, got '$other'")
+    }
     terms
-      .join(idx.scoredPostings
-        .select("token", "doc_id", "cnt", "idf_q6").persist(), Seq("token"))
+      .join(scored.persist(), Seq("token"))
       .groupBy(window(col("ts"), windowLen), col("q_id"), col("doc_id"))
-      .agg(sum(col("cnt") * col("idf_q6")).as("score"))
+      .agg(sum(col("contrib")).as("score"))
       .groupBy(col("window"), col("q_id"))
       .agg(slice(sort_array(collect_list(struct(
         (-col("score")).as("neg"), col("doc_id")))), 1, topK).as("top"))

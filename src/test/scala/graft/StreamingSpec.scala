@@ -905,6 +905,43 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("searchStream bm25 mode matches the batch searchBm25 bit-for-bit") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    implicit val sqlCtx = spark.sqlContext
+    val sfDir = "/root/testdata/sf0.001"
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-searchstreambm").toString
+    graft.operators.SearchIndex.build(
+      graft.util.Tables(spark, sfDir, "documents")
+        .select(col("doc_id"), col("text"))).save(dir)
+    val idx = graft.operators.SearchIndex.load(spark, dir)
+    val batch = graft.operators.SearchIndex
+      .searchBm25(idx, Seq("vector", "stream"), 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val mem = MemoryStream[(java.sql.Timestamp, Long, String)]
+    def ts(s: Long) = new java.sql.Timestamp(s * 1000L)
+    val q = StreamOps.searchStream(
+        mem.toDF().toDF("ts", "q_id", "q"),
+        "ts", "q_id", "q", idx, topK = 5,
+        windowLen = "10 seconds", delay = "5 seconds", scoring = "bm25")
+      .writeStream.format("memory").queryName("searchstreambm")
+      .outputMode("append").start()
+    try {
+      mem.addData((ts(3), 7L, "vector stream"))
+      q.processAllAvailable()
+      mem.addData((ts(60), 999L, "window"))
+      q.processAllAvailable()
+      val got = spark.table("searchstreambm")
+        .filter(col("q_id") === 7L)
+        .select("top_ids", "top_scores").collect()
+      assert(got.length === 1)
+      val served = got.head.getSeq[Long](0)
+        .zip(got.head.getSeq[Long](1)).toSeq
+      assert(served === batch, s"$served != $batch")
+    } finally q.stop()
+  }
+
   test("packTokenIdsStream: seq ids and partial buffers survive a restart") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
