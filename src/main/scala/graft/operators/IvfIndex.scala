@@ -75,16 +75,29 @@ object IvfIndex {
     * `.old`, staging not yet renamed in) must not move `.old` back — that
     * mutation races the in-flight compact, whose second rename would then
     * fail and strand the staging dir. Recovery runs only from the
-    * SYNCHRONIZED maintenance entry points (appendVectors / compact);
-    * a reader inside the window just reads the intact pre-swap data at
-    * `.old`, read-only ([[readMaybeOld]]). */
+    * SYNCHRONIZED maintenance entry points (appendVectors / compact /
+    * splitCell); a reader inside the window just reads the intact
+    * pre-swap data at `.old`, read-only ([[readMaybeOld]]).
+    *
+    * Two fallback granularities: the whole-INDEX `.old` (a generation
+    * swap mid-flight — [[splitCell]] replaces centroids + cells together,
+    * and a reader must see a CONSISTENT pair, never new centroids over
+    * old cells) takes precedence; then the per-relation cells `.old`
+    * (compact's swap). */
   def load(spark: SparkSession, dir: String): IvfIndex = {
-    val centroids = spark.read.parquet(s"$dir/centroids")
+    val base =
+      if (!java.nio.file.Files.exists(
+          java.nio.file.Paths.get(dir, "centroids")) &&
+          java.nio.file.Files.isDirectory(
+            java.nio.file.Paths.get(dir + ".old")))
+        dir + ".old"
+      else dir
+    val centroids = spark.read.parquet(s"$base/centroids")
       .collect()
       .map(r => r.getInt(0) -> r.getSeq[Double](1).toArray)
       .sortBy(_._1).map(_._2)
     new IvfIndex(centroids,
-      readMaybeOld(spark, java.nio.file.Paths.get(dir, "cells")))
+      readMaybeOld(spark, java.nio.file.Paths.get(base, "cells")))
   }
 
   /** Read a swap-managed relation without mutating swap state: the target
@@ -129,8 +142,9 @@ object IvfIndex {
     * @return the number of vectors appended */
   def appendVectors(spark: SparkSession, dir: String, emb: DataFrame): Long =
     synchronized {
-      // maintenance entry: heal a torn swap BEFORE reading (under the same
-      // lock compact holds, so this can never race compact's rename pair)
+      // maintenance entry: heal torn swaps BEFORE reading (under the same
+      // lock compact/splitCell hold, so this can never race a rename pair)
+      recoverSwapRoot(dir)
       recoverSwap(java.nio.file.Paths.get(dir, "cells"))
       val idx = load(spark, dir)
       // pinned: count and write must see the SAME rows even when `emb` is
@@ -163,7 +177,114 @@ object IvfIndex {
     * on either side of a rename. Content is byte-equal input rows;
     * quantizer untouched. */
   def compact(spark: SparkSession, dir: String): Unit = synchronized {
+    recoverSwapRoot(dir)
     compactRelation(spark, java.nio.file.Paths.get(dir, "cells"))
+  }
+
+  /** SPLIT a hot cell: the in-between maintenance move the IVF lifecycle
+    * was missing. [[appendVectors]] grows cells without refit; a cell
+    * that outgrows its peers makes every probe touching it pay its whole
+    * list (the c² pair cost in dedup shapes, the c scan cost in probes).
+    * Splitting re-fits TWO centroids on the one cell (bounded sample,
+    * driver-side Lloyd — the PQ codebook discipline), reassigns ONLY that
+    * cell's rows between them (every other row keeps its cell id and
+    * bytes), and publishes centroids+cells together as a NEW GENERATION
+    * of the index dir via one staged swap — the FAISS/serving-tier
+    * refresh shape: build the next generation, flip the pointer.
+    *
+    * Commit contract: centroids and cells must flip TOGETHER (new
+    * centroids over old cells would probe cell k into rows that still
+    * live in the split cell — silent recall loss), so the swap target is
+    * the whole index dir: staging sibling → `dir` → `dir.old` → staging
+    * renamed in. A crash between the renames heals at the next
+    * maintenance entry ([[recoverSwapRoot]]); plain readers fall back to
+    * the consistent `.old` generation read-only ([[load]]).
+    *
+    * Cost: one full index rewrite (a generation, like compact) — at test
+    * scale and for the artifact sizes this library persists that is the
+    * honest, crash-safe primitive; an in-place single-partition split
+    * would need probe-side dedup against torn duplicates to be safe.
+    *
+    * Refuses under a PQ tier: pq_codes are residual-encoded against the
+    * CURRENT centroid of their cell, so splitting beneath them would
+    * silently corrupt every affected code — the PQ heal for quantizer
+    * drift is a re-build, by contract.
+    *
+    * Handle invalidation: the committed swap DELETES the previous
+    * generation's files, so an [[IvfIndex]] loaded BEFORE the split must
+    * be re-loaded after it (readers concurrent WITH the swap read `.old`
+    * safely; handles held across it do not) — the same contract as
+    * holding a DataFrame over any overwritten parquet path.
+    *
+    * @return the new cell's id (= the old cell count) */
+  def splitCell(
+      spark: SparkSession, dir: String, cell: Int,
+      trainTarget: Int = 4096, maxIter: Int = 5, seed: Long = 42L): Int =
+    synchronized {
+      recoverSwapRoot(dir)
+      recoverSwap(java.nio.file.Paths.get(dir, "cells"))
+      require(!java.nio.file.Files.exists(
+          java.nio.file.Paths.get(dir, "pq_codes")),
+        "splitCell under a PQ tier would corrupt residual codes; " +
+          "re-build the PQ index to heal quantizer drift")
+      val idx = load(spark, dir)
+      require(cell >= 0 && cell < idx.k, s"cell $cell outside [0, ${idx.k})")
+      val newId = idx.k
+      val cellRows = idx.assignments.filter(col("cell") === cell)
+        .select(col("vec_id"), col("v"), col("nrm"))
+      val n = cellRows.count()
+      require(n >= 2, s"cell $cell has $n rows; nothing to split")
+      val sample =
+        (if (n <= trainTarget) cellRows
+         else cellRows.sample(withReplacement = false,
+           trainTarget.toDouble / n, seed))
+          .select(col("vec_id"), col("v")).collect()
+          .sortBy(_.getLong(0)).map(_.getSeq[Double](1).toArray)
+      val two = PqIndex.fitLloyd(sample, 2, maxIter)
+      require(two.length == 2,
+        s"cell $cell has <2 distinct points; split is meaningless")
+      // reassign ONLY the split cell's rows: nearest of the two new
+      // centroids via the fused kernel (sub 0 stays, sub 1 moves to k)
+      val t = new graft.exprs.PqScoreTable(two, Array.empty[Double], 1, 1)
+      val reassigned = cellRows.withColumn("cell",
+        when(element_at(
+          graft.exprs.functions.ivf_nearest_cells(col("v"), t, 1), 1) === 0,
+          lit(cell)).otherwise(lit(newId)))
+        .select("vec_id", "v", "nrm", "cell")
+      val newAssign = idx.assignments.filter(col("cell") =!= cell)
+        .select("vec_id", "v", "nrm", "cell")
+        .unionByName(reassigned)
+      val newCentroids = idx.centroids.updated(cell, two(0)) :+ two(1)
+
+      // next generation, staged then swapped as ONE unit
+      import spark.implicits._
+      import java.nio.file.{Files, Paths, StandardCopyOption}
+      val staging = dir + ".split-" +
+        java.util.UUID.randomUUID().toString.take(8)
+      newAssign.write.mode("overwrite")
+        .partitionBy("cell").parquet(s"$staging/cells")
+      newCentroids.zipWithIndex
+        .map { case (c, i) => (i, c.toSeq) }.toSeq
+        .toDF("cell", "centroid")
+        .coalesce(1).write.mode("overwrite").parquet(s"$staging/centroids")
+      val old = Paths.get(dir + ".old")
+      graft.storage.ParquetLogBackend.deleteRecursively(old)
+      Files.move(Paths.get(dir), old, StandardCopyOption.ATOMIC_MOVE)
+      Files.move(Paths.get(staging), Paths.get(dir),
+        StandardCopyOption.ATOMIC_MOVE)
+      graft.storage.ParquetLogBackend.deleteRecursively(old)
+      newId
+    }
+
+  /** Roll back an INDEX-generation swap that died between renames
+    * (`dir` missing, `dir.old` present) — [[splitCell]]'s whole-dir
+    * analog of [[recoverSwap]]. */
+  private[operators] def recoverSwapRoot(dir: String): Unit = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val target = Paths.get(dir)
+    val old = Paths.get(dir + ".old")
+    if (!Files.exists(target) && Files.isDirectory(old))
+      Files.move(old, target, StandardCopyOption.ATOMIC_MOVE)
   }
 
   /** Roll back a swap that died between renames: `target` missing but

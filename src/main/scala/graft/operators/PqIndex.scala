@@ -92,7 +92,7 @@ object PqIndex {
     * Distinct-point shortfall degrades k gracefully (duplicate centers
     * can never win an argmin tie against their first copy — assignment
     * takes the lowest index, matching the encode tie-break). */
-  private def fitLloyd(
+  private[operators] def fitLloyd(
       pts: Array[Array[Double]], k: Int, maxIter: Int): Array[Array[Double]] = {
     val d = pts.head.length
     val kk = math.min(k, pts.length)
@@ -215,6 +215,7 @@ object PqIndex {
   def appendVectors(spark: SparkSession, dir: String, emb: DataFrame): Long =
     IvfIndex.synchronized {
       // maintenance entry: heal torn swaps under the maintenance lock
+      IvfIndex.recoverSwapRoot(dir)
       IvfIndex.recoverSwap(java.nio.file.Paths.get(dir, "cells"))
       IvfIndex.recoverSwap(java.nio.file.Paths.get(dir, "pq_codes"))
       val idx = load(spark, dir)

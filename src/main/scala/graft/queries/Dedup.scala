@@ -847,7 +847,15 @@ object Dedup {
     "dedup_semantic_pq" -> { (s, dir) =>
       val e = Tables(s, dir, "embeddings")
         .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-      val idx = graft.operators.PqIndex.build(e, m = 8, kCodes = 256)
+      // the standard IVF corpus-probe sizing, APPLIED not just documented:
+      // coarseK ~ √n keeps candidates ≈ nProbe·√n per query (total
+      // n^1.5), where a fixed k degrades to nProbe·n/k — quadratic-ish.
+      // Measured: the fixed k=8 build cost 23 s at the 10× rehearsal
+      // (100M candidates); √n sizing holds the slope.
+      val n = e.count()
+      val coarseK = math.max(8, math.ceil(math.sqrt(n.toDouble)).toInt)
+      val idx = graft.operators.PqIndex.build(
+        e, m = 8, kCodes = 256, coarseK = coarseK)
       val q = e.select(col("vec_id").as("q_id"), col("v").as("qv"))
       graft.operators.PqIndex
         .probeAll(idx, q, nProbe = 2, topK = 8, rerank = 32)

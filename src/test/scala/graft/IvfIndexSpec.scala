@@ -174,4 +174,84 @@ class IvfIndexSpec extends AnyFunSuite {
     assert(!new java.io.File(s"$idxDir/cells.old").exists())
     assert(IvfIndex.load(spark, idxDir).assignments.count() === before)
   }
+
+  test("splitCell: k+1 cells, only the split cell's rows move, exhaustive probe still exact") {
+    val idxDir = java.nio.file.Files
+      .createTempDirectory("graft-ivfsplit").toString
+    IvfIndex.build(emb, k = 4).save(idxDir)
+    val before = IvfIndex.load(spark, idxDir)
+    val beforeAssign = before.assignments
+      .select("vec_id", "cell").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    // probe answers captured BEFORE the split: a generation swap deletes
+    // the old generation's files at commit, so handles loaded before the
+    // split do not survive it (readers during the swap see .old; handles
+    // held across it must re-load — the documented contract)
+    val q = emb.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"))
+    val gotBefore = IvfIndex.probe(before, q, nProbe = 4, topK = 5)
+      .select("q_id", "rank", "n_id").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    // split the biggest cell — the operation's reason to exist
+    val hot = before.assignments.groupBy("cell").count()
+      .orderBy(col("count").desc).head().getInt(0)
+    val newId = IvfIndex.splitCell(spark, idxDir, hot)
+    assert(newId === 4)
+
+    val after = IvfIndex.load(spark, idxDir)
+    assert(after.k === 5)
+    // conservation: every vector exactly once, non-split rows unmoved
+    assert(after.assignments.count() === emb.count())
+    val afterAssign = after.assignments
+      .select("vec_id", "cell").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(afterAssign.size === beforeAssign.size)
+    beforeAssign.foreach { case (id, c) =>
+      if (c != hot) assert(afterAssign(id) === c, s"vec $id moved from untouched cell $c")
+      else assert(afterAssign(id) === hot || afterAssign(id) === newId)
+    }
+    assert(afterAssign.values.count(_ == newId) > 0, "the split must populate the new cell")
+
+    // answers: exhaustive probe == the same brute force as before
+    val gotAfter = IvfIndex.probe(after, q, nProbe = 5, topK = 5)
+      .select("q_id", "rank", "n_id").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(gotAfter === gotBefore)
+
+    // lifecycle composes: an upsert assigns against the k+1 quantizer
+    IvfIndex.appendVectors(spark, idxDir,
+      emb.limit(0)) // empty append exercises the entry + recovery path
+    assert(IvfIndex.load(spark, idxDir).k === 5)
+  }
+
+  test("splitCell refuses under a PQ tier") {
+    val idxDir = java.nio.file.Files
+      .createTempDirectory("graft-ivfsplitpq").toString
+    graft.operators.PqIndex.build(emb.filter(col("vec_id") < 100),
+      m = 8, kCodes = 16).save(idxDir)
+    val e = intercept[IllegalArgumentException] {
+      IvfIndex.splitCell(spark, idxDir, 0)
+    }
+    assert(e.getMessage.contains("PQ"))
+  }
+
+  test("a generation swap torn between renames: readers fall back, maintenance heals") {
+    val idxDir = java.nio.file.Files
+      .createTempDirectory("graft-ivfgen").toString
+    IvfIndex.build(emb.filter(col("vec_id") < 100), k = 4).save(idxDir)
+    val before = IvfIndex.load(spark, idxDir).assignments.count()
+    // simulate splitCell dying between its two renames: dir moved to
+    // dir.old, the staged generation never landed
+    java.nio.file.Files.move(
+      java.nio.file.Paths.get(idxDir),
+      java.nio.file.Paths.get(idxDir + ".old"))
+    val reader = IvfIndex.load(spark, idxDir)
+    assert(reader.assignments.count() === before,
+      "readers must fall back to the consistent .old generation")
+    assert(new java.io.File(idxDir + ".old").exists(),
+      "a read-only load must NOT move generation dirs")
+    IvfIndex.compact(spark, idxDir) // any maintenance entry heals
+    assert(!new java.io.File(idxDir + ".old").exists())
+    assert(IvfIndex.load(spark, idxDir).assignments.count() === before)
+  }
 }
