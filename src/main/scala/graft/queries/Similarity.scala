@@ -76,6 +76,34 @@ object Similarity {
     * ann_ivf_persisted query then exercises LOAD + PROBE — the serving
     * path — against it. */
   private def ensureIndex(s: SparkSession, dir: String): String =
+    ensureEmbArtifact(s, dir, "graft-ivfidx", "centroids") { staging =>
+      graft.operators.IvfIndex.build(embOf(s, dir)).save(staging)
+    }
+
+  /** Build-and-save the persisted IVF-PQ index once per testdata dir —
+    * the serving artifact dedup_semantic_pq probes (√n coarse sizing,
+    * the corpus-probe contract SCALING.md prices). */
+  private[graft] def ensurePqIndex(s: SparkSession, dir: String): String =
+    ensureEmbArtifact(s, dir, "graft-pqidx", "pq_codes") { staging =>
+      val e = embOf(s, dir)
+      val n = e.count()
+      val coarseK = math.max(8, math.ceil(math.sqrt(n.toDouble)).toInt)
+      graft.operators.PqIndex
+        .build(e, m = PqM, kCodes = PqK, coarseK = coarseK)
+        .save(staging)
+    }
+
+  private def embOf(s: SparkSession, dir: String) =
+    Tables(s, dir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+
+  /** The shared fingerprint-keyed artifact-cache discipline (staging dir
+    * + atomic rename; concurrent builders race benignly; a crashed build
+    * is never mistaken for an index): `readyMarker` names the subdir
+    * whose existence proves a complete artifact. */
+  private def ensureEmbArtifact(
+      s: SparkSession, dir: String, prefix: String, readyMarker: String)(
+      build: String => Unit): String =
     synchronized {
       import java.nio.file.{Files, Paths, StandardCopyOption}
       val src = Paths.get(dir, "embeddings.parquet")
@@ -92,14 +120,12 @@ object Similarity {
         .digest(s"$dir|$fingerprint".getBytes("UTF-8"))
         .map("%02x".format(_)).mkString.take(12)
       val base = Paths.get(
-        sys.props.getOrElse("java.io.tmpdir", "/tmp"), s"graft-ivfidx-$key")
-      if (Files.isDirectory(base.resolve("centroids"))) return base.toString
+        sys.props.getOrElse("java.io.tmpdir", "/tmp"), s"$prefix-$key")
+      if (Files.isDirectory(base.resolve(readyMarker))) return base.toString
       val staging = Paths.get(
         base.toString + ".build-" +
           java.util.UUID.randomUUID().toString.take(8))
-      val emb = Tables(s, dir, "embeddings")
-        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-      graft.operators.IvfIndex.build(emb).save(staging.toString)
+      build(staging.toString)
       try Files.move(staging, base, StandardCopyOption.ATOMIC_MOVE)
       catch {
         case e @ (_: java.nio.file.FileAlreadyExistsException |
@@ -108,7 +134,7 @@ object Similarity {
           graft.storage.ParquetLogBackend.deleteRecursively(staging)
           // a lost race must leave the winner's copy; a permission
           // failure has no winner and must surface
-          if (!Files.isDirectory(base.resolve("centroids"))) throw e
+          if (!Files.isDirectory(base.resolve(readyMarker))) throw e
       }
       base.toString
     }
