@@ -47,7 +47,7 @@ import java.nio.file.{Files, Paths, StandardCopyOption}
   * (SearchIndexSpec pins the contract).
   */
 final class SearchIndex private[operators] (
-    val postings: DataFrame, // (token, tbucket, doc_id, cnt, dl [, batch])
+    val postings: DataFrame, // (token, tbucket, doc_id, cnt, dl, pos [, batch])
     val nDocs: Long,
     val nTokens: Long,
     val sourceFps: Seq[String]) {
@@ -119,20 +119,26 @@ object SearchIndex {
   private[operators] def newBatchId(): String =
     "b" + java.util.UUID.randomUUID().toString.replace("-", "").take(16)
 
-  /** The (token, tbucket, doc_id, cnt, dl) relation of a document set:
-    * whitespace tokens (the text family's `split("\\s+")` contract),
-    * per-(doc, token) counts, per-doc total length. ONE definition shared
-    * by build and appendDocs so a batch can never tokenize differently. */
+  /** The (token, tbucket, doc_id, cnt, dl, pos) relation of a document
+    * set: whitespace tokens (the text family's `split("\\s+")` contract),
+    * per-(doc, token) counts, per-doc total length, and the token's
+    * 0-based POSITIONS in the document (ascending — the positional
+    * postings that make phrase search an index operation instead of a
+    * corpus rescan; ~4 B/occurrence, the classic positional-index cost).
+    * ONE definition shared by build and appendDocs so a batch can never
+    * tokenize differently. */
   private def postingsOf(docs: DataFrame): DataFrame = {
     val d = docs.filter(col("text").isNotNull)
       .select(col("doc_id"), col("text"))
     val tf = d.select(col("doc_id"),
-        explode(split(col("text"), "\\s+")).as("token"))
-      .groupBy("doc_id", "token").agg(count(lit(1)).as("cnt"))
+        posexplode(split(col("text"), "\\s+")).as(Seq("pos", "token")))
+      .groupBy("doc_id", "token")
+      .agg(count(lit(1)).as("cnt"),
+        sort_array(collect_list(col("pos"))).as("pos"))
     tf.withColumn("dl", sum(col("cnt")).over(
         org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))))
       .select(col("token"), bucketOf(col("token")).as("tbucket"),
-        col("doc_id"), col("cnt"), col("dl"))
+        col("doc_id"), col("cnt"), col("dl"), col("pos"))
   }
 
   /** Build an in-memory index from (doc_id, text). */
@@ -189,7 +195,7 @@ object SearchIndex {
     val active = activeMetas(spark, dir).map(_.batch)
     val batch = newBatchId()
     idx.postings
-      .select("token", "tbucket", "doc_id", "cnt", "dl")
+      .select("token", "tbucket", "doc_id", "cnt", "dl", "pos")
       .withColumn("batch", lit(batch))
       .repartition(col("tbucket"))
       .write.mode("append").partitionBy("batch", "tbucket")
@@ -262,7 +268,7 @@ object SearchIndex {
     val metas = activeMetas(spark, dir)
     val postings = spark.read.parquet(s"$dir/postings")
       .filter(col("batch").isin(metas.map(_.batch): _*))
-      .select("token", "tbucket", "doc_id", "cnt", "dl", "batch")
+      .select("token", "tbucket", "doc_id", "cnt", "dl", "pos", "batch")
     new SearchIndex(postings, metas.map(_.nDocs).sum,
       metas.map(_.nTokens).sum,
       metas.flatMap(_.sourceFp).flatMap(_.split(",")).distinct)
@@ -330,6 +336,43 @@ object SearchIndex {
       .agg(sum(col("contrib")).as("score"))
       .orderBy(col("score").desc, col("doc_id")).limit(topK)
       .select("doc_id", "score")
+  }
+
+  /** EXACT-PHRASE search over the positional postings: top-`topK`
+    * documents by occurrence count of `terms` as ADJACENT tokens in
+    * order. The bag-of-words scorers (TF-IDF/BM25) cannot distinguish
+    * "new york" from "york new"; the positional index can, with the same
+    * pruned-scan shape — the scan touches only the phrase terms' buckets.
+    *
+    * Mechanism: per candidate document, a token → positions map over the
+    * matched terms; the start-position set folds left across the phrase
+    * (`S_i = {p ∈ S_{i-1} : (p + i) ∈ pos(term_i)}`), so occurrences =
+    * |S_k|. Overlapping matches count ("a a a" contains "a a" twice) —
+    * the oracle's adjacency self-join counts identically. Documents
+    * missing any term drop before the fold (map-size filter). Repeated
+    * phrase terms reuse the one positions array with different offsets.
+    * Per-doc work is |positions| intersections over query-terms-sized
+    * arrays — interpreted HOFs, but only on the pruned candidate rows,
+    * never the corpus. */
+  def searchPhrase(
+      idx: SearchIndex, terms: Seq[String], topK: Int): DataFrame = {
+    require(terms.nonEmpty, "empty phrase")
+    val distinctTerms = terms.distinct
+    val byDoc = pruned(idx, distinctTerms)
+      .groupBy("doc_id")
+      .agg(map_from_entries(
+        collect_list(struct(col("token"), col("pos")))).as("m"))
+      .filter(size(col("m")) === distinctTerms.size)
+    val starts = terms.zipWithIndex.tail.foldLeft(
+      element_at(col("m"), terms.head)) { case (acc, (term, i)) =>
+        filter(acc, p =>
+          array_contains(element_at(col("m"), lit(term)), p + i))
+      }
+    byDoc
+      .withColumn("n_occurrences", size(starts).cast("long"))
+      .filter(col("n_occurrences") > 0)
+      .orderBy(col("n_occurrences").desc, col("doc_id")).limit(topK)
+      .select("doc_id", "n_occurrences")
   }
 
   /** Robertson idf, floor-quantized at 1e-6 — the ONE ln per distinct

@@ -372,6 +372,32 @@ object TextAnalysis {
        |SELECT doc_id, score FROM sc
        |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin
 
+  // search_phrase: the literal phrase (adjacent in-order tokens; present
+  // ~48× in the synthetic corpus — any phrase works, the plan shape is
+  // length-independent)
+  private val PhraseTerms = Seq("table", "hash")
+
+  /** The search_phrase DuckDB mirror: the k-way adjacency self-join over
+    * token positions — one join per phrase gap, counting start positions
+    * (overlapping matches count, exactly like the engine's fold). */
+  private lazy val SearchPhraseSql: String = {
+    val joins = PhraseTerms.zipWithIndex.tail.map { case (t, i) =>
+      s"JOIN (SELECT doc_id, pos FROM tok WHERE tok = '$t') o$i\n" +
+        s"  ON o$i.doc_id = o0.doc_id AND o$i.pos = o0.pos + $i"
+    }.mkString("\n  ")
+    s"""WITH tok AS (SELECT doc_id,
+       |    unnest(string_split_regex(text, '\\s+')) AS tok,
+       |    generate_subscripts(string_split_regex(text, '\\s+'), 1) AS pos
+       |  FROM documents WHERE text IS NOT NULL),
+       |sc AS (SELECT o0.doc_id, CAST(count(*) AS BIGINT) AS n_occurrences
+       |  FROM (SELECT doc_id, pos FROM tok
+       |    WHERE tok = '${PhraseTerms.head}') o0
+       |  $joins
+       |  GROUP BY 1)
+       |SELECT doc_id, n_occurrences FROM sc
+       |ORDER BY n_occurrences DESC, doc_id LIMIT 20""".stripMargin
+  }
+
   private val MinColloc = 5 // text_collocations: min bigram count
 
   private def toks(c: Column): Column = split(c, "\\s+")
@@ -423,11 +449,12 @@ object TextAnalysis {
       val key = java.security.MessageDigest.getInstance("MD5")
         .digest(ck.getBytes("UTF-8"))
         .map("%02x".format(_)).mkString.take(12)
-      // searchidx2: the round-9 batch-manifest layout (dl column, meta
-      // commit markers, no precomputed idf) — the bumped prefix orphans
-      // any cached round-8-layout index instead of misreading it
+      // searchidx3: the round-9 batch-manifest layout (dl + positional
+      // postings, meta commit markers, no precomputed idf) — the bumped
+      // prefix orphans any cached prior-layout index instead of
+      // misreading it
       val base = Paths.get(
-        sys.props.getOrElse("java.io.tmpdir", "/tmp"), s"graft-searchidx2-$key")
+        sys.props.getOrElse("java.io.tmpdir", "/tmp"), s"graft-searchidx3-$key")
       if (Files.isDirectory(base.resolve("postings"))) return base.toString
       val staging = Paths.get(
         base.toString + ".build-" +
@@ -1329,6 +1356,16 @@ object TextAnalysis {
       graft.operators.SearchIndex.searchBm25(idx, SearchTerms, 20)
     },
 
+    // EXACT-PHRASE retrieval from the positional postings — the query
+    // class bag-of-words ranking can't express (order + adjacency).
+    // Start-position fold over per-doc position maps; overlapping
+    // matches count; the scan is pruned to the phrase terms' buckets.
+    // The oracle counts the same phrase via an adjacency self-join.
+    "search_phrase" -> { (s, dir) =>
+      val idx = graft.operators.SearchIndex.load(s, ensureSearchIndex(s, dir))
+      graft.operators.SearchIndex.searchPhrase(idx, PhraseTerms, 20)
+    },
+
     // Ranked lexical retrieval: per-document TF-IDF for a literal query
     // term set, top-20 by score — classic keyword search as one
     // declarative plan. IDF is fixed-point quantized (floor at 1e-6, the
@@ -2059,6 +2096,8 @@ object TextAnalysis {
     "search_index_persisted" -> SearchTfidfSql,
 
     "search_bm25" -> SearchBm25Sql,
+
+    "search_phrase" -> SearchPhraseSql,
 
     "text_vocab" ->
       s"""WITH tokens AS (SELECT doc_id,

@@ -148,6 +148,30 @@ class SearchIndexSpec extends AnyFunSuite {
     assert(idx.sourceFps === Seq("fp-old"))
   }
 
+  test("searchPhrase: order-sensitive, overlapping matches count, repeated terms fold") {
+    import org.apache.spark.sql.SparkSession
+    val sparkS = spark
+    import sparkS.implicits._
+    val d = Seq(
+      (1L, "new york is not york new"),
+      (2L, "a a a b"),
+      (3L, "x new york y new york"),
+      (4L, "york new only")).toDF("doc_id", "text")
+    val dir = tmp()
+    SearchIndex.build(d).save(dir)
+    val idx = SearchIndex.load(spark, dir)
+    def res(terms: Seq[String]) = SearchIndex.searchPhrase(idx, terms, 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    // order matters: "new york" ≠ "york new"
+    assert(res(Seq("new", "york")) === Seq((3L, 2L), (1L, 1L)))
+    assert(res(Seq("york", "new")) === Seq((1L, 1L), (4L, 1L)))
+    // overlapping starts count; repeated phrase terms reuse one array
+    assert(res(Seq("a", "a")) === Seq((2L, 2L)))
+    assert(res(Seq("a", "a", "a")) === Seq((2L, 1L)))
+    // a term absent from the corpus empties the result, not errors
+    assert(res(Seq("new", "zzz")) === Seq.empty)
+  }
+
   test("bm25 ranks by saturated tf + length normalization (sane, not degenerate)") {
     val (idx, _) = saved
     val bm = SearchIndex.searchBm25(idx, Terms, 20).collect()
