@@ -1174,6 +1174,42 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("spanDedupStream: Bloom shard state survives a checkpoint restart") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val srcDir = Files.createTempDirectory("graftspansrc").toString
+    val outDir = Files.createTempDirectory("graftspanout").toString
+    val ckpt = Files.createTempDirectory("graftspanckpt").toString
+    val srcB = ParquetLogBackend.create(spark, srcDir, compactIntervalMs = 0)
+    val span = (1 to 16).map(i => s"tok$i").mkString(" ")
+    def startQ() = {
+      val src = spark.readStream.format("graft").load(srcDir)
+        .select(col("version").as("doc_id"),
+          col("timestamp").cast("timestamp").as("ts"),
+          get_json_object(col("payload"), "$.t").as("text"))
+      StreamOps.spanDedupStream(src, "ts", "doc_id", "text")
+        .toDF()
+        .writeStream.format("parquet")
+        .option("path", outDir).option("checkpointLocation", ckpt)
+        .outputMode("append").start()
+    }
+    try {
+      // first run sees the span ONCE — no flag, but the Bloom remembers
+      srcB.append(EventData("doc", s"""{"t":"$span"}"""))
+      val q1 = startQ()
+      try q1.processAllAvailable() finally q1.stop()
+      // restart from the checkpoint: the re-occurrence must flag, which
+      // only happens if the shard's bitmap state survived the restart
+      srcB.append(EventData("doc", s"""{"t":"$span"}"""))
+      val q2 = startQ()
+      try q2.processAllAvailable() finally q2.stop()
+      val flags = spark.read.parquet(outDir)
+        .select("doc_id").collect().map(_.getLong(0)).toSeq
+      assert(flags === Seq(2L),
+        "exactly the post-restart re-occurrence must flag")
+    } finally srcB.close()
+  }
+
   test("spanDedupStream: replayed corpus flags a SUPERSET of the batch duplicated-chunk set") {
     val sparkS = spark
     import sparkS.implicits._
