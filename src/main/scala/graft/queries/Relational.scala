@@ -284,6 +284,37 @@ object Relational {
         .orderBy("l_returnflag")
     },
 
+    // PIVOT: wide per-category aggregates via Spark's pivot relational
+    // operator with EXPLICIT values (no extra distinct-scan job; the
+    // values ARE the contract, mirrored as CASE sums in the oracle).
+    // Same decimal-exact-then-double discipline as q1_agg.
+    "agg_pivot" -> { (s, dir) =>
+      Tables(s, dir, "lineitem")
+        .groupBy("l_linestatus")
+        .pivot("l_returnflag", Seq("A", "N", "R"))
+        .agg(sum(dec(col("l_quantity"))).cast("double"))
+        .select(col("l_linestatus"), col("A").as("qty_a"),
+          col("N").as("qty_n"), col("R").as("qty_r"))
+        .orderBy("l_linestatus")
+    },
+
+    // Offset/quantile window family: lag, lead, ntile, percent_rank over one
+    // deterministic per-customer order — the remaining built-in window
+    // classes the rank/running entries don't cover. percent_rank's
+    // (rank−1)/(n−1) divides small exact integers (both engines define
+    // the single-row partition as 0.0), so doubles compare bit-exactly.
+    "window_lag_lead" -> { (s, dir) =>
+      val o = Tables(s, dir, "orders").filter(col("o_custkey") <= 200)
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      o.select(col("o_custkey"), col("o_orderkey"),
+          lag(col("o_totalprice"), 1).over(w).as("prev_price"),
+          lead(col("o_totalprice"), 1).over(w).as("next_price"),
+          ntile(4).over(w).as("quartile"),
+          percent_rank().over(w).as("pr"))
+        .orderBy("o_custkey", "o_orderkey")
+    },
+
     // As-of join via union + window (single shuffle on the key; no range-join
     // row blowup — the scalable formulation for 100TB). Oracle: DuckDB's
     // native ASOF LEFT JOIN.
@@ -366,6 +397,28 @@ object Relational {
         |  AND o_orderdate >= timestamp '1996-01-01'
         |  AND o_orderdate < timestamp '1998-01-01'
         |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin,
+
+    "agg_pivot" ->
+      """SELECT l_linestatus,
+        |  CAST(sum(CASE WHEN l_returnflag = 'A'
+        |    THEN cast(l_quantity AS decimal(18,2)) END) AS DOUBLE) AS qty_a,
+        |  CAST(sum(CASE WHEN l_returnflag = 'N'
+        |    THEN cast(l_quantity AS decimal(18,2)) END) AS DOUBLE) AS qty_n,
+        |  CAST(sum(CASE WHEN l_returnflag = 'R'
+        |    THEN cast(l_quantity AS decimal(18,2)) END) AS DOUBLE) AS qty_r
+        |FROM lineitem GROUP BY l_linestatus
+        |ORDER BY l_linestatus""".stripMargin,
+
+    "window_lag_lead" ->
+      """SELECT o_custkey, o_orderkey,
+        |  lag(o_totalprice, 1) OVER w AS prev_price,
+        |  lead(o_totalprice, 1) OVER w AS next_price,
+        |  CAST(ntile(4) OVER w AS INT) AS quartile,
+        |  percent_rank() OVER w AS pr
+        |FROM orders WHERE o_custkey <= 200
+        |WINDOW w AS (PARTITION BY o_custkey
+        |             ORDER BY o_orderdate, o_orderkey)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
 
     "join_semi" ->
       """SELECT c_custkey, c_name FROM customer
