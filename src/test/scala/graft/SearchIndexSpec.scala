@@ -82,6 +82,15 @@ class SearchIndexSpec extends AnyFunSuite {
       s.contains("PartitionFilters") && s.contains("tbucket") &&
         s.contains("batch")),
       s"tbucket+batch filters must reach PartitionFilters:\n${scans.mkString("\n")}")
+    // the positional column exists for search_phrase ONLY — the scorers
+    // must not pay its bytes: column pruning has to drop it at the scan
+    assert(scans.forall(s => !s.contains("pos:")),
+      s"positions leaked into a scorer's ReadSchema:\n${scans.mkString("\n")}")
+    val bm = SearchIndex.searchBm25(idx, Seq("vector"), 5)
+    val bmScans = bm.queryExecution.executedPlan.collectLeaves()
+      .map(_.toString).filter(_.contains("postings"))
+    assert(bmScans.nonEmpty && bmScans.forall(s => !s.contains("pos:")),
+      s"positions leaked into bm25's ReadSchema:\n${bmScans.mkString("\n")}")
   }
 
   test("appendDocs: upserted index answers EXACTLY like a fresh build over the union") {
