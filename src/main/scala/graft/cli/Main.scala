@@ -164,6 +164,27 @@ object Main {
           f"${r.getLong(3)}%8d ${r.getLong(4)}%10d")
       }
 
+    // extension (no reference analog): query a persisted lexical search
+    // index (operators/SearchIndex) from the command line — tfidf | bm25
+    // | phrase scoring over the bucket-pruned positional postings
+    case "search" +: idxDir +: mode +: terms if terms.nonEmpty =>
+      import graft.operators.SearchIndex
+      val idx = SearchIndex.load(spark(), idxDir)
+      val res = mode match {
+        case "tfidf" => SearchIndex.search(idx, terms, 20)
+        case "bm25" => SearchIndex.searchBm25(idx, terms, 20)
+        case "phrase" => SearchIndex.searchPhrase(idx, terms, 20)
+        case other =>
+          System.err.println(
+            s"unknown scoring mode '$other' (tfidf|bm25|phrase)")
+          sys.exit(2)
+          null
+      }
+      val scoreName = if (mode == "phrase") "n_occurrences" else "score"
+      println(f"${"doc_id"}%10s ${scoreName}%14s")
+      res.collect().foreach(r =>
+        println(f"${r.getLong(0)}%10d ${r.getLong(1)}%14d"))
+
     // extension (no reference analog): migrate a native .eventlog file
     // written by the original Go implementation into an engine log
     case Seq("import", nativeFile, dir) =>
@@ -185,6 +206,7 @@ object Main {
       System.err.println(
         "usage: inmem|create <dir>|run <dir>|check <dir> [--quiet]|" +
           "version <url|dir>|diff <dir> <vLo> <vHi>|" +
+          "search <indexdir> tfidf|bm25|phrase <term>...|" +
           "import <nativefile> <dir>")
       sys.exit(2)
   }

@@ -57,6 +57,29 @@ class BpeFastTrainerSpec extends AnyFunSuite {
     assert(fast.size < 50, "exhaustion must truncate the merge list")
   }
 
+  test("2000 merges train in one Spark job (vocab-scale shape)") {
+    // no per-round Spark reference here (that's the 500-merge parity test
+    // above); this pins the SCALE claim — thousands of merges are one
+    // word-table aggregate plus driver arithmetic, seconds not hours
+    val rnd = new scala.util.Random(11)
+    val pool = (0 until 800).map { _ =>
+      val len = 6 + rnd.nextInt(14)
+      (0 until len).map(_ => ('a' + rnd.nextInt(26)).toChar).mkString
+    }.distinct
+    import spark.implicits._
+    val docs = (0 until 200).map { i =>
+      (i.toLong, (0 until 60).map(_ => pool(rnd.nextInt(pool.size)))
+        .mkString(" "))
+    }.toDF("doc_id", "text")
+    val merges = TextAnalysis.trainBpeFast(docs, rounds = 2000)
+    assert(merges.size === 2000, s"pool exhausted at ${merges.size}")
+    // structural sanity: learned order, composition, positive counts
+    assert(merges.map(_._1) === (1L to 2000L))
+    merges.foreach { case (_, l, r, m, c) =>
+      assert(l + r === m); assert(c > 0L)
+    }
+  }
+
   test("testdata corpus parity at the production round count") {
     val docs = graft.util.Tables(spark, "/root/testdata/sf0.001", "documents")
     val fast = TextAnalysis.trainBpeFast(docs)

@@ -88,4 +88,32 @@ class CliSpec extends AnyFunSuite {
     assert(row("c").toSeq.tail.take(3) === Seq("0", "2", "2"),
       "a label born after vLo must read n_lo = 0")
   }
+
+  test("search queries a persisted lexical index in all three modes") {
+    import org.apache.spark.sql.functions.col
+    val sparkS = spark
+    import sparkS.implicits._
+    val idxDir = Files.createTempDirectory("graftclisearch").toString
+    graft.operators.SearchIndex.build(Seq(
+        (1L, "new york hash table"),
+        (2L, "york new hash hash"),
+        (3L, "other words entirely")).toDF("doc_id", "text"))
+      .save(idxDir)
+    def run(args: String*): Seq[(Long, Long)] = {
+      val out = new java.io.ByteArrayOutputStream()
+      Console.withOut(new java.io.PrintStream(out)) {
+        graft.cli.Main.main(("search" +: idxDir +: args).toArray)
+      }
+      out.toString.split("\n").drop(1).filter(_.trim.nonEmpty).toSeq
+        .map { l =>
+          val p = l.trim.split("\\s+"); (p(0).toLong, p(1).toLong)
+        }
+    }
+    val tfidf = run("tfidf", "hash")
+    assert(tfidf.map(_._1) === Seq(2L, 1L), s"tfidf: $tfidf")
+    val bm25 = run("bm25", "hash")
+    assert(bm25.map(_._1).toSet === Set(1L, 2L))
+    assert(run("phrase", "new", "york") === Seq((1L, 1L)))
+    assert(run("phrase", "york", "new") === Seq((2L, 1L)))
+  }
 }
