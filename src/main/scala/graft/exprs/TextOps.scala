@@ -640,3 +640,78 @@ case class BigramNllScore(child: Expression, table: BigramNllTable)
       newChild: Expression): BigramNllScore = copy(child = newChild)
   override def prettyName: String = "bigram_nll_score"
 }
+
+object PhraseScore {
+  /** Exact-phrase occurrence count from a token → sorted-positions map —
+    * the per-row twin of the batch searchPhrase start-position fold:
+    * count start positions p ∈ pos(t₀) with (p + i) ∈ pos(tᵢ) for every
+    * later phrase token (overlapping matches count; a missing token ⇒ 0;
+    * repeated phrase tokens reuse the one positions array at different
+    * offsets — identical semantics, spec-pinned to batch equality). Maps
+    * and phrases are query-sized, so the linear lookups stay trivial
+    * next to the join that produced the row. */
+  def occurrences(
+      phrase: ArrayData,
+      m: org.apache.spark.sql.catalyst.util.MapData): Long = {
+    val k = phrase.numElements()
+    if (k == 0 || m.numElements() == 0) return 0L
+    val keys = m.keyArray()
+    val vals = m.valueArray()
+    def posOf(t: org.apache.spark.unsafe.types.UTF8String): ArrayData = {
+      var i = 0
+      while (i < m.numElements()) {
+        if (keys.getUTF8String(i).equals(t)) return vals.getArray(i)
+        i += 1
+      }
+      null
+    }
+    def contains(a: ArrayData, x: Int): Boolean = {
+      var i = 0
+      while (i < a.numElements()) {
+        if (a.getInt(i) == x) return true
+        i += 1
+      }
+      false
+    }
+    val first = posOf(phrase.getUTF8String(0))
+    if (first == null) return 0L
+    val rest = (1 until k).map(i => posOf(phrase.getUTF8String(i)))
+    if (rest.exists(_ == null)) return 0L
+    var count = 0L
+    var s = 0
+    while (s < first.numElements()) {
+      val p = first.getInt(s)
+      var ok = true
+      var i = 1
+      while (ok && i < k) {
+        ok = contains(rest(i - 1), p + i)
+        i += 1
+      }
+      if (ok) count += 1
+      s += 1
+    }
+    count
+  }
+}
+
+/** `phrase_occurrences(phrase array<string>, m map<string, array<int>>)`
+  * → long (see [[PhraseScore.occurrences]]). */
+case class PhraseOccurrences(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
+    with ImplicitCastInputTypes {
+  override def inputTypes: Seq[org.apache.spark.sql.graftshim.Shim.AbstractType] =
+    Seq(ArrayType(StringType),
+      org.apache.spark.sql.types.MapType(StringType,
+        ArrayType(org.apache.spark.sql.types.IntegerType)))
+  override def dataType: DataType = LongType
+  override def nullSafeEval(a: Any, b: Any): Any =
+    PhraseScore.occurrences(a.asInstanceOf[ArrayData],
+      b.asInstanceOf[org.apache.spark.sql.catalyst.util.MapData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (a, b) => s"graft.exprs.PhraseScore.occurrences($a, $b)")
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): PhraseOccurrences =
+    copy(left = newLeft, right = newRight)
+  override def prettyName: String = "phrase_occurrences"
+}

@@ -60,6 +60,9 @@ object functions {
   def nb_quality_score(text: Column, table: NbModelTable): Column =
     Shim.column(NbQualityScore(Shim.expression(text), table))
 
+  def phrase_occurrences(phrase: Column, m: Column): Column =
+    Shim.column(PhraseOccurrences(Shim.expression(phrase), Shim.expression(m)))
+
   def bpe_encode_ids(
       text: Column, merges: Seq[(Long, String, String, String, Long)]): Column =
     Shim.column(BpeEncodeIds(Shim.expression(text), BpeMergeTable(merges)))

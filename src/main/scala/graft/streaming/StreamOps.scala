@@ -705,6 +705,60 @@ object StreamOps {
         expr("transform(top, x -> -x.neg)").as("top_scores"))
   }
 
+  /** Streaming EXACT-PHRASE search: the positional twin of
+    * [[searchStream]] — each query row carries a whole phrase, the
+    * stream-static join on its distinct tokens pulls the candidate
+    * (doc, token, positions) rows from the pruned postings snapshot, a
+    * windowed aggregate rebuilds each candidate's token → positions map,
+    * and the fused [[graft.exprs.PhraseOccurrences]] kernel runs the
+    * SAME start-position fold the batch searchPhrase plans with Column
+    * HOFs — per-row, because the fold's shape here depends on each
+    * query's own phrase (data, not plan structure). Occurrence counts
+    * are exact integers, so stream ≡ batch bit-for-bit (spec-pinned).
+    * Snapshot semantics as [[searchStream]].
+    *
+    * @param queries   streaming DataFrame of (event-time, id, phrase text)
+    * @param tsCol     event-time column
+    * @param idCol     long query id column
+    * @param qCol      whitespace-separated phrase column (token order IS
+    *                  the phrase)
+    * @param idx       loaded [[graft.operators.SearchIndex]]
+    * @param topK      documents returned per query
+    * @param windowLen tumbling-window length
+    * @param delay     watermark delay */
+  def searchPhraseStream(
+      queries: DataFrame,
+      tsCol: String,
+      idCol: String,
+      qCol: String,
+      idx: graft.operators.SearchIndex,
+      topK: Int,
+      windowLen: String,
+      delay: String): DataFrame = {
+    val q = queries
+      .select(col(tsCol).cast("timestamp").as("ts"),
+        col(idCol).cast("long").as("q_id"),
+        split(col(qCol), "\\s+").as("phrase"))
+      .withColumn("token", explode(array_distinct(col("phrase"))))
+      .withWatermark("ts", delay)
+    q.join(idx.postings.select("token", "doc_id", "pos").persist(),
+        Seq("token"))
+      .groupBy(window(col("ts"), windowLen), col("q_id"), col("doc_id"),
+        col("phrase"))
+      .agg(map_from_entries(
+        collect_list(struct(col("token"), col("pos")))).as("m"))
+      .withColumn("n_occurrences",
+        graft.exprs.functions.phrase_occurrences(col("phrase"), col("m")))
+      .filter(col("n_occurrences") > 0)
+      .groupBy(col("window"), col("q_id"))
+      .agg(slice(sort_array(collect_list(struct(
+        (-col("n_occurrences")).as("neg"), col("doc_id")))), 1, topK)
+        .as("top"))
+      .select(col("window"), col("q_id"),
+        expr("transform(top, x -> x.doc_id)").as("top_ids"),
+        expr("transform(top, x -> -x.neg)").as("top_counts"))
+  }
+
   /** Streaming BPE tokenization: per-document token-id sequences from the
     * PERSISTED merge-table artifact ([[graft.operators.BpeModel]]) — the
     * batch tokenize_bpe_ids made incremental, and the natural consumer of

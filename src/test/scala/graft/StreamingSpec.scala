@@ -942,6 +942,45 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("searchPhraseStream matches batch searchPhrase bit-for-bit") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-phrasestream").toString
+    graft.operators.SearchIndex.build(Seq(
+        (1L, "new york is not york new"),
+        (2L, "x new york y new york"),
+        (3L, "unrelated text entirely"),
+        (4L, "york new only")).toDF("doc_id", "text")).save(dir)
+    val idx = graft.operators.SearchIndex.load(spark, dir)
+    def batch(terms: Seq[String]) = graft.operators.SearchIndex
+      .searchPhrase(idx, terms, 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val mem = MemoryStream[(java.sql.Timestamp, Long, String)]
+    def ts(s: Long) = new java.sql.Timestamp(s * 1000L)
+    val q = StreamOps.searchPhraseStream(
+        mem.toDF().toDF("ts", "q_id", "q"),
+        "ts", "q_id", "q", idx, topK = 5,
+        windowLen = "10 seconds", delay = "5 seconds")
+      .writeStream.format("memory").queryName("phrasestream")
+      .outputMode("append").start()
+    try {
+      mem.addData((ts(3), 7L, "new york"), (ts(3), 8L, "york new"))
+      q.processAllAvailable()
+      mem.addData((ts(60), 999L, "flush"))
+      q.processAllAvailable()
+      def served(qid: Long) = {
+        val r = spark.table("phrasestream").filter(col("q_id") === qid)
+          .select("top_ids", "top_counts").collect()
+        assert(r.length === 1)
+        r.head.getSeq[Long](0).zip(r.head.getSeq[Long](1)).toSeq
+      }
+      assert(served(7L) === batch(Seq("new", "york")))
+      assert(served(8L) === batch(Seq("york", "new")))
+    } finally q.stop()
+  }
+
   test("packTokenIdsStream: seq ids and partial buffers survive a restart") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
