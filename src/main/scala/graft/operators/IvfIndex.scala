@@ -276,6 +276,46 @@ object IvfIndex {
       newId
     }
 
+  /** The POLICY wrapper over [[splitCell]]: split the biggest cell while
+    * any cell holds more than `maxFrac` of the vectors (up to `maxSplits`
+    * generations) — the periodic maintenance job that keeps probe cost
+    * near n/k as [[appendVectors]] skews the lists. Each iteration is one
+    * crash-safe generation ([[splitCell]]'s contract); a crash mid-run
+    * just leaves fewer splits applied, and the next run continues.
+    * Degenerate cells (all points identical — unsplittable) are skipped
+    * rather than looped on.
+    *
+    * @return the number of splits applied */
+  def rebalance(
+      spark: SparkSession, dir: String,
+      maxFrac: Double = 0.25, maxSplits: Int = 8): Int = synchronized {
+    require(maxFrac > 0.0 && maxFrac < 1.0, s"maxFrac $maxFrac outside (0,1)")
+    var splits = 0
+    val skip = scala.collection.mutable.Set[Int]()
+    var done = false
+    while (!done && splits < maxSplits) {
+      val idx = load(spark, dir)
+      val sizes = idx.assignments.groupBy("cell").count()
+        .collect().map(r => r.getInt(0) -> r.getLong(1))
+      val total = sizes.map(_._2).sum
+      val hot = sizes
+        .filter { case (c, n) =>
+          !skip(c) && n.toDouble > maxFrac * total && n >= 2 }
+        .sortBy(-_._2).headOption
+      hot match {
+        case None => done = true
+        case Some((cell, n)) =>
+          splitCell(spark, dir, cell)
+          // an unsplittable cell (duplicate points) keeps its size: mark
+          // it skipped so the loop terminates instead of re-splitting it
+          val after = load(spark, dir).assignments
+            .filter(col("cell") === cell).count()
+          if (after == n) skip += cell else splits += 1
+      }
+    }
+    splits
+  }
+
   /** Roll back an INDEX-generation swap that died between renames
     * (`dir` missing, `dir.old` present) — [[splitCell]]'s whole-dir
     * analog of [[recoverSwap]]. */

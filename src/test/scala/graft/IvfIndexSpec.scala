@@ -224,6 +224,36 @@ class IvfIndexSpec extends AnyFunSuite {
     assert(IvfIndex.load(spark, idxDir).k === 5)
   }
 
+  test("rebalance: splits hot cells until the fraction cap holds, answers preserved") {
+    val idxDir = java.nio.file.Files
+      .createTempDirectory("graft-ivfrebal").toString
+    // k = 2 (MLlib's minimum): the larger cell holds >= 50% of the
+    // vectors by pigeonhole, so a 30% cap GUARANTEES hot cells to split
+    IvfIndex.build(emb, k = 2).save(idxDir)
+    val q = emb.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"))
+    val before0 = IvfIndex.load(spark, idxDir)
+    val n = before0.assignments.count()
+    val gotBefore = IvfIndex.probe(before0, q, nProbe = 2, topK = 5)
+      .select("q_id", "rank", "n_id").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+
+    val splits = IvfIndex.rebalance(spark, idxDir, maxFrac = 0.3,
+      maxSplits = 8)
+    assert(splits >= 1, s"a >= 50% cell must split under a 30% cap")
+    val after = IvfIndex.load(spark, idxDir)
+    val sizes = after.assignments.groupBy("cell").count()
+      .collect().map(_.getLong(1))
+    assert(sizes.sum === n, "rebalance must conserve every vector")
+    assert(sizes.forall(_ <= (0.3 * n).toLong + 1),
+      s"cap must hold after convergence: ${sizes.mkString(",")}")
+    val gotAfter = IvfIndex.probe(after, q, nProbe = after.k, topK = 5)
+      .select("q_id", "rank", "n_id").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(gotAfter === gotBefore,
+      "exhaustive probes must answer identically across rebalancing")
+  }
+
   test("splitCell refuses under a PQ tier") {
     val idxDir = java.nio.file.Files
       .createTempDirectory("graft-ivfsplitpq").toString
