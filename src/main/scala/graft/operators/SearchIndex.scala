@@ -232,18 +232,36 @@ object SearchIndex {
         !p.getFileName.toString.startsWith("."))
   }
 
-  /** Committed batches minus everything a committed batch supersedes. */
+  /** Committed batches minus everything a committed batch supersedes.
+    *
+    * Readers race compact's garbage collection benignly EXCEPT in one
+    * window: a meta dir listed here can be deleted (superseded) before
+    * its parquet is read. The state on disk is still consistent (the
+    * superseding meta is already committed), so the read is simply
+    * RETRIED against a fresh listing — bounded, because each retry means
+    * a compact completed underneath us and compacts are serialized. */
   private def activeMetas(spark: SparkSession, dir: String): Seq[Meta] = {
-    val dirs = listDirs(Paths.get(dir, "meta"))
-    require(dirs.nonEmpty, s"no search index committed under $dir")
-    val rows = spark.read.parquet(dirs.map(_.toString): _*)
-      .select("batch", "n_docs", "n_tokens", "supersedes", "source_fp")
-      .collect()
-      .map(r => Meta(r.getString(0), r.getLong(1), r.getLong(2),
-        Option(r.getSeq[String](3)).getOrElse(Seq.empty),
-        Option(r.getString(4)).filter(_.nonEmpty)))
-    val superseded = rows.flatMap(_.supersedes).toSet
-    rows.filterNot(m => superseded(m.batch)).sortBy(_.batch).toSeq
+    var attempt = 0
+    while (true) {
+      val dirs = listDirs(Paths.get(dir, "meta"))
+      require(dirs.nonEmpty, s"no search index committed under $dir")
+      try {
+        val rows = spark.read.parquet(dirs.map(_.toString): _*)
+          .select("batch", "n_docs", "n_tokens", "supersedes", "source_fp")
+          .collect()
+          .map(r => Meta(r.getString(0), r.getLong(1), r.getLong(2),
+            Option(r.getSeq[String](3)).getOrElse(Seq.empty),
+            Option(r.getString(4)).filter(_.nonEmpty)))
+        val superseded = rows.flatMap(_.supersedes).toSet
+        return rows.filterNot(m => superseded(m.batch)).sortBy(_.batch).toSeq
+      } catch {
+        case e: Exception if attempt < 3 &&
+            Option(e.getMessage).exists(m =>
+              m.contains("does not exist") || m.contains("FileNotFound")) =>
+          attempt += 1
+      }
+    }
+    throw new IllegalStateException("unreachable")
   }
 
   private[operators] def commitMeta(
