@@ -205,10 +205,25 @@ object IvfIndex {
     * honest, crash-safe primitive; an in-place single-partition split
     * would need probe-side dedup against torn duplicates to be safe.
     *
-    * Refuses under a PQ tier: pq_codes are residual-encoded against the
-    * CURRENT centroid of their cell, so splitting beneath them would
-    * silently corrupt every affected code — the PQ heal for quantizer
-    * drift is a re-build, by contract.
+    * Under a PQ tier the split cell's codes are RE-ENCODED in the same
+    * generation: pq_codes are residual-encoded against the CURRENT
+    * centroid of their cell, so the reassigned rows' residuals change
+    * with the split — their codes are re-fit against the two new
+    * centroids with the EXISTING codebooks (codebook geometry is
+    * corpus-global and untouched; only the √|cell| rows that moved pay
+    * the re-encode), every other cell's codes are byte-identical, and
+    * codes + codebooks + centroids + cells all flip together in the one
+    * staged swap. Exact-rerank answers are split-invariant (raw vectors
+    * unmoved); ADC scores of the split cell quantize against the new,
+    * TIGHTER residuals — the same drift-heal direction a full re-build
+    * gives, at single-cell cost.
+    *
+    * DEGENERATE splits commit NOTHING: if the cell's points admit fewer
+    * than two distinct centroids, or every row stays on one side (all
+    * duplicates — a reassignment that moves 0 or all rows), the method
+    * returns −1 without staging a generation. A duplicate-heavy hot cell
+    * therefore costs its caller one fit + one count, not a full index
+    * rewrite plus a permanently empty cell per maintenance run.
     *
     * Handle invalidation: the committed swap DELETES the previous
     * generation's files, so an [[IvfIndex]] loaded BEFORE the split must
@@ -216,18 +231,19 @@ object IvfIndex {
     * safely; handles held across it do not) — the same contract as
     * holding a DataFrame over any overwritten parquet path.
     *
-    * @return the new cell's id (= the old cell count) */
+    * @return the new cell's id (= the old cell count), or −1 if the
+    *         split is degenerate and no generation was committed */
   def splitCell(
       spark: SparkSession, dir: String, cell: Int,
       trainTarget: Int = 4096, maxIter: Int = 5, seed: Long = 42L): Int =
     synchronized {
       recoverSwapRoot(dir)
       recoverSwap(java.nio.file.Paths.get(dir, "cells"))
-      require(!java.nio.file.Files.exists(
-          java.nio.file.Paths.get(dir, "pq_codes")),
-        "splitCell under a PQ tier would corrupt residual codes; " +
-          "re-build the PQ index to heal quantizer drift")
-      val idx = load(spark, dir)
+      recoverSwap(java.nio.file.Paths.get(dir, "pq_codes"))
+      val hasPq = java.nio.file.Files.exists(
+        java.nio.file.Paths.get(dir, "pq_codes"))
+      val pq = if (hasPq) Some(PqIndex.load(spark, dir)) else None
+      val idx = pq.map(_.coarse).getOrElse(load(spark, dir))
       require(cell >= 0 && cell < idx.k, s"cell $cell outside [0, ${idx.k})")
       val newId = idx.k
       val cellRows = idx.assignments.filter(col("cell") === cell)
@@ -241,8 +257,8 @@ object IvfIndex {
           .select(col("vec_id"), col("v")).collect()
           .sortBy(_.getLong(0)).map(_.getSeq[Double](1).toArray)
       val two = PqIndex.fitLloyd(sample, 2, maxIter)
-      require(two.length == 2,
-        s"cell $cell has <2 distinct points; split is meaningless")
+      if (two.length < 2 || java.util.Arrays.equals(two(0), two(1)))
+        return -1 // <2 distinct points: unsplittable, commit nothing
       // reassign ONLY the split cell's rows: nearest of the two new
       // centroids via the fused kernel (sub 0 stays, sub 1 moves to k)
       val t = new graft.exprs.PqScoreTable(two, Array.empty[Double], 1, 1)
@@ -251,39 +267,72 @@ object IvfIndex {
           graft.exprs.functions.ivf_nearest_cells(col("v"), t, 1), 1) === 0,
           lit(cell)).otherwise(lit(newId)))
         .select("vec_id", "v", "nrm", "cell")
-      val newAssign = idx.assignments.filter(col("cell") =!= cell)
-        .select("vec_id", "v", "nrm", "cell")
-        .unionByName(reassigned)
-      val newCentroids = idx.centroids.updated(cell, two(0)) :+ two(1)
+        .persist() // pinned: the moved-count gate and the staged write
+                   // must see the same assignment
+      try {
+        val moved = reassigned.filter(col("cell") === newId).count()
+        if (moved == 0L || moved == n)
+          return -1 // one-sided reassignment (duplicates): no-op, commit nothing
+        val newAssign = idx.assignments.filter(col("cell") =!= cell)
+          .select("vec_id", "v", "nrm", "cell")
+          .unionByName(reassigned)
+        val newCentroids = idx.centroids.updated(cell, two(0)) :+ two(1)
 
-      // next generation, staged then swapped as ONE unit
-      import spark.implicits._
-      import java.nio.file.{Files, Paths, StandardCopyOption}
-      val staging = dir + ".split-" +
-        java.util.UUID.randomUUID().toString.take(8)
-      newAssign.write.mode("overwrite")
-        .partitionBy("cell").parquet(s"$staging/cells")
-      newCentroids.zipWithIndex
-        .map { case (c, i) => (i, c.toSeq) }.toSeq
-        .toDF("cell", "centroid")
-        .coalesce(1).write.mode("overwrite").parquet(s"$staging/centroids")
-      val old = Paths.get(dir + ".old")
-      graft.storage.ParquetLogBackend.deleteRecursively(old)
-      Files.move(Paths.get(dir), old, StandardCopyOption.ATOMIC_MOVE)
-      Files.move(Paths.get(staging), Paths.get(dir),
-        StandardCopyOption.ATOMIC_MOVE)
-      graft.storage.ParquetLogBackend.deleteRecursively(old)
-      newId
+        // next generation, staged then swapped as ONE unit
+        import spark.implicits._
+        import java.nio.file.{Files, Paths, StandardCopyOption}
+        val staging = dir + ".split-" +
+          java.util.UUID.randomUUID().toString.take(8)
+        newAssign.write.mode("overwrite")
+          .partitionBy("cell").parquet(s"$staging/cells")
+        newCentroids.zipWithIndex
+          .map { case (c, i) => (i, c.toSeq) }.toSeq
+          .toDF("cell", "centroid")
+          .coalesce(1).write.mode("overwrite").parquet(s"$staging/centroids")
+        pq.foreach { p =>
+          // single-cell re-encode: residuals against the cell's NEW
+          // centroid, existing codebooks — untouched cells' codes pass
+          // through byte-identical
+          val centDf = Seq((cell, two(0).toSeq), (newId, two(1).toSeq))
+            .toDF("cell", "cvec")
+          val recoded = reassigned
+            .join(broadcast(centDf), "cell")
+            .withColumn("r", zip_with(col("v"), col("cvec"), (a, b) => a - b))
+            .select(col("vec_id"), col("cell"), col("nrm"),
+              graft.exprs.functions.pq_encode(
+                col("r"), PqIndex.flatten(p.codebooks), p.m, p.kCodes)
+                .as("codes"))
+          p.codes.filter(col("cell") =!= cell)
+            .select("vec_id", "cell", "nrm", "codes")
+            .unionByName(recoded)
+            .write.mode("overwrite").partitionBy("cell")
+            .parquet(s"$staging/pq_codes")
+          p.codebooks.zipWithIndex.flatMap { case (cb, sub) =>
+            cb.zipWithIndex.map { case (c, code) => (sub, code, c.toSeq) }
+          }.toSeq.toDF("sub", "code", "centroid")
+            .coalesce(1).write.mode("overwrite")
+            .parquet(s"$staging/pq_codebooks")
+        }
+        val old = Paths.get(dir + ".old")
+        graft.storage.ParquetLogBackend.deleteRecursively(old)
+        Files.move(Paths.get(dir), old, StandardCopyOption.ATOMIC_MOVE)
+        Files.move(Paths.get(staging), Paths.get(dir),
+          StandardCopyOption.ATOMIC_MOVE)
+        graft.storage.ParquetLogBackend.deleteRecursively(old)
+        newId
+      } finally reassigned.unpersist()
     }
 
   /** The POLICY wrapper over [[splitCell]]: split the biggest cell while
     * any cell holds more than `maxFrac` of the vectors (up to `maxSplits`
     * generations) — the periodic maintenance job that keeps probe cost
-    * near n/k as [[appendVectors]] skews the lists. Each iteration is one
-    * crash-safe generation ([[splitCell]]'s contract); a crash mid-run
-    * just leaves fewer splits applied, and the next run continues.
-    * Degenerate cells (all points identical — unsplittable) are skipped
-    * rather than looped on.
+    * near n/k as [[appendVectors]] skews the lists, on BOTH index tiers
+    * (under IVF-PQ each split re-encodes the split cell's codes in its
+    * generation — [[splitCell]]'s contract). Each iteration is one
+    * crash-safe generation; a crash mid-run just leaves fewer splits
+    * applied, and the next run continues. Degenerate cells (all points
+    * identical — unsplittable; splitCell signals −1 and commits nothing)
+    * are skipped rather than looped on, at fit-cost, not rewrite-cost.
     *
     * @return the number of splits applied */
   def rebalance(
@@ -304,13 +353,9 @@ object IvfIndex {
         .sortBy(-_._2).headOption
       hot match {
         case None => done = true
-        case Some((cell, n)) =>
-          splitCell(spark, dir, cell)
-          // an unsplittable cell (duplicate points) keeps its size: mark
-          // it skipped so the loop terminates instead of re-splitting it
-          val after = load(spark, dir).assignments
-            .filter(col("cell") === cell).count()
-          if (after == n) skip += cell else splits += 1
+        case Some((cell, _)) =>
+          if (splitCell(spark, dir, cell) < 0) skip += cell
+          else splits += 1
       }
     }
     splits

@@ -17,7 +17,8 @@ import java.nio.file.{Files, Paths, StandardCopyOption}
   *    make a k-term query statically prune to ≤ k/[[TokenBuckets]] of the
   *    files at any corpus size (the inverted-list property, on disk).
   *  - `dir/meta/<id>/…` — one row per COMMITTED batch
-  *    (batch, n_docs, n_tokens, supersedes, source_fp). The meta dir is
+  *    (batch, n_docs, n_tokens, supersedes, source_fp, doc_min, doc_max —
+  *    the id range backing appendDocs' overlap guard). The meta dir is
   *    staged and atomically renamed in: it IS the commit marker. Postings
   *    always write BEFORE their meta, so a crash strands an invisible
   *    orphan batch (readers' `batch IN (committed)` partition filter
@@ -61,13 +62,23 @@ final class SearchIndex private[operators] (
     * corpus identity it was built from (staleness detection). */
   def save(dir: String, fingerprint: Option[String] = None): Unit = {
     val spark = postings.sparkSession
+    // fail FAST on a non-empty target: a second save would commit a second
+    // batch whose shared doc_ids double-count in df/nDocs/scores (and
+    // duplicate (doc, token) keys break searchPhrase's map build) —
+    // incremental growth goes through appendDocs, by contract
+    require(SearchIndex.listDirs(Paths.get(dir, "meta")).isEmpty,
+      s"$dir already holds a committed search index; " +
+        "use appendDocs to grow it (save is first-batch-only)")
     val batch = SearchIndex.newBatchId()
+    val range = postings.agg(min(col("doc_id")), max(col("doc_id"))).head()
     postings
       .withColumn("batch", lit(batch))
       .write.mode("append").partitionBy("batch", "tbucket")
       .parquet(s"$dir/postings")
     SearchIndex.commitMeta(spark, dir, batch, nDocs, nTokens,
-      Seq.empty, fingerprint)
+      Seq.empty, fingerprint,
+      if (range.isNullAt(0)) None else Some(range.getLong(0)),
+      if (range.isNullAt(1)) None else Some(range.getLong(1)))
   }
 
   /** The postings with query-time-exact fixed-point TF-IDF weights —
@@ -152,11 +163,18 @@ object SearchIndex {
 
   /** INCREMENTAL maintenance: index `docs` as a NEW batch appended to a
     * persisted index. `docs` must carry doc_ids not already indexed (a
-    * re-appended doc_id would double-count its term frequencies — the
-    * caller's contract, as with the vector upserts). Because df and
-    * corpus totals are query-time-exact (see class doc), the appended
-    * documents are fully weighted into every subsequent search with NO
-    * stale-IDF window and NO rebuild.
+    * re-appended doc_id would double-count its term frequencies and
+    * double-serve the doc) — and unlike the vector upserts, that contract
+    * is CHECKED here, not trusted: every committed batch's meta row
+    * carries its [doc_min, doc_max] range, a new batch whose range is
+    * disjoint from every active batch's is provably clean for free (the
+    * monotonic-id common case), and only on a RANGE intersection does an
+    * exact doc_id anti-check run — one distinct-join against the
+    * overlapping batches' postings, partition-pruned to just those
+    * batches. An overlapping doc_id aborts the append with nothing
+    * written. Because df and corpus totals are query-time-exact (see
+    * class doc), the appended documents are fully weighted into every
+    * subsequent search with NO stale-IDF window and NO rebuild.
     *
     * Crash safety: postings write first, the meta commit marker renames
     * in last — a crash strands an invisible orphan batch, healed by the
@@ -172,9 +190,33 @@ object SearchIndex {
       val nDocs = p.select(col("doc_id")).distinct().count()
       val nTokens =
         p.agg(coalesce(sum(col("cnt")), lit(0L))).head().getLong(0)
+      val range = p.agg(min(col("doc_id")), max(col("doc_id"))).head()
+      val (docMin, docMax) =
+        (if (range.isNullAt(0)) None else Some(range.getLong(0)),
+         if (range.isNullAt(1)) None else Some(range.getLong(1)))
+      // overlap guard: exact check ONLY for active batches whose id range
+      // intersects the new batch's (a legacy meta without a range is
+      // treated as intersecting — unknown must not mean unchecked)
+      val suspects = activeMetas(spark, dir).filter { m =>
+        docMin.isDefined &&
+          m.docMin.forall(lo => lo <= docMax.get) &&
+          m.docMax.forall(hi => hi >= docMin.get)
+      }.map(_.batch)
+      if (suspects.nonEmpty) {
+        val dup = p.select(col("doc_id")).distinct()
+          .join(spark.read.parquet(s"$dir/postings")
+            .filter(col("batch").isin(suspects: _*))
+            .select(col("doc_id")).distinct(), "doc_id")
+          .limit(5).collect().map(_.getLong(0))
+        require(dup.isEmpty,
+          s"appendDocs would re-index already-indexed doc_ids " +
+            s"(e.g. ${dup.mkString(", ")}); an index serves each doc_id " +
+            "from exactly one batch — dedup the input or rebuild")
+      }
       p.write.mode("append").partitionBy("batch", "tbucket")
         .parquet(s"$dir/postings")
-      commitMeta(spark, dir, batch, nDocs, nTokens, Seq.empty, fingerprint)
+      commitMeta(spark, dir, batch, nDocs, nTokens, Seq.empty, fingerprint,
+        docMin, docMax)
       nDocs
     } finally p.unpersist()
   }
@@ -192,7 +234,15 @@ object SearchIndex {
     * invisible and collected by the next compact. */
   def compact(spark: SparkSession, dir: String): Unit = synchronized {
     val idx = load(spark, dir)
-    val active = activeMetas(spark, dir).map(_.batch)
+    // supersede EVERY committed batch id — active AND already-superseded.
+    // Superseding only the active set leaves a resurrection window: with
+    // (C1 supersedes B0, B0) on disk from a prior compact that crashed
+    // mid-gc, a new compact superseding only C1 could crash after gc
+    // deletes C1's meta but before B0's — B0 would become unsuperseded
+    // and double-count. Listing every meta dir closes the window for any
+    // deletion order.
+    val allCommitted = listDirs(Paths.get(dir, "meta"))
+      .map(_.getFileName.toString)
     val batch = newBatchId()
     idx.postings
       .select("token", "tbucket", "doc_id", "cnt", "dl", "pos")
@@ -200,8 +250,11 @@ object SearchIndex {
       .repartition(col("tbucket"))
       .write.mode("append").partitionBy("batch", "tbucket")
       .parquet(s"$dir/postings")
+    val range = idx.postings.agg(min(col("doc_id")), max(col("doc_id"))).head()
     commitMeta(spark, dir, batch, idx.nDocs, idx.nTokens,
-      active, Some(idx.sourceFps.mkString(",")).filter(_.nonEmpty))
+      allCommitted, Some(idx.sourceFps.mkString(",")).filter(_.nonEmpty),
+      if (range.isNullAt(0)) None else Some(range.getLong(0)),
+      if (range.isNullAt(1)) None else Some(range.getLong(1)))
     // gc: every batch dir not committed-and-active is garbage now —
     // superseded by the row above, or orphaned by a crashed append.
     // Maintenance is serialized, so no live append can be collected.
@@ -221,7 +274,8 @@ object SearchIndex {
 
   private case class Meta(
       batch: String, nDocs: Long, nTokens: Long,
-      supersedes: Seq[String], sourceFp: Option[String])
+      supersedes: Seq[String], sourceFp: Option[String],
+      docMin: Option[Long], docMax: Option[Long])
 
   private def listDirs(root: java.nio.file.Path): Seq[java.nio.file.Path] = {
     if (!Files.isDirectory(root)) return Seq.empty
@@ -247,11 +301,14 @@ object SearchIndex {
       require(dirs.nonEmpty, s"no search index committed under $dir")
       try {
         val rows = spark.read.parquet(dirs.map(_.toString): _*)
-          .select("batch", "n_docs", "n_tokens", "supersedes", "source_fp")
+          .select("batch", "n_docs", "n_tokens", "supersedes", "source_fp",
+            "doc_min", "doc_max")
           .collect()
           .map(r => Meta(r.getString(0), r.getLong(1), r.getLong(2),
             Option(r.getSeq[String](3)).getOrElse(Seq.empty),
-            Option(r.getString(4)).filter(_.nonEmpty)))
+            Option(r.getString(4)).filter(_.nonEmpty),
+            if (r.isNullAt(5)) None else Some(r.getLong(5)),
+            if (r.isNullAt(6)) None else Some(r.getLong(6))))
         val superseded = rows.flatMap(_.supersedes).toSet
         return rows.filterNot(m => superseded(m.batch)).sortBy(_.batch).toSeq
       } catch {
@@ -267,13 +324,16 @@ object SearchIndex {
   private[operators] def commitMeta(
       spark: SparkSession, dir: String, batch: String,
       nDocs: Long, nTokens: Long, supersedes: Seq[String],
-      fingerprint: Option[String]): Unit = {
+      fingerprint: Option[String],
+      docMin: Option[Long], docMax: Option[Long]): Unit = {
     import spark.implicits._
     val metaRoot = Paths.get(dir, "meta")
     Files.createDirectories(metaRoot)
     val staging = metaRoot.resolve(s".staging-$batch")
-    Seq((batch, nDocs, nTokens, supersedes, fingerprint.getOrElse("")))
-      .toDF("batch", "n_docs", "n_tokens", "supersedes", "source_fp")
+    Seq((batch, nDocs, nTokens, supersedes, fingerprint.getOrElse(""),
+        docMin, docMax))
+      .toDF("batch", "n_docs", "n_tokens", "supersedes", "source_fp",
+        "doc_min", "doc_max")
       .coalesce(1).write.mode("overwrite").parquet(staging.toString)
     Files.move(staging, metaRoot.resolve(batch),
       StandardCopyOption.ATOMIC_MOVE)

@@ -449,12 +449,13 @@ object TextAnalysis {
       val key = java.security.MessageDigest.getInstance("MD5")
         .digest(ck.getBytes("UTF-8"))
         .map("%02x".format(_)).mkString.take(12)
-      // searchidx3: the round-9 batch-manifest layout (dl + positional
-      // postings, meta commit markers, no precomputed idf) — the bumped
-      // prefix orphans any cached prior-layout index instead of
-      // misreading it
+      // searchidx4: the round-10 meta layout (doc_min/doc_max for the
+      // appendDocs overlap guard) atop the round-9 batch-manifest layout
+      // (dl + positional postings, meta commit markers, no precomputed
+      // idf) — the bumped prefix orphans any cached prior-layout index
+      // instead of misreading it
       val base = Paths.get(
-        sys.props.getOrElse("java.io.tmpdir", "/tmp"), s"graft-searchidx3-$key")
+        sys.props.getOrElse("java.io.tmpdir", "/tmp"), s"graft-searchidx4-$key")
       if (Files.isDirectory(base.resolve("postings"))) return base.toString
       val staging = Paths.get(
         base.toString + ".build-" +

@@ -865,7 +865,9 @@ object StreamOps {
     * Chunking is the batch operator's exact grid: non-overlapping
     * [[graft.queries.Dedup.SpanTokens]]-token chunks of the whitespace
     * tokens, md5 over the space-joined slice — so stream and batch agree
-    * on what a span IS. Each chunk routes to a shard by hash prefix; the
+    * on what a span IS. Each chunk routes to a shard by a digest slice
+    * DISJOINT from the two Bloom position slices (independence keeps the
+    * per-shard filter at its nominal FP rate); the
     * shard's state is one FIXED-size bitmap (bits/shard × shards total,
     * forever — state does not grow with stream volume). A chunk whose two
     * Bloom positions (the BloomSketch hex-prefix slices) are already set
@@ -901,6 +903,14 @@ object StreamOps {
     val spark = docs.sparkSession
     import spark.implicits._
     val hc = graft.operators.BloomSketch.hexChars(bloomBits)
+    // the shard route must be INDEPENDENT of the two Bloom position
+    // slices (digest chars [1, hc] and [hc+1, 2hc]): routing by the p1
+    // slice itself would let p1 take only bloomBits/shards values within
+    // a shard, saturating that layer ~shards× faster than designed. Four
+    // hex chars AFTER both position slices keep the route disjoint.
+    require(2 * hc + 4 <= 32,
+      s"bloomBits $bloomBits leaves no md5 hex for disjoint shard routing")
+    require(shards >= 1 && shards <= 65536, s"shards $shards outside [1, 65536]")
     val words = (bloomBits / 64L).toInt
     val chunks = docs
       .select(col(tsCol).cast("timestamp").as("ts"),
@@ -916,7 +926,7 @@ object StreamOps {
             lit(spanTokens))))
           .as("chunk_hash"))
       .withColumn("shard",
-        (conv(substring(col("chunk_hash"), 1, 4), 16, 10)
+        (conv(substring(col("chunk_hash"), 2 * hc + 1, 4), 16, 10)
           % shards).cast("long"))
       .as[(java.sql.Timestamp, Long, Int, String, Long)]
     chunks

@@ -254,15 +254,140 @@ class IvfIndexSpec extends AnyFunSuite {
       "exhaustive probes must answer identically across rebalancing")
   }
 
-  test("splitCell refuses under a PQ tier") {
+  test("splitCell under a PQ tier: only the split cell's codes re-encode, deep-rerank answers preserved") {
+    import graft.operators.PqIndex
     val idxDir = java.nio.file.Files
       .createTempDirectory("graft-ivfsplitpq").toString
-    graft.operators.PqIndex.build(emb.filter(col("vec_id") < 100),
-      m = 8, kCodes = 16).save(idxDir)
-    val e = intercept[IllegalArgumentException] {
-      IvfIndex.splitCell(spark, idxDir, 0)
+    PqIndex.build(emb, m = 8, kCodes = 16, coarseK = 4).save(idxDir)
+    val before = PqIndex.load(spark, idxDir)
+    val q = emb.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"))
+    // deep rerank: the final ranking is exact cosine over raw vectors,
+    // which a split must never change (only ADC shortlists quantize)
+    val gotBefore = PqIndex.adcProbe(before, q, nProbe = 4, topK = 5,
+        rerank = 200)
+      .select("q_id", "rank", "n_id").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val codesBefore = before.codes
+      .select("vec_id", "cell", "codes").collect()
+      .map(r => r.getLong(0) -> (r.getInt(1), r.getSeq[Int](2))).toMap
+    val hot = before.coarse.assignments.groupBy("cell").count()
+      .orderBy(col("count").desc).head().getInt(0)
+
+    val newId = IvfIndex.splitCell(spark, idxDir, hot)
+    assert(newId === 4)
+    val after = PqIndex.load(spark, idxDir)
+    assert(after.coarse.k === 5)
+    // conservation on the CODE tier: every vector exactly one code row
+    assert(after.codes.count() === emb.count())
+    val codesAfter = after.codes
+      .select("vec_id", "cell", "codes").collect()
+      .map(r => r.getLong(0) -> (r.getInt(1), r.getSeq[Int](2))).toMap
+    codesBefore.foreach { case (id, (c, codes)) =>
+      if (c != hot)
+        assert(codesAfter(id) === ((c, codes)),
+          s"vec $id in untouched cell $c must keep byte-identical codes")
+      else assert(codesAfter(id)._1 === hot || codesAfter(id)._1 === newId)
     }
-    assert(e.getMessage.contains("PQ"))
+    // the split cell's codes are CONSISTENT re-encodes: recomputing them
+    // from raw vectors against the new centroids with the (unchanged)
+    // codebooks reproduces what the generation committed
+    val spark2 = spark
+    import spark2.implicits._
+    val centDf = Seq(
+      (hot, after.coarse.centroids(hot).toSeq),
+      (newId, after.coarse.centroids(newId).toSeq)).toDF("cell", "cvec")
+    val expected = after.coarse.assignments
+      .filter(col("cell").isin(hot, newId))
+      .join(broadcast(centDf), "cell")
+      .withColumn("r", zip_with(col("v"), col("cvec"), (a, b) => a - b))
+      .select(col("vec_id"),
+        graft.exprs.functions.pq_encode(col("r"),
+          after.codebooks.flatten.flatten, // the (sub*k + code)*dsub layout
+          after.m, after.kCodes).as("codes"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    expected.foreach { case (id, codes) =>
+      assert(codesAfter(id)._2 === codes,
+        s"vec $id codes must equal a fresh re-encode against the new centroid")
+    }
+    // answers: exhaustive probes + deep rerank unchanged across the split
+    val gotAfter = PqIndex.adcProbe(after, q, nProbe = 5, topK = 5,
+        rerank = 200)
+      .select("q_id", "rank", "n_id").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(gotAfter === gotBefore)
+  }
+
+  test("splitCell on an all-duplicate cell: -1, nothing committed; rebalance skips at fit-cost") {
+    val spark2 = spark
+    import spark2.implicits._
+    val dup = (0L until 20L).map(i => (i, Seq(1.0, 1.0, 1.0, 1.0)))
+    val far = (20L until 24L).map(i =>
+      (i, Seq(-1.0 - i * 0.1, -1.0, -1.0 + i * 0.1, -1.0)))
+    val e = (dup ++ far).toDF("vec_id", "v")
+    val idxDir = java.nio.file.Files
+      .createTempDirectory("graft-ivfdup").toString
+    IvfIndex.build(e, k = 2).save(idxDir)
+    val idx = IvfIndex.load(spark, idxDir)
+    val dupCell = idx.assignments.filter(col("vec_id") === 0L)
+      .select("cell").head().getInt(0)
+    val beforeAssign = idx.assignments
+      .select("vec_id", "cell").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(IvfIndex.splitCell(spark, idxDir, dupCell) === -1,
+      "an unsplittable cell must signal -1")
+    // NOTHING committed: same generation, same k, same assignments, no
+    // leftover swap dirs
+    assert(!new java.io.File(idxDir + ".old").exists())
+    val after = IvfIndex.load(spark, idxDir)
+    assert(after.k === 2)
+    assert(after.assignments.select("vec_id", "cell").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap === beforeAssign)
+    // rebalance sees the >maxFrac duplicate cell, skips it without paying
+    // a generation, and terminates
+    assert(IvfIndex.rebalance(spark, idxDir, maxFrac = 0.3,
+      maxSplits = 4) === 0)
+    assert(IvfIndex.load(spark, idxDir).k === 2)
+  }
+
+  test("rebalance under a PQ tier: cap converges, codes follow the splits, deep-rerank answers preserved") {
+    import graft.operators.PqIndex
+    val idxDir = java.nio.file.Files
+      .createTempDirectory("graft-pqrebal").toString
+    // coarseK = 2: the larger cell holds >= 50% by pigeonhole, so a 30%
+    // cap guarantees at least one split on the PQ-backed index
+    PqIndex.build(emb, m = 8, kCodes = 16, coarseK = 2).save(idxDir)
+    val before = PqIndex.load(spark, idxDir)
+    val n = before.codes.count()
+    val q = emb.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"))
+    val gotBefore = PqIndex.adcProbe(before, q, nProbe = 2, topK = 5,
+        rerank = 200)
+      .select("q_id", "rank", "n_id").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+
+    val splits = IvfIndex.rebalance(spark, idxDir, maxFrac = 0.3,
+      maxSplits = 8)
+    assert(splits >= 1, "a >= 50% cell must split under a 30% cap")
+    val after = PqIndex.load(spark, idxDir)
+    // code tier tracked every generation: one code row per vector, every
+    // code row's cell matches its raw row's cell
+    assert(after.codes.count() === n)
+    val mismatched = after.codes.select(col("vec_id"), col("cell"))
+      .join(after.coarse.assignments
+        .select(col("vec_id"), col("cell").as("cell2")), "vec_id")
+      .filter(col("cell") =!= col("cell2")).count()
+    assert(mismatched === 0, "codes and raw lists must agree on cells")
+    val sizes = after.coarse.assignments.groupBy("cell").count()
+      .collect().map(_.getLong(1))
+    assert(sizes.forall(_ <= (0.3 * n).toLong + 1),
+      s"cap must hold after convergence: ${sizes.mkString(",")}")
+    val gotAfter = PqIndex.adcProbe(after, q, nProbe = after.coarse.k,
+        topK = 5, rerank = 200)
+      .select("q_id", "rank", "n_id").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(gotAfter === gotBefore,
+      "deep-rerank answers must be invariant across PQ-tier rebalancing")
   }
 
   test("a generation swap torn between renames: readers fall back, maintenance heals") {

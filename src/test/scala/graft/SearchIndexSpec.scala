@@ -144,6 +144,90 @@ class SearchIndexSpec extends AnyFunSuite {
     assert(answers(SearchIndex.load(spark, dir)) === before)
   }
 
+  test("save into a dir already holding an index fails fast") {
+    val dir = tmp()
+    SearchIndex.build(docs.limit(10)).save(dir)
+    val before = SearchIndex.load(spark, dir).nDocs
+    // a second save would commit a second batch whose shared doc_ids
+    // double-count — the API refuses instead of silently corrupting
+    val e = intercept[IllegalArgumentException] {
+      SearchIndex.build(docs.limit(20)).save(dir)
+    }
+    assert(e.getMessage.contains("appendDocs"))
+    assert(SearchIndex.load(spark, dir).nDocs === before,
+      "the refused save must leave the index untouched")
+  }
+
+  test("appendDocs: overlapping doc_ids rejected; interleaved-but-disjoint ids append") {
+    val evens = docs.filter(col("doc_id") % 2 === 0)
+    val odds = docs.filter(col("doc_id") % 2 === 1)
+    val dir = tmp()
+    SearchIndex.build(evens).save(dir)
+    // id ranges INTERSECT (interleaved) but share no doc_id: the exact
+    // check runs and passes — range overlap alone must not reject
+    SearchIndex.appendDocs(spark, dir, odds)
+    val after = SearchIndex.load(spark, dir)
+    assert(after.nDocs === docs.filter(col("text").isNotNull).count())
+    // re-appending already-indexed doc_ids aborts with nothing written
+    val e = intercept[IllegalArgumentException] {
+      SearchIndex.appendDocs(spark, dir, docs.limit(5))
+    }
+    assert(e.getMessage.contains("doc_id"))
+    val unchanged = SearchIndex.load(spark, dir)
+    assert(unchanged.nDocs === after.nDocs)
+    assert(new java.io.File(s"$dir/meta").listFiles()
+      .count(f => f.isDirectory && !f.getName.startsWith(".")) === 2,
+      "the aborted append must not commit a batch")
+    assert(answers(unchanged) === answers(after))
+  }
+
+  test("compact supersedes EVERY committed batch: a resurrected superseded batch stays dead") {
+    import java.nio.file.{Files, Path, Paths}
+    def copyTree(src: Path, dst: Path): Unit = {
+      import scala.jdk.CollectionConverters._
+      scala.util.Using.resource(Files.walk(src)) { st =>
+        st.iterator().asScala.foreach { p =>
+          val t = dst.resolve(src.relativize(p).toString)
+          if (Files.isDirectory(p)) Files.createDirectories(t)
+          else { Files.createDirectories(t.getParent); Files.copy(p, t) }
+        }
+      }
+    }
+    val dir = tmp()
+    SearchIndex.build(docs.filter(col("doc_id") % 2 === 0)).save(dir)
+    SearchIndex.appendDocs(spark, dir, docs.filter(col("doc_id") % 2 === 1))
+    val backup = Paths.get(tmp(), "bak")
+    copyTree(Paths.get(dir), backup)
+    val b0 = new java.io.File(s"$dir/meta").listFiles()
+      .filter(f => f.isDirectory && !f.getName.startsWith("."))
+      .map(_.getName).min
+    SearchIndex.compact(spark, dir) // → C1 supersedes {B0, B1}, gc both
+    val expected = answers(SearchIndex.load(spark, dir))
+    // simulate the round-9 hazard: a PRIOR compact crashed mid-gc,
+    // leaving a superseded batch (meta + postings) next to its
+    // superseding one — restore B0 from the backup
+    copyTree(backup.resolve("meta").resolve(b0),
+      Paths.get(dir, "meta", b0))
+    copyTree(backup.resolve("postings").resolve(s"batch=$b0"),
+      Paths.get(dir, "postings", s"batch=$b0"))
+    assert(answers(SearchIndex.load(spark, dir)) === expected,
+      "a superseded batch must stay invisible even when resurrected on disk")
+    val committedBefore = new java.io.File(s"$dir/meta").listFiles()
+      .filter(f => f.isDirectory && !f.getName.startsWith("."))
+      .map(_.getName).toSet // {C1, B0}
+    SearchIndex.compact(spark, dir)
+    // the new meta must supersede BOTH C1 and the already-superseded B0 —
+    // with that, NO gc deletion order can ever un-supersede B0
+    val metaDirs = new java.io.File(s"$dir/meta").listFiles()
+      .filter(f => f.isDirectory && !f.getName.startsWith("."))
+    assert(metaDirs.length === 1)
+    val superseded = spark.read.parquet(metaDirs.head.toString)
+      .select("supersedes").head().getSeq[String](0).toSet
+    assert(superseded === committedBefore,
+      s"compact must supersede every committed batch, got $superseded")
+    assert(answers(SearchIndex.load(spark, dir)) === expected)
+  }
+
   test("staleness contract: a grown corpus is DETECTABLE against the index's fingerprints") {
     val dir = tmp()
     SearchIndex.build(docs.limit(50)).save(dir, fingerprint = Some("fp-old"))
