@@ -441,76 +441,138 @@ case class WinnowFingerprints(child: Expression)
 
 /** Compiled BPE merge table for [[BpeEncodeIds]]: the learned merges as
   * parallel arrays in application order, plus the merged-symbol id map
-  * under the engine's id scheme (base chars a-z → 0-25, round-r merge →
-  * 25 + r, FIRST round wins for a re-learned symbol — the exact contract
-  * of the batch tokenizer's mergeIdMapCol). One instance rides the
-  * expression as a codegen reference object: per-executor, never
-  * per-row. */
+  * under the engine's id scheme (FIRST round wins for a re-learned
+  * symbol — the exact contract of the batch tokenizer's mergeIdMapCol).
+  * Two alphabets share the machinery:
+  *  - a-z (`byteLevel = false`): base chars a-z → 0-25, round-r merge →
+  *    25 + r, words are lowercased `[a-z]+` runs;
+  *  - BYTE (`byteLevel = true`): base symbols are the 2-hex-char
+  *    UPPERCASE renderings of a word's UTF-8 bytes (id = the byte value,
+  *    0-255), round-r merge → 255 + r, words are raw whitespace tokens —
+  *    no input is ever out-of-alphabet (the GPT-2 byte-alphabet
+  *    property), so digits, punctuation, case, and non-Latin text all
+  *    tokenize.
+  * One instance rides the expression as a codegen reference object:
+  * per-executor, never per-row. */
 final class BpeMergeTable(
     val lhs: Array[String],
     val rhs: Array[String],
     val merged: Array[String],
-    val mergedIds: java.util.HashMap[String, Integer]) extends Serializable
+    val mergedIds: java.util.HashMap[String, Integer],
+    val byteLevel: Boolean) extends Serializable
 
 object BpeMergeTable {
-  /** From `(round, lhs, rhs, merged, pair_freq)` rows in learned order —
-    * `train_bpe`'s output schema and [[graft.operators.BpeModel]]'s
-    * on-disk artifact. */
-  def apply(merges: Seq[(Long, String, String, String, Long)]): BpeMergeTable = {
+  private def build(
+      merges: Seq[(Long, String, String, String, Long)],
+      idBase: Int, byteLevel: Boolean): BpeMergeTable = {
     val ids = new java.util.HashMap[String, Integer]()
     for ((round, _, _, m, _) <- merges if !ids.containsKey(m))
-      ids.put(m, Integer.valueOf(25 + round.toInt))
+      ids.put(m, Integer.valueOf(idBase + round.toInt))
     new BpeMergeTable(
       merges.map(_._2).toArray, merges.map(_._3).toArray,
-      merges.map(_._4).toArray, ids)
+      merges.map(_._4).toArray, ids, byteLevel)
   }
+
+  /** a-z alphabet, from `(round, lhs, rhs, merged, pair_freq)` rows in
+    * learned order — `train_bpe`'s output schema and
+    * [[graft.operators.BpeModel]]'s on-disk artifact. */
+  def apply(merges: Seq[(Long, String, String, String, Long)]): BpeMergeTable =
+    build(merges, 25, byteLevel = false)
+
+  /** BYTE alphabet (train_bpe_bytes' merges: hex-pair symbols). */
+  def bytes(merges: Seq[(Long, String, String, String, Long)]): BpeMergeTable =
+    build(merges, 255, byteLevel = true)
 }
 
 object BpeEncode {
   private val Word = java.util.regex.Pattern.compile("[a-z]+")
+  private val NonWs = java.util.regex.Pattern.compile("[^\\s]+")
+  private val HexDigits = "0123456789ABCDEF".toCharArray
 
-  /** text → BPE token ids in document order, one fused pass: lowercase
-    * (UTF8String.toLowerCase — bit-identical to Spark's `lower` under the
-    * default collation), `[a-z]+` word extraction (the tokenizer family's
-    * `regexp_extract_all` contract), then per word the merge chain with
-    * applyBpeMerge's exact semantics — each round is ONE leftmost
-    * non-overlapping left-to-right pass whose output never re-pairs
-    * within the round (the doubled-space string rewrite, replayed as an
-    * index scan). The batch path amortizes the chain over a broadcast
+  /** The merge chain shared by both alphabets: each learned merge is ONE
+    * leftmost non-overlapping left-to-right pass whose output never
+    * re-pairs within the round (applyBpeMerge's doubled-space rewrite,
+    * replayed as an index scan). */
+  private def applyMerges(syms0: Array[String], mt: BpeMergeTable): Array[String] = {
+    var syms = syms0
+    var j = 0
+    while (j < mt.lhs.length) {
+      val l = mt.lhs(j); val r = mt.rhs(j)
+      if (syms.length > 1) {
+        val next = new scala.collection.mutable.ArrayBuffer[String](syms.length)
+        var i2 = 0
+        while (i2 < syms.length) {
+          if (i2 + 1 < syms.length && syms(i2) == l && syms(i2 + 1) == r) {
+            next += mt.merged(j); i2 += 2
+          } else { next += syms(i2); i2 += 1 }
+        }
+        syms = next.toArray
+      }
+      j += 1
+    }
+    syms
+  }
+
+  /** text → BPE token ids in document order, one fused pass. a-z mode:
+    * lowercase (UTF8String.toLowerCase — bit-identical to Spark's `lower`
+    * under the default collation) then `[a-z]+` word extraction (the
+    * tokenizer family's `regexp_extract_all` contract). BYTE mode: raw
+    * whitespace tokens, base symbols = uppercase hex pairs of the word's
+    * UTF-8 bytes (ids 0-255 = the byte values — every input byte is
+    * in-alphabet, so nothing is ever dropped). Both then run the shared
+    * merge chain. The batch path amortizes the chain over a broadcast
     * DISTINCT-word vocabulary (right for throughput over repetitive
     * corpora); this kernel is the per-row twin for streaming latency and
     * vocabulary-free contexts — same ids, different amortization. */
   def encodeIds(
       text: org.apache.spark.unsafe.types.UTF8String,
-      mt: BpeMergeTable): ArrayData = {
+      mt: BpeMergeTable): ArrayData =
+    if (mt.byteLevel) encodeByteIds(text, mt) else {
     val lower = text.toLowerCase.toString
     val out = new scala.collection.mutable.ArrayBuffer[Int](lower.length / 4)
     val m = Word.matcher(lower)
     while (m.find()) {
       val word = m.group()
-      var syms = new Array[String](word.length)
+      val base = new Array[String](word.length)
       var i = 0
-      while (i < word.length) { syms(i) = word.substring(i, i + 1); i += 1 }
-      var j = 0
-      while (j < mt.lhs.length) {
-        val l = mt.lhs(j); val r = mt.rhs(j)
-        if (syms.length > 1) {
-          val next = new scala.collection.mutable.ArrayBuffer[String](syms.length)
-          var i2 = 0
-          while (i2 < syms.length) {
-            if (i2 + 1 < syms.length && syms(i2) == l && syms(i2 + 1) == r) {
-              next += mt.merged(j); i2 += 2
-            } else { next += syms(i2); i2 += 1 }
-          }
-          syms = next.toArray
-        }
-        j += 1
-      }
+      while (i < word.length) { base(i) = word.substring(i, i + 1); i += 1 }
+      val syms = applyMerges(base, mt)
       var k = 0
       while (k < syms.length) {
         val s = syms(k)
         out += (if (s.length == 1) s.charAt(0) - 'a'
           else mt.mergedIds.get(s).intValue)
+        k += 1
+      }
+    }
+    new GenericArrayData(out.toArray)
+  }
+
+  private def encodeByteIds(
+      text: org.apache.spark.unsafe.types.UTF8String,
+      mt: BpeMergeTable): ArrayData = {
+    val s = text.toString
+    val out = new scala.collection.mutable.ArrayBuffer[Int](s.length / 2)
+    val m = NonWs.matcher(s)
+    while (m.find()) {
+      val bytes = m.group()
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val base = new Array[String](bytes.length)
+      var i = 0
+      while (i < bytes.length) {
+        val b = bytes(i) & 0xff
+        base(i) = new String(
+          Array(HexDigits(b >>> 4), HexDigits(b & 0xf)))
+        i += 1
+      }
+      val syms = applyMerges(base, mt)
+      var k = 0
+      while (k < syms.length) {
+        val sy = syms(k)
+        out += (if (sy.length == 2)
+            (Character.digit(sy.charAt(0), 16) << 4) |
+              Character.digit(sy.charAt(1), 16)
+          else mt.mergedIds.get(sy).intValue)
         k += 1
       }
     }
@@ -665,11 +727,19 @@ object PhraseScore {
       }
       null
     }
+    // positions are SORTED ascending by construction (the index's
+    // sort_array(collect_list(pos))) — binary search keeps the fold
+    // robust on long repetitive documents (O(log n) per probe instead of
+    // a linear scan of a potentially document-length array)
     def contains(a: ArrayData, x: Int): Boolean = {
-      var i = 0
-      while (i < a.numElements()) {
-        if (a.getInt(i) == x) return true
-        i += 1
+      var lo = 0
+      var hi = a.numElements() - 1
+      while (lo <= hi) {
+        val mid = (lo + hi) >>> 1
+        val v = a.getInt(mid)
+        if (v == x) return true
+        else if (v < x) lo = mid + 1
+        else hi = mid - 1
       }
       false
     }

@@ -67,6 +67,12 @@ object functions {
       text: Column, merges: Seq[(Long, String, String, String, Long)]): Column =
     Shim.column(BpeEncodeIds(Shim.expression(text), BpeMergeTable(merges)))
 
+  /** BYTE-alphabet twin of [[bpe_encode_ids]]: whitespace words, UTF-8
+    * byte base symbols (ids 0-255), merges from train_bpe_bytes. */
+  def bpe_encode_byte_ids(
+      text: Column, merges: Seq[(Long, String, String, String, Long)]): Column =
+    Shim.column(BpeEncodeIds(Shim.expression(text), BpeMergeTable.bytes(merges)))
+
   def repetition_stats(tokens: Column): Column =
     Shim.column(RepetitionStats(Shim.expression(tokens)))
 

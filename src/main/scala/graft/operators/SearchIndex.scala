@@ -115,6 +115,38 @@ final class SearchIndex private[operators] (
         SearchIndex.bm25Contrib(col("idf_q6"), col("cnt"), col("dl"),
           avgdl).as("contrib"))
   }
+
+  /** The EXPLICIT lifecycle handle for a derived serving model: persist
+    * the mode's relation now, unpersist at [[SearchSnapshot.close]] —
+    * replacing the fire-and-forget `.persist()` the streaming builders
+    * used to bury in query definition (which leaked one cached plan per
+    * constructed stream for the session's lifetime). Modes:
+    *  - "tfidf": (token, doc_id, contrib) with contrib = cnt × idf_q6;
+    *  - "bm25":  (token, doc_id, contrib) with the precomputed BM25
+    *    per-posting contribution;
+    *  - "phrase": the positional (token, doc_id, pos) postings. */
+  def snapshot(mode: String = "tfidf"): SearchSnapshot = {
+    val df = mode match {
+      case "tfidf" => scoredPostings
+        .select(col("token"), col("doc_id"),
+          (col("cnt") * col("idf_q6")).as("contrib"))
+      case "bm25" => scoredPostingsBm25
+        .select("token", "doc_id", "contrib")
+      case "phrase" => postings.select("token", "doc_id", "pos")
+      case other => throw new IllegalArgumentException(
+        s"snapshot mode must be tfidf, bm25, or phrase, got '$other'")
+    }
+    new SearchSnapshot(mode, df.persist())
+  }
+}
+
+/** A persisted scoring snapshot of a [[SearchIndex]] — see
+  * [[SearchIndex.snapshot]]. Close it when no stream serves it anymore;
+  * closing does not disturb streams already stopped, and N streams may
+  * share ONE snapshot (that is the point). */
+final class SearchSnapshot private[operators] (
+    val mode: String, val df: DataFrame) extends AutoCloseable {
+  override def close(): Unit = { df.unpersist(); () }
 }
 
 object SearchIndex {
@@ -423,15 +455,19 @@ object SearchIndex {
     * pruned-scan shape — the scan touches only the phrase terms' buckets.
     *
     * Mechanism: per candidate document, a token → positions map over the
-    * matched terms; the start-position set folds left across the phrase
-    * (`S_i = {p ∈ S_{i-1} : (p + i) ∈ pos(term_i)}`), so occurrences =
-    * |S_k|. Overlapping matches count ("a a a" contains "a a" twice) —
-    * the oracle's adjacency self-join counts identically. Documents
-    * missing any term drop before the fold (map-size filter). Repeated
-    * phrase terms reuse the one positions array with different offsets.
-    * Per-doc work is |positions| intersections over query-terms-sized
-    * arrays — interpreted HOFs, but only on the pruned candidate rows,
-    * never the corpus. */
+    * matched terms; the start-position fold runs in the fused
+    * [[graft.exprs.PhraseOccurrences]] kernel — the SAME kernel the
+    * streaming twin plans, so batch and stream share one definition —
+    * counting start positions p ∈ pos(term₀) with (p + i) ∈ pos(termᵢ)
+    * for every later term, each membership probe a BINARY search over the
+    * sorted positions (the index sorts them at build; long repetitive
+    * documents cost log-factor probes, not document-length scans).
+    * Overlapping matches count ("a a a" contains "a a" twice) — the
+    * oracle's adjacency self-join counts identically. Documents missing
+    * any term drop before the fold (map-size filter). Repeated phrase
+    * terms reuse the one positions array with different offsets. The
+    * kernel replaced a per-term chain of interpreted array HOFs — one
+    * codegen call on the pruned candidate rows, never the corpus. */
   def searchPhrase(
       idx: SearchIndex, terms: Seq[String], topK: Int): DataFrame = {
     require(terms.nonEmpty, "empty phrase")
@@ -441,13 +477,9 @@ object SearchIndex {
       .agg(map_from_entries(
         collect_list(struct(col("token"), col("pos")))).as("m"))
       .filter(size(col("m")) === distinctTerms.size)
-    val starts = terms.zipWithIndex.tail.foldLeft(
-      element_at(col("m"), terms.head)) { case (acc, (term, i)) =>
-        filter(acc, p =>
-          array_contains(element_at(col("m"), lit(term)), p + i))
-      }
     byDoc
-      .withColumn("n_occurrences", size(starts).cast("long"))
+      .withColumn("n_occurrences",
+        graft.exprs.functions.phrase_occurrences(typedLit(terms), col("m")))
       .filter(col("n_occurrences") > 0)
       .orderBy(col("n_occurrences").desc, col("doc_id")).limit(topK)
       .select("doc_id", "n_occurrences")

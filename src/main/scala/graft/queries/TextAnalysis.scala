@@ -90,7 +90,11 @@ object TextAnalysis {
        |      ' ' || $l || '  ' || $r || ' ',
        |      ' ' || $l || $r || ' '), '  ', ' '))""".stripMargin
 
-  private def bpeCtes: String = {
+  /** The BpeMerges training-round CTEs (pair count p_k → argmax b_k →
+    * greedy replace s_k) over whatever word-table CTE `s0` the caller
+    * prepends — alphabet-agnostic: the machinery only sees space-joined
+    * symbol strings. */
+  private def bpeRoundCtes(wordCte: String): String = {
     val rounds = (1 to BpeMerges).map { k =>
       s"""p$k AS (SELECT pr[1] AS l, pr[2] AS r,
          |    CAST(sum(freq) AS BIGINT) AS c
@@ -104,19 +108,39 @@ object TextAnalysis {
          |    ${mergeCycleSql(s"s${k - 1}.syms", s"b$k.l", s"b$k.r")} AS syms
          |  FROM s${k - 1}, b$k)""".stripMargin
     }
-    s"${wordTableCte("s0")},\n${rounds.mkString(",\n")}"
+    s"$wordCte,\n${rounds.mkString(",\n")}"
   }
 
+  private def bpeCtes: String = bpeRoundCtes(wordTableCte("s0"))
+
+  /** BYTE-alphabet word-frequency CTE: raw whitespace tokens (no
+    * lowercasing — case is in-alphabet now), symbols = the uppercase
+    * hex-pair rendering of the word's UTF-8 bytes, the 2..N bound on BYTE
+    * length. Mirrors [[bpeByteWordTableOf]]. */
+  private def byteWordTableCte(name: String): String =
+    s"""$name AS (SELECT freq, array_to_string(list_transform(
+       |    range(1, CAST(octet_length(encode(word)) AS INT) + 1),
+       |    i -> substring(hex(encode(word)), 2*i-1, 2)), ' ') AS syms
+       |  FROM (SELECT word, count(*) AS freq
+       |    FROM (SELECT unnest(string_split_regex(text, '\\s+')) AS word
+       |        FROM documents WHERE text IS NOT NULL)
+       |    WHERE octet_length(encode(word)) BETWEEN 2 AND $BpeMaxWordLen
+       |    GROUP BY word))""".stripMargin
+
+  private def bpeByteCtes: String = bpeRoundCtes(byteWordTableCte("s0"))
+
   /** DuckDB mirror of train_bpe: project the per-round argmax rows. */
-  private def trainBpeSql: String = {
+  private def trainSqlOver(ctes: String): String = {
     val union = (1 to BpeMerges)
       .map(k => s"SELECT * FROM b$k").mkString("\n  UNION ALL ")
-    s"""WITH $bpeCtes
+    s"""WITH $ctes
        |SELECT CAST(round AS BIGINT) AS round, l AS lhs, r AS rhs,
        |  l || r AS merged, c AS pair_freq
        |FROM ($union)
        |ORDER BY round""".stripMargin
   }
+  private def trainBpeSql: String = trainSqlOver(bpeCtes)
+  private def trainBpeBytesSql: String = trainSqlOver(bpeByteCtes)
 
   /** DuckDB mirror of train_bpe_batched, generated from the same constants:
     * per super-round, rank pairs (bq), keep the conflict-free prefix (bg —
@@ -231,11 +255,51 @@ object TextAnalysis {
        |  FROM ow JOIN wid USING (word) GROUP BY ow.doc_id)""".stripMargin
   }
 
+  /** BYTE-alphabet mirror of [[tokenIdCtes]], appended after
+    * [[bpeByteCtes]]: same v-chain/sy/wid/di shapes, but words are raw
+    * whitespace tokens (empties dropped — string_split_regex emits them
+    * at text edges, where the a-z regexp never did), base ids decode the
+    * 2-hex-char symbol to its byte value, and merge ids start at 255 + 1.
+    * Ends with `di(doc_id, tids)`. */
+  private def tokenIdByteCtes: String = {
+    val vRounds = (1 to BpeMerges).map { k =>
+      s"""v$k AS (SELECT word, coalesce(
+         |    ${mergeCycleSql(s"v${k - 1}.syms", s"b$k.l", s"b$k.r")},
+         |    v${k - 1}.syms) AS syms
+         |  FROM v${k - 1} LEFT JOIN b$k ON TRUE)""".stripMargin
+    }
+    val mtUnion = (1 to BpeMerges)
+      .map(k => s"SELECT round, l || r AS merged FROM b$k")
+      .mkString("\n  UNION ALL ")
+    s"""mt AS (SELECT merged, CAST(255 + min(round) AS INT) AS id
+       |  FROM ($mtUnion) GROUP BY merged),
+       |ow AS (SELECT doc_id, word, pos FROM
+       |    (SELECT doc_id, unnest(ws) AS word, unnest(range(len(ws))) AS pos
+       |      FROM (SELECT doc_id, string_split_regex(text, '\\s+') AS ws
+       |        FROM documents WHERE text IS NOT NULL))
+       |  WHERE word <> ''),
+       |v0 AS (SELECT word, array_to_string(list_transform(
+       |    range(1, CAST(octet_length(encode(word)) AS INT) + 1),
+       |    i -> substring(hex(encode(word)), 2*i-1, 2)), ' ') AS syms
+       |  FROM (SELECT DISTINCT word FROM ow)),
+       |${vRounds.mkString(",\n")},
+       |sy AS (SELECT word, unnest(sl) AS sym, unnest(range(len(sl))) AS sp
+       |  FROM (SELECT word, string_split(syms, ' ') AS sl FROM v$BpeMerges)),
+       |wid AS (SELECT word, list(CASE WHEN length(sym) = 2
+       |      THEN (instr('0123456789ABCDEF', substring(sym, 1, 1)) - 1) * 16
+       |        + instr('0123456789ABCDEF', substring(sym, 2, 1)) - 1
+       |      ELSE mt.id END ORDER BY sp) AS ids
+       |  FROM sy LEFT JOIN mt ON mt.merged = sy.sym GROUP BY word),
+       |di AS (SELECT ow.doc_id, flatten(list(wid.ids ORDER BY ow.pos)) AS tids
+       |  FROM ow JOIN wid USING (word) GROUP BY ow.doc_id)""".stripMargin
+  }
+
   /** Packing CTEs over `di` — DuckDB mirror of [[packTokenIds]]; ends with
-    * `pq(bucket, seq_id, n_real, n_pad, ids)`. */
-  private def packTokenIdCtes: String =
+    * `pq(bucket, seq_id, n_real, n_pad, ids)`. EOS/PAD ids are the
+    * alphabet's (fixed ends of each id space). */
+  private def packTokenIdCtesWith(eosId: Int, padId: Int): String =
     s"""de AS (SELECT doc_id, doc_id % $PackBuckets AS bucket,
-       |    list_concat(tids, [$BpeEosId]) AS ids FROM di),
+       |    list_concat(tids, [$eosId]) AS ids FROM di),
        |toff AS (SELECT doc_id, bucket, ids, len(ids) AS n,
        |    sum(len(ids)) OVER (PARTITION BY bucket
        |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS cum FROM de),
@@ -249,8 +313,11 @@ object TextAnalysis {
        |    CAST(len(real_ids) AS BIGINT) AS n_real,
        |    CAST($TokenSeqLen - len(real_ids) AS BIGINT) AS n_pad,
        |    list_concat(real_ids, list_transform(
-       |      range($TokenSeqLen - len(real_ids)), x -> $BpePadId)) AS ids
+       |      range($TokenSeqLen - len(real_ids)), x -> $padId)) AS ids
        |  FROM tsq)""".stripMargin
+
+  private def packTokenIdCtes: String =
+    packTokenIdCtesWith(BpeEosId, BpePadId)
 
   /** DuckDB CTEs producing the (doc_id, fp) winnow-fingerprint relation
     * `wf` — shared by text_winnow and Dedup.dedup_winnow so the two
@@ -297,6 +364,13 @@ object TextAnalysis {
   // rounds actually ran.
   private val BpeEosId = 26 + BpeMerges // end-of-document separator token
   private val BpePadId = 27 + BpeMerges // tail-sequence padding token
+  // BYTE-alphabet id scheme (the *_bytes family): base ids 0..255 ARE the
+  // byte values (GPT-2's byte-alphabet property — no input is ever
+  // out-of-alphabet, so digits/punctuation/case/non-Latin all tokenize),
+  // merge round k owns 255 + k, specials at the fixed end of the id space
+  // (derived from the BpeMerges CONSTANT, like the a-z family's).
+  private val BpeByteEosId = 256 + BpeMerges // end-of-document separator
+  private val BpeBytePadId = 257 + BpeMerges // tail-sequence padding
   private val TokenSeqLen = 128 // pack_token_sequences: ids per training row
   private val BpeBatchRounds = 3 // train_bpe_batched: super-rounds run
   private val BpeBatchK = 4 // train_bpe_batched: max merges applied per round
@@ -623,6 +697,14 @@ object TextAnalysis {
       : Seq[(Long, String, String, String, Long)] =
     cachedByCorpus(mergeCache, s, dir)(learnBpeMerges)
 
+  private val byteMergeCache = new java.util.concurrent.ConcurrentHashMap[
+    String, Memo[Seq[(Long, String, String, String, Long)]]]()
+
+  private def learnBpeByteMergesCached(s: SparkSession, dir: String)
+      : Seq[(Long, String, String, String, Long)] =
+    cachedByCorpus(byteMergeCache, s, dir)((s2, d) =>
+      trainBpeFastBytes(Tables(s2, d, "documents"), BpeMerges))
+
   /** The (freq, syms) word-frequency symbol table both BPE trainers start
     * from: distinct [a-z]+ words with corpus frequencies, symbols = the
     * space-joined character split. Vocab-sized, never corpus-sized. */
@@ -639,6 +721,29 @@ object TextAnalysis {
       .withColumn("syms", concat_ws(" ",
         expr("transform(sequence(1, length(word)), i -> substring(word, i, 1))")))
       .select("freq", "syms")
+
+  /** Uppercase hex-pair symbol split of a word's UTF-8 bytes — the BYTE
+    * alphabet's base symbols ("ab1" → "61 62 31", "中" → "E4 B8 AD").
+    * Spark's hex() and DuckDB's hex() both render uppercase, so the
+    * symbol STRINGS — which the merge machinery compares and
+    * concatenates — are engine-identical. */
+  private def byteSymsOf(word: Column): Column = {
+    val h = hex(encode(word, "UTF-8"))
+    concat_ws(" ", transform(
+      sequence(lit(1), octet_length(word)),
+      i => h.substr(i * 2 - 1, lit(2))))
+  }
+
+  /** BYTE-alphabet twin of [[bpeWordTableOf]]: raw whitespace tokens (no
+    * lowercasing — case is in-alphabet), bound on BYTE length. Mirrors
+    * [[byteWordTableCte]]. */
+  private def bpeByteWordTableOf(docs: DataFrame): DataFrame =
+    docs
+      .filter(col("text").isNotNull)
+      .select(explode(split(col("text"), "\\s+")).as("word"))
+      .filter(octet_length(col("word")).between(2, BpeMaxWordLen))
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+      .select(col("freq"), byteSymsOf(col("word")).as("syms"))
 
   /** Adjacent-symbol pair counts weighted by word frequency — one tiny
     * shuffle over the vocab-sized table. Shared by both trainers. */
@@ -679,8 +784,19 @@ object TextAnalysis {
     * words (freq DESC, syms ASC), because a silently truncated vocabulary
     * would train different merges than the Spark reference. */
   def trainBpeFast(docs: DataFrame, rounds: Int = BpeMerges,
-      maxVocab: Int = 1 << 22): Seq[(Long, String, String, String, Long)] = {
-    val base = bpeWordTableOf(docs)
+      maxVocab: Int = 1 << 22): Seq[(Long, String, String, String, Long)] =
+    trainFastOnWords(bpeWordTableOf(docs), rounds, maxVocab)
+
+  /** BYTE-alphabet twin of [[trainBpeFast]]: same vocab-scale trainer
+    * (BpeTrainer is alphabet-agnostic — it only sees symbol arrays), fed
+    * the whitespace-word/UTF-8-hex-symbol table, so digits, punctuation,
+    * case, and non-Latin text participate in training. */
+  def trainBpeFastBytes(docs: DataFrame, rounds: Int = BpeMerges,
+      maxVocab: Int = 1 << 22): Seq[(Long, String, String, String, Long)] =
+    trainFastOnWords(bpeByteWordTableOf(docs), rounds, maxVocab)
+
+  private def trainFastOnWords(base: DataFrame, rounds: Int,
+      maxVocab: Int): Seq[(Long, String, String, String, Long)] = {
     var rows = base.limit(maxVocab + 1).collect()
     if (rows.length > maxVocab) {
       org.slf4j.LoggerFactory.getLogger("graft.queries.TextAnalysis").warn(
@@ -702,8 +818,18 @@ object TextAnalysis {
     * prefer [[trainBpeFast]], which learns the identical merges without
     * per-round stage launches. */
   def trainBpeOn(docs: DataFrame, rounds: Int = BpeMerges)
+      : Seq[(Long, String, String, String, Long)] =
+    trainOnWords(bpeWordTableOf(docs), rounds)
+
+  /** BYTE-alphabet twin of [[trainBpeOn]] — the per-round Spark reference
+    * the byte fast trainer's parity spec pins against. */
+  def trainBpeOnBytes(docs: DataFrame, rounds: Int = BpeMerges)
+      : Seq[(Long, String, String, String, Long)] =
+    trainOnWords(bpeByteWordTableOf(docs), rounds)
+
+  private def trainOnWords(wordTable: DataFrame, rounds: Int)
       : Seq[(Long, String, String, String, Long)] = {
-    val words = bpeWordTableOf(docs).cache()
+    val words = wordTable.cache()
     // Round k applies exactly ONE merge to round k-1's MATERIALIZED table
     // (localCheckpoint + release, the ConnectedComponents round pattern)
     // rather than replaying the whole replace chain over the base: without
@@ -857,6 +983,31 @@ object TextAnalysis {
         flatten(expr("transform(a, x -> x.ids)")).as("token_ids"))
   }
 
+  /** BYTE-alphabet twin of [[tokenIdsOf]]: raw whitespace words (empties
+    * dropped — split emits them at text edges), the byte-mode fused
+    * kernel over the distinct vocabulary, same broadcast-join/regroup
+    * scale shape. EVERY word is encodable regardless of the trainer's
+    * length bound — base ids cover all 256 byte values, so unseen or
+    * over-long words fall back toward per-byte ids instead of dropping
+    * (the property the a-z family could not have). */
+  private def tokenIdsOfBytes(s: SparkSession, dir: String,
+      merges: Seq[(Long, String, String, String, Long)]): DataFrame = {
+    val ow = Tables(s, dir, "documents")
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"),
+        posexplode(split(col("text"), "\\s+")).as(Seq("pos", "word")))
+      .filter(col("word") =!= "")
+    val wids = ow.select("word").distinct()
+      .select(col("word"),
+        graft.exprs.functions.bpe_encode_byte_ids(col("word"), merges)
+          .as("ids"))
+    ow.join(broadcast(wids), "word")
+      .groupBy("doc_id")
+      .agg(sort_array(collect_list(struct(col("pos"), col("ids")))).as("a"))
+      .select(col("doc_id"),
+        flatten(expr("transform(a, x -> x.ids)")).as("token_ids"))
+  }
+
   /** Pack per-document token-id sequences into fixed-[[TokenSeqLen]]
     * training rows — the REAL-id twin of [[packAssignments]]'s count-only
     * discipline, and the last link between the tokenizer and a trainer:
@@ -872,12 +1023,13 @@ object TextAnalysis {
     * itself once, which SCALING.md prices as the floor for this operator
     * class. Buckets are independent streams: adding executors adds
     * buckets, no global order exists anywhere. */
-  private def packTokenIds(ids: DataFrame): DataFrame = {
+  private def packTokenIds(ids: DataFrame,
+      eosId: Int = BpeEosId, padId: Int = BpePadId): DataFrame = {
     val w = Window.partitionBy(col("bucket"))
       .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
     val stream = ids.select(col("doc_id"),
         (col("doc_id") % PackBuckets).as("bucket"),
-        concat(col("token_ids"), array(lit(BpeEosId))).as("ids"))
+        concat(col("token_ids"), array(lit(eosId))).as("ids"))
       .withColumn("n", size(col("ids")).cast("long"))
       .withColumn("start_off", sum(col("n")).over(w) - col("n"))
       .select(col("bucket"), col("start_off"),
@@ -891,7 +1043,7 @@ object TextAnalysis {
       .withColumn("n_real", size(col("a")).cast("long"))
       .withColumn("n_pad", lit(TokenSeqLen.toLong) - col("n_real"))
       .withColumn("token_ids", concat(expr("transform(a, x -> x.id)"),
-        array_repeat(lit(BpePadId), col("n_pad").cast("int"))))
+        array_repeat(lit(padId), col("n_pad").cast("int"))))
       .withColumn("ids_md5",
         md5(concat_ws(",", col("token_ids").cast("array<string>"))))
       .select("bucket", "seq_id", "n_real", "n_pad", "token_ids", "ids_md5")
@@ -1264,6 +1416,48 @@ object TextAnalysis {
     // md5 pins the full id content of every training row.
     "pack_token_sequences" -> { (s, dir) =>
       packTokenIds(tokenIdsOf(s, dir, learnBpeMergesCached(s, dir)))
+        .select("bucket", "seq_id", "n_real", "n_pad", "ids_md5")
+        .orderBy("bucket", "seq_id")
+    },
+
+    // BYTE-alphabet BPE training — the production-tokenizer alphabet: base
+    // symbols are the UTF-8 bytes of raw whitespace words (uppercase hex
+    // pairs in the symbol strings), so digits, punctuation, CASING, and
+    // non-Latin text all participate — nothing is out-of-alphabet, the
+    // GPT-2 byte-alphabet property the [a-z] family lacks by construction.
+    // Same vocab-scale fast trainer (BpeTrainer is alphabet-agnostic),
+    // same argmax/tie-break/merge semantics, oracle-mirrored end to end.
+    "train_bpe_bytes" -> { (s, dir) =>
+      import s.implicits._
+      learnBpeByteMergesCached(s, dir)
+        .toDF("round", "lhs", "rhs", "merged", "pair_freq")
+        .orderBy("round")
+    },
+
+    // BYTE-alphabet per-document token-id sequences: ids 0-255 ARE the
+    // byte values, merge round k owns 255+k. Every whitespace word is
+    // encodable — over-long or unseen words degrade toward per-byte ids
+    // instead of silently dropping (what happened to '3.14', 'Hello', or
+    // CJK text under the [a-z] tokenizer). Same broadcast-vocabulary
+    // scale shape and audit projection as tokenize_bpe_ids.
+    "tokenize_bpe_ids_bytes" -> { (s, dir) =>
+      tokenIdsOfBytes(s, dir, learnBpeByteMergesCached(s, dir))
+        .select(col("doc_id"),
+          size(col("token_ids")).cast("long").as("n_ids"),
+          expr("aggregate(token_ids, CAST(0 AS BIGINT), (a, x) -> a + x)")
+            .as("sum_ids"),
+          md5(concat_ws(",", col("token_ids").cast("array<string>")))
+            .as("ids_md5"))
+        .orderBy("doc_id")
+    },
+
+    // Fixed-length training rows over the BYTE-alphabet ids — the packing
+    // discipline of pack_token_sequences with the byte id space's EOS/PAD
+    // specials. Together with the two entries above this is the full
+    // byte-level tokenizer-to-trainer path, oracle-gated at every stage.
+    "pack_token_bytes" -> { (s, dir) =>
+      packTokenIds(tokenIdsOfBytes(s, dir, learnBpeByteMergesCached(s, dir)),
+          BpeByteEosId, BpeBytePadId)
         .select("bucket", "seq_id", "n_real", "n_pad", "ids_md5")
         .orderBy("bucket", "seq_id")
     },
@@ -2052,6 +2246,25 @@ object TextAnalysis {
       s"""WITH $bpeCtes,
          |$tokenIdCtes,
          |$packTokenIdCtes
+         |SELECT CAST(bucket AS BIGINT) AS bucket,
+         |  CAST(seq_id AS BIGINT) AS seq_id, n_real, n_pad,
+         |  md5(array_to_string(ids, ',')) AS ids_md5
+         |FROM pq ORDER BY bucket, seq_id""".stripMargin,
+
+    "train_bpe_bytes" -> trainBpeBytesSql,
+
+    "tokenize_bpe_ids_bytes" ->
+      s"""WITH $bpeByteCtes,
+         |$tokenIdByteCtes
+         |SELECT doc_id, CAST(len(tids) AS BIGINT) AS n_ids,
+         |  CAST(list_sum(tids) AS BIGINT) AS sum_ids,
+         |  md5(array_to_string(tids, ',')) AS ids_md5
+         |FROM di ORDER BY doc_id""".stripMargin,
+
+    "pack_token_bytes" ->
+      s"""WITH $bpeByteCtes,
+         |$tokenIdByteCtes,
+         |${packTokenIdCtesWith(BpeByteEosId, BpeBytePadId)}
          |SELECT CAST(bucket AS BIGINT) AS bucket,
          |  CAST(seq_id AS BIGINT) AS seq_id, n_real, n_pad,
          |  md5(array_to_string(ids, ',')) AS ids_md5

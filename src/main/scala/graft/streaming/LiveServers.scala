@@ -1,0 +1,192 @@
+package graft.streaming
+
+import graft.operators.{PqIndex, SearchIndex, SearchSnapshot}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import java.nio.file.{Files, Paths}
+
+/** LIVE-refresh serving for the persisted indexes — the contract the
+  * snapshot-serving stream builders ([[StreamOps.searchStream]] /
+  * [[StreamOps.searchPhraseStream]] / [[StreamOps.annProbeStream]])
+  * deliberately do not make: those capture the index at query definition
+  * (a stream-static join's static side resolves its file listing once),
+  * so documents appended afterwards are served only after a restart.
+  *
+  * A live server instead drives the stream through `foreachBatch` — the
+  * idiomatic Spark shape for a refreshable static side — and, per
+  * micro-batch, CHECKS the index's commit state before answering:
+  *  - the search index has a real commit marker (the meta batch-dir set),
+  *    so staleness detection is one directory listing — exact, cheap,
+  *    and atomic with respect to appendDocs/compact commits;
+  *  - the vector index commits by appending parquet files, so its
+  *    detection fingerprint is the (name, size) file listing of
+  *    cells/pq_codes/centroids.
+  * On a detected change the server reloads, re-persists the scoring
+  * snapshot, and unpersists the old one — readers of the PREVIOUS
+  * micro-batch were already answered from a consistent snapshot; the
+  * next micro-batch sees the appended documents. Between changes the
+  * cost per micro-batch is one listing, no Spark job.
+  *
+  * Answers are the BATCH operators' answers (the same snapshot algebra
+  * the windowed stream twins pin against batch search): each query row
+  * is complete in its micro-batch, so no watermark state is needed and
+  * results emit immediately rather than on window close — the right
+  * latency contract for a serving tier, with the windowed builders
+  * remaining the choice for event-time-aggregated pipelines.
+  */
+final class LiveSearchServer(
+    spark: SparkSession, dir: String, mode: String = "tfidf")
+    extends AutoCloseable {
+
+  @volatile private var state: (Set[String], SearchSnapshot) = {
+    val s = SearchIndex.load(spark, dir).snapshot(mode)
+    (committed(), s)
+  }
+
+  private def committed(): Set[String] = {
+    val root = Paths.get(dir, "meta")
+    if (!Files.isDirectory(root)) Set.empty
+    else {
+      import scala.jdk.CollectionConverters._
+      scala.util.Using.resource(Files.list(root))(
+        _.iterator().asScala.toList)
+        .filter(p => Files.isDirectory(p) &&
+          !p.getFileName.toString.startsWith("."))
+        .map(_.getFileName.toString).toSet
+    }
+  }
+
+  /** Reload + re-snapshot if the committed-batch set changed since the
+    * snapshot was taken. @return true if a refresh happened */
+  def refreshIfStale(): Boolean = synchronized {
+    val now = committed()
+    if (now == state._1) false
+    else {
+      val fresh = SearchIndex.load(spark, dir).snapshot(mode)
+      val old = state._2
+      state = (now, fresh)
+      old.close()
+      true
+    }
+  }
+
+  /** Answer one (plain, non-streaming) batch of queries against the
+    * CURRENT snapshot: (q_id, top_ids, top_scores) — the stream twins'
+    * output shape minus the window, scores the batch search's exact
+    * BIGINTs. Phrase mode scores by occurrence count. */
+  def answer(
+      queries: DataFrame, idCol: String, qCol: String, topK: Int): DataFrame = {
+    val snap = state._2
+    if (mode == "phrase") {
+      val q = queries
+        .select(col(idCol).cast("long").as("q_id"),
+          split(col(qCol), "\\s+").as("phrase"))
+        .withColumn("token", explode(array_distinct(col("phrase"))))
+      q.join(snap.df, Seq("token"))
+        .groupBy(col("q_id"), col("doc_id"), col("phrase"))
+        .agg(map_from_entries(
+          collect_list(struct(col("token"), col("pos")))).as("m"))
+        .withColumn("n_occurrences",
+          graft.exprs.functions.phrase_occurrences(col("phrase"), col("m")))
+        .filter(col("n_occurrences") > 0)
+        .groupBy(col("q_id"))
+        .agg(slice(sort_array(collect_list(struct(
+          (-col("n_occurrences")).as("neg"), col("doc_id")))), 1, topK)
+          .as("top"))
+        .select(col("q_id"),
+          expr("transform(top, x -> x.doc_id)").as("top_ids"),
+          expr("transform(top, x -> -x.neg)").as("top_scores"))
+    } else {
+      queries
+        .select(col(idCol).cast("long").as("q_id"),
+          explode(array_distinct(split(col(qCol), "\\s+"))).as("token"))
+        .join(snap.df, Seq("token"))
+        .groupBy(col("q_id"), col("doc_id"))
+        .agg(sum(col("contrib")).as("score"))
+        .groupBy(col("q_id"))
+        .agg(slice(sort_array(collect_list(struct(
+          (-col("score")).as("neg"), col("doc_id")))), 1, topK).as("top"))
+        .select(col("q_id"),
+          expr("transform(top, x -> x.doc_id)").as("top_ids"),
+          expr("transform(top, x -> -x.neg)").as("top_scores"))
+    }
+  }
+
+  /** Start serving a STREAM of queries: per micro-batch, refresh if the
+    * index grew, answer from the current snapshot, hand the result to
+    * `sink`. The returned query is the caller's to stop. */
+  def serve(
+      queries: DataFrame, idCol: String, qCol: String, topK: Int)
+      (sink: DataFrame => Unit): StreamingQuery =
+    queries.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        refreshIfStale()
+        sink(answer(batch, idCol, qCol, topK))
+      }
+      .start()
+
+  override def close(): Unit = state._2.close()
+}
+
+/** [[LiveSearchServer]]'s vector twin: ADC probes served from a
+  * PERSISTED [[PqIndex]], re-loaded when the index dir's file listing
+  * changes (the vector indexes commit by appending whole parquet files,
+  * so the (name, size) listing IS the visible state). Probes run through
+  * [[PqIndex.probeAll]] — the executor-side batch path, no driver LUT —
+  * so a micro-batch of queries may be arbitrarily large. */
+final class LiveAnnServer(
+    spark: SparkSession, dir: String,
+    nProbe: Int, topK: Int, rerank: Int = 0) extends AutoCloseable {
+
+  @volatile private var state: (String, PqIndex) =
+    (fingerprint(), PqIndex.load(spark, dir))
+
+  private def fingerprint(): String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    Seq("cells", "pq_codes", "centroids", "pq_codebooks").foreach { rel =>
+      val root = Paths.get(dir, rel)
+      if (Files.isDirectory(root)) {
+        import scala.jdk.CollectionConverters._
+        scala.util.Using.resource(Files.walk(root)) { st =>
+          st.iterator().asScala.toList
+            .filter(Files.isRegularFile(_))
+            .map(p => s"$p:${Files.size(p)}")
+            .sorted
+            .foreach(s => md.update(s.getBytes("UTF-8")))
+        }
+      }
+    }
+    md.digest().map("%02x".format(_)).mkString
+  }
+
+  /** Reload if the index files changed. @return true on refresh */
+  def refreshIfStale(): Boolean = synchronized {
+    val now = fingerprint()
+    if (now == state._1) false
+    else { state = (now, PqIndex.load(spark, dir)); true }
+  }
+
+  /** ADC-probe one plain batch of (id, vector) queries against the
+    * current index generation. */
+  def answer(queries: DataFrame, idCol: String, vecCol: String): DataFrame =
+    PqIndex.probeAll(state._2,
+      queries.select(col(idCol).cast("long").as("q_id"),
+        col(vecCol).cast("array<double>").as("qv")),
+      nProbe, topK, rerank)
+
+  /** Serve a query stream with per-micro-batch refresh — upserted
+    * vectors are probed as soon as their files commit, no restart. */
+  def serve(
+      queries: DataFrame, idCol: String, vecCol: String)
+      (sink: DataFrame => Unit): StreamingQuery =
+    queries.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        refreshIfStale()
+        sink(answer(batch, idCol, vecCol))
+      }
+      .start()
+
+  override def close(): Unit = ()
+}

@@ -646,36 +646,40 @@ object StreamOps {
     *
     * SNAPSHOT semantics: the index stores no precomputed IDF (df and
     * corpus totals are query-time-exact in batch), so the scored postings
-    * here are a derived model — computed once at query definition and
-    * PERSISTED, each micro-batch joining against the cached snapshot.
-    * Documents appended to the index after the stream starts are served
-    * after a stream restart (the same refresh cadence as the NB/PQ model
-    * snapshots); the batch search is always exact.
+    * here are a derived model — the caller creates it ONCE
+    * ([[graft.operators.SearchIndex.snapshot]] persists it, `close()`
+    * unpersists — the explicit lifecycle replacing the fire-and-forget
+    * persist that leaked a cached plan per constructed stream), each
+    * micro-batch joins against the cached snapshot, and N streams may
+    * share one snapshot. Documents appended to the index after the
+    * snapshot was taken are served after a snapshot refresh / stream
+    * restart — or LIVE via [[LiveSearchServer]], which re-lists the
+    * committed batches per micro-batch; the batch search is always exact.
     *
     * @param queries   streaming DataFrame of (event-time, id, query text)
     * @param tsCol     event-time column
     * @param idCol     long query id column
     * @param qCol      whitespace-separated query terms column
-    * @param idx       loaded [[graft.operators.SearchIndex]]
+    * @param snap      scoring snapshot ([[graft.operators.SearchIndex.snapshot]]),
+    *                  mode "tfidf" or "bm25" — BM25's per-(doc, term)
+    *                  contribution is fully precomputable for a snapshot,
+    *                  so both modes are one join + exact BIGINT sums and
+    *                  both match their batch search bit-for-bit
     * @param topK      documents returned per query
     * @param windowLen tumbling-window length
     * @param delay     watermark delay
-    * @param scoring   "tfidf" (default) or "bm25" — BM25's per-(doc,
-    *                  term) contribution is fully precomputable for a
-    *                  snapshot ([[graft.operators.SearchIndex.scoredPostingsBm25]]),
-    *                  so both modes are one join + exact BIGINT sums and
-    *                  both match their batch search bit-for-bit
     */
   def searchStream(
       queries: DataFrame,
       tsCol: String,
       idCol: String,
       qCol: String,
-      idx: graft.operators.SearchIndex,
+      snap: graft.operators.SearchSnapshot,
       topK: Int,
       windowLen: String,
-      delay: String,
-      scoring: String = "tfidf"): DataFrame = {
+      delay: String): DataFrame = {
+    require(snap.mode == "tfidf" || snap.mode == "bm25",
+      s"searchStream needs a tfidf or bm25 snapshot, got '${snap.mode}'")
     val terms = queries
       .select(col(tsCol).cast("timestamp").as("ts"),
         col(idCol).cast("long").as("q_id"),
@@ -684,17 +688,8 @@ object StreamOps {
         // not double-count, or the batch-identical-scores contract breaks
         explode(array_distinct(split(col(qCol), "\\s+"))).as("token"))
       .withWatermark("ts", delay)
-    val scored = scoring match {
-      case "tfidf" => idx.scoredPostings
-        .select(col("token"), col("doc_id"),
-          (col("cnt") * col("idf_q6")).as("contrib"))
-      case "bm25" => idx.scoredPostingsBm25
-        .select("token", "doc_id", "contrib")
-      case other => throw new IllegalArgumentException(
-        s"scoring must be tfidf or bm25, got '$other'")
-    }
     terms
-      .join(scored.persist(), Seq("token"))
+      .join(snap.df, Seq("token"))
       .groupBy(window(col("ts"), windowLen), col("q_id"), col("doc_id"))
       .agg(sum(col("contrib")).as("score"))
       .groupBy(col("window"), col("q_id"))
@@ -715,14 +710,15 @@ object StreamOps {
     * HOFs — per-row, because the fold's shape here depends on each
     * query's own phrase (data, not plan structure). Occurrence counts
     * are exact integers, so stream ≡ batch bit-for-bit (spec-pinned).
-    * Snapshot semantics as [[searchStream]].
+    * Snapshot lifecycle as [[searchStream]] (mode "phrase").
     *
     * @param queries   streaming DataFrame of (event-time, id, phrase text)
     * @param tsCol     event-time column
     * @param idCol     long query id column
     * @param qCol      whitespace-separated phrase column (token order IS
     *                  the phrase)
-    * @param idx       loaded [[graft.operators.SearchIndex]]
+    * @param snap      positional snapshot
+    *                  ([[graft.operators.SearchIndex.snapshot]], mode "phrase")
     * @param topK      documents returned per query
     * @param windowLen tumbling-window length
     * @param delay     watermark delay */
@@ -731,18 +727,19 @@ object StreamOps {
       tsCol: String,
       idCol: String,
       qCol: String,
-      idx: graft.operators.SearchIndex,
+      snap: graft.operators.SearchSnapshot,
       topK: Int,
       windowLen: String,
       delay: String): DataFrame = {
+    require(snap.mode == "phrase",
+      s"searchPhraseStream needs a phrase snapshot, got '${snap.mode}'")
     val q = queries
       .select(col(tsCol).cast("timestamp").as("ts"),
         col(idCol).cast("long").as("q_id"),
         split(col(qCol), "\\s+").as("phrase"))
       .withColumn("token", explode(array_distinct(col("phrase"))))
       .withWatermark("ts", delay)
-    q.join(idx.postings.select("token", "doc_id", "pos").persist(),
-        Seq("token"))
+    q.join(snap.df, Seq("token"))
       .groupBy(window(col("ts"), windowLen), col("q_id"), col("doc_id"),
         col("phrase"))
       .agg(map_from_entries(
@@ -785,6 +782,21 @@ object StreamOps {
     docs
       .withColumn("token_ids",
         graft.exprs.functions.bpe_encode_ids(col(textCol), merges))
+      .withColumn("n_ids", size(col("token_ids")).cast("long"))
+  }
+
+  /** BYTE-alphabet twin of [[tokenizeBpeStream]]: the same stateless
+    * per-row projection, with the byte-mode kernel (whitespace words,
+    * UTF-8 byte base symbols, ids 0-255 + 255+round merges) over a
+    * train_bpe_bytes model artifact — so the live tokenizer sees digits,
+    * punctuation, case, and non-Latin text exactly like the batch
+    * tokenize_bpe_ids_bytes path (bit-parity spec-pinned). */
+  def tokenizeBpeBytesStream(
+      docs: DataFrame, textCol: String, modelDir: String): DataFrame = {
+    val merges = graft.operators.BpeModel.load(docs.sparkSession, modelDir)
+    docs
+      .withColumn("token_ids",
+        graft.exprs.functions.bpe_encode_byte_ids(col(textCol), merges))
       .withColumn("n_ids", size(col("token_ids")).cast("long"))
   }
 

@@ -86,4 +86,50 @@ class BpeFastTrainerSpec extends AnyFunSuite {
     val ref = TextAnalysis.trainBpeOn(docs)
     assert(fast === ref)
   }
+
+  /** Mixed-alphabet pool: latin (both cases), digits, punctuation, CJK —
+    * every character class the [a-z] family was blind to. Words stay ≤ 5
+    * chars so CJK (3 B/char) keeps byte length within the trainer's
+    * 16-byte vocab bound. */
+  private def syntheticByteDocs = {
+    val rnd = new scala.util.Random(13)
+    val chars = "abcdefgXYZ0189.,!?-中文水火日月デタ"
+    val pool = (0 until 300).map { _ =>
+      val len = 3 + rnd.nextInt(3)
+      (0 until len).map(_ => chars(rnd.nextInt(chars.length))).mkString
+    }.distinct
+    val docs = (0 until 120).map { i =>
+      (i.toLong, (0 until 40).map(_ => pool(rnd.nextInt(pool.size)))
+        .mkString(" "))
+    }
+    import spark.implicits._
+    docs.toDF("doc_id", "text")
+  }
+
+  test("byte alphabet: 500-merge bit-parity on digits + punctuation + case + CJK") {
+    val docs = syntheticByteDocs.cache()
+    try {
+      val fast = TextAnalysis.trainBpeFastBytes(docs, rounds = 500)
+      assert(fast.size >= 500,
+        s"byte pool exhausted early (${fast.size} merges) — pool too small")
+      val ref = TextAnalysis.trainBpeOnBytes(docs, rounds = 500)
+      assert(fast.size === ref.size)
+      fast.zip(ref).zipWithIndex.foreach { case ((f, r), i) =>
+        assert(f === r, s"divergence at merge $i")
+      }
+      // the alphabet actually widened: some learned symbol must contain a
+      // non-[a-z] byte (hex pairs outside 61..7A)
+      val azHex = ('a' to 'z').map(c => f"${c.toInt}%02X").toSet
+      def syms(m: String) = m.grouped(2).toSeq
+      assert(fast.exists(m => syms(m._4).exists(s => !azHex.contains(s))),
+        "no non-latin byte ever participated in a merge")
+    } finally docs.unpersist()
+  }
+
+  test("byte alphabet: testdata corpus parity at the production round count") {
+    val docs = graft.util.Tables(spark, "/root/testdata/sf0.001", "documents")
+    val fast = TextAnalysis.trainBpeFastBytes(docs)
+    val ref = TextAnalysis.trainBpeOnBytes(docs)
+    assert(fast === ref)
+  }
 }

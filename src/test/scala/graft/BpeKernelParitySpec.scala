@@ -96,6 +96,87 @@ class BpeKernelParitySpec extends AnyFunSuite {
       assert(got(w) === expected(w).toList, s"word '$w'")
   }
 
+  test("byte kernel == chained-column reference on digits + punctuation + case + CJK") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(29)
+    val chars = "abcdXYZ0189.,!中文デ"
+    val ws = (0 until 200).map { _ =>
+      (0 until (2 + rnd.nextInt(4)))
+        .map(_ => chars(rnd.nextInt(chars.length))).mkString
+    }.distinct
+    val docs = (0 until 60).map(i =>
+      (i.toLong, (0 until 30).map(_ => ws(rnd.nextInt(ws.size)))
+        .mkString(" "))).toDF("doc_id", "text")
+    val merges = TextAnalysis.trainBpeFastBytes(docs, rounds = 60)
+    assert(merges.size === 60)
+
+    // REFERENCE: the applyBpeMerge column chain over hex-pair byte symbols
+    val wdf = ws.toDF("word")
+    var v = wdf
+      .withColumn("h", hex(encode(col("word"), "UTF-8")))
+      .withColumn("syms", concat_ws(" ", expr(
+        "transform(sequence(1, CAST(octet_length(word) AS INT))," +
+          " i -> substring(h, 2*i-1, 2))")))
+    merges.foreach { case (_, l, r, _, _) =>
+      v = v.withColumn("syms", TextAnalysis.applyBpeMerge(col("syms"), l, r))
+    }
+    v = v.localCheckpoint(true)
+    val refSyms = v.select("word", "syms").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    val ids = scala.collection.mutable.LinkedHashMap[String, Int]()
+    for ((round, _, _, m, _) <- merges if !ids.contains(m))
+      ids += m -> (255 + round.toInt)
+    val expected = ws.map { w =>
+      w -> refSyms(w).split(" ").toSeq
+        .map(s => if (s.length == 2) Integer.parseInt(s, 16) else ids(s))
+    }.toMap
+
+    val got = wdf.select(col("word"),
+        graft.exprs.functions.bpe_encode_byte_ids(col("word"), merges)
+          .as("ids"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Int](1).toList).toMap
+    for (w <- ws) assert(got(w) === expected(w).toList, s"word '$w'")
+  }
+
+  test("byte kernel: nothing is out-of-alphabet — per-word byte-lossless round trip") {
+    import spark.implicits._
+    val trainDocs = Seq(
+      (1L, "Hello hello WORLD world 3.14 2.71 data-base"),
+      (2L, "中文 中文 データ データ mixed MIXED 42! 42!"))
+      .toDF("doc_id", "text")
+    val merges = TextAnalysis.trainBpeFastBytes(trainDocs, rounds = 30)
+    assert(merges.nonEmpty)
+    // decode map under the byte id scheme: 0-255 → the byte itself;
+    // a re-learned symbol keeps its FIRST round's id, so bind each merged
+    // symbol's bytes to that id only
+    val idBytes = scala.collection.mutable.HashMap[Int, Array[Byte]]()
+    (0 until 256).foreach(b => idBytes(b) = Array(b.toByte))
+    val firstIds = scala.collection.mutable.HashMap[String, Int]()
+    for ((round, _, _, m, _) <- merges if !firstIds.contains(m)) {
+      firstIds(m) = 255 + round.toInt
+      idBytes(255 + round.toInt) =
+        m.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+    }
+    val texts = Seq(
+      "Hello, WORLD! 3.14159",
+      "中文 data 混合テキスト",
+      "emoji 🙂 + tabs\tok",
+      "1234567890 !@#$%^&*()",
+      "MiXeD CaSe unTRAINED wörds")
+    val got = texts.toDF("text")
+      .select(col("text"),
+        graft.exprs.functions.bpe_encode_byte_ids(col("text"), merges)
+          .as("ids"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Int](1)).toMap
+    texts.foreach { t =>
+      val decoded = got(t).flatMap(idBytes(_)).toArray
+      val expected = t.split("\\s+").filter(_.nonEmpty)
+        .flatMap(_.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      assert(java.util.Arrays.equals(decoded, expected),
+        s"round trip lost bytes for: $t")
+    }
+  }
+
   test("empty merge table degrades to per-char ids; chains merge left-to-right non-overlapping") {
     import spark.implicits._
     val none = Seq("abc").toDF("word")

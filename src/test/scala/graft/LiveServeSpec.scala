@@ -1,0 +1,159 @@
+package graft
+
+import graft.operators.{IvfIndex, PqIndex, SearchIndex}
+import graft.streaming.{LiveAnnServer, LiveSearchServer}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The LIVE-refresh serving contract (round-9 follow-up #2) and the
+  * snapshot lifecycle contract (#5):
+  *  - documents appended to a persisted search index MID-STREAM are
+  *    served as soon as their batch commits — no restart — and every
+  *    answer equals the batch operator's over the index state the server
+  *    had refreshed to;
+  *  - vectors upserted into a persisted PQ index mid-stream are probed
+  *    after their files commit;
+  *  - [[SearchIndex.snapshot]] persists exactly one plan per handle and
+  *    `close()` removes it from the cache manager — N streams share one
+  *    snapshot instead of leaking one cached plan per construction. */
+class LiveServeSpec extends AnyFunSuite {
+  private lazy val spark = SparkFixture.spark
+  private val sfDir = "/root/testdata/sf0.001"
+
+  private def docs = graft.util.Tables(spark, sfDir, "documents")
+    .select(col("doc_id"), col("text"))
+
+  test("LiveSearchServer: appendDocs mid-stream is served after commit, without restart") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-livesearch").toString
+    val half1 = docs.filter(col("doc_id") % 2 === 0)
+    val half2 = docs.filter(col("doc_id") % 2 === 1)
+    SearchIndex.build(half1).save(dir)
+
+    def batchAnswer(): Seq[(Long, Long)] =
+      SearchIndex.search(SearchIndex.load(spark, dir),
+          Seq("vector", "stream"), 5)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+
+    val beforeAppend = batchAnswer()
+    val results =
+      new java.util.concurrent.ConcurrentHashMap[Long, Seq[(Long, Long)]]()
+    val server = new LiveSearchServer(spark, dir, "tfidf")
+    val mem = MemoryStream[(Long, String)]
+    val q = server.serve(
+        mem.toDF().toDF("q_id", "q"), "q_id", "q", topK = 5) { out =>
+      out.collect().foreach { r =>
+        results.put(r.getLong(0),
+          r.getSeq[Long](1).zip(r.getSeq[Long](2)).toSeq)
+      }
+    }
+    try {
+      mem.addData((1L, "vector stream"))
+      q.processAllAvailable()
+      assert(results.get(1L) === beforeAppend,
+        "pre-append answers must equal batch search over the half index")
+
+      SearchIndex.appendDocs(spark, dir, half2)
+      val afterAppend = batchAnswer()
+      // nDocs changed → idf changed → scores must differ: the equality
+      // below can only hold if the server actually refreshed
+      assert(afterAppend !== beforeAppend,
+        "test corpus must make the append observable")
+
+      mem.addData((2L, "vector stream"))
+      q.processAllAvailable()
+      assert(results.get(2L) === afterAppend,
+        "post-append answers must serve the appended docs WITHOUT restart")
+    } finally { q.stop(); server.close() }
+  }
+
+  test("LiveAnnServer: appendVectors mid-stream is probed after commit, without restart") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val emb = graft.util.Tables(spark, sfDir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val half = emb.filter(col("vec_id") % 2 === 0)
+    val rest = emb.filter(col("vec_id") % 2 === 1)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-liveann").toString
+    PqIndex.build(half, m = 8, kCodes = 16, coarseK = 4).save(dir)
+
+    val qv = emb.filter(col("vec_id") === 0L)
+      .select(col("v")).head().getSeq[Double](0)
+    // query ids OUTSIDE the indexed vec_id space: the n_id ≠ q_id
+    // self-filter must bite identically for the batch and stream calls
+    def batchAnswer(qid: Long): Seq[(Int, Long)] =
+      PqIndex.probeAll(PqIndex.load(spark, dir),
+          Seq((qid, qv)).toDF("q_id", "qv"), nProbe = 4, topK = 5,
+          rerank = 50)
+        .collect().map(r => (r.getInt(2), r.getLong(1))).toSeq.sorted
+
+    val before = batchAnswer(1000001L)
+    val results =
+      new java.util.concurrent.ConcurrentHashMap[Long, Seq[(Int, Long)]]()
+    val server = new LiveAnnServer(spark, dir, nProbe = 4, topK = 5,
+      rerank = 50)
+    val mem = MemoryStream[(Long, Seq[Double])]
+    val q = server.serve(
+        mem.toDF().toDF("q_id", "qv"), "q_id", "qv") { out =>
+      out.collect().groupBy(_.getLong(0)).foreach { case (qid, rows) =>
+        results.put(qid,
+          rows.map(r => (r.getInt(2), r.getLong(1))).toSeq.sorted)
+      }
+    }
+    try {
+      mem.addData((1000001L, qv))
+      q.processAllAvailable()
+      assert(results.get(1000001L) === before)
+
+      PqIndex.appendVectors(spark, dir, rest)
+      val after = batchAnswer(1000002L)
+      assert(after !== before, "the upsert must change the neighborhood")
+
+      mem.addData((1000002L, qv)) // same vector, new query id
+      q.processAllAvailable()
+      assert(results.get(1000002L) === after,
+        "post-upsert probes must see the appended vectors WITHOUT restart")
+    } finally { q.stop(); server.close() }
+  }
+
+  test("snapshot lifecycle: N streams share one handle; close() uncaches it") {
+    import org.apache.spark.storage.StorageLevel
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-snaplife").toString
+    SearchIndex.build(docs.limit(60)).save(dir)
+    val idx = SearchIndex.load(spark, dir)
+    val snap = idx.snapshot("tfidf")
+    try {
+      assert(snap.df.storageLevel !== StorageLevel.NONE,
+        "snapshot() must persist its relation")
+      // N stream constructions from ONE snapshot add NO cached plans:
+      // the builder no longer persists internally, so the only persisted
+      // relation is the handle's own
+      val mkStream = () => {
+        import spark.implicits._
+        implicit val sqlCtx = spark.sqlContext
+        val mem = MemoryStream[(java.sql.Timestamp, Long, String)]
+        graft.streaming.StreamOps.searchStream(
+          mem.toDF().toDF("ts", "q_id", "q"), "ts", "q_id", "q",
+          snap, topK = 3, windowLen = "10 seconds", delay = "5 seconds")
+      }
+      val streams = (1 to 3).map(_ => mkStream())
+      assert(streams.size === 3)
+      val cspark = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      val cm = cspark.sharedState.cacheManager
+      assert(cm.lookupCachedData(
+          snap.df.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]])
+        .isDefined, "the one shared snapshot must be the cached plan")
+    } finally snap.close()
+    assert(snap.df.storageLevel === org.apache.spark.storage.StorageLevel.NONE,
+      "close() must unpersist the snapshot")
+    val cspark = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    assert(cspark.sharedState.cacheManager.lookupCachedData(
+        snap.df.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]])
+      .isEmpty, "no cached plan may outlive its handle")
+  }
+}

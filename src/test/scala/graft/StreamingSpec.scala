@@ -882,9 +882,10 @@ class StreamingSpec extends AnyFunSuite {
 
     val mem = MemoryStream[(java.sql.Timestamp, Long, String)]
     def ts(s: Long) = new java.sql.Timestamp(s * 1000L)
+    val snap = idx.snapshot("tfidf")
     val q = StreamOps.searchStream(
         mem.toDF().toDF("ts", "q_id", "q"),
-        "ts", "q_id", "q", idx, topK = 5,
+        "ts", "q_id", "q", snap, topK = 5,
         windowLen = "10 seconds", delay = "5 seconds")
       .writeStream.format("memory").queryName("searchstream")
       .outputMode("append").start()
@@ -902,7 +903,7 @@ class StreamingSpec extends AnyFunSuite {
       val served = got.head.getSeq[Long](0)
         .zip(got.head.getSeq[Long](1)).toSeq
       assert(served === batch, s"$served != $batch")
-    } finally q.stop()
+    } finally { q.stop(); snap.close() }
   }
 
   test("searchStream bm25 mode matches the batch searchBm25 bit-for-bit") {
@@ -921,10 +922,11 @@ class StreamingSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
     val mem = MemoryStream[(java.sql.Timestamp, Long, String)]
     def ts(s: Long) = new java.sql.Timestamp(s * 1000L)
+    val snap = idx.snapshot("bm25")
     val q = StreamOps.searchStream(
         mem.toDF().toDF("ts", "q_id", "q"),
-        "ts", "q_id", "q", idx, topK = 5,
-        windowLen = "10 seconds", delay = "5 seconds", scoring = "bm25")
+        "ts", "q_id", "q", snap, topK = 5,
+        windowLen = "10 seconds", delay = "5 seconds")
       .writeStream.format("memory").queryName("searchstreambm")
       .outputMode("append").start()
     try {
@@ -939,7 +941,7 @@ class StreamingSpec extends AnyFunSuite {
       val served = got.head.getSeq[Long](0)
         .zip(got.head.getSeq[Long](1)).toSeq
       assert(served === batch, s"$served != $batch")
-    } finally q.stop()
+    } finally { q.stop(); snap.close() }
   }
 
   test("searchPhraseStream matches batch searchPhrase bit-for-bit") {
@@ -959,9 +961,10 @@ class StreamingSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
     val mem = MemoryStream[(java.sql.Timestamp, Long, String)]
     def ts(s: Long) = new java.sql.Timestamp(s * 1000L)
+    val snap = idx.snapshot("phrase")
     val q = StreamOps.searchPhraseStream(
         mem.toDF().toDF("ts", "q_id", "q"),
-        "ts", "q_id", "q", idx, topK = 5,
+        "ts", "q_id", "q", snap, topK = 5,
         windowLen = "10 seconds", delay = "5 seconds")
       .writeStream.format("memory").queryName("phrasestream")
       .outputMode("append").start()
@@ -978,7 +981,7 @@ class StreamingSpec extends AnyFunSuite {
       }
       assert(served(7L) === batch(Seq("new", "york")))
       assert(served(8L) === batch(Seq("york", "new")))
-    } finally q.stop()
+    } finally { q.stop(); snap.close() }
   }
 
   test("packTokenIdsStream: seq ids and partial buffers survive a restart") {
@@ -1132,6 +1135,54 @@ class StreamingSpec extends AnyFunSuite {
         .map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2)))).toMap
       // batch drops wordless docs at its posexplode; the stream emits an
       // empty id array for them — that is the only allowed asymmetry
+      val extra = got.keySet -- batch.keySet
+      assert(extra.forall(d => got(d)._1 == 0L), s"unexplained extra: $extra")
+      batch.foreach { case (d, v) =>
+        assert(got.get(d).contains(v), s"doc $d: ${got.get(d)} != $v")
+      }
+    } finally q.stop()
+  }
+
+  test("tokenizeBpeBytesStream matches batch tokenize_bpe_ids_bytes via the persisted model") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    implicit val sqlCtx = spark.sqlContext
+    val sfDir = "/root/testdata/sf0.001"
+    val merges = SparkEntry.queries("train_bpe_bytes")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getString(3),
+        r.getLong(4))).toSeq
+    assert(merges.nonEmpty)
+    val modelDir =
+      java.nio.file.Files.createTempDirectory("graft-bpebstream").toString
+    graft.operators.BpeModel.save(spark, merges, modelDir)
+
+    val batch = SparkEntry.queries("tokenize_bpe_ids_bytes")(spark, sfDir)
+      .select("doc_id", "n_ids", "ids_md5").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2)))).toMap
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .filter(col("text").isNotNull)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+
+    val mem = MemoryStream[(Long, String)]
+    val q = StreamOps.tokenizeBpeBytesStream(
+        mem.toDF().toDF("doc_id", "text"), "text", modelDir)
+      .select(col("doc_id"),
+        col("n_ids"),
+        md5(concat_ws(",", col("token_ids").cast("array<string>")))
+          .as("ids_md5"))
+      .writeStream.format("memory").queryName("bpebyteids")
+      .outputMode("append").start()
+    try {
+      val (h1, h2) = docs.splitAt(docs.length / 2)
+      mem.addData(h1: _*)
+      q.processAllAvailable()
+      mem.addData(h2: _*)
+      q.processAllAvailable()
+      val got = spark.table("bpebyteids").collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2)))).toMap
+      // batch drops wordless docs at its posexplode; the stream emits an
+      // empty id array for them — the only allowed asymmetry
       val extra = got.keySet -- batch.keySet
       assert(extra.forall(d => got(d)._1 == 0L), s"unexplained extra: $extra")
       batch.foreach { case (d, v) =>

@@ -21,6 +21,36 @@ import pandas as pd
 
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
 
+# Sanity BANDS for no-oracle entries (round-9 follow-up #8): a different
+# engine's sketch of the same statistic, compared within a relative
+# tolerance — an external signal, NOT bit parity (Spark's HLL++ and
+# DuckDB's HLL are different sketches; both sit within a few percent of
+# truth at these cardinalities, so a 15% mutual band is loose enough to
+# be stable and tight enough to catch a broken operator).
+# name -> (band SQL producing the same sorted shape, join key cols, rel tol)
+BAND_SQL = {
+    "agg_approx_distinct": (
+        "SELECT l_returnflag, approx_count_distinct(l_partkey) AS approx_parts"
+        " FROM lineitem GROUP BY 1 ORDER BY 1",
+        ["l_returnflag"], 0.15),
+}
+
+def band_check(con, name, got):
+    """Returns (ok, detail) for a banded no-oracle entry."""
+    sql, keys, tol = BAND_SQL[name]
+    exp = con.sql(sql).df()
+    g = got.sort_values(by=keys).reset_index(drop=True)
+    e = exp.sort_values(by=keys).reset_index(drop=True)
+    if len(g) != len(e) or list(g[keys].itertuples(index=False)) != list(e[keys].itertuples(index=False)):
+        return False, f"group keys differ: spark={len(g)} rows, duckdb={len(e)}"
+    vcols = [c for c in g.columns if c not in keys]
+    worst = 0.0
+    for c in vcols:
+        for a, b in zip(g[c].astype(float), e[c].astype(float)):
+            rel = abs(a - b) / max(abs(b), 1.0)
+            worst = max(worst, rel)
+    return worst <= tol, f"max_rel_diff={worst:.3%} (band {tol:.0%})"
+
 def norm(df: pd.DataFrame) -> pd.DataFrame:
     df = df.reindex(sorted(df.columns), axis=1)
     for c in df.columns:
@@ -92,8 +122,17 @@ def main():
         files = glob.glob(f"{d}/*.parquet")
         got = pd.concat([pd.read_parquet(f) for f in files]) if files else pd.DataFrame()
         if name not in oracle:
-            print(f"  ~ {name}: rows={len(got)} (no oracle, rows-only)")
-            n_noop += 1
+            if name in BAND_SQL:
+                ok, detail = band_check(con, name, got)
+                if ok:
+                    print(f"  ~ {name}: rows={len(got)} (no oracle; DuckDB band OK, {detail})")
+                    n_noop += 1
+                else:
+                    print(f"  X {name}: DuckDB BAND FAILED: {detail}")
+                    n_fail += 1
+            else:
+                print(f"  ~ {name}: rows={len(got)} (no oracle, rows-only)")
+                n_noop += 1
             continue
         try:
             exp = con.sql(oracle[name]).df()
