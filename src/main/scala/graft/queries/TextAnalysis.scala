@@ -1099,6 +1099,37 @@ object TextAnalysis {
     }
   }
 
+  /** BYTE-model artifact root — its own keyed prefix: the a-z and byte
+    * merge tables are different models of the same corpus and must never
+    * shadow each other at one path. */
+  private[graft] def bpeByteModelRoot(s: SparkSession, dir: String): Option[String] =
+    corpusKey(dir).map { ck =>
+      val key = java.security.MessageDigest.getInstance("MD5")
+        .digest(ck.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(12)
+      java.nio.file.Paths.get(
+        sys.props.getOrElse("java.io.tmpdir", "/tmp"),
+        s"graft-bpemodelb-$key").toString
+    }
+
+  /** [[persistedMerges]] for the BYTE model — the identical staleness
+    * contract (fingerprint-keyed root, in-artifact fingerprint verified
+    * before serving, stale artifacts superseded) over the byte trainer. */
+  private[graft] def persistedByteMerges(s: SparkSession, dir: String)
+      : Seq[(Long, String, String, String, Long)] = {
+    import graft.operators.BpeModel
+    (corpusKey(dir), bpeByteModelRoot(s, dir)) match {
+      case (Some(ck), Some(root)) =>
+        val latestTrusted = BpeModel.versions(root).lastOption.exists { v =>
+          BpeModel.fingerprintOf(root, v).forall(_ == ck)
+        }
+        if (!latestTrusted)
+          BpeModel.save(s, learnBpeByteMergesCached(s, dir), root, Some(ck))
+        BpeModel.load(s, root)
+      case _ => learnBpeByteMergesCached(s, dir)
+    }
+  }
+
   /** BPE-ish pre-tokenizer: letter runs, digit runs, single symbols. */
   private val BpeRegex = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
 
@@ -1472,6 +1503,27 @@ object TextAnalysis {
     // PackBuckets rows.
     "pipeline_tokenize_corpus" -> { (s, dir) =>
       packTokenIds(tokenIdsOf(s, dir, persistedMerges(s, dir)))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n_seqs"),
+          sum(col("n_real")).as("n_real_tokens"),
+          sum(col("n_pad")).as("n_pad_tokens"),
+          sort_array(collect_list(struct(col("seq_id"), col("ids_md5"))))
+            .as("sh"))
+        .select(col("bucket"), col("n_seqs"), col("n_real_tokens"),
+          col("n_pad_tokens"),
+          md5(concat_ws(",", expr("transform(sh, x -> x.ids_md5)")))
+            .as("bucket_md5"))
+        .orderBy("bucket")
+    },
+
+    // The BYTE-alphabet composed pipeline: train bytes (cached) → persist
+    // as a versioned BpeModel at the byte-model root → load back →
+    // tokenize to byte ids → pack with the byte EOS/PAD — the full
+    // production-alphabet tokenizer-to-trainer path through the on-disk
+    // artifact, same data-card output contract as pipeline_tokenize_corpus.
+    "pipeline_tokenize_bytes" -> { (s, dir) =>
+      packTokenIds(tokenIdsOfBytes(s, dir, persistedByteMerges(s, dir)),
+          BpeByteEosId, BpeBytePadId)
         .groupBy("bucket")
         .agg(count(lit(1)).as("n_seqs"),
           sum(col("n_real")).as("n_real_tokens"),
@@ -2269,6 +2321,19 @@ object TextAnalysis {
          |  CAST(seq_id AS BIGINT) AS seq_id, n_real, n_pad,
          |  md5(array_to_string(ids, ',')) AS ids_md5
          |FROM pq ORDER BY bucket, seq_id""".stripMargin,
+
+    "pipeline_tokenize_bytes" ->
+      s"""WITH $bpeByteCtes,
+         |$tokenIdByteCtes,
+         |${packTokenIdCtesWith(BpeByteEosId, BpeBytePadId)},
+         |ph AS (SELECT bucket, seq_id, n_real, n_pad,
+         |    md5(array_to_string(ids, ',')) AS h FROM pq)
+         |SELECT CAST(bucket AS BIGINT) AS bucket,
+         |  CAST(count(*) AS BIGINT) AS n_seqs,
+         |  CAST(sum(n_real) AS BIGINT) AS n_real_tokens,
+         |  CAST(sum(n_pad) AS BIGINT) AS n_pad_tokens,
+         |  md5(string_agg(h, ',' ORDER BY seq_id)) AS bucket_md5
+         |FROM ph GROUP BY bucket ORDER BY bucket""".stripMargin,
 
     "pipeline_tokenize_corpus" ->
       s"""WITH $bpeCtes,

@@ -120,6 +120,38 @@ class LiveServeSpec extends AnyFunSuite {
     } finally { q.stop(); server.close() }
   }
 
+  test("LiveSearchServer bm25 + phrase modes answer like the batch operators") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-livemodes").toString
+    SearchIndex.build(docs).save(dir)
+    val idx = SearchIndex.load(spark, dir)
+
+    val bmBatch = SearchIndex.searchBm25(idx, Seq("vector", "stream"), 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val bm = new LiveSearchServer(spark, dir, "bm25")
+    try {
+      val got = bm.answer(Seq((1L, "vector stream")).toDF("q_id", "q"),
+          "q_id", "q", 5)
+        .collect().map(r =>
+          r.getSeq[Long](1).zip(r.getSeq[Long](2)).toSeq).head
+      assert(got === bmBatch)
+    } finally bm.close()
+
+    val phBatch = SearchIndex.searchPhrase(idx, Seq("the", "query"), 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val ph = new LiveSearchServer(spark, dir, "phrase")
+    try {
+      val out = ph.answer(Seq((1L, "the query")).toDF("q_id", "q"),
+          "q_id", "q", 5).collect()
+      val got =
+        if (out.isEmpty) Seq.empty
+        else out.head.getSeq[Long](1).zip(out.head.getSeq[Long](2)).toSeq
+      assert(got === phBatch)
+    } finally ph.close()
+  }
+
   test("snapshot lifecycle: N streams share one handle; close() uncaches it") {
     import org.apache.spark.storage.StorageLevel
     val dir = java.nio.file.Files
