@@ -185,6 +185,29 @@ object Main {
       res.collect().foreach(r =>
         println(f"${r.getLong(0)}%10d ${r.getLong(1)}%14d"))
 
+    // extension (no reference analog): tokenize text from the command
+    // line through a persisted BpeModel — az (lowercased [a-z]+ words)
+    // or bytes (whitespace words over UTF-8 byte base symbols; digits,
+    // punctuation, case, and non-Latin text all tokenize)
+    case "tokenize" +: modelDir +: alphabet +: words if words.nonEmpty =>
+      import org.apache.spark.sql.functions.col
+      val s = spark()
+      import s.implicits._
+      val merges = graft.operators.BpeModel.load(s, modelDir)
+      val text = words.mkString(" ")
+      val enc = alphabet match {
+        case "az" => graft.exprs.functions.bpe_encode_ids(col("t"), merges)
+        case "bytes" =>
+          graft.exprs.functions.bpe_encode_byte_ids(col("t"), merges)
+        case other =>
+          System.err.println(s"unknown alphabet '$other' (az|bytes)")
+          sys.exit(2)
+          null
+      }
+      val ids = Seq(text).toDF("t").select(enc.as("ids"))
+        .head().getSeq[Int](0)
+      println(s"${ids.size} ids: ${ids.mkString(" ")}")
+
     // extension (no reference analog): migrate a native .eventlog file
     // written by the original Go implementation into an engine log
     case Seq("import", nativeFile, dir) =>
@@ -207,6 +230,7 @@ object Main {
         "usage: inmem|create <dir>|run <dir>|check <dir> [--quiet]|" +
           "version <url|dir>|diff <dir> <vLo> <vHi>|" +
           "search <indexdir> tfidf|bm25|phrase <term>...|" +
+          "tokenize <modeldir> az|bytes <text>...|" +
           "import <nativefile> <dir>")
       sys.exit(2)
   }

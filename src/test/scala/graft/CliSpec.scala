@@ -116,4 +116,34 @@ class CliSpec extends AnyFunSuite {
     assert(run("phrase", "new", "york") === Seq((1L, 1L)))
     assert(run("phrase", "york", "new") === Seq((2L, 1L)))
   }
+
+  test("tokenize encodes text through a persisted model on both alphabets") {
+    val sparkS = spark
+    import sparkS.implicits._
+    val modelDir = Files.createTempDirectory("graftclitok").toString
+    val merges = graft.queries.TextAnalysis.trainBpeFastBytes(
+      Seq((1L, "Hello hello 3.14 3.14 中文 中文")).toDF("doc_id", "text"),
+      rounds = 10)
+    graft.operators.BpeModel.save(spark, merges, modelDir)
+    def run(args: String*): String = {
+      val out = new java.io.ByteArrayOutputStream()
+      Console.withOut(new java.io.PrintStream(out)) {
+        graft.cli.Main.main(("tokenize" +: modelDir +: args).toArray)
+      }
+      out.toString.trim
+    }
+    val bytes = run("bytes", "Hello", "3.14", "中文")
+    assert(bytes.matches("\\d+ ids: [0-9 ]+"), bytes)
+    // byte alphabet: every word in-alphabet, ids present for all three
+    assert(bytes.split(": ")(1).split(" ").nonEmpty)
+    // the engine kernel agrees with the CLI rendering
+    val expected = Seq("Hello 3.14 中文").toDF("t")
+      .select(graft.exprs.functions
+        .bpe_encode_byte_ids(org.apache.spark.sql.functions.col("t"), merges)
+        .as("ids")).head().getSeq[Int](0)
+    assert(bytes === s"${expected.size} ids: ${expected.mkString(" ")}")
+    // az alphabet over the same model table: only [a-z]+ runs survive
+    val az = run("az", "Hello", "3.14", "中文")
+    assert(az.matches("\\d+ ids: .*"), az)
+  }
 }
