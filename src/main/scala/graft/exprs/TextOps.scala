@@ -459,7 +459,30 @@ final class BpeMergeTable(
     val rhs: Array[String],
     val merged: Array[String],
     val mergedIds: java.util.HashMap[String, Integer],
-    val byteLevel: Boolean) extends Serializable
+    val byteLevel: Boolean) extends Serializable {
+
+  /** id → merged symbol's raw bytes, for [[BpeDecode]] (byte alphabet
+    * only: symbols are hex-pair strings). Inverts the FIRST-round-wins id
+    * map, so exactly the ids the encoder can emit decode. Built lazily
+    * per executor, never shipped. */
+  @transient lazy val idSymbolBytes: java.util.HashMap[Integer, Array[Byte]] = {
+    val m = new java.util.HashMap[Integer, Array[Byte]]()
+    val it = mergedIds.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      val hex = e.getKey
+      val b = new Array[Byte](hex.length / 2)
+      var i = 0
+      while (i < b.length) {
+        b(i) = ((Character.digit(hex.charAt(2 * i), 16) << 4) |
+          Character.digit(hex.charAt(2 * i + 1), 16)).toByte
+        i += 1
+      }
+      m.put(e.getValue, b)
+    }
+    m
+  }
+}
 
 object BpeMergeTable {
   private def build(
@@ -578,6 +601,52 @@ object BpeEncode {
     }
     new GenericArrayData(out.toArray)
   }
+}
+
+object BpeDecode {
+  /** BYTE-alphabet token ids → the exact bytes they encode, as a UTF-8
+    * string — the inverse the byte alphabet makes possible (every base
+    * id IS a byte; every merge id maps to its symbol's bytes). Word
+    * boundaries are the caller's (encode drops inter-word whitespace),
+    * so the round-trip contract is per WORD: decode(encode(w)) == w for
+    * any whitespace-free w. EOS/PAD specials are sequence framing, not
+    * content, and are rejected. */
+  def decodeByteIds(
+      ids: ArrayData, mt: BpeMergeTable): org.apache.spark.unsafe.types.UTF8String = {
+    val out = new java.io.ByteArrayOutputStream(ids.numElements() * 2)
+    var i = 0
+    while (i < ids.numElements()) {
+      val id = ids.getInt(i)
+      if (id >= 0 && id < 256) out.write(id)
+      else {
+        val b = mt.idSymbolBytes.get(Integer.valueOf(id))
+        if (b == null) throw new IllegalArgumentException(
+          s"unknown byte-BPE id $id (not a byte, not a learned merge)")
+        out.write(b, 0, b.length)
+      }
+      i += 1
+    }
+    org.apache.spark.unsafe.types.UTF8String.fromBytes(out.toByteArray)
+  }
+}
+
+/** `bpe_decode_byte_ids(ids)` → string (see [[BpeDecode.decodeByteIds]]). */
+case class BpeDecodeByteIds(child: Expression, table: BpeMergeTable)
+    extends UnaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[org.apache.spark.sql.graftshim.Shim.AbstractType] =
+    Seq(ArrayType(org.apache.spark.sql.types.IntegerType))
+  override def dataType: DataType = StringType
+  override def nullSafeEval(v: Any): Any =
+    BpeDecode.decodeByteIds(v.asInstanceOf[ArrayData], table)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val tRef = ctx.addReferenceObj("bpeTable", table,
+      classOf[BpeMergeTable].getName)
+    defineCodeGen(ctx, ev,
+      c => s"graft.exprs.BpeDecode.decodeByteIds($c, $tRef)")
+  }
+  override protected def withNewChildInternal(
+      newChild: Expression): BpeDecodeByteIds = copy(child = newChild)
+  override def prettyName: String = "bpe_decode_byte_ids"
 }
 
 /** `bpe_encode_ids(text)` → array<int> BPE token ids (see

@@ -73,6 +73,13 @@ object functions {
       text: Column, merges: Seq[(Long, String, String, String, Long)]): Column =
     Shim.column(BpeEncodeIds(Shim.expression(text), BpeMergeTable.bytes(merges)))
 
+  /** Inverse of [[bpe_encode_byte_ids]] for whitespace-free input: token
+    * ids back to the exact bytes they encode (the byte alphabet's
+    * losslessness, as an engine function). */
+  def bpe_decode_byte_ids(
+      ids: Column, merges: Seq[(Long, String, String, String, Long)]): Column =
+    Shim.column(BpeDecodeByteIds(Shim.expression(ids), BpeMergeTable.bytes(merges)))
+
   def repetition_stats(tokens: Column): Column =
     Shim.column(RepetitionStats(Shim.expression(tokens)))
 

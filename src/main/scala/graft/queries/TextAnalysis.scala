@@ -1516,6 +1516,37 @@ object TextAnalysis {
         .orderBy("bucket")
     },
 
+    // The byte alphabet's LOSSLESSNESS as an oracle-gated operator: every
+    // word encodes through the learned merges and DECODES back to its
+    // exact bytes (bpe_decode_byte_ids inverts the id scheme), so
+    // re-joining the decoded words reproduces the whitespace-normalized
+    // document bit-for-bit — which the ORACLE can state WITHOUT modeling
+    // BPE at all (normalize the text directly). An [a-z] tokenizer can
+    // never pass this gate: everything outside its alphabet is destroyed.
+    // The real end-to-end proof that no byte of the corpus is lost.
+    "tokenize_roundtrip_bytes" -> { (s, dir) =>
+      val merges = learnBpeByteMergesCached(s, dir)
+      val ow = Tables(s, dir, "documents")
+        .filter(col("text").isNotNull)
+        .select(col("doc_id"),
+          posexplode(split(col("text"), "\\s+")).as(Seq("pos", "word")))
+        .filter(col("word") =!= "")
+      val wrt = ow.select("word").distinct()
+        .select(col("word"),
+          graft.exprs.functions.bpe_decode_byte_ids(
+            graft.exprs.functions.bpe_encode_byte_ids(col("word"), merges),
+            merges).as("rt"))
+      ow.join(broadcast(wrt), "word")
+        .groupBy("doc_id")
+        .agg(sort_array(collect_list(struct(col("pos"), col("rt")))).as("a"))
+        .select(col("doc_id"),
+          concat_ws(" ", expr("transform(a, x -> x.rt)")).as("rt"))
+        .select(col("doc_id"),
+          length(col("rt")).cast("long").as("n_chars"),
+          md5(col("rt")).as("rt_md5"))
+        .orderBy("doc_id")
+    },
+
     // The BYTE-alphabet composed pipeline: train bytes (cached) → persist
     // as a versioned BpeModel at the byte-model root → load back →
     // tokenize to byte ids → pack with the byte EOS/PAD — the full
@@ -2321,6 +2352,17 @@ object TextAnalysis {
          |  CAST(seq_id AS BIGINT) AS seq_id, n_real, n_pad,
          |  md5(array_to_string(ids, ',')) AS ids_md5
          |FROM pq ORDER BY bucket, seq_id""".stripMargin,
+
+    // the oracle needs NO BPE model: losslessness means the round trip
+    // equals plain whitespace normalization of the document
+    "tokenize_roundtrip_bytes" ->
+      s"""SELECT doc_id,
+         |  CAST(length(rt) AS BIGINT) AS n_chars, md5(rt) AS rt_md5
+         |FROM (SELECT doc_id, array_to_string(
+         |    list_filter(string_split_regex(text, '\\s+'), w -> w <> ''),
+         |    ' ') AS rt
+         |  FROM documents WHERE text IS NOT NULL)
+         |WHERE rt <> '' ORDER BY doc_id""".stripMargin,
 
     "pipeline_tokenize_bytes" ->
       s"""WITH $bpeByteCtes,

@@ -352,8 +352,13 @@ object StreamOps {
     * @param buckets  independent pack streams (batch default 32)
     * @param seqLen   ids per training row (batch default 128)
     * @param eosId    end-of-document id appended after every document
-    * @param padId    tail-flush padding id
+    *                 (a-z default 34 = 26 + 8 merges; pass 264 with
+    *                 alphabet = "bytes")
+    * @param padId    tail-flush padding id (bytes: 265)
     * @param delay    watermark delay AND bucket inactivity TTL
+    * @param alphabet "az" (default) or "bytes" — which tokenizer twin
+    *                 encodes the stream; the pack state machine is
+    *                 alphabet-blind
     */
   def packTokenIdsStream(
       docs: DataFrame,
@@ -365,11 +370,17 @@ object StreamOps {
       seqLen: Int = 128,
       eosId: Int = 34,
       padId: Int = 35,
-      delay: String = "10 minutes"): Dataset[PackedTokenSeq] = {
+      delay: String = "10 minutes",
+      alphabet: String = "az"): Dataset[PackedTokenSeq] = {
     val spark = docs.sparkSession
     import spark.implicits._
     val delayMs = parseDelayMs(delay)
-    val tokenized = tokenizeBpeStream(docs, textCol, modelDir)
+    val tokenized = (alphabet match {
+      case "az" => tokenizeBpeStream(docs, textCol, modelDir)
+      case "bytes" => tokenizeBpeBytesStream(docs, textCol, modelDir)
+      case other => throw new IllegalArgumentException(
+        s"alphabet must be az or bytes, got '$other'")
+    })
       .select(col(tsCol).cast("timestamp").as("ts"),
         col(idCol).cast("long").as("doc_id"),
         (col(idCol).cast("long") % buckets).as("bucket"),

@@ -1191,6 +1191,43 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("packTokenIdsStream bytes alphabet: byte ids, byte EOS, pack invariants hold") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    implicit val sqlCtx = spark.sqlContext
+    val modelDir =
+      java.nio.file.Files.createTempDirectory("graft-packbytes").toString
+    val merges = graft.queries.TextAnalysis.trainBpeFastBytes(
+      Seq((1L, "Hi! Hi! 42 42 ok ok")).toDF("doc_id", "text"), rounds = 5)
+    graft.operators.BpeModel.save(spark, merges, modelDir)
+    val mem = MemoryStream[(java.sql.Timestamp, Long, String)]
+    def ts(s: Long) = new java.sql.Timestamp(s * 1000L)
+    val q = StreamOps.packTokenIdsStream(
+        mem.toDF().toDF("ts", "doc_id", "text"),
+        "ts", "doc_id", "text", modelDir,
+        buckets = 1, seqLen = 8, eosId = 264, padId = 265,
+        delay = "5 seconds", alphabet = "bytes")
+      .writeStream.format("memory").queryName("packbytes")
+      .outputMode("append").start()
+    try {
+      mem.addData((ts(1), 0L, "Hi! 42"), (ts(2), 0L, "Hi! 42"),
+        (ts(3), 0L, "Hi! 42"))
+      q.processAllAvailable()
+      val rows = spark.table("packbytes").collect()
+      assert(rows.nonEmpty, "enough ids must complete at least one row")
+      rows.foreach { r =>
+        val ids = r.getSeq[Int](4)
+        assert(ids.size === 8)
+        assert(r.getLong(3) === 0L, "completed rows are never padded")
+        assert(ids.forall(id => (id >= 0 && id < 256) ||
+          (id > 255 && id <= 255 + merges.size) || id == 264),
+          s"non-byte-alphabet id in $ids")
+        assert(ids.contains(264) || ids.forall(_ != 265),
+          "EOS must frame documents; PAD only on flushed tails")
+      }
+    } finally q.stop()
+  }
+
   test("corpusReportStream emits the per-window data card on watermark close") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
