@@ -116,14 +116,28 @@ final class LiveSearchServer(
 
   /** Start serving a STREAM of queries: per micro-batch, refresh if the
     * index grew, answer from the current snapshot, hand the result to
-    * `sink`. The returned query is the caller's to stop. */
+    * `sink`. The returned query is the caller's to stop.
+    *
+    * A maintenance commit can land BETWEEN the staleness check and the
+    * answer's execution (compact/gc deletes files the stale listing
+    * still references) — that window retries ONCE after a forced
+    * re-check instead of failing the stream; a second failure is a real
+    * error and propagates. Sharing one server across several streams is
+    * safe for correctness (an unpersisted snapshot recomputes from
+    * source mid-job); each stream's own refresh-then-answer is
+    * sequential within its micro-batch thread. */
   def serve(
       queries: DataFrame, idCol: String, qCol: String, topK: Int)
       (sink: DataFrame => Unit): StreamingQuery =
     queries.writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
         refreshIfStale()
-        sink(answer(batch, idCol, qCol, topK))
+        try sink(answer(batch, idCol, qCol, topK))
+        catch {
+          case scala.util.control.NonFatal(e) =>
+            if (refreshIfStale()) sink(answer(batch, idCol, qCol, topK))
+            else throw e
+        }
       }
       .start()
 
@@ -177,14 +191,23 @@ final class LiveAnnServer(
       nProbe, topK, rerank)
 
   /** Serve a query stream with per-micro-batch refresh — upserted
-    * vectors are probed as soon as their files commit, no restart. */
+    * vectors are probed as soon as their files commit, no restart. A
+    * generation swap (splitCell/rebalance/compact) landing between the
+    * check and the probe deletes the files the stale handle references;
+    * that window retries once after a forced re-check (same contract as
+    * [[LiveSearchServer.serve]]). */
   def serve(
       queries: DataFrame, idCol: String, vecCol: String)
       (sink: DataFrame => Unit): StreamingQuery =
     queries.writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
         refreshIfStale()
-        sink(answer(batch, idCol, vecCol))
+        try sink(answer(batch, idCol, vecCol))
+        catch {
+          case scala.util.control.NonFatal(e) =>
+            if (refreshIfStale()) sink(answer(batch, idCol, vecCol))
+            else throw e
+        }
       }
       .start()
 

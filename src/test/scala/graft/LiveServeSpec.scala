@@ -120,6 +120,56 @@ class LiveServeSpec extends AnyFunSuite {
     } finally { q.stop(); server.close() }
   }
 
+  test("LiveAnnServer: a generation swap (rebalance) mid-stream is served, answers preserved") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val emb = graft.util.Tables(spark, sfDir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-livegen").toString
+    // coarseK = 2: rebalance under a 30% cap is guaranteed to commit at
+    // least one NEW GENERATION (whole-dir swap) while the server is live
+    PqIndex.build(emb, m = 8, kCodes = 16, coarseK = 2).save(dir)
+    val qv = emb.filter(col("vec_id") === 0L)
+      .select(col("v")).head().getSeq[Double](0)
+    def batchAnswer(qid: Long): Seq[(Int, Long)] =
+      PqIndex.probeAll(PqIndex.load(spark, dir),
+          Seq((qid, qv)).toDF("q_id", "qv"),
+          nProbe = 16, topK = 5, rerank = 300)
+        .collect().map(r => (r.getInt(2), r.getLong(1))).toSeq.sorted
+
+    val before = batchAnswer(2000001L)
+    val results =
+      new java.util.concurrent.ConcurrentHashMap[Long, Seq[(Int, Long)]]()
+    val server = new LiveAnnServer(spark, dir, nProbe = 16, topK = 5,
+      rerank = 300)
+    val mem = MemoryStream[(Long, Seq[Double])]
+    val q = server.serve(
+        mem.toDF().toDF("q_id", "qv"), "q_id", "qv") { out =>
+      out.collect().groupBy(_.getLong(0)).foreach { case (qid, rows) =>
+        results.put(qid,
+          rows.map(r => (r.getInt(2), r.getLong(1))).toSeq.sorted)
+      }
+    }
+    try {
+      mem.addData((2000001L, qv))
+      q.processAllAvailable()
+      assert(results.get(2000001L) === before)
+
+      // commit one-or-more new generations under the running server
+      assert(IvfIndex.rebalance(spark, dir, maxFrac = 0.3,
+        maxSplits = 8) >= 1)
+      mem.addData((2000002L, qv))
+      q.processAllAvailable()
+      // deep-rerank exhaustive answers are split-invariant, so serving
+      // the NEW generation must reproduce them (and the old generation's
+      // files no longer exist — only a refreshed handle can answer)
+      assert(results.get(2000002L) === batchAnswer(2000002L))
+      assert(results.get(2000002L) === before.map {
+        case (rk, id) => (rk, id) })
+    } finally { q.stop(); server.close() }
+  }
+
   test("LiveSearchServer bm25 + phrase modes answer like the batch operators") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
