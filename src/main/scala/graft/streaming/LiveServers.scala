@@ -40,9 +40,13 @@ final class LiveSearchServer(
     spark: SparkSession, dir: String, mode: String = "tfidf")
     extends AutoCloseable {
 
+  // batch set captured BEFORE the load: a commit landing in between then
+  // makes the RECORDED set stale, so the first refresh check reloads —
+  // the safe direction (the reverse order would record the newer set
+  // against the older snapshot and never refresh)
   @volatile private var state: (Set[String], SearchSnapshot) = {
-    val s = SearchIndex.load(spark, dir).snapshot(mode)
-    (committed(), s)
+    val c = committed()
+    (c, SearchIndex.load(spark, dir).snapshot(mode))
   }
 
   private def committed(): Set[String] = {

@@ -131,6 +131,60 @@ class KernelPropertySpec extends AnyFunSuite {
     }
   }
 
+  private val byteBpeCase
+      : Gen[(String, Seq[(Long, String, String, String, Long)])] = {
+    val charPool = Seq('a', 'b', 'Z', '0', '.', '!', '中', 'é')
+    val wsPool = Seq(" ", "  ", "\t", "\n")
+    for {
+      nWords <- Gen.choose(1, 6)
+      words <- Gen.listOfN(nWords,
+        Gen.choose(1, 5).flatMap(n =>
+          Gen.listOfN(n, Gen.oneOf(charPool)).map(_.mkString)))
+      seps <- Gen.listOfN(nWords, Gen.oneOf(wsPool))
+      nMerges <- Gen.choose(0, 5)
+      picks <- Gen.listOfN(2 * nMerges, Gen.choose(0, 1 << 20))
+    } yield {
+      // base symbols actually present in the pool's UTF-8 bytes
+      var known = charPool.mkString.getBytes("UTF-8").map(b =>
+        f"${b & 0xff}%02X").distinct.toVector
+      val merges = (0 until nMerges).map { i =>
+        val l = known(picks(2 * i) % known.length)
+        val r = known(picks(2 * i + 1) % known.length)
+        val m = l + r
+        known = known :+ m
+        (i + 1L, l, r, m, 10L - i)
+      }
+      (words.zip(seps).map { case (w, s) => w + s }.mkString, merges)
+    }
+  }
+
+  test("byte BpeEncode: rewrite-reference parity AND lossless decode on arbitrary unicode") {
+    forAll(byteBpeCase) { case (text, merges) =>
+      val mt = BpeMergeTable.bytes(merges)
+      val got = BpeEncode.encodeIds(UTF8String.fromString(text), mt)
+        .toIntArray().toSeq
+      // ids reference: per word, byte hex symbols through the rewrite
+      val ids = scala.collection.mutable.LinkedHashMap[String, Int]()
+      for ((round, _, _, m, _) <- merges if !ids.contains(m))
+        ids(m) = 255 + round.toInt
+      val want = text.split("\\s+").filter(_.nonEmpty).flatMap { w =>
+        var syms: Seq[String] = w.getBytes("UTF-8")
+          .map(b => f"${b & 0xff}%02X").toSeq
+        for ((_, l, r, m, _) <- merges) syms = rewriteRound(syms, l, r, m)
+        syms.map(s =>
+          if (s.length == 2) Integer.parseInt(s, 16) else ids(s))
+      }.toSeq
+      assert(got == want, s"text='$text' merges=$merges")
+      // losslessness: decoding the ids reproduces the words' exact bytes
+      val decoded = graft.exprs.BpeDecode.decodeByteIds(
+        new GenericArrayData(got.toArray), mt).getBytes
+      val expected = text.split("\\s+").filter(_.nonEmpty)
+        .mkString("").getBytes("UTF-8")
+      assert(java.util.Arrays.equals(decoded, expected),
+        s"round trip lost bytes for '$text'")
+    }
+  }
+
   // ------------------------------------------------------- parsePpmFrames --
 
   test("parsePpmFrames round-trips synthesized multi-frame streams") {
