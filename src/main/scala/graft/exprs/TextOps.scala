@@ -459,7 +459,8 @@ final class BpeMergeTable(
     val rhs: Array[String],
     val merged: Array[String],
     val mergedIds: java.util.HashMap[String, Integer],
-    val byteLevel: Boolean) extends Serializable {
+    val byteLevel: Boolean,
+    val preTok: Boolean = false) extends Serializable {
 
   /** id → merged symbol's raw bytes, for [[BpeDecode]] (byte alphabet
     * only: symbols are hex-pair strings). Inverts the FIRST-round-wins id
@@ -487,13 +488,13 @@ final class BpeMergeTable(
 object BpeMergeTable {
   private def build(
       merges: Seq[(Long, String, String, String, Long)],
-      idBase: Int, byteLevel: Boolean): BpeMergeTable = {
+      idBase: Int, byteLevel: Boolean, preTok: Boolean = false): BpeMergeTable = {
     val ids = new java.util.HashMap[String, Integer]()
     for ((round, _, _, m, _) <- merges if !ids.containsKey(m))
       ids.put(m, Integer.valueOf(idBase + round.toInt))
     new BpeMergeTable(
       merges.map(_._2).toArray, merges.map(_._3).toArray,
-      merges.map(_._4).toArray, ids, byteLevel)
+      merges.map(_._4).toArray, ids, byteLevel, preTok)
   }
 
   /** a-z alphabet, from `(round, lhs, rhs, merged, pair_freq)` rows in
@@ -505,11 +506,22 @@ object BpeMergeTable {
   /** BYTE alphabet (train_bpe_bytes' merges: hex-pair symbols). */
   def bytes(merges: Seq[(Long, String, String, String, Long)]): BpeMergeTable =
     build(merges, 255, byteLevel = true)
+
+  /** BYTE alphabet with the PRODUCTION pre-tokenizer: letter runs, digit
+    * runs, and symbol runs split apart (GPT-2's category-splitting idea)
+    * instead of whitespace-glued words — "Hello," is two pre-tokens, so
+    * punctuation never inflates the word vocabulary. */
+  def pretok(merges: Seq[(Long, String, String, String, Long)]): BpeMergeTable =
+    build(merges, 255, byteLevel = true, preTok = true)
 }
 
 object BpeEncode {
   private val Word = java.util.regex.Pattern.compile("[a-z]+")
   private val NonWs = java.util.regex.Pattern.compile("[^\\s]+")
+  /** The production pre-tokenizer: letter runs | digit runs | symbol
+    * runs (RE2-compatible, so the DuckDB oracle tokenizes identically). */
+  private val PreTok = java.util.regex.Pattern.compile(
+    "[\\p{L}]+|[\\p{N}]+|[^\\s\\p{L}\\p{N}]+")
   private val HexDigits = "0123456789ABCDEF".toCharArray
 
   /** The merge chain shared by both alphabets: each learned merge is ONE
@@ -576,7 +588,7 @@ object BpeEncode {
       mt: BpeMergeTable): ArrayData = {
     val s = text.toString
     val out = new scala.collection.mutable.ArrayBuffer[Int](s.length / 2)
-    val m = NonWs.matcher(s)
+    val m = (if (mt.preTok) PreTok else NonWs).matcher(s)
     while (m.find()) {
       val bytes = m.group()
         .getBytes(java.nio.charset.StandardCharsets.UTF_8)

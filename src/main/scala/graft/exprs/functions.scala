@@ -73,9 +73,17 @@ object functions {
       text: Column, merges: Seq[(Long, String, String, String, Long)]): Column =
     Shim.column(BpeEncodeIds(Shim.expression(text), BpeMergeTable.bytes(merges)))
 
+  /** [[bpe_encode_byte_ids]] with the PRODUCTION pre-tokenizer (letter |
+    * digit | symbol runs split apart — punctuation never glues to
+    * words). */
+  def bpe_encode_pretok_ids(
+      text: Column, merges: Seq[(Long, String, String, String, Long)]): Column =
+    Shim.column(BpeEncodeIds(Shim.expression(text), BpeMergeTable.pretok(merges)))
+
   /** Inverse of [[bpe_encode_byte_ids]] for whitespace-free input: token
     * ids back to the exact bytes they encode (the byte alphabet's
-    * losslessness, as an engine function). */
+    * losslessness, as an engine function). The id scheme is shared with
+    * the pretok encoder, so this decodes both. */
   def bpe_decode_byte_ids(
       ids: Column, merges: Seq[(Long, String, String, String, Long)]): Column =
     Shim.column(BpeDecodeByteIds(Shim.expression(ids), BpeMergeTable.bytes(merges)))

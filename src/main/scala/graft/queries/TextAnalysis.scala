@@ -113,21 +113,33 @@ object TextAnalysis {
 
   private def bpeCtes: String = bpeRoundCtes(wordTableCte("s0"))
 
-  /** BYTE-alphabet word-frequency CTE: raw whitespace tokens (no
+  /** The two word sources the byte-alphabet family supports, as DuckDB
+    * unnest expressions — whitespace tokens (the simple contract) and
+    * the PRODUCTION pre-tokenizer (letter | digit | symbol runs, RE2 ≡
+    * Java on these classes, so engine and oracle split identically). */
+  private val WsWordsSql = "unnest(string_split_regex(text, '\\s+'))"
+  private val PreTokSql = "[\\p{L}]+|[\\p{N}]+|[^\\s\\p{L}\\p{N}]+"
+  private val PreTokWordsSql =
+    s"unnest(regexp_extract_all(text, '$PreTokSql'))"
+
+  /** BYTE-alphabet word-frequency CTE: raw tokens from `wordsSql` (no
     * lowercasing — case is in-alphabet now), symbols = the uppercase
     * hex-pair rendering of the word's UTF-8 bytes, the 2..N bound on BYTE
     * length. Mirrors [[bpeByteWordTableOf]]. */
-  private def byteWordTableCte(name: String): String =
+  private def byteWordTableCte(name: String, wordsSql: String): String =
     s"""$name AS (SELECT freq, array_to_string(list_transform(
        |    range(1, CAST(octet_length(encode(word)) AS INT) + 1),
        |    i -> substring(hex(encode(word)), 2*i-1, 2)), ' ') AS syms
        |  FROM (SELECT word, count(*) AS freq
-       |    FROM (SELECT unnest(string_split_regex(text, '\\s+')) AS word
+       |    FROM (SELECT $wordsSql AS word
        |        FROM documents WHERE text IS NOT NULL)
        |    WHERE octet_length(encode(word)) BETWEEN 2 AND $BpeMaxWordLen
        |    GROUP BY word))""".stripMargin
 
-  private def bpeByteCtes: String = bpeRoundCtes(byteWordTableCte("s0"))
+  private def bpeByteCtes: String =
+    bpeRoundCtes(byteWordTableCte("s0", WsWordsSql))
+  private def bpePretokCtes: String =
+    bpeRoundCtes(byteWordTableCte("s0", PreTokWordsSql))
 
   /** DuckDB mirror of train_bpe: project the per-round argmax rows. */
   private def trainSqlOver(ctes: String): String = {
@@ -261,7 +273,13 @@ object TextAnalysis {
     * at text edges, where the a-z regexp never did), base ids decode the
     * 2-hex-char symbol to its byte value, and merge ids start at 255 + 1.
     * Ends with `di(doc_id, tids)`. */
-  private def tokenIdByteCtes: String = {
+  private def tokenIdByteCtes: String = tokenIdByteCtesFor(
+    "string_split_regex(text, '\\s+')")
+
+  private def tokenIdPretokCtes: String = tokenIdByteCtesFor(
+    s"regexp_extract_all(text, '$PreTokSql')")
+
+  private def tokenIdByteCtesFor(wordsArraySql: String): String = {
     val vRounds = (1 to BpeMerges).map { k =>
       s"""v$k AS (SELECT word, coalesce(
          |    ${mergeCycleSql(s"v${k - 1}.syms", s"b$k.l", s"b$k.r")},
@@ -275,7 +293,7 @@ object TextAnalysis {
        |  FROM ($mtUnion) GROUP BY merged),
        |ow AS (SELECT doc_id, word, pos FROM
        |    (SELECT doc_id, unnest(ws) AS word, unnest(range(len(ws))) AS pos
-       |      FROM (SELECT doc_id, string_split_regex(text, '\\s+') AS ws
+       |      FROM (SELECT doc_id, $wordsArraySql AS ws
        |        FROM documents WHERE text IS NOT NULL))
        |  WHERE word <> ''),
        |v0 AS (SELECT word, array_to_string(list_transform(
@@ -705,6 +723,15 @@ object TextAnalysis {
     cachedByCorpus(byteMergeCache, s, dir)((s2, d) =>
       trainBpeFastBytes(Tables(s2, d, "documents"), BpeMerges))
 
+  private val pretokMergeCache = new java.util.concurrent.ConcurrentHashMap[
+    String, Memo[Seq[(Long, String, String, String, Long)]]]()
+
+  private def learnBpePretokMergesCached(s: SparkSession, dir: String)
+      : Seq[(Long, String, String, String, Long)] =
+    cachedByCorpus(pretokMergeCache, s, dir)((s2, d) =>
+      trainFastOnWords(bpeByteWordTableOf(
+        Tables(s2, d, "documents"), preTokWords), BpeMerges, 1 << 22))
+
   /** The (freq, syms) word-frequency symbol table both BPE trainers start
     * from: distinct [a-z]+ words with corpus frequencies, symbols = the
     * space-joined character split. Vocab-sized, never corpus-sized. */
@@ -734,16 +761,26 @@ object TextAnalysis {
       i => h.substr(i * 2 - 1, lit(2))))
   }
 
-  /** BYTE-alphabet twin of [[bpeWordTableOf]]: raw whitespace tokens (no
-    * lowercasing — case is in-alphabet), bound on BYTE length. Mirrors
-    * [[byteWordTableCte]]. */
-  private def bpeByteWordTableOf(docs: DataFrame): DataFrame =
+  /** BYTE-alphabet twin of [[bpeWordTableOf]]: raw tokens from `words`
+    * (no lowercasing — case is in-alphabet), bound on BYTE length.
+    * Mirrors [[byteWordTableCte]]. */
+  private def bpeByteWordTableOf(
+      docs: DataFrame, words: Column): DataFrame =
     docs
       .filter(col("text").isNotNull)
-      .select(explode(split(col("text"), "\\s+")).as("word"))
+      .select(explode(words).as("word"))
       .filter(octet_length(col("word")).between(2, BpeMaxWordLen))
       .groupBy("word").agg(count(lit(1)).as("freq"))
       .select(col("freq"), byteSymsOf(col("word")).as("syms"))
+
+  private def bpeByteWordTableOf(docs: DataFrame): DataFrame =
+    bpeByteWordTableOf(docs, split(col("text"), "\\s+"))
+
+  /** The pre-tokenizer's word array — the Spark twin of
+    * [[PreTokWordsSql]]. Built through the typed API (a SQL string
+    * literal would re-interpret the backslashes). */
+  private def preTokWords: Column =
+    regexp_extract_all(col("text"), lit(PreTokSql), lit(0))
 
   /** Adjacent-symbol pair counts weighted by word frequency — one tiny
     * shuffle over the vocab-sized table. Shared by both trainers. */
@@ -991,16 +1028,26 @@ object TextAnalysis {
     * over-long words fall back toward per-byte ids instead of dropping
     * (the property the a-z family could not have). */
   private def tokenIdsOfBytes(s: SparkSession, dir: String,
-      merges: Seq[(Long, String, String, String, Long)]): DataFrame = {
+      merges: Seq[(Long, String, String, String, Long)]): DataFrame =
+    tokenIdsOfByteWords(s, dir, split(col("text"), "\\s+"),
+      graft.exprs.functions.bpe_encode_byte_ids(_, merges))
+
+  /** [[tokenIdsOfBytes]] with the production pre-tokenizer's word
+    * source + encoder (category-split runs, same byte id scheme). */
+  private def tokenIdsOfPretok(s: SparkSession, dir: String,
+      merges: Seq[(Long, String, String, String, Long)]): DataFrame =
+    tokenIdsOfByteWords(s, dir, preTokWords,
+      graft.exprs.functions.bpe_encode_pretok_ids(_, merges))
+
+  private def tokenIdsOfByteWords(s: SparkSession, dir: String,
+      words: Column, encode: Column => Column): DataFrame = {
     val ow = Tables(s, dir, "documents")
       .filter(col("text").isNotNull)
       .select(col("doc_id"),
-        posexplode(split(col("text"), "\\s+")).as(Seq("pos", "word")))
+        posexplode(words).as(Seq("pos", "word")))
       .filter(col("word") =!= "")
     val wids = ow.select("word").distinct()
-      .select(col("word"),
-        graft.exprs.functions.bpe_encode_byte_ids(col("word"), merges)
-          .as("ids"))
+      .select(col("word"), encode(col("word")).as("ids"))
     ow.join(broadcast(wids), "word")
       .groupBy("doc_id")
       .agg(sort_array(collect_list(struct(col("pos"), col("ids")))).as("a"))
@@ -1514,6 +1561,57 @@ object TextAnalysis {
           md5(concat_ws(",", expr("transform(sh, x -> x.ids_md5)")))
             .as("bucket_md5"))
         .orderBy("bucket")
+    },
+
+    // The byte alphabet under the PRODUCTION pre-tokenizer: words are
+    // letter | digit | symbol RUNS (GPT-2's category-splitting idea), so
+    // "Hello," trains and tokenizes as two pre-tokens — punctuation never
+    // inflates the word vocabulary, digits cluster with digits. Same byte
+    // base ids and merge machinery; only the word source differs, and the
+    // oracle splits with the identical (RE2 ≡ Java) regex.
+    "train_bpe_pretok" -> { (s, dir) =>
+      import s.implicits._
+      learnBpePretokMergesCached(s, dir)
+        .toDF("round", "lhs", "rhs", "merged", "pair_freq")
+        .orderBy("round")
+    },
+
+    "tokenize_bpe_ids_pretok" -> { (s, dir) =>
+      tokenIdsOfPretok(s, dir, learnBpePretokMergesCached(s, dir))
+        .select(col("doc_id"),
+          size(col("token_ids")).cast("long").as("n_ids"),
+          expr("aggregate(token_ids, CAST(0 AS BIGINT), (a, x) -> a + x)")
+            .as("sum_ids"),
+          md5(concat_ws(",", col("token_ids").cast("array<string>")))
+            .as("ids_md5"))
+        .orderBy("doc_id")
+    },
+
+    // pretok losslessness: decode ∘ encode of every pre-token, re-joined
+    // with NOTHING between them, equals the concatenation of the
+    // pre-tokens the regex extracts — again stated by the oracle without
+    // modeling BPE
+    "tokenize_roundtrip_pretok" -> { (s, dir) =>
+      val merges = learnBpePretokMergesCached(s, dir)
+      val ow = Tables(s, dir, "documents")
+        .filter(col("text").isNotNull)
+        .select(col("doc_id"),
+          posexplode(preTokWords).as(Seq("pos", "word")))
+        .filter(col("word") =!= "")
+      val wrt = ow.select("word").distinct()
+        .select(col("word"),
+          graft.exprs.functions.bpe_decode_byte_ids(
+            graft.exprs.functions.bpe_encode_pretok_ids(col("word"), merges),
+            merges).as("rt"))
+      ow.join(broadcast(wrt), "word")
+        .groupBy("doc_id")
+        .agg(sort_array(collect_list(struct(col("pos"), col("rt")))).as("a"))
+        .select(col("doc_id"),
+          concat_ws("", expr("transform(a, x -> x.rt)")).as("rt"))
+        .select(col("doc_id"),
+          length(col("rt")).cast("long").as("n_chars"),
+          md5(col("rt")).as("rt_md5"))
+        .orderBy("doc_id")
     },
 
     // The byte alphabet's LOSSLESSNESS as an oracle-gated operator: every
@@ -2352,6 +2450,24 @@ object TextAnalysis {
          |  CAST(seq_id AS BIGINT) AS seq_id, n_real, n_pad,
          |  md5(array_to_string(ids, ',')) AS ids_md5
          |FROM pq ORDER BY bucket, seq_id""".stripMargin,
+
+    "train_bpe_pretok" -> trainSqlOver(bpePretokCtes),
+
+    "tokenize_bpe_ids_pretok" ->
+      s"""WITH $bpePretokCtes,
+         |$tokenIdPretokCtes
+         |SELECT doc_id, CAST(len(tids) AS BIGINT) AS n_ids,
+         |  CAST(list_sum(tids) AS BIGINT) AS sum_ids,
+         |  md5(array_to_string(tids, ',')) AS ids_md5
+         |FROM di ORDER BY doc_id""".stripMargin,
+
+    "tokenize_roundtrip_pretok" ->
+      s"""SELECT doc_id,
+         |  CAST(length(rt) AS BIGINT) AS n_chars, md5(rt) AS rt_md5
+         |FROM (SELECT doc_id, array_to_string(
+         |    regexp_extract_all(text, '$PreTokSql'), '') AS rt
+         |  FROM documents WHERE text IS NOT NULL)
+         |WHERE rt <> '' ORDER BY doc_id""".stripMargin,
 
     // the oracle needs NO BPE model: losslessness means the round trip
     // equals plain whitespace normalization of the document

@@ -177,6 +177,30 @@ class BpeKernelParitySpec extends AnyFunSuite {
     }
   }
 
+  test("pretok kernel: category runs split apart, bytes preserved") {
+    import spark.implicits._
+    // no merges: ids are raw byte values, so the pre-tokenizer's word
+    // boundaries are directly observable
+    def ids(f: (org.apache.spark.sql.Column,
+        Seq[(Long, String, String, String, Long)]) =>
+        org.apache.spark.sql.Column)(t: String): Seq[Int] =
+      Seq(t).toDF("t").select(f(col("t"), Seq.empty).as("ids"))
+        .head().getSeq[Int](0)
+    val pretok = ids(graft.exprs.functions.bpe_encode_pretok_ids) _
+    val ws = ids(graft.exprs.functions.bpe_encode_byte_ids) _
+    // splitting "Hello, WORLD! 3.14" by category equals whitespace-
+    // splitting its pre-separated form — the pre-tokenizer's contract
+    assert(pretok("Hello, WORLD! 3.14") === ws("Hello , WORLD ! 3 . 14"))
+    // glued punctuation/digits DO change the whitespace tokenizer's view
+    assert(pretok("Hello, WORLD! 3.14") === ws("Hello, WORLD! 3.14"),
+      "with no merges both see the same raw bytes")
+    // bytes preserved across the split (CJK + latin + digits)
+    assert(pretok("中文abc42!") ===
+      "中文abc".getBytes("UTF-8").map(_ & 0xff).toSeq ++
+        "42".getBytes("UTF-8").map(_ & 0xff) ++
+        "!".getBytes("UTF-8").map(_ & 0xff))
+  }
+
   test("empty merge table degrades to per-char ids; chains merge left-to-right non-overlapping") {
     import spark.implicits._
     val none = Seq("abc").toDF("word")
