@@ -784,6 +784,86 @@ case class BigramNllScore(child: Expression, table: BigramNllTable)
   override def prettyName: String = "bigram_nll_score"
 }
 
+/** Compiled DSIR importance model for per-row streaming inference: hashed
+  * n-gram bucket → fixed-point log importance ratio λ_b (the batch
+  * trainer's output — see [[graft.queries.TextAnalysis]] dsir_weights).
+  * Dense bucket-indexed array (the feature space is B buckets by
+  * construction, kilobytes); buckets absent from the training corpus hold
+  * [[DsirScoreTable.Absent]] and contribute nothing — the batch inner
+  * join's seen-only scoring, preserved. */
+final class DsirScoreTable(val lam: Array[Long]) extends Serializable {
+  require(lam.nonEmpty, "empty DSIR model")
+}
+
+object DsirScoreTable {
+  /** Sentinel for buckets the training corpus never produced. */
+  val Absent: Long = Long.MinValue
+}
+
+object DsirScore {
+  private val digest = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  /** First 16 bits of md5(ngram) mod B — the per-row twin of the batch
+    * `conv(substring(md5(ng), 1, 4), 16, 10) % B` bucket (first 4 hex
+    * chars ≡ first 2 digest bytes, big-endian). */
+  def bucketOf(ng: String, buckets: Int): Int = {
+    val d = digest.get()
+    d.reset()
+    val h = d.digest(ng.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    (((h(0) & 0xff) << 8) | (h(1) & 0xff)) % buckets
+  }
+
+  /** text → (n_feats_seen, weight_scaled): whitespace tokens in order
+    * (split limit -1, the `toks` contract), hashed unigram + bigram
+    * features (bigram key = the two tokens joined with one space — the
+    * batch ngram relation's key), λ summed over buckets present in the
+    * model. Exact BIGINT arithmetic. */
+  def score(
+      text: org.apache.spark.unsafe.types.UTF8String,
+      mt: DsirScoreTable): InternalRow = {
+    val tokens = text.toString.split("\\s+", -1)
+    val b = mt.lam.length
+    var seen = 0L
+    var s = 0L
+    var i = 0
+    while (i < tokens.length) {
+      val lu = mt.lam(bucketOf(tokens(i), b))
+      if (lu != DsirScoreTable.Absent) { seen += 1; s += lu }
+      if (i + 1 < tokens.length) {
+        val lb = mt.lam(bucketOf(tokens(i) + " " + tokens(i + 1), b))
+        if (lb != DsirScoreTable.Absent) { seen += 1; s += lb }
+      }
+      i += 1
+    }
+    new GenericInternalRow(Array[Any](seen, s))
+  }
+}
+
+/** `dsir_score(text)` → struct(n_feats long, weight_scaled long)
+  * (see [[DsirScore.score]]). */
+case class DsirScoreExpr(child: Expression, table: DsirScoreTable)
+    extends UnaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[org.apache.spark.sql.graftshim.Shim.AbstractType] =
+    Seq(StringType)
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_feats", LongType, nullable = false),
+    StructField("weight_scaled", LongType, nullable = false)))
+  override def nullSafeEval(v: Any): Any =
+    DsirScore.score(
+      v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], table)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val tRef = ctx.addReferenceObj("dsirModel", table,
+      classOf[DsirScoreTable].getName)
+    defineCodeGen(ctx, ev, c => s"graft.exprs.DsirScore.score($c, $tRef)")
+  }
+  override protected def withNewChildInternal(
+      newChild: Expression): DsirScoreExpr = copy(child = newChild)
+  override def prettyName: String = "dsir_score"
+}
+
 object PhraseScore {
   /** Exact-phrase occurrence count from a token → sorted-positions map —
     * the per-row twin of the batch searchPhrase start-position fold:

@@ -60,6 +60,9 @@ object functions {
   def nb_quality_score(text: Column, table: NbModelTable): Column =
     Shim.column(NbQualityScore(Shim.expression(text), table))
 
+  def dsir_score(text: Column, table: DsirScoreTable): Column =
+    Shim.column(DsirScoreExpr(Shim.expression(text), table))
+
   def phrase_occurrences(phrase: Column, m: Column): Column =
     Shim.column(PhraseOccurrences(Shim.expression(phrase), Shim.expression(m)))
 

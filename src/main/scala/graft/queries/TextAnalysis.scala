@@ -152,6 +152,40 @@ object TextAnalysis {
        |ORDER BY round""".stripMargin
   }
   private def trainBpeSql: String = trainSqlOver(bpeCtes)
+
+  /** DuckDB mirror of the DSIR feature map + model + per-doc weights
+    * (dsir_weights / sample_importance): same whitespace tokens, same
+    * bigram key, same md5-16-bit bucket fold, and the λ double math
+    * parenthesized VERBATIM as the Spark side so the one ln per bucket is
+    * the only libm call (floor-quantized — the text_perplexity parity
+    * discipline). */
+  private def dsirWeightCtes: String =
+    s"""ta AS (SELECT doc_id, lang, string_split_regex(text, '\\s+') AS a
+       |  FROM documents WHERE text IS NOT NULL),
+       |uni AS (SELECT doc_id, lang, unnest(a) AS ng FROM ta),
+       |bgx AS (SELECT doc_id, lang, unnest(list_transform(range(1, len(a)),
+       |    i -> a[CAST(i AS INT)] || ' ' || a[CAST(i AS INT) + 1])) AS ng
+       |  FROM ta WHERE len(a) >= 2),
+       |feats AS (SELECT doc_id, lang,
+       |    list_reduce(list_transform(range(1, 5),
+       |        i -> instr('0123456789abcdef',
+       |          substr(md5(ng), CAST(i AS INT), 1)) - 1),
+       |      (x, y) -> x*16 + y) % $DsirBuckets AS b
+       |  FROM (SELECT * FROM uni UNION ALL SELECT * FROM bgx)),
+       |rawc AS (SELECT b, count(*) AS cr FROM feats GROUP BY 1),
+       |tgtc AS (SELECT b, count(*) AS ct FROM feats
+       |  WHERE lang = '$DsirTargetLang' GROUP BY 1),
+       |tot AS (SELECT count(*) AS nr,
+       |    CAST(sum(CASE WHEN lang = '$DsirTargetLang' THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS nt
+       |  FROM feats),
+       |lam AS (SELECT b, CAST(floor(ln(
+       |      (CAST(coalesce(ct, 0) + 1 AS DOUBLE) * (nr + $DsirBuckets))
+       |      / (CAST(cr + 1 AS DOUBLE) * (nt + $DsirBuckets))) * $NllScale)
+       |    AS BIGINT) AS lam FROM rawc LEFT JOIN tgtc USING (b), tot),
+       |wts AS (SELECT doc_id, lang, CAST(count(*) AS BIGINT) AS n_feats,
+       |    CAST(sum(lam) AS BIGINT) AS weight_scaled
+       |  FROM feats JOIN lam USING (b) GROUP BY 1, 2)""".stripMargin
   private def trainBpeBytesSql: String = trainSqlOver(bpeByteCtes)
 
   /** DuckDB mirror of train_bpe_batched, generated from the same constants:
@@ -370,6 +404,13 @@ object TextAnalysis {
   private val CapPerSource = 15 // cap_per_source: max docs kept per source
   private val SampleFixedN = 60 // sample_fixed: global sample size
   private val TokenBudgetPerLang = 2500 // sample_token_budget: tokens/lang
+  // DSIR (Xie et al. 2023, "Data Selection for Language Models via
+  // Importance Resampling"): hashed n-gram feature space size B. The
+  // paper uses 10k buckets; 4096 keeps the λ table a single broadcast
+  // page while the md5-16-bit bucket stays near-uniform over it.
+  private[graft] val DsirBuckets = 4096
+  private[graft] val DsirTargetLang = "en" // target-domain proxy corpus
+  private val SampleImportanceN = 80 // sample_importance: docs resampled
   private val BpeMerges = 8 // train_bpe: merge rounds learned
   private val BpeMaxWordLen = 16 // train_bpe: word-length bound on the vocab
   // token-id scheme (tokenize_bpe_ids / pack_token_sequences): the base
@@ -639,6 +680,76 @@ object TextAnalysis {
     rows.take(topK)
       .foreach(r => map.put(r.getString(0), java.lang.Long.valueOf(r.getLong(1))))
     new graft.exprs.BigramNllTable(map)
+  }
+
+  /** Hashed n-gram features of every document, one row per OCCURRENCE:
+    * whitespace unigrams + adjacent bigrams (the text_perplexity_bigram
+    * key — two tokens joined with one space), bucketed into
+    * [[DsirBuckets]] by the first 16 bits of md5 (first 4 hex chars, the
+    * same content-independent hash family every sampler here uses). This
+    * is the DSIR feature map: the hashing trick keeps the model a FIXED
+    * B-row table no matter the corpus vocabulary. */
+  private def dsirFeatures(d: DataFrame): DataFrame = {
+    val ta = d.filter(col("text").isNotNull)
+      .select(col("doc_id"), col("lang"), toks(col("text")).as("a"))
+    val uni = ta.select(col("doc_id"), col("lang"), explode(col("a")).as("ng"))
+    val bgx = ta.filter(size(col("a")) >= 2)
+      .select(col("doc_id"), col("lang"), explode(expr(
+        "transform(sequence(1, size(a) - 1), i -> concat(a[i-1], ' ', a[i]))"))
+        .as("ng"))
+    uni.unionAll(bgx).select(col("doc_id"), col("lang"),
+      (conv(substring(md5(col("ng")), 1, 4), 16, 10).cast("long")
+        % DsirBuckets).as("b"))
+  }
+
+  /** DSIR importance model from a feature relation: per bucket, the
+    * fixed-point log ratio λ_b = ⌊ln(p̂_target(b) / p̂_raw(b))·S⌋ with
+    * add-1 smoothing over the B-bucket space (target = the
+    * [[DsirTargetLang]] slice — a stand-in for "Wikipedia/books"; raw =
+    * the whole corpus). Parenthesization of the double math is pinned
+    * verbatim in the DuckDB oracle; the single ln is floor-quantized to
+    * [[NllScale]] fixed point, so every downstream sum is exact BIGINT
+    * (the text_perplexity discipline — same ~1-ulp boundary caveat).
+    * B rows out — kilobytes at ANY corpus size, always broadcastable. */
+  private def dsirLambdaOf(feats: DataFrame): DataFrame = {
+    val rawc = feats.groupBy("b").agg(count(lit(1)).as("cr"))
+    val tgtc = feats.filter(col("lang") === DsirTargetLang)
+      .groupBy("b").agg(count(lit(1)).as("ct"))
+    val tot = feats.agg(count(lit(1)).as("nr"),
+      sum(when(col("lang") === DsirTargetLang, 1L).otherwise(0L)).as("nt"))
+    rawc.join(tgtc, Seq("b"), "left").na.fill(0L, Seq("ct")).crossJoin(tot)
+      .select(col("b"),
+        floor(log(((col("ct") + 1).cast("double")
+            * (col("nr") + lit(DsirBuckets.toLong)))
+          / ((col("cr") + 1).cast("double")
+            * (col("nt") + lit(DsirBuckets.toLong)))) * NllScale)
+          .cast("long").as("lam"))
+  }
+
+  /** Per-document DSIR log-importance weights: each feature occurrence
+    * broadcast-joins its bucket's λ and the doc sums them — exact BIGINT.
+    * One corpus scan (features), two bucket-sized aggregates (the model),
+    * one doc-keyed aggregate (the scores). */
+  private def dsirWeightsOf(d: DataFrame): DataFrame = {
+    val feats = dsirFeatures(d)
+    feats.join(broadcast(dsirLambdaOf(feats)), "b")
+      .groupBy("doc_id", "lang")
+      .agg(count(lit(1)).as("n_feats"), sum(col("lam")).as("weight_scaled"))
+  }
+
+  /** Train the DSIR model on `dir`'s corpus and pack it for per-row
+    * streaming inference ([[graft.exprs.DsirScoreExpr]]): a dense
+    * bucket-indexed λ array (B entries — fixed size by construction, the
+    * one model here with NO truncation cap to warn about). Buckets the
+    * corpus never produced hold the Absent sentinel and score as the
+    * batch inner join does: not at all. */
+  def dsirTable(s: SparkSession, dir: String): graft.exprs.DsirScoreTable = {
+    val d = Tables(s, dir, "documents").filter(col("text").isNotNull)
+    val lam = Array.fill(DsirBuckets)(graft.exprs.DsirScoreTable.Absent)
+    dsirLambdaOf(dsirFeatures(d)).collect().foreach { r =>
+      lam(r.getLong(0).toInt) = r.getLong(1)
+    }
+    new graft.exprs.DsirScoreTable(lam)
   }
 
   /** Model-cap truncation warning — the per-row streaming scorers promise
@@ -1429,6 +1540,41 @@ object TextAnalysis {
         .withColumn("cum_before",
           coalesce(sum(col("n_tokens")).over(w), lit(0L)))
         .filter(col("cum_before") < TokenBudgetPerLang)
+        .orderBy("doc_id")
+    },
+
+    // DSIR log-importance weights (Xie et al. 2023): score every raw doc
+    // by how target-like its hashed n-gram (uni+bi) distribution is —
+    // Σ_features λ_bucket, λ = fixed-point ln(p̂_target/p̂_raw) with add-1
+    // smoothing over B=4096 buckets. The model is TWO bucket-sized
+    // aggregates (kilobytes at any corpus size) broadcast back onto the
+    // feature stream; per-doc weights are ONE doc-keyed sum with map-side
+    // partials. This is the data-selection primitive: rank/resample raw
+    // web text toward a trusted target domain without training a model.
+    "dsir_weights" -> { (s, dir) =>
+      dsirWeightsOf(Tables(s, dir, "documents")).orderBy("doc_id")
+    },
+
+    // DSIR selection — the resampling half: Gumbel top-k over the log
+    // weights (key = w/S + Gumbel(0,1), the classic exp-weighted sample
+    // without replacement), with the Gumbel noise derived from md5 of the
+    // doc id — deterministic across runs, engines, and cluster sizes, the
+    // same no-rand() contract as every sampler here. orderBy+limit plans
+    // as TakeOrderedAndProject: per-partition top-N heaps, executors×N
+    // rows to the driver, nothing shuffles.
+    "sample_importance" -> { (s, dir) =>
+      dsirWeightsOf(Tables(s, dir, "documents"))
+        .withColumn("v32",
+          conv(substring(md5(concat(col("doc_id").cast("string"),
+            lit(":gumbel"))), 1, 8), 16, 10).cast("long"))
+        .withColumn("gumbel_scaled",
+          floor(-log(-log((col("v32").cast("double") + lit(0.5))
+            / lit(4294967296.0))) * NllScale).cast("long"))
+        .withColumn("key_scaled", col("weight_scaled") + col("gumbel_scaled"))
+        .orderBy(col("key_scaled").desc, col("doc_id"))
+        .limit(SampleImportanceN)
+        .select("doc_id", "lang", "weight_scaled", "gumbel_scaled",
+          "key_scaled")
         .orderBy("doc_id")
     },
 
@@ -2432,6 +2578,28 @@ object TextAnalysis {
          |      len(string_split_regex(text, '\\s+')) AS n_tokens
          |    FROM documents WHERE text IS NOT NULL))
          |WHERE cum_before < $TokenBudgetPerLang ORDER BY doc_id""".stripMargin,
+
+    "dsir_weights" ->
+      s"""WITH $dsirWeightCtes
+         |SELECT doc_id, lang, n_feats, weight_scaled
+         |FROM wts ORDER BY doc_id""".stripMargin,
+
+    "sample_importance" ->
+      s"""WITH $dsirWeightCtes,
+         |g AS (SELECT doc_id, lang, weight_scaled,
+         |  list_reduce(list_transform(range(1, 9),
+         |      i -> instr('0123456789abcdef',
+         |        substr(md5(CAST(doc_id AS VARCHAR) || ':gumbel'),
+         |          CAST(i AS INT), 1)) - 1),
+         |    (x, y) -> x*16 + y) AS v32 FROM wts),
+         |k AS (SELECT doc_id, lang, weight_scaled,
+         |  CAST(floor(-ln(-ln((CAST(v32 AS DOUBLE) + 0.5) / 4294967296.0))
+         |    * $NllScale) AS BIGINT) AS gumbel_scaled FROM g)
+         |SELECT * FROM (
+         |  SELECT doc_id, lang, weight_scaled, gumbel_scaled,
+         |    weight_scaled + gumbel_scaled AS key_scaled
+         |  FROM k ORDER BY key_scaled DESC, doc_id LIMIT $SampleImportanceN)
+         |ORDER BY doc_id""".stripMargin,
 
     "train_bpe" -> trainBpeSql,
 

@@ -622,6 +622,26 @@ object StreamOps {
       .withColumn("pred", (col("score_scaled") > 0).cast("int"))
       .drop("nb")
 
+  /** Streaming DSIR scoring: the batch dsir_weights model applied per row
+    * — fit the λ table on the raw+target corpora in batch
+    * ([[graft.queries.TextAnalysis.dsirTable]]), score the live stream,
+    * threshold / Gumbel-sample downstream. Stateless: the B-bucket λ
+    * array rides the plan as one reference object
+    * ([[graft.exprs.DsirScoreExpr]] — same tokenization, bigram key,
+    * md5 bucket, and fixed-point contracts as the batch query, bit-parity
+    * spec'd on the training corpus, where every bucket is seen by
+    * construction; stream-only docs may hit absent buckets, which score
+    * as the batch inner join does: not at all). */
+  def dsirScoreStream(
+      docs: DataFrame, textCol: String,
+      model: graft.exprs.DsirScoreTable): DataFrame =
+    docs
+      .withColumn("ds",
+        graft.exprs.functions.dsir_score(col(textCol), model))
+      .withColumn("n_feats", col("ds.n_feats"))
+      .withColumn("weight_scaled", col("ds.weight_scaled"))
+      .drop("ds")
+
   /** Streaming anomaly scoring: the batch events_anomaly's per-type
     * z-score applied to a LIVE event stream against a STATIC baseline —
     * per-type integer moments computed by a batch job over history

@@ -117,6 +117,50 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(out.map(_._3).sorted.toSeq === Seq(0L, 1000L, 2000L))
   }
 
+  // five docs: two target-domain (en), two off-domain with disjoint
+  // vocabulary, and one RAW doc whose content is target-like — the doc
+  // DSIR exists to find (selection is by content, not by the label)
+  private lazy val dsirDir: String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft-dsir").toString
+    import spark.implicits._
+    Seq(
+      (1L, "the cat sat on the mat", "en"),
+      (2L, "the dog sat on the log", "en"),
+      (3L, "zog blarg frump wizzle qux", "xx"),
+      (4L, "glorp snee vrax plim drub", "xx"),
+      (5L, "the cat sat on the log", "xx"))
+      .toDF("doc_id", "text", "lang")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  test("dsir_weights ranks target-like content above off-domain content") {
+    val out = TextAnalysis.queries("dsir_weights")(spark, dsirDir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(2), r.getLong(3)))).toMap
+    assert(out.keySet === Set(1L, 2L, 3L, 4L, 5L))
+    def avg(d: Long): Double = out(d)._2.toDouble / out(d)._1.toDouble
+    // the en-like raw doc (5) must outscore both true off-domain docs,
+    // and genuinely-target docs must outscore off-domain ones
+    assert(avg(5L) > avg(3L) && avg(5L) > avg(4L),
+      s"en-like raw doc not promoted: ${out}")
+    assert(avg(1L) > avg(3L) && avg(2L) > avg(4L))
+  }
+
+  test("sample_importance is a deterministic Gumbel top-k of the weights") {
+    val run1 = TextAnalysis.queries("sample_importance")(spark, dsirDir)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    // N=80 exceeds the corpus, so the sample is the whole corpus —
+    // the interesting contracts are the key algebra and determinism
+    assert(run1.map(_._1).toSet === Set(1L, 2L, 3L, 4L, 5L))
+    run1.foreach { case (d, w, g, k) =>
+      assert(k == w + g, s"doc $d key != weight + gumbel") }
+    val run2 = TextAnalysis.queries("sample_importance")(spark, dsirDir)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(run1.sortBy(_._1).toSeq === run2.sortBy(_._1).toSeq)
+  }
+
   test("train_bpe merges greedily left-to-right with deterministic ties") {
     val dir = java.nio.file.Files.createTempDirectory("graft-bpe").toString
     import spark.implicits._

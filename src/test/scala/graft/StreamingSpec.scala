@@ -640,6 +640,41 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("dsirScoreStream scores bit-identically to the batch DSIR weights") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    implicit val sqlCtx = spark.sqlContext
+    val sfDir = "/root/testdata/sf0.001"
+    val model = graft.queries.TextAnalysis.dsirTable(spark, sfDir)
+    val batch = SparkEntry.queries("dsir_weights")(spark, sfDir)
+      .select("doc_id", "n_feats", "weight_scaled").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(batch.nonEmpty)
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .filter(col("text").isNotNull)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+
+    val mem = MemoryStream[(Long, String)]
+    val q = StreamOps.dsirScoreStream(
+        mem.toDF().toDF("doc_id", "text"), "text", model)
+      .select("doc_id", "n_feats", "weight_scaled")
+      .writeStream.format("memory").queryName("dsirstream")
+      .outputMode("append").start()
+    try {
+      mem.addData(docs: _*)
+      q.processAllAvailable()
+      val got = spark.table("dsirstream").collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+      // on the training corpus every bucket is seen by construction, so
+      // the stream's seen-only scoring must reproduce the batch inner
+      // join bit-for-bit, n_feats included
+      batch.foreach { case (d, v) =>
+        assert(got.get(d).contains(v), s"doc $d: ${got.get(d)} != $v")
+      }
+    } finally q.stop()
+  }
+
   test("capPerSourceStream admits first-N per source across micro-batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
