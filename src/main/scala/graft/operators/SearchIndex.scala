@@ -309,6 +309,25 @@ object SearchIndex {
       supersedes: Seq[String], sourceFp: Option[String],
       docMin: Option[Long], docMax: Option[Long])
 
+  /** The meta relation's EXPLICIT read schema. Meta rows written before a
+    * column existed (doc_min/doc_max predate round 10) lack it on disk,
+    * and a schema-sampled read over a mixed meta dir would fail with an
+    * unresolved column — the explicit schema surfaces legacy rows as
+    * NULLS instead, which downstream code already treats conservatively
+    * (an unknown doc range is "intersecting" for the overlap guard). Every
+    * column is nullable for the same forward-compat reason. */
+  private val MetaSchema: org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types._
+    StructType(Seq(
+      StructField("batch", StringType),
+      StructField("n_docs", LongType),
+      StructField("n_tokens", LongType),
+      StructField("supersedes", ArrayType(StringType)),
+      StructField("source_fp", StringType),
+      StructField("doc_min", LongType),
+      StructField("doc_max", LongType)))
+  }
+
   private def listDirs(root: java.nio.file.Path): Seq[java.nio.file.Path] = {
     if (!Files.isDirectory(root)) return Seq.empty
     import scala.jdk.CollectionConverters._
@@ -332,7 +351,8 @@ object SearchIndex {
       val dirs = listDirs(Paths.get(dir, "meta"))
       require(dirs.nonEmpty, s"no search index committed under $dir")
       try {
-        val rows = spark.read.parquet(dirs.map(_.toString): _*)
+        val rows = spark.read.schema(MetaSchema)
+          .parquet(dirs.map(_.toString): _*)
           .select("batch", "n_docs", "n_tokens", "supersedes", "source_fp",
             "doc_min", "doc_max")
           .collect()
@@ -483,6 +503,57 @@ object SearchIndex {
       .filter(col("n_occurrences") > 0)
       .orderBy(col("n_occurrences").desc, col("doc_id")).limit(topK)
       .select("doc_id", "n_occurrences")
+  }
+
+  /** The ONE definition of the multi-query snapshot answer plan — the
+    * serving tier's batch of (q_id, q) rows scored against a
+    * [[SearchSnapshot]] to (q_id, top_ids, top_scores). Extracted here so
+    * [[graft.streaming.LiveSearchServer.answer]] is this function BY
+    * CONSTRUCTION rather than a re-implementation that could drift from
+    * the oracle-gated scoring algebra: the contrib arithmetic comes from
+    * [[SearchIndex.scoredPostings]]/[[scoredPostingsBm25]] (the same
+    * [[bm25IdfQ6]]/[[bm25Contrib]] the batch [[searchBm25]] plans), and
+    * the phrase fold is the same fused
+    * [[graft.exprs.PhraseOccurrences]] kernel [[searchPhrase]] plans.
+    *
+    * `queries` carries (`q_id: long`, `q: string` — whitespace query
+    * terms, or the phrase for a "phrase" snapshot). Ties rank by doc_id
+    * ascending, the batch searchers' order. */
+  def answerWithSnapshot(
+      snap: SearchSnapshot, queries: DataFrame, topK: Int): DataFrame = {
+    if (snap.mode == "phrase") {
+      val q = queries
+        .select(col("q_id").cast("long").as("q_id"),
+          split(col("q"), "\\s+").as("phrase"))
+        .withColumn("token", explode(array_distinct(col("phrase"))))
+      q.join(snap.df, Seq("token"))
+        .groupBy(col("q_id"), col("doc_id"), col("phrase"))
+        .agg(map_from_entries(
+          collect_list(struct(col("token"), col("pos")))).as("m"))
+        .withColumn("n_occurrences",
+          graft.exprs.functions.phrase_occurrences(col("phrase"), col("m")))
+        .filter(col("n_occurrences") > 0)
+        .groupBy(col("q_id"))
+        .agg(slice(sort_array(collect_list(struct(
+          (-col("n_occurrences")).as("neg"), col("doc_id")))), 1, topK)
+          .as("top"))
+        .select(col("q_id"),
+          expr("transform(top, x -> x.doc_id)").as("top_ids"),
+          expr("transform(top, x -> -x.neg)").as("top_scores"))
+    } else {
+      queries
+        .select(col("q_id").cast("long").as("q_id"),
+          explode(array_distinct(split(col("q"), "\\s+"))).as("token"))
+        .join(snap.df, Seq("token"))
+        .groupBy(col("q_id"), col("doc_id"))
+        .agg(sum(col("contrib")).as("score"))
+        .groupBy(col("q_id"))
+        .agg(slice(sort_array(collect_list(struct(
+          (-col("score")).as("neg"), col("doc_id")))), 1, topK).as("top"))
+        .select(col("q_id"),
+          expr("transform(top, x -> x.doc_id)").as("top_ids"),
+          expr("transform(top, x -> -x.neg)").as("top_scores"))
+    }
   }
 
   /** Robertson idf, floor-quantized at 1e-6 — the ONE ln per distinct

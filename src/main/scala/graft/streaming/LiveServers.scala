@@ -79,44 +79,16 @@ final class LiveSearchServer(
   /** Answer one (plain, non-streaming) batch of queries against the
     * CURRENT snapshot: (q_id, top_ids, top_scores) — the stream twins'
     * output shape minus the window, scores the batch search's exact
-    * BIGINTs. Phrase mode scores by occurrence count. */
+    * BIGINTs. Phrase mode scores by occurrence count.
+    *
+    * This IS [[SearchIndex.answerWithSnapshot]] by construction — the
+    * serving tier holds no scoring plan of its own, so it can never
+    * drift from the oracle-gated batch algebra. */
   def answer(
-      queries: DataFrame, idCol: String, qCol: String, topK: Int): DataFrame = {
-    val snap = state._2
-    if (mode == "phrase") {
-      val q = queries
-        .select(col(idCol).cast("long").as("q_id"),
-          split(col(qCol), "\\s+").as("phrase"))
-        .withColumn("token", explode(array_distinct(col("phrase"))))
-      q.join(snap.df, Seq("token"))
-        .groupBy(col("q_id"), col("doc_id"), col("phrase"))
-        .agg(map_from_entries(
-          collect_list(struct(col("token"), col("pos")))).as("m"))
-        .withColumn("n_occurrences",
-          graft.exprs.functions.phrase_occurrences(col("phrase"), col("m")))
-        .filter(col("n_occurrences") > 0)
-        .groupBy(col("q_id"))
-        .agg(slice(sort_array(collect_list(struct(
-          (-col("n_occurrences")).as("neg"), col("doc_id")))), 1, topK)
-          .as("top"))
-        .select(col("q_id"),
-          expr("transform(top, x -> x.doc_id)").as("top_ids"),
-          expr("transform(top, x -> -x.neg)").as("top_scores"))
-    } else {
-      queries
-        .select(col(idCol).cast("long").as("q_id"),
-          explode(array_distinct(split(col(qCol), "\\s+"))).as("token"))
-        .join(snap.df, Seq("token"))
-        .groupBy(col("q_id"), col("doc_id"))
-        .agg(sum(col("contrib")).as("score"))
-        .groupBy(col("q_id"))
-        .agg(slice(sort_array(collect_list(struct(
-          (-col("score")).as("neg"), col("doc_id")))), 1, topK).as("top"))
-        .select(col("q_id"),
-          expr("transform(top, x -> x.doc_id)").as("top_ids"),
-          expr("transform(top, x -> -x.neg)").as("top_scores"))
-    }
-  }
+      queries: DataFrame, idCol: String, qCol: String, topK: Int): DataFrame =
+    SearchIndex.answerWithSnapshot(state._2,
+      queries.select(col(idCol).cast("long").as("q_id"),
+        col(qCol).as("q")), topK)
 
   /** Start serving a STREAM of queries: per micro-batch, refresh if the
     * index grew, answer from the current snapshot, hand the result to
@@ -125,8 +97,16 @@ final class LiveSearchServer(
     * A maintenance commit can land BETWEEN the staleness check and the
     * answer's execution (compact/gc deletes files the stale listing
     * still references) — that window retries ONCE after a forced
-    * re-check instead of failing the stream; a second failure is a real
-    * error and propagates. Sharing one server across several streams is
+    * re-check, and ONLY for failures consistent with vanished snapshot
+    * files ([[LiveServers.vanishedFiles]]): an unrelated failure must
+    * propagate, not be masked once because a commit happened to land
+    * between the two checks. A second failure propagates.
+    *
+    * `sink` must be IDEMPOTENT PER MICRO-BATCH (the standard foreachBatch
+    * sink contract): the retry re-invokes it for the same batch, so a
+    * sink that emitted partial results before failing would otherwise
+    * duplicate them — key the write on the micro-batch (overwrite/upsert),
+    * not blind-append. Sharing one server across several streams is
     * safe for correctness (an unpersisted snapshot recomputes from
     * source mid-job); each stream's own refresh-then-answer is
     * sequential within its micro-batch thread. */
@@ -138,7 +118,8 @@ final class LiveSearchServer(
         refreshIfStale()
         try sink(answer(batch, idCol, qCol, topK))
         catch {
-          case scala.util.control.NonFatal(e) =>
+          case scala.util.control.NonFatal(e)
+              if LiveServers.vanishedFiles(e) =>
             if (refreshIfStale()) sink(answer(batch, idCol, qCol, topK))
             else throw e
         }
@@ -161,18 +142,35 @@ final class LiveAnnServer(
   @volatile private var state: (String, PqIndex) =
     (fingerprint(), PqIndex.load(spark, dir))
 
+  // a generation swap (splitCell/rebalance/compact) can DELETE files
+  // between the walk's listing and the stat — absorbing that race here
+  // (skip the vanished file / treat a vanished tree as absent) matters
+  // because the first refreshIfStale() of a micro-batch runs OUTSIDE the
+  // serve() retry: a thrown NoSuchFileException would fail the stream on
+  // exactly the race the retry exists for. Any vanished file means the
+  // listing differs from the recorded one, so the refresh still fires.
   private def fingerprint(): String = {
     val md = java.security.MessageDigest.getInstance("MD5")
     Seq("cells", "pq_codes", "centroids", "pq_codebooks").foreach { rel =>
       val root = Paths.get(dir, rel)
       if (Files.isDirectory(root)) {
         import scala.jdk.CollectionConverters._
-        scala.util.Using.resource(Files.walk(root)) { st =>
-          st.iterator().asScala.toList
-            .filter(Files.isRegularFile(_))
-            .map(p => s"$p:${Files.size(p)}")
-            .sorted
-            .foreach(s => md.update(s.getBytes("UTF-8")))
+        try {
+          scala.util.Using.resource(Files.walk(root)) { st =>
+            st.iterator().asScala.toList
+              .filter(Files.isRegularFile(_))
+              .flatMap { p =>
+                try Some(s"$p:${Files.size(p)}")
+                catch { case _: java.nio.file.NoSuchFileException => None }
+              }
+              .sorted
+              .foreach(s => md.update(s.getBytes("UTF-8")))
+          }
+        } catch {
+          // the walk itself can trip on a dir deleted mid-iteration
+          case _: java.nio.file.NoSuchFileException =>
+          case e: java.io.UncheckedIOException
+              if e.getCause.isInstanceOf[java.nio.file.NoSuchFileException] =>
         }
       }
     }
@@ -198,8 +196,9 @@ final class LiveAnnServer(
     * vectors are probed as soon as their files commit, no restart. A
     * generation swap (splitCell/rebalance/compact) landing between the
     * check and the probe deletes the files the stale handle references;
-    * that window retries once after a forced re-check (same contract as
-    * [[LiveSearchServer.serve]]). */
+    * that window retries once after a forced re-check, restricted to
+    * vanished-file failures, and `sink` must be idempotent per
+    * micro-batch (same contract as [[LiveSearchServer.serve]]). */
   def serve(
       queries: DataFrame, idCol: String, vecCol: String)
       (sink: DataFrame => Unit): StreamingQuery =
@@ -208,12 +207,47 @@ final class LiveAnnServer(
         refreshIfStale()
         try sink(answer(batch, idCol, vecCol))
         catch {
-          case scala.util.control.NonFatal(e) =>
+          case scala.util.control.NonFatal(e)
+              if LiveServers.vanishedFiles(e) =>
             if (refreshIfStale()) sink(answer(batch, idCol, vecCol))
             else throw e
         }
       }
       .start()
 
+  /** No-op BY DESIGN (not an omission): a loaded [[PqIndex]] holds only
+    * driver-side codebook/centroid state plus lazy DataFrames over the
+    * index files — nothing persisted in the cache manager, so there is
+    * nothing to release (contrast [[LiveSearchServer.close]], whose
+    * snapshot pins a cached plan). If a future refresh path adds a
+    * `.persist()` here, close() must unpersist it or every generation
+    * leaks one cached plan. */
   override def close(): Unit = ()
+}
+
+private[streaming] object LiveServers {
+
+  /** Is this failure consistent with the ONE race the serve() retry
+    * exists for — index files deleted by a maintenance commit between
+    * the staleness check and the answer's execution? Walks the cause
+    * chain for the file-vanished exception types and Spark's stringified
+    * forms of them. Anything else is a real error the retry must not
+    * mask. */
+  private[streaming] def vanishedFiles(e: Throwable): Boolean = {
+    val seen = scala.collection.mutable.Set[Throwable]()
+    var t: Throwable = e
+    while (t != null && seen.add(t)) {
+      t match {
+        case _: java.io.FileNotFoundException => return true
+        case _: java.nio.file.NoSuchFileException => return true
+        case _ =>
+          if (Option(t.getMessage).exists(m =>
+              m.contains("FileNotFound") || m.contains("NoSuchFile") ||
+                m.contains("does not exist")))
+            return true
+      }
+      t = t.getCause
+    }
+    false
+  }
 }

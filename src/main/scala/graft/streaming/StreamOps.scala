@@ -40,8 +40,17 @@ final case class SpanDupFlag(doc_id: Long, chunk_hash: String)
 
 /** State for one span-hash shard: a FIXED-size Bloom bitmap over every
   * chunk hash the shard has ever admitted — the hard state bound that
-  * makes the span twin runnable forever. */
-final case class SpanBloom(words: Seq[Long])
+  * makes the span twin runnable forever.
+  *
+  * `routeV` versions the SHARD-ROUTING function the bitmap was built
+  * under. Round 10 moved the route from digest chars [1, 4] to the slice
+  * after both Bloom position slices; a checkpoint recorded under the old
+  * routing holds bitmaps chunks will never re-route to, so resuming it
+  * would silently pass previously-seen spans as unseen. The extra state
+  * field makes Spark's state-store schema check REJECT such a resume
+  * (fail loudly; restart on a fresh checkpoint), and the field value
+  * guards any future routing change the schema check alone can't see. */
+final case class SpanBloom(routeV: Int, words: Seq[Long])
 
 /** A streaming pack assignment: where `doc_id` landed in its bucket's
   * concat-and-chunk token stream (same output contract as the batch
@@ -103,6 +112,14 @@ object StreamOps {
     * past the cap still COMPARE against the held entries (they can be
     * flagged); they just don't extend the bucket. */
   private val MaxBucketState = 16
+
+  /** [[spanDedupStream]]'s shard-routing version, stamped into every
+    * [[SpanBloom]] state row. Bump WHENEVER the chunk → shard route
+    * changes (v2 = the round-10 move to the digest slice disjoint from
+    * both Bloom position slices): bitmaps recorded under a different
+    * route are unreachable by re-occurring chunks, so a resumed stream
+    * must fail loudly rather than silently under-deduplicate. */
+  private val SpanRouteVersion = 2
 
   /** Streaming NEAR-dup detection: the batch dedup_minhash_lsh made
     * incremental. Each document's minhash signature is banded exactly like
@@ -351,10 +368,13 @@ object StreamOps {
     * @param modelDir persisted [[graft.operators.BpeModel]] artifact
     * @param buckets  independent pack streams (batch default 32)
     * @param seqLen   ids per training row (batch default 128)
-    * @param eosId    end-of-document id appended after every document
-    *                 (a-z default 34 = 26 + 8 merges; pass 264 with
-    *                 alphabet = "bytes")
-    * @param padId    tail-flush padding id (bytes: 265)
+    * @param eosId    end-of-document id appended after every document.
+    *                 Default −1 = DERIVED FROM THE ALPHABET (az → 34 =
+    *                 26 + 8 merges, bytes → 264) — the a-z ids 34/35 are
+    *                 valid BYTE ids ('"' and '#') under alphabet="bytes",
+    *                 so a fixed default there would pack separators
+    *                 indistinguishable from content bytes with no error.
+    * @param padId    tail-flush padding id (−1 = derived: az 35, bytes 265)
     * @param delay    watermark delay AND bucket inactivity TTL
     * @param alphabet "az" (default) or "bytes" — which tokenizer twin
     *                 encodes the stream; the pack state machine is
@@ -368,13 +388,17 @@ object StreamOps {
       modelDir: String,
       buckets: Int = 32,
       seqLen: Int = 128,
-      eosId: Int = 34,
-      padId: Int = 35,
+      eosId: Int = -1,
+      padId: Int = -1,
       delay: String = "10 minutes",
       alphabet: String = "az"): Dataset[PackedTokenSeq] = {
     val spark = docs.sparkSession
     import spark.implicits._
     val delayMs = parseDelayMs(delay)
+    val eos = if (eosId >= 0) eosId
+      else if (alphabet == "bytes") 264 else 34
+    val pad = if (padId >= 0) padId
+      else if (alphabet == "bytes") 265 else 35
     val tokenized = (alphabet match {
       case "az" => tokenizeBpeStream(docs, textCol, modelDir)
       case "bytes" => tokenizeBpeBytesStream(docs, textCol, modelDir)
@@ -406,7 +430,7 @@ object StreamOps {
               state.update(PackIdBuf(st.seqId + 1, Vector.empty))
               PackedTokenSeq(bucket, st.seqId, st.buf.length.toLong,
                 (seqLen - st.buf.length).toLong,
-                st.buf ++ Seq.fill(seqLen - st.buf.length)(padId))
+                st.buf ++ Seq.fill(seqLen - st.buf.length)(pad))
             }
             // park the timeout one delay ahead — the stale timestamp is
             // already past the watermark and would re-fire every batch
@@ -420,7 +444,7 @@ object StreamOps {
             var seqId = st.seqId
             val out = List.newBuilder[PackedTokenSeq]
             batch.foreach { case (_, _, _, ids) =>
-              buf = buf ++ ids :+ eosId
+              buf = buf ++ ids :+ eos
               while (buf.length >= seqLen) {
                 out += PackedTokenSeq(
                   bucket, seqId, seqLen.toLong, 0L, buf.take(seqLen))
@@ -979,6 +1003,13 @@ object StreamOps {
         (_: Long,
          rows: Iterator[(java.sql.Timestamp, Long, Int, String, Long)],
          state: GroupState[SpanBloom]) =>
+          state.getOption.foreach { st =>
+            require(st.routeV == SpanRouteVersion,
+              s"spanDedupStream checkpoint was recorded under shard-" +
+                s"routing v${st.routeV}, this build routes v$SpanRouteVersion" +
+                " — resuming would silently under-deduplicate; restart on" +
+                " a fresh checkpoint")
+          }
           val bm: Array[Long] = state.getOption
             .map(_.words.toArray).getOrElse(new Array[Long](words))
           val out = List.newBuilder[SpanDupFlag]
@@ -995,7 +1026,7 @@ object StreamOps {
               bm((p1 / 64L).toInt) |= 1L << (p1 % 64L)
               bm((p2 / 64L).toInt) |= 1L << (p2 % 64L)
           }
-          state.update(SpanBloom(bm.toSeq))
+          state.update(SpanBloom(SpanRouteVersion, bm.toSeq))
           out.result().iterator
       }
   }
