@@ -313,15 +313,93 @@ object IvfIndex {
             .coalesce(1).write.mode("overwrite")
             .parquet(s"$staging/pq_codebooks")
         }
-        val old = Paths.get(dir + ".old")
-        graft.storage.ParquetLogBackend.deleteRecursively(old)
-        Files.move(Paths.get(dir), old, StandardCopyOption.ATOMIC_MOVE)
-        Files.move(Paths.get(staging), Paths.get(dir),
-          StandardCopyOption.ATOMIC_MOVE)
-        graft.storage.ParquetLogBackend.deleteRecursively(old)
+        commitGeneration(dir, staging)
         newId
       } finally reassigned.unpersist()
     }
+
+  /** Flip a fully-staged next generation in as THE index: `dir` →
+    * `dir.old` → staging renamed to `dir` → `.old` deleted. A crash
+    * between the renames heals at the next maintenance entry
+    * ([[recoverSwapRoot]]); plain readers inside the window fall back to
+    * the consistent `.old` generation read-only ([[load]]). The one
+    * generation-commit primitive [[splitCell]] and [[removeVectors]]
+    * share. */
+  private def commitGeneration(dir: String, staging: String): Unit = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val old = Paths.get(dir + ".old")
+    graft.storage.ParquetLogBackend.deleteRecursively(old)
+    Files.move(Paths.get(dir), old, StandardCopyOption.ATOMIC_MOVE)
+    Files.move(Paths.get(staging), Paths.get(dir),
+      StandardCopyOption.ATOMIC_MOVE)
+    graft.storage.ParquetLogBackend.deleteRecursively(old)
+  }
+
+  /** REMOVE vectors from a persisted index — the vector twin of
+    * [[SearchIndex.deleteDocs]] (takedowns / contaminated-source purges),
+    * riding the same staged-generation machinery as [[splitCell]]: the
+    * next generation is the current one with the removed rows filtered
+    * out of the cells (and, under a PQ tier, out of `pq_codes` — raw
+    * vectors and codes drop TOGETHER, so the shortlist and the rerank
+    * path can never disagree about a removed vector), centroids and
+    * codebooks byte-identical, all flipped in one crash-safe swap.
+    *
+    * The quantizer deliberately does NOT refit (the [[appendVectors]]
+    * contract in reverse), so probe answers over the surviving vectors
+    * are BIT-IDENTICAL to probing the pre-removal index with those rows
+    * absent — the strongest contract a quantized index can make (a fresh
+    * re-BUILD refits k-means on the surviving corpus and is a different
+    * index by design; run one at the periodic-rebuild cadence, as with
+    * drift). Removed ids can be re-appended later via [[appendVectors]].
+    *
+    * `ids` is a driver-side list by contract (takedown-sized; the filter
+    * is one isin predicate — corpus-scale removal is a rebuild). Ids not
+    * present are ignored; if none are present, nothing is staged and 0
+    * returns. Removing EVERY vector is rejected (an empty parquet
+    * relation cannot be re-read; delete the index dir instead).
+    *
+    * @return the number of vectors removed */
+  def removeVectors(
+      spark: SparkSession, dir: String, ids: Seq[Long]): Long = synchronized {
+    if (ids.isEmpty) return 0L
+    recoverSwapRoot(dir)
+    recoverSwap(java.nio.file.Paths.get(dir, "cells"))
+    recoverSwap(java.nio.file.Paths.get(dir, "pq_codes"))
+    val hasPq = java.nio.file.Files.exists(
+      java.nio.file.Paths.get(dir, "pq_codes"))
+    val pq = if (hasPq) Some(PqIndex.load(spark, dir)) else None
+    val idx = pq.map(_.coarse).getOrElse(load(spark, dir))
+    val present =
+      idx.assignments.filter(col("vec_id").isin(ids: _*)).count()
+    if (present == 0L) return 0L
+    val remaining = idx.assignments.count() - present
+    require(remaining > 0L,
+      "removeVectors would empty the index; delete the index dir instead")
+    import spark.implicits._
+    val staging = dir + ".remove-" +
+      java.util.UUID.randomUUID().toString.take(8)
+    idx.assignments.filter(!col("vec_id").isin(ids: _*))
+      .select("vec_id", "v", "nrm", "cell")
+      .write.mode("overwrite").partitionBy("cell")
+      .parquet(s"$staging/cells")
+    idx.centroids.zipWithIndex
+      .map { case (c, i) => (i, c.toSeq) }.toSeq
+      .toDF("cell", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(s"$staging/centroids")
+    pq.foreach { p =>
+      p.codes.filter(!col("vec_id").isin(ids: _*))
+        .select("vec_id", "cell", "nrm", "codes")
+        .write.mode("overwrite").partitionBy("cell")
+        .parquet(s"$staging/pq_codes")
+      p.codebooks.zipWithIndex.flatMap { case (cb, sub) =>
+        cb.zipWithIndex.map { case (c, code) => (sub, code, c.toSeq) }
+      }.toSeq.toDF("sub", "code", "centroid")
+        .coalesce(1).write.mode("overwrite")
+        .parquet(s"$staging/pq_codebooks")
+    }
+    commitGeneration(dir, staging)
+    present
+  }
 
   /** The POLICY wrapper over [[splitCell]]: split the biggest cell while
     * any cell holds more than `maxFrac` of the vectors (up to `maxSplits`

@@ -247,6 +247,13 @@ object PqIndex {
       } finally assigned.unpersist()
     }
 
+  /** [[IvfIndex.removeVectors]] under its PQ name — the implementation
+    * is already PQ-aware (codes and raw cells drop together in one
+    * staged generation); this alias keeps the two index tiers' public
+    * maintenance surfaces symmetric (append / compact / remove). */
+  def removeVectors(spark: SparkSession, dir: String, ids: Seq[Long]): Long =
+    IvfIndex.removeVectors(spark, dir, ids)
+
   /** [[IvfIndex.compact]] extended to the PQ tier: both the raw cells
     * (rerank path) and the code lists rewrite to ~one file per cell. */
   def compact(spark: SparkSession, dir: String): Unit =

@@ -18,12 +18,16 @@ import java.nio.file.{Files, Paths, StandardCopyOption}
   *    files at any corpus size (the inverted-list property, on disk).
   *  - `dir/meta/<id>/…` — one row per COMMITTED batch
   *    (batch, n_docs, n_tokens, supersedes, source_fp, doc_min, doc_max —
-  *    the id range backing appendDocs' overlap guard). The meta dir is
-  *    staged and atomically renamed in: it IS the commit marker. Postings
-  *    always write BEFORE their meta, so a crash strands an invisible
-  *    orphan batch (readers' `batch IN (committed)` partition filter
-  *    plan-time-prunes it; the next compact garbage-collects it) — never
-  *    a torn visible state.
+  *    the id range backing appendDocs' overlap guard — and kind). The
+  *    meta dir is staged and atomically renamed in: it IS the commit
+  *    marker. Postings always write BEFORE their meta, so a crash strands
+  *    an invisible orphan batch (readers' `batch IN (committed)`
+  *    partition filter plan-time-prunes it; the next compact
+  *    garbage-collects it) — never a torn visible state.
+  *  - `dir/tombstones/<id>/…` — the (source batch, doc_id) pairs of a
+  *    DELETION batch (meta kind = "tomb"): [[SearchIndex.deleteDocs]]'
+  *    removal manifest, applied at load time and physically dropped by
+  *    the next compact. Same write-data-then-commit-meta ordering.
   *
   * Staleness is designed OUT of the hot path: postings carry NO
   * precomputed IDF. Document frequency is recomputed at query time from
@@ -226,19 +230,32 @@ object SearchIndex {
       val (docMin, docMax) =
         (if (range.isNullAt(0)) None else Some(range.getLong(0)),
          if (range.isNullAt(1)) None else Some(range.getLong(1)))
-      // overlap guard: exact check ONLY for active batches whose id range
-      // intersects the new batch's (a legacy meta without a range is
-      // treated as intersecting — unknown must not mean unchecked)
-      val suspects = activeMetas(spark, dir).filter { m =>
+      // overlap guard: exact check ONLY for active POSTINGS batches whose
+      // id range intersects the new batch's (a legacy meta without a
+      // range is treated as intersecting — unknown must not mean
+      // unchecked; tombstone metas hold no postings and never suspect)
+      val metas = activeMetas(spark, dir)
+      val suspects = metas.filterNot(_.isTombstone).filter { m =>
         docMin.isDefined &&
           m.docMin.forall(lo => lo <= docMax.get) &&
           m.docMax.forall(hi => hi >= docMin.get)
       }.map(_.batch)
       if (suspects.nonEmpty) {
-        val dup = p.select(col("doc_id")).distinct()
-          .join(spark.read.parquet(s"$dir/postings")
+        // a TOMBSTONED doc_id is not "already indexed" — its postings
+        // rows are dead until compact collects them, and re-appending a
+        // deleted doc is exactly the lifecycle deletes exist for
+        val suspectDocs = {
+          val raw = spark.read.parquet(s"$dir/postings")
             .filter(col("batch").isin(suspects: _*))
-            .select(col("doc_id")).distinct(), "doc_id")
+            .select(col("batch"), col("doc_id"))
+          tombstonePairs(spark, dir, metas.filter(_.isTombstone)) match {
+            case None => raw
+            case Some(t) =>
+              raw.join(broadcast(t), Seq("batch", "doc_id"), "left_anti")
+          }
+        }.select(col("doc_id")).distinct()
+        val dup = p.select(col("doc_id")).distinct()
+          .join(suspectDocs, "doc_id")
           .limit(5).collect().map(_.getLong(0))
         require(dup.isEmpty,
           s"appendDocs would re-index already-indexed doc_ids " +
@@ -251,6 +268,66 @@ object SearchIndex {
         docMin, docMax)
       nDocs
     } finally p.unpersist()
+  }
+
+  /** DELETE documents from a persisted index — the takedown /
+    * right-to-be-forgotten / contaminated-source-purge move a production
+    * corpus takes routinely, without the full rebuild that used to be the
+    * only removal path. `ids` is a driver-side list by contract
+    * (takedown-sized; corpus-scale removal is a rebuild).
+    *
+    * Mechanism — [[appendDocs]]' batch-manifest discipline in reverse: a
+    * TOMBSTONE batch. The deleted docs' (source batch, doc_id) pairs are
+    * written under `dir/tombstones/<id>/`, then a meta row of
+    * kind = "tomb" commits them atomically, recording the removed doc and
+    * token counts. [[load]] anti-joins active tombstone pairs out of the
+    * postings and nets the corpus totals, so df / nDocs / avgdl — and
+    * therefore every TF-IDF/BM25/phrase score — are immediately exact
+    * over the surviving documents, bit-identical to a fresh build without
+    * the deleted docs (SearchIndexSpec pins it). No stale window, no
+    * rebuild; the next [[compact]] physically drops the dead postings and
+    * collects the tombstone batches.
+    *
+    * Scoping tombstones to their source batch (not the bare doc_id) makes
+    * delete-then-[[appendDocs]]-again legal: the re-appended doc lands in
+    * a new batch the tombstone does not reference, and the overlap guard
+    * ignores tombstoned postings when checking for re-indexed ids.
+    *
+    * Crash safety mirrors append: pairs write FIRST, the meta marker
+    * renames in last — a crash strands an invisible orphan tombstone dir
+    * (readers only join tombstones of COMMITTED tomb metas; the next
+    * compact collects the orphan). Ids not currently indexed (unknown, or
+    * already deleted) are ignored; if nothing is indexed the call commits
+    * nothing.
+    *
+    * Serving: a tombstone commit adds a meta batch dir, so
+    * [[graft.streaming.LiveSearchServer]]'s staleness listing sees it —
+    * a delete landing mid-stream stops being served at the next
+    * micro-batch, the exact inverse of the live-append contract.
+    *
+    * @return the number of documents actually deleted */
+  def deleteDocs(
+      spark: SparkSession, dir: String, ids: Seq[Long]): Long = synchronized {
+    if (ids.isEmpty) return 0L
+    val idx = load(spark, dir) // already net of prior tombstones
+    val hits = idx.postings
+      .filter(col("doc_id").isin(ids: _*))
+      .groupBy(col("batch"), col("doc_id"))
+      .agg(sum(col("cnt")).as("n_tokens"))
+      .collect()
+    if (hits.isEmpty) return 0L
+    val removedDocs = hits.length.toLong
+    val removedTokens = hits.map(_.getLong(2)).sum
+    val batch = newBatchId()
+    import spark.implicits._
+    hits.map(r => (r.getString(0), r.getLong(1))).toSeq
+      .toDF("batch", "doc_id")
+      .coalesce(1).write.mode("overwrite")
+      .parquet(s"$dir/tombstones/$batch")
+    val delIds = hits.map(_.getLong(1))
+    commitMeta(spark, dir, batch, removedDocs, removedTokens,
+      Seq.empty, None, Some(delIds.min), Some(delIds.max), kind = "tomb")
+    removedDocs
   }
 
   /** Rewrite the active batches into ONE batch (~one file per bucket) and
@@ -302,20 +379,30 @@ object SearchIndex {
       if (!keep(p.getFileName.toString))
         graft.storage.ParquetLogBackend.deleteRecursively(p)
     }
+    // tombstones are now APPLIED (the rewritten batch holds only live
+    // postings), so every tombstone dir — committed or orphaned — is
+    // garbage; the physical drop the delete lifecycle promises
+    listDirs(Paths.get(dir, "tombstones")).foreach(
+      graft.storage.ParquetLogBackend.deleteRecursively)
   }
 
   private case class Meta(
       batch: String, nDocs: Long, nTokens: Long,
       supersedes: Seq[String], sourceFp: Option[String],
-      docMin: Option[Long], docMax: Option[Long])
+      docMin: Option[Long], docMax: Option[Long],
+      kind: String) {
+    def isTombstone: Boolean = kind == "tomb"
+  }
 
   /** The meta relation's EXPLICIT read schema. Meta rows written before a
-    * column existed (doc_min/doc_max predate round 10) lack it on disk,
-    * and a schema-sampled read over a mixed meta dir would fail with an
-    * unresolved column — the explicit schema surfaces legacy rows as
-    * NULLS instead, which downstream code already treats conservatively
-    * (an unknown doc range is "intersecting" for the overlap guard). Every
-    * column is nullable for the same forward-compat reason. */
+    * column existed (doc_min/doc_max predate round 10, kind predates
+    * round 11) lack it on disk, and a schema-sampled read over a mixed
+    * meta dir would fail with an unresolved column — the explicit schema
+    * surfaces legacy rows as NULLS instead, which downstream code already
+    * treats conservatively (an unknown doc range is "intersecting" for
+    * the overlap guard; a null kind is a postings batch — tombstones
+    * postdate the column). Every column is nullable for the same
+    * forward-compat reason. */
   private val MetaSchema: org.apache.spark.sql.types.StructType = {
     import org.apache.spark.sql.types._
     StructType(Seq(
@@ -325,7 +412,8 @@ object SearchIndex {
       StructField("supersedes", ArrayType(StringType)),
       StructField("source_fp", StringType),
       StructField("doc_min", LongType),
-      StructField("doc_max", LongType)))
+      StructField("doc_max", LongType),
+      StructField("kind", StringType)))
   }
 
   private def listDirs(root: java.nio.file.Path): Seq[java.nio.file.Path] = {
@@ -354,13 +442,14 @@ object SearchIndex {
         val rows = spark.read.schema(MetaSchema)
           .parquet(dirs.map(_.toString): _*)
           .select("batch", "n_docs", "n_tokens", "supersedes", "source_fp",
-            "doc_min", "doc_max")
+            "doc_min", "doc_max", "kind")
           .collect()
           .map(r => Meta(r.getString(0), r.getLong(1), r.getLong(2),
             Option(r.getSeq[String](3)).getOrElse(Seq.empty),
             Option(r.getString(4)).filter(_.nonEmpty),
             if (r.isNullAt(5)) None else Some(r.getLong(5)),
-            if (r.isNullAt(6)) None else Some(r.getLong(6))))
+            if (r.isNullAt(6)) None else Some(r.getLong(6)),
+            Option(r.getString(7)).getOrElse("post")))
         val superseded = rows.flatMap(_.supersedes).toSet
         return rows.filterNot(m => superseded(m.batch)).sortBy(_.batch).toSeq
       } catch {
@@ -377,31 +466,64 @@ object SearchIndex {
       spark: SparkSession, dir: String, batch: String,
       nDocs: Long, nTokens: Long, supersedes: Seq[String],
       fingerprint: Option[String],
-      docMin: Option[Long], docMax: Option[Long]): Unit = {
+      docMin: Option[Long], docMax: Option[Long],
+      kind: String = "post"): Unit = {
     import spark.implicits._
     val metaRoot = Paths.get(dir, "meta")
     Files.createDirectories(metaRoot)
     val staging = metaRoot.resolve(s".staging-$batch")
     Seq((batch, nDocs, nTokens, supersedes, fingerprint.getOrElse(""),
-        docMin, docMax))
+        docMin, docMax, kind))
       .toDF("batch", "n_docs", "n_tokens", "supersedes", "source_fp",
-        "doc_min", "doc_max")
+        "doc_min", "doc_max", "kind")
       .coalesce(1).write.mode("overwrite").parquet(staging.toString)
     Files.move(staging, metaRoot.resolve(batch),
       StandardCopyOption.ATOMIC_MOVE)
   }
 
+  /** The active tombstone (batch, doc_id) pairs — which doc has been
+    * DELETED from which postings batch. Scoping a tombstone to its source
+    * batch (instead of tombstoning the doc_id globally) is what makes
+    * delete-then-re-append legal: the re-appended doc lands in a NEW
+    * batch the tombstone does not reference. Empty when no tombstone
+    * batch is active (the common case — the anti-join is skipped
+    * entirely, so an index that never saw a delete pays nothing). */
+  private def tombstonePairs(
+      spark: SparkSession, dir: String, tombs: Seq[Meta]): Option[DataFrame] =
+    if (tombs.isEmpty) None
+    else Some(spark.read.parquet(
+        tombs.map(m => s"$dir/tombstones/${m.batch}"): _*)
+      .select("batch", "doc_id"))
+
   /** Load the committed index state: postings plan-time-pruned to the
     * active batches, corpus totals summed from their meta rows. Read-only
-    * (no swap recovery to run — commits are append-only + gc). */
+    * (no swap recovery to run — commits are append-only + gc).
+    *
+    * Tombstones ([[deleteDocs]]) apply here, at the ONE place the
+    * postings relation is constructed: deleted (batch, doc_id) pairs are
+    * anti-joined out (broadcast — the tombstone set is takedown-sized by
+    * contract and physically drops at the next compact), and the corpus
+    * totals are the postings batches' sums NET of the tombstone batches'
+    * recorded removals. df then recomputes exactly at query time from the
+    * already-filtered scan and avgdl is the exact division of two exact
+    * net integers — so every score is bit-identical to a fresh build over
+    * the surviving documents, the same no-stale-window discipline
+    * appendDocs rides. */
   def load(spark: SparkSession, dir: String): SearchIndex = {
     val metas = activeMetas(spark, dir)
-    val postings = spark.read.parquet(s"$dir/postings")
-      .filter(col("batch").isin(metas.map(_.batch): _*))
+    val (tombs, posts) = metas.partition(_.isTombstone)
+    val raw = spark.read.parquet(s"$dir/postings")
+      .filter(col("batch").isin(posts.map(_.batch): _*))
       .select("token", "tbucket", "doc_id", "cnt", "dl", "pos", "batch")
-    new SearchIndex(postings, metas.map(_.nDocs).sum,
-      metas.map(_.nTokens).sum,
-      metas.flatMap(_.sourceFp).flatMap(_.split(",")).distinct)
+    val postings = tombstonePairs(spark, dir, tombs) match {
+      case None => raw
+      case Some(t) => raw.join(broadcast(t), Seq("batch", "doc_id"),
+        "left_anti")
+    }
+    new SearchIndex(postings,
+      posts.map(_.nDocs).sum - tombs.map(_.nDocs).sum,
+      posts.map(_.nTokens).sum - tombs.map(_.nTokens).sum,
+      posts.flatMap(_.sourceFp).flatMap(_.split(",")).distinct)
   }
 
   /** The query-term postings, statically pruned: bucket literals computed

@@ -409,4 +409,101 @@ class IvfIndexSpec extends AnyFunSuite {
     assert(!new java.io.File(idxDir + ".old").exists())
     assert(IvfIndex.load(spark, idxDir).assignments.count() === before)
   }
+
+  test("removeVectors: quantizer untouched, survivors' probes = brute force without the removed") {
+    val idxDir = java.nio.file.Files
+      .createTempDirectory("graft-ivfrm").toString
+    IvfIndex.build(emb, k = 8).save(idxDir)
+    val before = IvfIndex.load(spark, idxDir)
+    val centroidsBefore = before.centroids.map(_.toSeq).toSeq
+    val total = before.assignments.count()
+    // remove ids that RANK for the test queries, so a half-applied
+    // removal would be caught
+    val victims = IvfIndex.probe(before,
+        emb.filter(col("vec_id") < 3)
+          .select(col("vec_id").as("q_id"), col("v").as("qv")),
+        nProbe = 8, topK = 3)
+      .select("n_id").collect().map(_.getLong(0)).distinct.toSeq
+    val n = IvfIndex.removeVectors(spark, idxDir, victims)
+    assert(n === victims.length.toLong)
+    assert(!new java.io.File(idxDir + ".old").exists(),
+      "a committed removal must leave no generation residue")
+
+    val after = IvfIndex.load(spark, idxDir)
+    assert(after.centroids.map(_.toSeq).toSeq === centroidsBefore,
+      "removal must not refit the quantizer")
+    assert(after.assignments.count() === total - n)
+    assert(after.assignments
+      .filter(col("vec_id").isin(victims: _*)).count() === 0L)
+    // exhaustive probe over the shrunk index = brute force over survivors
+    val q = emb.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"))
+    val got = IvfIndex.probe(after, q, nProbe = 8, topK = 5)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(2), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(_._3).toSeq).toMap
+    val all = emb.filter(!col("vec_id").isin(victims: _*)).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var (d, na, nb) = (0.0, 0.0, 0.0)
+      var i = 0
+      while (i < a.length) {
+        d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
+      }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val queries = emb.filter(col("vec_id") < 3).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray)
+    queries.foreach { case (qid, qv) =>
+      val brute = all.toSeq.filter(_._1 != qid)
+        .map { case (id, v) => (id, cos(qv, v)) }
+        .sortBy { case (id, c) => (-c, id) }.take(5).map(_._1)
+      assert(got(qid) === brute, s"query $qid probe != brute force after removal")
+    }
+    // unknown ids: nothing staged, 0 returned
+    assert(IvfIndex.removeVectors(spark, idxDir, Seq(-5L)) === 0L)
+    // emptying the index is refused
+    val allIds = after.assignments.select("vec_id")
+      .collect().map(_.getLong(0)).toSeq
+    val e = intercept[IllegalArgumentException] {
+      IvfIndex.removeVectors(spark, idxDir, allIds)
+    }
+    assert(e.getMessage.contains("empty"))
+    assert(IvfIndex.load(spark, idxDir).assignments.count() === total - n,
+      "the refused removal must leave the index untouched")
+  }
+
+  test("removeVectors under a PQ tier: codes and raw rows drop together, ADC scores of survivors unchanged") {
+    import graft.operators.PqIndex
+    val idxDir = java.nio.file.Files
+      .createTempDirectory("graft-pqrm").toString
+    PqIndex.build(emb, m = 8, kCodes = 16).save(idxDir)
+    val q = emb.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"))
+    def exhaustive(idx: PqIndex) =
+      PqIndex.probeAll(idx, q, nProbe = 8, topK = 10000)
+        .select("q_id", "n_id", "adc_cosine").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+        .sortBy(t => (t._1, t._2))
+    val before = exhaustive(PqIndex.load(spark, idxDir))
+    val victims = Seq(7L, 19L, 42L)
+    val codesBefore = PqIndex.load(spark, idxDir).codes.count()
+    val n = PqIndex.removeVectors(spark, idxDir, victims)
+    assert(n === victims.length.toLong)
+    val after = PqIndex.load(spark, idxDir)
+    // codes and raw cells drop TOGETHER — shortlist and rerank agree
+    assert(after.codes.count() === codesBefore - n)
+    assert(after.coarse.assignments
+      .filter(col("vec_id").isin(victims: _*)).count() === 0L)
+    assert(after.codes
+      .filter(col("vec_id").isin(victims: _*)).count() === 0L)
+    // survivors' ADC cosines are BIT-identical (quantizer + codebooks
+    // untouched): after ≡ before minus the removed candidates
+    val vs = victims.toSet
+    assert(exhaustive(after) === before.filterNot(t => vs(t._2)))
+    // the exact-rerank path still serves, without the removed ids
+    val rr = PqIndex.probeAll(after, q, nProbe = 8, topK = 5, rerank = 50)
+      .select("n_id").collect().map(_.getLong(0)).toSet
+    assert(rr.intersect(vs).isEmpty)
+  }
 }

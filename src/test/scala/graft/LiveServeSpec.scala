@@ -70,6 +70,50 @@ class LiveServeSpec extends AnyFunSuite {
     } finally { q.stop(); server.close() }
   }
 
+  test("LiveSearchServer: deleteDocs mid-stream stops serving the doc after its batch commits") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-livedel").toString
+    SearchIndex.build(docs).save(dir)
+
+    def batchAnswer(): Seq[(Long, Long)] =
+      SearchIndex.search(SearchIndex.load(spark, dir),
+          Seq("vector", "stream"), 5)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+
+    val before = batchAnswer()
+    val victim = before.head._1 // the top-ranked doc: its absence is loud
+    val results =
+      new java.util.concurrent.ConcurrentHashMap[Long, Seq[(Long, Long)]]()
+    val server = new LiveSearchServer(spark, dir, "tfidf")
+    val mem = MemoryStream[(Long, String)]
+    val q = server.serve(
+        mem.toDF().toDF("q_id", "q"), "q_id", "q", topK = 5) { out =>
+      out.collect().foreach { r =>
+        results.put(r.getLong(0),
+          r.getSeq[Long](1).zip(r.getSeq[Long](2)).toSeq)
+      }
+    }
+    try {
+      mem.addData((1L, "vector stream"))
+      q.processAllAvailable()
+      assert(results.get(1L) === before)
+      assert(results.get(1L).exists(_._1 == victim))
+
+      assert(SearchIndex.deleteDocs(spark, dir, Seq(victim)) === 1L)
+      val after = batchAnswer()
+      assert(!after.exists(_._1 == victim))
+
+      mem.addData((2L, "vector stream"))
+      q.processAllAvailable()
+      assert(results.get(2L) === after,
+        "a delete landing mid-stream must stop being served after its " +
+          "tombstone batch commits — scores net of the deleted doc")
+      assert(!results.get(2L).exists(_._1 == victim))
+    } finally { q.stop(); server.close() }
+  }
+
   test("LiveAnnServer: appendVectors mid-stream is probed after commit, without restart") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

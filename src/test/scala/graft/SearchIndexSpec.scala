@@ -265,6 +265,88 @@ class SearchIndexSpec extends AnyFunSuite {
     assert(res(Seq("new", "zzz")) === Seq.empty)
   }
 
+  test("deleteDocs: answers bit-identical to a fresh build without the deleted docs") {
+    val dir = tmp()
+    SearchIndex.build(docs).save(dir)
+    // delete docs that actually RANK for the query terms, so the test
+    // would catch a delete that only half-applies
+    val victims = answers(SearchIndex.load(spark, dir))._1
+      .take(3).map(_._1)
+    val n = SearchIndex.deleteDocs(spark, dir, victims)
+    assert(n === victims.length.toLong)
+    val after = SearchIndex.load(spark, dir)
+    val fresh = SearchIndex.build(docs.filter(!col("doc_id").isin(victims: _*)))
+    assert(after.nDocs === fresh.nDocs)
+    assert(after.nTokens === fresh.nTokens)
+    // df/nDocs/avgdl recompute net of tombstones → every score
+    // bit-identical to an index that never held the deleted docs
+    assert(answers(after) === answers(fresh))
+    assert(SearchIndex.searchPhrase(after, Seq("the"), 10)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq ===
+      SearchIndex.searchPhrase(fresh, Seq("the"), 10)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq)
+    // deleting the same ids again (or unknown ids) commits nothing
+    assert(SearchIndex.deleteDocs(spark, dir, victims) === 0L)
+    assert(SearchIndex.deleteDocs(spark, dir, Seq(-999L)) === 0L)
+    assert(answers(SearchIndex.load(spark, dir)) === answers(fresh))
+  }
+
+  test("deleteDocs then appendDocs: a deleted doc_id is legally re-indexable") {
+    val dir = tmp()
+    SearchIndex.build(docs).save(dir)
+    val original = answers(SearchIndex.load(spark, dir))
+    val victim = original._1.head._1
+    assert(SearchIndex.deleteDocs(spark, dir, Seq(victim)) === 1L)
+    assert(!answers(SearchIndex.load(spark, dir))._1.exists(_._1 == victim))
+    // the tombstone is scoped to the victim's SOURCE batch, so the
+    // overlap guard admits the re-append into a new batch…
+    SearchIndex.appendDocs(spark, dir, docs.filter(col("doc_id") === victim))
+    // …and the restored index answers exactly like the never-deleted one
+    assert(answers(SearchIndex.load(spark, dir)) === original)
+  }
+
+  test("compact after delete: dead postings physically dropped, tombstones collected") {
+    val dir = tmp()
+    SearchIndex.build(docs).save(dir)
+    val victims = answers(SearchIndex.load(spark, dir))._1.take(2).map(_._1)
+    SearchIndex.deleteDocs(spark, dir, victims)
+    val before = answers(SearchIndex.load(spark, dir))
+    SearchIndex.compact(spark, dir)
+    assert(answers(SearchIndex.load(spark, dir)) === before)
+    // the physical drop: no surviving postings row carries a deleted id
+    val rawAfter = spark.read.parquet(s"$dir/postings")
+      .filter(col("doc_id").isin(victims: _*)).count()
+    assert(rawAfter === 0L, "compact must physically drop tombstoned postings")
+    val tombRoot = new java.io.File(s"$dir/tombstones")
+    assert(!tombRoot.exists() || tombRoot.listFiles().isEmpty,
+      "compact must collect the applied tombstone batches")
+    assert(new java.io.File(s"$dir/meta").listFiles()
+      .count(f => f.isDirectory && !f.getName.startsWith(".")) === 1)
+  }
+
+  test("crash safety: tombstone pairs without a committed meta are invisible") {
+    val sparkS = spark
+    import sparkS.implicits._
+    val dir = tmp()
+    SearchIndex.build(docs).save(dir)
+    val before = answers(SearchIndex.load(spark, dir))
+    val victim = before._1.head._1
+    val srcBatch = SearchIndex.load(spark, dir).postings
+      .filter(col("doc_id") === victim)
+      .select("batch").head().getString(0)
+    // simulate deleteDocs dying AFTER the pairs write, BEFORE the meta
+    // commit: the orphan tombstone dir must not delete anything
+    Seq((srcBatch, victim)).toDF("batch", "doc_id")
+      .write.parquet(s"$dir/tombstones/borphantomb000000")
+    assert(answers(SearchIndex.load(spark, dir)) === before,
+      "an uncommitted tombstone must be invisible to readers")
+    SearchIndex.compact(spark, dir)
+    assert(answers(SearchIndex.load(spark, dir)) === before)
+    val tombRoot = new java.io.File(s"$dir/tombstones")
+    assert(!tombRoot.exists() || tombRoot.listFiles().isEmpty,
+      "compact must collect orphan tombstone dirs")
+  }
+
   test("bm25 ranks by saturated tf + length normalization (sane, not degenerate)") {
     val (idx, _) = saved
     val bm = SearchIndex.searchBm25(idx, Terms, 20).collect()
