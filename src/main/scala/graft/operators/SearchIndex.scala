@@ -216,11 +216,38 @@ object SearchIndex {
     * in last — a crash strands an invisible orphan batch, healed by the
     * next [[compact]].
     *
-    * @return the number of documents appended */
+    * EXACTLY-ONCE appends: `batchId` names the WORK, not the attempt —
+    * pass a stable id (e.g. the streaming maintainer's
+    * checkpoint-key + epoch) and a replay of the same logical batch
+    * becomes a no-op: an already-COMMITTED id appends nothing and
+    * returns 0, and a half-written attempt (postings on disk, meta never
+    * committed — the crash window) is garbage-collected and redone, so
+    * df/nDocs can never double-count however many times a micro-batch
+    * retries. With the default generated id the behavior is unchanged
+    * (every call is a new batch).
+    *
+    * Bootstrap: appending into a dir with NO committed index yet commits
+    * the first batch (what a streaming maintainer pointed at a fresh dir
+    * needs); [[save]] remains the explicit overwrite-semantics entry.
+    *
+    * @return the number of documents appended (0 for a replayed id) */
   def appendDocs(
       spark: SparkSession, dir: String, docs: DataFrame,
-      fingerprint: Option[String] = None): Long = synchronized {
-    val batch = newBatchId()
+      fingerprint: Option[String] = None,
+      batchId: Option[String] = None): Long = synchronized {
+    val batch = batchId.getOrElse(newBatchId())
+    require(batch.matches("[A-Za-z0-9_.-]+"),
+      s"batchId '$batch' is not filesystem-safe")
+    batchId.foreach { id =>
+      // exactly-once re-entry: committed already → the caller is
+      // replaying (foreachBatch retry semantics) — nothing to do
+      if (Files.isDirectory(Paths.get(dir, "meta", id))) return 0L
+      // a half-written prior attempt is an invisible orphan; collect it
+      // so the redo's mode("append") cannot double its rows
+      val orphan = Paths.get(dir, "postings", s"batch=$id")
+      if (Files.isDirectory(orphan))
+        graft.storage.ParquetLogBackend.deleteRecursively(orphan)
+    }
     val p = postingsOf(docs).withColumn("batch", lit(batch)).persist()
     try {
       val nDocs = p.select(col("doc_id")).distinct().count()
@@ -233,8 +260,11 @@ object SearchIndex {
       // overlap guard: exact check ONLY for active POSTINGS batches whose
       // id range intersects the new batch's (a legacy meta without a
       // range is treated as intersecting — unknown must not mean
-      // unchecked; tombstone metas hold no postings and never suspect)
-      val metas = activeMetas(spark, dir)
+      // unchecked; tombstone metas hold no postings and never suspect;
+      // a dir with no index yet has nothing to overlap — bootstrap)
+      val metas =
+        if (listDirs(Paths.get(dir, "meta")).isEmpty) Seq.empty[Meta]
+        else activeMetas(spark, dir)
       val suspects = metas.filterNot(_.isTombstone).filter { m =>
         docMin.isDefined &&
           m.docMin.forall(lo => lo <= docMax.get) &&

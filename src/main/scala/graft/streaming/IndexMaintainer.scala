@@ -1,0 +1,141 @@
+package graft.streaming
+
+import graft.operators.{IvfIndex, PqIndex, SearchIndex}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+
+import java.nio.file.{Files, Paths}
+
+/** The WRITE half of the live index loop — [[LiveSearchServer]] /
+  * [[LiveAnnServer]] made the read side refresh per micro-batch; this
+  * wires a document (or vector) STREAM into the index maintenance path,
+  * so "append an event to the log → the doc is searchable" needs no
+  * manual `appendDocs` call anywhere:
+  *
+  * {{{
+  * LogStream.readStream(spark, logDir)            // the event log, live
+  *   .select(col("version").as("doc_id"), col("payload").as("text"))
+  *   → IndexMaintainer.maintainSearch(…, indexDir) // this file
+  *   → LiveSearchServer(spark, indexDir).serve(…)  // read side, round 10
+  * }}}
+  *
+  * Exactly-once discipline (search): each micro-batch appends under a
+  * DETERMINISTIC batch id — `e<checkpoint-key>.<epochId>` — and
+  * [[SearchIndex.appendDocs]] makes that id idempotent (a committed id
+  * appends nothing; a half-written attempt is collected and redone), so
+  * a replayed micro-batch can never double-count df/nDocs however the
+  * stream crashes. The epoch id comes from Spark's checkpoint, so the
+  * guarantee holds ACROSS restarts of the same checkpointed query; the
+  * checkpoint key (md5 of the checkpoint dir) keeps two different
+  * maintainers' batch ids from colliding on one index.
+  *
+  * Scale shape: each micro-batch is one bounded appendDocs — tokenize +
+  * write the BATCH's postings (batch-sized work, never index-sized), one
+  * meta commit. Run [[SearchIndex.compact]] at a periodic cadence to
+  * fold the accumulated per-epoch batches (the same small-append
+  * file-count pathology the log's segment coalescing exists for).
+  */
+object IndexMaintainer {
+
+  private def checkpointKey(checkpointDir: String): String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    md.update(checkpointDir.getBytes("UTF-8"))
+    md.digest().map("%02x".format(_)).mkString.take(8)
+  }
+
+  /** Maintain a persisted [[SearchIndex]] from a document stream:
+    * per micro-batch, `appendDocs` under an epoch-keyed batch id
+    * (exactly-once, see class doc). The indexed docs serve at the next
+    * [[LiveSearchServer]] micro-batch after their meta commits.
+    *
+    * The stream must carry NEW doc_ids (the appendDocs contract — its
+    * overlap guard rejects re-indexing, failing the stream loudly rather
+    * than double-serving a doc); version-numbered sources like the event
+    * log satisfy it by construction. An empty micro-batch commits
+    * nothing. The index dir may start EMPTY (the first epoch bootstraps
+    * it) or hold a batch-built index to grow.
+    *
+    * @param docs          streaming DataFrame
+    * @param idCol         long document id column
+    * @param textCol       document text column
+    * @param dir           persisted index directory
+    * @param checkpointDir streaming checkpoint (also the exactly-once
+    *                      identity — keep it stable across restarts)
+    * @param fingerprint   optional source fingerprint stamped per batch */
+  def maintainSearch(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      dir: String,
+      checkpointDir: String,
+      fingerprint: Option[String] = None): StreamingQuery = {
+    val key = checkpointKey(checkpointDir)
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, epochId: Long) =>
+        val d = batch
+          .select(col(idCol).cast("long").as("doc_id"),
+            col(textCol).cast("string").as("text"))
+          .filter(col("text").isNotNull)
+        if (!d.isEmpty) {
+          SearchIndex.appendDocs(batch.sparkSession, dir, d,
+            fingerprint, batchId = Some(s"e$key.$epochId"))
+          ()
+        }
+      }
+      .start()
+  }
+
+  /** Maintain a persisted vector index ([[IvfIndex]], or [[PqIndex]] when
+    * a `pq_codes` tier is present — detected per batch, so an index
+    * upgraded to PQ mid-stream is followed) from a stream of
+    * (id, vector) rows. Upserted vectors probe at the next
+    * [[LiveAnnServer]] micro-batch after their files commit.
+    *
+    * Exactly-once is per-epoch MARKER-gated: a marker dir under
+    * `<checkpointDir>/graft-epochs/<epoch>` commits after the append,
+    * and a replayed epoch that finds its marker appends nothing. The
+    * markers live with the CHECKPOINT (one identity, one lifetime), not
+    * in the index dir — a generation swap (splitCell / removeVectors /
+    * rebalance) replaces the index dir wholesale and would silently drop
+    * in-index markers. One honest
+    * crash window remains (documented, unlike the search path whose meta
+    * commit is atomic with batch visibility): a death AFTER the parquet
+    * append but BEFORE the marker leaves the epoch's rows in the cells,
+    * and the replay appends them again — duplicate vec_ids, which probes
+    * then surface as duplicate candidates (never wrong scores). The
+    * periodic re-BUILD that heals quantizer drift also heals these; a
+    * deployment needing airtight exactly-once should ingest through the
+    * event log + [[maintainSearch]]-style manifest commits instead.
+    *
+    * The vector index has no overlap guard (the [[IvfIndex.appendVectors]]
+    * trusted contract), so the stream must carry new vec_ids. */
+  def maintainVectors(
+      vecs: DataFrame,
+      idCol: String,
+      vecCol: String,
+      dir: String,
+      checkpointDir: String): StreamingQuery = {
+    vecs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, epochId: Long) =>
+        val marker =
+          Paths.get(checkpointDir, "graft-epochs", epochId.toString)
+        if (!Files.isDirectory(marker)) {
+          val v = batch.select(col(idCol).cast("long").as("vec_id"),
+            col(vecCol).cast("array<double>").as("v"))
+          if (!v.isEmpty) {
+            val spark = batch.sparkSession
+            if (Files.isDirectory(Paths.get(dir, "pq_codes")))
+              PqIndex.appendVectors(spark, dir, v)
+            else IvfIndex.appendVectors(spark, dir, v)
+            ()
+          }
+          Files.createDirectories(marker)
+          ()
+        }
+      }
+      .start()
+  }
+}

@@ -1,0 +1,166 @@
+package graft
+
+import graft.core.EventData
+import graft.operators.{PqIndex, SearchIndex}
+import graft.storage.ParquetLogBackend
+import graft.streaming.{IndexMaintainer, LiveSearchServer, LogStream}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The WRITE half of the live index loop (round-10 follow-up #2): an
+  * event appended to the EVENT LOG becomes searchable through
+  * [[LiveSearchServer]] with no manual appendDocs call anywhere, and the
+  * exactly-once discipline — epoch-keyed batch ids through appendDocs'
+  * idempotent re-entry — means a replayed micro-batch can never change
+  * df/nDocs. */
+class IndexMaintainerSpec extends AnyFunSuite {
+  private lazy val spark = SparkFixture.spark
+  private val sfDir = "/root/testdata/sf0.001"
+
+  private def tmp(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toString
+
+  private def docs = graft.util.Tables(spark, sfDir, "documents")
+    .select(col("doc_id"), col("text"))
+
+  test("event log → maintainSearch → LiveSearchServer: searchable with no manual index call") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val logDir = tmp("graft-maintlog")
+    val idxDir = tmp("graft-maintidx")
+    val backend = ParquetLogBackend.create(spark, logDir, compactThreshold = 2)
+    backend.append(EventData("doc", """{"text":"alpha beta gamma"}"""))
+    backend.append(EventData("doc", """{"text":"alpha delta"}"""))
+
+    val maintainer = IndexMaintainer.maintainSearch(
+      LogStream.readStream(spark, logDir)
+        .select(col("version").as("doc_id"),
+          get_json_object(col("payload"), "$.text").as("text")),
+      "doc_id", "text", idxDir, tmp("graft-maintckpt"))
+    try {
+      maintainer.processAllAvailable()
+      // the maintainer BOOTSTRAPPED the index from the stream's first epoch
+      val idx = SearchIndex.load(spark, idxDir)
+      assert(idx.nDocs === 2L)
+      assert(idx.nTokens === 5L)
+
+      val results =
+        new java.util.concurrent.ConcurrentHashMap[Long, Seq[(Long, Long)]]()
+      val server = new LiveSearchServer(spark, idxDir, "tfidf")
+      val mem = MemoryStream[(Long, String)]
+      val serveQ = server.serve(
+          mem.toDF().toDF("q_id", "q"), "q_id", "q", topK = 5) { out =>
+        out.collect().foreach { r =>
+          results.put(r.getLong(0),
+            r.getSeq[Long](1).zip(r.getSeq[Long](2)).toSeq)
+        }
+      }
+      try {
+        mem.addData((1L, "delta"))
+        serveQ.processAllAvailable()
+        assert(results.get(1L).map(_._1) === Seq(2L),
+          "the log's second event must be served by doc_id = version")
+
+        // an event appended to the LOG mid-stream becomes searchable
+        // end-to-end: log commit → maintainer epoch → live refresh
+        backend.append(EventData("doc", """{"text":"epsilon zeta"}"""))
+        backend.append(EventData("doc", """{"text":"epsilon eta"}"""))
+        maintainer.processAllAvailable()
+        mem.addData((2L, "epsilon"))
+        serveQ.processAllAvailable()
+        assert(results.get(2L).map(_._1).sorted === Seq(3L, 4L),
+          "a log append must be served with no manual index call")
+        // and the served scores ARE the batch operator's over the grown index
+        val batchNow = SearchIndex.search(
+            SearchIndex.load(spark, idxDir), Seq("epsilon"), 5)
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+        assert(results.get(2L) === batchNow)
+      } finally { serveQ.stop(); server.close() }
+    } finally { maintainer.stop(); backend.close() }
+  }
+
+  test("exactly-once: a replayed epoch batch id changes nothing; a half-written attempt redoes cleanly") {
+    val dir = tmp("graft-e1idx")
+    val half1 = docs.filter(col("doc_id") % 2 === 0)
+    val half2 = docs.filter(col("doc_id") % 2 === 1)
+    SearchIndex.build(half1).save(dir)
+
+    // first delivery commits; the REPLAY (same epoch id) is a no-op —
+    // df/nDocs cannot double-count however many times the batch retries
+    val n1 = SearchIndex.appendDocs(spark, dir, half2,
+      batchId = Some("eabc123.7"))
+    assert(n1 === half2.filter(col("text").isNotNull).count())
+    val totals = (SearchIndex.load(spark, dir).nDocs,
+      SearchIndex.load(spark, dir).nTokens)
+    assert(SearchIndex.appendDocs(spark, dir, half2,
+      batchId = Some("eabc123.7")) === 0L)
+    val after = SearchIndex.load(spark, dir)
+    assert((after.nDocs, after.nTokens) === totals)
+    val fresh = SearchIndex.build(docs)
+    assert(after.nDocs === fresh.nDocs && after.nTokens === fresh.nTokens)
+
+    // half-written attempt: postings on disk under the epoch id, meta
+    // never committed (the crash window) — the redo collects the orphan
+    // and commits exactly once
+    val dir2 = tmp("graft-e1idx2")
+    SearchIndex.build(half1).save(dir2)
+    half2.limit(3).filter(col("text").isNotNull)
+      .select(lit("zzz").as("token"), lit(0L).as("tbucket"),
+        col("doc_id"), lit(1L).as("cnt"), lit(1L).as("dl"),
+        lit("ecrash.0").as("batch"))
+      .write.mode("append").partitionBy("batch", "tbucket")
+      .parquet(s"$dir2/postings")
+    SearchIndex.appendDocs(spark, dir2, half2, batchId = Some("ecrash.0"))
+    val healed = SearchIndex.load(spark, dir2)
+    assert(healed.nDocs === fresh.nDocs && healed.nTokens === fresh.nTokens)
+    assert(healed.postings.filter(col("token") === "zzz").count() === 0L,
+      "the redo must not resurrect the crashed attempt's rows")
+  }
+
+  test("maintainVectors: stream upserts probe after commit; a marked epoch is skipped") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val emb = graft.util.Tables(spark, sfDir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val half = emb.filter(col("vec_id") % 2 === 0)
+    val rest = emb.filter(col("vec_id") % 2 === 1).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1)))
+
+    val idxDir = tmp("graft-vecmaint")
+    PqIndex.build(half, m = 8, kCodes = 16, coarseK = 4).save(idxDir)
+    val before = PqIndex.load(spark, idxDir).codes.count()
+
+    val ckpt = tmp("graft-vecmaintckpt")
+    val mem = MemoryStream[(Long, Seq[Double])]
+    val q = IndexMaintainer.maintainVectors(
+      mem.toDF().toDF("vec_id", "v"), "vec_id", "v", idxDir, ckpt)
+    try {
+      mem.addData(rest.toSeq: _*)
+      q.processAllAvailable()
+      val idx = PqIndex.load(spark, idxDir)
+      assert(idx.codes.count() === before + rest.length)
+      assert(idx.coarse.assignments.count() === before + rest.length,
+        "codes and raw cells must grow together")
+      assert(java.nio.file.Files.isDirectory(
+        java.nio.file.Paths.get(ckpt, "graft-epochs", "0")))
+    } finally q.stop()
+
+    // a replayed (already-marked) epoch appends nothing: pre-mark epoch 0
+    // of a FRESH query identity, then deliver data into it
+    val idxDir2 = tmp("graft-vecmaint2")
+    PqIndex.build(half, m = 8, kCodes = 16, coarseK = 4).save(idxDir2)
+    val ckpt2 = tmp("graft-vecmaintckpt2")
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(ckpt2, "graft-epochs", "0"))
+    val mem2 = MemoryStream[(Long, Seq[Double])]
+    val q2 = IndexMaintainer.maintainVectors(
+      mem2.toDF().toDF("vec_id", "v"), "vec_id", "v", idxDir2, ckpt2)
+    try {
+      mem2.addData(rest.toSeq: _*)
+      q2.processAllAvailable()
+      assert(PqIndex.load(spark, idxDir2).codes.count() === before,
+        "a marked epoch must append nothing (replay semantics)")
+    } finally q2.stop()
+  }
+}
