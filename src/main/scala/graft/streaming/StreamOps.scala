@@ -261,8 +261,10 @@ object StreamOps {
     *  - Chain-shaped components (A~B, B~C, A≁C) whose links land in
     *    DIFFERENT buckets may split across labels: buckets share no state,
     *    and there is no feedback edge in a streaming DAG to re-propagate a
-    *    cross-bucket merge. The batch dedup_clusters job remains the
-    *    system-of-record; this operator is the low-latency view.
+    *    cross-bucket merge. [[reconcileClusterLabels]] CLOSES the split at
+    *    the batch-reconciliation cadence (batch CC over the accumulated
+    *    changelog — every split chain's links are in there); this
+    *    operator remains the low-latency view between reconciles.
     *  - State is bounded exactly like [[dedupNearMinhash]]: event-time
     *    timeout per bucket + [[MaxBucketState]] cap. Docs beyond the cap
     *    still RECEIVE labels (they compare against held entries); they
@@ -337,6 +339,44 @@ object StreamOps {
             out.result().distinct.iterator
           }
       }
+  }
+
+  /** CLOSE [[clusterLabelsStream]]'s one documented asymmetry vs batch
+    * connected components: chain-shaped groups (A~B, B~C, A≁C) whose
+    * links land in DIFFERENT band buckets stay split in the stream —
+    * buckets share no state and a streaming DAG has no feedback edge to
+    * re-propagate a cross-bucket merge. The RECONCILE runs batch CC over
+    * the stream's own accumulated label changelog: every emitted
+    * (doc_id, label) row is a PROVEN same-cluster link (the label is
+    * another document this one was transitively linked to inside some
+    * bucket), and every verified pairwise link was observed in SOME
+    * bucket (that is LSH's candidate-generation property, identical to
+    * the batch operator's) — so the transitive closure over changelog
+    * rows IS the batch components over the stream's verified pair graph.
+    *
+    * Run it at the batch-reconciliation cadence (the system-of-record
+    * job): stream labels give the low-latency view; the reconcile
+    * converges them. Input: the changelog sink's (doc_id, cluster) rows —
+    * ALL emissions, duplicates and superseded labels included (extra rows
+    * are extra edges inside one component — harmless). Output one row per
+    * doc: (doc_id, cluster = min doc_id of the converged component), the
+    * batch dedup_clusters label convention.
+    *
+    * Scale shape: edges ≤ distinct changelog rows (each doc emits once
+    * per label DECREASE — bounded by its merge count, not stream volume),
+    * and the CC is the same checkpointed per-round-bounded operator the
+    * batch pipeline runs. */
+  def reconcileClusterLabels(changelog: DataFrame): DataFrame = {
+    val c = changelog
+      .select(col("doc_id").cast("long").as("doc_id"),
+        col("cluster").cast("long").as("cluster"))
+    val vertices = c.select(col("doc_id").as("id"))
+      .union(c.select(col("cluster").as("id"))).distinct()
+    val edges = c.filter(col("doc_id") =!= col("cluster"))
+      .select(col("doc_id").as("src"), col("cluster").as("dst"))
+      .distinct()
+    graft.operators.ConnectedComponents.run(vertices, edges)
+      .select(col("id").as("doc_id"), col("component").as("cluster"))
   }
 
   /** Streaming token-id packing: COMPLETED fixed-length training rows of

@@ -603,6 +603,86 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("reconcileClusterLabels converges a cross-bucket chain split to batch CC") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    implicit val sqlCtx = spark.sqlContext
+    // Construct a CHAIN (A~B, B~C, A≁C) whose two links land in DIFFERENT
+    // band buckets — the one shape clusterLabelsStream documents as
+    // splittable. B's token set is A ∪ C, so sig_B[k] = min(sig_A[k],
+    // sig_C[k]) positionwise: B agrees with A on ~half the rows and with
+    // C on the rest, while A and C (disjoint token sets) agree on ~none.
+    // The triple is SEARCHED against the pinned hash family (first trial
+    // satisfying the bucket predicate — deterministic), not hand-tuned.
+    // ~3.5% of trials satisfy the predicate (each link needs a full
+    // 4-row band to favor one side: (1/16 per band) × 3 bands, squared),
+    // so 600 trials make a miss a ~10⁻⁹ event — one tiny Spark job
+    val thr = 0.4
+    val trials = (0 until 600).map { t =>
+      val a = (0 until 8).map(i => s"a${t}x$i").mkString(" ")
+      val c = (0 until 8).map(i => s"c${t}x$i").mkString(" ")
+      (t, a, s"$a $c", c)
+    }
+    val sigRows = trials
+      .flatMap { case (t, a, b, c) =>
+        Seq((t, 0, a), (t, 1, b), (t, 2, c)) }
+      .toDF("trial", "role", "text")
+      .select(col("trial"), col("role"),
+        graft.exprs.functions.minhash12(split(col("text"), "\\s+")).as("sig"))
+      .as[(Int, Int, Seq[Long])].collect()
+      .groupBy(_._1).view.mapValues(rs =>
+        rs.sortBy(_._2).map(_._3)).toMap
+    def bands(x: Seq[Long], y: Seq[Long]): Set[Int] =
+      (0 until 3).filter(b =>
+        x.slice(b * 4, b * 4 + 4) == y.slice(b * 4, b * 4 + 4)).toSet
+    def agree(x: Seq[Long], y: Seq[Long]): Double =
+      x.zip(y).count { case (p, q) => p == q } / 12.0
+    val pick = trials.find { case (t, _, _, _) =>
+      val Seq(sa, sb, sc) = sigRows(t).toSeq
+      bands(sa, sb).nonEmpty && bands(sb, sc).nonEmpty &&
+        bands(sa, sc).isEmpty &&
+        agree(sa, sb) >= thr && agree(sb, sc) >= thr && agree(sa, sc) < thr
+    }
+    assert(pick.isDefined, "no chain triple found against the hash family")
+    val (_, textA, textB, textC) = pick.get
+    val (idA, idB, idC) = (100L, 200L, 300L)
+
+    def ts(s: Long) = new java.sql.Timestamp(s * 1000L)
+    val mem = MemoryStream[(java.sql.Timestamp, Long, String)]
+    val q = StreamOps.clusterLabelsStream(
+        mem.toDF().toDF("ts", "doc_id", "text"),
+        "ts", "doc_id", "text", "10 minutes", simThreshold = thr)
+      .writeStream.format("memory").queryName("chainlabels")
+      .outputMode("append").start()
+    try {
+      Seq((idA, textA), (idB, textB), (idC, textC)).zipWithIndex.foreach {
+        case ((id, t), i) => mem.addData((ts(10 + i), id, t))
+          q.processAllAvailable()
+      }
+      val streamed = spark.table("chainlabels").groupBy("doc_id")
+        .agg(min("cluster").as("cluster")).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      // the documented split: A~B merged in one bucket, B~C in another —
+      // C cannot learn A's label through the stream alone
+      assert(streamed(idB) === idA, "A~B must merge in their shared bucket")
+      assert(streamed(idC) === idB,
+        s"the chain must SPLIT across buckets (got $streamed) — " +
+          "if this merged, the corpus no longer exercises the reconcile")
+
+      // the reconcile: batch CC over the changelog converges the chain…
+      val reconciled = StreamOps.reconcileClusterLabels(
+          spark.table("chainlabels"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      // …to exactly the batch components over the verified link set
+      val batch = graft.operators.ConnectedComponents
+        .run(Seq(idA, idB, idC).toDF("doc_id"),
+          Seq((idA, idB), (idB, idC)).toDF("src", "dst"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(reconciled === batch)
+      assert(reconciled === Map(idA -> idA, idB -> idA, idC -> idA))
+    } finally q.stop()
+  }
+
   test("perplexityStream scores bit-identically to the batch bigram LM") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
