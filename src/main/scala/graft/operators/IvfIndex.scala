@@ -412,10 +412,19 @@ object IvfIndex {
     * identical — unsplittable; splitCell signals −1 and commits nothing)
     * are skipped rather than looped on, at fit-cost, not rewrite-cost.
     *
+    * After the split loop, the [[driftStats]] report is computed and
+    * emitted (one bounded-sample aggregate) with `reportDrift` on — the
+    * maintenance job is exactly where the rebalance-vs-rebuild decision
+    * gets made, so the signal surfaces there: a report back near the
+    * build-time baseline means the splits absorbed the drift
+    * (concentrated shift); a still-tripped report is the full-rebuild
+    * signal (diffuse drift — see driftStats' documented thresholds).
+    *
     * @return the number of splits applied */
   def rebalance(
       spark: SparkSession, dir: String,
-      maxFrac: Double = 0.25, maxSplits: Int = 8): Int = synchronized {
+      maxFrac: Double = 0.25, maxSplits: Int = 8,
+      reportDrift: Boolean = true): Int = synchronized {
     require(maxFrac > 0.0 && maxFrac < 1.0, s"maxFrac $maxFrac outside (0,1)")
     var splits = 0
     val skip = scala.collection.mutable.Set[Int]()
@@ -436,7 +445,103 @@ object IvfIndex {
           else splits += 1
       }
     }
+    if (reportDrift) {
+      val d = driftStats(spark, dir).collect()
+      val nTot = d.map(_.getLong(1)).sum.toDouble
+      val resid = d.filter(!_.isNullAt(2))
+        .map(r => r.getLong(1) * r.getDouble(2)).sum / math.max(nTot, 1.0)
+      val gap = d.filter(!_.isNullAt(3))
+      val gapStr =
+        if (gap.isEmpty) "n/a"
+        else "%.6f".format(
+          gap.map(r => r.getLong(1) * r.getDouble(3)).sum /
+            math.max(gap.map(_.getLong(1)).sum.toDouble, 1.0))
+      // the operator-facing maintenance line (driver log): compare
+      // against the build-time snapshot per driftStats' thresholds
+      println(s"[graft.ivf] rebalance($dir): splits=$splits " +
+        s"mean_resid_norm=${"%.6f".format(resid)} adc_self_gap=$gapStr")
+    }
     splits
+  }
+
+  /** QUANTIZER-DRIFT report — the missing *when to rebuild* signal.
+    * [[appendVectors]] never refits the quantizer (by contract), and
+    * [[splitCell]]/[[rebalance]] heal cell SKEW only: a corpus whose
+    * distribution drifts away from the build-time sample degrades recall
+    * SILENTLY — ADC distances quantize against codebooks fit on residuals
+    * that no longer look like the data. This measures the drift directly,
+    * per cell:
+    *
+    *  - `n` — exact cell population (the rebalance signal, for context);
+    *  - `mean_resid_norm` — mean ‖v − c_cell‖ over (a sample of) the
+    *    cell's rows: how far the data sits from the coarse quantizer.
+    *    Grows when upserts land off-distribution;
+    *  - `adc_self_gap` (PQ tier only, else null) — mean |1 − adc(v, v)|:
+    *    each sampled vector ADC-scored against its OWN code. Exact
+    *    arithmetic would give cosine 1 exactly, so the gap IS the
+    *    end-to-end quantization error of the serving path (coarse +
+    *    codebook), measured in the score unit that recall lives in.
+    *
+    * REBUILD POLICY (the documented thresholds, pinned by the drift
+    * spec): snapshot this report right after build — that is the
+    * baseline the quantizer was FIT to. The PRIMARY trigger is the
+    * corpus-weighted mean_resid_norm exceeding ~1.5× its build-time
+    * value (it scales with the drift magnitude); adc_self_gap > ~1.2×
+    * build-time corroborates in the score unit (its quantization floor —
+    * ~0.5 cosine at kCodes = 16 on unnormalized data — bounds how far it
+    * can swing, hence the tighter band). A STATIONARY upsert moves
+    * neither (drift is about the distribution, not growth). When
+    * tripped, try [[rebalance]] FIRST and re-read the report: a
+    * CONCENTRATED shift (new cluster in vector space) piles into one
+    * cell, and splitting it refits a centroid onto the new cluster —
+    * resid returns to the fit-time regime at single-cell cost, and the
+    * report is how the operator sees the cheap heal sufficed. A DIFFUSE
+    * drift stays tripped after rebalance — that is the full re-BUILD
+    * signal (refit coarse + codebooks). [[rebalance]] emits this report
+    * after its split loop so the signal surfaces exactly when
+    * maintenance runs.
+    *
+    * Cost: one pass over the cells (counts) plus one over a bounded
+    * sample (`sampleN` rows corpus-wide, norms + kernel ADC — no joins
+    * beyond a broadcast of k centroids). */
+  def driftStats(
+      spark: SparkSession, dir: String,
+      sampleN: Int = 4096, seed: Long = 42L): DataFrame = {
+    import spark.implicits._
+    val hasPq = java.nio.file.Files.exists(
+      java.nio.file.Paths.get(dir, "pq_codes"))
+    val pq = if (hasPq) Some(PqIndex.load(spark, dir)) else None
+    val idx = pq.map(_.coarse).getOrElse(load(spark, dir))
+    val counts = idx.assignments.groupBy("cell")
+      .agg(count(lit(1)).as("n"))
+    val n = idx.assignments.count()
+    val sampled =
+      if (n <= sampleN) idx.assignments
+      else idx.assignments.sample(withReplacement = false,
+        sampleN.toDouble / n, seed)
+    val centDf = idx.centroids.zipWithIndex
+      .map { case (c, i) => (i, c.toSeq) }.toSeq.toDF("cell", "cvec")
+    val withResid = sampled
+      .join(broadcast(centDf), "cell")
+      .withColumn("resid_norm", Similarity.norm(
+        zip_with(col("v"), col("cvec"), (a, b) => a - b)))
+    val scored = pq match {
+      case None => withResid.withColumn("gap", lit(null).cast("double"))
+      case Some(p) =>
+        val t = p.scoreTable
+        withResid
+          .join(p.codes.select(col("vec_id"), col("codes")), "vec_id")
+          .withColumn("gap", abs(lit(1.0) -
+            graft.exprs.functions.pq_adc_cosine(
+              col("v"), col("cell"), col("codes"), col("nrm"), t)))
+    }
+    counts.join(
+        scored.groupBy("cell")
+          .agg(avg(col("resid_norm")).as("mean_resid_norm"),
+            avg(col("gap")).as("adc_self_gap")),
+        Seq("cell"), "left")
+      .select("cell", "n", "mean_resid_norm", "adc_self_gap")
+      .orderBy("cell")
   }
 
   /** Roll back an INDEX-generation swap that died between renames

@@ -185,4 +185,77 @@ class AnnPqSpec extends AnyFunSuite {
         s"semantic recall $recall over ${exact.size} exact pairs")
     }
   }
+
+  test("quantizer drift: shifted upserts trip the metric, stationary ones don't, rebuild restores it") {
+    import graft.operators.IvfIndex
+    val half = emb.filter(col("vec_id") % 2 === 0)
+    val rest = emb.filter(col("vec_id") % 2 === 1)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-drift").toString
+    PqIndex.build(half, m = 8, kCodes = 16, coarseK = 4).save(dir)
+
+    // corpus-weighted means of the per-cell report (the documented
+    // rebuild-decision quantities)
+    def means(d: String): (Double, Double) = {
+      val rows = IvfIndex.driftStats(spark, d).collect()
+      val w = rows.map(_.getLong(1)).sum.toDouble
+      (rows.filter(!_.isNullAt(2))
+          .map(r => r.getLong(1) * r.getDouble(2)).sum / w,
+        rows.filter(!_.isNullAt(3))
+          .map(r => r.getLong(1) * r.getDouble(3)).sum /
+          rows.filter(!_.isNullAt(3)).map(_.getLong(1)).sum.toDouble)
+    }
+    val (baseResid, baseGap) = means(dir)
+    assert(baseResid > 0.0 && baseGap > 0.0)
+
+    // an upsert from the ORIGINAL distribution must NOT trip the metric —
+    // drift is about the distribution, not about growth
+    PqIndex.appendVectors(spark, dir,
+      rest.select((col("vec_id") + 1000000L).as("vec_id"), col("v")))
+    val (statResid, statGap) = means(dir)
+    assert(statResid < 1.5 * baseResid,
+      s"stationary upsert tripped resid: $statResid vs base $baseResid")
+    assert(statGap < 1.2 * baseGap,
+      s"stationary upsert tripped gap: $statGap vs base $baseGap")
+
+    // a SHIFTED upsert (v − 8 per dim: off the build-time distribution)
+    // must trip BOTH metrics past the documented thresholds — resid is
+    // the primary trigger (scales with the shift), the ADC self-gap the
+    // score-unit corroboration (bounded by its quantization floor, hence
+    // the smaller 1.2× threshold)
+    val shifted = rest.select((col("vec_id") + 2000000L).as("vec_id"),
+      transform(col("v"), x => x - lit(8.0)).as("v"))
+    PqIndex.appendVectors(spark, dir, shifted)
+    val (driftResid, driftGap) = means(dir)
+    assert(driftResid > 1.5 * baseResid,
+      s"shifted upsert must trip resid: $driftResid vs base $baseResid")
+    assert(driftGap > 1.2 * baseGap,
+      s"shifted upsert must trip gap: $driftGap vs base $baseGap")
+
+    // the documented cure: a full re-BUILD refits coarse + codebooks on
+    // the corpus as it now is — the metric returns to the fit-time regime
+    val all = PqIndex.load(spark, dir).coarse.assignments
+      .select("vec_id", "v")
+    val dir2 = java.nio.file.Files
+      .createTempDirectory("graft-drift2").toString
+    PqIndex.build(all, m = 8, kCodes = 16, coarseK = 4).save(dir2)
+    val (rebuiltResid, rebuiltGap) = means(dir2)
+    assert(rebuiltResid < driftResid / 1.5,
+      s"rebuild must restore resid: $rebuiltResid vs drifted $driftResid")
+    assert(rebuiltGap < driftGap,
+      s"rebuild must restore gap: $rebuiltGap vs drifted $driftGap")
+
+    // rebalance's report MEASURES what a maintenance run achieved: this
+    // shift is CONCENTRATED, so splitting the hot cell refits a centroid
+    // onto the shifted cluster and the coarse resid returns toward the
+    // fit-time regime — the report is how the operator SEES that the
+    // cheap heal sufficed (a diffuse drift would stay tripped and demand
+    // the rebuild above)
+    assert(IvfIndex.rebalance(spark, dir, maxFrac = 0.45,
+      maxSplits = 2) >= 1)
+    val (postRebalResid, _) = means(dir)
+    assert(postRebalResid < driftResid / 1.5,
+      s"the split-absorbed shift must show in the report: " +
+        s"$postRebalResid vs drifted $driftResid")
+  }
 }
