@@ -460,7 +460,8 @@ final class BpeMergeTable(
     val merged: Array[String],
     val mergedIds: java.util.HashMap[String, Integer],
     val byteLevel: Boolean,
-    val preTok: Boolean = false) extends Serializable {
+    val preTok: Boolean = false,
+    val gpt2: Boolean = false) extends Serializable {
 
   /** id → merged symbol's raw bytes, for [[BpeDecode]] (byte alphabet
     * only: symbols are hex-pair strings). Inverts the FIRST-round-wins id
@@ -488,13 +489,14 @@ final class BpeMergeTable(
 object BpeMergeTable {
   private def build(
       merges: Seq[(Long, String, String, String, Long)],
-      idBase: Int, byteLevel: Boolean, preTok: Boolean = false): BpeMergeTable = {
+      idBase: Int, byteLevel: Boolean, preTok: Boolean = false,
+      gpt2: Boolean = false): BpeMergeTable = {
     val ids = new java.util.HashMap[String, Integer]()
     for ((round, _, _, m, _) <- merges if !ids.containsKey(m))
       ids.put(m, Integer.valueOf(idBase + round.toInt))
     new BpeMergeTable(
       merges.map(_._2).toArray, merges.map(_._3).toArray,
-      merges.map(_._4).toArray, ids, byteLevel, preTok)
+      merges.map(_._4).toArray, ids, byteLevel, preTok, gpt2)
   }
 
   /** a-z alphabet, from `(round, lhs, rhs, merged, pair_freq)` rows in
@@ -513,6 +515,27 @@ object BpeMergeTable {
     * punctuation never inflates the word vocabulary. */
   def pretok(merges: Seq[(Long, String, String, String, Long)]): BpeMergeTable =
     build(merges, 255, byteLevel = true, preTok = true)
+
+  /** BYTE alphabet with the GPT-2-COMPLETE pre-tokenizer: the category
+    * runs of [[pretok]] PLUS the contraction cases ('s 't 're 've 'm
+    * 'll 'd split off their host word) and the space-prefix convention
+    * (a single leading space folds into the following run — " the" is
+    * ONE pre-token, so word-boundary information survives into the
+    * vocabulary), with residual whitespace runs kept as pre-tokens of
+    * their own. The alternation covers EVERY character, so the extracted
+    * pre-tokens tile the document exactly — decode ∘ encode re-joined
+    * reproduces the original text bit-for-bit, whitespace included
+    * (the category-run pre-tokenizer could only promise the
+    * whitespace-normalized form). RE2-compatible by construction — no
+    * lookarounds: GPT-2's `\s+(?!\S)` trailing-space split is replaced
+    * by a plain greedy `\s+`, so a run of 2+ spaces becomes one
+    * whitespace pre-token and only a SINGLE space folds into the next
+    * word (GPT-2 instead donates the run's last space). A deliberate,
+    * documented divergence: it keeps the alternation expressible in both
+    * engines, and single-space word boundaries — the overwhelmingly
+    * common case — carry identically. */
+  def gpt2(merges: Seq[(Long, String, String, String, Long)]): BpeMergeTable =
+    build(merges, 255, byteLevel = true, gpt2 = true)
 }
 
 object BpeEncode {
@@ -522,6 +545,14 @@ object BpeEncode {
     * runs (RE2-compatible, so the DuckDB oracle tokenizes identically). */
   private val PreTok = java.util.regex.Pattern.compile(
     "[\\p{L}]+|[\\p{N}]+|[^\\s\\p{L}\\p{N}]+")
+  /** The GPT-2-complete pre-tokenizer ([[BpeMergeTable.gpt2]]): the
+    * contraction alternation (ASCII literals — RE2 ≡ Java), the
+    * space-prefix convention via ` ?` on each category run, and residual
+    * whitespace runs as pre-tokens. Alternation order is load-bearing
+    * (contractions before the symbol run, or `'s` would tokenize as
+    * `'` + `s`) and both engines resolve alternation leftmost-first. */
+  private val Gpt2PreTok = java.util.regex.Pattern.compile(
+    "'s|'t|'re|'ve|'m|'ll|'d| ?[\\p{L}]+| ?[\\p{N}]+| ?[^\\s\\p{L}\\p{N}]+|\\s+")
   private val HexDigits = "0123456789ABCDEF".toCharArray
 
   /** The merge chain shared by both alphabets: each learned merge is ONE
@@ -588,7 +619,8 @@ object BpeEncode {
       mt: BpeMergeTable): ArrayData = {
     val s = text.toString
     val out = new scala.collection.mutable.ArrayBuffer[Int](s.length / 2)
-    val m = (if (mt.preTok) PreTok else NonWs).matcher(s)
+    val m = (if (mt.gpt2) Gpt2PreTok
+      else if (mt.preTok) PreTok else NonWs).matcher(s)
     while (m.find()) {
       val bytes = m.group()
         .getBytes(java.nio.charset.StandardCharsets.UTF_8)

@@ -83,6 +83,15 @@ object functions {
       text: Column, merges: Seq[(Long, String, String, String, Long)]): Column =
     Shim.column(BpeEncodeIds(Shim.expression(text), BpeMergeTable.pretok(merges)))
 
+  /** [[bpe_encode_byte_ids]] with the GPT-2-COMPLETE pre-tokenizer:
+    * contraction cases split off ('s 't 're 've 'm 'll 'd), single
+    * spaces fold into the following run (the space-prefix convention),
+    * residual whitespace runs kept — the extracted pre-tokens tile the
+    * document, so the encoding is lossless INCLUDING whitespace. */
+  def bpe_encode_gpt2_ids(
+      text: Column, merges: Seq[(Long, String, String, String, Long)]): Column =
+    Shim.column(BpeEncodeIds(Shim.expression(text), BpeMergeTable.gpt2(merges)))
+
   /** Inverse of [[bpe_encode_byte_ids]] for whitespace-free input: token
     * ids back to the exact bytes they encode (the byte alphabet's
     * losslessness, as an engine function). The id scheme is shared with

@@ -122,6 +122,36 @@ object TextAnalysis {
   private val PreTokWordsSql =
     s"unnest(regexp_extract_all(text, '$PreTokSql'))"
 
+  /** The GPT-2-COMPLETE pre-tokenizer ([[graft.exprs.BpeMergeTable.gpt2]]):
+    * contraction cases + the ` ?` space-prefix convention + residual
+    * whitespace runs. ASCII literals and category classes only — RE2 ≡
+    * Java, both leftmost-first on the alternation — and the alternation
+    * tiles EVERY character, so the extracted pre-tokens concatenate back
+    * to the document exactly (the losslessness the roundtrip oracle
+    * states without modeling BPE). */
+  private val Gpt2PreTokPat =
+    "'s|'t|'re|'ve|'m|'ll|'d| ?[\\p{L}]+| ?[\\p{N}]+| ?[^\\s\\p{L}\\p{N}]+|\\s+"
+
+  /** The gpt2 family's CONTRACTION-HEAVY derived corpus: the raw test
+    * corpus carries no apostrophes, so the oracle gate would never
+    * exercise the contraction alternation on `text` alone. Two literal
+    * replaces (every "e "-ending word gains 's, every "n "-ending word
+    * gains 'll) make contractions ubiquitous, and a plain string replace
+    * is engine-identical by construction — the SAME transform runs in
+    * Spark ([[gpt2Text]]) and DuckDB ([[Gpt2TextSql]]), so the corpora
+    * match bit-for-bit before the regex ever runs. */
+  private val Gpt2TextSql =
+    "replace(replace(text, 'e ', 'e''s '), 'n ', 'n''ll ')"
+  private def gpt2Text: Column =
+    org.apache.spark.sql.functions.replace(
+      org.apache.spark.sql.functions.replace(
+        col("text"), lit("e "), lit("e's ")),
+      lit("n "), lit("n'll "))
+
+  private val Gpt2PatSqlLit = Gpt2PreTokPat.replace("'", "''")
+  private val Gpt2WordsSql =
+    s"unnest(regexp_extract_all($Gpt2TextSql, '$Gpt2PatSqlLit'))"
+
   /** BYTE-alphabet word-frequency CTE: raw tokens from `wordsSql` (no
     * lowercasing — case is in-alphabet now), symbols = the uppercase
     * hex-pair rendering of the word's UTF-8 bytes, the 2..N bound on BYTE
@@ -140,6 +170,8 @@ object TextAnalysis {
     bpeRoundCtes(byteWordTableCte("s0", WsWordsSql))
   private def bpePretokCtes: String =
     bpeRoundCtes(byteWordTableCte("s0", PreTokWordsSql))
+  private def bpeGpt2Ctes: String =
+    bpeRoundCtes(byteWordTableCte("s0", Gpt2WordsSql))
 
   /** DuckDB mirror of train_bpe: project the per-round argmax rows. */
   private def trainSqlOver(ctes: String): String = {
@@ -313,6 +345,9 @@ object TextAnalysis {
   private def tokenIdPretokCtes: String = tokenIdByteCtesFor(
     s"regexp_extract_all(text, '$PreTokSql')")
 
+  private def tokenIdGpt2Ctes: String = tokenIdByteCtesFor(
+    s"regexp_extract_all($Gpt2TextSql, '$Gpt2PatSqlLit')")
+
   private def tokenIdByteCtesFor(wordsArraySql: String): String = {
     val vRounds = (1 to BpeMerges).map { k =>
       s"""v$k AS (SELECT word, coalesce(
@@ -430,6 +465,25 @@ object TextAnalysis {
   // (derived from the BpeMerges CONSTANT, like the a-z family's).
   private val BpeByteEosId = 256 + BpeMerges // end-of-document separator
   private val BpeBytePadId = 257 + BpeMerges // tail-sequence padding
+  /** The RESERVED special-token id block of the byte families, ABOVE the
+    * merge space: merges own 256..255+[[BpeMerges]], and the next 16 ids
+    * are specials — the first two are the established EOS/PAD framing
+    * ids (positions unchanged), then BOS/UNK/MASK, then unnamed reserved
+    * slots a deployment may claim. Encoders can NEVER emit an id in the
+    * block (base ids < 256, merge ids ≤ 255 + BpeMerges), decode REJECTS
+    * them (framing is not content), and pack/unpack treat EOS/PAD as
+    * sequence structure — the alphabet-blind pack/decode discipline the
+    * Gpt2TokenizerSpec round-trips. Fixed-end ids: derived from the
+    * BpeMerges CONSTANT, so an early-exhausted trainer still yields the
+    * same specials and the oracle agrees without knowing how many rounds
+    * ran. */
+  val ByteSpecialTokens: Map[String, Int] = Map(
+    "eos" -> BpeByteEosId,
+    "pad" -> BpeBytePadId,
+    "bos" -> (258 + BpeMerges),
+    "unk" -> (259 + BpeMerges),
+    "mask" -> (260 + BpeMerges))
+  val ByteSpecialBlockEnd: Int = 256 + BpeMerges + 15 // inclusive
   private val TokenSeqLen = 128 // pack_token_sequences: ids per training row
   private val BpeBatchRounds = 3 // train_bpe_batched: super-rounds run
   private val BpeBatchK = 4 // train_bpe_batched: max merges applied per round
@@ -867,6 +921,16 @@ object TextAnalysis {
       trainFastOnWords(bpeByteWordTableOf(
         Tables(s2, d, "documents"), preTokWords), BpeMerges, 1 << 22))
 
+  private val gpt2MergeCache = new java.util.concurrent.ConcurrentHashMap[
+    String, Memo[Seq[(Long, String, String, String, Long)]]]()
+
+  private def learnBpeGpt2MergesCached(s: SparkSession, dir: String)
+      : Seq[(Long, String, String, String, Long)] =
+    cachedByCorpus(gpt2MergeCache, s, dir)((s2, d) =>
+      trainFastOnWords(bpeByteWordTableOf(
+        Tables(s2, d, "documents").withColumn("text", gpt2Text),
+        gpt2Words), BpeMerges, 1 << 22))
+
   /** The (freq, syms) word-frequency symbol table both BPE trainers start
     * from: distinct [a-z]+ words with corpus frequencies, symbols = the
     * space-joined character split. Vocab-sized, never corpus-sized. */
@@ -916,6 +980,11 @@ object TextAnalysis {
     * literal would re-interpret the backslashes). */
   private def preTokWords: Column =
     regexp_extract_all(col("text"), lit(PreTokSql), lit(0))
+
+  /** The GPT-2-complete pre-tokenizer's word array over the `text`
+    * column (callers feed it the contraction-derived corpus). */
+  private def gpt2Words: Column =
+    regexp_extract_all(col("text"), lit(Gpt2PreTokPat), lit(0))
 
   /** Adjacent-symbol pair counts weighted by word frequency — one tiny
     * shuffle over the vocab-sized table. Shared by both trainers. */
@@ -1174,9 +1243,22 @@ object TextAnalysis {
     tokenIdsOfByteWords(s, dir, preTokWords,
       graft.exprs.functions.bpe_encode_pretok_ids(_, merges))
 
+  /** [[tokenIdsOfPretok]] upgraded to the GPT-2-complete pre-tokenizer,
+    * over the contraction-derived corpus ([[gpt2Text]]). */
+  private def tokenIdsOfGpt2(s: SparkSession, dir: String,
+      merges: Seq[(Long, String, String, String, Long)]): DataFrame =
+    tokenIdsOfByteWordDocs(
+      Tables(s, dir, "documents").withColumn("text", gpt2Text),
+      gpt2Words,
+      graft.exprs.functions.bpe_encode_gpt2_ids(_, merges))
+
   private def tokenIdsOfByteWords(s: SparkSession, dir: String,
+      words: Column, encode: Column => Column): DataFrame =
+    tokenIdsOfByteWordDocs(Tables(s, dir, "documents"), words, encode)
+
+  private def tokenIdsOfByteWordDocs(docs: DataFrame,
       words: Column, encode: Column => Column): DataFrame = {
-    val ow = Tables(s, dir, "documents")
+    val ow = docs
       .filter(col("text").isNotNull)
       .select(col("doc_id"),
         posexplode(words).as(Seq("pos", "word")))
@@ -1772,6 +1854,59 @@ object TextAnalysis {
         .select(col("word"),
           graft.exprs.functions.bpe_decode_byte_ids(
             graft.exprs.functions.bpe_encode_pretok_ids(col("word"), merges),
+            merges).as("rt"))
+      ow.join(broadcast(wrt), "word")
+        .groupBy("doc_id")
+        .agg(sort_array(collect_list(struct(col("pos"), col("rt")))).as("a"))
+        .select(col("doc_id"),
+          concat_ws("", expr("transform(a, x -> x.rt)")).as("rt"))
+        .select(col("doc_id"),
+          length(col("rt")).cast("long").as("n_chars"),
+          md5(col("rt")).as("rt_md5"))
+        .orderBy("doc_id")
+    },
+
+    // The GPT-2-COMPLETE pre-tokenizer tier: category runs PLUS the
+    // contraction cases ('s 't 're 've 'm 'll 'd) and the space-prefix
+    // convention (" the" is one pre-token), run over a CONTRACTION-HEAVY
+    // derived corpus (the raw test corpus has no apostrophes — a literal
+    // replace makes them ubiquitous, identically in both engines). Same
+    // byte base ids and merge machinery; only the pre-tokenizer differs.
+    "train_bpe_gpt2" -> { (s, dir) =>
+      import s.implicits._
+      learnBpeGpt2MergesCached(s, dir)
+        .toDF("round", "lhs", "rhs", "merged", "pair_freq")
+        .orderBy("round")
+    },
+
+    "tokenize_bpe_ids_gpt2" -> { (s, dir) =>
+      tokenIdsOfGpt2(s, dir, learnBpeGpt2MergesCached(s, dir))
+        .select(col("doc_id"),
+          size(col("token_ids")).cast("long").as("n_ids"),
+          expr("aggregate(token_ids, CAST(0 AS BIGINT), (a, x) -> a + x)")
+            .as("sum_ids"),
+          md5(concat_ws(",", col("token_ids").cast("array<string>")))
+            .as("ids_md5"))
+        .orderBy("doc_id")
+    },
+
+    // gpt2 losslessness — the STRONGEST roundtrip gate in the family:
+    // the alternation tiles every character (whitespace runs included),
+    // so decode ∘ encode of the pre-tokens re-joined equals the document
+    // ITSELF bit-for-bit, which the oracle states as md5(text) — no
+    // normalization, no BPE model, nothing
+    "tokenize_roundtrip_gpt2" -> { (s, dir) =>
+      val merges = learnBpeGpt2MergesCached(s, dir)
+      val ow = Tables(s, dir, "documents")
+        .withColumn("text", gpt2Text)
+        .filter(col("text").isNotNull)
+        .select(col("doc_id"),
+          posexplode(gpt2Words).as(Seq("pos", "word")))
+        .filter(col("word") =!= "")
+      val wrt = ow.select("word").distinct()
+        .select(col("word"),
+          graft.exprs.functions.bpe_decode_byte_ids(
+            graft.exprs.functions.bpe_encode_gpt2_ids(col("word"), merges),
             merges).as("rt"))
       ow.join(broadcast(wrt), "word")
         .groupBy("doc_id")
@@ -2658,6 +2793,26 @@ object TextAnalysis {
          |  CAST(length(rt) AS BIGINT) AS n_chars, md5(rt) AS rt_md5
          |FROM (SELECT doc_id, array_to_string(
          |    regexp_extract_all(text, '$PreTokSql'), '') AS rt
+         |  FROM documents WHERE text IS NOT NULL)
+         |WHERE rt <> '' ORDER BY doc_id""".stripMargin,
+
+    "train_bpe_gpt2" -> trainSqlOver(bpeGpt2Ctes),
+
+    "tokenize_bpe_ids_gpt2" ->
+      s"""WITH $bpeGpt2Ctes,
+         |$tokenIdGpt2Ctes
+         |SELECT doc_id, CAST(len(tids) AS BIGINT) AS n_ids,
+         |  CAST(list_sum(tids) AS BIGINT) AS sum_ids,
+         |  md5(array_to_string(tids, ',')) AS ids_md5
+         |FROM di ORDER BY doc_id""".stripMargin,
+
+    // the gpt2 alternation tiles the document, so losslessness is
+    // md5 of the (derived) text ITSELF — whitespace included, no
+    // normalization, no BPE model
+    "tokenize_roundtrip_gpt2" ->
+      s"""SELECT doc_id,
+         |  CAST(length(rt) AS BIGINT) AS n_chars, md5(rt) AS rt_md5
+         |FROM (SELECT doc_id, $Gpt2TextSql AS rt
          |  FROM documents WHERE text IS NOT NULL)
          |WHERE rt <> '' ORDER BY doc_id""".stripMargin,
 
