@@ -27,17 +27,39 @@ TABLES = "region nation customer supplier part orders lineitem events documents 
 # DuckDB's HLL are different sketches; both sit within a few percent of
 # truth at these cardinalities, so a 15% mutual band is loose enough to
 # be stable and tight enough to catch a broken operator).
+# The Spark result itself is registered as view `spark_result`, so a band
+# can RE-DERIVE a statistic over the Spark output (round-11: the
+# dedup_semantic_pq rerank check reads the exported candidate set).
 # name -> (band SQL producing the same sorted shape, join key cols, rel tol)
 BAND_SQL = {
     "agg_approx_distinct": (
         "SELECT l_returnflag, approx_count_distinct(l_partkey) AS approx_parts"
         " FROM lineitem GROUP BY 1 ORDER BY 1",
         ["l_returnflag"], 0.15),
+    # Round-11 (round-10 follow-up #8): the PQ candidate set's exact-rerank
+    # agreement. The ADC shortlist ORDERING is the only part DuckDB cannot
+    # express; the exported pairs' exact cosines are plain arithmetic, so
+    # DuckDB re-ranks the candidate set from the raw embeddings and every
+    # reported cosine must agree within float tolerance (1e-6 absorbs
+    # fold-order ulp differences; a broken rerank, a wrong vec_id, or a
+    # below-threshold pair all fail loudly — the inner joins also prove
+    # every reported id exists). Spark filtered at cosine >= 0.4, so
+    # agreement certifies the threshold externally too.
+    "dedup_semantic_pq": (
+        "SELECT r.vec_a, r.vec_b,"
+        " list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),"
+        "                        CAST(b.embedding AS DOUBLE[])) AS cosine"
+        " FROM spark_result r"
+        " JOIN embeddings a ON a.vec_id = r.vec_a"
+        " JOIN embeddings b ON b.vec_id = r.vec_b"
+        " ORDER BY r.vec_a, r.vec_b",
+        ["vec_a", "vec_b"], 1e-6),
 }
 
 def band_check(con, name, got):
     """Returns (ok, detail) for a banded no-oracle entry."""
     sql, keys, tol = BAND_SQL[name]
+    con.register("spark_result", got)
     exp = con.sql(sql).df()
     g = got.sort_values(by=keys).reset_index(drop=True)
     e = exp.sort_values(by=keys).reset_index(drop=True)
