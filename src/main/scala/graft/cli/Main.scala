@@ -186,9 +186,11 @@ object Main {
         println(f"${r.getLong(0)}%10d ${r.getLong(1)}%14d"))
 
     // extension (no reference analog): tokenize text from the command
-    // line through a persisted BpeModel — az (lowercased [a-z]+ words)
-    // or bytes (whitespace words over UTF-8 byte base symbols; digits,
-    // punctuation, case, and non-Latin text all tokenize)
+    // line through a persisted BpeModel — az (lowercased [a-z]+ words),
+    // bytes (whitespace words over UTF-8 byte base symbols; digits,
+    // punctuation, case, and non-Latin text all tokenize), pretok
+    // (category-run pre-tokenizer), or gpt2 (contractions + space-prefix
+    // + whitespace runs — lossless incl. whitespace)
     case "tokenize" +: modelDir +: alphabet +: words if words.nonEmpty =>
       import org.apache.spark.sql.functions.col
       val s = spark()
@@ -199,8 +201,13 @@ object Main {
         case "az" => graft.exprs.functions.bpe_encode_ids(col("t"), merges)
         case "bytes" =>
           graft.exprs.functions.bpe_encode_byte_ids(col("t"), merges)
+        case "pretok" =>
+          graft.exprs.functions.bpe_encode_pretok_ids(col("t"), merges)
+        case "gpt2" =>
+          graft.exprs.functions.bpe_encode_gpt2_ids(col("t"), merges)
         case other =>
-          System.err.println(s"unknown alphabet '$other' (az|bytes)")
+          System.err.println(
+            s"unknown alphabet '$other' (az|bytes|pretok|gpt2)")
           sys.exit(2)
           null
       }
@@ -230,7 +237,7 @@ object Main {
         "usage: inmem|create <dir>|run <dir>|check <dir> [--quiet]|" +
           "version <url|dir>|diff <dir> <vLo> <vHi>|" +
           "search <indexdir> tfidf|bm25|phrase <term>...|" +
-          "tokenize <modeldir> az|bytes <text>...|" +
+          "tokenize <modeldir> az|bytes|pretok|gpt2 <text>...|" +
           "import <nativefile> <dir>")
       sys.exit(2)
   }

@@ -895,6 +895,20 @@ object StreamOps {
       .withColumn("n_ids", size(col("token_ids")).cast("long"))
   }
 
+  /** GPT-2-complete twin of [[tokenizeBpeBytesStream]]: same stateless
+    * per-row projection with the gpt2 pre-tokenizer mode (contractions,
+    * space-prefix, whitespace runs — lossless including whitespace) over
+    * a train_bpe_gpt2 model artifact. Bit-parity with the batch
+    * tokenize_bpe_ids_gpt2 path is spec-pinned. */
+  def tokenizeBpeGpt2Stream(
+      docs: DataFrame, textCol: String, modelDir: String): DataFrame = {
+    val merges = graft.operators.BpeModel.load(docs.sparkSession, modelDir)
+    docs
+      .withColumn("token_ids",
+        graft.exprs.functions.bpe_encode_gpt2_ids(col(textCol), merges))
+      .withColumn("n_ids", size(col("token_ids")).cast("long"))
+  }
+
   /** Streaming benchmark decontamination: drop documents sharing any 3-gram
     * shingle with a STATIC benchmark corpus, as a stateless projection — the
     * batch `decontaminate_bloom` made streaming. The benchmark compiles ONCE

@@ -1306,6 +1306,57 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("tokenizeBpeGpt2Stream matches batch tokenize_bpe_ids_gpt2 via the persisted model") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    implicit val sqlCtx = spark.sqlContext
+    val sfDir = "/root/testdata/sf0.001"
+    val merges = SparkEntry.queries("train_bpe_gpt2")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getString(3),
+        r.getLong(4))).toSeq
+    assert(merges.nonEmpty)
+    val modelDir =
+      java.nio.file.Files.createTempDirectory("graft-bpegstream").toString
+    graft.operators.BpeModel.save(spark, merges, modelDir)
+
+    val batch = SparkEntry.queries("tokenize_bpe_ids_gpt2")(spark, sfDir)
+      .select("doc_id", "n_ids", "ids_md5").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2)))).toMap
+    // the batch entry runs over the contraction-derived corpus — feed the
+    // stream the SAME derivation (the engine-identical replace chain)
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .filter(col("text").isNotNull)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0),
+        r.getString(1).replace("e ", "e's ").replace("n ", "n'll "))).toSeq
+
+    val mem = MemoryStream[(Long, String)]
+    val q = StreamOps.tokenizeBpeGpt2Stream(
+        mem.toDF().toDF("doc_id", "text"), "text", modelDir)
+      .select(col("doc_id"),
+        col("n_ids"),
+        md5(concat_ws(",", col("token_ids").cast("array<string>")))
+          .as("ids_md5"))
+      .writeStream.format("memory").queryName("bpegpt2ids")
+      .outputMode("append").start()
+    try {
+      val (h1, h2) = docs.splitAt(docs.length / 2)
+      mem.addData(h1: _*)
+      q.processAllAvailable()
+      mem.addData(h2: _*)
+      q.processAllAvailable()
+      val got = spark.table("bpegpt2ids").collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2)))).toMap
+      // batch drops pre-token-less docs at its posexplode; the stream
+      // emits an empty id array for them — the only allowed asymmetry
+      val extra = got.keySet -- batch.keySet
+      assert(extra.forall(d => got(d)._1 == 0L), s"unexplained extra: $extra")
+      batch.foreach { case (d, v) =>
+        assert(got.get(d).contains(v), s"doc $d: ${got.get(d)} != $v")
+      }
+    } finally q.stop()
+  }
+
   test("packTokenIdsStream bytes alphabet: byte ids, byte EOS, pack invariants hold") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
