@@ -56,8 +56,136 @@ BAND_SQL = {
         ["vec_a", "vec_b"], 1e-6),
 }
 
+# The three ANN probe entries share the dedup_semantic_pq rerank shape:
+# their learned k-means cells are not SQL-reproducible (hence no oracle),
+# but each reported (q_id, n_id) pair's exact cosine IS — DuckDB
+# recomputes it from the raw embeddings, and re-derives the per-query
+# rank by (external cosine desc, n_id) over the reported set, so both
+# the scores and the ordering carry an external signal; only the
+# CANDIDATE SELECTION (which cells were probed) remains engine-internal.
+_ANN_RERANK_SQL = (
+    "SELECT r.q_id, r.n_id,"
+    " CAST(row_number() OVER (PARTITION BY r.q_id"
+    "   ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),"
+    "     CAST(n.embedding AS DOUBLE[])) DESC, r.n_id) AS INT) AS rank,"
+    " list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),"
+    "   CAST(n.embedding AS DOUBLE[])) AS cosine"
+    " FROM spark_result r"
+    " JOIN embeddings q ON q.vec_id = r.q_id"
+    " JOIN embeddings n ON n.vec_id = r.n_id"
+    " ORDER BY r.q_id, r.n_id")
+for _n in ("ann_ivf_kmeans", "ann_ivf_persisted", "ann_ivf_pq"):
+    BAND_SQL[_n] = (_ANN_RERANK_SQL, ["q_id", "n_id"], 1e-6)
+
+# ---- Pure-Python XXH64 (public spec, Cyan4973/xxHash) + the reference's
+# whitespace-outside-strings JSON minifier: an INDEPENDENT implementation
+# of the el_checksum arithmetic, so the one entry DuckDB cannot express
+# (no XXH64-over-bytes) still gets an external signal — every entry in
+# the surface now has one.
+_P1, _P2, _P3 = 0x9E3779B185EBCA87, 0xC2B2AE3D27D4EB4F, 0x165667B19E3779F9
+_P4, _P5 = 0x85EBCA77C2B2AE63, 0x27D4EB2F165667C5
+_M = (1 << 64) - 1
+
+def _rotl(x, r):
+    return ((x << r) | (x >> (64 - r))) & _M
+
+def xxh64(data: bytes, seed: int = 0) -> int:
+    n = len(data)
+    i = 0
+    if n >= 32:
+        a1 = (seed + _P1 + _P2) & _M
+        a2 = (seed + _P2) & _M
+        a3 = seed & _M
+        a4 = (seed - _P1) & _M
+        while i + 32 <= n:
+            for j, a in enumerate((a1, a2, a3, a4)):
+                lane = int.from_bytes(data[i + 8 * j:i + 8 * j + 8], "little")
+                a = (_rotl((a + lane * _P2) & _M, 31) * _P1) & _M
+                if j == 0: a1 = a
+                elif j == 1: a2 = a
+                elif j == 2: a3 = a
+                else: a4 = a
+            i += 32
+        h = (_rotl(a1, 1) + _rotl(a2, 7) + _rotl(a3, 12) + _rotl(a4, 18)) & _M
+        for a in (a1, a2, a3, a4):
+            h = ((h ^ ((_rotl((a * _P2) & _M, 31) * _P1) & _M)) * _P1 + _P4) & _M
+    else:
+        h = (seed + _P5) & _M
+    h = (h + n) & _M
+    while i + 8 <= n:
+        k = int.from_bytes(data[i:i + 8], "little")
+        h = (_rotl(h ^ ((_rotl((k * _P2) & _M, 31) * _P1) & _M), 27) * _P1 + _P4) & _M
+        i += 8
+    if i + 4 <= n:
+        k = int.from_bytes(data[i:i + 4], "little")
+        h = (_rotl(h ^ ((k * _P1) & _M), 23) * _P2 + _P3) & _M
+        i += 4
+    while i < n:
+        h = (_rotl(h ^ ((data[i] * _P5) & _M), 11) * _P1) & _M
+        i += 1
+    h ^= h >> 33
+    h = (h * _P2) & _M
+    h ^= h >> 29
+    h = (h * _P3) & _M
+    h ^= h >> 32
+    return h
+
+def _minify_json(s: str) -> str:
+    out, i, n, instr = [], 0, len(s), False
+    while i < n:
+        c = s[i]
+        if instr:
+            out.append(c)
+            if c == "\\":
+                out.append(s[i + 1]); i += 2; continue
+            if c == '"':
+                instr = False
+            i += 1
+        elif c == '"':
+            instr = True; out.append(c); i += 1
+        elif c in " \t\n\r":
+            i += 1
+        else:
+            out.append(c); i += 1
+    return "".join(out)
+
+def _el_checksum_check(con, got):
+    """Recompute every el_checksum row from the events table in pure
+    Python (LE layout: ts_sec:8 | len(label):2 | len(payload):4 | label |
+    payload | version_prev:8, XXH64 seed 0) and require exact equality."""
+    ev = con.sql("SELECT event_id, epoch_ns(ts) AS ns, event_type, props"
+                 " FROM events ORDER BY event_id").df()
+    vmin = int(ev["event_id"].min())
+    exp = {}
+    for eid, ns, label, props in ev.itertuples(index=False):
+        ts = int(ns) // 1_000_000_000
+        lb = str(label).encode()
+        pb = _minify_json(str(props)).encode()
+        buf = (ts & _M).to_bytes(8, "little")
+        buf += (len(lb) & 0xFFFF).to_bytes(2, "little")
+        buf += (len(pb) & 0xFFFFFFFF).to_bytes(4, "little")
+        buf += lb + pb
+        vp = 0 if int(eid) == vmin else int(eid) - 1
+        buf += (vp & _M).to_bytes(8, "little")
+        h = xxh64(buf)
+        exp[int(eid)] = h - (1 << 64) if h >= (1 << 63) else h
+    if len(got) != len(exp):
+        return False, f"rows: spark={len(got)} python={len(exp)}"
+    bad = 0
+    for v, c in zip(got["version"], got["checksum"]):
+        if exp.get(int(v)) != int(c):
+            bad += 1
+    return bad == 0, (f"{bad} checksum mismatches" if bad
+                      else f"all {len(exp)} checksums equal an independent"
+                           " pure-Python XXH64 over the LE layout")
+
+# no-oracle entries checked by a PYTHON recomputation rather than SQL
+BAND_PY = {"el_checksum": _el_checksum_check}
+
 def band_check(con, name, got):
     """Returns (ok, detail) for a banded no-oracle entry."""
+    if name in BAND_PY:
+        return BAND_PY[name](con, got)
     sql, keys, tol = BAND_SQL[name]
     con.register("spark_result", got)
     exp = con.sql(sql).df()
@@ -144,13 +272,13 @@ def main():
         files = glob.glob(f"{d}/*.parquet")
         got = pd.concat([pd.read_parquet(f) for f in files]) if files else pd.DataFrame()
         if name not in oracle:
-            if name in BAND_SQL:
+            if name in BAND_SQL or name in BAND_PY:
                 ok, detail = band_check(con, name, got)
                 if ok:
-                    print(f"  ~ {name}: rows={len(got)} (no oracle; DuckDB band OK, {detail})")
+                    print(f"  ~ {name}: rows={len(got)} (no oracle; external check OK, {detail})")
                     n_noop += 1
                 else:
-                    print(f"  X {name}: DuckDB BAND FAILED: {detail}")
+                    print(f"  X {name}: EXTERNAL CHECK FAILED: {detail}")
                     n_fail += 1
             else:
                 print(f"  ~ {name}: rows={len(got)} (no oracle, rows-only)")
