@@ -214,6 +214,56 @@ class LiveServeSpec extends AnyFunSuite {
     } finally { q.stop(); server.close() }
   }
 
+  test("LiveAnnServer: removeVectors mid-stream stops probing the removed vector after its swap commits") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val emb = graft.util.Tables(spark, sfDir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-liverm").toString
+    PqIndex.build(emb, m = 8, kCodes = 16, coarseK = 4).save(dir)
+    val qv = emb.filter(col("vec_id") === 0L)
+      .select(col("v")).head().getSeq[Double](0)
+    def batchAnswer(qid: Long): Seq[(Int, Long)] =
+      PqIndex.probeAll(PqIndex.load(spark, dir),
+          Seq((qid, qv)).toDF("q_id", "qv"), nProbe = 16, topK = 5,
+          rerank = 100)
+        .collect().map(r => (r.getInt(2), r.getLong(1))).toSeq.sorted
+
+    val before = batchAnswer(3000001L)
+    val victim = before.head._2 // the top neighbor: its absence is loud
+    val results =
+      new java.util.concurrent.ConcurrentHashMap[Long, Seq[(Int, Long)]]()
+    val server = new LiveAnnServer(spark, dir, nProbe = 16, topK = 5,
+      rerank = 100)
+    val mem = MemoryStream[(Long, Seq[Double])]
+    val q = server.serve(
+        mem.toDF().toDF("q_id", "qv"), "q_id", "qv") { out =>
+      out.collect().groupBy(_.getLong(0)).foreach { case (qid, rows) =>
+        results.put(qid,
+          rows.map(r => (r.getInt(2), r.getLong(1))).toSeq.sorted)
+      }
+    }
+    try {
+      mem.addData((3000001L, qv))
+      q.processAllAvailable()
+      assert(results.get(3000001L) === before)
+      assert(results.get(3000001L).exists(_._2 == victim))
+
+      // the takedown: a staged-generation swap lands under the server
+      assert(IvfIndex.removeVectors(spark, dir, Seq(victim)) === 1L)
+      val after = batchAnswer(3000002L)
+      assert(!after.exists(_._2 == victim))
+
+      mem.addData((3000002L, qv))
+      q.processAllAvailable()
+      assert(results.get(3000002L) === after,
+        "a removal landing mid-stream must stop being probed after its " +
+          "generation commits — the fingerprint sees the swap")
+      assert(!results.get(3000002L).exists(_._2 == victim))
+    } finally { q.stop(); server.close() }
+  }
+
   test("LiveSearchServer bm25 + phrase modes answer like the batch operators") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
