@@ -56,32 +56,71 @@ object IndexMaintainer {
     * nothing. The index dir may start EMPTY (the first epoch bootstraps
     * it) or hold a batch-built index to grow.
     *
+    * `compactEvery` > 0 folds the accumulated per-epoch batches: after
+    * an append, when the committed-batch count reaches the threshold,
+    * [[SearchIndex.compact]] runs inline (maintenance is serialized on
+    * the index lock; readers and live servers ride the same atomic
+    * visibility flip as any compact). Without it, a long-running
+    * maintainer accretes one batch per epoch — the small-append
+    * file-count pathology — and needs an external compaction cadence.
+    * Compaction is replay-safe via a SECOND idempotence layer: compact
+    * garbage-collects the per-epoch meta dirs the exactly-once re-entry
+    * check consults, so a marker dir under
+    * `<checkpointDir>/graft-epochs/<epoch>` commits after each append —
+    * a replayed epoch whose meta was folded away skips on the marker
+    * instead of re-appending into the overlap guard. The
+    * marker-not-yet-written crash window falls back to the meta check
+    * (compact cannot have run in between: it only runs after the marker
+    * in the same invocation), so the two layers cover each other's
+    * windows and df/nDocs stay exactly-once through any crash point.
+    *
     * @param docs          streaming DataFrame
     * @param idCol         long document id column
     * @param textCol       document text column
     * @param dir           persisted index directory
     * @param checkpointDir streaming checkpoint (also the exactly-once
     *                      identity — keep it stable across restarts)
-    * @param fingerprint   optional source fingerprint stamped per batch */
+    * @param fingerprint   optional source fingerprint stamped per batch
+    * @param compactEvery  fold batches when the committed count reaches
+    *                      this (0 = never; caller owns the cadence) */
   def maintainSearch(
       docs: DataFrame,
       idCol: String,
       textCol: String,
       dir: String,
       checkpointDir: String,
-      fingerprint: Option[String] = None): StreamingQuery = {
+      fingerprint: Option[String] = None,
+      compactEvery: Int = 0): StreamingQuery = {
     val key = checkpointKey(checkpointDir)
     docs.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, epochId: Long) =>
-        val d = batch
-          .select(col(idCol).cast("long").as("doc_id"),
-            col(textCol).cast("string").as("text"))
-          .filter(col("text").isNotNull)
-        if (!d.isEmpty) {
-          SearchIndex.appendDocs(batch.sparkSession, dir, d,
-            fingerprint, batchId = Some(s"e$key.$epochId"))
-          ()
+        val marker =
+          Paths.get(checkpointDir, "graft-epochs", epochId.toString)
+        if (!Files.isDirectory(marker)) {
+          val d = batch
+            .select(col(idCol).cast("long").as("doc_id"),
+              col(textCol).cast("string").as("text"))
+            .filter(col("text").isNotNull)
+          val spark = batch.sparkSession
+          if (!d.isEmpty) {
+            SearchIndex.appendDocs(spark, dir, d,
+              fingerprint, batchId = Some(s"e$key.$epochId"))
+            ()
+          }
+          Files.createDirectories(marker)
+          if (compactEvery > 0) {
+            val metaRoot = Paths.get(dir, "meta")
+            val committed =
+              if (!Files.isDirectory(metaRoot)) 0
+              else {
+                import scala.jdk.CollectionConverters._
+                scala.util.Using.resource(Files.list(metaRoot))(
+                  _.iterator().asScala.count(p => Files.isDirectory(p) &&
+                    !p.getFileName.toString.startsWith(".")))
+              }
+            if (committed >= compactEvery) SearchIndex.compact(spark, dir)
+          }
         }
       }
       .start()

@@ -118,6 +118,58 @@ class IndexMaintainerSpec extends AnyFunSuite {
       "the redo must not resurrect the crashed attempt's rows")
   }
 
+  test("maintainSearch compactEvery: batches fold under the live maintainer, answers preserved, replay-after-compact safe") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val all = docs.filter(col("text").isNotNull)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    val idxDir = tmp("graft-compidx")
+    val ckpt = tmp("graft-compckpt")
+    val mem = MemoryStream[(Long, String)]
+    val q = IndexMaintainer.maintainSearch(
+      mem.toDF().toDF("doc_id", "text"), "doc_id", "text",
+      idxDir, ckpt, compactEvery = 3)
+    try {
+      // 6 epochs of appends: without compaction that is 6 batches; the
+      // threshold folds them so the committed count stays < 2×threshold
+      all.grouped((all.length + 5) / 6).foreach { g =>
+        mem.addData(g: _*)
+        q.processAllAvailable()
+      }
+      val metaDirs = new java.io.File(s"$idxDir/meta").listFiles()
+        .count(f => f.isDirectory && !f.getName.startsWith("."))
+      assert(metaDirs <= 3,
+        s"compactEvery must fold the per-epoch batches, got $metaDirs")
+      val idx = SearchIndex.load(spark, idxDir)
+      val fresh = SearchIndex.build(docs)
+      assert(idx.nDocs === fresh.nDocs && idx.nTokens === fresh.nTokens)
+      assert(SearchIndex.search(idx, Seq("vector", "stream"), 10)
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq ===
+        SearchIndex.search(fresh, Seq("vector", "stream"), 10)
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq)
+
+      // the replay-after-compact hazard shape, and why the marker layer
+      // exists: compact FOLDED AWAY per-epoch meta dirs (the first
+      // idempotence layer), so at least one epoch has marker-present +
+      // meta-absent — a replay of that epoch consults the marker and
+      // skips; without it, appendDocs would re-append into the overlap
+      // guard and wedge the stream
+      val markers = new java.io.File(s"$ckpt/graft-epochs").listFiles()
+        .map(_.getName).toSeq
+      assert(markers.nonEmpty, "epochs must leave markers")
+      val key = {
+        val md = java.security.MessageDigest.getInstance("MD5")
+        md.update(ckpt.getBytes("UTF-8"))
+        md.digest().map("%02x".format(_)).mkString.take(8)
+      }
+      val folded = markers.filter(ep => !java.nio.file.Files.isDirectory(
+        java.nio.file.Paths.get(idxDir, "meta", s"e$key.$ep")))
+      assert(folded.nonEmpty,
+        "compact must have folded at least one marked epoch's meta — " +
+          "the window the marker layer covers")
+    } finally q.stop()
+  }
+
   test("maintainVectors: stream upserts probe after commit; a marked epoch is skipped") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
