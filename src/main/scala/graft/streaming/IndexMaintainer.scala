@@ -132,21 +132,25 @@ object IndexMaintainer {
     * (id, vector) rows. Upserted vectors probe at the next
     * [[LiveAnnServer]] micro-batch after their files commit.
     *
-    * Exactly-once is per-epoch MARKER-gated: a marker dir under
-    * `<checkpointDir>/graft-epochs/<epoch>` commits after the append,
-    * and a replayed epoch that finds its marker appends nothing. The
-    * markers live with the CHECKPOINT (one identity, one lifetime), not
-    * in the index dir — a generation swap (splitCell / removeVectors /
-    * rebalance) replaces the index dir wholesale and would silently drop
-    * in-index markers. One honest
-    * crash window remains (documented, unlike the search path whose meta
-    * commit is atomic with batch visibility): a death AFTER the parquet
-    * append but BEFORE the marker leaves the epoch's rows in the cells,
-    * and the replay appends them again — duplicate vec_ids, which probes
-    * then surface as duplicate candidates (never wrong scores). The
-    * periodic re-BUILD that heals quantizer drift also heals these; a
-    * deployment needing airtight exactly-once should ingest through the
-    * event log + [[maintainSearch]]-style manifest commits instead.
+    * EXACTLY-ONCE through any crash point, via a STARTED/DONE marker
+    * pair under `<checkpointDir>/graft-epochs/` (markers live with the
+    * checkpoint — one identity, one lifetime; a generation swap replaces
+    * the index dir wholesale and would drop in-index markers):
+    *  - `<epoch>` (done) commits after the append: a replayed epoch that
+    *    finds it appends nothing;
+    *  - `.started-<epoch>` commits BEFORE the first append attempt: a
+    *    replay that finds started-without-done knows a prior attempt may
+    *    have left the epoch's rows half-appended (the vector index
+    *    commits by appending files, so there is no atomic manifest to
+    *    consult) and SCRUBS first — [[IvfIndex.removeVectors]] of the
+    *    epoch's ids, a staged-generation rewrite that is exact whether
+    *    the crashed attempt wrote nothing, some files, or everything —
+    *    then redoes the append. foreachBatch replays the identical
+    *    source range, so the replayed ids ARE the suspected set.
+    * The scrub runs ONLY on a crash replay; the steady-state cost is one
+    * extra marker mkdir per epoch. (The previous design documented the
+    * append→marker window as at-least-once with duplicate candidates;
+    * the started marker closes it.)
     *
     * The vector index has no overlap guard (the [[IvfIndex.appendVectors]]
     * trusted contract), so the stream must carry new vec_ids. */
@@ -159,19 +163,27 @@ object IndexMaintainer {
     vecs.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, epochId: Long) =>
-        val marker =
+        val done =
           Paths.get(checkpointDir, "graft-epochs", epochId.toString)
-        if (!Files.isDirectory(marker)) {
+        val started =
+          Paths.get(checkpointDir, "graft-epochs", s".started-$epochId")
+        if (!Files.isDirectory(done)) {
           val v = batch.select(col(idCol).cast("long").as("vec_id"),
             col(vecCol).cast("array<double>").as("v"))
+          val spark = batch.sparkSession
+          if (Files.isDirectory(started)) {
+            // crash replay: a prior attempt started and may have appended
+            // any prefix of this epoch's files — scrub exactly those ids
+            val ids = v.select("vec_id").collect().map(_.getLong(0)).toSeq
+            if (ids.nonEmpty) { IvfIndex.removeVectors(spark, dir, ids); () }
+          } else { Files.createDirectories(started); () }
           if (!v.isEmpty) {
-            val spark = batch.sparkSession
             if (Files.isDirectory(Paths.get(dir, "pq_codes")))
               PqIndex.appendVectors(spark, dir, v)
             else IvfIndex.appendVectors(spark, dir, v)
             ()
           }
-          Files.createDirectories(marker)
+          Files.createDirectories(done)
           ()
         }
       }

@@ -198,7 +198,7 @@ class IndexMaintainerSpec extends AnyFunSuite {
         java.nio.file.Paths.get(ckpt, "graft-epochs", "0")))
     } finally q.stop()
 
-    // a replayed (already-marked) epoch appends nothing: pre-mark epoch 0
+    // a replayed (already-done) epoch appends nothing: pre-mark epoch 0
     // of a FRESH query identity, then deliver data into it
     val idxDir2 = tmp("graft-vecmaint2")
     PqIndex.build(half, m = 8, kCodes = 16, coarseK = 4).save(idxDir2)
@@ -212,7 +212,51 @@ class IndexMaintainerSpec extends AnyFunSuite {
       mem2.addData(rest.toSeq: _*)
       q2.processAllAvailable()
       assert(PqIndex.load(spark, idxDir2).codes.count() === before,
-        "a marked epoch must append nothing (replay semantics)")
+        "a done-marked epoch must append nothing (replay semantics)")
     } finally q2.stop()
+  }
+
+  test("maintainVectors crash replay: started-without-done scrubs the partial append, exactly-once") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val emb = graft.util.Tables(spark, sfDir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val half = emb.filter(col("vec_id") % 2 === 0)
+    val rest = emb.filter(col("vec_id") % 2 === 1).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1)))
+    val idxDir = tmp("graft-veccrash")
+    PqIndex.build(half, m = 8, kCodes = 16, coarseK = 4).save(idxDir)
+    val before = PqIndex.load(spark, idxDir).codes.count()
+
+    // simulate epoch 0 crashing MID-APPEND on a prior attempt: the
+    // started marker exists, no done marker, and a PREFIX of the epoch's
+    // rows already landed in the index
+    val ckpt = tmp("graft-veccrashckpt")
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(ckpt, "graft-epochs", ".started-0"))
+    val partial = rest.take(10)
+    PqIndex.appendVectors(spark, idxDir,
+      partial.toSeq.toDF("vec_id", "v"))
+    assert(PqIndex.load(spark, idxDir).codes.count() === before + 10)
+
+    // the replay delivers the FULL epoch; the maintainer must scrub the
+    // partial state first, then redo — each id lands exactly once
+    val mem = MemoryStream[(Long, Seq[Double])]
+    val q = IndexMaintainer.maintainVectors(
+      mem.toDF().toDF("vec_id", "v"), "vec_id", "v", idxDir, ckpt)
+    try {
+      mem.addData(rest.toSeq: _*)
+      q.processAllAvailable()
+      val idx = PqIndex.load(spark, idxDir)
+      assert(idx.codes.count() === before + rest.length,
+        "the scrubbed redo must not duplicate the crashed prefix")
+      assert(idx.codes.groupBy("vec_id").count()
+        .filter(col("count") > 1).count() === 0L,
+        "no vec_id may appear twice after a crash replay")
+      assert(idx.coarse.assignments.count() === before + rest.length,
+        "raw cells must match codes after the scrub")
+      assert(java.nio.file.Files.isDirectory(
+        java.nio.file.Paths.get(ckpt, "graft-epochs", "0")))
+    } finally q.stop()
   }
 }
