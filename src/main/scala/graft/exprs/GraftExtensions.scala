@@ -38,5 +38,6 @@ object GraftExtensions {
     "ngram_shingles" -> (es => NgramShingles(es.head)),
     "minhash12" -> (es => Minhash12(es.head)),
     "token_stats" -> (es => TokenStats(es(0), es(1), es(2))),
-    "repetition_stats" -> (es => RepetitionStats(es.head)))
+    "repetition_stats" -> (es => RepetitionStats(es.head)),
+    "zorder16" -> (es => ZOrder16(es(0), es(1))))
 }

@@ -1,0 +1,127 @@
+package graft.exprs
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.expressions.{Expression, ImplicitCastInputTypes}
+import org.apache.spark.sql.catalyst.trees.UnaryLike
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream, DataInputStream, DataOutputStream}
+import scala.collection.mutable
+
+/** Misra–Gries heavy-hitter summary as a native Catalyst aggregate.
+  *
+  * The classic frequent-items sketch (Misra & Gries 1982), with the
+  * mergeable-summaries weighted merge (Agarwal et al., PODS 2012): the
+  * buffer holds ≤ `capacity` (item, count) pairs; when an insert would
+  * exceed capacity, the (capacity+1)-th largest count is subtracted from
+  * every entry and non-positive entries drop. Undercount after any
+  * sequence of updates and merges is ≤ n/(capacity+1), so every item with
+  * true frequency > n/(capacity+1) SURVIVES in the candidate set — the
+  * guarantee that lets a cheap exact recount over the candidates produce
+  * exactly the items above a frequency threshold, with none missed.
+  *
+  * Scale shape: the full `groupBy(token)` vocabulary aggregate shuffles
+  * one row per DISTINCT token — unbounded on a web-scale tail. This
+  * aggregate carries a fixed ≤ capacity-entry buffer per partition
+  * through a partial/final aggregation (no shuffle of the token
+  * universe), and the follow-up recount is a broadcast-semi-join over a
+  * ≤ capacity candidate list.
+  */
+case class MisraGriesAgg(
+    child: Expression,
+    capacity: Int,
+    override val mutableAggBufferOffset: Int = 0,
+    override val inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[mutable.HashMap[UTF8String, Long]]
+    with ImplicitCastInputTypes with UnaryLike[Expression] {
+
+  require(capacity > 0, "misra_gries capacity must be positive")
+
+  override def inputTypes: Seq[org.apache.spark.sql.graftshim.Shim.AbstractType] =
+    Seq(StringType)
+  override def dataType: DataType = ArrayType(StringType)
+  override def nullable: Boolean = false
+
+  override def createAggregationBuffer(): mutable.HashMap[UTF8String, Long] =
+    mutable.HashMap.empty
+
+  private def add(buf: mutable.HashMap[UTF8String, Long],
+      key: UTF8String, w: Long): Unit = {
+    buf.updateWith(key) {
+      case Some(c) => Some(c + w)
+      case None => Some(w)
+    }
+    if (buf.size > capacity) {
+      // subtract the (capacity+1)-th largest count from everything; at
+      // least one entry (that one) reaches zero and drops.
+      val counts = buf.values.toArray
+      java.util.Arrays.sort(counts)
+      val sub = counts(counts.length - (capacity + 1))
+      buf.filterInPlace((_, c) => c > sub)
+      buf.mapValuesInPlace((_, c) => c - sub)
+    }
+  }
+
+  override def update(buf: mutable.HashMap[UTF8String, Long],
+      input: InternalRow): mutable.HashMap[UTF8String, Long] = {
+    val v = child.eval(input)
+    // copy: Spark reuses the UTF8String's backing buffer across rows
+    if (v != null) add(buf, v.asInstanceOf[UTF8String].copy(), 1L)
+    buf
+  }
+
+  override def merge(buf: mutable.HashMap[UTF8String, Long],
+      other: mutable.HashMap[UTF8String, Long]): mutable.HashMap[UTF8String, Long] = {
+    other.foreach { case (k, c) => add(buf, k, c) }
+    buf
+  }
+
+  /** Candidate items, sorted for a deterministic array value. Counts are
+    * deliberately NOT exposed: they are underestimates whose exact values
+    * depend on partitioning — callers recount exactly. */
+  override def eval(buf: mutable.HashMap[UTF8String, Long]): Any = {
+    val keys = buf.keys.toArray
+    java.util.Arrays.sort(keys.asInstanceOf[Array[AnyRef]])
+    new GenericArrayData(keys.asInstanceOf[Array[Any]])
+  }
+
+  override def serialize(buf: mutable.HashMap[UTF8String, Long]): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    val out = new DataOutputStream(bos)
+    out.writeInt(buf.size)
+    buf.foreach { case (k, c) =>
+      val b = k.getBytes
+      out.writeInt(b.length)
+      out.write(b)
+      out.writeLong(c)
+    }
+    out.flush()
+    bos.toByteArray
+  }
+
+  override def deserialize(bytes: Array[Byte]): mutable.HashMap[UTF8String, Long] = {
+    val in = new DataInputStream(new ByteArrayInputStream(bytes))
+    val n = in.readInt()
+    val buf = mutable.HashMap.empty[UTF8String, Long]
+    var i = 0
+    while (i < n) {
+      val len = in.readInt()
+      val b = new Array[Byte](len)
+      in.readFully(b)
+      buf.put(UTF8String.fromBytes(b), in.readLong())
+      i += 1
+    }
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): MisraGriesAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): MisraGriesAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildInternal(newChild: Expression): MisraGriesAgg =
+    copy(child = newChild)
+  override def prettyName: String = "misra_gries"
+}

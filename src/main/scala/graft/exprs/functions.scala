@@ -108,6 +108,18 @@ object functions {
       Shim.expression(tokens), Shim.expression(stops),
       Shim.expression(markers)))
 
+  /** Morton key of two int columns — the 2-D file-clustering sort key
+    * (see [[LayoutOps.interleave16]]). */
+  def zorder16(x: Column, y: Column): Column =
+    Shim.column(ZOrder16(Shim.expression(x), Shim.expression(y)))
+
+  /** Misra–Gries heavy-hitter candidates (array<string>): every item with
+    * frequency > n/(capacity+1) is guaranteed present — recount exactly
+    * downstream (see [[MisraGriesAgg]]). */
+  def misra_gries(c: Column, capacity: Int): Column =
+    Shim.column(MisraGriesAgg(Shim.expression(c), capacity)
+      .toAggregateExpression())
+
   def parse_hex_version(c: Column): Column =
     Shim.column(ParseHexVersion(Shim.expression(c)))
 

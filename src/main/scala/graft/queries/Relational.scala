@@ -350,6 +350,57 @@ object Relational {
         .select(col("event_id"), col("k").as("user_id"),
           col("last_orderkey"), col("last_totalprice"))
         .orderBy("event_id")
+    },
+
+    // Edit-distance self-join (record linkage): all customer-name pairs
+    // within Levenshtein 1. The engine plans Ed-Join q-gram prefix
+    // filtering (operators/FuzzyJoin.scala — candidate generation by the
+    // k·q+1 RAREST grams per name, banded verify); the oracle is the naive
+    // all-pairs SQL, valid because prefix filtering has no false negatives
+    // (proof in the operator's scaladoc). The synthetic names are a
+    // worst-ish case: they share a long constant prefix, so every gram in
+    // "Customer#0…" is a stop-gram — the rarest-first prefix ranks the
+    // discriminative trailing-digit grams ahead of it, which is exactly
+    // the Ed-Join argument this entry pins against the quadratic oracle.
+    "fuzzy_join_names" -> { (s, dir) =>
+      graft.operators.FuzzyJoin
+        .selfJoin(Tables(s, dir, "customer"), "c_name", q = 2, k = 1)
+        .orderBy("name_a", "name_b")
+    },
+
+    // Z-order layout key (operators/Layout.scala): Morton-interleave a
+    // 16-bit customer hash dimension with a 16-bit price bucket, then
+    // summarize locality per key-prefix bucket — the oracle recomputes the
+    // interleave bit-for-bit from SQL shift/mask arithmetic, pinning the
+    // codegen'd ZOrder16 kernel against an independent definition. The /8.0
+    // price quantization is exact binary scaling (an exponent shift), so
+    // floor() agrees across engines on identical parquet doubles.
+    "layout_zorder" -> { (s, dir) =>
+      val o = Tables(s, dir, "orders")
+      val x = pmod(col("o_custkey"), lit(65536)).cast("int")
+      val y = least(floor(col("o_totalprice") / 8.0).cast("long"), lit(65535L))
+        .cast("int")
+      o.select(graft.operators.Layout.zkey(x, y).as("z"))
+        .groupBy(shiftright(col("z"), 24).as("zbucket"))
+        .agg(count(lit(1)).as("n"), min("z").as("zmin"), max("z").as("zmax"))
+        .orderBy("zbucket")
+    },
+
+    // Asymmetric fuzzy match: a deterministically "dirtied" probe side
+    // (catalog names minus their last character — the oracle derives the
+    // identical probes in SQL) resolved against the clean part-name
+    // catalog; best match per probe = min distance, name as tiebreak.
+    "fuzzy_match_catalog" -> { (s, dir) =>
+      val part = Tables(s, dir, "part")
+      val probes = part.select(
+        col("p_name").substr(lit(1), length(col("p_name")) - 1).as("dirty"))
+      val m = graft.operators.FuzzyJoin
+        .matchJoin(probes, "dirty", part, "p_name", q = 2, k = 1)
+      val w = Window.partitionBy("probe").orderBy(col("dist"), col("candidate"))
+      m.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col("probe").as("dirty"), col("candidate").as("best_match"),
+          col("dist"))
+        .orderBy("dirty")
     }
   )
 
@@ -534,6 +585,40 @@ object Relational {
         |FROM events e
         |ASOF LEFT JOIN o2 o
         |  ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
-        |ORDER BY e.event_id""".stripMargin
+        |ORDER BY e.event_id""".stripMargin,
+
+    // Naive quadratic statement of the same semantics — the prefix-filter
+    // candidate generation provably loses no pair within distance k.
+    "fuzzy_join_names" ->
+      """WITH n AS (SELECT DISTINCT c_name FROM customer WHERE c_name IS NOT NULL)
+        |SELECT a.c_name AS name_a, b.c_name AS name_b,
+        |  levenshtein(a.c_name, b.c_name) AS dist
+        |FROM n a JOIN n b ON a.c_name < b.c_name
+        |WHERE levenshtein(a.c_name, b.c_name) <= 1
+        |ORDER BY name_a, name_b""".stripMargin,
+
+    // Independent SQL statement of the Morton interleave: 32 explicit
+    // shift/mask terms OR'd together (disjoint bit positions).
+    "layout_zorder" -> {
+      val terms = (0 until 16).map { i =>
+        s"(((xk >> $i) & 1)::BIGINT << ${2 * i}) | (((yk >> $i) & 1)::BIGINT << ${2 * i + 1})"
+      }.mkString(" | ")
+      s"""WITH d AS (SELECT (o_custkey % 65536)::INT AS xk,
+         |  least(floor(o_totalprice / 8.0)::BIGINT, 65535)::INT AS yk FROM orders),
+         |z AS (SELECT ($terms) AS z FROM d)
+         |SELECT z >> 24 AS zbucket, count(*) AS n, min(z) AS zmin, max(z) AS zmax
+         |FROM z GROUP BY zbucket ORDER BY zbucket""".stripMargin
+    },
+
+    "fuzzy_match_catalog" ->
+      """WITH cat AS (SELECT DISTINCT p_name FROM part WHERE p_name IS NOT NULL),
+        |probe AS (SELECT DISTINCT substr(p_name, 1, length(p_name) - 1) AS dirty
+        |          FROM part WHERE p_name IS NOT NULL),
+        |m AS (SELECT p.dirty, c.p_name, levenshtein(p.dirty, c.p_name) AS dist
+        |      FROM probe p JOIN cat c ON levenshtein(p.dirty, c.p_name) <= 1)
+        |SELECT dirty, p_name AS best_match, dist
+        |FROM (SELECT m.*, row_number()
+        |        OVER (PARTITION BY dirty ORDER BY dist, p_name) AS rn FROM m) t
+        |WHERE rn = 1 ORDER BY dirty""".stripMargin
   )
 }

@@ -500,6 +500,10 @@ object TextAnalysis {
   private val NbStopPct = 6 // classify_quality_nb: weak-label stop-ratio %
   private val CmDepth = 3 // text_vocab_sketch: hash rows
   private val CmWidth = 1024 // text_vocab_sketch: buckets per row
+  // text_heavy_hitters: MG capacity vs report threshold. Guarantee needs
+  // capacity+1 > divisor (survivor bound n/1025 < threshold n/512).
+  private val HhCapacity = 1024
+  private val HhDivisor = 512
 
   // search_tfidf: the literal query-term set (present in the synthetic
   // corpus; any term set works — the plan shape is term-count-independent)
@@ -2085,6 +2089,33 @@ object TextAnalysis {
         .limit(VocabTopK)
     },
 
+    // Heavy hitters, EXACT at bounded memory: a native Misra–Gries
+    // aggregate (exprs/SketchAggs.scala, capacity 1024) carries a fixed
+    // ≤1024-entry buffer per partition — never the distinct-token universe
+    // — and its guarantee (every item with frequency > n/1025 survives)
+    // makes the candidate set a proven superset of everything above the
+    // n/512 report threshold. A broadcast-joined exact recount over the
+    // ≤1024 candidates then yields exactly the tokens with cnt·512 > n:
+    // the oracle states the plain full-aggregation SQL, and the sketch
+    // path must reproduce it bit-for-bit. This is the 100 TB shape for
+    // "what are the stop-words of this corpus": two linear scans, no
+    // vocabulary-sized shuffle.
+    "text_heavy_hitters" -> { (s, dir) =>
+      val tokens = Tables(s, dir, "documents")
+        .filter(col("text").isNotNull)
+        .select(explode(toks(col("text"))).as("token"))
+      val cands = tokens
+        .agg(graft.exprs.functions.misra_gries(col("token"), HhCapacity).as("c"))
+        .select(explode(col("c")).as("token"))
+      val total = tokens.agg(count(lit(1)).as("total"))
+      tokens.join(broadcast(cands), "token")
+        .groupBy("token").agg(count(lit(1)).as("cnt"))
+        .crossJoin(broadcast(total))
+        .filter(col("cnt") * HhDivisor > col("total"))
+        .select(col("token"), col("cnt"))
+        .orderBy(col("cnt").desc, col("token"))
+    },
+
     // Count-min-sketch vocabulary: the bounded-memory path for corpus
     // frequency profiling. The exact text_vocab aggregate carries one row
     // per distinct token through the shuffle; the sketch carries AT MOST
@@ -2891,6 +2922,16 @@ object TextAnalysis {
          |  count(DISTINCT doc_id) AS n_docs
          |FROM tokens GROUP BY 1
          |ORDER BY n_occurrences DESC, token LIMIT $VocabTopK""".stripMargin,
+
+    // The naive full-vocabulary statement of the same semantics: the MG
+    // candidate superset + exact recount must reproduce it exactly.
+    "text_heavy_hitters" ->
+      s"""WITH tokens AS (SELECT unnest(string_split_regex(text, '\\s+')) AS token
+         |  FROM documents WHERE text IS NOT NULL),
+         |tot AS (SELECT count(*) AS total FROM tokens)
+         |SELECT token, count(*) AS cnt FROM tokens, tot
+         |GROUP BY token, total HAVING count(*) * $HhDivisor > total
+         |ORDER BY cnt DESC, token""".stripMargin,
 
     "text_vocab_sketch" ->
       s"""WITH tokens AS (SELECT unnest(string_split_regex(text, '\\s+')) AS tok
