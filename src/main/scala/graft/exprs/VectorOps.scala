@@ -70,6 +70,23 @@ object VectorOps {
     }
     s
   }
+
+  /** Dense matrix–vector product: out(r) = Σ_c mat(r*cols + c) * v(c),
+    * left-to-right fold per row. The OPQ rotation kernel — mat rides the
+    * expression as one per-executor reference object. */
+  def matVec(v: ArrayData, mat: Array[Double], rows: Int, cols: Int): GenericArrayData = {
+    val out = new Array[Any](rows)
+    var r = 0
+    while (r < rows) {
+      var s = 0.0
+      var c = 0
+      val base = r * cols
+      while (c < cols) { s += mat(base + c) * v.getDouble(c); c += 1 }
+      out(r) = s
+      r += 1
+    }
+    new GenericArrayData(out)
+  }
 }
 
 /** Dot product over two array<double> columns (see [[VectorOps.dot]]). */
@@ -257,4 +274,23 @@ case class PqAdcCosine(
       f: Expression, s: Expression, t: Expression, q: Expression): PqAdcCosine =
     copy(first = f, second = s, third = t, fourth = q)
   override def prettyName: String = "pq_adc_cosine"
+}
+
+/** Dense mat-vec over an array<double> column (see [[VectorOps.matVec]]) —
+  * the OPQ rotation applied corpus-wide as one codegen'd pass. */
+case class MatVec(child: Expression, mat: Array[Double], rows: Int, cols: Int)
+    extends UnaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[org.apache.spark.sql.graftshim.Shim.AbstractType] =
+    Seq(ArrayType(DoubleType))
+  override def dataType: DataType = ArrayType(DoubleType)
+  override def nullSafeEval(a: Any): Any =
+    VectorOps.matVec(a.asInstanceOf[ArrayData], mat, rows, cols)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val mRef = ctx.addReferenceObj("matvecMat", mat, "double[]")
+    defineCodeGen(ctx, ev,
+      a => s"graft.exprs.VectorOps.matVec($a, $mRef, $rows, $cols)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): MatVec =
+    copy(child = newChild)
+  override def prettyName: String = "mat_vec"
 }

@@ -31,6 +31,11 @@ object functions {
   def pq_encode(r: Column, codebook: Array[Double], m: Int, k: Int): Column =
     Shim.column(PqEncode(Shim.expression(r), codebook, m, k))
 
+  /** Dense mat-vec: rotate/project an array<double> column by a flat
+    * row-major matrix reference object (see [[VectorOps.matVec]]). */
+  def mat_vec(v: Column, mat: Array[Double], rows: Int, cols: Int): Column =
+    Shim.column(MatVec(Shim.expression(v), mat, rows, cols))
+
   def adc_dot(codes: Column, lut: Column): Column =
     Shim.column(AdcDot(Shim.expression(codes), Shim.expression(lut)))
 

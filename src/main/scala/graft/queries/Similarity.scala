@@ -334,6 +334,28 @@ object Similarity {
         .orderBy("q_id", "rank")
     },
 
+    // IVF-PQ over an OPQ-rotated corpus (operators/OpqRotation.scala):
+    // the learned orthogonal rotation balances variance across the PQ
+    // sub-spaces before the SAME index machinery runs — cosines are
+    // rotation-invariant, so the exact rerank output stays externally
+    // checkable against the RAW embeddings (the shared ANN rerank band in
+    // oracle_check.py re-derives every reported cosine and rank from the
+    // unrotated table). Candidate selection quality changes (that's the
+    // point); candidate SCORING provably does not.
+    "ann_opq" -> { (s, dir) =>
+      val e = Tables(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      val r = graft.operators.OpqRotation.fit(e, m = PqM, kCodes = PqK)
+      val rot = e.select(col("vec_id"),
+        graft.operators.OpqRotation.rotate(col("v"), r, EmbDim).as("v"))
+      val idx = graft.operators.PqIndex.build(rot, m = PqM, kCodes = PqK)
+      val q = rot.filter(col("vec_id") < NumQueries)
+        .select(col("vec_id").as("q_id"), col("v").as("qv"))
+      graft.operators.PqIndex
+        .adcProbe(idx, q, nProbe = 2, topK = TopK, rerank = 4 * TopK)
+        .orderBy("q_id", "rank")
+    },
+
     // PQ code assignment with a DETERMINISTIC sampled codebook (the
     // k-means-free init every PQ trainer starts from: codebook = the
     // sub-vectors of the first PqK vec_ids): nearest-codebook-entry

@@ -74,7 +74,10 @@ _ANN_RERANK_SQL = (
     " JOIN embeddings q ON q.vec_id = r.q_id"
     " JOIN embeddings n ON n.vec_id = r.n_id"
     " ORDER BY r.q_id, r.n_id")
-for _n in ("ann_ivf_kmeans", "ann_ivf_persisted", "ann_ivf_pq"):
+# ann_opq probes an OPQ-ROTATED corpus, but rotation is orthogonal so its
+# exact-rerank cosines equal the raw-space ones within float ulps — the
+# same raw-embedding rerank certifies it.
+for _n in ("ann_ivf_kmeans", "ann_ivf_persisted", "ann_ivf_pq", "ann_opq"):
     BAND_SQL[_n] = (_ANN_RERANK_SQL, ["q_id", "n_id"], 1e-6)
 
 # ---- Pure-Python XXH64 (public spec, Cyan4973/xxHash) + the reference's
