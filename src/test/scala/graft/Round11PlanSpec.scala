@@ -82,4 +82,45 @@ class Round11PlanSpec extends AnyFunSuite {
       } finally snap.close()
     } finally server.close()
   }
+
+  // ---- extension-tier plan pins (fuzzy join / z-order / heavy hitters) ----
+
+  test("fuzzy_join_names plans NO cartesian/nested-loop join") {
+    // the whole point of prefix filtering is replacing the all-pairs
+    // product with equi-joins on gram keys; a regression to a cartesian
+    // would still pass the oracle at sf0.01 and then melt at scale
+    val q = graft.queries.Relational.queries("fuzzy_join_names")(spark, sfDir)
+    val p = q.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"),
+      s"fuzzy join must not plan a cartesian product:\n$p")
+    // the short-string block's length-band join is a nested loop over two
+    // near-empty sides — allowed ONLY under a broadcast
+    assert(!p.contains("CartesianProduct") &&
+      (!p.contains("NestedLoop") || p.contains("BroadcastNestedLoop")),
+      s"only broadcast nested loops (short block) are acceptable:\n$p")
+  }
+
+  test("layout_zorder keeps the interleave kernel inside codegen") {
+    val q = graft.queries.Relational.queries("layout_zorder")(spark, sfDir)
+    val formatted = q.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(formatted.contains("zorder16"),
+      s"the Morton kernel must appear in the plan:\n$formatted")
+    // AQE's pre-execution explain carries no codegen spans — execute,
+    // then read the FINAL plan, where codegen'd operators carry a *(n)
+    // stage star on the very Project holding the kernel
+    q.collect()
+    val fin = q.queryExecution.executedPlan.toString
+    assert("""\*\(\d+\) Project \[zorder16""".r.findFirstIn(fin).isDefined,
+      s"the key computation must run inside whole-stage codegen:\n$fin")
+  }
+
+  test("text_heavy_hitters: MG candidates broadcast; no vocabulary-wide shuffle before the candidate filter") {
+    val q = graft.queries.TextAnalysis.queries("text_heavy_hitters")(spark, sfDir)
+    val p = q.queryExecution.executedPlan.toString
+    assert(p.contains("misra_gries"),
+      s"the MG aggregate must be in the plan:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the candidate semi-join must broadcast the <=capacity list:\n$p")
+  }
 }
