@@ -11,6 +11,28 @@ import org.apache.spark.unsafe.types.UTF8String
 import java.io.{ByteArrayInputStream, ByteArrayOutputStream, DataInputStream, DataOutputStream}
 import scala.collection.mutable
 
+/** The Misra–Gries update/merge core, shared by the batch aggregate and
+  * the streaming twin (one definition of the compression rule). */
+object MisraGries {
+  /** Weighted add with capacity compression: insert, then if over
+    * capacity subtract the (capacity+1)-th largest count from every
+    * entry and drop non-positives — the mergeable-summaries rule, whose
+    * total subtracted mass (hence undercount) stays ≤ n/(capacity+1). */
+  def add[K](buf: mutable.HashMap[K, Long], key: K, w: Long, capacity: Int): Unit = {
+    buf.updateWith(key) {
+      case Some(c) => Some(c + w)
+      case None => Some(w)
+    }
+    if (buf.size > capacity) {
+      val counts = buf.values.toArray
+      java.util.Arrays.sort(counts)
+      val sub = counts(counts.length - (capacity + 1))
+      buf.filterInPlace((_, c) => c > sub)
+      buf.mapValuesInPlace((_, c) => c - sub)
+    }
+  }
+}
+
 /** Misra–Gries heavy-hitter summary as a native Catalyst aggregate.
   *
   * The classic frequent-items sketch (Misra & Gries 1982), with the
@@ -49,21 +71,8 @@ case class MisraGriesAgg(
     mutable.HashMap.empty
 
   private def add(buf: mutable.HashMap[UTF8String, Long],
-      key: UTF8String, w: Long): Unit = {
-    buf.updateWith(key) {
-      case Some(c) => Some(c + w)
-      case None => Some(w)
-    }
-    if (buf.size > capacity) {
-      // subtract the (capacity+1)-th largest count from everything; at
-      // least one entry (that one) reaches zero and drops.
-      val counts = buf.values.toArray
-      java.util.Arrays.sort(counts)
-      val sub = counts(counts.length - (capacity + 1))
-      buf.filterInPlace((_, c) => c > sub)
-      buf.mapValuesInPlace((_, c) => c - sub)
-    }
-  }
+      key: UTF8String, w: Long): Unit =
+    MisraGries.add(buf, key, w, capacity)
 
   override def update(buf: mutable.HashMap[UTF8String, Long],
       input: InternalRow): mutable.HashMap[UTF8String, Long] = {

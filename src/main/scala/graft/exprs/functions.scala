@@ -31,6 +31,11 @@ object functions {
   def pq_encode(r: Column, codebook: Array[Double], m: Int, k: Int): Column =
     Shim.column(PqEncode(Shim.expression(r), codebook, m, k))
 
+  /** Banded edit distance with threshold: the distance if ≤ k, else −1
+    * (see [[EditDistanceOps.within]]) — the fuzzy-join verify kernel. */
+  def edit_distance_within(a: Column, b: Column, k: Int): Column =
+    Shim.column(EditDistanceWithin(Shim.expression(a), Shim.expression(b), k))
+
   /** Dense mat-vec: rotate/project an array<double> column by a flat
     * row-major matrix reference object (see [[VectorOps.matVec]]). */
   def mat_vec(v: Column, mat: Array[Double], rows: Int, cols: Int): Column =

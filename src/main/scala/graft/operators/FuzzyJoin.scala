@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.{Column, functions => F}
+import org.apache.spark.sql.Column
 
 /** Edit-distance similarity join (record linkage) via q-gram prefix
   * filtering — the Ed-Join candidate-generation scheme (Xiao, Wang, Lin,
@@ -80,15 +80,24 @@ object FuzzyJoin {
     val g = gramRows(names, q)
     val dfTable = g.groupBy("g").agg(count(lit(1)).as("df"))
     val prefix = prefixRows(g, dfTable, q, k)
+    // length band is free (ed ≤ k ⟹ |len diff| ≤ k) and cuts candidates
+    // before they exist as rows
     val cand = prefix.as("a").join(prefix.as("b"),
-        col("a.g") === col("b.g") && col("a.s") < col("b.s"))
+        col("a.g") === col("b.g") && col("a.s") < col("b.s") &&
+          abs(length(col("a.s")) - length(col("b.s"))) <= k)
       .select(col("a.s").as("name_a"), col("b.s").as("name_b"))
     val shorts = names.filter(length(col("s")) <= shortLen(q, k))
     val shortPairs = shorts.as("a").join(shorts.as("b"),
         col("a.s") < col("b.s") &&
           abs(length(col("a.s")) - length(col("b.s"))) <= k)
       .select(col("a.s").as("name_a"), col("b.s").as("name_b"))
-    verify(cand.union(shortPairs).distinct(), "name_a", "name_b", k)
+    // verify BEFORE dedup: the banded levenshtein is ~100 ns/candidate,
+    // while a distinct over the raw candidate pairs is a full shuffle of
+    // the (hot-gram-amplified) pair stream — measured 33 s vs 2 s at
+    // sf0.1 on the adversarial constant-prefix names. Duplicated
+    // candidates (pairs sharing several prefix grams, ≤ (kq+1)² of them)
+    // re-verify cheaply and collapse in the output-sized distinct.
+    verify(cand.union(shortPairs), "name_a", "name_b", k).distinct()
   }
 
   /** All (probe, candidate, dist) with ed ≤ k between distinct probe
@@ -104,21 +113,33 @@ object FuzzyJoin {
     val cg = gramRows(c, q)
     val dfTable = pg.union(cg).groupBy("g").agg(count(lit(1)).as("df"))
     val cand = prefixRows(pg, dfTable, q, k).as("a")
-      .join(prefixRows(cg, dfTable, q, k).as("b"), col("a.g") === col("b.g"))
+      .join(prefixRows(cg, dfTable, q, k).as("b"),
+        col("a.g") === col("b.g") &&
+          abs(length(col("a.s")) - length(col("b.s"))) <= k)
       .select(col("a.s").as("probe"), col("b.s").as("candidate"))
     val shortPairs = p.filter(length(col("s")) <= shortLen(q, k)).as("a")
       .join(c.filter(length(col("s")) <= shortLen(q, k)).as("b"),
         abs(length(col("a.s")) - length(col("b.s"))) <= k)
       .select(col("a.s").as("probe"), col("b.s").as("candidate"))
-    verify(cand.union(shortPairs).distinct(), "probe", "candidate", k)
+    // verify-then-distinct: see selfJoin — dedup the output, not the
+    // hot-gram-amplified candidate stream
+    verify(cand.union(shortPairs), "probe", "candidate", k).distinct()
   }
 
   /** Banded verification: Spark's threshold form returns −1 above k, so
     * the per-pair cost is O(k·len), not the full DP table. */
+  /** Banded verification through the native kernel
+    * ([[graft.exprs.EditDistanceOps.within]]): distance if ≤ k, else −1.
+    * Spark's built-in `levenshtein(l, r, threshold)` measured ~3.4 µs per
+    * pair on the sf0.1 verify hot path (10.6M candidates → 35 s); the
+    * codegen'd band runs the same semantics an order of magnitude
+    * faster — verification IS the fuzzy join's inner loop at scale. */
   private def verify(pairs: DataFrame, a: String, b: String, k: Int): DataFrame =
     pairs
       // long, not int: DuckDB's levenshtein is BIGINT and the driver's
       // result hash is dtype-sensitive
-      .withColumn("dist", F.levenshtein(col(a), col(b), k).cast("long"))
+      .withColumn("dist",
+        graft.exprs.functions.edit_distance_within(col(a), col(b), k)
+          .cast("long"))
       .filter(col("dist") >= 0 && col("dist") <= k)
 }

@@ -52,6 +52,17 @@ final case class SpanDupFlag(doc_id: Long, chunk_hash: String)
   * guards any future routing change the schema check alone can't see. */
 final case class SpanBloom(routeV: Int, words: Seq[Long])
 
+/** A streaming heavy-hitter candidate ([[StreamOps.heavyHittersStream]]):
+  * `token` is currently held by shard `shard`'s Misra–Gries buffer with
+  * MG count `lower_bound` (a guaranteed UNDERcount: true count ≥
+  * lower_bound, and ≤ lower_bound + shard_total/(capacity+1)). */
+final case class HeavyHitterCandidate(
+    shard: Long, token: String, lower_bound: Long, shard_total: Long)
+
+/** State for one heavy-hitter shard: the MG buffer (≤ capacity entries —
+  * the hard state bound) and the shard's total token count. */
+final case class HhShardState(items: Seq[(String, Long)], total: Long)
+
 /** A streaming pack assignment: where `doc_id` landed in its bucket's
   * concat-and-chunk token stream (same output contract as the batch
   * `pack_sequences`). Top-level so the product encoder resolves. */
@@ -1215,6 +1226,55 @@ object StreamOps {
     *                  `length(textCol)` (match the batch table's own
     *                  n_chars definition)
     */
+  /** Streaming heavy hitters — the [[graft.queries.TextAnalysis]]
+    * text_heavy_hitters candidate generator as a continuous view. Tokens
+    * route to a shard by token hash, so EVERY occurrence of a token lands
+    * in one shard and the shard's Misra–Gries buffer (the batch
+    * aggregate's exact update rule — one definition,
+    * [[graft.exprs.MisraGries.add]]) sees the token's full stream
+    * frequency. The MG survivor bound only TIGHTENS under sharding
+    * (undercount ≤ shard_total/(capacity+1) ≤ n/(capacity+1)), so at any
+    * point the union of shard candidates is a SUPERSET of the global
+    * heavy hitters over everything ingested so far — the same
+    * superset-then-recount contract the batch entry's oracle rests on
+    * (recount exactly downstream when exact counts are needed).
+    *
+    * State: one ≤capacity-entry map + one counter per shard, FOREVER —
+    * state never grows with stream volume. Emissions (update mode): each
+    * shard's full candidate list per micro-batch that touched it,
+    * ≤ shards × capacity rows per batch.
+    */
+  def heavyHittersStream(
+      docs: DataFrame,
+      textCol: String,
+      capacity: Int = 1024,
+      shards: Int = 32): Dataset[HeavyHitterCandidate] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val tokens = docs.filter(col(textCol).isNotNull)
+      .select(explode(split(col(textCol), "\\s+")).as("token"))
+      .select(col("token"), pmod(xxhash64(col("token")), lit(shards.toLong))
+        .as("shard"))
+      .as[(String, Long)]
+    tokens.groupByKey(_._2)
+      .flatMapGroupsWithState(
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (shard: Long, rows: Iterator[(String, Long)],
+         state: GroupState[HhShardState]) =>
+          val st = state.getOption.getOrElse(HhShardState(Nil, 0L))
+          val buf = scala.collection.mutable.HashMap.from(st.items)
+          var total = st.total
+          rows.foreach { case (tok, _) =>
+            graft.exprs.MisraGries.add(buf, tok, 1L, capacity)
+            total += 1
+          }
+          state.update(HhShardState(buf.toSeq.sortBy(_._1), total))
+          buf.toSeq.sortBy(_._1).map { case (tok, c) =>
+            HeavyHitterCandidate(shard, tok, c, total)
+          }.iterator
+      }
+  }
+
   def corpusReportStream(
       docs: DataFrame, tsCol: String, textCol: String,
       srcCol: String, langCol: String,

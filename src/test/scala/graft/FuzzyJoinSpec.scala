@@ -36,6 +36,22 @@ class FuzzyJoinSpec extends AnyFunSuite {
     FuzzyJoin.selfJoin(names.toDF("s"), "s", q, k)
       .as[(String, String, Long)].collect().toSet
 
+  test("banded edit-distance kernel matches full DP (property)") {
+    val rnd = new scala.util.Random(23)
+    def u(s: String) = org.apache.spark.unsafe.types.UTF8String.fromString(s)
+    for (_ <- 0 until 4000) {
+      val la = rnd.nextInt(12)
+      val a = (0 until la).map(_ => ('a' + rnd.nextInt(3)).toChar).mkString
+      val b = (0 until rnd.nextInt(12)).map(_ =>
+        ('a' + rnd.nextInt(3)).toChar).mkString
+      val k = rnd.nextInt(4)
+      val full = lev(a, b)
+      val want = if (full <= k) full else -1
+      val got = graft.exprs.EditDistanceOps.within(u(a), u(b), k)
+      assert(got === want, s"within('$a','$b',$k)")
+    }
+  }
+
   // The counterexample family that breaks naive q-gram blocking: a middle
   // substitution in a length-3 string destroys BOTH its bigrams ("abc" vs
   // "aXc" share no gram). The short block must still pair them.

@@ -1535,4 +1535,46 @@ class StreamingSpec extends AnyFunSuite {
         s"no-false-negative contract broken: ${missed.take(3)}")
     } finally q.stop()
   }
+
+  test("heavyHittersStream: candidates are a superset of batch heavy hitters; counts are sound lower bounds") {
+    val sparkS = spark
+    import sparkS.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val sfDir = "/root/testdata/sf0.001"
+    import org.apache.spark.sql.functions._
+    val texts = graft.util.Tables(spark, sfDir, "documents")
+      .filter(col("text").isNotNull)
+      .select("text").collect().map(_.getString(0))
+    val capacity = 64
+    val shards = 8
+    val mem = MemoryStream[String]
+    val q = StreamOps.heavyHittersStream(
+        mem.toDF().toDF("text"), "text", capacity, shards)
+      .writeStream.format("memory").queryName("hhcands")
+      .outputMode("update").start()
+    try {
+      // split across micro-batches so candidates must survive through state
+      val (h1, h2) = texts.splitAt(texts.length / 2)
+      mem.addData(h1.toIndexedSeq); q.processAllAvailable()
+      mem.addData(h2.toIndexedSeq); q.processAllAvailable()
+      // last emission per (shard, token) is the current buffer view
+      val cands = spark.table("hhcands")
+        .groupBy("shard", "token")
+        .agg(max("lower_bound").as("lb"))
+        .collect().map(r => r.getString(1) -> r.getLong(2)).toMap
+      val truth = texts.flatMap(_.split("\\s+")).filterNot(_.isEmpty)
+        .groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val n = truth.values.sum
+      // survivor guarantee: freq > n/(capacity+1) must be held somewhere
+      val mustSurvive = truth.filter(_._2 > n.toDouble / (capacity + 1)).keys
+      val missing = mustSurvive.filterNot(cands.contains)
+      assert(missing.isEmpty, s"lost heavy hitters: ${missing.take(5)}")
+      // every emitted count is a lower bound on the true count
+      // (max over emissions is still an MG count, hence still a bound)
+      cands.foreach { case (tok, lb) =>
+        assert(lb <= truth.getOrElse(tok, 0L),
+          s"MG count must undercount: $tok lb=$lb true=${truth.get(tok)}")
+      }
+    } finally q.stop()
+  }
 }
