@@ -31,6 +31,11 @@ object functions {
   def pq_encode(r: Column, codebook: Array[Double], m: Int, k: Int): Column =
     Shim.column(PqEncode(Shim.expression(r), codebook, m, k))
 
+  /** One-pass Aho–Corasick multi-keyword scan: per-keyword occurrence
+    * counts, overlapping included (see [[KeywordTable.scan]]). */
+  def keyword_scan(text: Column, table: KeywordTable): Column =
+    Shim.column(KeywordScan(Shim.expression(text), table))
+
   /** Banded edit distance with threshold: the distance if ≤ k, else −1
     * (see [[EditDistanceOps.within]]) — the fuzzy-join verify kernel. */
   def edit_distance_within(a: Column, b: Column, k: Int): Column =

@@ -504,6 +504,10 @@ object TextAnalysis {
   // capacity+1 > divisor (survivor bound n/1025 < threshold n/512).
   private val HhCapacity = 1024
   private val HhDivisor = 512
+  // text_keyword_scan: the watch-list (substring semantics, overlapping
+  // occurrences counted — e.g. "stream" matches inside "streaming").
+  // Sorted so keyword id = list position = oracle VALUES order.
+  private val ScanKeywords = Seq("data", "log", "merge", "stream", "vector")
 
   // search_tfidf: the literal query-term set (present in the synthetic
   // corpus; any term set works — the plan shape is term-count-independent)
@@ -2116,6 +2120,29 @@ object TextAnalysis {
         .orderBy(col("cnt").desc, col("token"))
     },
 
+    // Multi-keyword substring scan: ONE Aho–Corasick pass over the corpus
+    // counts every (overlapping) occurrence of every watch-list keyword —
+    // the naive plan is |keywords| independent substring scans (k passes
+    // over a 100 TB corpus); the automaton is one, as a codegen'd
+    // expression with the trie riding as a reference object. Oracle:
+    // DuckDB counts occurrences position-by-position (substr equality at
+    // every start), which is exactly the overlap-counting semantics.
+    "text_keyword_scan" -> { (s, dir) =>
+      val table = new graft.exprs.KeywordTable(ScanKeywords)
+      val kw = s.createDataFrame(
+        ScanKeywords.zipWithIndex.map { case (k, i) => (i, k) })
+        .toDF("kid", "kw")
+      Tables(s, dir, "documents").filter(col("text").isNotNull)
+        .select(graft.exprs.functions.keyword_scan(col("text"), table).as("c"))
+        .select(posexplode(col("c")).as(Seq("kid", "n")))
+        .groupBy("kid")
+        .agg(sum(col("n")).as("total_occurrences"),
+          count(when(col("n") > 0, 1)).as("n_docs"))
+        .join(broadcast(kw), "kid")
+        .select(col("kw"), col("total_occurrences"), col("n_docs"))
+        .orderBy("kw")
+    },
+
     // Count-min-sketch vocabulary: the bounded-memory path for corpus
     // frequency profiling. The exact text_vocab aggregate carries one row
     // per distinct token through the shuffle; the sketch carries AT MOST
@@ -2922,6 +2949,28 @@ object TextAnalysis {
          |  count(DISTINCT doc_id) AS n_docs
          |FROM tokens GROUP BY 1
          |ORDER BY n_occurrences DESC, token LIMIT $VocabTopK""".stripMargin,
+
+    // Position-by-position statement of overlap-counting substring
+    // occurrences — exactly the AC automaton's semantics, independently.
+    // (range() can't take correlated bounds in DuckDB, so the position
+    // axis is a constant 8192 — generous over the corpus's ≤553-char
+    // docs — filtered per (doc, kw) by the real length bound.)
+    "text_keyword_scan" -> {
+      val values = ScanKeywords.map(k => s"('$k')").mkString(", ")
+      s"""WITH kws(kw) AS (VALUES $values),
+         |pos AS (SELECT range::INT AS p FROM range(1, 8193)),
+         |occ AS (
+         |  SELECT d.doc_id, k.kw,
+         |    count(CASE WHEN substr(d.text, pos.p, length(k.kw)) = k.kw
+         |               THEN 1 END) AS n
+         |  FROM documents d, kws k, pos
+         |  WHERE d.text IS NOT NULL
+         |    AND pos.p <= length(d.text) - length(k.kw) + 1
+         |  GROUP BY d.doc_id, k.kw)
+         |SELECT kw, CAST(sum(n) AS BIGINT) AS total_occurrences,
+         |  count(CASE WHEN n > 0 THEN 1 END) AS n_docs
+         |FROM occ GROUP BY kw ORDER BY kw""".stripMargin
+    },
 
     // The naive full-vocabulary statement of the same semantics: the MG
     // candidate superset + exact recount must reproduce it exactly.

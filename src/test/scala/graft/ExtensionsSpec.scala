@@ -61,6 +61,6 @@ class ExtensionsSpec extends AnyFunSuite {
     // and that a fresh apply throws nothing (injection is additive)
     assert(GraftExtensions.builders.map(_._1).distinct.size
       == GraftExtensions.builders.size)
-    assert(GraftExtensions.builders.size == 13)
+    assert(GraftExtensions.builders.size == 14) // +zorder16 in round 11
   }
 }
