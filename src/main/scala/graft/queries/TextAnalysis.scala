@@ -2120,6 +2120,26 @@ object TextAnalysis {
         .orderBy(col("cnt").desc, col("token"))
     },
 
+    // Per-group heavy hitters: the MG aggregate composes with groupBy —
+    // one bounded buffer PER LANGUAGE rides the same partial/final
+    // aggregation, and the exact recount joins back on (lang, token).
+    // Same guarantee arithmetic per group (each group's n is its own).
+    "text_heavy_hitters_by_lang" -> { (s, dir) =>
+      val tokens = Tables(s, dir, "documents")
+        .filter(col("text").isNotNull && col("lang").isNotNull)
+        .select(col("lang"), explode(toks(col("text"))).as("token"))
+      val cands = tokens.groupBy("lang")
+        .agg(graft.exprs.functions.misra_gries(col("token"), HhCapacity).as("c"))
+        .select(col("lang"), explode(col("c")).as("token"))
+      val totals = tokens.groupBy("lang").agg(count(lit(1)).as("total"))
+      tokens.join(broadcast(cands), Seq("lang", "token"))
+        .groupBy("lang", "token").agg(count(lit(1)).as("cnt"))
+        .join(broadcast(totals), "lang")
+        .filter(col("cnt") * HhDivisor > col("total"))
+        .select(col("lang"), col("token"), col("cnt"))
+        .orderBy(col("lang"), col("cnt").desc, col("token"))
+    },
+
     // Multi-keyword substring scan: ONE Aho–Corasick pass over the corpus
     // counts every (overlapping) occurrence of every watch-list keyword —
     // the naive plan is |keywords| independent substring scans (k passes
@@ -2949,6 +2969,16 @@ object TextAnalysis {
          |  count(DISTINCT doc_id) AS n_docs
          |FROM tokens GROUP BY 1
          |ORDER BY n_occurrences DESC, token LIMIT $VocabTopK""".stripMargin,
+
+    "text_heavy_hitters_by_lang" ->
+      s"""WITH tokens AS (SELECT lang,
+         |    unnest(string_split_regex(text, '\\s+')) AS token
+         |  FROM documents WHERE text IS NOT NULL AND lang IS NOT NULL),
+         |tot AS (SELECT lang, count(*) AS total FROM tokens GROUP BY lang)
+         |SELECT t.lang AS lang, token, count(*) AS cnt
+         |FROM tokens t JOIN tot ON t.lang = tot.lang
+         |GROUP BY t.lang, token, total HAVING count(*) * $HhDivisor > total
+         |ORDER BY t.lang, cnt DESC, token""".stripMargin,
 
     // Position-by-position statement of overlap-counting substring
     // occurrences — exactly the AC automaton's semantics, independently.

@@ -1226,6 +1226,38 @@ object StreamOps {
     *                  `length(textCol)` (match the batch table's own
     *                  n_chars definition)
     */
+  /** Streaming sessionization — the events_sessionize batch entry as a
+    * continuous view, built ENTIRELY from Spark's native `session_window`
+    * (merging session windows + watermark state eviction; no custom
+    * state code to maintain). Emits one row per CLOSED session in append
+    * mode once the watermark passes the session's gap.
+    *
+    * Semantics vs batch: batch starts a new session when the gap is
+    * STRICTLY greater than `gap`; session_window's half-open [t, t+gap)
+    * windows split at exactly-equal gaps. The boundary case requires a
+    * gap of exactly `gap` microseconds — measure-zero in event data and
+    * absent from the test corpus (StreamingSpec compares the full
+    * per-user session lists against the batch entry).
+    *
+    * Output times are MICROSECONDS since epoch (the batch entry's unit).
+    * State: one open session per active user, evicted at watermark —
+    * bounded by concurrently-active users, not stream volume. */
+  def sessionizeStream(
+      events: DataFrame,
+      tsCol: String,
+      userCol: String,
+      gap: String = "30 minutes",
+      delay: String = "10 minutes"): DataFrame =
+    events
+      // ns → µs → timestamp (ts ≥ 0 so integer div = floor, like batch)
+      .withColumn("__t", timestamp_micros(expr(s"$tsCol div 1000")))
+      .withWatermark("__t", delay)
+      .groupBy(col(userCol), session_window(col("__t"), gap))
+      .agg(count(lit(1)).as("n_events"),
+        unix_micros(min(col("__t"))).as("t_start"),
+        unix_micros(max(col("__t"))).as("t_end"))
+      .select(col(userCol), col("t_start"), col("t_end"), col("n_events"))
+
   /** Streaming heavy hitters — the [[graft.queries.TextAnalysis]]
     * text_heavy_hitters candidate generator as a continuous view. Tokens
     * route to a shard by token hash, so EVERY occurrence of a token lands

@@ -1536,6 +1536,45 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("sessionizeStream: closed sessions equal the batch events_sessionize entry") {
+    val sparkS = spark
+    import sparkS.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val sfDir = "/root/testdata/sf0.001"
+    import org.apache.spark.sql.functions._
+    val ev = graft.util.Tables(spark, sfDir, "events")
+      .select("ts", "user_id").as[(Long, Long)].collect()
+    val mem = MemoryStream[(Long, Long)]
+    val q = StreamOps.sessionizeStream(
+        mem.toDF().toDF("ts", "user_id"), "ts", "user_id")
+      .writeStream.format("memory").queryName("sessions")
+      .outputMode("append").start()
+    try {
+      val (h1, h2) = ev.splitAt(ev.length / 2)
+      mem.addData(h1.toIndexedSeq); q.processAllAvailable()
+      mem.addData(h2.toIndexedSeq); q.processAllAvailable()
+      // a far-future sentinel (dummy user) drives the watermark past
+      // every real session so append mode flushes them all
+      val sentinelTs = ev.map(_._1).max + 365L * 24 * 3600 * 1000000000L
+      mem.addData(Seq((sentinelTs, -1L))); q.processAllAvailable()
+      val got = spark.table("sessions")
+        .filter(col("user_id") =!= -1L)
+        .select("user_id", "t_start", "t_end", "n_events")
+        .as[(Long, Long, Long, Long)].collect()
+        .groupBy(_._1).view
+        .mapValues(_.sortBy(_._2).map(s => (s._2, s._3, s._4)).toSeq).toMap
+      val want = SparkEntry.queries("events_sessionize")(spark, sfDir)
+        .select("user_id", "t_start", "t_end", "n_events")
+        .as[(Long, Long, Long, Long)].collect()
+        .groupBy(_._1).view
+        .mapValues(_.sortBy(_._2).map(s => (s._2, s._3, s._4)).toSeq).toMap
+      assert(got.keySet === want.keySet)
+      want.foreach { case (u, sessions) =>
+        assert(got(u) === sessions, s"user $u sessions differ")
+      }
+    } finally q.stop()
+  }
+
   test("heavyHittersStream: candidates are a superset of batch heavy hitters; counts are sound lower bounds") {
     val sparkS = spark
     import sparkS.implicits._
