@@ -332,4 +332,52 @@ class LiveServeSpec extends AnyFunSuite {
         snap.df.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]])
       .isEmpty, "no cached plan may outlive its handle")
   }
+
+  test("LiveAnnServer serves an OPQ-rotated index; rerank cosines stay raw-space") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val emb = graft.util.Tables(spark, sfDir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val d = 64
+    val r = graft.operators.OpqRotation.fit(emb, m = 8, kCodes = 16)
+    val rot = emb.select(col("vec_id"),
+      graft.operators.OpqRotation.rotate(col("v"), r, d).as("v"))
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-liveopq").toString
+    PqIndex.build(rot, m = 8, kCodes = 16, coarseK = 4).save(dir)
+    // serving pattern: rotate the incoming query stream with the SAME
+    // column transform the corpus used — composable, no server changes
+    val results = new java.util.concurrent.ConcurrentHashMap[
+      Long, Seq[(Long, Double)]]()
+    val server = new LiveAnnServer(spark, dir, nProbe = 4, topK = 5,
+      rerank = 50)
+    val mem = MemoryStream[(Long, Seq[Double])]
+    val rotatedStream = mem.toDF().toDF("q_id", "qv")
+      .select(col("q_id"),
+        graft.operators.OpqRotation.rotate(col("qv"), r, d).as("qv"))
+    val q = server.serve(rotatedStream, "q_id", "qv") { out =>
+      out.collect().groupBy(_.getLong(0)).foreach { case (qid, rows) =>
+        results.put(qid,
+          rows.map(x => (x.getLong(1), x.getDouble(3))).toSeq.sortBy(_._1))
+      }
+    }
+    try {
+      val raw = emb.as[(Long, Seq[Double])].collect().toMap
+      mem.addData((9000001L, raw(3L)), (9000002L, raw(7L)))
+      q.processAllAvailable()
+      def cos(a: Seq[Double], b: Seq[Double]): Double = {
+        val num = a.zip(b).map(p => p._1 * p._2).sum
+        num / (math.sqrt(a.map(x => x * x).sum) *
+          math.sqrt(b.map(x => x * x).sum))
+      }
+      Seq(9000001L -> 3L, 9000002L -> 7L).foreach { case (qid, src) =>
+        val got = results.get(qid)
+        assert(got != null && got.nonEmpty)
+        got.foreach { case (nId, c) =>
+          assert(math.abs(c - cos(raw(src), raw(nId))) < 1e-9,
+            s"served cosine must equal raw-space cosine for ($qid,$nId)")
+        }
+      }
+    } finally { q.stop(); server.close() }
+  }
 }
