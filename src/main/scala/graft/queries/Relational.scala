@@ -386,6 +386,34 @@ object Relational {
         .orderBy("zbucket")
     },
 
+    // Entity resolution, the record-linkage endpoint: connected
+    // components over the fuzzy-pair graph (distance ≤ 2 on part names)
+    // collapse variant spellings into one entity; entity label = the
+    // MINIMUM name in the component (computed as a window min, so it
+    // never depends on the hash-id order the CC operator runs on). The
+    // oracle restates the closure as a recursive CTE over the naive
+    // quadratic pair set — valid end-to-end because the prefix filter
+    // loses no pair and CC is order-independent.
+    "fuzzy_entities" -> { (s, dir) =>
+      val part = Tables(s, dir, "part")
+      val names = part.select(col("p_name").as("s"))
+        .filter(col("s").isNotNull).distinct()
+      val ids = names.select(col("s"), xxhash64(col("s")).as("id"))
+      val pairs = graft.operators.FuzzyJoin.selfJoin(part, "p_name", q = 2, k = 2)
+      val epairs = pairs
+        .join(ids.select(col("s").as("name_a"), col("id").as("u")), "name_a")
+        .join(ids.select(col("s").as("name_b"), col("id").as("v")), "name_b")
+        .select("u", "v")
+      val cc = graft.operators.ConnectedComponents
+        .run(ids.select("id"), epairs)
+      val w = Window.partitionBy("component")
+      ids.join(cc, "id")
+        .select(col("s").as("p_name"),
+          min(col("s")).over(w).as("entity"),
+          count(lit(1)).over(w).as("entity_size"))
+        .orderBy("p_name")
+    },
+
     // Asymmetric fuzzy match: a deterministically "dirtied" probe side
     // (catalog names minus their last character — the oracle derives the
     // identical probes in SQL) resolved against the clean part-name
@@ -609,6 +637,23 @@ object Relational {
          |SELECT z >> 24 AS zbucket, count(*) AS n, min(z) AS zmin, max(z) AS zmax
          |FROM z GROUP BY zbucket ORDER BY zbucket""".stripMargin
     },
+
+    "fuzzy_entities" ->
+      """WITH RECURSIVE n AS (
+        |  SELECT DISTINCT p_name FROM part WHERE p_name IS NOT NULL),
+        |p AS (SELECT a.p_name AS u, b.p_name AS v
+        |      FROM n a JOIN n b ON a.p_name < b.p_name
+        |      WHERE levenshtein(a.p_name, b.p_name) <= 2),
+        |edges AS (SELECT u, v FROM p UNION SELECT v, u FROM p),
+        |reach AS (
+        |  SELECT p_name AS id, p_name AS lab FROM n
+        |  UNION
+        |  SELECT e.v AS id, r.lab AS lab
+        |  FROM reach r JOIN edges e ON e.u = r.id),
+        |cl AS (SELECT id AS p_name, min(lab) AS entity FROM reach GROUP BY id)
+        |SELECT p_name, entity,
+        |  count(*) OVER (PARTITION BY entity) AS entity_size
+        |FROM cl ORDER BY p_name""".stripMargin,
 
     "fuzzy_match_catalog" ->
       """WITH cat AS (SELECT DISTINCT p_name FROM part WHERE p_name IS NOT NULL),
