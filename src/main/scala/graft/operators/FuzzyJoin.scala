@@ -128,6 +128,70 @@ object FuzzyJoin {
 
   /** Banded verification: Spark's threshold form returns −1 above k, so
     * the per-pair cost is O(k·len), not the full DP table. */
+  /** Distinct-gram ceiling for [[matchStream]]'s plan-literal df map —
+    * the same plan-literal discipline as the streaming Bloom filter's
+    * bitmap ceiling: beyond it, the map rides every serialized task. */
+  private val MaxStreamCatalogGrams = 65536
+
+  /** STREAM-STATIC fuzzy match: a streaming probe column resolved
+    * against a static catalog — live entity lookup at ingest. The
+    * catalog prefix index is a static plan (re-read per micro-batch,
+    * like the ANN stream-static probe); the probe side computes its
+    * OWN prefix per row, with no streaming aggregation: probe grams
+    * rank against the catalog's df map embedded as a plan literal
+    * (bounded by [[MaxStreamCatalogGrams]] distinct grams — tiny for
+    * q=2), sorted inside an array. The global order comes from the
+    * CATALOG ALONE — a stream can't be df-counted up front, and the
+    * prefix-filter theorem holds under ANY one consistent order; grams
+    * unseen in the catalog take df 0 and merely occupy prefix slots.
+    * Candidate dedup is a windowed (probe, candidate) aggregate —
+    * bounded state, append emission on watermark close.
+    *
+    * @return (win_start, probe, candidate, dist) per closed window */
+  def matchStream(probes: DataFrame, tsCol: String, probeCol: String,
+      catalog: DataFrame, catCol: String, q: Int, k: Int,
+      win: String = "10 seconds", delay: String = "10 seconds"): DataFrame = {
+    val c = catalog.select(col(catCol).as("s"))
+      .filter(col("s").isNotNull).distinct()
+    val cg = gramRows(c, q)
+    val dfTable = cg.groupBy("g").agg(count(lit(1)).as("df"))
+    val catPrefix = prefixRows(cg, dfTable, q, k)
+    val catShort = c.filter(length(col("s")) <= shortLen(q, k))
+    val dfRows = dfTable.collect() // ≤ catalog distinct grams, checked:
+    require(dfRows.length <= MaxStreamCatalogGrams,
+      s"catalog has ${dfRows.length} distinct $q-grams — beyond the " +
+        s"$MaxStreamCatalogGrams plan-literal ceiling; use batch matchJoin")
+    val dfLit = typedLit(
+      dfRows.map(r => r.getString(0) -> r.getLong(1)).toMap)
+    val pRows = probes
+      .select(col(tsCol).cast("timestamp").as("__ts"),
+        col(probeCol).as("s"))
+      .filter(col("s").isNotNull)
+      .withWatermark("__ts", delay)
+    val probePrefix = pRows
+      .withColumn("ranked", slice(array_sort(
+        transform(qgrams(col("s"), q), g =>
+          struct(coalesce(element_at(dfLit, g), lit(0L)).as("df"),
+            g.as("g")))), 1, k * q + 1))
+      .select(col("__ts"), col("s"), explode(col("ranked")).as("t"))
+      .select(col("__ts"), col("s"), col("t.g").as("g"))
+    val cand = probePrefix.as("a")
+      .join(catPrefix.as("b"),
+        col("a.g") === col("b.g") &&
+          abs(length(col("a.s")) - length(col("b.s"))) <= k)
+      .select(col("__ts"), col("a.s").as("probe"), col("b.s").as("candidate"))
+    val shortPairs = pRows
+      .filter(length(col("s")) <= shortLen(q, k)).as("a")
+      .join(catShort.as("b"),
+        abs(length(col("a.s")) - length(col("b.s"))) <= k)
+      .select(col("__ts"), col("a.s").as("probe"), col("b.s").as("candidate"))
+    verify(cand.unionByName(shortPairs), "probe", "candidate", k)
+      .groupBy(window(col("__ts"), win), col("probe"), col("candidate"))
+      .agg(min(col("dist")).as("dist"))
+      .select(col("window.start").as("win_start"),
+        col("probe"), col("candidate"), col("dist"))
+  }
+
   /** Banded verification through the native kernel
     * ([[graft.exprs.EditDistanceOps.within]]): distance if ≤ k, else −1.
     * Spark's built-in `levenshtein(l, r, threshold)` measured ~3.4 µs per

@@ -1536,6 +1536,44 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("FuzzyJoin.matchStream: streamed probes match the batch matchJoin pair set") {
+    val sparkS = spark
+    import sparkS.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val sfDir = "/root/testdata/sf0.001"
+    import org.apache.spark.sql.functions._
+    val part = graft.util.Tables(spark, sfDir, "part")
+    val catalog = part.select(col("p_name")).distinct()
+    // dirty probes: names minus their last character (the
+    // fuzzy_match_catalog derivation), plus shorts to hit that block
+    val probes = part.select(
+        col("p_name").substr(lit(1), length(col("p_name")) - 1).as("dirty"))
+      .distinct().as[String].collect() ++ Seq("ab", "zz")
+    val mem = MemoryStream[(java.sql.Timestamp, String)]
+    val q = graft.operators.FuzzyJoin.matchStream(
+        mem.toDF().toDF("ts", "dirty"), "ts", "dirty",
+        catalog, "p_name", q = 2, k = 1)
+      .writeStream.format("memory").queryName("fuzzymatches")
+      .outputMode("append").start()
+    try {
+      val t0 = new java.sql.Timestamp(1000L)
+      val (h1, h2) = probes.splitAt(probes.length / 2)
+      mem.addData(h1.map((t0, _)).toIndexedSeq); q.processAllAvailable()
+      mem.addData(h2.map((t0, _)).toIndexedSeq); q.processAllAvailable()
+      // sentinel far in the future closes the window for append emission
+      mem.addData(Seq((new java.sql.Timestamp(10000000L), "zzzzzzzz")))
+      q.processAllAvailable()
+      val got = spark.table("fuzzymatches")
+        .select("probe", "candidate", "dist")
+        .as[(String, String, Long)].collect().toSet
+      val want = graft.operators.FuzzyJoin.matchJoin(
+          probes.toSeq.toDF("dirty"), "dirty", catalog, "p_name", q = 2, k = 1)
+        .as[(String, String, Long)].collect().toSet
+      assert(want.nonEmpty)
+      assert(got === want)
+    } finally q.stop()
+  }
+
   test("sessionizeStream: closed sessions equal the batch events_sessionize entry") {
     val sparkS = spark
     import sparkS.implicits._
