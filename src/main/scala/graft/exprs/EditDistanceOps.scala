@@ -17,14 +17,18 @@ import org.apache.spark.unsafe.types.UTF8String
   * oracles compare).
   */
 object EditDistanceOps {
-  def within(a: UTF8String, b: UTF8String, k: Int): Int = {
+  def within(a: UTF8String, b: UTF8String, k0: Int): Int = {
     val s = a.toString
     val t = b.toString
     val la = s.length
     val lb = t.length
-    if (math.abs(la - lb) > k) return -1
+    if (la.toLong - lb > k0 || lb.toLong - la > k0) return -1
     if (la == 0) return lb // ≤ k by the length band
     if (lb == 0) return la
+    // distance can never exceed max(la, lb), so clamping the threshold
+    // there preserves semantics and keeps inf / band arithmetic far from
+    // Int overflow for huge k
+    val k = math.min(k0, math.max(la, lb))
     val inf = k + 1
     var prev = new Array[Int](lb + 1)
     var cur = new Array[Int](lb + 1)

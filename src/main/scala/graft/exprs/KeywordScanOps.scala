@@ -58,26 +58,24 @@ final class KeywordTable(val keywords: Seq[String]) extends Serializable {
 
   def nKeywords: Int = keywords.length
 
-  private def step(state: Int, ch: Char): Int = {
-    val (chArr, nxArr, fail, _) = automaton
-    var s = state
-    while (true) {
-      val i = java.util.Arrays.binarySearch(chArr(s), ch)
-      if (i >= 0) return nxArr(s)(i)
-      if (s == 0) return 0
-      s = fail(s)
-    }
-    0
-  }
-
-  /** Count all (overlapping) occurrences of each keyword in `text`. */
+  /** Count all (overlapping) occurrences of each keyword in `text`.
+    * The automaton arrays are hoisted ONCE per call — the lazy-val
+    * accessor and tuple loads must not sit in the per-character loop
+    * of the kernel whose whole pitch is the one-pass scan. */
   def scan(text: String): Array[Int] = {
-    val (_, _, _, outs) = automaton
+    val (chArr, nxArr, fail, outs) = automaton
     val counts = new Array[Int](keywords.length)
     var state = 0
     var i = 0
     while (i < text.length) {
-      state = step(state, text.charAt(i))
+      val ch = text.charAt(i)
+      var searching = true
+      while (searching) {
+        val hit = java.util.Arrays.binarySearch(chArr(state), ch)
+        if (hit >= 0) { state = nxArr(state)(hit); searching = false }
+        else if (state == 0) searching = false
+        else state = fail(state)
+      }
       val o = outs(state)
       var j = 0
       while (j < o.length) { counts(o(j)) += 1; j += 1 }

@@ -24,9 +24,11 @@ object MisraGries {
       case None => Some(w)
     }
     if (buf.size > capacity) {
-      val counts = buf.values.toArray
-      java.util.Arrays.sort(counts)
-      val sub = counts(counts.length - (capacity + 1))
+      // add() inserts exactly one key before this check, so the size here
+      // is exactly capacity+1 and the (capacity+1)-th largest count IS
+      // the minimum — one linear pass, not a sort (this runs on the
+      // per-row update hot path whenever the buffer is full).
+      val sub = buf.values.min
       buf.filterInPlace((_, c) => c > sub)
       buf.mapValuesInPlace((_, c) => c - sub)
     }

@@ -52,15 +52,8 @@ object OpqRotation {
       lloydIters: Int = 5,
       trainTarget: Int = 4096,
       seed: Long = 42L): Array[Double] = {
-    val n = emb.count()
-    val sample =
-      if (n <= trainTarget) emb
-      else emb.sample(withReplacement = false, trainTarget.toDouble / n, seed)
-    val rows = sample.select(col(idCol), col(vCol)).collect()
-      .sortBy(_.getLong(0)).map(_.getSeq[Double](1).toArray)
-    require(rows.nonEmpty, "OPQ fit needs a non-empty sample")
+    val rows = sampleRows(emb, idCol, vCol, m, trainTarget, seed)
     val d = rows.head.length
-    require(d % m == 0, s"dim $d not divisible by m=$m")
     val dsub = d / m
 
     // Identity is a FIXED POINT of the NP alternation (with R = I and
@@ -76,12 +69,7 @@ object OpqRotation {
     var it = 0
     while (it < iters) {
       val y = rows.map(x => applyMat(r, x))
-      val codebooks: Array[Array[Array[Double]]] =
-        (0 until m).map { sub =>
-          PqIndex.fitLloyd(y.map(v =>
-            java.util.Arrays.copyOfRange(v, sub * dsub, (sub + 1) * dsub)),
-            kCodes, lloydIters)
-        }.toArray
+      val codebooks = fitCodebooksOn(y, m, dsub, kCodes, lloydIters)
       val yhat = y.map(encodeDecode(_, codebooks, dsub))
       // distortion under the CURRENT (R, codebooks); keep the best pair's R
       var err = 0.0
@@ -94,27 +82,56 @@ object OpqRotation {
         i += 1
       }
       if (err < bestErr) { bestErr = err; bestR = r }
-      // Procrustes update: M = Σ_i x_i · ŷ_iᵀ, R = V·Uᵀ of M's SVD
-      val mMat = Array.ofDim[Double](d, d)
-      i = 0
-      while (i < rows.length) {
-        val x = rows(i); val yh = yhat(i)
-        var a = 0
-        while (a < d) {
-          val xa = x(a)
-          if (xa != 0.0) {
-            var b = 0
-            while (b < d) { mMat(a)(b) += xa * yh(b); b += 1 }
+      // Procrustes update: M = Σ_i x_i · ŷ_iᵀ, R = V·Uᵀ of M's SVD.
+      // Skipped on the last iteration — the updated R would never be
+      // evaluated against codebooks nor eligible for bestR, so the M
+      // accumulation + SVD would be pure waste.
+      if (it < iters - 1) {
+        val mMat = Array.ofDim[Double](d, d)
+        i = 0
+        while (i < rows.length) {
+          val x = rows(i); val yh = yhat(i)
+          var a = 0
+          while (a < d) {
+            val xa = x(a)
+            if (xa != 0.0) {
+              var b = 0
+              while (b < d) { mMat(a)(b) += xa * yh(b); b += 1 }
+            }
+            a += 1
           }
-          a += 1
+          i += 1
         }
-        i += 1
+        r = flatten(procrustes(mMat))
       }
-      r = flatten(procrustes(mMat))
       it += 1
     }
     bestR
   }
+
+  /** Shared bounded-sample collection for [[fit]]/[[quantizationError]] —
+    * ONE place for the determinism (sorted by id) and the guards. */
+  private def sampleRows(emb: DataFrame, idCol: String, vCol: String,
+      m: Int, trainTarget: Int, seed: Long): Array[Array[Double]] = {
+    val n = emb.count()
+    val sample =
+      if (n <= trainTarget) emb
+      else emb.sample(withReplacement = false, trainTarget.toDouble / n, seed)
+    val rows = sample.select(col(idCol), col(vCol)).collect()
+      .sortBy(_.getLong(0)).map(_.getSeq[Double](1).toArray)
+    require(rows.nonEmpty, "OPQ needs a non-empty sample")
+    require(rows.head.length % m == 0,
+      s"dim ${rows.head.length} not divisible by m=$m")
+    rows
+  }
+
+  private def fitCodebooksOn(y: Array[Array[Double]], m: Int, dsub: Int,
+      kCodes: Int, lloydIters: Int): Array[Array[Array[Double]]] =
+    (0 until m).map { sub =>
+      PqIndex.fitLloyd(y.map(v =>
+        java.util.Arrays.copyOfRange(v, sub * dsub, (sub + 1) * dsub)),
+        kCodes, lloydIters)
+    }.toArray
 
   /** Rotate an array<double> column by a fitted R (codegen'd kernel). */
   def rotate(v: Column, r: Array[Double], d: Int): Column =
@@ -134,21 +151,11 @@ object OpqRotation {
       lloydIters: Int = 5,
       trainTarget: Int = 4096,
       seed: Long = 42L): Double = {
-    val n = emb.count()
-    val sample =
-      if (n <= trainTarget) emb
-      else emb.sample(withReplacement = false, trainTarget.toDouble / n, seed)
-    val rows = sample.select(col(idCol), col(vCol)).collect()
-      .sortBy(_.getLong(0)).map(_.getSeq[Double](1).toArray)
+    val rows = sampleRows(emb, idCol, vCol, m, trainTarget, seed)
     val d = rows.head.length
     val dsub = d / m
     val y = rows.map(x => applyMat(r, x))
-    val codebooks: Array[Array[Array[Double]]] =
-      (0 until m).map { sub =>
-        PqIndex.fitLloyd(y.map(v =>
-          java.util.Arrays.copyOfRange(v, sub * dsub, (sub + 1) * dsub)),
-          kCodes, lloydIters)
-      }.toArray
+    val codebooks = fitCodebooksOn(y, m, dsub, kCodes, lloydIters)
     var err = 0.0
     var i = 0
     while (i < y.length) {

@@ -2108,13 +2108,14 @@ object TextAnalysis {
       val tokens = Tables(s, dir, "documents")
         .filter(col("text").isNotNull)
         .select(explode(toks(col("text"))).as("token"))
-      val cands = tokens
-        .agg(graft.exprs.functions.misra_gries(col("token"), HhCapacity).as("c"))
-        .select(explode(col("c")).as("token"))
-      val total = tokens.agg(count(lit(1)).as("total"))
+      // the corpus total rides the SAME pass as the sketch — the entry
+      // is two linear scans total (sketch+total, then the recount)
+      val sketch = tokens.agg(
+        graft.exprs.functions.misra_gries(col("token"), HhCapacity).as("c"),
+        count(lit(1)).as("total"))
+      val cands = sketch.select(explode(col("c")).as("token"), col("total"))
       tokens.join(broadcast(cands), "token")
-        .groupBy("token").agg(count(lit(1)).as("cnt"))
-        .crossJoin(broadcast(total))
+        .groupBy("token", "total").agg(count(lit(1)).as("cnt"))
         .filter(col("cnt") * HhDivisor > col("total"))
         .select(col("token"), col("cnt"))
         .orderBy(col("cnt").desc, col("token"))
@@ -2128,13 +2129,13 @@ object TextAnalysis {
       val tokens = Tables(s, dir, "documents")
         .filter(col("text").isNotNull && col("lang").isNotNull)
         .select(col("lang"), explode(toks(col("text"))).as("token"))
+      // per-group sketch and per-group total in ONE aggregation pass
       val cands = tokens.groupBy("lang")
-        .agg(graft.exprs.functions.misra_gries(col("token"), HhCapacity).as("c"))
-        .select(col("lang"), explode(col("c")).as("token"))
-      val totals = tokens.groupBy("lang").agg(count(lit(1)).as("total"))
+        .agg(graft.exprs.functions.misra_gries(col("token"), HhCapacity).as("c"),
+          count(lit(1)).as("total"))
+        .select(col("lang"), explode(col("c")).as("token"), col("total"))
       tokens.join(broadcast(cands), Seq("lang", "token"))
-        .groupBy("lang", "token").agg(count(lit(1)).as("cnt"))
-        .join(broadcast(totals), "lang")
+        .groupBy("lang", "token", "total").agg(count(lit(1)).as("cnt"))
         .filter(col("cnt") * HhDivisor > col("total"))
         .select(col("lang"), col("token"), col("cnt"))
         .orderBy(col("lang"), col("cnt").desc, col("token"))

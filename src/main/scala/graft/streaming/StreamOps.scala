@@ -1285,6 +1285,11 @@ object StreamOps {
     import spark.implicits._
     val tokens = docs.filter(col(textCol).isNotNull)
       .select(explode(split(col(textCol), "\\s+")).as("token"))
+      // leading-whitespace documents split to an empty first token;
+      // filter it so the candidate set never carries the "" artifact
+      // (the batch entry's oracle is insulated by identical splitting
+      // in both engines; a stream consumer has no such mirror)
+      .filter(length(col("token")) > 0)
       .select(col("token"), pmod(xxhash64(col("token")), lit(shards.toLong))
         .as("shard"))
       .as[(String, Long)]
