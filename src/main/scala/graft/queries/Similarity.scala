@@ -377,6 +377,25 @@ object Similarity {
         .orderBy("q_id", "rank")
     },
 
+    // MatVec kernel pin (the OPQ rotation's apply path) under the oracle
+    // gate: a SIGNED PERMUTATION matrix (entries 0/±1 — orthogonal, and
+    // exactly representable) makes the mat-vec product exact float
+    // arithmetic in both engines, so the kernel's row-major indexing,
+    // fold order, and sign handling hash bit-for-bit against SQL that
+    // states y[i] = ±v[p(i)] independently. The trained-rotation path
+    // (ann_opq) reuses this arithmetic unchanged.
+    "emb_matvec_signedperm" -> { (s, dir) =>
+      val d = EmbDim
+      val r = new Array[Double](d * d)
+      for (i <- 0 until d)
+        r(i * d + (7 * i) % d) = if (i % 2 == 0) 1.0 else -1.0
+      Tables(s, dir, "embeddings")
+        .select(col("vec_id"), graft.exprs.functions.mat_vec(
+          col("embedding").cast("array<double>"), r, d, d).as("ys"))
+        .select(col("vec_id"), posexplode(col("ys")).as(Seq("i", "y")))
+        .orderBy("vec_id", "i")
+    },
+
     // PQ code assignment with a DETERMINISTIC sampled codebook (the
     // k-means-free init every PQ trainer starts from: codebook = the
     // sub-vectors of the first PqK vec_ids): nearest-codebook-entry
@@ -495,6 +514,19 @@ object Similarity {
   )
 
   val oracle: Map[String, String] = Map(
+    // Independent statement of the signed-permutation product: the 0/±1
+    // matrix makes every output element exact (±v[p(i)] plus exact +0.0
+    // accumulation — the `0.0 +` mirrors the kernel's fold so even a
+    // -0.0 input element folds to identical bits in both engines).
+    "emb_matvec_signedperm" ->
+      s"""WITH d AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+         |  FROM embeddings),
+         |idx AS (SELECT range::INT AS i FROM range(0, $EmbDim))
+         |SELECT vec_id, i,
+         |  0.0 + (CASE WHEN i % 2 = 0 THEN 1.0 ELSE -1.0 END)
+         |    * v[((7 * i) % $EmbDim) + 1] AS y
+         |FROM d, idx ORDER BY vec_id, i""".stripMargin,
+
     "ann_cosine_topk" ->
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
          |q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < $NumQueries),
