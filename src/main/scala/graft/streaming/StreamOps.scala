@@ -1226,6 +1226,28 @@ object StreamOps {
     *                  `length(textCol)` (match the batch table's own
     *                  n_chars definition)
     */
+  /** Streaming watch-list scan — the text_keyword_scan kernel on a
+    * document stream, STATELESS (the automaton is a plan reference
+    * object; each row's counts are independent). Emits one row per
+    * (doc, keyword) with the keyword's overlap-counting occurrence
+    * count, matched ids resolving through the SAME [[graft.exprs.KeywordTable]]
+    * the batch entry plans. */
+  def keywordScanStream(
+      docs: DataFrame, idCol: String, textCol: String,
+      keywords: Seq[String]): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val table = new graft.exprs.KeywordTable(keywords)
+    val kw = keywords.zipWithIndex.map { case (k, i) => (i, k) }
+      .toDF("kid", "kw")
+    docs.filter(col(textCol).isNotNull)
+      .select(col(idCol).cast("long").as("doc_id"),
+        graft.exprs.functions.keyword_scan(col(textCol), table).as("c"))
+      .select(col("doc_id"), posexplode(col("c")).as(Seq("kid", "n")))
+      .join(broadcast(kw), "kid")
+      .select(col("doc_id"), col("kw"), col("n").cast("long").as("n"))
+  }
+
   /** Streaming sessionization — the events_sessionize batch entry as a
     * continuous view, built ENTIRELY from Spark's native `session_window`
     * (merging session windows + watermark state eviction; no custom

@@ -1536,6 +1536,31 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("keywordScanStream: per-doc counts equal the driver automaton") {
+    val sparkS = spark
+    import sparkS.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val keywords = Seq("aa", "ab", "stream")
+    val docs = Seq((1L, "aaab streaming"), (2L, "nothing"), (3L, "aa aa"))
+    val mem = MemoryStream[(Long, String)]
+    val q = StreamOps.keywordScanStream(
+        mem.toDF().toDF("doc_id", "text"), "doc_id", "text", keywords)
+      .writeStream.format("memory").queryName("kwscan")
+      .outputMode("append").start()
+    try {
+      mem.addData(docs.toIndexedSeq); q.processAllAvailable()
+      val got = spark.table("kwscan")
+        .as[(Long, String, Long)].collect().toSet
+      val table = new graft.exprs.KeywordTable(keywords)
+      val want = (for {
+        (id, text) <- docs
+        (kw, i) <- keywords.zipWithIndex
+      } yield (id, kw, table.scan(text)(i).toLong)).toSet
+      assert(got === want)
+      assert(got.contains((1L, "aa", 2L))) // overlap inside "aaab"
+    } finally q.stop()
+  }
+
   test("FuzzyJoin.matchStream: streamed probes match the batch matchJoin pair set") {
     val sparkS = spark
     import sparkS.implicits._
