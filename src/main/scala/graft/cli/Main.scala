@@ -215,6 +215,20 @@ object Main {
         .head().getSeq[Int](0)
       println(s"${ids.size} ids: ${ids.mkString(" ")}")
 
+    // extension (no reference analog): one-pass Aho–Corasick watch-list
+    // scan of command-line text — per-keyword overlap-counting
+    // occurrence counts through the SAME KeywordTable the
+    // text_keyword_scan entry plans
+    case "scan" +: keywordCsv +: words if words.nonEmpty =>
+      val keywords = keywordCsv.split(",").toSeq.filter(_.nonEmpty)
+      if (keywords.isEmpty) {
+        System.err.println("scan needs a non-empty comma-separated watch-list")
+        sys.exit(2)
+      }
+      val table = new graft.exprs.KeywordTable(keywords)
+      val counts = table.scan(words.mkString(" "))
+      keywords.zip(counts).foreach { case (kw, n) => println(s"$kw\t$n") }
+
     // extension (no reference analog): migrate a native .eventlog file
     // written by the original Go implementation into an engine log
     case Seq("import", nativeFile, dir) =>
@@ -238,6 +252,7 @@ object Main {
           "version <url|dir>|diff <dir> <vLo> <vHi>|" +
           "search <indexdir> tfidf|bm25|phrase <term>...|" +
           "tokenize <modeldir> az|bytes|pretok|gpt2 <text>...|" +
+          "scan <kw1,kw2,...> <text>...|" +
           "import <nativefile> <dir>")
       sys.exit(2)
   }

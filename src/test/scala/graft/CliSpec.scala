@@ -146,4 +146,14 @@ class CliSpec extends AnyFunSuite {
     val az = run("az", "Hello", "3.14", "中文")
     assert(az.matches("\\d+ ids: .*"), az)
   }
+
+  test("scan counts a watch-list over command-line text, overlaps included") {
+    val out = new java.io.ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(out)) {
+      graft.cli.Main.main(Array("scan", "aa,ab,stream", "aaab", "streaming"))
+    }
+    val lines = out.toString.trim.split("\n").map(_.split("\t"))
+    val counts = lines.map(a => a(0) -> a(1).toInt).toMap
+    assert(counts === Map("aa" -> 2, "ab" -> 1, "stream" -> 1))
+  }
 }
