@@ -16,7 +16,12 @@ import org.apache.spark.sql.functions._
   * convergence is a hard `require` rather than a silent cap — wrong
   * cluster ids corrupt a dedup pipeline invisibly.
   *
-  * @param vertices one column: the vertex id (any orderable numeric)
+  * @param vertices one column: the vertex id — any ORDERABLE type (longs,
+  *                 strings, …): propagation uses only `min`/`least`, so
+  *                 running CC directly over natural keys (e.g. the names
+  *                 being linked) avoids hash node ids and their collision
+  *                 risk, and the component label is the minimum natural
+  *                 key reachable
   * @param edges    two columns: `src`, `dst` — ONE row per undirected edge
   *                 (symmetrization happens here)
   * @param maxIter  ceiling on PROPAGATION STEPS (graph-radius hops), not on

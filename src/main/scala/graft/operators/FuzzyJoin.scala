@@ -44,6 +44,25 @@ import org.apache.spark.sql.Column
   */
 object FuzzyJoin {
 
+  /** BMP guard at every entry point: the candidate generation counts in
+    * CODE POINTS (Spark `length`, `substr` q-grams) while the verify
+    * kernel ([[graft.exprs.EditDistanceOps.within]]) counts UTF-16 code
+    * units — a supplementary-plane character makes the two disagree, and
+    * the length band / gram-survival argument could then drop a pair the
+    * kernel itself would accept (a false negative the no-false-negative
+    * proof doesn't cover). Rather than silently weakening the exactness
+    * contract, non-BMP input raises. The check is one codegen'd encode
+    * per DISTINCT string (code-point length == code-unit length iff no
+    * char is above U+FFFF), never per pair. */
+  private def assertBmp(c: Column): Column =
+    when(length(encode(c, "UTF-16BE")) =!= length(c) * 2,
+      raise_error(concat(
+        lit("FuzzyJoin: non-BMP string (code point above U+FFFF) — "),
+        lit("the q-gram band arithmetic is code-point-based while the "),
+        lit("verify kernel counts UTF-16 code units, so exactness is "),
+        lit("only guaranteed for BMP text: "), c)))
+      .otherwise(c)
+
   /** Distinct q-grams of a string column; empty array below length q
     * (guarded — Spark's `sequence(1, 0)` would count DOWN, not empty). */
   def qgrams(c: Column, q: Int): Column =
@@ -77,6 +96,7 @@ object FuzzyJoin {
   def selfJoin(data: DataFrame, column: String, q: Int, k: Int): DataFrame = {
     val names = data.select(col(column).as("s"))
       .filter(col("s").isNotNull).distinct()
+      .select(assertBmp(col("s")).as("s"))
     val g = gramRows(names, q)
     val dfTable = g.groupBy("g").agg(count(lit(1)).as("df"))
     val prefix = prefixRows(g, dfTable, q, k)
@@ -107,8 +127,10 @@ object FuzzyJoin {
       catalog: DataFrame, catCol: String, q: Int, k: Int): DataFrame = {
     val p = probes.select(col(probeCol).as("s"))
       .filter(col("s").isNotNull).distinct()
+      .select(assertBmp(col("s")).as("s"))
     val c = catalog.select(col(catCol).as("s"))
       .filter(col("s").isNotNull).distinct()
+      .select(assertBmp(col("s")).as("s"))
     val pg = gramRows(p, q)
     val cg = gramRows(c, q)
     val dfTable = pg.union(cg).groupBy("g").agg(count(lit(1)).as("df"))
@@ -135,10 +157,20 @@ object FuzzyJoin {
 
   /** STREAM-STATIC fuzzy match: a streaming probe column resolved
     * against a static catalog — live entity lookup at ingest. The
-    * catalog prefix index is a static plan (re-read per micro-batch,
-    * like the ANN stream-static probe); the probe side computes its
-    * OWN prefix per row, with no streaming aggregation: probe grams
-    * rank against the catalog's df map embedded as a plan literal
+    * catalog is SNAPSHOTTED at stream construction: its distinct names
+    * are written once to a frozen parquet sibling of nothing the caller
+    * owns (a temp dir that lives as long as the stream), and BOTH order
+    * sources — the df map embedded as a probe-side plan literal AND the
+    * per-micro-batch catalog prefix index — derive from that one
+    * snapshot. Without the freeze, the two sides would read the LIVE
+    * catalog dir independently (the literal once, the static plan per
+    * micro-batch), and a catalog mutation mid-stream would rank the two
+    * prefixes against DIFFERENT gram orders — the no-false-negative
+    * theorem needs ONE consistent order. With it, a mutated catalog dir
+    * simply keeps serving the construction-time snapshot, consistently.
+    *
+    * The probe side computes its OWN prefix per row, with no streaming
+    * aggregation: probe grams rank against the snapshot's df map
     * (bounded by [[MaxStreamCatalogGrams]] distinct grams — tiny for
     * q=2), sorted inside an array. The global order comes from the
     * CATALOG ALONE — a stream can't be df-counted up front, and the
@@ -151,8 +183,17 @@ object FuzzyJoin {
   def matchStream(probes: DataFrame, tsCol: String, probeCol: String,
       catalog: DataFrame, catCol: String, q: Int, k: Int,
       win: String = "10 seconds", delay: String = "10 seconds"): DataFrame = {
-    val c = catalog.select(col(catCol).as("s"))
+    val spark = catalog.sparkSession
+    // freeze the catalog: one read of the live source, one parquet write;
+    // every downstream plan (literal + per-batch static side) reads the
+    // frozen files, so no later catalog mutation can split the order
+    val snapDir = java.nio.file.Files
+      .createTempDirectory("graft-fuzzy-catsnap").toString
+    catalog.select(col(catCol).as("s"))
       .filter(col("s").isNotNull).distinct()
+      .select(assertBmp(col("s")).as("s"))
+      .write.mode("overwrite").parquet(snapDir)
+    val c = spark.read.parquet(snapDir)
     val cg = gramRows(c, q)
     val dfTable = cg.groupBy("g").agg(count(lit(1)).as("df"))
     val catPrefix = prefixRows(cg, dfTable, q, k)
@@ -165,7 +206,7 @@ object FuzzyJoin {
       dfRows.map(r => r.getString(0) -> r.getLong(1)).toMap)
     val pRows = probes
       .select(col(tsCol).cast("timestamp").as("__ts"),
-        col(probeCol).as("s"))
+        assertBmp(col(probeCol)).as("s"))
       .filter(col("s").isNotNull)
       .withWatermark("__ts", delay)
     val probePrefix = pRows

@@ -21,13 +21,29 @@ import org.apache.spark.sql.{Column, DataFrame}
   */
 object Layout {
 
-  /** Morton sort key over two non-negative int dimensions (low 16 bits
-    * each). Callers quantize wider/continuous dimensions into 0..65535
-    * buckets first — rank-preserving quantization keeps pruning exact:
-    * the file boxes are computed on the STORED columns, the key only
-    * orders rows. */
+  /** Morton sort key over two dimensions pre-quantized into 0..65535.
+    * Callers quantize wider/continuous dimensions into that range first —
+    * rank-preserving quantization keeps pruning exact: the file boxes are
+    * computed on the STORED columns, the key only orders rows.
+    *
+    * The range is ENFORCED, not assumed: the interleave keeps only the
+    * low 16 bits, so a negative or >65535 input would otherwise alias
+    * into a wrong Morton key and silently destroy clustering quality
+    * (a layout bug no query result ever exposes — pruning just stops
+    * working). Out-of-range inputs raise; nulls pass through as null
+    * (the kernel's existing null semantics). */
   def zkey(x: Column, y: Column): Column =
-    graft.exprs.functions.zorder16(x.cast("int"), y.cast("int"))
+    graft.exprs.functions.zorder16(ranged16(x, "x"), ranged16(y, "y"))
+
+  private def ranged16(c: Column, dim: String): Column = {
+    val v = c.cast("long")
+    when(v < 0L || v > 65535L,
+      raise_error(concat(
+        lit(s"Layout.zkey: $dim outside [0, 65535] — quantize the "),
+        lit("dimension into 16-bit buckets before keying; got "),
+        v.cast("string"))))
+      .otherwise(v).cast("int")
+  }
 
   /** Cluster `df` into `partitions` Z-ordered output splits. The key is
     * dropped after ordering: pruning works off parquet's own min/max

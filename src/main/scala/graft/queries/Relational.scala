@@ -388,28 +388,24 @@ object Relational {
 
     // Entity resolution, the record-linkage endpoint: connected
     // components over the fuzzy-pair graph (distance ≤ 2 on part names)
-    // collapse variant spellings into one entity; entity label = the
-    // MINIMUM name in the component (computed as a window min, so it
-    // never depends on the hash-id order the CC operator runs on). The
-    // oracle restates the closure as a recursive CTE over the naive
-    // quadratic pair set — valid end-to-end because the prefix filter
-    // loses no pair and CC is order-independent.
+    // collapse variant spellings into one entity. CC runs over the NAMES
+    // THEMSELVES (min-label propagation is order-based, not numeric), so
+    // the component label IS the minimum name reachable — no hash node
+    // ids anywhere, hence no 64-bit-collision risk silently merging
+    // unrelated entities at billions of names. The oracle restates the
+    // closure as a recursive CTE over the naive quadratic pair set —
+    // valid end-to-end because the prefix filter loses no pair and CC is
+    // order-independent.
     "fuzzy_entities" -> { (s, dir) =>
       val part = Tables(s, dir, "part")
       val names = part.select(col("p_name").as("s"))
         .filter(col("s").isNotNull).distinct()
-      val ids = names.select(col("s"), xxhash64(col("s")).as("id"))
       val pairs = graft.operators.FuzzyJoin.selfJoin(part, "p_name", q = 2, k = 2)
-      val epairs = pairs
-        .join(ids.select(col("s").as("name_a"), col("id").as("u")), "name_a")
-        .join(ids.select(col("s").as("name_b"), col("id").as("v")), "name_b")
-        .select("u", "v")
       val cc = graft.operators.ConnectedComponents
-        .run(ids.select("id"), epairs)
+        .run(names.select(col("s").as("id")), pairs.select("name_a", "name_b"))
       val w = Window.partitionBy("component")
-      ids.join(cc, "id")
-        .select(col("s").as("p_name"),
-          min(col("s")).over(w).as("entity"),
+      cc.select(col("id").as("p_name"),
+          col("component").as("entity"),
           count(lit(1)).over(w).as("entity_size"))
         .orderBy("p_name")
     },

@@ -94,9 +94,11 @@ class Round11PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"),
       s"fuzzy join must not plan a cartesian product:\n$p")
     // the short-string block's length-band join is a nested loop over two
-    // near-empty sides — allowed ONLY under a broadcast
-    assert(!p.contains("CartesianProduct") &&
-      (!p.contains("NestedLoop") || p.contains("BroadcastNestedLoop")),
+    // near-empty sides — allowed ONLY under a broadcast. Strip the
+    // broadcast form FIRST: asserting the disjunction directly is
+    // vacuously true whenever any BroadcastNestedLoopJoin is present.
+    val nonBroadcast = p.replace("BroadcastNestedLoop", "")
+    assert(!nonBroadcast.contains("NestedLoop"),
       s"only broadcast nested loops (short block) are acceptable:\n$p")
   }
 
