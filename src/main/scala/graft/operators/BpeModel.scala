@@ -2,7 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.SparkSession
 
-import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import java.nio.file.{Files, Paths}
 
 /** Persisted BPE merge-table artifact — the tokenizer model as a real,
   * versioned on-disk object ([[IvfIndex]]'s build/save/load lifecycle
@@ -29,23 +29,9 @@ object BpeModel {
   /** (round, lhs, rhs, merged, pair_freq) in learned order. */
   type Merges = Seq[(Long, String, String, String, Long)]
 
-  private val VersionDir = "v=(\\d+)".r
-
   /** All complete model versions under `dir`, ascending; empty if the
     * directory doesn't exist yet. */
-  def versions(dir: String): Seq[Long] = {
-    val root = Paths.get(dir)
-    if (!Files.isDirectory(root)) return Seq.empty
-    import scala.jdk.CollectionConverters._
-    scala.util.Using.resource(Files.list(root))(
-      _.iterator().asScala.toList).collect {
-      case p if Files.isDirectory(p) =>
-        p.getFileName.toString match {
-          case VersionDir(n) => Some(n.toLong)
-          case _ => None
-        }
-    }.flatten.sorted
-  }
+  def versions(dir: String): Seq[Long] = VersionedArtifact.versions(dir)
 
   /** Persist `merges` as the next version under `dir`; returns the new
     * version number. Staged write + atomic rename: readers never observe
@@ -64,51 +50,20 @@ object BpeModel {
     * BpeModelStalenessSpec pins. */
   def save(
       s: SparkSession, merges: Merges, dir: String,
-      fingerprint: Option[String] = None): Long =
-    synchronized {
-      val root = Paths.get(dir)
-      Files.createDirectories(root)
-      import s.implicits._
-      val df = merges.toDF("round", "lhs", "rhs", "merged", "pair_freq")
-        .orderBy("round")
-      var attempt = versions(dir).foldLeft(0L)(math.max) + 1
-      var done = -1L
-      while (done < 0) {
-        val staging = root.resolve(
-          s"staging-${java.util.UUID.randomUUID().toString.take(8)}")
-        df.coalesce(1).write.mode("overwrite").parquet(staging.toString)
-        fingerprint.foreach(fp => Files.write(
-          staging.resolve("_fingerprint"),
-          fp.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
-        try {
-          Files.move(staging, root.resolve(s"v=$attempt"),
-            StandardCopyOption.ATOMIC_MOVE)
-          done = attempt
-        } catch {
-          // a lost cross-JVM race surfaces as EEXIST when the target is a
-          // file/empty dir, but on Linux as ENOTEMPTY
-          // (DirectoryNotEmptyException) when renaming onto the winner's
-          // populated v=N directory — both mean "taken, try the next"
-          case _: java.nio.file.FileAlreadyExistsException |
-              _: java.nio.file.DirectoryNotEmptyException =>
-            deleteRecursively(staging)
-            attempt += 1
-        }
-      }
-      done
-    }
+      fingerprint: Option[String] = None): Long = {
+    import s.implicits._
+    val df = merges.toDF("round", "lhs", "rhs", "merged", "pair_freq")
+      .orderBy("round")
+    VersionedArtifact.save(dir, fingerprint)(staging =>
+      df.coalesce(1).write.mode("overwrite").parquet(staging))
+  }
 
   /** The corpus fingerprint version `version` was trained from, or None
     * for a version saved without one (pre-staleness-contract artifacts —
     * their staleness is UNKNOWN, which callers must treat as their own
     * policy decision, not as fresh). */
-  def fingerprintOf(dir: String, version: Long): Option[String] = {
-    val f = Paths.get(dir, s"v=$version", "_fingerprint")
-    if (Files.isRegularFile(f))
-      Some(new String(Files.readAllBytes(f),
-        java.nio.charset.StandardCharsets.UTF_8))
-    else None
-  }
+  def fingerprintOf(dir: String, version: Long): Option[String] =
+    VersionedArtifact.fingerprintOf(dir, version)
 
   /** Load the latest version; throws if no model has been saved. */
   def load(s: SparkSession, dir: String): Merges = {
@@ -131,12 +86,4 @@ object BpeModel {
         r.getString(3), r.getLong(4)))
       .toSeq
   }
-
-  private def deleteRecursively(p: Path): Unit =
-    if (Files.exists(p)) {
-      import scala.jdk.CollectionConverters._
-      scala.util.Using.resource(Files.walk(p))(
-        _.sorted(java.util.Comparator.reverseOrder[Path]())
-          .iterator().asScala.toList).foreach(Files.deleteIfExists(_))
-    }
 }

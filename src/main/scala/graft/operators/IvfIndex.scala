@@ -31,8 +31,19 @@ final class IvfIndex private[operators] (
   def k: Int = centroids.length
 
   /** Persist as `dir/centroids` (k rows) + `dir/cells` (partitioned by
-    * cell — the inverted lists). */
+    * cell — the inverted lists), then snapshot the drift BASELINE
+    * ([[IvfIndex.snapshotDriftBaseline]]) — the report the quantizer was
+    * FIT to, which [[IvfIndex.driftVerdict]] compares every later report
+    * against with zero operator bookkeeping. */
   def save(dir: String): Unit = {
+    writeCore(dir)
+    IvfIndex.snapshotDriftBaseline(assignments.sparkSession, dir)
+  }
+
+  /** The centroid + cell writes without the baseline snapshot — for
+    * composite savers ([[PqIndex.save]]) that snapshot AFTER their code
+    * tier exists, so the baseline carries the ADC self-gap too. */
+  private[operators] def writeCore(dir: String): Unit = {
     val spark = assignments.sparkSession
     import spark.implicits._
     assignments.write.mode("overwrite")
@@ -100,6 +111,17 @@ object IvfIndex {
       readMaybeOld(spark, java.nio.file.Paths.get(base, "cells")))
   }
 
+  /** The OPQ rotation pinned inside an index dir ([[PqIndex.save]]'s
+    * `<indexdir>/rotation`), or None for an unrotated index. Read by
+    * every maintenance/probe boundary that accepts RAW vectors. */
+  private[operators] def loadRotation(
+      spark: SparkSession, dir: String): Option[Array[Double]] = {
+    val p = java.nio.file.Paths.get(dir, "rotation")
+    if (java.nio.file.Files.isDirectory(p))
+      Some(OpqModel.readMatrix(spark, p.toString))
+    else None
+  }
+
   /** Read a swap-managed relation without mutating swap state: the target
     * dir if present, else the complete pre-swap data at `<target>.old`
     * (the window between compact's two renames). */
@@ -147,9 +169,16 @@ object IvfIndex {
       recoverSwapRoot(dir)
       recoverSwap(java.nio.file.Paths.get(dir, "cells"))
       val idx = load(spark, dir)
+      // a rotated dir stores rotated vectors: rotate RAW input into the
+      // index frame first (same boundary contract as PqIndex.appendVectors)
+      val embF = loadRotation(spark, dir).map { r =>
+        val d = math.sqrt(r.length.toDouble).toInt
+        emb.select(col("vec_id"),
+          graft.exprs.functions.mat_vec(col("v"), r, d, d).as("v"))
+      }.getOrElse(emb)
       // pinned: count and write must see the SAME rows even when `emb` is
       // non-deterministic (a sampled source re-evaluates per action)
-      val assigned = assignTo(idx.centroids, emb).persist()
+      val assigned = assignTo(idx.centroids, embF).persist()
       try {
         val n = assigned.count()
         assigned.write.mode("append").partitionBy("cell")
@@ -313,9 +342,25 @@ object IvfIndex {
             .coalesce(1).write.mode("overwrite")
             .parquet(s"$staging/pq_codebooks")
         }
+        carryAuxRelations(spark, dir, staging)
         commitGeneration(dir, staging)
         newId
       } finally reassigned.unpersist()
+    }
+
+  /** Copy the model-sized aux relations into a staged next generation —
+    * they must survive the whole-dir swap or a commit would silently
+    * DROP the OPQ frame the codes were encoded under (unservable index)
+    * and the build-time drift baseline (verdicts degrade to
+    * no_baseline). Content-preserving parquet rewrite (doubles round-trip
+    * exactly); both relations are KB-sized by construction. */
+  private def carryAuxRelations(
+      spark: SparkSession, dir: String, staging: String): Unit =
+    Seq("rotation", "drift_baseline").foreach { rel =>
+      val p = java.nio.file.Paths.get(dir, rel)
+      if (java.nio.file.Files.isDirectory(p))
+        spark.read.parquet(p.toString).coalesce(1)
+          .write.mode("overwrite").parquet(s"$staging/$rel")
     }
 
   /** Flip a fully-staged next generation in as THE index: `dir` →
@@ -397,8 +442,112 @@ object IvfIndex {
         .coalesce(1).write.mode("overwrite")
         .parquet(s"$staging/pq_codebooks")
     }
+    carryAuxRelations(spark, dir, staging)
     commitGeneration(dir, staging)
     present
+  }
+
+  /** One cell's drift row (the [[driftStats]] schema, typed). */
+  final case class CellDrift(
+      cell: Int, n: Long,
+      meanResidNorm: Option[Double], adcSelfGap: Option[Double])
+
+  /** The operator-facing maintenance report: per-cell drift rows plus
+    * the corpus-weighted means, the STORED build-time baseline they were
+    * compared against, and the resulting verdict —
+    *
+    *  - `"ok"`        within the thresholds, no splits were needed;
+    *  - `"absorbed"`  a shift tripped the skew policy but splits brought
+    *                  the report back inside the thresholds (concentrated
+    *                  drift healed at single-cell cost);
+    *  - `"rebuild"`   still outside the thresholds — diffuse drift; refit
+    *                  coarse + codebooks (full re-build);
+    *  - `"no_baseline"` the index predates the persisted baseline (or it
+    *                  is unreadable): snapshot one at the next rebuild —
+    *                  UNKNOWN is not fresh, so callers must treat this as
+    *                  their own policy decision.
+    *
+    * Thresholds (the documented ones, pinned by the drift spec): the
+    * PRIMARY trigger is corpus-weighted mean_resid_norm > 1.5× baseline;
+    * adc_self_gap > 1.2× baseline corroborates in the score unit. */
+  final case class DriftReport(
+      splits: Int,
+      perCell: Seq[CellDrift],
+      meanResidNorm: Double,
+      adcSelfGap: Option[Double],
+      baselineResidNorm: Option[Double],
+      baselineGap: Option[Double],
+      verdict: String)
+
+  /** mean_resid_norm trip factor vs baseline (primary trigger). */
+  val ResidTripFactor = 1.5
+  /** adc_self_gap trip factor vs baseline (score-unit corroboration —
+    * tighter band because the gap's quantization floor bounds its swing). */
+  val GapTripFactor = 1.2
+
+  /** Persist the CURRENT [[driftStats]] as `dir/drift_baseline` — the
+    * report the quantizer was FIT to. Called automatically by
+    * [[IvfIndex.save]]/[[PqIndex.save]] at every build/rebuild, so the
+    * baseline exists with ZERO operator bookkeeping; staged generations
+    * carry it through ([[carryAuxRelations]]). */
+  def snapshotDriftBaseline(spark: SparkSession, dir: String): Unit =
+    driftStats(spark, dir).coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/drift_baseline")
+
+  /** Corpus-weighted (resid mean, gap mean) over driftStats-shaped rows. */
+  private def corpusMeans(
+      rows: Array[org.apache.spark.sql.Row]): (Double, Option[Double]) = {
+    val nTot = rows.map(_.getLong(1)).sum.toDouble
+    val resid = rows.filter(!_.isNullAt(2))
+      .map(r => r.getLong(1) * r.getDouble(2)).sum / math.max(nTot, 1.0)
+    val gapRows = rows.filter(!_.isNullAt(3))
+    val gap =
+      if (gapRows.isEmpty) None
+      else Some(gapRows.map(r => r.getLong(1) * r.getDouble(3)).sum /
+        math.max(gapRows.map(_.getLong(1)).sum.toDouble, 1.0))
+    (resid, gap)
+  }
+
+  /** The stored build-time corpus means, or None when the baseline is
+    * absent or unreadable (a half-written baseline must degrade to
+    * no_baseline, never to a wrong comparison). */
+  private def readBaseline(
+      spark: SparkSession, dir: String): Option[(Double, Option[Double])] = {
+    val p = java.nio.file.Paths.get(dir, "drift_baseline")
+    if (!java.nio.file.Files.isDirectory(p)) None
+    else scala.util.Try {
+      corpusMeans(spark.read.parquet(p.toString)
+        .select("cell", "n", "mean_resid_norm", "adc_self_gap").collect())
+    }.toOption
+  }
+
+  /** Compute the CURRENT drift report and judge it against the STORED
+    * baseline — the typed *when to rebuild* signal ([[DriftReport]] doc
+    * for the verdict semantics). One counts pass + one bounded-sample
+    * pass + a k-sized collect; `splits` is threaded through by
+    * [[rebalance]] so "absorbed" is distinguishable from "ok". */
+  def driftVerdict(
+      spark: SparkSession, dir: String, splits: Int = 0): DriftReport = {
+    val rows = driftStats(spark, dir).collect()
+    val perCell = rows.map(r => CellDrift(r.getInt(0), r.getLong(1),
+      if (r.isNullAt(2)) None else Some(r.getDouble(2)),
+      if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toSeq
+    val (resid, gap) = corpusMeans(rows)
+    val base = readBaseline(spark, dir)
+    val verdict = base match {
+      case None => "no_baseline"
+      case Some((bResid, bGap)) =>
+        val residTrip = resid > ResidTripFactor * bResid
+        val gapTrip = (gap, bGap) match {
+          case (Some(g), Some(bg)) => g > GapTripFactor * bg
+          case _ => false
+        }
+        if (residTrip || gapTrip) "rebuild"
+        else if (splits > 0) "absorbed"
+        else "ok"
+    }
+    DriftReport(splits, perCell, resid, gap,
+      base.map(_._1), base.flatMap(_._2), verdict)
   }
 
   /** The POLICY wrapper over [[splitCell]]: split the biggest cell while
@@ -412,19 +561,15 @@ object IvfIndex {
     * identical — unsplittable; splitCell signals −1 and commits nothing)
     * are skipped rather than looped on, at fit-cost, not rewrite-cost.
     *
-    * After the split loop, the [[driftStats]] report is computed and
-    * emitted (one bounded-sample aggregate) with `reportDrift` on — the
-    * maintenance job is exactly where the rebalance-vs-rebuild decision
-    * gets made, so the signal surfaces there: a report back near the
-    * build-time baseline means the splits absorbed the drift
-    * (concentrated shift); a still-tripped report is the full-rebuild
-    * signal (diffuse drift — see driftStats' documented thresholds).
-    *
-    * @return the number of splits applied */
+    * Returns the TYPED maintenance report ([[driftVerdict]] against the
+    * PERSISTED build-time baseline) — the maintenance job is exactly
+    * where the rebalance-vs-rebuild decision gets made, so the signal
+    * surfaces there as data, not as a log line: `verdict == "absorbed"`
+    * means the splits healed a concentrated shift at single-cell cost;
+    * `"rebuild"` means the drift is diffuse and the full refit is due. */
   def rebalance(
       spark: SparkSession, dir: String,
-      maxFrac: Double = 0.25, maxSplits: Int = 8,
-      reportDrift: Boolean = true): Int = synchronized {
+      maxFrac: Double = 0.25, maxSplits: Int = 8): DriftReport = synchronized {
     require(maxFrac > 0.0 && maxFrac < 1.0, s"maxFrac $maxFrac outside (0,1)")
     var splits = 0
     val skip = scala.collection.mutable.Set[Int]()
@@ -445,23 +590,7 @@ object IvfIndex {
           else splits += 1
       }
     }
-    if (reportDrift) {
-      val d = driftStats(spark, dir).collect()
-      val nTot = d.map(_.getLong(1)).sum.toDouble
-      val resid = d.filter(!_.isNullAt(2))
-        .map(r => r.getLong(1) * r.getDouble(2)).sum / math.max(nTot, 1.0)
-      val gap = d.filter(!_.isNullAt(3))
-      val gapStr =
-        if (gap.isEmpty) "n/a"
-        else "%.6f".format(
-          gap.map(r => r.getLong(1) * r.getDouble(3)).sum /
-            math.max(gap.map(_.getLong(1)).sum.toDouble, 1.0))
-      // the operator-facing maintenance line (driver log): compare
-      // against the build-time snapshot per driftStats' thresholds
-      println(s"[graft.ivf] rebalance($dir): splits=$splits " +
-        s"mean_resid_norm=${"%.6f".format(resid)} adc_self_gap=$gapStr")
-    }
-    splits
+    driftVerdict(spark, dir, splits)
   }
 
   /** QUANTIZER-DRIFT report — the missing *when to rebuild* signal.
@@ -483,23 +612,23 @@ object IvfIndex {
     *    codebook), measured in the score unit that recall lives in.
     *
     * REBUILD POLICY (the documented thresholds, pinned by the drift
-    * spec): snapshot this report right after build — that is the
-    * baseline the quantizer was FIT to. The PRIMARY trigger is the
-    * corpus-weighted mean_resid_norm exceeding ~1.5× its build-time
-    * value (it scales with the drift magnitude); adc_self_gap > ~1.2×
-    * build-time corroborates in the score unit (its quantization floor —
-    * ~0.5 cosine at kCodes = 16 on unnormalized data — bounds how far it
-    * can swing, hence the tighter band). A STATIONARY upsert moves
-    * neither (drift is about the distribution, not growth). When
-    * tripped, try [[rebalance]] FIRST and re-read the report: a
-    * CONCENTRATED shift (new cluster in vector space) piles into one
-    * cell, and splitting it refits a centroid onto the new cluster —
-    * resid returns to the fit-time regime at single-cell cost, and the
-    * report is how the operator sees the cheap heal sufficed. A DIFFUSE
-    * drift stays tripped after rebalance — that is the full re-BUILD
-    * signal (refit coarse + codebooks). [[rebalance]] emits this report
-    * after its split loop so the signal surfaces exactly when
-    * maintenance runs.
+    * spec): the baseline the quantizer was FIT to is PERSISTED at every
+    * build/rebuild ([[snapshotDriftBaseline]], written automatically by
+    * save), and [[driftVerdict]] compares the current report against it
+    * as typed data. The PRIMARY trigger is the corpus-weighted
+    * mean_resid_norm exceeding [[ResidTripFactor]]× its build-time value
+    * (it scales with the drift magnitude); adc_self_gap >
+    * [[GapTripFactor]]× build-time corroborates in the score unit (its
+    * quantization floor — ~0.5 cosine at kCodes = 16 on unnormalized
+    * data — bounds how far it can swing, hence the tighter band). A
+    * STATIONARY upsert moves neither (drift is about the distribution,
+    * not growth). When tripped, try [[rebalance]] FIRST and read its
+    * returned report: a CONCENTRATED shift (new cluster in vector space)
+    * piles into one cell, and splitting it refits a centroid onto the
+    * new cluster — resid returns to the fit-time regime at single-cell
+    * cost, and `verdict == "absorbed"` is how the operator sees the
+    * cheap heal sufficed. A DIFFUSE drift stays tripped after rebalance
+    * (`verdict == "rebuild"`) — refit coarse + codebooks.
     *
     * Cost: one pass over the cells (counts) plus one over a bounded
     * sample (`sampleN` rows corpus-wide, norms + kernel ADC — no joins

@@ -41,10 +41,18 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 final class PqIndex private[operators] (
     val coarse: IvfIndex,
     val codebooks: Array[Array[Array[Double]]], // m × kCodes × (dim/m)
-    val codes: DataFrame) { // (vec_id, cell, nrm, codes array<int>)
+    val codes: DataFrame, // (vec_id, cell, nrm, codes array<int>)
+    // The OPQ frame the index was ENCODED under (row-major dim×dim, None
+    // = identity/plain PQ). Persisted INSIDE the index dir and applied to
+    // every incoming query/upsert at the boundary, so a rotated index is
+    // servable by a new process with no refit and can never be probed in
+    // the wrong frame — see [[OpqModel]] for why the in-process memo was
+    // not enough.
+    val rotation: Option[Array[Double]] = None) {
 
   def m: Int = codebooks.length
   def kCodes: Int = codebooks.head.length
+  def dim: Int = m * codebooks.head.head.length
 
   /** The index's scoring state packed for the per-row streaming probe
     * expressions ([[graft.exprs.IvfNearestCells]] /
@@ -55,19 +63,25 @@ final class PqIndex private[operators] (
       coarse.centroids, PqIndex.flatten(codebooks), m, kCodes)
 
   /** Persist: coarse index (centroids + cell-partitioned lists via
-    * [[IvfIndex.save]]) + `dir/pq_codebooks` + `dir/pq_codes`
+    * [[IvfIndex]]'s core write) + `dir/pq_codebooks` + `dir/pq_codes`
     * (cell-partitioned like the lists, so a probe's code scan is
-    * partition-pruned to the probed cells). */
+    * partition-pruned to the probed cells) + `dir/rotation` when the
+    * index is OPQ-rotated (the encoding frame travels WITH the codes it
+    * encoded). Finishes by snapshotting the drift BASELINE
+    * ([[IvfIndex.snapshotDriftBaseline]]) — computed after the code tier
+    * exists so the baseline carries the build-time ADC self-gap too. */
   def save(dir: String): Unit = {
     val spark = codes.sparkSession
     import spark.implicits._
-    coarse.save(dir)
+    coarse.writeCore(dir)
     codes.write.mode("overwrite").partitionBy("cell")
       .parquet(s"$dir/pq_codes")
     codebooks.zipWithIndex.flatMap { case (cb, sub) =>
       cb.zipWithIndex.map { case (c, code) => (sub, code, c.toSeq) }
     }.toSeq.toDF("sub", "code", "centroid")
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/pq_codebooks")
+    rotation.foreach(r => OpqModel.writeMatrix(spark, r, s"$dir/rotation"))
+    IvfIndex.snapshotDriftBaseline(spark, dir)
   }
 }
 
@@ -138,7 +152,13 @@ object PqIndex {
   }
 
   /** Fit coarse + product quantizers and encode every vector.
-    * `emb` must carry (`vec_id`, `v: array<double>`). */
+    * `emb` must carry (`vec_id`, `v: array<double>`).
+    *
+    * `rotation` (flat row-major d×d, e.g. [[OpqRotation.fit]]'s output)
+    * builds the index over the ROTATED corpus — one codegen'd
+    * [[graft.exprs.MatVec]] pass folded into the scan — and pins the
+    * frame inside the index ([[PqIndex.rotation]]), so save/load/probe/
+    * upsert all stay frame-consistent with zero caller bookkeeping. */
   def build(
       emb: DataFrame,
       m: Int = 8,
@@ -146,11 +166,17 @@ object PqIndex {
       coarseK: Int = 8,
       maxIter: Int = 5,
       trainTarget: Int = 4096,
-      seed: Long = 42L): PqIndex = {
-    val spark = emb.sparkSession
+      seed: Long = 42L,
+      rotation: Option[Array[Double]] = None): PqIndex = {
+    val emb0 = rotation.map { r =>
+      val d = math.sqrt(r.length.toDouble).toInt
+      emb.select(col("vec_id"),
+        graft.exprs.functions.mat_vec(col("v"), r, d, d).as("v"))
+    }.getOrElse(emb)
+    val spark = emb0.sparkSession
     import spark.implicits._
-    val coarse = IvfIndex.build(emb, coarseK, maxIter, trainTarget, seed)
-    val dim = emb.select(size(col("v"))).head().getInt(0)
+    val coarse = IvfIndex.build(emb0, coarseK, maxIter, trainTarget, seed)
+    val dim = emb0.select(size(col("v"))).head().getInt(0)
     require(dim % m == 0, s"dim $dim not divisible by m=$m")
     val dsub = dim / m
 
@@ -176,7 +202,7 @@ object PqIndex {
       .withColumn("r", zip_with(col("v"), col("cvec"), (a, b) => a - b))
       .select(col("vec_id"), col("cell"), col("nrm"), col("r"))
 
-    val n = emb.count()
+    val n = emb0.count()
     val sample =
       if (n <= trainTarget) resid
       else resid.sample(withReplacement = false, trainTarget.toDouble / n, seed)
@@ -200,7 +226,7 @@ object PqIndex {
     val codes = resid.select(col("vec_id"), col("cell"), col("nrm"),
       graft.exprs.functions.pq_encode(col("r"), flatten(codebooks), m, kk)
         .as("codes"))
-    new PqIndex(coarse, codebooks, codes)
+    new PqIndex(coarse, codebooks, codes, rotation)
   }
 
   /** INCREMENTAL maintenance for the PQ tier: the [[IvfIndex.appendVectors]]
@@ -220,10 +246,16 @@ object PqIndex {
       IvfIndex.recoverSwap(java.nio.file.Paths.get(dir, "pq_codes"))
       val idx = load(spark, dir)
       import spark.implicits._
+      // rotate incoming RAW vectors into the index's frame first — an
+      // OPQ index stores rotated vectors and residual codes, so an
+      // unrotated upsert would silently land in the wrong frame
+      val embF = idx.rotation.map(r => emb.select(col("vec_id"),
+        graft.exprs.functions.mat_vec(col("v"), r, idx.dim, idx.dim)
+          .as("v"))).getOrElse(emb)
       // pinned: the same rows must feed count, codes, AND cells even when
       // `emb` is non-deterministic — three actions over an unpinned plan
       // could write codes and raw vectors for DIFFERENT row sets
-      val assigned = IvfIndex.assignTo(idx.coarse.centroids, emb).persist()
+      val assigned = IvfIndex.assignTo(idx.coarse.centroids, embF).persist()
       try {
         val n = assigned.count()
         val centDf = idx.coarse.centroids.zipWithIndex
@@ -275,7 +307,8 @@ object PqIndex {
     val codebooks = cb.groupBy(_._1).toSeq.sortBy(_._1).map(_._2
       .sortBy(_._2).map(_._3)).toArray
     new PqIndex(coarse, codebooks,
-      IvfIndex.readMaybeOld(spark, java.nio.file.Paths.get(dir, "pq_codes")))
+      IvfIndex.readMaybeOld(spark, java.nio.file.Paths.get(dir, "pq_codes")),
+      IvfIndex.loadRotation(spark, dir))
   }
 
   /** Executor-side BATCH ADC probe: every row of `queries` scored against
@@ -305,10 +338,15 @@ object PqIndex {
     * against a loaded index). */
   def probeAll(
       idx: PqIndex,
-      queries: DataFrame,
+      queriesRaw: DataFrame,
       nProbe: Int,
       topK: Int,
       rerank: Int = 0): DataFrame = {
+    // queries arrive in the RAW frame; an OPQ index rotates them here
+    // (one codegen'd pass), so callers never track the encoding frame
+    val queries = idx.rotation.map(r => queriesRaw.select(col("q_id"),
+      graft.exprs.functions.mat_vec(col("qv"), r, idx.dim, idx.dim)
+        .as("qv"))).getOrElse(queriesRaw)
     val t = idx.scoreTable
     val probes = queries.select(col("q_id"), col("qv"))
       .withColumn("cell",
@@ -358,10 +396,16 @@ object PqIndex {
     * scan side still never touches a float. */
   def adcProbe(
       idx: PqIndex,
-      queries: DataFrame,
+      queriesRaw: DataFrame,
       nProbe: Int,
       topK: Int,
       rerank: Int = 0): DataFrame = {
+    // same boundary rotation as [[probeAll]] — applied IN-PLAN with the
+    // same MatVec kernel the corpus was rotated with, so query and
+    // corpus arithmetic are bit-identical
+    val queries = idx.rotation.map(r => queriesRaw.select(col("q_id"),
+      graft.exprs.functions.mat_vec(col("qv"), r, idx.dim, idx.dim)
+        .as("qv"))).getOrElse(queriesRaw)
     val spark = queries.sparkSession
     import spark.implicits._
     val m = idx.m

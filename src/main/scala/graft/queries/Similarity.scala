@@ -34,26 +34,59 @@ object Similarity {
   private val PqSeedK = 16
   private val RpDim = 8
 
-  /** ann_opq's rotation memo, keyed by (dir, embeddings fingerprint) —
-    * the fit is deterministic in the corpus, so reps of the entry (bench
-    * loops) pay it once; a changed corpus re-keys. Mirrors TextAnalysis's
-    * corpus-keyed caches; unreadable fingerprints fall through uncached. */
+  /** ann_opq's rotation rides the PERSISTED [[graft.operators.OpqModel]]
+    * artifact (round 12): a stable model root per testdata dir,
+    * fingerprint-stamped versions, staleness supersede — so the R an
+    * index was encoded under is a real on-disk object any process can
+    * load, not an in-process memo. The ConcurrentHashMap is now just an
+    * L1 over the artifact (reps of the entry skip even the parquet
+    * read); a changed corpus re-keys the L1 AND supersedes the artifact
+    * with a new version. Unreadable fingerprints fall through uncached
+    * and unpersisted. */
   private val opqCache =
     new java.util.concurrent.ConcurrentHashMap[String, Array[Double]]()
   private def opqRotation(
       e: DataFrame, dir: String): Array[Double] = {
-    val key =
-      try Some(dir + "|" + graft.sources.GraftLogCache
+    val fp =
+      try Some(graft.sources.GraftLogCache
         .corpusFingerprint(dir, "embeddings.parquet"))
       catch { case scala.util.control.NonFatal(_) => None }
-    key match {
-      case Some(k) =>
+    fp match {
+      case Some(f) =>
+        val k = s"$dir|$f"
         opqCache.keySet.removeIf(o => o.startsWith(s"$dir|") && o != k)
-        opqCache.computeIfAbsent(k,
-          _ => graft.operators.OpqRotation.fit(e, m = PqM, kCodes = PqK))
+        opqCache.computeIfAbsent(k, _ =>
+          graft.operators.OpqModel.ensure(
+            e.sparkSession, opqModelRoot(dir), f)(
+            graft.operators.OpqRotation.fit(e, m = PqM, kCodes = PqK))._1)
       case None => graft.operators.OpqRotation.fit(e, m = PqM, kCodes = PqK)
     }
   }
+
+  /** The stable OpqModel root for a testdata dir (NOT fingerprint-keyed:
+    * the root must survive corpus changes so a grown corpus supersedes
+    * IN PLACE as the next version, which is the staleness contract). */
+  private def opqModelRoot(dir: String): String = {
+    val key = java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
+    java.nio.file.Paths.get(
+      sys.props.getOrElse("java.io.tmpdir", "/tmp"),
+      s"graft-opqmodel-$key").toString
+  }
+
+  /** Build-and-save the persisted OPQ-ROTATED IVF-PQ index once per
+    * testdata dir — the rotation artifact is fit (or loaded) first, the
+    * index is built over the rotated corpus with the frame PINNED inside
+    * the index dir, and ann_opq then exercises the full serving path:
+    * load from disk in whatever process, probe with RAW queries. */
+  private def ensureOpqIndex(s: SparkSession, dir: String): String =
+    ensureEmbArtifact(s, dir, "graft-opqidx", "pq_codes") { staging =>
+      val e = embOf(s, dir)
+      graft.operators.PqIndex
+        .build(e, m = PqM, kCodes = PqK,
+          rotation = Some(opqRotation(e, dir)))
+        .save(staging)
+    }
   /** 1/√k JL scaling, inlined as the SAME double literal in both engines
     * (Scala's shortest-round-trip toString parses back bit-identically). */
   private val RpScale: Double = 1.0 / math.sqrt(RpDim)
@@ -362,16 +395,18 @@ object Similarity {
     // checkable against the RAW embeddings (the shared ANN rerank band in
     // oracle_check.py re-derives every reported cosine and rank from the
     // unrotated table). Candidate selection quality changes (that's the
-    // point); candidate SCORING provably does not.
+    // point); candidate SCORING provably does not. Round 12: the entry
+    // exercises the full PERSISTED serving path — the rotation is a
+    // versioned OpqModel artifact, the index pins its encoding frame on
+    // disk, and the probe takes RAW queries (the index rotates them at
+    // the boundary) — so what the oracle band checks is exactly what a
+    // fresh process serving this index would answer.
     "ann_opq" -> { (s, dir) =>
-      val e = Tables(s, dir, "embeddings")
-        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-      val r = opqRotation(e, dir)
-      val rot = e.select(col("vec_id"),
-        graft.operators.OpqRotation.rotate(col("v"), r, EmbDim).as("v"))
-      val idx = graft.operators.PqIndex.build(rot, m = PqM, kCodes = PqK)
-      val q = rot.filter(col("vec_id") < NumQueries)
-        .select(col("vec_id").as("q_id"), col("v").as("qv"))
+      val idx = graft.operators.PqIndex.load(s, ensureOpqIndex(s, dir))
+      val q = Tables(s, dir, "embeddings")
+        .filter(col("vec_id") < NumQueries)
+        .select(col("vec_id").as("q_id"),
+          col("embedding").cast("array<double>").as("qv"))
       graft.operators.PqIndex
         .adcProbe(idx, q, nProbe = 2, topK = TopK, rerank = 4 * TopK)
         .orderBy("q_id", "rank")

@@ -153,13 +153,36 @@ object IndexMaintainer {
     * the started marker closes it.)
     *
     * The vector index has no overlap guard (the [[IvfIndex.appendVectors]]
-    * trusted contract), so the stream must carry new vec_ids. */
+    * trusted contract), so the stream must carry new vec_ids.
+    *
+    * `compactEvery` > 0 mirrors [[maintainSearch]]'s inline cadence on
+    * the vector tier: each epoch appends new files into the touched cell
+    * partitions, so a long-running maintainer accretes the small-file
+    * pathology unless something folds them — when the committed-epoch
+    * count (done markers) reaches a multiple of the threshold,
+    * [[PqIndex.compact]] (or [[IvfIndex.compact]] without a PQ tier)
+    * runs inline. Replay safety is simpler than the search side's:
+    * compaction is content-preserving and the epoch markers live in the
+    * CHECKPOINT dir (compact rewrites only cell files), so a crash
+    * anywhere around a compaction at worst skips or repeats a fold —
+    * never double-appends.
+    *
+    * `driftEvery` > 0 wires the QUANTIZER-DRIFT signal into the same
+    * cadence: at every driftEvery-th committed epoch, the typed
+    * [[IvfIndex.driftVerdict]] (one bounded aggregate against the
+    * persisted build-time baseline) is handed to `onDrift` — a
+    * live-upsert deployment gets its rebuild signal through the
+    * maintainer's report channel without anyone remembering to run
+    * [[IvfIndex.rebalance]]. */
   def maintainVectors(
       vecs: DataFrame,
       idCol: String,
       vecCol: String,
       dir: String,
-      checkpointDir: String): StreamingQuery = {
+      checkpointDir: String,
+      compactEvery: Int = 0,
+      driftEvery: Int = 0,
+      onDrift: IvfIndex.DriftReport => Unit = _ => ()): StreamingQuery = {
     vecs.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, epochId: Long) =>
@@ -184,9 +207,34 @@ object IndexMaintainer {
             ()
           }
           Files.createDirectories(done)
-          ()
+          if (compactEvery > 0 || driftEvery > 0) {
+            val committed = committedEpochs(checkpointDir)
+            if (compactEvery > 0 && committed > 0 &&
+                committed % compactEvery == 0) {
+              if (Files.isDirectory(Paths.get(dir, "pq_codes")))
+                PqIndex.compact(spark, dir)
+              else IvfIndex.compact(spark, dir)
+            }
+            if (driftEvery > 0 && committed > 0 &&
+                committed % driftEvery == 0)
+              onDrift(IvfIndex.driftVerdict(spark, dir))
+          }
         }
       }
       .start()
+  }
+
+  /** Count of committed (done-marker) epochs for a maintainer — the
+    * cadence counter for inline compaction / drift reporting. Hidden
+    * entries (`.started-*`) are attempt markers, not commits. */
+  private def committedEpochs(checkpointDir: String): Int = {
+    val root = Paths.get(checkpointDir, "graft-epochs")
+    if (!Files.isDirectory(root)) 0
+    else {
+      import scala.jdk.CollectionConverters._
+      scala.util.Using.resource(Files.list(root))(
+        _.iterator().asScala.count(p => Files.isDirectory(p) &&
+          !p.getFileName.toString.startsWith(".")))
+    }
   }
 }

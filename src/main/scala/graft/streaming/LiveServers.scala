@@ -151,7 +151,8 @@ final class LiveAnnServer(
   // listing differs from the recorded one, so the refresh still fires.
   private def fingerprint(): String = {
     val md = java.security.MessageDigest.getInstance("MD5")
-    Seq("cells", "pq_codes", "centroids", "pq_codebooks").foreach { rel =>
+    Seq("cells", "pq_codes", "centroids", "pq_codebooks",
+        "rotation").foreach { rel =>
       val root = Paths.get(dir, rel)
       if (Files.isDirectory(root)) {
         import scala.jdk.CollectionConverters._

@@ -245,17 +245,34 @@ class AnnPqSpec extends AnyFunSuite {
     assert(rebuiltGap < driftGap,
       s"rebuild must restore gap: $rebuiltGap vs drifted $driftGap")
 
-    // rebalance's report MEASURES what a maintenance run achieved: this
-    // shift is CONCENTRATED, so splitting the hot cell refits a centroid
-    // onto the shifted cluster and the coarse resid returns toward the
-    // fit-time regime — the report is how the operator SEES that the
-    // cheap heal sufficed (a diffuse drift would stay tripped and demand
-    // the rebuild above)
-    assert(IvfIndex.rebalance(spark, dir, maxFrac = 0.45,
-      maxSplits = 2) >= 1)
+    // rebalance's TYPED report measures what the maintenance run
+    // achieved: this shift is CONCENTRATED, so splitting the hot cell
+    // refits a centroid onto the shifted cluster and the coarse resid
+    // returns toward the fit-time regime — the verdict (judged against
+    // the PERSISTED build-time baseline, no operator snapshot anywhere)
+    // is how the operator sees whether the cheap heal sufficed or the
+    // full rebuild is still due
+    val rep = IvfIndex.rebalance(spark, dir, maxFrac = 0.45, maxSplits = 2)
+    assert(rep.splits >= 1)
+    assert(rep.baselineResidNorm.isDefined,
+      "the report must carry the stored baseline it judged against")
+    assert(rep.perCell.map(_.n).sum ===
+      PqIndex.load(spark, dir).codes.count())
+    assert(Set("absorbed", "rebuild")(rep.verdict),
+      s"post-split verdict must be split-aware, got ${rep.verdict}")
     val (postRebalResid, _) = means(dir)
     assert(postRebalResid < driftResid / 1.5,
       s"the split-absorbed shift must show in the report: " +
         s"$postRebalResid vs drifted $driftResid")
+    assert(rep.meanResidNorm === postRebalResid,
+      "the report's corpus mean IS the driftStats mean")
+    // the verdict restates the thresholds over the report's own numbers
+    val gapTripped = (rep.adcSelfGap, rep.baselineGap) match {
+      case (Some(g), Some(bg)) => g > IvfIndex.GapTripFactor * bg
+      case _ => false
+    }
+    val tripped = gapTripped || rep.meanResidNorm >
+      IvfIndex.ResidTripFactor * rep.baselineResidNorm.get
+    assert(rep.verdict === (if (tripped) "rebuild" else "absorbed"))
   }
 }

@@ -216,6 +216,100 @@ class IndexMaintainerSpec extends AnyFunSuite {
     } finally q2.stop()
   }
 
+  test("maintainVectors compactEvery: per-cell file counts stay bounded under a long epoch run, probes invariant") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val emb = graft.util.Tables(spark, sfDir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val half = emb.filter(col("vec_id") % 2 === 0)
+    val rest = emb.filter(col("vec_id") % 2 === 1).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1))).toSeq
+
+    def run(compactEvery: Int): String = {
+      val idxDir = tmp(s"graft-veccomp$compactEvery")
+      PqIndex.build(half, m = 8, kCodes = 16, coarseK = 4).save(idxDir)
+      val mem = MemoryStream[(Long, Seq[Double])]
+      val q = IndexMaintainer.maintainVectors(
+        mem.toDF().toDF("vec_id", "v"), "vec_id", "v",
+        idxDir, tmp("graft-veccompckpt"), compactEvery = compactEvery)
+      try {
+        // 6 micro-batch epochs of small appends
+        rest.grouped((rest.length + 5) / 6).foreach { g =>
+          mem.addData(g: _*)
+          q.processAllAvailable()
+        }
+      } finally q.stop()
+      idxDir
+    }
+    val compacted = run(compactEvery = 2)
+    val uncompacted = run(compactEvery = 0)
+
+    def maxFilesPerCell(dir: String, rel: String): Int =
+      new java.io.File(s"$dir/$rel").listFiles()
+        .filter(f => f.isDirectory && f.getName.startsWith("cell="))
+        .map(_.listFiles().count(_.getName.endsWith(".parquet"))).max
+    // without the cadence each epoch leaves new files in its cells; the
+    // inline compact folds them to ~one per cell
+    assert(maxFilesPerCell(compacted, "pq_codes") <
+      maxFilesPerCell(uncompacted, "pq_codes"),
+      "inline compaction must fold the per-epoch small files")
+    assert(maxFilesPerCell(compacted, "pq_codes") <= 2)
+    assert(maxFilesPerCell(compacted, "cells") <= 2)
+
+    // compaction is content-preserving: both runs answer identically
+    val qv = emb.filter(col("vec_id") === rest.head._1)
+      .select(lit(990001L).as("q_id"), col("v").as("qv"))
+    def answers(dir: String) =
+      PqIndex.probeAll(PqIndex.load(spark, dir), qv,
+          nProbe = 2, topK = 5, rerank = 10)
+        .orderBy("rank").collect()
+        .map(r => (r.getLong(1), r.getInt(2), r.getDouble(3))).toSeq
+    assert(answers(compacted) === answers(uncompacted),
+      "an in-loop compaction must not change any probe answer")
+    assert(PqIndex.load(spark, compacted).codes.count() ===
+      half.count() + rest.length)
+  }
+
+  test("maintainVectors driftEvery: a drifting stream surfaces a tripped verdict through the report channel") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val emb = graft.util.Tables(spark, sfDir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val half = emb.filter(col("vec_id") % 2 === 0)
+    val rest = emb.filter(col("vec_id") % 2 === 1).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1))).toSeq
+
+    val idxDir = tmp("graft-vecdrift")
+    PqIndex.build(half, m = 8, kCodes = 16, coarseK = 4).save(idxDir)
+    val reports = new java.util.concurrent.ConcurrentLinkedQueue[
+      graft.operators.IvfIndex.DriftReport]()
+    val mem = MemoryStream[(Long, Seq[Double])]
+    val q = IndexMaintainer.maintainVectors(
+      mem.toDF().toDF("vec_id", "v"), "vec_id", "v",
+      idxDir, tmp("graft-vecdriftckpt"),
+      driftEvery = 1, onDrift = reports.add(_))
+    try {
+      // epoch 1: stationary upsert — the report channel says ok
+      mem.addData(rest.map { case (id, v) => (id + 1000000L, v) }: _*)
+      q.processAllAvailable()
+      assert(reports.size === 1)
+      assert(reports.peek().verdict === "ok",
+        "a stationary upsert must report ok through the channel")
+
+      // epoch 2: off-distribution upsert — the maintainer itself surfaces
+      // the rebuild signal, nobody ran rebalance or snapshotted anything
+      mem.addData(rest.map { case (id, v) =>
+        (id + 2000000L, v.map(_ - 8.0)) }: _*)
+      q.processAllAvailable()
+      val last = reports.toArray(
+        Array.empty[graft.operators.IvfIndex.DriftReport]).last
+      assert(last.verdict === "rebuild",
+        s"the drifting stream must trip the verdict, got ${last.verdict}")
+      assert(last.baselineResidNorm.isDefined,
+        "the verdict must be judged against the PERSISTED baseline")
+    } finally q.stop()
+  }
+
   test("maintainVectors crash replay: started-without-done scrubs the partial append, exactly-once") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

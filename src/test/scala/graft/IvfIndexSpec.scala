@@ -239,7 +239,7 @@ class IvfIndexSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
 
     val splits = IvfIndex.rebalance(spark, idxDir, maxFrac = 0.3,
-      maxSplits = 8)
+      maxSplits = 8).splits
     assert(splits >= 1, s"a >= 50% cell must split under a 30% cap")
     val after = IvfIndex.load(spark, idxDir)
     val sizes = after.assignments.groupBy("cell").count()
@@ -346,7 +346,7 @@ class IvfIndexSpec extends AnyFunSuite {
     // rebalance sees the >maxFrac duplicate cell, skips it without paying
     // a generation, and terminates
     assert(IvfIndex.rebalance(spark, idxDir, maxFrac = 0.3,
-      maxSplits = 4) === 0)
+      maxSplits = 4).splits === 0)
     assert(IvfIndex.load(spark, idxDir).k === 2)
   }
 
@@ -367,7 +367,7 @@ class IvfIndexSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
 
     val splits = IvfIndex.rebalance(spark, idxDir, maxFrac = 0.3,
-      maxSplits = 8)
+      maxSplits = 8).splits
     assert(splits >= 1, "a >= 50% cell must split under a 30% cap")
     val after = PqIndex.load(spark, idxDir)
     // code tier tracked every generation: one code row per vector, every

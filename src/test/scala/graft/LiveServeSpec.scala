@@ -202,7 +202,7 @@ class LiveServeSpec extends AnyFunSuite {
 
       // commit one-or-more new generations under the running server
       assert(IvfIndex.rebalance(spark, dir, maxFrac = 0.3,
-        maxSplits = 8) >= 1)
+        maxSplits = 8).splits >= 1)
       mem.addData((2000002L, qv))
       q.processAllAvailable()
       // deep-rerank exhaustive answers are split-invariant, so serving
