@@ -229,6 +229,58 @@ object Main {
       val counts = table.scan(words.mkString(" "))
       keywords.zip(counts).foreach { case (kw, n) => println(s"$kw\t$n") }
 
+    // extension (no reference analog): the DELETION lifecycle from the
+    // command line — takedowns are operator-initiated, so the
+    // library-level deleteDocs/removeVectors get an operational surface
+    // next to search/diff/scan. The index kind is detected from its
+    // on-disk layout: postings+meta = search index (tombstone batch),
+    // cells = vector index (staged-generation removal, PQ tier included
+    // automatically).
+    case "delete" +: idxDir +: rawIds if rawIds.nonEmpty =>
+      val ids = rawIds.map { s =>
+        try s.toLong
+        catch {
+          case _: NumberFormatException =>
+            System.err.println(s"delete: '$s' is not a numeric id")
+            sys.exit(2)
+            0L
+        }
+      }
+      import java.nio.file.{Files, Paths}
+      if (Files.isDirectory(Paths.get(idxDir, "postings"))) {
+        val n = graft.operators.SearchIndex.deleteDocs(spark(), idxDir, ids)
+        println(s"deleted $n of ${ids.size} documents from $idxDir")
+      } else if (Files.isDirectory(Paths.get(idxDir, "cells"))) {
+        val n = graft.operators.IvfIndex.removeVectors(spark(), idxDir, ids)
+        println(s"removed $n of ${ids.size} vectors from $idxDir")
+      } else {
+        System.err.println(
+          s"delete: $idxDir is neither a search index (postings/) nor a " +
+            "vector index (cells/)")
+        sys.exit(2)
+      }
+
+    // extension (no reference analog): fold tombstones / per-epoch small
+    // files — SearchIndex.compact collects deleted postings physically;
+    // the vector side rewrites each cell to ~one file (both crash-safe,
+    // same maintenance primitives the streaming maintainers run inline)
+    case Seq("gc", idxDir) =>
+      import java.nio.file.{Files, Paths}
+      if (Files.isDirectory(Paths.get(idxDir, "postings"))) {
+        graft.operators.SearchIndex.compact(spark(), idxDir)
+        println(s"compacted search index at $idxDir")
+      } else if (Files.isDirectory(Paths.get(idxDir, "cells"))) {
+        if (Files.isDirectory(Paths.get(idxDir, "pq_codes")))
+          graft.operators.PqIndex.compact(spark(), idxDir)
+        else graft.operators.IvfIndex.compact(spark(), idxDir)
+        println(s"compacted vector index at $idxDir")
+      } else {
+        System.err.println(
+          s"gc: $idxDir is neither a search index (postings/) nor a " +
+            "vector index (cells/)")
+        sys.exit(2)
+      }
+
     // extension (no reference analog): migrate a native .eventlog file
     // written by the original Go implementation into an engine log
     case Seq("import", nativeFile, dir) =>
@@ -253,6 +305,7 @@ object Main {
           "search <indexdir> tfidf|bm25|phrase <term>...|" +
           "tokenize <modeldir> az|bytes|pretok|gpt2 <text>...|" +
           "scan <kw1,kw2,...> <text>...|" +
+          "delete <indexdir> <id>...|gc <indexdir>|" +
           "import <nativefile> <dir>")
       sys.exit(2)
   }

@@ -147,6 +147,56 @@ class CliSpec extends AnyFunSuite {
     assert(az.matches("\\d+ ids: .*"), az)
   }
 
+  test("delete + gc drive the takedown lifecycle on both index kinds") {
+    import org.apache.spark.sql.functions.col
+    val sparkS = spark
+    import sparkS.implicits._
+    def cli(args: String*): String = {
+      val out = new java.io.ByteArrayOutputStream()
+      Console.withOut(new java.io.PrintStream(out)) {
+        graft.cli.Main.main(args.toArray)
+      }
+      out.toString.trim
+    }
+
+    // search index: delete via CLI stops the doc being served; gc
+    // physically collects the tombstoned postings
+    val idxDir = Files.createTempDirectory("graftclidel").toString
+    graft.operators.SearchIndex.build(Seq(
+        (1L, "vector search engine"),
+        (2L, "vector database"),
+        (3L, "other words")).toDF("doc_id", "text"))
+      .save(idxDir)
+    assert(cli("delete", idxDir, "2", "99")
+      .contains("deleted 1 of 2 documents"))
+    val served = graft.operators.SearchIndex.search(
+        graft.operators.SearchIndex.load(spark, idxDir), Seq("vector"), 5)
+      .collect().map(_.getLong(0)).toSeq
+    assert(served === Seq(1L), s"doc 2 must stop being served: $served")
+    cli("gc", idxDir)
+    val idx = graft.operators.SearchIndex.load(spark, idxDir)
+    assert(idx.postings.filter(col("doc_id") === 2L).count() === 0L,
+      "gc must physically collect the tombstoned postings")
+    assert(graft.operators.SearchIndex.search(idx, Seq("vector"), 5)
+      .collect().map(_.getLong(0)).toSeq === Seq(1L))
+
+    // vector index: delete removes from cells AND the PQ code tier; gc
+    // folds the per-append small files
+    val vecDir = Files.createTempDirectory("graftclivec").toString
+    val emb = graft.util.Tables(spark, "/root/testdata/sf0.001", "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    graft.operators.PqIndex.build(emb, m = 8, kCodes = 16, coarseK = 4)
+      .save(vecDir)
+    val n = emb.count()
+    assert(cli("delete", vecDir, "7").contains("removed 1 of 1 vectors"))
+    val vidx = graft.operators.PqIndex.load(spark, vecDir)
+    assert(vidx.codes.filter(col("vec_id") === 7L).count() === 0L)
+    assert(vidx.coarse.assignments.count() === n - 1)
+    cli("gc", vecDir)
+    assert(graft.operators.PqIndex.load(spark, vecDir)
+      .codes.count() === n - 1, "gc must preserve the surviving vectors")
+  }
+
   test("scan counts a watch-list over command-line text, overlaps included") {
     val out = new java.io.ByteArrayOutputStream()
     Console.withOut(new java.io.PrintStream(out)) {

@@ -1599,6 +1599,50 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("FuzzyJoin.matchStream: a catalog dir mutated mid-stream keeps serving the construction-time snapshot consistently") {
+    val sparkS = spark
+    import sparkS.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import org.apache.spark.sql.functions._
+    val catDir = java.nio.file.Files
+      .createTempDirectory("graft-fuzzycat").toString
+    Seq("alpha", "bravo", "carol").toDF("name")
+      .write.mode("overwrite").parquet(catDir)
+    val mem = MemoryStream[(java.sql.Timestamp, String)]
+    val q = graft.operators.FuzzyJoin.matchStream(
+        mem.toDF().toDF("ts", "dirty"), "ts", "dirty",
+        spark.read.parquet(catDir), "name", q = 2, k = 1)
+      .writeStream.format("memory").queryName("fuzzysnap")
+      .outputMode("append").start()
+    try {
+      val t0 = new java.sql.Timestamp(1000L)
+      mem.addData(Seq((t0, "alphx")))
+      q.processAllAvailable()
+      // MUTATE the catalog dir wholesale mid-stream: before the freeze,
+      // the probe-side df literal (collected once) and the per-batch
+      // catalog prefix plan would now rank against DIFFERENT gram orders
+      // and could silently drop true pairs; with it, both sides keep the
+      // construction-time snapshot
+      Seq("delta", "echos").toDF("name")
+        .write.mode("overwrite").parquet(catDir)
+      mem.addData(Seq((t0, "bravx"), (t0, "deltx")))
+      q.processAllAvailable()
+      mem.addData(Seq((new java.sql.Timestamp(10000000L), "zzzzzzzz")))
+      q.processAllAvailable()
+      val got = spark.table("fuzzysnap")
+        .select("probe", "candidate", "dist")
+        .as[(String, String, Long)].collect().toSet
+      // pre- AND post-mutation probes resolve against the ORIGINAL
+      // catalog (one consistent order — no false negative on bravx)...
+      assert(got === Set(("alphx", "alpha", 1L), ("bravx", "bravo", 1L)),
+        s"construction-time snapshot must keep serving consistently: $got")
+      // ...and the mutated catalog is not half-consulted: deltx (a match
+      // only in the NEW catalog) produced nothing, rather than a torn
+      // mix of old ranks with new rows
+      assert(!got.exists(_._1 == "deltx"))
+    } finally q.stop()
+  }
+
   test("sessionizeStream: closed sessions equal the batch events_sessionize entry") {
     val sparkS = spark
     import sparkS.implicits._
