@@ -526,14 +526,12 @@ object BpeMergeTable {
     * pre-tokens tile the document exactly — decode ∘ encode re-joined
     * reproduces the original text bit-for-bit, whitespace included
     * (the category-run pre-tokenizer could only promise the
-    * whitespace-normalized form). RE2-compatible by construction — no
-    * lookarounds: GPT-2's `\s+(?!\S)` trailing-space split is replaced
-    * by a plain greedy `\s+`, so a run of 2+ spaces becomes one
-    * whitespace pre-token and only a SINGLE space folds into the next
-    * word (GPT-2 instead donates the run's last space). A deliberate,
-    * documented divergence: it keeps the alternation expressible in both
-    * engines, and single-space word boundaries — the overwhelmingly
-    * common case — carry identically. */
+    * whitespace-normalized form). Whitespace semantics are GPT-2's exact
+    * lookahead form (round 12): `\s+(?!\S)` ahead of the residual `\s+`
+    * makes an interior whitespace run donate its last space to the
+    * following word — Java regex runs the lookahead directly; the DuckDB
+    * oracle (RE2, no lookarounds) reproduces it with a post-split fix-up
+    * proven equivalent in Gpt2LookaheadSpec. */
   def gpt2(merges: Seq[(Long, String, String, String, Long)]): BpeMergeTable =
     build(merges, 255, byteLevel = true, gpt2 = true)
 }
@@ -546,14 +544,27 @@ object BpeEncode {
   private val PreTok = java.util.regex.Pattern.compile(
     "[\\p{L}]+|[\\p{N}]+|[^\\s\\p{L}\\p{N}]+")
   /** The GPT-2-complete pre-tokenizer ([[BpeMergeTable.gpt2]]): the
-    * contraction alternation (ASCII literals — RE2 ≡ Java), the
-    * space-prefix convention via ` ?` on each category run, and residual
-    * whitespace runs as pre-tokens. Alternation order is load-bearing
-    * (contractions before the symbol run, or `'s` would tokenize as
-    * `'` + `s`) and both engines resolve alternation leftmost-first. */
+    * contraction alternation, the space-prefix convention via ` ?` on
+    * each category run, GPT-2's exact `\s+(?!\S)` whitespace lookahead
+    * (an interior run donates its last space to the following word), and
+    * residual whitespace runs as pre-tokens. Alternation order is
+    * load-bearing (contractions before the symbol run, or `'s` would
+    * tokenize as `'` + `s`; the lookahead before the residual `\s+`).
+    * Java regex runs the lookahead natively; the DuckDB oracle (RE2)
+    * runs the greedy variant plus the equivalent post-split fix-up. */
   private val Gpt2PreTok = java.util.regex.Pattern.compile(
-    "'s|'t|'re|'ve|'m|'ll|'d| ?[\\p{L}]+| ?[\\p{N}]+| ?[^\\s\\p{L}\\p{N}]+|\\s+")
+    "'s|'t|'re|'ve|'m|'ll|'d| ?[\\p{L}]+| ?[\\p{N}]+| ?[^\\s\\p{L}\\p{N}]+|\\s+(?!\\S)|\\s+")
   private val HexDigits = "0123456789ABCDEF".toCharArray
+
+  /** The kernel's gpt2 pre-token split, exposed so Gpt2LookaheadSpec can
+    * pin its exact-lookahead semantics (and the oracle fix-up's
+    * equivalence) against hand-derived GPT-2 expectations. */
+  private[graft] def gpt2PreTokens(s: String): Seq[String] = {
+    val m = Gpt2PreTok.matcher(s)
+    val out = Seq.newBuilder[String]
+    while (m.find()) out += m.group()
+    out.result()
+  }
 
   /** The merge chain shared by both alphabets: each learned merge is ONE
     * leftmost non-overlapping left-to-right pass whose output never

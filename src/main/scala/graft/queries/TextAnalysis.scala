@@ -123,34 +123,99 @@ object TextAnalysis {
     s"unnest(regexp_extract_all(text, '$PreTokSql'))"
 
   /** The GPT-2-COMPLETE pre-tokenizer ([[graft.exprs.BpeMergeTable.gpt2]]):
-    * contraction cases + the ` ?` space-prefix convention + residual
-    * whitespace runs. ASCII literals and category classes only — RE2 ≡
-    * Java, both leftmost-first on the alternation — and the alternation
-    * tiles EVERY character, so the extracted pre-tokens concatenate back
-    * to the document exactly (the losslessness the roundtrip oracle
-    * states without modeling BPE). */
-  private val Gpt2PreTokPat =
+    * contraction cases + the ` ?` space-prefix convention + GPT-2's
+    * exact `\s+(?!\S)` whitespace lookahead (an interior run of 2+
+    * whitespace chars donates its LAST space to the following word) +
+    * residual whitespace runs. The alternation tiles EVERY character, so
+    * the extracted pre-tokens concatenate back to the document exactly
+    * (the losslessness the roundtrip oracle states without modeling
+    * BPE). Spark's Java regex runs the lookahead natively; the oracle's
+    * RE2 has no lookarounds, so it runs [[Gpt2GreedyPat]] plus
+    * [[gpt2FixupSql]] — equivalence proven case-by-case in
+    * Gpt2LookaheadSpec. */
+  private[graft] val Gpt2PreTokPat =
+    "'s|'t|'re|'ve|'m|'ll|'d| ?[\\p{L}]+| ?[\\p{N}]+| ?[^\\s\\p{L}\\p{N}]+|\\s+(?!\\S)|\\s+"
+
+  /** The RE2-expressible GREEDY variant (plain `\s+`, whole runs) the
+    * oracle extracts with before the fix-up. */
+  private[graft] val Gpt2GreedyPat =
     "'s|'t|'re|'ve|'m|'ll|'d| ?[\\p{L}]+| ?[\\p{N}]+| ?[^\\s\\p{L}\\p{N}]+|\\s+"
 
   /** The gpt2 family's CONTRACTION-HEAVY derived corpus: the raw test
-    * corpus carries no apostrophes, so the oracle gate would never
-    * exercise the contraction alternation on `text` alone. Two literal
+    * corpus carries no apostrophes AND no multi-space runs, so the
+    * oracle gate would exercise neither the contraction alternation nor
+    * the `\s+(?!\S)` whitespace lookahead on `text` alone. Three literal
     * replaces (every "e "-ending word gains 's, every "n "-ending word
-    * gains 'll) make contractions ubiquitous, and a plain string replace
-    * is engine-identical by construction — the SAME transform runs in
-    * Spark ([[gpt2Text]]) and DuckDB ([[Gpt2TextSql]]), so the corpora
-    * match bit-for-bit before the regex ever runs. */
+    * gains 'll, every "s "-ending word — including the freshly-minted
+    * 's — gains a SECOND space) make both ubiquitous, and a plain string
+    * replace is engine-identical by construction — the SAME transform
+    * runs in Spark ([[gpt2Text]]) and DuckDB ([[Gpt2TextSql]]), so the
+    * corpora match bit-for-bit before the regex ever runs. The
+    * double-space injection is what keeps the lookahead (and the
+    * oracle's fix-up) under the per-round gate rather than spec-only. */
   private val Gpt2TextSql =
-    "replace(replace(text, 'e ', 'e''s '), 'n ', 'n''ll ')"
+    "replace(replace(replace(text, 'e ', 'e''s '), 'n ', 'n''ll '), " +
+      "'s ', 's  ')"
   private def gpt2Text: Column =
     org.apache.spark.sql.functions.replace(
       org.apache.spark.sql.functions.replace(
-        col("text"), lit("e "), lit("e's ")),
-      lit("n "), lit("n'll "))
+        org.apache.spark.sql.functions.replace(
+          col("text"), lit("e "), lit("e's ")),
+        lit("n "), lit("n'll ")),
+      lit("s "), lit("s  "))
 
-  private val Gpt2PatSqlLit = Gpt2PreTokPat.replace("'", "''")
+  private val Gpt2PatSqlLit = Gpt2GreedyPat.replace("'", "''")
+
+  /** RE2 has no lookahead, so the oracle reproduces `\s+(?!\S)` by a
+    * POST-SPLIT FIX-UP over the greedy token list L (bound once via the
+    * one-element list_transform trick). The rules, each provably what
+    * the lookahead split yields at that position (Gpt2LookaheadSpec pins
+    * the algorithm against the real lookahead on adversarial corpora):
+    *
+    *  - a DONOR — an interior whitespace-only token of length ≥ 2 —
+    *    keeps its first n−1 chars; its last char joins the next token
+    *    when it is a plain space, else (tab/newline) becomes a one-char
+    *    whitespace token of its own (GPT-2's ` ?` folds only 0x20);
+    *  - the token AFTER a space-donor gains the leading space; when that
+    *    token is a CONTRACTION ('s 't …) the space+apostrophe re-split
+    *    as a symbol run — `" '"` — and the contraction's letters rejoin
+    *    the following letter-run if one follows (greedy had chopped one
+    *    letter run in two: `"  'tis"` is `" ", " '", "tis"` in GPT-2 but
+    *    `"  ", "'t", "is"` greedily);
+    *  - a letter-run consumed by that rejoin emits nothing;
+    *  - everything else passes through. */
+  private def gpt2FixupSql(rawList: String): String = {
+    val ws = "regexp_full_match(%s, '\\s+')"
+    def donor(t: String, i: String, n: String) =
+      s"(${ws.format(t)} AND length($t) >= 2 AND $i < $n)"
+    def spaceDonor(t: String, i: String, n: String) =
+      s"(${donor(t, i, n)} AND substr($t, length($t), 1) = ' ')"
+    val contractions = "('''s', '''t', '''re', '''ve', '''m', '''ll', '''d')"
+    s"""list_transform([$rawList], L ->
+       |  flatten(list_transform(range(1, len(L) + 1), i -> CASE
+       |    WHEN ${donor("L[i]", "i", "len(L)")} THEN
+       |      CASE WHEN substr(L[i], length(L[i]), 1) = ' '
+       |        THEN [substr(L[i], 1, length(L[i]) - 1)]
+       |        ELSE [substr(L[i], 1, length(L[i]) - 1),
+       |              substr(L[i], length(L[i]), 1)] END
+       |    WHEN i > 2 AND ${spaceDonor("L[i-2]", "i-2", "len(L)")}
+       |        AND L[i-1] IN $contractions
+       |        AND regexp_full_match(L[i], '[\\p{L}]+') THEN
+       |      []::VARCHAR[]
+       |    WHEN i > 1 AND ${spaceDonor("L[i-1]", "i-1", "len(L)")} THEN
+       |      CASE WHEN L[i] IN $contractions THEN
+       |        CASE WHEN i < len(L)
+       |              AND regexp_full_match(L[i+1], '[\\p{L}]+')
+       |          THEN [' ' || substr(L[i], 1, 1),
+       |                substr(L[i], 2) || L[i+1]]
+       |          ELSE [' ' || substr(L[i], 1, 1), substr(L[i], 2)] END
+       |        ELSE [' ' || L[i]] END
+       |    ELSE [L[i]] END)))[1]""".stripMargin
+  }
+
   private val Gpt2WordsSql =
-    s"unnest(regexp_extract_all($Gpt2TextSql, '$Gpt2PatSqlLit'))"
+    s"unnest(${gpt2FixupSql(
+      s"regexp_extract_all($Gpt2TextSql, '$Gpt2PatSqlLit')")})"
 
   /** BYTE-alphabet word-frequency CTE: raw tokens from `wordsSql` (no
     * lowercasing — case is in-alphabet now), symbols = the uppercase
@@ -346,7 +411,7 @@ object TextAnalysis {
     s"regexp_extract_all(text, '$PreTokSql')")
 
   private def tokenIdGpt2Ctes: String = tokenIdByteCtesFor(
-    s"regexp_extract_all($Gpt2TextSql, '$Gpt2PatSqlLit')")
+    gpt2FixupSql(s"regexp_extract_all($Gpt2TextSql, '$Gpt2PatSqlLit')"))
 
   private def tokenIdByteCtesFor(wordsArraySql: String): String = {
     val vRounds = (1 to BpeMerges).map { k =>

@@ -46,7 +46,7 @@ class Gpt2TokenizerSpec extends AnyFunSuite {
     val texts = Seq(
       "it's done",
       "we're off, I'll say don't",
-      "a  b", // 2-space run: its own pre-token
+      "a  b", // 2-space run: donates its last space forward (lookahead)
       "tail space ")
     val enc = encode(texts)
     texts.zip(enc).foreach { case (t, ids) =>
