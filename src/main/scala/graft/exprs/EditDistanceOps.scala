@@ -1,8 +1,9 @@
 package graft.exprs
 
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ImplicitCastInputTypes}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ImplicitCastInputTypes, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.types.{DataType, IntegerType, StringType}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Banded (Ukkonen) edit distance with threshold — the fuzzy-join verify
@@ -67,6 +68,68 @@ object EditDistanceOps {
     }
     if (prev(lb) <= k) prev(lb) else -1
   }
+
+  /** The ≤k-DELETION NEIGHBORHOOD of a string — the FastSS /
+    * Mor–Fraenkel signature family (public literature; Bocek et al.
+    * 2007): every string obtainable from `s` by deleting at most k
+    * characters, distinct, in deterministic BFS order (by deletion
+    * count, then first-seen position order).
+    *
+    * Soundness as a join signature: if ed(x, y) ≤ k, fix an optimal
+    * alignment with s substitutions, i insertions, d deletions
+    * (s+i+d ≤ k); deleting from x the substituted and x-only positions
+    * (s+d ≤ k deletions) and from y the substituted and y-only
+    * positions (s+i ≤ k) yields the SAME string — so x and y share a
+    * member of their ≤k-deletion neighborhoods, and a join on the
+    * neighborhood loses no pair. The neighborhood size is O(len^k)
+    * (len+1 at k=1, ~len²/2 at k=2) — viable precisely for the small-k
+    * regime the fuzzy joins run in.
+    *
+    * UTF-16 code-unit deletions, consistent with [[within]]; the BMP
+    * guard at the FuzzyJoin entry points scopes both. */
+  def deletionNeighborhood(s0: UTF8String, k: Int): ArrayData = {
+    val s = s0.toString
+    val seen = new java.util.LinkedHashSet[String]()
+    seen.add(s)
+    var frontier: Seq[String] = Seq(s)
+    var round = 0
+    while (round < k && frontier.nonEmpty) {
+      val next = Seq.newBuilder[String]
+      frontier.foreach { x =>
+        var i = 0
+        while (i < x.length) {
+          val d = x.substring(0, i) + x.substring(i + 1)
+          if (seen.add(d)) next += d
+          i += 1
+        }
+      }
+      frontier = next.result()
+      round += 1
+    }
+    val out = new Array[AnyRef](seen.size)
+    val it = seen.iterator()
+    var i = 0
+    while (it.hasNext) { out(i) = UTF8String.fromString(it.next()); i += 1 }
+    new GenericArrayData(out)
+  }
+}
+
+/** `deletion_neighborhood(s, k)`: the ≤k-deletion signature set
+  * (see [[EditDistanceOps.deletionNeighborhood]]). */
+case class DeletionNeighborhood(child: Expression, k: Int)
+    extends UnaryExpression with ImplicitCastInputTypes {
+  require(k >= 0, "deletion budget must be non-negative")
+  override def inputTypes: Seq[org.apache.spark.sql.graftshim.Shim.AbstractType] =
+    Seq(StringType)
+  override def dataType: DataType = ArrayType(StringType)
+  override def nullSafeEval(a: Any): Any =
+    EditDistanceOps.deletionNeighborhood(a.asInstanceOf[UTF8String], k)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      a => s"graft.exprs.EditDistanceOps.deletionNeighborhood($a, $k)")
+  override protected def withNewChildInternal(
+      newChild: Expression): DeletionNeighborhood = copy(child = newChild)
+  override def prettyName: String = "deletion_neighborhood"
 }
 
 /** `edit_distance_within(a, b, k)`: banded levenshtein, −1 above k

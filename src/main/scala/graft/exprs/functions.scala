@@ -41,6 +41,13 @@ object functions {
   def edit_distance_within(a: Column, b: Column, k: Int): Column =
     Shim.column(EditDistanceWithin(Shim.expression(a), Shim.expression(b), k))
 
+  /** The ≤k-deletion signature set of a string (see
+    * [[EditDistanceOps.deletionNeighborhood]]) — the fuzzy joins'
+    * candidate generator for corpora whose shared-gram structure
+    * degenerates. */
+  def deletion_neighborhood(s: Column, k: Int): Column =
+    Shim.column(DeletionNeighborhood(Shim.expression(s), k))
+
   /** Dense mat-vec: rotate/project an array<double> column by a flat
     * row-major matrix reference object (see [[VectorOps.matVec]]). */
   def mat_vec(v: Column, mat: Array[Double], rows: Int, cols: Int): Column =

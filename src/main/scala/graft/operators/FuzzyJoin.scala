@@ -36,11 +36,17 @@ import org.apache.spark.sql.Column
   * rarest-first order drives hot "stop-grams" out of prefixes wherever a
   * string has anything rarer, which is the Ed-Join argument for why this
   * stays near-linear on natural text. No cap is applied (a cap would break
-  * the exact-oracle guarantee); a pathological corpus where most strings
-  * have NOTHING but hot grams degrades gracefully toward the quadratic
-  * verify inside those buckets only. Verification is Spark's banded
-  * `levenshtein(l, r, threshold)` — O(k·min(|l|,|r|)) per pair, not full
-  * DP. All stages are plain exchanges + codegen'd expressions.
+  * the exact-oracle guarantee); instead, a corpus whose gram alphabet is
+  * too small to discriminate (zero-padded ids and the like — the measured
+  * 100× scale-killer: 131 BILLION gram candidates at 1.5M such names) is
+  * detected from the candidate-volume aggregate itself and rerouted to
+  * the ≤k-DELETION SIGNATURE generator (FastSS / Mor–Fraenkel — see the
+  * adaptive-generation block below and
+  * [[graft.exprs.EditDistanceOps.deletionNeighborhood]]), which that
+  * same corpus family keeps near-linear (~40·n candidates at any n).
+  * Verification is the banded edit-distance kernel —
+  * O(k·min(|l|,|r|)) per pair, not full DP — under either generator.
+  * All stages are plain exchanges + codegen'd expressions.
   */
 object FuzzyJoin {
 
@@ -90,9 +96,103 @@ object FuzzyJoin {
   private def gramRows(names: DataFrame, q: Int): DataFrame =
     names.select(col("s"), explode(qgrams(col("s"), q)).as("g"))
 
+  // ---------------------------------------------------------------------
+  // Adaptive candidate generation (round 12). The gram-prefix scheme's
+  // candidate volume is Σ_g C(df_prefix(g), 2) — near-linear on natural
+  // text, but a corpus whose strings draw from a TINY gram alphabet
+  // (e.g. zero-padded numeric ids: 101 distinct 2-grams however many
+  // strings) degenerates toward n²/|alphabet|: measured 10.6M candidates
+  // at 15k such names, 131 BILLION at 1.5M — a true 100× scale-killer.
+  // For the small-k regime these joins run in, the ≤k-DELETION
+  // NEIGHBORHOOD signature (FastSS / Mor–Fraenkel; see
+  // [[graft.exprs.EditDistanceOps.deletionNeighborhood]] for the
+  // no-false-negative proof) keys candidates by (len−k)-char signatures
+  // whose buckets stay near-constant on exactly those corpora
+  // (~40·n candidates at any n on the numeric-id family), at the price
+  // of a (len+1)^k-factor signature explosion that natural long-string
+  // corpora shouldn't pay. Neither dominates, so the generator is CHOSEN
+  // FROM THE DATA, deterministically, with bounded decision cost:
+  //  1. volG = exact gram-prefix candidate volume (one aggregate over
+  //     the prefix table the plan needs anyway);
+  //  2. if volG ≤ the deletion path's INPUT row bound (Σ |D≤k(s)|,
+  //     computed from length stats alone) the gram plan is already no
+  //     worse than the other path's floor — take it (the common case:
+  //     natural text never reaches step 3);
+  //  3. else pay one signature pass to compute volD exactly and take
+  //     the smaller volume.
+  // Both paths end in the same banded verify + output-sized distinct,
+  // so the result is generator-independent (result-identical to the
+  // naive quadratic oracle either way).
+  // ---------------------------------------------------------------------
+
+  /** Deletion signatures explode as (len+1)^k — beyond k=2 the gram
+    * path is always taken. */
+  private val MaxDeletionK = 2
+
+  private def delSigs(names: DataFrame, k: Int): DataFrame =
+    names.select(col("s"),
+      explode(graft.exprs.functions.deletion_neighborhood(col("s"), k))
+        .as("sig"))
+
+  /** TWICE the upper bound on |D≤k(s)| from the length alone (doubled so
+    * the k=2 triangular term stays in integer arithmetic — Spark's `/`
+    * is fractional even on longs; the caller halves driver-side). */
+  private def nbhdBound2x(len: Column, k: Int): Column = {
+    val l = len.cast("long")
+    k match {
+      case 0 => lit(2L)
+      case 1 => (l + 1L) * 2L
+      case _ => lit(2L) + l * 2L + l * (l - 1L)
+    }
+  }
+
+  /** Σ C(bucket, 2) over `key` buckets — the self-join candidate volume
+    * (upper bound: ignores the length band). */
+  private def pairVolumeSelf(keyed: DataFrame, key: String): Long =
+    // Spark's `/` is fractional even on longs — halve driver-side
+    keyed.groupBy(key).agg(count(lit(1)).as("c"))
+      .agg(coalesce(sum(col("c") * (col("c") - 1L)), lit(0L)))
+      .head().getLong(0) / 2L
+
+  /** Σ cA·cB over shared `key` buckets — the two-sided volume. */
+  private def pairVolumeMatch(a: DataFrame, b: DataFrame, key: String): Long =
+    a.groupBy(key).agg(count(lit(1)).as("ca"))
+      .join(b.groupBy(key).agg(count(lit(1)).as("cb")), key)
+      .agg(coalesce(sum(col("ca") * col("cb")), lit(0L)))
+      .head().getLong(0)
+
+  private def sigRowBound(names: DataFrame, k: Int): Long =
+    names.agg(coalesce(sum(nbhdBound2x(length(col("s")), k)), lit(0L)))
+      .head().getLong(0) / 2L
+
+  /** The deterministic generator choice for a SELF join (exposed for
+    * the plan spec): "grams" or "deletions". */
+  private[graft] def selfGenerator(
+      names: DataFrame, prefix: DataFrame, k: Int): String = {
+    if (k > MaxDeletionK) return "grams"
+    val volG = pairVolumeSelf(prefix, "g")
+    if (volG <= sigRowBound(names, k)) return "grams"
+    if (pairVolumeSelf(delSigs(names, k), "sig") < volG) "deletions"
+    else "grams"
+  }
+
+  /** The generator choice for a probe-vs-catalog join. */
+  private[graft] def matchGenerator(
+      p: DataFrame, c: DataFrame,
+      prefixP: DataFrame, prefixC: DataFrame, k: Int): String = {
+    if (k > MaxDeletionK) return "grams"
+    val volG = pairVolumeMatch(prefixP, prefixC, "g")
+    if (volG <= sigRowBound(p, k) + sigRowBound(c, k)) return "grams"
+    if (pairVolumeMatch(delSigs(p, k), delSigs(c, k), "sig") < volG)
+      "deletions"
+    else "grams"
+  }
+
   /** All pairs (name_a < name_b) of distinct values of `column` within
     * edit distance k, with the distance. Result-identical to the naive
-    * all-pairs `levenshtein` join (the DuckDB oracle). */
+    * all-pairs `levenshtein` join (the DuckDB oracle) under EITHER
+    * candidate generator — the generator is chosen from the data (see
+    * the adaptive-generation block above). */
   def selfJoin(data: DataFrame, column: String, q: Int, k: Int): DataFrame = {
     val names = data.select(col(column).as("s"))
       .filter(col("s").isNotNull).distinct()
@@ -100,6 +200,19 @@ object FuzzyJoin {
     val g = gramRows(names, q)
     val dfTable = g.groupBy("g").agg(count(lit(1)).as("df"))
     val prefix = prefixRows(g, dfTable, q, k)
+    if (selfGenerator(names, prefix, k) == "deletions") {
+      // deletion-signature candidates: every true pair shares a ≤k-
+      // deletion variant (proof at the kernel), so ONE equi-join on the
+      // signature generates all of them; the length band still prunes
+      // for free, and there is no short-string special case (signatures
+      // cover every length exactly)
+      val sigs = delSigs(names, k)
+      val cand = sigs.as("a").join(sigs.as("b"),
+          col("a.sig") === col("b.sig") && col("a.s") < col("b.s") &&
+            abs(length(col("a.s")) - length(col("b.s"))) <= k)
+        .select(col("a.s").as("name_a"), col("b.s").as("name_b"))
+      return verify(cand, "name_a", "name_b", k).distinct()
+    }
     // length band is free (ed ≤ k ⟹ |len diff| ≤ k) and cuts candidates
     // before they exist as rows
     val cand = prefix.as("a").join(prefix.as("b"),
@@ -134,8 +247,17 @@ object FuzzyJoin {
     val pg = gramRows(p, q)
     val cg = gramRows(c, q)
     val dfTable = pg.union(cg).groupBy("g").agg(count(lit(1)).as("df"))
-    val cand = prefixRows(pg, dfTable, q, k).as("a")
-      .join(prefixRows(cg, dfTable, q, k).as("b"),
+    val prefixP = prefixRows(pg, dfTable, q, k)
+    val prefixC = prefixRows(cg, dfTable, q, k)
+    if (matchGenerator(p, c, prefixP, prefixC, k) == "deletions") {
+      val cand = delSigs(p, k).as("a").join(delSigs(c, k).as("b"),
+          col("a.sig") === col("b.sig") &&
+            abs(length(col("a.s")) - length(col("b.s"))) <= k)
+        .select(col("a.s").as("probe"), col("b.s").as("candidate"))
+      return verify(cand, "probe", "candidate", k).distinct()
+    }
+    val cand = prefixP.as("a")
+      .join(prefixC.as("b"),
         col("a.g") === col("b.g") &&
           abs(length(col("a.s")) - length(col("b.s"))) <= k)
       .select(col("a.s").as("probe"), col("b.s").as("candidate"))

@@ -105,4 +105,79 @@ class FuzzyJoinSpec extends AnyFunSuite {
     assert(out === bruteSelf(names, k = 1))
     assert(out.nonEmpty) // consecutive ids differ by one substitution
   }
+
+  test("deletion-neighborhood kernel: contents, distinctness, k=2 growth") {
+    def nb(s: String, k: Int): Seq[String] =
+      graft.exprs.EditDistanceOps.deletionNeighborhood(
+        org.apache.spark.unsafe.types.UTF8String.fromString(s), k)
+        .toArray[org.apache.spark.unsafe.types.UTF8String](
+          org.apache.spark.sql.types.StringType).map(_.toString).toSeq
+    assert(nb("abc", 1).toSet === Set("abc", "bc", "ac", "ab"))
+    assert(nb("aaa", 1).toSet === Set("aaa", "aa"), "duplicates collapse")
+    assert(nb("ab", 2).toSet === Set("ab", "a", "b", ""))
+    assert(nb("", 1) === Seq(""))
+    val n2 = nb("abcdef", 2)
+    assert(n2.distinct === n2, "deterministic, duplicate-free")
+    assert(n2.toSet === (for {
+      i <- 0 to 5; j <- i to 5
+    } yield {
+      val once = "abcdef".substring(0, i) + "abcdef".substring(i + 1)
+      if (j == i) once
+      else {
+        val jj = if (j > i) j - 1 else j
+        once.substring(0, jj) + once.substring(jj + 1)
+      }
+    }).toSet + "abcdef")
+  }
+
+  test("degenerate gram alphabet reroutes to the deletion generator and stays exact") {
+    // zero-padded numeric ids: 101 distinct 2-grams at ANY corpus size —
+    // the measured 100× scale-killer for the gram path (131B candidates
+    // at 1.5M names). The data-driven chooser must take the deletion
+    // path here, and the result must still equal brute force.
+    val names = (0 until 600).map(i => f"Customer#$i%09d") ++
+      Seq("Customer#0000OO123") // letter/digit confusion pair territory
+    val g = names.toDF("s").select(col("s")).distinct()
+    val grams = g.select(col("s"),
+      explode(graft.operators.FuzzyJoin.qgrams(col("s"), 2)).as("g"))
+    val dfT = grams.groupBy("g").agg(count(lit(1)).as("df"))
+    // (reconstruct the prefix the way selfJoin does, to ask the chooser)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("s").orderBy(col("df"), col("g"))
+    val prefix = grams.join(dfT, "g")
+      .withColumn("rn", row_number().over(w)).filter(col("rn") <= 3)
+      .select("s", "g")
+    assert(FuzzyJoin.selfGenerator(g, prefix, 1) === "deletions",
+      "the numeric-id family must reroute off the gram path")
+    assert(engineSelf(names, q = 2, k = 1) === bruteSelf(names, k = 1),
+      "the deletion path must be result-identical to the naive oracle")
+
+    // a natural-text corpus keeps the gram path (volG under the deletion
+    // input floor — step 2 of the chooser, no signature pass paid)
+    val natural = Seq("shipping container", "shipping containers",
+      "boxed widgets", "amber glass bottle", "cobalt glass bottle",
+      "weathered oak plank", "unrelated thing entirely")
+    val gn = natural.toDF("s").distinct()
+    val gramsN = gn.select(col("s"),
+      explode(graft.operators.FuzzyJoin.qgrams(col("s"), 2)).as("g"))
+    val dfN = gramsN.groupBy("g").agg(count(lit(1)).as("df"))
+    val prefixN = gramsN.join(dfN, "g")
+      .withColumn("rn", row_number().over(w)).filter(col("rn") <= 3)
+      .select("s", "g")
+    assert(FuzzyJoin.selfGenerator(gn, prefixN, 1) === "grams")
+  }
+
+  test("matchJoin reroutes on degenerate corpora and stays exact") {
+    val catalog = (0 until 500).map(i => f"SKU#$i%08d")
+    val probes = catalog.take(120).map(s => s.dropRight(1)) ++ Seq("zz")
+    val got = FuzzyJoin.matchJoin(
+        probes.toDF("p"), "p", catalog.toDF("c"), "c", q = 2, k = 1)
+      .as[(String, String, Long)].collect().toSet
+    val want = (for {
+      p <- probes.distinct; c <- catalog.distinct
+      d = lev(p, c) if d <= 1
+    } yield (p, c, d.toLong)).toSet
+    assert(got === want)
+    assert(got.nonEmpty)
+  }
 }
