@@ -281,6 +281,27 @@ object Main {
         sys.exit(2)
       }
 
+    // extension (no reference analog): the quantizer-drift verdict from
+    // the command line — the typed rebuild signal (IvfIndex.driftVerdict
+    // against the persisted build-time baseline) as an operational
+    // check, next to delete/gc in the maintenance surface
+    case Seq("drift", idxDir) =>
+      if (!java.nio.file.Files.isDirectory(
+          java.nio.file.Paths.get(idxDir, "cells"))) {
+        System.err.println(s"drift: $idxDir is not a vector index (cells/)")
+        sys.exit(2)
+      }
+      val rep = graft.operators.IvfIndex.driftVerdict(spark(), idxDir)
+      println(f"${"cell"}%6s ${"n"}%10s ${"mean_resid_norm"}%16s ${"adc_self_gap"}%13s")
+      rep.perCell.foreach { c =>
+        val resid = c.meanResidNorm.map(v => f"$v%.6f").getOrElse("n/a")
+        val gap = c.adcSelfGap.map(v => f"$v%.6f").getOrElse("n/a")
+        println(f"${c.cell}%6d ${c.n}%10d ${resid}%16s ${gap}%13s")
+      }
+      val base = rep.baselineResidNorm.map(v => f"$v%.6f").getOrElse("n/a")
+      println(f"corpus mean_resid_norm=${rep.meanResidNorm}%.6f " +
+        s"baseline=$base verdict=${rep.verdict}")
+
     // extension (no reference analog): migrate a native .eventlog file
     // written by the original Go implementation into an engine log
     case Seq("import", nativeFile, dir) =>
@@ -305,7 +326,7 @@ object Main {
           "search <indexdir> tfidf|bm25|phrase <term>...|" +
           "tokenize <modeldir> az|bytes|pretok|gpt2 <text>...|" +
           "scan <kw1,kw2,...> <text>...|" +
-          "delete <indexdir> <id>...|gc <indexdir>|" +
+          "delete <indexdir> <id>...|gc <indexdir>|drift <indexdir>|" +
           "import <nativefile> <dir>")
       sys.exit(2)
   }

@@ -205,9 +205,16 @@ object FuzzyJoin {
       // deletion variant (proof at the kernel), so ONE equi-join on the
       // signature generates all of them; the length band still prunes
       // for free, and there is no short-string special case (signatures
-      // cover every length exactly)
+      // cover every length exactly). The merge hint is load-bearing:
+      // Catalyst's static size estimate does not model the (len+1)^k
+      // explode fan-out, under-sizes the signature relation, and
+      // broadcasts it — which OOMs the build-side hash map at exactly
+      // the corpus sizes this path exists for (measured at the 100×
+      // rehearsal). Sort-merge is the right physical join for two
+      // corpus-scale sides; AQE may still downgrade to broadcast from
+      // ACTUAL runtime sizes, which is safe.
       val sigs = delSigs(names, k)
-      val cand = sigs.as("a").join(sigs.as("b"),
+      val cand = sigs.as("a").hint("merge").join(sigs.as("b"),
           col("a.sig") === col("b.sig") && col("a.s") < col("b.s") &&
             abs(length(col("a.s")) - length(col("b.s"))) <= k)
         .select(col("a.s").as("name_a"), col("b.s").as("name_b"))
@@ -250,7 +257,9 @@ object FuzzyJoin {
     val prefixP = prefixRows(pg, dfTable, q, k)
     val prefixC = prefixRows(cg, dfTable, q, k)
     if (matchGenerator(p, c, prefixP, prefixC, k) == "deletions") {
-      val cand = delSigs(p, k).as("a").join(delSigs(c, k).as("b"),
+      // merge hint: see selfJoin — static stats under-size the explode
+      val cand = delSigs(p, k).as("a").hint("merge")
+        .join(delSigs(c, k).as("b"),
           col("a.sig") === col("b.sig") &&
             abs(length(col("a.s")) - length(col("b.s"))) <= k)
         .select(col("a.s").as("probe"), col("b.s").as("candidate"))

@@ -30,7 +30,131 @@ import org.apache.spark.sql.functions._
   * band caps. Anything ABOVE its measure is flagged `SLOPE?`.
   */
 object ScaleRehearsal {
+
+  /** The documented worst-slope families the 100× column audits
+    * (round-12 directive #5): connected components (edge-volume
+    * measure), the PQ corpus probe (n^1.5), the fuzzy join (candidate
+    * volume — the family the adaptive deletion generator exists for),
+    * and the bigram perplexity model (distinct-bigram growth). */
+  private val Sf10Families = Seq(
+    "dedup_clusters", "split_by_cluster", "pipeline_dedup_corpus",
+    "dedup_semantic_pq", "fuzzy_join_names", "text_perplexity_bigram")
+
+  /** `ScaleRehearsal sf10 [base] [out] [queries...]` — the 100× column:
+    * a 100-copy database materialized for JUST the tables the audited
+    * families read, then warm-vs-warm wall ratios sf0.1 → sf10.
+    *
+    * Upsample shapes at 100× (chosen so each family's WORK measure
+    * scales honestly rather than degenerating):
+    *  - documents: 100 copies in 10 GROUPS of 10 — groups are made
+    *    textually distinct by a per-group letter rotation (a substitution
+    *    cipher rewrites every shingle), copies inside a group keep the
+    *    near-dup suffix. Clique size stays 10 while clique COUNT scales
+    *    100×: constant dup-rate, the realistic corpus posture (100-crews
+    *    would measure clique² explosion, not scale);
+    *  - embeddings: vec_id shifted, vectors kept (the sf1 methodology);
+    *  - customer: keys shifted AND c_name regenerated from the shifted
+    *    key, so the fuzzy join sees a genuinely 100× distinct-name
+    *    corpus (the sf1 shape keeps names duplicated, which distinct()
+    *    collapses — a flat slope that measures nothing). */
+  def runSf10(args: Seq[String]): Unit = {
+    val base = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val out = if (args.length > 1) args(1) else "/tmp/graft_sf10"
+    val only: Set[String] = args.drop(2).toSet
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    buildSf10(spark, base, out)
+    val all = graft.SparkEntry.queries
+    val names = Sf10Families.filter(q => only.isEmpty || only(q))
+
+    def timeAt(dir: String, name: String): Double = {
+      val t0 = System.nanoTime()
+      all(name)(spark, dir).count()
+      (System.nanoTime() - t0) / 1e9
+    }
+    println(f"${"query"}%-28s ${"sf0.1"}%8s ${"sf10cold"}%9s ${"sf10"}%8s  ratio (100x rows, warm)")
+    val rows = names.map { q =>
+      val r = try {
+        timeAt(base, q)
+        val a = timeAt(base, q)
+        val bCold = timeAt(out, q)
+        val b = timeAt(out, q)
+        (q, a, bCold, b, b / a, "")
+      } catch { case e: Exception =>
+        (q, Double.NaN, Double.NaN, Double.NaN, Double.NaN,
+          e.getClass.getSimpleName)
+      }
+      println(f"${r._1}%-28s ${r._2}%8.2f ${r._3}%9.2f ${r._4}%8.2f  ${r._5}%5.1fx ${r._6}")
+      r
+    }
+    val js = rows.map { case (q, a, bCold, b, ratio, err) =>
+      if (err.nonEmpty) s""""$q":{"err":"$err"}"""
+      else f""""$q":{"sf01":$a%.3f,"sf10_cold":$bCold%.3f,"sf10":$b%.3f,"ratio":$ratio%.2f}"""
+    }.mkString(",")
+    println(s"""{"rehearsal":"sf10-families","queries":{$js}}""")
+    spark.stop()
+  }
+
+  /** Materialize the 100× tables the sf10 families read (idempotent). */
+  def buildSf10(spark: SparkSession, base: String, out: String): Unit = {
+    def tbl(n: String): DataFrame = spark.read.parquet(s"$base/$n.parquet")
+    def exists(n: String) = new java.io.File(s"$out/$n.parquet").exists()
+    def write(df: DataFrame, n: String): Unit =
+      df.repartition(32).write.mode("overwrite")
+        .parquet(s"$out/$n.parquet")
+    val copies = spark.range(100).toDF("cp")
+
+    if (!exists("documents")) {
+      val d = tbl("documents")
+      val s = d.agg(max(col("doc_id"))).head().getLong(0) + 1L
+      val alpha = "abcdefghijklmnopqrstuvwxyz"
+      // group g = cp/10: letter rotation by g rewrites every shingle, so
+      // groups are distinct corpora; cp%10 keeps the near-dup suffix
+      val g = (col("cp") / 10).cast("int")
+      val rotated = (1 until 10).foldLeft(
+          when(g === 0, col("text"))) { (acc, gi) =>
+        acc.when(g === gi,
+          translate(col("text"), alpha, alpha.drop(gi) + alpha.take(gi)))
+      }
+      write(d.crossJoin(copies).select(
+        (col("doc_id") + col("cp") * s).as("doc_id"),
+        concat(rotated, lit(" cp"), col("cp") % 10).as("text"),
+        col("lang"), col("source"))
+        .withColumn("n_chars", length(col("text")).cast("long")),
+        "documents")
+    }
+    if (!exists("embeddings")) {
+      val e = tbl("embeddings")
+      val s = e.agg(max(col("vec_id"))).head().getLong(0) + 1L
+      val cols = e.columns.map {
+        case "vec_id" => (col("vec_id") + col("cp") * s).as("vec_id")
+        case c => col(c)
+      }
+      write(e.crossJoin(copies).select(cols.toSeq: _*), "embeddings")
+    }
+    if (!exists("customer")) {
+      val c = tbl("customer")
+      val s = c.agg(max(col("c_custkey"))).head().getLong(0) + 1L
+      val key = col("c_custkey") + col("cp") * s
+      val cols = c.columns.map {
+        case "c_custkey" => key.as("c_custkey")
+        case "c_name" =>
+          concat(lit("Customer#"), lpad(key.cast("string"), 9, "0"))
+            .as("c_name")
+        case cc => col(cc)
+      }
+      write(c.crossJoin(copies).select(cols.toSeq: _*), "customer")
+    }
+  }
+
   def main(args: Array[String]): Unit = {
+    if (args.headOption.contains("sf10")) return runSf10(args.drop(1).toSeq)
     val base = args.headOption.getOrElse("/root/testdata/sf0.1")
     val out = if (args.length > 1) args(1) else "/tmp/graft_sf1"
     val only: Set[String] = args.drop(2).toSet

@@ -195,6 +195,12 @@ class CliSpec extends AnyFunSuite {
     cli("gc", vecDir)
     assert(graft.operators.PqIndex.load(spark, vecDir)
       .codes.count() === n - 1, "gc must preserve the surviving vectors")
+
+    // the drift verdict as an operational check: a freshly built index
+    // judges ok against its own persisted baseline
+    val drift = cli("drift", vecDir)
+    assert(drift.contains("verdict=ok"), drift)
+    assert(drift.contains("mean_resid_norm"), drift)
   }
 
   test("scan counts a watch-list over command-line text, overlaps included") {
