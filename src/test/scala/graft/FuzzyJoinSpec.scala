@@ -167,6 +167,18 @@ class FuzzyJoinSpec extends AnyFunSuite {
     assert(FuzzyJoin.selfGenerator(gn, prefixN, 1) === "grams")
   }
 
+  test("deletion-path candidate join plans sort-merge, never a stats-misled broadcast") {
+    // Catalyst's static size estimate does not model the (len+1)^k
+    // signature fan-out and broadcast the 28M-row relation at the 100×
+    // rehearsal (build-side hash map OOM) — the merge hint pins the
+    // physical join; this test pins the hint
+    val names = (0 until 600).map(i => f"Customer#$i%09d")
+    val q = FuzzyJoin.selfJoin(names.toDF("s"), "s", q = 2, k = 1)
+    val p = q.queryExecution.executedPlan.toString
+    assert(p.contains("SortMergeJoin"),
+      s"the signature self-join must be sort-merge:\n$p")
+  }
+
   test("matchJoin reroutes on degenerate corpora and stays exact") {
     val catalog = (0 until 500).map(i => f"SKU#$i%08d")
     val probes = catalog.take(120).map(s => s.dropRight(1)) ++ Seq("zz")

@@ -1323,12 +1323,15 @@ class StreamingSpec extends AnyFunSuite {
       .select("doc_id", "n_ids", "ids_md5").collect()
       .map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2)))).toMap
     // the batch entry runs over the contraction-derived corpus — feed the
-    // stream the SAME derivation (the engine-identical replace chain)
+    // stream the SAME derivation (the engine-identical replace chain,
+    // incl. round 12's double-space injection that keeps the whitespace
+    // lookahead under the gate)
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
       .filter(col("text").isNotNull)
       .select("doc_id", "text").collect()
       .map(r => (r.getLong(0),
-        r.getString(1).replace("e ", "e's ").replace("n ", "n'll "))).toSeq
+        r.getString(1).replace("e ", "e's ").replace("n ", "n'll ")
+          .replace("s ", "s  "))).toSeq
 
     val mem = MemoryStream[(Long, String)]
     val q = StreamOps.tokenizeBpeGpt2Stream(
