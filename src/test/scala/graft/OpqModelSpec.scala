@@ -128,6 +128,48 @@ class OpqModelSpec extends AnyFunSuite {
     assert(top2.getLong(1) === vid2 && top2.getDouble(3) > 1.0 - 1e-9)
   }
 
+  test("frame-pinned serving loop: LiveAnnServer and maintainVectors take RAW vectors end-to-end") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val half = emb.filter(col("vec_id") % 2 === 0)
+    val rest = emb.filter(col("vec_id") % 2 === 1).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1))).toSeq
+    val dir = tmp("graft-opqlive")
+    val r = OpqRotation.fit(half, m = 8, kCodes = 16)
+    PqIndex.build(half, m = 8, kCodes = 16, coarseK = 4,
+      rotation = Some(r)).save(dir)
+
+    // the WRITE half: a raw vector stream through the maintainer lands
+    // in the pinned frame (no rotation code anywhere in the pipeline)
+    val q = graft.streaming.IndexMaintainer.maintainVectors(
+      { val m = MemoryStream[(Long, Seq[Double])]
+        m.addData(rest: _*); m }.toDF().toDF("vec_id", "v"),
+      "vec_id", "v", dir, tmp("graft-opqliveckpt"))
+    try q.processAllAvailable() finally q.stop()
+
+    // the READ half: LiveAnnServer probes with RAW queries — the loaded
+    // index owns the frame, so an upserted vector self-probes at ~1
+    val results = new java.util.concurrent.ConcurrentHashMap[
+      Long, (Long, Double)]()
+    val server = new graft.streaming.LiveAnnServer(
+      spark, dir, nProbe = 2, topK = 1, rerank = 8)
+    val mem = MemoryStream[(Long, Seq[Double])]
+    val sq = server.serve(mem.toDF().toDF("q_id", "qv"), "q_id", "qv") {
+      out => out.collect().foreach(x =>
+        results.put(x.getLong(0), (x.getLong(1), x.getDouble(3))))
+    }
+    try {
+      val (vid, v) = rest.head
+      mem.addData((880000L + vid, v))
+      sq.processAllAvailable()
+      val (topId, cosine) = results.get(880000L + vid)
+      assert(topId === vid,
+        "a raw-upserted vector must be its own raw-queried top hit")
+      assert(cosine > 1.0 - 1e-9, s"self-cosine $cosine — frame mismatch")
+    } finally { sq.stop(); server.close() }
+  }
+
   test("drift baseline persists and judges with zero bookkeeping: fresh ok, shifted rebuild, stationary ok") {
     val dir = tmp("graft-driftbase")
     val half = emb.filter(col("vec_id") % 2 === 0)
