@@ -502,6 +502,8 @@ object TextAnalysis {
        |       ELSE 'test' END""".stripMargin
   private val ShuffleShards = 8 // shuffle_corpus: parallel output streams
   private val CapPerSource = 15 // cap_per_source: max docs kept per source
+  private val PrioritySampleK = 50 // sample_priority: sample size
+  private val MixTempTarget = 200.0 // mix_temperature: expected total docs
   private val SampleFixedN = 60 // sample_fixed: global sample size
   private val TokenBudgetPerLang = 2500 // sample_token_budget: tokens/lang
   // DSIR (Xie et al. 2023, "Data Selection for Language Models via
@@ -1698,6 +1700,90 @@ object TextAnalysis {
         .orderBy("doc_id")
     },
 
+    // WEIGHTED sampling without replacement via PRIORITY SAMPLING
+    // (Duffield, Lund, Thorup 2007 — public literature): per doc a
+    // deterministic uniform u ∈ (0,1] from an md5 fold, priority
+    // p = w/u with w = n_chars, keep the top-k priorities; the
+    // (k+1)-th priority is the threshold τ and each kept doc carries
+    // the unbiased weight estimator ŵ = max(w, τ) (E[ŵ·1kept] = w —
+    // the property that makes a char-budget subsample auditable).
+    // The size-biased sample a token/char budget actually wants: big
+    // documents are proportionally likelier, small ones that DO land
+    // carry τ as their estimate. EVERY operation is exact IEEE both
+    // engines: u = (fold+1)/2³² is an integer over a power of two,
+    // p is one division, τ/ŵ are comparisons — no libm anywhere, so
+    // the oracle hashes bit-exactly with no quantization trick.
+    // Scale shape: the top-(k+1) is orderBy+limit —
+    // TakeOrderedAndProject, per-partition heaps, no global sort (the
+    // sample_fixed contract); the rank/τ window runs over k+1 rows.
+    "sample_priority" -> { (s, dir) =>
+      val d = Tables(s, dir, "documents").filter(col("text").isNotNull)
+      val u32 = conv(substring(
+        md5(concat(lit("ps"), col("doc_id").cast("string"))), 1, 8),
+        16, 10).cast("long")
+      val top = d.select(col("doc_id"),
+          col("n_chars").cast("double").as("w"))
+        .withColumn("u",
+          (u32 + lit(1L)).cast("double") / lit(4294967296.0))
+        .withColumn("priority", col("w") / col("u"))
+        .orderBy(col("priority").desc, col("doc_id"))
+        .limit(PrioritySampleK + 1)
+      val wOrd = Window.orderBy(col("priority").desc, col("doc_id"))
+      top
+        .withColumn("rank", row_number().over(wOrd).cast("long"))
+        .withColumn("tau", min(col("priority")).over(
+          wOrd.rowsBetween(Window.unboundedPreceding,
+            Window.unboundedFollowing)))
+        .filter(col("rank") <= PrioritySampleK)
+        .select(col("doc_id"), col("w"), col("rank"), col("priority"),
+          greatest(col("w"), col("tau")).as("w_est"))
+        .orderBy("doc_id")
+    },
+
+    // TEMPERATURE-based source re-balancing (the multilingual-LM data
+    // recipe — sample source s proportionally to p_s^α instead of p_s,
+    // α = 0.5): per-source acceptance rate
+    //   rate_s = min(1, ((T·q_s) / Σq) / n_s),  q_s = √n_s
+    // and a deterministic per-doc Bernoulli — doc kept iff its md5
+    // u32 < ⌊rate_s·2³²⌋. α = 0.5 makes EVERY step exact IEEE in both
+    // engines (sqrt is correctly rounded, not libm): no quantization
+    // trick in the oracle. The one float SUM (Σq over sources) folds
+    // LEFT over the source-sorted list on both sides — the cosineSql
+    // discipline — because a parallel agg's fold order is not
+    // deterministic. Output is the per-source audit (counts + the
+    // exact threshold), which pins every per-doc comparison without
+    // materializing the kept set. Scale shape: one map-side-combined
+    // count per source, one bounded collect_list over the (few,
+    // bounded-cardinality) sources, one broadcast join back, one
+    // audit aggregate.
+    "mix_temperature" -> { (s, dir) =>
+      val d = Tables(s, dir, "documents").filter(col("text").isNotNull)
+      val srcStats = d.groupBy("source")
+        .agg(count(lit(1)).as("n_docs"))
+        .withColumn("q", sqrt(col("n_docs").cast("double")))
+      val sumQ = srcStats
+        .agg(aggregate(
+          array_sort(collect_list(struct(col("source"), col("q")))),
+          lit(0.0), (acc, x) => acc + x.getField("q")).as("sum_q"))
+      val rated = srcStats.crossJoin(broadcast(sumQ))
+        .withColumn("rate", least(lit(1.0),
+          ((lit(MixTempTarget) * col("q")) / col("sum_q"))
+            / col("n_docs").cast("double")))
+        .withColumn("thr",
+          floor(col("rate") * lit(4294967296.0)).cast("long"))
+      val u32 = conv(substring(
+        md5(concat(lit("mt"), col("doc_id").cast("string"))), 1, 8),
+        16, 10).cast("long")
+      d.select(col("doc_id"), col("source"), u32.as("u32"))
+        .join(broadcast(rated), "source")
+        .groupBy("source")
+        .agg(min(col("n_docs")).as("n_docs"), min(col("q")).as("q"),
+          min(col("rate")).as("rate"), min(col("thr")).as("thr"),
+          sum(when(col("u32") < col("thr"), 1L).otherwise(0L))
+            .as("n_kept"))
+        .orderBy("source")
+    },
+
     // DSIR log-importance weights (Xie et al. 2023): score every raw doc
     // by how target-like its hashed n-gram (uni+bi) distribution is —
     // Σ_features λ_bucket, λ = fixed-point ln(p̂_target/p̂_raw) with add-1
@@ -2857,6 +2943,57 @@ object TextAnalysis {
          |      len(string_split_regex(text, '\\s+')) AS n_tokens
          |    FROM documents WHERE text IS NOT NULL))
          |WHERE cum_before < $TokenBudgetPerLang ORDER BY doc_id""".stripMargin,
+
+    // every operation exact IEEE (u = int/2³², one division, max) — no
+    // quantization trick needed; see the Spark entry's scaladoc
+    "sample_priority" ->
+      s"""WITH d AS (SELECT doc_id, CAST(n_chars AS DOUBLE) AS w,
+         |    CAST(list_reduce(list_transform(range(1, 9),
+         |        i -> instr('0123456789abcdef',
+         |          substr(md5('ps' || CAST(doc_id AS VARCHAR)),
+         |            CAST(i AS INT), 1)) - 1),
+         |      (a, b) -> a*16 + b) + 1 AS DOUBLE) / 4294967296.0 AS u
+         |  FROM documents WHERE text IS NOT NULL),
+         |p AS (SELECT doc_id, w, w / u AS priority FROM d),
+         |top AS (SELECT doc_id, w, priority,
+         |    CAST(row_number() OVER (ORDER BY priority DESC, doc_id)
+         |      AS BIGINT) AS rank
+         |  FROM p ORDER BY priority DESC, doc_id
+         |  LIMIT ${PrioritySampleK + 1}),
+         |t AS (SELECT min(priority) AS tau FROM top)
+         |SELECT doc_id, w, rank, priority, greatest(w, tau) AS w_est
+         |FROM top, t WHERE rank <= $PrioritySampleK
+         |ORDER BY doc_id""".stripMargin,
+
+    // α = 0.5 keeps everything exact (sqrt is correctly rounded); the
+    // one float sum folds LEFT over source-sorted structs on both sides
+    "mix_temperature" ->
+      s"""WITH d AS (SELECT doc_id, source,
+         |    list_reduce(list_transform(range(1, 9),
+         |      i -> instr('0123456789abcdef',
+         |        substr(md5('mt' || CAST(doc_id AS VARCHAR)),
+         |          CAST(i AS INT), 1)) - 1),
+         |      (a, b) -> a*16 + b) AS u32
+         |  FROM documents WHERE text IS NOT NULL),
+         |s AS (SELECT source, count(*) AS n_docs,
+         |    sqrt(CAST(count(*) AS DOUBLE)) AS q
+         |  FROM d GROUP BY 1),
+         |sq AS (SELECT list_reduce(list_transform(
+         |      list_sort(list(struct_pack(source := source, q := q))),
+         |      x -> x.q),
+         |    (a, b) -> a + b) AS sum_q FROM s),
+         |r AS (SELECT source, n_docs, q,
+         |    least(1.0, (($MixTempTarget * q) / sum_q)
+         |      / CAST(n_docs AS DOUBLE)) AS rate,
+         |    CAST(floor(least(1.0, (($MixTempTarget * q) / sum_q)
+         |      / CAST(n_docs AS DOUBLE)) * 4294967296.0) AS BIGINT) AS thr
+         |  FROM s, sq)
+         |SELECT source, n_docs, q, rate, thr,
+         |  CAST(sum(CASE WHEN u32 < thr THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_kept
+         |FROM d JOIN r USING (source)
+         |GROUP BY source, n_docs, q, rate, thr
+         |ORDER BY source""".stripMargin,
 
     "dsir_weights" ->
       s"""WITH $dsirWeightCtes
