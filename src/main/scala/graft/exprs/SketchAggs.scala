@@ -3,9 +3,9 @@ package graft.exprs
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.expressions.{Expression, ImplicitCastInputTypes}
-import org.apache.spark.sql.catalyst.trees.UnaryLike
+import org.apache.spark.sql.catalyst.trees.{TernaryLike, UnaryLike}
 import org.apache.spark.sql.catalyst.util.GenericArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType, StringType, StructField, StructType}
 import org.apache.spark.unsafe.types.UTF8String
 
 import java.io.{ByteArrayInputStream, ByteArrayOutputStream, DataInputStream, DataOutputStream}
@@ -135,4 +135,128 @@ case class MisraGriesAgg(
   override protected def withNewChildInternal(newChild: Expression): MisraGriesAgg =
     copy(child = newChild)
   override def prettyName: String = "misra_gries"
+}
+
+/** One sampled row in a [[PrioritySampleAgg]] buffer. */
+private[graft] final case class PrioEntry(priority: Double, id: Long, w: Double)
+
+/** Priority sampling (Duffield, Lund, Thorup 2007) as a native
+  * mergeable aggregate: the buffer holds the top-(k+1) rows by
+  * (priority desc, id asc); eval emits the k kept rows as structs
+  * (doc_id, w, rank, priority, w_est) with τ = the (k+1)-th priority
+  * and ŵ = max(w, τ) — EXACTLY the batch sample_priority algebra, so
+  * the streaming twin is bit-parity with the oracle-gated entry.
+  *
+  * Mergeability is exact (not approximate like MG): the global
+  * top-(k+1) is a function of the per-partition top-(k+1)s, so
+  * partial/final aggregation and stream-state merges lose nothing.
+  * State is ≤ k+1 fixed-size entries — never grows with stream volume.
+  */
+case class PrioritySampleAgg(
+    first: Expression, // priority (double)
+    second: Expression, // id (long)
+    third: Expression, // w (double)
+    k: Int,
+    override val mutableAggBufferOffset: Int = 0,
+    override val inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[mutable.ArrayBuffer[PrioEntry]]
+    with ImplicitCastInputTypes with TernaryLike[Expression] {
+
+  require(k > 0, "priority_sample k must be positive")
+
+  override def inputTypes: Seq[org.apache.spark.sql.graftshim.Shim.AbstractType] =
+    Seq(DoubleType, LongType, DoubleType)
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("doc_id", LongType, nullable = false),
+    StructField("w", DoubleType, nullable = false),
+    StructField("rank", LongType, nullable = false),
+    StructField("priority", DoubleType, nullable = false),
+    StructField("w_est", DoubleType, nullable = false))))
+  override def nullable: Boolean = false
+
+  /** (priority desc, id asc): a is better than b. */
+  private def better(a: PrioEntry, b: PrioEntry): Boolean =
+    a.priority > b.priority || (a.priority == b.priority && a.id < b.id)
+
+  private def add(buf: mutable.ArrayBuffer[PrioEntry], e: PrioEntry): Unit = {
+    buf += e
+    if (buf.length > k + 1) {
+      // drop the single worst — O(k) linear pass on the hot path, the
+      // MisraGries.add discipline (k is tens-to-hundreds by contract)
+      var worst = 0
+      var i = 1
+      while (i < buf.length) {
+        if (better(buf(worst), buf(i))) worst = i
+        i += 1
+      }
+      buf.remove(worst)
+      ()
+    }
+  }
+
+  override def createAggregationBuffer(): mutable.ArrayBuffer[PrioEntry] =
+    mutable.ArrayBuffer.empty
+
+  override def update(buf: mutable.ArrayBuffer[PrioEntry],
+      input: InternalRow): mutable.ArrayBuffer[PrioEntry] = {
+    val p = first.eval(input)
+    val id = second.eval(input)
+    val w = third.eval(input)
+    if (p != null && id != null && w != null)
+      add(buf, PrioEntry(p.asInstanceOf[Double], id.asInstanceOf[Long],
+        w.asInstanceOf[Double]))
+    buf
+  }
+
+  override def merge(buf: mutable.ArrayBuffer[PrioEntry],
+      other: mutable.ArrayBuffer[PrioEntry]): mutable.ArrayBuffer[PrioEntry] = {
+    other.foreach(add(buf, _))
+    buf
+  }
+
+  override def eval(buf: mutable.ArrayBuffer[PrioEntry]): Any = {
+    val sorted = buf.sortWith(better)
+    // under-full window (< k+1 rows seen): everything is kept and τ = 0
+    // — ŵ = w exactly, the no-sampling-happened convention
+    val tau = if (sorted.length == k + 1) sorted.last.priority else 0.0
+    val kept = sorted.take(k)
+    new GenericArrayData(kept.zipWithIndex.map { case (e, i) =>
+      InternalRow(e.id, e.w, (i + 1).toLong, e.priority,
+        math.max(e.w, tau))
+    }.toArray[Any])
+  }
+
+  override def serialize(buf: mutable.ArrayBuffer[PrioEntry]): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    val out = new DataOutputStream(bos)
+    out.writeInt(buf.length)
+    buf.foreach { e =>
+      out.writeDouble(e.priority)
+      out.writeLong(e.id)
+      out.writeDouble(e.w)
+    }
+    out.flush()
+    bos.toByteArray
+  }
+
+  override def deserialize(bytes: Array[Byte]): mutable.ArrayBuffer[PrioEntry] = {
+    val in = new DataInputStream(new ByteArrayInputStream(bytes))
+    val n = in.readInt()
+    val buf = mutable.ArrayBuffer.empty[PrioEntry]
+    var i = 0
+    while (i < n) {
+      buf += PrioEntry(in.readDouble(), in.readLong(), in.readDouble())
+      i += 1
+    }
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): PrioritySampleAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): PrioritySampleAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression): PrioritySampleAgg =
+    copy(first = f, second = s, third = t)
+  override def prettyName: String = "priority_sample"
 }

@@ -142,6 +142,15 @@ object functions {
     Shim.column(MisraGriesAgg(Shim.expression(c), capacity)
       .toAggregateExpression())
 
+  /** Priority-sampling top-k aggregate: array of
+    * (doc_id, w, rank, priority, w_est) structs — the exact batch
+    * sample_priority algebra as a mergeable bounded-state aggregate
+    * (see [[PrioritySampleAgg]]). */
+  def priority_sample(
+      priority: Column, id: Column, w: Column, k: Int): Column =
+    Shim.column(PrioritySampleAgg(Shim.expression(priority),
+      Shim.expression(id), Shim.expression(w), k).toAggregateExpression())
+
   def parse_hex_version(c: Column): Column =
     Shim.column(ParseHexVersion(Shim.expression(c)))
 

@@ -1334,6 +1334,42 @@ object StreamOps {
       }
   }
 
+  /** Streaming priority sample — the batch `sample_priority` entry
+    * (Duffield–Lund–Thorup weighted sampling without replacement) per
+    * closed event-time window: deterministic md5 uniform (the batch
+    * salt, so identical rows produce identical priorities), one
+    * bounded-state [[graft.exprs.PrioritySampleAgg]] per window holding
+    * the top-(k+1) — never the window's rows — and the kept k emitted
+    * with the same τ / ŵ = max(w, τ) estimator algebra on window close.
+    * Priority sampling is EXACTLY mergeable (the global top-(k+1) is a
+    * function of partial top-(k+1)s), so micro-batch boundaries and
+    * shuffle order cannot change the sample — bit-parity with batch is
+    * pinned in StreamingSpec.
+    *
+    * @return (win_start, doc_id, w, rank, priority, w_est) per window */
+  def prioritySampleStream(
+      docs: DataFrame, tsCol: String, idCol: String, wCol: String,
+      k: Int, win: String = "10 seconds",
+      delay: String = "10 seconds"): DataFrame = {
+    val u32 = conv(substring(
+      md5(concat(lit("ps"), col(idCol).cast("string"))), 1, 8),
+      16, 10).cast("long")
+    docs
+      .select(col(tsCol).cast("timestamp").as("__ts"),
+        col(idCol).cast("long").as("doc_id"),
+        col(wCol).cast("double").as("w"),
+        ((u32 + lit(1L)).cast("double") / lit(4294967296.0)).as("u"))
+      .withColumn("priority", col("w") / col("u"))
+      .withWatermark("__ts", delay)
+      .groupBy(window(col("__ts"), win))
+      .agg(graft.exprs.functions.priority_sample(
+        col("priority"), col("doc_id"), col("w"), k).as("sample"))
+      .select(col("window.start").as("win_start"),
+        explode(col("sample")).as("s"))
+      .select(col("win_start"), col("s.doc_id"), col("s.w"),
+        col("s.rank"), col("s.priority"), col("s.w_est"))
+  }
+
   def corpusReportStream(
       docs: DataFrame, tsCol: String, textCol: String,
       srcCol: String, langCol: String,

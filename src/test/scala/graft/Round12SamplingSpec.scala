@@ -47,6 +47,17 @@ class Round12SamplingSpec extends AnyFunSuite {
       "some kept doc must be below τ in raw weight (size-biased sample)")
   }
 
+  test("plan pins: priority top-k is a TakeOrdered, temperature mixing joins broadcast-only") {
+    val p1 = SparkEntry.queries("sample_priority")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(p1.contains("TakeOrderedAndProject"),
+      s"the (k+1) selection must be per-partition heaps, not a global sort:\n$p1")
+    val p2 = SparkEntry.queries("mix_temperature")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!p2.contains("SortMergeJoin") && !p2.contains("CartesianProduct"),
+      s"source-sized sides must broadcast:\n$p2")
+  }
+
   test("mix_temperature: rates capped, α=0.5 rebalancing direction, counts consistent") {
     val rows = SparkEntry.queries("mix_temperature")(spark, sfDir)
       .collect()

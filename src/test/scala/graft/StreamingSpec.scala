@@ -1646,6 +1646,48 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("prioritySampleStream: the closed window's sample equals batch sample_priority bit-for-bit") {
+    val sparkS = spark
+    import sparkS.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import org.apache.spark.sql.functions._
+    val sfDir = "/root/testdata/sf0.001"
+    val batch = SparkEntry.queries("sample_priority")(spark, sfDir)
+      .collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4))).toSet
+    assert(batch.size === 50)
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .filter(col("text").isNotNull)
+      .select("doc_id", "n_chars").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+
+    val t0 = new java.sql.Timestamp(1000L)
+    val mem = MemoryStream[(java.sql.Timestamp, Long, Long)]
+    val q = StreamOps.prioritySampleStream(
+        mem.toDF().toDF("ts", "doc_id", "n_chars"),
+        "ts", "doc_id", "n_chars", k = 50)
+      .writeStream.format("memory").queryName("priosample")
+      .outputMode("append").start()
+    try {
+      // two micro-batches into ONE window: mergeability must make the
+      // split invisible (the global top-(k+1) from partial top-(k+1)s)
+      val (h1, h2) = docs.splitAt(docs.length / 2)
+      mem.addData(h1.map { case (id, nc) => (t0, id, nc) }.toIndexedSeq)
+      q.processAllAvailable()
+      mem.addData(h2.map { case (id, nc) => (t0, id, nc) }.toIndexedSeq)
+      q.processAllAvailable()
+      mem.addData(Seq((new java.sql.Timestamp(10000000L), 999999L, 1L)))
+      q.processAllAvailable()
+      val got = spark.table("priosample")
+        .filter(col("doc_id") =!= 999999L)
+        .select("doc_id", "w", "rank", "priority", "w_est")
+        .as[(Long, Double, Long, Double, Double)].collect().toSet
+      assert(got === batch,
+        "the streamed window sample must be bit-identical to the batch entry")
+    } finally q.stop()
+  }
+
   test("sessionizeStream: closed sessions equal the batch events_sessionize entry") {
     val sparkS = spark
     import sparkS.implicits._
