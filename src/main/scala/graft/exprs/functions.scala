@@ -151,6 +151,12 @@ object functions {
     Shim.column(PrioritySampleAgg(Shim.expression(priority),
       Shim.expression(id), Shim.expression(w), k).toAggregateExpression())
 
+  /** KLL quantile-sketch aggregate: array<double> of the φ-quantile
+    * estimates, O(k·log(n/k)) state at any n (see [[KllQuantilesAgg]]). */
+  def kll_quantiles(c: Column, quantiles: Seq[Double], k: Int): Column =
+    Shim.column(KllQuantilesAgg(Shim.expression(c), quantiles, k)
+      .toAggregateExpression())
+
   def parse_hex_version(c: Column): Column =
     Shim.column(ParseHexVersion(Shim.expression(c)))
 

@@ -504,6 +504,11 @@ object TextAnalysis {
   private val CapPerSource = 15 // cap_per_source: max docs kept per source
   private val PrioritySampleK = 50 // sample_priority: sample size
   private val MixTempTarget = 200.0 // mix_temperature: expected total docs
+  private val KllK = 200 // text_quantiles_sketch: per-level capacity
+  private[graft] val KllQuantiles =
+    Seq(0.01, 0.05, 0.25, 0.5, 0.75, 0.95, 0.99)
+  private val KllLabels =
+    Seq("p01", "p05", "p25", "p50", "p75", "p95", "p99")
   private val SampleFixedN = 60 // sample_fixed: global sample size
   private val TokenBudgetPerLang = 2500 // sample_token_budget: tokens/lang
   // DSIR (Xie et al. 2023, "Data Selection for Language Models via
@@ -1698,6 +1703,32 @@ object TextAnalysis {
           coalesce(sum(col("n_tokens")).over(w), lit(0L)))
         .filter(col("cum_before") < TokenBudgetPerLang)
         .orderBy("doc_id")
+    },
+
+    // Per-language length-distribution quantiles through a KLL sketch
+    // (Karnin–Lang–Liberty 2016; exprs/KllSketch.scala — deterministic
+    // alternating-parity compaction, O(k·log(n/k)) state at any n): the
+    // distribution-shape member of the sketch family (HLL = distinct,
+    // MG = heavy hitters, Bloom = membership). The exact batch
+    // alternative (agg_percentile / quantile_disc) shuffles or sorts
+    // the value column; the sketch carries ≤ k·levels doubles per group
+    // through partial/final aggregation — the only shape that works on
+    // an unbounded stream, which is why the streaming twin
+    // (quantilesStream) is the same aggregate per window. No exact
+    // oracle by design (compaction is engine-internal); the external
+    // band re-derives every estimate against DuckDB's exact
+    // quantile_disc within 10% (rank error ≤ ~levels/k ≈ 2.5% at these
+    // corpus sizes — KllSpec pins the bound directly).
+    "text_quantiles_sketch" -> { (s, dir) =>
+      val d = Tables(s, dir, "documents").filter(col("text").isNotNull)
+      val labels = array(KllLabels.map(lit): _*)
+      d.groupBy("lang")
+        .agg(graft.exprs.functions.kll_quantiles(
+          col("n_chars").cast("double"), KllQuantiles, KllK).as("ests"))
+        .select(col("lang"), posexplode(col("ests")).as(Seq("i", "est")))
+        .select(col("lang"), element_at(labels, col("i") + 1).as("q"),
+          col("est"))
+        .orderBy("lang", "q")
     },
 
     // WEIGHTED sampling without replacement via PRIORITY SAMPLING

@@ -1370,6 +1370,34 @@ object StreamOps {
         col("s.rank"), col("s.priority"), col("s.w_est"))
   }
 
+  /** Streaming distribution quantiles — the text_quantiles_sketch KLL
+    * aggregate per closed event-time window and group. State per
+    * (window, group) is the sketch's O(k·log(n/k)) doubles, never the
+    * window's rows. The sketch is mergeable, so micro-batch splits only
+    * reorder compactions — estimates stay inside the SAME rank-error
+    * bound (not bit-equal across splits, unlike prioritySampleStream's
+    * exact mergeability; the spec gates the bound, not bits).
+    *
+    * @return (win_start, <groupCol>, q, est) per closed window */
+  def quantilesStream(
+      rows: DataFrame, tsCol: String, groupCol: String, valCol: String,
+      quantiles: Seq[Double], labels: Seq[String], k: Int,
+      win: String = "10 seconds", delay: String = "10 seconds"): DataFrame = {
+    require(quantiles.length == labels.length, "one label per quantile")
+    val lab = array(labels.map(lit): _*)
+    rows
+      .select(col(tsCol).cast("timestamp").as("__ts"), col(groupCol),
+        col(valCol).cast("double").as("__v"))
+      .withWatermark("__ts", delay)
+      .groupBy(window(col("__ts"), win), col(groupCol))
+      .agg(graft.exprs.functions.kll_quantiles(col("__v"), quantiles, k)
+        .as("ests"))
+      .select(col("window.start").as("win_start"), col(groupCol),
+        posexplode(col("ests")).as(Seq("i", "est")))
+      .select(col("win_start"), col(groupCol),
+        element_at(lab, col("i") + 1).as("q"), col("est"))
+  }
+
   def corpusReportStream(
       docs: DataFrame, tsCol: String, textCol: String,
       srcCol: String, langCol: String,

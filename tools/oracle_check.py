@@ -45,6 +45,20 @@ BAND_SQL = {
     # below-threshold pair all fail loudly — the inner joins also prove
     # every reported id exists). Spark filtered at cosine >= 0.4, so
     # agreement certifies the threshold externally too.
+    # KLL quantile estimates vs DuckDB's EXACT quantile_disc per
+    # (lang, label): the sketch's rank error at k=200 over these corpus
+    # sizes is ~2.5% of ranks, and the length distributions are smooth,
+    # so a 10% value band is loose enough to be stable and tight enough
+    # to catch a broken compaction (KllSpec pins the rank bound itself).
+    "text_quantiles_sketch": (
+        "SELECT lang, q, CAST(est AS DOUBLE) AS est FROM ("
+        " SELECT lang,"
+        "  unnest(['p01','p05','p25','p50','p75','p95','p99']) AS q,"
+        "  unnest(quantile_disc(n_chars,"
+        "    [0.01,0.05,0.25,0.5,0.75,0.95,0.99])) AS est"
+        " FROM documents WHERE text IS NOT NULL GROUP BY lang)"
+        " ORDER BY lang, q",
+        ["lang", "q"], 0.10),
     "dedup_semantic_pq": (
         "SELECT r.vec_a, r.vec_b,"
         " list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),"
