@@ -320,6 +320,10 @@ object FuzzyJoin {
     // frozen files, so no later catalog mutation can split the order
     val snapDir = java.nio.file.Files
       .createTempDirectory("graft-fuzzy-catsnap").toString
+    // the snapshot lives as long as the stream (its plans keep reading
+    // it); it is collected at JVM exit rather than leaked across runs
+    sys.addShutdownHook(graft.storage.ParquetLogBackend
+      .deleteRecursively(java.nio.file.Paths.get(snapDir)))
     catalog.select(col(catCol).as("s"))
       .filter(col("s").isNotNull).distinct()
       .select(assertBmp(col("s")).as("s"))

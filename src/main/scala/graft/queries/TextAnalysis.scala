@@ -503,6 +503,7 @@ object TextAnalysis {
   private val ShuffleShards = 8 // shuffle_corpus: parallel output streams
   private val CapPerSource = 15 // cap_per_source: max docs kept per source
   private val PrioritySampleK = 50 // sample_priority: sample size
+  private val PrioStratumK = 10 // sample_priority_by_lang: per-stratum k
   private val MixTempTarget = 200.0 // mix_temperature: expected total docs
   private val KllK = 200 // text_quantiles_sketch: per-level capacity
   private[graft] val KllQuantiles =
@@ -1771,6 +1772,36 @@ object TextAnalysis {
         .orderBy("doc_id")
     },
 
+    // Per-language (stratified) priority sampling through the NATIVE
+    // bounded-state aggregate ([[graft.exprs.PrioritySampleAgg]] — the
+    // same object the streaming twin holds per window): one partial/
+    // final aggregation carrying ≤ k+1 entries per (lang, partition),
+    // NO per-stratum rank window (a window would sort every stratum's
+    // full row set; the aggregate never materializes more than k+1).
+    // Same τ / ŵ = max(w, τ) algebra as sample_priority; under-full
+    // strata keep everything with τ = 0 (ŵ = w — nothing was sampled
+    // away). The oracle restates the algebra with a rank window +
+    // per-lang (k+1)-th priority, so the AGGREGATE itself is gated
+    // bit-exactly.
+    "sample_priority_by_lang" -> { (s, dir) =>
+      val d = Tables(s, dir, "documents").filter(col("text").isNotNull)
+      val u32 = conv(substring(
+        md5(concat(lit("ps"), col("doc_id").cast("string"))), 1, 8),
+        16, 10).cast("long")
+      d.select(col("lang"), col("doc_id"),
+          col("n_chars").cast("double").as("w"),
+          ((u32 + lit(1L)).cast("double") / lit(4294967296.0)).as("u"))
+        .withColumn("priority", col("w") / col("u"))
+        .groupBy("lang")
+        .agg(graft.exprs.functions.priority_sample(
+          col("priority"), col("doc_id"), col("w"), PrioStratumK)
+          .as("sample"))
+        .select(col("lang"), explode(col("sample")).as("t"))
+        .select(col("lang"), col("t.doc_id"), col("t.w"), col("t.rank"),
+          col("t.priority"), col("t.w_est"))
+        .orderBy("lang", "doc_id")
+    },
+
     // TEMPERATURE-based source re-balancing (the multilingual-LM data
     // recipe — sample source s proportionally to p_s^α instead of p_s,
     // α = 0.5): per-source acceptance rate
@@ -2995,6 +3026,31 @@ object TextAnalysis {
          |SELECT doc_id, w, rank, priority, greatest(w, tau) AS w_est
          |FROM top, t WHERE rank <= $PrioritySampleK
          |ORDER BY doc_id""".stripMargin,
+
+    // the per-lang restatement of the priority algebra: rank window +
+    // the (k+1)-th priority per stratum; under-full strata take τ = 0
+    "sample_priority_by_lang" ->
+      s"""WITH d AS (SELECT lang, doc_id, CAST(n_chars AS DOUBLE) AS w,
+         |    CAST(list_reduce(list_transform(range(1, 9),
+         |        i -> instr('0123456789abcdef',
+         |          substr(md5('ps' || CAST(doc_id AS VARCHAR)),
+         |            CAST(i AS INT), 1)) - 1),
+         |      (a, b) -> a*16 + b) + 1 AS DOUBLE) / 4294967296.0 AS u
+         |  FROM documents WHERE text IS NOT NULL),
+         |p AS (SELECT lang, doc_id, w, w / u AS priority FROM d),
+         |r AS (SELECT lang, doc_id, w, priority,
+         |    CAST(row_number() OVER (PARTITION BY lang
+         |      ORDER BY priority DESC, doc_id) AS BIGINT) AS rank
+         |  FROM p),
+         |t AS (SELECT lang,
+         |    coalesce(max(CASE WHEN rank = ${PrioStratumK + 1}
+         |      THEN priority END), 0.0) AS tau
+         |  FROM r GROUP BY lang)
+         |SELECT lang, doc_id, w, rank, priority,
+         |  greatest(w, tau) AS w_est
+         |FROM r JOIN t USING (lang)
+         |WHERE rank <= $PrioStratumK
+         |ORDER BY lang, doc_id""".stripMargin,
 
     // α = 0.5 keeps everything exact (sqrt is correctly rounded); the
     // one float sum folds LEFT over source-sorted structs on both sides

@@ -56,6 +56,16 @@ class Round12SamplingSpec extends AnyFunSuite {
       .queryExecution.executedPlan.toString
     assert(!p2.contains("SortMergeJoin") && !p2.contains("CartesianProduct"),
       s"source-sized sides must broadcast:\n$p2")
+    // the stratified entry runs the NATIVE bounded-state aggregate —
+    // no per-stratum rank window may appear (a window would sort every
+    // stratum's full row set; the aggregate carries <= k+1 entries)
+    val p3 = SparkEntry.queries("sample_priority_by_lang")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(p3.contains("priority_sample"),
+      s"the native aggregate must plan:\n$p3")
+    assert(!p3.contains("RunningWindowFunction") &&
+      !p3.contains("Window "), // the explode/orderBy stages are fine
+      s"no per-stratum rank window may plan:\n$p3")
   }
 
   test("mix_temperature: rates capped, α=0.5 rebalancing direction, counts consistent") {
