@@ -200,7 +200,10 @@ case class KllQuantilesAgg(
   }
 
   override def eval(st: KllSketch.State): Any =
-    new GenericArrayData(quantiles.map(st.quantile).toArray[Any])
+    // a group whose every value was null has an empty sketch: emit an
+    // empty array (explode drops the group) rather than throwing
+    if (st.total == 0L) new GenericArrayData(Array.empty[Any])
+    else new GenericArrayData(quantiles.map(st.quantile).toArray[Any])
 
   override def serialize(st: KllSketch.State): Array[Byte] =
     KllSketch.serialize(st)
