@@ -1370,6 +1370,35 @@ object StreamOps {
         col("s.rank"), col("s.priority"), col("s.w_est"))
   }
 
+  /** Stateless streaming twin of mix_temperature's per-doc decision:
+    * the batch entry's audit fixes the per-source acceptance THRESHOLDS
+    * (⌊rate·2³²⌋ — data, engine-exact), and a continuous ingestion
+    * stream applies them as one codegen'd md5 fold + integer compare
+    * per row — the frozen-model serving pattern (dsirScoreStream's: fit
+    * batch, serve the artifact). No state, no shuffle; re-running the
+    * batch audit and restarting with fresh thresholds is the policy
+    * refresh path. Sources absent from the profile DROP (threshold 0):
+    * an unprofiled source has no rate, and silently keeping it would
+    * un-balance exactly what the operator exists to balance.
+    *
+    * Bit-parity with the batch decision is structural (same salt, same
+    * fold, same compare) and pinned in StreamingSpec against the batch
+    * audit's per-source kept counts. */
+  def mixTemperatureStream(
+      docs: DataFrame, idCol: String, srcCol: String,
+      thresholds: Map[String, Long]): DataFrame = {
+    require(thresholds.nonEmpty, "empty mixing profile")
+    val thr = typedLit(thresholds)
+    val u32 = conv(substring(
+      md5(concat(lit("mt"), col(idCol).cast("string"))), 1, 8),
+      16, 10).cast("long")
+    docs
+      .withColumn("__thr",
+        coalesce(element_at(thr, col(srcCol)), lit(0L)))
+      .filter(u32 < col("__thr"))
+      .drop("__thr")
+  }
+
   /** Streaming distribution quantiles — the text_quantiles_sketch KLL
     * aggregate per closed event-time window and group. State per
     * (window, group) is the sketch's O(k·log(n/k)) doubles, never the

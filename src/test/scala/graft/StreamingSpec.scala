@@ -1688,6 +1688,46 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("mixTemperatureStream: the frozen profile reproduces the batch audit's kept counts exactly") {
+    val sparkS = spark
+    import sparkS.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import org.apache.spark.sql.functions._
+    val sfDir = "/root/testdata/sf0.001"
+    // the batch audit IS the profile: per-source thresholds + expected
+    // kept counts
+    val audit = SparkEntry.queries("mix_temperature")(spark, sfDir)
+      .select("source", "thr", "n_kept").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val thresholds = audit.map(a => a._1 -> a._2).toMap
+    val wantKept = audit.map(a => a._1 -> a._3).toMap
+
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .filter(col("text").isNotNull)
+      .select("doc_id", "source").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    val mem = MemoryStream[(Long, String)]
+    val q = StreamOps.mixTemperatureStream(
+        mem.toDF().toDF("doc_id", "source"), "doc_id", "source",
+        thresholds)
+      .writeStream.format("memory").queryName("mixtemp")
+      .outputMode("append").start()
+    try {
+      val (h1, h2) = docs.splitAt(docs.length / 2)
+      mem.addData(h1: _*); q.processAllAvailable()
+      mem.addData(h2: _*); q.processAllAvailable()
+      val got = spark.table("mixtemp").groupBy("source").count()
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(got === wantKept.filter(_._2 > 0),
+        "streamed per-source kept counts must equal the batch audit")
+      // an unprofiled source drops rather than silently passing
+      mem.addData(Seq((999999L, "never-profiled-source")))
+      q.processAllAvailable()
+      assert(spark.table("mixtemp")
+        .filter(col("source") === "never-profiled-source").count() === 0L)
+    } finally q.stop()
+  }
+
   test("sessionizeStream: closed sessions equal the batch events_sessionize entry") {
     val sparkS = spark
     import sparkS.implicits._
