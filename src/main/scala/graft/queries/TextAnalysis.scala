@@ -504,6 +504,7 @@ object TextAnalysis {
   private val CapPerSource = 15 // cap_per_source: max docs kept per source
   private val PrioritySampleK = 50 // sample_priority: sample size
   private val PrioStratumK = 10 // sample_priority_by_lang: per-stratum k
+  private val PipelineMixSampleK = 30 // pipeline_mix_sample: sample size
   private val MixTempTarget = 200.0 // mix_temperature: expected total docs
   private val KllK = 200 // text_quantiles_sketch: per-level capacity
   private[graft] val KllQuantiles =
@@ -1761,13 +1762,68 @@ object TextAnalysis {
         .orderBy(col("priority").desc, col("doc_id"))
         .limit(PrioritySampleK + 1)
       val wOrd = Window.orderBy(col("priority").desc, col("doc_id"))
+      val full = wOrd.rowsBetween(Window.unboundedPreceding,
+        Window.unboundedFollowing)
       top
         .withColumn("rank", row_number().over(wOrd).cast("long"))
-        .withColumn("tau", min(col("priority")).over(
-          wOrd.rowsBetween(Window.unboundedPreceding,
-            Window.unboundedFollowing)))
+        // under-full corpus (n ≤ k): τ = 0, nothing was sampled away —
+        // the PrioritySampleAgg convention, one algebra everywhere
+        .withColumn("tau", when(
+          count(lit(1)).over(full) === PrioritySampleK + 1,
+          min(col("priority")).over(full)).otherwise(lit(0.0)))
         .filter(col("rank") <= PrioritySampleK)
         .select(col("doc_id"), col("w"), col("rank"), col("priority"),
+          greatest(col("w"), col("tau")).as("w_est"))
+        .orderBy("doc_id")
+    },
+
+    // Composed curation pipeline: temperature-rebalance the sources
+    // (mix_temperature's exact per-source thresholds), then draw the
+    // char-weighted priority sample from the KEPT docs — the two
+    // round-12 sampling primitives as one plan, still exact end-to-end
+    // (every step is the same libm-free arithmetic, so the composition
+    // is oracle-gated bit-exactly like its parts).
+    "pipeline_mix_sample" -> { (s, dir) =>
+      val d = Tables(s, dir, "documents").filter(col("text").isNotNull)
+      val srcStats = d.groupBy("source")
+        .agg(count(lit(1)).as("n_docs"))
+        .withColumn("q", sqrt(col("n_docs").cast("double")))
+      val sumQ = srcStats
+        .agg(aggregate(
+          array_sort(collect_list(struct(col("source"), col("q")))),
+          lit(0.0), (acc, x) => acc + x.getField("q")).as("sum_q"))
+      val rated = srcStats.crossJoin(broadcast(sumQ))
+        .withColumn("thr", floor(least(lit(1.0),
+          ((lit(MixTempTarget) * col("q")) / col("sum_q"))
+            / col("n_docs").cast("double")) * lit(4294967296.0))
+          .cast("long"))
+        .select("source", "thr")
+      val mt = conv(substring(
+        md5(concat(lit("mt"), col("doc_id").cast("string"))), 1, 8),
+        16, 10).cast("long")
+      val ps = conv(substring(
+        md5(concat(lit("ps"), col("doc_id").cast("string"))), 1, 8),
+        16, 10).cast("long")
+      val kept = d.select(col("doc_id"), col("source"),
+          col("n_chars").cast("double").as("w"), mt.as("u32"),
+          ((ps + lit(1L)).cast("double") / lit(4294967296.0)).as("u"))
+        .join(broadcast(rated), "source")
+        .filter(col("u32") < col("thr"))
+      val top = kept
+        .withColumn("priority", col("w") / col("u"))
+        .select("doc_id", "source", "w", "priority")
+        .orderBy(col("priority").desc, col("doc_id"))
+        .limit(PipelineMixSampleK + 1)
+      val wOrd = Window.orderBy(col("priority").desc, col("doc_id"))
+      val full = wOrd.rowsBetween(Window.unboundedPreceding,
+        Window.unboundedFollowing)
+      top
+        .withColumn("rank", row_number().over(wOrd).cast("long"))
+        .withColumn("tau", when(
+          count(lit(1)).over(full) === PipelineMixSampleK + 1,
+          min(col("priority")).over(full)).otherwise(lit(0.0)))
+        .filter(col("rank") <= PipelineMixSampleK)
+        .select(col("doc_id"), col("source"), col("w"), col("rank"),
           greatest(col("w"), col("tau")).as("w_est"))
         .orderBy("doc_id")
     },
@@ -3022,9 +3078,49 @@ object TextAnalysis {
          |      AS BIGINT) AS rank
          |  FROM p ORDER BY priority DESC, doc_id
          |  LIMIT ${PrioritySampleK + 1}),
-         |t AS (SELECT min(priority) AS tau FROM top)
+         |t AS (SELECT CASE WHEN count(*) = ${PrioritySampleK + 1}
+         |    THEN min(priority) ELSE 0.0 END AS tau FROM top)
          |SELECT doc_id, w, rank, priority, greatest(w, tau) AS w_est
          |FROM top, t WHERE rank <= $PrioritySampleK
+         |ORDER BY doc_id""".stripMargin,
+
+    // the composition of the two sampling primitives, exact end-to-end
+    "pipeline_mix_sample" ->
+      s"""WITH d AS (SELECT doc_id, source, CAST(n_chars AS DOUBLE) AS w,
+         |    list_reduce(list_transform(range(1, 9),
+         |      i -> instr('0123456789abcdef',
+         |        substr(md5('mt' || CAST(doc_id AS VARCHAR)),
+         |          CAST(i AS INT), 1)) - 1),
+         |      (a, b) -> a*16 + b) AS u32,
+         |    CAST(list_reduce(list_transform(range(1, 9),
+         |        i -> instr('0123456789abcdef',
+         |          substr(md5('ps' || CAST(doc_id AS VARCHAR)),
+         |            CAST(i AS INT), 1)) - 1),
+         |      (a, b) -> a*16 + b) + 1 AS DOUBLE) / 4294967296.0 AS u
+         |  FROM documents WHERE text IS NOT NULL),
+         |s AS (SELECT source, count(*) AS n_docs,
+         |    sqrt(CAST(count(*) AS DOUBLE)) AS q
+         |  FROM d GROUP BY 1),
+         |sq AS (SELECT list_reduce(list_transform(
+         |      list_sort(list(struct_pack(source := source, q := q))),
+         |      x -> x.q),
+         |    (a, b) -> a + b) AS sum_q FROM s),
+         |r AS (SELECT source,
+         |    CAST(floor(least(1.0, (($MixTempTarget * q) / sum_q)
+         |      / CAST(n_docs AS DOUBLE)) * 4294967296.0) AS BIGINT) AS thr
+         |  FROM s, sq),
+         |kept AS (SELECT d.doc_id, d.source, d.w, d.u
+         |  FROM d JOIN r USING (source) WHERE u32 < thr),
+         |p AS (SELECT doc_id, source, w, w / u AS priority FROM kept),
+         |top AS (SELECT doc_id, source, w, priority,
+         |    CAST(row_number() OVER (ORDER BY priority DESC, doc_id)
+         |      AS BIGINT) AS rank
+         |  FROM p ORDER BY priority DESC, doc_id
+         |  LIMIT ${PipelineMixSampleK + 1}),
+         |t AS (SELECT CASE WHEN count(*) = ${PipelineMixSampleK + 1}
+         |    THEN min(priority) ELSE 0.0 END AS tau FROM top)
+         |SELECT doc_id, source, w, rank, greatest(w, tau) AS w_est
+         |FROM top, t WHERE rank <= $PipelineMixSampleK
          |ORDER BY doc_id""".stripMargin,
 
     // the per-lang restatement of the priority algebra: rank window +
