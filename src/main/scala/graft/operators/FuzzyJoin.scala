@@ -310,6 +310,13 @@ object FuzzyJoin {
     * Candidate dedup is a windowed (probe, candidate) aggregate —
     * bounded state, append emission on watermark close.
     *
+    * The stream side stays GRAM-PREFIX by design (no adaptive reroute):
+    * the deletion generator's decision passes need corpus statistics a
+    * stream cannot pay per micro-batch, and the plan-literal gram
+    * ceiling already bounds the catalog family this builder accepts —
+    * a degenerate catalog beyond it is directed to batch matchJoin by
+    * the ceiling's require.
+    *
     * @return (win_start, probe, candidate, dist) per closed window */
   def matchStream(probes: DataFrame, tsCol: String, probeCol: String,
       catalog: DataFrame, catCol: String, q: Int, k: Int,

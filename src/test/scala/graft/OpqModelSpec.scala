@@ -126,6 +126,22 @@ class OpqModelSpec extends AnyFunSuite {
     val top2 = PqIndex.adcProbe(after, q2, nProbe = 2, topK = 1, rerank = 8)
       .collect().head
     assert(top2.getLong(1) === vid2 && top2.getDouble(3) > 1.0 - 1e-9)
+
+    // the OTHER generation-staging caller (splitCell, via rebalance)
+    // must carry the frame too — force a split with a tight cap
+    val rep = IvfIndex.rebalance(spark, dir, maxFrac = 0.2, maxSplits = 2)
+    assert(rep.splits >= 1, "the cap must force at least one split")
+    val split = PqIndex.load(spark, dir)
+    assert(split.rotation.exists(_.sameElements(r)),
+      "splitCell's generation swap must not drop the rotation relation")
+    assert(split.coarse.k > after.coarse.k)
+    val (vid3, v3) = probeSrc(2)
+    val q3 = Seq((920000L + vid3, v3)).toDF("q_id", "qv")
+    val top3 = PqIndex.adcProbe(split, q3,
+        nProbe = split.coarse.k, topK = 1, rerank = 8)
+      .collect().head
+    assert(top3.getLong(1) === vid3 && top3.getDouble(3) > 1.0 - 1e-9,
+      "raw self-probe must survive a split generation")
   }
 
   test("frame-pinned serving loop: LiveAnnServer and maintainVectors take RAW vectors end-to-end") {
