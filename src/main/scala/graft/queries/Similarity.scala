@@ -33,6 +33,7 @@ object Similarity {
   // the same code path the trained quantizer runs.
   private val PqSeedK = 16
   private val RpDim = 8
+  private val MrlDim = 16 // emb_slice_renorm: matryoshka prefix dims
 
   /** ann_opq's rotation rides the PERSISTED [[graft.operators.OpqModel]]
     * artifact (round 12): a stable model root per testdata dir,
@@ -462,6 +463,32 @@ object Similarity {
         .orderBy("vec_id", "sub")
     },
 
+    // Matryoshka-style prefix truncation + renorm (MRL, Kusupati et al.
+    // 2022 — public literature): keep the first MrlDim dims and
+    // renormalize to unit length — the serving-tier move for embeddings
+    // trained with nested prefixes (a cheap-tier ANN index probes the
+    // 16-dim prefix at 1/4 the bytes and flops; the full vector reranks).
+    // Complementary to emb_project: JL mixes ALL dims through a random
+    // matrix (any embedding), MRL slices a trained prefix (matryoshka
+    // embeddings). Scale shape: a pure codegen projection at scan speed
+    // — slice, one fused-fold norm, MrlDim divisions; no exchange but
+    // the output sort. Bit-exact oracle: the slice is positional, the
+    // norm is the SAME left fold both engines, each element divides by
+    // that one norm, and an (impossible-here but guarded) zero-norm
+    // prefix yields NULLs identically instead of Inf/NaN.
+    "emb_slice_renorm" -> { (s, dir) =>
+      val e = Tables(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      val sliced = e.withColumn("sv", slice(col("v"), 1, MrlDim))
+        .withColumn("nrm", norm(col("sv")))
+      sliced.select(col("vec_id") +:
+        (0 until MrlDim).map(i =>
+          when(col("nrm") === 0.0, lit(null).cast("double"))
+            .otherwise(element_at(col("sv"), i + 1) / col("nrm"))
+            .as(s"m$i")): _*)
+        .orderBy("vec_id")
+    },
+
     // Johnson–Lindenstrauss random projection: 64-d embeddings down to 8
     // dims via a deterministic ±1 Rademacher matrix, scaled 1/√k — the
     // standard dimensionality-reduction pre-step for ANN indexing and
@@ -609,6 +636,22 @@ object Similarity {
          |    row_number() OVER (PARTITION BY vec_id, m ORDER BY d2, code) AS rk
          |  FROM d)
          |WHERE rk = 1 ORDER BY vec_id, sub""".stripMargin,
+
+    "emb_slice_renorm" -> {
+      def dotSql16(x: String) =
+        s"list_reduce(list_transform(range(1, ${MrlDim + 1}), " +
+          s"i -> $x[i] * $x[i]), (acc, v) -> acc + v)"
+      val cols = (0 until MrlDim).map(i =>
+        s"CASE WHEN nrm = 0.0 THEN NULL ELSE sv[${i + 1}] / nrm END AS m$i")
+        .mkString(",\n  ")
+      s"""WITH e AS (SELECT vec_id,
+         |    list_slice(CAST(embedding AS DOUBLE[]), 1, $MrlDim) AS sv
+         |  FROM embeddings),
+         |n AS (SELECT vec_id, sv, sqrt(${dotSql16("sv")}) AS nrm FROM e)
+         |SELECT vec_id,
+         |  $cols
+         |FROM n ORDER BY vec_id""".stripMargin
+    },
 
     "emb_project" -> {
       val terms = (0 until RpDim).map { j =>
