@@ -1733,6 +1733,34 @@ object TextAnalysis {
         .orderBy("lang", "q")
     },
 
+    // Source-concentration audit: the Gini coefficient of per-source
+    // doc counts — the one-number "is this corpus dominated by a few
+    // domains" signal that decides whether cap_per_source /
+    // mix_temperature even need to run. Gini = Σ n_i·(2i − k − 1) /
+    // (k·Σn) over counts sorted ascending (i = 1..k rank, source as
+    // tiebreak): every term is exact INTEGER arithmetic and the single
+    // final division of two exact integers is IEEE-identical in both
+    // engines — bit-exact oracle with no tricks. Scale shape: one
+    // map-side-combined count per source, then a window + aggregate
+    // over the (bounded-cardinality) source rows — corpus pays one
+    // scan, the rest is source-sized.
+    "corpus_gini" -> { (s, dir) =>
+      val d = Tables(s, dir, "documents").filter(col("text").isNotNull)
+      val counts = d.groupBy("source").agg(count(lit(1)).as("n"))
+      val w = Window.orderBy(col("n"), col("source"))
+      val ranked = counts
+        .withColumn("i", row_number().over(w).cast("long"))
+        .withColumn("k", count(lit(1)).over(
+          w.rowsBetween(Window.unboundedPreceding,
+            Window.unboundedFollowing)).cast("long"))
+      ranked
+        .agg(max(col("k")).as("n_sources"), sum(col("n")).as("n_docs"),
+          sum(col("n") * (col("i") * 2L - col("k") - 1L)).as("num"))
+        .select(col("n_sources"), col("n_docs"),
+          (col("num").cast("double") /
+            (col("n_sources") * col("n_docs")).cast("double")).as("gini"))
+    },
+
     // WEIGHTED sampling without replacement via PRIORITY SAMPLING
     // (Duffield, Lund, Thorup 2007 — public literature): per doc a
     // deterministic uniform u ∈ (0,1] from an md5 fold, priority
@@ -3061,6 +3089,19 @@ object TextAnalysis {
          |      len(string_split_regex(text, '\\s+')) AS n_tokens
          |    FROM documents WHERE text IS NOT NULL))
          |WHERE cum_before < $TokenBudgetPerLang ORDER BY doc_id""".stripMargin,
+
+    // exact integer terms, one final division — see the Spark entry
+    "corpus_gini" ->
+      """WITH c AS (SELECT source, count(*) AS n FROM documents
+        |    WHERE text IS NOT NULL GROUP BY 1),
+        |r AS (SELECT n,
+        |    CAST(row_number() OVER (ORDER BY n, source) AS BIGINT) AS i,
+        |    CAST(count(*) OVER () AS BIGINT) AS k FROM c)
+        |SELECT CAST(max(k) AS BIGINT) AS n_sources,
+        |  CAST(sum(n) AS BIGINT) AS n_docs,
+        |  CAST(sum(n * (2*i - k - 1)) AS DOUBLE)
+        |    / CAST(max(k) * sum(n) AS DOUBLE) AS gini
+        |FROM r""".stripMargin,
 
     // every operation exact IEEE (u = int/2³², one division, max) — no
     // quantization trick needed; see the Spark entry's scaladoc
