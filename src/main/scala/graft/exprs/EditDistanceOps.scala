@@ -12,15 +12,53 @@ import org.apache.spark.unsafe.types.UTF8String
   * this kernel runs the O(min(len)·(2k+1)) band with two reused-size int
   * rows and no per-row boxing — the candidate-verification step of an
   * edit-similarity join is exactly a "custom codegen'd Expression beats
-  * the generic function" case. Semantics match `levenshtein` with
-  * threshold: the distance if ≤ k, else −1 (unit costs, UTF-16 code
-  * units — identical to Java/DuckDB on the BMP text this engine's
-  * oracles compare).
+  * the generic function" case. Semantics: the distance if ≤ k, else −1,
+  * with unit costs over Unicode CODE POINTS — the same unit Spark's
+  * `length`/`substr` (and hence the q-gram band arithmetic and the
+  * deletion signatures) count, so supplementary-plane text (CJK
+  * extensions, emoji — real in multilingual corpora) is first-class:
+  * 𝄞 is ONE edit away from `a`, not two. On BMP text a code point IS a
+  * UTF-16 unit, so this is also `levenshtein`-with-threshold semantics
+  * there. (The DuckDB oracle's `levenshtein` is BYTE-grained — 今日→今
+  * measures 3 — so the oracle corpora stay ASCII, where bytes, UTF-16
+  * units, and code points coincide; non-ASCII exactness is gated by the
+  * FuzzyJoinSpec reference-DP property tests instead.)
   */
 object EditDistanceOps {
+
+  /** Code points of `s`. BMP-only strings (the overwhelmingly common
+    * case — one surrogate scan decides) take a straight char-copy loop;
+    * only strings with supplementary characters pay codePointAt. */
+  private def codePoints(s: String): Array[Int] = {
+    val n = s.length
+    var bmp = true
+    var i = 0
+    while (bmp && i < n) {
+      if (Character.isHighSurrogate(s.charAt(i))) bmp = false
+      i += 1
+    }
+    if (bmp) {
+      val out = new Array[Int](n)
+      var j = 0
+      while (j < n) { out(j) = s.charAt(j); j += 1 }
+      out
+    } else {
+      val out = new Array[Int](s.codePointCount(0, n))
+      var j = 0
+      var o = 0
+      while (j < n) {
+        val cp = s.codePointAt(j)
+        out(o) = cp
+        o += 1
+        j += Character.charCount(cp)
+      }
+      out
+    }
+  }
+
   def within(a: UTF8String, b: UTF8String, k0: Int): Int = {
-    val s = a.toString
-    val t = b.toString
+    val s = codePoints(a.toString)
+    val t = codePoints(b.toString)
     val la = s.length
     val lb = t.length
     if (la.toLong - lb > k0 || lb.toLong - la > k0) return -1
@@ -48,8 +86,8 @@ object EditDistanceOps {
         val v =
           if (j == 0) { if (i <= k) i else inf }
           else {
-            val ci = s.charAt(i - 1)
-            val sub = prev(j - 1) + (if (ci == t.charAt(j - 1)) 0 else 1)
+            val ci = s(i - 1)
+            val sub = prev(j - 1) + (if (ci == t(j - 1)) 0 else 1)
             val del = prev(j) + 1
             val ins = cur(j - 1) + 1
             var m = if (sub < del) sub else del
@@ -85,8 +123,10 @@ object EditDistanceOps {
     * (len+1 at k=1, ~len²/2 at k=2) — viable precisely for the small-k
     * regime the fuzzy joins run in.
     *
-    * UTF-16 code-unit deletions, consistent with [[within]]; the BMP
-    * guard at the FuzzyJoin entry points scopes both. */
+    * CODE-POINT deletions, consistent with [[within]] and with Spark's
+    * `length` band — deleting half a surrogate pair would fabricate
+    * signatures no edit can produce and break the shared-member proof
+    * on supplementary-plane text. */
   def deletionNeighborhood(s0: UTF8String, k: Int): ArrayData = {
     val s = s0.toString
     val seen = new java.util.LinkedHashSet[String]()
@@ -96,10 +136,14 @@ object EditDistanceOps {
     while (round < k && frontier.nonEmpty) {
       val next = Seq.newBuilder[String]
       frontier.foreach { x =>
+        val cp = codePoints(x)
         var i = 0
-        while (i < x.length) {
-          val d = x.substring(0, i) + x.substring(i + 1)
-          if (seen.add(d)) next += d
+        while (i < cp.length) {
+          val d = new Array[Int](cp.length - 1)
+          System.arraycopy(cp, 0, d, 0, i)
+          System.arraycopy(cp, i + 1, d, i, cp.length - 1 - i)
+          val ds = new String(d, 0, d.length)
+          if (seen.add(ds)) next += ds
           i += 1
         }
       }

@@ -56,29 +56,39 @@ object KllSketch {
       }
 
     private def compactFrom(start: Int): Unit = {
+      // scan EVERY level from `start` up, not just a contiguous full
+      // prefix: merge() bulk-appends whole level arrays, so a higher
+      // level can be over-full while level 0 is under k — exiting at the
+      // first non-full level would leave it uncompacted and break the
+      // O(k·log(n/k)) state bound on merge-heavy paths (streaming state
+      // merged every micro-batch, many-partition final aggregation)
       var l = start
-      while (l < levels.length && levels(l).length >= k) {
-        ensureLevel(l + 1)
-        val buf = levels(l)
-        val sorted = buf.toArray
-        java.util.Arrays.sort(sorted)
-        // compact the EVEN prefix only — promoting ceil(m/2) items at
-        // double weight from an odd buffer would INFLATE total weight
-        // by 2^l; the odd leftover (the largest item, deterministic)
-        // stays at this level, so weight is conserved exactly and
-        // retained weight always equals the true count
-        val m = sorted.length - (sorted.length % 2)
-        val parity = (compactions(l) % 2).toInt
-        compactions(l) += 1
-        buf.clear()
-        var i = parity
-        while (i < m) {
-          levels(l + 1) += sorted(i)
-          i += 2
-        }
-        if (sorted.length % 2 == 1) buf += sorted(sorted.length - 1)
+      while (l < levels.length) {
+        if (levels(l).length >= k) compactLevel(l)
         l += 1
       }
+    }
+
+    private def compactLevel(l: Int): Unit = {
+      ensureLevel(l + 1)
+      val buf = levels(l)
+      val sorted = buf.toArray
+      java.util.Arrays.sort(sorted)
+      // compact the EVEN prefix only — promoting ceil(m/2) items at
+      // double weight from an odd buffer would INFLATE total weight
+      // by 2^l; the odd leftover (the largest item, deterministic)
+      // stays at this level, so weight is conserved exactly and
+      // retained weight always equals the true count
+      val m = sorted.length - (sorted.length % 2)
+      val parity = (compactions(l) % 2).toInt
+      compactions(l) += 1
+      buf.clear()
+      var i = parity
+      while (i < m) {
+        levels(l + 1) += sorted(i)
+        i += 2
+      }
+      if (sorted.length % 2 == 1) buf += sorted(sorted.length - 1)
     }
 
     def merge(other: State): Unit = {

@@ -48,26 +48,18 @@ import org.apache.spark.sql.Column
   * O(k·min(|l|,|r|)) per pair, not full DP — under either generator.
   * All stages are plain exchanges + codegen'd expressions.
   */
-object FuzzyJoin {
+object FuzzyJoin extends org.apache.spark.internal.Logging {
 
-  /** BMP guard at every entry point: the candidate generation counts in
-    * CODE POINTS (Spark `length`, `substr` q-grams) while the verify
-    * kernel ([[graft.exprs.EditDistanceOps.within]]) counts UTF-16 code
-    * units — a supplementary-plane character makes the two disagree, and
-    * the length band / gram-survival argument could then drop a pair the
-    * kernel itself would accept (a false negative the no-false-negative
-    * proof doesn't cover). Rather than silently weakening the exactness
-    * contract, non-BMP input raises. The check is one codegen'd encode
-    * per DISTINCT string (code-point length == code-unit length iff no
-    * char is above U+FFFF), never per pair. */
-  private def assertBmp(c: Column): Column =
-    when(length(encode(c, "UTF-16BE")) =!= length(c) * 2,
-      raise_error(concat(
-        lit("FuzzyJoin: non-BMP string (code point above U+FFFF) — "),
-        lit("the q-gram band arithmetic is code-point-based while the "),
-        lit("verify kernel counts UTF-16 code units, so exactness is "),
-        lit("only guaranteed for BMP text: "), c)))
-      .otherwise(c)
+  // Unicode unit discipline: EVERYTHING here counts CODE POINTS. Spark's
+  // `length`/`substr` (the q-gram machinery and the length band) are
+  // code-point-grained natively, and since round 13 so are the verify
+  // kernel ([[graft.exprs.EditDistanceOps.within]]) and the deletion
+  // signatures ([[graft.exprs.EditDistanceOps.deletionNeighborhood]]) —
+  // supplementary-plane text (CJK extensions, emoji) is first-class, no
+  // BMP guard needed. The DuckDB oracle's `levenshtein` is BYTE-grained,
+  // so the oracle corpora stay ASCII (bytes = units = points there);
+  // non-ASCII exactness is gated by FuzzyJoinSpec's reference-DP
+  // property tests.
 
   /** Distinct q-grams of a string column; empty array below length q
     * (guarded — Spark's `sequence(1, 0)` would count DOWN, not empty). */
@@ -165,6 +157,31 @@ object FuzzyJoin {
     names.agg(coalesce(sum(nbhdBound2x(length(col("s")), k)), lit(0L)))
       .head().getLong(0) / 2L
 
+  /** Generator-choice memo, keyed by (canonicalized input plan(s), k).
+    * The decision passes are EAGER Spark jobs at builder time (see the
+    * builders' scaladoc); repeated constructions over the same inputs —
+    * benchmark reps, a stream twin next to its batch gate — should not
+    * re-pay them. Safe to memoize across in-place data mutation at the
+    * same path: the choice is a PERFORMANCE decision only, both
+    * generators are result-identical. Bounded LRU. */
+  private val generatorChoice =
+    java.util.Collections.synchronizedMap(
+      new java.util.LinkedHashMap[(Seq[Any], Int), String](16, 0.75f, true) {
+        override def removeEldestEntry(
+            e: java.util.Map.Entry[(Seq[Any], Int), String]): Boolean =
+          size() > 64
+      })
+
+  private def memoChoice(key: (Seq[Any], Int))(decide: => String): String = {
+    val hit = generatorChoice.get(key)
+    if (hit != null) hit
+    else {
+      val d = decide
+      generatorChoice.put(key, d)
+      d
+    }
+  }
+
   /** The deterministic generator choice for a SELF join (exposed for
     * the plan spec): "grams" or "deletions". */
   private[graft] def selfGenerator(
@@ -192,15 +209,22 @@ object FuzzyJoin {
     * edit distance k, with the distance. Result-identical to the naive
     * all-pairs `levenshtein` join (the DuckDB oracle) under EITHER
     * candidate generator — the generator is chosen from the data (see
-    * the adaptive-generation block above). */
+    * the adaptive-generation block above).
+    *
+    * NOT a lazy plan builder: the generator decision runs bounded EAGER
+    * aggregate jobs over the input at construction time (memoized per
+    * canonicalized input plan, so benchmark reps and twin constructions
+    * pay them once per JVM). */
   def selfJoin(data: DataFrame, column: String, q: Int, k: Int): DataFrame = {
     val names = data.select(col(column).as("s"))
       .filter(col("s").isNotNull).distinct()
-      .select(assertBmp(col("s")).as("s"))
     val g = gramRows(names, q)
     val dfTable = g.groupBy("g").agg(count(lit(1)).as("df"))
     val prefix = prefixRows(g, dfTable, q, k)
-    if (selfGenerator(names, prefix, k) == "deletions") {
+    val gen = memoChoice(
+      (Seq[Any](names.queryExecution.analyzed.canonicalized, q), k))(
+      selfGenerator(names, prefix, k))
+    if (gen == "deletions") {
       // deletion-signature candidates: every true pair shares a ≤k-
       // deletion variant (proof at the kernel), so ONE equi-join on the
       // signature generates all of them; the length band still prunes
@@ -242,21 +266,26 @@ object FuzzyJoin {
 
   /** All (probe, candidate, dist) with ed ≤ k between distinct probe
     * strings and distinct catalog strings. Gram ranks are computed over
-    * the UNION of both sides so the two prefixes share one global order. */
+    * the UNION of both sides so the two prefixes share one global order.
+    *
+    * NOT a lazy plan builder — eager decision jobs at construction,
+    * memoized per input plans (see [[selfJoin]]). */
   def matchJoin(probes: DataFrame, probeCol: String,
       catalog: DataFrame, catCol: String, q: Int, k: Int): DataFrame = {
     val p = probes.select(col(probeCol).as("s"))
       .filter(col("s").isNotNull).distinct()
-      .select(assertBmp(col("s")).as("s"))
     val c = catalog.select(col(catCol).as("s"))
       .filter(col("s").isNotNull).distinct()
-      .select(assertBmp(col("s")).as("s"))
     val pg = gramRows(p, q)
     val cg = gramRows(c, q)
     val dfTable = pg.union(cg).groupBy("g").agg(count(lit(1)).as("df"))
     val prefixP = prefixRows(pg, dfTable, q, k)
     val prefixC = prefixRows(cg, dfTable, q, k)
-    if (matchGenerator(p, c, prefixP, prefixC, k) == "deletions") {
+    val gen = memoChoice(
+      (Seq[Any](p.queryExecution.analyzed.canonicalized,
+        c.queryExecution.analyzed.canonicalized, q), k))(
+      matchGenerator(p, c, prefixP, prefixC, k))
+    if (gen == "deletions") {
       // merge hint: see selfJoin — static stats under-size the explode
       val cand = delSigs(p, k).as("a").hint("merge")
         .join(delSigs(c, k).as("b"),
@@ -279,96 +308,242 @@ object FuzzyJoin {
     verify(cand.union(shortPairs), "probe", "candidate", k).distinct()
   }
 
-  /** Banded verification: Spark's threshold form returns −1 above k, so
-    * the per-pair cost is O(k·len), not the full DP table. */
   /** Distinct-gram ceiling for [[matchStream]]'s plan-literal df map —
     * the same plan-literal discipline as the streaming Bloom filter's
-    * bitmap ceiling: beyond it, the map rides every serialized task. */
+    * bitmap ceiling: beyond it, the map rides every serialized task.
+    * A catalog past it falls back to the DELETION generator (which
+    * needs no literal at all) when k permits; only k > [[MaxDeletionK]]
+    * refuses. */
   private val MaxStreamCatalogGrams = 65536
+
+  /** Live snapshot roots for JVM-exit cleanup — ONE shared shutdown
+    * hook for the whole cache, registered on first use, never one per
+    * construction. */
+  private val snapshotDirs =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  private lazy val snapshotHook: Unit = {
+    sys.addShutdownHook {
+      snapshotDirs.forEach(d => graft.storage.ParquetLogBackend
+        .deleteRecursively(java.nio.file.Paths.get(d)))
+    }
+    ()
+  }
+
+  /** Content key of a distinct-names relation: order-free exact
+    * aggregates (count, two independently-seeded xxhash64 XOR folds —
+    * XOR, not sum: full-range hash values overflow an ANSI long sum,
+    * and the names are distinct so XOR cancellation needs a hash
+    * collision — and Σ length) folded through md5. One job, no collect
+    * of the names. */
+  private def namesContentKey(names: DataFrame, q: Int, k: Int): String = {
+    val r = names.agg(
+      count(lit(1)),
+      coalesce(bit_xor(xxhash64(col("s"))), lit(0L)),
+      coalesce(bit_xor(xxhash64(col("s"), lit(1L))), lit(0L)),
+      coalesce(sum(length(col("s"))), lit(0L))).head()
+    val raw =
+      s"${r.getLong(0)}|${r.getLong(1)}|${r.getLong(2)}|${r.getLong(3)}|q=$q|k=$k"
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(raw.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(16)
+  }
+
+  private def snapDirFor(key: String): java.nio.file.Path =
+    java.nio.file.Paths.get(
+      sys.props.getOrElse("java.io.tmpdir", "/tmp"),
+      s"graft-fuzzy-catsnap2-$key")
+
+  /** Generator decision for the STREAM: the probe distribution is
+    * unknowable at construction, so the catalog's own self-pairing
+    * statistics proxy the probe-vs-catalog volumes (stream probes
+    * resolve against the string family the catalog is made of). Two
+    * overrides: a catalog whose distinct-gram count exceeds the
+    * plan-literal ceiling FORCES deletions (the gram path cannot embed
+    * its df map — refusing only when k is past the deletion budget
+    * too), and k > [[MaxDeletionK]] forces grams. Performance-only
+    * either way — both generators are exact. */
+  private def streamGenerator(frozen: DataFrame, q: Int, k: Int): String = {
+    val g = gramRows(frozen, q)
+    val dfTable = g.groupBy("g").agg(count(lit(1)).as("df"))
+    val nGrams = dfTable.count()
+    if (nGrams > MaxStreamCatalogGrams) {
+      require(k <= MaxDeletionK,
+        s"catalog has $nGrams distinct $q-grams — beyond the " +
+          s"$MaxStreamCatalogGrams plan-literal ceiling — and k=$k is " +
+          s"past the deletion generator's budget ($MaxDeletionK); " +
+          "use batch matchJoin")
+      "deletions"
+    } else if (k > MaxDeletionK) "grams"
+    else selfGenerator(frozen, prefixRows(g, dfTable, q, k), k)
+  }
+
+  /** Freeze `names` into the content-keyed snapshot cache and return
+    * its root. Layout: `names/` (parquet), `generator` (text), `sigs/`
+    * (parquet, deletion path only — the catalog's ≤k-deletion signature
+    * index, computed ONCE here rather than re-exploded per micro-batch).
+    *
+    * Publication is staged + atomic-rename: the staged files are
+    * RE-keyed from their own frozen bytes before the rename, so a
+    * published dir's key always matches its content even if the live
+    * source mutates mid-construction; a crash never leaves a partial
+    * snapshot at a published key; a lost race reuses the winner (same
+    * content ⟹ same deterministic layout).
+    *
+    * Reclamation: entries are REUSED across constructions of the same
+    * catalog content — accumulation is bounded by distinct catalogs per
+    * JVM, not by construction count — and deleted at JVM exit by the
+    * one shared hook. Delete-on-query-termination (a
+    * StreamingQueryListener) is deliberately NOT the mechanism: the
+    * snapshot sits on the STATIC side of the stream-static join, so no
+    * progress event ever names it (the query id is unknowable from
+    * here), and content-sharing across concurrently live streams would
+    * make per-query deletion a use-after-free for the others. */
+  private[graft] def ensureSnapshot(names: DataFrame, q: Int, k: Int): String = {
+    snapshotHook
+    val spark = names.sparkSession
+    val published = snapDirFor(namesContentKey(names, q, k))
+    if (java.nio.file.Files.isDirectory(published.resolve("names"))) {
+      snapshotDirs.add(published.toString)
+      return published.toString
+    }
+    val staging = java.nio.file.Files
+      .createTempDirectory("graft-fuzzy-catsnap2-staging")
+    val target =
+      try {
+        names.write.mode("overwrite")
+          .parquet(staging.resolve("names").toString)
+        val frozen = spark.read.parquet(staging.resolve("names").toString)
+        val gen = streamGenerator(frozen, q, k)
+        if (gen == "deletions")
+          delSigs(frozen, k).write.mode("overwrite")
+            .parquet(staging.resolve("sigs").toString)
+        java.nio.file.Files.write(
+          staging.resolve("generator"), gen.getBytes("UTF-8"))
+        snapDirFor(namesContentKey(frozen, q, k))
+      } catch {
+        case t: Throwable =>
+          graft.storage.ParquetLogBackend.deleteRecursively(staging)
+          throw t
+      }
+    try java.nio.file.Files.move(staging, target,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    catch {
+      case _: java.nio.file.FileAlreadyExistsException |
+          _: java.nio.file.DirectoryNotEmptyException =>
+        graft.storage.ParquetLogBackend.deleteRecursively(staging)
+    }
+    snapshotDirs.add(target.toString)
+    target.toString
+  }
 
   /** STREAM-STATIC fuzzy match: a streaming probe column resolved
     * against a static catalog — live entity lookup at ingest. The
-    * catalog is SNAPSHOTTED at stream construction: its distinct names
-    * are written once to a frozen parquet sibling of nothing the caller
-    * owns (a temp dir that lives as long as the stream), and BOTH order
-    * sources — the df map embedded as a probe-side plan literal AND the
-    * per-micro-batch catalog prefix index — derive from that one
-    * snapshot. Without the freeze, the two sides would read the LIVE
-    * catalog dir independently (the literal once, the static plan per
-    * micro-batch), and a catalog mutation mid-stream would rank the two
-    * prefixes against DIFFERENT gram orders — the no-false-negative
-    * theorem needs ONE consistent order. With it, a mutated catalog dir
-    * simply keeps serving the construction-time snapshot, consistently.
+    * catalog is SNAPSHOTTED at stream construction into the
+    * content-keyed cache ([[ensureSnapshot]]): every order source the
+    * plan uses — the df map embedded as a probe-side plan literal, the
+    * per-micro-batch catalog prefix index, the deletion-signature
+    * index — derives from that ONE frozen copy. Without the freeze, the
+    * sides would read the LIVE catalog dir independently (the literal
+    * once, the static plan per micro-batch), and a catalog mutation
+    * mid-stream would rank the two prefixes against DIFFERENT gram
+    * orders — the no-false-negative theorem needs ONE consistent order.
+    * With it, a mutated catalog dir simply keeps serving the
+    * construction-time snapshot, consistently.
     *
-    * The probe side computes its OWN prefix per row, with no streaming
-    * aggregation: probe grams rank against the snapshot's df map
-    * (bounded by [[MaxStreamCatalogGrams]] distinct grams — tiny for
-    * q=2), sorted inside an array. The global order comes from the
-    * CATALOG ALONE — a stream can't be df-counted up front, and the
-    * prefix-filter theorem holds under ANY one consistent order; grams
-    * unseen in the catalog take df 0 and merely occupy prefix slots.
-    * Candidate dedup is a windowed (probe, candidate) aggregate —
-    * bounded state, append emission on watermark close.
+    * ADAPTIVE GENERATION (round 13): the generator is chosen at
+    * construction from the frozen catalog ([[streamGenerator]] — the
+    * catalog's own pairing statistics proxy the unknowable probe
+    * distribution; the choice is logged and persisted in the snapshot).
     *
-    * The stream side stays GRAM-PREFIX by design (no adaptive reroute):
-    * the deletion generator's decision passes need corpus statistics a
-    * stream cannot pay per micro-batch, and the plan-literal gram
-    * ceiling already bounds the catalog family this builder accepts —
-    * a degenerate catalog beyond it is directed to batch matchJoin by
-    * the ceiling's require.
+    *  - GRAM path: the probe side computes its OWN prefix per row, no
+    *    streaming aggregation — probe grams rank against the snapshot's
+    *    df map (a plan literal bounded by [[MaxStreamCatalogGrams]]),
+    *    sorted inside an array. The global order comes from the CATALOG
+    *    ALONE — a stream can't be df-counted up front, and the
+    *    prefix-filter theorem holds under ANY one consistent order;
+    *    grams unseen in the catalog take df 0 and merely occupy prefix
+    *    slots.
+    *  - DELETION path (degenerate-alphabet catalogs — zero-padded ids —
+    *    and catalogs past the gram-literal ceiling): the catalog's
+    *    ≤k-deletion signature index is computed ONCE at construction
+    *    and served from frozen parquet, so each micro-batch's static
+    *    side is a plain scan whose size estimate comes from REAL file
+    *    bytes (no explode fan-out for Catalyst to under-estimate — the
+    *    batch path's merge hint is unnecessary here); the probe side
+    *    explodes its own bounded (len+1)^k ≤k-neighborhood per row.
+    *    No plan literal, no ceiling, no short-string block (signatures
+    *    cover every length exactly).
+    *
+    * Either path ends in the same banded verify + windowed
+    * (probe, candidate) dedup — bounded state, append emission on
+    * watermark close; results are generator-independent.
     *
     * @return (win_start, probe, candidate, dist) per closed window */
   def matchStream(probes: DataFrame, tsCol: String, probeCol: String,
       catalog: DataFrame, catCol: String, q: Int, k: Int,
       win: String = "10 seconds", delay: String = "10 seconds"): DataFrame = {
     val spark = catalog.sparkSession
-    // freeze the catalog: one read of the live source, one parquet write;
-    // every downstream plan (literal + per-batch static side) reads the
-    // frozen files, so no later catalog mutation can split the order
-    val snapDir = java.nio.file.Files
-      .createTempDirectory("graft-fuzzy-catsnap").toString
-    // the snapshot lives as long as the stream (its plans keep reading
-    // it); it is collected at JVM exit rather than leaked across runs
-    sys.addShutdownHook(graft.storage.ParquetLogBackend
-      .deleteRecursively(java.nio.file.Paths.get(snapDir)))
-    catalog.select(col(catCol).as("s"))
+    val names = catalog.select(col(catCol).as("s"))
       .filter(col("s").isNotNull).distinct()
-      .select(assertBmp(col("s")).as("s"))
-      .write.mode("overwrite").parquet(snapDir)
-    val c = spark.read.parquet(snapDir)
-    val cg = gramRows(c, q)
-    val dfTable = cg.groupBy("g").agg(count(lit(1)).as("df"))
-    val catPrefix = prefixRows(cg, dfTable, q, k)
-    val catShort = c.filter(length(col("s")) <= shortLen(q, k))
-    val dfRows = dfTable.collect() // ≤ catalog distinct grams, checked:
-    require(dfRows.length <= MaxStreamCatalogGrams,
-      s"catalog has ${dfRows.length} distinct $q-grams — beyond the " +
-        s"$MaxStreamCatalogGrams plan-literal ceiling; use batch matchJoin")
-    val dfLit = typedLit(
-      dfRows.map(r => r.getString(0) -> r.getLong(1)).toMap)
+    val snapRoot = ensureSnapshot(names, q, k)
+    val gen = new String(
+      java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(snapRoot, "generator")), "UTF-8")
+    logInfo(s"matchStream: generator=$gen snapshot=$snapRoot q=$q k=$k")
+    val c = spark.read.parquet(s"$snapRoot/names")
     val pRows = probes
       .select(col(tsCol).cast("timestamp").as("__ts"),
-        assertBmp(col(probeCol)).as("s"))
+        col(probeCol).as("s"))
       .filter(col("s").isNotNull)
       .withWatermark("__ts", delay)
-    val probePrefix = pRows
-      .withColumn("ranked", slice(array_sort(
-        transform(qgrams(col("s"), q), g =>
-          struct(coalesce(element_at(dfLit, g), lit(0L)).as("df"),
-            g.as("g")))), 1, k * q + 1))
-      .select(col("__ts"), col("s"), explode(col("ranked")).as("t"))
-      .select(col("__ts"), col("s"), col("t.g").as("g"))
-    val cand = probePrefix.as("a")
-      .join(catPrefix.as("b"),
-        col("a.g") === col("b.g") &&
-          abs(length(col("a.s")) - length(col("b.s"))) <= k)
-      .select(col("__ts"), col("a.s").as("probe"), col("b.s").as("candidate"))
-    val shortPairs = pRows
-      .filter(length(col("s")) <= shortLen(q, k)).as("a")
-      .join(catShort.as("b"),
-        abs(length(col("a.s")) - length(col("b.s"))) <= k)
-      .select(col("__ts"), col("a.s").as("probe"), col("b.s").as("candidate"))
-    verify(cand.unionByName(shortPairs), "probe", "candidate", k)
+    val cand =
+      if (gen == "deletions") {
+        val catSigs = spark.read.parquet(s"$snapRoot/sigs")
+        pRows
+          .select(col("__ts"), col("s"),
+            explode(graft.exprs.functions
+              .deletion_neighborhood(col("s"), k)).as("sig"))
+          .as("a")
+          .join(catSigs.as("b"),
+            col("a.sig") === col("b.sig") &&
+              abs(length(col("a.s")) - length(col("b.s"))) <= k)
+          .select(col("__ts"), col("a.s").as("probe"),
+            col("b.s").as("candidate"))
+      } else {
+        val cg = gramRows(c, q)
+        val dfTable = cg.groupBy("g").agg(count(lit(1)).as("df"))
+        val catPrefix = prefixRows(cg, dfTable, q, k)
+        val catShort = c.filter(length(col("s")) <= shortLen(q, k))
+        val dfRows = dfTable.collect()
+        // defense in depth only: streamGenerator already reroutes
+        // past-ceiling catalogs to the deletion path (or refuses at
+        // k > MaxDeletionK), so a gram-path snapshot is always under it
+        require(dfRows.length <= MaxStreamCatalogGrams,
+          s"catalog has ${dfRows.length} distinct $q-grams — beyond the " +
+            s"$MaxStreamCatalogGrams plan-literal ceiling")
+        val dfLit = typedLit(
+          dfRows.map(r => r.getString(0) -> r.getLong(1)).toMap)
+        val probePrefix = pRows
+          .withColumn("ranked", slice(array_sort(
+            transform(qgrams(col("s"), q), g =>
+              struct(coalesce(element_at(dfLit, g), lit(0L)).as("df"),
+                g.as("g")))), 1, k * q + 1))
+          .select(col("__ts"), col("s"), explode(col("ranked")).as("t"))
+          .select(col("__ts"), col("s"), col("t.g").as("g"))
+        val gramCand = probePrefix.as("a")
+          .join(catPrefix.as("b"),
+            col("a.g") === col("b.g") &&
+              abs(length(col("a.s")) - length(col("b.s"))) <= k)
+          .select(col("__ts"), col("a.s").as("probe"),
+            col("b.s").as("candidate"))
+        val shortPairs = pRows
+          .filter(length(col("s")) <= shortLen(q, k)).as("a")
+          .join(catShort.as("b"),
+            abs(length(col("a.s")) - length(col("b.s"))) <= k)
+          .select(col("__ts"), col("a.s").as("probe"),
+            col("b.s").as("candidate"))
+        gramCand.unionByName(shortPairs)
+      }
+    verify(cand, "probe", "candidate", k)
       .groupBy(window(col("__ts"), win), col("probe"), col("candidate"))
       .agg(min(col("dist")).as("dist"))
       .select(col("window.start").as("win_start"),

@@ -179,6 +179,110 @@ class FuzzyJoinSpec extends AnyFunSuite {
       s"the signature self-join must be sort-merge:\n$p")
   }
 
+  // ---- round 13: CODE-POINT exactness (supplementary-plane text) ----
+  // The kernel, the deletion signatures, and Spark's length/substr all
+  // count code points now, so non-BMP text is first-class — these tests
+  // gate it against a code-point reference DP (the DuckDB oracle can't:
+  // its levenshtein is byte-grained).
+
+  private def levCp(a: String, b: String): Int = {
+    val x = a.codePoints().toArray
+    val y = b.codePoints().toArray
+    val d = Array.tabulate(x.length + 1, y.length + 1) { (i, j) =>
+      if (i == 0) j else if (j == 0) i else 0
+    }
+    for (i <- 1 to x.length; j <- 1 to y.length)
+      d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+        d(i - 1)(j - 1) + (if (x(i - 1) == y(j - 1)) 0 else 1))
+    d(x.length)(y.length)
+  }
+
+  // alphabet deliberately avoids U+E000..U+FFFF: surrogate pairs invert
+  // UTF-16 order only against that range, so Java String `<` (the brute
+  // force's pair order) agrees with Spark's UTF-8 binary `<` here
+  private val cpAlphabet =
+    Array("a", "b", "今", "𝄞" /* 𝄞 */, "😀" /* 😀 */)
+
+  test("kernel counts CODE POINTS: supplementary chars are single edits") {
+    def u(s: String) = org.apache.spark.unsafe.types.UTF8String.fromString(s)
+    import graft.exprs.EditDistanceOps.within
+    assert(within(u("𝄞"), u("a"), 1) === 1, "𝄞→a is ONE edit")
+    assert(within(u("今日"), u("今"), 1) === 1)
+    assert(within(u("𝄞x𝄞"),
+      u("𝄞y𝄞"), 1) === 1)
+    assert(within(u("😀"), u("𝄞"), 1) === 1,
+      "supplementary↔supplementary substitution is one edit")
+  }
+
+  test("kernel matches the code-point DP on non-BMP strings (property)") {
+    val rnd = new scala.util.Random(31)
+    def u(s: String) = org.apache.spark.unsafe.types.UTF8String.fromString(s)
+    for (_ <- 0 until 2000) {
+      val a = Seq.fill(rnd.nextInt(8))(
+        cpAlphabet(rnd.nextInt(cpAlphabet.length))).mkString
+      val b = Seq.fill(rnd.nextInt(8))(
+        cpAlphabet(rnd.nextInt(cpAlphabet.length))).mkString
+      val k = rnd.nextInt(4)
+      val full = levCp(a, b)
+      val want = if (full <= k) full else -1
+      assert(graft.exprs.EditDistanceOps.within(u(a), u(b), k) === want,
+        s"within('$a','$b',$k)")
+    }
+  }
+
+  test("deletion neighborhood deletes code points, never half a surrogate") {
+    def nb(s: String, k: Int): Seq[String] =
+      graft.exprs.EditDistanceOps.deletionNeighborhood(
+        org.apache.spark.unsafe.types.UTF8String.fromString(s), k)
+        .toArray[org.apache.spark.unsafe.types.UTF8String](
+          org.apache.spark.sql.types.StringType).map(_.toString).toSeq
+    assert(nb("𝄞a", 1).toSet ===
+      Set("𝄞a", "a", "𝄞"))
+    assert(nb("😀😀", 1).toSet ===
+      Set("😀😀", "😀"))
+    nb("𝄞今😀", 2).foreach { v =>
+      var i = 0
+      while (i < v.length) {
+        val ch = v.charAt(i)
+        if (Character.isHighSurrogate(ch))
+          assert(i + 1 < v.length && Character.isLowSurrogate(v.charAt(i + 1)),
+            s"lone high surrogate in '$v'")
+        if (Character.isLowSurrogate(ch))
+          assert(i > 0 && Character.isHighSurrogate(v.charAt(i - 1)),
+            s"lone low surrogate in '$v'")
+        i += 1
+      }
+    }
+  }
+
+  test("selfJoin is exact on a non-BMP corpus (property vs code-point DP)") {
+    val rnd = new scala.util.Random(47)
+    val names = Seq.fill(150)(
+      Seq.fill(1 + rnd.nextInt(6))(
+        cpAlphabet(rnd.nextInt(cpAlphabet.length))).mkString).distinct
+    val got = engineSelf(names, q = 2, k = 1)
+    val want = (for {
+      a <- names; b <- names if a < b
+      dist = levCp(a, b) if dist <= 1
+    } yield (a, b, dist.toLong)).toSet
+    assert(want.nonEmpty, "generator must produce close pairs")
+    assert(got === want)
+  }
+
+  test("matchJoin is exact on a non-BMP probe/catalog pair") {
+    val catalog = Seq("𝄞今a", "今今b", "😀ab", "ab")
+    val probes = Seq("𝄞今", "今今bb", "😀ab", "a😀b", "zz")
+    val got = FuzzyJoin.matchJoin(
+        probes.toDF("p"), "p", catalog.toDF("c"), "c", q = 2, k = 1)
+      .as[(String, String, Long)].collect().toSet
+    val want = (for {
+      p <- probes.distinct; c <- catalog.distinct
+      d = levCp(p, c) if d <= 1
+    } yield (p, c, d.toLong)).toSet
+    assert(want.nonEmpty)
+    assert(got === want)
+  }
+
   test("matchJoin reroutes on degenerate corpora and stays exact") {
     val catalog = (0 until 500).map(i => f"SKU#$i%08d")
     val probes = catalog.take(120).map(s => s.dropRight(1)) ++ Seq("zz")

@@ -46,6 +46,36 @@ class KllSpec extends AnyFunSuite {
     assert(a.retainedWeight === 1003L && a.total === 1003L)
   }
 
+  test("merge compacts over-full HIGHER levels even when level 0 is under capacity (state bound on merge-heavy paths)") {
+    // each donor sketch holds k items: level 0 compacts to ≤1 leftover,
+    // level 1 holds k/2 — merging 8 donors bulk-appends 4k items into
+    // level 1 while level 0 stays at ~8 ≪ k. A compactFrom that exits at
+    // the first non-full level (the pre-round-13 bug) leaves level 1 at
+    // 4k forever; the state bound demands it compact.
+    val k = 32
+    val donors = (0 until 8).map { d =>
+      val st = new KllSketch.State(k)
+      (0 until k).foreach(i => st.add((d * k + i).toDouble))
+      st
+    }
+    val merged = donors.head
+    donors.tail.foreach(merged.merge)
+    assert(merged.total === 8L * k)
+    assert(merged.retainedWeight === 8L * k, "weight conserved through merge")
+    merged.levels.zipWithIndex.foreach { case (buf, l) =>
+      assert(buf.length < k,
+        s"level $l holds ${buf.length} ≥ k=$k items after merge — " +
+          "higher levels must compact even when level 0 is under capacity")
+    }
+    assert(merged.retainedCount <= 3 * k,
+      s"retained ${merged.retainedCount} — merge-heavy state must stay O(k·log(n/k))")
+    // and the estimates stay sane: every input was in [0, 256)
+    Seq(0.25, 0.5, 0.9).foreach { phi =>
+      val est = merged.quantile(phi)
+      assert(est >= 0.0 && est < 256.0)
+    }
+  }
+
   test("rank error stays within the documented bound on a skewed corpus (direct and merged)") {
     val n = 50000
     val rnd = new scala.util.Random(17)

@@ -1646,6 +1646,72 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("FuzzyJoin.matchStream takes the DELETION path on a degenerate-alphabet catalog and matches batch matchJoin") {
+    val sparkS = spark
+    import sparkS.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import org.apache.spark.sql.functions._
+    // zero-padded numeric ids — the exact corpus family the round-12
+    // adaptive batch path exists for; round 13 gives it a streaming answer
+    val catalog = (0 until 400).map(i => f"ID#$i%08d")
+    val probes = catalog.take(80).map(_.dropRight(1)) ++ Seq("zz")
+    // the persisted snapshot must record the deletion generator
+    val snap = graft.operators.FuzzyJoin.ensureSnapshot(
+      catalog.toDF("s").distinct(), 2, 1)
+    val gen = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(snap, "generator")), "UTF-8")
+    assert(gen === "deletions",
+      "the numeric-id catalog must choose the deletion generator")
+    assert(java.nio.file.Files.isDirectory(
+      java.nio.file.Paths.get(snap, "sigs")),
+      "the catalog signature index is computed once, at construction")
+    val mem = MemoryStream[(java.sql.Timestamp, String)]
+    val q = graft.operators.FuzzyJoin.matchStream(
+        mem.toDF().toDF("ts", "dirty"), "ts", "dirty",
+        catalog.toDF("name"), "name", q = 2, k = 1)
+      .writeStream.format("memory").queryName("fuzzydel")
+      .outputMode("append").start()
+    try {
+      val t0 = new java.sql.Timestamp(1000L)
+      val (h1, h2) = probes.splitAt(probes.length / 2)
+      mem.addData(h1.map((t0, _)).toIndexedSeq); q.processAllAvailable()
+      mem.addData(h2.map((t0, _)).toIndexedSeq); q.processAllAvailable()
+      mem.addData(Seq((new java.sql.Timestamp(10000000L), "zzzzzzzz")))
+      q.processAllAvailable()
+      val got = spark.table("fuzzydel")
+        .select("probe", "candidate", "dist")
+        .as[(String, String, Long)].collect().toSet
+      val want = graft.operators.FuzzyJoin.matchJoin(
+          probes.toDF("dirty"), "dirty", catalog.toDF("name"), "name",
+          q = 2, k = 1)
+        .as[(String, String, Long)].collect().toSet
+      assert(want.nonEmpty)
+      assert(got === want,
+        "streamed deletion-path pairs must equal batch matchJoin")
+    } finally q.stop()
+  }
+
+  test("FuzzyJoin.matchStream gram-literal ceiling: past it the catalog falls back to deletions; k past the deletion budget refuses loudly") {
+    val sparkS = spark
+    import sparkS.implicits._
+    import org.apache.spark.sql.functions._
+    // 257-char alphabet, all 257² two-char strings → 66049 distinct
+    // 2-grams, just past the 65536 plan-literal ceiling
+    val chars = (0 until 257).map(i => (0x4E00 + i).toChar)
+    val names = (for (i <- 0 until 257; j <- 0 until 257)
+      yield s"${chars(i)}${chars(j)}").toDF("s").distinct()
+    val snap = graft.operators.FuzzyJoin.ensureSnapshot(names, 2, 1)
+    val gen = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(snap, "generator")), "UTF-8")
+    assert(gen === "deletions",
+      "a past-ceiling catalog must fall back to the deletion generator")
+    val ex = intercept[IllegalArgumentException] {
+      graft.operators.FuzzyJoin.ensureSnapshot(names, 2, 3)
+    }
+    assert(ex.getMessage.contains("plan-literal ceiling"),
+      s"k=3 past the ceiling must refuse with the batch pointer: $ex")
+  }
+
   test("prioritySampleStream: the closed window's sample equals batch sample_priority bit-for-bit") {
     val sparkS = spark
     import sparkS.implicits._
