@@ -507,6 +507,74 @@ object TextAnalysis {
   private val PipelineMixSampleK = 30 // pipeline_mix_sample: sample size
   private val MixTempTarget = 200.0 // mix_temperature: expected total docs
   private val KllK = 200 // text_quantiles_sketch: per-level capacity
+
+  /** Fixed-point scale for the per-source temperature weight q = √n:
+    * 2^16 (a power of two, so q·2^16 is EXACT in IEEE — a pure exponent
+    * shift of the correctly-rounded sqrt) keeps qs ≤ 2^36 even at 10^12
+    * docs/source, so the Σ over 10M+ domain-grained sources stays far
+    * inside a BIGINT. The quantization (≤ 2^-16/√n relative) only
+    * perturbs the mixing RATE, never exactness: both engines compute the
+    * identical integers. */
+  private val MixQScale = 65536.0
+
+  /** Per-source temperature acceptance thresholds — the shared heart of
+    * mix_temperature / pipeline_mix_sample, in the HIGH-CARDINALITY-SAFE
+    * form (round 13): Σ√n is an order-free BIGINT sum of fixed-point
+    * [[MixQScale]]-scaled q's, NOT a one-row collect_list fold — a
+    * domain-grained `source` column (10M+ values at 100 TB, the
+    * RefinedWeb/CCNet posture) pays one map-side-combined count, one
+    * scalar integer aggregate, and a broadcast back; nothing in the plan
+    * is source-cardinality-sized on a single partition. Every remaining
+    * float op is a single correctly-rounded primitive (sqrt, one
+    * multiply by a power of two, three divisions, floor), so both
+    * engines produce bit-identical rates/thresholds with no fold-order
+    * dependence. */
+  private[graft] def mixThresholdsOf(d: DataFrame): DataFrame = {
+    val srcStats = d.groupBy("source")
+      .agg(count(lit(1)).as("n_docs"))
+      .withColumn("q", sqrt(col("n_docs").cast("double")))
+      .withColumn("qs", floor(col("q") * lit(MixQScale)).cast("long"))
+    val sumQ = srcStats.agg(sum(col("qs")).as("sum_qs"))
+    srcStats.crossJoin(broadcast(sumQ))
+      .withColumn("rate", least(lit(1.0),
+        ((lit(MixTempTarget) * col("qs").cast("double"))
+          / col("sum_qs").cast("double"))
+          / col("n_docs").cast("double")))
+      .withColumn("thr",
+        floor(col("rate") * lit(4294967296.0)).cast("long"))
+      .select("source", "n_docs", "q", "rate", "thr")
+  }
+
+  /** corpus_gini in the DISTRIBUTED-RANK form: global ranks i over
+    * (n, source) computed by range-partitioning on the sort key (range
+    * partition order IS key order), ranking WITHIN partitions in
+    * parallel, and adding per-partition row-count offsets. The only
+    * unpartitioned window left runs over the partition-count-sized
+    * offsets relation (≤ spark.sql.shuffle.partitions rows — bounded by
+    * cluster config, never by source cardinality). Values are identical
+    * to the single-window form, so the bit-exact oracle is unchanged. */
+  private[graft] def corpusGiniOf(d: DataFrame): DataFrame = {
+    val counts = d.groupBy("source").agg(count(lit(1)).as("n"))
+    val parts = counts.repartitionByRange(col("n"), col("source"))
+      .withColumn("pid", spark_partition_id())
+    val wLocal = Window.partitionBy("pid").orderBy(col("n"), col("source"))
+    val local = parts
+      .withColumn("rn", row_number().over(wLocal).cast("long"))
+    val wOff = Window.orderBy("pid")
+    val offsets = local.groupBy("pid").agg(count(lit(1)).as("cnt"))
+      .withColumn("offset", coalesce(sum(col("cnt")).over(
+        wOff.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("k", sum(col("cnt")).over(
+        wOff.rowsBetween(Window.unboundedPreceding,
+          Window.unboundedFollowing)))
+    local.join(broadcast(offsets), "pid")
+      .withColumn("i", col("rn") + col("offset"))
+      .agg(max(col("k")).as("n_sources"), sum(col("n")).as("n_docs"),
+        sum(col("n") * (col("i") * 2L - col("k") - 1L)).as("num"))
+      .select(col("n_sources"), col("n_docs"),
+        (col("num").cast("double") /
+          (col("n_sources") * col("n_docs")).cast("double")).as("gini"))
+  }
   private[graft] val KllQuantiles =
     Seq(0.01, 0.05, 0.25, 0.5, 0.75, 0.95, 0.99)
   private val KllLabels =
@@ -1740,25 +1808,14 @@ object TextAnalysis {
     // (k·Σn) over counts sorted ascending (i = 1..k rank, source as
     // tiebreak): every term is exact INTEGER arithmetic and the single
     // final division of two exact integers is IEEE-identical in both
-    // engines — bit-exact oracle with no tricks. Scale shape: one
-    // map-side-combined count per source, then a window + aggregate
-    // over the (bounded-cardinality) source rows — corpus pays one
-    // scan, the rest is source-sized.
+    // engines — bit-exact oracle with no tricks. Scale shape (round 13,
+    // domain-grained sources): one map-side-combined count per source,
+    // then a RANGE-PARTITIONED distributed rank (see [[corpusGiniOf]]) —
+    // no unpartitioned window anywhere, so 10M+ sources (URL domains at
+    // 100 TB) never degrade to a single-partition sort.
     "corpus_gini" -> { (s, dir) =>
-      val d = Tables(s, dir, "documents").filter(col("text").isNotNull)
-      val counts = d.groupBy("source").agg(count(lit(1)).as("n"))
-      val w = Window.orderBy(col("n"), col("source"))
-      val ranked = counts
-        .withColumn("i", row_number().over(w).cast("long"))
-        .withColumn("k", count(lit(1)).over(
-          w.rowsBetween(Window.unboundedPreceding,
-            Window.unboundedFollowing)).cast("long"))
-      ranked
-        .agg(max(col("k")).as("n_sources"), sum(col("n")).as("n_docs"),
-          sum(col("n") * (col("i") * 2L - col("k") - 1L)).as("num"))
-        .select(col("n_sources"), col("n_docs"),
-          (col("num").cast("double") /
-            (col("n_sources") * col("n_docs")).cast("double")).as("gini"))
+      corpusGiniOf(
+        Tables(s, dir, "documents").filter(col("text").isNotNull))
     },
 
     // WEIGHTED sampling without replacement via PRIORITY SAMPLING
@@ -1813,19 +1870,7 @@ object TextAnalysis {
     // is oracle-gated bit-exactly like its parts).
     "pipeline_mix_sample" -> { (s, dir) =>
       val d = Tables(s, dir, "documents").filter(col("text").isNotNull)
-      val srcStats = d.groupBy("source")
-        .agg(count(lit(1)).as("n_docs"))
-        .withColumn("q", sqrt(col("n_docs").cast("double")))
-      val sumQ = srcStats
-        .agg(aggregate(
-          array_sort(collect_list(struct(col("source"), col("q")))),
-          lit(0.0), (acc, x) => acc + x.getField("q")).as("sum_q"))
-      val rated = srcStats.crossJoin(broadcast(sumQ))
-        .withColumn("thr", floor(least(lit(1.0),
-          ((lit(MixTempTarget) * col("q")) / col("sum_q"))
-            / col("n_docs").cast("double")) * lit(4294967296.0))
-          .cast("long"))
-        .select("source", "thr")
+      val rated = mixThresholdsOf(d).select("source", "thr")
       val mt = conv(substring(
         md5(concat(lit("mt"), col("doc_id").cast("string"))), 1, 8),
         16, 10).cast("long")
@@ -1893,35 +1938,21 @@ object TextAnalysis {
     // and a deterministic per-doc Bernoulli — doc kept iff its md5
     // u32 < ⌊rate_s·2³²⌋. α = 0.5 makes EVERY step exact IEEE in both
     // engines (sqrt is correctly rounded, not libm): no quantization
-    // trick in the oracle. The one float SUM (Σq over sources) folds
-    // LEFT over the source-sorted list on both sides — the cosineSql
-    // discipline — because a parallel agg's fold order is not
-    // deterministic. Output is the per-source audit (counts + the
-    // exact threshold), which pins every per-doc comparison without
-    // materializing the kept set. Scale shape: one map-side-combined
-    // count per source, one bounded collect_list over the (few,
-    // bounded-cardinality) sources, one broadcast join back, one
-    // audit aggregate.
+    // trick in the oracle's per-source arithmetic. Σ√n is an ORDER-FREE
+    // BIGINT sum of fixed-point q (round 13 — see [[mixThresholdsOf]]),
+    // so domain-grained source columns (10M+ values at 100 TB) never
+    // degrade to a one-row collect_list. Output is the per-source audit
+    // (counts + the exact threshold), which pins every per-doc
+    // comparison without materializing the kept set. Scale shape: one
+    // map-side-combined count per source, one scalar integer sum, one
+    // broadcast join back, one audit aggregate.
     "mix_temperature" -> { (s, dir) =>
       val d = Tables(s, dir, "documents").filter(col("text").isNotNull)
-      val srcStats = d.groupBy("source")
-        .agg(count(lit(1)).as("n_docs"))
-        .withColumn("q", sqrt(col("n_docs").cast("double")))
-      val sumQ = srcStats
-        .agg(aggregate(
-          array_sort(collect_list(struct(col("source"), col("q")))),
-          lit(0.0), (acc, x) => acc + x.getField("q")).as("sum_q"))
-      val rated = srcStats.crossJoin(broadcast(sumQ))
-        .withColumn("rate", least(lit(1.0),
-          ((lit(MixTempTarget) * col("q")) / col("sum_q"))
-            / col("n_docs").cast("double")))
-        .withColumn("thr",
-          floor(col("rate") * lit(4294967296.0)).cast("long"))
       val u32 = conv(substring(
         md5(concat(lit("mt"), col("doc_id").cast("string"))), 1, 8),
         16, 10).cast("long")
       d.select(col("doc_id"), col("source"), u32.as("u32"))
-        .join(broadcast(rated), "source")
+        .join(broadcast(mixThresholdsOf(d)), "source")
         .groupBy("source")
         .agg(min(col("n_docs")).as("n_docs"), min(col("q")).as("q"),
           min(col("rate")).as("rate"), min(col("thr")).as("thr"),
@@ -3140,14 +3171,14 @@ object TextAnalysis {
          |      (a, b) -> a*16 + b) + 1 AS DOUBLE) / 4294967296.0 AS u
          |  FROM documents WHERE text IS NOT NULL),
          |s AS (SELECT source, count(*) AS n_docs,
-         |    sqrt(CAST(count(*) AS DOUBLE)) AS q
+         |    CAST(floor(sqrt(CAST(count(*) AS DOUBLE)) * 65536.0)
+         |      AS BIGINT) AS qs
          |  FROM d GROUP BY 1),
-         |sq AS (SELECT list_reduce(list_transform(
-         |      list_sort(list(struct_pack(source := source, q := q))),
-         |      x -> x.q),
-         |    (a, b) -> a + b) AS sum_q FROM s),
+         |sq AS (SELECT sum(qs) AS sum_qs FROM s),
          |r AS (SELECT source,
-         |    CAST(floor(least(1.0, (($MixTempTarget * q) / sum_q)
+         |    CAST(floor(least(1.0,
+         |      (($MixTempTarget * CAST(qs AS DOUBLE))
+         |        / CAST(sum_qs AS DOUBLE))
          |      / CAST(n_docs AS DOUBLE)) * 4294967296.0) AS BIGINT) AS thr
          |  FROM s, sq),
          |kept AS (SELECT d.doc_id, d.source, d.w, d.u
@@ -3189,8 +3220,8 @@ object TextAnalysis {
          |WHERE rank <= $PrioStratumK
          |ORDER BY lang, doc_id""".stripMargin,
 
-    // α = 0.5 keeps everything exact (sqrt is correctly rounded); the
-    // one float sum folds LEFT over source-sorted structs on both sides
+    // α = 0.5 keeps everything exact (sqrt is correctly rounded); Σ√n
+    // is an order-free BIGINT sum of 2^16-fixed-point q's on both sides
     "mix_temperature" ->
       s"""WITH d AS (SELECT doc_id, source,
          |    list_reduce(list_transform(range(1, 9),
@@ -3200,16 +3231,17 @@ object TextAnalysis {
          |      (a, b) -> a*16 + b) AS u32
          |  FROM documents WHERE text IS NOT NULL),
          |s AS (SELECT source, count(*) AS n_docs,
-         |    sqrt(CAST(count(*) AS DOUBLE)) AS q
+         |    sqrt(CAST(count(*) AS DOUBLE)) AS q,
+         |    CAST(floor(sqrt(CAST(count(*) AS DOUBLE)) * 65536.0)
+         |      AS BIGINT) AS qs
          |  FROM d GROUP BY 1),
-         |sq AS (SELECT list_reduce(list_transform(
-         |      list_sort(list(struct_pack(source := source, q := q))),
-         |      x -> x.q),
-         |    (a, b) -> a + b) AS sum_q FROM s),
+         |sq AS (SELECT sum(qs) AS sum_qs FROM s),
          |r AS (SELECT source, n_docs, q,
-         |    least(1.0, (($MixTempTarget * q) / sum_q)
+         |    least(1.0, (($MixTempTarget * CAST(qs AS DOUBLE))
+         |        / CAST(sum_qs AS DOUBLE))
          |      / CAST(n_docs AS DOUBLE)) AS rate,
-         |    CAST(floor(least(1.0, (($MixTempTarget * q) / sum_q)
+         |    CAST(floor(least(1.0, (($MixTempTarget * CAST(qs AS DOUBLE))
+         |        / CAST(sum_qs AS DOUBLE))
          |      / CAST(n_docs AS DOUBLE)) * 4294967296.0) AS BIGINT) AS thr
          |  FROM s, sq)
          |SELECT source, n_docs, q, rate, thr,

@@ -1,0 +1,113 @@
+package graft
+
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Window => LWindow}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Round-13 scale pins for the source-audit family: `source` at 100 TB
+  * is domain-grained (10M+ distinct values — the RefinedWeb/CCNet
+  * posture), so the plans must carry NO source-cardinality-sized
+  * single-partition shape: no one-row collect_list fold for Σ√n, no
+  * unpartitioned window over the source rows. Exercised over 100k
+  * synthetic sources (the sf tables have 20) with exactness checked
+  * against closed-form arithmetic.
+  */
+class Round13PlanSpec extends AnyFunSuite {
+  private lazy val spark = SparkFixture.spark
+
+  // 100k distinct sources: every source has 3 docs; the first 1000
+  // carry 50 extra each (a skewed head, so gini is far from 0)
+  private lazy val wide = {
+    val base = spark.range(300000L).select(
+      col("id").as("doc_id"),
+      concat(lit("s"), format_string("%06d", col("id") % 100000L))
+        .as("source"),
+      lit("x").as("text"),
+      (col("id") % 997L + 1L).as("n_chars"))
+    val heavy = spark.range(50000L).select(
+      (col("id") + 1000000L).as("doc_id"),
+      concat(lit("s"), format_string("%06d", col("id") % 1000L))
+        .as("source"),
+      lit("y").as("text"),
+      (col("id") % 997L + 1L).as("n_chars"))
+    base.unionByName(heavy)
+  }
+
+  /** Every unpartitioned logical Window in `df`'s plan must sit above a
+    * pid-grouped aggregate (≤ shuffle-partition-count rows — bounded by
+    * cluster config, never by source cardinality). */
+  private def assertWindowsBounded(
+      df: org.apache.spark.sql.DataFrame, what: String): Unit = {
+    val wins = df.queryExecution.optimizedPlan.collect {
+      case w: LWindow => w
+    }
+    wins.filter(_.partitionSpec.isEmpty).foreach { w =>
+      val overPid = w.child.collectFirst {
+        case a: Aggregate
+            if a.groupingExpressions.exists(_.toString.contains("pid")) =>
+          a
+      }
+      assert(overPid.isDefined,
+        s"$what: unpartitioned Window over a non-pid-bounded relation:\n$w")
+    }
+  }
+
+  test("corpus_gini: distributed rank is EXACT at 100k sources and plans no source-sized single-partition shape") {
+    val out = graft.queries.TextAnalysis.corpusGiniOf(wide)
+    assertWindowsBounded(out, "corpus_gini")
+    val row = out.head()
+    assert(row.getAs[Long]("n_sources") === 100000L)
+    assert(row.getAs[Long]("n_docs") === 350000L)
+    // closed form: ranks 1..99000 are the n=3 sources, 99001..100000
+    // the n=53 head (ascending (n, source) — all n=3 sort below n=53)
+    val k = 100000L
+    var num = 0L
+    var i = 1L
+    while (i <= k) {
+      val n = if (i <= 99000L) 3L else 53L
+      num += n * (2L * i - k - 1L)
+      i += 1L
+    }
+    val expected = num.toDouble / (k * 350000L).toDouble
+    assert(row.getAs[Double]("gini") === expected,
+      "distributed rank must reproduce the single-window value bit-exactly")
+    assert(expected > 0.1, "the skewed head must register")
+  }
+
+  test("mix thresholds: Σ√n is an order-free integer sum — no collect_list, no unpartitioned window, broadcast-only joins at 100k sources") {
+    val thr = graft.queries.TextAnalysis.mixThresholdsOf(wide)
+    val lp = thr.queryExecution.optimizedPlan.toString
+    assert(!lp.contains("collect_list"),
+      s"Σ√n must not fold a one-row collect_list:\n$lp")
+    assertWindowsBounded(thr, "mix_thresholds")
+    val pp = thr.queryExecution.executedPlan.toString
+    assert(!pp.contains("SortMergeJoin") && !pp.contains("CartesianProduct"),
+      s"the scalar Σ side must broadcast:\n$pp")
+    // functional sanity at 100k sources: every rate in (0, 1], the
+    // skewed head is down-weighted relative to its doc share
+    val rows = thr.collect()
+    assert(rows.length === 100000)
+    assert(rows.forall { r =>
+      val rate = r.getAs[Double]("rate")
+      rate > 0.0 && rate <= 1.0
+    })
+    val byN = rows.groupBy(_.getAs[Long]("n_docs")).map { case (n, rs) =>
+      n -> rs.head.getAs[Double]("rate")
+    }
+    assert(byN(53L) < byN(3L) * (53.0 / 3.0),
+      "temperature must down-weight the heavy head vs proportional")
+  }
+
+  test("mix_temperature keeps its exact-audit semantics through the integer-sum form (20-source gate corpus)") {
+    // the sf oracle gates bit-exactness; this pins the algebra wiring:
+    // per-source n_kept counts docs whose u32 clears the threshold
+    val sfDir = "/root/testdata/sf0.001"
+    val out = SparkEntry.queries("mix_temperature")(spark, sfDir).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(r.getAs[Long]("n_kept") <= r.getAs[Long]("n_docs"))
+      assert(r.getAs[Long]("thr") ===
+        math.floor(r.getAs[Double]("rate") * 4294967296.0).toLong)
+    }
+  }
+}
