@@ -2581,6 +2581,63 @@ object TextAnalysis {
         size(toks(col("text"))).cast("long").as("n_tokens")))
     },
 
+    // Boundary-respecting BEST-FIT packing (round 13): first-fit-
+    // decreasing within hash buckets — the packing shape used when
+    // cross-document attention is MASKED: a document never straddles a
+    // sequence boundary (pack_sequences' concat-and-chunk splits them),
+    // and padding waste is what FFD exists to minimize. Each doc carries
+    // one EOS (n_eff = min(n_tokens + 1, budget); longer docs truncate
+    // to one full sequence of their own). The assignment is fully
+    // deterministic — (n_eff DESC, doc_id) order, first bin that fits in
+    // bin-creation order — so the DuckDB oracle REPLAYS it exactly with
+    // a recursive CTE over the same order. Output: one row per doc with
+    // its (bucket, seq) plus the sequence's fill and padding fraction
+    // ((budget − used)/budget — budget is a power of two, the division
+    // is exact IEEE on both engines).
+    //
+    // Scale shape: buckets are the shuffle key and pack independently —
+    // at 100 TB, size PackBuckets to the cluster (buckets ARE the
+    // parallelism) and the per-group state is one bin-remainder list
+    // (≤ docs/bucket longs, only as long as FFD keeps bins open). FFD
+    // itself is the genuinely-sequential-per-group kernel: no window or
+    // join expresses "first bin that fits", so this is the documented
+    // mapGroups-as-last-resort case — flatMapSortedGroups streams each
+    // bucket in sorted order with nothing else materialized.
+    "pack_best_fit" -> { (s, dir) =>
+      import s.implicits._
+      val d = Tables(s, dir, "documents").filter(col("text").isNotNull)
+        .select(col("doc_id").cast("long").as("doc_id"),
+          (col("doc_id") % PackBuckets).cast("long").as("bucket"),
+          size(toks(col("text"))).cast("long").as("n_tokens"))
+        .withColumn("n_eff",
+          least(col("n_tokens") + 1L, lit(PackBudget.toLong)))
+        .as[(Long, Long, Long, Long)]
+      val assigned = d.groupByKey(_._2)
+        .flatMapSortedGroups(col("n_eff").desc, col("doc_id")) { (bucket, it) =>
+          val rem = scala.collection.mutable.ArrayBuffer.empty[Long]
+          it.map { case (docId, _, nTokens, nEff) =>
+            var i = 0
+            var fit = -1
+            while (fit < 0 && i < rem.length) {
+              if (rem(i) >= nEff) fit = i
+              i += 1
+            }
+            val seq =
+              if (fit >= 0) { rem(fit) -= nEff; fit + 1L }
+              else { rem += PackBudget.toLong - nEff; rem.length.toLong }
+            (docId, bucket, seq, nTokens, nEff)
+          }
+        }
+        .toDF("doc_id", "bucket", "seq", "n_tokens", "n_eff")
+      assigned
+        .withColumn("seq_used",
+          sum(col("n_eff")).over(Window.partitionBy("bucket", "seq")))
+        .withColumn("pad_frac",
+          (lit(PackBudget.toLong) - col("seq_used")).cast("double")
+            / lit(PackBudget.toDouble))
+        .orderBy("doc_id")
+    },
+
     // Context-window chunking: split each document into overlapping
     // token windows (ChunkTokens wide, ChunkStride apart — the long-doc →
     // training-sequence / RAG-passage splitter that complements
@@ -3514,6 +3571,53 @@ object TextAnalysis {
          |    CAST(len(string_split_regex(text, '\\s+')) AS BIGINT) AS n_tokens
          |  FROM documents WHERE text IS NOT NULL),
          |${packTailSql("d")}""".stripMargin,
+
+    // replays the deterministic FFD exactly: same (n_eff DESC, doc_id)
+    // order, first bin that fits in creation order, via a recursive CTE
+    // stepping one doc per bucket per round with the bin-remainder list
+    // carried as state
+    "pack_best_fit" ->
+      s"""WITH RECURSIVE d AS (
+         |  SELECT doc_id, doc_id % $PackBuckets AS bucket,
+         |    CAST(len(string_split_regex(text, '\\s+')) AS BIGINT)
+         |      AS n_tokens
+         |  FROM documents WHERE text IS NOT NULL),
+         |e AS (SELECT doc_id, bucket, n_tokens,
+         |    LEAST(n_tokens + 1, $PackBudget) AS n_eff,
+         |    CAST(row_number() OVER (PARTITION BY bucket
+         |      ORDER BY LEAST(n_tokens + 1, $PackBudget) DESC, doc_id)
+         |      AS BIGINT) AS step
+         |  FROM d),
+         |ffd AS (
+         |  SELECT bucket, step, doc_id, n_tokens, n_eff,
+         |    CAST(1 AS BIGINT) AS seq,
+         |    [$PackBudget - n_eff] AS rem
+         |  FROM e WHERE step = 1
+         |  UNION ALL
+         |  SELECT e.bucket, e.step, e.doc_id, e.n_tokens, e.n_eff,
+         |    CASE WHEN coalesce(list_position(
+         |          list_transform(f.rem, r -> r >= e.n_eff), true), 0) > 0
+         |      THEN CAST(coalesce(list_position(
+         |          list_transform(f.rem, r -> r >= e.n_eff), true), 0)
+         |        AS BIGINT)
+         |      ELSE CAST(len(f.rem) + 1 AS BIGINT) END AS seq,
+         |    CASE WHEN coalesce(list_position(
+         |          list_transform(f.rem, r -> r >= e.n_eff), true), 0) > 0
+         |      THEN list_transform(range(1, len(f.rem) + 1),
+         |        i -> CASE WHEN i = coalesce(list_position(
+         |              list_transform(f.rem, r -> r >= e.n_eff), true), 0)
+         |          THEN f.rem[i] - e.n_eff ELSE f.rem[i] END)
+         |      ELSE list_append(f.rem, $PackBudget - e.n_eff) END AS rem
+         |  FROM ffd f JOIN e ON e.bucket = f.bucket AND e.step = f.step + 1
+         |),
+         |u AS (SELECT bucket, seq, sum(n_eff) AS used
+         |  FROM ffd GROUP BY 1, 2)
+         |SELECT f.doc_id, f.bucket, f.seq, f.n_tokens, f.n_eff,
+         |  CAST(u.used AS BIGINT) AS seq_used,
+         |  CAST($PackBudget - u.used AS DOUBLE) / ${PackBudget}.0
+         |    AS pad_frac
+         |FROM ffd f JOIN u USING (bucket, seq)
+         |ORDER BY f.doc_id""".stripMargin,
 
     // chunk grid mirrors the Spark constants: W tokens per chunk, starts S
     // apart, tail chunk shorter; single-chunk docs for n <= W

@@ -98,6 +98,45 @@ class Round13PlanSpec extends AnyFunSuite {
       "temperature must down-weight the heavy head vs proportional")
   }
 
+  test("pack_best_fit: no document straddles a sequence, fills never exceed the budget, and padding beats the per-doc chunk baseline") {
+    val out = SparkEntry.queries("pack_best_fit")(spark, "/root/testdata/sf0.001")
+      .collect()
+    assert(out.nonEmpty)
+    val budget = 512L
+    // every document exactly once — a doc can never straddle sequences
+    val docIds = out.map(_.getAs[Long]("doc_id"))
+    assert(docIds.distinct.length === docIds.length)
+    // n_eff = min(n_tokens + 1, budget) (one EOS per doc), fits its bin
+    out.foreach { r =>
+      assert(r.getAs[Long]("n_eff") ===
+        math.min(r.getAs[Long]("n_tokens") + 1L, budget))
+      assert(r.getAs[Long]("seq_used") <= budget,
+        "a sequence must never be over-filled")
+      assert(r.getAs[Double]("pad_frac") ===
+        (budget - r.getAs[Long]("seq_used")).toDouble / budget.toDouble)
+    }
+    // bin fill is consistent: Σ n_eff within a (bucket, seq) == seq_used
+    out.groupBy(r => (r.getAs[Long]("bucket"), r.getAs[Long]("seq")))
+      .foreach { case (_, rs) =>
+        assert(rs.map(_.getAs[Long]("n_eff")).sum ===
+          rs.head.getAs[Long]("seq_used"))
+      }
+    // padding ≤ the boundary-respecting chunk baseline (each doc alone
+    // in ⌈n_eff/budget⌉ padded rows), and strictly better on the real
+    // corpus — packing must actually pack
+    val seqs = out.map(r =>
+      (r.getAs[Long]("bucket"), r.getAs[Long]("seq"),
+        r.getAs[Long]("seq_used"))).distinct
+    val ffdPad = seqs.map(s => budget - s._3).sum
+    val basePad = out.map { r =>
+      val ne = r.getAs[Long]("n_eff")
+      ((ne + budget - 1L) / budget) * budget - ne
+    }.sum
+    assert(ffdPad <= basePad)
+    assert(ffdPad < basePad,
+      s"FFD pad $ffdPad must beat the per-doc baseline $basePad")
+  }
+
   test("mix_temperature keeps its exact-audit semantics through the integer-sum form (20-source gate corpus)") {
     // the sf oracle gates bit-exactness; this pins the algebra wiring:
     // per-source n_kept counts docs whose u32 clears the threshold
