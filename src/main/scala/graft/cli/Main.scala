@@ -205,9 +205,24 @@ object Main {
           graft.exprs.functions.bpe_encode_pretok_ids(col("t"), merges)
         case "gpt2" =>
           graft.exprs.functions.bpe_encode_gpt2_ids(col("t"), merges)
+        // a model created by BpeModel.importMerges carries its released
+        // vocabulary — emit the RELEASED ids (gpt2 pre-tokenizer tier)
+        case "imported" =>
+          val v = graft.operators.BpeModel.versions(modelDir).last
+          graft.operators.BpeModel.loadVocab(modelDir, v) match {
+            case Some(vocab) =>
+              graft.exprs.functions.bpe_encode_imported_ids(
+                col("t"), merges, vocab)
+            case None =>
+              System.err.println(
+                s"model at $modelDir carries no imported vocabulary " +
+                  "(not created by importMerges?)")
+              sys.exit(2)
+              null
+          }
         case other =>
           System.err.println(
-            s"unknown alphabet '$other' (az|bytes|pretok|gpt2)")
+            s"unknown alphabet '$other' (az|bytes|pretok|gpt2|imported)")
           sys.exit(2)
           null
       }
@@ -324,7 +339,7 @@ object Main {
         "usage: inmem|create <dir>|run <dir>|check <dir> [--quiet]|" +
           "version <url|dir>|diff <dir> <vLo> <vHi>|" +
           "search <indexdir> tfidf|bm25|phrase <term>...|" +
-          "tokenize <modeldir> az|bytes|pretok|gpt2 <text>...|" +
+          "tokenize <modeldir> az|bytes|pretok|gpt2|imported <text>...|" +
           "scan <kw1,kw2,...> <text>...|" +
           "delete <indexdir> <id>...|gc <indexdir>|drift <indexdir>|" +
           "import <nativefile> <dir>")

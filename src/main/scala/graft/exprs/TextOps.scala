@@ -461,7 +461,13 @@ final class BpeMergeTable(
     val mergedIds: java.util.HashMap[String, Integer],
     val byteLevel: Boolean,
     val preTok: Boolean = false,
-    val gpt2: Boolean = false) extends Serializable {
+    val gpt2: Boolean = false,
+    /** true = ids come from an imported PUBLISHED vocabulary
+      * ([[BpeMergeTable.gpt2Imported]]): `mergedIds` then covers EVERY
+      * symbol including the 256 single-byte bases (whose released ids
+      * are NOT the byte values), and the encode/decode kernels route all
+      * id traffic through it instead of the byte-value shortcut. */
+    val explicitVocab: Boolean = false) extends Serializable {
 
   /** id → merged symbol's raw bytes, for [[BpeDecode]] (byte alphabet
     * only: symbols are hex-pair strings). Inverts the FIRST-round-wins id
@@ -534,6 +540,23 @@ object BpeMergeTable {
     * proven equivalent in Gpt2LookaheadSpec. */
   def gpt2(merges: Seq[(Long, String, String, String, Long)]): BpeMergeTable =
     build(merges, 255, byteLevel = true, gpt2 = true)
+
+  /** BYTE alphabet + GPT-2-complete pre-tokenizer with an EXPLICIT
+    * published vocabulary (round 13, [[graft.operators.BpeModel]]
+    * `importMerges`): the id of EVERY symbol — the 256 single-byte
+    * bases included — comes from the released vocab.json (keys already
+    * translated to the engine's hex symbols), so the engine emits the
+    * RELEASED tokenizer's exact ids through the same fused kernel. */
+  def gpt2Imported(
+      merges: Seq[(Long, String, String, String, Long)],
+      vocab: Map[String, Int]): BpeMergeTable = {
+    val ids = new java.util.HashMap[String, Integer]()
+    vocab.foreach { case (sym, id) => ids.put(sym, Integer.valueOf(id)) }
+    new BpeMergeTable(
+      merges.map(_._2).toArray, merges.map(_._3).toArray,
+      merges.map(_._4).toArray, ids, byteLevel = true, preTok = false,
+      gpt2 = true, explicitVocab = true)
+  }
 }
 
 object BpeEncode {
@@ -647,7 +670,15 @@ object BpeEncode {
       var k = 0
       while (k < syms.length) {
         val sy = syms(k)
-        out += (if (sy.length == 2)
+        out += (if (mt.explicitVocab) {
+            // imported vocabulary: ALL ids (bases included) come from
+            // the released vocab — the byte-value shortcut would emit
+            // the wrong id space
+            val v = mt.mergedIds.get(sy)
+            if (v == null) throw new IllegalArgumentException(
+              s"symbol '$sy' is missing from the imported vocabulary")
+            v.intValue
+          } else if (sy.length == 2)
             (Character.digit(sy.charAt(0), 16) << 4) |
               Character.digit(sy.charAt(1), 16)
           else mt.mergedIds.get(sy).intValue)
@@ -672,7 +703,10 @@ object BpeDecode {
     var i = 0
     while (i < ids.numElements()) {
       val id = ids.getInt(i)
-      if (id >= 0 && id < 256) out.write(id)
+      // the byte-value shortcut only holds for the ENGINE id scheme; an
+      // imported vocabulary assigns its own ids to base bytes too, so
+      // everything routes through the inverted symbol map
+      if (!mt.explicitVocab && id >= 0 && id < 256) out.write(id)
       else {
         val b = mt.idSymbolBytes.get(Integer.valueOf(id))
         if (b == null) throw new IllegalArgumentException(

@@ -122,6 +122,24 @@ object functions {
       ids: Column, merges: Seq[(Long, String, String, String, Long)]): Column =
     Shim.column(BpeDecodeByteIds(Shim.expression(ids), BpeMergeTable.bytes(merges)))
 
+  /** [[bpe_encode_gpt2_ids]] emitting a PUBLISHED tokenizer's ids
+    * (round 13, `BpeModel.importMerges`): `vocab` maps the engine's hex
+    * symbols — the 256 bases included — to the released vocab.json ids,
+    * so the output id stream is the released tokenizer's exactly. */
+  def bpe_encode_imported_ids(
+      text: Column, merges: Seq[(Long, String, String, String, Long)],
+      vocab: Map[String, Int]): Column =
+    Shim.column(BpeEncodeIds(Shim.expression(text),
+      BpeMergeTable.gpt2Imported(merges, vocab)))
+
+  /** Inverse of [[bpe_encode_imported_ids]] under the same released id
+    * space. */
+  def bpe_decode_imported_ids(
+      ids: Column, merges: Seq[(Long, String, String, String, Long)],
+      vocab: Map[String, Int]): Column =
+    Shim.column(BpeDecodeByteIds(Shim.expression(ids),
+      BpeMergeTable.gpt2Imported(merges, vocab)))
+
   def repetition_stats(tokens: Column): Column =
     Shim.column(RepetitionStats(Shim.expression(tokens)))
 

@@ -72,6 +72,160 @@ object BpeModel {
     loadVersion(s, dir, vs.last)
   }
 
+  // ------------------------------------------------------------------
+  // Published-tokenizer import (round 13): the public merges.txt /
+  // vocab.json byte-level interchange format (the released-tokenizer
+  // convention popularized by GPT-2's reference implementation —
+  // public knowledge) into the SAME versioned artifact, so a released
+  // tokenizer serves through the same fused BpeEncodeIds kernel, the
+  // same gpt2 pre-tokenizer tier, and the same CLI `tokenize` path as
+  // an in-engine-trained model.
+  // ------------------------------------------------------------------
+
+  /** GPT-2's bytes_to_unicode table (the public algorithm): printable
+    * bytes (33-126, 161-172, 174-255) render as themselves; the rest
+    * take U+0100, U+0101, … in byte order — every byte gets a VISIBLE
+    * character, which is what makes merges.txt a plain-text format. */
+  private[graft] val Gpt2ByteToChar: Array[Char] = {
+    val visible = ((33 to 126) ++ (161 to 172) ++ (174 to 255)).toSet
+    val out = new Array[Char](256)
+    var n = 0
+    (0 until 256).foreach { b =>
+      if (visible.contains(b)) out(b) = b.toChar
+      else { out(b) = (256 + n).toChar; n += 1 }
+    }
+    out
+  }
+  private[graft] val Gpt2CharToByte: Map[Char, Int] =
+    Gpt2ByteToChar.zipWithIndex.map { case (c, b) => c -> b }.toMap
+
+  private val HexDigits = "0123456789ABCDEF".toCharArray
+
+  /** A public-format token (visible-unicode characters) → the engine's
+    * uppercase hex-pair symbol string. */
+  private[graft] def visibleToHex(tok: String): String = {
+    val sb = new java.lang.StringBuilder(tok.length * 2)
+    tok.foreach { c =>
+      val b = Gpt2CharToByte.getOrElse(c,
+        throw new IllegalArgumentException(
+          s"'$c' (U+${c.toInt.toHexString.toUpperCase}) is not a GPT-2 " +
+            "byte character — not a byte-level tokenizer file?"))
+      sb.append(HexDigits(b >>> 4)).append(HexDigits(b & 0xf))
+    }
+    sb.toString
+  }
+
+  /** The engine hex symbol → visible-unicode rendering (fixture writers
+    * and specs). */
+  private[graft] def hexToVisible(sym: String): String = {
+    val sb = new java.lang.StringBuilder(sym.length / 2)
+    var i = 0
+    while (i < sym.length) {
+      val b = (Character.digit(sym.charAt(i), 16) << 4) |
+        Character.digit(sym.charAt(i + 1), 16)
+      sb.append(Gpt2ByteToChar(b))
+      i += 2
+    }
+    sb.toString
+  }
+
+  /** Parse a public merges.txt (optional `#…` header lines; one
+    * space-separated pair per line, priority order) into the engine's
+    * merge-table rows. Released files carry no pair frequencies —
+    * `pair_freq` is 0, which nothing downstream reads (merge ORDER is
+    * the model). */
+  private[graft] def parseMergesTxt(text: String): Merges =
+    text.linesIterator
+      .filter(l => l.nonEmpty && !l.startsWith("#"))
+      .zipWithIndex
+      .map { case (l, i) =>
+        val sp = l.split(" ")
+        require(sp.length == 2,
+          s"merges.txt line ${i + 1}: expected 'A B', got '$l'")
+        val (a, b) = (visibleToHex(sp(0)), visibleToHex(sp(1)))
+        ((i + 1).toLong, a, b, a + b, 0L)
+      }.toSeq
+
+  /** Parse a public vocab.json ({token: id}, flat) into the engine's
+    * hex-symbol → id map. Uses the Jackson shipped with Spark. */
+  private[graft] def parseVocabJson(bytes: Array[Byte]): Map[String, Int] = {
+    val node = new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree(bytes)
+    require(node != null && node.isObject,
+      "vocab.json must be a flat {token: id} JSON object")
+    val out = scala.collection.mutable.LinkedHashMap.empty[String, Int]
+    node.fields().forEachRemaining { e =>
+      out.put(visibleToHex(e.getKey), e.getValue.intValue())
+    }
+    out.toMap
+  }
+
+  /** Import a PUBLISHED byte-level BPE tokenizer (merges.txt +
+    * vocab.json) as the next version under `dir`; returns it. The
+    * version's `_fingerprint` is the md5 of both files' bytes — the
+    * staleness contract's currency check: re-importing the same release
+    * is detectable as already-current, a changed release supersedes.
+    * The released vocabulary (bases AND merges, translated to hex
+    * symbols) commits atomically alongside the merge parquet as a
+    * `_vocab.tsv` inside the version dir (underscore file — parquet
+    * readers skip it), read back by [[loadVocab]].
+    *
+    * Validation up front, loudly: the merge list must chain (every
+    * merged symbol present in the vocab) and the vocab must cover all
+    * 256 single-byte symbols (the byte-level property that makes encode
+    * total — a vocab that can't express some byte isn't byte-level). */
+  def importMerges(
+      s: SparkSession, mergesPath: String, vocabPath: String,
+      dir: String): Long = {
+    val mergesBytes = Files.readAllBytes(Paths.get(mergesPath))
+    val vocabBytes = Files.readAllBytes(Paths.get(vocabPath))
+    val merges = parseMergesTxt(
+      new String(mergesBytes, java.nio.charset.StandardCharsets.UTF_8))
+    val vocab = parseVocabJson(vocabBytes)
+    (0 until 256).foreach { b =>
+      val hex = new String(
+        Array(HexDigits(b >>> 4), HexDigits(b & 0xf)))
+      require(vocab.contains(hex),
+        s"vocab.json misses base byte 0x$hex — not a byte-level vocabulary")
+    }
+    merges.foreach { case (round, _, _, m, _) =>
+      require(vocab.contains(m),
+        s"merges.txt round $round produces '$m' — absent from vocab.json")
+    }
+    val md = java.security.MessageDigest.getInstance("MD5")
+    md.update(mergesBytes)
+    md.update(vocabBytes)
+    val fp = md.digest().map("%02x".format(_)).mkString
+    import s.implicits._
+    val df = merges.toDF("round", "lhs", "rhs", "merged", "pair_freq")
+      .orderBy("round")
+    VersionedArtifact.save(dir, Some(fp)) { staging =>
+      df.coalesce(1).write.mode("overwrite").parquet(staging)
+      val sb = new java.lang.StringBuilder()
+      vocab.foreach { case (sym, id) =>
+        sb.append(sym).append('\t').append(id).append('\n')
+      }
+      Files.write(Paths.get(staging, "_vocab.tsv"),
+        sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    }
+  }
+
+  /** The imported vocabulary of `version` (hex symbol → released id),
+    * or None for an in-engine-trained version (no `_vocab.tsv`). */
+  def loadVocab(dir: String, version: Long): Option[Map[String, Int]] = {
+    val f = Paths.get(dir, s"v=$version", "_vocab.tsv")
+    if (!Files.isRegularFile(f)) None
+    else {
+      import scala.jdk.CollectionConverters._
+      Some(Files.readAllLines(f,
+        java.nio.charset.StandardCharsets.UTF_8).asScala
+        .filter(_.nonEmpty).map { l =>
+          val t = l.split("\t")
+          t(0) -> t(1).toInt
+        }.toMap)
+    }
+  }
+
   /** Load one pinned version (tokenizer-model time travel). */
   def loadVersion(s: SparkSession, dir: String, version: Long): Merges = {
     val path = s"$dir/v=$version"

@@ -1513,6 +1513,107 @@ object TextAnalysis {
     }
   }
 
+  // ---- published-tokenizer import (round 13) ----
+
+  /** The checked-in public-format fixture — a "released" tokenizer as a
+    * merges.txt / vocab.json pair in the GPT-2 byte-level interchange
+    * format — shipped as a jar resource so the gate is cwd-independent. */
+  private def importResource(name: String): Array[Byte] = {
+    val in = getClass.getResourceAsStream(s"/graft/tokenizer-import/$name")
+    require(in != null, s"missing tokenizer-import fixture resource: $name")
+    try in.readAllBytes() finally in.close()
+  }
+
+  /** Import-once memo: materializes the fixture to files, runs the full
+    * release → `BpeModel.importMerges` → versioned artifact → load-back
+    * lifecycle at a digest-keyed /tmp root (an already-current
+    * fingerprint skips the import — the staleness contract), and serves
+    * (merges, vocab) for the imported entries. The GATE therefore
+    * exercises the real production path: public files in, versioned
+    * artifact on disk, released ids out. */
+  private val importedMemo =
+    new java.util.concurrent.atomic.AtomicReference[
+      (Seq[(Long, String, String, String, Long)], Map[String, Int])]()
+  private[graft] def importedModel(s: SparkSession)
+      : (Seq[(Long, String, String, String, Long)], Map[String, Int]) = {
+    val hit = importedMemo.get()
+    if (hit != null) return hit
+    import graft.operators.BpeModel
+    val mb = importResource("merges.txt")
+    val vb = importResource("vocab.json")
+    val md = java.security.MessageDigest.getInstance("MD5")
+    md.update(mb)
+    md.update(vb)
+    val fp = md.digest().map("%02x".format(_)).mkString
+    val key = fp.take(12)
+    val files = java.nio.file.Paths.get(
+      sys.props.getOrElse("java.io.tmpdir", "/tmp"),
+      s"graft-tokrelease-$key")
+    java.nio.file.Files.createDirectories(files)
+    java.nio.file.Files.write(files.resolve("merges.txt"), mb)
+    java.nio.file.Files.write(files.resolve("vocab.json"), vb)
+    val root = java.nio.file.Paths.get(
+      sys.props.getOrElse("java.io.tmpdir", "/tmp"),
+      s"graft-bpemodelimp-$key").toString
+    val current = BpeModel.versions(root).lastOption.exists(v =>
+      BpeModel.fingerprintOf(root, v).contains(fp) &&
+        BpeModel.loadVocab(root, v).isDefined)
+    if (!current)
+      BpeModel.importMerges(s, files.resolve("merges.txt").toString,
+        files.resolve("vocab.json").toString, root)
+    val v = BpeModel.versions(root).last
+    val out = (BpeModel.loadVersion(s, root, v),
+      BpeModel.loadVocab(root, v).get)
+    importedMemo.set(out)
+    out
+  }
+
+  /** Oracle CTEs for the imported model: the fixture's merge table and
+    * vocabulary inlined as VALUES — the merge table as DATA, no training
+    * CTEs — then the same per-round replay chain as the trained tiers,
+    * with EVERY symbol's id (bases included) coming from the vocab join.
+    * Ends with `di(doc_id, tids)`. */
+  private lazy val importedOracleCtes: String = {
+    import graft.operators.BpeModel
+    val merges = BpeModel.parseMergesTxt(new String(
+      importResource("merges.txt"),
+      java.nio.charset.StandardCharsets.UTF_8))
+    val vocab = BpeModel.parseVocabJson(importResource("vocab.json"))
+    val n = merges.length
+    val bCtes = merges.map { case (r, l, rr, _, _) =>
+      s"ib$r AS (SELECT '$l' AS l, '$rr' AS r)"
+    }
+    val vRounds = (1 to n).map { k =>
+      s"""iv$k AS (SELECT word, coalesce(
+         |    ${mergeCycleSql(s"iv${k - 1}.syms", s"ib$k.l", s"ib$k.r")},
+         |    iv${k - 1}.syms) AS syms
+         |  FROM iv${k - 1} LEFT JOIN ib$k ON TRUE)""".stripMargin
+    }
+    val vocabVals = vocab.toSeq.sortBy(_._2)
+      .map { case (sym, id) => s"('$sym', $id)" }.mkString(", ")
+    val wordsArraySql =
+      gpt2FixupSql(s"regexp_extract_all($Gpt2TextSql, '$Gpt2PatSqlLit')")
+    s"""${bCtes.mkString(",\n")},
+       |ivt AS (SELECT sym, CAST(id AS INT) AS id
+       |  FROM (VALUES $vocabVals) AS t(sym, id)),
+       |ow AS (SELECT doc_id, word, pos FROM
+       |    (SELECT doc_id, unnest(ws) AS word, unnest(range(len(ws))) AS pos
+       |      FROM (SELECT doc_id, $wordsArraySql AS ws
+       |        FROM documents WHERE text IS NOT NULL))
+       |  WHERE word <> ''),
+       |iv0 AS (SELECT word, array_to_string(list_transform(
+       |    range(1, CAST(octet_length(encode(word)) AS INT) + 1),
+       |    i -> substring(hex(encode(word)), 2*i-1, 2)), ' ') AS syms
+       |  FROM (SELECT DISTINCT word FROM ow)),
+       |${vRounds.mkString(",\n")},
+       |sy AS (SELECT word, unnest(sl) AS sym, unnest(range(len(sl))) AS sp
+       |  FROM (SELECT word, string_split(syms, ' ') AS sl FROM iv$n)),
+       |wid AS (SELECT word, list(ivt.id ORDER BY sp) AS ids
+       |  FROM sy JOIN ivt ON ivt.sym = sy.sym GROUP BY word),
+       |di AS (SELECT ow.doc_id, flatten(list(wid.ids ORDER BY ow.pos)) AS tids
+       |  FROM ow JOIN wid USING (word) GROUP BY ow.doc_id)""".stripMargin
+  }
+
   /** BYTE-model artifact root — its own keyed prefix: the a-z and byte
     * merge tables are different models of the same corpus and must never
     * shadow each other at one path. */
@@ -2249,6 +2350,50 @@ object TextAnalysis {
         .agg(sort_array(collect_list(struct(col("pos"), col("rt")))).as("a"))
         .select(col("doc_id"),
           concat_ws("", expr("transform(a, x -> x.rt)")).as("rt"))
+        .select(col("doc_id"),
+          length(col("rt")).cast("long").as("n_chars"),
+          md5(col("rt")).as("rt_md5"))
+        .orderBy("doc_id")
+    },
+
+    // Tokenize with a RELEASED tokenizer (round 13): the checked-in
+    // public merges.txt/vocab.json fixture imports through
+    // BpeModel.importMerges into the versioned artifact and serves
+    // through the SAME fused kernel and gpt2 pre-tokenizer tier — with
+    // the RELEASED ids (base bytes included, whose vocab ids are NOT
+    // the byte values, so this gate fails if anything still leans on
+    // the engine id scheme). The oracle replays the fixture from VALUES
+    // literals: merge table as data, every id from the vocab join.
+    "tokenize_bpe_ids_imported" -> { (s, dir) =>
+      val (merges, vocab) = importedModel(s)
+      Tables(s, dir, "documents")
+        .withColumn("text", gpt2Text)
+        .filter(col("text").isNotNull && col("text") =!= "")
+        .select(col("doc_id"),
+          graft.exprs.functions.bpe_encode_imported_ids(
+            col("text"), merges, vocab).as("token_ids"))
+        .select(col("doc_id"),
+          size(col("token_ids")).cast("long").as("n_ids"),
+          expr("aggregate(token_ids, CAST(0 AS BIGINT), (a, x) -> a + x)")
+            .as("sum_ids"),
+          md5(concat_ws(",", col("token_ids").cast("array<string>")))
+            .as("ids_md5"))
+        .orderBy("doc_id")
+    },
+
+    // losslessness of the IMPORTED id space on the real corpus: decode ∘
+    // encode equals the document itself (the gpt2 alternation tiles
+    // every character, and import validated full byte coverage, so the
+    // released vocab decodes everything it encodes)
+    "tokenize_roundtrip_imported" -> { (s, dir) =>
+      val (merges, vocab) = importedModel(s)
+      Tables(s, dir, "documents")
+        .withColumn("text", gpt2Text)
+        .filter(col("text").isNotNull && col("text") =!= "")
+        .select(col("doc_id"),
+          graft.exprs.functions.bpe_decode_imported_ids(
+            graft.exprs.functions.bpe_encode_imported_ids(
+              col("text"), merges, vocab), merges, vocab).as("rt"))
         .select(col("doc_id"),
           length(col("rt")).cast("long").as("n_chars"),
           md5(col("rt")).as("rt_md5"))
@@ -3404,6 +3549,24 @@ object TextAnalysis {
     // md5 of the (derived) text ITSELF — whitespace included, no
     // normalization, no BPE model
     "tokenize_roundtrip_gpt2" ->
+      s"""SELECT doc_id,
+         |  CAST(length(rt) AS BIGINT) AS n_chars, md5(rt) AS rt_md5
+         |FROM (SELECT doc_id, $Gpt2TextSql AS rt
+         |  FROM documents WHERE text IS NOT NULL)
+         |WHERE rt <> '' ORDER BY doc_id""".stripMargin,
+
+    // the fixture's merges + vocab inlined as VALUES; ids from the
+    // released vocabulary for every symbol, bases included
+    "tokenize_bpe_ids_imported" ->
+      s"""WITH $importedOracleCtes
+         |SELECT doc_id, CAST(len(tids) AS BIGINT) AS n_ids,
+         |  CAST(list_sum(tids) AS BIGINT) AS sum_ids,
+         |  md5(array_to_string(tids, ',')) AS ids_md5
+         |FROM di ORDER BY doc_id""".stripMargin,
+
+    // same losslessness statement as the gpt2 tier: the round trip under
+    // the released id space is the derived document itself
+    "tokenize_roundtrip_imported" ->
       s"""SELECT doc_id,
          |  CAST(length(rt) AS BIGINT) AS n_chars, md5(rt) AS rt_md5
          |FROM (SELECT doc_id, $Gpt2TextSql AS rt
