@@ -317,6 +317,20 @@ object Main {
       println(f"corpus mean_resid_norm=${rep.meanResidNorm}%.6f " +
         s"baseline=$base verdict=${rep.verdict}")
 
+    // extension (no reference analog): the one-call heal the drift
+    // verdict's "rebuild" calls for — refit coarse + codebooks as one
+    // staged crash-safe generation, carry the pinned rotation, fresh
+    // baseline; prints the post-rebuild verdict
+    case Seq("rebuild", idxDir) =>
+      if (!java.nio.file.Files.isDirectory(
+          java.nio.file.Paths.get(idxDir, "cells"))) {
+        System.err.println(s"rebuild: $idxDir is not a vector index (cells/)")
+        sys.exit(2)
+      }
+      val rep = graft.operators.IvfIndex.rebuild(spark(), idxDir)
+      println(f"rebuilt: corpus mean_resid_norm=${rep.meanResidNorm}%.6f " +
+        s"verdict=${rep.verdict}")
+
     // extension (no reference analog): migrate a native .eventlog file
     // written by the original Go implementation into an engine log
     case Seq("import", nativeFile, dir) =>
@@ -342,6 +356,7 @@ object Main {
           "tokenize <modeldir> az|bytes|pretok|gpt2|imported <text>...|" +
           "scan <kw1,kw2,...> <text>...|" +
           "delete <indexdir> <id>...|gc <indexdir>|drift <indexdir>|" +
+          "rebuild <indexdir>|" +
           "import <nativefile> <dir>")
       sys.exit(2)
   }

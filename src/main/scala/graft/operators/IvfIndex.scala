@@ -95,14 +95,21 @@ object IvfIndex {
     * and a reader must see a CONSISTENT pair, never new centroids over
     * old cells) takes precedence; then the per-relation cells `.old`
     * (compact's swap). */
+  /** The readable root for `dir`: `dir` itself, or the consistent
+    * pre-swap generation at `dir.old` when a whole-index generation swap
+    * is torn mid-flight ([[splitCell]]/[[removeVectors]]/[[rebuild]]'s
+    * two-rename window). Read-only — recovery runs only from the
+    * synchronized maintenance entries. */
+  private[operators] def rootBase(dir: String): String =
+    if (!java.nio.file.Files.exists(
+        java.nio.file.Paths.get(dir, "centroids")) &&
+        java.nio.file.Files.isDirectory(
+          java.nio.file.Paths.get(dir + ".old")))
+      dir + ".old"
+    else dir
+
   def load(spark: SparkSession, dir: String): IvfIndex = {
-    val base =
-      if (!java.nio.file.Files.exists(
-          java.nio.file.Paths.get(dir, "centroids")) &&
-          java.nio.file.Files.isDirectory(
-            java.nio.file.Paths.get(dir + ".old")))
-        dir + ".old"
-      else dir
+    val base = rootBase(dir)
     val centroids = spark.read.parquet(s"$base/centroids")
       .collect()
       .map(r => r.getInt(0) -> r.getSeq[Double](1).toArray)
@@ -353,14 +360,131 @@ object IvfIndex {
     * DROP the OPQ frame the codes were encoded under (unservable index)
     * and the build-time drift baseline (verdicts degrade to
     * no_baseline). Content-preserving parquet rewrite (doubles round-trip
-    * exactly); both relations are KB-sized by construction. */
+    * exactly); both relations are KB-sized by construction. [[rebuild]]
+    * carries the rotation only — it re-snapshots a FRESH baseline into
+    * its staged generation instead. */
   private def carryAuxRelations(
-      spark: SparkSession, dir: String, staging: String): Unit =
-    Seq("rotation", "drift_baseline").foreach { rel =>
+      spark: SparkSession, dir: String, staging: String,
+      rels: Seq[String] = Seq("rotation", "drift_baseline")): Unit =
+    rels.foreach { rel =>
       val p = java.nio.file.Paths.get(dir, rel)
       if (java.nio.file.Files.isDirectory(p))
         spark.read.parquet(p.toString).coalesce(1)
           .write.mode("overwrite").parquet(s"$staging/$rel")
+    }
+
+  /** FULL REFIT of a LIVE index as ONE staged generation — the heal the
+    * typed `"rebuild"` verdict ([[driftVerdict]]) calls for, closing the
+    * maintenance loop's last arrow: before this, an operator holding a
+    * served index had to hand-orchestrate build-elsewhere + swap +
+    * rotation carry + baseline re-snapshot.
+    *
+    * What happens, all inside the staged generation the [[splitCell]]/
+    * [[removeVectors]] machinery commits atomically:
+    *  - coarse centroids REFIT from the index's own vectors (bounded
+    *    deterministic sample, driver-side Lloyd), every vector
+    *    reassigned by the fused kernel;
+    *  - under a PQ tier, the codebooks refit on the NEW residuals and
+    *    every code re-encodes (same bounded-sample contract);
+    *  - the pinned OPQ rotation CARRIES THROUGH untouched — the index's
+    *    vectors are already stored in the rotated frame, so the refit
+    *    never re-rotates and queries keep rotating at the boundary;
+    *  - a FRESH drift baseline is snapshotted against the staged
+    *    generation (this refit is the new fit-time regime) and commits
+    *    atomically with it.
+    *
+    * DETERMINISM: the refit sample is the smallest `trainTarget` rows
+    * under the md5(vec_id) order — a pure function of the DATA
+    * (`df.sample` depends on partition layout), and the fit is the
+    * driver-side Lloyd — so rebuilding unchanged data twice produces
+    * bit-identical indexes and bit-invariant probes (the spec pins it).
+    * A rebuild IS a refit: the first rebuild of an index built through
+    * the sampled ML path may move centroids — by design; determinism is
+    * a property of rebuild∘rebuild, and the serving contract is the
+    * rerank band, which survives any refit.
+    *
+    * Crash: staging never touches `dir`; a death before the commit
+    * leaves the old generation serving untouched, a death between the
+    * commit renames heals at the next maintenance entry
+    * ([[recoverSwapRoot]]), and plain readers inside the window fall
+    * back to the consistent `.old` generation.
+    *
+    * @param k new cell count; 0 keeps the current one
+    * @return the POST-rebuild [[DriftReport]] (fresh baseline ⇒ a
+    *         successful heal reads `"ok"`) */
+  def rebuild(
+      spark: SparkSession, dir: String,
+      k: Int = 0, maxIter: Int = 5, trainTarget: Int = 4096): DriftReport =
+    synchronized {
+      recoverSwapRoot(dir)
+      recoverSwap(java.nio.file.Paths.get(dir, "cells"))
+      recoverSwap(java.nio.file.Paths.get(dir, "pq_codes"))
+      val hasPq = java.nio.file.Files.exists(
+        java.nio.file.Paths.get(dir, "pq_codes"))
+      val pq = if (hasPq) Some(PqIndex.load(spark, dir)) else None
+      val idx = pq.map(_.coarse).getOrElse(load(spark, dir))
+      val kk = if (k > 0) k else idx.k
+      // the index's own vectors, already in the index frame (a rotated
+      // dir stores rotated vectors)
+      val emb = idx.assignments.select("vec_id", "v", "nrm")
+      val sampleRows = emb
+        .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
+        .limit(trainTarget)
+        .select(col("vec_id"), col("v")).collect()
+        .sortBy(_.getLong(0)).map(_.getSeq[Double](1).toArray)
+      require(sampleRows.nonEmpty, "rebuild of an empty index")
+      val newCentroids = PqIndex.fitLloyd(sampleRows, kk, maxIter)
+      val assigned = assignTo(newCentroids, emb).persist()
+      try {
+        import spark.implicits._
+        val staging = dir + ".rebuild-" +
+          java.util.UUID.randomUUID().toString.take(8)
+        assigned.write.mode("overwrite")
+          .partitionBy("cell").parquet(s"$staging/cells")
+        newCentroids.zipWithIndex
+          .map { case (c, i) => (i, c.toSeq) }.toSeq
+          .toDF("cell", "centroid")
+          .coalesce(1).write.mode("overwrite")
+          .parquet(s"$staging/centroids")
+        pq.foreach { p =>
+          val centDf = newCentroids.zipWithIndex
+            .map { case (c, i) => (i, c.toSeq) }.toSeq.toDF("cell", "cvec")
+          val resid = assigned
+            .join(broadcast(centDf), "cell")
+            .withColumn("r",
+              zip_with(col("v"), col("cvec"), (a, b) => a - b))
+            .select(col("vec_id"), col("cell"), col("nrm"), col("r"))
+          val rRows = resid
+            .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
+            .limit(trainTarget)
+            .select(col("vec_id"), col("r")).collect()
+            .sortBy(_.getLong(0)).map(_.getSeq[Double](1).toArray)
+          val dsub = p.dim / p.m
+          val codebooks: Array[Array[Array[Double]]] =
+            (0 until p.m).map { sub =>
+              PqIndex.fitLloyd(rRows.map(v => java.util.Arrays
+                .copyOfRange(v, sub * dsub, (sub + 1) * dsub)),
+                p.kCodes, maxIter)
+            }.toArray
+          resid.select(col("vec_id"), col("cell"), col("nrm"),
+              graft.exprs.functions.pq_encode(
+                col("r"), PqIndex.flatten(codebooks), p.m, p.kCodes)
+                .as("codes"))
+            .write.mode("overwrite").partitionBy("cell")
+            .parquet(s"$staging/pq_codes")
+          codebooks.zipWithIndex.flatMap { case (cb, sub) =>
+            cb.zipWithIndex.map { case (c, code) => (sub, code, c.toSeq) }
+          }.toSeq.toDF("sub", "code", "centroid")
+            .coalesce(1).write.mode("overwrite")
+            .parquet(s"$staging/pq_codebooks")
+        }
+        carryAuxRelations(spark, dir, staging, rels = Seq("rotation"))
+        // the refit IS the new fit-time regime: snapshot the baseline
+        // against the STAGED generation so it commits atomically with it
+        snapshotDriftBaseline(spark, staging)
+        commitGeneration(dir, staging)
+      } finally assigned.unpersist()
+      driftVerdict(spark, dir)
     }
 
   /** Flip a fully-staged next generation in as THE index: `dir` →

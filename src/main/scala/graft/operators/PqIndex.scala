@@ -282,9 +282,19 @@ object PqIndex {
   /** [[IvfIndex.removeVectors]] under its PQ name — the implementation
     * is already PQ-aware (codes and raw cells drop together in one
     * staged generation); this alias keeps the two index tiers' public
-    * maintenance surfaces symmetric (append / compact / remove). */
+    * maintenance surfaces symmetric (append / compact / remove /
+    * rebuild). */
   def removeVectors(spark: SparkSession, dir: String, ids: Seq[Long]): Long =
     IvfIndex.removeVectors(spark, dir, ids)
+
+  /** [[IvfIndex.rebuild]] under its PQ name — the implementation is
+    * PQ-aware (codebooks refit on the new residuals and every code
+    * re-encodes inside the same staged generation). */
+  def rebuild(
+      spark: SparkSession, dir: String,
+      k: Int = 0, maxIter: Int = 5,
+      trainTarget: Int = 4096): IvfIndex.DriftReport =
+    IvfIndex.rebuild(spark, dir, k, maxIter, trainTarget)
 
   /** [[IvfIndex.compact]] extended to the PQ tier: both the raw cells
     * (rerank path) and the code lists rewrite to ~one file per cell. */
@@ -302,13 +312,17 @@ object PqIndex {
     * maintenance entry points. */
   def load(spark: SparkSession, dir: String): PqIndex = {
     val coarse = IvfIndex.load(spark, dir)
-    val cb = spark.read.parquet(s"$dir/pq_codebooks").collect()
+    // same whole-dir `.old` fallback as the coarse load: a reader inside
+    // a torn GENERATION swap must see one consistent generation for
+    // centroids, cells, codebooks, codes, AND rotation together
+    val base = IvfIndex.rootBase(dir)
+    val cb = spark.read.parquet(s"$base/pq_codebooks").collect()
       .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toArray))
     val codebooks = cb.groupBy(_._1).toSeq.sortBy(_._1).map(_._2
       .sortBy(_._2).map(_._3)).toArray
     new PqIndex(coarse, codebooks,
-      IvfIndex.readMaybeOld(spark, java.nio.file.Paths.get(dir, "pq_codes")),
-      IvfIndex.loadRotation(spark, dir))
+      IvfIndex.readMaybeOld(spark, java.nio.file.Paths.get(base, "pq_codes")),
+      IvfIndex.loadRotation(spark, base))
   }
 
   /** Executor-side BATCH ADC probe: every row of `queries` scored against

@@ -173,7 +173,19 @@ object IndexMaintainer {
     * persisted build-time baseline) is handed to `onDrift` — a
     * live-upsert deployment gets its rebuild signal through the
     * maintainer's report channel without anyone remembering to run
-    * [[IvfIndex.rebalance]]. */
+    * [[IvfIndex.rebalance]].
+    *
+    * `rebuildOnDrift` (round 13) closes the loop signal → heal: when a
+    * drift check reads `"rebuild"`, [[IvfIndex.rebuild]] runs INLINE —
+    * one staged crash-safe generation (refit coarse + codebooks, carry
+    * the pinned rotation, fresh baseline) — and the POST-rebuild report
+    * is handed to `onDrift` as well, so the operator sees both the
+    * signal and the heal. Opt-in: a rebuild is a full index rewrite, a
+    * cost the deployment's cadence must consciously accept. Epoch replay
+    * stays correct across a crash anywhere around the rebuild: the
+    * generation swap is content-complete (every appended vector rides
+    * into the new generation), so the done/started markers' semantics
+    * are untouched. */
   def maintainVectors(
       vecs: DataFrame,
       idCol: String,
@@ -182,7 +194,8 @@ object IndexMaintainer {
       checkpointDir: String,
       compactEvery: Int = 0,
       driftEvery: Int = 0,
-      onDrift: IvfIndex.DriftReport => Unit = _ => ()): StreamingQuery = {
+      onDrift: IvfIndex.DriftReport => Unit = _ => (),
+      rebuildOnDrift: Boolean = false): StreamingQuery = {
     vecs.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, epochId: Long) =>
@@ -216,8 +229,12 @@ object IndexMaintainer {
               else IvfIndex.compact(spark, dir)
             }
             if (driftEvery > 0 && committed > 0 &&
-                committed % driftEvery == 0)
-              onDrift(IvfIndex.driftVerdict(spark, dir))
+                committed % driftEvery == 0) {
+              val report = IvfIndex.driftVerdict(spark, dir)
+              onDrift(report)
+              if (rebuildOnDrift && report.verdict == "rebuild")
+                onDrift(IvfIndex.rebuild(spark, dir))
+            }
           }
         }
       }

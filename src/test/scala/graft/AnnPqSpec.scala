@@ -275,4 +275,74 @@ class AnnPqSpec extends AnyFunSuite {
       IvfIndex.ResidTripFactor * rep.baselineResidNorm.get
     assert(rep.verdict === (if (tripped) "rebuild" else "absorbed"))
   }
+
+  test("rebuild: ONE call heals a 'rebuild' verdict on the live index — rotation carried, fresh baseline, deterministic, crash-safe") {
+    import graft.operators.{IvfIndex, OpqRotation}
+    val half = emb.filter(col("vec_id") % 2 === 0)
+    val rest = emb.filter(col("vec_id") % 2 === 1)
+    val nRest = rest.count()
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-rebuild").toString
+
+    // an OPQ-ROTATED index: the hardest carry case — rebuild must keep
+    // the pinned frame (its vectors are STORED rotated; a dropped or
+    // re-applied rotation would silently unserve the index)
+    val r = OpqRotation.fit(half, m = 8, kCodes = 16)
+    PqIndex.build(half, m = 8, kCodes = 16, coarseK = 4,
+      rotation = Some(r)).save(dir)
+    val nBase = PqIndex.load(spark, dir).codes.count()
+
+    val shifted = rest.select((col("vec_id") + 2000000L).as("vec_id"),
+      transform(col("v"), x => x - lit(8.0)).as("v"))
+    PqIndex.appendVectors(spark, dir, shifted)
+    assert(IvfIndex.driftVerdict(spark, dir).verdict === "rebuild",
+      "the shifted upsert must trip the stored-baseline verdict")
+
+    // the one-call heal: refit coarse + codebooks, re-encode, carry the
+    // rotation, snapshot a FRESH baseline — one staged generation
+    val post = PqIndex.rebuild(spark, dir)
+    assert(post.verdict === "ok",
+      s"one rebuild call must return the verdict to ok, got ${post.verdict}")
+    val idx = PqIndex.load(spark, dir)
+    assert(idx.rotation.exists(_.sameElements(r)),
+      "the pinned OPQ frame must survive the rebuild generation")
+    assert(idx.codes.count() === nBase + nRest,
+      "every vector rides into the new generation")
+
+    // RAW queries keep serving through the boundary rotation
+    val queries = rest.filter(col("vec_id") <= 16)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"))
+    def probeNow(): Seq[(Long, Long, Int, Double)] =
+      PqIndex.adcProbe(PqIndex.load(spark, dir), queries,
+          nProbe = 4, topK = 5, rerank = 20)
+        .collect()
+        .map(x => (x.getLong(0), x.getLong(1), x.getInt(2), x.getDouble(3)))
+        .sortBy(t => (t._1, t._3)).toSeq
+    val probe1 = probeNow()
+    assert(probe1.nonEmpty)
+
+    // determinism: rebuilding UNCHANGED data again is bit-invariant —
+    // the refit sample is a pure function of the data (md5(vec_id)
+    // order), the fit is the driver-side Lloyd
+    val post2 = PqIndex.rebuild(spark, dir)
+    assert(post2.verdict === "ok")
+    assert(probeNow() === probe1,
+      "rebuild of unchanged data must leave probes bit-invariant")
+
+    // crash torn BETWEEN the commit renames (dir moved to .old, staging
+    // never landed): readers fall back to the consistent old generation
+    // read-only; the next maintenance entry heals and serves identically
+    java.nio.file.Files.move(
+      java.nio.file.Paths.get(dir),
+      java.nio.file.Paths.get(dir + ".old"),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    assert(PqIndex.load(spark, dir).codes.count() === nBase + nRest,
+      "a reader inside the torn window must see the old generation")
+    val post3 = PqIndex.rebuild(spark, dir) // recoverSwapRoot heals first
+    assert(post3.verdict === "ok")
+    assert(!new java.io.File(dir + ".old").exists(),
+      "the maintenance entry must heal the torn root swap")
+    assert(probeNow() === probe1,
+      "the healed index must serve the same bits")
+  }
 }

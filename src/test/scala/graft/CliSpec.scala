@@ -201,6 +201,12 @@ class CliSpec extends AnyFunSuite {
     val drift = cli("drift", vecDir)
     assert(drift.contains("verdict=ok"), drift)
     assert(drift.contains("mean_resid_norm"), drift)
+
+    // the one-call heal: rebuild refits in place (staged generation) and
+    // reports the post-rebuild verdict against its fresh baseline
+    val rebuilt = cli("rebuild", vecDir)
+    assert(rebuilt.contains("rebuilt:"), rebuilt)
+    assert(rebuilt.contains("verdict=ok"), rebuilt)
   }
 
   test("scan counts a watch-list over command-line text, overlaps included") {

@@ -310,6 +310,53 @@ class IndexMaintainerSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("maintainVectors rebuildOnDrift: a tripped verdict heals INLINE — the channel sees the signal, then the post-rebuild ok") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val emb = graft.util.Tables(spark, sfDir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val half = emb.filter(col("vec_id") % 2 === 0)
+    val rest = emb.filter(col("vec_id") % 2 === 1).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1))).toSeq
+
+    val idxDir = tmp("graft-vecheal")
+    PqIndex.build(half, m = 8, kCodes = 16, coarseK = 4).save(idxDir)
+    val reports = new java.util.concurrent.ConcurrentLinkedQueue[
+      graft.operators.IvfIndex.DriftReport]()
+    val mem = MemoryStream[(Long, Seq[Double])]
+    val q = IndexMaintainer.maintainVectors(
+      mem.toDF().toDF("vec_id", "v"), "vec_id", "v",
+      idxDir, tmp("graft-vechealckpt"),
+      driftEvery = 1, onDrift = reports.add(_), rebuildOnDrift = true)
+    try {
+      // epoch 1: off-distribution upsert — the check trips, the heal
+      // runs inline, and BOTH reports land on the channel in order
+      mem.addData(rest.map { case (id, v) =>
+        (id + 2000000L, v.map(_ - 8.0)) }: _*)
+      q.processAllAvailable()
+      val afterHeal = reports.toArray(
+        Array.empty[graft.operators.IvfIndex.DriftReport]).toSeq
+      assert(afterHeal.map(_.verdict) === Seq("rebuild", "ok"),
+        s"signal then heal, got ${afterHeal.map(_.verdict)}")
+
+      // epoch 2: a MIX-PRESERVING upsert onto the rebuilt index (the
+      // rebuilt corpus is bimodal — original + shifted — and the
+      // corpus-weighted gap metric moves with the cluster mix, so a
+      // stationary batch must preserve it): the fresh baseline judges
+      // it ok, no second rebuild fires
+      mem.addData(rest.map { case (id, v) => (id + 3000000L, v) } ++
+        rest.map { case (id, v) => (id + 4000000L, v.map(_ - 8.0)) }: _*)
+      q.processAllAvailable()
+      val all = reports.toArray(
+        Array.empty[graft.operators.IvfIndex.DriftReport]).toSeq
+      assert(all.map(_.verdict) === Seq("rebuild", "ok", "ok"),
+        s"steady state after the heal, got ${all.map(_.verdict)}")
+      // content survived the inline rebuild generation end-to-end
+      val n = PqIndex.load(spark, idxDir).codes.count()
+      assert(n === half.count() + 3L * rest.size)
+    } finally q.stop()
+  }
+
   test("maintainVectors crash replay: started-without-done scrubs the partial append, exactly-once") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
