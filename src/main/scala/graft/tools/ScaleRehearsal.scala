@@ -35,10 +35,17 @@ object ScaleRehearsal {
     * (round-12 directive #5): connected components (edge-volume
     * measure), the PQ corpus probe (n^1.5), the fuzzy join (candidate
     * volume — the family the adaptive deletion generator exists for),
-    * and the bigram perplexity model (distinct-bigram growth). */
+    * and the bigram perplexity model (distinct-bigram growth).
+    * Round 13 adds the round-12 sampling/sketch/audit families (all
+    * scan-speed or k-bounded claims — anything superlinear there is a
+    * real bug, not a documented measure) and the round-13 FFD packer
+    * (linear scan + bucket-parallel sequential fit). */
   private val Sf10Families = Seq(
     "dedup_clusters", "split_by_cluster", "pipeline_dedup_corpus",
-    "dedup_semantic_pq", "fuzzy_join_names", "text_perplexity_bigram")
+    "dedup_semantic_pq", "fuzzy_join_names", "text_perplexity_bigram",
+    "sample_priority", "sample_priority_by_lang", "mix_temperature",
+    "pipeline_mix_sample", "corpus_gini", "text_quantiles_sketch",
+    "emb_slice_renorm", "pack_best_fit")
 
   /** `ScaleRehearsal sf10 [base] [out] [queries...]` — the 100× column:
     * a 100-copy database materialized for JUST the tables the audited

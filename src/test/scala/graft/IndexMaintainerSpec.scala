@@ -170,6 +170,89 @@ class IndexMaintainerSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("tombstone-aware maintenance end-to-end: interleaved appends, library+CLI deletes, inline compactions, crash replay — converges to fresh-build scores") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val all = docs.filter(col("text").isNotNull)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    val groups = all.grouped((all.length + 3) / 4).toSeq
+    val idxDir = tmp("graft-tombidx")
+    val ckpt = tmp("graft-tombckpt")
+    val mem = MemoryStream[(Long, String)]
+    def start() = IndexMaintainer.maintainSearch(
+      mem.toDF().toDF("doc_id", "text"), "doc_id", "text",
+      idxDir, ckpt, compactEvery = 2)
+    val deleted = scala.collection.mutable.ArrayBuffer.empty[Long]
+    var q = start()
+    try {
+      // epoch 1: appends, then a LIBRARY takedown between epochs
+      mem.addData(groups(0): _*); q.processAllAvailable()
+      val d1 = groups(0).take(2).map(_._1)
+      assert(SearchIndex.deleteDocs(spark, idxDir, d1) === d1.length.toLong)
+      deleted ++= d1
+      // epoch 2: appends → committed count hits the threshold → the
+      // INLINE COMPACT folds the TOMBSTONED index (dead postings must
+      // physically drop, tombstone batches collect)
+      mem.addData(groups(1): _*); q.processAllAvailable()
+      assert(SearchIndex.load(spark, idxDir).postings
+        .filter(col("doc_id").isin(d1: _*)).count() === 0L,
+        "the inline compact must physically drop tombstoned postings")
+      // a CLI takedown (the path an operator actually runs) mid-stream
+      val d2 = groups(1).take(1).map(_._1)
+      Console.withOut(new java.io.PrintStream(
+          new java.io.ByteArrayOutputStream())) {
+        graft.cli.Main.main(Array("delete", idxDir) ++ d2.map(_.toString))
+      }
+      deleted ++= d2
+      // epochs 3–4: more appends; epoch 4 folds the CLI tombstone in a
+      // second inline compact
+      mem.addData(groups(2): _*); q.processAllAvailable()
+      mem.addData(groups(3): _*); q.processAllAvailable()
+
+      // CRASH REPLAY: drop the last epoch's commit from the checkpoint
+      // and restart — Structured Streaming re-delivers that epoch into
+      // foreachBatch; the done marker must skip it, so nothing
+      // double-appends into the tombstoned, twice-compacted index
+      q.stop()
+      val lastCommit = new java.io.File(s"$ckpt/commits").listFiles()
+        .filter(_.getName.forall(_.isDigit)).maxBy(_.getName.toInt)
+      assert(lastCommit.delete())
+      // the local checksum FS shadows every file with .<name>.crc — a
+      // stale one makes the replayed commit's rename read as a
+      // concurrent-query fence, so the crash simulation drops both
+      new java.io.File(lastCommit.getParentFile,
+        s".${lastCommit.getName}.crc").delete()
+      q = start()
+      q.processAllAvailable()
+
+      // convergence: the maintained index — appends + two takedown paths
+      // + two inline compactions + a replayed epoch — scores EXACTLY
+      // like a fresh build over the surviving docs (the deleteDocs
+      // bit-identity contract, end to end; scores are quantized BIGINTs,
+      // so equality is exact)
+      val idx = SearchIndex.load(spark, idxDir)
+      val survivors = all.filterNot(t => deleted.contains(t._1))
+      val fresh = SearchIndex.build(survivors.toDF("doc_id", "text"))
+      assert(idx.nDocs === fresh.nDocs)
+      assert(idx.nTokens === fresh.nTokens)
+      val terms = Seq("vector", "stream", "data", "query")
+      val gotTfidf = SearchIndex.search(idx, terms, 10).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSeq
+      val wantTfidf = SearchIndex.search(fresh, terms, 10).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSeq
+      assert(gotTfidf === wantTfidf)
+      assert(gotTfidf.nonEmpty)
+      val gotBm = SearchIndex.searchBm25(idx, terms, 10).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSeq
+      val wantBm = SearchIndex.searchBm25(fresh, terms, 10).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSeq
+      assert(gotBm === wantBm)
+      assert(!gotTfidf.exists(t => deleted.contains(t._1)) &&
+        !gotBm.exists(t => deleted.contains(t._1)),
+        "a deleted doc must never be served")
+    } finally q.stop()
+  }
+
   test("maintainVectors: stream upserts probe after commit; a marked epoch is skipped") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
