@@ -331,6 +331,22 @@ object Main {
       println(f"rebuilt: corpus mean_resid_norm=${rep.meanResidNorm}%.6f " +
         s"verdict=${rep.verdict}")
 
+    // extension (no reference analog): tokenizer-model interchange —
+    // export a byte-alphabet BpeModel as the public merges.txt /
+    // vocab.json pair (inverse of BpeModel.importMerges)
+    case Seq("export-tokenizer", modelDir, mergesOut, vocabOut) =>
+      graft.operators.BpeModel.exportMerges(
+        spark(), modelDir, mergesOut, vocabOut)
+      println(s"exported $modelDir -> $mergesOut + $vocabOut")
+
+    // extension (no reference analog): import a public merges.txt /
+    // vocab.json release as a versioned BpeModel (served via the
+    // `tokenize <dir> imported` alphabet)
+    case Seq("import-tokenizer", mergesIn, vocabIn, modelDir) =>
+      val v = graft.operators.BpeModel.importMerges(
+        spark(), mergesIn, vocabIn, modelDir)
+      println(s"imported $mergesIn + $vocabIn -> $modelDir (v=$v)")
+
     // extension (no reference analog): migrate a native .eventlog file
     // written by the original Go implementation into an engine log
     case Seq("import", nativeFile, dir) =>
@@ -357,6 +373,8 @@ object Main {
           "scan <kw1,kw2,...> <text>...|" +
           "delete <indexdir> <id>...|gc <indexdir>|drift <indexdir>|" +
           "rebuild <indexdir>|" +
+          "export-tokenizer <modeldir> <merges.txt> <vocab.json>|" +
+          "import-tokenizer <merges.txt> <vocab.json> <modeldir>|" +
           "import <nativefile> <dir>")
       sys.exit(2)
   }

@@ -210,6 +210,59 @@ object BpeModel {
     }
   }
 
+  /** EXPORT a byte-alphabet model as the public merges.txt / vocab.json
+    * pair — the inverse of [[importMerges]], closing the interchange
+    * round-trip: an in-engine-trained model becomes consumable by any
+    * external byte-level BPE runtime, and import∘export serves
+    * BIT-IDENTICAL ids back through the explicit-vocab kernel path
+    * (the exported vocabulary IS the engine id scheme made explicit:
+    * single-byte symbols at their byte values, each merged symbol at
+    * 255 + its first round — BpeMergeTable's FIRST-round-wins
+    * contract). Tokens render through the same bytes_to_unicode table
+    * the importer inverts.
+    *
+    * a-z-alphabet models refuse loudly: the interchange format is
+    * byte-level by definition (its vocab must cover all 256 bytes). */
+  def exportMerges(
+      s: SparkSession, dir: String,
+      mergesPath: String, vocabPath: String): Unit = {
+    val merges = load(s, dir)
+    merges.foreach { case (round, l, r, m, _) =>
+      Seq(l, r, m).foreach(sym => require(
+        sym.length % 2 == 0 && sym.forall(c =>
+          (c >= '0' && c <= '9') || (c >= 'A' && c <= 'F')),
+        s"round $round symbol '$sym' is not a hex-pair byte symbol — " +
+          "export requires a BYTE-alphabet model (bytes/pretok/gpt2 " +
+          "tiers); the a-z tier has no public interchange form"))
+    }
+    def esc(tok: String): String = tok.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case c => c.toString
+    }
+    val mt = new java.lang.StringBuilder("#version: 0.2\n")
+    merges.foreach { case (_, l, r, _, _) =>
+      mt.append(hexToVisible(l)).append(' ')
+        .append(hexToVisible(r)).append('\n')
+    }
+    Files.write(Paths.get(mergesPath),
+      mt.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val entries = scala.collection.mutable.LinkedHashMap.empty[String, Int]
+    (0 until 256).foreach { b =>
+      entries.put(hexToVisible(
+        new String(Array(HexDigits(b >>> 4), HexDigits(b & 0xf)))), b)
+    }
+    for ((round, _, _, m, _) <- merges) {
+      val tok = hexToVisible(m)
+      if (!entries.contains(tok)) entries.put(tok, 255 + round.toInt)
+    }
+    val json = entries
+      .map { case (tok, id) => "\"" + esc(tok) + "\": " + id }
+      .mkString("{\n", ",\n", "\n}")
+    Files.write(Paths.get(vocabPath),
+      json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+  }
+
   /** The imported vocabulary of `version` (hex symbol → released id),
     * or None for an in-engine-trained version (no `_vocab.tsv`). */
   def loadVocab(dir: String, version: Long): Option[Map[String, Int]] = {

@@ -155,6 +155,64 @@ class Round13ImportSpec extends AnyFunSuite {
     assert(released.contains("9001"), released)
   }
 
+  test("export closes the interchange round-trip: import∘export serves bit-identical ids; a-z models refuse") {
+    val s = spark
+    import s.implicits._
+    // an in-engine byte-level model: one merge (61,62 → 6162)
+    val native = Seq((1L, "61", "62", "6162", 7L))
+    val root = Files.createTempDirectory("graft-bpeexp").toString
+    BpeModel.save(spark, native, root)
+    val d = Files.createTempDirectory("graft-bpeexpout").toString
+    BpeModel.exportMerges(spark, root, s"$d/merges.txt", s"$d/vocab.json")
+    // the exported files parse back to the same merge table (pair_freq
+    // is not part of the interchange format — 0 on re-import)
+    val root2 = Files.createTempDirectory("graft-bpeexp2").toString
+    BpeModel.importMerges(spark, s"$d/merges.txt", s"$d/vocab.json", root2)
+    val re = BpeModel.loadVersion(spark, root2, BpeModel.versions(root2).last)
+    assert(re === Seq((1L, "61", "62", "6162", 0L)))
+    // the exported vocab IS the engine id scheme: the explicit-vocab
+    // kernel path emits the SAME ids the native gpt2 path does
+    val vocab = BpeModel.loadVocab(root2, BpeModel.versions(root2).last).get
+    assert(vocab("61") === 0x61 && vocab("6162") === 256)
+    val text = Seq("ab cab").toDF("t")
+    val nat = text.select(graft.exprs.functions
+      .bpe_encode_gpt2_ids(col("t"), native).as("ids")).head().getSeq[Int](0)
+    val imp = text.select(graft.exprs.functions
+      .bpe_encode_imported_ids(col("t"), re, vocab).as("ids"))
+      .head().getSeq[Int](0)
+    assert(imp === nat,
+      "import∘export must serve bit-identical ids to the native path")
+    // a-z-alphabet models have no byte-level interchange form — refuse
+    val azRoot = Files.createTempDirectory("graft-bpeaz").toString
+    BpeModel.save(spark, Seq((1L, "a", "b", "ab", 3L)), azRoot)
+    val ex = intercept[IllegalArgumentException] {
+      BpeModel.exportMerges(spark, azRoot, s"$d/az-m.txt", s"$d/az-v.json")
+    }
+    assert(ex.getMessage.contains("BYTE-alphabet"))
+  }
+
+  test("CLI tokenizer interchange: export-tokenizer then import-tokenizer round-trips through the shell surface") {
+    val native = Seq((1L, "61", "62", "6162", 7L))
+    val root = Files.createTempDirectory("graft-clixport").toString
+    BpeModel.save(spark, native, root)
+    val d = Files.createTempDirectory("graft-clixportout").toString
+    def run(args: String*): String = {
+      val out = new java.io.ByteArrayOutputStream()
+      Console.withOut(new java.io.PrintStream(out)) {
+        graft.cli.Main.main(args.toArray)
+      }
+      out.toString("UTF-8")
+    }
+    val e = run("export-tokenizer", root, s"$d/m.txt", s"$d/v.json")
+    assert(e.contains("exported"), e)
+    val root2 = Files.createTempDirectory("graft-clixport2").toString
+    val i = run("import-tokenizer", s"$d/m.txt", s"$d/v.json", root2)
+    assert(i.contains("(v=1)"), i)
+    val t = run("tokenize", root2, "imported", "ab", "ab")
+    // engine scheme exported: merge id = 255 + 1 = 256, space = 0x20
+    assert(t.contains(s"256 ${0x20} 256"), t)
+  }
+
   test("the fixture resource drives the oracle-gated entries end-to-end (sf0.001 smoke)") {
     val df = SparkEntry.queries("tokenize_bpe_ids_imported")(
       spark, "/root/testdata/sf0.001")
