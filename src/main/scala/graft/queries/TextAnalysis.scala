@@ -545,6 +545,43 @@ object TextAnalysis {
       .select("source", "n_docs", "q", "rate", "thr")
   }
 
+  /** The shared FFD kernel (round 13): deterministic first-fit-
+    * decreasing over (doc_id, bucket, n_tokens, n_eff) rows — visit
+    * order (n_eff DESC, doc_id) per bucket, first bin that fits in
+    * creation order, budget-sized bins. Emits (doc_id, bucket, seq,
+    * step, n_tokens, n_eff) where `step` is the per-bucket visit index
+    * (1-based) — the deterministic within-sequence order the token-
+    * materializing tier concatenates by. First-fit is the genuinely
+    * sequential per-group kernel (no window/join expresses it);
+    * flatMapSortedGroups streams each bucket sorted, with only the
+    * bin-remainder list as state. Buckets are the parallelism. */
+  private def ffdAssign(
+      s: SparkSession, d: DataFrame, budget: Long): DataFrame = {
+    import s.implicits._
+    d.select(col("doc_id").cast("long"), col("bucket").cast("long"),
+        col("n_tokens").cast("long"), col("n_eff").cast("long"))
+      .as[(Long, Long, Long, Long)]
+      .groupByKey(_._2)
+      .flatMapSortedGroups(col("n_eff").desc, col("doc_id")) { (bucket, it) =>
+        val rem = scala.collection.mutable.ArrayBuffer.empty[Long]
+        var step = 0L
+        it.map { case (docId, _, nTokens, nEff) =>
+          step += 1L
+          var i = 0
+          var fit = -1
+          while (fit < 0 && i < rem.length) {
+            if (rem(i) >= nEff) fit = i
+            i += 1
+          }
+          val seq =
+            if (fit >= 0) { rem(fit) -= nEff; fit + 1L }
+            else { rem += budget - nEff; rem.length.toLong }
+          (docId, bucket, seq, step, nTokens, nEff)
+        }
+      }
+      .toDF("doc_id", "bucket", "seq", "step", "n_tokens", "n_eff")
+  }
+
   /** corpus_gini in the DISTRIBUTED-RANK form: global ranks i over
     * (n, source) computed by range-partitioning on the sort key (range
     * partition order IS key order), ranking WITHIN partitions in
@@ -2187,6 +2224,48 @@ object TextAnalysis {
         .orderBy("bucket", "seq_id")
     },
 
+    // FFD packing at the TOKEN-ID tier (round 13): pack_best_fit's
+    // boundary-respecting assignment, MATERIALIZED as training rows of
+    // real ids — each doc contributes min(n_ids+1, L) ids (its prefix +
+    // one EOS; over-long docs truncate to a full row of their own),
+    // docs inside a sequence concatenate in the deterministic FFD visit
+    // order (step), the tail pads to L with PAD. The md5 pins every id
+    // of every training row; the oracle replays tokenize + FFD + the
+    // materialization end-to-end (the recursive-CTE FFD joined back to
+    // the token arrays). Per-sequence collect_list is bounded by L ids.
+    "pack_best_fit_tokens" -> { (s, dir) =>
+      val ids = tokenIdsOf(s, dir, learnBpeMergesCached(s, dir))
+        .select(col("doc_id").cast("long").as("doc_id"),
+          col("token_ids"))
+        .withColumn("bucket", (col("doc_id") % PackBuckets).cast("long"))
+        .withColumn("n_tokens", size(col("token_ids")).cast("long"))
+        .withColumn("n_eff",
+          least(col("n_tokens") + 1L, lit(TokenSeqLen.toLong)))
+      val assigned = ffdAssign(s,
+        ids.select("doc_id", "bucket", "n_tokens", "n_eff"),
+        TokenSeqLen.toLong)
+      assigned
+        .join(ids.select(col("doc_id"), col("token_ids")), "doc_id")
+        .withColumn("ids_doc", concat(
+          slice(col("token_ids"), lit(1), (col("n_eff") - 1L).cast("int")),
+          array(lit(BpeEosId))))
+        .groupBy("bucket", "seq")
+        .agg(count(lit(1)).as("n_docs"),
+          sort_array(collect_list(struct(col("step"), col("ids_doc"))))
+            .as("a"))
+        .withColumn("real_ids",
+          flatten(expr("transform(a, x -> x.ids_doc)")))
+        .withColumn("n_real", size(col("real_ids")).cast("long"))
+        .withColumn("n_pad", lit(TokenSeqLen.toLong) - col("n_real"))
+        .withColumn("ids_md5", md5(concat_ws(",",
+          concat(col("real_ids"),
+            array_repeat(lit(BpePadId), col("n_pad").cast("int")))
+            .cast("array<string>"))))
+        .select(col("bucket"), col("seq"), col("n_docs"),
+          col("n_real"), col("n_pad"), col("ids_md5"))
+        .orderBy("bucket", "seq")
+    },
+
     // BYTE-alphabet BPE training — the production-tokenizer alphabet: base
     // symbols are the UTF-8 bytes of raw whitespace words (uppercase hex
     // pairs in the symbol strings), so digits, punctuation, CASING, and
@@ -2749,37 +2828,20 @@ object TextAnalysis {
     // mapGroups-as-last-resort case — flatMapSortedGroups streams each
     // bucket in sorted order with nothing else materialized.
     "pack_best_fit" -> { (s, dir) =>
-      import s.implicits._
       val d = Tables(s, dir, "documents").filter(col("text").isNotNull)
         .select(col("doc_id").cast("long").as("doc_id"),
           (col("doc_id") % PackBuckets).cast("long").as("bucket"),
           size(toks(col("text"))).cast("long").as("n_tokens"))
         .withColumn("n_eff",
           least(col("n_tokens") + 1L, lit(PackBudget.toLong)))
-        .as[(Long, Long, Long, Long)]
-      val assigned = d.groupByKey(_._2)
-        .flatMapSortedGroups(col("n_eff").desc, col("doc_id")) { (bucket, it) =>
-          val rem = scala.collection.mutable.ArrayBuffer.empty[Long]
-          it.map { case (docId, _, nTokens, nEff) =>
-            var i = 0
-            var fit = -1
-            while (fit < 0 && i < rem.length) {
-              if (rem(i) >= nEff) fit = i
-              i += 1
-            }
-            val seq =
-              if (fit >= 0) { rem(fit) -= nEff; fit + 1L }
-              else { rem += PackBudget.toLong - nEff; rem.length.toLong }
-            (docId, bucket, seq, nTokens, nEff)
-          }
-        }
-        .toDF("doc_id", "bucket", "seq", "n_tokens", "n_eff")
-      assigned
+      ffdAssign(s, d, PackBudget.toLong)
         .withColumn("seq_used",
           sum(col("n_eff")).over(Window.partitionBy("bucket", "seq")))
         .withColumn("pad_frac",
           (lit(PackBudget.toLong) - col("seq_used")).cast("double")
             / lit(PackBudget.toDouble))
+        .select("doc_id", "bucket", "seq", "n_tokens", "n_eff",
+          "seq_used", "pad_frac")
         .orderBy("doc_id")
     },
 
@@ -3497,6 +3559,55 @@ object TextAnalysis {
          |  CAST(seq_id AS BIGINT) AS seq_id, n_real, n_pad,
          |  md5(array_to_string(ids, ',')) AS ids_md5
          |FROM pq ORDER BY bucket, seq_id""".stripMargin,
+
+    // tokenize replayed by the shared CTEs, then the FFD recursion
+    // (pack_best_fit's, budget = TokenSeqLen) joined back to the token
+    // arrays for the materialization — ids, order, and padding all pinned
+    "pack_best_fit_tokens" ->
+      s"""WITH RECURSIVE $bpeCtes,
+         |$tokenIdCtes,
+         |e AS (SELECT doc_id, doc_id % $PackBuckets AS bucket, tids,
+         |    LEAST(CAST(len(tids) AS BIGINT) + 1, $TokenSeqLen) AS n_eff,
+         |    CAST(row_number() OVER (PARTITION BY doc_id % $PackBuckets
+         |      ORDER BY LEAST(CAST(len(tids) AS BIGINT) + 1, $TokenSeqLen)
+         |        DESC, doc_id) AS BIGINT) AS step
+         |  FROM di),
+         |ffd AS (
+         |  SELECT bucket, step, doc_id, n_eff,
+         |    CAST(1 AS BIGINT) AS seq,
+         |    [$TokenSeqLen - n_eff] AS rem
+         |  FROM e WHERE step = 1
+         |  UNION ALL
+         |  SELECT e.bucket, e.step, e.doc_id, e.n_eff,
+         |    CASE WHEN coalesce(list_position(
+         |          list_transform(f.rem, r -> r >= e.n_eff), true), 0) > 0
+         |      THEN CAST(coalesce(list_position(
+         |          list_transform(f.rem, r -> r >= e.n_eff), true), 0)
+         |        AS BIGINT)
+         |      ELSE CAST(len(f.rem) + 1 AS BIGINT) END AS seq,
+         |    CASE WHEN coalesce(list_position(
+         |          list_transform(f.rem, r -> r >= e.n_eff), true), 0) > 0
+         |      THEN list_transform(range(1, len(f.rem) + 1),
+         |        i -> CASE WHEN i = coalesce(list_position(
+         |              list_transform(f.rem, r -> r >= e.n_eff), true), 0)
+         |          THEN f.rem[i] - e.n_eff ELSE f.rem[i] END)
+         |      ELSE list_append(f.rem, $TokenSeqLen - e.n_eff) END AS rem
+         |  FROM ffd f JOIN e ON e.bucket = f.bucket AND e.step = f.step + 1
+         |),
+         |md AS (SELECT f.bucket, f.seq, f.step,
+         |    list_concat(list_slice(e.tids, 1, CAST(f.n_eff - 1 AS INT)),
+         |      [$BpeEosId]) AS ids_doc
+         |  FROM ffd f JOIN e ON e.bucket = f.bucket AND e.step = f.step),
+         |sq AS (SELECT bucket, seq, CAST(count(*) AS BIGINT) AS n_docs,
+         |    flatten(list(ids_doc ORDER BY step)) AS real_ids
+         |  FROM md GROUP BY 1, 2)
+         |SELECT CAST(bucket AS BIGINT) AS bucket, seq, n_docs,
+         |  CAST(len(real_ids) AS BIGINT) AS n_real,
+         |  CAST($TokenSeqLen - len(real_ids) AS BIGINT) AS n_pad,
+         |  md5(array_to_string(list_concat(real_ids,
+         |    list_transform(range($TokenSeqLen - len(real_ids)),
+         |      x -> $BpePadId)), ',')) AS ids_md5
+         |FROM sq ORDER BY bucket, seq""".stripMargin,
 
     "train_bpe_bytes" -> trainBpeBytesSql,
 

@@ -137,6 +137,29 @@ class Round13PlanSpec extends AnyFunSuite {
       s"FFD pad $ffdPad must beat the per-doc baseline $basePad")
   }
 
+  test("pack_best_fit_tokens: training rows are exactly L ids, docs never straddle, padding beats the per-doc chunk baseline") {
+    val rows = SparkEntry.queries("pack_best_fit_tokens")(
+      spark, "/root/testdata/sf0.001").collect()
+    assert(rows.nonEmpty)
+    val L = 128L
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_real") + r.getAs[Long]("n_pad") === L,
+        "every materialized training row is exactly L ids")
+      assert(r.getAs[Long]("n_real") >= 1L && r.getAs[Long]("n_real") <= L)
+    }
+    // every tokenized doc lands in exactly one sequence
+    val nDocs = rows.map(_.getAs[Long]("n_docs")).sum
+    val tokenized = SparkEntry.queries("tokenize_bpe_ids")(
+      spark, "/root/testdata/sf0.001").count()
+    assert(nDocs === tokenized)
+    // FFD padding strictly beats one-padded-row-per-doc
+    val ffdPad = rows.map(_.getAs[Long]("n_pad")).sum
+    assert(ffdPad < tokenized * (L - 1L),
+      "packing must beat the trivial per-doc baseline by construction")
+    assert(rows.length.toLong * L ===
+      rows.map(_.getAs[Long]("n_real")).sum + ffdPad)
+  }
+
   test("mix_temperature keeps its exact-audit semantics through the integer-sum form (20-source gate corpus)") {
     // the sf oracle gates bit-exactness; this pins the algebra wiring:
     // per-source n_kept counts docs whose u32 clears the threshold
