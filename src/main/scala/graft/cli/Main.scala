@@ -321,14 +321,22 @@ object Main {
     // verdict's "rebuild" calls for — refit coarse + codebooks as one
     // staged crash-safe generation, carry the pinned rotation, fresh
     // baseline; prints the post-rebuild verdict
-    case Seq("rebuild", idxDir) =>
+    case "rebuild" +: idxDir +: rest if rest.length <= 1 =>
       if (!java.nio.file.Files.isDirectory(
           java.nio.file.Paths.get(idxDir, "cells"))) {
         System.err.println(s"rebuild: $idxDir is not a vector index (cells/)")
         sys.exit(2)
       }
-      val rep = graft.operators.IvfIndex.rebuild(spark(), idxDir)
-      println(f"rebuilt: corpus mean_resid_norm=${rep.meanResidNorm}%.6f " +
+      // optional sizing: keep k (default), `auto` = the √n IVF sizing,
+      // or an explicit cell count
+      val k = rest.headOption match {
+        case Some("auto") => graft.operators.IvfIndex.AutoK
+        case Some(n) => n.toInt
+        case None => 0
+      }
+      val rep = graft.operators.IvfIndex.rebuild(spark(), idxDir, k = k)
+      println(s"rebuilt: cells=${rep.perCell.length} " +
+        f"corpus mean_resid_norm=${rep.meanResidNorm}%.6f " +
         s"verdict=${rep.verdict}")
 
     // extension (no reference analog): tokenizer-model interchange —
@@ -372,7 +380,7 @@ object Main {
           "tokenize <modeldir> az|bytes|pretok|gpt2|imported <text>...|" +
           "scan <kw1,kw2,...> <text>...|" +
           "delete <indexdir> <id>...|gc <indexdir>|drift <indexdir>|" +
-          "rebuild <indexdir>|" +
+          "rebuild <indexdir> [auto|k]|" +
           "export-tokenizer <modeldir> <merges.txt> <vocab.json>|" +
           "import-tokenizer <merges.txt> <vocab.json> <modeldir>|" +
           "import <nativefile> <dir>")

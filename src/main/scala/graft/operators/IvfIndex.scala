@@ -409,7 +409,11 @@ object IvfIndex {
     * ([[recoverSwapRoot]]), and plain readers inside the window fall
     * back to the consistent `.old` generation.
     *
-    * @param k new cell count; 0 keeps the current one
+    * @param k new cell count; 0 keeps the current one, [[AutoK]] resizes
+    *          to the standard √n IVF sizing ([[sqrtK]]) — the re-size a
+    *          corpus grown under appendVectors is due exactly when its
+    *          rebuild runs (upserts never change k, so cells of a
+    *          100×-grown index are 100× over-long until the refit)
     * @return the POST-rebuild [[DriftReport]] (fresh baseline ⇒ a
     *         successful heal reads `"ok"`) */
   def rebuild(
@@ -423,7 +427,10 @@ object IvfIndex {
         java.nio.file.Paths.get(dir, "pq_codes"))
       val pq = if (hasPq) Some(PqIndex.load(spark, dir)) else None
       val idx = pq.map(_.coarse).getOrElse(load(spark, dir))
-      val kk = if (k > 0) k else idx.k
+      val kk =
+        if (k > 0) k
+        else if (k == AutoK) sqrtK(idx.assignments.count())
+        else idx.k
       // the index's own vectors, already in the index frame (a rotated
       // dir stores rotated vectors)
       val emb = idx.assignments.select("vec_id", "v", "nrm")
@@ -602,6 +609,20 @@ object IvfIndex {
       baselineResidNorm: Option[Double],
       baselineGap: Option[Double],
       verdict: String)
+
+  /** [[rebuild]] k sentinel: resize the coarse quantizer to [[sqrtK]]. */
+  val AutoK: Int = -1
+
+  /** The standard IVF coarse sizing, k ≈ √n: cells of ~√n vectors each
+    * balance the probe's two costs (k-sized centroid ranking vs
+    * nProbe·(n/k)-sized list scans) — the sizing SCALING.md's corpus-
+    * probe analysis assumes. Clamped to a sane band; trainTarget bounds
+    * how many distinct centroids a fit can actually support, so the
+    * effective k also never exceeds the sample (fitLloyd degrades
+    * gracefully). */
+  def sqrtK(n: Long, minK: Int = 2, maxK: Int = 65536): Int =
+    math.max(minK, math.min(maxK,
+      math.ceil(math.sqrt(math.max(n, 1L).toDouble)).toInt))
 
   /** mean_resid_norm trip factor vs baseline (primary trigger). */
   val ResidTripFactor = 1.5

@@ -344,5 +344,26 @@ class AnnPqSpec extends AnyFunSuite {
       "the maintenance entry must heal the torn root swap")
     assert(probeNow() === probe1,
       "the healed index must serve the same bits")
+
+    // √n AUTO-SIZING: a corpus grown under appendVectors keeps its old
+    // k until the rebuild — AutoK re-sizes the coarse quantizer to the
+    // standard IVF sizing, and exhaustive-probe deep rerank (exact by
+    // construction) is refit-invariant through the re-size
+    def exhaustive(): Seq[(Long, Long, Int, Double)] = {
+      val ix = PqIndex.load(spark, dir)
+      PqIndex.adcProbe(ix, queries, nProbe = ix.coarse.k, topK = 3,
+          rerank = (nBase + nRest).toInt)
+        .collect()
+        .map(x => (x.getLong(0), x.getLong(1), x.getInt(2), x.getDouble(3)))
+        .sortBy(t => (t._1, t._3)).toSeq
+    }
+    val exBefore = exhaustive()
+    val post4 = PqIndex.rebuild(spark, dir, k = IvfIndex.AutoK)
+    assert(post4.verdict === "ok")
+    assert(PqIndex.load(spark, dir).coarse.k ===
+      IvfIndex.sqrtK(nBase + nRest),
+      "AutoK must re-size the coarse quantizer to the √n sizing")
+    assert(exhaustive() === exBefore,
+      "exhaustive-probe deep rerank must be refit-invariant")
   }
 }
