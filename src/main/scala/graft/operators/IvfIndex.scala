@@ -863,7 +863,36 @@ object IvfIndex {
       idx: IvfIndex,
       queries: DataFrame,
       nProbe: Int,
-      topK: Int): DataFrame = {
+      topK: Int): DataFrame = probeImpl(idx, queries, nProbe, topK, None)
+
+  /** FILTERED vector search (round 13): [[probe]] with candidates
+    * restricted to the ids in `allowed` (one `vec_id` column) — the
+    * metadata-predicate serving feature ("neighbors among the vectors
+    * predicate P allows"). POST-FILTER-THEN-RANK semantics: the
+    * semi-join runs on the probed cells' rows BEFORE ranking, so topK
+    * survivors return per query however selective the predicate is (no
+    * over-fetch dance), and the scan still touches only ~nProbe/k of
+    * the data — the filter composes with cell pruning instead of
+    * defeating it. At exhaustive probes (nProbe = k) the result is
+    * EXACTLY the filtered brute-force ranking — the oracle-gated
+    * entry's configuration; smaller nProbe is the usual recall/cost
+    * dial. At 100 TB, pass `allowed` as a relation keyed by vec_id
+    * (attribute table or pre-materialized predicate) — the semi-join
+    * broadcasts when small and AQE handles the rest. */
+  def probeFiltered(
+      idx: IvfIndex,
+      queries: DataFrame,
+      allowed: DataFrame,
+      nProbe: Int,
+      topK: Int): DataFrame =
+    probeImpl(idx, queries, nProbe, topK, Some(allowed))
+
+  private def probeImpl(
+      idx: IvfIndex,
+      queries: DataFrame,
+      nProbe: Int,
+      topK: Int,
+      allowed: Option[DataFrame]): DataFrame = {
     val spark = queries.sparkSession
     import spark.implicits._
     val qRows = queries
@@ -883,10 +912,14 @@ object IvfIndex {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("q_id"))
       .orderBy(col("cosine").desc, col("n_id"))
-    idx.assignments
+    val cells = idx.assignments
       .filter(col("cell").isin(probedCells: _*))
       .select(col("vec_id").as("n_id"), col("cell"),
         col("v").as("nv"), col("nrm"))
+    val cand = allowed.fold(cells)(a =>
+      cells.join(a.select(col("vec_id").as("n_id")), Seq("n_id"),
+        "left_semi"))
+    cand
       .join(broadcast(probes), Seq("cell"))
       .filter(col("n_id") =!= col("q_id"))
       .withColumn("cosine",

@@ -368,6 +368,27 @@ object Similarity {
         .orderBy("q_id", "rank")
     },
 
+    // FILTERED vector search over the PERSISTED index (round 13): top-k
+    // among the vectors a metadata predicate allows (label % 2 = 0) —
+    // post-filter-then-rank as a semi-join on the probed cells
+    // ([[graft.operators.IvfIndex.probeFiltered]]), so the predicate
+    // composes with partition pruning and needs no over-fetch. Run
+    // EXHAUSTIVE (nProbe = k) the result is exactly the filtered
+    // brute-force ranking — which is what makes this entry ORACLE-EXACT
+    // while still exercising the persisted load + filter + rank serving
+    // path; smaller nProbe is the usual recall/cost dial (spec'd).
+    "ann_filtered_persisted" -> { (s, dir) =>
+      val idx = graft.operators.IvfIndex.load(s, ensureIndex(s, dir))
+      val e = Tables(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") < NumQueries)
+        .select(col("vec_id").as("q_id"),
+          col("embedding").cast("array<double>").as("qv"))
+      val allowed = e.filter(col("label") % 2 === 0).select("vec_id")
+      graft.operators.IvfIndex.probeFiltered(idx, q, allowed,
+          nProbe = idx.k, topK = TopK)
+        .orderBy("q_id", "rank")
+    },
+
     // IVF-PQ ([[graft.operators.PqIndex]]): the memory-bounded ANN rung —
     // coarse cells + residual-quantized codes (PqM bytes/vector), ADC
     // lookup-table scan that never reads a float vector, then an exact
@@ -615,6 +636,26 @@ object Similarity {
          |    row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, n_id) AS rank
          |  FROM scored)
          |SELECT q_id, label, n_id, rank, cosine FROM ranked
+         |WHERE rank <= $TopK ORDER BY q_id, rank""".stripMargin,
+
+    // exhaustive probes make the persisted filtered search the exact
+    // filtered brute-force ranking — restated directly
+    "ann_filtered_persisted" ->
+      s"""WITH e AS (SELECT vec_id, label,
+         |    CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |q AS (SELECT vec_id AS q_id, v AS qv FROM e
+         |  WHERE vec_id < $NumQueries),
+         |a AS (SELECT vec_id, v FROM e WHERE label % 2 = 0),
+         |scored AS (
+         |  SELECT q.q_id, a.vec_id AS n_id,
+         |    ${cosineSql("q.qv", "a.v")} AS cosine
+         |  FROM a CROSS JOIN q WHERE a.vec_id <> q.q_id),
+         |ranked AS (
+         |  SELECT q_id, n_id, cosine,
+         |    row_number() OVER (PARTITION BY q_id
+         |      ORDER BY cosine DESC, n_id) AS rank
+         |  FROM scored)
+         |SELECT q_id, n_id, rank, cosine FROM ranked
          |WHERE rank <= $TopK ORDER BY q_id, rank""".stripMargin,
 
     "emb_pq_codes" ->

@@ -75,6 +75,61 @@ class IvfIndexSpec extends AnyFunSuite {
       s"cell filter must reach PartitionFilters:\n${scans.mkString("\n")}")
   }
 
+  test("probeFiltered: results ⊆ allowed; exhaustive = filtered brute force; selective nProbe keeps the filter and prunes") {
+    val s = spark
+    import s.implicits._
+    val (idx, _) = saved
+    val all = graft.util.Tables(spark, dir, "embeddings")
+    val allowedIds = all.filter(col("label") % 2 === 0)
+      .select("vec_id").as[Long].collect().toSet
+    val q = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"))
+    val allowed = all.filter(col("label") % 2 === 0).select("vec_id")
+
+    // exhaustive: exactly the filtered brute force, bit for bit
+    val got = IvfIndex.probeFiltered(idx, q, allowed, nProbe = idx.k, topK = 5)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
+      .sortBy(t => (t._1, t._3)).toSeq
+    val brute = {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("q_id")).orderBy(col("cosine").desc, col("n_id"))
+      emb.withColumn("nrm", graft.queries.Similarity.norm(col("v")))
+        .filter(col("vec_id").isin(allowedIds.toSeq: _*))
+        .select(col("vec_id").as("n_id"), col("v").as("nv"), col("nrm"))
+        .crossJoin(broadcast(q.withColumn("qnrm",
+          graft.queries.Similarity.norm(col("qv")))))
+        .filter(col("n_id") =!= col("q_id"))
+        .withColumn("cosine", graft.queries.Similarity.cosinePre(
+          col("qv"), col("nv"), col("qnrm"), col("nrm")))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 5)
+        .select("q_id", "n_id", "rank", "cosine")
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
+        .sortBy(t => (t._1, t._3)).toSeq
+    }
+    assert(got === brute,
+      "exhaustive filtered probe must BE the filtered brute force")
+    assert(got.forall(t => allowedIds.contains(t._2)),
+      "no result may escape the predicate")
+
+    // selective probes: still only allowed ids, full topK per query
+    // (post-filter-then-rank — selectivity can't starve the answer),
+    // recall vs the filtered truth at the usual nProbe floor
+    val sel = IvfIndex.probeFiltered(idx, q, allowed, nProbe = 2, topK = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(sel.forall(t => allowedIds.contains(t._2)))
+    assert(sel.groupBy(_._1).forall(_._2.length == 5),
+      "each query keeps a full topK after the filter")
+    val truth = brute.groupBy(_._1).view.mapValues(_.map(_._2).toSet)
+    val recall = sel.groupBy(_._1).map { case (qid, rows) =>
+      rows.map(_._2).toSet.intersect(truth(qid)).size.toDouble / 5.0
+    }
+    assert(recall.sum / recall.size >= 0.4,
+      s"filtered selective-probe recall floor: $recall")
+  }
+
   test("appendVectors: upsert without refit; exhaustive probe = brute force over the union") {
     val half = emb.filter(col("vec_id") % 2 === 0)
     val rest = emb.filter(col("vec_id") % 2 === 1)
