@@ -408,12 +408,37 @@ object PqIndex {
     * the true top-k, not order it. Read amplification is `rerank` raw
     * vectors per query (point reads against the cell-pruned lists) — the
     * scan side still never touches a float. */
+  /** [[adcProbe]] with candidates restricted to the ids in `allowed` —
+    * [[IvfIndex.probeFiltered]]'s semantics on the PQ tier: the
+    * semi-join runs on the CODES relation of the probed cells before
+    * the ADC ranking (8 B/candidate survives the filter, never a float),
+    * and the exact re-rank reads only surviving shortlist rows. At
+    * exhaustive probes with a shortlist ≥ the allowed count the result
+    * is the exact filtered ranking (spec'd). */
+  def adcProbeFiltered(
+      idx: PqIndex,
+      queriesRaw: DataFrame,
+      allowed: DataFrame,
+      nProbe: Int,
+      topK: Int,
+      rerank: Int = 0): DataFrame =
+    adcProbeImpl(idx, queriesRaw, nProbe, topK, rerank, Some(allowed))
+
   def adcProbe(
       idx: PqIndex,
       queriesRaw: DataFrame,
       nProbe: Int,
       topK: Int,
-      rerank: Int = 0): DataFrame = {
+      rerank: Int = 0): DataFrame =
+    adcProbeImpl(idx, queriesRaw, nProbe, topK, rerank, None)
+
+  private def adcProbeImpl(
+      idx: PqIndex,
+      queriesRaw: DataFrame,
+      nProbe: Int,
+      topK: Int,
+      rerank: Int,
+      allowed: Option[DataFrame]): DataFrame = {
     // same boundary rotation as [[probeAll]] — applied IN-PLAN with the
     // same MatVec kernel the corpus was rotated with, so query and
     // corpus arithmetic are bit-identical
@@ -466,10 +491,14 @@ object PqIndex {
       .orderBy(col("adc_cosine").desc, col("n_id"))
     // the candidate side reads CODES ONLY (8 bytes of codes + one norm per
     // vector): the ADC sum is m element_at lookups into the broadcast LUT
-    val adcRanked = idx.codes
+    val codeCells = idx.codes
       .filter(col("cell").isin(probedCells: _*))
       .select(col("vec_id").as("n_id"), col("cell"), col("nrm"),
         col("codes"))
+    val codeCand = allowed.fold(codeCells)(a =>
+      codeCells.join(a.select(col("vec_id").as("n_id")), Seq("n_id"),
+        "left_semi"))
+    val adcRanked = codeCand
       .join(broadcast(probes), Seq("cell"))
       .filter(col("n_id") =!= col("q_id"))
       .withColumn("adc_dot",

@@ -366,4 +366,44 @@ class AnnPqSpec extends AnyFunSuite {
     assert(exhaustive() === exBefore,
       "exhaustive-probe deep rerank must be refit-invariant")
   }
+
+  test("adcProbeFiltered: the PQ serving path under a metadata predicate — subset semantics, exhaustive+deep = exact filtered ranking") {
+    import graft.operators.IvfIndex
+    val all = graft.util.Tables(spark, sfDir, "embeddings")
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-pqfilter").toString
+    PqIndex.build(emb, m = 8, kCodes = 16, coarseK = 4).save(dir)
+    val idx = PqIndex.load(spark, dir)
+    val allowedIds = {
+      import org.apache.spark.sql.functions.col
+      all.filter(col("label") % 2 === 0).select("vec_id")
+        .collect().map(_.getLong(0)).toSet
+    }
+    val allowed = all.filter(col("label") % 2 === 0).select("vec_id")
+    val queries = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"))
+    val n = emb.count().toInt
+    val got = PqIndex.adcProbeFiltered(idx, queries, allowed,
+        nProbe = idx.coarse.k, topK = 5, rerank = n)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
+      .sortBy(t => (t._1, t._3)).toSeq
+    assert(got.forall(t => allowedIds.contains(t._2)),
+      "no PQ result may escape the predicate")
+    // the coarse tier's exhaustive filtered probe IS the exact filtered
+    // ranking (IvfIndexSpec pins that against brute force); the PQ path
+    // at exhaustive probes + corpus-deep rerank must agree bit-for-bit
+    val want = IvfIndex.probeFiltered(idx.coarse, queries, allowed,
+        nProbe = idx.coarse.k, topK = 5)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
+      .sortBy(t => (t._1, t._3)).toSeq
+    assert(got === want)
+    // selective: still never escapes, full topK per query
+    val sel = PqIndex.adcProbeFiltered(idx, queries, allowed,
+        nProbe = 2, topK = 5, rerank = 20)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(sel.forall(t => allowedIds.contains(t._2)))
+    assert(sel.groupBy(_._1).forall(_._2.length == 5))
+  }
 }
