@@ -136,6 +136,7 @@ object BpeModel {
     * the model). */
   private[graft] def parseMergesTxt(text: String): Merges =
     text.linesIterator
+      .map(_.stripSuffix("\r")) // tolerate CRLF releases
       .filter(l => l.nonEmpty && !l.startsWith("#"))
       .zipWithIndex
       .map { case (l, i) =>
