@@ -881,6 +881,37 @@ object Dedup {
     // STRINGS: the join key is the 8-byte xxhash64, same trick as
     // dedup_ngram_jaccard (equal sets modulo ~2⁻⁶⁴ collisions; the oracle
     // joins the strings themselves).
+    // SEMANTIC decontamination (round 13): the embedding-level leakage
+    // check the n-gram family cannot do — a benchmark item paraphrased
+    // into the training corpus shares no shingles but sits next to it in
+    // embedding space. Per corpus vector: how many benchmark vectors it
+    // clears the cosine threshold against, and the worst offender's
+    // cosine (every cosine is the pinned fold, max over identical sets —
+    // bit-exact both engines). Benchmark = a deterministic corpus slice
+    // (vec_id % 16 = 7), the decontaminate_ngram convention. Scale
+    // shape: benchmark suites are SMALL by nature — broadcast once, one
+    // corpus scan, filter-before-group so the shuffle carries only the
+    // (rare) hits; a corpus-scale benchmark would ride the
+    // dedup_semantic_pq index path instead.
+    "decontaminate_semantic" -> { (s, dir) =>
+      val e = Tables(s, dir, "embeddings")
+        .select(col("vec_id"),
+          col("embedding").cast("array<double>").as("v"))
+        .withColumn("nrm", Similarity.norm(col("v")))
+      val bench = e.filter(col("vec_id") % 16 === 7)
+        .select(col("vec_id").as("b_id"), col("v").as("bv"),
+          col("nrm").as("bn"))
+      e.filter(col("vec_id") % 16 =!= 7)
+        .crossJoin(broadcast(bench))
+        .withColumn("cosine", Similarity.cosinePre(
+          col("v"), col("bv"), col("nrm"), col("bn")))
+        .filter(col("cosine") >= 0.4)
+        .groupBy("vec_id")
+        .agg(count(lit(1)).as("n_bench_hits"),
+          max(col("cosine")).as("max_cos"))
+        .orderBy("vec_id")
+    },
+
     "decontaminate_ngram" -> { (s, dir) =>
       val sh = shingleHashes(s, dir)
         .withColumn("n_shingles",
@@ -1644,6 +1675,21 @@ object Dedup {
          |FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
          |WHERE ${Similarity.cosineSql("a.v", "b.v")} >= 0.4
          |ORDER BY vec_a, vec_b""".stripMargin,
+
+    // benchmark slice vs corpus, pinned-fold cosines, max/count exact
+    "decontaminate_semantic" ->
+      s"""WITH e AS (SELECT vec_id,
+         |    CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |b AS (SELECT vec_id AS b_id, v AS bv FROM e
+         |  WHERE vec_id % 16 = 7),
+         |c AS (SELECT vec_id, v FROM e WHERE vec_id % 16 <> 7),
+         |hits AS (SELECT c.vec_id,
+         |    ${Similarity.cosineSql("c.v", "b.bv")} AS cosine
+         |  FROM c CROSS JOIN b
+         |  WHERE ${Similarity.cosineSql("c.v", "b.bv")} >= 0.4)
+         |SELECT vec_id, CAST(count(*) AS BIGINT) AS n_bench_hits,
+         |  max(cosine) AS max_cos
+         |FROM hits GROUP BY 1 ORDER BY vec_id""".stripMargin,
 
     "decontaminate_ngram" ->
       s"""WITH sh AS ($shinglesSql),

@@ -988,6 +988,56 @@ object StreamOps {
       }), lit(false)))
   }
 
+  /** Ceiling for [[decontaminateSemanticStream]]'s plan-literal
+    * benchmark: beyond it the embedded vectors ride every serialized
+    * task (the streaming-Bloom discipline) — and per-row cost is one
+    * cosine per benchmark row, so a corpus-scale "benchmark" belongs on
+    * the batch decontaminate_semantic / dedup_semantic_pq paths. */
+  private val MaxStreamBenchRows = 4096
+
+  /** Streaming SEMANTIC decontamination (round 13): the embedding-level
+    * leakage check at ingest — each arriving document's embedding is
+    * scored against the (small, static) benchmark set, and every
+    * benchmark item it clears `tau` against emits a hit row
+    * (vec_id, b_id, cosine). STATELESS: the benchmark embeds as a plan
+    * literal (bounded by [[MaxStreamBenchRows]]), the per-row work is a
+    * projection, no aggregation state anywhere — append-safe without a
+    * watermark. The cosine is the SAME cosinePre expression the batch
+    * entry plans, over the same per-vector norms, so stream hits and
+    * the batch entry's pre-aggregation hits are bit-identical
+    * (StreamingSpec replays the corpus and pins it; the batch entry's
+    * per-doc (n_bench_hits, max_cos) aggregate is exactly a group-by
+    * over these rows). Emitting the OFFENDER id is the ingest-side
+    * bonus the batch audit aggregates away. */
+  def decontaminateSemanticStream(
+      docs: DataFrame, idCol: String, vecCol: String,
+      bench: DataFrame, benchIdCol: String, benchVecCol: String,
+      tau: Double): DataFrame = {
+    import graft.queries.Similarity
+    val bRows = bench
+      .select(col(benchIdCol).cast("long").as("b_id"),
+        col(benchVecCol).cast("array<double>").as("bv"))
+      .withColumn("bn", Similarity.norm(col("bv")))
+      .collect()
+      .sortBy(_.getLong(0))
+      .map(r => (r.getLong(0), r.getSeq[Double](1), r.getDouble(2)))
+    require(bRows.length > 0, "empty benchmark set")
+    require(bRows.length <= MaxStreamBenchRows,
+      s"benchmark has ${bRows.length} rows — beyond the " +
+        s"$MaxStreamBenchRows plan-literal ceiling; use the batch " +
+        "decontaminate_semantic (broadcast relation) instead")
+    val benchLit = typedLit(bRows.toSeq)
+    docs
+      .select(col(idCol).cast("long").as("vec_id"),
+        col(vecCol).cast("array<double>").as("v"))
+      .withColumn("nrm", Similarity.norm(col("v")))
+      .withColumn("b", explode(benchLit))
+      .withColumn("cosine", Similarity.cosinePre(
+        col("v"), col("b._2"), col("nrm"), col("b._3")))
+      .filter(col("cosine") >= tau)
+      .select(col("vec_id"), col("b._1").as("b_id"), col("cosine"))
+  }
+
   /** Streaming SPAN dedup — the last batch/stream asymmetry closed: the
     * batch dedup_span_exact needs corpus-wide chunk counts, which no
     * bounded stream state can hold exactly, so the twin flags repeated

@@ -1646,6 +1646,57 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("decontaminateSemanticStream: ingest-side hits are bit-identical to the batch entry's pre-aggregation hits") {
+    val sparkS = spark
+    import sparkS.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import org.apache.spark.sql.functions._
+    val sfDir = "/root/testdata/sf0.001"
+    val e = graft.util.Tables(spark, sfDir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val bench = e.filter(col("vec_id") % 16 === 7)
+    val corpusRows = e.filter(col("vec_id") % 16 =!= 7)
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1))).toSeq
+    // batch truth: the decontaminate_semantic hit set BEFORE aggregation
+    val tau = 0.3 // sf0.001 is small; a lower tau keeps the set non-trivial
+    val nrm = graft.queries.Similarity.norm(col("v"))
+    val want = e.filter(col("vec_id") % 16 =!= 7)
+      .withColumn("nrm", nrm)
+      .crossJoin(broadcast(bench
+        .select(col("vec_id").as("b_id"), col("v").as("bv"))
+        .withColumn("bn", graft.queries.Similarity.norm(col("bv")))))
+      .withColumn("cosine", graft.queries.Similarity.cosinePre(
+        col("v"), col("bv"), col("nrm"), col("bn")))
+      .filter(col("cosine") >= tau)
+      .select("vec_id", "b_id", "cosine")
+      .as[(Long, Long, Double)].collect().toSet
+    assert(want.nonEmpty, "the fixture must produce hits at this tau")
+    val mem = MemoryStream[(Long, Seq[Double])]
+    val q = graft.streaming.StreamOps.decontaminateSemanticStream(
+        mem.toDF().toDF("vec_id", "v"), "vec_id", "v",
+        bench, "vec_id", "v", tau)
+      .writeStream.format("memory").queryName("semdecon")
+      .outputMode("append").start()
+    try {
+      val (h1, h2) = corpusRows.splitAt(corpusRows.length / 2)
+      mem.addData(h1: _*); q.processAllAvailable()
+      mem.addData(h2: _*); q.processAllAvailable()
+      val got = spark.table("semdecon")
+        .as[(Long, Long, Double)].collect().toSet
+      assert(got === want,
+        "stream hits must equal the batch hit set bit-for-bit")
+    } finally q.stop()
+    // the plan-literal ceiling refuses oversized benchmarks loudly
+    val big = spark.range(5000).select(col("id").as("vec_id"),
+      array_repeat(lit(1.0), 4).as("v"))
+    val ex = intercept[IllegalArgumentException] {
+      graft.streaming.StreamOps.decontaminateSemanticStream(
+        mem.toDF().toDF("vec_id", "v"), "vec_id", "v",
+        big, "vec_id", "v", tau)
+    }
+    assert(ex.getMessage.contains("plan-literal ceiling"))
+  }
+
   test("FuzzyJoin.matchStream takes the DELETION path on a degenerate-alphabet catalog and matches batch matchJoin") {
     val sparkS = spark
     import sparkS.implicits._
