@@ -555,7 +555,7 @@ object TextAnalysis {
     * sequential per-group kernel (no window/join expresses it);
     * flatMapSortedGroups streams each bucket sorted, with only the
     * bin-remainder list as state. Buckets are the parallelism. */
-  private def ffdAssign(
+  private[graft] def ffdAssign(
       s: SparkSession, d: DataFrame, budget: Long): DataFrame = {
     import s.implicits._
     d.select(col("doc_id").cast("long"), col("bucket").cast("long"),

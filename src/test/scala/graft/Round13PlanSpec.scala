@@ -160,6 +160,48 @@ class Round13PlanSpec extends AnyFunSuite {
       rows.map(_.getAs[Long]("n_real")).sum + ffdPad)
   }
 
+  test("ffdAssign property: random corpora match a reference FFD simulation exactly") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(61)
+    for (trial <- 0 until 4) {
+      val budget = Seq(64L, 128L, 512L)(trial % 3)
+      val docs = (0 until 400).map { i =>
+        val n = 1L + rnd.nextInt(2 * budget.toInt)
+        (i.toLong, (i % 8).toLong, n, math.min(n + 1L, budget))
+      }
+      val got = graft.queries.TextAnalysis.ffdAssign(spark,
+          docs.toDF("doc_id", "bucket", "n_tokens", "n_eff"), budget)
+        .collect()
+        .map(r => r.getAs[Long]("doc_id") ->
+          (r.getAs[Long]("seq"), r.getAs[Long]("step")))
+        .toMap
+      // reference simulation: per bucket, (n_eff DESC, doc_id) order,
+      // first bin that fits in creation order
+      val want = docs.groupBy(_._2).flatMap { case (_, grp) =>
+        val rem = scala.collection.mutable.ArrayBuffer.empty[Long]
+        grp.sortBy(t => (-t._4, t._1)).zipWithIndex.map {
+          case ((docId, _, _, nEff), i) =>
+            val fit = rem.indexWhere(_ >= nEff)
+            val seq =
+              if (fit >= 0) { rem(fit) -= nEff; fit + 1L }
+              else { rem += budget - nEff; rem.length.toLong }
+            docId -> (seq, i + 1L)
+        }
+      }.toMap
+      assert(got === want, s"trial $trial budget $budget")
+      // invariants: no bin over-full, bins 1..max contiguous per bucket
+      docs.groupBy(_._2).foreach { case (b, grp) =>
+        val byBin = grp.groupBy(t => got(t._1)._1)
+        byBin.foreach { case (_, ds) =>
+          assert(ds.map(_._4).sum <= budget)
+        }
+        val bins = byBin.keySet
+        assert(bins === (1L to bins.max).toSet, s"bucket $b bins $bins")
+      }
+    }
+  }
+
   test("mix_temperature keeps its exact-audit semantics through the integer-sum form (20-source gate corpus)") {
     // the sf oracle gates bit-exactness; this pins the algebra wiring:
     // per-source n_kept counts docs whose u32 clears the threshold
