@@ -2195,6 +2195,33 @@ object TextAnalysis {
         .orderBy("doc_id")
     },
 
+    // JSONL ingestion round-trip (round 13): documents → gzip JSONL
+    // shards (the interchange format raw corpora actually arrive in —
+    // [[graft.sources.CorpusJsonl]]) → schema-pinned PERMISSIVE read →
+    // back. The oracle is the IDENTITY over the parquet table, so the
+    // gate proves the write+read boundary loses and alters nothing —
+    // newlines, unicode, nulls — md5 of the text included. The shard
+    // materialization is corpus-fingerprint-keyed and idempotent
+    // (_SUCCESS gates completeness, overwrite heals partial writes);
+    // an unreadable fingerprint just rewrites per run.
+    "jsonl_roundtrip" -> { (s, dir) =>
+      val d = Tables(s, dir, "documents")
+      val key = corpusKey(dir).map { ck =>
+        java.security.MessageDigest.getInstance("MD5")
+          .digest(ck.getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString.take(12)
+      }.getOrElse(java.util.UUID.randomUUID().toString.take(12))
+      val root = java.nio.file.Paths.get(
+        sys.props.getOrElse("java.io.tmpdir", "/tmp"),
+        s"graft-jsonl-$key")
+      if (!java.nio.file.Files.exists(root.resolve("_SUCCESS")))
+        graft.sources.CorpusJsonl.write(d, root.toString)
+      graft.sources.CorpusJsonl.read(s, root.toString)
+        .select(col("doc_id"), col("lang"), col("source"),
+          col("n_chars"), md5(col("text")).as("text_md5"))
+        .orderBy("doc_id")
+    },
+
     // Per-document token-id SEQUENCES — the end-to-end tokenizer output a
     // trainer actually consumes (tokenize_bpe's counts prove the merge
     // chain; this emits the real ids in document order — see [[tokenIdsOf]]
@@ -3665,6 +3692,12 @@ object TextAnalysis {
          |FROM (SELECT doc_id, $Gpt2TextSql AS rt
          |  FROM documents WHERE text IS NOT NULL)
          |WHERE rt <> '' ORDER BY doc_id""".stripMargin,
+
+    // identity over the parquet table: the JSONL boundary must lose and
+    // alter nothing
+    "jsonl_roundtrip" ->
+      """SELECT doc_id, lang, source, n_chars, md5(text) AS text_md5
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     // the fixture's merges + vocab inlined as VALUES; ids from the
     // released vocabulary for every symbol, bases included

@@ -160,6 +160,46 @@ class Round13PlanSpec extends AnyFunSuite {
       rows.map(_.getAs[Long]("n_real")).sum + ffdPad)
   }
 
+  test("CorpusJsonl: malformed lines quarantine — never a crash, never a silent drop; escapes round-trip") {
+    import graft.sources.CorpusJsonl
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-jsonlspec").toString
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(dir, "part-0.json"),
+      Seq(
+        """{"doc_id": 1, "text": "alpha", "lang": "en", "source": "s", "n_chars": 5}""",
+        """{"doc_id": 2, "text": "beta\nsecond line", "lang": "de", "source": "s", "n_chars": 16}""",
+        """{broken json""",
+        """{"text": "orphan without id", "lang": "en", "source": "s", "n_chars": 17}"""
+      ).mkString("\n").getBytes("UTF-8"))
+    val clean = CorpusJsonl.read(spark, dir).collect()
+    assert(clean.map(_.getAs[Long]("doc_id")).sorted.toSeq === Seq(1L, 2L))
+    assert(clean.find(_.getAs[Long]("doc_id") == 2L).get
+      .getAs[String]("text") === "beta\nsecond line",
+      "JSON escapes must decode to the real characters")
+    val rejects = CorpusJsonl.readCorrupt(spark, dir).collect()
+    assert(rejects.length === 2,
+      s"one parse failure + one id-less row quarantine: ${rejects.toSeq}")
+    assert(rejects.exists(r =>
+      !r.isNullAt(0) && r.getString(0).contains("{broken")),
+      "the raw malformed line must be preserved for the quarantine")
+    // and a full write→read round trip over the real corpus is the
+    // jsonl_roundtrip oracle gate; here just pin the gzip shard count =
+    // read parallelism contract
+    val d = spark.range(100).selectExpr("id AS doc_id",
+      "CAST(id AS STRING) AS text", "'en' AS lang", "'s' AS source",
+      "CAST(1 AS LONG) AS n_chars")
+    val out = java.nio.file.Files
+      .createTempDirectory("graft-jsonlgz").toString
+    CorpusJsonl.write(d, out, shards = 4)
+    val parts = new java.io.File(out).listFiles()
+      .count(f => f.getName.startsWith("part-") &&
+        f.getName.endsWith(".gz"))
+    assert(parts === 4, "gzip shards are the parallelism ceiling — " +
+      "the writer must honor the shard count")
+    assert(CorpusJsonl.read(spark, out).count() === 100L)
+  }
+
   test("ffdAssign property: random corpora match a reference FFD simulation exactly") {
     val s = spark
     import s.implicits._
