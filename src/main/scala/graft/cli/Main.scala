@@ -339,6 +339,22 @@ object Main {
         f"corpus mean_resid_norm=${rep.meanResidNorm}%.6f " +
         s"verdict=${rep.verdict}")
 
+    // extension (no reference analog): ingest a JSONL corpus into the
+    // engine's parquet documents layout — clean rows land, malformed
+    // lines quarantine under <out>/_rejects (never a crash, never a
+    // silent drop), both counts printed
+    case Seq("ingest-jsonl", inDir, outDir) =>
+      val s = spark()
+      val clean = graft.sources.CorpusJsonl.read(s, inDir)
+      clean.write.mode("overwrite").parquet(outDir)
+      val nClean = s.read.parquet(outDir).count()
+      val rejects = graft.sources.CorpusJsonl.readCorrupt(s, inDir)
+      val nBad = rejects.count()
+      if (nBad > 0)
+        rejects.write.mode("overwrite").json(s"$outDir/_rejects")
+      println(s"ingested $nClean documents into $outDir" +
+        (if (nBad > 0) s"; quarantined $nBad malformed lines" else ""))
+
     // extension (no reference analog): tokenizer-model interchange —
     // export a byte-alphabet BpeModel as the public merges.txt /
     // vocab.json pair (inverse of BpeModel.importMerges)
@@ -382,6 +398,7 @@ object Main {
           "delete <indexdir> <id>...|gc <indexdir>|drift <indexdir>|" +
           "rebuild <indexdir> [auto|k]|" +
           "export-tokenizer <modeldir> <merges.txt> <vocab.json>|" +
+          "ingest-jsonl <jsonldir> <parquetdir>|" +
           "import-tokenizer <merges.txt> <vocab.json> <modeldir>|" +
           "import <nativefile> <dir>")
       sys.exit(2)

@@ -200,6 +200,29 @@ class Round13PlanSpec extends AnyFunSuite {
     assert(CorpusJsonl.read(spark, out).count() === 100L)
   }
 
+  test("CLI ingest-jsonl: clean rows land as parquet, malformed lines quarantine, counts printed") {
+    val in = java.nio.file.Files
+      .createTempDirectory("graft-jsonlcli").toString
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(in, "part-0.json"),
+      Seq(
+        """{"doc_id": 10, "text": "x", "lang": "en", "source": "s", "n_chars": 1}""",
+        """{"doc_id": 11, "text": "y", "lang": "en", "source": "s", "n_chars": 1}""",
+        """not json at all"""
+      ).mkString("\n").getBytes("UTF-8"))
+    val out = java.nio.file.Files
+      .createTempDirectory("graft-jsonlcliout").toString
+    val buf = new java.io.ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(buf)) {
+      graft.cli.Main.main(Array("ingest-jsonl", in, out))
+    }
+    val printed = buf.toString("UTF-8")
+    assert(printed.contains("ingested 2 documents"), printed)
+    assert(printed.contains("quarantined 1 malformed"), printed)
+    assert(spark.read.parquet(out).count() === 2L)
+    assert(spark.read.json(s"$out/_rejects").count() === 1L)
+  }
+
   test("ffdAssign property: random corpora match a reference FFD simulation exactly") {
     val s = spark
     import s.implicits._
