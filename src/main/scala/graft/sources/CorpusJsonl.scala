@@ -70,4 +70,51 @@ object CorpusJsonl {
     readRaw(spark, path)
       .filter(col("_corrupt_record").isNotNull || col("doc_id").isNull)
       .select(col("_corrupt_record").as("raw_line"), col("doc_id"))
+
+  private def readStreamRaw(spark: SparkSession, inDir: String): DataFrame =
+    spark.readStream
+      .schema(Schema)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .json(inDir)
+
+  /** STREAMING intake: watch `inDir` for new JSONL shards and grow the
+    * parquet documents table at `tableDir`, quarantining malformed
+    * lines under `rejectsDir` — the drop-directory loop a production
+    * corpus intake actually runs (crawl shards land, the table grows,
+    * nothing is ever lost or double-counted).
+    *
+    * Exactly-once by construction: both legs are Spark FILE SINKS
+    * (transactional `_spark_metadata` commit log — a replayed
+    * micro-batch re-commits the same files instead of appending twice),
+    * each with its own checkpoint under `ckptRoot`, so no custom marker
+    * machinery is needed. Two queries read the one file source
+    * independently (separate checkpoints track separate progress);
+    * `spark.read.parquet(tableDir)` serves the clean table to any
+    * downstream job while the intake runs.
+    *
+    * @return (clean-leg query, rejects-leg query) — stop both */
+  def ingestStream(
+      spark: SparkSession, inDir: String, tableDir: String,
+      rejectsDir: String, ckptRoot: String)
+      : (org.apache.spark.sql.streaming.StreamingQuery,
+         org.apache.spark.sql.streaming.StreamingQuery) = {
+    val clean = readStreamRaw(spark, inDir)
+      .filter(col("_corrupt_record").isNull && col("doc_id").isNotNull)
+      .select("doc_id", "text", "lang", "source", "n_chars")
+      .writeStream
+      .format("parquet")
+      .option("path", tableDir)
+      .option("checkpointLocation", s"$ckptRoot/clean")
+      .start()
+    val rejects = readStreamRaw(spark, inDir)
+      .filter(col("_corrupt_record").isNotNull || col("doc_id").isNull)
+      .select(col("_corrupt_record").as("raw_line"), col("doc_id"))
+      .writeStream
+      .format("json")
+      .option("path", rejectsDir)
+      .option("checkpointLocation", s"$ckptRoot/rejects")
+      .start()
+    (clean, rejects)
+  }
 }

@@ -1646,6 +1646,50 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("CorpusJsonl.ingestStream: drop-dir shards grow the table exactly-once, rejects quarantine, restart never double-counts") {
+    import org.apache.spark.sql.functions._
+    val in = java.nio.file.Files
+      .createTempDirectory("graft-jsonlintake").toString
+    val table = java.nio.file.Files
+      .createTempDirectory("graft-jsonltable").toString + "/t"
+    val rej = java.nio.file.Files
+      .createTempDirectory("graft-jsonlrej").toString + "/r"
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft-jsonlckpt").toString
+    def drop(name: String, lines: Seq[String]): Unit =
+      java.nio.file.Files.write(java.nio.file.Paths.get(in, name),
+        lines.mkString("\n").getBytes("UTF-8"))
+    def doc(i: Int) =
+      s"""{"doc_id": $i, "text": "t$i", "lang": "en", "source": "s", "n_chars": 2}"""
+    drop("s1.json", Seq(doc(1), doc(2)))
+    var (q1, q2) = graft.sources.CorpusJsonl.ingestStream(
+      spark, in, table, rej, ckpt)
+    try {
+      q1.processAllAvailable(); q2.processAllAvailable()
+      assert(spark.read.parquet(table).count() === 2L)
+      // shard 2 lands mid-stream with one malformed line
+      drop("s2.json", Seq(doc(3), "garbage line"))
+      q1.processAllAvailable(); q2.processAllAvailable()
+      assert(spark.read.parquet(table)
+        .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq ===
+        Seq(1L, 2L, 3L))
+      assert(spark.read.json(rej).count() === 1L)
+    } finally { q1.stop(); q2.stop() }
+    // restart on the same checkpoints: nothing re-ingests; a shard
+    // dropped after the restart lands exactly once
+    val (q3, q4) = graft.sources.CorpusJsonl.ingestStream(
+      spark, in, table, rej, ckpt)
+    try {
+      q3.processAllAvailable(); q4.processAllAvailable()
+      assert(spark.read.parquet(table).count() === 3L,
+        "a restart must not double-ingest committed shards")
+      drop("s3.json", Seq(doc(4)))
+      q3.processAllAvailable(); q4.processAllAvailable()
+      assert(spark.read.parquet(table).count() === 4L)
+      assert(spark.read.json(rej).count() === 1L)
+    } finally { q3.stop(); q4.stop() }
+  }
+
   test("decontaminateSemanticStream: ingest-side hits are bit-identical to the batch entry's pre-aggregation hits") {
     val sparkS = spark
     import sparkS.implicits._
