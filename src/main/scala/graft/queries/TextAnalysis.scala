@@ -2215,7 +2215,9 @@ object TextAnalysis {
         sys.props.getOrElse("java.io.tmpdir", "/tmp"),
         s"graft-jsonl-$key")
       if (!java.nio.file.Files.exists(root.resolve("_SUCCESS")))
-        graft.sources.CorpusJsonl.write(d, root.toString)
+        // 32 shards: gzip isn't splittable, so shard count caps BOTH the
+        // write's deflate parallelism and the read side's task count
+        graft.sources.CorpusJsonl.write(d, root.toString, shards = 32)
       graft.sources.CorpusJsonl.read(s, root.toString)
         .select(col("doc_id"), col("lang"), col("source"),
           col("n_chars"), md5(col("text")).as("text_md5"))
