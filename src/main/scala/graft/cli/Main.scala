@@ -208,8 +208,12 @@ object Main {
         // a model created by BpeModel.importMerges carries its released
         // vocabulary — emit the RELEASED ids (gpt2 pre-tokenizer tier)
         case "imported" =>
-          val v = graft.operators.BpeModel.versions(modelDir).last
-          graft.operators.BpeModel.loadVocab(modelDir, v) match {
+          // versions(...) is empty on a missing/empty model dir — give it
+          // the same friendly exit-2 diagnostic as the no-vocab case
+          // instead of an unhandled NoSuchElementException
+          graft.operators.BpeModel.versions(modelDir).lastOption
+            .flatMap(v => graft.operators.BpeModel.loadVocab(modelDir, v))
+            match {
             case Some(vocab) =>
               graft.exprs.functions.bpe_encode_imported_ids(
                 col("t"), merges, vocab)
@@ -345,15 +349,32 @@ object Main {
     // silent drop), both counts printed
     case Seq("ingest-jsonl", inDir, outDir) =>
       val s = spark()
-      val clean = graft.sources.CorpusJsonl.read(s, inDir)
+      // PIN the shard list once: the clean and rejects legs (and the
+      // file audit) must describe ONE corpus even if shards land in the
+      // drop dir between passes — otherwise the printed counts describe
+      // different corpora
+      val files = graft.sources.CorpusJsonl.listShards(s, inDir)
+      val clean = graft.sources.CorpusJsonl.readFiles(s, files)
       clean.write.mode("overwrite").parquet(outDir)
       val nClean = s.read.parquet(outDir).count()
-      val rejects = graft.sources.CorpusJsonl.readCorrupt(s, inDir)
+      val rejects = graft.sources.CorpusJsonl.readCorruptFiles(s, files)
       val nBad = rejects.count()
       if (nBad > 0)
         rejects.write.mode("overwrite").json(s"$outDir/_rejects")
+      // file-level quarantine: shards the read skipped (corrupt gzip)
+      // are surfaced, never silently under-counted
+      val audit = graft.sources.CorpusJsonl.auditShards(s, files)
+        .filter(!org.apache.spark.sql.functions.col("ok"))
+        .collect()
+      if (audit.nonEmpty) {
+        audit.foreach(r => System.err.println(
+          s"skipped corrupt shard ${r.getString(0)} " +
+            s"(${r.getLong(1)} lines readable): ${r.getString(3)}"))
+      }
       println(s"ingested $nClean documents into $outDir" +
-        (if (nBad > 0) s"; quarantined $nBad malformed lines" else ""))
+        (if (nBad > 0) s"; quarantined $nBad malformed lines" else "") +
+        (if (audit.nonEmpty) s"; skipped ${audit.length} corrupt shard(s)"
+         else ""))
 
     // extension (no reference analog): tokenizer-model interchange —
     // export a byte-alphabet BpeModel as the public merges.txt /

@@ -316,26 +316,74 @@ object FuzzyJoin extends org.apache.spark.internal.Logging {
     * refuses. */
   private val MaxStreamCatalogGrams = 65536
 
-  /** Live snapshot roots for JVM-exit cleanup — ONE shared shutdown
-    * hook for the whole cache, registered on first use, never one per
-    * construction. */
-  private val snapshotDirs =
-    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
-  private lazy val snapshotHook: Unit = {
-    sys.addShutdownHook {
-      snapshotDirs.forEach(d => graft.storage.ParquetLogBackend
-        .deleteRecursively(java.nio.file.Paths.get(d)))
+  /** PER-PROCESS snapshot-cache root, created 0700 on first use. The
+    * cache key is content-derived, so two JVMs on one machine using the
+    * same catalog content would resolve to the SAME dir under a shared
+    * tmpdir — and the first JVM's exit hook would delete the snapshot
+    * out from under the other's live matchStream. Scoping the root by
+    * PID + startup nonce keeps in-JVM content sharing (accumulation
+    * stays bounded by distinct catalogs per process) while making
+    * cross-process interference structurally impossible; 0700 closes
+    * the tamperable-world-writable-path hole on shared hosts. ONE exit
+    * hook deletes the whole root (only dirs this process created live
+    * there); a SIGKILL'd process leaks its root, which the next
+    * process's [[sweepDeadProcessRoots]] reclaims by PID liveness. */
+  private val SnapPrefix = "graft-fuzzy-catsnap3"
+  private def tmpBase: java.nio.file.Path =
+    java.nio.file.Paths.get(sys.props.getOrElse("java.io.tmpdir", "/tmp"))
+  private lazy val processRoot: java.nio.file.Path = {
+    sweepDeadProcessRoots()
+    val pid = ProcessHandle.current().pid()
+    val nonce = java.lang.Long.toHexString(System.nanoTime())
+    val root = tmpBase.resolve(s"$SnapPrefix-$pid-$nonce")
+    try java.nio.file.Files.createDirectories(root,
+      java.nio.file.attribute.PosixFilePermissions.asFileAttribute(
+        java.nio.file.attribute.PosixFilePermissions.fromString("rwx------")))
+    catch {
+      case _: UnsupportedOperationException =>
+        java.nio.file.Files.createDirectories(root) // non-POSIX fs
     }
-    ()
+    sys.addShutdownHook {
+      graft.storage.ParquetLogBackend.deleteRecursively(root)
+    }
+    root
   }
+
+  /** Best-effort reclamation of snapshot roots leaked by SIGKILL'd
+    * processes (their exit hooks never ran): any `catsnap3-<pid>-*`
+    * whose pid is no longer alive is dead by construction — no live
+    * stream can be reading it. Errors are swallowed (another process
+    * may be sweeping concurrently). */
+  private def sweepDeadProcessRoots(): Unit =
+    try {
+      import scala.jdk.CollectionConverters._
+      scala.util.Using.resource(java.nio.file.Files.list(tmpBase)) { st =>
+        st.iterator().asScala
+          .filter(_.getFileName.toString.startsWith(s"$SnapPrefix-"))
+          .foreach { p =>
+            val parts = p.getFileName.toString.split("-")
+            val alive = parts.lift(3).flatMap(s =>
+              scala.util.Try(s.toLong).toOption).exists(pid =>
+              ProcessHandle.of(pid).isPresent)
+            if (!alive)
+              try graft.storage.ParquetLogBackend.deleteRecursively(p)
+              catch { case scala.util.control.NonFatal(_) => }
+          }
+      }
+    } catch { case scala.util.control.NonFatal(_) => }
 
   /** Content key of a distinct-names relation: order-free exact
     * aggregates (count, two independently-seeded xxhash64 XOR folds —
     * XOR, not sum: full-range hash values overflow an ANSI long sum,
     * and the names are distinct so XOR cancellation needs a hash
     * collision — and Σ length) folded through md5. One job, no collect
-    * of the names. */
-  private def namesContentKey(names: DataFrame, q: Int, k: Int): String = {
+    * of the names. The FULL 128-bit digest names the dir (a truncated
+    * key would make a collision serve the WRONG frozen catalog — a
+    * correctness failure, and keeping all 32 hex chars is free); the
+    * row count rides along so reuse can cross-check the stored
+    * snapshot against the live relation ([[validSnapshot]]). */
+  private def namesContentKey(
+      names: DataFrame, q: Int, k: Int): (String, Long) = {
     val r = names.agg(
       count(lit(1)),
       coalesce(bit_xor(xxhash64(col("s"))), lit(0L)),
@@ -343,14 +391,34 @@ object FuzzyJoin extends org.apache.spark.internal.Logging {
       coalesce(sum(length(col("s"))), lit(0L))).head()
     val raw =
       s"${r.getLong(0)}|${r.getLong(1)}|${r.getLong(2)}|${r.getLong(3)}|q=$q|k=$k"
-    java.security.MessageDigest.getInstance("MD5")
-      .digest(raw.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(16)
+    val key = java.security.MessageDigest.getInstance("MD5")
+      .digest(raw.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    (key, r.getLong(0))
   }
 
   private def snapDirFor(key: String): java.nio.file.Path =
-    java.nio.file.Paths.get(
-      sys.props.getOrElse("java.io.tmpdir", "/tmp"),
-      s"graft-fuzzy-catsnap2-$key")
+    processRoot.resolve(key)
+
+  /** Full-layout reuse check: a partially destroyed snapshot (tmp
+    * cleaner) that retains `names/` but lost the generator file or the
+    * deletion-path `sigs/` would otherwise pass an existence check and
+    * then fail every micro-batch with no self-heal. Validates every
+    * piece the generator needs plus the recorded row count against the
+    * live relation's. */
+  private def validSnapshot(
+      dir: java.nio.file.Path, expectCount: Long): Boolean =
+    try {
+      if (!java.nio.file.Files.isDirectory(dir.resolve("names"))) false
+      else if (!java.nio.file.Files.isRegularFile(dir.resolve("count")) ||
+        new String(java.nio.file.Files.readAllBytes(dir.resolve("count")),
+          "UTF-8").trim.toLong != expectCount) false
+      else {
+        val gen = new String(java.nio.file.Files.readAllBytes(
+          dir.resolve("generator")), "UTF-8")
+        gen != "deletions" ||
+          java.nio.file.Files.isDirectory(dir.resolve("sigs"))
+      }
+    } catch { case scala.util.control.NonFatal(_) => false }
 
   /** Generator decision for the STREAM: the probe distribution is
     * unknowable at construction, so the catalog's own self-pairing
@@ -390,23 +458,32 @@ object FuzzyJoin extends org.apache.spark.internal.Logging {
     *
     * Reclamation: entries are REUSED across constructions of the same
     * catalog content — accumulation is bounded by distinct catalogs per
-    * JVM, not by construction count — and deleted at JVM exit by the
-    * one shared hook. Delete-on-query-termination (a
+    * process, not by construction count — and the per-process root is
+    * deleted at JVM exit by its one hook ([[processRoot]]; dead
+    * processes' leaked roots are swept by PID liveness). Reuse
+    * re-validates the FULL layout ([[validSnapshot]]) and re-stages on
+    * any missing piece. Delete-on-query-termination (a
     * StreamingQueryListener) is deliberately NOT the mechanism: the
     * snapshot sits on the STATIC side of the stream-static join, so no
     * progress event ever names it (the query id is unknowable from
     * here), and content-sharing across concurrently live streams would
     * make per-query deletion a use-after-free for the others. */
   private[graft] def ensureSnapshot(names: DataFrame, q: Int, k: Int): String = {
-    snapshotHook
     val spark = names.sparkSession
-    val published = snapDirFor(namesContentKey(names, q, k))
-    if (java.nio.file.Files.isDirectory(published.resolve("names"))) {
-      snapshotDirs.add(published.toString)
-      return published.toString
+    val (liveKey, liveCount) = namesContentKey(names, q, k)
+    val published = snapDirFor(liveKey)
+    if (java.nio.file.Files.exists(published)) {
+      if (validSnapshot(published, liveCount)) return published.toString
+      // partially destroyed (tmp cleaner): self-heal by re-staging
+      logWarning(s"catalog snapshot at $published failed layout " +
+        "validation — deleting and re-staging")
+      graft.storage.ParquetLogBackend.deleteRecursively(published)
     }
-    val staging = java.nio.file.Files
-      .createTempDirectory("graft-fuzzy-catsnap2-staging")
+    // staging lives under the same per-process root: guarantees the
+    // ATOMIC_MOVE below stays same-filesystem and the exit hook covers
+    // a crashed staging dir
+    val staging = java.nio.file.Files.createTempDirectory(
+      processRoot, "staging-")
     val target =
       try {
         names.write.mode("overwrite")
@@ -418,7 +495,12 @@ object FuzzyJoin extends org.apache.spark.internal.Logging {
             .parquet(staging.resolve("sigs").toString)
         java.nio.file.Files.write(
           staging.resolve("generator"), gen.getBytes("UTF-8"))
-        snapDirFor(namesContentKey(frozen, q, k))
+        // re-keyed from the frozen bytes (see scaladoc); count rides
+        // along for the reuse cross-check
+        val (frozenKey, frozenCount) = namesContentKey(frozen, q, k)
+        java.nio.file.Files.write(staging.resolve("count"),
+          frozenCount.toString.getBytes("UTF-8"))
+        snapDirFor(frozenKey)
       } catch {
         case t: Throwable =>
           graft.storage.ParquetLogBackend.deleteRecursively(staging)
@@ -431,7 +513,6 @@ object FuzzyJoin extends org.apache.spark.internal.Logging {
           _: java.nio.file.DirectoryNotEmptyException =>
         graft.storage.ParquetLogBackend.deleteRecursively(staging)
     }
-    snapshotDirs.add(target.toString)
     target.toString
   }
 

@@ -554,7 +554,17 @@ object TextAnalysis {
     * materializing tier concatenates by. First-fit is the genuinely
     * sequential per-group kernel (no window/join expresses it);
     * flatMapSortedGroups streams each bucket sorted, with only the
-    * bin-remainder list as state. Buckets are the parallelism. */
+    * bin-remainder state. Buckets are the parallelism.
+    *
+    * In-kernel complexity (round 14): "first bin with rem ≥ n_eff" is
+    * answered by a max-prefix segment tree over the bin remainders
+    * ([[graft.operators.FirstFitTree]]) in O(log bins) per document —
+    * the linear open-bin scan it replaces was O(bins) per doc, per-
+    * bucket quadratic at fixed bucket count, which a 100 TB bucket with
+    * millions of docs cannot pay. The tree returns the SAME bin the
+    * linear scan would (lowest fitting index), so the assignment — and
+    * the recursive-CTE oracle that replays it — is unchanged;
+    * `graft.tools.FfdMicro` measures the win on one large bucket. */
   private[graft] def ffdAssign(
       s: SparkSession, d: DataFrame, budget: Long): DataFrame = {
     import s.implicits._
@@ -563,19 +573,14 @@ object TextAnalysis {
       .as[(Long, Long, Long, Long)]
       .groupByKey(_._2)
       .flatMapSortedGroups(col("n_eff").desc, col("doc_id")) { (bucket, it) =>
-        val rem = scala.collection.mutable.ArrayBuffer.empty[Long]
+        val bins = new graft.operators.FirstFitTree
         var step = 0L
         it.map { case (docId, _, nTokens, nEff) =>
           step += 1L
-          var i = 0
-          var fit = -1
-          while (fit < 0 && i < rem.length) {
-            if (rem(i) >= nEff) fit = i
-            i += 1
-          }
+          val fit = bins.firstFit(nEff)
           val seq =
-            if (fit >= 0) { rem(fit) -= nEff; fit + 1L }
-            else { rem += budget - nEff; rem.length.toLong }
+            if (fit >= 0) { bins.take(fit, nEff); fit + 1L }
+            else { bins.append(budget - nEff); bins.size.toLong }
           (docId, bucket, seq, step, nTokens, nEff)
         }
       }

@@ -1,0 +1,215 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Round-14 additions: the segment-tree first-fit kernel, the hardened
+  * JSONL boundary (admission control, corrupt-shard quarantine,
+  * size-derived sharding), the factored semantic decontamination
+  * operator, and the intake accounting surface. */
+class Round14Spec extends AnyFunSuite {
+  private lazy val spark = SparkFixture.spark
+
+  // ---------------------------------------------------------------- FFD
+
+  /** The round-13 linear kernel, as the reference implementation. */
+  private def packLinear(sizes: Seq[Long], budget: Long): Seq[Long] = {
+    val rem = scala.collection.mutable.ArrayBuffer.empty[Long]
+    sizes.map { nEff =>
+      var i = 0
+      var fit = -1
+      while (fit < 0 && i < rem.length) {
+        if (rem(i) >= nEff) fit = i
+        i += 1
+      }
+      if (fit >= 0) { rem(fit) -= nEff; fit + 1L }
+      else { rem += budget - nEff; rem.length.toLong }
+    }
+  }
+
+  test("FirstFitTree reproduces the linear first-fit scan bin-for-bin on random workloads") {
+    val rnd = new scala.util.Random(42)
+    for (trial <- 0 until 40) {
+      val budget = 16L + rnd.nextInt(2048)
+      val n = 1 + rnd.nextInt(4000)
+      // FFD visit order: sizes descending, like ffdAssign's sorted groups
+      val sizes = Seq.fill(n)(1L + rnd.nextInt(budget.toInt)).sortBy(-_)
+      val want = packLinear(sizes, budget)
+      val bins = new graft.operators.FirstFitTree
+      val got = sizes.map { nEff =>
+        val fit = bins.firstFit(nEff)
+        if (fit >= 0) { bins.take(fit, nEff); fit + 1L }
+        else { bins.append(budget - nEff); bins.size.toLong }
+      }
+      assert(got === want, s"trial $trial (n=$n budget=$budget)")
+    }
+  }
+
+  // ------------------------------------------------- snapshot cache
+
+  test("ensureSnapshot: per-process 0700 root, full-layout validation, self-heal on a partially destroyed snapshot") {
+    val sparkS = spark
+    import sparkS.implicits._
+    val names = (0 until 300).map(i => f"ID#$i%06d").toDF("s").distinct()
+    val snap = graft.operators.FuzzyJoin.ensureSnapshot(names, 2, 1)
+    val p = java.nio.file.Paths.get(snap)
+    // per-process scoping: the root dir carries this JVM's pid (two
+    // processes sharing a catalog must never resolve to the same dir —
+    // the first to exit would delete it under the other's live stream)
+    val pid = ProcessHandle.current().pid()
+    assert(p.getParent.getFileName.toString
+      .startsWith(s"graft-fuzzy-catsnap3-$pid-"),
+      s"snapshot root must be process-scoped: $p")
+    // 0700 on POSIX: no other user can tamper with or read the cache
+    val perms = java.nio.file.Files.getPosixFilePermissions(p.getParent)
+    import java.nio.file.attribute.PosixFilePermission._
+    assert(!perms.contains(GROUP_READ) && !perms.contains(OTHERS_READ) &&
+      !perms.contains(GROUP_WRITE) && !perms.contains(OTHERS_WRITE))
+    // the full 128-bit content key names the dir (a truncated key would
+    // let a collision serve the WRONG catalog)
+    assert(p.getFileName.toString.matches("[0-9a-f]{32}"))
+    // reuse: same content → same dir, no re-stage
+    assert(graft.operators.FuzzyJoin.ensureSnapshot(names, 2, 1) === snap)
+    // partially destroy it (tmp-cleaner shape: generator file lost,
+    // names/ retained) — the old existence check would serve it and the
+    // stream would then die per micro-batch with no self-heal
+    java.nio.file.Files.delete(p.resolve("generator"))
+    val healed = graft.operators.FuzzyJoin.ensureSnapshot(names, 2, 1)
+    assert(healed === snap, "re-staged under the same content key")
+    assert(java.nio.file.Files.isRegularFile(
+      java.nio.file.Paths.get(healed, "generator")),
+      "the generator file must be re-staged")
+    assert(java.nio.file.Files.isRegularFile(
+      java.nio.file.Paths.get(healed, "count")),
+      "the row-count cross-check file must exist")
+    val n = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(healed, "count")), "UTF-8").trim.toLong
+    assert(n === 300L)
+  }
+
+  // ------------------------------------------------- JSONL boundary
+
+  /** A JSONL drop dir: `nClean` clean docs across `shards` gzip shards,
+    * plus one malformed-lines shard and one corrupt (garbage-header)
+    * gzip shard. Returns (dir, clean doc count, malformed line count). */
+  private def jsonlFixture(
+      tag: String, nClean: Int, shards: Int): (String, Int, Int) = {
+    val sparkS = spark
+    import sparkS.implicits._
+    val dir = java.nio.file.Files.createTempDirectory(s"r14-jsonl-$tag")
+    val docs = (0 until nClean).map(i =>
+      (i.toLong, s"doc text number $i", "en", s"src${i % 3}", 18L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    graft.sources.CorpusJsonl.write(docs, dir.toString, shards = shards)
+    // malformed-lines shard: 2 parse errors + 1 id-less object
+    val bad = java.io.File.createTempFile("badlines", ".json.gz",
+      dir.toFile)
+    val out = new java.util.zip.GZIPOutputStream(
+      new java.io.FileOutputStream(bad))
+    out.write(
+      "{\"doc_id\": oops\nnot json at all\n{\"text\": \"no id here\"}\n"
+        .getBytes("UTF-8"))
+    out.close()
+    // corrupt shard: a .gz whose bytes are not gzip at all — the codec
+    // fails at open; without file-level tolerance this kills the read
+    val corrupt = dir.resolve("corrupt-shard.json.gz")
+    java.nio.file.Files.write(corrupt,
+      Array.fill[Byte](256)(0x42))
+    (dir.toString, nClean, 3)
+  }
+
+  test("CorpusJsonl: a corrupt gzip shard does not kill the read; auditShards quarantines exactly that file with its error") {
+    val (dir, nClean, nBad) = jsonlFixture("audit", 40, 2)
+    val files = graft.sources.CorpusJsonl.listShards(spark, dir)
+    // the corrupt shard is LISTED (it is part of the drop) …
+    assert(files.exists(_.contains("corrupt-shard")))
+    // … the read survives it and loses nothing else
+    val clean = graft.sources.CorpusJsonl.readFiles(spark, files)
+    assert(clean.count() === nClean.toLong)
+    val rejects = graft.sources.CorpusJsonl.readCorruptFiles(spark, files)
+    assert(rejects.count() === nBad.toLong)
+    // … and the file-quarantine relation flags it, loudly and precisely
+    val audit = graft.sources.CorpusJsonl.auditShards(spark, files)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getBoolean(2),
+        Option(r.getString(3)))).toSeq
+    assert(audit.length === files.length)
+    val badRows = audit.filter(!_._3)
+    assert(badRows.length === 1)
+    assert(badRows.head._1.contains("corrupt-shard"))
+    assert(badRows.head._4.exists(_.nonEmpty), "error surfaced")
+    // good shards audit clean with exact line counts
+    assert(audit.filter(_._3).map(_._2).sum === (nClean + nBad).toLong)
+  }
+
+  test("CorpusJsonl.write derives shard count from size with the MinShards floor") {
+    val sparkS = spark
+    import sparkS.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("r14-shards")
+    val docs = (0 until 50).map(i =>
+      (i.toLong, s"t$i", "en", "s", 2L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    graft.sources.CorpusJsonl.write(docs, dir.toString) // shards = derive
+    val files = graft.sources.CorpusJsonl.listShards(spark, dir.toString)
+    // tiny input → the floor binds (read-parallelism floor, not 1 file)
+    assert(files.length === graft.sources.CorpusJsonl.MinShards)
+    assert(graft.sources.CorpusJsonl
+      .read(spark, dir.toString).count() === 50L)
+  }
+
+  test("ingestStream admission control: a file backlog drains across bounded micro-batches, still exactly-once") {
+    val (dir, nClean, nBad) = jsonlFixture("trigger", 60, 6)
+    val work = java.nio.file.Files.createTempDirectory("r14-ingest")
+    val (q1, q2) = graft.sources.CorpusJsonl.ingestStream(
+      spark, dir, s"$work/table", s"$work/rejects", s"$work/ckpt",
+      maxFilesPerTrigger = Some(2))
+    try {
+      q1.processAllAvailable(); q2.processAllAvailable()
+      assert(spark.read.parquet(s"$work/table").count() === nClean.toLong)
+      assert(spark.read.schema("raw_line string, doc_id long")
+        .json(s"$work/rejects").count() === nBad.toLong)
+      // ≥ 8 listed files at 2 per trigger ⇒ the backlog must have taken
+      // several micro-batches (one offset file per batch)
+      val batches = java.nio.file.Files.list(
+        java.nio.file.Paths.get(s"$work/ckpt/clean/offsets"))
+        .count()
+      assert(batches >= 4, s"expected a multi-batch drain, got $batches")
+    } finally { q1.stop(); q2.stop() }
+  }
+
+  test("fileAuditStream: the streaming file-quarantine leg flags a corrupt shard as it lands") {
+    val (dir, nClean, nBad) = jsonlFixture("streamaudit", 20, 2)
+    val work = java.nio.file.Files.createTempDirectory("r14-faudit")
+    val q = graft.sources.CorpusJsonl.fileAuditStream(spark, dir)
+      .writeStream.format("memory").queryName("r14_file_audit")
+      .option("checkpointLocation", s"$work/ckpt")
+      .start()
+    try {
+      q.processAllAvailable()
+      val rows = spark.table("r14_file_audit")
+        .collect().map(r => (r.getString(0), r.getLong(2), r.getBoolean(3)))
+      assert(rows.nonEmpty)
+      val bad = rows.filter(!_._3)
+      assert(bad.length === 1 && bad.head._1.contains("corrupt-shard"))
+      val goodLines = rows.filter(_._3).map(_._2).sum
+      assert(goodLines === (nClean + nBad).toLong)
+    } finally q.stop()
+  }
+
+  test("FirstFitTree grows past its initial capacity without losing bins") {
+    // every doc fills a whole bin → one bin per doc, forcing two
+    // capacity doublings past the initial 1024 leaves
+    val budget = 64L
+    val bins = new graft.operators.FirstFitTree
+    for (i <- 0 until 5000) {
+      assert(bins.firstFit(budget) === -1, s"doc $i must open a new bin")
+      bins.append(0L)
+    }
+    assert(bins.size === 5000)
+    // now interleave: remainders re-raised must be findable in index order
+    bins.take(2500, -10L) // give bin 2500 room (remainder 10)
+    bins.take(4999, -10L)
+    assert(bins.firstFit(10L) === 2500)
+    bins.take(2500, 10L)
+    assert(bins.firstFit(10L) === 4999)
+  }
+}
