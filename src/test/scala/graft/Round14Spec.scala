@@ -195,6 +195,82 @@ class Round14Spec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  // --------------------------------------- semantic decontamination
+
+  test("decontaminateSemantic scores a corpus against an EXTERNAL benchmark relation") {
+    val sparkS = spark
+    import sparkS.implicits._
+    // corpus: c1 aligned with b1 (cos 1), c2 at 45° of b1 (cos ~0.707,
+    // also 45° of b2), c3 orthogonal to both
+    val corpus = Seq(
+      (1L, Seq(1.0, 0.0)), (2L, Seq(1.0, 1.0)), (3L, Seq(0.0, 0.0) :+ 0.0))
+      .map { case (i, v) => (i, v.padTo(3, 0.0)) }
+      .toDF("id", "emb")
+    val bench = Seq((100L, Seq(1.0, 0.0, 0.0)), (101L, Seq(0.0, 1.0, 0.0)))
+      .toDF("bid", "bemb")
+    val got = graft.queries.Dedup.decontaminateSemantic(
+        corpus.filter($"id" =!= 3L), "id", "emb", bench, "bid", "bemb", 0.7)
+      .orderBy("vec_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // c1 hits b1 only (cos 1.0); c2 hits both at cos 1/√2 ≈ 0.7071
+    assert(got.length === 2)
+    assert(got(0)._1 === 1L && got(0)._2 === 1L && got(0)._3 === 1.0)
+    assert(got(1)._1 === 2L && got(1)._2 === 2L)
+    assert(math.abs(got(1)._3 - 1.0 / math.sqrt(2.0)) < 1e-12)
+  }
+
+  test("pipeline_pretrain_corpus drops a PARAPHRASE leak the n-gram stage cannot see (semantic leg composed)") {
+    val sparkS = spark
+    import sparkS.implicits._
+    import org.apache.spark.sql.functions.length
+    // three long, mutually shingle-disjoint texts (quality gate needs
+    // >= 100 chars and >= 20 words)
+    val benchText = ("alpha beta gamma delta epsilon zeta eta theta iota " +
+      "kappa lambda mu nu xi omicron pi rho sigma tau upsilon phi chi")
+    val paraphrase = ("zebra yak wolf viper tiger snake rhino puma otter " +
+      "newt mole lynx koala jackal ibex heron gecko ferret eagle dingo " +
+      "crane bison")
+    val clean = ("apple banana cherry date elder fig grape honey iris " +
+      "jade kiwi lemon mango nectar olive peach quince rose straw tomato " +
+      "ugli vine")
+    val docs = Seq(
+      (97L, benchText, "en"), // benchmark split (97 % 97 = 0)
+      (5L, paraphrase, "en"), // no shared 3-gram — but embedding ≈ bench
+      (2L, clean, "en")) // control: survives
+    val dir = java.nio.file.Files.createTempDirectory("r14-sem").toString
+    docs.toDF("doc_id", "text", "lang")
+      .withColumn("n_chars", length($"text").cast("long"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    Seq((97L, Seq(1.0f, 0.0f, 0.0f), 0),
+        (5L, Seq(1.0f, 0.0f, 0.0f), 0), // cosine 1.0 vs the bench vector
+        (2L, Seq(0.0f, 1.0f, 0.0f), 1)) // orthogonal — clean
+      .toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val out = graft.queries.Dedup.queries("pipeline_pretrain_corpus")(
+        spark, dir)
+      .collect().map(r => (r.getString(1), r.getLong(2), r.getLong(3)))
+    // ONLY the control survives: doc 97 is the bench split, doc 5 is
+    // semantically contaminated (n-gram stage alone would keep it)
+    assert(out.map(_._2).sum === 1L, out.toSeq)
+    assert(out.head._3 === 22L, out.toSeq)
+  }
+
+  test("pipeline_pretrain_corpus without an embeddings relation runs the n-gram stage alone") {
+    val sparkS = spark
+    import sparkS.implicits._
+    import org.apache.spark.sql.functions.length
+    val clean = ("apple banana cherry date elder fig grape honey iris " +
+      "jade kiwi lemon mango nectar olive peach quince rose straw tomato " +
+      "ugli vine")
+    val dir = java.nio.file.Files.createTempDirectory("r14-noemb").toString
+    Seq((2L, clean, "en")).toDF("doc_id", "text", "lang")
+      .withColumn("n_chars", length($"text").cast("long"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = graft.queries.Dedup.queries("pipeline_pretrain_corpus")(
+      spark, dir).collect()
+    assert(out.map(_.getLong(2)).sum === 1L)
+  }
+
   test("FirstFitTree grows past its initial capacity without losing bins") {
     // every doc fills a whole bin → one bin per doc, forcing two
     // capacity doublings past the initial 1024 leaves
