@@ -140,16 +140,155 @@ final class LiveAnnServer(
     nProbe: Int, topK: Int, rerank: Int = 0) extends AutoCloseable {
 
   @volatile private var state: (String, PqIndex) =
-    (fingerprint(), PqIndex.load(spark, dir))
+    (LiveServers.dirFingerprint(dir), PqIndex.load(spark, dir))
 
-  // a generation swap (splitCell/rebalance/compact) can DELETE files
-  // between the walk's listing and the stat — absorbing that race here
-  // (skip the vanished file / treat a vanished tree as absent) matters
-  // because the first refreshIfStale() of a micro-batch runs OUTSIDE the
-  // serve() retry: a thrown NoSuchFileException would fail the stream on
-  // exactly the race the retry exists for. Any vanished file means the
-  // listing differs from the recorded one, so the refresh still fires.
-  private def fingerprint(): String = {
+  /** Reload if the index files changed. @return true on refresh */
+  def refreshIfStale(): Boolean = synchronized {
+    val now = LiveServers.dirFingerprint(dir)
+    if (now == state._1) false
+    else { state = (now, PqIndex.load(spark, dir)); true }
+  }
+
+  /** ADC-probe one plain batch of (id, vector) queries against the
+    * current index generation. */
+  def answer(queries: DataFrame, idCol: String, vecCol: String): DataFrame =
+    PqIndex.probeAll(state._2,
+      queries.select(col(idCol).cast("long").as("q_id"),
+        col(vecCol).cast("array<double>").as("qv")),
+      nProbe, topK, rerank)
+
+  /** FILTERED serving (round 14): [[answer]] with candidates restricted
+    * to the ids in `allowed` (one `vec_id` column — an attribute-table
+    * predicate pre-materialized by the caller), routed through
+    * [[PqIndex.adcProbeFiltered]]: the semi-join lands on the probed
+    * cells' CODES before ADC ranking, so topK survivors return however
+    * selective the predicate is and the scan still reads ~nProbe/k of
+    * the data. `allowed` is a plain relation re-planned per call — a
+    * metadata table that grows between micro-batches is re-read, but
+    * the VECTORS served always come from the index's committed state
+    * (tombstoned rows are already gone from the loaded generation). */
+  def answerFiltered(
+      queries: DataFrame, idCol: String, vecCol: String,
+      allowed: DataFrame): DataFrame =
+    PqIndex.adcProbeFiltered(state._2,
+      queries.select(col(idCol).cast("long").as("q_id"),
+        col(vecCol).cast("array<double>").as("qv")),
+      allowed, nProbe, topK, rerank)
+
+  /** Serve a query stream with per-micro-batch refresh — upserted
+    * vectors are probed as soon as their files commit, no restart. A
+    * generation swap (splitCell/rebalance/compact) landing between the
+    * check and the probe deletes the files the stale handle references;
+    * that window retries once after a forced re-check, restricted to
+    * vanished-file failures, and `sink` must be idempotent per
+    * micro-batch (same contract as [[LiveSearchServer.serve]]). */
+  def serve(
+      queries: DataFrame, idCol: String, vecCol: String)
+      (sink: DataFrame => Unit): StreamingQuery =
+    LiveServers.serveLoop(queries, this.refreshIfStale _, sink,
+      (b: DataFrame) => answer(b, idCol, vecCol))
+
+  /** [[serve]] with a per-server allowed-id relation: every micro-batch
+    * answers through [[answerFiltered]], against the index state AND
+    * the `allowed` relation as of that batch. The filtered twin of the
+    * unfiltered serving loop — same refresh, same vanished-file retry,
+    * same idempotent-sink contract. */
+  def serveFiltered(
+      queries: DataFrame, idCol: String, vecCol: String,
+      allowed: DataFrame)
+      (sink: DataFrame => Unit): StreamingQuery =
+    LiveServers.serveLoop(queries, this.refreshIfStale _, sink,
+      (b: DataFrame) => answerFiltered(b, idCol, vecCol, allowed))
+
+  /** No-op BY DESIGN (not an omission): a loaded [[PqIndex]] holds only
+    * driver-side codebook/centroid state plus lazy DataFrames over the
+    * index files — nothing persisted in the cache manager, so there is
+    * nothing to release (contrast [[LiveSearchServer.close]], whose
+    * snapshot pins a cached plan). If a future refresh path adds a
+    * `.persist()` here, close() must unpersist it or every generation
+    * leaks one cached plan. */
+  override def close(): Unit = ()
+}
+
+/** [[LiveAnnServer]]'s raw-IVF twin (round 14): exact-cosine probes
+  * served from a persisted [[graft.operators.IvfIndex]] — the tier a
+  * corpus uses before PQ compression pays for itself. Same commit-state
+  * fingerprint/refresh discipline, same filtered-serving surface
+  * ([[graft.operators.IvfIndex.probeFiltered]]'s post-filter-then-rank
+  * semantics composed with cell pruning). Queries per micro-batch are
+  * driver-collected by the probe (small-by-contract — the serving-tier
+  * shape; corpus-scale probe sets belong on the batch probeAll path). */
+final class LiveIvfServer(
+    spark: SparkSession, dir: String,
+    nProbe: Int, topK: Int) extends AutoCloseable {
+  import graft.operators.IvfIndex
+
+  @volatile private var state: (String, IvfIndex) =
+    (LiveServers.dirFingerprint(dir), IvfIndex.load(spark, dir))
+
+  /** Reload if the index files changed. @return true on refresh */
+  def refreshIfStale(): Boolean = synchronized {
+    val now = LiveServers.dirFingerprint(dir)
+    if (now == state._1) false
+    else { state = (now, IvfIndex.load(spark, dir)); true }
+  }
+
+  def answer(queries: DataFrame, idCol: String, vecCol: String): DataFrame =
+    IvfIndex.probe(state._2,
+      queries.select(col(idCol).cast("long").as("q_id"),
+        col(vecCol).cast("array<double>").as("qv")),
+      nProbe, topK)
+
+  /** [[answer]] restricted to the ids in `allowed` (one `vec_id`
+    * column) — [[graft.operators.IvfIndex.probeFiltered]] live: the
+    * semi-join runs on the probed cells' rows BEFORE ranking, so topK
+    * survivors return per query and a removed (tombstoned) vector is
+    * structurally unservable — it is absent from the loaded
+    * generation's cells, allowed-list or not. */
+  def answerFiltered(
+      queries: DataFrame, idCol: String, vecCol: String,
+      allowed: DataFrame): DataFrame =
+    IvfIndex.probeFiltered(state._2,
+      queries.select(col(idCol).cast("long").as("q_id"),
+        col(vecCol).cast("array<double>").as("qv")),
+      allowed, nProbe, topK)
+
+  /** Same serving loop/contract as [[LiveAnnServer.serve]]. */
+  def serve(
+      queries: DataFrame, idCol: String, vecCol: String)
+      (sink: DataFrame => Unit): StreamingQuery =
+    LiveServers.serveLoop(queries, this.refreshIfStale _, sink,
+      (b: DataFrame) => answer(b, idCol, vecCol))
+
+  /** Same filtered loop/contract as [[LiveAnnServer.serveFiltered]]. */
+  def serveFiltered(
+      queries: DataFrame, idCol: String, vecCol: String,
+      allowed: DataFrame)
+      (sink: DataFrame => Unit): StreamingQuery =
+    LiveServers.serveLoop(queries, this.refreshIfStale _, sink,
+      (b: DataFrame) => answerFiltered(b, idCol, vecCol, allowed))
+
+  /** No-op by design — same reasoning as [[LiveAnnServer.close]]. */
+  override def close(): Unit = ()
+}
+
+private[streaming] object LiveServers {
+
+  /** Commit-state fingerprint of a vector-index dir: the (name, size)
+    * file listing of every index relation present (the vector indexes
+    * commit by appending/swapping whole parquet files, so the listing
+    * IS the visible state; relations a tier doesn't have — pq_codes on
+    * a raw IVF index — are simply absent).
+    *
+    * A generation swap (splitCell/rebalance/compact) can DELETE files
+    * between the walk's listing and the stat — absorbing that race here
+    * (skip the vanished file / treat a vanished tree as absent) matters
+    * because the first refreshIfStale() of a micro-batch runs OUTSIDE
+    * the serve() retry: a thrown NoSuchFileException would fail the
+    * stream on exactly the race the retry exists for. Any vanished file
+    * means the listing differs from the recorded one, so the refresh
+    * still fires. */
+  private[streaming] def dirFingerprint(dir: String): String = {
     val md = java.security.MessageDigest.getInstance("MD5")
     Seq("cells", "pq_codes", "centroids", "pq_codebooks",
         "rotation").foreach { rel =>
@@ -178,55 +317,27 @@ final class LiveAnnServer(
     md.digest().map("%02x".format(_)).mkString
   }
 
-  /** Reload if the index files changed. @return true on refresh */
-  def refreshIfStale(): Boolean = synchronized {
-    val now = fingerprint()
-    if (now == state._1) false
-    else { state = (now, PqIndex.load(spark, dir)); true }
-  }
-
-  /** ADC-probe one plain batch of (id, vector) queries against the
-    * current index generation. */
-  def answer(queries: DataFrame, idCol: String, vecCol: String): DataFrame =
-    PqIndex.probeAll(state._2,
-      queries.select(col(idCol).cast("long").as("q_id"),
-        col(vecCol).cast("array<double>").as("qv")),
-      nProbe, topK, rerank)
-
-  /** Serve a query stream with per-micro-batch refresh — upserted
-    * vectors are probed as soon as their files commit, no restart. A
-    * generation swap (splitCell/rebalance/compact) landing between the
-    * check and the probe deletes the files the stale handle references;
-    * that window retries once after a forced re-check, restricted to
-    * vanished-file failures, and `sink` must be idempotent per
-    * micro-batch (same contract as [[LiveSearchServer.serve]]). */
-  def serve(
-      queries: DataFrame, idCol: String, vecCol: String)
-      (sink: DataFrame => Unit): StreamingQuery =
+  /** The shared serving loop: per micro-batch, refresh-if-stale, answer,
+    * sink; on a vanished-file failure (a maintenance commit landing
+    * between the check and the probe's execution) force one re-check and
+    * retry ONCE — any other failure, or a failure with nothing stale,
+    * propagates. `sink` must be idempotent per micro-batch. */
+  private[streaming] def serveLoop(
+      queries: DataFrame,
+      refresh: () => Boolean,
+      sink: DataFrame => Unit,
+      answer: DataFrame => DataFrame): StreamingQuery =
     queries.writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        refreshIfStale()
-        try sink(answer(batch, idCol, vecCol))
+        refresh()
+        try sink(answer(batch))
         catch {
-          case scala.util.control.NonFatal(e)
-              if LiveServers.vanishedFiles(e) =>
-            if (refreshIfStale()) sink(answer(batch, idCol, vecCol))
+          case scala.util.control.NonFatal(e) if vanishedFiles(e) =>
+            if (refresh()) sink(answer(batch))
             else throw e
         }
       }
       .start()
-
-  /** No-op BY DESIGN (not an omission): a loaded [[PqIndex]] holds only
-    * driver-side codebook/centroid state plus lazy DataFrames over the
-    * index files — nothing persisted in the cache manager, so there is
-    * nothing to release (contrast [[LiveSearchServer.close]], whose
-    * snapshot pins a cached plan). If a future refresh path adds a
-    * `.persist()` here, close() must unpersist it or every generation
-    * leaks one cached plan. */
-  override def close(): Unit = ()
-}
-
-private[streaming] object LiveServers {
 
   /** Is this failure consistent with the ONE race the serve() retry
     * exists for — index files deleted by a maintenance commit between

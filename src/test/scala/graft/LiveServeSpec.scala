@@ -1,7 +1,7 @@
 package graft
 
 import graft.operators.{IvfIndex, PqIndex, SearchIndex}
-import graft.streaming.{LiveAnnServer, LiveSearchServer}
+import graft.streaming.{LiveAnnServer, LiveIvfServer, LiveSearchServer}
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
@@ -378,6 +378,125 @@ class LiveServeSpec extends AnyFunSuite {
             s"served cosine must equal raw-space cosine for ($qid,$nId)")
         }
       }
+    } finally { q.stop(); server.close() }
+  }
+
+  // ---------------------------------------- filtered serving (round 14)
+
+  test("LiveAnnServer.serveFiltered: filtered answers equal batch adcProbeFiltered before/after an upsert and after a delete (PQ tier)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val emb = graft.util.Tables(spark, sfDir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val half = emb.filter(col("vec_id") % 2 === 0)
+    val rest = emb.filter(col("vec_id") % 2 === 1)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-livefilt-pq").toString
+    PqIndex.build(half, m = 8, kCodes = 16, coarseK = 4).save(dir)
+    // the metadata predicate, pre-materialized as an allowed-id relation
+    val allowed = emb.filter(col("vec_id") % 3 === 0).select("vec_id")
+    val qv = emb.filter(col("vec_id") === 0L)
+      .select(col("v")).head().getSeq[Double](0)
+    def batchAnswer(qid: Long): Seq[(Int, Long)] =
+      PqIndex.adcProbeFiltered(PqIndex.load(spark, dir),
+          Seq((qid, qv)).toDF("q_id", "qv"), allowed,
+          nProbe = 4, topK = 5, rerank = 50)
+        .collect().map(r => (r.getInt(2), r.getLong(1))).toSeq.sorted
+    val results =
+      new java.util.concurrent.ConcurrentHashMap[Long, Seq[(Int, Long)]]()
+    val server = new LiveAnnServer(spark, dir, nProbe = 4, topK = 5,
+      rerank = 50)
+    val mem = MemoryStream[(Long, Seq[Double])]
+    val q = server.serveFiltered(
+        mem.toDF().toDF("q_id", "qv"), "q_id", "qv", allowed) { out =>
+      out.collect().groupBy(_.getLong(0)).foreach { case (qid, rows) =>
+        results.put(qid,
+          rows.map(r => (r.getInt(2), r.getLong(1))).toSeq.sorted)
+      }
+    }
+    try {
+      val before = batchAnswer(5000001L)
+      assert(before.nonEmpty)
+      // every served id satisfies the predicate
+      assert(before.forall(_._2 % 3 == 0))
+      mem.addData((5000001L, qv))
+      q.processAllAvailable()
+      assert(results.get(5000001L) === before)
+
+      // upsert: the odd half lands — filtered answers must see the new
+      // allowed vectors without restart
+      PqIndex.appendVectors(spark, dir, rest)
+      val after = batchAnswer(5000002L)
+      assert(after !== before, "the upsert must change the neighborhood")
+      mem.addData((5000002L, qv))
+      q.processAllAvailable()
+      assert(results.get(5000002L) === after)
+
+      // delete the best allowed neighbor: it must never be served again
+      val victim = after.head._2
+      assert(IvfIndex.removeVectors(spark, dir, Seq(victim)) === 1L)
+      val afterDelete = batchAnswer(5000003L)
+      assert(!afterDelete.exists(_._2 == victim))
+      mem.addData((5000003L, qv))
+      q.processAllAvailable()
+      assert(results.get(5000003L) === afterDelete)
+      assert(!results.get(5000003L).exists(_._2 == victim),
+        "a tombstoned vector must never be served")
+    } finally { q.stop(); server.close() }
+  }
+
+  test("LiveIvfServer.serveFiltered: filtered answers equal batch probeFiltered before/after an upsert and after a delete (IVF tier)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val emb = graft.util.Tables(spark, sfDir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val half = emb.filter(col("vec_id") % 2 === 0)
+    val rest = emb.filter(col("vec_id") % 2 === 1)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-livefilt-ivf").toString
+    IvfIndex.build(half, k = 4).save(dir)
+    val allowed = emb.filter(col("vec_id") % 3 === 0).select("vec_id")
+    val qv = emb.filter(col("vec_id") === 0L)
+      .select(col("v")).head().getSeq[Double](0)
+    def batchAnswer(qid: Long): Seq[(Int, Long)] =
+      IvfIndex.probeFiltered(IvfIndex.load(spark, dir),
+          Seq((qid, qv)).toDF("q_id", "qv"), allowed,
+          nProbe = 4, topK = 5)
+        .collect().map(r => (r.getInt(2), r.getLong(1))).toSeq.sorted
+    val results =
+      new java.util.concurrent.ConcurrentHashMap[Long, Seq[(Int, Long)]]()
+    val server = new LiveIvfServer(spark, dir, nProbe = 4, topK = 5)
+    val mem = MemoryStream[(Long, Seq[Double])]
+    val q = server.serveFiltered(
+        mem.toDF().toDF("q_id", "qv"), "q_id", "qv", allowed) { out =>
+      out.collect().groupBy(_.getLong(0)).foreach { case (qid, rows) =>
+        results.put(qid,
+          rows.map(r => (r.getInt(2), r.getLong(1))).toSeq.sorted)
+      }
+    }
+    try {
+      val before = batchAnswer(6000001L)
+      assert(before.nonEmpty && before.forall(_._2 % 3 == 0))
+      mem.addData((6000001L, qv))
+      q.processAllAvailable()
+      assert(results.get(6000001L) === before)
+
+      IvfIndex.appendVectors(spark, dir, rest)
+      val after = batchAnswer(6000002L)
+      assert(after !== before)
+      mem.addData((6000002L, qv))
+      q.processAllAvailable()
+      assert(results.get(6000002L) === after)
+
+      val victim = after.head._2
+      assert(IvfIndex.removeVectors(spark, dir, Seq(victim)) === 1L)
+      val afterDelete = batchAnswer(6000003L)
+      assert(!afterDelete.exists(_._2 == victim))
+      mem.addData((6000003L, qv))
+      q.processAllAvailable()
+      assert(results.get(6000003L) === afterDelete)
+      assert(!results.get(6000003L).exists(_._2 == victim),
+        "a tombstoned vector must never be served")
     } finally { q.stop(); server.close() }
   }
 }
