@@ -36,7 +36,7 @@ object Dedup {
   // callers had when maxIter counted double-step rounds (25 rounds = 50
   // hops) — a long near-dup chain that converged before keeps converging
   private val MaxCcIterations = 50
-  private val BenchmarkMod = 97 // decontaminate: doc_id % mod = 0 ⇒ benchmark
+  private[queries] val BenchmarkMod = 97 // decontaminate: doc_id % mod = 0 ⇒ benchmark
   private val LeakGateSim = 0.5 // pipeline_pretrain_gated: gate threshold
   // pipeline semantic-decontamination threshold — the same cosine the
   // standalone decontaminate_semantic entry gates at
@@ -87,7 +87,13 @@ object Dedup {
     * a sort, and a second shuffle); the kernel needs none of them — the
     * signature is computed inside the scan stage. */
   private def minhashTable(s: SparkSession, dir: String): DataFrame =
-    Tables(s, dir, "documents")
+    minhashTableOf(Tables(s, dir, "documents"))
+
+  /** [[minhashTable]] over a caller-supplied documents relation — the
+    * form the boundary-composed intake uses (docs arrive through the
+    * JSONL read, not the parquet table). */
+  private def minhashTableOf(docs: DataFrame): DataFrame =
+    docs
       .filter(col("text").isNotNull) // explode() dropped null docs; keep parity
       .select(col("doc_id"),
         graft.exprs.functions.minhash12(toks(col("text"))).as("mins"))
@@ -209,11 +215,13 @@ object Dedup {
   /** (doc_id, cluster_id) labels from connected components over the
     * minhash-LSH pair graph — shared by dedup_clusters,
     * pipeline_dedup_corpus, and pipeline_pretrain_corpus. */
-  private def clusterLabels(s: SparkSession, dir: String): DataFrame = {
-    val pairs = minhashPairs(s, dir).select("doc_a", "doc_b")
-    val docs = Tables(s, dir, "documents").select(col("doc_id"))
+  private def clusterLabels(s: SparkSession, dir: String): DataFrame =
+    clusterLabelsOf(Tables(s, dir, "documents"))
+
+  private def clusterLabelsOf(docs: DataFrame): DataFrame = {
+    val pairs = minhashPairsOf(docs).select("doc_a", "doc_b")
     graft.operators.ConnectedComponents
-      .run(docs, pairs, MaxCcIterations)
+      .run(docs.select(col("doc_id")), pairs, MaxCcIterations)
       .select(col("id").as("doc_id"), col("component").as("cluster_id"))
   }
 
@@ -273,24 +281,50 @@ object Dedup {
     * runs the n-gram stage alone (semantic decontamination needs
     * embeddings by definition — a production intake materializes them
     * first). */
-  private def pretrainSurvivors(s: SparkSession, dir: String): DataFrame = {
-    val d = Tables(s, dir, "documents")
-    val keepers = d.join(clusterLabels(s, dir), "doc_id")
+  private def pretrainSurvivors(s: SparkSession, dir: String): DataFrame =
+    pretrainSurvivorsOf(s, Tables(s, dir, "documents"), dir)
+
+  /** [[pretrainSurvivors]] over a caller-supplied documents relation
+    * (the boundary-composed intake reads docs through the JSONL
+    * boundary, not the parquet table); `dir` still supplies the
+    * embeddings relation for the semantic leg. */
+  private[queries] def pretrainSurvivorsOf(
+      s: SparkSession, docs: DataFrame, dir: String): DataFrame =
+    pretrainStageFrames(s, docs, dir).survivors
+      .withColumn("split", TextAnalysis.splitOf(TextAnalysis.splitBucket))
+
+  /** Every stage boundary of the pretrain intake, as lazy frames — ONE
+    * composition shared by the survivor pipelines and the intake
+    * accounting report, so the report's counts can never describe a
+    * different composition than the corpus the pipelines emit.
+    * `keepers` already carries `n_words`. */
+  private[queries] final case class PretrainStages(
+      keepers: DataFrame, // cluster keepers (doc_id == cluster_id)
+      quality: DataFrame, // keepers passing the quality gate
+      nonBench: DataFrame, // quality minus the benchmark split
+      ngramClean: DataFrame, // minus n-gram contaminated
+      survivors: DataFrame) // minus semantically contaminated
+
+  private[queries] def pretrainStageFrames(
+      s: SparkSession, docs: DataFrame, dir: String): PretrainStages = {
+    val keepers = docs.join(clusterLabelsOf(docs), "doc_id")
       .filter(col("doc_id") === col("cluster_id"))
       .withColumn("n_words", size(toks(col("text"))).cast("long"))
+    val quality = keepers
       .filter(col("n_chars") >= 100 && col("n_words") >= 20)
-    val sh = shingleHashes(s, dir)
+    val sh = shingleHashesOf(docs)
     val bench = sh.filter(col("doc_id") % BenchmarkMod === 0)
       .select("sh").distinct()
     val contaminated = sh.filter(col("doc_id") % BenchmarkMod =!= 0)
       .join(broadcast(bench), "sh").select("doc_id").distinct()
-    val ngramClean = keepers
+    val nonBench = quality
       .filter(col("doc_id") % BenchmarkMod =!= 0) // benchmark split out
+    val ngramClean = nonBench
       .join(contaminated, Seq("doc_id"), "left_anti")
     val embPath = new org.apache.hadoop.fs.Path(s"$dir/embeddings.parquet")
     val hasEmb = embPath.getFileSystem(s.sparkContext.hadoopConfiguration)
       .exists(embPath)
-    val decontaminated =
+    val survivors =
       if (!hasEmb) ngramClean
       else {
         val e = Tables(s, dir, "embeddings")
@@ -311,8 +345,7 @@ object Dedup {
         ngramClean.join(broadcast(semContaminated), Seq("doc_id"),
           "left_anti")
       }
-    decontaminated
-      .withColumn("split", TextAnalysis.splitOf(TextAnalysis.splitBucket))
+    PretrainStages(keepers, quality, nonBench, ngramClean, survivors)
   }
 
   /** split_leakage_audit turned into a GATE: count verified near-dup pairs
@@ -349,7 +382,10 @@ object Dedup {
     * candidate universe) can never diverge from the standalone operator's
     * (oracle mirror: [[shinglesSql]] unnested). */
   private def shingleHashes(s: SparkSession, dir: String): DataFrame =
-    Tables(s, dir, "documents")
+    shingleHashesOf(Tables(s, dir, "documents"))
+
+  private def shingleHashesOf(docs: DataFrame): DataFrame =
+    docs
       .filter(col("text").isNotNull)
       .select(col("doc_id"),
         explode(graft.exprs.functions.ngram_shingles(toks(col("text"))))
@@ -363,8 +399,11 @@ object Dedup {
     * shuffle joins to re-attach signatures to pairs (at 100TB the signature
     * table is too big to broadcast and re-joining it would cost two more
     * full shuffles). */
-  private def minhashPairs(s: SparkSession, dir: String): DataFrame = {
-    val mins = minhashTable(s, dir)
+  private def minhashPairs(s: SparkSession, dir: String): DataFrame =
+    minhashPairsOf(Tables(s, dir, "documents"))
+
+  private def minhashPairsOf(docs: DataFrame): DataFrame = {
+    val mins = minhashTableOf(docs)
     // band key = xxhash64 of the band's 4 minhashes: an 8-byte shuffle key
     // instead of a concatenated string (same buckets; 64-bit collisions are
     // ~n²/2⁶⁴ — negligible, and verification filters false candidates).
@@ -1323,7 +1362,7 @@ object Dedup {
 
   /** DuckDB mirror of [[minhashPairs]]: CTE chain ending in
     * `pairs(doc_a, doc_b, sim_est)`. */
-  private def minhashPairsSqlCtes: String =
+  private[queries] def minhashPairsSqlCtes: String =
     s"""sh AS ($shinglesSql),
        |mh AS (SELECT doc_id,
        |  list_transform(range(0, 12), j ->
@@ -1354,7 +1393,7 @@ object Dedup {
     * the documents whose embedding clears the cosine threshold against
     * any benchmark-split embedding. Same pinned-fold cosine as the
     * standalone decontaminate_semantic oracle. */
-  private def semanticContamSqlCtes: String =
+  private[queries] def semanticContamSqlCtes: String =
     s"""em AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
        |  FROM embeddings),
        |sbench AS (SELECT v AS bv FROM em WHERE vec_id % $BenchmarkMod = 0),
@@ -1362,6 +1401,39 @@ object Dedup {
        |  FROM em c CROSS JOIN sbench b
        |  WHERE c.vec_id % $BenchmarkMod <> 0
        |    AND ${Similarity.cosineSql("c.v", "b.bv")} >= $SemanticDecontamTau)""".stripMargin
+
+  /** The full pretrain-survivor derivation as reusable CTEs ending in
+    * `survivors(doc_id)` — the same chain the pipeline oracles inline
+    * (cluster keepers → quality → bench split out → n-gram → semantic),
+    * packaged for the boundary-composed intake oracles in TextAnalysis
+    * (pipeline_intake_e2e / pipeline_intake_report). Callers prepend
+    * `WITH RECURSIVE`. CTE names used: the minhash set (sh, mh, bands,
+    * capped, cand, pairs), edges/reach/cl, t0/bench/contam,
+    * em/sbench/scontam, survivors — disjoint from the BPE/tokenize/FFD
+    * names by construction. */
+  private[queries] def pretrainSurvivorSqlCtes: String =
+    s"""$minhashPairsSqlCtes,
+       |edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+       |  UNION SELECT doc_b, doc_a FROM pairs),
+       |reach AS (
+       |  SELECT doc_id AS id, doc_id AS lab FROM documents
+       |  UNION
+       |  SELECT e.v AS id, r.lab AS lab
+       |  FROM reach r JOIN edges e ON e.u = r.id),
+       |cl AS (SELECT id AS doc_id, min(lab) AS cluster_id
+       |  FROM reach GROUP BY id),
+       |t0 AS (SELECT DISTINCT doc_id, unnest(sh) AS s FROM sh),
+       |bench AS (SELECT DISTINCT s FROM t0 WHERE doc_id % $BenchmarkMod = 0),
+       |contam AS (SELECT DISTINCT t0.doc_id FROM t0 JOIN bench USING (s)
+       |  WHERE doc_id % $BenchmarkMod <> 0),
+       |$semanticContamSqlCtes,
+       |survivors AS (
+       |  SELECT d.doc_id FROM documents d JOIN cl USING (doc_id)
+       |  WHERE d.doc_id = cl.cluster_id AND d.n_chars >= 100
+       |    AND len(string_split_regex(d.text, '\\s+')) >= 20
+       |    AND d.doc_id % $BenchmarkMod <> 0
+       |    AND d.doc_id NOT IN (SELECT doc_id FROM contam)
+       |    AND d.doc_id NOT IN (SELECT doc_id FROM scontam))""".stripMargin
 
   val oracle: Map[String, String] = Map(
     "dedup_exact" ->

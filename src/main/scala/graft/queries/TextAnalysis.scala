@@ -370,6 +370,57 @@ object TextAnalysis {
     * wid maps each word's symbols to id lists in symbol order, and di
     * flattens word id-lists back into per-document sequences via the
     * zipped-unnest position. Ends with `di(doc_id, tids)`. */
+  /** The FFD token-pack replay CTEs (e → ffd recursion → md → sq) over
+    * any `di(doc_id, tids)`-shaped source — shared by
+    * pack_best_fit_tokens and the boundary-composed intake oracles so
+    * the replay can never fork. Pair with [[FfdTokenPackSelectSql]]. */
+  private def ffdTokenPackSqlCtes(diSrc: String): String =
+    s"""e AS (SELECT doc_id, doc_id % $PackBuckets AS bucket, tids,
+       |    LEAST(CAST(len(tids) AS BIGINT) + 1, $TokenSeqLen) AS n_eff,
+       |    CAST(row_number() OVER (PARTITION BY doc_id % $PackBuckets
+       |      ORDER BY LEAST(CAST(len(tids) AS BIGINT) + 1, $TokenSeqLen)
+       |        DESC, doc_id) AS BIGINT) AS step
+       |  FROM $diSrc),
+       |ffd AS (
+       |  SELECT bucket, step, doc_id, n_eff,
+       |    CAST(1 AS BIGINT) AS seq,
+       |    [$TokenSeqLen - n_eff] AS rem
+       |  FROM e WHERE step = 1
+       |  UNION ALL
+       |  SELECT e.bucket, e.step, e.doc_id, e.n_eff,
+       |    CASE WHEN coalesce(list_position(
+       |          list_transform(f.rem, r -> r >= e.n_eff), true), 0) > 0
+       |      THEN CAST(coalesce(list_position(
+       |          list_transform(f.rem, r -> r >= e.n_eff), true), 0)
+       |        AS BIGINT)
+       |      ELSE CAST(len(f.rem) + 1 AS BIGINT) END AS seq,
+       |    CASE WHEN coalesce(list_position(
+       |          list_transform(f.rem, r -> r >= e.n_eff), true), 0) > 0
+       |      THEN list_transform(range(1, len(f.rem) + 1),
+       |        i -> CASE WHEN i = coalesce(list_position(
+       |              list_transform(f.rem, r -> r >= e.n_eff), true), 0)
+       |          THEN f.rem[i] - e.n_eff ELSE f.rem[i] END)
+       |      ELSE list_append(f.rem, $TokenSeqLen - e.n_eff) END AS rem
+       |  FROM ffd f JOIN e ON e.bucket = f.bucket AND e.step = f.step + 1
+       |),
+       |md AS (SELECT f.bucket, f.seq, f.step,
+       |    list_concat(list_slice(e.tids, 1, CAST(f.n_eff - 1 AS INT)),
+       |      [$BpeEosId]) AS ids_doc
+       |  FROM ffd f JOIN e ON e.bucket = f.bucket AND e.step = f.step),
+       |sq AS (SELECT bucket, seq, CAST(count(*) AS BIGINT) AS n_docs,
+       |    flatten(list(ids_doc ORDER BY step)) AS real_ids
+       |  FROM md GROUP BY 1, 2)""".stripMargin
+
+  /** The audit-row projection over [[ffdTokenPackSqlCtes]]'s `sq`. */
+  private def FfdTokenPackSelectSql: String =
+    s"""SELECT CAST(bucket AS BIGINT) AS bucket, seq, n_docs,
+       |  CAST(len(real_ids) AS BIGINT) AS n_real,
+       |  CAST($TokenSeqLen - len(real_ids) AS BIGINT) AS n_pad,
+       |  md5(array_to_string(list_concat(real_ids,
+       |    list_transform(range($TokenSeqLen - len(real_ids)),
+       |      x -> $BpePadId)), ',')) AS ids_md5
+       |FROM sq""".stripMargin
+
   private def tokenIdCtes: String = {
     val vRounds = (1 to BpeMerges).map { k =>
       s"""v$k AS (SELECT word, coalesce(
@@ -585,6 +636,47 @@ object TextAnalysis {
         }
       }
       .toDF("doc_id", "bucket", "seq", "step", "n_tokens", "n_eff")
+  }
+
+  /** The FFD token-packing materialization shared by
+    * pack_best_fit_tokens and the boundary-composed intake
+    * (pipeline_intake_e2e / pipeline_intake_report): takes
+    * (doc_id, token_ids) rows, shapes them into the FFD input (bucket =
+    * doc_id % PackBuckets, n_eff = min(n_ids + 1, TokenSeqLen)), runs
+    * [[ffdAssign]], and materializes one audit row per training
+    * sequence — (bucket, seq, n_docs, n_real, n_pad, ids_md5) with every
+    * id pinned through the md5 (docs concatenate in FFD visit order,
+    * each contributing its prefix + EOS, tail padded with PAD).
+    * Per-sequence collect_list is bounded by TokenSeqLen ids. */
+  private def ffdTokenRowsOf(s: SparkSession, idRows: DataFrame): DataFrame = {
+    val ids = idRows
+      .select(col("doc_id").cast("long").as("doc_id"), col("token_ids"))
+      .withColumn("bucket", (col("doc_id") % PackBuckets).cast("long"))
+      .withColumn("n_tokens", size(col("token_ids")).cast("long"))
+      .withColumn("n_eff",
+        least(col("n_tokens") + 1L, lit(TokenSeqLen.toLong)))
+    val assigned = ffdAssign(s,
+      ids.select("doc_id", "bucket", "n_tokens", "n_eff"),
+      TokenSeqLen.toLong)
+    assigned
+      .join(ids.select(col("doc_id"), col("token_ids")), "doc_id")
+      .withColumn("ids_doc", concat(
+        slice(col("token_ids"), lit(1), (col("n_eff") - 1L).cast("int")),
+        array(lit(BpeEosId))))
+      .groupBy("bucket", "seq")
+      .agg(count(lit(1)).as("n_docs"),
+        sort_array(collect_list(struct(col("step"), col("ids_doc"))))
+          .as("a"))
+      .withColumn("real_ids",
+        flatten(expr("transform(a, x -> x.ids_doc)")))
+      .withColumn("n_real", size(col("real_ids")).cast("long"))
+      .withColumn("n_pad", lit(TokenSeqLen.toLong) - col("n_real"))
+      .withColumn("ids_md5", md5(concat_ws(",",
+        concat(col("real_ids"),
+          array_repeat(lit(BpePadId), col("n_pad").cast("int")))
+          .cast("array<string>"))))
+      .select(col("bucket"), col("seq"), col("n_docs"),
+        col("n_real"), col("n_pad"), col("ids_md5"))
   }
 
   /** corpus_gini in the DISTRIBUTED-RANK form: global ranks i over
@@ -1089,6 +1181,56 @@ object TextAnalysis {
     }
   }
 
+  // ---- staged intake drop (round 14) ----------------------------------
+  // The boundary-composed intake entries (pipeline_intake_e2e /
+  // pipeline_intake_report / corpus_report) read the corpus THROUGH a
+  // staged JSONL.gz drop directory that also carries two FIXTURE shards
+  // — one with IntakeBadLines malformed lines (the line-quarantine leg)
+  // and one corrupt gzip (the file-quarantine leg) — so the composed
+  // plan exercises, and accounts for, both failure paths with
+  // oracle-pinnable constants. jsonl_roundtrip proves the boundary is
+  // the identity on clean rows, so every downstream oracle keeps
+  // running against the parquet `documents` table.
+  private[queries] val IntakeBadLines = 3L // malformed lines in the fixture
+  private[queries] val IntakeSkippedFiles = 1L // corrupt gzip shards
+  private val IntakeCleanShards = 32 // gzip members for the clean corpus
+
+  /** Stage (idempotently, corpus-fingerprint-keyed) the intake drop dir:
+    * the documents table as [[IntakeCleanShards]] gzip JSONL shards plus
+    * the two fixture shards. A `_INTAKE_READY` marker gates completeness
+    * (written AFTER the fixtures — `_SUCCESS` alone would race a crash
+    * between the corpus write and the fixture writes). */
+  private[queries] def intakeShards(s: SparkSession, dir: String): String = {
+    val key = corpusKey(dir).map { ck =>
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(ck.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(12)
+    }.getOrElse(java.util.UUID.randomUUID().toString.take(12))
+    val root = java.nio.file.Paths.get(
+      sys.props.getOrElse("java.io.tmpdir", "/tmp"), s"graft-intake-$key")
+    if (!java.nio.file.Files.exists(root.resolve("_INTAKE_READY"))) {
+      graft.sources.CorpusJsonl.write(
+        Tables(s, dir, "documents"), root.toString,
+        shards = IntakeCleanShards)
+      // line-quarantine fixture: IntakeBadLines malformed lines (two
+      // parse errors + one id-less object)
+      val badOut = new java.util.zip.GZIPOutputStream(
+        java.nio.file.Files.newOutputStream(
+          root.resolve("fixture-badlines.json.gz")))
+      try badOut.write(
+        ("{\"doc_id\": oops\n" +
+          "not json at all\n" +
+          "{\"text\": \"no id here\"}\n").getBytes("UTF-8"))
+      finally badOut.close()
+      // file-quarantine fixture: a .gz whose bytes are not gzip at all
+      java.nio.file.Files.write(
+        root.resolve("fixture-corrupt.json.gz"), Array.fill[Byte](256)(0x42))
+      java.nio.file.Files.write(
+        root.resolve("_INTAKE_READY"), Array.empty[Byte])
+    }
+    root.toString
+  }
+
   private val mergeCache = new java.util.concurrent.ConcurrentHashMap[
     String, Memo[Seq[(Long, String, String, String, Long)]]]()
 
@@ -1390,8 +1532,14 @@ object TextAnalysis {
     * sort_array over (pos, ids) structs — a per-group sort of an
     * already-partitioned aggregate, not a global sort. */
   private def tokenIdsOf(s: SparkSession, dir: String,
+      merges: Seq[(Long, String, String, String, Long)]): DataFrame =
+    tokenIdsOfDocs(Tables(s, dir, "documents"), merges)
+
+  /** [[tokenIdsOf]] over a caller-supplied documents relation (the
+    * boundary-composed intake tokenizes the JSONL read-back corpus). */
+  private def tokenIdsOfDocs(docs: DataFrame,
       merges: Seq[(Long, String, String, String, Long)]): DataFrame = {
-    val ow = Tables(s, dir, "documents")
+    val ow = docs
       .filter(col("text").isNotNull)
       .select(col("doc_id"), posexplode(
         expr("regexp_extract_all(lower(text), '([a-z]+)', 1)"))
@@ -2268,36 +2416,84 @@ object TextAnalysis {
     // materialization end-to-end (the recursive-CTE FFD joined back to
     // the token arrays). Per-sequence collect_list is bounded by L ids.
     "pack_best_fit_tokens" -> { (s, dir) =>
-      val ids = tokenIdsOf(s, dir, learnBpeMergesCached(s, dir))
-        .select(col("doc_id").cast("long").as("doc_id"),
-          col("token_ids"))
-        .withColumn("bucket", (col("doc_id") % PackBuckets).cast("long"))
-        .withColumn("n_tokens", size(col("token_ids")).cast("long"))
-        .withColumn("n_eff",
-          least(col("n_tokens") + 1L, lit(TokenSeqLen.toLong)))
-      val assigned = ffdAssign(s,
-        ids.select("doc_id", "bucket", "n_tokens", "n_eff"),
-        TokenSeqLen.toLong)
-      assigned
-        .join(ids.select(col("doc_id"), col("token_ids")), "doc_id")
-        .withColumn("ids_doc", concat(
-          slice(col("token_ids"), lit(1), (col("n_eff") - 1L).cast("int")),
-          array(lit(BpeEosId))))
-        .groupBy("bucket", "seq")
-        .agg(count(lit(1)).as("n_docs"),
-          sort_array(collect_list(struct(col("step"), col("ids_doc"))))
-            .as("a"))
-        .withColumn("real_ids",
-          flatten(expr("transform(a, x -> x.ids_doc)")))
-        .withColumn("n_real", size(col("real_ids")).cast("long"))
-        .withColumn("n_pad", lit(TokenSeqLen.toLong) - col("n_real"))
-        .withColumn("ids_md5", md5(concat_ws(",",
-          concat(col("real_ids"),
-            array_repeat(lit(BpePadId), col("n_pad").cast("int")))
-            .cast("array<string>"))))
-        .select(col("bucket"), col("seq"), col("n_docs"),
-          col("n_real"), col("n_pad"), col("ids_md5"))
+      ffdTokenRowsOf(s,
+        tokenIdsOf(s, dir, learnBpeMergesCached(s, dir)))
         .orderBy("bucket", "seq")
+    },
+
+    // The COMPLETE production intake, boundary to training rows, as ONE
+    // declarative plan (round 14): staged JSONL.gz drop (with malformed-
+    // line and corrupt-shard fixtures — see [[intakeShards]]) →
+    // schema-pinned PERMISSIVE read surviving the corrupt shard →
+    // pretrain curation (near-dup cluster keepers → quality gate →
+    // benchmark decontamination, n-gram AND semantic → the benchmark
+    // split held out) → boundary-respecting FFD token packing — the
+    // pack_best_fit_tokens training rows, restricted to the curated
+    // corpus. Every stage is individually oracle-gated elsewhere; this
+    // entry pins the full COMPOSITION hash-exactly (every id of every
+    // training row the intake would hand a trainer). The oracle runs on
+    // the parquet table — jsonl_roundtrip proves the boundary is the
+    // identity — with the survivor CTE chain prepended to the tokenize +
+    // FFD replay. Scale shape: nothing new — each stage keeps its
+    // audited shape, and the JSONL read's parallelism is the shard
+    // count by construction.
+    "pipeline_intake_e2e" -> { (s, dir) =>
+      val root = intakeShards(s, dir)
+      val files = graft.sources.CorpusJsonl.listShards(s, root)
+      val docs = graft.sources.CorpusJsonl.readFiles(s, files)
+      val kept = Dedup.pretrainSurvivorsOf(s, docs, dir).select("doc_id")
+      ffdTokenRowsOf(s,
+        tokenIdsOfDocs(docs, learnBpeMergesCached(s, dir))
+          .join(kept, "doc_id"))
+        .orderBy("bucket", "seq")
+    },
+
+    // The intake ACCOUNTING row (round 14): docs in → rejected lines →
+    // skipped shards → dup-dropped → quality-dropped → benchmark held
+    // out → n-gram contaminated → semantically contaminated → survivors
+    // → packed training rows/tokens — one all-BIGINT row, every count
+    // from the SAME stage frames the e2e plan consumes
+    // ([[Dedup.pretrainStageFrames]]), so the card can never describe a
+    // different composition than the corpus it ships. The oracle pins
+    // the fixture constants (rejects, skipped shards) and re-derives
+    // every curation count from the survivor CTE chain.
+    "pipeline_intake_report" -> { (s, dir) =>
+      val root = intakeShards(s, dir)
+      val files = graft.sources.CorpusJsonl.listShards(s, root)
+      val audit = graft.sources.CorpusJsonl.auditShards(s, files)
+      val docs = graft.sources.CorpusJsonl.readFiles(s, files)
+      val rejects = graft.sources.CorpusJsonl.readCorruptFiles(s, files)
+      val st = Dedup.pretrainStageFrames(s, docs, dir)
+      val packed = ffdTokenRowsOf(s,
+        tokenIdsOfDocs(docs, learnBpeMergesCached(s, dir))
+          .join(st.survivors.select("doc_id"), "doc_id"))
+      def c1(df: DataFrame, name: String): DataFrame =
+        df.agg(count(lit(1)).cast("long").as(name))
+      c1(audit, "n_shards_in")
+        .crossJoin(c1(audit.filter(!col("ok")), "n_shards_skipped"))
+        .crossJoin(c1(rejects, "n_rejected_lines"))
+        .crossJoin(c1(docs, "n_docs"))
+        .crossJoin(c1(st.keepers, "n_keepers"))
+        .crossJoin(c1(st.quality, "n_quality"))
+        .crossJoin(c1(st.nonBench, "n_non_bench"))
+        .crossJoin(c1(st.ngramClean, "n_ngram_clean"))
+        .crossJoin(c1(st.survivors, "n_survivors"))
+        .crossJoin(packed.agg(
+          count(lit(1)).cast("long").as("n_train_seqs"),
+          coalesce(sum(col("n_real")), lit(0L)).as("n_real_tokens"),
+          coalesce(sum(col("n_pad")), lit(0L)).as("n_pad_tokens")))
+        .select(
+          col("n_shards_in"), col("n_shards_skipped"),
+          (col("n_docs") + col("n_rejected_lines")).as("n_lines_in"),
+          col("n_rejected_lines"), col("n_docs"),
+          (col("n_docs") - col("n_keepers")).as("n_dup_dropped"),
+          (col("n_keepers") - col("n_quality")).as("n_quality_dropped"),
+          (col("n_quality") - col("n_non_bench")).as("n_bench_held"),
+          (col("n_non_bench") - col("n_ngram_clean")).as("n_contam_ngram"),
+          (col("n_ngram_clean") - col("n_survivors"))
+            .as("n_contam_semantic"),
+          col("n_survivors"), col("n_train_seqs"),
+          col("n_real_tokens"), col("n_pad_tokens"))
     },
 
     // BYTE-alphabet BPE training — the production-tokenizer alphabet: base
@@ -3267,12 +3463,26 @@ object TextAnalysis {
     // map-side and whose count_distinct runs Spark's standard two-phase
     // partial-distinct; output is one row per (source, lang) — a broadcast-
     // sized data card at any corpus size. All-integer → exact vs oracle.
+    //
+    // Round 14: the card reads through the staged JSONL intake
+    // ([[intakeShards]]) and CARRIES THE INTAKE ACCOUNTING as two
+    // sentinel rows — source '(intake)', lang '(rejects)' /
+    // '(skipped_files)', n_docs = the quarantined-line / corrupt-shard
+    // counts, metric columns null — because a data card that can't say
+    // "0.3% of lines rejected, N shards skipped" under-reports the
+    // corpus. Both counts are REAL computations over the quarantine
+    // relations (readCorruptFiles / auditShards); the oracle pins the
+    // fixture constants. The stream twin emits the same sentinel-row
+    // convention per window from the rejects leg.
     "corpus_report" -> { (s, dir) =>
-      val d = Tables(s, dir, "documents").filter(col("text").isNotNull)
+      val root = intakeShards(s, dir)
+      val files = graft.sources.CorpusJsonl.listShards(s, root)
+      val d = graft.sources.CorpusJsonl.readFiles(s, files)
+        .filter(col("text").isNotNull)
         .select(col("source"), col("lang"),
           size(toks(col("text"))).cast("long").as("n_toks"),
           col("n_chars"), md5(col("text")).as("hsh"))
-      d.groupBy("source", "lang")
+      val card = d.groupBy("source", "lang")
         .agg(count(lit(1)).as("n_docs"),
           sum(col("n_toks")).as("n_tokens"),
           min(col("n_toks")).as("min_toks"),
@@ -3280,6 +3490,24 @@ object TextAnalysis {
           sum(col("n_chars")).as("sum_chars"),
           count_distinct(col("hsh")).as("n_unique"),
           (count(lit(1)) - count_distinct(col("hsh"))).as("n_exact_dups"))
+      def sentinel(counted: DataFrame, tag: String): DataFrame =
+        counted.agg(count(lit(1)).cast("long").as("n_docs"))
+          .select(lit("(intake)").as("source"), lit(tag).as("lang"),
+            col("n_docs"),
+            lit(null).cast("long").as("n_tokens"),
+            lit(null).cast("long").as("min_toks"),
+            lit(null).cast("long").as("max_toks"),
+            lit(null).cast("long").as("sum_chars"),
+            lit(null).cast("long").as("n_unique"),
+            lit(null).cast("long").as("n_exact_dups"))
+      card
+        .unionByName(sentinel(
+          graft.sources.CorpusJsonl.readCorruptFiles(s, files),
+          "(rejects)"))
+        .unionByName(sentinel(
+          graft.sources.CorpusJsonl.auditShards(s, files)
+            .filter(!col("ok")),
+          "(skipped_files)"))
         .orderBy("source", "lang")
     }
   )
@@ -3600,48 +3828,68 @@ object TextAnalysis {
     "pack_best_fit_tokens" ->
       s"""WITH RECURSIVE $bpeCtes,
          |$tokenIdCtes,
-         |e AS (SELECT doc_id, doc_id % $PackBuckets AS bucket, tids,
-         |    LEAST(CAST(len(tids) AS BIGINT) + 1, $TokenSeqLen) AS n_eff,
-         |    CAST(row_number() OVER (PARTITION BY doc_id % $PackBuckets
-         |      ORDER BY LEAST(CAST(len(tids) AS BIGINT) + 1, $TokenSeqLen)
-         |        DESC, doc_id) AS BIGINT) AS step
-         |  FROM di),
-         |ffd AS (
-         |  SELECT bucket, step, doc_id, n_eff,
-         |    CAST(1 AS BIGINT) AS seq,
-         |    [$TokenSeqLen - n_eff] AS rem
-         |  FROM e WHERE step = 1
-         |  UNION ALL
-         |  SELECT e.bucket, e.step, e.doc_id, e.n_eff,
-         |    CASE WHEN coalesce(list_position(
-         |          list_transform(f.rem, r -> r >= e.n_eff), true), 0) > 0
-         |      THEN CAST(coalesce(list_position(
-         |          list_transform(f.rem, r -> r >= e.n_eff), true), 0)
-         |        AS BIGINT)
-         |      ELSE CAST(len(f.rem) + 1 AS BIGINT) END AS seq,
-         |    CASE WHEN coalesce(list_position(
-         |          list_transform(f.rem, r -> r >= e.n_eff), true), 0) > 0
-         |      THEN list_transform(range(1, len(f.rem) + 1),
-         |        i -> CASE WHEN i = coalesce(list_position(
-         |              list_transform(f.rem, r -> r >= e.n_eff), true), 0)
-         |          THEN f.rem[i] - e.n_eff ELSE f.rem[i] END)
-         |      ELSE list_append(f.rem, $TokenSeqLen - e.n_eff) END AS rem
-         |  FROM ffd f JOIN e ON e.bucket = f.bucket AND e.step = f.step + 1
-         |),
-         |md AS (SELECT f.bucket, f.seq, f.step,
-         |    list_concat(list_slice(e.tids, 1, CAST(f.n_eff - 1 AS INT)),
-         |      [$BpeEosId]) AS ids_doc
-         |  FROM ffd f JOIN e ON e.bucket = f.bucket AND e.step = f.step),
-         |sq AS (SELECT bucket, seq, CAST(count(*) AS BIGINT) AS n_docs,
-         |    flatten(list(ids_doc ORDER BY step)) AS real_ids
-         |  FROM md GROUP BY 1, 2)
-         |SELECT CAST(bucket AS BIGINT) AS bucket, seq, n_docs,
-         |  CAST(len(real_ids) AS BIGINT) AS n_real,
-         |  CAST($TokenSeqLen - len(real_ids) AS BIGINT) AS n_pad,
-         |  md5(array_to_string(list_concat(real_ids,
-         |    list_transform(range($TokenSeqLen - len(real_ids)),
-         |      x -> $BpePadId)), ',')) AS ids_md5
-         |FROM sq ORDER BY bucket, seq""".stripMargin,
+         |${ffdTokenPackSqlCtes("di")}
+         |$FfdTokenPackSelectSql ORDER BY bucket, seq""".stripMargin,
+
+    // the COMPLETE intake composition, boundary to training rows: the
+    // survivor chain (cluster keepers → quality → bench split → n-gram →
+    // semantic) prepended to the tokenize + FFD replay, di restricted to
+    // survivors. The JSONL boundary contributes no CTE — jsonl_roundtrip
+    // pins it as the identity on clean rows.
+    "pipeline_intake_e2e" ->
+      s"""WITH RECURSIVE ${Dedup.pretrainSurvivorSqlCtes},
+         |$bpeCtes,
+         |$tokenIdCtes,
+         |${ffdTokenPackSqlCtes(
+             "(SELECT * FROM di WHERE doc_id IN " +
+               "(SELECT doc_id FROM survivors))")}
+         |$FfdTokenPackSelectSql ORDER BY bucket, seq""".stripMargin,
+
+    // the accounting row: fixture constants for the boundary legs
+    // (rejects, skipped shards), every curation count re-derived from
+    // the survivor CTE chain, pack totals from the FFD replay
+    "pipeline_intake_report" ->
+      s"""WITH RECURSIVE ${Dedup.pretrainSurvivorSqlCtes},
+         |$bpeCtes,
+         |$tokenIdCtes,
+         |${ffdTokenPackSqlCtes(
+             "(SELECT * FROM di WHERE doc_id IN " +
+               "(SELECT doc_id FROM survivors))")},
+         |kq AS (SELECT d.doc_id, d.n_chars,
+         |    len(string_split_regex(d.text, '\\s+')) AS n_words
+         |  FROM documents d JOIN cl USING (doc_id)
+         |  WHERE d.doc_id = cl.cluster_id),
+         |qy AS (SELECT doc_id FROM kq
+         |  WHERE n_chars >= 100 AND n_words >= 20),
+         |nb AS (SELECT doc_id FROM qy
+         |  WHERE doc_id % ${Dedup.BenchmarkMod} <> 0),
+         |ng AS (SELECT doc_id FROM nb
+         |  WHERE doc_id NOT IN (SELECT doc_id FROM contam)),
+         |pk AS (SELECT CAST(count(*) AS BIGINT) AS n_train_seqs,
+         |    CAST(coalesce(sum(len(real_ids)), 0) AS BIGINT)
+         |      AS n_real_tokens,
+         |    CAST(coalesce(sum($TokenSeqLen - len(real_ids)), 0) AS BIGINT)
+         |      AS n_pad_tokens
+         |  FROM sq)
+         |SELECT
+         |  CAST(${IntakeCleanShards + 2} AS BIGINT) AS n_shards_in,
+         |  CAST($IntakeSkippedFiles AS BIGINT) AS n_shards_skipped,
+         |  (SELECT count(*) FROM documents) + $IntakeBadLines AS n_lines_in,
+         |  CAST($IntakeBadLines AS BIGINT) AS n_rejected_lines,
+         |  (SELECT count(*) FROM documents) AS n_docs,
+         |  (SELECT count(*) FROM documents) -
+         |    (SELECT count(*) FROM kq) AS n_dup_dropped,
+         |  (SELECT count(*) FROM kq) -
+         |    (SELECT count(*) FROM qy) AS n_quality_dropped,
+         |  (SELECT count(*) FROM qy) -
+         |    (SELECT count(*) FROM nb) AS n_bench_held,
+         |  (SELECT count(*) FROM nb) -
+         |    (SELECT count(*) FROM ng) AS n_contam_ngram,
+         |  (SELECT count(*) FROM ng) -
+         |    (SELECT count(*) FROM survivors) AS n_contam_semantic,
+         |  (SELECT count(*) FROM survivors) AS n_survivors,
+         |  pk.n_train_seqs, pk.n_real_tokens, pk.n_pad_tokens
+         |FROM pk""".stripMargin,
 
     "train_bpe_bytes" -> trainBpeBytesSql,
 
@@ -4239,17 +4487,28 @@ object TextAnalysis {
     },
 
     "corpus_report" ->
-      """SELECT source, lang, count(*) AS n_docs,
-        |  CAST(sum(len(string_split_regex(text, '\s+'))) AS BIGINT)
-        |    AS n_tokens,
-        |  CAST(min(len(string_split_regex(text, '\s+'))) AS BIGINT)
-        |    AS min_toks,
-        |  CAST(max(len(string_split_regex(text, '\s+'))) AS BIGINT)
-        |    AS max_toks,
-        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
-        |  count(DISTINCT md5(text)) AS n_unique,
-        |  count(*) - count(DISTINCT md5(text)) AS n_exact_dups
-        |FROM documents WHERE text IS NOT NULL
-        |GROUP BY source, lang ORDER BY source, lang""".stripMargin
+      s"""SELECT * FROM (
+         |SELECT source, lang, count(*) AS n_docs,
+         |  CAST(sum(len(string_split_regex(text, '\\s+'))) AS BIGINT)
+         |    AS n_tokens,
+         |  CAST(min(len(string_split_regex(text, '\\s+'))) AS BIGINT)
+         |    AS min_toks,
+         |  CAST(max(len(string_split_regex(text, '\\s+'))) AS BIGINT)
+         |    AS max_toks,
+         |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+         |  count(DISTINCT md5(text)) AS n_unique,
+         |  count(*) - count(DISTINCT md5(text)) AS n_exact_dups
+         |FROM documents WHERE text IS NOT NULL
+         |GROUP BY source, lang
+         |UNION ALL
+         |SELECT '(intake)', '(rejects)', CAST($IntakeBadLines AS BIGINT),
+         |  CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+         |  CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)
+         |UNION ALL
+         |SELECT '(intake)', '(skipped_files)',
+         |  CAST($IntakeSkippedFiles AS BIGINT),
+         |  CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+         |  CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)
+         |) ORDER BY source, lang""".stripMargin
   )
 }

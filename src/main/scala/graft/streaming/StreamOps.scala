@@ -1477,29 +1477,52 @@ object StreamOps {
         element_at(lab, col("i") + 1).as("q"), col("est"))
   }
 
+  /** Round 14: the optional `rejects` leg — the quarantine stream
+    * [[graft.sources.CorpusJsonl.ingestStream]] writes (or any relation
+    * of rejected lines with an event-time column `rejectsTsCol`) — is
+    * unioned in BEFORE the window aggregate as sentinel rows (source
+    * '(intake)', lang '(rejects)', metric columns null), so each closed
+    * window's card carries its quarantined-line count as one extra row:
+    * the same convention the batch corpus_report uses. A data card that
+    * can't say "N lines rejected this window" under-reports the corpus.
+    * (Skipped FILES are stream-audited by
+    * [[graft.sources.CorpusJsonl.fileAuditStream]] — a file-granular
+    * relation with its own sink, not a per-line stream to union here.) */
   def corpusReportStream(
       docs: DataFrame, tsCol: String, textCol: String,
       srcCol: String, langCol: String,
       win: String, delay: String,
-      nCharsCol: Option[String] = None): DataFrame = {
+      nCharsCol: Option[String] = None,
+      rejects: Option[DataFrame] = None,
+      rejectsTsCol: String = "ts"): DataFrame = {
     val t = split(col(textCol), "\\s+")
     val nChars = nCharsCol.map(c => col(c).cast("long"))
       .getOrElse(length(col(textCol)).cast("long"))
-    docs.filter(col(textCol).isNotNull)
-      .select(col(tsCol), col(srcCol), col(langCol),
+    val base = docs.filter(col(textCol).isNotNull)
+      .select(col(tsCol).cast("timestamp").as("__rts"),
+        col(srcCol).cast("string").as("__src"),
+        col(langCol).cast("string").as("__lang"),
         size(t).cast("long").as("n_toks"),
         nChars.as("n_chars"),
         md5(col(textCol)).as("hsh"))
-      .withWatermark(tsCol, delay)
-      .groupBy(window(col(tsCol), win), col(srcCol), col(langCol))
+    val all = rejects.fold(base)(r => base.unionByName(
+      r.select(col(rejectsTsCol).cast("timestamp").as("__rts"),
+        lit("(intake)").as("__src"), lit("(rejects)").as("__lang"),
+        lit(null).cast("long").as("n_toks"),
+        lit(null).cast("long").as("n_chars"),
+        lit(null).cast("string").as("hsh"))))
+    all
+      .withWatermark("__rts", delay)
+      .groupBy(window(col("__rts"), win), col("__src"), col("__lang"))
       .agg(count(lit(1)).as("n_docs"),
         sum(col("n_toks")).as("n_tokens"),
         min(col("n_toks")).as("min_toks"),
         max(col("n_toks")).as("max_toks"),
         sum(col("n_chars")).as("sum_chars"),
         approx_count_distinct(col("hsh")).as("n_unique_approx"))
-      .select(col("window.start").as("win_start"), col(srcCol),
-        col(langCol), col("n_docs"), col("n_tokens"), col("min_toks"),
+      .select(col("window.start").as("win_start"),
+        col("__src").as(srcCol), col("__lang").as(langCol),
+        col("n_docs"), col("n_tokens"), col("min_toks"),
         col("max_toks"), col("sum_chars"), col("n_unique_approx"))
   }
 }

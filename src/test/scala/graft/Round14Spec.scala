@@ -271,6 +271,43 @@ class Round14Spec extends AnyFunSuite {
     assert(out.map(_.getLong(2)).sum === 1L)
   }
 
+  test("corpusReportStream with the rejects leg emits the per-window '(intake)' sentinel row") {
+    val sparkS = spark
+    import sparkS.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val mem = MemoryStream[(java.sql.Timestamp, String, String, String)]
+    val rej = MemoryStream[(java.sql.Timestamp, String)]
+    def ts(s: Long) = new java.sql.Timestamp(s * 1000L)
+    val q = graft.streaming.StreamOps.corpusReportStream(
+        mem.toDF().toDF("ts", "text", "source", "lang"),
+        "ts", "text", "source", "lang", "10 seconds", "5 seconds",
+        rejects = Some(rej.toDF().toDF("ts", "raw_line")),
+        rejectsTsCol = "ts")
+      .writeStream.format("memory").queryName("r14_scard")
+      .outputMode("append").start()
+    try {
+      mem.addData(
+        (ts(1), "aa bb cc", "web", "en"),
+        (ts(3), "dd ee", "web", "en"))
+      rej.addData((ts(2), "{broken"), (ts(4), "not json"))
+      q.processAllAvailable()
+      // close the window on BOTH inputs (the union's watermark is the min)
+      mem.addData((ts(30), "zz", "web", "en"))
+      rej.addData((ts(30), "late junk"))
+      q.processAllAvailable()
+      val rows = spark.table("r14_scard")
+        .selectExpr("unix_timestamp(win_start)", "source", "lang",
+          "n_docs", "n_tokens")
+        .collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+          r.getLong(3), if (r.isNullAt(4)) -1L else r.getLong(4))).toSet
+      assert(rows.contains((0L, "web", "en", 2L, 5L)), rows)
+      // the sentinel: 2 rejected lines in the window, metrics null
+      assert(rows.contains((0L, "(intake)", "(rejects)", 2L, -1L)), rows)
+    } finally q.stop()
+  }
+
   test("FirstFitTree grows past its initial capacity without losing bins") {
     // every doc fills a whole bin → one bin per doc, forcing two
     // capacity doublings past the initial 1024 leaves
