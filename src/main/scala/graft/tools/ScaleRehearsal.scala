@@ -39,13 +39,21 @@ object ScaleRehearsal {
     * Round 13 adds the round-12 sampling/sketch/audit families (all
     * scan-speed or k-bounded claims — anything superlinear there is a
     * real bug, not a documented measure) and the round-13 FFD packer
-    * (linear scan + bucket-parallel sequential fit). */
+    * (linear scan + bucket-parallel sequential fit). Round 14 adds the
+    * round-13 entries that lacked 100× evidence (filtered ANN probes,
+    * semantic decontamination, token-tier FFD, the JSONL boundary, the
+    * imported tokenizer — scan-speed or k-bounded claims each) plus the
+    * round-14 boundary-composed intake (CC-dominated, the
+    * pipeline_dedup measure) and the accounting data card. */
   private val Sf10Families = Seq(
     "dedup_clusters", "split_by_cluster", "pipeline_dedup_corpus",
     "dedup_semantic_pq", "fuzzy_join_names", "text_perplexity_bigram",
     "sample_priority", "sample_priority_by_lang", "mix_temperature",
     "pipeline_mix_sample", "corpus_gini", "text_quantiles_sketch",
-    "emb_slice_renorm", "pack_best_fit")
+    "emb_slice_renorm", "pack_best_fit",
+    "ann_filtered_persisted", "decontaminate_semantic",
+    "pack_best_fit_tokens", "jsonl_roundtrip", "tokenize_bpe_ids_imported",
+    "pipeline_intake_e2e", "corpus_report")
 
   /** `ScaleRehearsal sf10 [base] [out] [queries...]` — the 100× column:
     * a 100-copy database materialized for JUST the tables the audited
