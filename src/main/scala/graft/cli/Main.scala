@@ -376,6 +376,47 @@ object Main {
         (if (audit.nonEmpty) s"; skipped ${audit.length} corrupt shard(s)"
          else ""))
 
+    // extension (no reference analog): incremental intake admission —
+    // dedup a parquet drop of (doc_id, text) documents against a
+    // persisted DedupState, print the verdict accounting, and append the
+    // admitted evidence as a new delta. The fingerprint defaults to the
+    // drop path + its size/mtime, so re-running a crashed invocation is
+    // a no-op (the manifest ledger recognizes it).
+    case Seq("admit", stateDir, dropDir) =>
+      val s = spark()
+      val fp = dropDir + "|" + graft.util.ArtifactCache.fingerprintOf(
+        java.nio.file.Paths.get(dropDir))
+      val before = graft.operators.DedupState.load(stateDir)
+      if (before.fingerprints.contains(fp)) {
+        println(s"already admitted (fingerprint match): $dropDir")
+      } else {
+        import org.apache.spark.sql.functions.{col, count, lit, when}
+        val batch = s.read.parquet(dropDir).select("doc_id", "text")
+        val v = graft.operators.DedupState.verdicts(s, before, batch)
+          .groupBy()
+          .agg(count(lit(1)).as("n"),
+            count(when(col("exact_dup_state"), true)).as("xs"),
+            count(when(col("exact_dup_batch"), true)).as("xb"),
+            count(when(col("near_dup_state"), true)).as("ns"),
+            count(when(col("near_dup_batch"), true)).as("nb"))
+          .collect().head
+        val after =
+          graft.operators.DedupState.admit(s, stateDir, batch, fp)
+        println(s"admitted ${after.nDocs - before.nDocs} of ${v.getLong(0)} " +
+          s"(exact_dup_state=${v.getLong(1)} exact_dup_batch=${v.getLong(2)} " +
+          s"near_dup_state=${v.getLong(3)} near_dup_batch=${v.getLong(4)}); " +
+          s"state now ${after.nDocs} docs in ${after.deltas.size} delta(s), " +
+          s"manifest v${after.version}")
+      }
+
+    // fold the state's accumulated deltas and reclaim superseded dirs
+    case Seq("compact-state", stateDir) =>
+      val s = spark()
+      val h = graft.operators.DedupState.compact(s, stateDir)
+      val n = graft.operators.DedupState.gc(stateDir)
+      println(s"compacted to ${h.deltas.size} delta(s) " +
+        s"(${h.nDocs} docs, manifest v${h.version}); gc removed $n dir(s)")
+
     // extension (no reference analog): tokenizer-model interchange —
     // export a byte-alphabet BpeModel as the public merges.txt /
     // vocab.json pair (inverse of BpeModel.importMerges)
@@ -421,6 +462,7 @@ object Main {
           "export-tokenizer <modeldir> <merges.txt> <vocab.json>|" +
           "ingest-jsonl <jsonldir> <parquetdir>|" +
           "import-tokenizer <merges.txt> <vocab.json> <modeldir>|" +
+          "admit <statedir> <dropparquet>|compact-state <statedir>|" +
           "import <nativefile> <dir>")
       sys.exit(2)
   }

@@ -16,9 +16,12 @@ import java.nio.charset.StandardCharsets
 object Dedup {
   type Q = (SparkSession, String) => DataFrame
 
-  private val NumHashes = 12
-  private val NumBands = 3 // 4 rows per band
-  private val RowsPerBand = NumHashes / NumBands
+  // MinHash-LSH geometry lives in the shared [[graft.operators.MinHashLsh]]
+  // kernel (also consumed by the incremental-intake DedupState); the
+  // aliases keep this file's oracle interpolations single-sourced.
+  private val NumHashes = graft.operators.MinHashLsh.NumHashes
+  private val NumBands = graft.operators.MinHashLsh.NumBands
+  private val RowsPerBand = graft.operators.MinHashLsh.RowsPerBand
 
   /** Hot-bucket caps: a candidate-generation bucket of size n yields n²/2
     * pairs, so one pathological bucket (boilerplate shingle, giant duplicate
@@ -28,7 +31,8 @@ object Dedup {
     * cluster are still caught by exact dedup, and a shingle shared by >64
     * docs carries no similarity signal. The oracle SQL applies the same cap,
     * so results stay bit-identical. */
-  private val MaxBandBucket = 64 // LSH band bucket: docs per (band, key)
+  // LSH band bucket cap: docs per (band, key) — shared kernel value
+  private val MaxBandBucket = graft.operators.MinHashLsh.MaxBandBucket
   private val MaxShingleDf = 64 // inverted index: docs per distinct shingle
   private val MaxCellSize = 65536 // embedding cosine: vectors per coarse cell
   // dedup_clusters label-propagation cap, in PROPAGATION STEPS (the
@@ -93,10 +97,7 @@ object Dedup {
     * form the boundary-composed intake uses (docs arrive through the
     * JSONL read, not the parquet table). */
   private def minhashTableOf(docs: DataFrame): DataFrame =
-    docs
-      .filter(col("text").isNotNull) // explode() dropped null docs; keep parity
-      .select(col("doc_id"),
-        graft.exprs.functions.minhash12(toks(col("text"))).as("mins"))
+    graft.operators.MinHashLsh.signaturesOf(docs)
 
   /** 32-bit SimHash per doc: md5-bit votes of every token occurrence,
     * computed by the fused [[graft.exprs.TextOps.simhash32]] kernel — one
@@ -402,40 +403,31 @@ object Dedup {
   private def minhashPairs(s: SparkSession, dir: String): DataFrame =
     minhashPairsOf(Tables(s, dir, "documents"))
 
-  private def minhashPairsOf(docs: DataFrame): DataFrame = {
-    val mins = minhashTableOf(docs)
-    // band key = xxhash64 of the band's 4 minhashes: an 8-byte shuffle key
-    // instead of a concatenated string (same buckets; 64-bit collisions are
-    // ~n²/2⁶⁴ — negligible, and verification filters false candidates).
-    val bands = mins.select(col("doc_id"), col("mins"),
-      explode(transform(sequence(lit(0), lit(NumBands - 1)), b =>
-        struct(b.as("band"), xxhash64(
-          (0 until RowsPerBand).map(r =>
-            element_at(col("mins"), b * RowsPerBand + r + 1)): _*).as("bkey"))))
-        .as("bk"))
-      .select(col("doc_id"), col("mins"),
-        col("bk.band").as("band"), col("bk.bkey").as("bkey"))
-    // Hot-band cap: the bucket-size count shuffles on (band, bkey) — the
-    // same keys the candidate self-join needs, so both join sides still
-    // collapse into one exchange via reuse.
-    val wb = Window.partitionBy(col("band"), col("bkey"))
-    val capped = bands
-      .withColumn("bsz", count(lit(1)).over(wb))
-      .filter(col("bsz") <= MaxBandBucket)
-      .drop("bsz")
-    capped.select(col("doc_id").as("doc_a"), col("mins").as("mins_a"),
-        col("band"), col("bkey"))
-      .join(capped.select(col("doc_id").as("doc_b"), col("mins").as("mins_b"),
-        col("band"), col("bkey")), Seq("band", "bkey"))
-      .filter(col("doc_a") < col("doc_b"))
-      .select("doc_a", "doc_b", "mins_a", "mins_b").distinct()
-      .withColumn("sim_est",
-        size(filter(sequence(lit(1), lit(NumHashes)), i =>
-          element_at(col("mins_a"), i) === element_at(col("mins_b"), i)))
-          / lit(NumHashes.toDouble))
-      .filter(col("sim_est") >= 0.5)
-      .select("doc_a", "doc_b", "sim_est")
-  }
+  private def minhashPairsOf(docs: DataFrame): DataFrame =
+    graft.operators.MinHashLsh.pairsOf(docs)
+
+  // ---- incremental-intake helpers (dedup_incremental*) -------------------
+
+  /** The two-drop split of the documents table: doc_id parity — the
+    * deterministic stand-in for "two successive crawl drops" that both
+    * engines derive identically. */
+  private def dropDocs(s: SparkSession, dir: String, which: Int): DataFrame =
+    Tables(s, dir, "documents")
+      .filter(col("doc_id") % 2 === which)
+      .select("doc_id", "text")
+
+  /** Build-and-persist the dedup state from drop 1 once per testdata dir
+    * ([[graft.util.ArtifactCache]] keyed by the documents parquet) — the
+    * dedup_incremental entries then exercise LOAD + VERDICT, the recurring
+    * serving path of an intake deployment. */
+  private def ensureDedupState(s: SparkSession, dir: String): String =
+    graft.util.ArtifactCache.ensure(
+      java.nio.file.Paths.get(dir, "documents.parquet"),
+      "graft-dedupstate", "manifest-v1") { staging =>
+      graft.operators.DedupState.admit(s, staging, dropDocs(s, dir, 0),
+        fingerprint = "drop-1")
+      ()
+    }
 
   val queries: Map[String, Q] = Map(
     // Exact dedup: content-hash grouping, min doc_id is the keeper.
@@ -636,6 +628,50 @@ object Dedup {
           sum(col("n_words")).as("total_words"),
           sum(length(col("text")).cast("long")).as("total_chars"))
         .orderBy("lang")
+    },
+
+    // ── INCREMENTAL intake dedup (round 14) ─────────────────────────────
+    // A 100 TB corpus arrives as successive crawl drops; each drop must
+    // dedup against everything ALREADY ADMITTED without rescanning (or
+    // re-shingling) the admitted corpus. [[graft.operators.DedupState]]
+    // persists the admitted evidence — content hashes + MinHash signatures
+    // in immutable deltas with per-delta Bloom side-files — and answers
+    // per-document admission verdicts against it. The entry splits the
+    // documents table into two deterministic "drops" (doc_id parity),
+    // builds the persisted state from drop 1 (the ensure-artifact cache
+    // discipline, keyed by the documents parquet fingerprint), and
+    // reports drop 2's full verdict card: exact/near dup vs STATE and
+    // vs BATCH, plus the admission bit. Scale shape is the operator's:
+    // broadcast Bloom prefilter before the exact semi-join, capped 8-byte
+    // band keys for the near-dup join — no rescan of drop 1's text.
+    "dedup_incremental" -> { (s, dir) =>
+      val st = graft.operators.DedupState.load(ensureDedupState(s, dir))
+      graft.operators.DedupState
+        .verdicts(s, st, dropDocs(s, dir, 1))
+        .orderBy("doc_id")
+    },
+
+    // The intake ACCOUNTING view of the same two-drop derivation: one row
+    // per drop with its verdict counts — the ledger a crawl operator reads
+    // after each drop lands (drop 1 admits against the EMPTY state, so its
+    // vs-state columns are structurally zero; the oracle pins that too).
+    "dedup_incremental_report" -> { (s, dir) =>
+      val v1 = graft.operators.DedupState
+        .verdicts(s, graft.operators.DedupState.empty, dropDocs(s, dir, 0))
+        .withColumn("drop_no", lit(1))
+      val st = graft.operators.DedupState.load(ensureDedupState(s, dir))
+      val v2 = graft.operators.DedupState
+        .verdicts(s, st, dropDocs(s, dir, 1))
+        .withColumn("drop_no", lit(2))
+      v1.unionByName(v2)
+        .groupBy("drop_no")
+        .agg(count(lit(1)).as("n_docs"),
+          count(when(col("exact_dup_state"), true)).as("n_exact_dup_state"),
+          count(when(col("exact_dup_batch"), true)).as("n_exact_dup_batch"),
+          count(when(col("near_dup_state"), true)).as("n_near_dup_state"),
+          count(when(col("near_dup_batch"), true)).as("n_near_dup_batch"),
+          count(when(col("admitted"), true)).as("n_admitted"))
+        .orderBy("drop_no")
     },
 
     // The FULL composed pretraining intake, end to end as ONE declarative
@@ -1360,9 +1396,10 @@ object Dedup {
        |  ${Similarity.cosineSql("va", "vb")} AS cosine
        |  FROM cand WHERE ${Similarity.cosineSql("va", "vb")} >= 0.4)""".stripMargin
 
-  /** DuckDB mirror of [[minhashPairs]]: CTE chain ending in
-    * `pairs(doc_a, doc_b, sim_est)`. */
-  private[queries] def minhashPairsSqlCtes: String =
+  /** DuckDB mirror of [[graft.operators.MinHashLsh.signaturesOf]]: CTE
+    * chain ending in `mh(doc_id, mins)` — shared by the pair oracles and
+    * the incremental-state oracles. */
+  private[queries] def minhashSigSqlCtes: String =
     s"""sh AS ($shinglesSql),
        |mh AS (SELECT doc_id,
        |  list_transform(range(0, 12), j ->
@@ -1370,7 +1407,17 @@ object Dedup {
        |      ((j*2+1) * list_reduce(list_transform(range(1, 9),
        |          i -> instr('0123456789abcdef', substr(md5(sg), i, 1)) - 1),
        |        (a, b) -> a*16 + b) + j*12582917) % 2147483647))) AS mins
-       |  FROM sh),
+       |  FROM sh)""".stripMargin
+
+  /** One band key rendered from `mins` (string-concat form — equality
+    * matches the Spark side's xxhash64 keys bucket-for-bucket). */
+  private val bkeySql =
+    "mins[4*b+1] || '|' || mins[4*b+2] || '|' || mins[4*b+3] || '|' || mins[4*b+4]"
+
+  /** DuckDB mirror of [[minhashPairs]]: CTE chain ending in
+    * `pairs(doc_a, doc_b, sim_est)`. */
+  private[queries] def minhashPairsSqlCtes: String =
+    s"""$minhashSigSqlCtes,
        |bands AS (SELECT doc_id, b,
        |  mins[4*b+1] || '|' || mins[4*b+2] || '|' || mins[4*b+3] || '|' || mins[4*b+4] AS bkey
        |  FROM mh, (SELECT unnest(range(0, 3)) AS b)),
@@ -1386,6 +1433,81 @@ object Dedup {
        |  JOIN mh ma ON cand.doc_a = ma.doc_id
        |  JOIN mh mb ON cand.doc_b = mb.doc_id
        |  WHERE len(list_filter(range(1, 13), i -> ma.mins[i] = mb.mins[i])) / 12.0 >= 0.5)""".stripMargin
+
+  /** DuckDB mirror of the ENTIRE two-drop incremental admission
+    * ([[graft.operators.DedupState]] over the doc_id-parity drops): CTE
+    * chain ending in `verdict1` / `verdict2` — the per-document verdict
+    * card of each drop (drop 1 admits against the EMPTY state, so its
+    * vs-state columns are literal FALSE; drop 2 admits against drop 1's
+    * admitted evidence). Band keys here are string concats where the
+    * Spark side uses xxhash64 — only key EQUALITY matters (same buckets),
+    * the dedup_minhash_lsh argument. Caps mirror the operator's: within
+    * each drop's own band table, and within the ADMITTED set for the
+    * state side. */
+  private[queries] def incrementalSqlCtes: String =
+    s"""hx AS (SELECT doc_id, md5(text) AS content_hash FROM documents),
+       |$minhashSigSqlCtes,
+       |allb AS (SELECT doc_id, b, $bkeySql AS bkey
+       |  FROM mh, (SELECT unnest(range(0, 3)) AS b)),
+       |e1 AS (SELECT doc_id, content_hash,
+       |    doc_id <> min(doc_id) OVER (PARTITION BY content_hash)
+       |      AS exact_dup_batch
+       |  FROM hx WHERE doc_id % 2 = 0),
+       |c1 AS (SELECT doc_id, b, bkey FROM (
+       |  SELECT doc_id, b, bkey, count(*) OVER (PARTITION BY b, bkey) AS bsz
+       |  FROM allb WHERE doc_id % 2 = 0) WHERE bsz <= $MaxBandBucket),
+       |nb1 AS (SELECT DISTINCT y.doc_id
+       |  FROM c1 x JOIN c1 y
+       |    ON x.b = y.b AND x.bkey = y.bkey AND x.doc_id < y.doc_id
+       |  JOIN mh ma ON x.doc_id = ma.doc_id
+       |  JOIN mh mb ON y.doc_id = mb.doc_id
+       |  WHERE len(list_filter(range(1, 13),
+       |    i -> ma.mins[i] = mb.mins[i])) / 12.0 >= 0.5),
+       |verdict1 AS (SELECT doc_id, content_hash, exact_dup_state,
+       |    exact_dup_batch, near_dup_state, near_dup_batch,
+       |    NOT (exact_dup_state OR exact_dup_batch OR near_dup_state
+       |      OR near_dup_batch) AS admitted
+       |  FROM (SELECT e1.doc_id, e1.content_hash,
+       |    FALSE AS exact_dup_state, e1.exact_dup_batch,
+       |    FALSE AS near_dup_state,
+       |    e1.doc_id IN (SELECT doc_id FROM nb1) AS near_dup_batch
+       |  FROM e1)),
+       |a1 AS (SELECT doc_id, content_hash FROM verdict1 WHERE admitted),
+       |sc AS (SELECT doc_id, b, bkey FROM (
+       |  SELECT allb.doc_id, b, bkey,
+       |    count(*) OVER (PARTITION BY b, bkey) AS bsz
+       |  FROM allb JOIN a1 USING (doc_id)) WHERE bsz <= $MaxBandBucket),
+       |e2 AS (SELECT doc_id, content_hash,
+       |    doc_id <> min(doc_id) OVER (PARTITION BY content_hash)
+       |      AS exact_dup_batch
+       |  FROM hx WHERE doc_id % 2 = 1),
+       |c2 AS (SELECT doc_id, b, bkey FROM (
+       |  SELECT doc_id, b, bkey, count(*) OVER (PARTITION BY b, bkey) AS bsz
+       |  FROM allb WHERE doc_id % 2 = 1) WHERE bsz <= $MaxBandBucket),
+       |ns2 AS (SELECT DISTINCT c2.doc_id
+       |  FROM c2 JOIN sc ON c2.b = sc.b AND c2.bkey = sc.bkey
+       |  JOIN mh ma ON c2.doc_id = ma.doc_id
+       |  JOIN mh mb ON sc.doc_id = mb.doc_id
+       |  WHERE len(list_filter(range(1, 13),
+       |    i -> ma.mins[i] = mb.mins[i])) / 12.0 >= 0.5),
+       |nb2 AS (SELECT DISTINCT y.doc_id
+       |  FROM c2 x JOIN c2 y
+       |    ON x.b = y.b AND x.bkey = y.bkey AND x.doc_id < y.doc_id
+       |  JOIN mh ma ON x.doc_id = ma.doc_id
+       |  JOIN mh mb ON y.doc_id = mb.doc_id
+       |  WHERE len(list_filter(range(1, 13),
+       |    i -> ma.mins[i] = mb.mins[i])) / 12.0 >= 0.5),
+       |verdict2 AS (SELECT doc_id, content_hash, exact_dup_state,
+       |    exact_dup_batch, near_dup_state, near_dup_batch,
+       |    NOT (exact_dup_state OR exact_dup_batch OR near_dup_state
+       |      OR near_dup_batch) AS admitted
+       |  FROM (SELECT e2.doc_id, e2.content_hash,
+       |    coalesce(e2.content_hash IN (SELECT content_hash FROM a1
+       |      WHERE content_hash IS NOT NULL), FALSE) AS exact_dup_state,
+       |    e2.exact_dup_batch,
+       |    e2.doc_id IN (SELECT doc_id FROM ns2) AS near_dup_state,
+       |    e2.doc_id IN (SELECT doc_id FROM nb2) AS near_dup_batch
+       |  FROM e2))""".stripMargin
 
   /** DuckDB mirror of the pipeline's SEMANTIC decontamination leg
     * ([[decontaminateSemantic]] over the benchmark split's embeddings at
@@ -1666,6 +1788,24 @@ object Dedup {
          |FROM ex LEFT JOIN ncl USING (doc_id)
          |  LEFT JOIN spc USING (doc_id)
          |ORDER BY ex.doc_id""".stripMargin,
+
+    "dedup_incremental" ->
+      s"""WITH $incrementalSqlCtes
+         |SELECT doc_id, content_hash, exact_dup_state, exact_dup_batch,
+         |  near_dup_state, near_dup_batch, admitted
+         |FROM verdict2 ORDER BY doc_id""".stripMargin,
+
+    "dedup_incremental_report" ->
+      s"""WITH $incrementalSqlCtes,
+         |uv AS (SELECT 1 AS drop_no, * FROM verdict1
+         |  UNION ALL SELECT 2 AS drop_no, * FROM verdict2)
+         |SELECT drop_no, count(*) AS n_docs,
+         |  count(CASE WHEN exact_dup_state THEN 1 END) AS n_exact_dup_state,
+         |  count(CASE WHEN exact_dup_batch THEN 1 END) AS n_exact_dup_batch,
+         |  count(CASE WHEN near_dup_state THEN 1 END) AS n_near_dup_state,
+         |  count(CASE WHEN near_dup_batch THEN 1 END) AS n_near_dup_batch,
+         |  count(CASE WHEN admitted THEN 1 END) AS n_admitted
+         |FROM uv GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "split_by_cluster" ->
       s"""WITH RECURSIVE $minhashPairsSqlCtes,

@@ -152,47 +152,15 @@ object Similarity {
     Tables(s, dir, "embeddings")
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
 
-  /** The shared fingerprint-keyed artifact-cache discipline (staging dir
-    * + atomic rename; concurrent builders race benignly; a crashed build
-    * is never mistaken for an index): `readyMarker` names the subdir
-    * whose existence proves a complete artifact. */
+  /** [[graft.util.ArtifactCache]] keyed to this dir's embeddings parquet:
+    * `readyMarker` names the entry whose existence proves a complete
+    * artifact. */
   private def ensureEmbArtifact(
       s: SparkSession, dir: String, prefix: String, readyMarker: String)(
       build: String => Unit): String =
-    synchronized {
-      import java.nio.file.{Files, Paths, StandardCopyOption}
-      val src = Paths.get(dir, "embeddings.parquet")
-      val fingerprint = {
-        import scala.jdk.CollectionConverters._
-        val files = scala.util.Using.resource(Files.walk(src))(
-          _.iterator().asScala.filter(Files.isRegularFile(_)).toList)
-        val size = files.map(Files.size).sum
-        val mtime =
-          (0L +: files.map(Files.getLastModifiedTime(_).toMillis)).max
-        s"$size-$mtime"
-      }
-      val key = java.security.MessageDigest.getInstance("MD5")
-        .digest(s"$dir|$fingerprint".getBytes("UTF-8"))
-        .map("%02x".format(_)).mkString.take(12)
-      val base = Paths.get(
-        sys.props.getOrElse("java.io.tmpdir", "/tmp"), s"$prefix-$key")
-      if (Files.isDirectory(base.resolve(readyMarker))) return base.toString
-      val staging = Paths.get(
-        base.toString + ".build-" +
-          java.util.UUID.randomUUID().toString.take(8))
-      build(staging.toString)
-      try Files.move(staging, base, StandardCopyOption.ATOMIC_MOVE)
-      catch {
-        case e @ (_: java.nio.file.FileAlreadyExistsException |
-            _: java.nio.file.DirectoryNotEmptyException |
-            _: java.nio.file.AccessDeniedException) =>
-          graft.storage.ParquetLogBackend.deleteRecursively(staging)
-          // a lost race must leave the winner's copy; a permission
-          // failure has no winner and must surface
-          if (!Files.isDirectory(base.resolve(readyMarker))) throw e
-      }
-      base.toString
-    }
+    graft.util.ArtifactCache.ensure(
+      java.nio.file.Paths.get(dir, "embeddings.parquet"),
+      prefix, readyMarker)(build)
 
   // text_hash_embed: hashing-trick featurizer dimensionality. 16 buckets =
   // one hex digit of md5(token), so the bucket function costs a single

@@ -1,6 +1,6 @@
 package graft.streaming
 
-import graft.operators.{IvfIndex, PqIndex, SearchIndex}
+import graft.operators.{DedupState, IvfIndex, PqIndex, SearchIndex}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.StreamingQuery
@@ -120,6 +120,57 @@ object IndexMaintainer {
                     !p.getFileName.toString.startsWith(".")))
               }
             if (committed >= compactEvery) SearchIndex.compact(spark, dir)
+          }
+        }
+      }
+      .start()
+  }
+
+  /** Maintain a persisted [[graft.operators.DedupState]] from a document
+    * stream — the STREAMING intake admission path: each micro-batch is
+    * admitted against everything admitted before it (state dups and
+    * batch dups rejected, novel docs' evidence appended as one delta).
+    *
+    * Exactly-once needs NO epoch markers here: the state's own manifest
+    * is the idempotency ledger. Each epoch admits under the
+    * deterministic fingerprint `e<checkpoint-key>.<epochId>`; a replayed
+    * epoch finds its fingerprint in the manifest and admits nothing, and
+    * a crash BETWEEN delta staging and manifest commit leaves only an
+    * unreferenced staging dir (the replay re-admits cleanly; [[DedupState.gc]]
+    * reclaims the orphan). The epoch id comes from Spark's checkpoint,
+    * so the guarantee holds across restarts of the same checkpointed
+    * query.
+    *
+    * `compactEvery` > 0 folds the accumulated drop-sized deltas into one
+    * whenever the live-delta count reaches it, then gc's the superseded
+    * dirs — the same small-file cadence the search maintainer runs.
+    *
+    * Ordering caveat (inherent to incremental dedup, not this wiring):
+    * admission is order-dependent across micro-batches — the FIRST
+    * arrival of duplicate content wins. That is the semantics a crawl
+    * intake wants; it only means two differently-batched replays of the
+    * same unordered corpus may keep different representatives. */
+  def maintainDedupState(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      dir: String,
+      checkpointDir: String,
+      compactEvery: Int = 0): StreamingQuery = {
+    val key = checkpointKey(checkpointDir)
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, epochId: Long) =>
+        val spark = batch.sparkSession
+        val b = batch.select(col(idCol).cast("long").as("doc_id"),
+          col(textCol).cast("string").as("text"))
+        if (!b.isEmpty) {
+          val h = DedupState.admit(spark, dir, b,
+            fingerprint = s"e$key.$epochId")
+          if (compactEvery > 0 && h.deltas.size >= compactEvery) {
+            DedupState.compact(spark, dir)
+            DedupState.gc(dir)
+            ()
           }
         }
       }

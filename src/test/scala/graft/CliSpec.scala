@@ -209,6 +209,43 @@ class CliSpec extends AnyFunSuite {
     assert(rebuilt.contains("verdict=ok"), rebuilt)
   }
 
+  test("admit + compact-state drive the incremental intake lifecycle") {
+    import spark.implicits._
+    val state = Files.createTempDirectory("graftcli-state").toString
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val drop1 = Files.createTempDirectory("graftcli-drop1").toString
+    Seq((0L, base), (2L, "one two three four five six seven eight"))
+      .toDF("doc_id", "text").write.mode("overwrite").parquet(drop1)
+    val drop2 = Files.createTempDirectory("graftcli-drop2").toString
+    Seq((1L, base), // exact dup vs state
+        (3L, "alpha beta gamma delta epsilon zeta eta theta iota lambda"),
+        (5L, "fresh novel content with its own distinct tokens"))
+      .toDF("doc_id", "text").write.mode("overwrite").parquet(drop2)
+
+    def run(args: String*): String = {
+      val buf = new java.io.ByteArrayOutputStream()
+      Console.withOut(new java.io.PrintStream(buf)) {
+        graft.cli.Main.main(args.toArray)
+      }
+      buf.toString("UTF-8")
+    }
+    val p1 = run("admit", state, drop1)
+    assert(p1.contains("admitted 2 of 2"), p1)
+    val p2 = run("admit", state, drop2)
+    assert(p2.contains("admitted 1 of 3"), p2)
+    assert(p2.contains("exact_dup_state=1"), p2)
+    // verdict flags are independent: the exact dup's identical signature
+    // also near-dups the state (sim 1.0), so both docs 1 and 3 flag
+    assert(p2.contains("near_dup_state=2"), p2)
+    // replaying a drop is recognized by its fingerprint, not re-admitted
+    val p3 = run("admit", state, drop1)
+    assert(p3.contains("already admitted"), p3)
+    val p4 = run("compact-state", state)
+    assert(p4.contains("compacted to 1 delta(s) (3 docs"), p4)
+    assert(p4.contains("gc removed 2"), p4)
+    assert(graft.operators.DedupState.load(state).nDocs === 3L)
+  }
+
   test("scan counts a watch-list over command-line text, overlaps included") {
     val out = new java.io.ByteArrayOutputStream()
     Console.withOut(new java.io.PrintStream(out)) {

@@ -1,0 +1,176 @@
+package graft
+
+import graft.operators.DedupState
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, Row}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Incremental dedup-state lifecycle: admit appends immutable deltas under
+  * an atomically committed manifest; verdicts classify a batch against
+  * everything admitted so far; replaying an admitted fingerprint is a
+  * no-op; a crash mid-stage is invisible; compaction preserves content AND
+  * the fingerprint ledger; gc reclaims exactly the unreferenced dirs; and
+  * the Bloom prefilter never changes a verdict (exactness invariance).
+  */
+class DedupStateSpec extends AnyFunSuite {
+  private lazy val spark = SparkFixture.spark
+
+  private def docs(rows: (Long, String)*): DataFrame = {
+    import spark.implicits._
+    rows.toSeq.toDF("doc_id", "text")
+  }
+
+  private def tmp(): String =
+    java.nio.file.Files.createTempDirectory("graft-dedupstate").toString
+
+  // Near-dup pair: >=3-token shingled texts differing in a trailing token —
+  // 9 common tokens out of 10 keeps estimated Jaccard above 0.5.
+  private val baseText =
+    "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+  private val nearText =
+    "alpha beta gamma delta epsilon zeta eta theta iota lambda"
+  private val otherText =
+    "one two three four five six seven eight nine ten eleven twelve"
+
+  private def verdictMap(df: DataFrame): Map[Long, Row] =
+    df.collect().map(r => r.getLong(0) -> r).toMap
+
+  test("two-drop admission: exact and near dups vs state and batch") {
+    val dir = tmp()
+    val h1 = DedupState.admit(spark, dir,
+      docs(0L -> baseText, 2L -> otherText, 4L -> otherText), "drop-1")
+    assert(h1.version === 1L)
+    assert(h1.nDocs === 2L, "4 is an exact batch dup of 2 — not admitted")
+
+    val batch2 = docs(
+      1L -> baseText, // exact dup vs state (doc 0)
+      3L -> nearText, // near dup vs state (doc 0's signature)
+      5L -> "completely novel text with many distinct tokens here",
+      7L -> "completely novel text with many distinct tokens here", // exact batch dup of 5
+      9L -> "quite unrelated fresh content tokens apple banana cherry date egg fig")
+    val v = verdictMap(DedupState.verdicts(spark, DedupState.load(dir), batch2))
+    def b(id: Long, col: String) =
+      v(id).getBoolean(v(id).fieldIndex(col))
+    assert(b(1, "exact_dup_state") && !b(1, "admitted"))
+    assert(b(3, "near_dup_state") && !b(3, "exact_dup_state") &&
+      !b(3, "admitted"))
+    assert(b(5, "admitted"))
+    assert(b(7, "exact_dup_batch") && !b(7, "admitted"))
+    assert(b(9, "admitted"))
+
+    val h2 = DedupState.admit(spark, dir, batch2, "drop-2")
+    assert(h2.version === 2L && h2.nDocs === 4L)
+    // third drop sees drop-2's admits as state
+    val v3 = verdictMap(DedupState.verdicts(spark, h2,
+      docs(11L -> "quite unrelated fresh content tokens apple banana cherry date egg fig")))
+    assert(v3(11L).getBoolean(v3(11L).fieldIndex("exact_dup_state")))
+  }
+
+  test("within-batch near-dup uses the keep-first pairwise rule") {
+    val dir = tmp()
+    val h = DedupState.admit(spark, dir,
+      docs(10L -> baseText, 20L -> nearText), "d1")
+    assert(h.nDocs === 1L, "20 near-dups 10 within the batch; 10 keeps")
+    val kept = DedupState.rows(spark, h).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(kept === Set(10L))
+  }
+
+  test("fingerprint replay is a no-op, and survives compaction") {
+    val dir = tmp()
+    DedupState.admit(spark, dir, docs(0L -> baseText), "d1")
+    DedupState.admit(spark, dir, docs(1L -> otherText), "d2")
+    val before = DedupState.load(dir)
+    val replayed = DedupState.admit(spark, dir, docs(0L -> baseText), "d1")
+    assert(replayed.version === before.version, "replay must not commit")
+
+    val compacted = DedupState.compact(spark, dir)
+    assert(compacted.deltas.size === 1)
+    assert(compacted.fingerprints === Set("d1", "d2"),
+      "the ledger survives compaction")
+    val replayed2 = DedupState.admit(spark, dir, docs(1L -> otherText), "d2")
+    assert(replayed2.version === compacted.version,
+      "replay after compaction must still be recognized")
+  }
+
+  test("compaction preserves rows exactly and gc reclaims old deltas") {
+    val dir = tmp()
+    DedupState.admit(spark, dir, docs(0L -> baseText, 2L -> otherText), "d1")
+    DedupState.admit(spark, dir,
+      docs(5L -> "novel text here with several extra tokens appended"), "d2")
+    val before = DedupState.rows(spark, DedupState.load(dir))
+      .orderBy("doc_id").collect().toSeq
+    val h = DedupState.compact(spark, dir)
+    val after = DedupState.rows(spark, h).orderBy("doc_id").collect().toSeq
+    assert(after === before)
+    val removed = DedupState.gc(dir)
+    assert(removed === 2, "both pre-compaction deltas reclaimed")
+    assert(DedupState.rows(spark, DedupState.load(dir))
+      .orderBy("doc_id").collect().toSeq === before,
+      "gc never touches live data")
+  }
+
+  test("a crashed (staged but uncommitted) delta is invisible and gc'd") {
+    val dir = tmp()
+    DedupState.admit(spark, dir, docs(0L -> baseText), "d1")
+    // simulate a writer that crashed after staging: an orphan staging dir
+    val orphan = java.nio.file.Paths.get(dir, "staging-deadbeef")
+    java.nio.file.Files.createDirectories(orphan)
+    java.nio.file.Files.write(orphan.resolve("junk"),
+      "partial".getBytes("UTF-8"))
+    val h = DedupState.load(dir)
+    assert(h.nDocs === 1L, "orphan staging never surfaces in a load")
+    assert(DedupState.gc(dir) === 1)
+    assert(!java.nio.file.Files.exists(orphan))
+  }
+
+  test("verdicts against the empty state admit everything non-dup") {
+    val v = verdictMap(DedupState.verdicts(spark, DedupState.empty,
+      docs(0L -> baseText, 1L -> baseText, 2L -> otherText)))
+    assert(v(0L).getBoolean(v(0L).fieldIndex("admitted")))
+    assert(!v(1L).getBoolean(v(1L).fieldIndex("admitted")), "batch dup")
+    assert(v(2L).getBoolean(v(2L).fieldIndex("admitted")))
+    assert(Seq(0L, 1L, 2L).forall(id =>
+      !v(id).getBoolean(v(id).fieldIndex("exact_dup_state")) &&
+        !v(id).getBoolean(v(id).fieldIndex("near_dup_state"))))
+  }
+
+  test("null-text documents: hashless, signatureless, deterministic") {
+    val dir = tmp()
+    import spark.implicits._
+    val withNull = Seq((0L, Option("some real text content here")),
+      (1L, Option.empty[String]), (3L, Option.empty[String]))
+      .toDF("doc_id", "text")
+    val h = DedupState.admit(spark, dir, withNull, "d1")
+    // null texts share a window group: 1 keeps, 3 is a batch dup
+    assert(h.nDocs === 2L)
+    // an admitted null doc contributes NO near-dup evidence and its null
+    // hash never matches a later null (null != null in joins) — a second
+    // drop's null doc is again admitted (documented determinism trade)
+    val v = verdictMap(DedupState.verdicts(spark, h,
+      Seq((5L, Option.empty[String])).toDF("doc_id", "text")))
+    assert(v(5L).getBoolean(v(5L).fieldIndex("admitted")))
+  }
+
+  test("Bloom saturation never changes a verdict (prefilter exactness)") {
+    import spark.implicits._
+    val dir = tmp()
+    val h = DedupState.admit(spark, dir,
+      docs(0L -> baseText, 2L -> otherText), "d1")
+    val batch = docs(1L -> baseText, 5L -> "novel unrelated tokens entirely",
+      7L -> otherText)
+    val before = DedupState.verdicts(spark, h, batch)
+      .orderBy("doc_id").collect().toSeq
+
+    // saturate the delta's Bloom: every word all-ones ⇒ every batch doc is
+    // Bloom-positive. False positives may only enlarge the semi-join's
+    // probe set — the verdicts must be bit-identical.
+    val bloomDir = s"$dir/${h.deltas.head.name}/bloom"
+    val full = (0L until h.bloomBits / 64).map(w => (w, -1L))
+      .toDF("word", "mask")
+    full.write.mode("overwrite").parquet(bloomDir)
+    val after = DedupState.verdicts(spark, DedupState.load(dir), batch)
+      .orderBy("doc_id").collect().toSeq
+    assert(after === before)
+  }
+}

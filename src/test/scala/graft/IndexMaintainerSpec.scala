@@ -483,4 +483,58 @@ class IndexMaintainerSpec extends AnyFunSuite {
         java.nio.file.Paths.get(ckpt, "graft-epochs", "0")))
     } finally q.stop()
   }
+
+  test("maintainDedupState: streamed drops admit exactly like sequential batch admits; compaction cadence preserves content and ledger") {
+    import graft.operators.DedupState
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = tmp("graft-dedupstream")
+    val ckpt = tmp("graft-dedupstream-ckpt")
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val near = "alpha beta gamma delta epsilon zeta eta theta iota lambda"
+    val other = "one two three four five six seven eight nine ten"
+    val novel = "totally novel other content tokens appear right here now"
+    val last = "yet another brand new document with distinct words inside"
+
+    val mem = MemoryStream[(Long, String)]
+    val q = IndexMaintainer.maintainDedupState(
+      mem.toDF().toDF("doc_id", "text"), "doc_id", "text",
+      dir, ckpt, compactEvery = 3)
+    try {
+      mem.addData((0L, base), (2L, other))
+      q.processAllAvailable()
+      assert(DedupState.load(dir).nDocs === 2L)
+
+      // exact dup (4≡0) and near dup (6~0) of STATE content reject
+      // mid-stream; the novel doc admits
+      mem.addData((4L, base), (6L, near), (8L, novel))
+      q.processAllAvailable()
+      val h2 = DedupState.load(dir)
+      assert(h2.nDocs === 3L)
+      assert(h2.deltas.size === 2)
+
+      // third delta reaches compactEvery=3 → the maintainer folds to one
+      mem.addData((10L, last))
+      q.processAllAvailable()
+      val h3 = DedupState.load(dir)
+      assert(h3.nDocs === 4L)
+      assert(h3.deltas.size === 1, "inline compaction folded the deltas")
+      assert(h3.fingerprints.size === 3, "ledger survives the fold")
+
+      // the streamed state is row-identical to sequential batch admits
+      // over the same drops
+      val dir2 = tmp("graft-dedupbatch")
+      DedupState.admit(spark, dir2,
+        Seq((0L, base), (2L, other)).toDF("doc_id", "text"), "b1")
+      DedupState.admit(spark, dir2,
+        Seq((4L, base), (6L, near), (8L, novel)).toDF("doc_id", "text"), "b2")
+      DedupState.admit(spark, dir2,
+        Seq((10L, last)).toDF("doc_id", "text"), "b3")
+      val streamed = DedupState.rows(spark, h3)
+        .orderBy("doc_id").collect().toSeq
+      val batched = DedupState.rows(spark, DedupState.load(dir2))
+        .orderBy("doc_id").collect().toSeq
+      assert(streamed === batched)
+    } finally q.stop()
+  }
 }
