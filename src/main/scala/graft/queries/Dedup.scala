@@ -429,6 +429,37 @@ object Dedup {
       ()
     }
 
+  /** The pretrain quality gate (n_chars >= 100, >= 20 words — the same
+    * thresholds pipeline_pretrain_* applies), as a filter on the drop:
+    * the composed incremental pipeline gates quality BEFORE admission so
+    * junk never enters (or pollutes) the state. Null texts fail the gate
+    * in both engines (NULL predicate). */
+  private def gatedDropDocs(
+      s: SparkSession, dir: String, which: Int): DataFrame =
+    Tables(s, dir, "documents")
+      .filter(col("doc_id") % 2 === which)
+      .filter(col("n_chars") >= 100 &&
+        size(split(col("text"), "\\s+")) >= 20)
+      .select("doc_id", "text")
+
+  /** DuckDB rendering of [[gatedDropDocs]]'s eligibility (drop split is
+    * applied downstream by the CTE chain itself). */
+  private val qualityEligibleSql =
+    """SELECT doc_id FROM documents
+      |  WHERE n_chars >= 100
+      |    AND len(string_split_regex(text, '\s+')) >= 20""".stripMargin
+
+  /** Quality-gated twin of [[ensureDedupState]] (separate cache prefix:
+    * different admitted content ⇒ different state). */
+  private def ensureGatedDedupState(s: SparkSession, dir: String): String =
+    graft.util.ArtifactCache.ensure(
+      java.nio.file.Paths.get(dir, "documents.parquet"),
+      "graft-dedupstateq", "manifest-v1") { staging =>
+      graft.operators.DedupState.admit(s, staging,
+        gatedDropDocs(s, dir, 0), fingerprint = "drop-1")
+      ()
+    }
+
   val queries: Map[String, Q] = Map(
     // Exact dedup: content-hash grouping, min doc_id is the keeper.
     "dedup_exact" -> { (s, dir) =>
@@ -672,6 +703,31 @@ object Dedup {
           count(when(col("near_dup_batch"), true)).as("n_near_dup_batch"),
           count(when(col("admitted"), true)).as("n_admitted"))
         .orderBy("drop_no")
+    },
+
+    // The INCREMENTAL composition: quality gate → admission against a
+    // quality-gated persisted state built from drop 1 → per-lang corpus
+    // stats of drop 2's ADMITTED documents. This is the steady-state
+    // production job (pipeline_intake_e2e is the full single-shot
+    // curation; THIS is what runs when the next drop lands): quality
+    // filters BEFORE the state so junk never enters it, admission needs
+    // no rescan of admitted text, and the stats describe exactly what
+    // the drop contributed. Oracle: the same two-drop CTE chain with the
+    // quality predicate as the eligibility relation.
+    "pipeline_intake_incremental" -> { (s, dir) =>
+      val st = graft.operators.DedupState.load(ensureGatedDedupState(s, dir))
+      val admitted = graft.operators.DedupState
+        .verdicts(s, st, gatedDropDocs(s, dir, 1))
+        .filter(col("admitted"))
+        .select("doc_id")
+      Tables(s, dir, "documents")
+        .join(admitted, Seq("doc_id"))
+        .withColumn("n_words", size(split(col("text"), "\\s+")).cast("long"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_words")).as("total_words"),
+          sum(length(col("text")).cast("long")).as("total_chars"))
+        .orderBy("lang")
     },
 
     // The FULL composed pretraining intake, end to end as ONE declarative
@@ -1443,12 +1499,18 @@ object Dedup {
     * Spark side uses xxhash64 — only key EQUALITY matters (same buckets),
     * the dedup_minhash_lsh argument. Caps mirror the operator's: within
     * each drop's own band table, and within the ADMITTED set for the
-    * state side. */
-  private[queries] def incrementalSqlCtes: String =
-    s"""hx AS (SELECT doc_id, md5(text) AS content_hash FROM documents),
+    * state side. `eligible` restricts BOTH drops to a doc_id subset
+    * BEFORE any admission logic — how the composed pipeline applies its
+    * quality gate upstream of the state (the default is the identity). */
+  private[queries] def incrementalSqlCtes(
+      eligible: String = "SELECT doc_id FROM documents"): String =
+    s"""elig AS ($eligible),
+       |hx AS (SELECT d.doc_id, md5(text) AS content_hash
+       |  FROM documents d JOIN elig USING (doc_id)),
        |$minhashSigSqlCtes,
-       |allb AS (SELECT doc_id, b, $bkeySql AS bkey
-       |  FROM mh, (SELECT unnest(range(0, 3)) AS b)),
+       |allb AS (SELECT m.doc_id, b, $bkeySql AS bkey
+       |  FROM mh m JOIN elig USING (doc_id),
+       |    (SELECT unnest(range(0, 3)) AS b)),
        |e1 AS (SELECT doc_id, content_hash,
        |    doc_id <> min(doc_id) OVER (PARTITION BY content_hash)
        |      AS exact_dup_batch
@@ -1790,13 +1852,23 @@ object Dedup {
          |ORDER BY ex.doc_id""".stripMargin,
 
     "dedup_incremental" ->
-      s"""WITH $incrementalSqlCtes
+      s"""WITH ${incrementalSqlCtes()}
          |SELECT doc_id, content_hash, exact_dup_state, exact_dup_batch,
          |  near_dup_state, near_dup_batch, admitted
          |FROM verdict2 ORDER BY doc_id""".stripMargin,
 
+    "pipeline_intake_incremental" ->
+      s"""WITH ${incrementalSqlCtes(qualityEligibleSql)},
+         |adm AS (SELECT doc_id FROM verdict2 WHERE admitted)
+         |SELECT d.lang, count(*) AS n_docs,
+         |  CAST(sum(len(string_split_regex(d.text, '\\s+'))) AS BIGINT)
+         |    AS total_words,
+         |  CAST(sum(length(d.text)) AS BIGINT) AS total_chars
+         |FROM documents d JOIN adm USING (doc_id)
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
     "dedup_incremental_report" ->
-      s"""WITH $incrementalSqlCtes,
+      s"""WITH ${incrementalSqlCtes()},
          |uv AS (SELECT 1 AS drop_no, * FROM verdict1
          |  UNION ALL SELECT 2 AS drop_no, * FROM verdict2)
          |SELECT drop_no, count(*) AS n_docs,

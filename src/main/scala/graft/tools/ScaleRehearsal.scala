@@ -53,7 +53,11 @@ object ScaleRehearsal {
     "emb_slice_renorm", "pack_best_fit",
     "ann_filtered_persisted", "decontaminate_semantic",
     "pack_best_fit_tokens", "jsonl_roundtrip", "tokenize_bpe_ids_imported",
-    "pipeline_intake_e2e", "corpus_report")
+    "pipeline_intake_e2e", "corpus_report",
+    // round-14 session 2: incremental cross-drop dedup — state-evidence
+    // scan + drop scan, both linear; the near-dup join is band-capped
+    "dedup_incremental", "dedup_incremental_report",
+    "pipeline_intake_incremental")
 
   /** `ScaleRehearsal sf10 [base] [out] [queries...]` — the 100× column:
     * a 100-copy database materialized for JUST the tables the audited
