@@ -25,8 +25,10 @@ import java.nio.file.{Files, Path, Paths, StandardCopyOption}
   *                          then one line per live delta:
   *                          "<deltaDir>\t<fingerprintLedger>\t<nDocs>"
   *   delta-<uuid>/rows/     parquet: doc_id, content_hash (md5 hex of
-  *                          text), mins array<long>[12] — ONE file set per
-  *                          delta; the exact and near-dup tiers each read
+  *                          text), mins array<long>[12], emb
+  *                          array<double> (null when the batch carried no
+  *                          embedding) — ONE file set per delta; the
+  *                          exact, lexical, and semantic tiers each read
   *                          only their columns (parquet projection), so
   *                          splitting the tiers into separate files would
   *                          buy no I/O and cost a second write pass
@@ -65,9 +67,14 @@ import java.nio.file.{Files, Path, Paths, StandardCopyOption}
   *    oracle-expressible; a doc may be dropped against a batch sibling
   *    that is itself rejected, the conservative trade every greedy LSH
   *    dedup makes).
+  *  - `sem_dup_state` / `sem_dup_batch`: the SEMANTIC tier — when the
+  *    batch carries an `emb` column, random-hyperplane-banded candidates
+  *    verified by exact cosine >= [[RhpLsh.VerifyCosine]] against
+  *    admitted embeddings / smaller batch siblings (the paraphrase case
+  *    no shingle tier can see). Structurally false for emb-less rows.
   *  - `admitted` = none of the above. Only admitted documents' evidence
-  *    enters the state, which yields the invariant that content hashes
-  *    are GLOBALLY unique across deltas (an admitted doc was, by
+  *    enters the state, which yields the invariant that non-null content
+  *    hashes are GLOBALLY unique across deltas (an admitted doc was, by
   *    definition, no exact dup of any earlier delta or batch sibling) —
   *    so state reads never need a distinct.
   *
@@ -160,13 +167,16 @@ object DedupState {
     }
   }
 
-  /** All admitted rows `(doc_id, content_hash, mins)`. Content hashes are
-    * globally distinct by the admitted-only invariant; null-text admitted
-    * documents carry a null `mins` (no shingles ⇒ no near-dup evidence).
-    * Parquet projection means callers touching one column pay for one. */
+  /** All admitted rows `(doc_id, content_hash, mins, emb)`. Non-null
+    * content hashes are globally distinct by the admitted-only invariant;
+    * null-text admitted documents carry null hash/mins (no content ⇒ no
+    * exact/lexical evidence), embedding-less documents carry null `emb`
+    * (no semantic evidence). Parquet projection means callers touching
+    * one column pay for one. */
   def rows(s: SparkSession, h: Handle): DataFrame =
     unionDeltas(s, h, "rows",
-      "doc_id bigint, content_hash string, mins array<bigint>")
+      "doc_id bigint, content_hash string, mins array<bigint>, " +
+        "emb array<double>")
 
   /** All admitted content hashes (one 32-hex-char column). */
   def hashes(s: SparkSession, h: Handle): DataFrame =
@@ -178,13 +188,18 @@ object DedupState {
     rows(s, h).filter(col("mins").isNotNull).select("doc_id", "mins")
 
   private def unionDeltas(
-      s: SparkSession, h: Handle, leaf: String, emptySchema: String)
+      s: SparkSession, h: Handle, leaf: String, schema: String)
       : DataFrame = {
     val paths = h.deltas.map(d => s"${h.dir}/${d.name}/$leaf")
     if (paths.isEmpty)
       s.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
-        org.apache.spark.sql.types.StructType.fromDDL(emptySchema))
-    else s.read.parquet(paths: _*)
+        org.apache.spark.sql.types.StructType.fromDDL(schema))
+    // explicit schema, not inference: a column added to the layout later
+    // (emb, round 14) reads as NULL from pre-existing deltas — the
+    // schema-evolution path that lets a long-lived state gain tiers
+    // without a rewrite
+    else s.read.schema(org.apache.spark.sql.types.StructType.fromDDL(schema))
+      .parquet(paths: _*)
   }
 
   /** The state's folded Bloom relation `(word, mask)` — per-delta filters
@@ -194,26 +209,37 @@ object DedupState {
     perDelta.groupBy("word").agg(expr("bit_or(mask)").as("mask"))
   }
 
-  /** Read-only admission verdicts for a batch `(doc_id, text)` against
-    * the state: one row per batch document with the four dup verdicts and
-    * `admitted`. Does not touch the state on disk. */
+  /** Read-only admission verdicts for a batch `(doc_id, text[, emb])`
+    * against the state: one row per batch document with the six dup
+    * verdicts and `admitted`. The optional `emb` column (array<double>)
+    * switches on the SEMANTIC tier — random-hyperplane-banded cosine
+    * near-dup detection vs admitted embeddings ([[RhpLsh]]); without it
+    * the sem verdicts are structurally false. Does not touch the state
+    * on disk. */
   def verdicts(s: SparkSession, h: Handle, batch: DataFrame): DataFrame =
-    verdictsFull(s, h, batch).drop("mins")
+    verdictsFull(s, h, batch).drop("mins", "emb")
 
-  /** [[verdicts]] plus the signature column — what [[admit]] persists. */
+  /** [[verdicts]] plus the evidence columns — what [[admit]] persists. */
   private def verdictsFull(
       s: SparkSession, h: Handle, batch: DataFrame): DataFrame = {
-    val b = batch.select(col("doc_id"), col("text"))
+    val embCol =
+      if (batch.columns.contains("emb")) col("emb").cast("array<double>")
+      else lit(null).cast("array<double>")
+    val b = batch
+      .select(col("doc_id"), col("text"), embCol.as("emb"))
       .withColumn("content_hash", md5(col("text")))
       .withColumn("mins", when(col("text").isNotNull,
         graft.exprs.functions.minhash12(split(col("text"), "\\s+"))))
 
     // ---- exact tier -----------------------------------------------------
-    // Within-batch: min-id keeper per hash (null texts group together under
-    // window semantics in both engines — same rule as dedup_exact).
+    // Within-batch: min-id keeper per hash. A null hash (null text) is NO
+    // exact-dup evidence — same posture as the lexical/semantic tiers'
+    // "no shingles/embedding ⇒ no evidence", and what keeps content-less
+    // rows from window-grouping into accidental dups.
     val wh = Window.partitionBy(col("content_hash"))
     val withBatchExact = b.withColumn("exact_dup_batch",
-      col("doc_id") =!= min(col("doc_id")).over(wh))
+      col("content_hash").isNotNull &&
+        col("doc_id") =!= min(col("doc_id")).over(wh))
 
     // Vs state: Bloom prefilter (broadcast ≤16 K rows), then the deciding
     // semi-join against state hashes for the Bloom-positive residue only.
@@ -256,22 +282,50 @@ object DedupState {
       .select(col("doc_id")).distinct()
       .withColumn("near_dup_state", lit(true))
 
+    // ---- semantic tier ([[RhpLsh]]; active only for emb-bearing rows) ----
+    val batchEmb = b.filter(col("emb").isNotNull)
+      .select(col("doc_id"), col("emb").as("v"))
+    val semBatch = RhpLsh.pairsOf(batchEmb)
+      .select(col("doc_b").as("doc_id")).distinct()
+      .withColumn("sem_dup_batch", lit(true))
+    val eb = RhpLsh.cappedBandsOf(RhpLsh.withSig(batchEmb))
+    val es = RhpLsh.cappedBandsOf(RhpLsh.withSig(
+        rows(s, h).filter(col("emb").isNotNull)
+          .select(col("doc_id"), col("emb").as("v"))))
+      .select(col("doc_id").as("sid"), col("v").as("sv"),
+        col("nrm").as("snrm"), col("b"), col("bkey"))
+    val semState = eb.join(es, Seq("b", "bkey"))
+      .select(col("doc_id"), col("v"), col("nrm"),
+        col("sid"), col("sv"), col("snrm")).distinct()
+      .filter(RhpLsh.cosinePre(col("v"), col("sv"),
+        col("nrm"), col("snrm")) >= RhpLsh.VerifyCosine)
+      .select(col("doc_id")).distinct()
+      .withColumn("sem_dup_state", lit(true))
+
     probed.drop("bloom_hit")
       .join(stateHit, Seq("doc_id"), "left")
       .join(nearState, Seq("doc_id"), "left")
       .join(nearBatch, Seq("doc_id"), "left")
+      .join(semState, Seq("doc_id"), "left")
+      .join(semBatch, Seq("doc_id"), "left")
       .withColumn("exact_dup_state",
         coalesce(col("exact_dup_state"), lit(false)))
       .withColumn("near_dup_state",
         coalesce(col("near_dup_state"), lit(false)))
       .withColumn("near_dup_batch",
         coalesce(col("near_dup_batch"), lit(false)))
+      .withColumn("sem_dup_state",
+        coalesce(col("sem_dup_state"), lit(false)))
+      .withColumn("sem_dup_batch",
+        coalesce(col("sem_dup_batch"), lit(false)))
       .withColumn("admitted",
         !col("exact_dup_state") && !col("exact_dup_batch") &&
-          !col("near_dup_state") && !col("near_dup_batch"))
-      .select(col("doc_id"), col("content_hash"), col("mins"),
+          !col("near_dup_state") && !col("near_dup_batch") &&
+          !col("sem_dup_state") && !col("sem_dup_batch"))
+      .select(col("doc_id"), col("content_hash"), col("mins"), col("emb"),
         col("exact_dup_state"), col("exact_dup_batch"),
-        col("near_dup_state"), col("near_dup_batch"), col("admitted"))
+        col("near_dup_state"), col("near_dup_batch"),
+        col("sem_dup_state"), col("sem_dup_batch"), col("admitted"))
   }
 
   /** Admit a batch: compute verdicts against the current state, persist
@@ -282,8 +336,10 @@ object DedupState {
   def admit(
       s: SparkSession, dir: String, batch: DataFrame,
       fingerprint: String): Handle = synchronized {
-    require(!fingerprint.contains("\t") && !fingerprint.contains("\n"),
-      "fingerprint must not contain tab/newline (manifest field separator)")
+    require(!fingerprint.contains("\t") && !fingerprint.contains("\n") &&
+      !fingerprint.contains(FpSep),
+      "fingerprint must not contain tab/newline (manifest field " +
+        "separators) or \\u001f (the compaction ledger separator)")
     val h = load(dir)
     if (h.fingerprints.contains(fingerprint)) return h
 
@@ -298,7 +354,7 @@ object DedupState {
     // artifacts can never disagree.
     verdictsFull(s, h, batch)
       .filter(col("admitted"))
-      .select("doc_id", "content_hash", "mins")
+      .select("doc_id", "content_hash", "mins", "emb")
       .write.parquet(s"$st/rows")
     val staged = s.read.parquet(s"$st/rows")
     BloomSketch.maskRelation(

@@ -61,22 +61,17 @@ object Dedup {
     * negative-phash case. */
   private[graft] val PhashBandExpr = "shiftrightunsigned(phash, b * 8) & 255"
 
-  // Random-hyperplane LSH (SimHash for vectors): 32 sign bits in 4 bands of
-  // 8. Bit agreement P = 1 - θ/π, so a cosine-0.8 pair collides in a band
-  // with P ≈ 0.16 and in ≥1 of 4 with P ≈ 0.5 — tunable recall, while
-  // unrelated pairs pass at ~4/256. The label-cell variant
-  // (dedup_embedding) needs a trustworthy coarse cell; this one needs none.
-  private val RhpPlanes = 32
-  private val RhpBands = 4
-  private val RhpDim = 64 // embeddings table dimensionality (TESTDATA.md)
+  // Random-hyperplane LSH geometry lives in the shared
+  // [[graft.operators.RhpLsh]] kernel (also consumed by DedupState's
+  // semantic tier); aliases keep this file's oracle renderings
+  // single-sourced. The label-cell variant (dedup_embedding) needs a
+  // trustworthy coarse cell; the RHP one needs none.
+  private val RhpPlanes = graft.operators.RhpLsh.Planes
+  private val RhpBands = graft.operators.RhpLsh.Bands
+  private val RhpDim = graft.operators.RhpLsh.Dim
 
-  /** ±1 Rademacher hyperplane weight, deterministically derived from md5
-    * parity so the DuckDB oracle inlines the IDENTICAL matrix. */
-  private def rhpSign(p: Int, i: Int): Double = {
-    val h = java.security.MessageDigest.getInstance("MD5")
-      .digest(s"rhp_${p}_$i".getBytes(StandardCharsets.UTF_8))
-    if ((h(0) & 1) == 1) 1.0 else -1.0
-  }
+  private def rhpSign(p: Int, i: Int): Double =
+    graft.operators.RhpLsh.sign(p, i)
 
   /** Whitespace tokens. */
   private def toks(c: Column): Column = split(c, "\\s+")
@@ -118,36 +113,13 @@ object Dedup {
     * Approximate by design (banding trades recall for candidate volume);
     * the oracle mirrors plane matrix, banding, and cap bit-for-bit, so the
     * gate is exact. */
-  private def rhpPairs(s: SparkSession, dir: String): DataFrame = {
-    val e = Tables(s, dir, "embeddings")
-      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-      .withColumn("nrm", Similarity.norm(col("v")))
-    val sig = e.withColumn("sig",
-      (0 until RhpPlanes).map { p =>
-        val w = array((0 until RhpDim).map(i => lit(rhpSign(p, i))): _*)
-        when(graft.exprs.functions.dot_product(col("v"), w) >= 0d,
-          lit(1L << p)).otherwise(0L)
-      }.reduce(_ + _))
-    val bands = sig.select(col("vec_id"), col("v"), col("nrm"), col("sig"),
-      explode(sequence(lit(0), lit(RhpBands - 1))).as("b"))
-      .withColumn("bkey",
-        expr("(sig div CAST(pow(2, b * 8) AS BIGINT)) % 256"))
-    val wb = Window.partitionBy(col("b"), col("bkey"))
-    val capped = bands
-      .withColumn("bsz", count(lit(1)).over(wb))
-      .filter(col("bsz") <= MaxBandBucket)
-      .drop("bsz")
-    capped.select(col("vec_id").as("vec_a"), col("v").as("va"),
-        col("nrm").as("na"), col("b"), col("bkey"))
-      .join(capped.select(col("vec_id").as("vec_b"), col("v").as("vb"),
-        col("nrm").as("nb"), col("b"), col("bkey")), Seq("b", "bkey"))
-      .filter(col("vec_a") < col("vec_b"))
-      .select("vec_a", "vec_b", "va", "vb", "na", "nb").distinct()
-      .withColumn("cosine",
-        Similarity.cosinePre(col("va"), col("vb"), col("na"), col("nb")))
-      .filter(col("cosine") >= 0.4)
-      .select("vec_a", "vec_b", "cosine")
-  }
+  private def rhpPairs(s: SparkSession, dir: String): DataFrame =
+    graft.operators.RhpLsh.pairsOf(
+      Tables(s, dir, "embeddings")
+        .select(col("vec_id").as("doc_id"),
+          col("embedding").cast("array<double>").as("v")))
+      .select(col("doc_a").as("vec_a"), col("doc_b").as("vec_b"),
+        col("cosine"))
 
   /** (doc_id, chunk_hash) per SpanTokens-aligned chunk — the span-dedup
     * chunk relation, shared by dedup_span_exact and dedup_signal_card so
@@ -423,7 +395,7 @@ object Dedup {
   private def ensureDedupState(s: SparkSession, dir: String): String =
     graft.util.ArtifactCache.ensure(
       java.nio.file.Paths.get(dir, "documents.parquet"),
-      "graft-dedupstate", "manifest-v1") { staging =>
+      "graft-dedupstate2", "manifest-v1") { staging =>
       graft.operators.DedupState.admit(s, staging, dropDocs(s, dir, 0),
         fingerprint = "drop-1")
       ()
@@ -454,9 +426,30 @@ object Dedup {
   private def ensureGatedDedupState(s: SparkSession, dir: String): String =
     graft.util.ArtifactCache.ensure(
       java.nio.file.Paths.get(dir, "documents.parquet"),
-      "graft-dedupstateq", "manifest-v1") { staging =>
+      "graft-dedupstateq2", "manifest-v1") { staging =>
       graft.operators.DedupState.admit(s, staging,
         gatedDropDocs(s, dir, 0), fingerprint = "drop-1")
+      ()
+    }
+
+  /** The vec_id-parity drop of the embeddings table shaped as a
+    * DedupState batch: no text (the semantic tier carries the only
+    * evidence), the embedding as `emb`. */
+  private def embDrop(s: SparkSession, dir: String, which: Int): DataFrame =
+    Tables(s, dir, "embeddings")
+      .filter(col("vec_id") % 2 === which)
+      .select(col("vec_id").as("doc_id"),
+        lit(null).cast("string").as("text"),
+        col("embedding").cast("array<double>").as("emb"))
+
+  /** Embedding-tier twin of [[ensureDedupState]], keyed by the
+    * embeddings parquet. */
+  private def ensureSemDedupState(s: SparkSession, dir: String): String =
+    graft.util.ArtifactCache.ensure(
+      java.nio.file.Paths.get(dir, "embeddings.parquet"),
+      "graft-dedupstatee", "manifest-v1") { staging =>
+      graft.operators.DedupState.admit(s, staging, embDrop(s, dir, 0),
+        fingerprint = "drop-1")
       ()
     }
 
@@ -701,8 +694,26 @@ object Dedup {
           count(when(col("exact_dup_batch"), true)).as("n_exact_dup_batch"),
           count(when(col("near_dup_state"), true)).as("n_near_dup_state"),
           count(when(col("near_dup_batch"), true)).as("n_near_dup_batch"),
+          count(when(col("sem_dup_state"), true)).as("n_sem_dup_state"),
+          count(when(col("sem_dup_batch"), true)).as("n_sem_dup_batch"),
           count(when(col("admitted"), true)).as("n_admitted"))
         .orderBy("drop_no")
+    },
+
+    // The SEMANTIC tier of the incremental state, exercised standalone
+    // over the embeddings table (vec_id-parity drops, no text): drop 2's
+    // verdicts against drop 1's admitted EMBEDDINGS — random-hyperplane
+    // bands ([[graft.operators.RhpLsh]]) verified by exact cosine ≥ 0.4.
+    // This is the cross-drop form of the paraphrase-leakage check: a
+    // rewritten near-copy arriving in a later crawl drop shares no
+    // shingles with the admitted original, but its embedding sits next
+    // to it. Oracle mirrors the plane matrix, banding, caps, and cosine
+    // fold bit-for-bit, so the approximate family still gates exact.
+    "dedup_incremental_semantic" -> { (s, dir) =>
+      val st = graft.operators.DedupState.load(ensureSemDedupState(s, dir))
+      graft.operators.DedupState
+        .verdicts(s, st, embDrop(s, dir, 1))
+        .orderBy("doc_id")
     },
 
     // The INCREMENTAL composition: quality gate → admission against a
@@ -1512,7 +1523,8 @@ object Dedup {
        |  FROM mh m JOIN elig USING (doc_id),
        |    (SELECT unnest(range(0, 3)) AS b)),
        |e1 AS (SELECT doc_id, content_hash,
-       |    doc_id <> min(doc_id) OVER (PARTITION BY content_hash)
+       |    content_hash IS NOT NULL AND
+       |      doc_id <> min(doc_id) OVER (PARTITION BY content_hash)
        |      AS exact_dup_batch
        |  FROM hx WHERE doc_id % 2 = 0),
        |c1 AS (SELECT doc_id, b, bkey FROM (
@@ -1527,6 +1539,7 @@ object Dedup {
        |    i -> ma.mins[i] = mb.mins[i])) / 12.0 >= 0.5),
        |verdict1 AS (SELECT doc_id, content_hash, exact_dup_state,
        |    exact_dup_batch, near_dup_state, near_dup_batch,
+       |    FALSE AS sem_dup_state, FALSE AS sem_dup_batch,
        |    NOT (exact_dup_state OR exact_dup_batch OR near_dup_state
        |      OR near_dup_batch) AS admitted
        |  FROM (SELECT e1.doc_id, e1.content_hash,
@@ -1540,7 +1553,8 @@ object Dedup {
        |    count(*) OVER (PARTITION BY b, bkey) AS bsz
        |  FROM allb JOIN a1 USING (doc_id)) WHERE bsz <= $MaxBandBucket),
        |e2 AS (SELECT doc_id, content_hash,
-       |    doc_id <> min(doc_id) OVER (PARTITION BY content_hash)
+       |    content_hash IS NOT NULL AND
+       |      doc_id <> min(doc_id) OVER (PARTITION BY content_hash)
        |      AS exact_dup_batch
        |  FROM hx WHERE doc_id % 2 = 1),
        |c2 AS (SELECT doc_id, b, bkey FROM (
@@ -1561,6 +1575,7 @@ object Dedup {
        |    i -> ma.mins[i] = mb.mins[i])) / 12.0 >= 0.5),
        |verdict2 AS (SELECT doc_id, content_hash, exact_dup_state,
        |    exact_dup_batch, near_dup_state, near_dup_batch,
+       |    FALSE AS sem_dup_state, FALSE AS sem_dup_batch,
        |    NOT (exact_dup_state OR exact_dup_batch OR near_dup_state
        |      OR near_dup_batch) AS admitted
        |  FROM (SELECT e2.doc_id, e2.content_hash,
@@ -1570,6 +1585,60 @@ object Dedup {
        |    e2.doc_id IN (SELECT doc_id FROM ns2) AS near_dup_state,
        |    e2.doc_id IN (SELECT doc_id FROM nb2) AS near_dup_batch
        |  FROM e2))""".stripMargin
+
+  /** DuckDB mirror of the EMBEDDING-tier two-drop incremental admission
+    * ([[graft.operators.DedupState]]'s semantic tier over vec_id-parity
+    * drops of the embeddings table): CTE chain ending in `sverdict2`.
+    * Same plane matrix, banding, caps, and cosine fold as the rhpPairs
+    * oracle; caps within each drop and within the admitted state,
+    * mirroring the operator. The exact/lexical verdict columns are
+    * literal FALSE — the batch carries no text, and a null content hash
+    * is no exact-dup evidence by the operator's contract. */
+  private[queries] def incrementalSemSqlCtes: String =
+    s"""em AS (SELECT vec_id AS doc_id, CAST(embedding AS DOUBLE[]) AS v
+       |  FROM embeddings),
+       |sg AS (SELECT doc_id, ($rhpSigTermsSql) AS sig FROM em),
+       |ab AS (SELECT doc_id, b,
+       |    (sig // CAST(2 ** (b * 8) AS BIGINT)) % 256 AS bval
+       |  FROM sg, (SELECT unnest(range(0, $RhpBands)) AS b)),
+       |sc1 AS (SELECT doc_id, b, bval FROM (
+       |  SELECT doc_id, b, bval, count(*) OVER (PARTITION BY b, bval) AS bsz
+       |  FROM ab WHERE doc_id % 2 = 0) WHERE bsz <= $MaxBandBucket),
+       |sb1 AS (SELECT DISTINCT y.doc_id
+       |  FROM sc1 x JOIN sc1 y
+       |    ON x.b = y.b AND x.bval = y.bval AND x.doc_id < y.doc_id
+       |  JOIN em ea ON x.doc_id = ea.doc_id
+       |  JOIN em eb ON y.doc_id = eb.doc_id
+       |  WHERE ${Similarity.cosineSql("ea.v", "eb.v")} >= 0.4),
+       |sa1 AS (SELECT doc_id FROM em WHERE doc_id % 2 = 0
+       |  AND doc_id NOT IN (SELECT doc_id FROM sb1)),
+       |ssc AS (SELECT doc_id, b, bval FROM (
+       |  SELECT ab.doc_id, b, bval,
+       |    count(*) OVER (PARTITION BY b, bval) AS bsz
+       |  FROM ab JOIN sa1 USING (doc_id)) WHERE bsz <= $MaxBandBucket),
+       |sc2 AS (SELECT doc_id, b, bval FROM (
+       |  SELECT doc_id, b, bval, count(*) OVER (PARTITION BY b, bval) AS bsz
+       |  FROM ab WHERE doc_id % 2 = 1) WHERE bsz <= $MaxBandBucket),
+       |ss2 AS (SELECT DISTINCT sc2.doc_id
+       |  FROM sc2 JOIN ssc ON sc2.b = ssc.b AND sc2.bval = ssc.bval
+       |  JOIN em ea ON sc2.doc_id = ea.doc_id
+       |  JOIN em eb ON ssc.doc_id = eb.doc_id
+       |  WHERE ${Similarity.cosineSql("ea.v", "eb.v")} >= 0.4),
+       |sb2 AS (SELECT DISTINCT y.doc_id
+       |  FROM sc2 x JOIN sc2 y
+       |    ON x.b = y.b AND x.bval = y.bval AND x.doc_id < y.doc_id
+       |  JOIN em ea ON x.doc_id = ea.doc_id
+       |  JOIN em eb ON y.doc_id = eb.doc_id
+       |  WHERE ${Similarity.cosineSql("ea.v", "eb.v")} >= 0.4),
+       |sverdict2 AS (SELECT doc_id,
+       |    CAST(NULL AS VARCHAR) AS content_hash,
+       |    FALSE AS exact_dup_state, FALSE AS exact_dup_batch,
+       |    FALSE AS near_dup_state, FALSE AS near_dup_batch,
+       |    doc_id IN (SELECT doc_id FROM ss2) AS sem_dup_state,
+       |    doc_id IN (SELECT doc_id FROM sb2) AS sem_dup_batch,
+       |    NOT (doc_id IN (SELECT doc_id FROM ss2)
+       |      OR doc_id IN (SELECT doc_id FROM sb2)) AS admitted
+       |  FROM em WHERE doc_id % 2 = 1)""".stripMargin
 
   /** DuckDB mirror of the pipeline's SEMANTIC decontamination leg
     * ([[decontaminateSemantic]] over the benchmark split's embeddings at
@@ -1854,8 +1923,16 @@ object Dedup {
     "dedup_incremental" ->
       s"""WITH ${incrementalSqlCtes()}
          |SELECT doc_id, content_hash, exact_dup_state, exact_dup_batch,
-         |  near_dup_state, near_dup_batch, admitted
+         |  near_dup_state, near_dup_batch, sem_dup_state, sem_dup_batch,
+         |  admitted
          |FROM verdict2 ORDER BY doc_id""".stripMargin,
+
+    "dedup_incremental_semantic" ->
+      s"""WITH $incrementalSemSqlCtes
+         |SELECT doc_id, content_hash, exact_dup_state, exact_dup_batch,
+         |  near_dup_state, near_dup_batch, sem_dup_state, sem_dup_batch,
+         |  admitted
+         |FROM sverdict2 ORDER BY doc_id""".stripMargin,
 
     "pipeline_intake_incremental" ->
       s"""WITH ${incrementalSqlCtes(qualityEligibleSql)},
@@ -1876,6 +1953,8 @@ object Dedup {
          |  count(CASE WHEN exact_dup_batch THEN 1 END) AS n_exact_dup_batch,
          |  count(CASE WHEN near_dup_state THEN 1 END) AS n_near_dup_state,
          |  count(CASE WHEN near_dup_batch THEN 1 END) AS n_near_dup_batch,
+         |  count(CASE WHEN sem_dup_state THEN 1 END) AS n_sem_dup_state,
+         |  count(CASE WHEN sem_dup_batch THEN 1 END) AS n_sem_dup_batch,
          |  count(CASE WHEN admitted THEN 1 END) AS n_admitted
          |FROM uv GROUP BY 1 ORDER BY 1""".stripMargin,
 

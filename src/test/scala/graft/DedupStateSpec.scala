@@ -135,21 +135,57 @@ class DedupStateSpec extends AnyFunSuite {
         !v(id).getBoolean(v(id).fieldIndex("near_dup_state"))))
   }
 
-  test("null-text documents: hashless, signatureless, deterministic") {
+  test("null-text documents: no content hash is no exact-dup evidence") {
     val dir = tmp()
     import spark.implicits._
     val withNull = Seq((0L, Option("some real text content here")),
       (1L, Option.empty[String]), (3L, Option.empty[String]))
       .toDF("doc_id", "text")
     val h = DedupState.admit(spark, dir, withNull, "d1")
-    // null texts share a window group: 1 keeps, 3 is a batch dup
-    assert(h.nDocs === 2L)
-    // an admitted null doc contributes NO near-dup evidence and its null
-    // hash never matches a later null (null != null in joins) — a second
-    // drop's null doc is again admitted (documented determinism trade)
+    // null hashes carry NO exact evidence (the tiers' shared "no
+    // content ⇒ no evidence" posture) — both null docs admit
+    assert(h.nDocs === 3L)
+    // and a later drop's null doc is again admitted: null never joins
     val v = verdictMap(DedupState.verdicts(spark, h,
       Seq((5L, Option.empty[String])).toDF("doc_id", "text")))
     assert(v(5L).getBoolean(v(5L).fieldIndex("admitted")))
+  }
+
+  test("semantic tier: embedding near-dups reject vs state and batch; emb-less batches never flag") {
+    import spark.implicits._
+    val dir = tmp()
+    def vec(seed: Int, tweak: Double): Seq[Double] =
+      (0 until graft.operators.RhpLsh.Dim).map(i =>
+        math.sin(seed * 31 + i).abs + (if (i == 0) tweak else 0.0))
+    // drop 1: two well-separated embeddings (orthogonal-ish directions)
+    val e1 = Seq(
+      (0L, Option.empty[String], vec(1, 0.0)),
+      (2L, Option.empty[String],
+        (0 until graft.operators.RhpLsh.Dim).map(i =>
+          if (i % 2 == 0) 1.0 else -1.0).toSeq))
+      .toDF("doc_id", "text", "emb")
+    val h1 = DedupState.admit(spark, dir, e1, "e1")
+    assert(h1.nDocs === 2L)
+    // drop 2: a tiny perturbation of doc 0's vector (cosine ≈ 1) must
+    // flag sem_dup_state; a fresh direction admits; two near-identical
+    // batch siblings resolve by keep-first
+    val e2 = Seq(
+      (1L, Option.empty[String], vec(1, 0.001)),
+      (5L, Option.empty[String], vec(7, 0.0)),
+      (7L, Option.empty[String], vec(7, 0.001)))
+      .toDF("doc_id", "text", "emb")
+    val v = verdictMap(DedupState.verdicts(spark, DedupState.load(dir), e2))
+    def b(id: Long, c: String) = v(id).getBoolean(v(id).fieldIndex(c))
+    assert(b(1, "sem_dup_state") && !b(1, "admitted"))
+    assert(!b(1, "exact_dup_state") && !b(1, "exact_dup_batch"),
+      "null hashes carry no exact evidence")
+    assert(b(5, "admitted"))
+    assert(b(7, "sem_dup_batch") && !b(7, "admitted"))
+    // an emb-less batch against the same state never sem-flags
+    val v2 = verdictMap(DedupState.verdicts(spark, DedupState.load(dir),
+      docs(9L -> "plain text only document with no embedding at all")))
+    assert(!v2(9L).getBoolean(v2(9L).fieldIndex("sem_dup_state")))
+    assert(v2(9L).getBoolean(v2(9L).fieldIndex("admitted")))
   }
 
   test("Bloom saturation never changes a verdict (prefilter exactness)") {
