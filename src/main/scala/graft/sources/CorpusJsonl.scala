@@ -239,6 +239,20 @@ object CorpusJsonl {
     r.json(inDir)
   }
 
+  /** The CLEAN document stream from a drop directory, as a composable
+    * streaming DataFrame (the read half of [[ingestStream]] without the
+    * parquet sink): what downstream streaming consumers —
+    * [[graft.streaming.IndexMaintainer.maintainDedupState]], the live
+    * index maintainers — attach to when the drop directory IS the
+    * pipeline head. Same admission-control options and corrupt-shard
+    * posture as the sink form. */
+  def readCleanStream(
+      spark: SparkSession, inDir: String,
+      maxFilesPerTrigger: Option[Int] = None,
+      maxBytesPerTrigger: Option[String] = None): DataFrame =
+    cleanOf(readStreamRaw(spark, inDir, maxFilesPerTrigger,
+      maxBytesPerTrigger))
+
   /** STREAMING intake: watch `inDir` for new JSONL shards and grow the
     * parquet documents table at `tableDir`, quarantining malformed
     * lines under `rejectsDir` — the drop-directory loop a production

@@ -156,14 +156,18 @@ object IndexMaintainer {
       textCol: String,
       dir: String,
       checkpointDir: String,
-      compactEvery: Int = 0): StreamingQuery = {
+      compactEvery: Int = 0,
+      embCol: Option[String] = None): StreamingQuery = {
     val key = checkpointKey(checkpointDir)
     docs.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, epochId: Long) =>
         val spark = batch.sparkSession
-        val b = batch.select(col(idCol).cast("long").as("doc_id"),
+        val base = Seq(col(idCol).cast("long").as("doc_id"),
           col(textCol).cast("string").as("text"))
+        // an embedding column switches on the state's SEMANTIC tier
+        val b = batch.select(base ++ embCol.map(c =>
+          col(c).cast("array<double>").as("emb")): _*)
         if (!b.isEmpty) {
           val h = DedupState.admit(spark, dir, b,
             fingerprint = s"e$key.$epochId")

@@ -537,4 +537,40 @@ class IndexMaintainerSpec extends AnyFunSuite {
       assert(streamed === batched)
     } finally q.stop()
   }
+
+  test("JSONL drop directory → clean stream → dedup state, end to end: later shards dedup against earlier ones with no batch job anywhere") {
+    import graft.operators.DedupState
+    val in = tmp("graft-dropdir")
+    val state = tmp("graft-dropstate")
+    val ckpt = tmp("graft-dropckpt")
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    def shard(name: String, rows: Seq[(Long, String)]): Unit =
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(in, name),
+        rows.map { case (id, t) =>
+          s"""{"doc_id": $id, "text": "$t", "lang": "en", """ +
+            s""""source": "crawl", "n_chars": ${t.length}}"""
+        }.mkString("\n").getBytes("UTF-8"))
+
+    shard("part-0.json", Seq(
+      0L -> base, 2L -> "one two three four five six seven eight nine"))
+    val q = IndexMaintainer.maintainDedupState(
+      graft.sources.CorpusJsonl.readCleanStream(spark, in),
+      "doc_id", "text", state, ckpt)
+    try {
+      q.processAllAvailable()
+      assert(DedupState.load(state).nDocs === 2L)
+      // a LATER shard landing in the drop dir: its exact copy of shard
+      // 0's content and a near-copy both reject; the novel doc admits
+      shard("part-1.json", Seq(
+        4L -> base,
+        6L -> "alpha beta gamma delta epsilon zeta eta theta iota lambda",
+        8L -> "fresh novel content tokens that appear nowhere else"))
+      q.processAllAvailable()
+      val h = DedupState.load(state)
+      assert(h.nDocs === 3L)
+      assert(DedupState.rows(spark, h).select("doc_id")
+        .collect().map(_.getLong(0)).toSet === Set(0L, 2L, 8L))
+    } finally q.stop()
+  }
 }
