@@ -282,42 +282,51 @@ object DedupState {
       .select(col("doc_id")).distinct()
       .withColumn("near_dup_state", lit(true))
 
-    // ---- semantic tier ([[RhpLsh]]; active only for emb-bearing rows) ----
-    val batchEmb = b.filter(col("emb").isNotNull)
-      .select(col("doc_id"), col("emb").as("v"))
-    val semBatch = RhpLsh.pairsOf(batchEmb)
-      .select(col("doc_b").as("doc_id")).distinct()
-      .withColumn("sem_dup_batch", lit(true))
-    val eb = RhpLsh.cappedBandsOf(RhpLsh.withSig(batchEmb))
-    val es = RhpLsh.cappedBandsOf(RhpLsh.withSig(
-        rows(s, h).filter(col("emb").isNotNull)
-          .select(col("doc_id"), col("emb").as("v"))))
-      .select(col("doc_id").as("sid"), col("v").as("sv"),
-        col("nrm").as("snrm"), col("b"), col("bkey"))
-    val semState = eb.join(es, Seq("b", "bkey"))
-      .select(col("doc_id"), col("v"), col("nrm"),
-        col("sid"), col("sv"), col("snrm")).distinct()
-      .filter(RhpLsh.cosinePre(col("v"), col("sv"),
-        col("nrm"), col("snrm")) >= RhpLsh.VerifyCosine)
-      .select(col("doc_id")).distinct()
-      .withColumn("sem_dup_state", lit(true))
+    // ---- semantic tier ([[RhpLsh]]) ---------------------------------------
+    // Built only when the batch CAN carry embeddings — an emb-less batch
+    // (the common text intake) gets literal-false columns and none of
+    // the sub-DAG's joins in its plan.
+    val withSem: DataFrame => DataFrame =
+      if (!batch.columns.contains("emb")) { flags =>
+        flags.withColumn("sem_dup_state", lit(false))
+          .withColumn("sem_dup_batch", lit(false))
+      } else { flags =>
+        val batchEmb = b.filter(col("emb").isNotNull)
+          .select(col("doc_id"), col("emb").as("v"))
+        val semBatch = RhpLsh.pairsOf(batchEmb)
+          .select(col("doc_b").as("doc_id")).distinct()
+          .withColumn("sem_dup_batch", lit(true))
+        val eb = RhpLsh.cappedBandsOf(RhpLsh.withSig(batchEmb))
+        val es = RhpLsh.cappedBandsOf(RhpLsh.withSig(
+            rows(s, h).filter(col("emb").isNotNull)
+              .select(col("doc_id"), col("emb").as("v"))))
+          .select(col("doc_id").as("sid"), col("v").as("sv"),
+            col("nrm").as("snrm"), col("b"), col("bkey"))
+        val semState = eb.join(es, Seq("b", "bkey"))
+          .select(col("doc_id"), col("v"), col("nrm"),
+            col("sid"), col("sv"), col("snrm")).distinct()
+          .filter(RhpLsh.cosinePre(col("v"), col("sv"),
+            col("nrm"), col("snrm")) >= RhpLsh.VerifyCosine)
+          .select(col("doc_id")).distinct()
+          .withColumn("sem_dup_state", lit(true))
+        flags.join(semState, Seq("doc_id"), "left")
+          .join(semBatch, Seq("doc_id"), "left")
+          .withColumn("sem_dup_state",
+            coalesce(col("sem_dup_state"), lit(false)))
+          .withColumn("sem_dup_batch",
+            coalesce(col("sem_dup_batch"), lit(false)))
+      }
 
-    probed.drop("bloom_hit")
-      .join(stateHit, Seq("doc_id"), "left")
-      .join(nearState, Seq("doc_id"), "left")
-      .join(nearBatch, Seq("doc_id"), "left")
-      .join(semState, Seq("doc_id"), "left")
-      .join(semBatch, Seq("doc_id"), "left")
+    withSem(probed.drop("bloom_hit")
+        .join(stateHit, Seq("doc_id"), "left")
+        .join(nearState, Seq("doc_id"), "left")
+        .join(nearBatch, Seq("doc_id"), "left"))
       .withColumn("exact_dup_state",
         coalesce(col("exact_dup_state"), lit(false)))
       .withColumn("near_dup_state",
         coalesce(col("near_dup_state"), lit(false)))
       .withColumn("near_dup_batch",
         coalesce(col("near_dup_batch"), lit(false)))
-      .withColumn("sem_dup_state",
-        coalesce(col("sem_dup_state"), lit(false)))
-      .withColumn("sem_dup_batch",
-        coalesce(col("sem_dup_batch"), lit(false)))
       .withColumn("admitted",
         !col("exact_dup_state") && !col("exact_dup_batch") &&
           !col("near_dup_state") && !col("near_dup_batch") &&
