@@ -51,6 +51,41 @@ object BloomSketch {
     conv(substring(h, 1 + hc, hc), 16, 10).cast("long")
   }
 
+  /** Per-document contamination card from a (doc_id, h) shingle-hash
+    * relation probed against a 64-bit-word (word, mask) Bloom relation:
+    * `(doc_id, n_shingles, n_flagged, flagged_frac)`, flagged-docs only —
+    * the decontaminate_bloom probe shape, factored so the single-shot
+    * entry and the persisted [[DecontamRegistry]] can never drift. The
+    * words relation is ≤ bits/64 rows and broadcast twice (one lookup
+    * per hash position); the per-doc shingle count rides a doc_id
+    * window over the probe rows. */
+  def flagCard(
+      sh: DataFrame, words: DataFrame, bits: Long = DefaultBits)
+      : DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    sh
+      .withColumn("p1", pos1(col("h"), bits))
+      .withColumn("p2", pos2(col("h"), bits))
+      .withColumn("n_shingles",
+        count(lit(1)).over(Window.partitionBy(col("doc_id"))))
+      .withColumn("w1", expr("p1 DIV 64"))
+      .withColumn("w2", expr("p2 DIV 64"))
+      .join(broadcast(words.select(col("word").as("w1"),
+        col("mask").as("mask1"))), Seq("w1"), "left")
+      .join(broadcast(words.select(col("word").as("w2"),
+        col("mask").as("mask2"))), Seq("w2"), "left")
+      .filter(
+        expr("coalesce(shiftright(mask1, CAST(p1 % 64 AS INT)) & 1, 0L) = 1")
+          && expr(
+          "coalesce(shiftright(mask2, CAST(p2 % 64 AS INT)) & 1, 0L) = 1"))
+      .groupBy("doc_id")
+      .agg(max(col("n_shingles")).as("n_shingles"),
+        count(lit(1)).as("n_flagged"))
+      .withColumn("flagged_frac",
+        col("n_flagged").cast("double") / col("n_shingles"))
+      .select("doc_id", "n_shingles", "n_flagged", "flagged_frac")
+  }
+
   /** (word, mask) relation of the set bits for the given md5-hex keys:
     * at most bits/wordBits rows whatever the input size. */
   def maskRelation(

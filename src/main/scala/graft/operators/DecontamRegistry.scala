@@ -1,0 +1,125 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Persisted benchmark-contamination REGISTRY for incremental intake.
+  *
+  * Benchmarks publish over time: a production intake decontaminates
+  * every drop against the registry of ALL benchmarks registered so far,
+  * without re-shingling old benchmarks and without redeploying when a
+  * new one lands. Each registration stores only the benchmark's Bloom
+  * words — [[BloomSketch]] masks of its distinct shingle hashes — as one
+  * immutable delta under a [[DeltaManifest]]-committed manifest
+  * (`graft-decontam-registry-v1 bits=<n>`). Registrations are
+  * name-idempotent (the ledger is the replay record); [[compact]] folds
+  * word deltas with `bit_or`, and because positions are per-shingle,
+  * the OR of two benchmarks' masks IS the mask of their shingle-set
+  * union — so a registry built in N registrations answers EXACTLY what
+  * a single-shot Bloom over the concatenated benchmarks answers (the
+  * property the oracle-gated entry pins).
+  *
+  * Scale shape: a registration is one pass over the benchmark (KB-GB
+  * scale, shingle → md5 → distinct → ≤ bits/64 mask rows); a [[flag]]
+  * probe folds all deltas into ONE broadcastable (word, mask) relation
+  * and runs the shared [[BloomSketch.flagCard]] over the corpus drop —
+  * corpus-linear, two broadcast lookups per shingle, nothing rescans a
+  * registered benchmark ever again. False positives are the Bloom
+  * contract (sized by `bits`, ~1% at 10^4 shingles per 2^20 bits) and
+  * are REPRODUCED by the oracle, so the gate stays exact.
+  */
+object DecontamRegistry {
+
+  val DefaultBits: Long = BloomSketch.DefaultBits
+
+  private val Magic = "graft-decontam-registry-v1"
+
+  final case class Handle(
+      dir: String, version: Long, bits: Long, st: DeltaManifest.State) {
+    /** Registered benchmark names (ledger entries). */
+    def names: Set[String] = st.ledgerEntries
+    /** Total distinct shingles registered (pre-fold sum). */
+    def nShingles: Long = st.n
+  }
+
+  def load(dir: String): Handle = {
+    val st = DeltaManifest.load(dir, Magic, s"bits=$DefaultBits")
+    Handle(dir, st.version, st.payload.split("bits=").last.trim.toLong, st)
+  }
+
+  /** Distinct md5-hex shingle hashes of a documents relation
+    * `(doc_id, text, ...)` — the same derivation decontaminate_bloom
+    * shingles with (hash BEFORE distinct, so exchanges carry 32-char
+    * digests). */
+  def shingleHashes(docs: DataFrame): DataFrame =
+    docs.filter(col("text").isNotNull)
+      .select(col("doc_id"),
+        explode(graft.exprs.functions.ngram_shingles(
+          split(col("text"), "\\s+"))).as("sng"))
+      .select(col("doc_id"), md5(col("sng")).as("h"))
+      .distinct()
+
+  /** Register a benchmark under `name`: persist its Bloom words as a new
+    * delta and commit the next manifest. Re-registering a name is a
+    * no-op returning the current handle (idempotent replay). */
+  def register(
+      s: SparkSession, dir: String, benchmark: DataFrame,
+      name: String): Handle = synchronized {
+    DeltaManifest.requireCleanId(name)
+    val h = load(dir)
+    if (h.names.contains(name)) return h
+    val staging = DeltaManifest.stagingPath(dir)
+    val hashes = shingleHashes(benchmark).select("h")
+    BloomSketch.maskRelation(hashes, wordBits = 64, bits = h.bits)
+      .write.parquet(s"${staging.toString}/words")
+    // the ref's n records the benchmark's distinct-shingle count — the
+    // registry's capacity-planning statistic (FP rate grows with it)
+    val n = hashes.distinct().count()
+    val deltaName = DeltaManifest.promote(staging)
+    DeltaManifest.commit(dir, Magic, s"bits=${h.bits}", h.version + 1,
+      h.st.refs :+ DeltaManifest.Ref(deltaName, name, n))
+    load(dir)
+  }
+
+  /** The registry's folded Bloom relation (≤ bits/64 rows). */
+  def words(s: SparkSession, h: Handle): DataFrame = {
+    val paths = h.st.refs.map(r => s"${h.dir}/${r.name}/words")
+    val per =
+      if (paths.isEmpty)
+        s.createDataFrame(
+          new java.util.ArrayList[org.apache.spark.sql.Row](),
+          org.apache.spark.sql.types.StructType.fromDDL(
+            "word bigint, mask bigint"))
+      else s.read.schema(org.apache.spark.sql.types.StructType.fromDDL(
+        "word bigint, mask bigint")).parquet(paths: _*)
+    per.groupBy("word").agg(expr("bit_or(mask)").as("mask"))
+  }
+
+  /** Per-document contamination card of a corpus drop against EVERY
+    * registered benchmark: `(doc_id, n_shingles, n_flagged,
+    * flagged_frac)`, flagged docs only — [[BloomSketch.flagCard]] over
+    * the folded words. */
+  def flag(s: SparkSession, h: Handle, corpus: DataFrame): DataFrame =
+    BloomSketch.flagCard(shingleHashes(corpus), words(s, h), h.bits)
+
+  /** Fold all word deltas into one (`bit_or` across deltas — exactly the
+    * union-set mask) and commit a manifest referencing only it; the name
+    * ledger survives. */
+  def compact(s: SparkSession, dir: String): Handle = synchronized {
+    val h = load(dir)
+    if (h.st.refs.size <= 1) return h
+    val staging = DeltaManifest.stagingPath(dir)
+    words(s, h).write.parquet(s"${staging.toString}/words")
+    val deltaName = DeltaManifest.promote(staging)
+    val mergedLedger =
+      h.st.refs.map(_.ledger).mkString(DeltaManifest.FpSep.toString)
+    DeltaManifest.commit(dir, Magic, s"bits=${h.bits}", h.version + 1,
+      Seq(DeltaManifest.Ref(deltaName, mergedLedger, h.nShingles)))
+    load(dir)
+  }
+
+  /** Reclaim unreferenced delta/staging dirs (manifest-driven). */
+  def gc(dir: String): Int = synchronized {
+    DeltaManifest.gc(dir, Magic, s"bits=$DefaultBits")
+  }
+}

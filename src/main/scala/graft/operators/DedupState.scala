@@ -4,8 +4,6 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 
-import java.nio.charset.StandardCharsets
-import java.nio.file.{Files, Path, Paths, StandardCopyOption}
 
 /** Persisted, log-structured dedup state for INCREMENTAL corpus intake.
   *
@@ -106,19 +104,14 @@ object DedupState {
   val DefaultBloomBits: Long = BloomSketch.DefaultBits
 
   private val Magic = "graft-dedup-state-v1"
-  private val ManifestRe = "manifest-v(\\d+)".r
-
-  /** Inner separator of a delta's fingerprint LEDGER: [[compact]] merges
-    * deltas but must keep recognizing every admitted batch fingerprint,
-    * so a compacted delta carries all of its ancestors' fingerprints
-    * joined with this (forbidden-in-fingerprints) character. */
-  private val FpSep = '\u001f'
 
   /** One live delta: its directory name, the fingerprint ledger of the
-    * admits it holds (singleton until compaction merges deltas), and how
-    * many documents it holds. */
+    * admits it holds (singleton until [[compact]] merges deltas — the
+    * ledger keeps recognizing every admitted batch fingerprint), and how
+    * many documents it holds. Manifest mechanics live in the shared
+    * [[DeltaManifest]] (also the [[DecontamRegistry]] discipline). */
   final case class DeltaRef(name: String, ledger: String, nDocs: Long) {
-    def fingerprints: Seq[String] = ledger.split(FpSep).toSeq
+    def fingerprints: Seq[String] = ledger.split(DeltaManifest.FpSep).toSeq
   }
 
   /** An immutable view of one committed manifest. `version` 0 = no state
@@ -136,35 +129,9 @@ object DedupState {
 
   /** Load the current committed state (the highest manifest). */
   def load(dir: String): Handle = {
-    val root = Paths.get(dir)
-    val versions: Seq[Long] =
-      if (!Files.isDirectory(root)) Seq.empty
-      else {
-        import scala.jdk.CollectionConverters._
-        scala.util.Using.resource(Files.list(root))(
-          _.iterator().asScala.toList).flatMap(p =>
-          p.getFileName.toString match {
-            case ManifestRe(n) if Files.isRegularFile(p) => Some(n.toLong)
-            case _ => None
-          }).sorted
-      }
-    versions.lastOption match {
-      case None => Handle(dir, 0L, DefaultBloomBits, Seq.empty)
-      case Some(v) =>
-        val lines = new String(
-          Files.readAllBytes(root.resolve(s"manifest-v$v")),
-          StandardCharsets.UTF_8).split("\n").toSeq.filter(_.nonEmpty)
-        val header = lines.headOption.getOrElse(
-          sys.error(s"empty dedup-state manifest v$v under $dir"))
-        require(header.startsWith(Magic),
-          s"not a $Magic manifest: $dir/manifest-v$v")
-        val bits = header.split("bits=").last.trim.toLong
-        val deltas = lines.tail.map { l =>
-          val Array(name, fp, n) = l.split("\t", 3)
-          DeltaRef(name, fp, n.toLong)
-        }
-        Handle(dir, v, bits, deltas)
-    }
+    val st = DeltaManifest.load(dir, Magic, s"bits=$DefaultBloomBits")
+    Handle(dir, st.version, st.payload.split("bits=").last.trim.toLong,
+      st.refs.map(r => DeltaRef(r.name, r.ledger, r.n)))
   }
 
   /** All admitted rows `(doc_id, content_hash, mins, emb)`. Non-null
@@ -345,21 +312,14 @@ object DedupState {
   def admit(
       s: SparkSession, dir: String, batch: DataFrame,
       fingerprint: String): Handle = synchronized {
-    require(!fingerprint.contains("\t") && !fingerprint.contains("\n") &&
-      !fingerprint.contains(FpSep),
-      "fingerprint must not contain tab/newline (manifest field " +
-        "separators) or \\u001f (the compaction ledger separator)")
+    DeltaManifest.requireCleanId(fingerprint)
     val h = load(dir)
     if (h.fingerprints.contains(fingerprint)) return h
 
-    val root = Paths.get(dir)
-    Files.createDirectories(root)
-    val deltaName = "delta-" + java.util.UUID.randomUUID().toString.take(12)
-    val staging = root.resolve(
-      "staging-" + java.util.UUID.randomUUID().toString.take(12))
+    val staging = DeltaManifest.stagingPath(dir)
     val st = staging.toString
     // ONE computation of the verdict DAG materializes rows/; the Bloom and
-    // the row count derive from the STAGED parquet, so the delta's three
+    // the row count derive from the STAGED parquet, so the delta's two
     // artifacts can never disagree.
     verdictsFull(s, h, batch)
       .filter(col("admitted"))
@@ -372,9 +332,10 @@ object DedupState {
       .write.parquet(s"$st/bloom")
     val n = staged.count()
 
-    Files.move(staging, root.resolve(deltaName), StandardCopyOption.ATOMIC_MOVE)
-    writeManifest(root, h.version + 1, h.bloomBits,
-      h.deltas :+ DeltaRef(deltaName, fingerprint, n))
+    val deltaName = DeltaManifest.promote(staging)
+    DeltaManifest.commit(dir, Magic, s"bits=${h.bloomBits}", h.version + 1,
+      (h.deltas :+ DeltaRef(deltaName, fingerprint, n))
+        .map(d => DeltaManifest.Ref(d.name, d.ledger, d.nDocs)))
     load(dir)
   }
 
@@ -387,10 +348,7 @@ object DedupState {
   def compact(s: SparkSession, dir: String): Handle = synchronized {
     val h = load(dir)
     if (h.deltas.size <= 1) return h
-    val root = Paths.get(dir)
-    val deltaName = "delta-" + java.util.UUID.randomUUID().toString.take(12)
-    val staging = root.resolve(
-      "staging-" + java.util.UUID.randomUUID().toString.take(12))
+    val staging = DeltaManifest.stagingPath(dir)
     val st = staging.toString
     rows(s, h).write.parquet(s"$st/rows")
     BloomSketch.maskRelation(
@@ -398,10 +356,11 @@ object DedupState {
         .filter(col("content_hash").isNotNull).select("content_hash"),
       wordBits = 64, bits = h.bloomBits)
       .write.parquet(s"$st/bloom")
-    Files.move(staging, root.resolve(deltaName), StandardCopyOption.ATOMIC_MOVE)
-    val mergedLedger = h.deltas.map(_.ledger).mkString(FpSep.toString)
-    writeManifest(root, h.version + 1, h.bloomBits,
-      Seq(DeltaRef(deltaName, mergedLedger, h.nDocs)))
+    val deltaName = DeltaManifest.promote(staging)
+    val mergedLedger =
+      h.deltas.map(_.ledger).mkString(DeltaManifest.FpSep.toString)
+    DeltaManifest.commit(dir, Magic, s"bits=${h.bloomBits}", h.version + 1,
+      Seq(DeltaManifest.Ref(deltaName, mergedLedger, h.nDocs)))
     load(dir)
   }
 
@@ -410,38 +369,6 @@ object DedupState {
     * away or crash orphans). Returns how many were removed. Single-writer
     * contract — never run concurrently with an in-flight [[admit]]. */
   def gc(dir: String): Int = synchronized {
-    val root = Paths.get(dir)
-    if (!Files.isDirectory(root)) return 0
-    val live = load(dir).deltas.map(_.name).toSet
-    import scala.jdk.CollectionConverters._
-    val doomed = scala.util.Using.resource(Files.list(root))(
-      _.iterator().asScala.toList).filter { p =>
-      val n = p.getFileName.toString
-      Files.isDirectory(p) &&
-        ((n.startsWith("delta-") && !live.contains(n)) ||
-          n.startsWith("staging-"))
-    }
-    doomed.foreach(p =>
-      graft.storage.ParquetLogBackend.deleteRecursively(p))
-    doomed.size
-  }
-
-  private def writeManifest(
-      root: Path, version: Long, bits: Long, deltas: Seq[DeltaRef]): Unit = {
-    val body = (s"$Magic bits=$bits" +:
-      deltas.map(d => s"${d.name}\t${d.ledger}\t${d.nDocs}"))
-      .mkString("", "\n", "\n")
-    val tmp = root.resolve(
-      ".manifest-tmp-" + java.util.UUID.randomUUID().toString.take(12))
-    Files.write(tmp, body.getBytes(StandardCharsets.UTF_8))
-    try Files.move(tmp, root.resolve(s"manifest-v$version"),
-      StandardCopyOption.ATOMIC_MOVE)
-    catch {
-      case e: java.nio.file.FileAlreadyExistsException =>
-        Files.deleteIfExists(tmp)
-        throw new IllegalStateException(
-          s"concurrent dedup-state writer detected at manifest-v$version " +
-            s"under $root — admit/compact are single-writer by contract", e)
-    }
+    DeltaManifest.gc(dir, Magic, s"bits=$DefaultBloomBits")
   }
 }

@@ -1197,6 +1197,23 @@ object Dedup {
       decontaminateBloom(s, dir, graft.operators.BloomSketch.DefaultBits)
     },
 
+    // The persisted decontamination REGISTRY ([[graft.operators
+    // .DecontamRegistry]]): benchmarks publish over time, so the intake
+    // decontaminates each drop against the registry of EVERYTHING
+    // registered so far — here the benchmark split registered as TWO
+    // separate registrations, folded at probe time. The oracle is the
+    // single-shot Bloom derivation VERBATIM: OR of per-registration
+    // masks = mask of the shingle-set union, so incremental registration
+    // provably changes nothing — the property this entry pins.
+    "decontaminate_registry" -> { (s, dir) =>
+      val reg = graft.operators.DecontamRegistry
+        .load(ensureDecontamRegistry(s, dir))
+      graft.operators.DecontamRegistry
+        .flag(s, reg, Tables(s, dir, "documents")
+          .filter(col("doc_id") % BenchmarkMod =!= 0))
+        .orderBy("doc_id")
+    },
+
     // Split-leakage audit: the QA gate behind split_corpus's "leakage-safe"
     // claim. A random-by-document split is only leakage-safe if no NEAR-
     // duplicate pair straddles the train/val/test boundary — near-dup
@@ -1279,43 +1296,41 @@ object Dedup {
     * DefaultBits so the generated oracle stays in lockstep. */
   def decontaminateBloom(
       s: SparkSession, dir: String, bits: Long): DataFrame = {
-    import graft.operators.BloomSketch
-    // hash BEFORE the distinct, so the dedup and window exchanges carry
-    // 32-hex-char digests instead of arbitrary-length shingle strings —
-    // the same hash-first shuffle discipline decontaminate_ngram uses
-    // (md5 collisions merging two shingles are accepted Bloom semantics,
-    // and the oracle applies the identical distinct-on-md5)
-    val sh = Tables(s, dir, "documents")
-      .filter(col("text").isNotNull)
-      .select(col("doc_id"),
-        explode(graft.exprs.functions.ngram_shingles(toks(col("text"))))
-          .as("sng"))
-      .select(col("doc_id"), md5(col("sng")).as("h"))
-      .distinct()
-      .withColumn("p1", BloomSketch.pos1(col("h"), bits))
-      .withColumn("p2", BloomSketch.pos2(col("h"), bits))
-      .withColumn("n_shingles",
-        count(lit(1)).over(Window.partitionBy(col("doc_id"))))
+    import graft.operators.{BloomSketch, DecontamRegistry}
+    // shingleHashes hashes BEFORE the distinct, so the dedup and window
+    // exchanges carry 32-hex-char digests instead of arbitrary-length
+    // shingle strings — the same hash-first shuffle discipline
+    // decontaminate_ngram uses (md5 collisions merging two shingles are
+    // accepted Bloom semantics, and the oracle applies the identical
+    // distinct-on-md5). Probe and card shape are the SHARED
+    // BloomSketch.flagCard — also the DecontamRegistry serving path.
+    val sh = DecontamRegistry.shingleHashes(Tables(s, dir, "documents"))
     val benchBits = BloomSketch.maskRelation(
       sh.filter(col("doc_id") % BenchmarkMod === 0).select("h"), 64, bits)
-    sh.filter(col("doc_id") % BenchmarkMod =!= 0)
-      .withColumn("w1", expr("p1 DIV 64"))
-      .withColumn("w2", expr("p2 DIV 64"))
-      .join(broadcast(benchBits.select(col("word").as("w1"),
-        col("mask").as("mask1"))), Seq("w1"), "left")
-      .join(broadcast(benchBits.select(col("word").as("w2"),
-        col("mask").as("mask2"))), Seq("w2"), "left")
-      .filter(
-        expr("coalesce(shiftright(mask1, CAST(p1 % 64 AS INT)) & 1, 0L) = 1")
-          && expr("coalesce(shiftright(mask2, CAST(p2 % 64 AS INT)) & 1, 0L) = 1"))
-      .groupBy("doc_id")
-      .agg(max(col("n_shingles")).as("n_shingles"),
-        count(lit(1)).as("n_flagged"))
-      .withColumn("flagged_frac",
-        col("n_flagged").cast("double") / col("n_shingles"))
-      .select("doc_id", "n_shingles", "n_flagged", "flagged_frac")
+    BloomSketch.flagCard(
+        sh.filter(col("doc_id") % BenchmarkMod =!= 0), benchBits, bits)
       .orderBy("doc_id")
   }
+
+  /** Build-and-persist the decontamination registry once per testdata
+    * dir: the benchmark split registered as TWO registrations (doc_id
+    * parity within the split) — so the entry exercises the fold-of-
+    * registrations path, whose result is provably the single-shot Bloom
+    * (OR of masks = mask of the shingle-set union). */
+  private def ensureDecontamRegistry(s: SparkSession, dir: String): String =
+    graft.util.ArtifactCache.ensure(
+      java.nio.file.Paths.get(dir, "documents.parquet"),
+      "graft-decontamreg", "manifest-v2") { staging =>
+      val bench = Tables(s, dir, "documents")
+        .filter(col("doc_id") % BenchmarkMod === 0)
+      graft.operators.DecontamRegistry.register(s, staging,
+        bench.filter(expr(s"(doc_id DIV $BenchmarkMod) % 2 = 0")),
+        name = "bench-a")
+      graft.operators.DecontamRegistry.register(s, staging,
+        bench.filter(expr(s"(doc_id DIV $BenchmarkMod) % 2 = 1")),
+        name = "bench-b")
+      ()
+    }
 
   private val simhashFpSql =
     """words AS (
@@ -2182,6 +2197,11 @@ object Dedup {
 
     "decontaminate_bloom" ->
       bloomOracleSql(graft.operators.BloomSketch.DefaultBits),
+
+    // the registry folds registrations into the IDENTICAL bit set, so
+    // the single-shot oracle gates the incremental path verbatim
+    "decontaminate_registry" ->
+      bloomOracleSql(graft.operators.DecontamRegistry.DefaultBits),
 
     "split_leakage_audit" -> {
       def splitSql(idRef: String) = TextAnalysis.splitCaseSql(

@@ -57,7 +57,8 @@ object ScaleRehearsal {
     // round-14 session 2: incremental cross-drop dedup — state-evidence
     // scan + drop scan, both linear; the near-dup join is band-capped
     "dedup_incremental", "dedup_incremental_report",
-    "pipeline_intake_incremental", "dedup_incremental_semantic")
+    "pipeline_intake_incremental", "dedup_incremental_semantic",
+    "decontaminate_registry")
 
   /** `ScaleRehearsal sf10 [base] [out] [queries...]` — the 100× column:
     * a 100-copy database materialized for JUST the tables the audited

@@ -1,0 +1,70 @@
+package graft
+
+import graft.operators.{BloomSketch, DecontamRegistry}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Persisted decontamination registry: registrations fold into EXACTLY
+  * the single-shot Bloom (mask-of-union = OR-of-masks), names are
+  * idempotent, compaction preserves every probe answer, gc reclaims the
+  * folded-away deltas.
+  */
+class DecontamRegistrySpec extends AnyFunSuite {
+  private lazy val spark = SparkFixture.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  private def docs = graft.util.Tables(spark, dir, "documents")
+
+  private def tmp(): String =
+    java.nio.file.Files.createTempDirectory("graft-decreg").toString
+
+  test("N registrations answer exactly the single-shot Bloom") {
+    val reg = tmp()
+    val bench = docs.filter(col("doc_id") % 97 === 0)
+    DecontamRegistry.register(spark, reg,
+      bench.filter(expr("(doc_id DIV 97) % 2 = 0")), "a")
+    val h = DecontamRegistry.register(spark, reg,
+      bench.filter(expr("(doc_id DIV 97) % 2 = 1")), "b")
+    assert(h.names === Set("a", "b"))
+
+    val corpus = docs.filter(col("doc_id") % 97 =!= 0)
+    val incremental = DecontamRegistry.flag(spark, h, corpus)
+      .orderBy("doc_id").collect().toSeq
+    // single-shot: one Bloom over the WHOLE benchmark at the same bits
+    val sh = DecontamRegistry.shingleHashes(docs)
+    val oneShot = BloomSketch.flagCard(
+        sh.filter(col("doc_id") % 97 =!= 0),
+        BloomSketch.maskRelation(
+          sh.filter(col("doc_id") % 97 === 0).select("h"), 64, h.bits),
+        h.bits)
+      .orderBy("doc_id").collect().toSeq
+    assert(incremental === oneShot,
+      "OR of per-registration masks must BE the union's mask")
+    assert(incremental.nonEmpty, "the fixture must actually flag docs")
+  }
+
+  test("re-registering a name is a no-op; compact preserves answers; gc reclaims") {
+    val reg = tmp()
+    val bench = docs.filter(col("doc_id") % 97 === 0)
+    DecontamRegistry.register(spark, reg,
+      bench.filter(expr("(doc_id DIV 97) % 2 = 0")), "a")
+    val h2 = DecontamRegistry.register(spark, reg,
+      bench.filter(expr("(doc_id DIV 97) % 2 = 1")), "b")
+    val replayed = DecontamRegistry.register(spark, reg,
+      docs.limit(1), "a") // different content, SAME name: must not commit
+    assert(replayed.version === h2.version)
+
+    val corpus = docs.filter(col("doc_id") % 97 =!= 0)
+    val before = DecontamRegistry.flag(spark, h2, corpus)
+      .orderBy("doc_id").collect().toSeq
+    val hc = DecontamRegistry.compact(spark, reg)
+    assert(hc.st.refs.size === 1)
+    assert(hc.names === Set("a", "b"), "the name ledger survives the fold")
+    val after = DecontamRegistry.flag(spark, hc, corpus)
+      .orderBy("doc_id").collect().toSeq
+    assert(after === before)
+    assert(DecontamRegistry.gc(reg) === 2)
+    assert(DecontamRegistry.flag(spark, DecontamRegistry.load(reg), corpus)
+      .orderBy("doc_id").collect().toSeq === before)
+  }
+}
