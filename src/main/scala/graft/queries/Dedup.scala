@@ -741,6 +741,35 @@ object Dedup {
         .orderBy("lang")
     },
 
+    // The COMPLETE steady-state drop job: quality gate → incremental
+    // dedup admission (persisted DedupState) → registry decontamination
+    // (persisted DecontamRegistry — which flags BOTH contaminated docs
+    // and benchmark members themselves, since a benchmark doc trivially
+    // shares all its own shingles) → per-lang stats of what the drop
+    // actually contributes to the training corpus. pipeline_intake_e2e
+    // is day-0 curation; pipeline_intake_incremental is admission-only;
+    // THIS is the full recurring job, every stage served from persisted
+    // state, nothing rescanning admitted corpus or registered benchmarks.
+    "pipeline_drop_curate" -> { (s, dir) =>
+      val st = graft.operators.DedupState.load(ensureGatedDedupState(s, dir))
+      val admitted = graft.operators.DedupState
+        .verdicts(s, st, gatedDropDocs(s, dir, 1))
+        .filter(col("admitted"))
+        .select("doc_id")
+      val adDocs = Tables(s, dir, "documents").join(admitted, Seq("doc_id"))
+      val reg = graft.operators.DecontamRegistry
+        .load(ensureDecontamRegistry(s, dir))
+      val flagged = graft.operators.DecontamRegistry
+        .flag(s, reg, adDocs).select("doc_id")
+      adDocs.join(flagged, Seq("doc_id"), "left_anti")
+        .withColumn("n_words", size(split(col("text"), "\\s+")).cast("long"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_words")).as("total_words"),
+          sum(length(col("text")).cast("long")).as("total_chars"))
+        .orderBy("lang")
+    },
+
     // The FULL composed pretraining intake, end to end as ONE declarative
     // plan — the flagship composition every piece above exists for:
     // near-dup cluster keepers (minhash-LSH + connected components) →
@@ -1958,6 +1987,39 @@ object Dedup {
          |  CAST(sum(length(d.text)) AS BIGINT) AS total_chars
          |FROM documents d JOIN adm USING (doc_id)
          |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // admission (the incremental CTE chain) + the Bloom-registry flag
+    // (the bloomOracleSql derivation, reusing the chain's own `sh` CTE)
+    "pipeline_drop_curate" -> {
+      val hc = graft.operators.BloomSketch.hexChars(
+        graft.operators.DecontamRegistry.DefaultBits)
+      s"""WITH ${incrementalSqlCtes(qualityEligibleSql)},
+         |adm AS (SELECT doc_id FROM verdict2 WHERE admitted),
+         |t0 AS (SELECT DISTINCT doc_id, md5(unnest(sh)) AS hx FROM sh),
+         |pos AS (SELECT doc_id,
+         |  list_reduce(list_transform(range(1, ${hc + 1}),
+         |    i -> instr('0123456789abcdef', substr(hx, i, 1)) - 1),
+         |    (a, b) -> a*16 + b) AS p1,
+         |  list_reduce(list_transform(range(${hc + 1}, ${2 * hc + 1}),
+         |    i -> instr('0123456789abcdef', substr(hx, i, 1)) - 1),
+         |    (a, b) -> a*16 + b) AS p2
+         |  FROM t0),
+         |bbits AS (SELECT DISTINCT p FROM (
+         |  SELECT p1 AS p FROM pos WHERE doc_id % $BenchmarkMod = 0
+         |  UNION SELECT p2 FROM pos WHERE doc_id % $BenchmarkMod = 0)),
+         |flagged AS (SELECT DISTINCT pos.doc_id FROM pos
+         |  JOIN adm USING (doc_id)
+         |  JOIN bbits b1 ON pos.p1 = b1.p
+         |  JOIN bbits b2 ON pos.p2 = b2.p),
+         |clean AS (SELECT doc_id FROM adm
+         |  WHERE doc_id NOT IN (SELECT doc_id FROM flagged))
+         |SELECT d.lang, count(*) AS n_docs,
+         |  CAST(sum(len(string_split_regex(d.text, '\\s+'))) AS BIGINT)
+         |    AS total_words,
+         |  CAST(sum(length(d.text)) AS BIGINT) AS total_chars
+         |FROM documents d JOIN clean USING (doc_id)
+         |GROUP BY 1 ORDER BY 1""".stripMargin
+    },
 
     "dedup_incremental_report" ->
       s"""WITH ${incrementalSqlCtes()},

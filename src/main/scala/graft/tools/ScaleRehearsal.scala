@@ -58,7 +58,7 @@ object ScaleRehearsal {
     // scan + drop scan, both linear; the near-dup join is band-capped
     "dedup_incremental", "dedup_incremental_report",
     "pipeline_intake_incremental", "dedup_incremental_semantic",
-    "decontaminate_registry")
+    "decontaminate_registry", "pipeline_drop_curate")
 
   /** `ScaleRehearsal sf10 [base] [out] [queries...]` — the 100× column:
     * a 100-copy database materialized for JUST the tables the audited
