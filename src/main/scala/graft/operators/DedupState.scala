@@ -51,7 +51,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
   * an intake job that crashed AFTER commit but before its own bookkeeping
   * can simply re-run).
   *
-  * Admission semantics (all four verdicts are returned per document, so
+  * Admission semantics (all six verdicts are returned per document, so
   * the rejects are auditable, not just absent):
   *
   *  - `exact_dup_state`: content hash already admitted in ANY delta.
