@@ -409,6 +409,37 @@ object Main {
           s"manifest v${after.version}")
       }
 
+    // extension (no reference analog): persisted benchmark registry —
+    // register a benchmark's Bloom words; later drops decontaminate
+    // against everything registered so far (name-idempotent)
+    case Seq("register-benchmark", regDir, benchParquet, name) =>
+      val s = spark()
+      val before = graft.operators.DecontamRegistry.load(regDir)
+      if (before.names.contains(name)) {
+        println(s"already registered: $name")
+      } else {
+        val h = graft.operators.DecontamRegistry.register(
+          s, regDir, s.read.parquet(benchParquet), name)
+        println(s"registered '$name' " +
+          s"(${h.nShingles - before.nShingles} distinct shingles); " +
+          s"registry now ${h.names.size} benchmark(s), " +
+          s"manifest v${h.version}")
+      }
+
+    // flag a drop against the registry: per-doc contamination card
+    case Seq("decontaminate", regDir, dropParquet) =>
+      val s = spark()
+      val h = graft.operators.DecontamRegistry.load(regDir)
+      val card = graft.operators.DecontamRegistry
+        .flag(s, h, s.read.parquet(dropParquet))
+        .orderBy(org.apache.spark.sql.functions.col("doc_id"))
+        .collect()
+      card.foreach(r => println(
+        f"doc ${r.getLong(0)}%8d: ${r.getLong(2)}%5d/${r.getLong(1)}%-5d " +
+          f"shingles flagged (${r.getDouble(3) * 100}%.1f%%)"))
+      println(s"${card.length} document(s) flagged against " +
+        s"${h.names.size} registered benchmark(s)")
+
     // fold the state's accumulated deltas and reclaim superseded dirs
     case Seq("compact-state", stateDir) =>
       val s = spark()
@@ -463,6 +494,8 @@ object Main {
           "ingest-jsonl <jsonldir> <parquetdir>|" +
           "import-tokenizer <merges.txt> <vocab.json> <modeldir>|" +
           "admit <statedir> <dropparquet>|compact-state <statedir>|" +
+          "register-benchmark <regdir> <benchparquet> <name>|" +
+          "decontaminate <regdir> <dropparquet>|" +
           "import <nativefile> <dir>")
       sys.exit(2)
   }

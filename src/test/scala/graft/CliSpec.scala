@@ -246,6 +246,35 @@ class CliSpec extends AnyFunSuite {
     assert(graft.operators.DedupState.load(state).nDocs === 3L)
   }
 
+  test("register-benchmark + decontaminate drive the registry lifecycle") {
+    import spark.implicits._
+    val reg = Files.createTempDirectory("graftcli-reg").toString
+    val benchText = "alpha beta gamma delta epsilon zeta eta theta"
+    val bench = Files.createTempDirectory("graftcli-bench").toString
+    Seq((100L, benchText)).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(bench)
+    val drop = Files.createTempDirectory("graftcli-benchdrop").toString
+    Seq((1L, benchText + " extra tail tokens"), // shares bench shingles
+        (2L, "totally unrelated words with nothing shared at all"))
+      .toDF("doc_id", "text").write.mode("overwrite").parquet(drop)
+
+    def run(args: String*): String = {
+      val buf = new java.io.ByteArrayOutputStream()
+      Console.withOut(new java.io.PrintStream(buf)) {
+        graft.cli.Main.main(args.toArray)
+      }
+      buf.toString("UTF-8")
+    }
+    val p1 = run("register-benchmark", reg, bench, "evalset-1")
+    assert(p1.contains("registered 'evalset-1'"), p1)
+    val p2 = run("register-benchmark", reg, bench, "evalset-1")
+    assert(p2.contains("already registered"), p2)
+    val p3 = run("decontaminate", reg, drop)
+    assert(p3.contains("doc        1"), p3)
+    assert(!p3.contains("doc        2"), "clean doc must not flag: " + p3)
+    assert(p3.contains("1 document(s) flagged against 1 registered"), p3)
+  }
+
   test("scan counts a watch-list over command-line text, overlaps included") {
     val out = new java.io.ByteArrayOutputStream()
     Console.withOut(new java.io.PrintStream(out)) {
