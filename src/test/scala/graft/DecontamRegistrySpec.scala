@@ -67,4 +67,49 @@ class DecontamRegistrySpec extends AnyFunSuite {
     assert(DecontamRegistry.flag(spark, DecontamRegistry.load(reg), corpus)
       .orderBy("doc_id").collect().toSeq === before)
   }
+
+  test("decontaminateRegistryStream: a benchmark registered MID-STREAM gates the next micro-batch") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val reg = tmp()
+    val ckpt = tmp()
+    val benchA = "alpha beta gamma delta epsilon zeta eta theta"
+    val benchB = "one two three four five six seven eight nine"
+    DecontamRegistry.register(spark, reg,
+      Seq((100L, benchA)).toDF("doc_id", "text"), "eval-a")
+
+    val seen = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    val mem = MemoryStream[(Long, String)]
+    val q = graft.streaming.StreamOps.decontaminateRegistryStream(
+      mem.toDF().toDF("doc_id", "text"), "doc_id", "text", reg, ckpt) {
+      clean => clean.collect().foreach(r => seen.add(r.getLong(0)))
+    }
+    try {
+      mem.addData(
+        (1L, benchA + " with a tail"), // contaminated by eval-a → dropped
+        (2L, benchB + " with a tail"), // eval-b not registered YET → clean
+        (3L, "totally unrelated novel words nothing shared"))
+      q.processAllAvailable()
+      assert(seen.asScala().toSet === Set(2L, 3L))
+
+      // register eval-b MID-STREAM: the very next micro-batch gates on it
+      DecontamRegistry.register(spark, reg,
+        Seq((200L, benchB)).toDF("doc_id", "text"), "eval-b")
+      mem.addData(
+        (4L, benchB + " with a tail"), // NOW contaminated → dropped
+        (5L, "still perfectly clean and unrelated tokens"))
+      q.processAllAvailable()
+      assert(seen.asScala().toSet === Set(2L, 3L, 5L),
+        "doc 4 must be gated by the mid-stream registration")
+    } finally q.stop()
+  }
+
+  private implicit class QAsScala[A](
+      q: java.util.concurrent.ConcurrentLinkedQueue[A]) {
+    def asScala(): Seq[A] = {
+      import scala.jdk.CollectionConverters._
+      q.iterator().asScala.toSeq
+    }
+  }
 }
