@@ -392,7 +392,15 @@ object Main {
       } else {
         import org.apache.spark.sql.functions.{col, count, lit, when}
         val batch = s.read.parquet(dropDir).select("doc_id", "text")
-        val v = graft.operators.DedupState.verdicts(s, before, batch)
+        val after =
+          graft.operators.DedupState.admit(s, stateDir, batch, fp)
+        // accounting from the NEW delta's persisted audit card — the
+        // admission DAG ran exactly ONCE (inside admit); the card is that
+        // run's own record, so the printed counts can never disagree with
+        // what was admitted
+        val newDelta = (after.deltas.map(_.name).toSet --
+          before.deltas.map(_.name).toSet).head
+        val v = s.read.parquet(s"$stateDir/$newDelta/card")
           .groupBy()
           .agg(count(lit(1)).as("n"),
             count(when(col("exact_dup_state"), true)).as("xs"),
@@ -400,8 +408,6 @@ object Main {
             count(when(col("near_dup_state"), true)).as("ns"),
             count(when(col("near_dup_batch"), true)).as("nb"))
           .collect().head
-        val after =
-          graft.operators.DedupState.admit(s, stateDir, batch, fp)
         println(s"admitted ${after.nDocs - before.nDocs} of ${v.getLong(0)} " +
           s"(exact_dup_state=${v.getLong(1)} exact_dup_batch=${v.getLong(2)} " +
           s"near_dup_state=${v.getLong(3)} near_dup_batch=${v.getLong(4)}); " +

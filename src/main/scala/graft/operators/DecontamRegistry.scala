@@ -8,7 +8,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * Benchmarks publish over time: a production intake decontaminates
   * every drop against the registry of ALL benchmarks registered so far,
   * without re-shingling old benchmarks and without redeploying when a
-  * new one lands. Each registration stores only the benchmark's Bloom
+  * new one lands. Each [[register]] stores only the benchmark's Bloom
   * words — [[BloomSketch]] masks of its distinct shingle hashes — as one
   * immutable delta under a [[DeltaManifest]]-committed manifest
   * (`graft-decontam-registry-v1 bits=<n>`). Registrations are
@@ -19,14 +19,30 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * a single-shot Bloom over the concatenated benchmarks answers (the
   * property the oracle-gated entry pins).
   *
+  * SEMANTIC registrations (round 15): a benchmark can also publish its
+  * EMBEDDINGS — [[registerEmbeddings]] persists (b_id, bv, bn) rows as a
+  * `vecs/` delta leaf under the same manifest/ledger discipline — and
+  * [[flagSemantic]] serves the paraphrase-leakage check (exact cosine ≥
+  * τ against every registered vector) that the shingle tier structurally
+  * cannot see: a benchmark item REWRITTEN into a crawl drop shares no
+  * 3-grams with the registered original but sits next to it in embedding
+  * space. A delta carries a `words/` leaf, a `vecs/` leaf, or (after
+  * [[compact]]) both; each probe path reads only the leaves of its kind.
+  *
   * Scale shape: a registration is one pass over the benchmark (KB-GB
-  * scale, shingle → md5 → distinct → ≤ bits/64 mask rows); a [[flag]]
-  * probe folds all deltas into ONE broadcastable (word, mask) relation
-  * and runs the shared [[BloomSketch.flagCard]] over the corpus drop —
-  * corpus-linear, two broadcast lookups per shingle, nothing rescans a
-  * registered benchmark ever again. False positives are the Bloom
-  * contract (sized by `bits`, ~1% at 10^4 shingles per 2^20 bits) and
-  * are REPRODUCED by the oracle, so the gate stays exact.
+  * scale, shingle → md5 → distinct → ≤ bits/64 mask rows; embeddings →
+  * norm projection); a [[flag]] probe folds all word deltas into ONE
+  * broadcastable (word, mask) relation and runs the shared
+  * [[BloomSketch.flagCard]] over the corpus drop — corpus-linear, two
+  * broadcast lookups per shingle, nothing rescans a registered benchmark
+  * ever again. A [[flagSemantic]] probe broadcasts the registered
+  * vectors (benchmark suites are SMALL by contract — the
+  * decontaminateSemantic posture; corpus-scale "benchmarks" belong on
+  * the ANN index paths) and makes ONE corpus scan with the τ filter
+  * before the aggregate, so the shuffle carries only the rare hits.
+  * False positives are the Bloom contract (sized by `bits`, ~1% at 10^4
+  * shingles per 2^20 bits) and are REPRODUCED by the oracle, so the gate
+  * stays exact; the semantic tier has no FPs at all (exact cosine).
   */
 object DecontamRegistry {
 

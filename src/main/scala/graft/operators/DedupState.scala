@@ -11,10 +11,11 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
   * and each drop must be deduplicated against EVERYTHING already admitted
   * without rescanning (or re-shingling) the admitted corpus. This operator
   * persists exactly the per-document evidence the dedup family needs —
-  * the exact tier's content hash and the near-dup tier's MinHash
-  * signature — as an append-only sequence of immutable delta directories
-  * under one state root, and answers "which of these new documents are
-  * novel?" with joins against that state.
+  * the exact tier's content hash, the near-dup tier's MinHash signature,
+  * the semantic tier's embedding, and the span tier's chunk hashes — as
+  * an append-only sequence of immutable delta directories under one state
+  * root, and answers "which of these new documents are novel?" with joins
+  * against that state.
   *
   * Layout under `dir`:
   * {{{
@@ -32,14 +33,49 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
   *                          buy no I/O and cost a second write pass
   *   delta-<uuid>/bloom/    parquet: word, mask — Bloom of the delta's
   *                          hashes ([[BloomSketch]], 64-bit words)
+  *   delta-<uuid>/bands/    parquet: doc_id, mins, band, bkey — the
+  *                          delta's CAPPED lexical band rows
+  *                          ([[MinHashLsh.cappedBandsOf]] over the
+  *                          delta's admitted signatures), written ONCE at
+  *                          admit so verdicts read pre-banded evidence
+  *                          instead of re-windowing the state every drop
+  *   delta-<uuid>/ebands/   parquet: doc_id, v, nrm, b, bkey — the
+  *                          semantic twin ([[RhpLsh.cappedBandsOf]];
+  *                          vectors and norms RIDE the band rows so
+  *                          verification needs no re-attach join, at the
+  *                          priced cost of [[RhpLsh.Bands]]× embedding
+  *                          duplication in this leaf)
+  *   delta-<uuid>/spans/    parquet: chunk_hash — DISTINCT
+  *                          [[SpanTokens]]-token chunk hashes of the
+  *                          delta's admitted documents (the
+  *                          dedup_span_exact grid): the cross-drop
+  *                          repeated-span evidence, persisted because
+  *                          the state never stores admitted TEXT
+  *   delta-<uuid>/spanbloom/ parquet: word, mask — Bloom of the delta's
+  *                          span chunk hashes (broadcast prefilter for
+  *                          the span tier, same shape as `bloom/`)
+  *   delta-<uuid>/card/     parquet: the admission AUDIT card — one row
+  *                          per batch document (admitted AND rejected)
+  *                          with the verdict flags, so "why did this doc
+  *                          go" is answerable forever without re-running
+  *                          the admission
   * }}}
+  *
+  * Pre-round-15 deltas lack the `bands`/`ebands`/`spans`/`card` leaves:
+  * band rows are DERIVED on read for such legacy deltas (same per-delta
+  * cap semantics — one window per legacy delta, paid only until a
+  * [[compact]] materializes them), the audit card reads empty, and span
+  * evidence is structurally absent (the text needed to derive it was
+  * never persisted — a legacy delta's documents are invisible to
+  * [[spanVerdicts]]' state tier, documented here rather than silently
+  * approximated).
   *
   * Crash safety is the [[VersionedArtifact]] discipline: a delta is staged
   * under `staging-<uuid>`, renamed whole, and becomes LIVE only when the
-  * next manifest (written to a temp name, then atomically renamed)
-  * references it — a crash at any point leaves the previous manifest
-  * intact and at worst an unreferenced directory, reclaimed by [[gc]].
-  * Writers (admit/compact/gc) are single-writer by contract — the
+  * next manifest (published with link(2) semantics — EEXIST on a lost
+  * race) references it — a crash at any point leaves the previous
+  * manifest intact and at worst an unreferenced directory, reclaimed by
+  * [[gc]]. Writers (admit/compact/gc) are single-writer by contract — the
   * deployment story is one intake job per state root, serialized by the
   * scheduler; a lost cross-process manifest race surfaces loudly as
   * EEXIST rather than silently dropping a delta. Readers only ever see
@@ -76,6 +112,25 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
   *    definition, no exact dup of any earlier delta or batch sibling) —
   *    so state reads never need a distinct.
   *
+  * The SPAN tier ([[spanVerdicts]]) is ADVISORY, not an admission gate:
+  * sharing one boilerplate chunk with an admitted document is a signal
+  * for span SCRUBBING (the pipeline_span_scrub treatment — cut the
+  * repeated passage, keep the document), not for dropping the document,
+  * so `span_dup_state`/`span_dup_batch` ride a separate verdict card and
+  * never fold into `admitted`.
+  *
+  * Band-cap semantics (round 15): state band rows are capped WITHIN THE
+  * DELTA they were admitted in — the cap is computed once at admit time
+  * over the delta's own rows and persisted, and neither later admits nor
+  * [[compact]] re-cap the union (compact concatenates band rows
+  * verbatim, so compaction can never change a verdict). A band key that
+  * stays under the cap in every delta can therefore exceed it across the
+  * state; the per-admit join fanout is bounded by
+  * [[MinHashLsh.MaxBandBucket]] × live deltas, which [[compact]]'s
+  * cadence keeps small. The batch side's cap stays live (computed within
+  * each arriving batch). For a SINGLE-delta state the two semantics
+  * coincide exactly, which is what keeps the two-drop oracles unchanged.
+  *
   * Scale shape of one admit at 100 TB state / TB-scale batch:
   *
   *  - Exact tier: the state's per-delta Bloom side-files fold into ONE
@@ -86,12 +141,16 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
   *    only against that residue. Bloom false positives only ENLARGE the
   *    candidate set; the semi-join decides, so results are exactly the
   *    no-Bloom results.
-  *  - Near-dup tier: state signatures are scanned once per admit (one
-  *    narrow column), banded map-side, capped, and joined on 8-byte
-  *    (band, bkey) keys against the batch's bands — linear in state size
-  *    with a bounded-fanout join, the honest cost of cross-drop near-dup
-  *    detection. Caps are computed within-state and within-batch
-  *    respectively, so one boilerplate band key can't go quadratic.
+  *  - Near-dup tier: state band rows are read PRE-BANDED and PRE-CAPPED
+  *    from the per-delta `bands/` leaves — one narrow columnar scan, no
+  *    window, no shuffle of state rows — and joined on 8-byte
+  *    (band, bkey) keys against the batch's (live-capped) bands; the
+  *    signatures ride both sides so verification re-attaches nothing.
+  *    Banding work is paid once per document ever, at its admit.
+  *  - Semantic tier: same pre-banded shape over `ebands/`.
+  *  - Span tier: per-delta span Blooms fold into one broadcast relation;
+  *    only Bloom-positive batch chunks (true repeats + FP fraction)
+  *    reach the deciding semi-join against state chunk hashes.
   *  - Deltas stay drop-sized; [[compact]] folds them into one when small
   *    files accumulate, preserving content exactly.
   */
@@ -103,7 +162,29 @@ object DedupState {
     * row in the verification semi-join, never a verdict. */
   val DefaultBloomBits: Long = BloomSketch.DefaultBits
 
+  /** Tokens per span chunk — the dedup_span_exact grid, shared so the
+    * state's span tier and the batch span family agree on what a span
+    * IS. */
+  val SpanTokens: Int = graft.queries.Dedup.SpanTokens
+
   private val Magic = "graft-dedup-state-v1"
+
+  private val RowsSchema =
+    "doc_id bigint, content_hash string, mins array<bigint>, " +
+      "emb array<double>"
+  private val BandsSchema =
+    "doc_id bigint, mins array<bigint>, band int, bkey bigint"
+  private val EbandsSchema =
+    "doc_id bigint, v array<double>, nrm double, b int, bkey bigint"
+  private val SpansSchema = "chunk_hash string"
+  private val FlagsSchema =
+    "exact_dup_state boolean, exact_dup_batch boolean, " +
+      "near_dup_state boolean, near_dup_batch boolean, " +
+      "sem_dup_state boolean, sem_dup_batch boolean, admitted boolean"
+  private val CardSchema =
+    "doc_id bigint, exact_dup_state boolean, exact_dup_batch boolean, " +
+      "near_dup_state boolean, near_dup_batch boolean, " +
+      "sem_dup_state boolean, sem_dup_batch boolean, admitted boolean"
 
   /** One live delta: its directory name, the fingerprint ledger of the
     * admits it holds (singleton until [[compact]] merges deltas — the
@@ -134,6 +215,23 @@ object DedupState {
       st.refs.map(r => DeltaRef(r.name, r.ledger, r.n)))
   }
 
+  /** (doc_id, chunk_hash) per [[SpanTokens]]-aligned chunk of a
+    * (doc_id, text, ...) relation — the dedup_span_exact chunk grid
+    * (md5 over the space-joined token slice), factored here so the batch
+    * span family and the state's span tier can never drift on what a
+    * span is. Null-text and short docs yield no chunks. */
+  def chunksOf(docs: DataFrame): DataFrame =
+    docs.filter(col("text").isNotNull)
+      .select(col("doc_id"), split(col("text"), "\\s+").as("toks"))
+      .filter(size(col("toks")) >= SpanTokens)
+      .select(col("doc_id"), col("toks"),
+        explode(sequence(lit(0),
+          expr(s"size(toks) DIV $SpanTokens") - 1)).as("ci"))
+      .select(col("doc_id"),
+        md5(concat_ws(" ",
+          slice(col("toks"), col("ci") * SpanTokens + 1, lit(SpanTokens))))
+          .as("chunk_hash"))
+
   /** All admitted rows `(doc_id, content_hash, mins, emb)`. Non-null
     * content hashes are globally distinct by the admitted-only invariant;
     * null-text admitted documents carry null hash/mins (no content ⇒ no
@@ -141,9 +239,7 @@ object DedupState {
     * (no semantic evidence). Parquet projection means callers touching
     * one column pay for one. */
   def rows(s: SparkSession, h: Handle): DataFrame =
-    unionDeltas(s, h, "rows",
-      "doc_id bigint, content_hash string, mins array<bigint>, " +
-        "emb array<double>")
+    readLeaf(s, h, h.deltas, "rows", RowsSchema)
 
   /** All admitted content hashes (one 32-hex-char column). */
   def hashes(s: SparkSession, h: Handle): DataFrame =
@@ -154,10 +250,55 @@ object DedupState {
   def sigs(s: SparkSession, h: Handle): DataFrame =
     rows(s, h).filter(col("mins").isNotNull).select("doc_id", "mins")
 
-  private def unionDeltas(
-      s: SparkSession, h: Handle, leaf: String, schema: String)
-      : DataFrame = {
-    val paths = h.deltas.map(d => s"${h.dir}/${d.name}/$leaf")
+  /** The state's PRE-BANDED lexical evidence `(doc_id, mins, band,
+    * bkey)` — per-delta capped band rows, read from each delta's
+    * `bands/` leaf (derived live, same per-delta semantics, for legacy
+    * deltas that predate the leaf). This is what admission joins
+    * against: no window, no shuffle of state rows. */
+  def bands(s: SparkSession, h: Handle): DataFrame = {
+    val (have, legacy) = h.deltas.partition(leafExists(h, _, "bands"))
+    legacy.foldLeft(readLeaf(s, h, have, "bands", BandsSchema))((acc, d) =>
+      acc.unionByName(MinHashLsh.cappedBandsOf(
+        readLeaf(s, h, Seq(d), "rows", RowsSchema)
+          .filter(col("mins").isNotNull).select("doc_id", "mins"))))
+  }
+
+  /** The semantic twin of [[bands]]: `(doc_id, v, nrm, b, bkey)` from
+    * the per-delta `ebands/` leaves. */
+  def ebands(s: SparkSession, h: Handle): DataFrame = {
+    val (have, legacy) = h.deltas.partition(leafExists(h, _, "ebands"))
+    legacy.foldLeft(readLeaf(s, h, have, "ebands", EbandsSchema))((acc, d) =>
+      acc.unionByName(RhpLsh.cappedBandsOf(RhpLsh.withSig(
+        readLeaf(s, h, Seq(d), "rows", RowsSchema)
+          .filter(col("emb").isNotNull)
+          .select(col("doc_id"), col("emb").as("v"))))
+        .select("doc_id", "v", "nrm", "b", "bkey")))
+  }
+
+  /** All admitted documents' span chunk hashes (distinct within each
+    * delta; a chunk admitted twice across deltas appears twice — only
+    * membership matters to the span tier). Legacy deltas contribute
+    * nothing (see class doc). */
+  def spans(s: SparkSession, h: Handle): DataFrame =
+    readLeaf(s, h, h.deltas.filter(leafExists(h, _, "spans")),
+      "spans", SpansSchema)
+
+  /** The admission AUDIT card across every delta: one row per document
+    * ever offered to [[admit]] (admitted and rejected) with its verdict
+    * flags — the durable "why did/should this document go" record.
+    * Legacy deltas (no `card/` leaf) contribute nothing. */
+  def card(s: SparkSession, h: Handle): DataFrame =
+    readLeaf(s, h, h.deltas.filter(leafExists(h, _, "card")),
+      "card", CardSchema)
+
+  private def leafExists(h: Handle, d: DeltaRef, leaf: String): Boolean =
+    java.nio.file.Files.isDirectory(
+      java.nio.file.Paths.get(h.dir, d.name, leaf))
+
+  private def readLeaf(
+      s: SparkSession, h: Handle, deltas: Seq[DeltaRef],
+      leaf: String, schema: String): DataFrame = {
+    val paths = deltas.map(d => s"${h.dir}/${d.name}/$leaf")
     if (paths.isEmpty)
       s.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
         org.apache.spark.sql.types.StructType.fromDDL(schema))
@@ -169,12 +310,33 @@ object DedupState {
       .parquet(paths: _*)
   }
 
-  /** The state's folded Bloom relation `(word, mask)` — per-delta filters
+  /** A leaf's folded Bloom relation `(word, mask)` — per-delta filters
     * OR-folded; ≤ bits/64 rows, broadcastable. */
-  private def bloomWords(s: SparkSession, h: Handle): DataFrame = {
-    val perDelta = unionDeltas(s, h, "bloom", "word bigint, mask bigint")
-    perDelta.groupBy("word").agg(expr("bit_or(mask)").as("mask"))
-  }
+  private def foldedBloom(
+      s: SparkSession, h: Handle, leaf: String): DataFrame =
+    readLeaf(s, h, h.deltas.filter(leafExists(h, _, leaf)), leaf,
+      "word bigint, mask bigint")
+      .groupBy("word").agg(expr("bit_or(mask)").as("mask"))
+
+  /** Adds `bloom_hit` to `df`: both Bloom positions of md5-hex `keyCol`
+    * set in the folded `bloom` relation (broadcast twice — one lookup
+    * per position). Null keys are never hits. */
+  private def bloomProbe(
+      df: DataFrame, keyCol: String, bloom: DataFrame,
+      bits: Long): DataFrame =
+    df.withColumn("p1", BloomSketch.pos1(col(keyCol), bits))
+      .withColumn("p2", BloomSketch.pos2(col(keyCol), bits))
+      .withColumn("w1", expr("p1 DIV 64"))
+      .withColumn("w2", expr("p2 DIV 64"))
+      .join(broadcast(bloom.select(col("word").as("w1"),
+        col("mask").as("mask1"))), Seq("w1"), "left")
+      .join(broadcast(bloom.select(col("word").as("w2"),
+        col("mask").as("mask2"))), Seq("w2"), "left")
+      .withColumn("bloom_hit",
+        expr("coalesce(shiftright(mask1, CAST(p1 % 64 AS INT)) & 1, 0L) = 1")
+          && expr(
+          "coalesce(shiftright(mask2, CAST(p2 % 64 AS INT)) & 1, 0L) = 1"))
+      .drop("p1", "p2", "w1", "w2", "mask1", "mask2")
 
   /** Read-only admission verdicts for a batch `(doc_id, text[, emb])`
     * against the state: one row per batch document with the six dup
@@ -210,21 +372,9 @@ object DedupState {
 
     // Vs state: Bloom prefilter (broadcast ≤16 K rows), then the deciding
     // semi-join against state hashes for the Bloom-positive residue only.
-    val bloom = bloomWords(s, h)
-    val probed = withBatchExact
-      .withColumn("p1", BloomSketch.pos1(col("content_hash"), h.bloomBits))
-      .withColumn("p2", BloomSketch.pos2(col("content_hash"), h.bloomBits))
-      .withColumn("w1", expr("p1 DIV 64"))
-      .withColumn("w2", expr("p2 DIV 64"))
-      .join(broadcast(bloom.select(col("word").as("w1"),
-        col("mask").as("mask1"))), Seq("w1"), "left")
-      .join(broadcast(bloom.select(col("word").as("w2"),
-        col("mask").as("mask2"))), Seq("w2"), "left")
-      .withColumn("bloom_hit",
-        expr("coalesce(shiftright(mask1, CAST(p1 % 64 AS INT)) & 1, 0L) = 1")
-          && expr(
-          "coalesce(shiftright(mask2, CAST(p2 % 64 AS INT)) & 1, 0L) = 1"))
-      .drop("p1", "p2", "w1", "w2", "mask1", "mask2")
+    val probed =
+      bloomProbe(withBatchExact, "content_hash",
+        foldedBloom(s, h, "bloom"), h.bloomBits)
     val stateHit = probed.filter(col("bloom_hit"))
       .select("doc_id", "content_hash")
       .join(hashes(s, h), Seq("content_hash"), "left_semi")
@@ -236,10 +386,11 @@ object DedupState {
     val nearBatch = MinHashLsh.pairsFromSigs(batchSigs)
       .select(col("doc_b").as("doc_id")).distinct()
       .withColumn("near_dup_batch", lit(true))
-    // Vs state: capped batch bands ⋈ capped state bands, verified by the
-    // signatures riding both sides.
+    // Vs state: capped batch bands ⋈ the state's PERSISTED (pre-banded,
+    // per-delta-capped) band rows, verified by the signatures riding
+    // both sides — no window touches a state row here.
     val sb = MinHashLsh.cappedBandsOf(batchSigs)
-    val ss = MinHashLsh.cappedBandsOf(sigs(s, h))
+    val ss = bands(s, h)
       .select(col("doc_id").as("sid"), col("mins").as("smins"),
         col("band"), col("bkey"))
     val nearState = sb.join(ss, Seq("band", "bkey"))
@@ -264,9 +415,7 @@ object DedupState {
           .select(col("doc_b").as("doc_id")).distinct()
           .withColumn("sem_dup_batch", lit(true))
         val eb = RhpLsh.cappedBandsOf(RhpLsh.withSig(batchEmb))
-        val es = RhpLsh.cappedBandsOf(RhpLsh.withSig(
-            rows(s, h).filter(col("emb").isNotNull)
-              .select(col("doc_id"), col("emb").as("v"))))
+        val es = ebands(s, h)
           .select(col("doc_id").as("sid"), col("v").as("sv"),
             col("nrm").as("snrm"), col("b"), col("bkey"))
         val semState = eb.join(es, Seq("b", "bkey"))
@@ -304,11 +453,66 @@ object DedupState {
         col("sem_dup_state"), col("sem_dup_batch"), col("admitted"))
   }
 
+  /** The ADVISORY span-tier verdict card for a batch `(doc_id, text,
+    * ...)` against the state: one row per batch document —
+    * `(doc_id, n_chunks, n_state_dup_chunks, n_batch_dup_chunks,
+    * span_dup_state, span_dup_batch)` where
+    *
+    *  - `n_chunks` counts the doc's [[SpanTokens]]-chunk occurrences
+    *    (0 for null/short texts — no content, no evidence);
+    *  - `n_state_dup_chunks` counts its DISTINCT chunk hashes already
+    *    admitted in any delta (cross-drop repeated spans — the Lee et
+    *    al. 2022 ExactSubstr signal made incremental);
+    *  - `n_batch_dup_chunks` counts its distinct chunk hashes occurring
+    *    more than once across THIS batch (including within one doc —
+    *    the dedup_span_exact "more than once" criterion);
+    *  - the booleans are the nonzero tests.
+    *
+    * Advisory by design: a flagged doc is a span-SCRUB candidate, never
+    * an admission reject (see class doc). Scale shape: batch chunks are
+    * Bloom-prefiltered against the folded per-delta span Blooms
+    * (broadcast), and only positive chunks reach the deciding semi-join
+    * against state chunk hashes — FPs enlarge the candidate set, never a
+    * verdict; the within-batch count is one chunk-hash window over the
+    * batch's own chunks. */
+  def spanVerdicts(s: SparkSession, h: Handle, batch: DataFrame): DataFrame = {
+    val ids = batch.select(col("doc_id"))
+    val ch = chunksOf(batch.select(col("doc_id"), col("text")))
+    // within-batch occurrence counts (the dedup_span_exact criterion)
+    val wch = Window.partitionBy(col("chunk_hash"))
+    val withOcc = ch.withColumn("occ", count(lit(1)).over(wch))
+    // vs state: Bloom prefilter, then the deciding exact semi-join
+    val probed = bloomProbe(withOcc, "chunk_hash",
+      foldedBloom(s, h, "spanbloom"), h.bloomBits)
+    val stateDup = probed.filter(col("bloom_hit"))
+      .select("doc_id", "chunk_hash").distinct()
+      .join(spans(s, h), Seq("chunk_hash"), "left_semi")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_state_dup_chunks"))
+    val perDoc = probed
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_chunks"),
+        count_distinct(when(col("occ") > 1, col("chunk_hash")))
+          .as("n_batch_dup_chunks"))
+    ids
+      .join(perDoc, Seq("doc_id"), "left")
+      .join(stateDup, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_chunks"), lit(0L)).as("n_chunks"),
+        coalesce(col("n_state_dup_chunks"), lit(0L))
+          .as("n_state_dup_chunks"),
+        coalesce(col("n_batch_dup_chunks"), lit(0L))
+          .as("n_batch_dup_chunks"))
+      .withColumn("span_dup_state", col("n_state_dup_chunks") > 0)
+      .withColumn("span_dup_batch", col("n_batch_dup_chunks") > 0)
+  }
+
   /** Admit a batch: compute verdicts against the current state, persist
-    * the admitted documents' evidence as a new delta, and commit the next
-    * manifest. Returns the post-admit handle. Re-admitting a fingerprint
-    * already in the manifest is a no-op returning the current handle
-    * (idempotent replay). */
+    * the admitted documents' evidence (rows, Bloom, pre-capped band rows,
+    * span chunks) plus the full-batch audit card as a new delta, and
+    * commit the next manifest. Returns the post-admit handle.
+    * Re-admitting a fingerprint already in the manifest is a no-op
+    * returning the current handle (idempotent replay). */
   def admit(
       s: SparkSession, dir: String, batch: DataFrame,
       fingerprint: String): Handle = synchronized {
@@ -318,19 +522,55 @@ object DedupState {
 
     val staging = DeltaManifest.stagingPath(dir)
     val st = staging.toString
-    // ONE computation of the verdict DAG materializes rows/; the Bloom and
-    // the row count derive from the STAGED parquet, so the delta's two
-    // artifacts can never disagree.
-    verdictsFull(s, h, batch)
-      .filter(col("admitted"))
+    // ONE computation of the verdict DAG materializes the full card
+    // (evidence + flags, admitted AND rejected); every delta artifact —
+    // rows, Bloom, bands, spans, audit card, the row count — derives
+    // from STAGED parquet, so no two artifacts can ever disagree.
+    verdictsFull(s, h, batch).write.parquet(s"$st/vf")
+    // explicit schemas on every staged read-back: an all-rejected (or
+    // empty) batch writes data-less parquet dirs, where inference fails
+    val vf = s.read.schema(org.apache.spark.sql.types.StructType.fromDDL(
+      s"$RowsSchema, $FlagsSchema")).parquet(s"$st/vf")
+    vf.filter(col("admitted"))
       .select("doc_id", "content_hash", "mins", "emb")
       .write.parquet(s"$st/rows")
-    val staged = s.read.parquet(s"$st/rows")
+    val staged = s.read.schema(org.apache.spark.sql.types.StructType
+      .fromDDL(RowsSchema)).parquet(s"$st/rows")
     BloomSketch.maskRelation(
       staged.filter(col("content_hash").isNotNull).select("content_hash"),
       wordBits = 64, bits = h.bloomBits)
       .write.parquet(s"$st/bloom")
+    // pre-banded evidence, capped WITHIN this delta (write-once — later
+    // verdicts read it instead of re-windowing state band rows)
+    MinHashLsh.cappedBandsOf(
+      staged.filter(col("mins").isNotNull).select("doc_id", "mins"))
+      .write.parquet(s"$st/bands")
+    RhpLsh.cappedBandsOf(RhpLsh.withSig(
+      staged.filter(col("emb").isNotNull)
+        .select(col("doc_id"), col("emb").as("v"))))
+      .select("doc_id", "v", "nrm", "b", "bkey")
+      .write.parquet(s"$st/ebands")
+    // span evidence needs the batch TEXT (never persisted in rows/):
+    // derived here once, for admitted docs only
+    val spanHashes = chunksOf(
+      batch.select(col("doc_id"), col("text"))
+        .join(staged.select("doc_id"), Seq("doc_id"), "left_semi"))
+      .select("chunk_hash").distinct()
+    spanHashes.write.parquet(s"$st/spans")
+    BloomSketch.maskRelation(
+      s.read.schema(org.apache.spark.sql.types.StructType
+        .fromDDL(SpansSchema)).parquet(s"$st/spans"),
+      wordBits = 64, bits = h.bloomBits)
+      .write.parquet(s"$st/spanbloom")
+    // the durable admission audit card (flags only; evidence is rows/)
+    vf.select("doc_id", "exact_dup_state", "exact_dup_batch",
+      "near_dup_state", "near_dup_batch", "sem_dup_state",
+      "sem_dup_batch", "admitted")
+      .write.parquet(s"$st/card")
     val n = staged.count()
+    // the staged full card was scratch (its flag projection lives on as
+    // card/; its evidence as rows/) — not a delta artifact
+    graft.storage.ParquetLogBackend.deleteRecursively(staging.resolve("vf"))
 
     val deltaName = DeltaManifest.promote(staging)
     DeltaManifest.commit(dir, Magic, s"bits=${h.bloomBits}", h.version + 1,
@@ -339,12 +579,17 @@ object DedupState {
     load(dir)
   }
 
-  /** Fold every live delta's rows into one (with a re-derived Bloom at
-    * the manifest's capacity) and commit a manifest referencing only it.
+  /** Fold every live delta's artifacts into one and commit a manifest
+    * referencing only it. Rows concatenate (with a re-derived Bloom at
+    * the manifest's capacity); band rows, span hashes, and audit cards
+    * concatenate VERBATIM — no re-cap, no re-derivation — so a verdict
+    * against the compacted state is bit-identical to one against the
+    * uncompacted state (legacy deltas' derived band rows materialize
+    * here, upgrading old states to the pre-banded read path).
     * Content-preserving by construction; old deltas stay on disk until
-    * [[gc]]. The fingerprint LEDGER survives -- the compacted ref carries
-    * every ancestor fingerprint joined with [[FpSep]], so idempotent
-    * replay keeps recognizing every admitted batch. */
+    * [[gc]]. The fingerprint LEDGER survives — the compacted ref carries
+    * every ancestor fingerprint joined with [[DeltaManifest.FpSep]], so
+    * idempotent replay keeps recognizing every admitted batch. */
   def compact(s: SparkSession, dir: String): Handle = synchronized {
     val h = load(dir)
     if (h.deltas.size <= 1) return h
@@ -352,10 +597,20 @@ object DedupState {
     val st = staging.toString
     rows(s, h).write.parquet(s"$st/rows")
     BloomSketch.maskRelation(
-      s.read.parquet(s"$st/rows")
+      s.read.schema(org.apache.spark.sql.types.StructType
+        .fromDDL(RowsSchema)).parquet(s"$st/rows")
         .filter(col("content_hash").isNotNull).select("content_hash"),
       wordBits = 64, bits = h.bloomBits)
       .write.parquet(s"$st/bloom")
+    bands(s, h).write.parquet(s"$st/bands")
+    ebands(s, h).write.parquet(s"$st/ebands")
+    spans(s, h).write.parquet(s"$st/spans")
+    BloomSketch.maskRelation(
+      s.read.schema(org.apache.spark.sql.types.StructType
+        .fromDDL(SpansSchema)).parquet(s"$st/spans"),
+      wordBits = 64, bits = h.bloomBits)
+      .write.parquet(s"$st/spanbloom")
+    card(s, h).write.parquet(s"$st/card")
     val deltaName = DeltaManifest.promote(staging)
     val mergedLedger =
       h.deltas.map(_.ledger).mkString(DeltaManifest.FpSep.toString)

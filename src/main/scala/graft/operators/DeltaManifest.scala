@@ -104,8 +104,12 @@ private[operators] object DeltaManifest {
     val tmp = root.resolve(
       ".manifest-tmp-" + java.util.UUID.randomUUID().toString.take(12))
     Files.write(tmp, body.getBytes(StandardCharsets.UTF_8))
-    try Files.move(tmp, root.resolve(s"manifest-v$version"),
-      StandardCopyOption.ATOMIC_MOVE)
+    // publish via link(2), NOT rename(2): on POSIX an ATOMIC_MOVE onto an
+    // existing target silently REPLACES it (rename semantics), which would
+    // turn a lost cross-process race into a silently dropped delta ref —
+    // link(2) fails EEXIST atomically, which is the loud failure the
+    // single-writer contract promises
+    try Files.createLink(root.resolve(s"manifest-v$version"), tmp)
     catch {
       case e: java.nio.file.FileAlreadyExistsException =>
         Files.deleteIfExists(tmp)
@@ -113,6 +117,8 @@ private[operators] object DeltaManifest {
           s"concurrent delta-store writer detected at manifest-v$version " +
             s"under $root — writers are single-writer by contract", e)
     }
+    Files.deleteIfExists(tmp)
+    ()
   }
 
   /** Delete unreferenced directories under the root: staging leftovers

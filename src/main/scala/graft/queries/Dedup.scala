@@ -122,20 +122,12 @@ object Dedup {
         col("cosine"))
 
   /** (doc_id, chunk_hash) per SpanTokens-aligned chunk — the span-dedup
-    * chunk relation, shared by dedup_span_exact and dedup_signal_card so
-    * the card's span verdict can never diverge from the standalone
-    * operator's. */
+    * chunk relation, shared by dedup_span_exact, dedup_signal_card, and
+    * (via the factored [[graft.operators.DedupState.chunksOf]] kernel)
+    * the incremental state's span tier, so no span verdict can diverge
+    * from the standalone operator's grid. */
   private def spanChunkHashes(s: SparkSession, dir: String): DataFrame =
-    Tables(s, dir, "documents").filter(col("text").isNotNull)
-      .select(col("doc_id"), split(col("text"), "\\s+").as("toks"))
-      .filter(size(col("toks")) >= SpanTokens)
-      .select(col("doc_id"), col("toks"),
-        explode(sequence(lit(0),
-          expr(s"size(toks) DIV $SpanTokens") - 1)).as("ci"))
-      .select(col("doc_id"),
-        md5(concat_ws(" ",
-          slice(col("toks"), col("ci") * SpanTokens + 1, lit(SpanTokens))))
-          .as("chunk_hash"))
+    graft.operators.DedupState.chunksOf(Tables(s, dir, "documents"))
 
   /** (doc_id, phash) 64-bit perceptual dHash per image-typed media row —
     * the typed [[graft.multimodal.MultimodalPipeline]] path (decode → 9×8
@@ -395,7 +387,7 @@ object Dedup {
   private def ensureDedupState(s: SparkSession, dir: String): String =
     graft.util.ArtifactCache.ensure(
       java.nio.file.Paths.get(dir, "documents.parquet"),
-      "graft-dedupstate2", "manifest-v1") { staging =>
+      "graft-dedupstate3", "manifest-v1") { staging =>
       graft.operators.DedupState.admit(s, staging, dropDocs(s, dir, 0),
         fingerprint = "drop-1")
       ()
@@ -426,7 +418,7 @@ object Dedup {
   private def ensureGatedDedupState(s: SparkSession, dir: String): String =
     graft.util.ArtifactCache.ensure(
       java.nio.file.Paths.get(dir, "documents.parquet"),
-      "graft-dedupstateq2", "manifest-v1") { staging =>
+      "graft-dedupstateq3", "manifest-v1") { staging =>
       graft.operators.DedupState.admit(s, staging,
         gatedDropDocs(s, dir, 0), fingerprint = "drop-1")
       ()
@@ -447,7 +439,7 @@ object Dedup {
   private def ensureSemDedupState(s: SparkSession, dir: String): String =
     graft.util.ArtifactCache.ensure(
       java.nio.file.Paths.get(dir, "embeddings.parquet"),
-      "graft-dedupstatee", "manifest-v1") { staging =>
+      "graft-dedupstatee2", "manifest-v1") { staging =>
       graft.operators.DedupState.admit(s, staging, embDrop(s, dir, 0),
         fingerprint = "drop-1")
       ()
@@ -713,6 +705,26 @@ object Dedup {
       val st = graft.operators.DedupState.load(ensureSemDedupState(s, dir))
       graft.operators.DedupState
         .verdicts(s, st, embDrop(s, dir, 1))
+        .orderBy("doc_id")
+    },
+
+    // The SPAN tier of the incremental state (round 15): cross-drop
+    // repeated-span detection — drop 2's documents checked for
+    // SpanTokens-chunk overlap against drop 1's ADMITTED text, without
+    // re-reading that text (each delta persists its admitted chunk
+    // hashes + a Bloom side-filter at admit time). The card is ADVISORY
+    // (a span-scrub signal, never an admission gate — see the operator
+    // doc): per doc, its chunk count, how many of its distinct chunks
+    // are already admitted (state tier), how many repeat within the drop
+    // itself (the dedup_span_exact "more than once" criterion, including
+    // within one document), and the boolean flags. Scale shape: batch
+    // chunks Bloom-prefilter against the folded per-delta span Blooms
+    // (broadcast) before the deciding semi-join; the only window runs
+    // over the batch's own chunks.
+    "dedup_incremental_span" -> { (s, dir) =>
+      val st = graft.operators.DedupState.load(ensureDedupState(s, dir))
+      graft.operators.DedupState
+        .spanVerdicts(s, st, dropDocs(s, dir, 1))
         .orderBy("doc_id")
     },
 
@@ -1977,6 +1989,46 @@ object Dedup {
          |  near_dup_state, near_dup_batch, sem_dup_state, sem_dup_batch,
          |  admitted
          |FROM sverdict2 ORDER BY doc_id""".stripMargin,
+
+    // the two-drop admission chain supplies a1 (drop 1's admitted ids);
+    // the chunk grid is dedup_span_exact's, restricted to a1 for the
+    // state side and to drop 2 for the batch side
+    "dedup_incremental_span" ->
+      s"""WITH ${incrementalSqlCtes()},
+         |ct AS (SELECT doc_id, string_split_regex(text, '\\s+') AS toks
+         |  FROM documents WHERE text IS NOT NULL),
+         |cc AS (SELECT doc_id, toks,
+         |    unnest(range(0, len(toks) // $SpanTokens)) AS ci
+         |  FROM ct WHERE len(toks) >= $SpanTokens),
+         |chk AS (SELECT doc_id,
+         |    md5(array_to_string(list_slice(toks,
+         |      ci * $SpanTokens + 1, ci * $SpanTokens + $SpanTokens), ' '))
+         |      AS chunk_hash
+         |  FROM cc),
+         |sch1 AS (SELECT DISTINCT chunk_hash FROM chk JOIN a1 USING (doc_id)),
+         |chk2 AS (SELECT doc_id, chunk_hash FROM chk WHERE doc_id % 2 = 1),
+         |occ2 AS (SELECT doc_id, chunk_hash,
+         |    count(*) OVER (PARTITION BY chunk_hash) AS occ FROM chk2),
+         |agg2 AS (SELECT doc_id, count(*) AS n_chunks,
+         |    count(DISTINCT CASE WHEN occ > 1 THEN chunk_hash END)
+         |      AS n_batch_dup_chunks
+         |  FROM occ2 GROUP BY doc_id),
+         |sd2 AS (SELECT doc_id, count(DISTINCT chunk_hash)
+         |      AS n_state_dup_chunks
+         |  FROM chk2 WHERE chunk_hash IN (SELECT chunk_hash FROM sch1)
+         |  GROUP BY doc_id)
+         |SELECT d.doc_id,
+         |  CAST(coalesce(a.n_chunks, 0) AS BIGINT) AS n_chunks,
+         |  CAST(coalesce(s.n_state_dup_chunks, 0) AS BIGINT)
+         |    AS n_state_dup_chunks,
+         |  CAST(coalesce(a.n_batch_dup_chunks, 0) AS BIGINT)
+         |    AS n_batch_dup_chunks,
+         |  coalesce(s.n_state_dup_chunks, 0) > 0 AS span_dup_state,
+         |  coalesce(a.n_batch_dup_chunks, 0) > 0 AS span_dup_batch
+         |FROM documents d
+         |  LEFT JOIN agg2 a USING (doc_id)
+         |  LEFT JOIN sd2 s USING (doc_id)
+         |WHERE d.doc_id % 2 = 1 ORDER BY d.doc_id""".stripMargin,
 
     "pipeline_intake_incremental" ->
       s"""WITH ${incrementalSqlCtes(qualityEligibleSql)},

@@ -172,8 +172,14 @@ object IndexMaintainer {
           val h = DedupState.admit(spark, dir, b,
             fingerprint = s"e$key.$epochId")
           if (compactEvery > 0 && h.deltas.size >= compactEvery) {
-            DedupState.compact(spark, dir)
+            // gc BEFORE compact, not after: the dirs reclaimed here were
+            // superseded by the PREVIOUS cadence's compaction — a full
+            // cadence ago — so an in-flight reader that loaded that old
+            // manifest has long finished. gc immediately after compact
+            // would delete delta dirs a concurrent cross-process reader
+            // (mid-verdicts on the pre-compaction manifest) still holds.
             DedupState.gc(dir)
+            DedupState.compact(spark, dir)
             ()
           }
         }

@@ -937,35 +937,6 @@ object StreamOps {
     * @param benchmark    STATIC benchmark corpus
     * @param benchTextCol benchmark text column
     */
-  /** Streaming decontamination against the PERSISTED registry
-    * ([[graft.operators.DecontamRegistry]]) — the live-serving form of
-    * [[decontaminateStream]]: instead of embedding one static benchmark
-    * as a plan literal, each micro-batch RE-LOADS the registry manifest
-    * (a file stat + ≤ bits/64-row fold — the LiveServers refresh
-    * discipline), so a benchmark registered mid-stream gates the very
-    * next micro-batch with no restart. The sink receives the batch's
-    * CLEAN documents (flagged docs dropped — same criterion as the
-    * registry's flag card: any shingle with both Bloom positions set).
-    * `sink` must be idempotent per micro-batch (the standard
-    * foreachBatch replay contract). */
-  def decontaminateRegistryStream(
-      docs: DataFrame, idCol: String, textCol: String,
-      regDir: String, checkpointDir: String)(
-      sink: DataFrame => Unit)
-      : org.apache.spark.sql.streaming.StreamingQuery =
-    docs.writeStream
-      .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        val s = batch.sparkSession
-        val reg = graft.operators.DecontamRegistry.load(regDir)
-        val b = batch.select(col(idCol).cast("long").as("doc_id"),
-          col(textCol).cast("string").as("text"))
-        val flagged = graft.operators.DecontamRegistry
-          .flag(s, reg, b).select("doc_id")
-        sink(b.join(flagged, Seq("doc_id"), "left_anti"))
-      }
-      .start()
-
   def decontaminateStream(
       docs: DataFrame, textCol: String,
       benchmark: DataFrame, benchTextCol: String,
@@ -1016,6 +987,35 @@ object StreamOps {
         bitSet(BloomSketch.pos1(h, bits)) && bitSet(BloomSketch.pos2(h, bits))
       }), lit(false)))
   }
+
+  /** Streaming decontamination against the PERSISTED registry
+    * ([[graft.operators.DecontamRegistry]]) — the live-serving form of
+    * [[decontaminateStream]]: instead of embedding one static benchmark
+    * as a plan literal, each micro-batch RE-LOADS the registry manifest
+    * (a file stat + ≤ bits/64-row fold — the LiveServers refresh
+    * discipline), so a benchmark registered mid-stream gates the very
+    * next micro-batch with no restart. The sink receives the batch's
+    * CLEAN documents (flagged docs dropped — same criterion as the
+    * registry's flag card: any shingle with both Bloom positions set).
+    * `sink` must be idempotent per micro-batch (the standard
+    * foreachBatch replay contract). */
+  def decontaminateRegistryStream(
+      docs: DataFrame, idCol: String, textCol: String,
+      regDir: String, checkpointDir: String)(
+      sink: DataFrame => Unit)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val s = batch.sparkSession
+        val reg = graft.operators.DecontamRegistry.load(regDir)
+        val b = batch.select(col(idCol).cast("long").as("doc_id"),
+          col(textCol).cast("string").as("text"))
+        val flagged = graft.operators.DecontamRegistry
+          .flag(s, reg, b).select("doc_id")
+        sink(b.join(flagged, Seq("doc_id"), "left_anti"))
+      }
+      .start()
 
   /** Ceiling for [[decontaminateSemanticStream]]'s plan-literal
     * benchmark: beyond it the embedded vectors ride every serialized

@@ -42,12 +42,14 @@ object ArtifactCache {
     build(staging.toString)
     try Files.move(staging, base, StandardCopyOption.ATOMIC_MOVE)
     catch {
-      case e @ (_: java.nio.file.FileAlreadyExistsException |
-          _: java.nio.file.DirectoryNotEmptyException |
-          _: java.nio.file.AccessDeniedException) =>
+      // FileSystemException covers every way a lost race can surface:
+      // FileAlreadyExists/DirectoryNotEmpty, but ALSO the generic form the
+      // JDK raises for ENOTEMPTY when renaming a directory onto an
+      // existing non-empty one on Linux — the common losing-builder path
+      case e: java.nio.file.FileSystemException =>
         graft.storage.ParquetLogBackend.deleteRecursively(staging)
-        // a lost race must leave the winner's copy; a permission failure
-        // has no winner and must surface
+        // a lost race must leave the winner's copy; a permission or I/O
+        // failure has no winner and must surface
         if (!Files.exists(base.resolve(readyMarker))) throw e
     }
     base.toString

@@ -188,6 +188,41 @@ class DedupStateSpec extends AnyFunSuite {
     assert(v2(9L).getBoolean(v2(9L).fieldIndex("admitted")))
   }
 
+  test("span tier: cross-drop repeated chunks flag advisory, never gate admission") {
+    val dir = tmp()
+    val chunk = (1 to DedupState.SpanTokens).map(i => s"word$i").mkString(" ")
+    val novel = (1 to DedupState.SpanTokens).map(i => s"fresh$i").mkString(" ")
+    val novel2 = (1 to DedupState.SpanTokens).map(i => s"again$i").mkString(" ")
+    DedupState.admit(spark, dir,
+      docs(0L -> (chunk + " some trailing tail"), 2L -> otherText), "d1")
+    // doc 5 embeds drop 1's chunk inside otherwise-novel text; doc 7
+    // repeats ITS OWN chunk twice (within-batch repetition); doc 9 is
+    // clean; doc 11 has no text at all
+    import spark.implicits._
+    val batch = Seq(
+      (5L, Option(chunk + " " + novel)),
+      (7L, Option(novel2 + " " + novel2)),
+      (9L, Option("too short for any chunk")),
+      (11L, Option.empty[String])).toDF("doc_id", "text")
+    val sv = DedupState.spanVerdicts(spark, DedupState.load(dir), batch)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    def b(id: Long, c: String) = sv(id).getBoolean(sv(id).fieldIndex(c))
+    def l(id: Long, c: String) = sv(id).getLong(sv(id).fieldIndex(c))
+    assert(b(5, "span_dup_state") && !b(5, "span_dup_batch"))
+    assert(l(5, "n_chunks") === 2L && l(5, "n_state_dup_chunks") === 1L)
+    assert(b(7, "span_dup_batch") && !b(7, "span_dup_state"),
+      "a chunk occurring twice IN the batch (even within one doc) flags")
+    assert(!b(9, "span_dup_state") && !b(9, "span_dup_batch") &&
+      l(9, "n_chunks") === 0L)
+    assert(l(11, "n_chunks") === 0L, "null text: no content, no evidence")
+    // advisory: the SAME batch still admits in full (5 and 7 are not
+    // near-dups of anything — span overlap is a scrub signal, not a gate)
+    val v = verdictMap(DedupState.verdicts(
+      spark, DedupState.load(dir), batch))
+    assert(v(5L).getBoolean(v(5L).fieldIndex("admitted")))
+    assert(v(7L).getBoolean(v(7L).fieldIndex("admitted")))
+  }
+
   test("Bloom saturation never changes a verdict (prefilter exactness)") {
     import spark.implicits._
     val dir = tmp()
