@@ -54,7 +54,9 @@ object DecontamRegistry {
       dir: String, version: Long, bits: Long, st: DeltaManifest.State) {
     /** Registered benchmark names (ledger entries). */
     def names: Set[String] = st.ledgerEntries
-    /** Total distinct shingles registered (pre-fold sum). */
+    /** Total registered evidence units (distinct shingles for text
+      * registrations, vectors for embedding registrations; pre-fold
+      * sum) — the capacity-planning statistic. */
     def nShingles: Long = st.n
   }
 
@@ -97,19 +99,60 @@ object DecontamRegistry {
     load(dir)
   }
 
-  /** The registry's folded Bloom relation (≤ bits/64 rows). */
-  def words(s: SparkSession, h: Handle): DataFrame = {
-    val paths = h.st.refs.map(r => s"${h.dir}/${r.name}/words")
-    val per =
-      if (paths.isEmpty)
-        s.createDataFrame(
-          new java.util.ArrayList[org.apache.spark.sql.Row](),
-          org.apache.spark.sql.types.StructType.fromDDL(
-            "word bigint, mask bigint"))
-      else s.read.schema(org.apache.spark.sql.types.StructType.fromDDL(
-        "word bigint, mask bigint")).parquet(paths: _*)
-    per.groupBy("word").agg(expr("bit_or(mask)").as("mask"))
+  /** Register a benchmark's EMBEDDINGS under `name`: persist
+    * (b_id, bv, bn) rows — the vector and its precomputed L2 norm, so
+    * every later probe reuses one norm pass — as a `vecs/` delta under
+    * the same ledger. Name-idempotent like [[register]]; a benchmark
+    * that publishes both text and embeddings registers twice under two
+    * names (e.g. "suite" and "suite-emb"). The ref's n records the
+    * vector count. */
+  def registerEmbeddings(
+      s: SparkSession, dir: String, benchmark: DataFrame,
+      idCol: String, vecCol: String, name: String): Handle = synchronized {
+    DeltaManifest.requireCleanId(name)
+    val h = load(dir)
+    if (h.names.contains(name)) return h
+    val staging = DeltaManifest.stagingPath(dir)
+    val v = benchmark.select(col(idCol).cast("long").as("b_id"),
+        col(vecCol).cast("array<double>").as("bv"))
+      .withColumn("bn", graft.queries.Similarity.norm(col("bv")))
+    v.write.parquet(s"${staging.toString}/vecs")
+    val n = s.read.schema(org.apache.spark.sql.types.StructType.fromDDL(
+      VecsSchema)).parquet(s"${staging.toString}/vecs").count()
+    val deltaName = DeltaManifest.promote(staging)
+    DeltaManifest.commit(dir, Magic, s"bits=${h.bits}", h.version + 1,
+      h.st.refs :+ DeltaManifest.Ref(deltaName, name, n))
+    load(dir)
   }
+
+  private val VecsSchema = "b_id bigint, bv array<double>, bn double"
+
+  private def leafRefs(h: Handle, leaf: String): Seq[DeltaManifest.Ref] =
+    h.st.refs.filter(r => java.nio.file.Files.isDirectory(
+      java.nio.file.Paths.get(h.dir, r.name, leaf)))
+
+  private def readLeaf(
+      s: SparkSession, h: Handle, leaf: String, schema: String): DataFrame = {
+    val paths = leafRefs(h, leaf).map(r => s"${h.dir}/${r.name}/$leaf")
+    if (paths.isEmpty)
+      s.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](),
+        org.apache.spark.sql.types.StructType.fromDDL(schema))
+    else s.read.schema(org.apache.spark.sql.types.StructType.fromDDL(
+      schema)).parquet(paths: _*)
+  }
+
+  /** The registry's folded Bloom relation (≤ bits/64 rows); a delta may
+    * carry only a `vecs/` leaf (semantic registration) and contributes
+    * nothing here. */
+  def words(s: SparkSession, h: Handle): DataFrame =
+    readLeaf(s, h, "words", "word bigint, mask bigint")
+      .groupBy("word").agg(expr("bit_or(mask)").as("mask"))
+
+  /** Every registered benchmark embedding `(b_id, bv, bn)` across all
+    * `vecs/` deltas. */
+  def vecs(s: SparkSession, h: Handle): DataFrame =
+    readLeaf(s, h, "vecs", VecsSchema)
 
   /** Per-document contamination card of a corpus drop against EVERY
     * registered benchmark: `(doc_id, n_shingles, n_flagged,
@@ -118,14 +161,42 @@ object DecontamRegistry {
   def flag(s: SparkSession, h: Handle, corpus: DataFrame): DataFrame =
     BloomSketch.flagCard(shingleHashes(corpus), words(s, h), h.bits)
 
+  /** The SEMANTIC contamination card of a corpus drop against every
+    * registered benchmark EMBEDDING: `(doc_id, n_bench_hits, max_cos)`,
+    * hit rows only — exact cosine ≥ `tau` against the broadcast
+    * registered vectors (the decontaminateSemantic shape served from
+    * persisted state; same pinned left-fold cosine, so the DuckDB
+    * oracle reproduces it bit-for-bit). The τ filter runs before the
+    * aggregate, so the shuffle carries only the rare hits. */
+  def flagSemantic(
+      s: SparkSession, h: Handle, corpus: DataFrame,
+      idCol: String, vecCol: String, tau: Double): DataFrame = {
+    import graft.queries.Similarity
+    val c = corpus.select(col(idCol).cast("long").as("doc_id"),
+        col(vecCol).cast("array<double>").as("v"))
+      .withColumn("nrm", Similarity.norm(col("v")))
+    c.crossJoin(broadcast(vecs(s, h)))
+      .withColumn("cosine", Similarity.cosinePre(
+        col("v"), col("bv"), col("nrm"), col("bn")))
+      .filter(col("cosine") >= tau)
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bench_hits"), max(col("cosine")).as("max_cos"))
+  }
+
   /** Fold all word deltas into one (`bit_or` across deltas — exactly the
-    * union-set mask) and commit a manifest referencing only it; the name
-    * ledger survives. */
+    * union-set mask) and every vec delta verbatim, and commit a manifest
+    * referencing only the merged delta; the name ledger survives. Both
+    * probe paths answer identically before and after (OR-of-masks =
+    * mask-of-union; vector rows concatenate). */
   def compact(s: SparkSession, dir: String): Handle = synchronized {
     val h = load(dir)
     if (h.st.refs.size <= 1) return h
     val staging = DeltaManifest.stagingPath(dir)
-    words(s, h).write.parquet(s"${staging.toString}/words")
+    java.nio.file.Files.createDirectories(staging)
+    if (leafRefs(h, "words").nonEmpty)
+      words(s, h).write.parquet(s"${staging.toString}/words")
+    if (leafRefs(h, "vecs").nonEmpty)
+      vecs(s, h).write.parquet(s"${staging.toString}/vecs")
     val deltaName = DeltaManifest.promote(staging)
     val mergedLedger =
       h.st.refs.map(_.ledger).mkString(DeltaManifest.FpSep.toString)

@@ -757,11 +757,16 @@ object Dedup {
     // dedup admission (persisted DedupState) → registry decontamination
     // (persisted DecontamRegistry — which flags BOTH contaminated docs
     // and benchmark members themselves, since a benchmark doc trivially
-    // shares all its own shingles) → per-lang stats of what the drop
+    // shares all its own shingles), n-gram AND semantic (round 15: the
+    // registry's registered EMBEDDINGS close the paraphrase-leakage
+    // hole in the recurring job exactly as decontaminateSemantic closed
+    // it in pipeline_pretrain_corpus) → per-lang stats of what the drop
     // actually contributes to the training corpus. pipeline_intake_e2e
     // is day-0 curation; pipeline_intake_incremental is admission-only;
     // THIS is the full recurring job, every stage served from persisted
     // state, nothing rescanning admitted corpus or registered benchmarks.
+    // The semantic hit set broadcasts (rare by construction — the
+    // pretrainStageFrames argument).
     "pipeline_drop_curate" -> { (s, dir) =>
       val st = graft.operators.DedupState.load(ensureGatedDedupState(s, dir))
       val admitted = graft.operators.DedupState
@@ -773,7 +778,15 @@ object Dedup {
         .load(ensureDecontamRegistry(s, dir))
       val flagged = graft.operators.DecontamRegistry
         .flag(s, reg, adDocs).select("doc_id")
+      val adEmb = Tables(s, dir, "embeddings")
+        .select(col("vec_id").as("doc_id"),
+          col("embedding").cast("array<double>").as("v"))
+        .join(admitted, Seq("doc_id"))
+      val semFlagged = graft.operators.DecontamRegistry
+        .flagSemantic(s, reg, adEmb, "doc_id", "v", SemanticDecontamTau)
+        .select("doc_id")
       adDocs.join(flagged, Seq("doc_id"), "left_anti")
+        .join(broadcast(semFlagged), Seq("doc_id"), "left_anti")
         .withColumn("n_words", size(split(col("text"), "\\s+")).cast("long"))
         .groupBy("lang")
         .agg(count(lit(1)).as("n_docs"),
@@ -1354,14 +1367,19 @@ object Dedup {
   }
 
   /** Build-and-persist the decontamination registry once per testdata
-    * dir: the benchmark split registered as TWO registrations (doc_id
-    * parity within the split) — so the entry exercises the fold-of-
-    * registrations path, whose result is provably the single-shot Bloom
-    * (OR of masks = mask of the shingle-set union). */
+    * dir: the benchmark split registered as TWO text registrations
+    * (doc_id parity within the split) — so the entry exercises the
+    * fold-of-registrations path, whose result is provably the
+    * single-shot Bloom (OR of masks = mask of the shingle-set union) —
+    * plus ONE semantic registration of the benchmark split's embeddings
+    * (round 15: the registry's `vecs/` tier, consumed by
+    * pipeline_drop_curate's paraphrase-leakage leg). Keyed by the whole
+    * testdata dir: the registry's content derives from documents AND
+    * embeddings. */
   private def ensureDecontamRegistry(s: SparkSession, dir: String): String =
     graft.util.ArtifactCache.ensure(
-      java.nio.file.Paths.get(dir, "documents.parquet"),
-      "graft-decontamreg", "manifest-v2") { staging =>
+      java.nio.file.Paths.get(dir),
+      "graft-decontamreg3", "manifest-v3") { staging =>
       val bench = Tables(s, dir, "documents")
         .filter(col("doc_id") % BenchmarkMod === 0)
       graft.operators.DecontamRegistry.register(s, staging,
@@ -1370,6 +1388,10 @@ object Dedup {
       graft.operators.DecontamRegistry.register(s, staging,
         bench.filter(expr(s"(doc_id DIV $BenchmarkMod) % 2 = 1")),
         name = "bench-b")
+      graft.operators.DecontamRegistry.registerEmbeddings(s, staging,
+        Tables(s, dir, "embeddings")
+          .filter(col("vec_id") % BenchmarkMod === 0),
+        "vec_id", "embedding", name = "bench-emb")
       ()
     }
 
@@ -2063,8 +2085,16 @@ object Dedup {
          |  JOIN adm USING (doc_id)
          |  JOIN bbits b1 ON pos.p1 = b1.p
          |  JOIN bbits b2 ON pos.p2 = b2.p),
+         |em2 AS (SELECT vec_id AS doc_id, CAST(embedding AS DOUBLE[]) AS v
+         |  FROM embeddings),
+         |rb AS (SELECT v AS bv FROM em2 WHERE doc_id % $BenchmarkMod = 0),
+         |sflag AS (SELECT DISTINCT c.doc_id
+         |  FROM em2 c JOIN adm USING (doc_id) CROSS JOIN rb
+         |  WHERE ${Similarity.cosineSql("c.v", "rb.bv")}
+         |    >= $SemanticDecontamTau),
          |clean AS (SELECT doc_id FROM adm
-         |  WHERE doc_id NOT IN (SELECT doc_id FROM flagged))
+         |  WHERE doc_id NOT IN (SELECT doc_id FROM flagged)
+         |    AND doc_id NOT IN (SELECT doc_id FROM sflag))
          |SELECT d.lang, count(*) AS n_docs,
          |  CAST(sum(len(string_split_regex(d.text, '\\s+'))) AS BIGINT)
          |    AS total_words,

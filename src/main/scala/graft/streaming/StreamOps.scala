@@ -998,10 +998,20 @@ object StreamOps {
     * CLEAN documents (flagged docs dropped — same criterion as the
     * registry's flag card: any shingle with both Bloom positions set).
     * `sink` must be idempotent per micro-batch (the standard
-    * foreachBatch replay contract). */
+    * foreachBatch replay contract).
+    *
+    * `embCol` (round 15) switches on the registry's SEMANTIC tier: rows
+    * whose embedding clears `tau` exact cosine against any REGISTERED
+    * benchmark vector ([[graft.operators.DecontamRegistry.flagSemantic]])
+    * are dropped too — and because the registry re-loads per batch, an
+    * embedding benchmark registered mid-stream gates the very next
+    * micro-batch exactly like a shingle registration. Rows without an
+    * embedding (null) carry no semantic evidence and pass that leg. */
   def decontaminateRegistryStream(
       docs: DataFrame, idCol: String, textCol: String,
-      regDir: String, checkpointDir: String)(
+      regDir: String, checkpointDir: String,
+      embCol: Option[String] = None,
+      tau: Double = graft.queries.Dedup.SemanticDecontamTau)(
       sink: DataFrame => Unit)
       : org.apache.spark.sql.streaming.StreamingQuery =
     docs.writeStream
@@ -1009,11 +1019,23 @@ object StreamOps {
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val s = batch.sparkSession
         val reg = graft.operators.DecontamRegistry.load(regDir)
-        val b = batch.select(col(idCol).cast("long").as("doc_id"),
+        val base = Seq(col(idCol).cast("long").as("doc_id"),
           col(textCol).cast("string").as("text"))
+        val b = batch.select(base ++ embCol.map(c =>
+          col(c).cast("array<double>").as("emb")): _*)
         val flagged = graft.operators.DecontamRegistry
           .flag(s, reg, b).select("doc_id")
-        sink(b.join(flagged, Seq("doc_id"), "left_anti"))
+        val clean0 = b.join(flagged, Seq("doc_id"), "left_anti")
+        val clean = embCol match {
+          case None => clean0
+          case Some(_) =>
+            val semFlagged = graft.operators.DecontamRegistry
+              .flagSemantic(s, reg,
+                b.filter(col("emb").isNotNull), "doc_id", "emb", tau)
+              .select("doc_id")
+            clean0.join(semFlagged, Seq("doc_id"), "left_anti")
+        }
+        sink(clean)
       }
       .start()
 

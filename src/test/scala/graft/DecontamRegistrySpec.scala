@@ -68,6 +68,92 @@ class DecontamRegistrySpec extends AnyFunSuite {
       .orderBy("doc_id").collect().toSeq === before)
   }
 
+  test("semantic registrations: flagSemantic answers exactly the batch decontaminateSemantic; compact folds words AND vecs") {
+    val reg = tmp()
+    val e = graft.util.Tables(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val bench = e.filter(col("vec_id") % 97 === 0)
+    val corpus = e.filter(col("vec_id") % 97 =!= 0)
+    // a text registration AND an embedding registration share one ledger
+    DecontamRegistry.register(spark, reg,
+      docs.filter(col("doc_id") % 97 === 0), "suite")
+    val h = DecontamRegistry.registerEmbeddings(spark, reg,
+      bench, "vec_id", "v", "suite-emb")
+    assert(h.names === Set("suite", "suite-emb"))
+
+    val tau = graft.queries.Dedup.SemanticDecontamTau
+    val served = DecontamRegistry
+      .flagSemantic(spark, h, corpus, "vec_id", "v", tau)
+      .orderBy("doc_id").collect().toSeq
+    val batch = graft.queries.Dedup.decontaminateSemantic(
+        corpus, "vec_id", "v", bench, "vec_id", "v", tau)
+      .withColumnRenamed("vec_id", "doc_id")
+      .orderBy("doc_id").collect().toSeq
+    assert(served === batch,
+      "the registry-served semantic card must BE decontaminateSemantic's")
+    assert(served.nonEmpty, "the fixture must actually flag docs")
+
+    // idempotent replay on the semantic name
+    assert(DecontamRegistry.registerEmbeddings(spark, reg,
+      corpus.limit(1), "vec_id", "v", "suite-emb").version === h.version)
+
+    // compact folds the word delta and the vec delta into ONE delta
+    // answering both probes identically
+    val textFlags = DecontamRegistry
+      .flag(spark, h, docs.filter(col("doc_id") % 97 =!= 0))
+      .orderBy("doc_id").collect().toSeq
+    val hc = DecontamRegistry.compact(spark, reg)
+    assert(hc.st.refs.size === 1 &&
+      hc.names === Set("suite", "suite-emb"))
+    assert(DecontamRegistry
+      .flagSemantic(spark, hc, corpus, "vec_id", "v", tau)
+      .orderBy("doc_id").collect().toSeq === served)
+    assert(DecontamRegistry
+      .flag(spark, hc, docs.filter(col("doc_id") % 97 =!= 0))
+      .orderBy("doc_id").collect().toSeq === textFlags)
+    assert(DecontamRegistry.gc(reg) === 2)
+  }
+
+  test("decontaminateRegistryStream: an EMBEDDING benchmark registered mid-stream gates the next micro-batch") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val reg = tmp()
+    val ckpt = tmp()
+    val dim = 8
+    def unit(k: Int): Seq[Double] =
+      (0 until dim).map(i => if (i == k) 1.0 else 0.0)
+    // start with one TEXT registration so the registry is non-empty
+    DecontamRegistry.register(spark, reg,
+      Seq((100L, "alpha beta gamma delta epsilon zeta eta theta"))
+        .toDF("doc_id", "text"), "eval-a")
+
+    val seen = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    val mem = MemoryStream[(Long, String, Seq[Double])]
+    val q = graft.streaming.StreamOps.decontaminateRegistryStream(
+      mem.toDF().toDF("doc_id", "text", "emb"), "doc_id", "text",
+      reg, ckpt, embCol = Some("emb")) {
+      clean => clean.collect().foreach(r => seen.add(r.getLong(0)))
+    }
+    try {
+      mem.addData(
+        (1L, "novel tokens one", unit(0)), // nothing registered near → clean
+        (2L, "novel tokens two", unit(1)))
+      q.processAllAvailable()
+      assert(seen.asScala().toSet === Set(1L, 2L))
+
+      // register the PARAPHRASE AXIS mid-stream: unit(0) becomes leakage
+      DecontamRegistry.registerEmbeddings(spark, reg,
+        Seq((900L, unit(0))).toDF("b_id", "bv"), "b_id", "bv", "eval-emb")
+      mem.addData(
+        (3L, "reworded benchmark item sharing no shingles", unit(0)),
+        (4L, "still orthogonal and clean", unit(2)))
+      q.processAllAvailable()
+      assert(seen.asScala().toSet === Set(1L, 2L, 4L),
+        "doc 3 must be gated by the mid-stream semantic registration")
+    } finally q.stop()
+  }
+
   test("decontaminateRegistryStream: a benchmark registered MID-STREAM gates the next micro-batch") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
