@@ -421,6 +421,78 @@ object TextAnalysis {
        |      x -> $BpePadId)), ',')) AS ids_md5
        |FROM sq""".stripMargin
 
+  /** One SEEDED FFD recursion: phase CTE `f` replays step table `e`
+    * starting from the per-bucket remainder lists in `sd(bucket, rem)`
+    * (empty list = fresh bucket; a non-empty list = the bins an earlier
+    * drop left open — the [[graft.operators.PackState]] continuation
+    * semantics). Base row is step 0 (no doc); the member is the
+    * pack_best_fit first-fit step verbatim. */
+  private def seededFfdSql(f: String, e: String, sd: String): String = {
+    val pos =
+      s"coalesce(list_position(list_transform(fp.rem, r -> r >= e.n_eff)," +
+        " true), 0)"
+    s"""$f AS (
+       |  SELECT bucket, CAST(0 AS BIGINT) AS step, CAST(0 AS BIGINT) AS seq,
+       |    CAST(NULL AS BIGINT) AS doc_id, CAST(NULL AS BIGINT) AS n_eff,
+       |    rem
+       |  FROM $sd
+       |  UNION ALL
+       |  SELECT e.bucket, e.step,
+       |    CASE WHEN $pos > 0 THEN CAST($pos AS BIGINT)
+       |      ELSE CAST(len(fp.rem) + 1 AS BIGINT) END AS seq,
+       |    e.doc_id, e.n_eff,
+       |    CASE WHEN $pos > 0
+       |      THEN list_transform(range(1, len(fp.rem) + 1),
+       |        i -> CASE WHEN i = $pos
+       |          THEN fp.rem[i] - e.n_eff ELSE fp.rem[i] END)
+       |      ELSE list_append(fp.rem, $TokenSeqLen - e.n_eff) END AS rem
+       |  FROM $f fp JOIN $e e ON e.bucket = fp.bucket
+       |    AND e.step = fp.step + 1)""".stripMargin
+  }
+
+  /** DuckDB mirror of the TWO-DROP persisted pack
+    * ([[graft.operators.PackState]] over doc_id-parity drops of any
+    * `di(doc_id, tids)` source): phase-1 FFD from empty bins, phase-2
+    * FFD SEEDED with phase 1's final remainder lists, contributions
+    * concatenated in cross-drop visit order. Ends with
+    * `pksq(bucket, seq, n_docs, real_ids)`. */
+  private def twoDropPackSqlCtes(diSrc: String): String =
+    s"""pkall AS MATERIALIZED (SELECT doc_id, doc_id % $PackBuckets AS bucket, tids,
+       |    LEAST(CAST(len(tids) AS BIGINT) + 1, $TokenSeqLen) AS n_eff
+       |  FROM $diSrc),
+       |pke1 AS MATERIALIZED (SELECT doc_id, bucket, tids, n_eff,
+       |    CAST(row_number() OVER (PARTITION BY bucket
+       |      ORDER BY n_eff DESC, doc_id) AS BIGINT) AS step
+       |  FROM pkall WHERE doc_id % 2 = 0),
+       |pke2 AS MATERIALIZED (SELECT doc_id, bucket, tids, n_eff,
+       |    CAST(row_number() OVER (PARTITION BY bucket
+       |      ORDER BY n_eff DESC, doc_id) AS BIGINT) AS step
+       |  FROM pkall WHERE doc_id % 2 = 1),
+       |pks1 AS (SELECT DISTINCT bucket, CAST([] AS BIGINT[]) AS rem
+       |  FROM pke1),
+       |${seededFfdSql("pkffd1", "pke1", "pks1")},
+       |pkf1n AS (SELECT bucket, max(step) AS mstep FROM pkffd1 GROUP BY 1),
+       |pkf1f AS (SELECT f.bucket, f.rem FROM pkffd1 f
+       |  JOIN pkf1n ON f.bucket = pkf1n.bucket AND f.step = pkf1n.mstep),
+       |pks2 AS (SELECT b.bucket,
+       |    coalesce(pkf1f.rem, CAST([] AS BIGINT[])) AS rem
+       |  FROM (SELECT DISTINCT bucket FROM pke2) b
+       |  LEFT JOIN pkf1f USING (bucket)),
+       |${seededFfdSql("pkffd2", "pke2", "pks2")},
+       |pkmdu AS (
+       |  SELECT f.bucket, f.seq, 1 AS phase, f.step,
+       |    list_concat(list_slice(e.tids, 1, CAST(f.n_eff - 1 AS INT)),
+       |      [$BpeEosId]) AS ids_doc
+       |  FROM pkffd1 f JOIN pke1 e ON e.bucket = f.bucket AND e.step = f.step
+       |  UNION ALL
+       |  SELECT f.bucket, f.seq, 2 AS phase, f.step,
+       |    list_concat(list_slice(e.tids, 1, CAST(f.n_eff - 1 AS INT)),
+       |      [$BpeEosId]) AS ids_doc
+       |  FROM pkffd2 f JOIN pke2 e ON e.bucket = f.bucket AND e.step = f.step),
+       |pksq AS (SELECT bucket, seq, CAST(count(*) AS BIGINT) AS n_docs,
+       |    flatten(list(ids_doc ORDER BY phase, step)) AS real_ids
+       |  FROM pkmdu GROUP BY 1, 2)""".stripMargin
+
   private def tokenIdCtes: String = {
     val vRounds = (1 to BpeMerges).map { k =>
       s"""v$k AS (SELECT word, coalesce(
@@ -678,6 +750,30 @@ object TextAnalysis {
       .select(col("bucket"), col("seq"), col("n_docs"),
         col("n_real"), col("n_pad"), col("ids_md5"))
   }
+
+  /** The shared packing geometry of the persisted pack state — the same
+    * constants pack_best_fit_tokens packs with, pinned into the state's
+    * manifest so a geometry change can never silently mix rows. */
+  private def packParams: graft.operators.PackState.Params =
+    graft.operators.PackState.Params(
+      TokenSeqLen, BpeEosId, BpePadId, PackBuckets)
+
+  /** Build-and-persist the two-drop pack state once per testdata dir
+    * ([[graft.util.ArtifactCache]]): tokenize (az BPE, the
+    * pack_best_fit_tokens alphabet), pack drop 1 (even doc_ids) into a
+    * fresh state, then drop 2 continuing drop 1's open bins — the
+    * pipeline_drop_pack entry then just reads training rows. */
+  private def ensurePackState(s: SparkSession, dir: String): String =
+    graft.util.ArtifactCache.ensure(
+      java.nio.file.Paths.get(dir, "documents.parquet"),
+      "graft-packstate", "manifest-v2") { staging =>
+      val ids = tokenIdsOf(s, dir, learnBpeMergesCached(s, dir))
+      graft.operators.PackState.pack(s, staging,
+        ids.filter(col("doc_id") % 2 === 0), "drop-1", packParams)
+      graft.operators.PackState.pack(s, staging,
+        ids.filter(col("doc_id") % 2 === 1), "drop-2", packParams)
+      ()
+    }
 
   /** corpus_gini in the DISTRIBUTED-RANK form: global ranks i over
     * (n, source) computed by range-partitioning on the sort key (range
@@ -2421,6 +2517,28 @@ object TextAnalysis {
         .orderBy("bucket", "seq")
     },
 
+    // The RECURRING drop job closed to training rows (round 15): drops
+    // arrive over months, and each one's documents must pack into the
+    // SAME FFD bins the previous drops left open — continuing sequence
+    // numbering, never repacking or re-tokenizing admitted history.
+    // [[graft.operators.PackState]] persists the per-bucket open-bin
+    // remainders + visit counters (snapshots) and each drop's
+    // per-sequence contributions (deltas) under a manifest-committed
+    // store; this entry builds the state from the doc_id-parity drops
+    // (drop 1 then drop 2, the ensure-artifact discipline) and emits
+    // the training rows — which the oracle replays as a SEEDED
+    // recursive FFD: drop 2's recursion starts from drop 1's final
+    // remainder lists, so every id of every cross-drop sequence is
+    // pinned hash-exactly. Scale shape: one sorted-group pass per drop
+    // + a doc_id join back to the drop's token arrays; emitting reads
+    // persisted contributions only.
+    "pipeline_drop_pack" -> { (s, dir) =>
+      val st = ensurePackState(s, dir)
+      graft.operators.PackState
+        .trainingRows(s, graft.operators.PackState.load(st, packParams))
+        .orderBy("bucket", "seq")
+    },
+
     // The COMPLETE production intake, boundary to training rows, as ONE
     // declarative plan (round 14): staged JSONL.gz drop (with malformed-
     // line and corrupt-shard fixtures — see [[intakeShards]]) →
@@ -3830,6 +3948,22 @@ object TextAnalysis {
          |$tokenIdCtes,
          |${ffdTokenPackSqlCtes("di")}
          |$FfdTokenPackSelectSql ORDER BY bucket, seq""".stripMargin,
+
+    // the persisted cross-drop pack: tokenize replayed by the shared
+    // CTEs, then phase-1 FFD + the phase-2 recursion SEEDED with phase
+    // 1's final remainders — drop 2's docs land in drop 1's open bins
+    // exactly as the state's continuation does
+    "pipeline_drop_pack" ->
+      s"""WITH RECURSIVE $bpeCtes,
+         |$tokenIdCtes,
+         |${twoDropPackSqlCtes("di")}
+         |SELECT CAST(bucket AS BIGINT) AS bucket, seq, n_docs,
+         |  CAST(len(real_ids) AS BIGINT) AS n_real,
+         |  CAST($TokenSeqLen - len(real_ids) AS BIGINT) AS n_pad,
+         |  md5(array_to_string(list_concat(real_ids,
+         |    list_transform(range($TokenSeqLen - len(real_ids)),
+         |      x -> $BpePadId)), ',')) AS ids_md5
+         |FROM pksq ORDER BY bucket, seq""".stripMargin,
 
     // the COMPLETE intake composition, boundary to training rows: the
     // survivor chain (cluster keepers → quality → bench split → n-gram →
