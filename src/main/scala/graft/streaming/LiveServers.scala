@@ -200,6 +200,21 @@ final class LiveAnnServer(
     LiveServers.serveLoop(queries, this.refreshIfStale _, sink,
       (b: DataFrame) => answerFiltered(b, idCol, vecCol, allowed))
 
+  /** [[serveFiltered]] with a PER-MICRO-BATCH allowed-id SOURCE
+    * (round 15): `allowedSource` is invoked at the top of every
+    * micro-batch — the registry stream's manifest-reload discipline
+    * applied to the filter relation — so a predicate change (a doc
+    * taken down, a tenant's visibility set updated) between batches
+    * changes the VERY NEXT batch's answers with no server restart.
+    * [[serveFiltered]]'s single bound relation is the static special
+    * case; this is what a multi-tenant serving tier wires. */
+  def serveFilteredBy(
+      queries: DataFrame, idCol: String, vecCol: String,
+      allowedSource: () => DataFrame)
+      (sink: DataFrame => Unit): StreamingQuery =
+    LiveServers.serveLoop(queries, this.refreshIfStale _, sink,
+      (b: DataFrame) => answerFiltered(b, idCol, vecCol, allowedSource()))
+
   /** No-op BY DESIGN (not an omission): a loaded [[PqIndex]] holds only
     * driver-side codebook/centroid state plus lazy DataFrames over the
     * index files — nothing persisted in the cache manager, so there is
@@ -267,6 +282,15 @@ final class LiveIvfServer(
       (sink: DataFrame => Unit): StreamingQuery =
     LiveServers.serveLoop(queries, this.refreshIfStale _, sink,
       (b: DataFrame) => answerFiltered(b, idCol, vecCol, allowed))
+
+  /** Same per-batch-refreshed filtered loop/contract as
+    * [[LiveAnnServer.serveFilteredBy]]. */
+  def serveFilteredBy(
+      queries: DataFrame, idCol: String, vecCol: String,
+      allowedSource: () => DataFrame)
+      (sink: DataFrame => Unit): StreamingQuery =
+    LiveServers.serveLoop(queries, this.refreshIfStale _, sink,
+      (b: DataFrame) => answerFiltered(b, idCol, vecCol, allowedSource()))
 
   /** No-op by design — same reasoning as [[LiveAnnServer.close]]. */
   override def close(): Unit = ()

@@ -499,4 +499,89 @@ class LiveServeSpec extends AnyFunSuite {
         "a tombstoned vector must never be served")
     } finally { q.stop(); server.close() }
   }
+
+  test("serveFilteredBy: an allowed-set change between micro-batches changes the very next batch's answers, on BOTH tiers") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val emb = graft.util.Tables(spark, sfDir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val qv = emb.filter(col("vec_id") === 0L)
+      .select(col("v")).head().getSeq[Double](0)
+    def allowedMod(m: Int) =
+      emb.filter(col("vec_id") % m === 0).select("vec_id")
+    // the refreshable filter source: what serveFilteredBy re-reads at
+    // the top of every micro-batch
+    val current = new java.util.concurrent.atomic.AtomicInteger(3)
+
+    // PQ tier
+    val pqDir = java.nio.file.Files
+      .createTempDirectory("graft-livefby-pq").toString
+    PqIndex.build(emb, m = 8, kCodes = 16, coarseK = 4).save(pqDir)
+    def pqBatch(qid: Long, m: Int): Seq[(Int, Long)] =
+      PqIndex.adcProbeFiltered(PqIndex.load(spark, pqDir),
+          Seq((qid, qv)).toDF("q_id", "qv"), allowedMod(m),
+          nProbe = 4, topK = 5, rerank = 50)
+        .collect().map(r => (r.getInt(2), r.getLong(1))).toSeq.sorted
+    val pqResults =
+      new java.util.concurrent.ConcurrentHashMap[Long, Seq[(Int, Long)]]()
+    val pqServer = new LiveAnnServer(spark, pqDir, nProbe = 4, topK = 5,
+      rerank = 50)
+    val pqMem = MemoryStream[(Long, Seq[Double])]
+    val pq = pqServer.serveFilteredBy(
+        pqMem.toDF().toDF("q_id", "qv"), "q_id", "qv",
+        () => allowedMod(current.get())) { out =>
+      out.collect().groupBy(_.getLong(0)).foreach { case (qid, rows) =>
+        pqResults.put(qid,
+          rows.map(r => (r.getInt(2), r.getLong(1))).toSeq.sorted)
+      }
+    }
+    try {
+      pqMem.addData((7000001L, qv))
+      pq.processAllAvailable()
+      assert(pqResults.get(7000001L) === pqBatch(7000001L, 3))
+      assert(pqResults.get(7000001L).forall(_._2 % 3 == 0))
+      // flip the predicate BETWEEN batches: the very next batch obeys it
+      current.set(5)
+      pqMem.addData((7000002L, qv))
+      pq.processAllAvailable()
+      assert(pqResults.get(7000002L) === pqBatch(7000002L, 5))
+      assert(pqResults.get(7000002L).forall(_._2 % 5 == 0))
+      assert(pqResults.get(7000002L) !== pqResults.get(7000001L),
+        "the filter change must be visible in the answers")
+    } finally { pq.stop(); pqServer.close() }
+
+    // IVF tier, same discipline
+    current.set(3)
+    val ivfDir = java.nio.file.Files
+      .createTempDirectory("graft-livefby-ivf").toString
+    IvfIndex.build(emb, k = 4).save(ivfDir)
+    def ivfBatch(qid: Long, m: Int): Seq[(Int, Long)] =
+      IvfIndex.probeFiltered(IvfIndex.load(spark, ivfDir),
+          Seq((qid, qv)).toDF("q_id", "qv"), allowedMod(m),
+          nProbe = 4, topK = 5)
+        .collect().map(r => (r.getInt(2), r.getLong(1))).toSeq.sorted
+    val ivfResults =
+      new java.util.concurrent.ConcurrentHashMap[Long, Seq[(Int, Long)]]()
+    val ivfServer = new LiveIvfServer(spark, ivfDir, nProbe = 4, topK = 5)
+    val ivfMem = MemoryStream[(Long, Seq[Double])]
+    val ivf = ivfServer.serveFilteredBy(
+        ivfMem.toDF().toDF("q_id", "qv"), "q_id", "qv",
+        () => allowedMod(current.get())) { out =>
+      out.collect().groupBy(_.getLong(0)).foreach { case (qid, rows) =>
+        ivfResults.put(qid,
+          rows.map(r => (r.getInt(2), r.getLong(1))).toSeq.sorted)
+      }
+    }
+    try {
+      ivfMem.addData((8000001L, qv))
+      ivf.processAllAvailable()
+      assert(ivfResults.get(8000001L) === ivfBatch(8000001L, 3))
+      current.set(5)
+      ivfMem.addData((8000002L, qv))
+      ivf.processAllAvailable()
+      assert(ivfResults.get(8000002L) === ivfBatch(8000002L, 5))
+      assert(ivfResults.get(8000002L).forall(_._2 % 5 == 0))
+      assert(ivfResults.get(8000002L) !== ivfResults.get(8000001L))
+    } finally { ivf.stop(); ivfServer.close() }
+  }
 }
