@@ -58,7 +58,11 @@ object ScaleRehearsal {
     // scan + drop scan, both linear; the near-dup join is band-capped
     "dedup_incremental", "dedup_incremental_report",
     "pipeline_intake_incremental", "dedup_incremental_semantic",
-    "decontaminate_registry", "pipeline_drop_curate")
+    "decontaminate_registry", "pipeline_drop_curate",
+    // round 15: the span tier, the e2e accounting card, and the
+    // persisted cross-drop pack (cold column carries artifact builds)
+    "dedup_incremental_span", "pipeline_intake_report",
+    "pipeline_drop_pack")
 
   /** `ScaleRehearsal sf10 [base] [out] [queries...]` — the 100× column:
     * a 100-copy database materialized for JUST the tables the audited
