@@ -446,6 +446,50 @@ object Main {
       println(s"${card.length} document(s) flagged against " +
         s"${h.names.size} registered benchmark(s)")
 
+    // extension (no reference analog): incremental training-row packing —
+    // FFD-pack a parquet drop of (doc_id, token_ids) rows into the
+    // persisted PackState (continuing earlier drops' open bins), then
+    // print the pack accounting. Geometry defaults to the library's
+    // pack_best_fit_tokens constants (L=128 buckets=32 eos=34 pad=35);
+    // an existing state's manifest pins its own geometry and a mismatch
+    // fails loudly. The fingerprint defaults to the drop path +
+    // size/mtime, so a crashed invocation re-runs as a no-op.
+    case Seq("pack", stateDir, dropDir) =>
+      val s = spark()
+      val p = graft.operators.PackState.Params(
+        seqLen = 128, eosId = 34, padId = 35, buckets = 32)
+      val fp = dropDir + "|" + graft.util.ArtifactCache.fingerprintOf(
+        java.nio.file.Paths.get(dropDir))
+      val before = graft.operators.PackState.load(stateDir, p)
+      if (before.fingerprints.contains(fp)) {
+        println(s"already packed (fingerprint match): $dropDir")
+      } else {
+        val drop = s.read.parquet(dropDir).select("doc_id", "token_ids")
+        val after = graft.operators.PackState.pack(s, stateDir, drop, fp, p)
+        val rows = graft.operators.PackState.trainingRows(s, after)
+          .agg(org.apache.spark.sql.functions.count(
+            org.apache.spark.sql.functions.lit(1)),
+            org.apache.spark.sql.functions.sum(
+              org.apache.spark.sql.functions.col("n_real")))
+          .collect().head
+        println(s"packed ${after.nDocs - before.nDocs} doc(s); state now " +
+          s"${after.nDocs} docs in ${rows.getLong(0)} training sequence(s) " +
+          s"(${rows.getLong(1)} real tokens), manifest v${after.version}")
+      }
+
+    // emit the pack state's training rows to a parquet directory — the
+    // trainer handoff (bucket, seq, n_docs, n_real, n_pad, ids_md5)
+    case Seq("pack-rows", stateDir, outDir) =>
+      val s = spark()
+      val p = graft.operators.PackState.Params(
+        seqLen = 128, eosId = 34, padId = 35, buckets = 32)
+      val h = graft.operators.PackState.load(stateDir, p)
+      graft.operators.PackState.trainingRows(s, h)
+        .orderBy("bucket", "seq")
+        .write.mode("overwrite").parquet(outDir)
+      println(s"wrote training rows for ${h.nDocs} docs to $outDir " +
+        s"(manifest v${h.version})")
+
     // fold the state's accumulated deltas and reclaim superseded dirs
     case Seq("compact-state", stateDir) =>
       val s = spark()
@@ -500,6 +544,7 @@ object Main {
           "ingest-jsonl <jsonldir> <parquetdir>|" +
           "import-tokenizer <merges.txt> <vocab.json> <modeldir>|" +
           "admit <statedir> <dropparquet>|compact-state <statedir>|" +
+          "pack <statedir> <idsparquet>|pack-rows <statedir> <outdir>|" +
           "register-benchmark <regdir> <benchparquet> <name>|" +
           "decontaminate <regdir> <dropparquet>|" +
           "import <nativefile> <dir>")

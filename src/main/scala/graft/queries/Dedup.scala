@@ -407,11 +407,76 @@ object Dedup {
       .select("doc_id", "text")
 
   /** DuckDB rendering of [[gatedDropDocs]]'s eligibility (drop split is
-    * applied downstream by the CTE chain itself). */
-  private val qualityEligibleSql =
+    * applied downstream by the CTE chain itself). Shared with the
+    * TextAnalysis drop_train oracle. */
+  private[queries] val qualityEligibleSql =
     """SELECT doc_id FROM documents
       |  WHERE n_chars >= 100
       |    AND len(string_split_regex(text, '\s+')) >= 20""".stripMargin
+
+  /** The CURATED id set of one quality-gated drop — the
+    * pipeline_drop_curate derivation factored for composition (the
+    * drop_train pipeline packs these): the drop's ADMITTED documents
+    * (drop 0 = what the persisted gated state holds; drop 1 = verdicts
+    * against it) minus the registry's n-gram flags minus its semantic
+    * (registered-embedding) flags. One relation of `doc_id`. */
+  private[queries] def curatedDropIds(
+      s: SparkSession, dir: String, which: Int): DataFrame = {
+    val st = graft.operators.DedupState.load(ensureGatedDedupState(s, dir))
+    val admitted =
+      if (which == 0) graft.operators.DedupState.rows(s, st).select("doc_id")
+      else graft.operators.DedupState
+        .verdicts(s, st, gatedDropDocs(s, dir, which))
+        .filter(col("admitted")).select("doc_id")
+    val reg = graft.operators.DecontamRegistry
+      .load(ensureDecontamRegistry(s, dir))
+    val d = Tables(s, dir, "documents").join(admitted, Seq("doc_id"))
+    val flagged = graft.operators.DecontamRegistry
+      .flag(s, reg, d).select("doc_id")
+    val adEmb = Tables(s, dir, "embeddings")
+      .select(col("vec_id").as("doc_id"),
+        col("embedding").cast("array<double>").as("v"))
+      .join(admitted, Seq("doc_id"))
+    val semFlagged = graft.operators.DecontamRegistry
+      .flagSemantic(s, reg, adEmb, "doc_id", "v", SemanticDecontamTau)
+      .select("doc_id")
+    admitted.join(flagged, Seq("doc_id"), "left_anti")
+      .join(broadcast(semFlagged), Seq("doc_id"), "left_anti")
+  }
+
+  /** DuckDB CTEs for the registry's CORPUS-WIDE contamination sets —
+    * `rflag(doc_id)` (n-gram Bloom, the bloomOracleSql derivation) and
+    * `rsem(doc_id)` (exact cosine vs the benchmark-split embeddings).
+    * Unrestricted: callers intersect with their drop via set-minus,
+    * which equals flagging the drop directly (a doc's flags depend only
+    * on its own shingles/embedding). Requires the admission chain's
+    * `sh` CTE in scope. */
+  private[queries] def registryContamSqlCtes: String = {
+    val hc = graft.operators.BloomSketch.hexChars(
+      graft.operators.DecontamRegistry.DefaultBits)
+    s"""rt0 AS (SELECT DISTINCT doc_id, md5(unnest(sh)) AS hx FROM sh),
+       |rpos AS (SELECT doc_id,
+       |  list_reduce(list_transform(range(1, ${hc + 1}),
+       |    i -> instr('0123456789abcdef', substr(hx, i, 1)) - 1),
+       |    (a, b) -> a*16 + b) AS p1,
+       |  list_reduce(list_transform(range(${hc + 1}, ${2 * hc + 1}),
+       |    i -> instr('0123456789abcdef', substr(hx, i, 1)) - 1),
+       |    (a, b) -> a*16 + b) AS p2
+       |  FROM rt0),
+       |rbbits AS (SELECT DISTINCT p FROM (
+       |  SELECT p1 AS p FROM rpos WHERE doc_id % $BenchmarkMod = 0
+       |  UNION SELECT p2 FROM rpos WHERE doc_id % $BenchmarkMod = 0)),
+       |rflag AS (SELECT DISTINCT rpos.doc_id FROM rpos
+       |  JOIN rbbits b1 ON rpos.p1 = b1.p
+       |  JOIN rbbits b2 ON rpos.p2 = b2.p),
+       |rem2 AS (SELECT vec_id AS doc_id, CAST(embedding AS DOUBLE[]) AS v
+       |  FROM embeddings),
+       |rrb AS (SELECT v AS bv FROM rem2 WHERE doc_id % $BenchmarkMod = 0),
+       |rsem AS (SELECT DISTINCT c.doc_id
+       |  FROM rem2 c CROSS JOIN rrb
+       |  WHERE ${Similarity.cosineSql("c.v", "rrb.bv")}
+       |    >= $SemanticDecontamTau)""".stripMargin
+  }
 
   /** Quality-gated twin of [[ensureDedupState]] (separate cache prefix:
     * different admitted content ⇒ different state). */

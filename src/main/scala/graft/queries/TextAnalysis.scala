@@ -451,23 +451,27 @@ object TextAnalysis {
   }
 
   /** DuckDB mirror of the TWO-DROP persisted pack
-    * ([[graft.operators.PackState]] over doc_id-parity drops of any
-    * `di(doc_id, tids)` source): phase-1 FFD from empty bins, phase-2
-    * FFD SEEDED with phase 1's final remainder lists, contributions
-    * concatenated in cross-drop visit order. Ends with
+    * ([[graft.operators.PackState]] over two drops of any
+    * `di(doc_id, tids)` source — membership predicates parameterized;
+    * defaults are the doc_id-parity split): phase-1 FFD from empty
+    * bins, phase-2 FFD SEEDED with phase 1's final remainder lists,
+    * contributions concatenated in cross-drop visit order. Ends with
     * `pksq(bucket, seq, n_docs, real_ids)`. */
-  private def twoDropPackSqlCtes(diSrc: String): String =
+  private def twoDropPackSqlCtes(
+      diSrc: String,
+      where1: String = "doc_id % 2 = 0",
+      where2: String = "doc_id % 2 = 1"): String =
     s"""pkall AS MATERIALIZED (SELECT doc_id, doc_id % $PackBuckets AS bucket, tids,
        |    LEAST(CAST(len(tids) AS BIGINT) + 1, $TokenSeqLen) AS n_eff
        |  FROM $diSrc),
        |pke1 AS MATERIALIZED (SELECT doc_id, bucket, tids, n_eff,
        |    CAST(row_number() OVER (PARTITION BY bucket
        |      ORDER BY n_eff DESC, doc_id) AS BIGINT) AS step
-       |  FROM pkall WHERE doc_id % 2 = 0),
+       |  FROM pkall WHERE $where1),
        |pke2 AS MATERIALIZED (SELECT doc_id, bucket, tids, n_eff,
        |    CAST(row_number() OVER (PARTITION BY bucket
        |      ORDER BY n_eff DESC, doc_id) AS BIGINT) AS step
-       |  FROM pkall WHERE doc_id % 2 = 1),
+       |  FROM pkall WHERE $where2),
        |pks1 AS (SELECT DISTINCT bucket, CAST([] AS BIGINT[]) AS rem
        |  FROM pke1),
        |${seededFfdSql("pkffd1", "pke1", "pks1")},
@@ -772,6 +776,25 @@ object TextAnalysis {
         ids.filter(col("doc_id") % 2 === 0), "drop-1", packParams)
       graft.operators.PackState.pack(s, staging,
         ids.filter(col("doc_id") % 2 === 1), "drop-2", packParams)
+      ()
+    }
+
+  /** [[ensurePackState]]'s CURATED twin (pipeline_drop_train): each
+    * drop's ids pass the full drop_curate derivation
+    * ([[Dedup.curatedDropIds]] — gated admission + registry n-gram +
+    * semantic decontamination) before packing. Keyed by the whole
+    * testdata dir (the curation reads documents AND embeddings). */
+  private def ensureCuratedPackState(s: SparkSession, dir: String): String =
+    graft.util.ArtifactCache.ensure(
+      java.nio.file.Paths.get(dir),
+      "graft-packstatec", "manifest-v2") { staging =>
+      val ids = tokenIdsOf(s, dir, learnBpeMergesCached(s, dir))
+      graft.operators.PackState.pack(s, staging,
+        ids.join(Dedup.curatedDropIds(s, dir, 0), Seq("doc_id")),
+        "drop-1", packParams)
+      graft.operators.PackState.pack(s, staging,
+        ids.join(Dedup.curatedDropIds(s, dir, 1), Seq("doc_id")),
+        "drop-2", packParams)
       ()
     }
 
@@ -2539,6 +2562,26 @@ object TextAnalysis {
         .orderBy("bucket", "seq")
     },
 
+    // The COMPLETE recurring loop, drops to trainer-ready rows
+    // (round 15): each quality-gated drop is ADMITTED against the
+    // persisted DedupState, decontaminated against the persisted
+    // registry (n-gram Bloom AND registered embeddings — the
+    // pipeline_drop_curate curation, factored as
+    // [[Dedup.curatedDropIds]]), tokenized, and PACKED into the bins
+    // earlier drops left open ([[graft.operators.PackState]]). Every
+    // stage is served from persisted state; nothing rescans admitted
+    // text, re-reads a registered benchmark, or repacks an earlier
+    // drop. The oracle replays the whole thing — admission CTE chain,
+    // corpus-wide registry flag sets, tokenize, and the SEEDED
+    // two-phase FFD restricted to each drop's curated ids — pinning
+    // every id of every training row the recurring job would ship.
+    "pipeline_drop_train" -> { (s, dir) =>
+      val st = ensureCuratedPackState(s, dir)
+      graft.operators.PackState
+        .trainingRows(s, graft.operators.PackState.load(st, packParams))
+        .orderBy("bucket", "seq")
+    },
+
     // The COMPLETE production intake, boundary to training rows, as ONE
     // declarative plan (round 14): staged JSONL.gz drop (with malformed-
     // line and corrupt-shard fixtures — see [[intakeShards]]) →
@@ -3957,6 +4000,33 @@ object TextAnalysis {
       s"""WITH RECURSIVE $bpeCtes,
          |$tokenIdCtes,
          |${twoDropPackSqlCtes("di")}
+         |SELECT CAST(bucket AS BIGINT) AS bucket, seq, n_docs,
+         |  CAST(len(real_ids) AS BIGINT) AS n_real,
+         |  CAST($TokenSeqLen - len(real_ids) AS BIGINT) AS n_pad,
+         |  md5(array_to_string(list_concat(real_ids,
+         |    list_transform(range($TokenSeqLen - len(real_ids)),
+         |      x -> $BpePadId)), ',')) AS ids_md5
+         |FROM pksq ORDER BY bucket, seq""".stripMargin,
+
+    // the COMPLETE recurring loop: the two-drop gated admission chain
+    // (verdict1/verdict2/a1), the registry's corpus-wide n-gram +
+    // semantic flag sets, tokenize, and the seeded two-phase FFD
+    // restricted to each drop's curated ids
+    "pipeline_drop_train" ->
+      s"""WITH RECURSIVE ${Dedup.incrementalSqlCtes(Dedup.qualityEligibleSql)},
+         |${Dedup.registryContamSqlCtes},
+         |clean1 AS (SELECT doc_id FROM a1
+         |  WHERE doc_id NOT IN (SELECT doc_id FROM rflag)
+         |    AND doc_id NOT IN (SELECT doc_id FROM rsem)),
+         |adm2 AS (SELECT doc_id FROM verdict2 WHERE admitted),
+         |clean2 AS (SELECT doc_id FROM adm2
+         |  WHERE doc_id NOT IN (SELECT doc_id FROM rflag)
+         |    AND doc_id NOT IN (SELECT doc_id FROM rsem)),
+         |$bpeCtes,
+         |$tokenIdCtes,
+         |${twoDropPackSqlCtes("di",
+             "doc_id IN (SELECT doc_id FROM clean1)",
+             "doc_id IN (SELECT doc_id FROM clean2)")}
          |SELECT CAST(bucket AS BIGINT) AS bucket, seq, n_docs,
          |  CAST(len(real_ids) AS BIGINT) AS n_real,
          |  CAST($TokenSeqLen - len(real_ids) AS BIGINT) AS n_pad,

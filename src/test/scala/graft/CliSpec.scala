@@ -246,6 +246,45 @@ class CliSpec extends AnyFunSuite {
     assert(graft.operators.DedupState.load(state).nDocs === 3L)
   }
 
+  test("pack + pack-rows drive the incremental packing lifecycle") {
+    import spark.implicits._
+    val state = Files.createTempDirectory("graftcli-pack").toString
+    val drop1 = Files.createTempDirectory("graftcli-ids1").toString
+    // L=128 (the CLI default): one 130-id doc truncates to a full row;
+    // one 60-id doc opens a second bin
+    Seq((0L, (1 to 130).toList), (32L, (1 to 60).toList))
+      .toDF("doc_id", "token_ids").write.mode("overwrite").parquet(drop1)
+    val drop2 = Files.createTempDirectory("graftcli-ids2").toString
+    // a 50-id doc (n_eff 51) fits drop 1's second bin (rem 67)
+    Seq((64L, (1 to 50).toList))
+      .toDF("doc_id", "token_ids").write.mode("overwrite").parquet(drop2)
+
+    def run(args: String*): String = {
+      val buf = new java.io.ByteArrayOutputStream()
+      Console.withOut(new java.io.PrintStream(buf)) {
+        graft.cli.Main.main(args.toArray)
+      }
+      buf.toString("UTF-8")
+    }
+    val p1 = run("pack", state, drop1)
+    assert(p1.contains("packed 2 doc(s)"), p1)
+    assert(p1.contains("2 training sequence(s)"), p1)
+    val p2 = run("pack", state, drop2)
+    assert(p2.contains("packed 1 doc(s)"), p2)
+    assert(p2.contains("state now 3 docs in 2 training sequence(s)"),
+      s"drop 2 must CONTINUE drop 1's open bin, not open a third: $p2")
+    val p3 = run("pack", state, drop1)
+    assert(p3.contains("already packed"), p3)
+
+    val out = Files.createTempDirectory("graftcli-packrows").toString
+    val p4 = run("pack-rows", state, out)
+    assert(p4.contains("wrote training rows for 3 docs"), p4)
+    val rows = spark.read.parquet(out).orderBy("bucket", "seq").collect()
+    assert(rows.length === 2)
+    assert(rows.map(_.getLong(3)).sum === 128L + 61L + 51L,
+      "real tokens = truncated prefix+EOS contributions of all three docs")
+  }
+
   test("register-benchmark + decontaminate drive the registry lifecycle") {
     import spark.implicits._
     val reg = Files.createTempDirectory("graftcli-reg").toString
