@@ -414,19 +414,27 @@ object Dedup {
       |  WHERE n_chars >= 100
       |    AND len(string_split_regex(text, '\s+')) >= 20""".stripMargin
 
-  /** The CURATED id set of one quality-gated drop — the
-    * pipeline_drop_curate derivation factored for composition (the
-    * drop_train pipeline packs these): the drop's ADMITTED documents
-    * (drop 0 = what the persisted gated state holds; drop 1 = verdicts
-    * against it) minus the registry's n-gram flags minus its semantic
-    * (registered-embedding) flags. One relation of `doc_id`. */
-  private[queries] def curatedDropIds(
-      s: SparkSession, dir: String, which: Int): DataFrame = {
-    val st = graft.operators.DedupState.load(ensureGatedDedupState(s, dir))
+  /** Every stage boundary of ONE quality-gated drop's curation — the
+    * pipeline_drop_curate derivation as lazy frames, shared by
+    * pipeline_drop_train (packs `curated`) and pipeline_drop_report
+    * (counts every frame), so the ledger can never describe a different
+    * drop than the one the pack ships. Drop 0's admitted set IS what
+    * the persisted gated state holds; drop 1's is verdicts against it. */
+  private[queries] final case class DropCuration(
+      eligible: DataFrame, // (doc_id, text) passing the quality gate
+      admitted: DataFrame, // doc_id — admitted by the DedupState
+      ngramFlagged: DataFrame, // doc_id — admitted ∩ registry n-gram flags
+      semFlagged: DataFrame, // doc_id — admitted ∩ registered-embedding flags
+      curated: DataFrame) // admitted minus both flag sets
+
+  private[queries] def dropCurationFrames(
+      s: SparkSession, dir: String, which: Int): DropCuration = {
+    val st = gatedStateHandle(s, dir)
+    val eligible = gatedDropDocs(s, dir, which)
     val admitted =
       if (which == 0) graft.operators.DedupState.rows(s, st).select("doc_id")
       else graft.operators.DedupState
-        .verdicts(s, st, gatedDropDocs(s, dir, which))
+        .verdicts(s, st, eligible)
         .filter(col("admitted")).select("doc_id")
     val reg = graft.operators.DecontamRegistry
       .load(ensureDecontamRegistry(s, dir))
@@ -440,9 +448,21 @@ object Dedup {
     val semFlagged = graft.operators.DecontamRegistry
       .flagSemantic(s, reg, adEmb, "doc_id", "v", SemanticDecontamTau)
       .select("doc_id")
-    admitted.join(flagged, Seq("doc_id"), "left_anti")
-      .join(broadcast(semFlagged), Seq("doc_id"), "left_anti")
+    DropCuration(eligible, admitted, flagged, semFlagged,
+      admitted.join(flagged, Seq("doc_id"), "left_anti")
+        .join(broadcast(semFlagged), Seq("doc_id"), "left_anti"))
   }
+
+  /** The persisted gated state's handle (built on first use) — also the
+    * span tier's evidence source for the drop report. */
+  private[queries] def gatedStateHandle(
+      s: SparkSession, dir: String): graft.operators.DedupState.Handle =
+    graft.operators.DedupState.load(ensureGatedDedupState(s, dir))
+
+  /** [[dropCurationFrames]]' curated ids (the drop_train pack input). */
+  private[queries] def curatedDropIds(
+      s: SparkSession, dir: String, which: Int): DataFrame =
+    dropCurationFrames(s, dir, which).curated
 
   /** DuckDB CTEs for the registry's CORPUS-WIDE contamination sets —
     * `rflag(doc_id)` (n-gram Bloom, the bloomOracleSql derivation) and

@@ -2582,6 +2582,46 @@ object TextAnalysis {
         .orderBy("bucket", "seq")
     },
 
+    // The recurring loop's OPERATIONAL LEDGER (round 15): one row per
+    // drop — eligible after the quality gate, admitted by the state,
+    // registry-flagged (n-gram / semantic), curated, span-dup-flagged
+    // (the ADVISORY scrub signal vs the pre-drop state), and the
+    // drop's packable token contribution — every count from the SAME
+    // lazy frames pipeline_drop_train packs
+    // ([[Dedup.dropCurationFrames]]), so the ledger can never describe
+    // a different drop than the one the pack ships. Drop 1 reports
+    // against the EMPTY pre-drop state (its vs-state span column is
+    // structurally zero; the oracle pins that too).
+    "pipeline_drop_report" -> { (s, dir) =>
+      val ids = tokenIdsOf(s, dir, learnBpeMergesCached(s, dir))
+      def row(which: Int): DataFrame = {
+        val f = Dedup.dropCurationFrames(s, dir, which)
+        val preState =
+          if (which == 0) graft.operators.DedupState.empty
+          else Dedup.gatedStateHandle(s, dir)
+        val spanFlagged = graft.operators.DedupState
+          .spanVerdicts(s, preState, f.eligible)
+          .filter(col("span_dup_state"))
+        def c1(df: DataFrame, n: String): DataFrame =
+          df.agg(count(lit(1)).cast("long").as(n))
+        c1(f.eligible, "n_eligible")
+          .crossJoin(c1(f.admitted, "n_admitted"))
+          .crossJoin(c1(f.ngramFlagged, "n_registry_flagged"))
+          .crossJoin(c1(f.semFlagged, "n_sem_flagged"))
+          .crossJoin(c1(f.curated, "n_curated"))
+          .crossJoin(c1(spanFlagged, "n_span_dup_state"))
+          .crossJoin(ids.join(f.curated, Seq("doc_id"))
+            .agg(coalesce(sum(
+              least(size(col("token_ids")).cast("long") + 1L,
+                lit(TokenSeqLen.toLong))), lit(0L)).as("n_pack_tokens")))
+          .select(lit(which + 1L).as("drop_no"), col("n_eligible"),
+            col("n_admitted"), col("n_registry_flagged"),
+            col("n_sem_flagged"), col("n_curated"),
+            col("n_span_dup_state"), col("n_pack_tokens"))
+      }
+      row(0).unionByName(row(1)).orderBy("drop_no")
+    },
+
     // The COMPLETE production intake, boundary to training rows, as ONE
     // declarative plan (round 14): staged JSONL.gz drop (with malformed-
     // line and corrupt-shard fixtures — see [[intakeShards]]) →
@@ -4034,6 +4074,66 @@ object TextAnalysis {
          |    list_transform(range($TokenSeqLen - len(real_ids)),
          |      x -> $BpePadId)), ',')) AS ids_md5
          |FROM pksq ORDER BY bucket, seq""".stripMargin,
+
+
+    // the recurring loop's per-drop ledger: counts over the SAME CTE
+    // frames drop_train packs, plus the span grid vs each drop's
+    // pre-drop admitted state and the packable-token sums from di
+    "pipeline_drop_report" ->
+      s"""WITH RECURSIVE ${Dedup.incrementalSqlCtes(Dedup.qualityEligibleSql)},
+         |${Dedup.registryContamSqlCtes},
+         |clean1 AS (SELECT doc_id FROM a1
+         |  WHERE doc_id NOT IN (SELECT doc_id FROM rflag)
+         |    AND doc_id NOT IN (SELECT doc_id FROM rsem)),
+         |adm2 AS (SELECT doc_id FROM verdict2 WHERE admitted),
+         |clean2 AS (SELECT doc_id FROM adm2
+         |  WHERE doc_id NOT IN (SELECT doc_id FROM rflag)
+         |    AND doc_id NOT IN (SELECT doc_id FROM rsem)),
+         |ct AS (SELECT doc_id, string_split_regex(text, '\\s+') AS toks
+         |  FROM documents WHERE text IS NOT NULL),
+         |cc AS (SELECT doc_id, toks,
+         |    unnest(range(0, len(toks) // ${Dedup.SpanTokens})) AS ci
+         |  FROM ct WHERE len(toks) >= ${Dedup.SpanTokens}),
+         |chk AS (SELECT doc_id,
+         |    md5(array_to_string(list_slice(toks,
+         |      ci * ${Dedup.SpanTokens} + 1,
+         |      ci * ${Dedup.SpanTokens} + ${Dedup.SpanTokens}), ' '))
+         |      AS chunk_hash
+         |  FROM cc),
+         |sch1 AS (SELECT DISTINCT chunk_hash FROM chk JOIN a1 USING (doc_id)),
+         |spf2 AS (SELECT DISTINCT chk.doc_id FROM chk
+         |  JOIN elig USING (doc_id)
+         |  WHERE chk.doc_id % 2 = 1
+         |    AND chunk_hash IN (SELECT chunk_hash FROM sch1)),
+         |$bpeCtes,
+         |$tokenIdCtes,
+         |pt AS (SELECT doc_id,
+         |    LEAST(CAST(len(tids) AS BIGINT) + 1, $TokenSeqLen) AS ne
+         |  FROM di)
+         |SELECT CAST(1 AS BIGINT) AS drop_no,
+         |  (SELECT count(*) FROM elig WHERE doc_id % 2 = 0) AS n_eligible,
+         |  (SELECT count(*) FROM a1) AS n_admitted,
+         |  (SELECT count(*) FROM a1 WHERE doc_id IN
+         |    (SELECT doc_id FROM rflag)) AS n_registry_flagged,
+         |  (SELECT count(*) FROM a1 WHERE doc_id IN
+         |    (SELECT doc_id FROM rsem)) AS n_sem_flagged,
+         |  (SELECT count(*) FROM clean1) AS n_curated,
+         |  CAST(0 AS BIGINT) AS n_span_dup_state,
+         |  (SELECT CAST(coalesce(sum(ne), 0) AS BIGINT) FROM pt
+         |    WHERE doc_id IN (SELECT doc_id FROM clean1)) AS n_pack_tokens
+         |UNION ALL
+         |SELECT CAST(2 AS BIGINT),
+         |  (SELECT count(*) FROM elig WHERE doc_id % 2 = 1),
+         |  (SELECT count(*) FROM adm2),
+         |  (SELECT count(*) FROM adm2 WHERE doc_id IN
+         |    (SELECT doc_id FROM rflag)),
+         |  (SELECT count(*) FROM adm2 WHERE doc_id IN
+         |    (SELECT doc_id FROM rsem)),
+         |  (SELECT count(*) FROM clean2),
+         |  (SELECT count(*) FROM spf2),
+         |  (SELECT CAST(coalesce(sum(ne), 0) AS BIGINT) FROM pt
+         |    WHERE doc_id IN (SELECT doc_id FROM clean2))
+         |ORDER BY drop_no""".stripMargin,
 
     // the COMPLETE intake composition, boundary to training rows: the
     // survivor chain (cluster keepers → quality → bench split → n-gram →
