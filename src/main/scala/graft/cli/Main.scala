@@ -432,6 +432,24 @@ object Main {
           s"manifest v${h.version}")
       }
 
+    // register a benchmark's EMBEDDINGS (vec_id, embedding parquet) —
+    // the registry's semantic tier; later drops' embeddings
+    // decontaminate against everything registered (name-idempotent)
+    case Seq("register-embeddings", regDir, vecParquet, name) =>
+      val s = spark()
+      val before = graft.operators.DecontamRegistry.load(regDir)
+      if (before.names.contains(name)) {
+        println(s"already registered: $name")
+      } else {
+        val h = graft.operators.DecontamRegistry.registerEmbeddings(
+          s, regDir, s.read.parquet(vecParquet),
+          "vec_id", "embedding", name)
+        println(s"registered '$name' " +
+          s"(${h.nShingles - before.nShingles} vectors); " +
+          s"registry now ${h.names.size} benchmark(s), " +
+          s"manifest v${h.version}")
+      }
+
     // flag a drop against the registry: per-doc contamination card
     case Seq("decontaminate", regDir, dropParquet) =>
       val s = spark()
@@ -546,6 +564,7 @@ object Main {
           "admit <statedir> <dropparquet>|compact-state <statedir>|" +
           "pack <statedir> <idsparquet>|pack-rows <statedir> <outdir>|" +
           "register-benchmark <regdir> <benchparquet> <name>|" +
+          "register-embeddings <regdir> <vecparquet> <name>|" +
           "decontaminate <regdir> <dropparquet>|" +
           "import <nativefile> <dir>")
       sys.exit(2)

@@ -187,6 +187,65 @@ object IndexMaintainer {
       .start()
   }
 
+  /** Maintain a persisted [[graft.operators.PackState]] from a stream of
+    * tokenized documents — the STREAMING form of the recurring pack job:
+    * each micro-batch FFD-packs into the bins every earlier batch left
+    * open (continued sequence numbering, cross-batch sequences), so a
+    * trainer can consume [[graft.operators.PackState.trainingRows]] at
+    * any point without anything ever repacking history.
+    *
+    * Exactly-once is the [[maintainDedupState]] argument verbatim: the
+    * state's manifest IS the idempotency ledger — each epoch packs
+    * under the deterministic fingerprint `e<checkpoint-key>.<epochId>`,
+    * a replayed epoch finds its fingerprint and packs nothing, and a
+    * crash between delta staging and manifest commit leaves only an
+    * unreferenced staging dir ([[graft.operators.PackState.gc]]
+    * reclaims it; the replay re-packs cleanly). Holds across restarts
+    * of the same checkpointed query.
+    *
+    * Ordering caveat (inherent, same as the dedup maintainer): packing
+    * is order-dependent across micro-batches — FFD runs within each
+    * batch and first-come across batches, exactly the
+    * pipeline_drop_pack semantics per drop. `compactEvery` > 0 folds
+    * accumulated contribution deltas (gc deferred one cadence, the
+    * reader-safety argument at [[maintainDedupState]]).
+    *
+    * @param docs          streaming DataFrame of tokenized rows
+    * @param idCol         long document id column
+    * @param idsCol        array&lt;int&gt; token-id column
+    * @param dir           persisted pack-state directory
+    * @param checkpointDir streaming checkpoint (the exactly-once identity)
+    * @param params        packing geometry (pinned in the manifest)
+    * @param compactEvery  fold deltas at this live-delta count (0 = never) */
+  def maintainPackState(
+      docs: DataFrame,
+      idCol: String,
+      idsCol: String,
+      dir: String,
+      checkpointDir: String,
+      params: graft.operators.PackState.Params,
+      compactEvery: Int = 0): StreamingQuery = {
+    import graft.operators.PackState
+    val key = checkpointKey(checkpointDir)
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, epochId: Long) =>
+        val spark = batch.sparkSession
+        val b = batch.select(col(idCol).cast("long").as("doc_id"),
+          col(idsCol).cast("array<int>").as("token_ids"))
+        if (!b.isEmpty) {
+          val h = PackState.pack(spark, dir, b,
+            fingerprint = s"e$key.$epochId", params)
+          if (compactEvery > 0 && h.deltas.size >= compactEvery) {
+            PackState.gc(dir, params)
+            PackState.compact(spark, dir, params)
+            ()
+          }
+        }
+      }
+      .start()
+  }
+
   /** Maintain a persisted vector index ([[IvfIndex]], or [[PqIndex]] when
     * a `pq_codes` tier is present — detected per batch, so an index
     * upgraded to PQ mid-stream is followed) from a stream of

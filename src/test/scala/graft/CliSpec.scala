@@ -312,6 +312,17 @@ class CliSpec extends AnyFunSuite {
     assert(p3.contains("doc        1"), p3)
     assert(!p3.contains("doc        2"), "clean doc must not flag: " + p3)
     assert(p3.contains("1 document(s) flagged against 1 registered"), p3)
+
+    // the semantic tier: register benchmark EMBEDDINGS under the same
+    // ledger (name-idempotent), served by flagSemantic
+    val vecs = Files.createTempDirectory("graftcli-benchvecs").toString
+    Seq((900L, (0 until 8).map(i => if (i == 0) 1.0 else 0.0).toList))
+      .toDF("vec_id", "embedding").write.mode("overwrite").parquet(vecs)
+    val p4 = run("register-embeddings", reg, vecs, "evalset-emb")
+    assert(p4.contains("registered 'evalset-emb' (1 vectors)"), p4)
+    assert(p4.contains("registry now 2 benchmark(s)"), p4)
+    val p5 = run("register-embeddings", reg, vecs, "evalset-emb")
+    assert(p5.contains("already registered"), p5)
   }
 
   test("scan counts a watch-list over command-line text, overlaps included") {

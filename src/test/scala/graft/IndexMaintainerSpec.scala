@@ -484,6 +484,56 @@ class IndexMaintainerSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("maintainPackState: streamed batches pack exactly like sequential batch packs; training rows continue bins across epochs") {
+    import graft.operators.PackState
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val P = PackState.Params(seqLen = 8, eosId = 98, padId = 99, buckets = 1)
+    val dir = tmp("graft-packstream")
+    val ckpt = tmp("graft-packstream-ckpt")
+
+    val mem = MemoryStream[(Long, List[Int])]
+    val q = IndexMaintainer.maintainPackState(
+      mem.toDF().toDF("doc_id", "token_ids"), "doc_id", "token_ids",
+      dir, ckpt, P, compactEvery = 3)
+    try {
+      mem.addData((0L, List(1, 2, 3)), (2L, List(4, 5, 6, 7, 8)))
+      q.processAllAvailable()
+      assert(PackState.load(dir, P).nDocs === 2L)
+
+      // the second epoch's docs must land in the FIRST epoch's open bins
+      mem.addData((1L, List(9)), (3L, List(10, 11, 12)))
+      q.processAllAvailable()
+      val h2 = PackState.load(dir, P)
+      assert(h2.nDocs === 4L && h2.deltas.size === 2)
+      val streamed = PackState.trainingRows(spark, h2)
+        .orderBy("bucket", "seq").collect().toSeq
+
+      // twin state packed as sequential batch calls
+      val dir2 = tmp("graft-packbatch")
+      PackState.pack(spark, dir2,
+        Seq((0L, List(1, 2, 3)), (2L, List(4, 5, 6, 7, 8)))
+          .toDF("doc_id", "token_ids"), "b1", P)
+      PackState.pack(spark, dir2,
+        Seq((1L, List(9)), (3L, List(10, 11, 12)))
+          .toDF("doc_id", "token_ids"), "b2", P)
+      val batched = PackState
+        .trainingRows(spark, PackState.load(dir2, P))
+        .orderBy("bucket", "seq").collect().toSeq
+      assert(streamed === batched)
+      assert(streamed.length === 2, "epoch 2 fills epoch 1's bins")
+
+      // third epoch reaches compactEvery=3 → folds to one delta,
+      // training rows preserved, ledger intact
+      mem.addData((5L, List(20, 21)))
+      q.processAllAvailable()
+      val h3 = PackState.load(dir, P)
+      assert(h3.nDocs === 5L && h3.deltas.size === 1,
+        "inline compaction folded the contribution deltas")
+      assert(h3.fingerprints.size === 3, "ledger survives the fold")
+    } finally q.stop()
+  }
+
   test("maintainDedupState: streamed drops admit exactly like sequential batch admits; compaction cadence preserves content and ledger") {
     import graft.operators.DedupState
     import spark.implicits._
