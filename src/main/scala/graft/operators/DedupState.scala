@@ -215,22 +215,28 @@ object DedupState {
       st.refs.map(r => DeltaRef(r.name, r.ledger, r.n)))
   }
 
-  /** (doc_id, chunk_hash) per [[SpanTokens]]-aligned chunk of a
+  /** (doc_id, ci, chunk_hash) per [[SpanTokens]]-aligned chunk of a
     * (doc_id, text, ...) relation — the dedup_span_exact chunk grid
-    * (md5 over the space-joined token slice), factored here so the batch
-    * span family and the state's span tier can never drift on what a
-    * span is. Null-text and short docs yield no chunks. */
-  def chunksOf(docs: DataFrame): DataFrame =
+    * (md5 over the space-joined token slice) WITH the chunk index, so
+    * [[spanScrub]] can map a hash hit back to token positions. */
+  def chunkGrid(docs: DataFrame): DataFrame =
     docs.filter(col("text").isNotNull)
       .select(col("doc_id"), split(col("text"), "\\s+").as("toks"))
       .filter(size(col("toks")) >= SpanTokens)
       .select(col("doc_id"), col("toks"),
         explode(sequence(lit(0),
           expr(s"size(toks) DIV $SpanTokens") - 1)).as("ci"))
-      .select(col("doc_id"),
+      .select(col("doc_id"), col("ci"),
         md5(concat_ws(" ",
           slice(col("toks"), col("ci") * SpanTokens + 1, lit(SpanTokens))))
           .as("chunk_hash"))
+
+  /** [[chunkGrid]] without the position — the dedup_span_exact chunk
+    * relation, factored here so the batch span family and the state's
+    * span tier can never drift on what a span is. Null-text and short
+    * docs yield no chunks. */
+  def chunksOf(docs: DataFrame): DataFrame =
+    chunkGrid(docs).select("doc_id", "chunk_hash")
 
   /** All admitted rows `(doc_id, content_hash, mins, emb)`. Non-null
     * content hashes are globally distinct by the admitted-only invariant;
@@ -505,6 +511,50 @@ object DedupState {
           .as("n_batch_dup_chunks"))
       .withColumn("span_dup_state", col("n_state_dup_chunks") > 0)
       .withColumn("span_dup_batch", col("n_batch_dup_chunks") > 0)
+  }
+
+  /** The span tier's TREAT path — [[spanVerdicts]] flags, this CUTS:
+    * every [[SpanTokens]]-aligned chunk of the batch whose hash is
+    * already admitted in any delta is removed (all its token positions),
+    * the remaining tokens re-joined in order — the ExactSubstr scrub
+    * (Lee et al. 2022's remove-the-repeat treatment, pipeline_span_scrub
+    * made CROSS-DROP: the "first occurrence keeps its text" is the
+    * admitted corpus by construction, so arriving text only ever loses
+    * passages the corpus already has). One row per non-null-text batch
+    * document: `(doc_id, n_tokens, n_kept, n_removed, scrubbed_text)`
+    * (whitespace normalized by the re-join, the batch operator's
+    * documented contract). Scale shape: the chunk grid is linear, hits
+    * are Bloom-prefiltered (broadcast) before the deciding semi-join,
+    * the coverage explode runs over HIT chunks only (dup-rate-bounded),
+    * and the ordered rebuild is per-document (collect_list + array_sort
+    * inside one reduce group), never a global sort. */
+  def spanScrub(s: SparkSession, h: Handle, batch: DataFrame): DataFrame = {
+    val d = batch.select(col("doc_id"), col("text"))
+      .filter(col("text").isNotNull)
+    val probed = bloomProbe(chunkGrid(d), "chunk_hash",
+      foldedBloom(s, h, "spanbloom"), h.bloomBits)
+    val hits = probed.filter(col("bloom_hit"))
+      .select("doc_id", "ci", "chunk_hash")
+      .join(spans(s, h), Seq("chunk_hash"), "left_semi")
+    val covered = hits.select(col("doc_id"),
+      explode(sequence(col("ci") * SpanTokens,
+        col("ci") * SpanTokens + (SpanTokens - 1))).as("pos"))
+      .distinct()
+    val t = d.select(col("doc_id"), split(col("text"), "\\s+").as("toks"))
+    val tokens = t.select(col("doc_id"),
+      posexplode(col("toks")).as(Seq("pos", "tok")))
+    val kept = tokens.join(covered, Seq("doc_id", "pos"), "left_anti")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_kept"),
+        expr("array_join(transform(array_sort(collect_list(" +
+          "struct(pos, tok))), x -> x.tok), ' ')").as("scrubbed_text"))
+    t.select(col("doc_id"), size(col("toks")).cast("long").as("n_tokens"))
+      .join(kept, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        (col("n_tokens") - coalesce(col("n_kept"), lit(0L)))
+          .as("n_removed"),
+        coalesce(col("scrubbed_text"), lit("")).as("scrubbed_text"))
   }
 
   /** Admit a batch: compute verdicts against the current state, persist

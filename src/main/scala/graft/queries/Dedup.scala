@@ -813,6 +813,21 @@ object Dedup {
         .orderBy("doc_id")
     },
 
+    // The span tier's TREAT path (round 15): dedup_incremental_span
+    // FLAGS cross-drop repeated chunks, this CUTS them —
+    // [[graft.operators.DedupState.spanScrub]] removes every aligned
+    // chunk of drop 2 whose hash is already admitted, re-joining the
+    // survivors in order (pipeline_span_scrub's card shape, served from
+    // persisted state: the "first occurrence keeps its text" IS the
+    // admitted corpus). Oracle composes the admission chain's a1 with
+    // the chunk grid and the batch scrub's token-rebuild CTEs.
+    "pipeline_drop_scrub" -> { (s, dir) =>
+      val st = graft.operators.DedupState.load(ensureDedupState(s, dir))
+      graft.operators.DedupState
+        .spanScrub(s, st, dropDocs(s, dir, 1))
+        .orderBy("doc_id")
+    },
+
     // The INCREMENTAL composition: quality gate → admission against a
     // quality-gated persisted state built from drop 1 → per-lang corpus
     // stats of drop 2's ADMITTED documents. This is the steady-state
@@ -2136,6 +2151,43 @@ object Dedup {
          |  LEFT JOIN agg2 a USING (doc_id)
          |  LEFT JOIN sd2 s USING (doc_id)
          |WHERE d.doc_id % 2 = 1 ORDER BY d.doc_id""".stripMargin,
+
+    // the admission chain's a1 (drop 1's admitted ids) + the positioned
+    // chunk grid + the pipeline_span_scrub token-rebuild CTEs
+    "pipeline_drop_scrub" ->
+      s"""WITH ${incrementalSqlCtes()},
+         |ct AS (SELECT doc_id, string_split_regex(text, '\\s+') AS toks
+         |  FROM documents WHERE text IS NOT NULL),
+         |cc AS (SELECT doc_id, toks,
+         |    unnest(range(0, len(toks) // $SpanTokens)) AS ci
+         |  FROM ct WHERE len(toks) >= $SpanTokens),
+         |chk AS (SELECT doc_id, ci,
+         |    md5(array_to_string(list_slice(toks,
+         |      ci * $SpanTokens + 1, ci * $SpanTokens + $SpanTokens), ' '))
+         |      AS chunk_hash
+         |  FROM cc),
+         |sch1 AS (SELECT DISTINCT chunk_hash FROM chk JOIN a1 USING (doc_id)),
+         |hits2 AS (SELECT doc_id, ci FROM chk
+         |  WHERE doc_id % 2 = 1
+         |    AND chunk_hash IN (SELECT chunk_hash FROM sch1)),
+         |cov AS (SELECT DISTINCT doc_id, ci * $SpanTokens + u.u AS pos
+         |  FROM hits2, (SELECT unnest(range(0, $SpanTokens)) AS u) u),
+         |tok AS (SELECT doc_id, unnest(toks) AS tok,
+         |    unnest(range(len(toks))) AS pos
+         |  FROM ct WHERE doc_id % 2 = 1),
+         |kept AS (SELECT tok.doc_id, count(*) AS n_kept,
+         |    string_agg(tok.tok, ' ' ORDER BY tok.pos) AS scrubbed_text
+         |  FROM tok LEFT JOIN cov
+         |    ON tok.doc_id = cov.doc_id AND tok.pos = cov.pos
+         |  WHERE cov.pos IS NULL
+         |  GROUP BY 1)
+         |SELECT ct.doc_id, CAST(len(ct.toks) AS BIGINT) AS n_tokens,
+         |  CAST(coalesce(kept.n_kept, 0) AS BIGINT) AS n_kept,
+         |  CAST(len(ct.toks) - coalesce(kept.n_kept, 0) AS BIGINT)
+         |    AS n_removed,
+         |  coalesce(kept.scrubbed_text, '') AS scrubbed_text
+         |FROM ct LEFT JOIN kept USING (doc_id)
+         |WHERE ct.doc_id % 2 = 1 ORDER BY ct.doc_id""".stripMargin,
 
     "pipeline_intake_incremental" ->
       s"""WITH ${incrementalSqlCtes(qualityEligibleSql)},

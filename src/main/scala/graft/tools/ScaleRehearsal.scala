@@ -62,7 +62,8 @@ object ScaleRehearsal {
     // round 15: the span tier, the e2e accounting card, and the
     // persisted cross-drop pack (cold column carries artifact builds)
     "dedup_incremental_span", "pipeline_intake_report",
-    "pipeline_drop_pack", "pipeline_drop_train", "pipeline_drop_report")
+    "pipeline_drop_pack", "pipeline_drop_train", "pipeline_drop_report",
+    "pipeline_drop_scrub")
 
   /** `ScaleRehearsal sf10 [base] [out] [queries...]` — the 100× column:
     * a 100-copy database materialized for JUST the tables the audited

@@ -223,6 +223,31 @@ class DedupStateSpec extends AnyFunSuite {
     assert(v(7L).getBoolean(v(7L).fieldIndex("admitted")))
   }
 
+  test("spanScrub cuts exactly the state-admitted chunks, keeps the rest in order") {
+    val dir = tmp()
+    val chunk = (1 to DedupState.SpanTokens).map(i => s"word$i").mkString(" ")
+    DedupState.admit(spark, dir,
+      docs(0L -> (chunk + " trailing tail"), 2L -> otherText), "d1")
+    import spark.implicits._
+    val batch = Seq(
+      // the admitted chunk sits at positions 16-31; its 16 tokens go
+      (5L, Option("lead1 lead2 lead3 lead4 lead5 lead6 lead7 lead8 " +
+        "lead9 lead10 lead11 lead12 lead13 lead14 lead15 lead16 " +
+        chunk + " tail1 tail2")),
+      (7L, Option("completely novel tokens that match nothing admitted")),
+      (9L, Option.empty[String]))
+      .toDF("doc_id", "text")
+    val out = DedupState.spanScrub(spark, DedupState.load(dir), batch)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(5L).getLong(1) === 34L && out(5L).getLong(3) === 16L)
+    assert(out(5L).getString(4) ===
+      (1 to 16).map(i => s"lead$i").mkString(" ") + " tail1 tail2",
+      "survivors re-join in order, the admitted chunk cut whole")
+    assert(out(7L).getLong(3) === 0L &&
+      out(7L).getString(4).startsWith("completely novel"))
+    assert(!out.contains(9L), "null-text docs have no tokens to scrub")
+  }
+
   test("Bloom saturation never changes a verdict (prefilter exactness)") {
     import spark.implicits._
     val dir = tmp()
