@@ -400,7 +400,11 @@ object Main {
         // what was admitted
         val newDelta = (after.deltas.map(_.name).toSet --
           before.deltas.map(_.name).toSet).head
-        val v = s.read.parquet(s"$stateDir/$newDelta/card")
+        // explicit-schema read via the operator's own card reader (an
+        // all-rejected or EMPTY drop writes a data-less card dir, where
+        // parquet schema inference fails)
+        val v = graft.operators.DedupState.card(s,
+          after.copy(deltas = after.deltas.filter(_.name == newDelta)))
           .groupBy()
           .agg(count(lit(1)).as("n"),
             count(when(col("exact_dup_state"), true)).as("xs"),
@@ -484,11 +488,14 @@ object Main {
       } else {
         val drop = s.read.parquet(dropDir).select("doc_id", "token_ids")
         val after = graft.operators.PackState.pack(s, stateDir, drop, fp, p)
+        // coalesce: an empty state's sum(n_real) aggregates to null
         val rows = graft.operators.PackState.trainingRows(s, after)
           .agg(org.apache.spark.sql.functions.count(
             org.apache.spark.sql.functions.lit(1)),
-            org.apache.spark.sql.functions.sum(
-              org.apache.spark.sql.functions.col("n_real")))
+            org.apache.spark.sql.functions.coalesce(
+              org.apache.spark.sql.functions.sum(
+                org.apache.spark.sql.functions.col("n_real")),
+              org.apache.spark.sql.functions.lit(0L)))
           .collect().head
         println(s"packed ${after.nDocs - before.nDocs} doc(s); state now " +
           s"${after.nDocs} docs in ${rows.getLong(0)} training sequence(s) " +

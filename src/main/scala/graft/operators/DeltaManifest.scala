@@ -116,27 +116,47 @@ private[operators] object DeltaManifest {
         throw new IllegalStateException(
           s"concurrent delta-store writer detected at manifest-v$version " +
             s"under $root — writers are single-writer by contract", e)
+      case e: UnsupportedOperationException =>
+        // a filesystem without hard links cannot give us the
+        // EEXIST-atomic publish the single-writer contract relies on —
+        // fail with the actionable message rather than silently degrade
+        // to rename(2) (which REPLACES an existing target, turning a
+        // lost race into a dropped delta ref)
+        Files.deleteIfExists(tmp)
+        throw new UnsupportedOperationException(
+          s"the filesystem hosting $root does not support hard links, " +
+            "which the delta-store manifest commit requires for its " +
+            "atomic EEXIST-loud publish — host the state on a POSIX " +
+            "filesystem (every local/NFS/EFS-class mount qualifies)", e)
     }
     Files.deleteIfExists(tmp)
     ()
   }
 
-  /** Delete unreferenced directories under the root: staging leftovers
-    * and deltas the CURRENT manifest doesn't hold. Single-writer
+  /** Delete unreferenced artifacts under the root: staging leftovers,
+    * deltas the CURRENT manifest doesn't hold, and `.manifest-tmp-*`
+    * files a crash between write and publish left behind. Single-writer
     * contract — never run concurrently with an in-flight commit. */
   def gc(dir: String, magic: String, defaultPayload: String): Int = {
     val root = Paths.get(dir)
     if (!Files.isDirectory(root)) return 0
     val live = load(dir, magic, defaultPayload).refs.map(_.name).toSet
     import scala.jdk.CollectionConverters._
-    val doomed = scala.util.Using.resource(Files.list(root))(
-      _.iterator().asScala.toList).filter { p =>
+    val all = scala.util.Using.resource(Files.list(root))(
+      _.iterator().asScala.toList)
+    val doomedDirs = all.filter { p =>
       val n = p.getFileName.toString
       Files.isDirectory(p) &&
         ((n.startsWith("delta-") && !live.contains(n)) ||
           n.startsWith("staging-"))
     }
-    doomed.foreach(p => graft.storage.ParquetLogBackend.deleteRecursively(p))
-    doomed.size
+    val doomedTmp = all.filter { p =>
+      Files.isRegularFile(p) &&
+        p.getFileName.toString.startsWith(".manifest-tmp-")
+    }
+    doomedDirs.foreach(p =>
+      graft.storage.ParquetLogBackend.deleteRecursively(p))
+    doomedTmp.foreach(p => Files.deleteIfExists(p))
+    doomedDirs.size + doomedTmp.size
   }
 }

@@ -22,17 +22,23 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *                          index `step`); a sequence spanning drops
   *                          holds contrib rows in several deltas
   *   delta-<uuid>/bins/     parquet: bucket, seq, rem — the POST-pack
-  *                          snapshot of every bucket's open-bin
-  *                          remainders (bin creation order = seq)
-  *   delta-<uuid>/counters/ parquet: bucket, steps — the post-pack
-  *                          per-bucket visit counter
+  *                          snapshot of every bucket's ACTIVE open-bin
+  *                          remainders (bin creation order = seq; bins
+  *                          the geometry's closeBelow rule retires are
+  *                          excluded)
+  *   delta-<uuid>/closed/   parquet: bucket, seq, rem — bins THIS pack
+  *                          retired (append-only audit tier, never
+  *                          rescanned by later packs)
+  *   delta-<uuid>/counters/ parquet: bucket, steps, nbins — the
+  *                          post-pack per-bucket visit counter and
+  *                          total bins ever opened (the next seq source)
   * }}}
-  * `contrib/` accumulates across deltas (it IS the corpus's packed
-  * form); `bins/`+`counters/` are SNAPSHOTS — only the LATEST delta's
-  * pair seeds the next pack, which is what makes each delta immutable
-  * while the packer state evolves. [[compact]] concatenates contrib
-  * verbatim and carries the latest snapshot, so [[trainingRows]] is
-  * invariant under compaction.
+  * `contrib/` and `closed/` accumulate across deltas (contrib IS the
+  * corpus's packed form); `bins/`+`counters/` are SNAPSHOTS — only the
+  * LATEST delta's pair seeds the next pack, which is what makes each
+  * delta immutable while the packer state evolves. [[compact]]
+  * concatenates the accumulating leaves verbatim and carries the latest
+  * snapshot, so [[trainingRows]] is invariant under compaction.
   *
   * FFD semantics per drop (the pack_best_fit kernel, seeded): documents
   * visit per bucket in (n_eff DESC, doc_id) order, each takes the
@@ -49,10 +55,15 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * drop's docs (buckets are the parallelism; the per-bucket tree holds
   * open-bin remainders, the same working set the batch packer keeps) +
   * a join of assignments back to the drop's token arrays. The bins
-  * snapshot rewrite is O(open bins) per drop — at extreme state sizes
-  * a deployment caps it by closing bins under a fill threshold, a
-  * documented semantic knob this operator deliberately does NOT apply
-  * (the sequential-replay oracle would no longer be exact).
+  * snapshot rewrite is O(ACTIVE bins) per drop: [[Params.closeBelow]]
+  * (round 16) retires bins whose remainder can no longer usefully
+  * accept into an append-only `closed/` leaf that is never rescanned or
+  * re-emitted — without it every pack rewrote the full
+  * O(total_tokens/L) open-bin list, a per-drop cost proportional to
+  * corpus-so-far, repeated forever. The rule is part of the pinned
+  * geometry and mirrored verbatim by the seeded-FFD oracle (a closed
+  * bin keeps its seq position as a -1 sentinel), so the
+  * sequential-replay contract stays hash-exact.
   *
   * Crash/replay: delta staged whole, manifest commit atomic
   * (EEXIST-loud), fingerprint replay is a no-op — an intake job that
@@ -65,11 +76,31 @@ object PackState {
 
   /** The packing geometry, pinned into the manifest header: a state
     * packed under one geometry refuses packs under another (silently
-    * mixing sequence lengths would corrupt every row). */
-  final case class Params(seqLen: Int, eosId: Int, padId: Int, buckets: Int) {
-    require(seqLen >= 2 && buckets >= 1)
+    * mixing sequence lengths would corrupt every row).
+    *
+    * `closeBelow` is the CLOSED-BINS rule (round 16), part of the pinned
+    * geometry so it can never change mid-state: at the END of each pack,
+    * every open bin whose remainder is < closeBelow moves to the delta's
+    * append-only `closed/` leaf and is never rescanned or re-emitted —
+    * the `bins/` snapshot holds ACTIVE bins only, so the per-drop
+    * snapshot write is O(active bins), not O(all bins ever opened)
+    * (which is O(corpus/L) and grows forever). The rule is deterministic
+    * and applied identically by the seeded-FFD oracle (closed bins keep
+    * their seq positions as a `-1` sentinel remainder no n_eff ≥ 1 can
+    * fit), so training rows stay hash-exact at any closeBelow.
+    * closeBelow = 0 (the default) closes nothing — byte-compatible with
+    * pre-round-16 states, whose manifests omit the field. Note
+    * closeBelow = 2 is semantics-free for any input (n_eff ≥ 1 means a
+    * rem-0 bin can never accept; a rem-1 bin only accepts empty docs);
+    * larger values trade a deterministic, oracle-mirrored packing change
+    * for a smaller active set. */
+  final case class Params(
+      seqLen: Int, eosId: Int, padId: Int, buckets: Int,
+      closeBelow: Int = 0) {
+    require(seqLen >= 2 && buckets >= 1 && closeBelow >= 0)
     private[PackState] def payload =
-      s"L=$seqLen eos=$eosId pad=$padId buckets=$buckets"
+      s"L=$seqLen eos=$eosId pad=$padId buckets=$buckets" +
+        (if (closeBelow > 0) s" close=$closeBelow" else "")
   }
 
   final case class DeltaRef(name: String, ledger: String, nDocs: Long) {
@@ -98,12 +129,20 @@ object PackState {
     "bucket bigint, seq bigint, step bigint, doc_id bigint, " +
       "ids_doc array<int>"
   private val BinsSchema = "bucket bigint, seq bigint, rem bigint"
-  private val CountersSchema = "bucket bigint, steps bigint"
+  // `nbins` (total bins ever opened per bucket — the next bin's seq
+  // source once closed bins leave the snapshot) is round-16: legacy
+  // deltas lack the column and read back null (Spark fills missing
+  // parquet columns under an explicit schema), derived on read from the
+  // legacy snapshot's max seq — exact, because a closeBelow=0 snapshot
+  // holds EVERY bin ever opened
+  private val CountersSchema = "bucket bigint, steps bigint, nbins bigint"
 
   private def readLeaf(
       s: SparkSession, dir: String, deltas: Seq[String],
       leaf: String, schema: String): DataFrame = {
-    val paths = deltas.map(d => s"$dir/$d/$leaf")
+    // legacy deltas may lack a round-16 leaf dir entirely (closed/)
+    val paths = deltas.map(d => s"$dir/$d/$leaf").filter(p =>
+      java.nio.file.Files.isDirectory(java.nio.file.Paths.get(p)))
     if (paths.isEmpty)
       s.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
         org.apache.spark.sql.types.StructType.fromDDL(schema))
@@ -115,10 +154,17 @@ object PackState {
   def contrib(s: SparkSession, h: Handle): DataFrame =
     readLeaf(s, h.dir, h.deltas.map(_.name), "contrib", ContribSchema)
 
-  /** The current open-bin snapshot (latest delta's). */
+  /** The current ACTIVE open-bin snapshot (latest delta's; excludes
+    * bins the geometry's close rule has retired — see [[binsClosed]]). */
   def bins(s: SparkSession, h: Handle): DataFrame =
     readLeaf(s, h.dir, h.deltas.lastOption.map(_.name).toSeq,
       "bins", BinsSchema)
+
+  /** Bins retired by the geometry's closeBelow rule, across all deltas
+    * (append-only — each delta holds only the bins IT closed); the
+    * audit complement of [[bins]]. Empty for closeBelow = 0 states. */
+  def binsClosed(s: SparkSession, h: Handle): DataFrame =
+    readLeaf(s, h.dir, h.deltas.map(_.name), "closed", BinsSchema)
 
   private def counters(s: SparkSession, h: Handle): DataFrame =
     readLeaf(s, h.dir, h.deltas.lastOption.map(_.name).toSeq,
@@ -139,52 +185,76 @@ object PackState {
     val ids = idRows
       .select(col("doc_id").cast("long").as("doc_id"),
         col("token_ids").cast("array<int>").as("token_ids"))
+      // null token_ids would read as n_ids = -1 (size(null)), violating
+      // the kernel's n_eff ≥ 1 contract and corrupting its sequence —
+      // drop them here, the same null-content posture DedupState takes
+      .filter(col("token_ids").isNotNull)
       .withColumn("bucket", (col("doc_id") % p.buckets).cast("long"))
       .withColumn("n_ids", size(col("token_ids")).cast("long"))
       .withColumn("n_eff", least(col("n_ids") + 1L, lit(L)))
 
-    // seed rows: (bucket, kind, a, b) — kind 1 = open bin (a=seq, b=rem)
-    // in creation order, kind 2 = visit counter (b=steps); the kernel's
-    // sort key (kind, a) replays bins before the counter
-    val seed = bins(s, h)
+    // seed rows: (bucket, kind, a, b) — kind 1 = ACTIVE open bin (a=seq,
+    // b=rem) in creation order, kind 2 = the counters (a=nbins ever
+    // opened, b=steps); the kernel's sort key (kind, a) replays bins
+    // before the counter. nbins falls back to the snapshot's max seq for
+    // legacy (pre-nbins) deltas, where the snapshot holds every bin.
+    val binsNow = bins(s, h)
+    val maxSeq = binsNow.groupBy("bucket").agg(max(col("seq")).as("mxseq"))
+    val seed = binsNow
       .select(col("bucket"), lit(1).as("kind"),
         col("seq").as("a"), col("rem").as("b"))
       .unionByName(counters(s, h)
+        .join(maxSeq, Seq("bucket"), "left")
         .select(col("bucket"), lit(2).as("kind"),
-          lit(0L).as("a"), col("steps").as("b")))
+          coalesce(col("nbins"), col("mxseq"), lit(0L)).as("a"),
+          col("steps").as("b")))
       .as[(Long, Int, Long, Long)]
     val docs = ids.select("doc_id", "bucket", "n_eff")
       .as[(Long, Long, Long)]
 
     // ONE sorted cogroup pass per bucket: replay the seed into the tree,
-    // FFD the drop's docs, then emit the post-pack snapshot. Buckets in
-    // the seed but absent from the drop re-emit their snapshot verbatim;
-    // fresh buckets start empty. Output kinds mirror the seed's
-    // (0 = assignment row).
+    // FFD the drop's docs, then emit the post-pack snapshot — active
+    // bins (kind 1), bins the close rule retires THIS pack (kind 3), and
+    // the counters (kind 2). Buckets in the seed but absent from the
+    // drop re-emit their snapshot (the close rule still applies — a
+    // constant of the geometry); fresh buckets start empty. The tree
+    // holds ACTIVE bins only, with `seqOf` carrying each slot's bin seq:
+    // actives stay in creation order (closing never reorders survivors,
+    // appends get fresh higher seqs), so the tree's lowest fitting slot
+    // IS the lowest-seq fitting bin — first-fit semantics are unchanged.
+    val closeBelow = p.closeBelow.toLong
     val raw = seed.groupByKey(_._1)
       .cogroupSorted(docs.groupByKey(_._2))(
         col("kind"), col("a"))(col("n_eff").desc, col("doc_id")) {
         (bucket, seedIt, docIt) =>
           val tree = new FirstFitTree
+          val seqOf = scala.collection.mutable.ArrayBuffer.empty[Long]
           var steps = 0L
+          var nbins = 0L
           seedIt.foreach {
-            case (_, 1, _, rem) => tree.append(rem); ()
-            case (_, _, _, st) => steps = st
+            case (_, 1, seqNo, rem) =>
+              tree.append(rem); seqOf += seqNo; ()
+            case (_, _, nb, st) => nbins = nb; steps = st
           }
           val assigned = docIt.map { case (docId, _, nEff) =>
             steps += 1L
             val fit = tree.firstFit(nEff)
             val seq =
-              if (fit >= 0) { tree.take(fit, nEff); fit + 1L }
-              else { tree.append(L - nEff); tree.size.toLong }
+              if (fit >= 0) { tree.take(fit, nEff); seqOf(fit) }
+              else {
+                nbins += 1L
+                tree.append(L - nEff); seqOf += nbins; nbins
+              }
             (0, bucket, docId, seq, steps, nEff)
           }
           // Iterator.++'s rhs is by-name: the snapshot materializes only
           // after every assignment has updated the tree/counter
           assigned ++ Iterator.single(()).flatMap { _ =>
-            (0 until tree.size).iterator.map(i =>
-              (1, bucket, 0L, (i + 1).toLong, tree.remaining(i), 0L)) ++
-              Iterator.single((2, bucket, 0L, 0L, steps, 0L))
+            (0 until tree.size).iterator.map { i =>
+              val rem = tree.remaining(i)
+              val kind = if (rem < closeBelow) 3 else 1
+              (kind, bucket, 0L, seqOf(i), rem, 0L)
+            } ++ Iterator.single((2, bucket, 0L, nbins, steps, 0L))
           }
       }
       .toDF("kind", "bucket", "doc_id", "seq", "x", "n_eff")
@@ -207,8 +277,11 @@ object PackState {
     rawStaged.filter(col("kind") === 1)
       .select(col("bucket"), col("seq"), col("x").as("rem"))
       .write.parquet(s"$st/bins")
+    rawStaged.filter(col("kind") === 3)
+      .select(col("bucket"), col("seq"), col("x").as("rem"))
+      .write.parquet(s"$st/closed")
     rawStaged.filter(col("kind") === 2)
-      .select(col("bucket"), col("x").as("steps"))
+      .select(col("bucket"), col("x").as("steps"), col("seq").as("nbins"))
       .write.parquet(s"$st/counters")
     val n = s.read.schema(org.apache.spark.sql.types.StructType
       .fromDDL(ContribSchema)).parquet(s"$st/contrib").count()
@@ -248,9 +321,11 @@ object PackState {
         col("n_real"), col("n_pad"), col("ids_md5"))
   }
 
-  /** Fold every delta's contrib verbatim into one delta carrying the
-    * LATEST bins/counters snapshot; [[trainingRows]] and the next
-    * [[pack]] answer identically before and after. The ledger survives. */
+  /** Fold every delta's contrib (and closed-bins audit) verbatim into
+    * one delta carrying the LATEST bins/counters snapshot —
+    * [[trainingRows]] and the next [[pack]] answer identically before
+    * and after. The ledger survives; legacy counters materialize their
+    * derived nbins so the compacted delta is fully upgraded. */
   def compact(s: SparkSession, dir: String, p: Params): Handle =
     synchronized {
       val h = load(dir, p)
@@ -258,8 +333,15 @@ object PackState {
       val staging = DeltaManifest.stagingPath(dir)
       val st = staging.toString
       contrib(s, h).write.parquet(s"$st/contrib")
-      bins(s, h).write.parquet(s"$st/bins")
-      counters(s, h).write.parquet(s"$st/counters")
+      val binsNow = bins(s, h)
+      binsNow.write.parquet(s"$st/bins")
+      binsClosed(s, h).write.parquet(s"$st/closed")
+      counters(s, h)
+        .join(binsNow.groupBy("bucket").agg(max(col("seq")).as("mxseq")),
+          Seq("bucket"), "left")
+        .select(col("bucket"), col("steps"),
+          coalesce(col("nbins"), col("mxseq"), lit(0L)).as("nbins"))
+        .write.parquet(s"$st/counters")
       val deltaName = DeltaManifest.promote(staging)
       val mergedLedger =
         h.deltas.map(_.ledger).mkString(DeltaManifest.FpSep.toString)

@@ -479,7 +479,9 @@ object TextAnalysis {
        |pkf1f AS (SELECT f.bucket, f.rem FROM pkffd1 f
        |  JOIN pkf1n ON f.bucket = pkf1n.bucket AND f.step = pkf1n.mstep),
        |pks2 AS (SELECT b.bucket,
-       |    coalesce(pkf1f.rem, CAST([] AS BIGINT[])) AS rem
+       |    list_transform(coalesce(pkf1f.rem, CAST([] AS BIGINT[])),
+       |      r -> CASE WHEN r < $PackCloseBelow THEN CAST(-1 AS BIGINT)
+       |        ELSE r END) AS rem
        |  FROM (SELECT DISTINCT bucket FROM pke2) b
        |  LEFT JOIN pkf1f USING (bucket)),
        |${seededFfdSql("pkffd2", "pke2", "pks2")},
@@ -760,7 +762,8 @@ object TextAnalysis {
     * manifest so a geometry change can never silently mix rows. */
   private def packParams: graft.operators.PackState.Params =
     graft.operators.PackState.Params(
-      TokenSeqLen, BpeEosId, BpePadId, PackBuckets)
+      TokenSeqLen, BpeEosId, BpePadId, PackBuckets,
+      closeBelow = PackCloseBelow)
 
   /** Build-and-persist the two-drop pack state once per testdata dir
     * ([[graft.util.ArtifactCache]]): tokenize (az BPE, the
@@ -770,7 +773,7 @@ object TextAnalysis {
   private def ensurePackState(s: SparkSession, dir: String): String =
     graft.util.ArtifactCache.ensure(
       java.nio.file.Paths.get(dir, "documents.parquet"),
-      "graft-packstate", "manifest-v2") { staging =>
+      "graft-packstate2", "manifest-v2") { staging =>
       val ids = tokenIdsOf(s, dir, learnBpeMergesCached(s, dir))
       graft.operators.PackState.pack(s, staging,
         ids.filter(col("doc_id") % 2 === 0), "drop-1", packParams)
@@ -787,7 +790,7 @@ object TextAnalysis {
   private def ensureCuratedPackState(s: SparkSession, dir: String): String =
     graft.util.ArtifactCache.ensure(
       java.nio.file.Paths.get(dir),
-      "graft-packstatec", "manifest-v2") { staging =>
+      "graft-packstatec2", "manifest-v2") { staging =>
       val ids = tokenIdsOf(s, dir, learnBpeMergesCached(s, dir))
       graft.operators.PackState.pack(s, staging,
         ids.join(Dedup.curatedDropIds(s, dir, 0), Seq("doc_id")),
@@ -886,6 +889,11 @@ object TextAnalysis {
   private val RareTf = 2 // text_rarity: corpus frequency ≤ this ⇒ rare
   private val CommonTf = 1000 // text_rarity: corpus frequency ≥ this ⇒ common
   private val PackBuckets = 32 // pack_sequences: independent pack streams
+  // the persisted pack state's closed-bins threshold — deliberately > 2
+  // (the always-semantics-free setting) so the gate EXERCISES the rule:
+  // bins with rem < 8 retire between drops, and the seeded FFD oracle
+  // mirrors the retirement with a -1 sentinel at the bin's seq position
+  private val PackCloseBelow = 8
   private val PackBudget = 512 // pack_sequences: tokens per training sequence
   // fixed-point ln scales, shared with the streaming twins
   // (StreamOps.perplexityStream / classifyQualityStream) so the two tiers

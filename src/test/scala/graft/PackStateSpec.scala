@@ -117,6 +117,122 @@ class PackStateSpec extends AnyFunSuite {
     assert(!java.nio.file.Files.exists(orphan))
   }
 
+  test("closeBelow retires full bins into closed/; training rows invariant when no closed bin could have accepted") {
+    // drop 1 (both dirs): doc 2 (n_eff 6) → bin 1 (rem 2); doc 0
+    // (n_eff 4) → bin 2 (rem 4). closeBelow=3 retires bin 1 at pack end.
+    // drop 2's docs all have n_eff 4 > 2, so bin 1 could never have
+    // accepted them — both states must produce IDENTICAL training rows.
+    val pc = P.copy(closeBelow = 3)
+    val d1 = rows(0L -> Seq(1, 2, 3), 2L -> Seq(4, 5, 6, 7, 8))
+    val d2 = rows(1L -> Seq(9, 10, 11), 3L -> Seq(10, 11, 12))
+    val dirC = tmp(); val dirO = tmp()
+    PackState.pack(spark, dirC, d1, "d1", pc)
+    PackState.pack(spark, dirO, d1, "d1", P)
+    // the close rule is visible in the snapshot: bin 1 left the active
+    // set for closed/, bin 2 stayed
+    val hc1 = PackState.load(dirC, pc)
+    assert(PackState.bins(spark, hc1).collect()
+      .map(r => (r.getLong(1), r.getLong(2))).toSeq === Seq((2L, 4L)))
+    assert(PackState.binsClosed(spark, hc1).collect()
+      .map(r => (r.getLong(1), r.getLong(2))).toSeq === Seq((1L, 2L)))
+    // closeBelow=0 keeps everything active, closes nothing
+    val ho1 = PackState.load(dirO, P)
+    assert(PackState.bins(spark, ho1).count() === 2L)
+    assert(PackState.binsClosed(spark, ho1).count() === 0L)
+
+    val hc = PackState.pack(spark, dirC, d2, "d2", pc)
+    val ho = PackState.pack(spark, dirO, d2, "d2", P)
+    assert(PackState.trainingRows(spark, hc)
+      .orderBy("bucket", "seq").collect().toSeq ===
+      PackState.trainingRows(spark, ho)
+        .orderBy("bucket", "seq").collect().toSeq)
+  }
+
+  test("a closed bin is never reused; new bins continue the seq numbering past it") {
+    // drop 1: doc 0 (n_eff 7) → bin 1 (rem 1); doc 2 (n_eff 6) doesn't
+    // fit → bin 2 (rem 2). closeBelow=3 retires BOTH. drop 2's doc has
+    // n_eff 2 — it WOULD fit bin 2, but the rule is pinned geometry:
+    // it must open a NEW bin whose seq continues from nbins (3), not
+    // reuse a retired seq or collide with an active one.
+    val pc = P.copy(closeBelow = 3)
+    val dir = tmp()
+    PackState.pack(spark, dir,
+      rows(0L -> Seq(1, 2, 3, 4, 5, 6), 2L -> Seq(4, 5, 6, 7, 8)),
+      "d1", pc)
+    val h = PackState.pack(spark, dir, rows(1L -> Seq(9)), "d2", pc)
+    val tr = PackState.trainingRows(spark, h).orderBy("seq").collect()
+    assert(tr.map(_.getLong(1)).toSeq === Seq(1L, 2L, 3L))
+    assert(tr(2).getString(5) === md5("9,98,99,99,99,99,99,99"))
+    // and the retired bins stay retired across packs
+    assert(PackState.binsClosed(spark, h).orderBy("seq").collect()
+      .map(r => (r.getLong(1), r.getLong(2))).toSeq ===
+      Seq((1L, 1L), (2L, 2L)))
+  }
+
+  test("legacy counters without nbins derive it from the full snapshot") {
+    // build two identical one-drop states, then strip the nbins column
+    // from one delta's counters (the pre-round-16 on-disk layout, where
+    // the snapshot held EVERY bin); the next pack must behave identically
+    val dirL = tmp(); val dirN = tmp()
+    val d1 = rows(0L -> Seq(1, 2, 3), 2L -> Seq(4, 5, 6, 7, 8))
+    PackState.pack(spark, dirL, d1, "d1", P)
+    PackState.pack(spark, dirN, d1, "d1", P)
+    val delta = PackState.load(dirL, P).deltas.head.name
+    val ctrPath = s"$dirL/$delta/counters"
+    val legacy = spark.read.parquet(ctrPath)
+      .select("bucket", "steps").collect().toSeq
+    import scala.jdk.CollectionConverters._
+    spark.createDataFrame(legacy.asJava,
+      org.apache.spark.sql.types.StructType.fromDDL(
+        "bucket bigint, steps bigint"))
+      .write.mode("overwrite").parquet(ctrPath)
+    val d2 = rows(1L -> Seq(9), 3L -> Seq(10, 11, 12))
+    val hl = PackState.pack(spark, dirL, d2, "d2", P)
+    val hn = PackState.pack(spark, dirN, d2, "d2", P)
+    assert(PackState.trainingRows(spark, hl)
+      .orderBy("bucket", "seq").collect().toSeq ===
+      PackState.trainingRows(spark, hn)
+        .orderBy("bucket", "seq").collect().toSeq)
+  }
+
+  test("compaction carries the closed tier and the upgraded counters") {
+    val pc = P.copy(closeBelow = 3)
+    val dirA = tmp(); val dirB = tmp()
+    def packTwo(dir: String): Unit = {
+      PackState.pack(spark, dir,
+        rows(0L -> Seq(1, 2, 3), 2L -> Seq(4, 5, 6, 7, 8)), "d1", pc)
+      PackState.pack(spark, dir, rows(1L -> Seq(9)), "d2", pc)
+      ()
+    }
+    packTwo(dirA); packTwo(dirB)
+    val hc = PackState.compact(spark, dirA, pc)
+    assert(hc.deltas.size === 1)
+    // delta 1 closed bin 1 (rem 2); delta 2's doc took bin 2 down to
+    // rem 2 so it closed too — compaction concatenates both closed rows
+    assert(PackState.binsClosed(spark, hc).orderBy("seq").collect()
+      .map(r => (r.getLong(1), r.getLong(2))).toSeq ===
+      Seq((1L, 2L), (2L, 2L)))
+    val d3 = rows(5L -> Seq(20, 21, 22))
+    PackState.pack(spark, dirA, d3, "d3", pc)
+    PackState.pack(spark, dirB, d3, "d3", pc)
+    assert(
+      PackState.trainingRows(spark, PackState.load(dirA, pc))
+        .orderBy("bucket", "seq").collect().toSeq ===
+        PackState.trainingRows(spark, PackState.load(dirB, pc))
+          .orderBy("bucket", "seq").collect().toSeq)
+  }
+
+  test("null token_ids rows are dropped, not packed as corrupt sequences") {
+    val dir = tmp()
+    val withNull = rows(0L -> Seq(1, 2, 3)).unionByName(
+      spark.sql("SELECT CAST(1 AS BIGINT) AS doc_id, " +
+        "CAST(NULL AS ARRAY<INT>) AS token_ids"))
+    val h = PackState.pack(spark, dir, withNull, "d1", P)
+    assert(h.nDocs === 1L)
+    val tr = PackState.trainingRows(spark, h).collect()
+    assert(tr.length === 1 && tr(0).getLong(3) === 4L) // 1,2,3,EOS
+  }
+
   test("buckets untouched by a drop carry their bins forward verbatim") {
     val p2 = P.copy(buckets = 2)
     val dir = tmp()
