@@ -523,6 +523,29 @@ object Main {
       println(s"compacted to ${h.deltas.size} delta(s) " +
         s"(${h.nDocs} docs, manifest v${h.version}); gc removed $n dir(s)")
 
+    // materialize legacy deltas' pre-banded leaves IN PLACE (no delta
+    // fold, no manifest change, verdicts bit-identical) — the cheap
+    // upgrade for many-delta pre-r15 states whose derive-on-read pays
+    // one Window per legacy delta per verdict
+    case Seq("upgrade-state", stateDir) =>
+      val s = spark()
+      val n = graft.operators.DedupState.upgrade(s, stateDir)
+      val h = graft.operators.DedupState.load(stateDir)
+      println(s"materialized $n leaf(s) across ${h.deltas.size} delta(s) " +
+        s"(${h.nDocs} docs, manifest v${h.version})")
+
+    // the state's typed health verdict: delta accumulation (compaction
+    // cadence) and exact-tier Bloom saturation (capacity)
+    case Seq("state-health", stateDir) =>
+      val s = spark()
+      val h = graft.operators.DedupState.load(stateDir)
+      val hr = graft.operators.DedupState.health(s, h)
+      println(f"deltas=${hr.nDeltas} docs=${hr.nDocs} " +
+        f"bloom_fill=${hr.bloomFill * 100}%.2f%% " +
+        f"band_fanout_bound=${hr.bandFanoutBound} " +
+        f"compact_recommended=${hr.compactRecommended} " +
+        f"bloom_saturated=${hr.bloomSaturated}")
+
     // extension (no reference analog): tokenizer-model interchange —
     // export a byte-alphabet BpeModel as the public merges.txt /
     // vocab.json pair (inverse of BpeModel.importMerges)
@@ -569,6 +592,7 @@ object Main {
           "ingest-jsonl <jsonldir> <parquetdir>|" +
           "import-tokenizer <merges.txt> <vocab.json> <modeldir>|" +
           "admit <statedir> <dropparquet>|compact-state <statedir>|" +
+          "upgrade-state <statedir>|state-health <statedir>|" +
           "pack <statedir> <idsparquet>|pack-rows <statedir> <outdir>|" +
           "register-benchmark <regdir> <benchparquet> <name>|" +
           "register-embeddings <regdir> <vecparquet> <name>|" +

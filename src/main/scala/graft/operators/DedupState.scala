@@ -676,4 +676,97 @@ object DedupState {
   def gc(dir: String): Int = synchronized {
     DeltaManifest.gc(dir, Magic, s"bits=$DefaultBloomBits")
   }
+
+  /** Materialize the pre-banded leaves of LEGACY deltas in place,
+    * WITHOUT folding deltas (round 16 — the upgrade path for many-delta
+    * pre-r15 states, where [[bands]]/[[ebands]]' derive-on-read folds
+    * one Window + union per legacy delta on every verdict). Each
+    * missing `bands/`/`ebands/` leaf is derived from that delta's own
+    * rows — byte-identical to what derive-on-read serves, since both
+    * run the same per-delta capped banding — staged inside the delta
+    * dir and published by atomic rename, so a crash mid-upgrade leaves
+    * only an ignored `.…-upgrade-tmp` dir (reclaimed on the next run)
+    * and the read path keeps deriving until the leaf exists whole.
+    * Content-preserving by construction: no manifest change, no delta
+    * fold, every verdict bit-identical before/after. Span evidence
+    * cannot be back-derived (it needs the admitted batch's TEXT, which
+    * rows/ never persists) — legacy deltas keep contributing nothing to
+    * the span tier, exactly as documented. Returns the number of leaves
+    * materialized. Single-writer contract, like [[compact]]. */
+  def upgrade(s: SparkSession, dir: String): Int = synchronized {
+    val h = load(dir)
+    var n = 0
+    h.deltas.foreach { d =>
+      def materialize(leaf: String)(make: => DataFrame): Unit =
+        if (!leafExists(h, d, leaf)) {
+          val target = java.nio.file.Paths.get(h.dir, d.name, leaf)
+          val tmp = java.nio.file.Paths.get(
+            h.dir, d.name, s".$leaf-upgrade-tmp")
+          graft.storage.ParquetLogBackend.deleteRecursively(tmp)
+          make.write.parquet(tmp.toString)
+          java.nio.file.Files.move(tmp, target,
+            java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+          n += 1
+        }
+      materialize("bands")(MinHashLsh.cappedBandsOf(
+        readLeaf(s, h, Seq(d), "rows", RowsSchema)
+          .filter(col("mins").isNotNull).select("doc_id", "mins")))
+      materialize("ebands")(RhpLsh.cappedBandsOf(RhpLsh.withSig(
+        readLeaf(s, h, Seq(d), "rows", RowsSchema)
+          .filter(col("emb").isNotNull)
+          .select(col("doc_id"), col("emb").as("v"))))
+        .select("doc_id", "v", "nrm", "b", "bkey"))
+    }
+    n
+  }
+
+  /** Typed state-health verdict (round 16) — the
+    * [[IvfIndex.DriftReport]] "when to maintain" pattern applied to
+    * delta accumulation, so compaction cadence stops being a
+    * caller-guessed constant:
+    *
+    *  - `nDeltas` drives the per-verdict costs that scale with LIVE
+    *    deltas, not content: the near/semantic tiers' state-side band
+    *    fanout bound is [[MinHashLsh.MaxBandBucket]] × bands × deltas
+    *    (each delta caps its own band buckets), and the exact/span
+    *    tiers fold one Bloom relation per delta. [[compact]] restores
+    *    this dimension to 1 without changing any verdict.
+    *  - `bloomFill` is the folded exact-tier Bloom's set-bit fraction —
+    *    CONTENT-driven (compaction ORs the same masks), so a saturated
+    *    Bloom is not a compaction signal but a capacity one: the
+    *    prefilter's FP rate ≈ fill², and past ~50% the residue
+    *    semi-join sees most of the batch. Remediation is re-admitting
+    *    into a state with larger `bits` — surfaced here so the operator
+    *    sees it BEFORE the probe degrades to a no-op.
+    *
+    * `compactRecommended` trips on the delta dimension alone;
+    * `bloomSaturated` reports the capacity dimension. Wire
+    * [[graft.streaming.IndexMaintainer.maintainDedupState]]'s
+    * `compactEvery` so the steady state stays below `maxDeltas`. */
+  final case class HealthReport(
+      nDeltas: Int,
+      nDocs: Long,
+      bloomFill: Double,
+      bandFanoutBound: Long,
+      compactRecommended: Boolean,
+      bloomSaturated: Boolean)
+
+  def health(
+      s: SparkSession, h: Handle,
+      maxDeltas: Int = 16, maxBloomFill: Double = 0.5): HealthReport = {
+    val setBits = foldedBloom(s, h, "bloom")
+      .agg(coalesce(sum(expr("bit_count(mask)")), lit(0L)))
+      .head().getLong(0)
+    val fill =
+      if (h.bloomBits <= 0) 0.0 else setBits.toDouble / h.bloomBits
+    HealthReport(
+      nDeltas = h.deltas.size,
+      nDocs = h.nDocs,
+      bloomFill = fill,
+      bandFanoutBound =
+        MinHashLsh.MaxBandBucket.toLong * MinHashLsh.NumBands *
+          h.deltas.size,
+      compactRecommended = h.deltas.size > maxDeltas,
+      bloomSaturated = fill > maxBloomFill)
+  }
 }

@@ -863,7 +863,8 @@ object IvfIndex {
       idx: IvfIndex,
       queries: DataFrame,
       nProbe: Int,
-      topK: Int): DataFrame = probeImpl(idx, queries, nProbe, topK, None)
+      topK: Int): DataFrame =
+    probeImpl(idx, queries, nProbe, topK, None, None)
 
   /** FILTERED vector search (round 13): [[probe]] with candidates
     * restricted to the ids in `allowed` (one `vec_id` column) — the
@@ -885,18 +886,45 @@ object IvfIndex {
       allowed: DataFrame,
       nProbe: Int,
       topK: Int): DataFrame =
-    probeImpl(idx, queries, nProbe, topK, Some(allowed))
+    probeImpl(idx, queries, nProbe, topK, Some(allowed), None)
+
+  /** PER-QUERY-ROW filtered search (round 16): every query row carries
+    * a tenant/visibility KEY (`keyCol`) and `allowedKeyed` is a
+    * `(keyCol, vec_id)` relation — ONE probe batch serves many tenants,
+    * each query ranked only over ITS key's allowed ids. Per query row
+    * this is exactly [[probeFiltered]] with
+    * `allowed = allowedKeyed WHERE key = query.key` (spec'd batch
+    * parity), but the cells scan is pruned ONCE for the whole batch
+    * instead of once per tenant: the deciding semi-join lands on
+    * (key, candidate) pairs after the probed-cells join, broadcast when
+    * the allowed relation is small, AQE otherwise. Keys compare as
+    * strings (cast on both sides — pass string or integral keys). */
+  def probeFilteredKeyed(
+      idx: IvfIndex,
+      queries: DataFrame,
+      keyCol: String,
+      allowedKeyed: DataFrame,
+      nProbe: Int,
+      topK: Int): DataFrame =
+    probeImpl(idx, queries, nProbe, topK, None, Some((keyCol, allowedKeyed)))
 
   private def probeImpl(
       idx: IvfIndex,
       queries: DataFrame,
       nProbe: Int,
       topK: Int,
-      allowed: Option[DataFrame]): DataFrame = {
+      allowed: Option[DataFrame],
+      keyed: Option[(String, DataFrame)]): DataFrame = {
     val spark = queries.sparkSession
     import spark.implicits._
-    val qRows = queries
-      .select(col("q_id"), col("qv"))
+    val qSel = keyed match {
+      case Some((kc, _)) =>
+        queries.select(col("q_id"), col("qv"),
+          col(kc).cast("string").as("k"))
+      case None =>
+        queries.select(col("q_id"), col("qv"), lit("").as("k"))
+    }
+    val qRows = qSel
       .withColumn("qnrm", Similarity.norm(col("qv")))
       .collect()
     val probePairs = qRows.flatMap { r =>
@@ -905,10 +933,10 @@ object IvfIndex {
         .map { case (c, i) => (dist2(c, qv), i) }
         .sortBy(_._1).take(nProbe)
         .map { case (_, cell) =>
-          (r.getLong(0), cell, qv.toSeq, r.getDouble(2)) }
+          (r.getLong(0), cell, qv.toSeq, r.getString(2), r.getDouble(3)) }
     }
     val probedCells = probePairs.map(_._2).distinct.toSeq
-    val probes = probePairs.toSeq.toDF("q_id", "cell", "qv", "qnrm")
+    val probes = probePairs.toSeq.toDF("q_id", "cell", "qv", "k", "qnrm")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("q_id"))
       .orderBy(col("cosine").desc, col("n_id"))
@@ -919,8 +947,14 @@ object IvfIndex {
     val cand = allowed.fold(cells)(a =>
       cells.join(a.select(col("vec_id").as("n_id")), Seq("n_id"),
         "left_semi"))
-    cand
-      .join(broadcast(probes), Seq("cell"))
+    val joined = cand.join(broadcast(probes), Seq("cell"))
+    val gated = keyed.fold(joined) { case (kc, ak) =>
+      joined.join(
+        ak.select(col(kc).cast("string").as("k"),
+          col("vec_id").as("n_id")),
+        Seq("k", "n_id"), "left_semi")
+    }
+    gated
       .filter(col("n_id") =!= col("q_id"))
       .withColumn("cosine",
         Similarity.cosinePre(col("qv"), col("nv"), col("qnrm"), col("nrm")))

@@ -422,7 +422,27 @@ object PqIndex {
       nProbe: Int,
       topK: Int,
       rerank: Int = 0): DataFrame =
-    adcProbeImpl(idx, queriesRaw, nProbe, topK, rerank, Some(allowed))
+    adcProbeImpl(idx, queriesRaw, nProbe, topK, rerank, Some(allowed), None)
+
+  /** PER-QUERY-ROW filtered ADC probes (round 16) —
+    * [[graft.operators.IvfIndex.probeFilteredKeyed]]'s semantics on the
+    * PQ tier: every query row carries a tenant/visibility KEY and
+    * `allowedKeyed` is a `(keyCol, vec_id)` relation; one probe batch
+    * serves many tenants, each ranked only over its key's allowed CODES
+    * (the semi-join lands on (key, candidate) pairs, 8 B/candidate, and
+    * the exact re-rank reads only surviving shortlist rows). Per query
+    * row this is exactly [[adcProbeFiltered]] with the key's allowed
+    * slice (spec'd batch parity). Keys compare as strings. */
+  def adcProbeFilteredKeyed(
+      idx: PqIndex,
+      queriesRaw: DataFrame,
+      keyCol: String,
+      allowedKeyed: DataFrame,
+      nProbe: Int,
+      topK: Int,
+      rerank: Int = 0): DataFrame =
+    adcProbeImpl(idx, queriesRaw, nProbe, topK, rerank, None,
+      Some((keyCol, allowedKeyed)))
 
   def adcProbe(
       idx: PqIndex,
@@ -430,7 +450,7 @@ object PqIndex {
       nProbe: Int,
       topK: Int,
       rerank: Int = 0): DataFrame =
-    adcProbeImpl(idx, queriesRaw, nProbe, topK, rerank, None)
+    adcProbeImpl(idx, queriesRaw, nProbe, topK, rerank, None, None)
 
   private def adcProbeImpl(
       idx: PqIndex,
@@ -438,19 +458,24 @@ object PqIndex {
       nProbe: Int,
       topK: Int,
       rerank: Int,
-      allowed: Option[DataFrame]): DataFrame = {
+      allowed: Option[DataFrame],
+      keyed: Option[(String, DataFrame)]): DataFrame = {
     // same boundary rotation as [[probeAll]] — applied IN-PLAN with the
     // same MatVec kernel the corpus was rotated with, so query and
-    // corpus arithmetic are bit-identical
-    val queries = idx.rotation.map(r => queriesRaw.select(col("q_id"),
-      graft.exprs.functions.mat_vec(col("qv"), r, idx.dim, idx.dim)
-        .as("qv"))).getOrElse(queriesRaw)
+    // corpus arithmetic are bit-identical (withColumn preserves the
+    // caller's key column for the keyed path)
+    val queries = idx.rotation.map(r => queriesRaw.withColumn("qv",
+      graft.exprs.functions.mat_vec(col("qv"), r, idx.dim, idx.dim)))
+      .getOrElse(queriesRaw)
     val spark = queries.sparkSession
     import spark.implicits._
     val m = idx.m
     val dsub = idx.codebooks.head.head.length
-    val qRows = queries
-      .select(col("q_id"), col("qv"))
+    val qRows = (keyed match {
+      case Some((kc, _)) => queries.select(col("q_id"), col("qv"),
+        col(kc).cast("string").as("k"))
+      case None => queries.select(col("q_id"), col("qv"), lit("").as("k"))
+    })
       .withColumn("qnrm", Similarity.norm(col("qv")))
       .collect()
     val probeRows = qRows.flatMap { r =>
@@ -482,10 +507,11 @@ object PqIndex {
         var qc = 0.0
         var j = 0
         while (j < c.length) { qc += qv(j) * c(j); j += 1 }
-        (r.getLong(0), cell, lut, qc, r.getDouble(2))
+        (r.getLong(0), cell, lut, qc, r.getString(2), r.getDouble(3))
       }
     }
-    val probes = probeRows.toSeq.toDF("q_id", "cell", "lut", "qdotc", "qnrm")
+    val probes = probeRows.toSeq
+      .toDF("q_id", "cell", "lut", "qdotc", "k", "qnrm")
     val probedCells = probeRows.map(_._2).distinct.toSeq
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("adc_cosine").desc, col("n_id"))
@@ -498,8 +524,14 @@ object PqIndex {
     val codeCand = allowed.fold(codeCells)(a =>
       codeCells.join(a.select(col("vec_id").as("n_id")), Seq("n_id"),
         "left_semi"))
-    val adcRanked = codeCand
-      .join(broadcast(probes), Seq("cell"))
+    val probedJoined = codeCand.join(broadcast(probes), Seq("cell"))
+    val gated = keyed.fold(probedJoined) { case (kc, ak) =>
+      probedJoined.join(
+        ak.select(col(kc).cast("string").as("k"),
+          col("vec_id").as("n_id")),
+        Seq("k", "n_id"), "left_semi")
+    }
+    val adcRanked = gated
       .filter(col("n_id") =!= col("q_id"))
       .withColumn("adc_dot",
         col("qdotc") +

@@ -475,7 +475,7 @@ object Dedup {
     val hc = graft.operators.BloomSketch.hexChars(
       graft.operators.DecontamRegistry.DefaultBits)
     s"""rt0 AS (SELECT DISTINCT doc_id, md5(unnest(sh)) AS hx FROM sh),
-       |rpos AS (SELECT doc_id,
+       |rpos AS MATERIALIZED (SELECT doc_id,
        |  list_reduce(list_transform(range(1, ${hc + 1}),
        |    i -> instr('0123456789abcdef', substr(hx, i, 1)) - 1),
        |    (a, b) -> a*16 + b) AS p1,
@@ -483,16 +483,16 @@ object Dedup {
        |    i -> instr('0123456789abcdef', substr(hx, i, 1)) - 1),
        |    (a, b) -> a*16 + b) AS p2
        |  FROM rt0),
-       |rbbits AS (SELECT DISTINCT p FROM (
+       |rbbits AS MATERIALIZED (SELECT DISTINCT p FROM (
        |  SELECT p1 AS p FROM rpos WHERE doc_id % $BenchmarkMod = 0
        |  UNION SELECT p2 FROM rpos WHERE doc_id % $BenchmarkMod = 0)),
-       |rflag AS (SELECT DISTINCT rpos.doc_id FROM rpos
+       |rflag AS MATERIALIZED (SELECT DISTINCT rpos.doc_id FROM rpos
        |  JOIN rbbits b1 ON rpos.p1 = b1.p
        |  JOIN rbbits b2 ON rpos.p2 = b2.p),
        |rem2 AS (SELECT vec_id AS doc_id, CAST(embedding AS DOUBLE[]) AS v
        |  FROM embeddings),
        |rrb AS (SELECT v AS bv FROM rem2 WHERE doc_id % $BenchmarkMod = 0),
-       |rsem AS (SELECT DISTINCT c.doc_id
+       |rsem AS MATERIALIZED (SELECT DISTINCT c.doc_id
        |  FROM rem2 c CROSS JOIN rrb
        |  WHERE ${Similarity.cosineSql("c.v", "rrb.bv")}
        |    >= $SemanticDecontamTau)""".stripMargin
@@ -1623,30 +1623,30 @@ object Dedup {
     * `vpairs(vec_a, vec_b, cosine)` (named to avoid colliding with the
     * minhash chain's `pairs` when both appear in one statement). */
   private def rhpPairsSqlCtes: String =
-    s"""e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-       |sig AS (SELECT vec_id, v,
+    s"""e AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |sig AS MATERIALIZED (SELECT vec_id, v,
        |  ($rhpSigTermsSql) AS sig FROM e),
        |bands AS (SELECT vec_id, v, b,
        |    (sig // CAST(2 ** (b * 8) AS BIGINT)) % 256 AS bval
        |  FROM sig, (SELECT unnest(range(0, $RhpBands)) AS b)),
-       |capped AS (SELECT vec_id, v, b, bval FROM (
+       |capped AS MATERIALIZED (SELECT vec_id, v, b, bval FROM (
        |  SELECT vec_id, v, b, bval,
        |    count(*) OVER (PARTITION BY b, bval) AS bsz FROM bands)
        |  WHERE bsz <= $MaxBandBucket),
-       |cand AS (SELECT DISTINCT x.vec_id AS vec_a, y.vec_id AS vec_b,
+       |cand AS MATERIALIZED (SELECT DISTINCT x.vec_id AS vec_a, y.vec_id AS vec_b,
        |    x.v AS va, y.v AS vb
        |  FROM capped x JOIN capped y
        |    ON x.b = y.b AND x.bval = y.bval AND x.vec_id < y.vec_id),
-       |vpairs AS (SELECT vec_a, vec_b,
-       |  ${Similarity.cosineSql("va", "vb")} AS cosine
-       |  FROM cand WHERE ${Similarity.cosineSql("va", "vb")} >= 0.4)""".stripMargin
+       |vpairs AS MATERIALIZED (SELECT vec_a, vec_b, cosine FROM (
+       |  SELECT vec_a, vec_b, ${Similarity.cosineSql("va", "vb")} AS cosine
+       |  FROM cand) WHERE cosine >= 0.4)""".stripMargin
 
   /** DuckDB mirror of [[graft.operators.MinHashLsh.signaturesOf]]: CTE
     * chain ending in `mh(doc_id, mins)` — shared by the pair oracles and
     * the incremental-state oracles. */
   private[queries] def minhashSigSqlCtes: String =
-    s"""sh AS ($shinglesSql),
-       |mh AS (SELECT doc_id,
+    s"""sh AS MATERIALIZED ($shinglesSql),
+       |mh AS MATERIALIZED (SELECT doc_id,
        |  list_transform(range(0, 12), j ->
        |    list_min(list_transform(sh, sg ->
        |      ((j*2+1) * list_reduce(list_transform(range(1, 9),
@@ -1672,7 +1672,7 @@ object Dedup {
        |cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
        |  FROM capped x JOIN capped y
        |    ON x.b = y.b AND x.bkey = y.bkey AND x.doc_id < y.doc_id),
-       |pairs AS (SELECT doc_a, doc_b,
+       |pairs AS MATERIALIZED (SELECT doc_a, doc_b,
        |  len(list_filter(range(1, 13), i -> ma.mins[i] = mb.mins[i])) / 12.0 AS sim_est
        |  FROM cand
        |  JOIN mh ma ON cand.doc_a = ma.doc_id
@@ -1693,11 +1693,11 @@ object Dedup {
     * quality gate upstream of the state (the default is the identity). */
   private[queries] def incrementalSqlCtes(
       eligible: String = "SELECT doc_id FROM documents"): String =
-    s"""elig AS ($eligible),
-       |hx AS (SELECT d.doc_id, md5(text) AS content_hash
+    s"""elig AS MATERIALIZED ($eligible),
+       |hx AS MATERIALIZED (SELECT d.doc_id, md5(text) AS content_hash
        |  FROM documents d JOIN elig USING (doc_id)),
        |$minhashSigSqlCtes,
-       |allb AS (SELECT m.doc_id, b, $bkeySql AS bkey
+       |allb AS MATERIALIZED (SELECT m.doc_id, b, $bkeySql AS bkey
        |  FROM mh m JOIN elig USING (doc_id),
        |    (SELECT unnest(range(0, 3)) AS b)),
        |e1 AS (SELECT doc_id, content_hash,
@@ -1725,7 +1725,7 @@ object Dedup {
        |    FALSE AS near_dup_state,
        |    e1.doc_id IN (SELECT doc_id FROM nb1) AS near_dup_batch
        |  FROM e1)),
-       |a1 AS (SELECT doc_id, content_hash FROM verdict1 WHERE admitted),
+       |a1 AS MATERIALIZED (SELECT doc_id, content_hash FROM verdict1 WHERE admitted),
        |sc AS (SELECT doc_id, b, bkey FROM (
        |  SELECT allb.doc_id, b, bkey,
        |    count(*) OVER (PARTITION BY b, bkey) AS bsz
@@ -1751,7 +1751,7 @@ object Dedup {
        |  JOIN mh mb ON y.doc_id = mb.doc_id
        |  WHERE len(list_filter(range(1, 13),
        |    i -> ma.mins[i] = mb.mins[i])) / 12.0 >= 0.5),
-       |verdict2 AS (SELECT doc_id, content_hash, exact_dup_state,
+       |verdict2 AS MATERIALIZED (SELECT doc_id, content_hash, exact_dup_state,
        |    exact_dup_batch, near_dup_state, near_dup_batch,
        |    FALSE AS sem_dup_state, FALSE AS sem_dup_batch,
        |    NOT (exact_dup_state OR exact_dup_batch OR near_dup_state
@@ -1773,20 +1773,21 @@ object Dedup {
     * literal FALSE — the batch carries no text, and a null content hash
     * is no exact-dup evidence by the operator's contract. */
   private[queries] def incrementalSemSqlCtes: String =
-    s"""em AS (SELECT vec_id AS doc_id, CAST(embedding AS DOUBLE[]) AS v
+    s"""em AS MATERIALIZED (SELECT vec_id AS doc_id, CAST(embedding AS DOUBLE[]) AS v
        |  FROM embeddings),
-       |sg AS (SELECT doc_id, ($rhpSigTermsSql) AS sig FROM em),
-       |ab AS (SELECT doc_id, b,
+       |sg AS MATERIALIZED (SELECT doc_id, ($rhpSigTermsSql) AS sig FROM em),
+       |ab AS MATERIALIZED (SELECT doc_id, b,
        |    (sig // CAST(2 ** (b * 8) AS BIGINT)) % 256 AS bval
        |  FROM sg, (SELECT unnest(range(0, $RhpBands)) AS b)),
        |sc1 AS (SELECT doc_id, b, bval FROM (
        |  SELECT doc_id, b, bval, count(*) OVER (PARTITION BY b, bval) AS bsz
        |  FROM ab WHERE doc_id % 2 = 0) WHERE bsz <= $MaxBandBucket),
-       |sb1 AS (SELECT DISTINCT y.doc_id
-       |  FROM sc1 x JOIN sc1 y
-       |    ON x.b = y.b AND x.bval = y.bval AND x.doc_id < y.doc_id
-       |  JOIN em ea ON x.doc_id = ea.doc_id
-       |  JOIN em eb ON y.doc_id = eb.doc_id
+       |sb1 AS (SELECT DISTINCT p.doc_id FROM (
+       |    SELECT DISTINCT x.doc_id AS pa, y.doc_id AS doc_id
+       |    FROM sc1 x JOIN sc1 y
+       |      ON x.b = y.b AND x.bval = y.bval AND x.doc_id < y.doc_id) p
+       |  JOIN em ea ON p.pa = ea.doc_id
+       |  JOIN em eb ON p.doc_id = eb.doc_id
        |  WHERE ${Similarity.cosineSql("ea.v", "eb.v")} >= 0.4),
        |sa1 AS (SELECT doc_id FROM em WHERE doc_id % 2 = 0
        |  AND doc_id NOT IN (SELECT doc_id FROM sb1)),
@@ -1797,16 +1798,18 @@ object Dedup {
        |sc2 AS (SELECT doc_id, b, bval FROM (
        |  SELECT doc_id, b, bval, count(*) OVER (PARTITION BY b, bval) AS bsz
        |  FROM ab WHERE doc_id % 2 = 1) WHERE bsz <= $MaxBandBucket),
-       |ss2 AS (SELECT DISTINCT sc2.doc_id
-       |  FROM sc2 JOIN ssc ON sc2.b = ssc.b AND sc2.bval = ssc.bval
-       |  JOIN em ea ON sc2.doc_id = ea.doc_id
-       |  JOIN em eb ON ssc.doc_id = eb.doc_id
+       |ss2 AS (SELECT DISTINCT p.doc_id FROM (
+       |    SELECT DISTINCT sc2.doc_id, ssc.doc_id AS pb
+       |    FROM sc2 JOIN ssc ON sc2.b = ssc.b AND sc2.bval = ssc.bval) p
+       |  JOIN em ea ON p.doc_id = ea.doc_id
+       |  JOIN em eb ON p.pb = eb.doc_id
        |  WHERE ${Similarity.cosineSql("ea.v", "eb.v")} >= 0.4),
-       |sb2 AS (SELECT DISTINCT y.doc_id
-       |  FROM sc2 x JOIN sc2 y
-       |    ON x.b = y.b AND x.bval = y.bval AND x.doc_id < y.doc_id
-       |  JOIN em ea ON x.doc_id = ea.doc_id
-       |  JOIN em eb ON y.doc_id = eb.doc_id
+       |sb2 AS (SELECT DISTINCT p.doc_id FROM (
+       |    SELECT DISTINCT x.doc_id AS pa, y.doc_id AS doc_id
+       |    FROM sc2 x JOIN sc2 y
+       |      ON x.b = y.b AND x.bval = y.bval AND x.doc_id < y.doc_id) p
+       |  JOIN em ea ON p.pa = ea.doc_id
+       |  JOIN em eb ON p.doc_id = eb.doc_id
        |  WHERE ${Similarity.cosineSql("ea.v", "eb.v")} >= 0.4),
        |sverdict2 AS (SELECT doc_id,
        |    CAST(NULL AS VARCHAR) AS content_hash,
@@ -1844,7 +1847,7 @@ object Dedup {
     * names by construction. */
   private[queries] def pretrainSurvivorSqlCtes: String =
     s"""$minhashPairsSqlCtes,
-       |edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+       |edges AS MATERIALIZED (SELECT doc_a AS u, doc_b AS v FROM pairs
        |  UNION SELECT doc_b, doc_a FROM pairs),
        |reach AS (
        |  SELECT doc_id AS id, doc_id AS lab FROM documents
@@ -1942,7 +1945,7 @@ object Dedup {
 
     "pipeline_dedup_corpus" ->
       s"""WITH RECURSIVE $minhashPairsSqlCtes,
-         |edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+         |edges AS MATERIALIZED (SELECT doc_a AS u, doc_b AS v FROM pairs
          |  UNION SELECT doc_b, doc_a FROM pairs),
          |reach AS (
          |  SELECT doc_id AS id, doc_id AS lab FROM documents
@@ -1964,7 +1967,7 @@ object Dedup {
 
     "pipeline_pretrain_corpus" ->
       s"""WITH RECURSIVE $minhashPairsSqlCtes,
-         |edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+         |edges AS MATERIALIZED (SELECT doc_a AS u, doc_b AS v FROM pairs
          |  UNION SELECT doc_b, doc_a FROM pairs),
          |reach AS (
          |  SELECT doc_id AS id, doc_id AS lab FROM documents
@@ -2000,7 +2003,7 @@ object Dedup {
     // measurement (zero by construction when the composition is intact)
     "pipeline_pretrain_gated" ->
       s"""WITH RECURSIVE $minhashPairsSqlCtes,
-         |edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+         |edges AS MATERIALIZED (SELECT doc_a AS u, doc_b AS v FROM pairs
          |  UNION SELECT doc_b, doc_a FROM pairs),
          |reach AS (
          |  SELECT doc_id AS id, doc_id AS lab FROM documents
@@ -2044,7 +2047,7 @@ object Dedup {
     // minimum the Spark-side label propagation converges to
     "dedup_clusters" ->
       s"""WITH RECURSIVE $minhashPairsSqlCtes,
-         |edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+         |edges AS MATERIALIZED (SELECT doc_a AS u, doc_b AS v FROM pairs
          |  UNION SELECT doc_b, doc_a FROM pairs),
          |reach AS (
          |  SELECT doc_id AS id, doc_id AS lab FROM documents
@@ -2060,7 +2063,7 @@ object Dedup {
 
     "dedup_signal_card" ->
       s"""WITH RECURSIVE $minhashPairsSqlCtes,
-         |edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+         |edges AS MATERIALIZED (SELECT doc_a AS u, doc_b AS v FROM pairs
          |  UNION SELECT doc_b, doc_a FROM pairs),
          |reach AS (
          |  SELECT doc_id AS id, doc_id AS lab FROM documents
@@ -2256,7 +2259,7 @@ object Dedup {
 
     "split_by_cluster" ->
       s"""WITH RECURSIVE $minhashPairsSqlCtes,
-         |edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+         |edges AS MATERIALIZED (SELECT doc_a AS u, doc_b AS v FROM pairs
          |  UNION SELECT doc_b, doc_a FROM pairs),
          |reach AS (
          |  SELECT doc_id AS id, doc_id AS lab FROM documents
@@ -2336,7 +2339,7 @@ object Dedup {
     "pipeline_media_dedup" ->
       s"""WITH RECURSIVE $phashSqlCtes,
          |$videoPairsSqlCtes,
-         |vedges AS (SELECT doc_a AS u, doc_b AS v FROM fpairs
+         |vedges AS MATERIALIZED (SELECT doc_a AS u, doc_b AS v FROM fpairs
          |  UNION SELECT doc_b, doc_a FROM fpairs),
          |vreach AS (
          |  SELECT doc_id AS id, doc_id AS lab FROM vt
@@ -2408,7 +2411,7 @@ object Dedup {
 
     "dedup_clusters_embedding" ->
       s"""WITH RECURSIVE $rhpPairsSqlCtes,
-         |eg AS (SELECT vec_a AS u, vec_b AS v FROM vpairs
+         |eg AS MATERIALIZED (SELECT vec_a AS u, vec_b AS v FROM vpairs
          |  UNION SELECT vec_b, vec_a FROM vpairs),
          |reach AS (
          |  SELECT vec_id AS id, vec_id AS lab FROM embeddings
@@ -2427,10 +2430,11 @@ object Dedup {
          |e AS (SELECT vec_id, label, v FROM (
          |  SELECT vec_id, label, v, count(*) OVER (PARTITION BY label) AS csz
          |  FROM e0) WHERE csz <= $MaxCellSize)
-         |SELECT a.label AS label, a.vec_id AS vec_a, b.vec_id AS vec_b,
-         |  ${Similarity.cosineSql("a.v", "b.v")} AS cosine
-         |FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
-         |WHERE ${Similarity.cosineSql("a.v", "b.v")} >= 0.4
+         |SELECT label, vec_a, vec_b, cosine FROM (
+         |  SELECT a.label AS label, a.vec_id AS vec_a, b.vec_id AS vec_b,
+         |    ${Similarity.cosineSql("a.v", "b.v")} AS cosine
+         |  FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id)
+         |WHERE cosine >= 0.4
          |ORDER BY vec_a, vec_b""".stripMargin,
 
     // benchmark slice vs corpus, pinned-fold cosines, max/count exact
@@ -2441,10 +2445,10 @@ object Dedup {
          |  WHERE vec_id % 16 = 7 AND vec_id < 8000),
          |c AS (SELECT vec_id, v FROM e
          |  WHERE NOT (vec_id % 16 = 7 AND vec_id < 8000)),
-         |hits AS (SELECT c.vec_id,
-         |    ${Similarity.cosineSql("c.v", "b.bv")} AS cosine
-         |  FROM c CROSS JOIN b
-         |  WHERE ${Similarity.cosineSql("c.v", "b.bv")} >= 0.4)
+         |hits AS (SELECT vec_id, cosine FROM (
+         |  SELECT c.vec_id, ${Similarity.cosineSql("c.v", "b.bv")} AS cosine
+         |  FROM c CROSS JOIN b)
+         |  WHERE cosine >= 0.4)
          |SELECT vec_id, CAST(count(*) AS BIGINT) AS n_bench_hits,
          |  max(cosine) AS max_cos
          |FROM hits GROUP BY 1 ORDER BY vec_id""".stripMargin,

@@ -73,7 +73,7 @@ object TextAnalysis {
     * never silently disagree about the shared vocabulary (word bound,
     * [a-z]+ extraction, symbol split). Mirrors [[bpeWordTable]]. */
   private def wordTableCte(name: String): String =
-    s"""$name AS (SELECT freq, array_to_string(list_transform(
+    s"""$name AS MATERIALIZED (SELECT freq, array_to_string(list_transform(
        |    range(1, length(word) + 1), i -> substr(word, i, 1)), ' ')
        |    AS syms
        |  FROM (SELECT word, count(*) AS freq
@@ -102,9 +102,9 @@ object TextAnalysis {
          |      i -> [sy[i], sy[i + 1]])) AS pr
          |    FROM (SELECT freq, string_split(syms, ' ') AS sy FROM s${k - 1}))
          |  GROUP BY 1, 2),
-         |b$k AS (SELECT $k AS round, l, r, c FROM p$k
+         |b$k AS MATERIALIZED (SELECT $k AS round, l, r, c FROM p$k
          |  ORDER BY c DESC, l, r LIMIT 1),
-         |s$k AS (SELECT s${k - 1}.freq,
+         |s$k AS MATERIALIZED (SELECT s${k - 1}.freq,
          |    ${mergeCycleSql(s"s${k - 1}.syms", s"b$k.l", s"b$k.r")} AS syms
          |  FROM s${k - 1}, b$k)""".stripMargin
     }
@@ -222,7 +222,7 @@ object TextAnalysis {
     * hex-pair rendering of the word's UTF-8 bytes, the 2..N bound on BYTE
     * length. Mirrors [[bpeByteWordTableOf]]. */
   private def byteWordTableCte(name: String, wordsSql: String): String =
-    s"""$name AS (SELECT freq, array_to_string(list_transform(
+    s"""$name AS MATERIALIZED (SELECT freq, array_to_string(list_transform(
        |    range(1, CAST(octet_length(encode(word)) AS INT) + 1),
        |    i -> substring(hex(encode(word)), 2*i-1, 2)), ' ') AS syms
        |  FROM (SELECT word, count(*) AS freq
@@ -375,7 +375,7 @@ object TextAnalysis {
     * pack_best_fit_tokens and the boundary-composed intake oracles so
     * the replay can never fork. Pair with [[FfdTokenPackSelectSql]]. */
   private def ffdTokenPackSqlCtes(diSrc: String): String =
-    s"""e AS (SELECT doc_id, doc_id % $PackBuckets AS bucket, tids,
+    s"""e AS MATERIALIZED (SELECT doc_id, doc_id % $PackBuckets AS bucket, tids,
        |    LEAST(CAST(len(tids) AS BIGINT) + 1, $TokenSeqLen) AS n_eff,
        |    CAST(row_number() OVER (PARTITION BY doc_id % $PackBuckets
        |      ORDER BY LEAST(CAST(len(tids) AS BIGINT) + 1, $TokenSeqLen)
@@ -499,32 +499,80 @@ object TextAnalysis {
        |    flatten(list(ids_doc ORDER BY phase, step)) AS real_ids
        |  FROM pkmdu GROUP BY 1, 2)""".stripMargin
 
-  private def tokenIdCtes: String = {
+  private def tokenIdCtes: String =
+    tokenIdCtesOver("SELECT doc_id, text FROM documents", "")
+
+  /** DuckDB mirror of [[graft.operators.DedupState.spanScrub]] over
+    * drop 2's CURATED documents vs the gated state (a1's chunk hashes):
+    * rebuilds each doc's text with every admitted
+    * [[Dedup.SpanTokens]]-aligned chunk cut, survivors rejoined in
+    * token order. Requires `a1` and `clean2` in scope; ends with
+    * `skept(doc_id, text)`. A doc scrubbed to zero tokens has no skept
+    * row — no words, no token rows, exactly the engine's empty-string
+    * rebuild. Drop 1 needs no mirror: its pre-drop state is EMPTY, and
+    * an empty state's scrub is a token-identity for the whitespace-
+    * invariant a-z tokenizer. */
+  private def scrubRebuildSqlCtes: String =
+    s"""sct AS MATERIALIZED (SELECT doc_id, string_split_regex(text, '\\s+') AS toks
+       |  FROM documents WHERE text IS NOT NULL),
+       |scc AS (SELECT doc_id, toks,
+       |    unnest(range(0, len(toks) // ${Dedup.SpanTokens})) AS ci
+       |  FROM sct WHERE len(toks) >= ${Dedup.SpanTokens}),
+       |schk AS MATERIALIZED (SELECT doc_id, ci,
+       |    md5(array_to_string(list_slice(toks,
+       |      ci * ${Dedup.SpanTokens} + 1,
+       |      ci * ${Dedup.SpanTokens} + ${Dedup.SpanTokens}), ' '))
+       |      AS chunk_hash
+       |  FROM scc),
+       |ssch1 AS (SELECT DISTINCT chunk_hash FROM schk JOIN a1 USING (doc_id)),
+       |shits AS (SELECT schk.doc_id, ci FROM schk
+       |  JOIN clean2 USING (doc_id)
+       |  WHERE chunk_hash IN (SELECT chunk_hash FROM ssch1)),
+       |scov AS (SELECT DISTINCT doc_id,
+       |    ci * ${Dedup.SpanTokens} + u.u AS pos
+       |  FROM shits, (SELECT unnest(range(0, ${Dedup.SpanTokens})) AS u) u),
+       |stok AS (SELECT sct.doc_id, unnest(toks) AS tok,
+       |    unnest(range(len(toks))) AS pos
+       |  FROM sct JOIN clean2 USING (doc_id)),
+       |skept AS MATERIALIZED (SELECT stok.doc_id,
+       |    string_agg(stok.tok, ' ' ORDER BY stok.pos) AS text
+       |  FROM stok LEFT JOIN scov
+       |    ON stok.doc_id = scov.doc_id AND stok.pos = scov.pos
+       |  WHERE scov.pos IS NULL
+       |  GROUP BY 1)""".stripMargin
+
+  /** [[tokenIdCtes]] over a caller-supplied `(doc_id, text)` source and
+    * a CTE-name prefix — the scrubbed-loop entries tokenize REBUILT text
+    * (and the report needs BOTH chains in one query, hence the prefix).
+    * The merge tables b1..bK are shared (the tokenizer is trained once,
+    * on the corpus — only the ENCODED relation is parameterized). Ends
+    * with `<p>di(doc_id, tids)`. */
+  private def tokenIdCtesOver(srcSql: String, p: String): String = {
     val vRounds = (1 to BpeMerges).map { k =>
-      s"""v$k AS (SELECT word, coalesce(
-         |    ${mergeCycleSql(s"v${k - 1}.syms", s"b$k.l", s"b$k.r")},
-         |    v${k - 1}.syms) AS syms
-         |  FROM v${k - 1} LEFT JOIN b$k ON TRUE)""".stripMargin
+      s"""${p}v$k AS (SELECT word, coalesce(
+         |    ${mergeCycleSql(s"${p}v${k - 1}.syms", s"b$k.l", s"b$k.r")},
+         |    ${p}v${k - 1}.syms) AS syms
+         |  FROM ${p}v${k - 1} LEFT JOIN b$k ON TRUE)""".stripMargin
     }
     val mtUnion = (1 to BpeMerges)
       .map(k => s"SELECT round, l || r AS merged FROM b$k")
       .mkString("\n  UNION ALL ")
-    s"""mt AS (SELECT merged, CAST(25 + min(round) AS INT) AS id
+    s"""${p}mt AS MATERIALIZED (SELECT merged, CAST(25 + min(round) AS INT) AS id
        |  FROM ($mtUnion) GROUP BY merged),
-       |ow AS (SELECT doc_id, unnest(ws) AS word, unnest(range(len(ws))) AS pos
+       |${p}ow AS MATERIALIZED (SELECT doc_id, unnest(ws) AS word, unnest(range(len(ws))) AS pos
        |  FROM (SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS ws
-       |    FROM documents WHERE text IS NOT NULL)),
-       |v0 AS (SELECT word, array_to_string(list_transform(
+       |    FROM ($srcSql) AS tsrc WHERE text IS NOT NULL)),
+       |${p}v0 AS (SELECT word, array_to_string(list_transform(
        |    range(1, length(word) + 1), i -> substr(word, i, 1)), ' ')
-       |    AS syms FROM (SELECT DISTINCT word FROM ow)),
+       |    AS syms FROM (SELECT DISTINCT word FROM ${p}ow)),
        |${vRounds.mkString(",\n")},
-       |sy AS (SELECT word, unnest(sl) AS sym, unnest(range(len(sl))) AS sp
-       |  FROM (SELECT word, string_split(syms, ' ') AS sl FROM v$BpeMerges)),
-       |wid AS (SELECT word, list(CASE WHEN length(sym) = 1
-       |      THEN ascii(sym) - 97 ELSE mt.id END ORDER BY sp) AS ids
-       |  FROM sy LEFT JOIN mt ON mt.merged = sy.sym GROUP BY word),
-       |di AS (SELECT ow.doc_id, flatten(list(wid.ids ORDER BY ow.pos)) AS tids
-       |  FROM ow JOIN wid USING (word) GROUP BY ow.doc_id)""".stripMargin
+       |${p}sy AS (SELECT word, unnest(sl) AS sym, unnest(range(len(sl))) AS sp
+       |  FROM (SELECT word, string_split(syms, ' ') AS sl FROM ${p}v$BpeMerges)),
+       |${p}wid AS MATERIALIZED (SELECT word, list(CASE WHEN length(sym) = 1
+       |      THEN ascii(sym) - 97 ELSE ${p}mt.id END ORDER BY sp) AS ids
+       |  FROM ${p}sy LEFT JOIN ${p}mt ON ${p}mt.merged = ${p}sy.sym GROUP BY word),
+       |${p}di AS (SELECT ${p}ow.doc_id, flatten(list(${p}wid.ids ORDER BY ${p}ow.pos)) AS tids
+       |  FROM ${p}ow JOIN ${p}wid USING (word) GROUP BY ${p}ow.doc_id)""".stripMargin
   }
 
   /** BYTE-alphabet mirror of [[tokenIdCtes]], appended after
@@ -552,9 +600,9 @@ object TextAnalysis {
     val mtUnion = (1 to BpeMerges)
       .map(k => s"SELECT round, l || r AS merged FROM b$k")
       .mkString("\n  UNION ALL ")
-    s"""mt AS (SELECT merged, CAST(255 + min(round) AS INT) AS id
+    s"""mt AS MATERIALIZED (SELECT merged, CAST(255 + min(round) AS INT) AS id
        |  FROM ($mtUnion) GROUP BY merged),
-       |ow AS (SELECT doc_id, word, pos FROM
+       |ow AS MATERIALIZED (SELECT doc_id, word, pos FROM
        |    (SELECT doc_id, unnest(ws) AS word, unnest(range(len(ws))) AS pos
        |      FROM (SELECT doc_id, $wordsArraySql AS ws
        |        FROM documents WHERE text IS NOT NULL))
@@ -566,7 +614,7 @@ object TextAnalysis {
        |${vRounds.mkString(",\n")},
        |sy AS (SELECT word, unnest(sl) AS sym, unnest(range(len(sl))) AS sp
        |  FROM (SELECT word, string_split(syms, ' ') AS sl FROM v$BpeMerges)),
-       |wid AS (SELECT word, list(CASE WHEN length(sym) = 2
+       |wid AS MATERIALIZED (SELECT word, list(CASE WHEN length(sym) = 2
        |      THEN (instr('0123456789ABCDEF', substring(sym, 1, 1)) - 1) * 16
        |        + instr('0123456789ABCDEF', substring(sym, 2, 1)) - 1
        |      ELSE mt.id END ORDER BY sp) AS ids
@@ -798,6 +846,46 @@ object TextAnalysis {
       graft.operators.PackState.pack(s, staging,
         ids.join(Dedup.curatedDropIds(s, dir, 1), Seq("doc_id")),
         "drop-2", packParams)
+      ()
+    }
+
+  /** One drop's SCRUBBED token ids (round 16 — the treatment composed
+    * INTO the loop): the drop's curated documents pass
+    * [[graft.operators.DedupState.spanScrub]] against the drop's
+    * PRE-drop state (empty for drop 1 — a token-identity, since the
+    * a-z tokenizer is whitespace-invariant and an empty state cuts
+    * nothing), and the SCRUBBED text is tokenized. This is where the
+    * ExactSubstr treatment (Lee et al. 2022) actually pays off: the
+    * packer ships training rows with cross-drop repeated spans CUT,
+    * instead of computing the scrub and shipping the boilerplate
+    * anyway. Docs scrubbed to zero tokens yield no words and drop out
+    * of the pack, exactly like word-less originals. */
+  private def scrubbedCuratedIds(
+      s: SparkSession, dir: String, which: Int,
+      merges: Seq[(Long, String, String, String, Long)]): DataFrame = {
+    val docs = Tables(s, dir, "documents")
+      .join(Dedup.curatedDropIds(s, dir, which), Seq("doc_id"))
+      .select("doc_id", "text")
+    val pre =
+      if (which == 0) graft.operators.DedupState.empty
+      else Dedup.gatedStateHandle(s, dir)
+    val scrubbed = graft.operators.DedupState.spanScrub(s, pre, docs)
+      .select(col("doc_id"), col("scrubbed_text").as("text"))
+    tokenIdsOfDocs(scrubbed, merges)
+  }
+
+  /** [[ensureCuratedPackState]]'s SCRUBBED twin
+    * (pipeline_drop_train_scrubbed): each drop packs the span-scrubbed
+    * curated text. */
+  private def ensureScrubbedPackState(s: SparkSession, dir: String): String =
+    graft.util.ArtifactCache.ensure(
+      java.nio.file.Paths.get(dir),
+      "graft-packstates", "manifest-v2") { staging =>
+      val merges = learnBpeMergesCached(s, dir)
+      graft.operators.PackState.pack(s, staging,
+        scrubbedCuratedIds(s, dir, 0, merges), "drop-1", packParams)
+      graft.operators.PackState.pack(s, staging,
+        scrubbedCuratedIds(s, dir, 1, merges), "drop-2", packParams)
       ()
     }
 
@@ -2590,6 +2678,23 @@ object TextAnalysis {
         .orderBy("bucket", "seq")
     },
 
+    // The loop WITH the treatment applied (round 16): drop_train
+    // computes the span-scrub signal and then packs the ORIGINAL text;
+    // THIS packs what the treatment actually ships — each drop's
+    // curated documents are span-SCRUBBED against their pre-drop state
+    // ([[graft.operators.DedupState.spanScrub]] — cross-drop repeated
+    // chunks CUT, survivors rejoined in order), the scrubbed text is
+    // tokenized, and the result packs into the persisted bins. The
+    // oracle chains the admission CTEs + the scrub rebuild + the
+    // scrubbed tokenize + the seeded two-phase FFD, pinning every id of
+    // every training row the treated loop would ship.
+    "pipeline_drop_train_scrubbed" -> { (s, dir) =>
+      val st = ensureScrubbedPackState(s, dir)
+      graft.operators.PackState
+        .trainingRows(s, graft.operators.PackState.load(st, packParams))
+        .orderBy("bucket", "seq")
+    },
+
     // The recurring loop's OPERATIONAL LEDGER (round 15): one row per
     // drop — eligible after the quality gate, admitted by the state,
     // registry-flagged (n-gram / semantic), curated, span-dup-flagged
@@ -2601,7 +2706,8 @@ object TextAnalysis {
     // against the EMPTY pre-drop state (its vs-state span column is
     // structurally zero; the oracle pins that too).
     "pipeline_drop_report" -> { (s, dir) =>
-      val ids = tokenIdsOf(s, dir, learnBpeMergesCached(s, dir))
+      val merges = learnBpeMergesCached(s, dir)
+      val ids = tokenIdsOf(s, dir, merges)
       def row(which: Int): DataFrame = {
         val f = Dedup.dropCurationFrames(s, dir, which)
         val preState =
@@ -2612,20 +2718,27 @@ object TextAnalysis {
           .filter(col("span_dup_state"))
         def c1(df: DataFrame, n: String): DataFrame =
           df.agg(count(lit(1)).cast("long").as(n))
+        def packSum(idRows: DataFrame, n: String): DataFrame =
+          idRows.agg(coalesce(sum(
+            least(size(col("token_ids")).cast("long") + 1L,
+              lit(TokenSeqLen.toLong))), lit(0L)).as(n))
         c1(f.eligible, "n_eligible")
           .crossJoin(c1(f.admitted, "n_admitted"))
           .crossJoin(c1(f.ngramFlagged, "n_registry_flagged"))
           .crossJoin(c1(f.semFlagged, "n_sem_flagged"))
           .crossJoin(c1(f.curated, "n_curated"))
           .crossJoin(c1(spanFlagged, "n_span_dup_state"))
-          .crossJoin(ids.join(f.curated, Seq("doc_id"))
-            .agg(coalesce(sum(
-              least(size(col("token_ids")).cast("long") + 1L,
-                lit(TokenSeqLen.toLong))), lit(0L)).as("n_pack_tokens")))
+          .crossJoin(packSum(ids.join(f.curated, Seq("doc_id")),
+            "n_pack_tokens"))
+          // what the TREATED loop ships (round 16): the same curated
+          // docs, span-scrubbed against the pre-drop state, re-tokenized
+          .crossJoin(packSum(scrubbedCuratedIds(s, dir, which, merges),
+            "n_scrub_tokens"))
           .select(lit(which + 1L).as("drop_no"), col("n_eligible"),
             col("n_admitted"), col("n_registry_flagged"),
             col("n_sem_flagged"), col("n_curated"),
-            col("n_span_dup_state"), col("n_pack_tokens"))
+            col("n_span_dup_state"), col("n_pack_tokens"),
+            col("n_scrub_tokens"))
       }
       row(0).unionByName(row(1)).orderBy("drop_no")
     },
@@ -4083,6 +4196,37 @@ object TextAnalysis {
          |      x -> $BpePadId)), ',')) AS ids_md5
          |FROM pksq ORDER BY bucket, seq""".stripMargin,
 
+    // the TREATED loop: the same admission/registry chain, then the
+    // scrub rebuild (drop 2's curated docs vs a1's chunk hashes), the
+    // tokenize chain re-run over the scrubbed source (drop 1 keeps its
+    // original text — empty pre-drop state, token-identity), and the
+    // seeded two-phase FFD over the scrubbed ids
+    "pipeline_drop_train_scrubbed" ->
+      s"""WITH RECURSIVE ${Dedup.incrementalSqlCtes(Dedup.qualityEligibleSql)},
+         |${Dedup.registryContamSqlCtes},
+         |clean1 AS (SELECT doc_id FROM a1
+         |  WHERE doc_id NOT IN (SELECT doc_id FROM rflag)
+         |    AND doc_id NOT IN (SELECT doc_id FROM rsem)),
+         |adm2 AS (SELECT doc_id FROM verdict2 WHERE admitted),
+         |clean2 AS (SELECT doc_id FROM adm2
+         |  WHERE doc_id NOT IN (SELECT doc_id FROM rflag)
+         |    AND doc_id NOT IN (SELECT doc_id FROM rsem)),
+         |$scrubRebuildSqlCtes,
+         |ssrc AS (SELECT d.doc_id, d.text FROM documents d
+         |    JOIN clean1 USING (doc_id)
+         |  UNION ALL SELECT doc_id, text FROM skept),
+         |$bpeCtes,
+         |${tokenIdCtesOver("SELECT doc_id, text FROM ssrc", "s")},
+         |${twoDropPackSqlCtes("sdi",
+             "doc_id IN (SELECT doc_id FROM clean1)",
+             "doc_id IN (SELECT doc_id FROM clean2)")}
+         |SELECT CAST(bucket AS BIGINT) AS bucket, seq, n_docs,
+         |  CAST(len(real_ids) AS BIGINT) AS n_real,
+         |  CAST($TokenSeqLen - len(real_ids) AS BIGINT) AS n_pad,
+         |  md5(array_to_string(list_concat(real_ids,
+         |    list_transform(range($TokenSeqLen - len(real_ids)),
+         |      x -> $BpePadId)), ',')) AS ids_md5
+         |FROM pksq ORDER BY bucket, seq""".stripMargin,
 
     // the recurring loop's per-drop ledger: counts over the SAME CTE
     // frames drop_train packs, plus the span grid vs each drop's
@@ -4113,11 +4257,16 @@ object TextAnalysis {
          |  JOIN elig USING (doc_id)
          |  WHERE chk.doc_id % 2 = 1
          |    AND chunk_hash IN (SELECT chunk_hash FROM sch1)),
+         |$scrubRebuildSqlCtes,
          |$bpeCtes,
          |$tokenIdCtes,
-         |pt AS (SELECT doc_id,
+         |${tokenIdCtesOver("SELECT doc_id, text FROM skept", "s")},
+         |pt AS MATERIALIZED (SELECT doc_id,
          |    LEAST(CAST(len(tids) AS BIGINT) + 1, $TokenSeqLen) AS ne
-         |  FROM di)
+         |  FROM di),
+         |spt AS MATERIALIZED (SELECT doc_id,
+         |    LEAST(CAST(len(tids) AS BIGINT) + 1, $TokenSeqLen) AS ne
+         |  FROM sdi)
          |SELECT CAST(1 AS BIGINT) AS drop_no,
          |  (SELECT count(*) FROM elig WHERE doc_id % 2 = 0) AS n_eligible,
          |  (SELECT count(*) FROM a1) AS n_admitted,
@@ -4128,7 +4277,9 @@ object TextAnalysis {
          |  (SELECT count(*) FROM clean1) AS n_curated,
          |  CAST(0 AS BIGINT) AS n_span_dup_state,
          |  (SELECT CAST(coalesce(sum(ne), 0) AS BIGINT) FROM pt
-         |    WHERE doc_id IN (SELECT doc_id FROM clean1)) AS n_pack_tokens
+         |    WHERE doc_id IN (SELECT doc_id FROM clean1)) AS n_pack_tokens,
+         |  (SELECT CAST(coalesce(sum(ne), 0) AS BIGINT) FROM pt
+         |    WHERE doc_id IN (SELECT doc_id FROM clean1)) AS n_scrub_tokens
          |UNION ALL
          |SELECT CAST(2 AS BIGINT),
          |  (SELECT count(*) FROM elig WHERE doc_id % 2 = 1),
@@ -4140,7 +4291,8 @@ object TextAnalysis {
          |  (SELECT count(*) FROM clean2),
          |  (SELECT count(*) FROM spf2),
          |  (SELECT CAST(coalesce(sum(ne), 0) AS BIGINT) FROM pt
-         |    WHERE doc_id IN (SELECT doc_id FROM clean2))
+         |    WHERE doc_id IN (SELECT doc_id FROM clean2)),
+         |  (SELECT CAST(coalesce(sum(ne), 0) AS BIGINT) FROM spt)
          |ORDER BY drop_no""".stripMargin,
 
     // the COMPLETE intake composition, boundary to training rows: the

@@ -144,6 +144,12 @@ object IndexMaintainer {
     * `compactEvery` > 0 folds the accumulated drop-sized deltas into one
     * whenever the live-delta count reaches it, then gc's the superseded
     * dirs — the same small-file cadence the search maintainer runs.
+    * Size it from the state's typed health verdict
+    * ([[graft.operators.DedupState.health]]): per-verdict cost scales
+    * with live deltas (band fanout bound = 64 × bands × deltas, one
+    * folded Bloom relation per delta), so pick compactEvery at or below
+    * the `maxDeltas` the verdict trips on — the steady state then never
+    * reports `compactRecommended`.
     *
     * Ordering caveat (inherent to incremental dedup, not this wiring):
     * admission is order-dependent across micro-batches — the FIRST

@@ -215,6 +215,34 @@ final class LiveAnnServer(
     LiveServers.serveLoop(queries, this.refreshIfStale _, sink,
       (b: DataFrame) => answerFiltered(b, idCol, vecCol, allowedSource()))
 
+  /** PER-QUERY-ROW filtered serving (round 16): every query row carries
+    * a tenant/visibility key (`keyCol`) and `allowedKeyed` is a
+    * `(keyCol, vec_id)` relation — ONE micro-batch serves many tenants,
+    * each query ranked only over its key's allowed ids
+    * ([[graft.operators.PqIndex.adcProbeFilteredKeyed]]). Per query row
+    * this equals [[answerFiltered]] with that key's allowed slice. */
+  def answerFilteredKeyed(
+      queries: DataFrame, idCol: String, vecCol: String, keyCol: String,
+      allowedKeyed: DataFrame): DataFrame =
+    PqIndex.adcProbeFilteredKeyed(state._2,
+      queries.select(col(idCol).cast("long").as("q_id"),
+        col(vecCol).cast("array<double>").as("qv"), col(keyCol)),
+      keyCol, allowedKeyed, nProbe, topK, rerank)
+
+  /** The multi-tenant serving loop: [[serveFilteredBy]]'s per-batch
+    * allowed-source refresh composed with [[answerFilteredKeyed]]'s
+    * per-query-row keying — a tenant's visibility change between
+    * batches changes the very next batch, and tenants sharing a batch
+    * get disjoint, correctly-filtered topKs (spec'd batch parity vs
+    * per-tenant [[answerFiltered]]). */
+  def serveFilteredKeyedBy(
+      queries: DataFrame, idCol: String, vecCol: String, keyCol: String,
+      allowedKeyedSource: () => DataFrame)
+      (sink: DataFrame => Unit): StreamingQuery =
+    LiveServers.serveLoop(queries, this.refreshIfStale _, sink,
+      (b: DataFrame) => answerFilteredKeyed(b, idCol, vecCol, keyCol,
+        allowedKeyedSource()))
+
   /** No-op BY DESIGN (not an omission): a loaded [[PqIndex]] holds only
     * driver-side codebook/centroid state plus lazy DataFrames over the
     * index files — nothing persisted in the cache manager, so there is
@@ -291,6 +319,27 @@ final class LiveIvfServer(
       (sink: DataFrame => Unit): StreamingQuery =
     LiveServers.serveLoop(queries, this.refreshIfStale _, sink,
       (b: DataFrame) => answerFiltered(b, idCol, vecCol, allowedSource()))
+
+  /** Same per-query-row keyed contract as
+    * [[LiveAnnServer.answerFilteredKeyed]], on the raw-IVF tier
+    * ([[graft.operators.IvfIndex.probeFilteredKeyed]]). */
+  def answerFilteredKeyed(
+      queries: DataFrame, idCol: String, vecCol: String, keyCol: String,
+      allowedKeyed: DataFrame): DataFrame =
+    IvfIndex.probeFilteredKeyed(state._2,
+      queries.select(col(idCol).cast("long").as("q_id"),
+        col(vecCol).cast("array<double>").as("qv"), col(keyCol)),
+      keyCol, allowedKeyed, nProbe, topK)
+
+  /** Same multi-tenant serving loop/contract as
+    * [[LiveAnnServer.serveFilteredKeyedBy]]. */
+  def serveFilteredKeyedBy(
+      queries: DataFrame, idCol: String, vecCol: String, keyCol: String,
+      allowedKeyedSource: () => DataFrame)
+      (sink: DataFrame => Unit): StreamingQuery =
+    LiveServers.serveLoop(queries, this.refreshIfStale _, sink,
+      (b: DataFrame) => answerFilteredKeyed(b, idCol, vecCol, keyCol,
+        allowedKeyedSource()))
 
   /** No-op by design — same reasoning as [[LiveAnnServer.close]]. */
   override def close(): Unit = ()

@@ -246,6 +246,67 @@ class CliSpec extends AnyFunSuite {
     assert(graft.operators.DedupState.load(state).nDocs === 3L)
   }
 
+  test("upgrade-state materializes a synthesized legacy state's leaves in place; state-health reports the verdict") {
+    import spark.implicits._
+    val state = Files.createTempDirectory("graftcli-upg").toString
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    def dropDir(rows: (Long, String)*): String = {
+      val d = Files.createTempDirectory("graftcli-upgdrop").toString
+      rows.toSeq.toDF("doc_id", "text").write.mode("overwrite").parquet(d)
+      d
+    }
+    def run(args: String*): String = {
+      val buf = new java.io.ByteArrayOutputStream()
+      Console.withOut(new java.io.PrintStream(buf)) {
+        graft.cli.Main.main(args.toArray)
+      }
+      buf.toString("UTF-8")
+    }
+    run("admit", state, dropDir(0L -> base,
+      2L -> "one two three four five six seven eight"))
+    run("admit", state,
+      dropDir(5L -> "fresh novel content with its own distinct tokens"))
+    // synthesize the PRE-r15 on-disk layout: strip every delta's
+    // pre-banded leaves, forcing the derive-on-read path
+    val h0 = graft.operators.DedupState.load(state)
+    h0.deltas.foreach { d =>
+      Seq("bands", "ebands").foreach { leaf =>
+        graft.storage.ParquetLogBackend.deleteRecursively(
+          java.nio.file.Paths.get(state, d.name, leaf))
+      }
+    }
+    val probe = Seq(
+      (10L, base), // near/exact dup of state content
+      (11L, "alpha beta gamma delta epsilon zeta eta theta iota lambda"),
+      (12L, "entirely unrelated probe text tokens"))
+      .toDF("doc_id", "text")
+    val before = graft.operators.DedupState
+      .verdicts(spark, graft.operators.DedupState.load(state), probe)
+      .orderBy("doc_id").collect().toSeq
+
+    val up = run("upgrade-state", state)
+    assert(up.contains("materialized 4 leaf(s) across 2 delta(s)"), up)
+    h0.deltas.foreach { d =>
+      assert(java.nio.file.Files.isDirectory(
+        java.nio.file.Paths.get(state, d.name, "bands")))
+      assert(java.nio.file.Files.isDirectory(
+        java.nio.file.Paths.get(state, d.name, "ebands")))
+    }
+    // verdicts bit-identical: derive-on-read and the materialized leaves
+    // run the same per-delta capped banding
+    val after = graft.operators.DedupState
+      .verdicts(spark, graft.operators.DedupState.load(state), probe)
+      .orderBy("doc_id").collect().toSeq
+    assert(after === before)
+    // idempotent: nothing left to materialize
+    assert(run("upgrade-state", state)
+      .contains("materialized 0 leaf(s)"))
+
+    val health = run("state-health", state)
+    assert(health.contains("deltas=2") &&
+      health.contains("compact_recommended=false"), health)
+  }
+
   test("pack + pack-rows drive the incremental packing lifecycle") {
     import spark.implicits._
     val state = Files.createTempDirectory("graftcli-pack").toString

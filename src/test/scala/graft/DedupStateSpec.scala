@@ -110,6 +110,30 @@ class DedupStateSpec extends AnyFunSuite {
       "gc never touches live data")
   }
 
+  test("health verdict trips on delta accumulation and compaction restores it") {
+    val dir = tmp()
+    DedupState.admit(spark, dir, docs(0L -> baseText), "d1")
+    DedupState.admit(spark, dir, docs(2L -> otherText), "d2")
+    DedupState.admit(spark, dir,
+      docs(5L -> "novel text here with several extra tokens appended"), "d3")
+    val h = DedupState.load(dir)
+    val hr = DedupState.health(spark, h, maxDeltas = 2)
+    assert(hr.nDeltas === 3 && hr.nDocs === 3L)
+    assert(hr.compactRecommended, "3 deltas > maxDeltas=2 must trip")
+    assert(hr.bandFanoutBound === 64L * 3 * 3,
+      "cap x bands x live deltas")
+    // a three-tiny-doc state is nowhere near Bloom capacity
+    assert(hr.bloomFill > 0.0 && hr.bloomFill < 0.01)
+    assert(!hr.bloomSaturated)
+
+    val hc = DedupState.compact(spark, dir)
+    val hrc = DedupState.health(spark, hc, maxDeltas = 2)
+    assert(hrc.nDeltas === 1 && !hrc.compactRecommended,
+      "compaction restores the delta dimension")
+    // saturation is CONTENT-driven: folding ORs the same masks
+    assert(math.abs(hrc.bloomFill - hr.bloomFill) < 1e-12)
+  }
+
   test("a crashed (staged but uncommitted) delta is invisible and gc'd") {
     val dir = tmp()
     DedupState.admit(spark, dir, docs(0L -> baseText), "d1")

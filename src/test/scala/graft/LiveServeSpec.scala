@@ -584,4 +584,89 @@ class LiveServeSpec extends AnyFunSuite {
       assert(ivfResults.get(8000002L) !== ivfResults.get(8000001L))
     } finally { ivf.stop(); ivfServer.close() }
   }
+
+  test("serveFilteredKeyedBy: two tenants in ONE micro-batch get disjoint correctly-filtered topKs, equal to per-tenant filtered probes, on BOTH tiers") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val emb = graft.util.Tables(spark, sfDir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val qv = emb.filter(col("vec_id") === 0L)
+      .select(col("v")).head().getSeq[Double](0)
+    def allowedMod(m: Int) =
+      emb.filter(col("vec_id") % m === 0).select("vec_id")
+    // tenant t3 sees the mod-3 ids, tenant t5 the mod-5 ids
+    def allowedKeyed() =
+      allowedMod(3).withColumn("tenant", lit("t3"))
+        .unionByName(allowedMod(5).withColumn("tenant", lit("t5")))
+        .select("tenant", "vec_id")
+
+    // PQ tier
+    val pqDir = java.nio.file.Files
+      .createTempDirectory("graft-livekey-pq").toString
+    PqIndex.build(emb, m = 8, kCodes = 16, coarseK = 4).save(pqDir)
+    def pqBatch(qid: Long, m: Int): Seq[(Int, Long)] =
+      PqIndex.adcProbeFiltered(PqIndex.load(spark, pqDir),
+          Seq((qid, qv)).toDF("q_id", "qv"), allowedMod(m),
+          nProbe = 4, topK = 5, rerank = 50)
+        .collect().map(r => (r.getInt(2), r.getLong(1))).toSeq.sorted
+    val pqResults =
+      new java.util.concurrent.ConcurrentHashMap[Long, Seq[(Int, Long)]]()
+    val pqServer = new LiveAnnServer(spark, pqDir, nProbe = 4, topK = 5,
+      rerank = 50)
+    val pqMem = MemoryStream[(Long, Seq[Double], String)]
+    val pq = pqServer.serveFilteredKeyedBy(
+        pqMem.toDF().toDF("q_id", "qv", "tenant"), "q_id", "qv", "tenant",
+        () => allowedKeyed()) { out =>
+      out.collect().groupBy(_.getLong(0)).foreach { case (qid, rows) =>
+        pqResults.put(qid,
+          rows.map(r => (r.getInt(2), r.getLong(1))).toSeq.sorted)
+      }
+    }
+    try {
+      // BOTH tenants in the SAME micro-batch
+      pqMem.addData((9000003L, qv, "t3"), (9000005L, qv, "t5"))
+      pq.processAllAvailable()
+      assert(pqResults.get(9000003L) === pqBatch(9000003L, 3),
+        "tenant t3's answers must equal its per-tenant filtered probe")
+      assert(pqResults.get(9000005L) === pqBatch(9000005L, 5),
+        "tenant t5's answers must equal its per-tenant filtered probe")
+      assert(pqResults.get(9000003L).forall(_._2 % 3 == 0))
+      assert(pqResults.get(9000005L).forall(_._2 % 5 == 0))
+      assert(pqResults.get(9000003L).map(_._2) !==
+        pqResults.get(9000005L).map(_._2),
+        "the tenants' allowed sets differ, so must their topKs")
+    } finally { pq.stop(); pqServer.close() }
+
+    // IVF tier, same discipline
+    val ivfDir = java.nio.file.Files
+      .createTempDirectory("graft-livekey-ivf").toString
+    IvfIndex.build(emb, k = 4).save(ivfDir)
+    def ivfBatch(qid: Long, m: Int): Seq[(Int, Long)] =
+      IvfIndex.probeFiltered(IvfIndex.load(spark, ivfDir),
+          Seq((qid, qv)).toDF("q_id", "qv"), allowedMod(m),
+          nProbe = 4, topK = 5)
+        .collect().map(r => (r.getInt(2), r.getLong(1))).toSeq.sorted
+    val ivfResults =
+      new java.util.concurrent.ConcurrentHashMap[Long, Seq[(Int, Long)]]()
+    val ivfServer = new LiveIvfServer(spark, ivfDir, nProbe = 4, topK = 5)
+    val ivfMem = MemoryStream[(Long, Seq[Double], String)]
+    val ivf = ivfServer.serveFilteredKeyedBy(
+        ivfMem.toDF().toDF("q_id", "qv", "tenant"), "q_id", "qv", "tenant",
+        () => allowedKeyed()) { out =>
+      out.collect().groupBy(_.getLong(0)).foreach { case (qid, rows) =>
+        ivfResults.put(qid,
+          rows.map(r => (r.getInt(2), r.getLong(1))).toSeq.sorted)
+      }
+    }
+    try {
+      ivfMem.addData((9100003L, qv, "t3"), (9100005L, qv, "t5"))
+      ivf.processAllAvailable()
+      assert(ivfResults.get(9100003L) === ivfBatch(9100003L, 3))
+      assert(ivfResults.get(9100005L) === ivfBatch(9100005L, 5))
+      assert(ivfResults.get(9100003L).forall(_._2 % 3 == 0))
+      assert(ivfResults.get(9100005L).forall(_._2 % 5 == 0))
+      assert(ivfResults.get(9100003L).map(_._2) !==
+        ivfResults.get(9100005L).map(_._2))
+    } finally { ivf.stop(); ivfServer.close() }
+  }
 }

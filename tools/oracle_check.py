@@ -15,7 +15,7 @@ hash_match:false). Exact mode fails on ANY difference: column dtype
 patterns (compared via IEEE-754 hex), and Decimal scale (compared via
 str(), so Decimal('5.00') != Decimal('5.0000')).
 """
-import sys, json, glob, os
+import sys, json, glob, os, time
 import duckdb
 import pandas as pd
 
@@ -301,6 +301,7 @@ def main():
                 print(f"  ~ {name}: rows={len(got)} (no oracle, rows-only)")
                 n_noop += 1
             continue
+        t0 = time.monotonic()
         try:
             exp = con.sql(oracle[name]).df()
         except Exception as e:
@@ -321,7 +322,7 @@ def main():
                 pd.testing.assert_frame_equal(g, e, check_dtype=False, check_exact=True)
             else:
                 pd.testing.assert_frame_equal(g, e, check_dtype=False, check_exact=False, rtol=1e-7, atol=1e-9)
-            print(f"  ✓ {name}: rows={len(g)}")
+            print(f"  ✓ {name}: rows={len(g)} ({time.monotonic() - t0:.1f}s oracle)")
             n_pass += 1
         except AssertionError as ex:
             print(f"  X {name}: VALUES differ: {str(ex).splitlines()[-1][:200]}")
