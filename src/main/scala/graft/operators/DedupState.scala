@@ -196,13 +196,31 @@ object DedupState {
   }
 
   /** An immutable view of one committed manifest. `version` 0 = no state
-    * yet (empty handle; every verdict is "novel"). */
+    * yet (empty handle; every verdict is "novel").
+    *
+    * `spanKind` is the span tier's LAYOUT flag (round 16), pinned in the
+    * manifest header at state creation: `"md5"` (the default — 32-hex
+    * chunk hashes, what every oracle-gated state uses) or `"xxh64"`
+    * (layout v2: 8-byte BIGINT chunk hashes, 4× smaller `spans/` leaves
+    * — ~0.5 B/token instead of ~2, the production representation
+    * SCALING.md prices). The kind only changes the HASH and the leaf
+    * dtype; the verdict/scrub algebra is identical, and mixing kinds in
+    * one state is structurally impossible (the flag rides the manifest
+    * every admit re-commits). */
   final case class Handle(
-      dir: String, version: Long, bloomBits: Long, deltas: Seq[DeltaRef]) {
+      dir: String, version: Long, bloomBits: Long, deltas: Seq[DeltaRef],
+      spanKind: String = SpanKindMd5) {
     def nDocs: Long = deltas.iterator.map(_.nDocs).sum
     def fingerprints: Set[String] =
       deltas.iterator.flatMap(_.fingerprints).toSet
   }
+
+  val SpanKindMd5 = "md5"
+  val SpanKindXxh64 = "xxh64"
+
+  private def payloadOf(bits: Long, spanKind: String): String =
+    s"bits=$bits" +
+      (if (spanKind != SpanKindMd5) s" span=$spanKind" else "")
 
   /** The state before any admit: every verdict against it is "novel in
     * state" — what the first drop of a fresh intake sees. */
@@ -211,8 +229,13 @@ object DedupState {
   /** Load the current committed state (the highest manifest). */
   def load(dir: String): Handle = {
     val st = DeltaManifest.load(dir, Magic, s"bits=$DefaultBloomBits")
-    Handle(dir, st.version, st.payload.split("bits=").last.trim.toLong,
-      st.refs.map(r => DeltaRef(r.name, r.ledger, r.n)))
+    val fields = st.payload.split("\\s+").iterator
+      .filter(_.contains("=")).map { t =>
+        val Array(k, v) = t.split("=", 2); k -> v
+      }.toMap
+    Handle(dir, st.version, fields("bits").toLong,
+      st.refs.map(r => DeltaRef(r.name, r.ledger, r.n)),
+      fields.getOrElse("span", SpanKindMd5))
   }
 
   /** (doc_id, ci, chunk_hash) per [[SpanTokens]]-aligned chunk of a
@@ -220,6 +243,15 @@ object DedupState {
     * (md5 over the space-joined token slice) WITH the chunk index, so
     * [[spanScrub]] can map a hash hit back to token positions. */
   def chunkGrid(docs: DataFrame): DataFrame =
+    chunkGridKind(docs, SpanKindMd5)
+
+  /** [[chunkGrid]] with the hash kind of the state it probes: same
+    * grid, the chunk hash is md5-hex (string) or xxhash64 (bigint —
+    * layout v2's 4×-smaller representation). */
+  private def chunkGridKind(docs: DataFrame, kind: String): DataFrame = {
+    val hashOf: Column => Column =
+      if (kind == SpanKindXxh64) (c: Column) => xxhash64(c)
+      else (c: Column) => md5(c)
     docs.filter(col("text").isNotNull)
       .select(col("doc_id"), split(col("text"), "\\s+").as("toks"))
       .filter(size(col("toks")) >= SpanTokens)
@@ -227,9 +259,10 @@ object DedupState {
         explode(sequence(lit(0),
           expr(s"size(toks) DIV $SpanTokens") - 1)).as("ci"))
       .select(col("doc_id"), col("ci"),
-        md5(concat_ws(" ",
+        hashOf(concat_ws(" ",
           slice(col("toks"), col("ci") * SpanTokens + 1, lit(SpanTokens))))
           .as("chunk_hash"))
+  }
 
   /** [[chunkGrid]] without the position — the dedup_span_exact chunk
     * relation, factored here so the batch span family and the state's
@@ -237,6 +270,9 @@ object DedupState {
     * docs yield no chunks. */
   def chunksOf(docs: DataFrame): DataFrame =
     chunkGrid(docs).select("doc_id", "chunk_hash")
+
+  private def chunksOfKind(docs: DataFrame, kind: String): DataFrame =
+    chunkGridKind(docs, kind).select("doc_id", "chunk_hash")
 
   /** All admitted rows `(doc_id, content_hash, mins, emb)`. Non-null
     * content hashes are globally distinct by the admitted-only invariant;
@@ -284,10 +320,14 @@ object DedupState {
   /** All admitted documents' span chunk hashes (distinct within each
     * delta; a chunk admitted twice across deltas appears twice — only
     * membership matters to the span tier). Legacy deltas contribute
-    * nothing (see class doc). */
+    * nothing (see class doc). Dtype follows the handle's `spanKind`
+    * (md5 → string, xxh64 → bigint). */
   def spans(s: SparkSession, h: Handle): DataFrame =
     readLeaf(s, h, h.deltas.filter(leafExists(h, _, "spans")),
-      "spans", SpansSchema)
+      "spans", spansSchema(h.spanKind))
+
+  private def spansSchema(kind: String): String =
+    if (kind == SpanKindXxh64) "chunk_hash bigint" else SpansSchema
 
   /** The admission AUDIT card across every delta: one row per document
     * ever offered to [[admit]] (admitted and rejected) with its verdict
@@ -324,14 +364,39 @@ object DedupState {
       "word bigint, mask bigint")
       .groupBy("word").agg(expr("bit_or(mask)").as("mask"))
 
-  /** Adds `bloom_hit` to `df`: both Bloom positions of md5-hex `keyCol`
-    * set in the folded `bloom` relation (broadcast twice — one lookup
-    * per position). Null keys are never hits. */
+  /** The two Bloom positions of a span-tier key under the given layout
+    * kind: md5 keys slice hex prefixes ([[BloomSketch]]); xxh64 keys
+    * mask the low bits directly and remix once (xxhash64 of the long)
+    * for the second position — bits is a power of 16, so `& (bits-1)`
+    * is the exact modulus and stays non-negative for any sign. */
+  private def spanPositions(
+      kind: String, key: Column, bits: Long): (Column, Column) =
+    if (kind == SpanKindXxh64)
+      (key.bitwiseAND(lit(bits - 1)),
+        xxhash64(key).bitwiseAND(lit(bits - 1)))
+    else (BloomSketch.pos1(key, bits), BloomSketch.pos2(key, bits))
+
+  /** (word, mask) Bloom relation for span keys of either layout kind —
+    * [[BloomSketch.maskRelation]] generalized to the v2 bigint keys. */
+  private def spanMaskRelation(
+      keys: DataFrame, kind: String, bits: Long): DataFrame = {
+    val (p1, p2) = spanPositions(kind, col(keys.columns.head), bits)
+    keys.select(explode(array(p1, p2)).as("p"))
+      .distinct()
+      .select(expr("p DIV 64").as("word"),
+        expr("shiftleft(1L, CAST(p % 64 AS INT))").as("m"))
+      .groupBy("word").agg(expr("bit_or(m)").as("mask"))
+  }
+
+  /** Adds `bloom_hit` to `df`: both Bloom positions of `keyCol` (under
+    * layout `kind`) set in the folded `bloom` relation (broadcast twice
+    * — one lookup per position). Null keys are never hits. */
   private def bloomProbe(
       df: DataFrame, keyCol: String, bloom: DataFrame,
-      bits: Long): DataFrame =
-    df.withColumn("p1", BloomSketch.pos1(col(keyCol), bits))
-      .withColumn("p2", BloomSketch.pos2(col(keyCol), bits))
+      bits: Long, kind: String = SpanKindMd5): DataFrame = {
+    val (p1, p2) = spanPositions(kind, col(keyCol), bits)
+    df.withColumn("p1", p1)
+      .withColumn("p2", p2)
       .withColumn("w1", expr("p1 DIV 64"))
       .withColumn("w2", expr("p2 DIV 64"))
       .join(broadcast(bloom.select(col("word").as("w1"),
@@ -343,6 +408,7 @@ object DedupState {
           && expr(
           "coalesce(shiftright(mask2, CAST(p2 % 64 AS INT)) & 1, 0L) = 1"))
       .drop("p1", "p2", "w1", "w2", "mask1", "mask2")
+  }
 
   /** Read-only admission verdicts for a batch `(doc_id, text[, emb])`
     * against the state: one row per batch document with the six dup
@@ -483,13 +549,14 @@ object DedupState {
     * batch's own chunks. */
   def spanVerdicts(s: SparkSession, h: Handle, batch: DataFrame): DataFrame = {
     val ids = batch.select(col("doc_id"))
-    val ch = chunksOf(batch.select(col("doc_id"), col("text")))
+    val ch = chunksOfKind(batch.select(col("doc_id"), col("text")),
+      h.spanKind)
     // within-batch occurrence counts (the dedup_span_exact criterion)
     val wch = Window.partitionBy(col("chunk_hash"))
     val withOcc = ch.withColumn("occ", count(lit(1)).over(wch))
     // vs state: Bloom prefilter, then the deciding exact semi-join
     val probed = bloomProbe(withOcc, "chunk_hash",
-      foldedBloom(s, h, "spanbloom"), h.bloomBits)
+      foldedBloom(s, h, "spanbloom"), h.bloomBits, h.spanKind)
     val stateDup = probed.filter(col("bloom_hit"))
       .select("doc_id", "chunk_hash").distinct()
       .join(spans(s, h), Seq("chunk_hash"), "left_semi")
@@ -531,8 +598,8 @@ object DedupState {
   def spanScrub(s: SparkSession, h: Handle, batch: DataFrame): DataFrame = {
     val d = batch.select(col("doc_id"), col("text"))
       .filter(col("text").isNotNull)
-    val probed = bloomProbe(chunkGrid(d), "chunk_hash",
-      foldedBloom(s, h, "spanbloom"), h.bloomBits)
+    val probed = bloomProbe(chunkGridKind(d, h.spanKind), "chunk_hash",
+      foldedBloom(s, h, "spanbloom"), h.bloomBits, h.spanKind)
     val hits = probed.filter(col("bloom_hit"))
       .select("doc_id", "ci", "chunk_hash")
       .join(spans(s, h), Seq("chunk_hash"), "left_semi")
@@ -565,9 +632,22 @@ object DedupState {
     * returning the current handle (idempotent replay). */
   def admit(
       s: SparkSession, dir: String, batch: DataFrame,
-      fingerprint: String): Handle = synchronized {
+      fingerprint: String, spanKind: String = ""): Handle = synchronized {
     DeltaManifest.requireCleanId(fingerprint)
-    val h = load(dir)
+    val h0 = load(dir)
+    // the span layout is pinned at state CREATION: a fresh state takes
+    // the requested kind (default md5); an existing state keeps its own,
+    // and asking for a different one fails loudly instead of mixing
+    val kind =
+      if (h0.version == 0L)
+        (if (spanKind.isEmpty) SpanKindMd5 else spanKind)
+      else h0.spanKind
+    require(spanKind.isEmpty || kind == spanKind,
+      s"state at $dir uses span layout '${h0.spanKind}', caller asked " +
+        s"for '$spanKind' — refusing to mix")
+    require(kind == SpanKindMd5 || kind == SpanKindXxh64,
+      s"unknown span layout kind '$kind'")
+    val h = h0.copy(spanKind = kind)
     if (h.fingerprints.contains(fingerprint)) return h
 
     val staging = DeltaManifest.stagingPath(dir)
@@ -601,16 +681,16 @@ object DedupState {
       .select("doc_id", "v", "nrm", "b", "bkey")
       .write.parquet(s"$st/ebands")
     // span evidence needs the batch TEXT (never persisted in rows/):
-    // derived here once, for admitted docs only
-    val spanHashes = chunksOf(
+    // derived here once, for admitted docs only, in the state's layout
+    val spanHashes = chunksOfKind(
       batch.select(col("doc_id"), col("text"))
-        .join(staged.select("doc_id"), Seq("doc_id"), "left_semi"))
+        .join(staged.select("doc_id"), Seq("doc_id"), "left_semi"), kind)
       .select("chunk_hash").distinct()
     spanHashes.write.parquet(s"$st/spans")
-    BloomSketch.maskRelation(
+    spanMaskRelation(
       s.read.schema(org.apache.spark.sql.types.StructType
-        .fromDDL(SpansSchema)).parquet(s"$st/spans"),
-      wordBits = 64, bits = h.bloomBits)
+        .fromDDL(spansSchema(kind))).parquet(s"$st/spans"),
+      kind, h.bloomBits)
       .write.parquet(s"$st/spanbloom")
     // the durable admission audit card (flags only; evidence is rows/)
     vf.select("doc_id", "exact_dup_state", "exact_dup_batch",
@@ -623,7 +703,8 @@ object DedupState {
     graft.storage.ParquetLogBackend.deleteRecursively(staging.resolve("vf"))
 
     val deltaName = DeltaManifest.promote(staging)
-    DeltaManifest.commit(dir, Magic, s"bits=${h.bloomBits}", h.version + 1,
+    DeltaManifest.commit(dir, Magic, payloadOf(h.bloomBits, kind),
+      h.version + 1,
       (h.deltas :+ DeltaRef(deltaName, fingerprint, n))
         .map(d => DeltaManifest.Ref(d.name, d.ledger, d.nDocs)))
     load(dir)
@@ -655,16 +736,17 @@ object DedupState {
     bands(s, h).write.parquet(s"$st/bands")
     ebands(s, h).write.parquet(s"$st/ebands")
     spans(s, h).write.parquet(s"$st/spans")
-    BloomSketch.maskRelation(
+    spanMaskRelation(
       s.read.schema(org.apache.spark.sql.types.StructType
-        .fromDDL(SpansSchema)).parquet(s"$st/spans"),
-      wordBits = 64, bits = h.bloomBits)
+        .fromDDL(spansSchema(h.spanKind))).parquet(s"$st/spans"),
+      h.spanKind, h.bloomBits)
       .write.parquet(s"$st/spanbloom")
     card(s, h).write.parquet(s"$st/card")
     val deltaName = DeltaManifest.promote(staging)
     val mergedLedger =
       h.deltas.map(_.ledger).mkString(DeltaManifest.FpSep.toString)
-    DeltaManifest.commit(dir, Magic, s"bits=${h.bloomBits}", h.version + 1,
+    DeltaManifest.commit(dir, Magic, payloadOf(h.bloomBits, h.spanKind),
+      h.version + 1,
       Seq(DeltaManifest.Ref(deltaName, mergedLedger, h.nDocs)))
     load(dir)
   }

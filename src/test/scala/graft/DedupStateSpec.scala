@@ -272,6 +272,100 @@ class DedupStateSpec extends AnyFunSuite {
     assert(!out.contains(9L), "null-text docs have no tokens to scrub")
   }
 
+  test("span layout v2 (xxh64): same verdicts and scrub as md5, bigint leaves, kinds never mix") {
+    val chunk = (1 to DedupState.SpanTokens).map(i => s"word$i").mkString(" ")
+    val novel = (1 to DedupState.SpanTokens).map(i => s"fresh$i").mkString(" ")
+    import spark.implicits._
+    val batch = Seq(
+      (5L, Option(chunk + " " + novel)),
+      (7L, Option("completely novel tokens that match nothing admitted")),
+      (9L, Option.empty[String])).toDF("doc_id", "text")
+    def build(kind: String): String = {
+      val dir = tmp()
+      DedupState.admit(spark, dir,
+        docs(0L -> (chunk + " trailing tail"), 2L -> otherText), "d1",
+        spanKind = kind)
+      DedupState.admit(spark, dir, docs(4L -> (novel + " suffix")), "d2",
+        spanKind = kind)
+      dir
+    }
+    val md5Dir = build("md5")
+    val xxDir = build("xxh64")
+    val hm = DedupState.load(md5Dir)
+    val hx = DedupState.load(xxDir)
+    assert(hm.spanKind === "md5" && hx.spanKind === "xxh64")
+
+    // 4x-smaller representation: the v2 leaf is BIGINT, the v1 a 32-hex
+    // string
+    assert(DedupState.spans(spark, hx).schema.head.dataType ===
+      org.apache.spark.sql.types.LongType)
+    assert(DedupState.spans(spark, hm).schema.head.dataType ===
+      org.apache.spark.sql.types.StringType)
+
+    // identical span verdicts and scrub output across layouts
+    def sv(h: DedupState.Handle) =
+      DedupState.spanVerdicts(spark, h, batch)
+        .orderBy("doc_id").collect().toSeq
+    assert(sv(hx) === sv(hm))
+    def scrub(h: DedupState.Handle) =
+      DedupState.spanScrub(spark, h, batch)
+        .orderBy("doc_id").collect().toSeq
+    assert(scrub(hx) === scrub(hm))
+    // and the verdicts survive compaction on the v2 layout too
+    DedupState.compact(spark, xxDir)
+    val hxc = DedupState.load(xxDir)
+    assert(hxc.spanKind === "xxh64" && sv(hxc) === sv(hm))
+
+    // the layout is pinned: admitting with the other kind fails loudly
+    val e = intercept[IllegalArgumentException] {
+      DedupState.admit(spark, xxDir, docs(20L -> otherText), "d3",
+        spanKind = "md5")
+    }
+    assert(e.getMessage.contains("refusing to mix"))
+    // kind-less admits keep the state's own layout
+    val h3 = DedupState.admit(spark, xxDir, docs(21L -> baseText), "d4")
+    assert(h3.spanKind === "xxh64")
+  }
+
+  test("multi-delta near-tier capping is per delta (two admits, no compact) — pinned") {
+    // ADVICE r15: the per-delta band cap's multi-delta semantics were
+    // unpinned. Construct a band bucket that exceeds MaxBandBucket only
+    // when the two deltas' rows are COUNTED TOGETHER: per-delta capping
+    // keeps both deltas' rows live, so a probe of the shared content
+    // still flags near_dup_state; a within-state cap would have dropped
+    // the bucket and silently admitted the probe.
+    val dir = tmp()
+    val cap = graft.operators.MinHashLsh.MaxBandBucket
+    // identical text ⇒ identical signature ⇒ all rows share every band
+    // bucket. Drop 1 fills one bucket to the cap exactly; drop 2 admits
+    // one more doc with DIFFERENT text (so it is not a dup) whose bucket
+    // rows stay under the per-delta cap.
+    val same = (0 until cap).map(i => (i * 2L, baseText))
+    // per-delta semantics: drop 1's bucket holds exactly cap rows (kept);
+    // only doc 0 survives admission (the rest are exact dups of it in
+    // batch), so the admitted delta holds ONE row of this signature
+    DedupState.admit(spark, dir, docs(same: _*), "d1")
+    DedupState.admit(spark, dir, docs(1001L -> nearText), "d2")
+    val h = DedupState.load(dir)
+    assert(h.deltas.size === 2)
+    // probe: near-dup of baseText (in delta 1) — must flag near_dup_state
+    // through the pre-banded per-delta rows of BOTH deltas
+    val v = verdictMap(DedupState.verdicts(spark, h,
+      docs(5000L -> nearText)))
+    assert(v(5000L).getBoolean(v(5000L).fieldIndex("near_dup_state")),
+      "per-delta capped band rows from both live deltas must serve")
+    // and the un-compacted answer equals the compacted one (caps
+    // concatenate verbatim at compaction — pinned bit-parity)
+    val before = DedupState.verdicts(spark, h,
+      docs(5000L -> nearText))
+      .orderBy("doc_id").collect().toSeq
+    DedupState.compact(spark, dir)
+    val after = DedupState.verdicts(spark, DedupState.load(dir),
+      docs(5000L -> nearText))
+      .orderBy("doc_id").collect().toSeq
+    assert(after === before)
+  }
+
   test("Bloom saturation never changes a verdict (prefilter exactness)") {
     import spark.implicits._
     val dir = tmp()
