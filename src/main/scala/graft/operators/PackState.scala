@@ -354,4 +354,34 @@ object PackState {
   def gc(dir: String, p: Params): Int = synchronized {
     DeltaManifest.gc(dir, Magic, p.payload)
   }
+
+  /** Typed state-health verdict (round 16) — the
+    * [[DedupState.health]] pattern on the pack store:
+    *
+    *  - `nDeltas` drives [[trainingRows]]' read fan-in (contrib
+    *    concatenates across deltas) and the small-file count;
+    *    [[compact]] restores it to 1 without changing any row.
+    *  - `activeBins` is the per-drop snapshot rewrite volume — the
+    *    closed-bins rule's control surface. A growing active set with
+    *    `closeBelow` = 0 is the pre-round-16 O(corpus) rewrite;
+    *    with a close threshold it tracks the fill frontier.
+    *  - `closedBins` is the append-only retired tier (never rewritten;
+    *    reported for capacity accounting).
+    *
+    * `compactRecommended` trips on the delta dimension alone. */
+  final case class HealthReport(
+      nDeltas: Int,
+      nDocs: Long,
+      activeBins: Long,
+      closedBins: Long,
+      compactRecommended: Boolean)
+
+  def health(
+      s: SparkSession, h: Handle, maxDeltas: Int = 16): HealthReport =
+    HealthReport(
+      nDeltas = h.deltas.size,
+      nDocs = h.nDocs,
+      activeBins = bins(s, h).count(),
+      closedBins = binsClosed(s, h).count(),
+      compactRecommended = h.deltas.size > maxDeltas)
 }

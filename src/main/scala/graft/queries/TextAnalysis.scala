@@ -2708,6 +2708,15 @@ object TextAnalysis {
     "pipeline_drop_report" -> { (s, dir) =>
       val merges = learnBpeMergesCached(s, dir)
       val ids = tokenIdsOf(s, dir, merges)
+      // the scrubbed-token column reads the SCRUBBED pack state's
+      // persisted per-drop contributions (each contrib row's ids_doc is
+      // the doc's truncated prefix + EOS, so Σ size(ids_doc) over a
+      // drop's delta IS Σ least(n_ids+1, L) over its scrubbed ids) —
+      // the ledger thereby describes the rows the treated pack actually
+      // shipped, and the steady-state cost is a delta-leaf scan instead
+      // of re-running scrub + tokenize per report
+      val scrSt = graft.operators.PackState.load(
+        ensureScrubbedPackState(s, dir), packParams)
       def row(which: Int): DataFrame = {
         val f = Dedup.dropCurationFrames(s, dir, which)
         val preState =
@@ -2732,8 +2741,11 @@ object TextAnalysis {
             "n_pack_tokens"))
           // what the TREATED loop ships (round 16): the same curated
           // docs, span-scrubbed against the pre-drop state, re-tokenized
-          .crossJoin(packSum(scrubbedCuratedIds(s, dir, which, merges),
-            "n_scrub_tokens"))
+          // — served from the persisted scrubbed pack's contributions
+          .crossJoin(graft.operators.PackState
+            .contrib(s, scrSt.copy(deltas = Seq(scrSt.deltas(which))))
+            .agg(coalesce(sum(size(col("ids_doc")).cast("long")),
+              lit(0L)).as("n_scrub_tokens")))
           .select(lit(which + 1L).as("drop_no"), col("n_eligible"),
             col("n_admitted"), col("n_registry_flagged"),
             col("n_sem_flagged"), col("n_curated"),

@@ -233,6 +233,26 @@ class PackStateSpec extends AnyFunSuite {
     assert(tr.length === 1 && tr(0).getLong(3) === 4L) // 1,2,3,EOS
   }
 
+  test("health verdict trips on delta accumulation and compaction restores it") {
+    val pc = P.copy(closeBelow = 3)
+    val dir = tmp()
+    PackState.pack(spark, dir,
+      rows(0L -> Seq(1, 2, 3), 2L -> Seq(4, 5, 6, 7, 8)), "d1", pc)
+    PackState.pack(spark, dir, rows(1L -> Seq(9)), "d2", pc)
+    PackState.pack(spark, dir, rows(3L -> Seq(10, 11)), "d3", pc)
+    val hr = PackState.health(spark, PackState.load(dir, pc), maxDeltas = 2)
+    assert(hr.nDeltas === 3 && hr.nDocs === 4L)
+    assert(hr.compactRecommended)
+    assert(hr.activeBins + hr.closedBins >= 2,
+      "every opened bin is either active or retired")
+    PackState.compact(spark, dir, pc)
+    val hrc = PackState.health(spark, PackState.load(dir, pc), maxDeltas = 2)
+    assert(hrc.nDeltas === 1 && !hrc.compactRecommended)
+    assert(hrc.activeBins === hr.activeBins &&
+      hrc.closedBins === hr.closedBins,
+      "compaction never re-opens or re-closes a bin")
+  }
+
   test("buckets untouched by a drop carry their bins forward verbatim") {
     val p2 = P.copy(buckets = 2)
     val dir = tmp()
