@@ -252,6 +252,66 @@ object IndexMaintainer {
       .start()
   }
 
+  /** Maintain a persisted [[graft.operators.PackState]] from a stream of
+    * RAW documents with the span-scrub TREATMENT applied (round 16 —
+    * the streaming form of pipeline_drop_train_scrubbed's scrub →
+    * tokenize → pack tail): each micro-batch
+    *
+    *  1. RE-LOADS the dedup state's manifest (the registry-stream
+    *     reload discipline), so a drop admitted mid-stream scrubs the
+    *     very next batch with no restart;
+    *  2. cuts every [[graft.operators.DedupState.SpanTokens]]-aligned
+    *     chunk already admitted there
+    *     ([[graft.operators.DedupState.spanScrub]]);
+    *  3. tokenizes the SCRUBBED text via the caller's `tokenize`
+    *     ((doc_id, text) → (doc_id, token_ids) — the tokenizer is the
+    *     deployment's own; passing the identity of a pre-tokenized
+    *     relation degrades this to [[maintainPackState]]);
+    *  4. FFD-packs into the bins earlier batches left open.
+    *
+    * Exactly-once, ordering caveat, and `compactEvery` are
+    * [[maintainPackState]]'s verbatim (the pack-state manifest is the
+    * ledger; the scrub/tokenize stages are deterministic functions of
+    * the batch + the dedup state's committed manifest, so a replayed
+    * epoch packs nothing). Docs scrubbed to zero tokens drop out of
+    * the pack exactly like word-less originals. */
+  def maintainScrubbedPackState(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      dedupStateDir: String,
+      tokenize: DataFrame => DataFrame,
+      dir: String,
+      checkpointDir: String,
+      params: graft.operators.PackState.Params,
+      compactEvery: Int = 0): StreamingQuery = {
+    import graft.operators.{DedupState, PackState}
+    val key = checkpointKey(checkpointDir)
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, epochId: Long) =>
+        val spark = batch.sparkSession
+        val b = batch.select(col(idCol).cast("long").as("doc_id"),
+          col(textCol).cast("string").as("text"))
+        if (!b.isEmpty) {
+          val scrubbed = DedupState
+            .spanScrub(spark, DedupState.load(dedupStateDir), b)
+            .select(col("doc_id"), col("scrubbed_text").as("text"))
+          val ids = tokenize(scrubbed)
+            .select(col("doc_id").cast("long").as("doc_id"),
+              col("token_ids").cast("array<int>").as("token_ids"))
+          val h = PackState.pack(spark, dir, ids,
+            fingerprint = s"e$key.$epochId", params)
+          if (compactEvery > 0 && h.deltas.size >= compactEvery) {
+            PackState.gc(dir, params)
+            PackState.compact(spark, dir, params)
+            ()
+          }
+        }
+      }
+      .start()
+  }
+
   /** Maintain a persisted vector index ([[IvfIndex]], or [[PqIndex]] when
     * a `pq_codes` tier is present — detected per batch, so an index
     * upgraded to PQ mid-stream is followed) from a stream of

@@ -63,7 +63,9 @@ object ScaleRehearsal {
     // persisted cross-drop pack (cold column carries artifact builds)
     "dedup_incremental_span", "pipeline_intake_report",
     "pipeline_drop_pack", "pipeline_drop_train", "pipeline_drop_report",
-    "pipeline_drop_scrub")
+    "pipeline_drop_scrub",
+    // round 16: the treated loop (scrub composed into the pack)
+    "pipeline_drop_train_scrubbed")
 
   /** `ScaleRehearsal sf10 [base] [out] [queries...]` — the 100× column:
     * a 100-copy database materialized for JUST the tables the audited

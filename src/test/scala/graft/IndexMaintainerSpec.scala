@@ -534,6 +534,77 @@ class IndexMaintainerSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("maintainScrubbedPackState: scrub -> tokenize -> pack per epoch equals the sequential treated batches; a mid-stream admit scrubs the very next batch") {
+    import graft.operators.{DedupState, PackState}
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val P = PackState.Params(seqLen = 8, eosId = 98, padId = 99, buckets = 1)
+    // a deterministic stand-in tokenizer: one id per whitespace token
+    // (its length), the deployment-supplied stage the maintainer takes
+    val tok: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame =
+      d => d.select(col("doc_id"),
+        expr("transform(split(text, '\\\\s+'), t -> length(t))")
+          .cast("array<int>").as("token_ids"))
+    val chunk = (1 to DedupState.SpanTokens).map(i => s"w$i").mkString(" ")
+    val stateDir = tmp("graft-scrubpack-state")
+    DedupState.admit(spark, stateDir,
+      Seq((0L, chunk + " trailing tail")).toDF("doc_id", "text"), "d1")
+
+    val dir = tmp("graft-scrubpack")
+    val ckpt = tmp("graft-scrubpack-ckpt")
+    val mem = MemoryStream[(Long, String)]
+    val q = IndexMaintainer.maintainScrubbedPackState(
+      mem.toDF().toDF("doc_id", "text"), "doc_id", "text",
+      stateDir, tok, dir, ckpt, P)
+    try {
+      // epoch 1: doc 10 embeds the admitted chunk (scrubbed to 2 tokens),
+      // doc 12 is clean
+      val e1 = Seq(10L -> (chunk + " aa bbb"), 12L -> "x yy zzz")
+      mem.addData(e1: _*)
+      q.processAllAvailable()
+      assert(PackState.load(dir, P).nDocs === 2L)
+
+      // a SECOND chunk admitted MID-STREAM must scrub the next epoch
+      val chunk2 = (1 to DedupState.SpanTokens).map(i => s"v$i").mkString(" ")
+      DedupState.admit(spark, stateDir,
+        Seq((2L, chunk2 + " more tail")).toDF("doc_id", "text"), "d2")
+      val e2 = Seq(14L -> (chunk2 + " cc"), 16L -> "p qq")
+      mem.addData(e2: _*)
+      q.processAllAvailable()
+      val streamed = PackState
+        .trainingRows(spark, PackState.load(dir, P))
+        .orderBy("bucket", "seq").collect().toSeq
+
+      // twin: the sequential treated batches against the same states
+      val dir2 = tmp("graft-scrubpack-b")
+      val st1 = DedupState.load(stateDir) // both chunks admitted by now —
+      // rebuild the PER-EPOCH states the stream actually saw
+      val stateDir2 = tmp("graft-scrubpack-state2")
+      DedupState.admit(spark, stateDir2,
+        Seq((0L, chunk + " trailing tail")).toDF("doc_id", "text"), "d1")
+      def treated(st: DedupState.Handle, rows: Seq[(Long, String)]) =
+        tok(DedupState.spanScrub(spark, st, rows.toDF("doc_id", "text"))
+          .select(col("doc_id"), col("scrubbed_text").as("text")))
+      PackState.pack(spark, dir2,
+        treated(DedupState.load(stateDir2), e1), "b1", P)
+      DedupState.admit(spark, stateDir2,
+        Seq((2L, chunk2 + " more tail")).toDF("doc_id", "text"), "d2")
+      PackState.pack(spark, dir2,
+        treated(DedupState.load(stateDir2), e2), "b2", P)
+      val batched = PackState
+        .trainingRows(spark, PackState.load(dir2, P))
+        .orderBy("bucket", "seq").collect().toSeq
+      assert(streamed === batched)
+      // the treatment actually bit: doc 10 contributed 2 real ids + EOS,
+      // not SpanTokens + 2; doc 14 contributed 1 + EOS
+      val contrib = PackState.contrib(spark, PackState.load(dir, P))
+        .select(col("doc_id"), size(col("ids_doc")).as("n"))
+        .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+      assert(contrib(10L) === 3 && contrib(14L) === 2)
+      assert(st1.nDocs === 2L)
+    } finally q.stop()
+  }
+
   test("maintainDedupState: streamed drops admit exactly like sequential batch admits; compaction cadence preserves content and ledger") {
     import graft.operators.DedupState
     import spark.implicits._
