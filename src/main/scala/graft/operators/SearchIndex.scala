@@ -672,13 +672,58 @@ object SearchIndex {
     * terms, or the phrase for a "phrase" snapshot). Ties rank by doc_id
     * ascending, the batch searchers' order. */
   def answerWithSnapshot(
-      snap: SearchSnapshot, queries: DataFrame, topK: Int): DataFrame = {
+      snap: SearchSnapshot, queries: DataFrame, topK: Int): DataFrame =
+    answerImpl(snap, queries, topK, None, None)
+
+  /** FILTERED snapshot serving (round 16 — the text tier's twin of
+    * [[IvfIndex.probeFiltered]]): candidates restricted to the doc ids
+    * in `allowed` (one `doc_id` column) BEFORE the top-k, so a full
+    * topK of allowed documents returns however selective the predicate
+    * is. Scores keep the FULL index's statistics (df/idf/avgdl) — the
+    * semantics are "rank the allowed documents by the corpus-trained
+    * scorer", not "re-train the scorer on the allowed slice" (the same
+    * contract the filtered ANN tiers make: the index is the index, the
+    * filter is visibility). The semi-join lands on the matched-token
+    * postings rows, never the corpus. */
+  def answerWithSnapshotFiltered(
+      snap: SearchSnapshot, queries: DataFrame, allowed: DataFrame,
+      topK: Int): DataFrame =
+    answerImpl(snap, queries, topK, Some(allowed), None)
+
+  /** PER-QUERY-ROW filtered snapshot serving —
+    * [[IvfIndex.probeFilteredKeyed]]'s semantics on the text tier:
+    * every query row carries a tenant/visibility KEY (`keyCol`) and
+    * `allowedKeyed` is a `(keyCol, doc_id)` relation; one batch serves
+    * many tenants, each ranked only over its key's allowed documents.
+    * Keys compare as strings. */
+  def answerWithSnapshotFilteredKeyed(
+      snap: SearchSnapshot, queries: DataFrame, keyCol: String,
+      allowedKeyed: DataFrame, topK: Int): DataFrame =
+    answerImpl(snap, queries, topK, None, Some((keyCol, allowedKeyed)))
+
+  private def answerImpl(
+      snap: SearchSnapshot, queries: DataFrame, topK: Int,
+      allowed: Option[DataFrame],
+      keyed: Option[(String, DataFrame)]): DataFrame = {
+    val keyCol: Column = keyed match {
+      case Some((kc, _)) => col(kc).cast("string")
+      case None => lit("")
+    }
+    def gate(candidates: DataFrame): DataFrame = {
+      val g = allowed.fold(candidates)(a =>
+        candidates.join(a.select(col("doc_id")), Seq("doc_id"),
+          "left_semi"))
+      keyed.fold(g) { case (kc, ak) =>
+        g.join(ak.select(col(kc).cast("string").as("k"),
+          col("doc_id")), Seq("k", "doc_id"), "left_semi")
+      }
+    }
     if (snap.mode == "phrase") {
       val q = queries
         .select(col("q_id").cast("long").as("q_id"),
-          split(col("q"), "\\s+").as("phrase"))
+          split(col("q"), "\\s+").as("phrase"), keyCol.as("k"))
         .withColumn("token", explode(array_distinct(col("phrase"))))
-      q.join(snap.df, Seq("token"))
+      gate(q.join(snap.df, Seq("token")))
         .groupBy(col("q_id"), col("doc_id"), col("phrase"))
         .agg(map_from_entries(
           collect_list(struct(col("token"), col("pos")))).as("m"))
@@ -693,10 +738,11 @@ object SearchIndex {
           expr("transform(top, x -> x.doc_id)").as("top_ids"),
           expr("transform(top, x -> -x.neg)").as("top_scores"))
     } else {
-      queries
+      gate(queries
         .select(col("q_id").cast("long").as("q_id"),
-          explode(array_distinct(split(col("q"), "\\s+"))).as("token"))
-        .join(snap.df, Seq("token"))
+          explode(array_distinct(split(col("q"), "\\s+"))).as("token"),
+          keyCol.as("k"))
+        .join(snap.df, Seq("token")))
         .groupBy(col("q_id"), col("doc_id"))
         .agg(sum(col("contrib")).as("score"))
         .groupBy(col("q_id"))

@@ -90,6 +90,49 @@ final class LiveSearchServer(
       queries.select(col(idCol).cast("long").as("q_id"),
         col(qCol).as("q")), topK)
 
+  /** FILTERED text-search serving (round 16 — the text tier's twin of
+    * [[LiveAnnServer.answerFiltered]]): top-k over the doc ids in
+    * `allowed` (one `doc_id` column), scored with the FULL index's
+    * statistics — visibility filtering, not scorer re-training. */
+  def answerFiltered(
+      queries: DataFrame, idCol: String, qCol: String, topK: Int,
+      allowed: DataFrame): DataFrame =
+    SearchIndex.answerWithSnapshotFiltered(state._2,
+      queries.select(col(idCol).cast("long").as("q_id"),
+        col(qCol).as("q")), allowed, topK)
+
+  /** PER-QUERY-ROW filtered text-search serving — every query row
+    * carries a tenant key, `allowedKeyed` is `(keyCol, doc_id)`; one
+    * micro-batch serves many tenants, each ranked only over its own
+    * allowed documents ([[LiveAnnServer.answerFilteredKeyed]]'s
+    * contract on the text tier). */
+  def answerFilteredKeyed(
+      queries: DataFrame, idCol: String, qCol: String, keyCol: String,
+      topK: Int, allowedKeyed: DataFrame): DataFrame =
+    SearchIndex.answerWithSnapshotFilteredKeyed(state._2,
+      queries.select(col(idCol).cast("long").as("q_id"),
+        col(qCol).as("q"), col(keyCol)), keyCol, allowedKeyed, topK)
+
+  /** [[serve]] with a per-micro-batch allowed-set SOURCE — the
+    * [[LiveAnnServer.serveFilteredBy]] contract on the text tier. */
+  def serveFilteredBy(
+      queries: DataFrame, idCol: String, qCol: String, topK: Int,
+      allowedSource: () => DataFrame)
+      (sink: DataFrame => Unit): StreamingQuery =
+    LiveServers.serveLoop(queries, this.refreshIfStale _, sink,
+      (b: DataFrame) => answerFiltered(b, idCol, qCol, topK,
+        allowedSource()))
+
+  /** The multi-tenant text-serving loop —
+    * [[LiveAnnServer.serveFilteredKeyedBy]]'s contract here. */
+  def serveFilteredKeyedBy(
+      queries: DataFrame, idCol: String, qCol: String, keyCol: String,
+      topK: Int, allowedKeyedSource: () => DataFrame)
+      (sink: DataFrame => Unit): StreamingQuery =
+    LiveServers.serveLoop(queries, this.refreshIfStale _, sink,
+      (b: DataFrame) => answerFilteredKeyed(b, idCol, qCol, keyCol, topK,
+        allowedKeyedSource()))
+
   /** Start serving a STREAM of queries: per micro-batch, refresh if the
     * index grew, answer from the current snapshot, hand the result to
     * `sink`. The returned query is the caller's to stop.

@@ -114,6 +114,78 @@ class LiveServeSpec extends AnyFunSuite {
     } finally { q.stop(); server.close() }
   }
 
+  test("LiveSearchServer filtered serving: filter-then-rank with full-index statistics; two tenants in one micro-batch; mid-stream visibility change") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-livesearchfilt").toString
+    SearchIndex.build(docs).save(dir)
+    val server = new LiveSearchServer(spark, dir, "tfidf")
+    def allowedMod(m: Int) =
+      docs.filter(col("doc_id") % m === 0).select("doc_id")
+
+    // the semantic contract: topK over the allowed set = rank EVERY
+    // allowed doc by the full-index scorer, take topK (NOT post-filter
+    // of the unfiltered topK, which under-fills)
+    def bruteFiltered(q: String, m: Int): Seq[(Long, Long)] = {
+      val all = SearchIndex.answerWithSnapshot(
+        SearchIndex.load(spark, dir).snapshot("tfidf"),
+        Seq((99L, q)).toDF("q_id", "q"), topK = 1000000)
+        .collect().head
+      all.getSeq[Long](1).zip(all.getSeq[Long](2))
+        .filter(_._1 % m == 0).take(5).toSeq
+    }
+    val f3 = server.answerFiltered(
+      Seq((1L, "vector stream")).toDF("q_id", "q"), "q_id", "q", 5,
+      allowedMod(3)).collect().head
+    assert(f3.getSeq[Long](1).zip(f3.getSeq[Long](2)).toSeq ===
+      bruteFiltered("vector stream", 3))
+    assert(f3.getSeq[Long](1).forall(_ % 3 == 0))
+
+    // keyed: both tenants in ONE call, each equal to its own filtered
+    // answer
+    def allowedKeyed() =
+      allowedMod(3).withColumn("tenant", lit("t3"))
+        .unionByName(allowedMod(5).withColumn("tenant", lit("t5")))
+        .select("tenant", "doc_id")
+    val keyed = server.answerFilteredKeyed(
+      Seq((13L, "vector stream", "t3"), (15L, "vector stream", "t5"))
+        .toDF("q_id", "q", "tenant"),
+      "q_id", "q", "tenant", 5, allowedKeyed())
+      .collect().map(r => r.getLong(0) ->
+        r.getSeq[Long](1).zip(r.getSeq[Long](2)).toSeq).toMap
+    assert(keyed(13L) === bruteFiltered("vector stream", 3))
+    assert(keyed(15L) === bruteFiltered("vector stream", 5))
+    assert(keyed(13L) !== keyed(15L))
+
+    // serveFilteredKeyedBy: the allowed source re-reads per micro-batch —
+    // a tenant's visibility change between batches changes its next
+    // answers
+    val current = new java.util.concurrent.atomic.AtomicInteger(3)
+    val results =
+      new java.util.concurrent.ConcurrentHashMap[Long, Seq[(Long, Long)]]()
+    val mem = MemoryStream[(Long, String, String)]
+    val q = server.serveFilteredKeyedBy(
+        mem.toDF().toDF("q_id", "q", "tenant"), "q_id", "q", "tenant", 5,
+        () => allowedMod(current.get()).withColumn("tenant", lit("t"))
+          .select("tenant", "doc_id")) { out =>
+      out.collect().foreach { r =>
+        results.put(r.getLong(0),
+          r.getSeq[Long](1).zip(r.getSeq[Long](2)).toSeq)
+      }
+    }
+    try {
+      mem.addData((21L, "vector stream", "t"))
+      q.processAllAvailable()
+      assert(results.get(21L) === bruteFiltered("vector stream", 3))
+      current.set(5)
+      mem.addData((22L, "vector stream", "t"))
+      q.processAllAvailable()
+      assert(results.get(22L) === bruteFiltered("vector stream", 5))
+      assert(results.get(22L) !== results.get(21L))
+    } finally { q.stop(); server.close() }
+  }
+
   test("LiveAnnServer: appendVectors mid-stream is probed after commit, without restart") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
