@@ -476,10 +476,14 @@ object Main {
     // an existing state's manifest pins its own geometry and a mismatch
     // fails loudly. The fingerprint defaults to the drop path +
     // size/mtime, so a crashed invocation re-runs as a no-op.
-    case Seq("pack", stateDir, dropDir) =>
+    // optional trailing arg = closeBelow (the round-16 closed-bins
+    // rule, pinned into the state's geometry at creation — an existing
+    // state's manifest wins and a mismatch fails loudly)
+    case Seq("pack", stateDir, dropDir, rest @ _*) if rest.size <= 1 =>
       val s = spark()
       val p = graft.operators.PackState.Params(
-        seqLen = 128, eosId = 34, padId = 35, buckets = 32)
+        seqLen = 128, eosId = 34, padId = 35, buckets = 32,
+        closeBelow = rest.headOption.map(_.toInt).getOrElse(0))
       val fp = dropDir + "|" + graft.util.ArtifactCache.fingerprintOf(
         java.nio.file.Paths.get(dropDir))
       val before = graft.operators.PackState.load(stateDir, p)
@@ -506,9 +510,9 @@ object Main {
     // trainer handoff (bucket, seq, n_docs, n_real, n_pad, ids_md5)
     case Seq("pack-rows", stateDir, outDir) =>
       val s = spark()
-      val p = graft.operators.PackState.Params(
-        seqLen = 128, eosId = 34, padId = 35, buckets = 32)
-      val h = graft.operators.PackState.load(stateDir, p)
+      // read-only: the state's own manifest pins the geometry, whatever
+      // closeBelow (or future knobs) it was created with
+      val h = graft.operators.PackState.loadAny(stateDir)
       graft.operators.PackState.trainingRows(s, h)
         .orderBy("bucket", "seq")
         .write.mode("overwrite").parquet(outDir)
@@ -593,7 +597,8 @@ object Main {
           "import-tokenizer <merges.txt> <vocab.json> <modeldir>|" +
           "admit <statedir> <dropparquet>|compact-state <statedir>|" +
           "upgrade-state <statedir>|state-health <statedir>|" +
-          "pack <statedir> <idsparquet>|pack-rows <statedir> <outdir>|" +
+          "pack <statedir> <idsparquet> [closeBelow]|" +
+          "pack-rows <statedir> <outdir>|" +
           "register-benchmark <regdir> <benchparquet> <name>|" +
           "register-embeddings <regdir> <vecparquet> <name>|" +
           "decontaminate <regdir> <dropparquet>|" +

@@ -114,6 +114,19 @@ object PackState {
       deltas.iterator.flatMap(_.fingerprints).toSet
   }
 
+  /** Load with the geometry the manifest ITSELF pins — the read-only
+    * caller's form (pack-rows, health, audits): nothing to re-state, so
+    * no mismatch is possible. Fails loudly when no state exists (there
+    * is no geometry to read). */
+  def loadAny(dir: String): Handle = {
+    val st = DeltaManifest.load(dir, Magic, "")
+    require(st.version > 0, s"no pack state at $dir")
+    val f = st.payload.split("\\s+").filter(_.contains("="))
+      .map { t => val Array(k, v) = t.split("=", 2); k -> v }.toMap
+    load(dir, Params(f("L").toInt, f("eos").toInt, f("pad").toInt,
+      f("buckets").toInt, f.getOrElse("close", "0").toInt))
+  }
+
   /** Load the current committed state; `version` 0 (no packs yet) if
     * none. A geometry mismatch with an existing manifest fails loudly. */
   def load(dir: String, p: Params): Handle = {

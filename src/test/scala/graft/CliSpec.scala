@@ -344,6 +344,20 @@ class CliSpec extends AnyFunSuite {
     assert(rows.length === 2)
     assert(rows.map(_.getLong(3)).sum === 128L + 61L + 51L,
       "real tokens = truncated prefix+EOS contributions of all three docs")
+
+    // a closeBelow state created via the optional CLI arg: the rule is
+    // pinned in the manifest, pack-rows reads the geometry from there
+    // (no re-statement), and a mismatched re-pack fails loudly
+    val state2 = Files.createTempDirectory("graftcli-packc").toString
+    val pc1 = run("pack", state2, drop1, "8")
+    assert(pc1.contains("packed 2 doc(s)"), pc1)
+    val out2 = Files.createTempDirectory("graftcli-packrows2").toString
+    val pc2 = run("pack-rows", state2, out2)
+    assert(pc2.contains("wrote training rows for 2 docs"), pc2)
+    val e = intercept[IllegalArgumentException] {
+      run("pack", state2, drop2) // closeBelow=0 vs the pinned 8
+    }
+    assert(e.getMessage.contains("geometry"))
   }
 
   test("register-benchmark + decontaminate drive the registry lifecycle") {
