@@ -477,13 +477,26 @@ object Main {
     // fails loudly. The fingerprint defaults to the drop path +
     // size/mtime, so a crashed invocation re-runs as a no-op.
     // optional trailing arg = closeBelow (the round-16 closed-bins
-    // rule, pinned into the state's geometry at creation — an existing
-    // state's manifest wins and a mismatch fails loudly)
+    // rule, pinned into the state's geometry at CREATION): an existing
+    // state's manifest wins — its pinned geometry (whole Params, not
+    // just closeBelow) is read back and a supplied arg is only
+    // VALIDATED against it; a fresh state takes the arg (default 2,
+    // the round-17 semantics-free close rule)
     case Seq("pack", stateDir, dropDir, rest @ _*) if rest.size <= 1 =>
       val s = spark()
-      val p = graft.operators.PackState.Params(
-        seqLen = 128, eosId = 34, padId = 35, buckets = 32,
-        closeBelow = rest.headOption.map(_.toInt).getOrElse(0))
+      val explicitClose = rest.headOption.map(_.toInt)
+      val p = graft.operators.PackState.loadOpt(stateDir) match {
+        case Some(h) =>
+          explicitClose.foreach(cb => require(
+            cb == h.params.closeBelow,
+            s"state at $stateDir pins closeBelow=${h.params.closeBelow}, " +
+              s"caller passed $cb — the manifest geometry wins; omit the " +
+              "arg or re-state the pinned value"))
+          h.params
+        case None => graft.operators.PackState.Params(
+          seqLen = 128, eosId = 34, padId = 35, buckets = 32,
+          closeBelow = explicitClose.getOrElse(2))
+      }
       val fp = dropDir + "|" + graft.util.ArtifactCache.fingerprintOf(
         java.nio.file.Paths.get(dropDir))
       val before = graft.operators.PackState.load(stateDir, p)

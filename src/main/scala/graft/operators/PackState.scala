@@ -88,15 +88,26 @@ object PackState {
     * and applied identically by the seeded-FFD oracle (closed bins keep
     * their seq positions as a `-1` sentinel remainder no n_eff ≥ 1 can
     * fit), so training rows stay hash-exact at any closeBelow.
-    * closeBelow = 0 (the default) closes nothing — byte-compatible with
-    * pre-round-16 states, whose manifests omit the field. Note
-    * closeBelow = 2 is semantics-free for any input (n_eff ≥ 1 means a
-    * rem-0 bin can never accept; a rem-1 bin only accepts empty docs);
-    * larger values trade a deterministic, oracle-mirrored packing change
-    * for a smaller active set. */
+    * closeBelow = 0 closes nothing — the pre-round-16 O(corpus-so-far)
+    * snapshot rewrite, kept for byte-compatibility with states whose
+    * manifests omit the field. The DEFAULT is 2 (round 17): provably
+    * semantics-free for any input with ≥ 1 token per doc — a rem-0 bin
+    * can never accept again (n_eff ≥ 1), and a rem-1 bin fits only
+    * n_eff = 1, i.e. a ZERO-token doc (n_ids ≥ 1 ⇒ n_eff ≥ 2) — so
+    * training rows are IDENTICAL to closeBelow = 0 (PackStateSpec pins
+    * it) while a new production state stops rewriting every full bin
+    * forever. The one degenerate exception: a zero-token doc arriving
+    * in a LATER drop may land in a different bin than closeBelow = 0
+    * would give it (the rem-1 bin it would have taken was retired);
+    * within its own drop even that coincides (closing runs at pack
+    * END).
+    * Larger values trade a deterministic, oracle-mirrored packing
+    * change for a smaller active set. Pre-existing states are
+    * unaffected: their manifests pin their own geometry, which
+    * [[loadAny]] reads back verbatim. */
   final case class Params(
       seqLen: Int, eosId: Int, padId: Int, buckets: Int,
-      closeBelow: Int = 0) {
+      closeBelow: Int = 2) {
     require(seqLen >= 2 && buckets >= 1 && closeBelow >= 0)
     private[PackState] def payload =
       s"L=$seqLen eos=$eosId pad=$padId buckets=$buckets" +
@@ -121,6 +132,18 @@ object PackState {
   def loadAny(dir: String): Handle = {
     val st = DeltaManifest.load(dir, Magic, "")
     require(st.version > 0, s"no pack state at $dir")
+    loadAnyFrom(dir, st)
+  }
+
+  /** [[loadAny]] when the state may not exist yet: `None` means no
+    * committed manifest (the caller is creating the state and owns the
+    * geometry choice); `Some` carries the manifest-pinned geometry. */
+  def loadOpt(dir: String): Option[Handle] = {
+    val st = DeltaManifest.load(dir, Magic, "")
+    if (st.version == 0L) None else Some(loadAnyFrom(dir, st))
+  }
+
+  private def loadAnyFrom(dir: String, st: DeltaManifest.State): Handle = {
     val f = st.payload.split("\\s+").filter(_.contains("="))
       .map { t => val Array(k, v) = t.split("=", 2); k -> v }.toMap
     load(dir, Params(f("L").toInt, f("eos").toInt, f("pad").toInt,
@@ -150,12 +173,21 @@ object PackState {
   // holds EVERY bin ever opened
   private val CountersSchema = "bucket bigint, steps bigint, nbins bigint"
 
+  // leaves a legacy delta may legitimately lack (closed/ is round-16);
+  // every other leaf is REQUIRED — a manifest-referenced delta missing
+  // contrib/bins/counters is corruption, and reading it as empty would
+  // reseed an empty tree, reuse seqs, and silently merge unrelated docs
+  // into over-length rows, so the required path stays loud
+  private val OptionalLeaves = Set("closed")
+
   private def readLeaf(
       s: SparkSession, dir: String, deltas: Seq[String],
       leaf: String, schema: String): DataFrame = {
-    // legacy deltas may lack a round-16 leaf dir entirely (closed/)
-    val paths = deltas.map(d => s"$dir/$d/$leaf").filter(p =>
-      java.nio.file.Files.isDirectory(java.nio.file.Paths.get(p)))
+    val paths =
+      if (OptionalLeaves(leaf))
+        deltas.map(d => s"$dir/$d/$leaf").filter(p =>
+          java.nio.file.Files.isDirectory(java.nio.file.Paths.get(p)))
+      else deltas.map(d => s"$dir/$d/$leaf")
     if (paths.isEmpty)
       s.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
         org.apache.spark.sql.types.StructType.fromDDL(schema))

@@ -346,18 +346,22 @@ class CliSpec extends AnyFunSuite {
       "real tokens = truncated prefix+EOS contributions of all three docs")
 
     // a closeBelow state created via the optional CLI arg: the rule is
-    // pinned in the manifest, pack-rows reads the geometry from there
-    // (no re-statement), and a mismatched re-pack fails loudly
+    // pinned in the manifest, pack-rows reads the geometry from there,
+    // a no-arg re-pack takes the MANIFEST's geometry (round 17 — the
+    // manifest wins, callers don't re-state), and an explicitly
+    // MISMATCHED arg fails loudly
     val state2 = Files.createTempDirectory("graftcli-packc").toString
     val pc1 = run("pack", state2, drop1, "8")
     assert(pc1.contains("packed 2 doc(s)"), pc1)
     val out2 = Files.createTempDirectory("graftcli-packrows2").toString
     val pc2 = run("pack-rows", state2, out2)
     assert(pc2.contains("wrote training rows for 2 docs"), pc2)
+    val pc3 = run("pack", state2, drop2) // no arg: pinned closeBelow=8
+    assert(pc3.contains("packed 1 doc(s)"), pc3)
     val e = intercept[IllegalArgumentException] {
-      run("pack", state2, drop2) // closeBelow=0 vs the pinned 8
+      run("pack", state2, drop1, "4") // explicit 4 vs the pinned 8
     }
-    assert(e.getMessage.contains("geometry"))
+    assert(e.getMessage.contains("closeBelow"))
   }
 
   test("register-benchmark + decontaminate drive the registry lifecycle") {

@@ -12,9 +12,12 @@ import org.scalatest.funsuite.AnyFunSuite
 class PackStateSpec extends AnyFunSuite {
   private lazy val spark = SparkFixture.spark
 
-  // tiny geometry: L=8, one bucket — hand-checkable bin arithmetic
+  // tiny geometry: L=8, one bucket — hand-checkable bin arithmetic.
+  // closeBelow=0 explicitly: these tests hand-check the FULL bins
+  // snapshot (the round-17 default of 2 retires rem<2 bins, which is
+  // pinned separately below)
   private val P = PackState.Params(seqLen = 8, eosId = 98, padId = 99,
-    buckets = 1)
+    buckets = 1, closeBelow = 0)
 
   private def rows(r: (Long, Seq[Int])*): DataFrame = {
     import spark.implicits._
@@ -146,6 +149,48 @@ class PackStateSpec extends AnyFunSuite {
       .orderBy("bucket", "seq").collect().toSeq ===
       PackState.trainingRows(spark, ho)
         .orderBy("bucket", "seq").collect().toSeq)
+  }
+
+  test("closeBelow=2 (the round-17 default) produces training rows identical to closeBelow=0 on any >=1-token input") {
+    // closeBelow=2 retires only rem-0/rem-1 bins, which no doc with
+    // n_ids >= 1 (n_eff >= 2) can ever fit — so packing is provably
+    // identical. Adversarial mix: exact-fills (rem 0 bins), rem-1
+    // leftovers, over-long truncations, singletons, across three drops.
+    val p2 = P.copy(closeBelow = 2)
+    val drops = Seq(
+      "d1" -> rows(0L -> Seq(1, 2, 3, 4, 5, 6, 7), // n_eff 8: rem-0 bin
+        2L -> Seq(1, 2, 3, 4, 5, 6), // n_eff 7 → new bin, rem 1
+        4L -> (1 to 30).toSeq), // truncated to n_eff 8: another rem-0
+      "d2" -> rows(1L -> Seq(9), 3L -> Seq(8, 7, 6, 5, 4)),
+      "d3" -> rows(5L -> Seq(1), 7L -> Seq(2, 2), 9L -> Seq(3, 3, 3)))
+    val dir2 = tmp(); val dir0 = tmp()
+    var h2: PackState.Handle = null; var h0: PackState.Handle = null
+    drops.foreach { case (fp, d) =>
+      h2 = PackState.pack(spark, dir2, d, fp, p2)
+      h0 = PackState.pack(spark, dir0, d, fp, P)
+    }
+    assert(PackState.trainingRows(spark, h2)
+      .orderBy("bucket", "seq").collect().toSeq ===
+      PackState.trainingRows(spark, h0)
+        .orderBy("bucket", "seq").collect().toSeq)
+    // and the close rule did fire — the equivalence is not vacuous
+    assert(PackState.binsClosed(spark, h2).count() > 0L)
+    assert(PackState.binsClosed(spark, h0).count() === 0L)
+  }
+
+  test("a manifest-referenced delta missing a REQUIRED leaf fails loudly instead of reading empty") {
+    val dir = tmp()
+    val h = PackState.pack(spark, dir, rows(0L -> Seq(1, 2, 3)), "d1", P)
+    val bins = java.nio.file.Paths.get(dir, h.deltas.head.name, "bins")
+    graft.storage.ParquetLogBackend.deleteRecursively(bins)
+    // reading the snapshot (as the next pack's seed would) must throw —
+    // an empty-seed fallback would reuse seq numbers and corrupt rows
+    val e = intercept[Exception] {
+      PackState.bins(spark, h).collect()
+    }
+    assert(e.getMessage != null)
+    // the OPTIONAL closed/ leaf still reads empty when absent
+    assert(PackState.binsClosed(spark, h).count() === 0L)
   }
 
   test("a closed bin is never reused; new bins continue the seq numbering past it") {
