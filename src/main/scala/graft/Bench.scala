@@ -4,8 +4,15 @@ import graft.core.{EventData, EventLog}
 import graft.storage.ParquetLogBackend
 import org.apache.spark.sql.SparkSession
 
-/** Per-round benchmark: one JSON line with per-query seconds at
-  * SPARK_GRAFT_SF_DIR, plus the three engine workloads BASELINE.md defines
+/** Per-round benchmark: the FULL per-query record (seconds per query at
+  * SPARK_GRAFT_SF_DIR, medians, the sf1 slope column) is written to
+  * SPARK_GRAFT_BENCH_OUT (default `BENCH_FULL.json` in the working
+  * directory — the repo root under sbt, so the record ships with the
+  * round), and stdout ends with ONE compact summary line (total,
+  * total_median, warmup, engine-workload medians, sf1 scalars) sized to
+  * survive the driver's ~2 KB tail capture — round 17, after every
+  * prior round's 20 KB single-line record parsed as null. Also runs the
+  * three engine workloads BASELINE.md defines
   * (mirroring the reference's bench/bench_test.go:78-183): single-event
   * append rate, OCC append rate, and a 1000-event scan.
   *
@@ -130,7 +137,30 @@ object Bench {
     val qsMed = obj(results.map(r => r._1 -> r._3) ++ engineMed)
     val total = results.map(_._2).sum
     val totalMed = results.map(_._3).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","total_median":$totalMed,"median_reps":$MedianReps,"warmup":$warmupSec,"queries":$qs,"queries_median":$qsMed$sf1Block,"sf":"$sfDir"}""")
+    val full =
+      s"""{"metric":"total","value":$total,"unit":"sec","total_median":$totalMed,"median_reps":$MedianReps,"warmup":$warmupSec,"queries":$qs,"queries_median":$qsMed$sf1Block,"sf":"$sfDir"}"""
+    // The FULL per-query record is ~20 KB at 170+ entries — far past the
+    // driver's ~2 KB tail capture, which left every BENCH_r*.json with
+    // `parsed: null` (round-16 verdict #3). So: full JSON goes to a FILE
+    // (committed with the round), and stdout's LAST line is a compact
+    // summary that fits any tail window. Only the summary line carries
+    // the `"metric"` key the driver greps for.
+    val fullPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
+      "BENCH_FULL.json")
+    java.nio.file.Files.write(java.nio.file.Paths.get(fullPath),
+      (full + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    println(s"[bench] full per-query record written to $fullPath " +
+      s"(${full.length} bytes, ${results.size} queries + " +
+      s"${engineCold.size} engine workloads)")
+    // sf1 summary scalars, re-extracted so the compact line carries the
+    // slope-audit headline without the per-query maps
+    def sf1Scalar(key: String): String =
+      s""""$key":([0-9.Ee+-]+)""".r.findFirstMatchIn(sf1Block)
+        .map(m => s""","$key":${m.group(1)}""").getOrElse("")
+    val engineObj = obj(engineCold.map { case (k, v) =>
+      k -> engineMed.toMap.getOrElse(k, v)
+    })
+    println(s"""{"metric":"total","value":$total,"unit":"sec","total_median":$totalMed,"n_queries":${results.size},"median_reps":$MedianReps,"warmup":$warmupSec,"engine_median":$engineObj${sf1Scalar("total_sf1")}${sf1Scalar("total_sf1_median")}${sf1Scalar("sf1_warmup")},"full":"$fullPath","sf":"$sfDir"}""")
     spark.stop()
   }
 
