@@ -563,6 +563,64 @@ object Main {
         f"compact_recommended=${hr.compactRecommended} " +
         f"bloom_saturated=${hr.bloomSaturated}")
 
+    // the registry's typed health verdict (round 17): registration
+    // fan-in (compaction cadence), folded word-Bloom fill (capacity),
+    // and the semantic tier's broadcast volume
+    case Seq("registry-health", regDir) =>
+      val s = spark()
+      val h = graft.operators.DecontamRegistry.load(regDir)
+      val hr = graft.operators.DecontamRegistry.health(s, h)
+      println(f"registrations=${hr.nRegistrations} " +
+        f"shingles=${hr.nShingles} vecs=${hr.nVecs} " +
+        f"vecs_bytes=${hr.vecsBytes} " +
+        f"word_bloom_fill=${hr.wordBloomFill * 100}%.2f%% " +
+        f"compact_recommended=${hr.compactRecommended} " +
+        f"bloom_saturated=${hr.bloomSaturated} " +
+        f"vecs_heavy=${hr.vecsHeavy}")
+
+    // perceptual media dedup against the persisted cross-drop state
+    // (round 17): admit a parquet drop of (img_id, phash) rows — the
+    // dHash column MultimodalPipeline.perceptualHash produces — and
+    // print the verdict accounting from the new delta's audit card
+    case Seq("admit-media", stateDir, dropDir) =>
+      val s = spark()
+      val fp = dropDir + "|" + graft.util.ArtifactCache.fingerprintOf(
+        java.nio.file.Paths.get(dropDir))
+      val before = graft.operators.MediaDedupState.load(stateDir)
+      if (before.fingerprints.contains(fp)) {
+        println(s"already admitted (fingerprint match): $dropDir")
+      } else {
+        import org.apache.spark.sql.functions.{col, count, lit, when}
+        val batch = s.read.parquet(dropDir).select("img_id", "phash")
+        val after = graft.operators.MediaDedupState
+          .admit(s, stateDir, batch, fp)
+        val newDelta = (after.deltas.map(_.name).toSet --
+          before.deltas.map(_.name).toSet).head
+        val v = graft.operators.MediaDedupState.card(s,
+          after.copy(deltas = after.deltas.filter(_.name == newDelta)))
+          .groupBy()
+          .agg(count(lit(1)).as("n"),
+            count(when(col("exact_dup_state"), true)).as("xs"),
+            count(when(col("exact_dup_batch"), true)).as("xb"),
+            count(when(col("near_dup_state"), true)).as("ns"),
+            count(when(col("near_dup_batch"), true)).as("nb"))
+          .collect().head
+        println(s"admitted ${after.nImgs - before.nImgs} of " +
+          s"${v.getLong(0)} (exact_dup_state=${v.getLong(1)} " +
+          s"exact_dup_batch=${v.getLong(2)} " +
+          s"near_dup_state=${v.getLong(3)} " +
+          s"near_dup_batch=${v.getLong(4)}); " +
+          s"state now ${after.nImgs} images in ${after.deltas.size} " +
+          s"delta(s), manifest v${after.version}")
+      }
+
+    case Seq("media-state-health", stateDir) =>
+      val h = graft.operators.MediaDedupState.load(stateDir)
+      val hr = graft.operators.MediaDedupState.health(h)
+      println(s"deltas=${hr.nDeltas} images=${hr.nImgs} " +
+        s"band_fanout_bound=${hr.bandFanoutBound} " +
+        s"compact_recommended=${hr.compactRecommended}")
+
     // extension (no reference analog): tokenizer-model interchange —
     // export a byte-alphabet BpeModel as the public merges.txt /
     // vocab.json pair (inverse of BpeModel.importMerges)
@@ -610,11 +668,14 @@ object Main {
           "import-tokenizer <merges.txt> <vocab.json> <modeldir>|" +
           "admit <statedir> <dropparquet>|compact-state <statedir>|" +
           "upgrade-state <statedir>|state-health <statedir>|" +
+          "admit-media <statedir> <hashparquet>|" +
+          "media-state-health <statedir>|" +
           "pack <statedir> <idsparquet> [closeBelow]|" +
           "pack-rows <statedir> <outdir>|" +
           "register-benchmark <regdir> <benchparquet> <name>|" +
           "register-embeddings <regdir> <vecparquet> <name>|" +
           "decontaminate <regdir> <dropparquet>|" +
+          "registry-health <regdir>|" +
           "import <nativefile> <dir>")
       sys.exit(2)
   }

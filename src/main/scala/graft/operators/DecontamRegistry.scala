@@ -209,4 +209,64 @@ object DecontamRegistry {
   def gc(dir: String): Int = synchronized {
     DeltaManifest.gc(dir, Magic, s"bits=$DefaultBits")
   }
+
+  /** Typed registry-health verdict (round 17 — the third
+    * [[DeltaManifest]] store gains the [[DedupState.health]] /
+    * [[PackState.health]] pattern, so compaction cadence stops being a
+    * caller-guessed constant):
+    *
+    *  - `nRegistrations` drives the per-probe costs that scale with
+    *    LIVE deltas, not content: [[words]] folds one `bit_or` group
+    *    over every `words/` leaf and [[vecs]] concatenates every
+    *    `vecs/` leaf on each probe. [[compact]] restores the dimension
+    *    to 1 without changing any flag (OR-of-masks = mask-of-union;
+    *    vector rows concatenate).
+    *  - `wordBloomFill` is the folded Bloom's set-bit fraction —
+    *    CONTENT-driven (compaction ORs the same masks), so saturation
+    *    is a CAPACITY signal, not a compaction one: the flag FP rate
+    *    ≈ fill² per shingle, and past ~50% [[flag]] starts flagging
+    *    clean documents at a visible rate. Remediation is re-registering
+    *    into a registry with larger `bits` — surfaced here BEFORE the
+    *    probe degrades.
+    *  - `vecsBytes` is the semantic tier's BROADCAST volume: every
+    *    [[flagSemantic]] ships the registered vectors to every
+    *    executor. Benchmark suites are small by contract; a registry
+    *    heading past `maxVecsBytes` (default 256 MB) is drifting toward
+    *    the ANN index paths and `vecsHeavy` says so.
+    *
+    * `compactRecommended` trips on the delta dimension alone. */
+  final case class HealthReport(
+      nRegistrations: Int,
+      nShingles: Long,
+      nVecs: Long,
+      vecsBytes: Long,
+      wordBloomFill: Double,
+      compactRecommended: Boolean,
+      bloomSaturated: Boolean,
+      vecsHeavy: Boolean)
+
+  def health(
+      s: SparkSession, h: Handle, maxDeltas: Int = 16,
+      maxBloomFill: Double = 0.5,
+      maxVecsBytes: Long = 256L << 20): HealthReport = {
+    val setBits = words(s, h)
+      .agg(coalesce(sum(expr("bit_count(mask)")), lit(0L)))
+      .head().getLong(0)
+    val fill = if (h.bits <= 0) 0.0 else setBits.toDouble / h.bits
+    // 8 B/component + the norm + row overhead — the broadcast estimate,
+    // not an exact serialized size
+    val vecStats = vecs(s, h)
+      .agg(count(lit(1)),
+        coalesce(sum(size(col("bv")).cast("long") * 8L + 24L), lit(0L)))
+      .head()
+    HealthReport(
+      nRegistrations = h.st.refs.size,
+      nShingles = h.nShingles,
+      nVecs = vecStats.getLong(0),
+      vecsBytes = vecStats.getLong(1),
+      wordBloomFill = fill,
+      compactRecommended = h.st.refs.size > maxDeltas,
+      bloomSaturated = fill > maxBloomFill,
+      vecsHeavy = vecStats.getLong(1) > maxVecsBytes)
+  }
 }

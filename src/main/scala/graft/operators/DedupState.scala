@@ -149,8 +149,10 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
   *    Banding work is paid once per document ever, at its admit.
   *  - Semantic tier: same pre-banded shape over `ebands/`.
   *  - Span tier: per-delta span Blooms fold into one broadcast relation;
-  *    only Bloom-positive batch chunks (true repeats + FP fraction)
-  *    reach the deciding semi-join against state chunk hashes.
+  *    the batch probes its STRIDE-1 windows (phase-independent, round
+  *    17 — ~[[SpanTokens]]× the hash volume, all map-side) and only
+  *    Bloom-positive windows (true repeats + FP fraction) reach the
+  *    deciding semi-join against state chunk hashes.
   *  - Deltas stay drop-sized; [[compact]] folds them into one when small
   *    files accumulate, preserving content exactly.
   */
@@ -204,9 +206,17 @@ object DedupState {
     * (layout v2: 8-byte BIGINT chunk hashes, 4× smaller `spans/` leaves
     * — ~0.5 B/token instead of ~2, the production representation
     * SCALING.md prices). The kind only changes the HASH and the leaf
-    * dtype; the verdict/scrub algebra is identical, and mixing kinds in
-    * one state is structurally impossible (the flag rides the manifest
-    * every admit re-commits). */
+    * dtype; the verdict/scrub ALGEBRA is identical, but v2's deciding
+    * equality is 64-bit, not 128-bit: two DISTINCT chunks that collide
+    * under xxhash64 are falsely marked span-dup and scrubbed. At n
+    * distinct chunks the expected collisions are ~n²/2⁶⁵ — negligible
+    * at state scale (sf-gate corpora: ~0), but at the multi-trillion-
+    * chunk scale SCALING.md prices, tens of thousands of falsely
+    * scrubbed 16-token windows are EXPECTED. The span tier is advisory
+    * scrubbing (never an admission gate), so the tolerance is a
+    * deliberate trade for the 4× smaller leaf — deployments that cannot
+    * tolerate it stay on md5. Mixing kinds in one state is structurally
+    * impossible (the flag rides the manifest every admit re-commits). */
   final case class Handle(
       dir: String, version: Long, bloomBits: Long, deltas: Seq[DeltaRef],
       spanKind: String = SpanKindMd5) {
@@ -273,6 +283,36 @@ object DedupState {
 
   private def chunksOfKind(docs: DataFrame, kind: String): DataFrame =
     chunkGridKind(docs, kind).select("doc_id", "chunk_hash")
+
+  /** (doc_id, pos, chunk_hash) per STRIDE-1 [[SpanTokens]]-token window
+    * of a (doc_id, text, ...) relation — the dedup_span_overlap window
+    * relation (every start position, not just the aligned grid), in the
+    * state's hash kind. This is the PROBE side of the phase-independent
+    * span tier (round 17): the state persists each admitted document's
+    * ALIGNED chunk hashes, and the arriving batch probes ALL of its
+    * windows against them — any passage of ≥ 2·[[SpanTokens]]−1 shared
+    * tokens fully contains at least one admitted-aligned chunk, so it
+    * is caught at ANY relative phase (the aligned-probes-aligned shape
+    * this replaces required the passage's offsets mod [[SpanTokens]] to
+    * agree in both documents — ~1/[[SpanTokens]] of independently
+    * composed copies). The 16× probe-hash volume is absorbed by the
+    * broadcast Bloom prefilter; only Bloom-positive windows reach the
+    * deciding semi-join. */
+  private def windowGridKind(docs: DataFrame, kind: String): DataFrame = {
+    val hashOf: Column => Column =
+      if (kind == SpanKindXxh64) (c: Column) => xxhash64(c)
+      else (c: Column) => md5(c)
+    docs.filter(col("text").isNotNull)
+      .select(col("doc_id"), split(col("text"), "\\s+").as("toks"))
+      .filter(size(col("toks")) >= SpanTokens)
+      .select(col("doc_id"), col("toks"),
+        explode(sequence(lit(0),
+          size(col("toks")) - SpanTokens)).as("pos"))
+      .select(col("doc_id"), col("pos"),
+        hashOf(concat_ws(" ",
+          slice(col("toks"), col("pos") + 1, lit(SpanTokens))))
+          .as("chunk_hash"))
+  }
 
   /** All admitted rows `(doc_id, content_hash, mins, emb)`. Non-null
     * content hashes are globally distinct by the admitted-only invariant;
@@ -531,42 +571,57 @@ object DedupState {
     * span_dup_state, span_dup_batch)` where
     *
     *  - `n_chunks` counts the doc's [[SpanTokens]]-chunk occurrences
-    *    (0 for null/short texts — no content, no evidence);
-    *  - `n_state_dup_chunks` counts its DISTINCT chunk hashes already
-    *    admitted in any delta (cross-drop repeated spans — the Lee et
-    *    al. 2022 ExactSubstr signal made incremental);
-    *  - `n_batch_dup_chunks` counts its distinct chunk hashes occurring
-    *    more than once across THIS batch (including within one doc —
-    *    the dedup_span_exact "more than once" criterion);
+    *    on its own ALIGNED grid (0 for null/short texts — no content,
+    *    no evidence);
+    *  - `n_state_dup_chunks` counts its DISTINCT STRIDE-1 window hashes
+    *    already admitted in any delta (cross-drop repeated spans — the
+    *    Lee et al. 2022 ExactSubstr signal made incremental, and PHASE-
+    *    INDEPENDENT since round 17: the probe runs over every window
+    *    start of the arriving doc against the state's aligned grid, so
+    *    a shared passage of ≥ 2·[[SpanTokens]]−1 tokens is caught at
+    *    any relative offset — the aligned-probes-aligned shape it
+    *    replaces missed ~15/16 of randomly-phased copies. A doc can
+    *    therefore have n_state_dup_chunks > n_chunks: it has
+    *    len−[[SpanTokens]]+1 windows, not len/[[SpanTokens]] chunks);
+    *  - `n_batch_dup_chunks` counts its distinct ALIGNED chunk hashes
+    *    occurring more than once across THIS batch (including within
+    *    one doc — the dedup_span_exact "more than once" criterion,
+    *    unchanged: within one batch both sides are visible, so the
+    *    aligned grid is the right volume/semantics trade);
     *  - the booleans are the nonzero tests.
     *
     * Advisory by design: a flagged doc is a span-SCRUB candidate, never
-    * an admission reject (see class doc). Scale shape: batch chunks are
-    * Bloom-prefiltered against the folded per-delta span Blooms
-    * (broadcast), and only positive chunks reach the deciding semi-join
-    * against state chunk hashes — FPs enlarge the candidate set, never a
-    * verdict; the within-batch count is one chunk-hash window over the
-    * batch's own chunks. */
+    * an admission reject (see class doc). Scale shape: batch windows
+    * are Bloom-prefiltered against the folded per-delta span Blooms
+    * (broadcast), and only positive windows reach the deciding
+    * semi-join against state chunk hashes — FPs enlarge the candidate
+    * set, never a verdict; the within-batch count is one chunk-hash
+    * window over the batch's own aligned chunks. The stride-1 probe
+    * hashes ~[[SpanTokens]]× more windows than the aligned grid — all
+    * map-side compute against a broadcast relation; nothing extra
+    * shuffles (SCALING.md prices it). */
   def spanVerdicts(s: SparkSession, h: Handle, batch: DataFrame): DataFrame = {
     val ids = batch.select(col("doc_id"))
     val ch = chunksOfKind(batch.select(col("doc_id"), col("text")),
       h.spanKind)
     // within-batch occurrence counts (the dedup_span_exact criterion)
     val wch = Window.partitionBy(col("chunk_hash"))
-    val withOcc = ch.withColumn("occ", count(lit(1)).over(wch))
-    // vs state: Bloom prefilter, then the deciding exact semi-join
-    val probed = bloomProbe(withOcc, "chunk_hash",
-      foldedBloom(s, h, "spanbloom"), h.bloomBits, h.spanKind)
+    val perDoc = ch.withColumn("occ", count(lit(1)).over(wch))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_chunks"),
+        count_distinct(when(col("occ") > 1, col("chunk_hash")))
+          .as("n_batch_dup_chunks"))
+    // vs state: STRIDE-1 windows, Bloom prefilter, then the deciding
+    // exact semi-join against the admitted aligned grid
+    val probed = bloomProbe(
+      windowGridKind(batch.select(col("doc_id"), col("text")), h.spanKind)
+        .select("doc_id", "chunk_hash"),
+      "chunk_hash", foldedBloom(s, h, "spanbloom"), h.bloomBits, h.spanKind)
     val stateDup = probed.filter(col("bloom_hit"))
       .select("doc_id", "chunk_hash").distinct()
       .join(spans(s, h), Seq("chunk_hash"), "left_semi")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_state_dup_chunks"))
-    val perDoc = probed
-      .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_chunks"),
-        count_distinct(when(col("occ") > 1, col("chunk_hash")))
-          .as("n_batch_dup_chunks"))
     ids
       .join(perDoc, Seq("doc_id"), "left")
       .join(stateDup, Seq("doc_id"), "left")
@@ -581,31 +636,44 @@ object DedupState {
   }
 
   /** The span tier's TREAT path — [[spanVerdicts]] flags, this CUTS:
-    * every [[SpanTokens]]-aligned chunk of the batch whose hash is
-    * already admitted in any delta is removed (all its token positions),
-    * the remaining tokens re-joined in order — the ExactSubstr scrub
-    * (Lee et al. 2022's remove-the-repeat treatment, pipeline_span_scrub
-    * made CROSS-DROP: the "first occurrence keeps its text" is the
-    * admitted corpus by construction, so arriving text only ever loses
-    * passages the corpus already has). One row per non-null-text batch
-    * document: `(doc_id, n_tokens, n_kept, n_removed, scrubbed_text)`
+    * every [[SpanTokens]]-token STRIDE-1 window of the batch whose hash
+    * is already admitted in any delta is removed (all its token
+    * positions), the remaining tokens re-joined in order — the
+    * ExactSubstr scrub (Lee et al. 2022's remove-the-repeat treatment,
+    * pipeline_span_scrub made CROSS-DROP: the "first occurrence keeps
+    * its text" is the admitted corpus by construction, so arriving text
+    * only ever loses passages the corpus already has). PHASE-INDEPENDENT
+    * since round 17: the probe runs over every window start against the
+    * state's aligned grid, so a duplicated passage shifted off the
+    * [[SpanTokens]] grid is cut too (it previously survived ~15/16 of
+    * the time); a hit at window start p cuts tokens p..p+[[SpanTokens]]−1,
+    * overlapping hits union through the coverage distinct. Coverage is
+    * a SUPERSET of the aligned probe's (every old hit is the window at
+    * its chunk's start): for ordinary phase-aligned copies the covered
+    * set coincides; self-repetitive text can additionally cover the
+    * sub-chunk tail the aligned grid left behind — strictly more of the
+    * repeated passage cut, never less.
+    * One row per non-null-text batch document:
+    * `(doc_id, n_tokens, n_kept, n_removed, scrubbed_text)`
     * (whitespace normalized by the re-join, the batch operator's
-    * documented contract). Scale shape: the chunk grid is linear, hits
-    * are Bloom-prefiltered (broadcast) before the deciding semi-join,
-    * the coverage explode runs over HIT chunks only (dup-rate-bounded),
-    * and the ordered rebuild is per-document (collect_list + array_sort
-    * inside one reduce group), never a global sort. */
+    * documented contract). Scale shape: the window grid is linear
+    * (~[[SpanTokens]]× the aligned hash volume, map-side against the
+    * broadcast Bloom), hits are Bloom-prefiltered before the deciding
+    * semi-join, the coverage explode runs over HIT windows only
+    * (dup-rate-bounded), and the ordered rebuild is per-document
+    * (collect_list + array_sort inside one reduce group), never a
+    * global sort. */
   def spanScrub(s: SparkSession, h: Handle, batch: DataFrame): DataFrame = {
     val d = batch.select(col("doc_id"), col("text"))
       .filter(col("text").isNotNull)
-    val probed = bloomProbe(chunkGridKind(d, h.spanKind), "chunk_hash",
+    val probed = bloomProbe(windowGridKind(d, h.spanKind), "chunk_hash",
       foldedBloom(s, h, "spanbloom"), h.bloomBits, h.spanKind)
     val hits = probed.filter(col("bloom_hit"))
-      .select("doc_id", "ci", "chunk_hash")
+      .select("doc_id", "pos", "chunk_hash")
       .join(spans(s, h), Seq("chunk_hash"), "left_semi")
     val covered = hits.select(col("doc_id"),
-      explode(sequence(col("ci") * SpanTokens,
-        col("ci") * SpanTokens + (SpanTokens - 1))).as("pos"))
+      explode(sequence(col("pos"),
+        col("pos") + (SpanTokens - 1))).as("pos"))
       .distinct()
     val t = d.select(col("doc_id"), split(col("text"), "\\s+").as("toks"))
     val tokens = t.select(col("doc_id"),

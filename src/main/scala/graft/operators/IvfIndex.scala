@@ -927,6 +927,16 @@ object IvfIndex {
     val qRows = qSel
       .withColumn("qnrm", Similarity.norm(col("qv")))
       .collect()
+    // a NULL tenant key casts to null and could never satisfy the
+    // (k, n_id) equi-semi-join — the query would silently vanish from
+    // the output, which a caller with a nullable key column would read
+    // as "no matches". Fail loudly instead (round-17 ADVICE).
+    keyed.foreach { case (kc, _) =>
+      qRows.foreach(r => require(!r.isNullAt(2),
+        s"keyed filtered probe: query q_id=${r.get(0)} has a NULL " +
+          s"'$kc' key — null-keyed queries can match nothing; filter " +
+          "them out or supply a key"))
+    }
     val probePairs = qRows.flatMap { r =>
       val qv = r.getSeq[Double](1).toArray
       idx.centroids.zipWithIndex

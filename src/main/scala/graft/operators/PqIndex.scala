@@ -478,6 +478,15 @@ object PqIndex {
     })
       .withColumn("qnrm", Similarity.norm(col("qv")))
       .collect()
+    // null-keyed queries could never satisfy the (k, n_id) semi-join
+    // and would silently vanish — fail loudly (round-17 ADVICE; the
+    // IvfIndex.probeImpl posture)
+    keyed.foreach { case (kc, _) =>
+      qRows.foreach(r => require(!r.isNullAt(2),
+        s"keyed filtered probe: query q_id=${r.get(0)} has a NULL " +
+          s"'$kc' key — null-keyed queries can match nothing; filter " +
+          "them out or supply a key"))
+    }
     val probeRows = qRows.flatMap { r =>
       val qv = r.getSeq[Double](1).toArray
       // LUT: lut(sub)(code) = dot(q_sub, codebook centroid)

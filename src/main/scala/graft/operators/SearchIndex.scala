@@ -705,8 +705,16 @@ object SearchIndex {
       snap: SearchSnapshot, queries: DataFrame, topK: Int,
       allowed: Option[DataFrame],
       keyed: Option[(String, DataFrame)]): DataFrame = {
+    // a null-keyed query row could never satisfy the (k, doc_id)
+    // semi-join and would silently vanish from the answer — raise
+    // in-plan instead (coalesce evaluates the error arm only on null;
+    // the keyed ANN probes make the same check driver-side)
     val keyCol: Column = keyed match {
-      case Some((kc, _)) => col(kc).cast("string")
+      case Some((kc, _)) => coalesce(col(kc).cast("string"),
+        raise_error(concat(lit(s"keyed snapshot serving: query q_id="),
+          col("q_id").cast("string"),
+          lit(s" has a NULL '$kc' key — null-keyed queries can match " +
+            "nothing; filter them out or supply a key"))).cast("string"))
       case None => lit("")
     }
     def gate(candidates: DataFrame): DataFrame = {
@@ -730,13 +738,7 @@ object SearchIndex {
         .withColumn("n_occurrences",
           graft.exprs.functions.phrase_occurrences(col("phrase"), col("m")))
         .filter(col("n_occurrences") > 0)
-        .groupBy(col("q_id"))
-        .agg(slice(sort_array(collect_list(struct(
-          (-col("n_occurrences")).as("neg"), col("doc_id")))), 1, topK)
-          .as("top"))
-        .select(col("q_id"),
-          expr("transform(top, x -> x.doc_id)").as("top_ids"),
-          expr("transform(top, x -> -x.neg)").as("top_scores"))
+        .transform(topKPerQuery(col("n_occurrences"), topK))
     } else {
       gate(queries
         .select(col("q_id").cast("long").as("q_id"),
@@ -745,14 +747,39 @@ object SearchIndex {
         .join(snap.df, Seq("token")))
         .groupBy(col("q_id"), col("doc_id"))
         .agg(sum(col("contrib")).as("score"))
-        .groupBy(col("q_id"))
-        .agg(slice(sort_array(collect_list(struct(
-          (-col("score")).as("neg"), col("doc_id")))), 1, topK).as("top"))
-        .select(col("q_id"),
-          expr("transform(top, x -> x.doc_id)").as("top_ids"),
-          expr("transform(top, x -> -x.neg)").as("top_scores"))
+        .transform(topKPerQuery(col("score"), topK))
     }
   }
+
+  /** Per-query BOUNDED top-k fold of (q_id, doc_id, <score>) candidate
+    * rows to (q_id, top_ids, top_scores) — round 17, replacing the
+    * `slice(sort_array(collect_list(...)), 1, topK)` shape whose ONE
+    * aggregation buffer held EVERY matching (doc, score) struct per
+    * query before the slice: a single high-df query token against a
+    * 100× corpus put O(matching docs) structs in one in-memory
+    * ObjectHashAggregate buffer (collect_list does not spill) and
+    * killed the executor. The rank window sorts per q_id (sort SPILLS),
+    * `row_number ≤ topK` throws away everything below the cut, and only
+    * then does a now-≤-topK-row collect_list assemble the arrays — the
+    * same bounded discipline [[IvfIndex]]'s probeImpl rank uses, with
+    * identical output (the window order (score DESC, doc_id) IS the
+    * struct sort order the old slice produced). The batch searchers
+    * ([[searchBm25]] et al.) never needed this — `orderBy(...).limit`
+    * plans TakeOrderedAndProject — but the multi-query serving path
+    * groups by q_id, where Spark has no per-group limit operator. */
+  private def topKPerQuery(score: Column, topK: Int)(
+      cand: DataFrame): DataFrame =
+    cand
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("q_id"))
+          .orderBy(score.desc, col("doc_id"))))
+      .filter(col("rn") <= topK)
+      .groupBy(col("q_id"))
+      .agg(sort_array(collect_list(struct(
+        (-score).as("neg"), col("doc_id")))).as("top"))
+      .select(col("q_id"),
+        expr("transform(top, x -> x.doc_id)").as("top_ids"),
+        expr("transform(top, x -> -x.neg)").as("top_scores"))
 
   /** Robertson idf, floor-quantized at 1e-6 — the ONE ln per distinct
     * token. Shared by the batch search and the precomputed streaming

@@ -50,7 +50,9 @@ object Dedup {
   // dedup_phash_hamming: 8 byte-bands over the 64-bit dHash catch every
   // pair within hamming 7 by pigeonhole — the usual near-identical-image
   // threshold for dHash
-  private val MaxPhashHamming = 7
+  // shared with the cross-drop MediaDedupState so the batch family and
+  // the incremental tier can never drift on what a near-dup image IS
+  private val MaxPhashHamming = graft.operators.MediaDedupState.MaxHamming
 
   /** Band b (0..7) of a 64-bit phash as an UNSIGNED byte 0..255. Must be
     * `& 255`, NOT `% 256`: band 0's shift is zero, so a phash with bit 63
@@ -58,8 +60,9 @@ object Dedup {
     * would yield -255..-1 — diverging from the oracle's 0..255 bands and
     * silently splitting bucket-cap counts (simhash32 never hits this
     * because it packs only 32 bits). Exposed for the spec that pins the
-    * negative-phash case. */
-  private[graft] val PhashBandExpr = "shiftrightunsigned(phash, b * 8) & 255"
+    * negative-phash case. Single-sourced from the cross-drop
+    * [[graft.operators.MediaDedupState]] since round 17. */
+  private[graft] val PhashBandExpr = graft.operators.MediaDedupState.BandExpr
 
   // Random-hyperplane LSH geometry lives in the shared
   // [[graft.operators.RhpLsh]] kernel (also consumed by DedupState's
@@ -389,6 +392,21 @@ object Dedup {
       java.nio.file.Paths.get(dir, "documents.parquet"),
       "graft-dedupstate3", "manifest-v1") { staging =>
       graft.operators.DedupState.admit(s, staging, dropDocs(s, dir, 0),
+        fingerprint = "drop-1")
+      ()
+    }
+
+  /** The PERCEPTUAL twin of [[ensureDedupState]] (round 17): drop 1's
+    * image dHashes admitted into a persisted
+    * [[graft.operators.MediaDedupState]]; dedup_incremental_phash then
+    * exercises LOAD + VERDICT — the recurring multimodal intake path. */
+  private def ensureMediaState(s: SparkSession, dir: String): String =
+    graft.util.ArtifactCache.ensure(
+      java.nio.file.Paths.get(dir, "documents.parquet"),
+      "graft-mediastate", "manifest-v1") { staging =>
+      graft.operators.MediaDedupState.admit(s, staging,
+        phashTable(s, dir).filter(col("doc_id") % 2 === 0)
+          .select(col("doc_id").as("img_id"), col("phash")),
         fingerprint = "drop-1")
       ()
     }
@@ -793,19 +811,24 @@ object Dedup {
         .orderBy("doc_id")
     },
 
-    // The SPAN tier of the incremental state (round 15): cross-drop
-    // repeated-span detection — drop 2's documents checked for
-    // SpanTokens-chunk overlap against drop 1's ADMITTED text, without
-    // re-reading that text (each delta persists its admitted chunk
-    // hashes + a Bloom side-filter at admit time). The card is ADVISORY
-    // (a span-scrub signal, never an admission gate — see the operator
-    // doc): per doc, its chunk count, how many of its distinct chunks
-    // are already admitted (state tier), how many repeat within the drop
-    // itself (the dedup_span_exact "more than once" criterion, including
-    // within one document), and the boolean flags. Scale shape: batch
-    // chunks Bloom-prefilter against the folded per-delta span Blooms
-    // (broadcast) before the deciding semi-join; the only window runs
-    // over the batch's own chunks.
+    // The SPAN tier of the incremental state (round 15; PHASE-
+    // INDEPENDENT since round 17): cross-drop repeated-span detection —
+    // drop 2's STRIDE-1 16-token windows checked against drop 1's
+    // ADMITTED aligned chunk grid, without re-reading that text (each
+    // delta persists its admitted chunk hashes + a Bloom side-filter at
+    // admit time). Probing every window start means a shared passage of
+    // >= 2·SpanTokens−1 tokens is caught at ANY relative offset — the
+    // aligned-probes-aligned shape it replaces missed ~15/16 of
+    // randomly-phased copies. The card is ADVISORY (a span-scrub
+    // signal, never an admission gate — see the operator doc): per doc,
+    // its aligned chunk count, how many of its distinct windows are
+    // already admitted (state tier), how many aligned chunks repeat
+    // within the drop itself (the dedup_span_exact "more than once"
+    // criterion, including within one document), and the boolean flags.
+    // Scale shape: batch windows Bloom-prefilter against the folded
+    // per-delta span Blooms (broadcast, map-side — the 16× hash volume
+    // never shuffles) before the deciding semi-join; the only window
+    // function runs over the batch's own aligned chunks.
     "dedup_incremental_span" -> { (s, dir) =>
       val st = graft.operators.DedupState.load(ensureDedupState(s, dir))
       graft.operators.DedupState
@@ -813,19 +836,41 @@ object Dedup {
         .orderBy("doc_id")
     },
 
-    // The span tier's TREAT path (round 15): dedup_incremental_span
-    // FLAGS cross-drop repeated chunks, this CUTS them —
-    // [[graft.operators.DedupState.spanScrub]] removes every aligned
-    // chunk of drop 2 whose hash is already admitted, re-joining the
+    // The span tier's TREAT path (round 15; phase-independent since
+    // round 17): dedup_incremental_span FLAGS cross-drop repeated
+    // spans, this CUTS them — [[graft.operators.DedupState.spanScrub]]
+    // removes every STRIDE-1 window of drop 2 whose hash is already
+    // admitted on the state's aligned grid (a hit at window start p
+    // cuts tokens p..p+SpanTokens−1, at ANY phase), re-joining the
     // survivors in order (pipeline_span_scrub's card shape, served from
     // persisted state: the "first occurrence keeps its text" IS the
     // admitted corpus). Oracle composes the admission chain's a1 with
-    // the chunk grid and the batch scrub's token-rebuild CTEs.
+    // the stride-1 window CTEs and the batch scrub's token-rebuild.
     "pipeline_drop_scrub" -> { (s, dir) =>
       val st = graft.operators.DedupState.load(ensureDedupState(s, dir))
       graft.operators.DedupState
         .spanScrub(s, st, dropDocs(s, dir, 1))
         .orderBy("doc_id")
+    },
+
+    // The PERCEPTUAL tier made incremental (round 17): drop 2's image
+    // dHashes checked against drop 1's ADMITTED hashes without
+    // re-decoding or re-hashing anything admitted —
+    // [[graft.operators.MediaDedupState]] persists 8 B/image plus
+    // pre-capped pigeonhole band rows at admit, and this verdict card is
+    // the banded-hamming join against that state (exact tier = identical
+    // dHash, near tier = hamming <= 7 verified by bit_count(xor) over
+    // band-join candidates). This is what stops a recurring multimodal
+    // intake re-admitting near-duplicate images every drop
+    // (dedup_phash / dedup_phash_hamming are the batch family; this is
+    // their DedupState twin). Oracle: the two-drop admission chain over
+    // the SAME DuckDB-recomputed dHashes the batch entries gate with.
+    "dedup_incremental_phash" -> { (s, dir) =>
+      val st = graft.operators.MediaDedupState.load(ensureMediaState(s, dir))
+      graft.operators.MediaDedupState.verdicts(s, st,
+        phashTable(s, dir).filter(col("doc_id") % 2 === 1)
+          .select(col("doc_id").as("img_id"), col("phash")))
+        .orderBy("img_id")
     },
 
     // The INCREMENTAL composition: quality gate → admission against a
@@ -2116,11 +2161,15 @@ object Dedup {
          |FROM sverdict2 ORDER BY doc_id""".stripMargin,
 
     // the two-drop admission chain supplies a1 (drop 1's admitted ids);
-    // the chunk grid is dedup_span_exact's, restricted to a1 for the
-    // state side and to drop 2 for the batch side
+    // the STATE side is dedup_span_exact's aligned chunk grid restricted
+    // to a1; the BATCH side probes drop 2's STRIDE-1 windows against it
+    // (round 17 — phase-independent: a shared passage >= 2·SpanTokens−1
+    // tokens matches at any relative offset); the within-batch count
+    // stays on the aligned grid (the dedup_span_exact criterion)
     "dedup_incremental_span" ->
       s"""WITH ${incrementalSqlCtes()},
-         |ct AS (SELECT doc_id, string_split_regex(text, '\\s+') AS toks
+         |ct AS MATERIALIZED (SELECT doc_id,
+         |    string_split_regex(text, '\\s+') AS toks
          |  FROM documents WHERE text IS NOT NULL),
          |cc AS (SELECT doc_id, toks,
          |    unnest(range(0, len(toks) // $SpanTokens)) AS ci
@@ -2130,7 +2179,8 @@ object Dedup {
          |      ci * $SpanTokens + 1, ci * $SpanTokens + $SpanTokens), ' '))
          |      AS chunk_hash
          |  FROM cc),
-         |sch1 AS (SELECT DISTINCT chunk_hash FROM chk JOIN a1 USING (doc_id)),
+         |sch1 AS MATERIALIZED (SELECT DISTINCT chunk_hash
+         |  FROM chk JOIN a1 USING (doc_id)),
          |chk2 AS (SELECT doc_id, chunk_hash FROM chk WHERE doc_id % 2 = 1),
          |occ2 AS (SELECT doc_id, chunk_hash,
          |    count(*) OVER (PARTITION BY chunk_hash) AS occ FROM chk2),
@@ -2138,9 +2188,16 @@ object Dedup {
          |    count(DISTINCT CASE WHEN occ > 1 THEN chunk_hash END)
          |      AS n_batch_dup_chunks
          |  FROM occ2 GROUP BY doc_id),
+         |wc2 AS (SELECT doc_id, toks,
+         |    unnest(range(0, len(toks) - ${SpanTokens - 1})) AS wpos
+         |  FROM ct WHERE len(toks) >= $SpanTokens AND doc_id % 2 = 1),
+         |win2 AS (SELECT doc_id,
+         |    md5(array_to_string(list_slice(toks,
+         |      wpos + 1, wpos + $SpanTokens), ' ')) AS chunk_hash
+         |  FROM wc2),
          |sd2 AS (SELECT doc_id, count(DISTINCT chunk_hash)
          |      AS n_state_dup_chunks
-         |  FROM chk2 WHERE chunk_hash IN (SELECT chunk_hash FROM sch1)
+         |  FROM win2 WHERE chunk_hash IN (SELECT chunk_hash FROM sch1)
          |  GROUP BY doc_id)
          |SELECT d.doc_id,
          |  CAST(coalesce(a.n_chunks, 0) AS BIGINT) AS n_chunks,
@@ -2155,25 +2212,33 @@ object Dedup {
          |  LEFT JOIN sd2 s USING (doc_id)
          |WHERE d.doc_id % 2 = 1 ORDER BY d.doc_id""".stripMargin,
 
-    // the admission chain's a1 (drop 1's admitted ids) + the positioned
-    // chunk grid + the pipeline_span_scrub token-rebuild CTEs
+    // the admission chain's a1 (drop 1's admitted ids, on the state's
+    // ALIGNED grid) + drop 2's STRIDE-1 window probe (round 17:
+    // phase-independent — a hit at window start p cuts tokens
+    // p..p+SpanTokens−1) + the pipeline_span_scrub token-rebuild CTEs
     "pipeline_drop_scrub" ->
       s"""WITH ${incrementalSqlCtes()},
-         |ct AS (SELECT doc_id, string_split_regex(text, '\\s+') AS toks
+         |ct AS MATERIALIZED (SELECT doc_id,
+         |    string_split_regex(text, '\\s+') AS toks
          |  FROM documents WHERE text IS NOT NULL),
          |cc AS (SELECT doc_id, toks,
          |    unnest(range(0, len(toks) // $SpanTokens)) AS ci
          |  FROM ct WHERE len(toks) >= $SpanTokens),
-         |chk AS (SELECT doc_id, ci,
+         |chk AS (SELECT doc_id,
          |    md5(array_to_string(list_slice(toks,
          |      ci * $SpanTokens + 1, ci * $SpanTokens + $SpanTokens), ' '))
          |      AS chunk_hash
          |  FROM cc),
-         |sch1 AS (SELECT DISTINCT chunk_hash FROM chk JOIN a1 USING (doc_id)),
-         |hits2 AS (SELECT doc_id, ci FROM chk
-         |  WHERE doc_id % 2 = 1
-         |    AND chunk_hash IN (SELECT chunk_hash FROM sch1)),
-         |cov AS (SELECT DISTINCT doc_id, ci * $SpanTokens + u.u AS pos
+         |sch1 AS MATERIALIZED (SELECT DISTINCT chunk_hash
+         |  FROM chk JOIN a1 USING (doc_id)),
+         |wc2 AS (SELECT doc_id, toks,
+         |    unnest(range(0, len(toks) - ${SpanTokens - 1})) AS wpos
+         |  FROM ct WHERE len(toks) >= $SpanTokens AND doc_id % 2 = 1),
+         |hits2 AS (SELECT doc_id, wpos FROM wc2
+         |  WHERE md5(array_to_string(list_slice(toks,
+         |      wpos + 1, wpos + $SpanTokens), ' '))
+         |    IN (SELECT chunk_hash FROM sch1)),
+         |cov AS (SELECT DISTINCT doc_id, wpos + u.u AS pos
          |  FROM hits2, (SELECT unnest(range(0, $SpanTokens)) AS u) u),
          |tok AS (SELECT doc_id, unnest(toks) AS tok,
          |    unnest(range(len(toks))) AS pos
@@ -2326,6 +2391,77 @@ object Dedup {
          |SELECT doc_a, doc_b, bit_count(xor(fp_a, fp_b)) AS hamming
          |FROM cand WHERE bit_count(xor(fp_a, fp_b)) <= $MaxPhashHamming
          |ORDER BY doc_a, doc_b""".stripMargin,
+
+    // the two-drop PERCEPTUAL admission chain over the same
+    // DuckDB-recomputed dHashes dedup_phash gates with: drop 1 admits
+    // against an empty state (within-batch min-id keeper + banded-
+    // hamming keep-first), drop 2's verdicts run against drop 1's
+    // admitted hashes (per-delta-capped state bands — single-delta, so
+    // whole-state and per-delta capping coincide, the incrementalSqlCtes
+    // precedent)
+    "dedup_incremental_phash" -> {
+      val bandCase =
+        "CASE b WHEN 0 THEN b0 WHEN 1 THEN b1 WHEN 2 THEN b2 " +
+          "WHEN 3 THEN b3 WHEN 4 THEN b4 WHEN 5 THEN b5 " +
+          "WHEN 6 THEN b6 ELSE b7 END"
+      s"""WITH $phashSqlCtes,
+         |mfp AS MATERIALIZED (SELECT doc_id AS img_id, phash,
+         |  b0, b1, b2, b3, b4, b5, b6, b7 FROM pfp),
+         |mb AS MATERIALIZED (SELECT img_id, phash, b,
+         |    $bandCase AS bval
+         |  FROM mfp, (SELECT unnest(range(0, 8)) AS b)),
+         |e1 AS (SELECT img_id, phash,
+         |    phash IS NOT NULL AND
+         |      img_id <> min(img_id) OVER (PARTITION BY phash)
+         |      AS exact_dup_batch
+         |  FROM mfp WHERE img_id % 2 = 0),
+         |c1 AS (SELECT img_id, phash, b, bval FROM (
+         |  SELECT img_id, phash, b, bval,
+         |    count(*) OVER (PARTITION BY b, bval) AS bsz
+         |  FROM mb WHERE img_id % 2 = 0) WHERE bsz <= $MaxBandBucket),
+         |nb1 AS (SELECT DISTINCT p.img_id FROM (
+         |    SELECT DISTINCT x.phash AS fa, y.img_id, y.phash AS fb
+         |    FROM c1 x JOIN c1 y
+         |      ON x.b = y.b AND x.bval = y.bval AND x.img_id < y.img_id) p
+         |  WHERE bit_count(xor(p.fa, p.fb)) <= $MaxPhashHamming),
+         |a1m AS MATERIALIZED (SELECT img_id, phash FROM e1
+         |  WHERE NOT exact_dup_batch
+         |    AND img_id NOT IN (SELECT img_id FROM nb1)),
+         |sb AS (SELECT img_id, phash, b, bval FROM (
+         |  SELECT mb.img_id, mb.phash, mb.b, mb.bval,
+         |    count(*) OVER (PARTITION BY mb.b, mb.bval) AS bsz
+         |  FROM mb JOIN a1m USING (img_id)) WHERE bsz <= $MaxBandBucket),
+         |e2 AS (SELECT img_id, phash,
+         |    phash IS NOT NULL AND
+         |      img_id <> min(img_id) OVER (PARTITION BY phash)
+         |      AS exact_dup_batch
+         |  FROM mfp WHERE img_id % 2 = 1),
+         |c2 AS (SELECT img_id, phash, b, bval FROM (
+         |  SELECT img_id, phash, b, bval,
+         |    count(*) OVER (PARTITION BY b, bval) AS bsz
+         |  FROM mb WHERE img_id % 2 = 1) WHERE bsz <= $MaxBandBucket),
+         |ns2 AS (SELECT DISTINCT p.img_id FROM (
+         |    SELECT DISTINCT c2.img_id, c2.phash AS fa, sb.phash AS fb
+         |    FROM c2 JOIN sb ON c2.b = sb.b AND c2.bval = sb.bval) p
+         |  WHERE bit_count(xor(p.fa, p.fb)) <= $MaxPhashHamming),
+         |nb2 AS (SELECT DISTINCT p.img_id FROM (
+         |    SELECT DISTINCT x.phash AS fa, y.img_id, y.phash AS fb
+         |    FROM c2 x JOIN c2 y
+         |      ON x.b = y.b AND x.bval = y.bval AND x.img_id < y.img_id) p
+         |  WHERE bit_count(xor(p.fa, p.fb)) <= $MaxPhashHamming),
+         |verdict2 AS (SELECT e2.img_id,
+         |    coalesce(e2.phash IN (SELECT phash FROM a1m
+         |      WHERE phash IS NOT NULL), FALSE) AS exact_dup_state,
+         |    e2.exact_dup_batch,
+         |    e2.img_id IN (SELECT img_id FROM ns2) AS near_dup_state,
+         |    e2.img_id IN (SELECT img_id FROM nb2) AS near_dup_batch
+         |  FROM e2)
+         |SELECT img_id, exact_dup_state, exact_dup_batch,
+         |  near_dup_state, near_dup_batch,
+         |  NOT (exact_dup_state OR exact_dup_batch OR near_dup_state
+         |    OR near_dup_batch) AS admitted
+         |FROM verdict2 ORDER BY img_id""".stripMargin
+    },
 
     "dedup_video_frames" ->
       s"""WITH $videoPairsSqlCtes

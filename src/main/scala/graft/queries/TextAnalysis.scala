@@ -503,33 +503,39 @@ object TextAnalysis {
     tokenIdCtesOver("SELECT doc_id, text FROM documents", "")
 
   /** DuckDB mirror of [[graft.operators.DedupState.spanScrub]] over
-    * drop 2's CURATED documents vs the gated state (a1's chunk hashes):
-    * rebuilds each doc's text with every admitted
-    * [[Dedup.SpanTokens]]-aligned chunk cut, survivors rejoined in
-    * token order. Requires `a1` and `clean2` in scope; ends with
-    * `skept(doc_id, text)`. A doc scrubbed to zero tokens has no skept
-    * row — no words, no token rows, exactly the engine's empty-string
-    * rebuild. Drop 1 needs no mirror: its pre-drop state is EMPTY, and
-    * an empty state's scrub is a token-identity for the whitespace-
-    * invariant a-z tokenizer. */
+    * drop 2's CURATED documents vs the gated state (a1's ALIGNED chunk
+    * hashes): rebuilds each doc's text with every STRIDE-1
+    * [[Dedup.SpanTokens]]-token window whose hash is admitted cut
+    * (round 17 — phase-independent; a hit at window start p cuts tokens
+    * p..p+SpanTokens−1), survivors rejoined in token order. Requires
+    * `a1` and `clean2` in scope; ends with `skept(doc_id, text)`. A doc
+    * scrubbed to zero tokens has no skept row — no words, no token
+    * rows, exactly the engine's empty-string rebuild. Drop 1 needs no
+    * mirror: its pre-drop state is EMPTY, and an empty state's scrub is
+    * a token-identity for the whitespace-invariant a-z tokenizer. */
   private def scrubRebuildSqlCtes: String =
     s"""sct AS MATERIALIZED (SELECT doc_id, string_split_regex(text, '\\s+') AS toks
        |  FROM documents WHERE text IS NOT NULL),
        |scc AS (SELECT doc_id, toks,
        |    unnest(range(0, len(toks) // ${Dedup.SpanTokens})) AS ci
        |  FROM sct WHERE len(toks) >= ${Dedup.SpanTokens}),
-       |schk AS MATERIALIZED (SELECT doc_id, ci,
+       |schk AS MATERIALIZED (SELECT doc_id,
        |    md5(array_to_string(list_slice(toks,
        |      ci * ${Dedup.SpanTokens} + 1,
        |      ci * ${Dedup.SpanTokens} + ${Dedup.SpanTokens}), ' '))
        |      AS chunk_hash
        |  FROM scc),
-       |ssch1 AS (SELECT DISTINCT chunk_hash FROM schk JOIN a1 USING (doc_id)),
-       |shits AS (SELECT schk.doc_id, ci FROM schk
-       |  JOIN clean2 USING (doc_id)
-       |  WHERE chunk_hash IN (SELECT chunk_hash FROM ssch1)),
-       |scov AS (SELECT DISTINCT doc_id,
-       |    ci * ${Dedup.SpanTokens} + u.u AS pos
+       |ssch1 AS MATERIALIZED (SELECT DISTINCT chunk_hash
+       |  FROM schk JOIN a1 USING (doc_id)),
+       |swc2 AS (SELECT sct.doc_id, toks,
+       |    unnest(range(0, len(toks) - ${Dedup.SpanTokens - 1})) AS wpos
+       |  FROM sct JOIN clean2 USING (doc_id)
+       |  WHERE len(toks) >= ${Dedup.SpanTokens}),
+       |shits AS (SELECT doc_id, wpos FROM swc2
+       |  WHERE md5(array_to_string(list_slice(toks,
+       |      wpos + 1, wpos + ${Dedup.SpanTokens}), ' '))
+       |    IN (SELECT chunk_hash FROM ssch1)),
+       |scov AS (SELECT DISTINCT doc_id, wpos + u.u AS pos
        |  FROM shits, (SELECT unnest(range(0, ${Dedup.SpanTokens})) AS u) u),
        |stok AS (SELECT sct.doc_id, unnest(toks) AS tok,
        |    unnest(range(len(toks))) AS pos
@@ -880,7 +886,10 @@ object TextAnalysis {
   private def ensureScrubbedPackState(s: SparkSession, dir: String): String =
     graft.util.ArtifactCache.ensure(
       java.nio.file.Paths.get(dir),
-      "graft-packstates", "manifest-v2") { staging =>
+      // prefix bumped r17: the scrub composed into this state became
+      // phase-independent (stride-1 probe) — cached states built under
+      // the aligned-only scrub would disagree with the new oracle
+      "graft-packstates2", "manifest-v2") { staging =>
       val merges = learnBpeMergesCached(s, dir)
       graft.operators.PackState.pack(s, staging,
         scrubbedCuratedIds(s, dir, 0, merges), "drop-1", packParams)

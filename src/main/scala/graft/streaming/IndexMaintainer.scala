@@ -260,9 +260,9 @@ object IndexMaintainer {
     *  1. RE-LOADS the dedup state's manifest (the registry-stream
     *     reload discipline), so a drop admitted mid-stream scrubs the
     *     very next batch with no restart;
-    *  2. cuts every [[graft.operators.DedupState.SpanTokens]]-aligned
-    *     chunk already admitted there
-    *     ([[graft.operators.DedupState.spanScrub]]);
+    *  2. cuts every [[graft.operators.DedupState.SpanTokens]]-token
+    *     STRIDE-1 window already admitted there (phase-independent
+    *     since round 17 — [[graft.operators.DedupState.spanScrub]]);
     *  3. tokenizes the SCRUBBED text via the caller's `tokenize`
     *     ((doc_id, text) → (doc_id, token_ids) — the tokenizer is the
     *     deployment's own; passing the identity of a pre-tokenized

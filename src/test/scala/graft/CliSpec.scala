@@ -402,6 +402,48 @@ class CliSpec extends AnyFunSuite {
     assert(p4.contains("registry now 2 benchmark(s)"), p4)
     val p5 = run("register-embeddings", reg, vecs, "evalset-emb")
     assert(p5.contains("already registered"), p5)
+
+    // the typed health verdict (round 17): registration fan-in, word-
+    // Bloom fill, vecs broadcast volume
+    val p6 = run("registry-health", reg)
+    assert(p6.contains("registrations=2"), p6)
+    assert(p6.contains("vecs=1"), p6)
+    assert(p6.contains("compact_recommended=false"), p6)
+    assert(p6.contains("bloom_saturated=false"), p6)
+  }
+
+  test("admit-media + media-state-health drive the perceptual intake lifecycle") {
+    import spark.implicits._
+    val state = Files.createTempDirectory("graftcli-media").toString
+    val d1 = Files.createTempDirectory("graftcli-media1").toString
+    Seq((0L, 0x5a5a5a5a5a5a5a5aL), (2L, 0x1234567890abcdefL))
+      .toDF("img_id", "phash").write.mode("overwrite").parquet(d1)
+    val d2 = Files.createTempDirectory("graftcli-media2").toString
+    // 11 = exact copy of 0's hash; 13 = 2 bits flipped (near); 15 fresh
+    Seq((11L, 0x5a5a5a5a5a5a5a5aL),
+        (13L, 0x1234567890abcdefL ^ 3L),
+        (15L, 0x0f0f0f0f0f0f0f0fL))
+      .toDF("img_id", "phash").write.mode("overwrite").parquet(d2)
+
+    def run(args: String*): String = {
+      val buf = new java.io.ByteArrayOutputStream()
+      Console.withOut(new java.io.PrintStream(buf)) {
+        graft.cli.Main.main(args.toArray)
+      }
+      buf.toString("UTF-8")
+    }
+    val p1 = run("admit-media", state, d1)
+    assert(p1.contains("admitted 2 of 2"), p1)
+    val p2 = run("admit-media", state, d2)
+    assert(p2.contains("admitted 1 of 3"), p2)
+    assert(p2.contains("exact_dup_state=1"), p2)
+    assert(p2.contains("near_dup_state=2"),
+      "the exact copy also near-dups (hamming 0): " + p2)
+    val p3 = run("admit-media", state, d2)
+    assert(p3.contains("already admitted"), p3)
+    val p4 = run("media-state-health", state)
+    assert(p4.contains("deltas=2 images=3"), p4)
+    assert(p4.contains("compact_recommended=false"), p4)
   }
 
   test("scan counts a watch-list over command-line text, overlaps included") {

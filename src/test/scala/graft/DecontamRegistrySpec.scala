@@ -68,6 +68,38 @@ class DecontamRegistrySpec extends AnyFunSuite {
       .orderBy("doc_id").collect().toSeq === before)
   }
 
+  test("health: verdict trips at N registrations, clears after compact; fill and vecs volume reported") {
+    val reg = tmp()
+    val bench = docs.filter(col("doc_id") % 97 === 0)
+    DecontamRegistry.register(spark, reg,
+      bench.filter(expr("(doc_id DIV 97) % 2 = 0")), "a")
+    DecontamRegistry.register(spark, reg,
+      bench.filter(expr("(doc_id DIV 97) % 2 = 1")), "b")
+    val emb = graft.util.Tables(spark, dir, "embeddings")
+      .filter(col("vec_id") % 97 === 0)
+    val h3 = DecontamRegistry.registerEmbeddings(
+      spark, reg, emb, "vec_id", "embedding", "a-emb")
+
+    val hr = DecontamRegistry.health(spark, h3, maxDeltas = 2)
+    assert(hr.nRegistrations === 3 && hr.compactRecommended,
+      "3 deltas > maxDeltas=2 must recommend compaction")
+    assert(hr.wordBloomFill > 0.0 && hr.wordBloomFill < 0.5 &&
+      !hr.bloomSaturated,
+      "the tiny fixture cannot saturate a 2^20-bit Bloom")
+    assert(hr.nVecs === emb.count() && hr.vecsBytes > 0 && !hr.vecsHeavy)
+
+    val hc = DecontamRegistry.compact(spark, reg)
+    val hr2 = DecontamRegistry.health(spark, hc, maxDeltas = 2)
+    assert(hr2.nRegistrations === 1 && !hr2.compactRecommended,
+      "compaction clears the delta dimension")
+    assert(hr2.wordBloomFill === hr.wordBloomFill,
+      "fill is content-driven — the fold ORs the same masks")
+    assert(hr2.nVecs === hr.nVecs && hr2.vecsBytes === hr.vecsBytes)
+    // a tight vecs budget flips the broadcast-volume flag
+    assert(DecontamRegistry.health(spark, hc,
+      maxVecsBytes = 1L).vecsHeavy)
+  }
+
   test("semantic registrations: flagSemantic answers exactly the batch decontaminateSemantic; compact folds words AND vecs") {
     val reg = tmp()
     val e = graft.util.Tables(spark, dir, "embeddings")

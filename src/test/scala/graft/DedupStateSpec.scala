@@ -272,6 +272,52 @@ class DedupStateSpec extends AnyFunSuite {
     assert(!out.contains(9L), "null-text docs have no tokens to scrub")
   }
 
+  test("span tier is phase-independent: a duplicated passage shifted off the 16-token grid is flagged AND scrubbed") {
+    // round 17 (the round-16 verdict's #1): the state persists chunk
+    // hashes on the ADMITTED doc's aligned grid; the arriving batch
+    // probes its STRIDE-1 windows, so a shared passage >= 2·SpanTokens−1
+    // tokens is caught at ANY relative offset. Previously the batch
+    // probed its OWN aligned grid — this exact case (shift k=5, k % 16
+    // != 0) evaded both verdict and scrub.
+    val dir = tmp()
+    val W = DedupState.SpanTokens
+    // an admitted doc whose aligned grid covers a 2W-token passage
+    val passage = (1 to 2 * W).map(i => s"pass$i").mkString(" ")
+    DedupState.admit(spark, dir,
+      docs(0L -> passage, 2L -> otherText), "d1")
+    import spark.implicits._
+    // the SAME passage arrives shifted by 5 tokens (5 % 16 != 0): its
+    // aligned chunks straddle the admitted grid, but its stride-1
+    // windows at pos 5 and pos 5+W reproduce admitted chunks exactly
+    val lead = (1 to 5).map(i => s"lead$i").mkString(" ")
+    val batch = Seq((9L, Option(lead + " " + passage + " tail1 tail2")))
+      .toDF("doc_id", "text")
+    val sv = DedupState.spanVerdicts(spark, DedupState.load(dir), batch)
+      .collect().head
+    assert(sv.getBoolean(sv.fieldIndex("span_dup_state")),
+      "a phase-shifted copy of an admitted passage must flag")
+    assert(sv.getLong(sv.fieldIndex("n_state_dup_chunks")) === 2L,
+      "both admitted-aligned chunks inside the passage match windows")
+
+    val sc = DedupState.spanScrub(spark, DedupState.load(dir), batch)
+      .collect().head
+    // tokens 5..36 (the passage) are covered by the two window hits at
+    // pos 5 and pos 5+W; the 5 leads and 2 tails survive in order
+    assert(sc.getLong(1) === (5 + 2 * W + 2).toLong)
+    assert(sc.getLong(3) === (2 * W).toLong,
+      "the whole shifted passage is cut, at any phase")
+    assert(sc.getString(4) === lead + " tail1 tail2")
+
+    // and a copy shifted by a full SpanTokens multiple (the only case
+    // the old aligned probe caught) still behaves identically
+    val aligned = Seq((11L,
+      Option((1 to W).map(i => s"pre$i").mkString(" ") + " " + passage)))
+      .toDF("doc_id", "text")
+    val sa = DedupState.spanScrub(spark, DedupState.load(dir), aligned)
+      .collect().head
+    assert(sa.getLong(3) === (2 * W).toLong)
+  }
+
   test("span layout v2 (xxh64): same verdicts and scrub as md5, bigint leaves, kinds never mix") {
     val chunk = (1 to DedupState.SpanTokens).map(i => s"word$i").mkString(" ")
     val novel = (1 to DedupState.SpanTokens).map(i => s"fresh$i").mkString(" ")
