@@ -193,6 +193,45 @@ object IndexMaintainer {
       .start()
   }
 
+  /** Maintain a persisted [[graft.operators.MediaDedupState]] from a
+    * stream of perceptual hashes (round 17) — the multimodal intake's
+    * streaming form: each micro-batch of (id, dHash) rows (the
+    * `MultimodalPipeline.perceptualHash` output, computed upstream
+    * where the decode mapPartitions runs) is admitted against
+    * everything admitted so far; near-duplicate re-uploads arriving in
+    * later epochs are rejected with an audit-card record, no restart,
+    * no rescan of admitted media. Exactly-once and compaction cadence
+    * are [[maintainDedupState]]'s verbatim: the manifest is the ledger
+    * (epoch fingerprint `e<key>.<epochId>`), replays admit nothing,
+    * and gc-before-compact preserves in-flight readers. */
+  def maintainMediaState(
+      hashes: DataFrame,
+      idCol: String,
+      phashCol: String,
+      dir: String,
+      checkpointDir: String,
+      compactEvery: Int = 0): StreamingQuery = {
+    import graft.operators.MediaDedupState
+    val key = checkpointKey(checkpointDir)
+    hashes.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, epochId: Long) =>
+        val spark = batch.sparkSession
+        val b = batch.select(col(idCol).cast("long").as("img_id"),
+          col(phashCol).cast("long").as("phash"))
+        if (!b.isEmpty) {
+          val h = MediaDedupState.admit(spark, dir, b,
+            fingerprint = s"e$key.$epochId")
+          if (compactEvery > 0 && h.deltas.size >= compactEvery) {
+            MediaDedupState.gc(dir)
+            MediaDedupState.compact(spark, dir)
+            ()
+          }
+        }
+      }
+      .start()
+  }
+
   /** Maintain a persisted [[graft.operators.PackState]] from a stream of
     * tokenized documents — the STREAMING form of the recurring pack job:
     * each micro-batch FFD-packs into the bins every earlier batch left

@@ -605,6 +605,56 @@ class IndexMaintainerSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("maintainMediaState: streamed hash drops admit exactly like sequential batch admits; near-dup re-uploads reject mid-stream") {
+    import graft.operators.MediaDedupState
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = tmp("graft-mediastream")
+    val ckpt = tmp("graft-mediastream-ckpt")
+    val A = 0x5a5a5a5a5a5a5a5aL
+    val B = 0x1234567890abcdefL
+    val nearA = A ^ 7L // 3 bits flipped: hamming 3 <= 7
+    val fresh = 0x0f0f0f0f0f0f0f0fL
+
+    val mem = MemoryStream[(Long, Long)]
+    val q = IndexMaintainer.maintainMediaState(
+      mem.toDF().toDF("img_id", "phash"), "img_id", "phash",
+      dir, ckpt, compactEvery = 3)
+    try {
+      mem.addData((0L, A), (2L, B))
+      q.processAllAvailable()
+      assert(MediaDedupState.load(dir).nImgs === 2L)
+
+      // exact re-upload (4≡0) and near re-encode (6~0) reject
+      // mid-stream with no restart; the fresh image admits
+      mem.addData((4L, A), (6L, nearA), (8L, fresh))
+      q.processAllAvailable()
+      val h2 = MediaDedupState.load(dir)
+      assert(h2.nImgs === 3L && h2.deltas.size === 2)
+
+      // third epoch reaches compactEvery=3 → folds; ledger survives
+      mem.addData((10L, 0x7777000077770000L))
+      q.processAllAvailable()
+      val h3 = MediaDedupState.load(dir)
+      assert(h3.nImgs === 4L && h3.deltas.size === 1)
+      assert(h3.fingerprints.size === 3)
+
+      // streamed state row-identical to sequential batch admits
+      val dir2 = tmp("graft-mediabatch")
+      MediaDedupState.admit(spark, dir2,
+        Seq((0L, A), (2L, B)).toDF("img_id", "phash"), "b1")
+      MediaDedupState.admit(spark, dir2,
+        Seq((4L, A), (6L, nearA), (8L, fresh))
+          .toDF("img_id", "phash"), "b2")
+      MediaDedupState.admit(spark, dir2,
+        Seq((10L, 0x7777000077770000L)).toDF("img_id", "phash"), "b3")
+      assert(MediaDedupState.rows(spark, h3)
+        .orderBy("img_id").collect().toSeq ===
+        MediaDedupState.rows(spark, MediaDedupState.load(dir2))
+          .orderBy("img_id").collect().toSeq)
+    } finally q.stop()
+  }
+
   test("maintainDedupState: streamed drops admit exactly like sequential batch admits; compaction cadence preserves content and ledger") {
     import graft.operators.DedupState
     import spark.implicits._
