@@ -614,6 +614,17 @@ object Main {
           s"delta(s), manifest v${after.version}")
       }
 
+    // the pack store's typed health verdict: delta fan-in and the
+    // active/closed bin split (the closeBelow rule's control surface)
+    case Seq("pack-state-health", stateDir) =>
+      val s = spark()
+      val h = graft.operators.PackState.loadAny(stateDir)
+      val hr = graft.operators.PackState.health(s, h)
+      println(s"deltas=${hr.nDeltas} docs=${hr.nDocs} " +
+        s"active_bins=${hr.activeBins} closed_bins=${hr.closedBins} " +
+        s"close_below=${h.params.closeBelow} " +
+        s"compact_recommended=${hr.compactRecommended}")
+
     case Seq("media-state-health", stateDir) =>
       val h = graft.operators.MediaDedupState.load(stateDir)
       val hr = graft.operators.MediaDedupState.health(h)
@@ -669,7 +680,7 @@ object Main {
           "admit <statedir> <dropparquet>|compact-state <statedir>|" +
           "upgrade-state <statedir>|state-health <statedir>|" +
           "admit-media <statedir> <hashparquet>|" +
-          "media-state-health <statedir>|" +
+          "media-state-health <statedir>|pack-state-health <statedir>|" +
           "pack <statedir> <idsparquet> [closeBelow]|" +
           "pack-rows <statedir> <outdir>|" +
           "register-benchmark <regdir> <benchparquet> <name>|" +

@@ -65,7 +65,11 @@ object ScaleRehearsal {
     "pipeline_drop_pack", "pipeline_drop_train", "pipeline_drop_report",
     "pipeline_drop_scrub",
     // round 16: the treated loop (scrub composed into the pack)
-    "pipeline_drop_train_scrubbed")
+    "pipeline_drop_train_scrubbed",
+    // round 17: the cross-drop perceptual tier (banded-hamming
+    // admission against persisted dHashes; dedup_incremental_span /
+    // pipeline_drop_scrub above now measure the stride-1 probe)
+    "dedup_incremental_phash")
 
   /** `ScaleRehearsal sf10 [base] [out] [queries...]` — the 100× column:
     * a 100-copy database materialized for JUST the tables the audited

@@ -358,6 +358,9 @@ class CliSpec extends AnyFunSuite {
     assert(pc2.contains("wrote training rows for 2 docs"), pc2)
     val pc3 = run("pack", state2, drop2) // no arg: pinned closeBelow=8
     assert(pc3.contains("packed 1 doc(s)"), pc3)
+    val ph = run("pack-state-health", state2)
+    assert(ph.contains("close_below=8"), ph)
+    assert(ph.contains("compact_recommended=false"), ph)
     val e = intercept[IllegalArgumentException] {
       run("pack", state2, drop1, "4") // explicit 4 vs the pinned 8
     }
