@@ -873,6 +873,27 @@ object Dedup {
         .orderBy("img_id")
     },
 
+    // The recurring media drop's ACCOUNTING card — what the steady-state
+    // multimodal intake job reports after each drop: one row counting
+    // the drop's images per perceptual verdict (decode → dHash →
+    // admission against the persisted state, the
+    // dedup_incremental_report shape on the media tier). One aggregate
+    // over the verdict card; nothing rescans admitted media.
+    "pipeline_drop_media" -> { (s, dir) =>
+      val st = graft.operators.MediaDedupState.load(ensureMediaState(s, dir))
+      graft.operators.MediaDedupState.verdicts(s, st,
+        phashTable(s, dir).filter(col("doc_id") % 2 === 1)
+          .select(col("doc_id").as("img_id"), col("phash")))
+        .agg(count(lit(1)).as("n_images"),
+          count(when(col("exact_dup_state"), true))
+            .as("n_exact_dup_state"),
+          count(when(col("exact_dup_batch"), true))
+            .as("n_exact_dup_batch"),
+          count(when(col("near_dup_state"), true)).as("n_near_dup_state"),
+          count(when(col("near_dup_batch"), true)).as("n_near_dup_batch"),
+          count(when(col("admitted"), true)).as("n_admitted"))
+    },
+
     // The INCREMENTAL composition: quality gate → admission against a
     // quality-gated persisted state built from drop 1 → per-lang corpus
     // stats of drop 2's ADMITTED documents. This is the steady-state
@@ -1633,6 +1654,74 @@ object Dedup {
        |  CAST($phash AS BIGINT) AS phash,
        |$bandCols
        |FROM g)""".stripMargin
+  }
+
+  /** DuckDB mirror of the two-drop PERCEPTUAL admission
+    * ([[graft.operators.MediaDedupState]] over doc_id-parity image
+    * drops): CTE chain ending in `pverdict2(img_id, exact_dup_state,
+    * exact_dup_batch, near_dup_state, near_dup_batch)`. Composes after
+    * [[phashSqlCtes]] (consumes `pfp`); names are m/p-prefixed so the
+    * chain coexists with the text chains in one statement. Caps and
+    * keep-first mirror the operator: per-drop in-batch caps, the state
+    * side capped over drop 1's ADMITTED band rows (single delta ⇒
+    * per-delta ≡ whole-state capping), DISTINCT candidate pairs before
+    * the bit_count verify. */
+  private lazy val incrementalPhashSqlCtes: String = {
+    val bandCase =
+      "CASE b WHEN 0 THEN b0 WHEN 1 THEN b1 WHEN 2 THEN b2 " +
+        "WHEN 3 THEN b3 WHEN 4 THEN b4 WHEN 5 THEN b5 " +
+        "WHEN 6 THEN b6 ELSE b7 END"
+    s"""mfp AS MATERIALIZED (SELECT doc_id AS img_id, phash,
+       |  b0, b1, b2, b3, b4, b5, b6, b7 FROM pfp),
+       |mb AS MATERIALIZED (SELECT img_id, phash, b,
+       |    $bandCase AS bval
+       |  FROM mfp, (SELECT unnest(range(0, 8)) AS b)),
+       |pe1 AS (SELECT img_id, phash,
+       |    phash IS NOT NULL AND
+       |      img_id <> min(img_id) OVER (PARTITION BY phash)
+       |      AS exact_dup_batch
+       |  FROM mfp WHERE img_id % 2 = 0),
+       |pc1 AS (SELECT img_id, phash, b, bval FROM (
+       |  SELECT img_id, phash, b, bval,
+       |    count(*) OVER (PARTITION BY b, bval) AS bsz
+       |  FROM mb WHERE img_id % 2 = 0) WHERE bsz <= $MaxBandBucket),
+       |pnb1 AS (SELECT DISTINCT p.img_id FROM (
+       |    SELECT DISTINCT x.phash AS fa, y.img_id, y.phash AS fb
+       |    FROM pc1 x JOIN pc1 y
+       |      ON x.b = y.b AND x.bval = y.bval AND x.img_id < y.img_id) p
+       |  WHERE bit_count(xor(p.fa, p.fb)) <= $MaxPhashHamming),
+       |pa1 AS MATERIALIZED (SELECT img_id, phash FROM pe1
+       |  WHERE NOT exact_dup_batch
+       |    AND img_id NOT IN (SELECT img_id FROM pnb1)),
+       |psb AS (SELECT img_id, phash, b, bval FROM (
+       |  SELECT mb.img_id, mb.phash, mb.b, mb.bval,
+       |    count(*) OVER (PARTITION BY mb.b, mb.bval) AS bsz
+       |  FROM mb JOIN pa1 USING (img_id)) WHERE bsz <= $MaxBandBucket),
+       |pe2 AS (SELECT img_id, phash,
+       |    phash IS NOT NULL AND
+       |      img_id <> min(img_id) OVER (PARTITION BY phash)
+       |      AS exact_dup_batch
+       |  FROM mfp WHERE img_id % 2 = 1),
+       |pc2 AS (SELECT img_id, phash, b, bval FROM (
+       |  SELECT img_id, phash, b, bval,
+       |    count(*) OVER (PARTITION BY b, bval) AS bsz
+       |  FROM mb WHERE img_id % 2 = 1) WHERE bsz <= $MaxBandBucket),
+       |pns2 AS (SELECT DISTINCT p.img_id FROM (
+       |    SELECT DISTINCT pc2.img_id, pc2.phash AS fa, psb.phash AS fb
+       |    FROM pc2 JOIN psb ON pc2.b = psb.b AND pc2.bval = psb.bval) p
+       |  WHERE bit_count(xor(p.fa, p.fb)) <= $MaxPhashHamming),
+       |pnb2 AS (SELECT DISTINCT p.img_id FROM (
+       |    SELECT DISTINCT x.phash AS fa, y.img_id, y.phash AS fb
+       |    FROM pc2 x JOIN pc2 y
+       |      ON x.b = y.b AND x.bval = y.bval AND x.img_id < y.img_id) p
+       |  WHERE bit_count(xor(p.fa, p.fb)) <= $MaxPhashHamming),
+       |pverdict2 AS MATERIALIZED (SELECT pe2.img_id,
+       |    coalesce(pe2.phash IN (SELECT phash FROM pa1
+       |      WHERE phash IS NOT NULL), FALSE) AS exact_dup_state,
+       |    pe2.exact_dup_batch,
+       |    pe2.img_id IN (SELECT img_id FROM pns2) AS near_dup_state,
+       |    pe2.img_id IN (SELECT img_id FROM pnb2) AS near_dup_batch
+       |  FROM pe2)""".stripMargin
   }
 
   /** DuckDB mirror of [[videoFramePairs]]: CTE chain ending in
@@ -2399,69 +2488,34 @@ object Dedup {
     // admitted hashes (per-delta-capped state bands — single-delta, so
     // whole-state and per-delta capping coincide, the incrementalSqlCtes
     // precedent)
-    "dedup_incremental_phash" -> {
-      val bandCase =
-        "CASE b WHEN 0 THEN b0 WHEN 1 THEN b1 WHEN 2 THEN b2 " +
-          "WHEN 3 THEN b3 WHEN 4 THEN b4 WHEN 5 THEN b5 " +
-          "WHEN 6 THEN b6 ELSE b7 END"
+    "dedup_incremental_phash" ->
       s"""WITH $phashSqlCtes,
-         |mfp AS MATERIALIZED (SELECT doc_id AS img_id, phash,
-         |  b0, b1, b2, b3, b4, b5, b6, b7 FROM pfp),
-         |mb AS MATERIALIZED (SELECT img_id, phash, b,
-         |    $bandCase AS bval
-         |  FROM mfp, (SELECT unnest(range(0, 8)) AS b)),
-         |e1 AS (SELECT img_id, phash,
-         |    phash IS NOT NULL AND
-         |      img_id <> min(img_id) OVER (PARTITION BY phash)
-         |      AS exact_dup_batch
-         |  FROM mfp WHERE img_id % 2 = 0),
-         |c1 AS (SELECT img_id, phash, b, bval FROM (
-         |  SELECT img_id, phash, b, bval,
-         |    count(*) OVER (PARTITION BY b, bval) AS bsz
-         |  FROM mb WHERE img_id % 2 = 0) WHERE bsz <= $MaxBandBucket),
-         |nb1 AS (SELECT DISTINCT p.img_id FROM (
-         |    SELECT DISTINCT x.phash AS fa, y.img_id, y.phash AS fb
-         |    FROM c1 x JOIN c1 y
-         |      ON x.b = y.b AND x.bval = y.bval AND x.img_id < y.img_id) p
-         |  WHERE bit_count(xor(p.fa, p.fb)) <= $MaxPhashHamming),
-         |a1m AS MATERIALIZED (SELECT img_id, phash FROM e1
-         |  WHERE NOT exact_dup_batch
-         |    AND img_id NOT IN (SELECT img_id FROM nb1)),
-         |sb AS (SELECT img_id, phash, b, bval FROM (
-         |  SELECT mb.img_id, mb.phash, mb.b, mb.bval,
-         |    count(*) OVER (PARTITION BY mb.b, mb.bval) AS bsz
-         |  FROM mb JOIN a1m USING (img_id)) WHERE bsz <= $MaxBandBucket),
-         |e2 AS (SELECT img_id, phash,
-         |    phash IS NOT NULL AND
-         |      img_id <> min(img_id) OVER (PARTITION BY phash)
-         |      AS exact_dup_batch
-         |  FROM mfp WHERE img_id % 2 = 1),
-         |c2 AS (SELECT img_id, phash, b, bval FROM (
-         |  SELECT img_id, phash, b, bval,
-         |    count(*) OVER (PARTITION BY b, bval) AS bsz
-         |  FROM mb WHERE img_id % 2 = 1) WHERE bsz <= $MaxBandBucket),
-         |ns2 AS (SELECT DISTINCT p.img_id FROM (
-         |    SELECT DISTINCT c2.img_id, c2.phash AS fa, sb.phash AS fb
-         |    FROM c2 JOIN sb ON c2.b = sb.b AND c2.bval = sb.bval) p
-         |  WHERE bit_count(xor(p.fa, p.fb)) <= $MaxPhashHamming),
-         |nb2 AS (SELECT DISTINCT p.img_id FROM (
-         |    SELECT DISTINCT x.phash AS fa, y.img_id, y.phash AS fb
-         |    FROM c2 x JOIN c2 y
-         |      ON x.b = y.b AND x.bval = y.bval AND x.img_id < y.img_id) p
-         |  WHERE bit_count(xor(p.fa, p.fb)) <= $MaxPhashHamming),
-         |verdict2 AS (SELECT e2.img_id,
-         |    coalesce(e2.phash IN (SELECT phash FROM a1m
-         |      WHERE phash IS NOT NULL), FALSE) AS exact_dup_state,
-         |    e2.exact_dup_batch,
-         |    e2.img_id IN (SELECT img_id FROM ns2) AS near_dup_state,
-         |    e2.img_id IN (SELECT img_id FROM nb2) AS near_dup_batch
-         |  FROM e2)
+         |$incrementalPhashSqlCtes
          |SELECT img_id, exact_dup_state, exact_dup_batch,
          |  near_dup_state, near_dup_batch,
          |  NOT (exact_dup_state OR exact_dup_batch OR near_dup_state
          |    OR near_dup_batch) AS admitted
-         |FROM verdict2 ORDER BY img_id""".stripMargin
-    },
+         |FROM pverdict2 ORDER BY img_id""".stripMargin,
+
+    // the media drop's ACCOUNTING card: one row summarizing what the
+    // perceptual admission did to the drop (the dedup_incremental_report
+    // shape on the media tier)
+    "pipeline_drop_media" ->
+      s"""WITH $phashSqlCtes,
+         |$incrementalPhashSqlCtes
+         |SELECT CAST(count(*) AS BIGINT) AS n_images,
+         |  count(CASE WHEN exact_dup_state THEN 1 END)
+         |    AS n_exact_dup_state,
+         |  count(CASE WHEN exact_dup_batch THEN 1 END)
+         |    AS n_exact_dup_batch,
+         |  count(CASE WHEN near_dup_state THEN 1 END)
+         |    AS n_near_dup_state,
+         |  count(CASE WHEN near_dup_batch THEN 1 END)
+         |    AS n_near_dup_batch,
+         |  count(CASE WHEN NOT (exact_dup_state OR exact_dup_batch
+         |    OR near_dup_state OR near_dup_batch) THEN 1 END)
+         |    AS n_admitted
+         |FROM pverdict2""".stripMargin,
 
     "dedup_video_frames" ->
       s"""WITH $videoPairsSqlCtes
