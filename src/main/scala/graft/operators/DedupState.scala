@@ -612,16 +612,29 @@ object DedupState {
         count_distinct(when(col("occ") > 1, col("chunk_hash")))
           .as("n_batch_dup_chunks"))
     // vs state: STRIDE-1 windows, Bloom prefilter, then the deciding
-    // exact semi-join against the admitted aligned grid
-    val probed = bloomProbe(
-      windowGridKind(batch.select(col("doc_id"), col("text")), h.spanKind)
-        .select("doc_id", "chunk_hash"),
-      "chunk_hash", foldedBloom(s, h, "spanbloom"), h.bloomBits, h.spanKind)
-    val stateDup = probed.filter(col("bloom_hit"))
-      .select("doc_id", "chunk_hash").distinct()
-      .join(spans(s, h), Seq("chunk_hash"), "left_semi")
-      .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_state_dup_chunks"))
+    // exact semi-join against the admitted aligned grid. An EMPTY state
+    // (no deltas — a first drop) holds no spans, so the probe is
+    // structurally empty: short-circuit it instead of hashing every
+    // stride-1 window of the batch against a zero Bloom (round 17 — the
+    // drop ledger reports drop 1 against the empty pre-drop state, and
+    // paid the full window-hash pass for a pinned-zero column).
+    val stateDup =
+      if (h.deltas.isEmpty)
+        ids.limit(0).select(col("doc_id"),
+          lit(0L).as("n_state_dup_chunks"))
+      else {
+        val probed = bloomProbe(
+          windowGridKind(batch.select(col("doc_id"), col("text")),
+            h.spanKind)
+            .select("doc_id", "chunk_hash"),
+          "chunk_hash", foldedBloom(s, h, "spanbloom"), h.bloomBits,
+          h.spanKind)
+        probed.filter(col("bloom_hit"))
+          .select("doc_id", "chunk_hash").distinct()
+          .join(spans(s, h), Seq("chunk_hash"), "left_semi")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_state_dup_chunks"))
+      }
     ids
       .join(perDoc, Seq("doc_id"), "left")
       .join(stateDup, Seq("doc_id"), "left")

@@ -184,7 +184,7 @@ object Dedup {
     * minhash-LSH pair graph — shared by dedup_clusters,
     * pipeline_dedup_corpus, and pipeline_pretrain_corpus. */
   private def clusterLabels(s: SparkSession, dir: String): DataFrame =
-    clusterLabelsOf(Tables(s, dir, "documents"))
+    clusterLabelsOf(Tables.spread(Tables(s, dir, "documents")))
 
   private def clusterLabelsOf(docs: DataFrame): DataFrame = {
     val pairs = minhashPairsOf(docs).select("doc_a", "doc_b")
@@ -250,7 +250,7 @@ object Dedup {
     * embeddings by definition — a production intake materializes them
     * first). */
   private def pretrainSurvivors(s: SparkSession, dir: String): DataFrame =
-    pretrainSurvivorsOf(s, Tables(s, dir, "documents"), dir)
+    pretrainSurvivorsOf(s, Tables.spread(Tables(s, dir, "documents")), dir)
 
   /** [[pretrainSurvivors]] over a caller-supplied documents relation
     * (the boundary-composed intake reads docs through the JSONL
@@ -271,29 +271,45 @@ object Dedup {
       quality: DataFrame, // keepers passing the quality gate
       nonBench: DataFrame, // quality minus the benchmark split
       ngramClean: DataFrame, // minus n-gram contaminated
-      survivors: DataFrame) // minus semantically contaminated
+      survivors: DataFrame, // minus semantically contaminated
+      flags: DataFrame) // round 17: ONE decision row per keeper — every
+      // stage above is a boolean filter on it, so a consumer counting
+      // several stages pays the keeper/shingle/semantic sub-DAGs ONCE
 
   private[queries] def pretrainStageFrames(
       s: SparkSession, docs: DataFrame, dir: String): PretrainStages = {
+    // Round 17 (guide §1.2 "don't compute things twice", §8 "decide with
+    // small rows"): the five stage frames used to be five filter CHAINS,
+    // each re-deriving the keeper join and the contamination sets — a
+    // report counting all of them re-ran the shingle sub-DAG per count.
+    // Now ONE narrow flags frame (doc_id, lang, n_chars, n_words + four
+    // booleans — text dropped, no downstream consumer reads it) carries
+    // every stage decision; the frames are filters over it, and
+    // left-join-null-ness replaces the anti-joins (the contamination
+    // sets are doc_id-distinct by construction, so row counts are
+    // untouched). Filter semantics are identical: a null gate boolean
+    // excludes the row exactly as the original chained filters did.
     val keepers = docs.join(clusterLabelsOf(docs), "doc_id")
       .filter(col("doc_id") === col("cluster_id"))
       .withColumn("n_words", size(toks(col("text"))).cast("long"))
-    val quality = keepers
-      .filter(col("n_chars") >= 100 && col("n_words") >= 20)
     val sh = shingleHashesOf(docs)
     val bench = sh.filter(col("doc_id") % BenchmarkMod === 0)
       .select("sh").distinct()
     val contaminated = sh.filter(col("doc_id") % BenchmarkMod =!= 0)
       .join(broadcast(bench), "sh").select("doc_id").distinct()
-    val nonBench = quality
-      .filter(col("doc_id") % BenchmarkMod =!= 0) // benchmark split out
-    val ngramClean = nonBench
-      .join(contaminated, Seq("doc_id"), "left_anti")
     val embPath = new org.apache.hadoop.fs.Path(s"$dir/embeddings.parquet")
     val hasEmb = embPath.getFileSystem(s.sparkContext.hadoopConfiguration)
       .exists(embPath)
-    val survivors =
-      if (!hasEmb) ngramClean
+    val flags0 = keepers
+      .select(col("doc_id"), col("lang"), col("n_chars"), col("n_words"))
+      .withColumn("is_quality",
+        col("n_chars") >= 100 && col("n_words") >= 20)
+      .withColumn("is_nonbench",
+        col("is_quality") && col("doc_id") % BenchmarkMod =!= 0)
+      .join(contaminated.withColumn("ng1", lit(1)), Seq("doc_id"), "left")
+      .withColumn("is_ngram_clean", col("is_nonbench") && col("ng1").isNull)
+    val flags = (if (!hasEmb)
+        flags0.withColumn("is_survivor", col("is_ngram_clean"))
       else {
         val e = Tables(s, dir, "embeddings")
           .select(col("vec_id"),
@@ -306,14 +322,21 @@ object Dedup {
         // explicit broadcast: the hit set is bounded by benchmark
         // LEAKAGE (docs within τ of a fixed-size eval suite — rare by
         // construction), but it sits behind an aggregate whose static
-        // stats Catalyst can't see, so the planner would SMJ the anti-
-        // join and re-shuffle the whole keeper stream on doc_id. A
-        // corpus so leaked that its hit set outgrows a broadcast has a
-        // bigger problem than this plan.
-        ngramClean.join(broadcast(semContaminated), Seq("doc_id"),
-          "left_anti")
-      }
-    PretrainStages(keepers, quality, nonBench, ngramClean, survivors)
+        // stats Catalyst can't see, so the planner would SMJ the join
+        // and re-shuffle the whole keeper stream on doc_id. A corpus so
+        // leaked that its hit set outgrows a broadcast has a bigger
+        // problem than this plan.
+        flags0.join(broadcast(semContaminated.withColumn("sm1", lit(1))),
+            Seq("doc_id"), "left")
+          .withColumn("is_survivor", col("is_ngram_clean") && col("sm1").isNull)
+      }).drop("ng1", "sm1")
+    PretrainStages(
+      keepers = flags,
+      quality = flags.filter(col("is_quality")),
+      nonBench = flags.filter(col("is_nonbench")),
+      ngramClean = flags.filter(col("is_ngram_clean")),
+      survivors = flags.filter(col("is_survivor")),
+      flags = flags)
   }
 
   /** split_leakage_audit turned into a GATE: count verified near-dup pairs
@@ -350,7 +373,7 @@ object Dedup {
     * candidate universe) can never diverge from the standalone operator's
     * (oracle mirror: [[shinglesSql]] unnested). */
   private def shingleHashes(s: SparkSession, dir: String): DataFrame =
-    shingleHashesOf(Tables(s, dir, "documents"))
+    shingleHashesOf(Tables.spread(Tables(s, dir, "documents")))
 
   private def shingleHashesOf(docs: DataFrame): DataFrame =
     docs
@@ -368,7 +391,7 @@ object Dedup {
     * table is too big to broadcast and re-joining it would cost two more
     * full shuffles). */
   private def minhashPairs(s: SparkSession, dir: String): DataFrame =
-    minhashPairsOf(Tables(s, dir, "documents"))
+    minhashPairsOf(Tables.spread(Tables(s, dir, "documents")))
 
   private def minhashPairsOf(docs: DataFrame): DataFrame =
     graft.operators.MinHashLsh.pairsOf(docs)
@@ -443,12 +466,22 @@ object Dedup {
       admitted: DataFrame, // doc_id — admitted by the DedupState
       ngramFlagged: DataFrame, // doc_id — admitted ∩ registry n-gram flags
       semFlagged: DataFrame, // doc_id — admitted ∩ registered-embedding flags
-      curated: DataFrame) // admitted minus both flag sets
+      curated: DataFrame, // admitted minus both flag sets
+      flags: DataFrame) // round 17: ONE row per admitted doc with both
+      // flag booleans — the frames above are filters on it, so a report
+      // counting several stages evaluates the admission verdict sub-DAG
+      // (state Bloom + banded joins) ONCE instead of once per count
 
   private[queries] def dropCurationFrames(
       s: SparkSession, dir: String, which: Int): DropCuration = {
     val st = gatedStateHandle(s, dir)
-    val eligible = gatedDropDocs(s, dir, which)
+    // round 17: the eligible frame feeds THREE independent sub-DAGs (its
+    // own count, the admission verdicts, the span probe), each of which
+    // re-ran the scan + quality gate single-threaded. Spread it across
+    // the cores and materialize the gate's output once — exactly what
+    // the streaming admission twin does with an arriving micro-batch.
+    val eligible = Tables.spread(gatedDropDocs(s, dir, which))
+      .localCheckpoint(true)
     val admitted =
       if (which == 0) graft.operators.DedupState.rows(s, st).select("doc_id")
       else graft.operators.DedupState
@@ -466,9 +499,20 @@ object Dedup {
     val semFlagged = graft.operators.DecontamRegistry
       .flagSemantic(s, reg, adEmb, "doc_id", "v", SemanticDecontamTau)
       .select("doc_id")
-    DropCuration(eligible, admitted, flagged, semFlagged,
-      admitted.join(flagged, Seq("doc_id"), "left_anti")
-        .join(broadcast(semFlagged), Seq("doc_id"), "left_anti"))
+    // both flag relations are doc_id-distinct (per-doc cards), so the
+    // left joins preserve row counts and null-ness ≡ the anti-joins
+    val flags = admitted
+      .join(flagged.withColumn("ng1", lit(1)), Seq("doc_id"), "left")
+      .join(broadcast(semFlagged.withColumn("sm1", lit(1))),
+        Seq("doc_id"), "left")
+      .select(col("doc_id"), col("ng1").isNotNull.as("is_ngram_flagged"),
+        col("sm1").isNotNull.as("is_sem_flagged"))
+    DropCuration(eligible, admitted,
+      flags.filter(col("is_ngram_flagged")).select("doc_id"),
+      flags.filter(col("is_sem_flagged")).select("doc_id"),
+      flags.filter(!col("is_ngram_flagged") && !col("is_sem_flagged"))
+        .select("doc_id"),
+      flags)
   }
 
   /** The persisted gated state's handle (built on first use) — also the

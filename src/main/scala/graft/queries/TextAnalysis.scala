@@ -1251,18 +1251,21 @@ object TextAnalysis {
     * same content-independent hash family every sampler here uses). This
     * is the DSIR feature map: the hashing trick keeps the model a FIXED
     * B-row table no matter the corpus vocabulary. */
-  private def dsirFeatures(d: DataFrame): DataFrame = {
-    val ta = d.filter(col("text").isNotNull)
+  private def dsirFeatures(d: DataFrame): DataFrame =
+    // ONE corpus scan: unigrams and bigrams concatenate into a single
+    // exploded array instead of a two-leg unionAll (which scanned and
+    // re-tokenized the corpus twice per feature pass — round 17). The
+    // guard keeps sequence() away from size(a) < 2 (sequence(1, 0) would
+    // DESCEND, not return empty). Feature multiset is unchanged, so every
+    // downstream aggregate — and the oracle — is untouched.
+    Tables.spread(d.filter(col("text").isNotNull))
       .select(col("doc_id"), col("lang"), toks(col("text")).as("a"))
-    val uni = ta.select(col("doc_id"), col("lang"), explode(col("a")).as("ng"))
-    val bgx = ta.filter(size(col("a")) >= 2)
       .select(col("doc_id"), col("lang"), explode(expr(
-        "transform(sequence(1, size(a) - 1), i -> concat(a[i-1], ' ', a[i]))"))
-        .as("ng"))
-    uni.unionAll(bgx).select(col("doc_id"), col("lang"),
-      (conv(substring(md5(col("ng")), 1, 4), 16, 10).cast("long")
-        % DsirBuckets).as("b"))
-  }
+        "concat(a, if(size(a) >= 2, transform(sequence(1, size(a) - 1)," +
+          " i -> concat(a[i-1], ' ', a[i])), array()))")).as("ng"))
+      .select(col("doc_id"), col("lang"),
+        (conv(substring(md5(col("ng")), 1, 4), 16, 10).cast("long")
+          % DsirBuckets).as("b"))
 
   /** DSIR importance model from a feature relation: per bucket, the
     * fixed-point log ratio λ_b = ⌊ln(p̂_target(b) / p̂_raw(b))·S⌋ with
@@ -1274,12 +1277,17 @@ object TextAnalysis {
     * (the text_perplexity discipline — same ~1-ulp boundary caveat).
     * B rows out — kilobytes at ANY corpus size, always broadcastable. */
   private def dsirLambdaOf(feats: DataFrame): DataFrame = {
-    val rawc = feats.groupBy("b").agg(count(lit(1)).as("cr"))
-    val tgtc = feats.filter(col("lang") === DsirTargetLang)
-      .groupBy("b").agg(count(lit(1)).as("ct"))
-    val tot = feats.agg(count(lit(1)).as("nr"),
-      sum(when(col("lang") === DsirTargetLang, 1L).otherwise(0L)).as("nt"))
-    rawc.join(tgtc, Seq("b"), "left").na.fill(0L, Seq("ct")).crossJoin(tot)
+    // ONE feature pass builds the whole model (round 17): raw and target
+    // counts come from the same groupBy (ct = conditional sum ≡ the count
+    // of the filtered leg, buckets without target features naturally 0),
+    // and the totals aggregate the B-row bucket table — every feature
+    // lands in exactly one bucket, so sum(cr)/sum(ct) ≡ the global
+    // counts, exact BIGINT. Previously rawc/tgtc/tot were three separate
+    // corpus-scale passes over `feats`. λ arithmetic is bit-identical.
+    val bucket = feats.groupBy("b").agg(count(lit(1)).as("cr"),
+      sum(when(col("lang") === DsirTargetLang, 1L).otherwise(0L)).as("ct"))
+    val tot = bucket.agg(sum(col("cr")).as("nr"), sum(col("ct")).as("nt"))
+    bucket.crossJoin(tot)
       .select(col("b"),
         floor(log(((col("ct") + 1).cast("double")
             * (col("nr") + lit(DsirBuckets.toLong)))
@@ -1786,6 +1794,27 @@ object TextAnalysis {
       .agg(sort_array(collect_list(struct(col("pos"), col("ids")))).as("a"))
       .select(col("doc_id"),
         flatten(expr("transform(a, x -> x.ids)")).as("token_ids"))
+  }
+
+  /** Per-document token COUNTS via the same broadcast vocab encode
+    * (round 17): Σ size(word ids) over the word stream — equal to
+    * size(token_ids) by construction (flatten preserves element count,
+    * and a doc with no extractable words is absent from both relations)
+    * — WITHOUT materializing or regrouping the id arrays. The drop
+    * ledger's pack sums only need lengths, and the collect_list +
+    * sort_array + flatten regroup was its single most expensive stage. */
+  private def tokenCountsOf(docs: DataFrame,
+      merges: Seq[(Long, String, String, String, Long)]): DataFrame = {
+    val ow = docs
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), explode(
+        expr("regexp_extract_all(lower(text), '([a-z]+)', 1)")).as("word"))
+    val wids = ow.select("word").distinct()
+      .select(col("word"), size(
+        graft.exprs.functions.bpe_encode_ids(col("word"), merges)).as("n"))
+    ow.join(broadcast(wids), "word")
+      .groupBy("doc_id")
+      .agg(sum(col("n")).cast("long").as("n_ids"))
   }
 
   /** BYTE-alphabet twin of [[tokenIdsOf]]: raw whitespace words (empties
@@ -2716,7 +2745,10 @@ object TextAnalysis {
     // structurally zero; the oracle pins that too).
     "pipeline_drop_report" -> { (s, dir) =>
       val merges = learnBpeMergesCached(s, dir)
-      val ids = tokenIdsOf(s, dir, merges)
+      // round 17: the ledger's pack sums need token COUNTS, not the id
+      // arrays — [[tokenCountsOf]] skips the per-doc array regroup
+      val ids = tokenCountsOf(Tables.spread(
+        Tables(s, dir, "documents")), merges)
       // the scrubbed-token column reads the SCRUBBED pack state's
       // persisted per-drop contributions (each contrib row's ids_doc is
       // the doc's truncated prefix + EOS, so Σ size(ids_doc) over a
@@ -2736,15 +2768,24 @@ object TextAnalysis {
           .filter(col("span_dup_state"))
         def c1(df: DataFrame, n: String): DataFrame =
           df.agg(count(lit(1)).cast("long").as(n))
-        def packSum(idRows: DataFrame, n: String): DataFrame =
-          idRows.agg(coalesce(sum(
-            least(size(col("token_ids")).cast("long") + 1L,
+        def packSum(cntRows: DataFrame, n: String): DataFrame =
+          cntRows.agg(coalesce(sum(
+            least(col("n_ids") + 1L,
               lit(TokenSeqLen.toLong))), lit(0L)).as(n))
+        // round 17: the four admission-stage counts fold into ONE
+        // aggregate over the shared flags frame (dropCurationFrames) —
+        // previously four crossJoined count branches each re-ran the
+        // state-verdict sub-DAG. Same counts, same columns, same oracle.
+        val stage = f.flags.agg(
+          count(lit(1)).cast("long").as("n_admitted"),
+          count(when(col("is_ngram_flagged"), lit(1))).cast("long")
+            .as("n_registry_flagged"),
+          count(when(col("is_sem_flagged"), lit(1))).cast("long")
+            .as("n_sem_flagged"),
+          count(when(!col("is_ngram_flagged") && !col("is_sem_flagged"),
+            lit(1))).cast("long").as("n_curated"))
         c1(f.eligible, "n_eligible")
-          .crossJoin(c1(f.admitted, "n_admitted"))
-          .crossJoin(c1(f.ngramFlagged, "n_registry_flagged"))
-          .crossJoin(c1(f.semFlagged, "n_sem_flagged"))
-          .crossJoin(c1(f.curated, "n_curated"))
+          .crossJoin(stage)
           .crossJoin(c1(spanFlagged, "n_span_dup_state"))
           .crossJoin(packSum(ids.join(f.curated, Seq("doc_id")),
             "n_pack_tokens"))
@@ -2783,7 +2824,15 @@ object TextAnalysis {
     "pipeline_intake_e2e" -> { (s, dir) =>
       val root = intakeShards(s, dir)
       val files = graft.sources.CorpusJsonl.listShards(s, root)
+      // decode the boundary ONCE (round 17): the curation DAG consumes
+      // `docs` from five sub-plans (cluster pairs, keeper join, shingle
+      // legs, tokenize), and each used to re-gunzip + re-JSON-parse the
+      // shard set — measured 5× the decode CPU of the corpus per run.
+      // One eager materialization is exactly what a production intake
+      // does at this boundary (parse once, land columnar, curate from
+      // that); all downstream stages are unchanged.
       val docs = graft.sources.CorpusJsonl.readFiles(s, files)
+        .localCheckpoint(true)
       val kept = Dedup.pretrainSurvivorsOf(s, docs, dir).select("doc_id")
       ffdTokenRowsOf(s,
         tokenIdsOfDocs(docs, learnBpeMergesCached(s, dir))
@@ -2804,7 +2853,11 @@ object TextAnalysis {
       val root = intakeShards(s, dir)
       val files = graft.sources.CorpusJsonl.listShards(s, root)
       val audit = graft.sources.CorpusJsonl.auditShards(s, files)
+      // one boundary decode, shared by every stage count (see the e2e
+      // twin's note — round 17); the rejects leg keeps its own pass by
+      // necessity (a different projection of the RAW lines)
       val docs = graft.sources.CorpusJsonl.readFiles(s, files)
+        .localCheckpoint(true)
       val rejects = graft.sources.CorpusJsonl.readCorruptFiles(s, files)
       val st = Dedup.pretrainStageFrames(s, docs, dir)
       val packed = ffdTokenRowsOf(s,
@@ -2812,15 +2865,25 @@ object TextAnalysis {
           .join(st.survivors.select("doc_id"), "doc_id"))
       def c1(df: DataFrame, name: String): DataFrame =
         df.agg(count(lit(1)).cast("long").as(name))
-      c1(audit, "n_shards_in")
-        .crossJoin(c1(audit.filter(!col("ok")), "n_shards_skipped"))
+      def cIf(flag: String, name: String) =
+        count(when(col(flag), lit(1))).cast("long").as(name)
+      // round 17: the five curation-stage counts fold into ONE aggregate
+      // over the shared flags frame (pretrainStageFrames), and the two
+      // shard-audit counts into one — the report used to crossJoin eight
+      // independently-planned count branches, re-running the keeper/
+      // shingle sub-DAGs and re-decompressing the shard set per branch.
+      // Same counts, same columns, same oracle.
+      audit.agg(count(lit(1)).cast("long").as("n_shards_in"),
+          count(when(!col("ok"), lit(1))).cast("long")
+            .as("n_shards_skipped"))
         .crossJoin(c1(rejects, "n_rejected_lines"))
         .crossJoin(c1(docs, "n_docs"))
-        .crossJoin(c1(st.keepers, "n_keepers"))
-        .crossJoin(c1(st.quality, "n_quality"))
-        .crossJoin(c1(st.nonBench, "n_non_bench"))
-        .crossJoin(c1(st.ngramClean, "n_ngram_clean"))
-        .crossJoin(c1(st.survivors, "n_survivors"))
+        .crossJoin(st.flags.agg(
+          count(lit(1)).cast("long").as("n_keepers"),
+          cIf("is_quality", "n_quality"),
+          cIf("is_nonbench", "n_non_bench"),
+          cIf("is_ngram_clean", "n_ngram_clean"),
+          cIf("is_survivor", "n_survivors")))
         .crossJoin(packed.agg(
           count(lit(1)).cast("long").as("n_train_seqs"),
           coalesce(sum(col("n_real")), lit(0L)).as("n_real_tokens"),

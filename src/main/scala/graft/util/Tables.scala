@@ -25,6 +25,37 @@ object Tables {
     * lazy and re-reads it at planning. Library behavior: touch the conf
     * only when it actually needs flipping, so repeated loads are
     * side-effect-free. */
+  /** Spread a LOW-PARALLELISM scan across the session's cores before a
+    * CPU-heavy per-row derivation (round 17, guide §2.5 input skew /
+    * §2.2 scale-adaptive partitioning). The testdata parquet ships as one
+    * row group, so Spark plans ONE scan task regardless of core count
+    * and tokenize/hash-heavy stages run single-threaded (measured: the
+    * dsir feature pass spends 2.2 s on 1 of 32 cores). A conditional
+    * round-robin repartition buys back the cores for the price of one
+    * tiny-input exchange. Scale-adaptive by construction: the no-op
+    * branch fires whenever the scan already splits (at production scale
+    * inputs carry thousands of row groups, so this never shuffles), and
+    * the target derives from the session's core count, never a constant.
+    * Half the cores is the measured knee: string/hash work contends
+    * superlinearly in local mode (32-way ran 24× the single-task CPU;
+    * 16-way 2.9×), and ceil(n/2) keeps the lower-core driver runs
+    * proportional.
+    *
+    * ONLY for derivations whose downstream aggregates are order-free
+    * (BIGINT / fixed-point — the repo-wide float discipline); never under
+    * a float sum whose fold order the oracle pins. */
+  def spread(df: DataFrame, key: String = "doc_id"): DataFrame = {
+    val n = math.max(2,
+      (df.sparkSession.sparkContext.defaultParallelism + 1) / 2)
+    // hash-partition on the id, NOT round-robin: keyless repartition(n)
+    // local-sorts every input row first (SPARK-23207 determinism sort —
+    // thread dumps showed it as the dominant frame), while a
+    // deterministic key hash needs no sort and is retry-safe (guide
+    // §2.5); ids are dense so 2n ≫ n distinct values spread evenly
+    if (df.rdd.getNumPartitions >= n) df
+    else df.repartition(n, org.apache.spark.sql.functions.col(key))
+  }
+
   def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
     if (name == "events" &&
         !spark.conf.getOption(NanosConf).contains("true")) {
