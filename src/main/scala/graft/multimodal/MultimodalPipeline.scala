@@ -577,10 +577,14 @@ object MultimodalPipeline {
     // same way
     val d = spark.read.parquet(s"$dir/documents.parquet")
       .filter(col("text").isNotNull)
-    asMedia(d.select(
+    // round 17: the testdata parquet is one row group → one scan task,
+    // which serialized every decode stage downstream; spread by id
+    // before the decode mapPartitions (no-op when the scan already
+    // parallelizes — see Tables.spread)
+    asMedia(graft.util.Tables.spread(d.select(
       col("doc_id").as("id"),
       encode(col("text"), "utf-8").as("blob"),
       mediaTypeOf(length(encode(col("text"), "utf-8"))).as("media_type"),
-      map(lit("source"), col("source")).as("meta")))
+      map(lit("source"), col("source")).as("meta")), "id"))
   }
 }

@@ -104,8 +104,8 @@ object Dedup {
     * removes even that exchange). Same math as the DuckDB oracle: bit p =
     * bit p%4 of hex digit p/4 of each token's md5, set when votes >= 0. */
   private def simhashTable(s: SparkSession, dir: String): DataFrame =
-    Tables(s, dir, "documents")
-      .filter(col("text").isNotNull) // explode() dropped null docs; keep parity
+    Tables.spread(Tables(s, dir, "documents")
+      .filter(col("text").isNotNull)) // explode() dropped null docs; keep parity
       .select(col("doc_id"),
         graft.exprs.functions.simhash32(toks(col("text"))).as("simhash"))
 
@@ -118,9 +118,9 @@ object Dedup {
     * gate is exact. */
   private def rhpPairs(s: SparkSession, dir: String): DataFrame =
     graft.operators.RhpLsh.pairsOf(
-      Tables(s, dir, "embeddings")
+      Tables.spread(Tables(s, dir, "embeddings")
         .select(col("vec_id").as("doc_id"),
-          col("embedding").cast("array<double>").as("v")))
+          col("embedding").cast("array<double>").as("v"))))
       .select(col("doc_a").as("vec_a"), col("doc_b").as("vec_b"),
         col("cosine"))
 
@@ -130,7 +130,8 @@ object Dedup {
     * the incremental state's span tier, so no span verdict can diverge
     * from the standalone operator's grid. */
   private def spanChunkHashes(s: SparkSession, dir: String): DataFrame =
-    graft.operators.DedupState.chunksOf(Tables(s, dir, "documents"))
+    graft.operators.DedupState.chunksOf(
+      Tables.spread(Tables(s, dir, "documents")))
 
   /** (doc_id, phash) 64-bit perceptual dHash per image-typed media row —
     * the typed [[graft.multimodal.MultimodalPipeline]] path (decode → 9×8
@@ -595,7 +596,7 @@ object Dedup {
   val queries: Map[String, Q] = Map(
     // Exact dedup: content-hash grouping, min doc_id is the keeper.
     "dedup_exact" -> { (s, dir) =>
-      val d = Tables(s, dir, "documents")
+      val d = Tables.spread(Tables(s, dir, "documents"))
       val w = Window.partitionBy(col("content_hash"))
       d.withColumn("content_hash", md5(col("text")))
         .withColumn("keeper_id", min(col("doc_id")).over(w))
@@ -1194,7 +1195,7 @@ object Dedup {
     // inverted index carries the ngram family's df-cap + size-ratio prune
     // inside the join. J ≥ 0.5 ⇒ min/max ≥ 0.5 ⇒ 2·min ≥ max.
     "dedup_winnow" -> { (s, dir) =>
-      val d = Tables(s, dir, "documents")
+      val d = Tables.spread(Tables(s, dir, "documents"))
       val fps = d.select(col("doc_id"),
         explode(graft.exprs.functions.winnow_fps(
           encode(lower(regexp_replace(col("text"), "\\s+", " ")), "utf-8")))
@@ -1473,8 +1474,8 @@ object Dedup {
       val reg = graft.operators.DecontamRegistry
         .load(ensureDecontamRegistry(s, dir))
       graft.operators.DecontamRegistry
-        .flag(s, reg, Tables(s, dir, "documents")
-          .filter(col("doc_id") % BenchmarkMod =!= 0))
+        .flag(s, reg, Tables.spread(Tables(s, dir, "documents")
+          .filter(col("doc_id") % BenchmarkMod =!= 0)))
         .orderBy("doc_id")
     },
 

@@ -3253,7 +3253,8 @@ object TextAnalysis {
     // map-side, and the idf model is query-term-sized — broadcast at any
     // corpus scale. Top-20 is a TakeOrdered, never a global sort.
     "search_tfidf" -> { (s, dir) =>
-      val d = Tables(s, dir, "documents").filter(col("text").isNotNull)
+      val d = Tables.spread(
+        Tables(s, dir, "documents").filter(col("text").isNotNull))
       val tf = d
         .select(col("doc_id"), explode(toks(col("text"))).as("tok"))
         .filter(col("tok").isin(SearchTerms: _*))
@@ -3272,7 +3273,8 @@ object TextAnalysis {
     },
 
     "text_vocab" -> { (s, dir) =>
-      val d = Tables(s, dir, "documents").filter(col("text").isNotNull)
+      val d = Tables.spread(
+        Tables(s, dir, "documents").filter(col("text").isNotNull))
       d.select(col("doc_id"), explode(toks(col("text"))).as("token"))
         .groupBy("token")
         .agg(count(lit(1)).as("n_occurrences"),
@@ -3406,7 +3408,8 @@ object TextAnalysis {
     // on token stays safe because tags carry one row per token (no
     // amplification; AQE splits the hot-token partitions).
     "text_rarity" -> { (s, dir) =>
-      val d = Tables(s, dir, "documents").filter(col("text").isNotNull)
+      val d = Tables.spread(
+        Tables(s, dir, "documents").filter(col("text").isNotNull))
       val docTok = d
         .select(col("doc_id"), explode(toks(col("text"))).as("token"))
         .groupBy("doc_id", "token").agg(count(lit(1)).as("c"))
@@ -3524,7 +3527,8 @@ object TextAnalysis {
     // Scale shape: the unigram model is vocab-sized (broadcast); per-doc
     // counts collapse map-side before the join, like text_rarity.
     "text_perplexity" -> { (s, dir) =>
-      val d = Tables(s, dir, "documents").filter(col("text").isNotNull)
+      val d = Tables.spread(
+        Tables(s, dir, "documents").filter(col("text").isNotNull))
       val docTok = d
         .select(col("doc_id"), explode(toks(col("text"))).as("token"))
         .groupBy("doc_id", "token").agg(count(lit(1)).as("c"))
@@ -3558,7 +3562,8 @@ object TextAnalysis {
     // Catalyst/AQE (broadcast while it fits, shuffled-hash beyond) rather
     // than force-broadcast.
     "text_perplexity_bigram" -> { (s, dir) =>
-      val d = Tables(s, dir, "documents").filter(col("text").isNotNull)
+      val d = Tables.spread(
+        Tables(s, dir, "documents").filter(col("text").isNotNull))
       val bg = d.select(col("doc_id"), toks(col("text")).as("a"))
         .filter(size(col("a")) >= 2)
         .select(col("doc_id"), explode(expr(
@@ -3589,7 +3594,8 @@ object TextAnalysis {
     // Scale shape: zipped-slice bigrams (no window), two vocab-sized
     // aggregates, TakeOrdered top-K.
     "text_collocations" -> { (s, dir) =>
-      val d = Tables(s, dir, "documents").filter(col("text").isNotNull)
+      val d = Tables.spread(
+        Tables(s, dir, "documents").filter(col("text").isNotNull))
       val toksDf = d.select(explode(toks(col("text"))).as("t"))
       val uni = toksDf.groupBy("t").agg(count(lit(1)).as("c"))
       val totals = toksDf.agg(count(lit(1)).as("n_tok"))
