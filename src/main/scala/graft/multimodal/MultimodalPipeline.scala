@@ -577,14 +577,15 @@ object MultimodalPipeline {
     // same way
     val d = spark.read.parquet(s"$dir/documents.parquet")
       .filter(col("text").isNotNull)
-    // round 17: the testdata parquet is one row group → one scan task,
-    // which serialized every decode stage downstream; spread by id
-    // before the decode mapPartitions (no-op when the scan already
-    // parallelizes — see Tables.spread)
-    asMedia(graft.util.Tables.spread(d.select(
+    // round-17 note: a Tables.spread of this boundary was tried and
+    // REVERTED — shuffling the blobs cost more than the decode
+    // parallelism bought (dedup_phash_hamming 0.37→0.78 s,
+    // pipeline_media_dedup 1.8→2.8 s in back-to-back bench runs); at
+    // scale the caller-facing repartitionForDecode is the right knob.
+    asMedia(d.select(
       col("doc_id").as("id"),
       encode(col("text"), "utf-8").as("blob"),
       mediaTypeOf(length(encode(col("text"), "utf-8"))).as("media_type"),
-      map(lit("source"), col("source")).as("meta")), "id"))
+      map(lit("source"), col("source")).as("meta")))
   }
 }

@@ -104,8 +104,8 @@ object Dedup {
     * removes even that exchange). Same math as the DuckDB oracle: bit p =
     * bit p%4 of hex digit p/4 of each token's md5, set when votes >= 0. */
   private def simhashTable(s: SparkSession, dir: String): DataFrame =
-    Tables.spread(Tables(s, dir, "documents")
-      .filter(col("text").isNotNull)) // explode() dropped null docs; keep parity
+    Tables(s, dir, "documents")
+      .filter(col("text").isNotNull) // explode() dropped null docs; keep parity
       .select(col("doc_id"),
         graft.exprs.functions.simhash32(toks(col("text"))).as("simhash"))
 
@@ -118,9 +118,9 @@ object Dedup {
     * gate is exact. */
   private def rhpPairs(s: SparkSession, dir: String): DataFrame =
     graft.operators.RhpLsh.pairsOf(
-      Tables.spread(Tables(s, dir, "embeddings")
+      Tables(s, dir, "embeddings")
         .select(col("vec_id").as("doc_id"),
-          col("embedding").cast("array<double>").as("v"))))
+          col("embedding").cast("array<double>").as("v")))
       .select(col("doc_a").as("vec_a"), col("doc_b").as("vec_b"),
         col("cosine"))
 
@@ -130,8 +130,7 @@ object Dedup {
     * the incremental state's span tier, so no span verdict can diverge
     * from the standalone operator's grid. */
   private def spanChunkHashes(s: SparkSession, dir: String): DataFrame =
-    graft.operators.DedupState.chunksOf(
-      Tables.spread(Tables(s, dir, "documents")))
+    graft.operators.DedupState.chunksOf(Tables(s, dir, "documents"))
 
   /** (doc_id, phash) 64-bit perceptual dHash per image-typed media row —
     * the typed [[graft.multimodal.MultimodalPipeline]] path (decode → 9×8
@@ -185,7 +184,7 @@ object Dedup {
     * minhash-LSH pair graph — shared by dedup_clusters,
     * pipeline_dedup_corpus, and pipeline_pretrain_corpus. */
   private def clusterLabels(s: SparkSession, dir: String): DataFrame =
-    clusterLabelsOf(Tables.spread(Tables(s, dir, "documents")))
+    clusterLabelsOf(Tables(s, dir, "documents"))
 
   private def clusterLabelsOf(docs: DataFrame): DataFrame = {
     val pairs = minhashPairsOf(docs).select("doc_a", "doc_b")
@@ -251,7 +250,7 @@ object Dedup {
     * embeddings by definition — a production intake materializes them
     * first). */
   private def pretrainSurvivors(s: SparkSession, dir: String): DataFrame =
-    pretrainSurvivorsOf(s, Tables.spread(Tables(s, dir, "documents")), dir)
+    pretrainSurvivorsOf(s, Tables(s, dir, "documents"), dir)
 
   /** [[pretrainSurvivors]] over a caller-supplied documents relation
     * (the boundary-composed intake reads docs through the JSONL
@@ -272,45 +271,40 @@ object Dedup {
       quality: DataFrame, // keepers passing the quality gate
       nonBench: DataFrame, // quality minus the benchmark split
       ngramClean: DataFrame, // minus n-gram contaminated
-      survivors: DataFrame, // minus semantically contaminated
-      flags: DataFrame) // round 17: ONE decision row per keeper — every
-      // stage above is a boolean filter on it, so a consumer counting
-      // several stages pays the keeper/shingle/semantic sub-DAGs ONCE
+      survivors: DataFrame) // minus semantically contaminated
 
+  // Round-17 note: a "flags frame" variant of this composition (one
+  // decision row per keeper, stages as boolean filters, reports counting
+  // all stages in one aggregate) was built, oracle-gated and then
+  // REVERTED: back-to-back shared-JVM bench runs showed
+  // pipeline_pretrain_gated/corpus 2–2.4× SLOWER under it (3.4→8.2 s /
+  // 2.3→5.7 s medians) while the solo-query harness showed the opposite —
+  // the left-outer flag joins defeat the filter-pushdown the original
+  // chain gets for free, and the single-consumer pipelines paid the
+  // price without reaping the shared-count benefit. The same idea DID
+  // stick where several counts genuinely share one verdict sub-DAG
+  // (dropCurationFrames below). Kept as the original filter chain.
   private[queries] def pretrainStageFrames(
       s: SparkSession, docs: DataFrame, dir: String): PretrainStages = {
-    // Round 17 (guide §1.2 "don't compute things twice", §8 "decide with
-    // small rows"): the five stage frames used to be five filter CHAINS,
-    // each re-deriving the keeper join and the contamination sets — a
-    // report counting all of them re-ran the shingle sub-DAG per count.
-    // Now ONE narrow flags frame (doc_id, lang, n_chars, n_words + four
-    // booleans — text dropped, no downstream consumer reads it) carries
-    // every stage decision; the frames are filters over it, and
-    // left-join-null-ness replaces the anti-joins (the contamination
-    // sets are doc_id-distinct by construction, so row counts are
-    // untouched). Filter semantics are identical: a null gate boolean
-    // excludes the row exactly as the original chained filters did.
     val keepers = docs.join(clusterLabelsOf(docs), "doc_id")
       .filter(col("doc_id") === col("cluster_id"))
       .withColumn("n_words", size(toks(col("text"))).cast("long"))
+    val quality = keepers
+      .filter(col("n_chars") >= 100 && col("n_words") >= 20)
     val sh = shingleHashesOf(docs)
     val bench = sh.filter(col("doc_id") % BenchmarkMod === 0)
       .select("sh").distinct()
     val contaminated = sh.filter(col("doc_id") % BenchmarkMod =!= 0)
       .join(broadcast(bench), "sh").select("doc_id").distinct()
+    val nonBench = quality
+      .filter(col("doc_id") % BenchmarkMod =!= 0) // benchmark split out
+    val ngramClean = nonBench
+      .join(contaminated, Seq("doc_id"), "left_anti")
     val embPath = new org.apache.hadoop.fs.Path(s"$dir/embeddings.parquet")
     val hasEmb = embPath.getFileSystem(s.sparkContext.hadoopConfiguration)
       .exists(embPath)
-    val flags0 = keepers
-      .select(col("doc_id"), col("lang"), col("n_chars"), col("n_words"))
-      .withColumn("is_quality",
-        col("n_chars") >= 100 && col("n_words") >= 20)
-      .withColumn("is_nonbench",
-        col("is_quality") && col("doc_id") % BenchmarkMod =!= 0)
-      .join(contaminated.withColumn("ng1", lit(1)), Seq("doc_id"), "left")
-      .withColumn("is_ngram_clean", col("is_nonbench") && col("ng1").isNull)
-    val flags = (if (!hasEmb)
-        flags0.withColumn("is_survivor", col("is_ngram_clean"))
+    val survivors =
+      if (!hasEmb) ngramClean
       else {
         val e = Tables(s, dir, "embeddings")
           .select(col("vec_id"),
@@ -323,21 +317,14 @@ object Dedup {
         // explicit broadcast: the hit set is bounded by benchmark
         // LEAKAGE (docs within τ of a fixed-size eval suite — rare by
         // construction), but it sits behind an aggregate whose static
-        // stats Catalyst can't see, so the planner would SMJ the join
-        // and re-shuffle the whole keeper stream on doc_id. A corpus so
-        // leaked that its hit set outgrows a broadcast has a bigger
-        // problem than this plan.
-        flags0.join(broadcast(semContaminated.withColumn("sm1", lit(1))),
-            Seq("doc_id"), "left")
-          .withColumn("is_survivor", col("is_ngram_clean") && col("sm1").isNull)
-      }).drop("ng1", "sm1")
-    PretrainStages(
-      keepers = flags,
-      quality = flags.filter(col("is_quality")),
-      nonBench = flags.filter(col("is_nonbench")),
-      ngramClean = flags.filter(col("is_ngram_clean")),
-      survivors = flags.filter(col("is_survivor")),
-      flags = flags)
+        // stats Catalyst can't see, so the planner would SMJ the anti-
+        // join and re-shuffle the whole keeper stream on doc_id. A
+        // corpus so leaked that its hit set outgrows a broadcast has a
+        // bigger problem than this plan.
+        ngramClean.join(broadcast(semContaminated), Seq("doc_id"),
+          "left_anti")
+      }
+    PretrainStages(keepers, quality, nonBench, ngramClean, survivors)
   }
 
   /** split_leakage_audit turned into a GATE: count verified near-dup pairs
@@ -392,7 +379,7 @@ object Dedup {
     * table is too big to broadcast and re-joining it would cost two more
     * full shuffles). */
   private def minhashPairs(s: SparkSession, dir: String): DataFrame =
-    minhashPairsOf(Tables.spread(Tables(s, dir, "documents")))
+    minhashPairsOf(Tables(s, dir, "documents"))
 
   private def minhashPairsOf(docs: DataFrame): DataFrame =
     graft.operators.MinHashLsh.pairsOf(docs)
@@ -596,7 +583,7 @@ object Dedup {
   val queries: Map[String, Q] = Map(
     // Exact dedup: content-hash grouping, min doc_id is the keeper.
     "dedup_exact" -> { (s, dir) =>
-      val d = Tables.spread(Tables(s, dir, "documents"))
+      val d = Tables(s, dir, "documents")
       val w = Window.partitionBy(col("content_hash"))
       d.withColumn("content_hash", md5(col("text")))
         .withColumn("keeper_id", min(col("doc_id")).over(w))

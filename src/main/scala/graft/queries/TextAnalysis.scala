@@ -2865,25 +2865,22 @@ object TextAnalysis {
           .join(st.survivors.select("doc_id"), "doc_id"))
       def c1(df: DataFrame, name: String): DataFrame =
         df.agg(count(lit(1)).cast("long").as(name))
-      def cIf(flag: String, name: String) =
-        count(when(col(flag), lit(1))).cast("long").as(name)
-      // round 17: the five curation-stage counts fold into ONE aggregate
-      // over the shared flags frame (pretrainStageFrames), and the two
-      // shard-audit counts into one — the report used to crossJoin eight
-      // independently-planned count branches, re-running the keeper/
-      // shingle sub-DAGs and re-decompressing the shard set per branch.
-      // Same counts, same columns, same oracle.
+      // round 17: the two shard-audit counts fold into one aggregate (the
+      // audit is a full decompress pass — one branch, not two), and every
+      // stage count now scans the ONE materialized boundary decode above.
+      // The per-stage count branches themselves stay independent — the
+      // flags-frame variant was reverted after shared-JVM bench runs
+      // showed it slower (see pretrainStageFrames' note).
       audit.agg(count(lit(1)).cast("long").as("n_shards_in"),
           count(when(!col("ok"), lit(1))).cast("long")
             .as("n_shards_skipped"))
         .crossJoin(c1(rejects, "n_rejected_lines"))
         .crossJoin(c1(docs, "n_docs"))
-        .crossJoin(st.flags.agg(
-          count(lit(1)).cast("long").as("n_keepers"),
-          cIf("is_quality", "n_quality"),
-          cIf("is_nonbench", "n_non_bench"),
-          cIf("is_ngram_clean", "n_ngram_clean"),
-          cIf("is_survivor", "n_survivors")))
+        .crossJoin(c1(st.keepers, "n_keepers"))
+        .crossJoin(c1(st.quality, "n_quality"))
+        .crossJoin(c1(st.nonBench, "n_non_bench"))
+        .crossJoin(c1(st.ngramClean, "n_ngram_clean"))
+        .crossJoin(c1(st.survivors, "n_survivors"))
         .crossJoin(packed.agg(
           count(lit(1)).cast("long").as("n_train_seqs"),
           coalesce(sum(col("n_real")), lit(0L)).as("n_real_tokens"),
@@ -3273,8 +3270,7 @@ object TextAnalysis {
     },
 
     "text_vocab" -> { (s, dir) =>
-      val d = Tables.spread(
-        Tables(s, dir, "documents").filter(col("text").isNotNull))
+      val d = Tables(s, dir, "documents").filter(col("text").isNotNull)
       d.select(col("doc_id"), explode(toks(col("text"))).as("token"))
         .groupBy("token")
         .agg(count(lit(1)).as("n_occurrences"),
@@ -3594,8 +3590,7 @@ object TextAnalysis {
     // Scale shape: zipped-slice bigrams (no window), two vocab-sized
     // aggregates, TakeOrdered top-K.
     "text_collocations" -> { (s, dir) =>
-      val d = Tables.spread(
-        Tables(s, dir, "documents").filter(col("text").isNotNull))
+      val d = Tables(s, dir, "documents").filter(col("text").isNotNull)
       val toksDf = d.select(explode(toks(col("text"))).as("t"))
       val uni = toksDf.groupBy("t").agg(count(lit(1)).as("c"))
       val totals = toksDf.agg(count(lit(1)).as("n_tok"))
