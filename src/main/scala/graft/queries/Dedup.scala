@@ -186,10 +186,11 @@ object Dedup {
   private def clusterLabels(s: SparkSession, dir: String): DataFrame =
     clusterLabelsOf(Tables(s, dir, "documents"))
 
-  private def clusterLabelsOf(docs: DataFrame): DataFrame = {
-    val pairs = minhashPairsOf(docs).select("doc_a", "doc_b")
+  private def clusterLabelsOf(
+      docs: DataFrame, pairs: Option[DataFrame] = None): DataFrame = {
+    val edges = pairs.getOrElse(minhashPairsOf(docs)).select("doc_a", "doc_b")
     graft.operators.ConnectedComponents
-      .run(docs.select(col("doc_id")), pairs, MaxCcIterations)
+      .run(docs.select(col("doc_id")), edges, MaxCcIterations)
       .select(col("id").as("doc_id"), col("component").as("cluster_id"))
   }
 
@@ -257,8 +258,9 @@ object Dedup {
     * boundary, not the parquet table); `dir` still supplies the
     * embeddings relation for the semantic leg. */
   private[queries] def pretrainSurvivorsOf(
-      s: SparkSession, docs: DataFrame, dir: String): DataFrame =
-    pretrainStageFrames(s, docs, dir).survivors
+      s: SparkSession, docs: DataFrame, dir: String,
+      pairs: Option[DataFrame] = None): DataFrame =
+    pretrainStageFrames(s, docs, dir, pairs).survivors
       .withColumn("split", TextAnalysis.splitOf(TextAnalysis.splitBucket))
 
   /** Every stage boundary of the pretrain intake, as lazy frames — ONE
@@ -285,8 +287,9 @@ object Dedup {
   // stick where several counts genuinely share one verdict sub-DAG
   // (dropCurationFrames below). Kept as the original filter chain.
   private[queries] def pretrainStageFrames(
-      s: SparkSession, docs: DataFrame, dir: String): PretrainStages = {
-    val keepers = docs.join(clusterLabelsOf(docs), "doc_id")
+      s: SparkSession, docs: DataFrame, dir: String,
+      pairs: Option[DataFrame] = None): PretrainStages = {
+    val keepers = docs.join(clusterLabelsOf(docs, pairs), "doc_id")
       .filter(col("doc_id") === col("cluster_id"))
       .withColumn("n_words", size(toks(col("text"))).cast("long"))
     val quality = keepers
@@ -1024,11 +1027,19 @@ object Dedup {
     // once (localCheckpoint) and feed both the gate and the card — the
     // expensive CC sub-DAG runs once, not twice.
     "pipeline_pretrain_gated" -> { (s, dir) =>
-      val kept = pretrainSurvivors(s, dir)
+      // round 17 (optimization): the gate's count was a SECOND full
+      // minhash-LSH pass — the survivor pipeline already derives the
+      // identical pair relation as its CC edges, but the gate runs as its
+      // own action, so exchange reuse can't bridge the two. Materialize
+      // pairs ONCE and feed both consumers; same relation, same results.
+      val pairs = minhashPairs(s, dir).localCheckpoint(true)
+      val kept = pretrainSurvivorsOf(
+          s, Tables(s, dir, "documents"), dir, Some(pairs))
         .select("doc_id", "split", "lang", "n_words")
         .localCheckpoint(true)
       val leak = assertNoSplitLeakage(
-        kept.select("doc_id", "split"), minhashPairs(s, dir), LeakGateSim)
+        kept.select("doc_id", "split"), pairs, LeakGateSim)
+      graft.operators.ConnectedComponents.release(pairs)
       kept.groupBy("split", "lang")
         .agg(count(lit(1)).as("n_docs"),
           sum(col("n_words")).as("total_words"))

@@ -2853,12 +2853,16 @@ object TextAnalysis {
       val root = intakeShards(s, dir)
       val files = graft.sources.CorpusJsonl.listShards(s, root)
       val audit = graft.sources.CorpusJsonl.auditShards(s, files)
-      // one boundary decode, shared by every stage count (see the e2e
-      // twin's note — round 17); the rejects leg keeps its own pass by
-      // necessity (a different projection of the RAW lines)
-      val docs = graft.sources.CorpusJsonl.readFiles(s, files)
+      // ONE boundary decode for BOTH line legs (round 17 optimization):
+      // clean docs and rejects are disjoint projections of the same
+      // PERMISSIVE raw parse, so materializing the raw frame once drops a
+      // full gunzip+JSON pass vs giving the rejects leg its own read.
+      // The audit keeps its separate decompress pass BY CONTRACT (it
+      // probes shard bytes to EOF — see auditShards' doc).
+      val raw = graft.sources.CorpusJsonl.readRawFiles(s, files)
         .localCheckpoint(true)
-      val rejects = graft.sources.CorpusJsonl.readCorruptFiles(s, files)
+      val docs = graft.sources.CorpusJsonl.cleanOf(raw)
+      val rejects = graft.sources.CorpusJsonl.corruptOf(raw)
       val st = Dedup.pretrainStageFrames(s, docs, dir)
       val packed = ffdTokenRowsOf(s,
         tokenIdsOfDocs(docs, learnBpeMergesCached(s, dir))
@@ -3884,7 +3888,13 @@ object TextAnalysis {
     "corpus_report" -> { (s, dir) =>
       val root = intakeShards(s, dir)
       val files = graft.sources.CorpusJsonl.listShards(s, root)
-      val d = graft.sources.CorpusJsonl.readFiles(s, files)
+      // one decode for the clean card AND the rejects sentinel (round 17
+      // optimization — the intake_report note): both legs project the
+      // same raw permissive parse; the audit keeps its contractual
+      // bytes-to-EOF pass.
+      val raw = graft.sources.CorpusJsonl.readRawFiles(s, files)
+        .localCheckpoint(true)
+      val d = graft.sources.CorpusJsonl.cleanOf(raw)
         .filter(col("text").isNotNull)
         .select(col("source"), col("lang"),
           size(toks(col("text"))).cast("long").as("n_toks"),
@@ -3909,7 +3919,7 @@ object TextAnalysis {
             lit(null).cast("long").as("n_exact_dups"))
       card
         .unionByName(sentinel(
-          graft.sources.CorpusJsonl.readCorruptFiles(s, files),
+          graft.sources.CorpusJsonl.corruptOf(raw),
           "(rejects)"))
         .unionByName(sentinel(
           graft.sources.CorpusJsonl.auditShards(s, files)

@@ -162,6 +162,17 @@ object CorpusJsonl {
   def readCorruptFiles(spark: SparkSession, files: Seq[String]): DataFrame =
     corruptOf(readRaw(spark, files))
 
+  /** The RAW permissive parse over a pinned shard list — every line as a
+    * row, clean fields typed and `_corrupt_record` carrying the rejects.
+    * [[cleanOf]] / [[corruptOf]] are disjoint projections of it, so an
+    * intake that needs BOTH legs (clean table + quarantine stream) can
+    * decode the shard set ONCE, materialize this frame, and project —
+    * instead of paying one gunzip+parse pass per leg (gzip members
+    * decompress single-threaded per shard; the duplicate pass is pure
+    * cost at any scale). */
+  def readRawFiles(spark: SparkSession, files: Seq[String]): DataFrame =
+    readRaw(spark, files)
+
   /** FILE-level quarantine relation (round 14): one row per shard —
     * (file, n_lines, ok, error) — from one executor-side decompress
     * pass per file. `ok = false` flags a shard whose bytes can't be
