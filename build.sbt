@@ -11,6 +11,14 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked program output passes through RAW (no [info]/[error] log
+// prefixes) and sbt prints no [success] footer: the driver's bench
+// capture parses the LAST stdout line as JSON, and round 1-17 records
+// all came back `parsed: null` because sbt decorated or followed the
+// summary line (round-17 verdict item 2).
+outputStrategy := Some(StdoutOutput)
+Global / showSuccess := false
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

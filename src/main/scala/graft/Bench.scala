@@ -55,10 +55,18 @@ object Bench {
     // contention, and the adjudication burned judge time because the
     // capture itself couldn't show where the time went — now it can.
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
+    // Round 18: construction-time materializations (Staged slots, CC
+    // label checkpoints) are released BETWEEN reps, after each rep's
+    // action has completed and OUTSIDE its timed window — every rep
+    // still computes from the parquet/JSONL inputs (the swap evicts any
+    // previous construction's cache before the new persist), and the
+    // run no longer accumulates executor-storage copies per invocation
+    // (the round-17 32-core timeout's prime suspect).
     def warmupPass(dir: String): Double = {
       val t0 = System.nanoTime()
       ordered.foreach { case (_, fn) =>
         try fn(spark, dir).count() catch { case _: Throwable => () }
+        graft.util.Staged.releaseAll()
       }
       (System.nanoTime() - t0) / 1e9
     }
@@ -71,7 +79,9 @@ object Bench {
           catch { case _: Throwable => false }
         // -1 marks a failed query; recording its partial time would make
         // a broken query look like a fast one
-        if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
+        val sec = if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
+        graft.util.Staged.releaseAll() // untimed inter-rep cleanup
+        sec
       }
       val cold = once()
       val med =
@@ -117,7 +127,9 @@ object Bench {
             val t0 = System.nanoTime()
             val ok = try { fn(spark, sf1Dir).count(); true }
               catch { case _: Throwable => false }
-            if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
+            val sec = if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
+            graft.util.Staged.releaseAll() // untimed inter-rep cleanup
+            sec
           }
           val cold = once()
           val med = if (cold < 0) -1.0 else median(Seq.fill(reps)(once()))
@@ -160,8 +172,20 @@ object Bench {
     val engineObj = obj(engineCold.map { case (k, v) =>
       k -> engineMed.toMap.getOrElse(k, v)
     })
-    println(s"""{"metric":"total","value":$total,"unit":"sec","total_median":$totalMed,"n_queries":${results.size},"median_reps":$MedianReps,"warmup":$warmupSec,"engine_median":$engineObj${sf1Scalar("total_sf1")}${sf1Scalar("total_sf1_median")}${sf1Scalar("sf1_warmup")},"full":"$fullPath","sf":"$sfDir"}""")
+    val summary =
+      s"""{"metric":"total","value":$total,"unit":"sec","total_median":$totalMed,"n_queries":${results.size},"median_reps":$MedianReps,"warmup":$warmupSec,"engine_median":$engineObj${sf1Scalar("total_sf1")}${sf1Scalar("total_sf1_median")}${sf1Scalar("sf1_warmup")},"full":"$fullPath","sf":"$sfDir"}"""
+    // Round 18 (driver parse contract): the compact line must be the
+    // LAST thing in the captured tail, unprefixed. Silence Spark's
+    // shutdown logging and stop the session FIRST so nothing can print
+    // after it, then emit the line to BOTH stdout and stderr (whichever
+    // stream the capture tails ends with it); build.sbt routes forked
+    // output raw (no [info]/[error] prefixes) and suppresses sbt's
+    // [success] footer so the line stays final and machine-parseable.
+    spark.sparkContext.setLogLevel("ERROR")
     spark.stop()
+    println(summary)
+    System.err.println(summary)
+    System.out.flush(); System.err.flush()
   }
 
   /** The reference bench workloads (bench_test.go): label 14 B, 5-key JSON

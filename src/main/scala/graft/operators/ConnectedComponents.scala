@@ -86,6 +86,11 @@ object ConnectedComponents {
     require(converged,
       s"ConnectedComponents: not converged after $iter propagation steps" +
         s" (maxIter=$maxIter)")
+    // The FINAL round's checkpoint backs the returned labels, so it
+    // cannot be released here — register it so the host can free it once
+    // the consuming action has run (round 18: previously it leaked one
+    // label-table copy per run for the JVM's lifetime).
+    graft.util.Staged.track(ckpt)
     val out = labels
     release(sym)
     out

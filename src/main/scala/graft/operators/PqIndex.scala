@@ -106,7 +106,7 @@ object PqIndex {
     * Distinct-point shortfall degrades k gracefully (duplicate centers
     * can never win an argmin tie against their first copy — assignment
     * takes the lowest index, matching the encode tie-break). */
-  private[operators] def fitLloyd(
+  private[graft] def fitLloyd(
       pts: Array[Array[Double]], k: Int, maxIter: Int): Array[Array[Double]] = {
     val d = pts.head.length
     val kk = math.min(k, pts.length)

@@ -469,10 +469,15 @@ object Dedup {
     // round 17: the eligible frame feeds THREE independent sub-DAGs (its
     // own count, the admission verdicts, the span probe), each of which
     // re-ran the scan + quality gate single-threaded. Spread it across
-    // the cores and materialize the gate's output once — exactly what
-    // the streaming admission twin does with an arriving micro-batch.
-    val eligible = Tables.spread(gatedDropDocs(s, dir, which))
-      .localCheckpoint(true)
+    // the cores and cache the gate's output once — exactly what the
+    // streaming admission twin does with an arriving micro-batch.
+    // Round 18: Staged.swap (persist MEMORY_AND_DISK, lineage kept)
+    // instead of an unreleased localCheckpoint — repeated construction
+    // no longer accumulates corpus copies in executor storage, and the
+    // frame survives executor loss at cluster scale by recompute.
+    val eligible = graft.util.Staged.swap(
+      s"drop_curation.eligible:$dir:$which",
+      Tables.spread(gatedDropDocs(s, dir, which)))
     val admitted =
       if (which == 0) graft.operators.DedupState.rows(s, st).select("doc_id")
       else graft.operators.DedupState
@@ -1032,14 +1037,21 @@ object Dedup {
       // identical pair relation as its CC edges, but the gate runs as its
       // own action, so exchange reuse can't bridge the two. Materialize
       // pairs ONCE and feed both consumers; same relation, same results.
-      val pairs = minhashPairs(s, dir).localCheckpoint(true)
-      val kept = pretrainSurvivorsOf(
+      // Round 18: persist (lineage kept) instead of localCheckpoint —
+      // the CC loop's eager first round populates the cache, the gate
+      // count reads it, and the release after the gate frees blocks a
+      // re-execution could still recompute; `kept` takes a Staged slot
+      // (its last consumer is the RETURNED plan's action, so the release
+      // happens at the next construction instead of leaking per run).
+      val pairs = minhashPairs(s, dir)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val kept = graft.util.Staged.swap(s"pretrain_gated.kept:$dir",
+        pretrainSurvivorsOf(
           s, Tables(s, dir, "documents"), dir, Some(pairs))
-        .select("doc_id", "split", "lang", "n_words")
-        .localCheckpoint(true)
+        .select("doc_id", "split", "lang", "n_words"))
       val leak = assertNoSplitLeakage(
         kept.select("doc_id", "split"), pairs, LeakGateSim)
-      graft.operators.ConnectedComponents.release(pairs)
+      pairs.unpersist(false)
       kept.groupBy("split", "lang")
         .agg(count(lit(1)).as("n_docs"),
           sum(col("n_words")).as("total_words"))

@@ -213,12 +213,9 @@ object Similarity {
     * trade-off is sweepable (AnnRecallSpec covers nProbe ∈ {1,2,4}). */
   def ivfKmeansCandidates(
       s: SparkSession, dir: String, nProbe: Int): DataFrame = {
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
     val e = Tables(s, dir, "embeddings")
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
       .withColumn("nrm", norm(col("v")))
-      .withColumn("features", array_to_vector(col("v")))
     // The quantizer only needs a representative subset: train on a bounded
     // sample (~TrainTarget rows) so the fit cost stays flat as the table
     // grows — at 100TB a full-table k-means would dominate the query.
@@ -227,11 +224,26 @@ object Similarity {
     val train =
       if (n <= TrainTarget) e
       else e.sample(withReplacement = false, TrainTarget / n, seed = 42)
-    val km = new KMeans().setK(8).setSeed(42).setMaxIter(5).fit(train)
-    val assigned = km.transform(e)
-      .select(col("vec_id"), col("v"), col("nrm"),
-        col("prediction").as("cell"))
-    val centers = km.clusterCenters.map(_.toArray)
+    // Round 18 (guide §1.2 — remove passes): MLlib's KMeans fit launched
+    // ~30 sub-second jobs per build (k-means|| init rounds + one
+    // aggregate per iteration) — at this k and sample bound the cost is
+    // pure job-launch overhead, and the bench re-fits per invocation.
+    // The sample is driver-bounded by construction, so collect it once
+    // and run the SAME deterministic driver-side Lloyd the PQ/OPQ
+    // codebooks already use (PqIndex.fitLloyd, vec_id-sorted input);
+    // assignment becomes one codegen'd pq_encode pass (m=1 ≡
+    // nearest-centroid, lowest-index tie-break) instead of the MLlib
+    // transform. Recall bands (AnnRecallSpec) and the external rerank
+    // band gate the centroid-quality change.
+    val IvfK = 8
+    val pts = train.select("vec_id", "v").collect()
+      .sortBy(_.getLong(0))
+      .map(_.getSeq[Double](1).toArray)
+    val centers = graft.operators.PqIndex.fitLloyd(pts, IvfK, 20)
+    val assigned = e.select(col("vec_id"), col("v"), col("nrm"),
+      (element_at(graft.exprs.functions.pq_encode(
+        col("v"), centers.flatten, 1, centers.length), 1))
+        .as("cell"))
     // queries are the small side by definition: collect them, rank cells
     // on the driver, broadcast the (q, probed-cell) pairs
     val qRows = assigned.filter(col("vec_id") < NumQueries)

@@ -2828,11 +2828,14 @@ object TextAnalysis {
       // `docs` from five sub-plans (cluster pairs, keeper join, shingle
       // legs, tokenize), and each used to re-gunzip + re-JSON-parse the
       // shard set — measured 5× the decode CPU of the corpus per run.
-      // One eager materialization is exactly what a production intake
-      // does at this boundary (parse once, land columnar, curate from
-      // that); all downstream stages are unchanged.
-      val docs = graft.sources.CorpusJsonl.readFiles(s, files)
-        .localCheckpoint(true)
+      // One materialization is exactly what a production intake does at
+      // this boundary (parse once, land columnar, curate from that).
+      // Round 18: a Staged slot (persist, lineage kept) instead of an
+      // unreleased localCheckpoint — repeated construction swaps the
+      // previous copy out of executor storage, and at cluster scale the
+      // boundary survives executor loss by recomputing the parse.
+      val docs = graft.util.Staged.swap(s"intake_e2e.docs:$dir",
+        graft.sources.CorpusJsonl.readFiles(s, files))
       val kept = Dedup.pretrainSurvivorsOf(s, docs, dir).select("doc_id")
       ffdTokenRowsOf(s,
         tokenIdsOfDocs(docs, learnBpeMergesCached(s, dir))
@@ -2858,9 +2861,11 @@ object TextAnalysis {
       // PERMISSIVE raw parse, so materializing the raw frame once drops a
       // full gunzip+JSON pass vs giving the rejects leg its own read.
       // The audit keeps its separate decompress pass BY CONTRACT (it
-      // probes shard bytes to EOF — see auditShards' doc).
-      val raw = graft.sources.CorpusJsonl.readRawFiles(s, files)
-        .localCheckpoint(true)
+      // probes shard bytes to EOF — see auditShards' doc). Round 18:
+      // Staged slot instead of an unreleased localCheckpoint (see
+      // intake_e2e's note).
+      val raw = graft.util.Staged.swap(s"intake_report.raw:$dir",
+        graft.sources.CorpusJsonl.readRawFiles(s, files))
       val docs = graft.sources.CorpusJsonl.cleanOf(raw)
       val rejects = graft.sources.CorpusJsonl.corruptOf(raw)
       val st = Dedup.pretrainStageFrames(s, docs, dir)
@@ -3891,9 +3896,10 @@ object TextAnalysis {
       // one decode for the clean card AND the rejects sentinel (round 17
       // optimization — the intake_report note): both legs project the
       // same raw permissive parse; the audit keeps its contractual
-      // bytes-to-EOF pass.
-      val raw = graft.sources.CorpusJsonl.readRawFiles(s, files)
-        .localCheckpoint(true)
+      // bytes-to-EOF pass. Round 18: Staged slot instead of an
+      // unreleased localCheckpoint (see intake_e2e's note).
+      val raw = graft.util.Staged.swap(s"corpus_report.raw:$dir",
+        graft.sources.CorpusJsonl.readRawFiles(s, files))
       val d = graft.sources.CorpusJsonl.cleanOf(raw)
         .filter(col("text").isNotNull)
         .select(col("source"), col("lang"),
